@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators — exact and near-duplicate — for training-data
+  * pipelines at 100 TB scale (SURVEY.md §7 step 10).
+  *
+  * Scale design:
+  *  - exact dedup = one hash-shuffle on a 16-byte digest (uniform keys, no
+  *    skew), map-side partial agg;
+  *  - MinHash-LSH = per-row signature (no shuffle) → explode to `bands`
+  *    rows/doc → one shuffle on band-hash → candidate pairs only within
+  *    buckets (never all-pairs) → exact Jaccard verify on the candidates;
+  *  - SimHash = per-row 64-bit signature, near-dup candidates via banding
+  *    the 64 bits into chunks (Hamming-distance LSH).
+  *
+  * All hash primitives are deterministic pure-Scala (FNV-1a / splitmix64),
+  * so results are reproducible across runs and cluster sizes.
+  */
+object DedupOps {
+
+  // ---- deterministic 64-bit hashing (public-domain splitmix64 / FNV-1a) ----
+
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Word-level shingles (n-grams) of a normalized document. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else toks.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  // ------------------------------ exact ------------------------------------
+
+  /** Exact duplicate groups keyed by normalized-text md5.
+    * Emits one row per duplicated fingerprint with the canonical (minimum)
+    * doc id and group size. One shuffle, uniform digest keys. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+
+  /** Keep one row per fingerprint (the min id) — the "drop duplicates"
+    * materialization. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ----------------------------- MinHash LSH -------------------------------
+
+  /** MinHash signature of `numHashes` permutations over word `shingleN`-grams.
+    * h_i(s) = splitmix64(fnv1a64(s) + i * GOLDEN); min over shingles.
+    * Per-row computation — embarrassingly parallel. */
+  def minhashSignature(numHashes: Int, shingleN: Int): Column => Column = {
+    val n = numHashes
+    val sn = shingleN
+    val f = udf { text: String =>
+      val sh = shingles(if (text == null) "" else text, sn)
+      val sig = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val base = fnv1a64(sh(i))
+        var j = 0
+        while (j < n) {
+          val h = splitmix64(base + j * 0x9e3779b97f4a7c15L)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+    f.apply(_)
+  }
+
+  /** Candidate near-duplicate pairs via banded MinHash-LSH, verified with
+    * the signature-agreement estimate of Jaccard similarity.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    * The band join emits each co-bucketed pair once per agreeing band;
+    * `distinct` collapses them before verification. */
+  def minhashNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleN: Int = 3,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(numHashes, shingleN)
+
+    val signed = docs
+      .select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
+    // band key = hash of the band's rows; explode → one shuffle on band key.
+    val banded = signed.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit("band"), lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("col", "bandHash")
+
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("pos").as("band_a"), col("bandHash"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("pos").as("band_b"), col("bandHash"))
+    val pairs = a.join(b,
+        a("bandHash") === b("bandHash") && a("band_a") === b("band_b") &&
+          a("id_a") < b("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+            when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ------------------------------ SimHash ----------------------------------
+
+  /** 64-bit SimHash over word unigrams (Charikar 2002, public algorithm).
+    * Per-row; no shuffle. */
+  val simhash64: Column => Column = {
+    val f = udf { text: String =>
+      val toks = (if (text == null) "" else text).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        val h = fnv1a64(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    f.apply(_)
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, using
+    * 8-bit band LSH (two docs within Hamming k of each other share at least
+    * one of 8 bands when k < 8). */
+  def simhashNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val signed = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = signed.select(col("id"), col("sig"),
+      posexplode(array((0 until 8).map(b =>
+        shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bandVal"))
+
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bandVal"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band").as("band_b"), col("bandVal").as("bandVal_b"))
+    val pairs = a.join(b,
+        a("band") === b("band_b") && a("bandVal") === b("bandVal_b") &&
+          a("id_a") < b("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+
+    pairs
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // --------------------------- n-gram Jaccard ------------------------------
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (given as
+    * (id_a, id_b)); joins the shingle sets back and computes |∩|/|∪|.
+    * Used as the verify stage after LSH candidate generation. */
+  def ngramJaccard(
+      docs: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sn = shingleN
+    val shingleUdf = udf((t: String) => shingles(if (t == null) "" else t, sn).distinct)
+    val sets = docs.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0).otherwise(col("inter").cast("double") / col("uni")))
+      .select("id_a", "id_b", "jaccard")
+  }
+}

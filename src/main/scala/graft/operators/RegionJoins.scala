@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap (range) joins — the heart of the engine.
+  *
+  * The reference implements two hand-rolled families (broadcast interval-tree:
+  * adam-core/.../ds/TreeRegionJoin.scala:33-90; co-partitioned sort-merge
+  * sweep: ds/ShuffleRegionJoin.scala:35-493 driven by
+  * GenomicDataset.scala:1798-3038) with eight public variants. Here all eight
+  * are one declarative rewrite (SURVEY.md §2.4):
+  *
+  *   1. each side gains `__bin = explode(sequence(start/B, (end-1)/B))`
+  *   2. equi-join on (referenceName, __bin) + the overlap theta predicate
+  *   3. de-dup pairs that co-occur in several bins by keeping only the bin
+  *      containing `greatest(l.start, r.start)`
+  *
+  * Catalyst then plans Exchange(hash on name,bin) → SortMergeJoin (or
+  * BroadcastHashJoin when one side is small / hinted) with the theta as a
+  * codegen'd post-filter. At 100 TB this is shuffle-minimal: the bin key is
+  * dense and uniform, AQE handles residual skew, and no driver collect exists
+  * anywhere (the reference collects partition bounds to the driver,
+  * GenomicDataset.scala:744-747 — we never do).
+  *
+  * Column contract: both inputs expose `referenceName`, `start`, `end`
+  * (long, 0-based half-open). All other columns pass through, left columns
+  * prefixed `l_`, right `r_` in the flat-pair output.
+  */
+object RegionJoins {
+
+  /** Default bin width in bases. Tuned so a bin's worth of a 100 TB dataset
+    * still fits an executor task: smaller bins = more parallelism + fewer
+    * spurious bin-pairs, at the cost of duplicating long intervals into more
+    * bins. Records far longer than binSize are handled correctly (they
+    * explode into every touched bin). */
+  val DefaultBinSize = 10000L
+
+  private def binned(df: DataFrame, binSize: Long): DataFrame =
+    df.withColumn(
+      "__bin",
+      explode(sequence(
+        (col("start") / binSize).cast("long"),
+        (greatest(col("start"), col("end") - 1) / binSize).cast("long"))))
+
+  private def prefixed(df: DataFrame, p: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+
+  /** Overlap predicate plus the dedup condition that makes bin-replication
+    * exact: a pair is emitted only from the single bin that contains the
+    * larger of the two starts. */
+  private def joinCond(l: DataFrame, r: DataFrame, binSize: Long, flank: Long): Column = {
+    val overlap =
+      l("l_referenceName") === r("r_referenceName") &&
+        l("l_start") < r("r_end") + flank &&
+        r("r_start") < l("l_end") + flank
+    val dedup =
+      l("__bin") === (greatest(l("l_start") - flank, r("r_start") - flank, lit(0L)) / binSize).cast("long")
+    overlap && dedup
+  }
+
+  private def flankedBin(df: DataFrame, binSize: Long, flank: Long): DataFrame =
+    if (flank == 0L) binned(df, binSize)
+    else
+      // Pad each side's binning window by the flank so nearby-but-not-
+      // overlapping pairs still meet in a bin (reference flankSize semantics,
+      // GenomicDataset.scala:3024).
+      df.withColumn(
+        "__bin",
+        explode(sequence(
+          (greatest(col("start") - flank, lit(0L)) / binSize).cast("long"),
+          (greatest(col("start"), col("end") - 1 + flank) / binSize).cast("long"))))
+
+  /** Core join: returns the flat pair DataFrame for the requested joinType
+    * (`inner`, `left_outer`, `right_outer`, `full_outer`).
+    *
+    * Equivalent of the reference's shuffleRegionJoin family
+    * (GenomicDataset.scala:1798-2918); pass a `broadcast()`-hinted right side
+    * for the broadcastRegionJoin family (GenomicDataset.scala:1108-1797).
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      joinType: String = "inner",
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame = {
+
+    val l = prefixed(flankedBin(left, binSize, flank), "l_")
+      .withColumnRenamed("l___bin", "__bin")
+    val r = prefixed(binned(right, binSize), "r_")
+      .withColumnRenamed("r___bin", "__binR")
+
+    val cond = {
+      val overlap =
+        col("l_referenceName") === col("r_referenceName") &&
+          col("l_start") < col("r_end") + flank &&
+          col("r_start") < col("l_end") + flank
+      val dedup = col("__bin") ===
+        (greatest(col("l_start") - flank, col("r_start"), lit(0L)) / binSize).cast("long")
+      col("__bin") === col("__binR") && overlap && dedup
+    }
+
+    joinType match {
+      case "inner" =>
+        l.join(r, cond, "inner").drop("__bin", "__binR")
+      case "left_outer" =>
+        // Outer joins cannot ride the exploded copies directly (a left row
+        // appears once per bin); join inner first, then re-attach misses.
+        val inner = l.join(r, cond, "inner").drop("__bin", "__binR")
+        val leftP = prefixed(left, "l_")
+        val misses = leftP.join(
+          inner.select(col("l_referenceName").as("mrn"), col("l_start").as("ms"),
+            col("l_end").as("me")).distinct(),
+          col("l_referenceName") === col("mrn") && col("l_start") === col("ms") &&
+            col("l_end") === col("me"),
+          "left_anti")
+        inner.unionByName(misses, allowMissingColumns = true)
+      case "right_outer" =>
+        val swapped = overlapJoin(right, left, "left_outer", binSize, flank)
+        swapped.select(swapped.columns.map { c =>
+          val renamed =
+            if (c.startsWith("l_")) "r_" + c.stripPrefix("l_")
+            else if (c.startsWith("r_")) "l_" + c.stripPrefix("r_")
+            else c
+          col(c).as(renamed)
+        }.toSeq: _*)
+      case "full_outer" =>
+        val inner = l.join(r, cond, "inner").drop("__bin", "__binR")
+        val leftP = prefixed(left, "l_")
+        val rightP = prefixed(right, "r_")
+        val lMiss = leftP.join(
+          inner.select(col("l_referenceName").as("mrn"), col("l_start").as("ms"),
+            col("l_end").as("me")).distinct(),
+          col("l_referenceName") === col("mrn") && col("l_start") === col("ms") &&
+            col("l_end") === col("me"),
+          "left_anti")
+        val rMiss = rightP.join(
+          inner.select(col("r_referenceName").as("mrn"), col("r_start").as("ms"),
+            col("r_end").as("me")).distinct(),
+          col("r_referenceName") === col("mrn") && col("r_start") === col("ms") &&
+            col("r_end") === col("me"),
+          "left_anti")
+        inner
+          .unionByName(lMiss, allowMissingColumns = true)
+          .unionByName(rMiss, allowMissingColumns = true)
+      case other => throw new IllegalArgumentException(s"joinType $other")
+    }
+  }
+
+  /** Inner overlap join keeping a key column from each side — the cheap flat
+    * shape most genomics queries want. `leftKey`/`rightKey` name pass-through
+    * id columns in the ORIGINAL inputs. */
+  def overlapPairs(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame =
+    overlapJoin(left, right, "inner", binSize, flank)
+      .select(col("l_" + leftKey).as(leftKey), col("r_" + rightKey).as(rightKey))
+
+  /** GroupByLeft family (reference shuffleRegionJoinAndGroupByLeft,
+    * GenomicDataset.scala:2592-2754): each left row with the collected
+    * overlapping right rows. `outer=true` keeps match-less left rows with an
+    * empty array (leftOuter…AndGroupByLeft, GD:2272-2435). */
+  def overlapJoinGroupByLeft(
+      left: DataFrame,
+      right: DataFrame,
+      rightStructCols: Seq[String],
+      outer: Boolean = false,
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame = {
+    val jt = if (outer) "left_outer" else "inner"
+    val j = overlapJoin(left, right, jt, binSize, flank)
+    val leftCols = left.columns.map(c => col("l_" + c).as(c))
+    val rStruct = struct(rightStructCols.map(c => col("r_" + c).as(c)): _*)
+    j.groupBy(leftCols.toSeq: _*)
+      .agg(collect_list(when(col("r_" + rightStructCols.head).isNotNull, rStruct))
+        .as("overlaps"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{CoverageOps, RegionJoins}
+
+/** Interval/region operator coverage (SURVEY.md §2.4 joins, §2.5 coverage)
+  * exercised through the driver's DuckDB oracle. The testdata has no genomic
+  * tables, so deterministic interval sets are synthesized from lineitem /
+  * part / supplier columns with pure integer arithmetic — identical
+  * expressions on the Spark and SQL sides. Interval semantics are exactly
+  * the engine's: 0-based half-open, overlap = `l.start < r.end AND
+  * r.start < l.end` (models/ReferenceRegion.scala:671).
+  *
+  * The Spark side runs the real operators ([[RegionJoins]] binned join,
+  * [[CoverageOps]]); the oracle states the naive semantics — so a hash match
+  * proves the bin+explode+dedup rewrite is exact.
+  */
+object GenomicQueries extends QuerySet {
+
+  // ---- synthesized interval tables (Spark + SQL twins) ----
+
+  /** ~n/4 intervals per contig over positions [0, 10000); from lineitem. */
+  private def ivReads(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      (col("l_orderkey") % 4).cast("string").as("referenceName"),
+      ((col("l_partkey") * 7 + col("l_linenumber")) % 10000).as("start"),
+      (((col("l_partkey") * 7 + col("l_linenumber")) % 10000) + 1 +
+        (col("l_suppkey") % 50)).as("end"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+
+  private val ivReadsSql =
+    """SELECT CAST(l_orderkey % 4 AS VARCHAR) AS referenceName,
+         (l_partkey * 7 + l_linenumber) % 10000 AS "start",
+         (l_partkey * 7 + l_linenumber) % 10000 + 1 + (l_suppkey % 50) AS "end",
+         l_orderkey * 10 + l_linenumber AS id
+       FROM lineitem"""
+
+  /** Sparse feature-like intervals from part. */
+  private def ivFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      (col("p_partkey") % 4).cast("string").as("referenceName"),
+      ((col("p_partkey") * 13) % 10000).as("start"),
+      (((col("p_partkey") * 13) % 10000) + 1 + (col("p_size") % 80)).as("end"),
+      col("p_partkey").as("id"))
+
+  private val ivFeaturesSql =
+    """SELECT CAST(p_partkey % 4 AS VARCHAR) AS referenceName,
+         (p_partkey * 13) % 10000 AS "start",
+         (p_partkey * 13) % 10000 + 1 + (p_size % 80) AS "end",
+         p_partkey AS id
+       FROM part"""
+
+  /** Small interval set from supplier (for flanked/nearby joins). */
+  private def ivTargets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      (col("s_suppkey") % 4).cast("string").as("referenceName"),
+      ((col("s_suppkey") * 131) % 10000).as("start"),
+      (((col("s_suppkey") * 131) % 10000) + 1 + (col("s_nationkey") % 40)).as("end"),
+      col("s_suppkey").as("id"))
+
+  private val ivTargetsSql =
+    """SELECT CAST(s_suppkey % 4 AS VARCHAR) AS referenceName,
+         (s_suppkey * 131) % 10000 AS "start",
+         (s_suppkey * 131) % 10000 + 1 + (s_nationkey % 40) AS "end",
+         s_suppkey AS id
+       FROM supplier"""
+
+  val queries: Seq[Query] = Seq(
+
+    // Inner interval-overlap join — binned rewrite vs naive theta-join
+    // oracle (shuffleRegionJoin, GenomicDataset.scala:1798).
+    Query("q16_region_join_inner",
+      (s, dir) => RegionJoins.overlapPairs(
+        ivReads(s, dir), ivFeatures(s, dir), "id", "id", binSize = 1000)
+        .toDF("read_id", "feature_id"),
+      Some(s"""WITH reads AS ($ivReadsSql), features AS ($ivFeaturesSql)
+        SELECT a.id AS read_id, b.id AS feature_id
+        FROM reads a JOIN features b
+          ON a.referenceName = b.referenceName
+         AND a."start" < b."end" AND b."start" < a."end"""")),
+
+    // Left-outer grouped: per feature, how many reads overlap (zero kept) —
+    // the AndGroupByLeft family (GenomicDataset.scala:2272-2435).
+    Query("q17_region_join_outer_counts",
+      (s, dir) => {
+        val j = RegionJoins.overlapJoin(
+          ivFeatures(s, dir), ivReads(s, dir), "left_outer", binSize = 1000)
+        j.groupBy(col("l_id").as("feature_id"))
+          .agg(sum(when(col("r_id").isNotNull, 1L).otherwise(0L)).as("n_reads"))
+      },
+      Some(s"""WITH reads AS ($ivReadsSql), features AS ($ivFeaturesSql)
+        SELECT b.id AS feature_id,
+          CAST(sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_reads
+        FROM features b LEFT JOIN reads a
+          ON a.referenceName = b.referenceName
+         AND a."start" < b."end" AND b."start" < a."end"
+        GROUP BY b.id""")),
+
+    // Flanked (nearby) join — flankSize tolerance semantics
+    // (GenomicDataset.scala:3024 pad(flankSize)).
+    Query("q18_region_join_flanked",
+      (s, dir) => RegionJoins.overlapJoin(
+        ivTargets(s, dir), ivFeatures(s, dir), "inner",
+        binSize = 1000, flank = 100)
+        .select(col("l_id").as("target_id"), col("r_id").as("feature_id")),
+      Some(s"""WITH targets AS ($ivTargetsSql), features AS ($ivFeaturesSql)
+        SELECT a.id AS target_id, b.id AS feature_id
+        FROM targets a JOIN features b
+          ON a.referenceName = b.referenceName
+         AND a."start" < b."end" + 100 AND b."start" < a."end" + 100""")),
+
+    // Per-base depth of coverage (AlignmentDataset.toCoverage shape,
+    // AlignmentDataset.scala:529-556) aggregated into 500-bp bins.
+    Query("q19_coverage_binned",
+      (s, dir) => {
+        val cov = CoverageOps.toCoverage(ivFeatures(s, dir))
+        cov.groupBy(col("referenceName"),
+            ((col("start") / 500).cast("long") * 500).as("binStart"))
+          .agg(sum(col("count")).as("total_depth"),
+            count(lit(1)).as("n_covered_bases"))
+      },
+      Some(s"""WITH features AS ($ivFeaturesSql),
+        bases AS (
+          SELECT referenceName, unnest(generate_series("start", "end" - 1)) AS pos
+          FROM features),
+        cov AS (
+          SELECT referenceName, pos, count(*) AS cnt
+          FROM bases GROUP BY referenceName, pos)
+        SELECT referenceName, (pos // 500) * 500 AS binStart,
+          CAST(sum(cnt) AS BIGINT) AS total_depth,
+          count(*) AS n_covered_bases
+        FROM cov GROUP BY referenceName, binStart""")),
+
+    // Run-length collapse of equal-depth runs — gaps-and-islands
+    // (CoverageDataset.collapse, CoverageDataset.scala:300-348).
+    Query("q20_coverage_collapse",
+      (s, dir) => CoverageOps.collapse(
+        CoverageOps.toCoverage(ivTargets(s, dir))),
+      Some(s"""WITH targets AS ($ivTargetsSql),
+        bases AS (
+          SELECT referenceName, unnest(generate_series("start", "end" - 1)) AS pos
+          FROM targets),
+        cov AS (
+          SELECT referenceName, pos, count(*) AS cnt
+          FROM bases GROUP BY referenceName, pos),
+        flagged AS (
+          SELECT referenceName, pos, cnt,
+            CASE WHEN lag(pos) OVER w = pos - 1 AND lag(cnt) OVER w = cnt
+                 THEN 0 ELSE 1 END AS brk
+          FROM cov WINDOW w AS (PARTITION BY referenceName ORDER BY pos)),
+        grp AS (
+          SELECT referenceName, pos, cnt,
+            sum(brk) OVER (PARTITION BY referenceName ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          FROM flagged)
+        SELECT referenceName, min(pos) AS "start", max(pos) + 1 AS "end",
+          cnt AS count
+        FROM grp GROUP BY referenceName, g, cnt"""))
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §7 step 10): text analysis, exact + near dedup, similarity
+  * search. Oracle SQL is generated from the SAME Scala constants as the
+  * Spark implementation wherever the op is SQL-expressible; MinHash/SimHash/
+  * LSH signatures use engine-side hashing and are declared without an
+  * oracle (driver falls back to the rows-only check) but are covered by
+  * ScalaTest property specs.
+  */
+object PipelineQueries extends QuerySet {
+
+  /** DuckDB twin of [[TextOps.langScore]]: padded lowercase text, literal
+    * replace-count per marker, integer arithmetic only. */
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map { kw =>
+      val esc = kw.replace("'", "''")
+      s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$esc', ''))) / ${kw.length}"
+    }.mkString(" + ")
+
+  private def langIdSql: String = {
+    val scores = TextOps.langMarkers.map { case (lang, kws) =>
+      lang -> s"(${langScoreSql(kws)})"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lang, sc) =>
+      s"WHEN $sc = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  val queries: Seq[Query] = Seq(
+
+    // Per-document text statistics (token counting, quality ratios).
+    Query("q21_doc_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val feats = TextOps.qualityFeatures(col("text")).map {
+          // int feature columns → long so the schema matches the oracle's
+          // BIGINT exactly (driver compares schemas too).
+          case (n @ ("n_chars" | "n_tokens"), c) => (n, c.cast("long"))
+          case other => other
+        }
+        feats.foldLeft(d.select(col("doc_id"), col("text"))) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }.drop("text")
+      },
+      Some("""SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS DOUBLE) / length(text) AS ws_ratio
+        FROM documents""")),
+
+    // Stopword-evidence language ID vs the labeled lang column.
+    Query("q22_lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("pred_lang")),
+      Some(s"SELECT doc_id, lang, $langIdSql AS pred_lang FROM documents")),
+
+    // Quality filter (C4/Gopher-style heuristic gates).
+    Query("q23_quality_filter",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("quality") >= 0.75)
+        .select("doc_id", "quality"),
+      Some("""WITH scored AS (SELECT doc_id,
+          ((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) <= 0.1 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0
+          AS quality FROM documents)
+        SELECT doc_id, quality FROM scored WHERE quality >= 0.75""")),
+
+    // Exact duplicate groups on the normalized-md5 fingerprint.
+    Query("q24_exact_dedup",
+      (s, dir) => DedupOps.exactDuplicates(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+          CAST(min(doc_id) AS BIGINT) AS canonical_id,
+          count(*) AS group_size
+        FROM documents
+        GROUP BY fp HAVING count(*) > 1""")),
+
+    // Document fingerprints (md5 of whitespace-normalized lowercase text).
+    Query("q25_fingerprints",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents""")),
+
+    // Token-count histogram (10-token buckets).
+    Query("q26_token_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .select((TextOps.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+        .select(expr("n_tokens div 10").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs")),
+      Some("""SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) // 10 AS bucket,
+        count(*) AS n_docs
+        FROM documents GROUP BY bucket""")),
+
+    // Brute-force exact cosine top-5 — ANN baseline. Ranks only in the
+    // output (float similarity values are engine-comparable for ordering
+    // but not for hashing).
+    Query("q27_ann_bruteforce",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        SimilarityOps.bruteForceTopK(q, c, 5)
+          .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (SELECT q.qid, e.vec_id AS id,
+          list_cosine_similarity(q.qe, e.embedding) AS cos
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+          FROM scored)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, id FROM ranked
+        WHERE rank <= 5""")),
+
+    // MinHash-LSH near-duplicate candidates (no SQL oracle: engine-side
+    // splitmix64/banding; deterministic → rows-only check + ScalaTest).
+    Query("q28_minhash_neardup",
+      (s, dir) => DedupOps.minhashNearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5),
+      None),
+
+    // SimHash near-duplicates by Hamming distance (rows-only check).
+    Query("q29_simhash_neardup",
+      (s, dir) => DedupOps.simhashNearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", maxDist = 3),
+      None),
+
+    // Exact n-gram Jaccard verification of MinHash candidates.
+    Query("q30_ngram_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = DedupOps.minhashNearDuplicates(
+          docs, "doc_id", "text", numHashes = 64, shingleN = 3,
+          bands = 16, threshold = 0.3).select("id_a", "id_b")
+        DedupOps.ngramJaccard(docs, cand, "doc_id", "text", shingleN = 3)
+          .filter(col("jaccard") >= 0.5)
+      },
+      None),
+
+    // SRP-LSH approximate top-k (the ANN scale path; rows-only check,
+    // recall vs q27 asserted in ScalaTest).
+    Query("q31_ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        SimilarityOps.lshTopK(q, c, 5, numBits = 16, bands = 8)
+          .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
+      },
+      None)
+  )
+}

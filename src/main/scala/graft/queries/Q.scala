@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Query-catalog plumbing shared by the relational / genomic / pipeline
+  * query sets. Each query = a Spark implementation plus (usually) a DuckDB
+  * oracle SQL string, registered pairwise so the driver's harness
+  * (CORRECTNESS_r{N}.json) can hash-match them.
+  *
+  * Engine-portability conventions (Spark vs DuckDB must agree bit-for-bit):
+  *  - money sums → integer cents: `CAST(floor(x*100 + 0.5) AS BIGINT)`;
+  *    floor(+0.5) not round() because round's half-way rule differs across
+  *    engines while floor is unambiguous IEEE;
+  *  - never sum raw doubles (FP addition is order-sensitive across engines);
+  *  - ratios = int/int division in double (bit-exact IEEE in both);
+  *  - timestamps → epoch seconds/millis as BIGINT;
+  *  - counts → BIGINT on both sides (DuckDB sum(int) is INT128 → cast).
+  */
+case class Query(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QuerySet {
+  def queries: Seq[Query]
+
+  /** Shorthand table loader. */
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Integer cents of a double money column — engine-portable exact sum
+    * input. */
+  protected def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** Same at 4 decimal digits (for discounted prices). */
+  protected def tenthCents(c: Column): Column =
+    floor(c * 10000 + 0.5).cast("long")
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Sessionize
+
+/** Relational operator coverage (SURVEY.md §2.3, §2.5-2.7 mapped onto the
+  * driver's TPC-H-ish tables): scan+filter+project with pushdown, hash/
+  * broadcast joins, partial aggregation, windows, sort/limit, set ops,
+  * semi/anti joins, rollup, multi-conditional single-pass agg (the flagstat
+  * shape, FlagStat.scala:95-130), time-bucket windows and sessionization
+  * over `events`.
+  */
+object RelationalQueries extends QuerySet {
+
+  val queries: Seq[Query] = Seq(
+
+    // TPC-H Q1 shape — partial+final hash agg, pushdown date filter.
+    Query("q01_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+            sum(tenthCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("sum_disc_tc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_tc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // Filter + projection — Catalyst pushes both to the parquet scan.
+    Query("q02_filter_project",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-04-01").cast("timestamp") &&
+            col("l_quantity") < 10)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            cents(col("l_extendedprice")).as("price_cents"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01' AND l_quantity < 10""")),
+
+    // Multi-way join through the star schema (TPC-H Q5 shape): the two dims
+    // broadcast, the fact-side joins shuffle on their keys.
+    Query("q03_revenue_by_nation",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum(tenthCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue_tc"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+        CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_tc,
+        count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
+    // Explicit broadcast-hash join of fact against a small dim.
+    Query("q04_brand_volume",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT p_brand,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")),
+
+    // Window top-1 per group (deterministic tie-break on the unique key).
+    Query("q05_top_order_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+        FROM (SELECT *, row_number() OVER
+          (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn = 1""")),
+
+    // Running-sum window over a time ordering.
+    Query("q06_running_quantity",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 20)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(sum(CAST(l_quantity AS BIGINT)) OVER
+          (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+        FROM lineitem WHERE l_suppkey <= 20""")),
+
+    // Global sort + limit (top-k); tie-broken so the SET is deterministic.
+    Query("q07_top_orders",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      },
+      Some("""SELECT o_orderkey,
+        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    // DISTINCT (dropDuplicates).
+    Query("q08_distinct_segments",
+      (s, dir) => t(s, dir, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct(),
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")),
+
+    // Relational set op: EXCEPT.
+    Query("q09_nations_without_suppliers",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+        c.except(su)
+      },
+      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")),
+
+    // Anti join (NOT EXISTS).
+    Query("q10_customers_without_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // ROLLUP grouping sets.
+    Query("q11_rollup_flags",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        count(*) AS n_items
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Scalar subquery + HAVING.
+    Query("q12_above_avg_orders",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val stats = o.agg(
+          sum(cents(col("o_totalprice"))).as("s"),
+          count(lit(1)).as("n"))
+        o.crossJoin(broadcast(stats))
+          .filter(cents(col("o_totalprice")).cast("double") >
+            col("s").cast("double") / col("n"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE CAST(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS DOUBLE) >
+          (SELECT CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / count(*) FROM orders)
+        GROUP BY o_orderpriority""")),
+
+    // Single-pass multi-conditional aggregation — the flagstat shape
+    // (reference FlagStat.scala:95-130: 2x13 metrics in one pass).
+    Query("q13_lineitem_flagstat",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("n_discounted"),
+        sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("n_bulk"),
+        sum(when(col("l_tax") > 0.0, 1L).otherwise(0L)).as("n_taxed"),
+        sum(when(col("l_returnflag") === "R" && col("l_quantity") >= 30, 1L)
+          .otherwise(0L)).as("n_bulk_returned")),
+      Some("""SELECT count(*) AS n_total,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+        CAST(sum(CASE WHEN l_tax > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
+        CAST(sum(CASE WHEN l_returnflag = 'R' AND l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk_returned
+        FROM lineitem""")),
+
+    // Tumbling time window over the events stream table (batch analog of
+    // the Structured Streaming path, SURVEY.md §2.10).
+    Query("q14_hourly_events",
+      (s, dir) => t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 3600000").as("hour_bucket"),
+          col("event_type"), col("value"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_value_cents")),
+      Some("""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+        count(*) AS n_events,
+        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY 1, 2""")),
+
+    // Gap-based sessionization (30-minute gap) — SURVEY.md §2.10 extension;
+    // shares shape with CoverageDataset.collapse (CoverageDataset.scala:300).
+    Query("q15_user_sessions",
+      (s, dir) => Sessionize.sessions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", 1800L),
+      Some("""WITH flagged AS (
+          SELECT user_id, event_id, ts, epoch_ms(ts) // 1000 AS tsec,
+            CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                   OR epoch_ms(ts) // 1000 - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (
+          SELECT user_id, tsec,
+            sum(new_session) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          min(tsec) AS session_start, max(tsec) AS session_end,
+          count(*) AS n_events
+        FROM sessioned GROUP BY user_id, session_id"""))
+  )
+}
