@@ -1,0 +1,175 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.RegionJoins
+
+/** The engine's one fundamental abstraction: a Catalyst-backed Dataset of a
+  * genomic record type plus driver-side metadata (SURVEY.md §1.1).
+  *
+  * Collapses the reference's RDDBound/DatasetBound/ParquetUnbound triad
+  * (GenomicDataset.scala:130, AlignmentDataset.scala:226-455) to a single
+  * Dataset[T]-backed class: laziness, pushdown, pruning and codegen all come
+  * from Catalyst, so the three physical states are unnecessary.
+  *
+  * Region-aware operations require the dataset's columns to include
+  * `referenceName: string, start: long, end: long` (the coordinate contract,
+  * GenomicDataset.getReferenceRegions GD:1018). Types whose coordinates are
+  * nested (Fragment, Genotype.variant) expose a flattened view first.
+  */
+case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata)(implicit enc: Encoder[T]) {
+
+  def spark: SparkSession = ds.sparkSession
+  def toDF: DataFrame = ds.toDF()
+
+  /** User-function transform re-attaching metadata — the key invariant:
+    * metadata flows around the Catalyst plan, not through it
+    * (transformDataset, GD:509-531). */
+  def transform(fn: Dataset[T] => Dataset[T]): GenomicDataset[T] =
+    copy(ds = fn(ds))
+
+  def transformMeta(fn: GenomicMetadata => GenomicMetadata): GenomicDataset[T] =
+    copy(meta = fn(meta))
+
+  /** Retype to another record shape (transmute, GD:532-566). */
+  def transmute[U](fn: Dataset[T] => Dataset[U])(implicit e: Encoder[U]): GenomicDataset[U] =
+    GenomicDataset(fn(ds), meta)
+
+  // ------------------------- region filters ------------------------------
+
+  /** Region filter as a pushed-down column predicate
+    * (filterByOverlappingRegion, GD:1034-1081; pushdown semantics of
+    * ReferenceRegion.createPredicate, models/ReferenceRegion.scala:392). */
+  def filterByOverlappingRegion(r: ReferenceRegion): GenomicDataset[T] =
+    transform(_.filter(RegionColumns.overlapsRegion(r)))
+
+  def filterByOverlappingRegions(rs: Seq[ReferenceRegion]): GenomicDataset[T] =
+    transform(_.filter(RegionColumns.overlapsAny(rs)))
+
+  // ----------------------------- sort ------------------------------------
+
+  /** Lexicographic genome sort: range-repartition on (referenceName, start)
+    * then sort within partitions (sortLexicographically, GD:697-753). The
+    * range partitioner's sampled bounds replace the reference's driver-
+    * collected partition map (GD:744-747) — no driver collect. */
+  def sortLexicographically(numPartitions: Int = 0): GenomicDataset[T] =
+    transform { d =>
+      val cols = Seq(col("referenceName"), col("start"))
+      val ranged =
+        if (numPartitions > 0) d.repartitionByRange(numPartitions, cols: _*)
+        else d.repartitionByRange(cols: _*)
+      ranged.sortWithinPartitions(cols: _*)
+    }
+
+  /** Sort by the SequenceDictionary's contig index then position
+    * (sortByReferencePositionAndIndex semantics, AlignmentDataset.scala:
+    * 1043): contig→index via a broadcast scalar map expression. */
+  def sortByDictionaryOrder(numPartitions: Int = 0): GenomicDataset[T] =
+    transform { d =>
+      val indexed = meta.sequences.records.zipWithIndex
+        .flatMap { case (r, i) => Seq(lit(r.name), lit(r.index.getOrElse(i))) }
+      if (indexed.isEmpty) d
+      else {
+        val idx = coalesce(
+          element_at(map(indexed: _*), col("referenceName")), lit(Int.MaxValue))
+        val tagged = d.withColumn("__refIdx", idx)
+        val cols = Seq(col("__refIdx"), col("start"))
+        val ranged =
+          if (numPartitions > 0) tagged.repartitionByRange(numPartitions, cols: _*)
+          else tagged.repartitionByRange(cols: _*)
+        ranged.sortWithinPartitions(cols: _*).drop("__refIdx").as[T]
+      }
+    }
+
+  // ----------------------------- set ops ---------------------------------
+
+  /** Concatenation + metadata union (GD:490-507 union laws). */
+  def union(others: GenomicDataset[T]*): GenomicDataset[T] =
+    GenomicDataset(
+      others.foldLeft(ds)((a, b) => a.unionByName(b.ds)),
+      others.foldLeft(meta)((a, b) => a ++ b.meta))
+
+  // ----------------------------- joins -----------------------------------
+
+  /** Interval-overlap joins against another genomic dataset; all eight
+    * reference variants via joinType/grouping (SURVEY.md §2.4). Returns the
+    * flat pair DataFrame (l_- and r_-prefixed columns) with metadata —
+    * the analog of GenericGenomicDataset (GD:3095). */
+  def shuffleRegionJoin(
+      other: GenomicDataset[_],
+      joinType: String = "inner",
+      flank: Long = 0L,
+      binSize: Long = RegionJoins.DefaultBinSize): (DataFrame, GenomicMetadata) =
+    (RegionJoins.overlapJoin(toDF, other.ds.toDF(), joinType, binSize, flank),
+      meta ++ other.meta)
+
+  /** Broadcast variant: identical plan shape with a broadcast hint on the
+    * right — Catalyst picks BroadcastHashJoin (broadcastRegionJoin,
+    * GD:1108-1227). */
+  def broadcastRegionJoin(
+      other: GenomicDataset[_],
+      joinType: String = "inner",
+      flank: Long = 0L,
+      binSize: Long = RegionJoins.DefaultBinSize): (DataFrame, GenomicMetadata) =
+    (RegionJoins.overlapJoin(toDF, broadcast(other.ds.toDF()), joinType, binSize, flank),
+      meta ++ other.meta)
+
+  // ----------------------------- save ------------------------------------
+
+  /** Parquet save + metadata sidecars (GD:324-353, 3775-3830). */
+  def saveAsParquet(path: String): Unit = {
+    toDF.write.mode("overwrite").parquet(path)
+    Sidecars.write(spark, path, meta)
+  }
+
+  /** Hive-partitioned layout (referenceName, positionBin) — identical
+    * mechanics to the reference, which itself uses Spark SQL here
+    * (GD:380-394). Partition pruning on load is native. */
+  def saveAsPartitionedParquet(path: String, binSize: Long = 1000000L): Unit = {
+    toDF
+      .withColumn("positionBin", floor(col("start") / binSize))
+      .write.mode("overwrite")
+      .partitionBy("referenceName", "positionBin")
+      .parquet(path)
+    Sidecars.write(spark, path, meta)
+    Sidecars.writePartitionFlag(spark, path, binSize)
+  }
+}
+
+object GenomicDataset {
+
+  /** Generic parquet load with sidecar metadata restore (loadParquet,
+    * ADAMContext.scala:1814-1857 — pushdown/projection free via Catalyst). */
+  def loadParquet[T](spark: SparkSession, path: String)(implicit e: Encoder[T]): GenomicDataset[T] = {
+    val meta = Sidecars.read(spark, path)
+    GenomicDataset(spark.read.parquet(path).as[T], meta)
+  }
+
+  /** Load of a partitioned layout, optionally pruned to query regions: the
+    * binned predicate is applied while `positionBin` is still a column, so
+    * Catalyst prunes partitions natively (GD:3355-3383 rewrite, as a Column
+    * instead of a SQL string). */
+  def loadPartitionedParquet[T](
+      spark: SparkSession, path: String,
+      regions: Seq[ReferenceRegion] = Seq.empty,
+      lookback: Int = 1)(implicit e: Encoder[T]): GenomicDataset[T] = {
+    val meta = Sidecars.read(spark, path)
+    val binSize = Sidecars.readPartitionFlag(spark, path).getOrElse(1000000L)
+    val df = spark.read.parquet(path)
+    val pruned =
+      if (regions.isEmpty) df
+      else df.filter(regions.map(binnedRegionFilter(_, binSize, lookback))
+        .reduceLeft(_ || _))
+    GenomicDataset(pruned.drop("positionBin").as[T], meta)
+  }
+
+  /** Partition-pruning region predicate for the partitioned layout: bin
+    * range with `lookback` slack for records longer than a bin (the domain
+    * knowledge Catalyst can't infer; optLookbackPartitions, GD:3337-3341). */
+  def binnedRegionFilter(r: ReferenceRegion, binSize: Long, lookback: Int = 1): Column =
+    col("referenceName") === lit(r.referenceName) &&
+      col("positionBin") >= lit(r.start / binSize - lookback) &&
+      col("positionBin") <= lit((math.max(r.start, r.end - 1)) / binSize) &&
+      col("start") < lit(r.end) && col("end") > lit(r.start)
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{Alignment, Cigar, Fragment, ReadGroupDictionary}
+
+/** Fragment-level duplicate-marking key (ReferencePositionPair semantics,
+  * ds/read/ReferencePositionPair.scala:115): library + clipped 5' positions
+  * and strands of both fragment ends, plus the phred score and read bucket. */
+private[operators] case class DupKey(
+    library: String,
+    leftRef: String, leftPos: Long, leftStrand: Boolean,
+    rightRef: String, rightPos: Long, rightStrand: Boolean,
+    score: Int, name: String, reads: Seq[Alignment])
+
+/** Read-pipeline operators over Dataset[Alignment] (SURVEY.md §2.5, §2.8).
+  * All formulated as declarative plans: flagstat is one single-pass
+  * conditional aggregation; duplicate marking is two hash shuffles + a
+  * window (no driver collect); conversions are groupBy/explode.
+  */
+object AlignmentOps {
+
+  import org.apache.spark.sql.Encoders
+
+  private implicit val alignmentEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+  private implicit val fragmentEnc: org.apache.spark.sql.Encoder[Fragment] =
+    Encoders.product[Fragment]
+  private implicit val stringEnc: org.apache.spark.sql.Encoder[String] =
+    Encoders.STRING
+  private implicit val string2Enc: org.apache.spark.sql.Encoder[(String, String)] =
+    Encoders.tuple(Encoders.STRING, Encoders.STRING)
+
+  // ------------------------------ flagstat --------------------------------
+
+  /** `samtools flagstat` analog: 13 metrics split by vendor-quality in ONE
+    * pass (reference FlagStat.scala:95-130 uses an RDD aggregate; here a
+    * single codegen'd conditional aggregation — partial agg map-side). */
+  def flagStat(reads: Dataset[Alignment]): DataFrame = {
+    val df = reads.toDF()
+    def cnt(pred: Column, name: String): Column =
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    val mapped = col("readMapped") === true
+    val paired = col("readPaired") === true
+    df.groupBy(coalesce(col("failedVendorQualityChecks"), lit(false))
+        .as("vendorFailed"))
+      .agg(
+        count(lit(1)).as("total"),
+        cnt(col("duplicateRead") === true, "duplicates"),
+        cnt(mapped, "mapped"),
+        cnt(paired, "paired"),
+        cnt(paired && col("readInFragment") === 0, "read1"),
+        cnt(paired && col("readInFragment") === 1, "read2"),
+        cnt(paired && col("properPair") === true, "properlyPaired"),
+        cnt(paired && mapped && col("mateMapped") === true, "withMateMapped"),
+        cnt(paired && mapped && !(col("mateMapped") === true), "singletons"),
+        cnt(paired && mapped && col("mateMapped") === true &&
+          !(col("mateReferenceName") <=> col("referenceName")),
+          "mateMappedToDiffChromosome"),
+        cnt(paired && mapped && col("mateMapped") === true &&
+          !(col("mateReferenceName") <=> col("referenceName")) &&
+          col("mappingQuality") >= 5, "mateMappedToDiffChromosomeMapQ5"),
+        cnt(col("secondaryAlignment") === true, "secondary"),
+        cnt(col("supplementaryAlignment") === true, "supplementary"))
+  }
+
+  // ------------------------------ k-mers ----------------------------------
+
+  /** Slide k-windows over read sequences and count
+    * (countKmersAsDataset, AlignmentDataset.scala:784-795). */
+  def countKmers(reads: Dataset[Alignment], k: Int): DataFrame =
+    reads.toDF()
+      .filter(col("sequence").isNotNull)
+      .select(explode(graft.functions.GenomicFunctions.kmers("sequence", k))
+        .as("kmer"))
+      .filter(length(col("kmer")) === k)
+      .groupBy("kmer").agg(count(lit(1)).as("count"))
+
+  // ----------------------------- coverage ---------------------------------
+
+  /** Mapped reads → per-base depth (AlignmentDataset.toCoverage,
+    * AlignmentDataset.scala:529-556 — already a DataFrame op there). */
+  def toCoverage(reads: Dataset[Alignment]): DataFrame =
+    CoverageOps.toCoverage(
+      reads.toDF()
+        .filter(col("readMapped") === true && col("start").isNotNull &&
+          col("end").isNotNull)
+        .select(col("referenceName"), col("start"), col("end")))
+
+  // --------------------------- fragment regroup ---------------------------
+
+  /** Group reads by fragment name (toFragments, AlignmentDataset.scala:
+    * 473-522): one shuffle on readName. The reference's queryname-sorted
+    * fast path (AD:517-522) is unnecessary under AQE+hash agg but the
+    * grouping key matches. */
+  def toFragments(reads: Dataset[Alignment]): Dataset[Fragment] =
+    reads.groupByKey(r => r.readName.getOrElse(""))
+      .mapGroups { (name, rs) =>
+        val reads = rs.toSeq.sortBy(_.readInFragment.getOrElse(0))
+        Fragment(
+          name = Some(name),
+          readGroupId = reads.head.readGroupId,
+          insertSize = reads.flatMap(_.insertSize).headOption,
+          alignments = reads)
+      }
+
+  /** Inverse: fragments → alignments (FragmentDataset.scala:351). */
+  def fragmentsToReads(fragments: Dataset[Fragment]): Dataset[Alignment] =
+    fragments.flatMap(_.alignments)
+
+  // --------------------------- mark duplicates ----------------------------
+
+  /** Duplicate marking (MarkDuplicates.scala:62-169 semantics, window
+    * formulation — SURVEY.md §2.5 mapping):
+    *
+    *  1. reads → fragment buckets keyed (readGroupId, readName)
+    *     [shuffle 1: hash on read name];
+    *  2. per bucket: left/right 5'-clipped positions of the primary mapped
+    *     reads (ReferencePositionPair semantics) + fragment score = sum of
+    *     phred scores >= 15 over primary reads (score fn,
+    *     MarkDuplicates.scala:42-48);
+    *  3. window over (library, leftRef, leftPos, leftStrand, rightRef,
+    *     rightPos, rightStrand) ordered by (score desc, readName) — rank 1
+    *     survives, the rest are duplicates [shuffle 2: hash on position key];
+    *  4. explode buckets back to reads with duplicateRead set. Fragments
+    *     whose left position is unmapped are never marked (MarkDuplicates
+    *     rule); right-unmapped fragments compete in a (left, null) group.
+    *
+    * No driver collect; both shuffles are on well-distributed keys.
+    */
+  def markDuplicates(
+      reads: Dataset[Alignment],
+      readGroups: ReadGroupDictionary = ReadGroupDictionary.empty): Dataset[Alignment] = {
+    val spark = reads.sparkSession
+    val libOf: Map[String, String] = readGroups.readGroups
+      .flatMap(rg => rg.library.map(l => rg.id -> l)).toMap
+    val libOfB = spark.sparkContext.broadcast(libOf)
+
+    implicit val keyedEnc: org.apache.spark.sql.Encoder[DupKey] =
+      org.apache.spark.sql.Encoders.product[DupKey]
+
+    def phredScore(r: Alignment): Int =
+      r.qualityScores.map(_.iterator.map(_ - 33).filter(_ >= 15).sum).getOrElse(0)
+
+    def fivePrime(r: Alignment): (String, Long, Boolean) = {
+      val neg = r.readNegativeStrand.getOrElse(false)
+      val pos = Cigar.fivePrimePosition(
+        r.start.getOrElse(0L), r.end.getOrElse(0L),
+        r.cigar.getOrElse("*"), neg)
+      (r.referenceName.getOrElse(""), pos, neg)
+    }
+
+    val keyed = reads
+      .groupByKey(r => (r.readGroupId.getOrElse(""), r.readName.getOrElse("")))
+      .mapGroups { (key: (String, String), rs: Iterator[Alignment]) =>
+        val (rgId, name) = key
+        val bucket = rs.toSeq
+        val primaries = bucket.filter(r =>
+          r.primaryAlignment.getOrElse(true) && !r.secondaryAlignment.getOrElse(false) &&
+            !r.supplementaryAlignment.getOrElse(false))
+        val mapped = primaries.filter(_.readMapped.getOrElse(false))
+          .sortBy(_.readInFragment.getOrElse(0))
+        val lib = libOfB.value.getOrElse(rgId, rgId)
+        val score = primaries.map(phredScore).sum
+        (mapped.map(fivePrime) match {
+          case Seq() =>
+            DupKey(lib, "", -1L, false, "", -1L, false, score, name, bucket)
+          case Seq(l) =>
+            DupKey(lib, l._1, l._2, l._3, "", -1L, false, score, name, bucket)
+          case ls =>
+            val sorted = ls.sortBy(t => (t._1, t._2))
+            DupKey(lib, sorted.head._1, sorted.head._2, sorted.head._3,
+              sorted.last._1, sorted.last._2, sorted.last._3, score, name, bucket)
+        })
+      }
+
+    val w = Window
+      .partitionBy("library", "leftRef", "leftPos", "leftStrand",
+        "rightRef", "rightPos", "rightStrand")
+      .orderBy(col("score").desc, col("name").asc)
+
+    val flagged = keyed.toDF()
+      .withColumn("rank", row_number().over(w))
+      .withColumn("isDup",
+        // left-unmapped fragments are never duplicates
+        when(col("leftPos") === -1L, lit(false)).otherwise(col("rank") > 1))
+
+    flagged
+      .select(col("isDup"), explode(col("reads")).as("read"))
+      .select(col("isDup"), col("read.*"))
+      .withColumn("duplicateRead",
+        // secondary/supplementary reads inherit the fragment's duplicate flag
+        when(col("readMapped") === true || col("readPaired") === true,
+          col("isDup")).otherwise(lit(false)))
+      .drop("isDup")
+      .as[Alignment]
+  }
+
+  // --------------------------- quality binning ----------------------------
+
+  /** Rewrite quality strings into bins (binQualityScores, AD:1752-1776;
+    * BinQualities.scala:112-160). bins = (low, high, center). */
+  def binQualities(reads: Dataset[Alignment], bins: Seq[(Int, Int, Int)]): Dataset[Alignment] = {
+    val b = bins
+    reads.map(r => r.copy(qualityScores =
+      r.qualityScores.map(q =>
+        graft.functions.GenomicFunctions.binQualities(q, b))))
+  }
+}

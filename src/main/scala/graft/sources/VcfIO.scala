@@ -1,0 +1,213 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import graft.core.GenomicDataset
+import graft.model._
+
+/** VCF text IO (public VCF 4.x spec; the reference parses via htsjdk
+  * VCFCodec + the 2,426-LoC VariantContextConverter,
+  * converters/VariantContextConverter.scala — here a direct text parser
+  * covering the core semantics: multi-allelic splitting, GT/DP/GQ/AD/PL
+  * FORMAT fields, INFO passthrough, FILTER states).
+  *
+  * Header lines stay driver-side (GenomicMetadata.headerLines), sample
+  * names come from the #CHROM line — mirroring ADAMContext.loadVcf
+  * (AC:2638-2804) keeping headers on the driver.
+  */
+object VcfIO {
+
+  private implicit val vcEnc: org.apache.spark.sql.Encoder[VariantContext] =
+    Encoders.product[VariantContext]
+  private implicit val vEnc: org.apache.spark.sql.Encoder[Variant] =
+    Encoders.product[Variant]
+  private implicit val gEnc: org.apache.spark.sql.Encoder[Genotype] =
+    Encoders.product[Genotype]
+
+  /** Parse one record line into one VariantContext per ALT allele
+    * (multi-allelic split, splitFromMultiAllelic flag — converter
+    * semantics). */
+  def parseLine(line: String, samples: Seq[String]): Seq[VariantContext] = {
+    val f = line.split("\t", -1)
+    val chrom = f(0); val pos = f(1).toLong - 1
+    val ids = if (f(2) == ".") Seq.empty[String] else f(2).split(";").toSeq
+    val ref = f(3)
+    val alts = f(4).split(",").toSeq.filter(_ != ".")
+    val qual = if (f(5) == ".") None else Some(f(5).toDouble)
+    val (filtersApplied, filtersPassed, filtersFailed) = f(6) match {
+      case "." => (Some(false), None, Seq.empty[String])
+      case "PASS" => (Some(true), Some(true), Seq.empty[String])
+      case other => (Some(true), Some(false), other.split(";").toSeq)
+    }
+    val info: Map[String, String] =
+      if (f.length <= 7 || f(7) == ".") Map.empty
+      else f(7).split(";").iterator.map { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) kv.substring(0, i) -> kv.substring(i + 1) else kv -> "true"
+      }.toMap
+    val format = if (f.length > 8) f(8).split(":").toSeq else Seq.empty
+
+    val isMulti = alts.length > 1
+    alts.zipWithIndex.map { case (alt, altIdx) =>
+      val variant = Variant(
+        referenceName = Some(chrom), start = Some(pos),
+        end = Some(pos + ref.length),
+        names = ids, splitFromMultiAllelic = Some(isMulti),
+        referenceAllele = Some(ref), alternateAllele = Some(alt),
+        quality = qual, filtersApplied = filtersApplied,
+        filtersPassed = filtersPassed, filtersFailed = filtersFailed,
+        annotation = info)
+
+      val genotypes = samples.zipWithIndex.flatMap { case (sample, si) =>
+        if (f.length <= 9 + si) None
+        else {
+          val vals = f(9 + si).split(":", -1).toSeq
+          val kv = format.zip(vals).toMap
+          val gtStr = kv.getOrElse("GT", "./.")
+          val phased = gtStr.contains('|')
+          val alleleIdx = gtStr.split("[/|]").toSeq
+          val alleles = alleleIdx.map {
+            case "." => "NO_CALL"
+            case "0" => "REF"
+            case a if a.toInt == altIdx + 1 => "ALT"
+            case _ => "OTHER_ALT"
+          }
+          def intField(k: String): Option[Int] =
+            kv.get(k).filter(v => v != "." && v.nonEmpty).map(_.toInt)
+          val ad = kv.get("AD").map(_.split(",").toSeq)
+          Some(Genotype(
+            referenceName = Some(chrom), start = Some(pos),
+            end = Some(pos + ref.length),
+            variant = Some(variant), sampleId = Some(sample),
+            alleles = alleles, phased = Some(phased),
+            genotypeQuality = intField("GQ"),
+            readDepth = intField("DP"),
+            referenceReadDepth = ad.flatMap(_.headOption)
+              .filter(_ != ".").map(_.toInt),
+            alternateReadDepth = ad.flatMap(_.lift(altIdx + 1))
+              .filter(_ != ".").map(_.toInt),
+            genotypeLikelihoods = kv.get("PL").toSeq
+              .flatMap(_.split(",").filter(_ != ".").map(_.toDouble)),
+            attributes = kv -- Seq("GT", "GQ", "DP", "AD", "PL")))
+        }
+      }
+      VariantContext(Some(chrom), Some(pos), Some(pos + ref.length),
+        Some(variant), genotypes)
+    }
+  }
+
+  case class VcfBundle(
+      contexts: Dataset[VariantContext],
+      meta: GenomicMetadata,
+      samples: Seq[String])
+
+  def read(spark: SparkSession, path: String): VcfBundle = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    val headerLines = lines.filter((l: String) => l.startsWith("#")).collect().toSeq
+    val samples = headerLines.find(_.startsWith("#CHROM")).toSeq
+      .flatMap(_.split("\t").drop(9))
+    val contigs = headerLines.filter(_.startsWith("##contig=")).zipWithIndex.map {
+      case (l, i) =>
+        val body = l.stripPrefix("##contig=<").stripSuffix(">")
+        val kv = body.split(",").iterator.map { p =>
+          val j = p.indexOf('=')
+          p.substring(0, j) -> p.substring(j + 1)
+        }.toMap
+        SequenceRecord(kv("ID"), kv.get("length").map(_.toLong).getOrElse(0L),
+          index = Some(i))
+    }
+    val meta = GenomicMetadata(
+      sequences = SequenceDictionary(contigs),
+      samples = samples.map(s => Sample(s)),
+      headerLines = headerLines.filter(_.startsWith("##")).map(HeaderLine))
+    val records = lines
+      .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
+      .flatMap(l => parseLine(l, samples))
+    VcfBundle(records, meta, samples)
+  }
+
+  def readVariants(spark: SparkSession, path: String): GenomicDataset[Variant] = {
+    import spark.implicits._
+    val b = read(spark, path)
+    GenomicDataset(b.contexts.flatMap(_.variant), b.meta)
+  }
+
+  def readGenotypes(spark: SparkSession, path: String): GenomicDataset[Genotype] = {
+    import spark.implicits._
+    val b = read(spark, path)
+    GenomicDataset(b.contexts.flatMap(_.genotypes), b.meta)
+  }
+
+  // ------------------------------- write -----------------------------------
+
+  private def fmtDouble(d: Double): String =
+    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** Serialize one VariantContext (one site, pre-grouped genotypes) to a
+    * VCF line (saveAsVcf, VariantContextDataset.scala:356-466). */
+  def toVcfLine(vc: VariantContext, samples: Seq[String]): String = {
+    val v = vc.variant.getOrElse(Variant())
+    val base = Seq(
+      vc.referenceName.getOrElse("."),
+      vc.start.map(s => (s + 1).toString).getOrElse("."),
+      if (v.names.isEmpty) "." else v.names.mkString(";"),
+      v.referenceAllele.getOrElse("."),
+      v.alternateAllele.getOrElse("."),
+      v.quality.map(fmtDouble).getOrElse("."),
+      (v.filtersApplied, v.filtersPassed) match {
+        case (Some(true), Some(true)) => "PASS"
+        case (Some(true), Some(false)) =>
+          if (v.filtersFailed.isEmpty) "FAIL" else v.filtersFailed.mkString(";")
+        case _ => "."
+      },
+      if (v.annotation.isEmpty) "."
+      else v.annotation.toSeq.sortBy(_._1)
+        .map { case (k, vv) => if (vv == "true") k else s"$k=$vv" }
+        .mkString(";"))
+    val bySample = vc.genotypes.flatMap(g => g.sampleId.map(_ -> g)).toMap
+    val gts = samples.map { s =>
+      bySample.get(s).map { g =>
+        val gtSep = if (g.phased.getOrElse(false)) "|" else "/"
+        val gt = g.alleles.map {
+          case "REF" => "0"
+          case "ALT" => "1"
+          case "NO_CALL" => "."
+          case _ => "2"
+        }.mkString(gtSep)
+        (Seq(gt) ++ g.genotypeQuality.map(_.toString) ++
+          g.readDepth.map(_.toString)).mkString(":")
+      }.getOrElse("./.")
+    }
+    if (samples.isEmpty) base.mkString("\t")
+    else (base ++ Seq("GT:GQ:DP") ++ gts).mkString("\t")
+  }
+
+  def write(
+      contexts: Dataset[VariantContext],
+      meta: GenomicMetadata,
+      samples: Seq[String],
+      path: String,
+      asSingleFile: Boolean = false): Unit = {
+    val spark = contexts.sparkSession
+    import spark.implicits._
+    val header =
+      (Seq("##fileformat=VCFv4.2") ++
+        meta.headerLines.map(_.raw).filterNot(_.startsWith("##fileformat")) ++
+        Seq((Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+          "INFO") ++ (if (samples.nonEmpty) "FORMAT" +: samples else Nil))
+          .mkString("\t"))).mkString("", "\n", "\n")
+    val body = s"$path.body"
+    contexts.map(vc => toVcfLine(vc, samples)).write.mode("overwrite").text(body)
+    if (asSingleFile)
+      FileMerger.mergeToSingleFile(spark, body, path, Some(header))
+    else {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$body/_header.vcf"), true)
+      out.write(header.getBytes("UTF-8"))
+      out.close()
+      fs.rename(new org.apache.hadoop.fs.Path(body),
+        new org.apache.hadoop.fs.Path(path))
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.model._
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions.col
+
+class GenomicDatasetSpec extends SparkSpec {
+
+  private implicit val featureEnc: org.apache.spark.sql.Encoder[Feature] =
+    Encoders.product[Feature]
+
+  private def features(n: Int): Seq[Feature] =
+    (0 until n).map { i =>
+      Feature(
+        featureId = Some(s"f$i"),
+        referenceName = Some("chr" + (i % 3 + 1)),
+        start = Some(i * 100L), end = Some(i * 100L + 50L),
+        score = Some(i.toDouble))
+    }
+
+  private val meta = GenomicMetadata(
+    sequences = SequenceDictionary(Seq(
+      SequenceRecord("chr1", 100000, index = Some(0)),
+      SequenceRecord("chr2", 100000, index = Some(1)),
+      SequenceRecord("chr3", 100000, index = Some(2)))),
+    samples = Seq(Sample("s1")),
+    processingSteps = Seq(ProcessingStep("step1", Some("graft"))))
+
+  test("parquet round-trip preserves records and sidecar metadata") {
+    val gd = GenomicDataset(spark.createDataset(features(30)), meta)
+    val path = tmpDir() + "/feat.parquet"
+    gd.saveAsParquet(path)
+    val loaded = GenomicDataset.loadParquet[Feature](spark, path)
+    assert(loaded.ds.collect().toSet == gd.ds.collect().toSet)
+    assert(loaded.meta.sequences.records.map(_.name) == Seq("chr1", "chr2", "chr3"))
+    assert(loaded.meta.samples.map(_.id) == Seq("s1"))
+    assert(loaded.meta.processingSteps.map(_.id) == Seq("step1"))
+  }
+
+  test("partitioned parquet: layout + flag + pruned region load") {
+    val gd = GenomicDataset(spark.createDataset(features(30)), meta)
+    val path = tmpDir() + "/part.parquet"
+    gd.saveAsPartitionedParquet(path, binSize = 1000L)
+    // layout has referenceName=…/positionBin=… directories
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("referenceName=")))
+    // full load
+    val all = GenomicDataset.loadPartitionedParquet[Feature](spark, path)
+    assert(all.ds.count() == 30)
+    // pruned load: only chr1 rows overlapping [0, 400)
+    val pruned = GenomicDataset.loadPartitionedParquet[Feature](
+      spark, path, regions = Seq(ReferenceRegion("chr1", 0, 400)))
+    val got = pruned.ds.collect().map(_.featureId.get).toSet
+    // chr1 features: f0 (0-50), f3 (300-350), f6 (600-650)...
+    assert(got == Set("f0", "f3"))
+  }
+
+  test("filterByOverlappingRegion pushes a plain predicate") {
+    val gd = GenomicDataset(spark.createDataset(features(30)), meta)
+    val hit = gd.filterByOverlappingRegion(ReferenceRegion("chr2", 100, 200))
+    assert(hit.ds.collect().map(_.featureId.get).toSet == Set("f1"))
+    val multi = gd.filterByOverlappingRegions(Seq(
+      ReferenceRegion("chr2", 100, 200), ReferenceRegion("chr3", 200, 300)))
+    assert(multi.ds.collect().map(_.featureId.get).toSet == Set("f1", "f2"))
+  }
+
+  test("sortLexicographically orders by (referenceName, start)") {
+    val gd = GenomicDataset(spark.createDataset(features(30)), meta)
+    val sorted = gd.sortLexicographically(numPartitions = 2)
+    val rows = sorted.ds.collect()
+    val keys = rows.map(f => (f.referenceName.get, f.start.get))
+    assert(keys.sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+      case _ => true
+    })
+  }
+
+  test("union merges data and metadata") {
+    val gd1 = GenomicDataset(spark.createDataset(features(5)), meta)
+    val extra = GenomicMetadata(
+      sequences = SequenceDictionary(Seq(SequenceRecord("chr9", 5000))),
+      samples = Seq(Sample("s2")))
+    val gd2 = GenomicDataset(spark.createDataset(features(5)
+      .map(f => f.copy(featureId = f.featureId.map(_ + "x")))), extra)
+    val u = gd1.union(gd2)
+    assert(u.ds.count() == 10)
+    assert(u.meta.sequences.records.map(_.name).contains("chr9"))
+    assert(u.meta.samples.map(_.id).toSet == Set("s1", "s2"))
+  }
+
+  test("shuffleRegionJoin wires through RegionJoins") {
+    val gd1 = GenomicDataset(spark.createDataset(features(10)), meta)
+    val gd2 = GenomicDataset(spark.createDataset(features(10)), meta)
+    val (joined, m) = gd1.shuffleRegionJoin(gd2)
+    // every feature overlaps exactly itself (disjoint intervals per contig)
+    assert(joined.count() == 10)
+    assert(joined.filter(col("l_featureId") === col("r_featureId")).count() == 10)
+    assert(m.sequences.records.length == 3)
+  }
+}

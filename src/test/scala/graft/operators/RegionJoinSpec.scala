@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The binned overlap join must be EXACTLY the naive theta-join, for every
+  * join type, bin size (incl. intervals longer than a bin) and flank
+  * (pattern of the reference's InnerShuffleRegionJoinSuite /
+  * OuterRegionJoinSuite; here checked against the naive Spark join). */
+class RegionJoinSpec extends SparkSpec {
+
+  private def randomIntervals(n: Int, seed: Long, maxLen: Long): DataFrame = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    (0 until n).map { i =>
+      val ref = "chr" + (rnd.nextInt(3) + 1)
+      val start = rnd.nextLong(5000L)
+      (ref, start, start + 1 + rnd.nextLong(maxLen), i.toLong)
+    }.toDF("referenceName", "start", "end", "id")
+  }
+
+  private def naive(l: DataFrame, r: DataFrame, joinType: String, flank: Long): Set[(Option[Long], Option[Long])] = {
+    val lr = l.select(col("referenceName").as("lref"), col("start").as("ls"),
+      col("end").as("le"), col("id").as("lid"))
+    val rr = r.select(col("referenceName").as("rref"), col("start").as("rs"),
+      col("end").as("re"), col("id").as("rid"))
+    lr.join(rr,
+        col("lref") === col("rref") &&
+          col("ls") < col("re") + flank && col("rs") < col("le") + flank,
+        joinType)
+      .select("lid", "rid").collect()
+      .map(row => (Option(row.get(0)).map(_.asInstanceOf[Long]),
+        Option(row.get(1)).map(_.asInstanceOf[Long]))).toSet
+  }
+
+  private def binnedResult(l: DataFrame, r: DataFrame, joinType: String,
+      binSize: Long, flank: Long): Set[(Option[Long], Option[Long])] =
+    RegionJoins.overlapJoin(l, r, joinType, binSize, flank)
+      .select("l_id", "r_id").collect()
+      .map(row => (Option(row.get(0)).map(_.asInstanceOf[Long]),
+        Option(row.get(1)).map(_.asInstanceOf[Long]))).toSet
+
+  for (joinType <- Seq("inner", "left_outer", "right_outer", "full_outer");
+       binSize <- Seq(100L, 1000L)) {
+    test(s"binned $joinType (bin=$binSize) == naive join") {
+      // maxLen 400 > binSize 100: intervals span multiple bins
+      val l = randomIntervals(300, seed = 1, maxLen = 400)
+      val r = randomIntervals(200, seed = 2, maxLen = 150)
+      assert(binnedResult(l, r, joinType, binSize, 0L) ==
+        naive(l, r, joinType, 0L))
+    }
+  }
+
+  test("flanked inner join == naive with tolerance") {
+    val l = randomIntervals(200, seed = 3, maxLen = 100)
+    val r = randomIntervals(200, seed = 4, maxLen = 100)
+    for (flank <- Seq(1L, 50L, 500L)) {
+      assert(binnedResult(l, r, "inner", 1000L, flank) ==
+        naive(l, r, "inner", flank), s"flank=$flank")
+    }
+  }
+
+  test("groupByLeft matches per-left overlap sets") {
+    val l = randomIntervals(100, seed = 5, maxLen = 200)
+    val r = randomIntervals(100, seed = 6, maxLen = 200)
+    val grouped = RegionJoins.overlapJoinGroupByLeft(
+        l, r, rightStructCols = Seq("id"), outer = true, binSize = 500L)
+      .select(col("id"), expr("transform(overlaps, x -> x.id)").as("rids"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[Long](1).toSet).toMap
+    val expected = naive(l, r, "left_outer", 0L)
+      .groupBy(_._1.get)
+      .view.mapValues(_.flatMap(_._2).toSet).toMap
+    assert(grouped.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(grouped(k) == v, s"left id $k") }
+  }
+
+  test("empty sides behave") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long, Long)]
+      .toDF("referenceName", "start", "end", "id")
+    val l = randomIntervals(10, seed = 7, maxLen = 10)
+    assert(binnedResult(l, empty, "inner", 1000L, 0L).isEmpty)
+    assert(binnedResult(l, empty, "left_outer", 1000L, 0L).size == 10)
+    assert(binnedResult(empty, l, "right_outer", 1000L, 0L).size == 10)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class SimilarityOpsSpec extends SparkSpec {
+
+  private def vecs(n: Int, dim: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+  }
+
+  test("cosine of identical vector is 1; orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f)))
+      .toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(math.abs(cs(0) - 1.0) < 1e-12)
+    assert(math.abs(cs(1)) < 1e-12)
+    assert(math.abs(cs(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns true top-k") {
+    val corpus = vecs(100, 8, seed = 1)
+    val queries = vecs(3, 8, seed = 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = SimilarityOps.bruteForceTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    // manual ground truth
+    val cRows = corpus.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qRows = queries.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    qRows.foreach { case (qid, qv) =>
+      val expect = cRows.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(mine == expect, s"query $qid")
+    }
+  }
+
+  test("lshTopK rank-1 self-match and decent recall vs brute force") {
+    val corpus = vecs(200, 16, seed = 3)
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val brute = SimilarityOps.bruteForceTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilarityOps.lshTopK(queries, corpus, 5, numBits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // self-vector always lands in the same buckets -> rank 1 = self
+    for (q <- 0L until 5L)
+      assert(lsh.exists(t => t._1 == q && t._2 == 1 && t._3 == q), s"self $q")
+    val lshSet = lsh.map(t => (t._1, t._3)).toSet
+    val recall = (brute intersect lshSet).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenCount handles whitespace edge cases") {
+    import spark.implicits._
+    val df = Seq("a b c", "  a   b  ", "", "   ", "one").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 2, 0, 0, 1))
+  }
+
+  test("langId picks dominant stopword language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is on the mat of doom"),
+      (2L, "der Hund und die Katze ist der beste"),
+      (3L, "le chat et la tortue est sur le tapis"),
+      (4L, "xyzzy qwerty asdf"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en"); assert(m(2L) == "de")
+    assert(m(3L) == "fr"); assert(m(4L) == "und")
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
+      .toDF("text").select(TextOps.fingerprint(col("text")).as("fp"))
+    assert(df.collect().map(_.getString(0)).distinct.length == 1)
+  }
+
+  test("exactDuplicates finds normalized groups") {
+    val d = docs(
+      (1L, "same text here"), (2L, "Same  TEXT here"), (3L, "unique one"),
+      (4L, "same text here"))
+    val groups = DedupOps.exactDuplicates(d, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("canonical_id") == 1L)
+    assert(groups.head.getAs[Long]("group_size") == 3L)
+  }
+
+  test("minhash: identical docs -> est 1.0; disjoint docs -> no pair") {
+    val text1 = (1 to 30).map(i => s"word$i").mkString(" ")
+    val text2 = (31 to 60).map(i => s"word$i").mkString(" ")
+    val d = docs((1L, text1), (2L, text1), (3L, text2))
+    val pairs = DedupOps.minhashNearDuplicates(
+      d, "doc_id", "text", numHashes = 64, shingleN = 3, bands = 16,
+      threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L)
+    assert(pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    // 80 shared + 20 distinct shingle-words each side
+    val shared = (1 to 80).map(i => s"w$i")
+    val a = (shared ++ (1 to 20).map(i => s"a$i")).mkString(" ")
+    val b = (shared ++ (1 to 20).map(i => s"b$i")).mkString(" ")
+    val d = docs((1L, a), (2L, b))
+    val pairs = DedupOps.minhashNearDuplicates(
+      d, "doc_id", "text", numHashes = 128, shingleN = 1, bands = 32,
+      threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    val est = pairs.head.getAs[Double]("est_jaccard")
+    val trueJ = 80.0 / 120.0
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L, t), (2L, t), (3L, "completely different content words entirely distinct"))
+    val pairs = DedupOps.simhashNearDuplicates(d, "doc_id", "text", maxDist = 2)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("ngramJaccard exact on known sets") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d"), (2L, "a b c e"))
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = DedupOps.ngramJaccard(d, cand, "doc_id", "text", shingleN = 1)
+      .collect().head.getAs[Double]("jaccard")
+    assert(j == 3.0 / 5.0) // {a,b,c} shared of {a,b,c,d,e}
+  }
+}
