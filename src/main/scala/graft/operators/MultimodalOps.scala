@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column operators for training-data
+  * pipelines (SURVEY.md §7 step 10). Media payloads are opaque `binary`
+  * columns with a typed metadata struct; decode/feature-extraction runs
+  * per-partition in bounded batches.
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries): [[StubDecoder]] produces a deterministic fake decode from
+  * the byte content. Everything around it — schema, batch shape,
+  * partitioning, the operator plumbing — is real and tested; swapping the
+  * stub for a real codec is a one-function change.
+  */
+object MultimodalOps {
+
+  /** Typed metadata carried with each media payload. */
+  val mediaMetaSchema: StructType = new StructType()
+    .add("mediaType", StringType)   // image/png, audio/wav, ...
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("sampleRateHz", IntegerType)
+    .add("durationMs", LongType)
+
+  val mediaSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("payload", BinaryType)
+    .add("meta", mediaMetaSchema)
+
+  /** Deterministic fake decode: "pixels" derived from payload bytes. Stands
+    * in for a real image decoder; deterministic so tests can assert. */
+  object StubDecoder {
+    def decodeGray8(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+      val out = new Array[Float](w * h)
+      var i = 0
+      while (i < out.length) {
+        val b = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+        out(i) = b / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Wrap raw payload rows into the standard media schema. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String, width: Int, height: Int): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(mediaType).as("mediaType"),
+        lit(width).as("width"), lit(height).as("height"),
+        lit(null).cast("int").as("sampleRateHz"),
+        lit(null).cast("long").as("durationMs")).as("meta"))
+
+  private case class FeatureRow(
+      media_id: Long, mean_intensity: Double, histogram: Array[Long])
+
+  /** Decode + feature-extract, batched per partition (the Scala analog of a
+    * `mapInPandas` batch UDF: one partition = a bounded iterator of rows,
+    * codec state amortized across the batch). Output: per-media mean
+    * intensity + 16-bin histogram. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    implicit val enc: org.apache.spark.sql.Encoder[FeatureRow] =
+      Encoders.product[FeatureRow]
+    val ds = media.select("media_id", "payload", "meta.width", "meta.height")
+      .mapPartitions { rows: Iterator[Row] =>
+        // per-partition "codec" init happens here, once per batch
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val w = Option(r.get(2)).map(_.asInstanceOf[Int]).getOrElse(8)
+          val h = Option(r.get(3)).map(_.asInstanceOf[Int]).getOrElse(8)
+          val px = StubDecoder.decodeGray8(payload, w, h)
+          val hist = new Array[Long](16)
+          var s = 0.0
+          px.foreach { p =>
+            s += p
+            hist(math.min(15, (p * 16).toInt)) += 1
+          }
+          FeatureRow(id, if (px.isEmpty) 0.0 else s / px.length, hist)
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** Thumbnail/resize stub: nearest-neighbor down-sample of the fake decode,
+    * re-encoded as binary — demonstrates payload→payload transforms keeping
+    * the media schema. */
+  def resize(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = mediaSchema
+    val rddOut = media.select("media_id", "payload", "meta").rdd
+      .map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val meta = r.getStruct(2)
+        val w = Option(meta.get(1)).map(_.asInstanceOf[Int]).getOrElse(8)
+        val h = Option(meta.get(2)).map(_.asInstanceOf[Int]).getOrElse(8)
+        val px = StubDecoder.decodeGray8(payload, w, h)
+        val out = new Array[Byte](newW * newH)
+        var y = 0
+        while (y < newH) {
+          var x = 0
+          while (x < newW) {
+            val sx = x * w / newW; val sy = y * h / newH
+            out(y * newW + x) = (px(sy * w + sx) * 255).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, out, Row(meta.getString(0), newW, newH, null, null))
+      }
+    spark.createDataFrame(rddOut, outSchema)
+  }
+
+  /** Frame sampling for video-like payloads: split a payload into `n`
+    * deterministic chunks ("frames") — the partition/batch plumbing of a
+    * frame sampler with the codec stubbed. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.select(col("media_id"),
+      posexplode(split_part_bytes(col("payload"), n)).as(Seq("frame_idx", "frame")))
+
+  /** Helper: split a binary column into n roughly equal slices. */
+  private def split_part_bytes(payload: org.apache.spark.sql.Column, n: Int) = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) Seq.empty[Array[Byte]]
+      else {
+        val size = math.max(1, bytes.length / n)
+        (0 until n).map { i =>
+          val from = math.min(bytes.length, i * size)
+          val to = if (i == n - 1) bytes.length else math.min(bytes.length, (i + 1) * size)
+          java.util.Arrays.copyOfRange(bytes, from, to)
+        }.filter(_.nonEmpty)
+      }
+    }
+    f(payload)
+  }
+}

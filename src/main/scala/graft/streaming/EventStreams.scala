@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10: absent in the reference —
+  * green-field extension §7 step 10). The batch twins live in
+  * [[graft.operators.Sessionize]] / the q14/q15 queries; these are the
+  * `readStream` → watermark → window/state → `writeStream` versions.
+  *
+  * Scale notes: watermark bounds state; tumbling/sliding windows are
+  * partial-aggregated before the shuffle; session state is per-key and
+  * evicted on timeout — no unbounded driver or executor growth.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation with a watermark:
+    * count + sum(value) per (window, event_type). */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Gap-based session windows via the built-in session_window — the
+    * streaming twin of Sessionize.sessions (and of the reference's batch
+    * CoverageDataset.collapse run-length pattern, CoverageDataset.scala:300). */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ------------------- custom state: per-user running stats ---------------
+
+  case class UserEvent(user_id: Long, tsMillis: Long, value: Double)
+  case class UserState(nEvents: Long, sumValue: Double, lastTsMillis: Long)
+  case class UserUpdate(user_id: Long, nEvents: Long, sumValue: Double)
+
+  /** flatMapGroupsWithState example operator: running per-user totals —
+    * the KeyValueGroupedDataset custom-state capability (SURVEY.md §7
+    * streaming bullet). Pass `evictAfter=Some(duration)` to bound state via
+    * processing-time timeout in production streams. */
+  def runningUserTotals(
+      events: Dataset[UserEvent],
+      evictAfter: Option[String] = None): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserUpdate(userId, s.nEvents, s.sumValue))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+            val evs = batch.toSeq
+            val next = UserState(
+              prev.nEvents + evs.length,
+              prev.sumValue + evs.map(_.value).sum,
+              math.max(prev.lastTsMillis, if (evs.isEmpty) 0L else evs.map(_.tsMillis).max))
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator(UserUpdate(userId, next.nEvents, next.sumValue))
+          }
+      }
+  }
+}
