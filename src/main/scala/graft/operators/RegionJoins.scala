@@ -105,16 +105,13 @@ object RegionJoins {
         l.join(r, cond, "inner").drop("__bin", "__binR")
       case "left_outer" =>
         // Outer joins cannot ride the exploded copies directly (a left row
-        // appears once per bin); join inner first, then re-attach misses.
+        // appears once per bin): inner join once, then re-attach miss rows
+        // found via a cheap distinct-coordinate SEMI join (matching is a
+        // function of coordinates only, so coords classify rows exactly;
+        // this avoids recomputing the full inner join for the anti side).
         val inner = l.join(r, cond, "inner").drop("__bin", "__binR")
-        val leftP = prefixed(left, "l_")
-        val misses = leftP.join(
-          inner.select(col("l_referenceName").as("mrn"), col("l_start").as("ms"),
-            col("l_end").as("me")).distinct(),
-          col("l_referenceName") === col("mrn") && col("l_start") === col("ms") &&
-            col("l_end") === col("me"),
-          "left_anti")
-        inner.unionByName(misses, allowMissingColumns = true)
+        val misses = leftMisses(left, right, binSize, flank)
+        inner.unionByName(prefixed(misses, "l_"), allowMissingColumns = true)
       case "right_outer" =>
         val swapped = overlapJoin(right, left, "left_outer", binSize, flank)
         swapped.select(swapped.columns.map { c =>
@@ -126,25 +123,37 @@ object RegionJoins {
         }.toSeq: _*)
       case "full_outer" =>
         val inner = l.join(r, cond, "inner").drop("__bin", "__binR")
-        val leftP = prefixed(left, "l_")
-        val rightP = prefixed(right, "r_")
-        val lMiss = leftP.join(
-          inner.select(col("l_referenceName").as("mrn"), col("l_start").as("ms"),
-            col("l_end").as("me")).distinct(),
-          col("l_referenceName") === col("mrn") && col("l_start") === col("ms") &&
-            col("l_end") === col("me"),
-          "left_anti")
-        val rMiss = rightP.join(
-          inner.select(col("r_referenceName").as("mrn"), col("r_start").as("ms"),
-            col("r_end").as("me")).distinct(),
-          col("r_referenceName") === col("mrn") && col("r_start") === col("ms") &&
-            col("r_end") === col("me"),
-          "left_anti")
+        val lMiss = leftMisses(left, right, binSize, flank)
+        val rMiss = leftMisses(right, left, binSize, flank)
         inner
-          .unionByName(lMiss, allowMissingColumns = true)
-          .unionByName(rMiss, allowMissingColumns = true)
+          .unionByName(prefixed(lMiss, "l_"), allowMissingColumns = true)
+          .unionByName(prefixed(rMiss, "r_"), allowMissingColumns = true)
       case other => throw new IllegalArgumentException(s"joinType $other")
     }
+  }
+
+  /** Left rows with NO overlap match: distinct left coordinates that fail a
+    * binned SEMI join against the right, joined back to the left rows.
+    * Cost: one semi join over distinct coords (no pair blow-up, no dedup
+    * predicate needed — existence only) + one equi join. */
+  private def leftMisses(
+      left: DataFrame, right: DataFrame, binSize: Long, flank: Long): DataFrame = {
+    val coords = left.select("referenceName", "start", "end").distinct()
+    val cb = flankedBin(coords, binSize, flank)
+      .withColumnRenamed("referenceName", "crn")
+      .withColumnRenamed("start", "cs").withColumnRenamed("end", "ce")
+    val rb = binned(right, binSize)
+      .select(col("referenceName").as("rrn"), col("start").as("rs"),
+        col("end").as("re"), col("__bin").as("__binR"))
+    val matchedCoords = cb.join(rb,
+        col("__bin") === col("__binR") && col("crn") === col("rrn") &&
+          col("cs") < col("re") + flank && col("rs") < col("ce") + flank,
+        "left_semi")
+      .select(col("crn"), col("cs"), col("ce")).distinct()
+    left.join(matchedCoords,
+      col("referenceName") === col("crn") && col("start") === col("cs") &&
+        col("end") === col("ce"),
+      "left_anti")
   }
 
   /** Inner overlap join keeping a key column from each side — the cheap flat
@@ -159,6 +168,29 @@ object RegionJoins {
       flank: Long = 0L): DataFrame =
     overlapJoin(left, right, "inner", binSize, flank)
       .select(col("l_" + leftKey).as(leftKey), col("r_" + rightKey).as(rightKey))
+
+  /** Count of overlapping right rows per left row (zero kept) — the common
+    * "how many reads per feature" aggregation. Cheaper than a left-outer
+    * join + count: one binned inner join pre-aggregated by left coords,
+    * then a (broadcast-able) equi join back onto the left — match-less left
+    * rows take count 0, no miss-detection pass at all. */
+  def overlapCounts(
+      left: DataFrame,
+      right: DataFrame,
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame = {
+    val inner = overlapJoin(left, right, "inner", binSize, flank)
+    val counts = inner.groupBy(
+        col("l_referenceName").as("crn"), col("l_start").as("cs"),
+        col("l_end").as("ce"))
+      .agg(count(lit(1)).as("__n"))
+    left.join(counts,
+        col("referenceName") === col("crn") && col("start") === col("cs") &&
+          col("end") === col("ce"),
+        "left_outer")
+      .withColumn("n_overlaps", coalesce(col("__n"), lit(0L)))
+      .drop("crn", "cs", "ce", "__n")
+  }
 
   /** GroupByLeft family (reference shuffleRegionJoinAndGroupByLeft,
     * GenomicDataset.scala:2592-2754): each left row with the collected

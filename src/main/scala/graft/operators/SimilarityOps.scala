@@ -101,12 +101,15 @@ object SimilarityOps {
 
     val qb = banded(broadcast(queries), qid, "qsig")
     val cb = banded(corpus, id, "csig")
+    // Compute cosine at the band-match site (both vectors in hand), THEN
+    // dedup multi-band hits on the narrow (qid, id, cosine) rows — never
+    // shuffles the vectors themselves.
     val candidates = cb.join(qb, Seq("band", "bandVal"))
-      .select(col(qid), col(qvec), col(id), col(vec)).distinct()
+      .select(col(qid), col(id), cosine(col(qvec), col(vec)).as("cosine"))
+      .groupBy(col(qid), col(id)).agg(max(col("cosine")).as("cosine"))
 
     val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)
     candidates
-      .withColumn("cosine", cosine(col(qvec), col(vec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qid), col("rank"), col(id), col("cosine"))

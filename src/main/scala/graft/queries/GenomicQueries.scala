@@ -72,7 +72,7 @@ object GenomicQueries extends QuerySet {
     // oracle (shuffleRegionJoin, GenomicDataset.scala:1798).
     Query("q16_region_join_inner",
       (s, dir) => RegionJoins.overlapPairs(
-        ivReads(s, dir), ivFeatures(s, dir), "id", "id", binSize = 1000)
+        ivReads(s, dir), ivFeatures(s, dir), "id", "id", binSize = 100)
         .toDF("read_id", "feature_id"),
       Some(s"""WITH reads AS ($ivReadsSql), features AS ($ivFeaturesSql)
         SELECT a.id AS read_id, b.id AS feature_id
@@ -83,12 +83,9 @@ object GenomicQueries extends QuerySet {
     // Left-outer grouped: per feature, how many reads overlap (zero kept) —
     // the AndGroupByLeft family (GenomicDataset.scala:2272-2435).
     Query("q17_region_join_outer_counts",
-      (s, dir) => {
-        val j = RegionJoins.overlapJoin(
-          ivFeatures(s, dir), ivReads(s, dir), "left_outer", binSize = 1000)
-        j.groupBy(col("l_id").as("feature_id"))
-          .agg(sum(when(col("r_id").isNotNull, 1L).otherwise(0L)).as("n_reads"))
-      },
+      (s, dir) => RegionJoins.overlapCounts(
+          ivFeatures(s, dir), ivReads(s, dir), binSize = 100)
+        .select(col("id").as("feature_id"), col("n_overlaps").as("n_reads")),
       Some(s"""WITH reads AS ($ivReadsSql), features AS ($ivFeaturesSql)
         SELECT b.id AS feature_id,
           CAST(sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_reads
@@ -102,7 +99,7 @@ object GenomicQueries extends QuerySet {
     Query("q18_region_join_flanked",
       (s, dir) => RegionJoins.overlapJoin(
         ivTargets(s, dir), ivFeatures(s, dir), "inner",
-        binSize = 1000, flank = 100)
+        binSize = 500, flank = 100)
         .select(col("l_id").as("target_id"), col("r_id").as("feature_id")),
       Some(s"""WITH targets AS ($ivTargetsSql), features AS ($ivFeaturesSql)
         SELECT a.id AS target_id, b.id AS feature_id

@@ -78,6 +78,18 @@ class RegionJoinSpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(grouped(k) == v, s"left id $k") }
   }
 
+  test("overlapCounts matches naive left-outer counting") {
+    val l = randomIntervals(150, seed = 8, maxLen = 300)
+    val r = randomIntervals(150, seed = 9, maxLen = 100)
+    val got = RegionJoins.overlapCounts(l, r, binSize = 100L)
+      .select("id", "n_overlaps").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val expected = naive(l, r, "left_outer", 0L)
+      .groupBy(_._1.get)
+      .view.mapValues(_.count(_._2.isDefined).toLong).toMap
+    assert(got == expected)
+  }
+
   test("empty sides behave") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long, Long, Long)]
