@@ -1,0 +1,163 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Alignment
+import graft.functions.GenomicFunctions
+
+/** Base Quality Score Recalibration (SURVEY.md §2.5; reference
+  * ds/read/recalibration/BaseQualityRecalibration.scala:58-120,
+  * RecalibrationTable.scala, Recalibrator.scala; covariates
+  * CovariateSpace/CycleCovariate/DinucCovariate).
+  *
+  * Pass 1 (observe): per base, a covariate key (readGroup, reported
+  * quality, cycle, dinucleotide) + whether the base mismatches the
+  * reference (bases at known-variant sites are masked out). Aggregated to
+  * (observations, mismatches) per key — a plain groupBy/agg; the reference
+  * uses `reduceByKeyLocally` and collects to the driver, and so do we, but
+  * through a bounded AGGREGATED table (|readGroups| × |quals| × |cycles| ×
+  * 16 keys, not per-base data) — the reference's own scaling bottleneck is
+  * this broadcast (docs/benchmarks/algorithms.rst:17-23).
+  *
+  * Pass 2 (recalibrate): empirical quality per key via the standard
+  * phred-space Bayesian estimate, rewritten into the quality string.
+  */
+object Bqsr {
+
+  /** One observation cell: covariate key -> counts. */
+  case class Observation(
+      readGroupId: String,
+      reportedQuality: Int,
+      cycle: Int,
+      dinuc: String,
+      observations: Long,
+      mismatches: Long)
+
+  private implicit val obsEnc: org.apache.spark.sql.Encoder[Observation] =
+    Encoders.product[Observation]
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  private val MinQuality = 6 // reference skips very-low-quality bases
+
+  /** Per-base covariates of one read (CycleCovariate.scala /
+    * DinucCovariate.scala semantics: cycle counts from the 5' end,
+    * dinucleotide is (previous base, base) on the sequenced strand). */
+  def observeRead(
+      r: Alignment,
+      isKnownSite: (String, Long) => Boolean): Iterator[Observation] = {
+    val seq = r.sequence.getOrElse("")
+    val quals = r.qualityScores.getOrElse("")
+    val md = r.mismatchingPositions
+    if (!r.readMapped.getOrElse(false) || seq.isEmpty || quals.isEmpty ||
+      md.isEmpty || r.cigar.isEmpty) return Iterator.empty
+
+    // reference-space mismatch offsets from the MD tag
+    val mismatchOffsets = GenomicFunctions.mdMismatchOffsets(md.get).toSet
+    val refName = r.referenceName.getOrElse("")
+    val start = r.start.getOrElse(0L)
+    val neg = r.readNegativeStrand.getOrElse(false)
+    val rg = r.readGroupId.getOrElse("")
+
+    // walk CIGAR: map read offset -> reference offset for M/=/X bases
+    val out = Iterator.newBuilder[Observation]
+    var readPos = 0
+    var refOff = 0L
+    graft.model.Cigar.parse(r.cigar.get).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' =>
+          var k = 0
+          while (k < e.length) {
+            val q = quals.charAt(readPos) - 33
+            val refPos = start + refOff
+            if (q >= MinQuality && !isKnownSite(refName, refPos)) {
+              val cycle = if (neg) seq.length - 1 - readPos else readPos
+              val dinuc =
+                if (readPos == 0) "NN"
+                else s"${Character.toUpperCase(seq.charAt(readPos - 1))}${Character.toUpperCase(seq.charAt(readPos))}"
+              val mismatch = mismatchOffsets.contains(refOff)
+              out += Observation(rg, q, cycle, dinuc, 1L,
+                if (mismatch) 1L else 0L)
+            }
+            readPos += 1; refOff += 1; k += 1
+          }
+        case 'I' | 'S' => readPos += e.length
+        case 'D' | 'N' => refOff += e.length
+        case _ =>
+      }
+    }
+    out.result()
+  }
+
+  /** Pass 1: distributed observation + aggregation; the table collects to
+    * the driver (bounded: covariate-space-sized). */
+  def observationTable(
+      reads: Dataset[Alignment],
+      isKnownSite: (String, Long) => Boolean): Map[(String, Int, Int, String), (Long, Long)] = {
+    val fn = isKnownSite
+    reads.flatMap(r => observeRead(r, fn))
+      .groupBy("readGroupId", "reportedQuality", "cycle", "dinuc")
+      .agg(sum("observations").as("observations"), sum("mismatches").as("mismatches"))
+      .collect()
+      .map { row =>
+        (row.getString(0), row.getInt(1), row.getInt(2), row.getString(3)) ->
+          (row.getLong(4), row.getLong(5))
+      }.toMap
+  }
+
+  /** Empirical quality with the standard +1/+2 smoothing
+    * (RecalibrationTable semantics). */
+  def empiricalQuality(observations: Long, mismatches: Long): Int = {
+    val p = (mismatches + 1.0) / (observations + 2.0)
+    math.min(50, math.round(-10.0 * math.log10(p)).toInt)
+  }
+
+  /** Pass 2: rewrite quality strings via the broadcast table. Bases with no
+    * table entry keep their reported quality. */
+  def recalibrate(
+      reads: Dataset[Alignment],
+      table: Map[(String, Int, Int, String), (Long, Long)]): Dataset[Alignment] = {
+    val spark = reads.sparkSession
+    val tableB = spark.sparkContext.broadcast(table)
+    reads.map { r =>
+      val seq = r.sequence.getOrElse("")
+      val quals = r.qualityScores.getOrElse("")
+      if (!r.readMapped.getOrElse(false) || quals.isEmpty || seq.isEmpty) r
+      else {
+        val neg = r.readNegativeStrand.getOrElse(false)
+        val rg = r.readGroupId.getOrElse("")
+        val t = tableB.value
+        val sb = new StringBuilder(quals.length)
+        var i = 0
+        while (i < quals.length) {
+          val q = quals.charAt(i) - 33
+          val cycle = if (neg) seq.length - 1 - i else i
+          val dinuc =
+            if (i == 0) "NN"
+            else s"${Character.toUpperCase(seq.charAt(i - 1))}${Character.toUpperCase(seq.charAt(i))}"
+          val newQ = t.get((rg, q, cycle, dinuc)) match {
+            case Some((obs, mm)) => empiricalQuality(obs, mm)
+            case None => q
+          }
+          sb.append((math.max(2, newQ) + 33).toChar)
+          i += 1
+        }
+        r.copy(qualityScores = Some(sb.toString))
+      }
+    }
+  }
+
+  /** Full pipeline: observe (masking known sites) then recalibrate
+    * (recalibrateBaseQualities, AlignmentDataset.scala:1089-1163). The
+    * known-sites mask is the SnpTable analog (models/SnpTable.scala):
+    * a broadcast set of (referenceName, position). */
+  def apply(
+      reads: Dataset[Alignment],
+      knownSites: Set[(String, Long)]): Dataset[Alignment] = {
+    val spark = reads.sparkSession
+    val maskB = spark.sparkContext.broadcast(knownSites)
+    val isKnown = (ref: String, pos: Long) => maskB.value.contains((ref, pos))
+    val table = observationTable(reads, isKnown)
+    recalibrate(reads, table)
+  }
+}

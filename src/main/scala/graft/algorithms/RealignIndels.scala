@@ -1,0 +1,305 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.ReferenceContigs
+import graft.model.{Alignment, Cigar, ReferenceRegion}
+
+/** Local indel realignment (SURVEY.md §2.5; reference
+  * ds/read/realignment/RealignIndels.scala + RealignmentTargetFinder.scala
+  * + algorithms/consensus/ConsensusGenerator*.scala):
+  *
+  *  1. target discovery: reference spans of indel evidence (I/D CIGAR
+  *     elements), merged when within `maxTargetGap` — a distributed
+  *     gaps-and-islands merge (window formulation; the reference does a
+  *     sorted fold, RealignmentTargetFinder.scala:126);
+  *  2. read→target assignment via the binned overlap join (the reference
+  *     uses binary search against a collected target array,
+  *     RealignIndels.mapToTarget:80-130 — ours stays distributed);
+  *  3. per-target realignment in `flatMapGroups`: candidate consensuses
+  *     from observed indels, each read re-scored against each consensus
+  *     (sum of phred qualities at mismatching bases, the reference's
+  *     scoring), best consensus applied when it beats the original by the
+  *     LOD threshold.
+  *
+  * Reads outside every target pass through untouched.
+  */
+object RealignIndels {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  /** An indel consensus: reference span [start,end) replaced by `alt`
+    * (empty alt = deletion; end==start with nonempty alt = insertion). */
+  case class Consensus(start: Long, end: Long, alt: String)
+
+  // ------------------------- target discovery -----------------------------
+
+  /** Reference spans of indel evidence, merged within maxTargetGap.
+    * Output columns: referenceName, start, end, targetId. */
+  def findTargets(reads: Dataset[Alignment], maxTargetGap: Long = 100L): DataFrame = {
+    import reads.sparkSession.implicits._
+    val spans = reads.flatMap { r =>
+      if (!r.readMapped.getOrElse(false) || r.cigar.isEmpty) Iterator.empty
+      else {
+        val ref = r.referenceName.getOrElse("")
+        var refPos = r.start.getOrElse(0L)
+        Cigar.parse(r.cigar.get).iterator.flatMap { e =>
+          e.op match {
+            case 'M' | '=' | 'X' => refPos += e.length; Iterator.empty
+            case 'D' | 'N' =>
+              val s = refPos; refPos += e.length
+              if (e.op == 'D') Iterator((ref, s, refPos)) else Iterator.empty
+            case 'I' =>
+              Iterator((ref, refPos, refPos + 1))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }.toDF("referenceName", "start", "end").distinct()
+
+    // merge spans within gap: gaps-and-islands over a per-contig window
+    val w = Window.partitionBy("referenceName").orderBy("start", "end")
+    spans
+      .withColumn("__maxEnd",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__newGrp",
+        when(col("__maxEnd").isNull ||
+          col("start") > col("__maxEnd") + maxTargetGap, 1).otherwise(0))
+      .withColumn("__grp", sum("__newGrp")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("referenceName", "__grp")
+      .agg(min("start").as("start"), max("end").as("end"))
+      .select(col("referenceName"), col("start"), col("end"),
+        concat(col("referenceName"), lit(":"), col("start")).as("targetId"))
+  }
+
+  // --------------------------- realignment --------------------------------
+
+  private def indelOf(r: Alignment): Option[Consensus] = {
+    var refPos = r.start.getOrElse(0L)
+    var readPos = 0
+    val seq = r.sequence.getOrElse("")
+    var found: Option[Consensus] = None
+    Cigar.parse(r.cigar.getOrElse("")).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' => refPos += e.length; readPos += e.length
+        case 'D' =>
+          if (found.isEmpty) found = Some(Consensus(refPos, refPos + e.length, ""))
+          refPos += e.length
+        case 'I' =>
+          if (found.isEmpty && seq.length >= readPos + e.length)
+            found = Some(Consensus(refPos, refPos,
+              seq.substring(readPos, readPos + e.length)))
+          readPos += e.length
+        case 'S' => readPos += e.length
+        case _ =>
+      }
+    }
+    found
+  }
+
+  /** Quality-weighted mismatch score of `seq` placed at `offset` within
+    * `hap` (lower is better; the reference's sumMismatchQuality). */
+  private def mismatchScore(seq: String, quals: String, hap: String, offset: Int): Long = {
+    if (offset < 0 || offset + seq.length > hap.length) return Long.MaxValue
+    var s = 0L
+    var i = 0
+    while (i < seq.length) {
+      if (Character.toUpperCase(seq.charAt(i)) !=
+        Character.toUpperCase(hap.charAt(offset + i)))
+        s += (if (i < quals.length) quals.charAt(i) - 33 else 30)
+      i += 1
+    }
+    s
+  }
+
+  /** Best placement of a read in a haplotype near its original offset. */
+  private def bestOffset(seq: String, quals: String, hap: String,
+      around: Int, slack: Int): (Int, Long) = {
+    var best = Long.MaxValue; var bi = around
+    var d = -slack
+    while (d <= slack) {
+      val s = mismatchScore(seq, quals, hap, around + d)
+      if (s < best) { best = s; bi = around + d }
+      d += 1
+    }
+    (bi, best)
+  }
+
+  def realignTargetGroup(
+      reads: Seq[Alignment],
+      target: ReferenceRegion,
+      refWindow: String,
+      windowStart: Long,
+      lodThreshold: Double = 5.0): Seq[Alignment] = {
+
+    // candidate consensuses from the indels the reads carry
+    val consensuses = reads.flatMap(indelOf).distinct
+    if (consensuses.isEmpty) return reads
+
+    // score all reads against the reference window as-is
+    def readScore(r: Alignment, hap: String, posShift: Long): Long = {
+      val off = (r.start.getOrElse(0L) - windowStart + posShift).toInt
+      mismatchScore(r.sequence.getOrElse(""), r.qualityScores.getOrElse(""),
+        hap, off)
+    }
+    val origTotal = reads.map(readScore(_, refWindow, 0L)).filter(_ != Long.MaxValue).sum
+
+    // try each consensus haplotype
+    val scored = consensuses.map { c =>
+      val cs = (c.start - windowStart).toInt
+      val ce = (c.end - windowStart).toInt
+      if (cs < 0 || ce > refWindow.length || cs > ce) (c, Long.MaxValue, Map.empty[String, (Int, Long)])
+      else {
+        val hap = refWindow.substring(0, cs) + c.alt + refWindow.substring(ce)
+        val placements = reads.map { r =>
+          val orig = (r.start.getOrElse(0L) - windowStart).toInt
+          val (off, sc) = bestOffset(r.sequence.getOrElse(""),
+            r.qualityScores.getOrElse(""), hap, orig,
+            slack = math.max(8, c.alt.length + (ce - cs)))
+          r.readName.getOrElse("") -> (off, sc)
+        }.toMap
+        val total = placements.values.map(_._2).filter(_ != Long.MaxValue).sum
+        (c, total, placements)
+      }
+    }
+
+    val (bestC, bestTotal, placements) = scored.minBy(_._2)
+    // LOD in phred-space: improvement in summed mismatch quality / 10
+    if (bestTotal == Long.MaxValue ||
+      (origTotal - bestTotal) / 10.0 <= lodThreshold) return reads
+
+    val cs = bestC.start
+    val ce = bestC.end
+    val altLen = bestC.alt.length
+    val refLen = ce - cs
+    reads.map { r =>
+      val name = r.readName.getOrElse("")
+      placements.get(name) match {
+        case Some((off, sc)) if sc != Long.MaxValue &&
+          sc < readScore(r, refWindow, 0L) =>
+          val hapStart = windowStart + off // position in haplotype coords
+          val readLen = r.sequence.map(_.length).getOrElse(0)
+          // rebuild start/cigar in reference coords around the consensus
+          val newStart =
+            if (hapStart + readLen <= cs || altLen == refLen) hapStart
+            else if (hapStart >= cs + altLen) hapStart - altLen + refLen
+            else hapStart
+          val readEndHap = hapStart + readLen
+          val newCigar =
+            if (readEndHap <= cs || hapStart >= cs + altLen) s"${readLen}M"
+            else {
+              val before = (cs - hapStart).toInt
+              val after = readLen - before - altLen
+              if (before <= 0 || after < 0) s"${readLen}M"
+              else if (refLen == 0) s"${before}M${altLen}I${after}M"
+              else if (altLen == 0) s"${before}M${refLen}D${readLen - before}M"
+              else s"${readLen}M"
+            }
+          r.copy(
+            start = Some(newStart),
+            originalStart = r.start,
+            end = Some(newStart + Cigar.referenceLength(newCigar)),
+            cigar = Some(newCigar),
+            originalCigar = r.cigar)
+        case _ => r
+      }
+    }
+  }
+
+  /** Full distributed pipeline. `pad` widens the reference window around
+    * each target. */
+  def apply(
+      reads: Dataset[Alignment],
+      contigs: ReferenceContigs,
+      maxTargetGap: Long = 100L,
+      pad: Long = 150L,
+      lodThreshold: Double = 5.0): Dataset[Alignment] = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val refB = spark.sparkContext.broadcast(contigs)
+
+    val targets = findTargets(reads, maxTargetGap)
+      .select(col("referenceName").as("t_ref"), col("start").as("t_start"),
+        col("end").as("t_end"), col("targetId"))
+
+    // assign each read to the first target it overlaps (padded), via a
+    // binned-join-shaped equi+theta join; reads with no target -> null id
+    val readsDf = reads.toDF()
+    val tagged = readsDf
+      .join(targets,
+        col("referenceName") === col("t_ref") &&
+          col("start") < col("t_end") + pad && col("t_start") - pad < col("end"),
+        "left_outer")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("readName", "start").orderBy(col("t_start").asc_nulls_last)))
+      .filter(col("__rn") === 1)
+
+    val lod = lodThreshold
+    val padV = pad
+    val result = tagged
+      .withColumn("__tid", coalesce(col("targetId"), lit("")))
+      .groupByKey(row => row.getAs[String]("__tid"))
+      .flatMapGroups { (tid: String, rows: Iterator[org.apache.spark.sql.Row]) =>
+        val rowSeq = rows.toSeq
+        def toAlignment(row: org.apache.spark.sql.Row): Alignment =
+          rowToAlignment(row)
+        val aligns = rowSeq.map(toAlignment)
+        if (tid.isEmpty) aligns.iterator
+        else {
+          val tStart = rowSeq.head.getAs[Long]("t_start")
+          val tEnd = rowSeq.head.getAs[Long]("t_end")
+          val tRef = rowSeq.head.getAs[String]("t_ref")
+          val winStart = math.max(0L, tStart - padV)
+          val window = refB.value.extract(
+            ReferenceRegion(tRef, winStart, tEnd + padV))
+          realignTargetGroup(aligns, ReferenceRegion(tRef, tStart, tEnd),
+            window, winStart, lod).iterator
+        }
+      }
+    result
+  }
+
+  /** Row → Alignment for the joined shape (only Alignment columns read). */
+  private def rowToAlignment(row: org.apache.spark.sql.Row): Alignment = {
+    def optAt[T](name: String): Option[T] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+    Alignment(
+      referenceName = optAt[String]("referenceName"),
+      start = optAt[Long]("start"),
+      end = optAt[Long]("end"),
+      originalStart = optAt[Long]("originalStart"),
+      readName = optAt[String]("readName"),
+      sequence = optAt[String]("sequence"),
+      qualityScores = optAt[String]("qualityScores"),
+      cigar = optAt[String]("cigar"),
+      originalCigar = optAt[String]("originalCigar"),
+      basesTrimmedFromStart = optAt[Int]("basesTrimmedFromStart"),
+      basesTrimmedFromEnd = optAt[Int]("basesTrimmedFromEnd"),
+      mappingQuality = optAt[Int]("mappingQuality"),
+      readPaired = optAt[Boolean]("readPaired"),
+      properPair = optAt[Boolean]("properPair"),
+      readMapped = optAt[Boolean]("readMapped"),
+      mateMapped = optAt[Boolean]("mateMapped"),
+      readInFragment = optAt[Int]("readInFragment"),
+      failedVendorQualityChecks = optAt[Boolean]("failedVendorQualityChecks"),
+      duplicateRead = optAt[Boolean]("duplicateRead"),
+      readNegativeStrand = optAt[Boolean]("readNegativeStrand"),
+      mateNegativeStrand = optAt[Boolean]("mateNegativeStrand"),
+      primaryAlignment = optAt[Boolean]("primaryAlignment"),
+      secondaryAlignment = optAt[Boolean]("secondaryAlignment"),
+      supplementaryAlignment = optAt[Boolean]("supplementaryAlignment"),
+      mismatchingPositions = optAt[String]("mismatchingPositions"),
+      mateReferenceName = optAt[String]("mateReferenceName"),
+      mateAlignmentStart = optAt[Long]("mateAlignmentStart"),
+      insertSize = optAt[Long]("insertSize"),
+      readGroupId = optAt[String]("readGroupId"),
+      readGroupSampleId = optAt[String]("readGroupSampleId"),
+      attributes = Option(row.getAs[Map[String, String]]("attributes"))
+        .getOrElse(Map.empty))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import scala.collection.mutable.ArrayBuffer
+
+/** External-process dataflow operator — pipe records through a command per
+  * partition (SURVEY.md §2.11; reference GenomicDataset.pipe GD:786-917
+  * with InFormatter/OutFormatter pairs, ds/InFormatter.scala:45-72,
+  * ds/OutFormatter.scala:85-97).
+  *
+  * Mechanics mirror the reference exactly: per partition, start a
+  * ProcessBuilder, a feeder thread serializes records to the child's
+  * stdin via the [[InFormatter]], the parent iterator drains stdout
+  * through the [[OutFormatter]]. Partition-level parallelism; no driver
+  * involvement. Flank/dedup concerns of the reference's genome-binned
+  * pipe are handled upstream by `repartitionByRange` on region bins.
+  */
+object Pipe {
+
+  /** Serializes records (plus an optional header) into the child's stdin. */
+  trait InFormatter[T] extends Serializable {
+    def header: Seq[String] = Seq.empty
+    def format(record: T): String
+  }
+
+  /** Parses the child's stdout lines back into records. */
+  trait OutFormatter[U] extends Serializable {
+    def parse(lines: Iterator[String]): Iterator[U]
+  }
+
+  def pipe[T, U: Encoder](
+      ds: Dataset[T],
+      command: Seq[String],
+      inFormatter: InFormatter[T],
+      outFormatter: OutFormatter[U],
+      environment: Map[String, String] = Map.empty): Dataset[U] = {
+    ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(command: _*)
+        environment.foreach { case (k, v) => pb.environment().put(k, v) }
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+
+        // feeder thread: header + records -> stdin
+        val feeder = new Thread(() => {
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+          try {
+            inFormatter.header.foreach { h => w.write(h); w.newLine() }
+            it.foreach { r => w.write(inFormatter.format(r)); w.newLine() }
+          } finally w.close()
+        }, "graft-pipe-feeder")
+        feeder.setDaemon(true)
+        feeder.start()
+
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        val out = outFormatter.parse(lines)
+
+        // wrap to ensure process reaped after the iterator drains
+        new Iterator[U] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) { reader.close(); proc.waitFor() }
+            h
+          }
+          def next(): U = out.next()
+        }
+      }
+    }
+  }
+
+  // ---------------- formatter pairs for the engine's types ----------------
+
+  /** SAM in/out (reference SAMInFormatter / AnySAMOutFormatter). */
+  class SamInFormatter(headerLines: Seq[String]) extends InFormatter[graft.model.Alignment] {
+    override def header: Seq[String] = headerLines
+    def format(r: graft.model.Alignment): String = graft.sources.SamIO.toSamLine(r)
+  }
+
+  object SamOutFormatter extends OutFormatter[graft.model.Alignment] {
+    def parse(lines: Iterator[String]): Iterator[graft.model.Alignment] =
+      lines.filterNot(l => l.isEmpty || l.startsWith("@"))
+        .map(graft.sources.SamIO.parseRecord)
+  }
+
+  /** BED feature in/out (reference BEDInFormatter / BEDOutFormatter). */
+  object BedInFormatter extends InFormatter[graft.model.Feature] {
+    def format(f: graft.model.Feature): String = graft.sources.FeatureIO.toBedLine(f)
+  }
+
+  object BedOutFormatter extends OutFormatter[graft.model.Feature] {
+    def parse(lines: Iterator[String]): Iterator[graft.model.Feature] =
+      lines.filter(_.nonEmpty).map { l =>
+        val f = l.split("\t", -1)
+        graft.model.Feature(
+          referenceName = Some(f(0)),
+          start = Some(f(1).toLong), end = Some(f(2).toLong),
+          name = f.lift(3).filter(v => v.nonEmpty && v != "."),
+          score = f.lift(4).filter(v => v.nonEmpty && v != ".").map(_.toDouble))
+      }
+  }
+
+  /** Plain text lines (the generic escape hatch). */
+  object TextInFormatter extends InFormatter[String] {
+    def format(s: String): String = s
+  }
+
+  object TextOutFormatter extends OutFormatter[String] {
+    def parse(lines: Iterator[String]): Iterator[String] = lines
+  }
+}

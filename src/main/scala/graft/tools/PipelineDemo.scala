@@ -75,6 +75,43 @@ object PipelineDemo {
     println(s"VCF rows=${back.contexts.count()} " +
       s"gt=${back.contexts.collect().head.genotypes.head.alleles.mkString("/")}")
 
+    // --- algorithm leg: MD tagging -> BQSR -> realignment -> pipe ---
+    val refSeq = "AAAACCCCGGGGTTTTACGTACGTAAAACCCCGGGGTTTT"
+    val contigs = graft.core.ReferenceContigs(Map("chr1" -> refSeq))
+    def r(name: String, start: Long, seq: String, cigar: String) =
+      Alignment(readName = Some(name), referenceName = Some("chr1"),
+        start = Some(start),
+        end = Some(start + graft.model.Cigar.referenceLength(cigar)),
+        cigar = Some(cigar), sequence = Some(seq),
+        qualityScores = Some("I" * seq.length), readMapped = Some(true),
+        readNegativeStrand = Some(false), readGroupId = Some("rg1"))
+    val algReads = spark.createDataset(Seq(
+      r("ok", 0L, refSeq.substring(0, 10), "10M"),
+      r("snp", 0L, "AACACCCCGG", "10M"),
+      r("del", 8L, refSeq.substring(8, 16) + refSeq.substring(20, 28), "8M4D8M"),
+      r("mis", 10L, refSeq.substring(10, 16) + refSeq.substring(20, 30), "16M")))(
+      Encoders.product[Alignment])
+
+    val tagged = graft.algorithms.MdTagging.tagReads(algReads, contigs)
+    println("MDTAGS " + tagged.collect().sortBy(_.readName)
+      .map(a => s"${a.readName.get}:${a.mismatchingPositions.getOrElse("-")}")
+      .mkString(" "))
+
+    val recal = graft.algorithms.Bqsr(tagged, knownSites = Set.empty)
+    println("BQSR qual[snp]=" + recal.collect()
+      .find(_.readName.contains("snp")).get.qualityScores.get)
+
+    val realigned = graft.algorithms.RealignIndels(
+      tagged, contigs, lodThreshold = 1.0)
+    println("REALIGN " + realigned.collect().sortBy(_.readName)
+      .map(a => s"${a.readName.get}:${a.cigar.get}").mkString(" "))
+
+    import spark.implicits._
+    val piped = graft.operators.Pipe.pipe(
+      spark.createDataset(Seq("a", "b", "c")), Seq("tr", "a-z", "A-Z"),
+      graft.operators.Pipe.TextInFormatter, graft.operators.Pipe.TextOutFormatter)
+    println("PIPE " + piped.collect().sorted.mkString(""))
+
     spark.stop()
   }
 }

@@ -1,0 +1,208 @@
+package graft.algorithms
+
+import graft.SparkSpec
+import graft.core.ReferenceContigs
+import graft.model._
+import org.apache.spark.sql.Encoders
+
+class SmithWatermanSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("exact match aligns fully") {
+    val a = SmithWaterman.align("ACGTACGT", "ACGTACGT")
+    assert(a.cigarX == "8M")
+    assert(a.score == 8.0)
+    assert(a.xStart == 0 && a.yStart == 0)
+  }
+
+  test("local alignment finds embedded segment") {
+    val a = SmithWaterman.align("CGTA", "TTTTCGTATTTT")
+    assert(a.cigarX == "4M")
+    assert(a.yStart == 4 && a.yEnd == 8)
+  }
+
+  test("deletion in x shows as D in x cigar") {
+    // x is missing 2 bases relative to y
+    val a = SmithWaterman.align("AAAATTTT", "AAAACCTTTT")
+    assert(a.cigarX == "4M2D4M")
+    assert(a.cigarY == "4M2I4M")
+  }
+
+  test("insertion in x shows as I in x cigar") {
+    val a = SmithWaterman.align("AAAACCTTTT", "AAAATTTT")
+    assert(a.cigarX == "4M2I4M")
+  }
+
+  test("mismatch tolerated when flanks anchor") {
+    val a = SmithWaterman.align("AAAAGAAAA", "AAAACAAAA")
+    assert(a.cigarX == "9M")
+    assert(math.abs(a.score - (8.0 - 1.0 / 3.0)) < 1e-9)
+  }
+}
+
+class BqsrSpec extends SparkSpec {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  private def read(name: String, start: Long, seq: String, quals: String,
+      md: String, rg: String = "rg1"): Alignment =
+    Alignment(readName = Some(name), referenceName = Some("chr1"),
+      start = Some(start), end = Some(start + seq.length),
+      cigar = Some(s"${seq.length}M"), sequence = Some(seq),
+      qualityScores = Some(quals), readMapped = Some(true),
+      readNegativeStrand = Some(false), readGroupId = Some(rg),
+      mismatchingPositions = Some(md))
+
+  test("observation table counts mismatches per covariate") {
+    // 10 bases at q=30 ('?'), MD says mismatch at offset 4
+    val r = read("a", 100L, "ACGTACGTAC", "??????????", "4A5")
+    val obs = Bqsr.observeRead(r, (_, _) => false).toSeq
+    assert(obs.length == 10)
+    assert(obs.map(_.mismatches).sum == 1)
+    assert(obs.count(_.dinuc == "NN") == 1) // first base only
+    val mm = obs.find(_.mismatches == 1).get
+    assert(mm.cycle == 4)
+    assert(mm.dinuc == "TA") // prev base T (pos3), base A (pos4)
+  }
+
+  test("known sites are masked") {
+    val r = read("a", 100L, "ACGTACGTAC", "??????????", "4A5")
+    val obs = Bqsr.observeRead(r, (ref, pos) => pos == 104L).toSeq
+    assert(obs.length == 9)
+    assert(obs.map(_.mismatches).sum == 0)
+  }
+
+  test("recalibration moves quality toward empirical rate") {
+    // all bases quality 40 ('I') but half the reads mismatch everywhere:
+    // empirical quality should drop well below 40
+    val good = (1 to 8).map(i => read(s"g$i", 100L, "AAAAAAAAAA",
+      "IIIIIIIIII", "10"))
+    val bad = (1 to 8).map(i => read(s"b$i", 100L, "AAAAAAAAAA",
+      "IIIIIIIIII", "0A0A0A0A0A0A0A0A0A0A"))
+    val ds = spark.createDataset(good ++ bad)
+    val recal = Bqsr(ds, Set.empty).collect()
+    val q = recal.head.qualityScores.get.charAt(5) - 33
+    assert(q < 10, s"expected low empirical quality, got $q") // ~3
+    assert(recal.forall(_.qualityScores.get.length == 10))
+  }
+
+  test("empirical quality formula") {
+    assert(Bqsr.empiricalQuality(999998L, 0L) == 50) // capped
+    assert(Bqsr.empiricalQuality(98L, 0L) == 20)     // 1/100 error floor
+    assert(Bqsr.empiricalQuality(8L, 4L) == 3)       // (4+1)/(8+2)=0.5
+  }
+}
+
+class MdTaggingSpec extends SparkSpec {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  test("tags reads against broadcast reference") {
+    val contigs = ReferenceContigs(Map("chr1" -> "AAAACGTACGTACCCC"))
+    val r = Alignment(readName = Some("a"), referenceName = Some("chr1"),
+      start = Some(4L), end = Some(12L), cigar = Some("8M"),
+      sequence = Some("CGTACGTA"), readMapped = Some(true))
+    val mismatched = r.copy(readName = Some("b"), sequence = Some("CGTTCGTA"))
+    val tagged = MdTagging.tagReads(
+      spark.createDataset(Seq(r, mismatched)), contigs)
+      .collect().map(a => a.readName.get -> a.mismatchingPositions.get).toMap
+    assert(tagged("a") == "8")
+    assert(tagged("b") == "3A4")
+  }
+}
+
+class RealignIndelsSpec extends SparkSpec {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  //                 0         1         2         3
+  //                 0123456789012345678901234567890123456789
+  private val ref = "AAAACCCCGGGGTTTTACGTACGTAAAACCCCGGGGTTTT"
+
+  private def read(name: String, start: Long, seq: String, cigar: String,
+      quals: Option[String] = None): Alignment =
+    Alignment(readName = Some(name), referenceName = Some("chr1"),
+      start = Some(start), end = Some(start + Cigar.referenceLength(cigar)),
+      cigar = Some(cigar), sequence = Some(seq),
+      qualityScores = Some(quals.getOrElse("I" * seq.length)),
+      readMapped = Some(true), readNegativeStrand = Some(false))
+
+  test("findTargets merges nearby indel spans") {
+    val reads = spark.createDataset(Seq(
+      read("a", 10L, "ACGTACGTAC", "4M2D6M"),   // D at [14,16)
+      read("b", 12L, "ACGTACGTAC", "3M2D7M"),   // D at [15,17)
+      read("c", 300L, "ACGTACGTAC", "5M1I5M"))) // I at 305 (approx 1-wide)
+    val ts = RealignIndels.findTargets(reads, maxTargetGap = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ts.length == 2)
+    assert(ts.contains(("chr1", 14L, 17L)))
+    assert(ts.exists(t => t._2 == 305L))
+  }
+
+  test("realignTargetGroup moves mismatch-heavy reads onto the consensus") {
+    // true sample has a 4-base deletion of ref[16,20) ("ACGT")
+    val contigs = ReferenceContigs(Map("chr1" -> ref))
+    // read1 carries the deletion in its cigar (the evidence read)
+    val withDel = read("ev", 8L, "GGGGTTTTACGTAAAA", "8M4D8M")
+    //   = ref[8,16) + ref[20,28) — matches the deletion haplotype exactly
+    // read2 was force-aligned across the deletion without it: mismatches
+    val seqNoDel = ref.substring(10, 16) + ref.substring(20, 30)
+    val misaligned = read("mis", 10L, seqNoDel, "16M")
+    val reads = Seq(withDel, misaligned)
+    val out = RealignIndels.realignTargetGroup(
+      reads, ReferenceRegion("chr1", 16, 20),
+      refWindow = ref, windowStart = 0L, lodThreshold = 1.0)
+    val mis = out.find(_.readName.contains("mis")).get
+    assert(mis.cigar.get.contains("D"), s"expected indel cigar, got ${mis.cigar}")
+    assert(mis.originalCigar.contains("16M"))
+  }
+
+  test("full pipeline leaves indel-free regions untouched") {
+    val contigs = ReferenceContigs(Map("chr1" -> ref))
+    val clean = (0 until 5).map(i =>
+      read(s"c$i", i.toLong, ref.substring(i, i + 10), "10M"))
+    val out = RealignIndels(spark.createDataset(clean), contigs).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.cigar.get == "10M"))
+    assert(out.forall(_.originalCigar.isEmpty))
+  }
+}
+
+class PipeSpec extends SparkSpec {
+
+  test("pipe through cat round-trips text") {
+    import spark.implicits._
+    import graft.operators.Pipe
+    val ds = spark.createDataset(Seq("alpha", "beta", "gamma"))
+    val out = Pipe.pipe(ds, Seq("cat"),
+      Pipe.TextInFormatter, Pipe.TextOutFormatter)
+    assert(out.collect().toSet == Set("alpha", "beta", "gamma"))
+  }
+
+  test("pipe through an awk transform") {
+    import spark.implicits._
+    import graft.operators.Pipe
+    val ds = spark.createDataset((1 to 100).map(i => s"row$i"))
+    val out = Pipe.pipe(ds, Seq("awk", "{print toupper($0)}"),
+      Pipe.TextInFormatter, Pipe.TextOutFormatter)
+    val got = out.collect()
+    assert(got.length == 100)
+    assert(got.forall(_.startsWith("ROW")))
+  }
+
+  test("pipe features through a filtering command") {
+    import graft.operators.Pipe
+    implicit val fe: org.apache.spark.sql.Encoder[Feature] = Encoders.product[Feature]
+    val feats = spark.createDataset((0 until 20).map(i =>
+      Feature(referenceName = Some("chr1"), start = Some(i * 10L),
+        end = Some(i * 10L + 5L), name = Some(s"f$i"))))
+    // keep rows whose start >= 100
+    val out = Pipe.pipe(feats, Seq("awk", "-F", "\t", "$2 >= 100"),
+      Pipe.BedInFormatter, Pipe.BedOutFormatter)
+    val got = out.collect()
+    assert(got.length == 10)
+    assert(got.forall(_.start.exists(_ >= 100L)))
+  }
+}
