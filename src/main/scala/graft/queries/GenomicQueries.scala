@@ -129,6 +129,26 @@ object GenomicQueries extends QuerySet {
           count(*) AS n_covered_bases
         FROM cov GROUP BY referenceName, binStart""")),
 
+    // Grouped region join with per-left aggregates (the AndGroupByLeft
+    // family materialized as stats; GenomicDataset.scala:2592-2754).
+    Query("q33_region_aggregate",
+      (s, dir) => {
+        val j = RegionJoins.overlapJoin(
+          ivTargets(s, dir), ivReads(s, dir), "inner", binSize = 100)
+        j.groupBy(col("l_id").as("target_id"))
+          .agg(count(lit(1)).as("n_reads"),
+            min(col("r_start")).as("min_start"),
+            max(col("r_end")).as("max_end"))
+      },
+      Some(s"""WITH reads AS ($ivReadsSql), targets AS ($ivTargetsSql)
+        SELECT t.id AS target_id, count(*) AS n_reads,
+          CAST(min(a."start") AS BIGINT) AS min_start,
+          CAST(max(a."end") AS BIGINT) AS max_end
+        FROM targets t JOIN reads a
+          ON a.referenceName = t.referenceName
+         AND a."start" < t."end" AND t."start" < a."end"
+        GROUP BY t.id""")),
+
     // Run-length collapse of equal-depth runs — gaps-and-islands
     // (CoverageDataset.collapse, CoverageDataset.scala:300-348).
     Query("q20_coverage_collapse",

@@ -159,6 +159,19 @@ object PipelineQueries extends QuerySet {
       },
       None),
 
+    // k-mer counting (the countKmers shape, AlignmentDataset.scala:784-795)
+    // over document text: all 8-grams occurring >= 20 times.
+    Query("q32_kmer_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(graft.functions.GenomicFunctions.kmers("text", 8))
+          .as("kmer"))
+        .filter(length(col("kmer")) === 8)
+        .groupBy("kmer").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20),
+      Some("""SELECT substr(text, CAST(i AS INTEGER), 8) AS kmer, count(*) AS n
+        FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
+        GROUP BY kmer HAVING count(*) >= 20""")),
+
     // SRP-LSH approximate top-k (the ANN scale path; rows-only check,
     // recall vs q27 asserted in ScalaTest).
     Query("q31_ann_lsh",

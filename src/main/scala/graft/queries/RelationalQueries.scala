@@ -233,6 +233,51 @@ object RelationalQueries extends QuerySet {
         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2""")),
 
+    // Sliding time windows in batch (each event lands in two 1-hour
+    // windows on a 30-minute slide — the streaming window() semantics).
+    Query("q34_sliding_windows",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          explode(array(
+            expr("unix_millis(ts) div 3600000 * 3600000"),
+            expr("(unix_millis(ts) - 1800000) div 3600000 * 3600000 + 1800000")))
+            .as("window_start_ms"))
+        .groupBy("window_start_ms", "event_type")
+        .agg(count(lit(1)).as("n_events")),
+      Some("""SELECT window_start_ms, event_type, count(*) AS n_events FROM (
+          SELECT event_type,
+            epoch_ms(ts) // 3600000 * 3600000 AS window_start_ms FROM events
+          UNION ALL
+          SELECT event_type,
+            (epoch_ms(ts) - 1800000) // 3600000 * 3600000 + 1800000 FROM events)
+        GROUP BY window_start_ms, event_type""")),
+
+    // rank / dense_rank / lag window functions with a unique tie-break.
+    Query("q35_order_ranks",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("prev_cents",
+            lag(cents(col("o_totalprice")), 1).over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("rnk").cast("long").as("rnk"),
+            col("drnk").cast("long").as("drnk"), col("prev_cents"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+          CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk, prev_cents
+        FROM (SELECT o_orderpriority, o_orderkey,
+          rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+          lag(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 1) OVER w AS prev_cents
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC))
+        WHERE rnk <= 10""")),
+
     // Gap-based sessionization (30-minute gap) — SURVEY.md §2.10 extension;
     // shares shape with CoverageDataset.collapse (CoverageDataset.scala:300).
     Query("q15_user_sessions",

@@ -84,7 +84,8 @@ object PipelineDemo {
         end = Some(start + graft.model.Cigar.referenceLength(cigar)),
         cigar = Some(cigar), sequence = Some(seq),
         qualityScores = Some("I" * seq.length), readMapped = Some(true),
-        readNegativeStrand = Some(false), readGroupId = Some("rg1"))
+        readNegativeStrand = Some(false), readGroupId = Some("rg1"),
+        mappingQuality = Some(60))
     val algReads = spark.createDataset(Seq(
       r("ok", 0L, refSeq.substring(0, 10), "10M"),
       r("snp", 0L, "AACACCCCGG", "10M"),
@@ -105,6 +106,15 @@ object PipelineDemo {
       tagged, contigs, lodThreshold = 1.0)
     println("REALIGN " + realigned.collect().sortBy(_.readName)
       .map(a => s"${a.readName.get}:${a.cigar.get}").mkString(" "))
+
+    // typed filter + conversion surface
+    locally {
+      import graft.api.Filters._
+      val hq = recal.filterByMappingQuality(0).filterUnalignedReads()
+        .filterDuplicateReads()
+      val frags = graft.api.Conversions.alignmentsToReads(hq)
+      println(s"FILTERS mapped=${hq.count()} asReads=${frags.count()}")
+    }
 
     import spark.implicits._
     val piped = graft.operators.Pipe.pipe(
