@@ -116,6 +116,12 @@ object PipelineDemo {
       println(s"FILTERS mapped=${hq.count()} asReads=${frags.count()}")
     }
 
+    // native Catalyst expressions through the SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    println("SQLFN " + spark.sql(
+      "SELECT reverse_complement('AAACCCGT') AS rc, fnv1a64('doc') AS h")
+      .collect().map(r => r.getString(0) + "/" + r.getLong(1)).head)
+
     import spark.implicits._
     val piped = graft.operators.Pipe.pipe(
       spark.createDataset(Seq("a", "b", "c")), Seq("tr", "a-z", "A-Z"),
