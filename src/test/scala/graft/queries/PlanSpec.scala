@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.model.ReferenceRegion
+import graft.core.{GenomicDataset, Tables}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans we designed for are the plans
+  * Catalyst actually produces (".explain and iterate" — the builder
+  * brief). Scan pruning/pushdown, broadcast joins for dims, partition
+  * pruning on the Hive layout. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter+projection reach the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(plan.contains("l_shipdate"), "date filter should be pushed")
+    // projection pruning: untouched wide columns are not read
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.split("ReadSchema").last.contains("l_comment"))
+    assert(!plan.split("ReadSchema").last.split("\n").head.contains("l_tax"))
+  }
+
+  test("q03 star join broadcasts the dimension tables") {
+    val plan = planOf("q03_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("q01 aggregation is partial (map-side) then final") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("region filter pushes down to parquet") {
+    implicit val fe: org.apache.spark.sql.Encoder[graft.model.Feature] =
+      Encoders.product
+    val path = tmpDir() + "/pf.parquet"
+    val feats = (0 until 100).map(i => graft.model.Feature(
+      featureId = Some(s"f$i"), referenceName = Some("chr" + (i % 2 + 1)),
+      start = Some(i * 10L), end = Some(i * 10L + 5L)))
+    GenomicDataset(spark.createDataset(feats),
+      graft.model.GenomicMetadata.empty).saveAsParquet(path)
+    val loaded = GenomicDataset.loadParquet[graft.model.Feature](spark, path)
+      .filterByOverlappingRegion(ReferenceRegion("chr1", 0, 100))
+    val plan = loaded.ds.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("referenceName"), "contig equality should push down")
+  }
+
+  test("partitioned layout prunes partitions for a region query") {
+    implicit val fe: org.apache.spark.sql.Encoder[graft.model.Feature] =
+      Encoders.product
+    val path = tmpDir() + "/pp.parquet"
+    val feats = (0 until 200).map(i => graft.model.Feature(
+      featureId = Some(s"f$i"), referenceName = Some("chr" + (i % 2 + 1)),
+      start = Some(i * 100L), end = Some(i * 100L + 50L)))
+    GenomicDataset(spark.createDataset(feats),
+      graft.model.GenomicMetadata.empty)
+      .saveAsPartitionedParquet(path, binSize = 1000L)
+    val pruned = GenomicDataset.loadPartitionedParquet[graft.model.Feature](
+      spark, path, regions = Seq(ReferenceRegion("chr1", 0, 1000)))
+    val plan = pruned.ds.queryExecution.executedPlan.toString
+    // partition filters appear as PartitionFilters on the scan
+    assert(plan.contains("PartitionFilters: ["), plan.take(1200))
+    assert(plan.contains("positionBin"), "bin range should prune partitions")
+    assert(pruned.ds.count() > 0)
+  }
+
+  test("binned interval join plans as an equi join, not a cartesian") {
+    val l = Tables.load(spark, sf, "part").select(
+      (col("p_partkey") % 4).cast("string").as("referenceName"),
+      (col("p_partkey") * 13 % 10000).as("start"),
+      (col("p_partkey") * 13 % 10000 + 10).as("end"), col("p_partkey").as("id"))
+    val plan = graft.operators.RegionJoins
+      .overlapJoin(l, l, "inner", binSize = 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "must not be a cross join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "must not be a nested-loop join")
+    assert(plan.contains("Join"), plan.take(400))
+  }
+}
