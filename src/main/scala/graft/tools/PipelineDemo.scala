@@ -116,6 +116,13 @@ object PipelineDemo {
       println(s"FILTERS mapped=${hq.count()} asReads=${frags.count()}")
     }
 
+    // BAM binary round trip through the SAM-loaded dataset
+    BamIO.write(gdm, s"$work/reads.bam", asSingleFile = true)
+    val viaBam = BamIO.read(spark, s"$work/reads.bam")
+    println(s"BAM rows=${viaBam.ds.count()} " +
+      s"contigs=${viaBam.meta.sequences.records.map(r => r.name + ":" + r.length).mkString(",")} " +
+      s"dup=${viaBam.ds.collect().find(_.readName.contains("r2")).flatMap(_.duplicateRead).getOrElse(false)}")
+
     // native Catalyst expressions through the SQL surface
     graft.functions.GraftFunctions.register(spark)
     println("SQLFN " + spark.sql(

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.GenomicDataset
+import graft.model._
+import org.apache.spark.sql.Encoders
+
+class BamIOSpec extends SparkSpec {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  private val meta = GenomicMetadata(
+    sequences = SequenceDictionary(Seq(
+      SequenceRecord("chr1", 10000, index = Some(0)),
+      SequenceRecord("chr2", 5000, index = Some(1)))),
+    readGroups = ReadGroupDictionary(Seq(
+      ReadGroup(sampleId = "s1", id = "rg1", library = Some("lib1")))))
+
+  private def reads: Seq[Alignment] = Seq(
+    Alignment(readName = Some("r1"), referenceName = Some("chr1"),
+      start = Some(100L), end = Some(110L), cigar = Some("10M"),
+      sequence = Some("ACGTACGTAC"), qualityScores = Some("IIIIIIIIII"),
+      mappingQuality = Some(60), readMapped = Some(true),
+      readPaired = Some(true), properPair = Some(true),
+      mateMapped = Some(true), mateReferenceName = Some("chr1"),
+      mateAlignmentStart = Some(200L), insertSize = Some(110L),
+      readInFragment = Some(0), readNegativeStrand = Some(false),
+      mateNegativeStrand = Some(true), primaryAlignment = Some(true),
+      secondaryAlignment = Some(false), supplementaryAlignment = Some(false),
+      duplicateRead = Some(false), failedVendorQualityChecks = Some(false),
+      readGroupId = Some("rg1"),
+      attributes = Map("RG" -> "Z:rg1", "NM" -> "i:0")),
+    Alignment(readName = Some("r2"), referenceName = Some("chr2"),
+      start = Some(50L), end = Some(58L), cigar = Some("2S8M"),
+      sequence = Some("TTACGTACGT"), qualityScores = Some("FFFFFFFFFF"),
+      mappingQuality = Some(37), readMapped = Some(true),
+      readPaired = Some(false), readNegativeStrand = Some(true),
+      mateNegativeStrand = Some(false), readGroupId = Some("rg1"),
+      primaryAlignment = Some(true), secondaryAlignment = Some(false),
+      supplementaryAlignment = Some(false), duplicateRead = Some(true),
+      failedVendorQualityChecks = Some(false), mateMapped = Some(true),
+      attributes = Map("RG" -> "Z:rg1")),
+    Alignment(readName = Some("u1"), sequence = Some("GGGGCCCC"),
+      qualityScores = Some("IIIIIIII"), readMapped = Some(false),
+      readPaired = Some(false), mateMapped = Some(true),
+      readNegativeStrand = Some(false), mateNegativeStrand = Some(false),
+      primaryAlignment = Some(true), secondaryAlignment = Some(false),
+      supplementaryAlignment = Some(false), duplicateRead = Some(false),
+      failedVendorQualityChecks = Some(false)))
+
+  private def key(a: Alignment) =
+    (a.readName, a.referenceName, a.start, a.end, a.cigar, a.sequence,
+      a.qualityScores, a.mappingQuality, a.readMapped, a.readPaired,
+      a.readNegativeStrand, a.mateNegativeStrand, a.duplicateRead,
+      a.readGroupId)
+
+  test("BGZF round trip") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".bgzf")
+    val payload = ("hello bgzf " * 10000).getBytes("UTF-8")
+    val out = new Bgzf.BgzfOutputStream(java.nio.file.Files.newOutputStream(tmp))
+    out.write(payload); out.close()
+    val in = Bgzf.inputStream(java.nio.file.Files.newInputStream(tmp))
+    val back = in.readAllBytes()
+    in.close()
+    assert(back.sameElements(payload))
+    // file ends with the spec EOF marker
+    val raw = java.nio.file.Files.readAllBytes(tmp)
+    assert(raw.takeRight(28).sameElements(Bgzf.EofMarker))
+  }
+
+  test("BAM single-file round trip preserves records and metadata") {
+    val path = tmpDir() + "/t.bam"
+    val gd = GenomicDataset(spark.createDataset(reads), meta)
+    BamIO.write(gd, path, asSingleFile = true)
+    val back = BamIO.read(spark, path)
+    assert(back.meta.sequences.records.map(_.name) == Seq("chr1", "chr2"))
+    assert(back.meta.sequences.records.map(_.length) == Seq(10000L, 5000L))
+    assert(back.meta.readGroups.readGroups.head.library.contains("lib1"))
+    val got = back.ds.collect()
+    assert(got.length == 3)
+    assert(got.map(key).toSet == reads.map(key).toSet)
+    val r1 = got.find(_.readName.contains("r1")).get
+    assert(r1.mateAlignmentStart.contains(200L))
+    assert(r1.insertSize.contains(110L))
+    assert(r1.attributes.get("NM").contains("i:0"))
+  }
+
+  test("BAM distributed part-files round trip") {
+    val path = tmpDir() + "/parts.bam"
+    val gd = GenomicDataset(
+      spark.createDataset(reads).repartition(2), meta)
+    BamIO.write(gd, path, asSingleFile = false)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".bam"))
+    assert(files.length == 2)
+    val back = BamIO.read(spark, path)
+    assert(back.ds.collect().map(key).toSet == reads.map(key).toSet)
+  }
+
+  test("SAM -> BAM -> SAM preserves the record line content") {
+    val samPath = tmpDir() + "/x.sam"
+    val gd = GenomicDataset(spark.createDataset(reads), meta)
+    SamIO.write(gd, samPath, asSingleFile = true)
+    val viaSam = SamIO.read(spark, samPath)
+    val bamPath = tmpDir() + "/x.bam"
+    BamIO.write(viaSam, bamPath, asSingleFile = true)
+    val viaBam = BamIO.read(spark, bamPath)
+    assert(viaBam.ds.collect().map(key).toSet ==
+      viaSam.ds.collect().map(key).toSet)
+  }
+}
