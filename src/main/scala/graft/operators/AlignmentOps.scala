@@ -14,6 +14,51 @@ private[operators] case class DupKey(
     rightRef: String, rightPos: Long, rightStrand: Boolean,
     score: Int, name: String, reads: Seq[Alignment])
 
+/** DupKey + window verdict (fragment fast path re-typing). */
+private[operators] case class FlaggedDupKey(
+    library: String,
+    leftRef: String, leftPos: Long, leftStrand: Boolean,
+    rightRef: String, rightPos: Long, rightStrand: Boolean,
+    score: Int, name: String, reads: Seq[Alignment],
+    rank: Int, isDup: Boolean)
+
+/** Shared fragment-bucket → duplicate-key logic
+  * (ReferencePositionPair + score, MarkDuplicates.scala:42-48, 99-161). */
+private[operators] object DupKeying {
+
+  def phredScore(r: Alignment): Int =
+    r.qualityScores.map(_.iterator.map(_ - 33).filter(_ >= 15).sum).getOrElse(0)
+
+  def fivePrime(r: Alignment): (String, Long, Boolean) = {
+    val neg = r.readNegativeStrand.getOrElse(false)
+    val pos = Cigar.fivePrimePosition(
+      r.start.getOrElse(0L), r.end.getOrElse(0L),
+      r.cigar.getOrElse("*"), neg)
+    (r.referenceName.getOrElse(""), pos, neg)
+  }
+
+  def keyOf(rgId: String, name: String, bucket: Seq[Alignment],
+      libOf: Map[String, String]): DupKey = {
+    val primaries = bucket.filter(r =>
+      r.primaryAlignment.getOrElse(true) && !r.secondaryAlignment.getOrElse(false) &&
+        !r.supplementaryAlignment.getOrElse(false))
+    val mapped = primaries.filter(_.readMapped.getOrElse(false))
+      .sortBy(_.readInFragment.getOrElse(0))
+    val lib = libOf.getOrElse(rgId, rgId)
+    val score = primaries.map(phredScore).sum
+    mapped.map(fivePrime) match {
+      case Seq() =>
+        DupKey(lib, "", -1L, false, "", -1L, false, score, name, bucket)
+      case Seq(l) =>
+        DupKey(lib, l._1, l._2, l._3, "", -1L, false, score, name, bucket)
+      case ls =>
+        val sorted = ls.sortBy(t => (t._1, t._2))
+        DupKey(lib, sorted.head._1, sorted.head._2, sorted.head._3,
+          sorted.last._1, sorted.last._2, sorted.last._3, score, name, bucket)
+    }
+  }
+}
+
 /** Read-pipeline operators over Dataset[Alignment] (SURVEY.md §2.5, §2.8).
   * All formulated as declarative plans: flagstat is one single-pass
   * conditional aggregation; duplicate marking is two hash shuffles + a
@@ -140,39 +185,10 @@ object AlignmentOps {
     implicit val keyedEnc: org.apache.spark.sql.Encoder[DupKey] =
       org.apache.spark.sql.Encoders.product[DupKey]
 
-    def phredScore(r: Alignment): Int =
-      r.qualityScores.map(_.iterator.map(_ - 33).filter(_ >= 15).sum).getOrElse(0)
-
-    def fivePrime(r: Alignment): (String, Long, Boolean) = {
-      val neg = r.readNegativeStrand.getOrElse(false)
-      val pos = Cigar.fivePrimePosition(
-        r.start.getOrElse(0L), r.end.getOrElse(0L),
-        r.cigar.getOrElse("*"), neg)
-      (r.referenceName.getOrElse(""), pos, neg)
-    }
-
     val keyed = reads
       .groupByKey(r => (r.readGroupId.getOrElse(""), r.readName.getOrElse("")))
       .mapGroups { (key: (String, String), rs: Iterator[Alignment]) =>
-        val (rgId, name) = key
-        val bucket = rs.toSeq
-        val primaries = bucket.filter(r =>
-          r.primaryAlignment.getOrElse(true) && !r.secondaryAlignment.getOrElse(false) &&
-            !r.supplementaryAlignment.getOrElse(false))
-        val mapped = primaries.filter(_.readMapped.getOrElse(false))
-          .sortBy(_.readInFragment.getOrElse(0))
-        val lib = libOfB.value.getOrElse(rgId, rgId)
-        val score = primaries.map(phredScore).sum
-        (mapped.map(fivePrime) match {
-          case Seq() =>
-            DupKey(lib, "", -1L, false, "", -1L, false, score, name, bucket)
-          case Seq(l) =>
-            DupKey(lib, l._1, l._2, l._3, "", -1L, false, score, name, bucket)
-          case ls =>
-            val sorted = ls.sortBy(t => (t._1, t._2))
-            DupKey(lib, sorted.head._1, sorted.head._2, sorted.head._3,
-              sorted.last._1, sorted.last._2, sorted.last._3, score, name, bucket)
-        })
+        DupKeying.keyOf(key._1, key._2, rs.toSeq, libOfB.value)
       }
 
     val w = Window
@@ -195,6 +211,51 @@ object AlignmentOps {
           col("isDup")).otherwise(lit(false)))
       .drop("isDup")
       .as[Alignment]
+  }
+
+  /** Fragment-grouped duplicate marking — the reference's fast path that
+    * eliminates the read-regroup shuffle entirely (FragmentDataset
+    * .markDuplicates, FragmentDataset.scala:369; the optimization called
+    * out in docs/benchmarks/algorithms.rst:46-52): reads are already
+    * bucketed per fragment, so the position key is a per-row map and only
+    * the window shuffle remains. */
+  def markDuplicateFragments(
+      fragments: Dataset[Fragment],
+      readGroups: ReadGroupDictionary = ReadGroupDictionary.empty): Dataset[Fragment] = {
+    val spark = fragments.sparkSession
+    val libOf: Map[String, String] = readGroups.readGroups
+      .flatMap(rg => rg.library.map(l => rg.id -> l)).toMap
+    val libOfB = spark.sparkContext.broadcast(libOf)
+    implicit val keyedEnc: org.apache.spark.sql.Encoder[DupKey] =
+      org.apache.spark.sql.Encoders.product[DupKey]
+    implicit val flaggedEnc: org.apache.spark.sql.Encoder[FlaggedDupKey] =
+      org.apache.spark.sql.Encoders.product[FlaggedDupKey]
+
+    // per-row keying: the regroup shuffle is gone, only the window remains
+    val keyed = fragments.map { f =>
+      DupKeying.keyOf(
+        f.readGroupId.getOrElse(""), f.name.getOrElse(""),
+        f.alignments, libOfB.value)
+    }
+
+    val w = Window
+      .partitionBy("library", "leftRef", "leftPos", "leftStrand",
+        "rightRef", "rightPos", "rightStrand")
+      .orderBy(col("score").desc, col("name").asc)
+
+    keyed.toDF()
+      .withColumn("rank", row_number().over(w))
+      .withColumn("isDup",
+        when(col("leftPos") === -1L, lit(false)).otherwise(col("rank") > 1))
+      .as[FlaggedDupKey]
+      .map { fk =>
+        Fragment(
+          name = Some(fk.name),
+          readGroupId = fk.reads.headOption.flatMap(_.readGroupId),
+          insertSize = fk.reads.flatMap(_.insertSize).headOption,
+          alignments = fk.reads.map(r => r.copy(duplicateRead = Some(
+            fk.isDup && (r.readMapped.getOrElse(false) || r.readPaired.getOrElse(false))))))
+      }
   }
 
   // --------------------------- quality binning ----------------------------

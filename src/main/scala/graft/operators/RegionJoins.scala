@@ -179,7 +179,12 @@ object RegionJoins {
       right: DataFrame,
       binSize: Long = DefaultBinSize,
       flank: Long = 0L): DataFrame = {
-    val inner = overlapJoin(left, right, "inner", binSize, flank)
+    // Join DISTINCT coordinates (not rows): several left rows may share a
+    // coordinate triple, and each must receive the per-coordinate match
+    // count exactly once — grouping the row-level join would multiply the
+    // count by the number of co-located left rows.
+    val coords = left.select("referenceName", "start", "end").distinct()
+    val inner = overlapJoin(coords, right, "inner", binSize, flank)
     val counts = inner.groupBy(
         col("l_referenceName").as("crn"), col("l_start").as("cs"),
         col("l_end").as("ce"))

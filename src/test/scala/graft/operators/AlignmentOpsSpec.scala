@@ -118,6 +118,22 @@ class AlignmentOpsSpec extends SparkSpec {
     assert(res("p3") == false)
   }
 
+  test("markDuplicateFragments: shuffle-free path agrees with read path") {
+    val dup1 = read("low", start = 100L, qual = "##########")
+    val dup2 = read("high", start = 100L, qual = "IIIIIIIIII")
+    val other = read("other", start = 500L)
+    val reads0 = spark.createDataset(Seq(dup1, dup2, other))
+    val frags = AlignmentOps.toFragments(reads0)
+    val marked = AlignmentOps.markDuplicateFragments(frags)
+    val byRead = AlignmentOps.fragmentsToReads(marked).collect()
+      .map(r => r.readName.get -> r.duplicateRead.get).toMap
+    assert(byRead == Map("low" -> true, "high" -> false, "other" -> false))
+    // agrees with the read-level operator
+    val viaReads = AlignmentOps.markDuplicates(reads0).collect()
+      .map(r => r.readName.get -> r.duplicateRead.get).toMap
+    assert(byRead == viaReads)
+  }
+
   test("binQualities rewrites quality strings") {
     val reads = spark.createDataset(Seq(read("a", qual = "##II##II##")))
     val binned = AlignmentOps.binQualities(reads, Seq((0, 20, 10), (20, 50, 30)))

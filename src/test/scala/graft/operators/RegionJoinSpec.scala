@@ -79,7 +79,13 @@ class RegionJoinSpec extends SparkSpec {
   }
 
   test("overlapCounts matches naive left-outer counting") {
-    val l = randomIntervals(150, seed = 8, maxLen = 300)
+    // include duplicate-coordinate left rows (the sf0.1 regression: two
+    // rows sharing (ref,start,end) must each get the coordinate's count,
+    // not double it)
+    val base = randomIntervals(150, seed = 8, maxLen = 300)
+    val dupes = base.limit(20)
+      .withColumn("id", org.apache.spark.sql.functions.col("id") + 1000L)
+    val l = base.unionByName(dupes)
     val r = randomIntervals(150, seed = 9, maxLen = 100)
     val got = RegionJoins.overlapCounts(l, r, binSize = 100L)
       .select("id", "n_overlaps").collect()
