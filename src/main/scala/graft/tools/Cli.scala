@@ -1,0 +1,171 @@
+package graft.tools
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.algorithms.{Bqsr, MdTagging, RealignIndels}
+import graft.api.Conversions
+import graft.core.{GenomicDataset, ReferenceContigs}
+import graft.model._
+import graft.operators.{AlignmentOps, CoverageOps}
+import graft.sources._
+
+/** Command-line surface mirroring the reference's adam-cli
+  * (adam-cli/.../ADAMMain.scala:30-62; the transformAlignments stage chain
+  * TransformAlignments.scala:438-473). Every stage here is a Dataset
+  * transformation, so a full command compiles to ONE Catalyst plan plus
+  * the typed algorithm stages (SURVEY.md §3.1 "ours" paragraph).
+  *
+  * Usage:
+  *   graft.tools.Cli transformAlignments <in> <out> [flags]
+  *     flags: -mark_duplicates | -sort | -md_tag ref.fa|ref.2bit |
+  *            -realign ref.fa | -recalibrate | -bin_qualities |
+  *            -single
+  *   graft.tools.Cli transformFeatures <in> <out>
+  *   graft.tools.Cli flagstat <in>
+  *   graft.tools.Cli countKmers <in> <k> <outParquet>
+  *   graft.tools.Cli coverage <in> <outParquet> [-collapse]
+  *   graft.tools.Cli transformVariants <in.vcf> <outParquet>
+  *   graft.tools.Cli transformGenotypes <in.vcf> <outParquet>
+  *   graft.tools.Cli mergeShards <inDir> <outFile>
+  */
+object Cli {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+  private implicit val featEnc: org.apache.spark.sql.Encoder[Feature] =
+    Encoders.product[Feature]
+  private implicit val varEnc: org.apache.spark.sql.Encoder[Variant] =
+    Encoders.product[Variant]
+  private implicit val gtEnc: org.apache.spark.sql.Encoder[Genotype] =
+    Encoders.product[Genotype]
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  // ------------------------- loaders / savers -----------------------------
+
+  /** Extension-dispatch alignment load (loadAlignments, AC:3643-3672). */
+  def loadAlignments(spark: SparkSession, path: String): GenomicDataset[Alignment] = {
+    val p = path.toLowerCase
+    if (p.endsWith(".sam")) SamIO.read(spark, path)
+    else if (p.endsWith(".bam")) BamIO.read(spark, path)
+    else GenomicDataset.loadParquet[Alignment](spark, path)
+  }
+
+  def saveAlignments(gd: GenomicDataset[Alignment], path: String,
+      single: Boolean): Unit = {
+    val p = path.toLowerCase
+    if (p.endsWith(".sam")) SamIO.write(gd, path, asSingleFile = single)
+    else if (p.endsWith(".bam")) BamIO.write(gd, path, asSingleFile = single)
+    else gd.saveAsParquet(path)
+  }
+
+  private def loadReference(spark: SparkSession, path: String): ReferenceContigs =
+    if (path.toLowerCase.endsWith(".2bit")) TwoBit.readFile(path)
+    else ReferenceContigs.fromFasta(spark, path)
+
+  // ------------------------------ commands --------------------------------
+
+  def transformAlignments(spark: SparkSession, args: Seq[String]): Unit = {
+    val (flags, pos) = args.partition(_.startsWith("-"))
+    val Seq(in, out) = pos.take(2)
+    var gd = loadAlignments(spark, in)
+    def flagArg(name: String): Option[String] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    if (flags.contains("-mark_duplicates"))
+      gd = gd.transform(ds => AlignmentOps.markDuplicates(ds, gd.meta.readGroups))
+    flagArg("-md_tag").foreach { ref =>
+      val contigs = loadReference(spark, ref)
+      gd = gd.transform(ds => MdTagging.tagReads(ds, contigs))
+    }
+    flagArg("-realign").foreach { ref =>
+      val contigs = loadReference(spark, ref)
+      gd = gd.transform(ds => RealignIndels(ds, contigs))
+    }
+    if (flags.contains("-recalibrate"))
+      gd = gd.transform(ds => Bqsr(ds, Set.empty))
+    if (flags.contains("-bin_qualities"))
+      gd = gd.transform(ds => AlignmentOps.binQualities(ds,
+        Seq((0, 20, 10), (20, 30, 25), (30, 60, 37))))
+    if (flags.contains("-sort"))
+      gd = gd.sortLexicographically()
+    saveAlignments(gd, out, single = flags.contains("-single"))
+    println(s"transformAlignments: wrote $out")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    try args.toList match {
+      case "transformAlignments" :: rest =>
+        transformAlignments(spark, rest)
+
+      case "transformFeatures" :: in :: out :: _ =>
+        val feats = FeatureIO.readFeatures(spark, in)
+        val p = out.toLowerCase
+        if (p.endsWith(".bed")) FeatureIO.writeBed(feats, out)
+        else if (p.endsWith(".gff3")) FeatureIO.writeGff3(feats, out)
+        else if (p.endsWith(".gtf")) FeatureIO.writeGtf(feats, out)
+        else if (p.endsWith(".narrowpeak")) FeatureIO.writeNarrowPeak(feats, out)
+        else if (p.endsWith(".interval_list")) FeatureIO.writeIntervalList(feats, out)
+        else GenomicDataset(feats, GenomicMetadata.empty).saveAsParquet(out)
+        println(s"transformFeatures: wrote $out")
+
+      case "flagstat" :: in :: _ =>
+        val gd = loadAlignments(spark, in)
+        AlignmentOps.flagStat(gd.ds).show(truncate = false)
+
+      case "countKmers" :: in :: k :: out :: _ =>
+        val gd = loadAlignments(spark, in)
+        AlignmentOps.countKmers(gd.ds, k.toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"countKmers: wrote $out")
+
+      case "coverage" :: in :: out :: rest =>
+        val gd = loadAlignments(spark, in)
+        val cov0 = AlignmentOps.toCoverage(gd.ds)
+        val cov = if (rest.contains("-collapse")) CoverageOps.collapse(cov0) else cov0
+        cov.write.mode("overwrite").parquet(out)
+        println(s"coverage: wrote $out")
+
+      case "transformVariants" :: in :: out :: _ =>
+        val b = VcfIO.readVariants(spark, in)
+        b.saveAsParquet(out)
+        println(s"transformVariants: wrote $out")
+
+      case "transformGenotypes" :: in :: out :: _ =>
+        val b = VcfIO.readGenotypes(spark, in)
+        b.saveAsParquet(out)
+        println(s"transformGenotypes: wrote $out")
+
+      case "vcf2parquet" :: in :: out :: _ =>
+        val b = VcfIO.read(spark, in)
+        GenomicDataset(b.contexts, b.meta)(Encoders.product[VariantContext])
+          .saveAsParquet(out)
+        println(s"vcf2parquet: wrote $out")
+
+      case "mergeShards" :: in :: out :: _ =>
+        FileMerger.mergeToSingleFile(spark, in, out, deleteParts = false)
+        println(s"mergeShards: wrote $out")
+
+      case other =>
+        System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
+          "\nCommands: transformAlignments transformFeatures flagstat " +
+          "countKmers coverage transformVariants transformGenotypes " +
+          "vcf2parquet mergeShards")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}
