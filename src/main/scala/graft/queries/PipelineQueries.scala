@@ -159,6 +159,20 @@ object PipelineQueries extends QuerySet {
       },
       None),
 
+    // Drop-duplicates materialization: keep the minimum doc_id per
+    // normalized fingerprint (DedupOps.dropExactDuplicates semantics).
+    Query("q36_drop_duplicates",
+      (s, dir) => graft.operators.DedupOps.dropExactDuplicates(
+          t(s, dir, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text")
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1""")),
+
     // k-mer counting (the countKmers shape, AlignmentDataset.scala:784-795)
     // over document text: all 8-grams occurring >= 20 times.
     Query("q32_kmer_count",
