@@ -121,6 +121,54 @@ object GenomicFunctions {
       case _ => false
     }
 
+  /** Left-normalize a single indel inside a CIGAR: slide the indel left
+    * one base at a time while the base preceding the indel equals the base
+    * at its end (the standard public left-alignment rule; reference
+    * leftNormalizeIndels, algorithms/consensus/NormalizationUtils.scala:
+    * 156 via AlignmentDataset.scala:1777-1804). Returns the adjusted
+    * CIGAR; the alignment start never moves (only the in-read placement
+    * of the indel shifts). */
+  def leftNormalizeCigar(readSeq: String, cigar: String): String = {
+    val es = Cigar.parse(cigar).toArray
+    val idx = es.indexWhere(e => e.op == 'I' || e.op == 'D')
+    if (idx <= 0 || es(idx - 1).op != 'M') return cigar
+    // only normalize the M-indel-M core shape
+    if (idx + 1 < es.length && es(idx + 1).op != 'M') return cigar
+
+    // read positions: bases consumed before the indel
+    var readBefore = 0
+    es.take(idx).foreach { e =>
+      if (e.op == 'M' || e.op == 'I' || e.op == 'S' || e.op == '=' || e.op == 'X')
+        readBefore += e.length
+    }
+    val ind = es(idx)
+    var shift = 0
+    if (ind.op == 'I') {
+      // insertion of length L at readBefore..readBefore+L: can shift left
+      // while read[readBefore-1-shift] == read[readBefore+L-1-shift]
+      val L = ind.length
+      while (idx - 1 >= 0 && shift < es(idx - 1).length - 1 &&
+        readBefore - 1 - shift >= 0 &&
+        readBefore + L - 1 - shift < readSeq.length &&
+        readSeq.charAt(readBefore - 1 - shift) ==
+          readSeq.charAt(readBefore + L - 1 - shift)) shift += 1
+    } else {
+      // deletion: shift left while the read base before the deletion equals
+      // the read base just after it (homopolymer/repeat sliding observable
+      // from the read alone)
+      while (idx - 1 >= 0 && shift < es(idx - 1).length - 1 &&
+        readBefore - 1 - shift >= 0 && readBefore - shift < readSeq.length &&
+        readSeq.charAt(readBefore - 1 - shift) ==
+          readSeq.charAt(readBefore - shift)) shift += 1
+    }
+    if (shift == 0) cigar
+    else {
+      es(idx - 1) = Cigar.Element(es(idx - 1).length - shift, 'M')
+      es(idx + 1) = Cigar.Element(es(idx + 1).length + shift, 'M')
+      es.map(e => s"${e.length}${e.op}").mkString
+    }
+  }
+
   /** Build an MD tag given the read sequence, CIGAR, and the reference
     * bases covered by the alignment (computeMismatchingPositions semantics,
     * ds/read/MDTagging.scala with a broadcast reference). */

@@ -258,6 +258,46 @@ object AlignmentOps {
       }
   }
 
+  /** Sort by read name then fragment index (sortByReadName, AD:999). */
+  def sortByReadName(reads: Dataset[Alignment]): Dataset[Alignment] =
+    reads.orderBy(col("readName"), col("readInFragment"))
+
+  /** Left-normalize indels in read CIGARs (AD:1777-1804;
+    * NormalizationUtils.scala:156) — per-row map, no shuffle. */
+  def leftNormalizeIndels(reads: Dataset[Alignment]): Dataset[Alignment] =
+    reads.map { r =>
+      (r.sequence, r.cigar) match {
+        case (Some(seq), Some(c)) =>
+          val n = graft.functions.GenomicFunctions.leftNormalizeCigar(seq, c)
+          if (n == c) r else r.copy(cigar = Some(n), originalCigar = r.cigar)
+        case _ => r
+      }
+    }
+
+  /** Re-pair mates split across the dataset: join read1/read2 by name and
+    * restore mate fields (reassembleReadPairs, AD:1668-1708). */
+  def reassembleReadPairs(reads: Dataset[Alignment]): Dataset[Alignment] =
+    reads.groupByKey(r => r.readName.getOrElse(""))
+      .flatMapGroups { (_, rs: Iterator[Alignment]) =>
+        val bucket = rs.toSeq
+        val firsts = bucket.filter(_.readInFragment.contains(0))
+        val seconds = bucket.filter(_.readInFragment.contains(1))
+        (firsts.map(r => seconds.headOption.fold(r)(m => r.copy(
+          readPaired = Some(true),
+          mateReferenceName = m.referenceName,
+          mateAlignmentStart = m.start,
+          mateMapped = m.readMapped,
+          mateNegativeStrand = m.readNegativeStrand))) ++
+          seconds.map(r => firsts.headOption.fold(r)(m => r.copy(
+            readPaired = Some(true),
+            mateReferenceName = m.referenceName,
+            mateAlignmentStart = m.start,
+            mateMapped = m.readMapped,
+            mateNegativeStrand = m.readNegativeStrand))) ++
+          bucket.filterNot(r => r.readInFragment.contains(0) ||
+            r.readInFragment.contains(1))).iterator
+      }
+
   // --------------------------- quality binning ----------------------------
 
   /** Rewrite quality strings into bins (binQualityScores, AD:1752-1776;

@@ -38,6 +38,13 @@ object CoverageOps {
         ((col("pos") / bpPerBin).cast("long") * bpPerBin).as("binStart"))
       .agg(sum(col("count")).as("totalCount"), count(lit(1)).as("nBases"))
 
+  /** First-base-per-bin coverage sample (CoverageDataset.coverage(bpPerBin),
+    * CoverageDataset.scala:382-393): keep records starting on a bin
+    * boundary. A filter, not an aggregation. */
+  def sampleCoverage(coverage: DataFrame, bpPerBin: Long): DataFrame =
+    if (bpPerBin <= 1) coverage
+    else coverage.filter(col("start") % bpPerBin === 0)
+
   /** Run-length merge of adjacent intervals with equal `count` — the
     * gaps-and-islands / sessionization pattern.
     * Reference: CoverageDataset.collapse (CoverageDataset.scala:300-348),

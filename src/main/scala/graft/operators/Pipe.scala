@@ -103,6 +103,61 @@ object Pipe {
       }
   }
 
+  /** GFF3 features in/out (reference GFF3InFormatter/GFF3OutFormatter). */
+  object Gff3InFormatter extends InFormatter[graft.model.Feature] {
+    def format(f: graft.model.Feature): String = graft.sources.FeatureIO.toGff3Line(f)
+  }
+
+  /** FASTA sequences in (reference FASTAInFormatter). */
+  object FastaInFormatter extends InFormatter[graft.model.Sequence] {
+    def format(s: graft.model.Sequence): String =
+      ">" + s.name.getOrElse("") + "\n" + s.sequence.getOrElse("")
+  }
+
+  /** FASTQ reads in/out (reference FASTQInFormatter). NOTE out-parsing
+    * assumes well-formed 4-line records from the child process. */
+  object FastqInFormatter extends InFormatter[graft.model.Read] {
+    def format(r: graft.model.Read): String =
+      "@" + r.name.getOrElse("") + "\n" + r.sequence.getOrElse("") +
+        "\n+\n" + r.qualityScores.getOrElse("")
+  }
+
+  object FastqOutFormatter extends OutFormatter[graft.model.Read] {
+    def parse(lines: Iterator[String]): Iterator[graft.model.Read] =
+      lines.grouped(4).withPartial(false).map { g =>
+        graft.model.Read(
+          name = Some(g(0).stripPrefix("@").takeWhile(_ != ' ')),
+          sequence = Some(g(1)),
+          length = Some(g(1).length.toLong),
+          qualityScores = Some(g(3)))
+      }
+  }
+
+  /** VCF in/out over VariantContexts (reference VCFInFormatter:100 /
+    * VCFOutFormatter:131). In-formatter emits a minimal header; the
+    * out-parser needs the child's #CHROM sample list, which it reads
+    * inline. */
+  class VcfInFormatter(samples: Seq[String]) extends InFormatter[graft.model.VariantContext] {
+    override def header: Seq[String] =
+      Seq("##fileformat=VCFv4.2",
+        (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
+          (if (samples.nonEmpty) "FORMAT" +: samples else Nil)).mkString("\t"))
+    def format(vc: graft.model.VariantContext): String =
+      graft.sources.VcfIO.toVcfLine(vc, samples)
+  }
+
+  object VcfOutFormatter extends OutFormatter[graft.model.VariantContext] {
+    def parse(lines: Iterator[String]): Iterator[graft.model.VariantContext] = {
+      var samples: Seq[String] = Seq.empty
+      lines.flatMap {
+        case l if l.startsWith("#CHROM") =>
+          samples = l.split("\t").drop(9).toSeq; Iterator.empty
+        case l if l.startsWith("#") || l.isEmpty => Iterator.empty
+        case l => graft.sources.VcfIO.parseLine(l, samples).iterator
+      }
+    }
+  }
+
   /** Plain text lines (the generic escape hatch). */
   object TextInFormatter extends InFormatter[String] {
     def format(s: String): String = s

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.GenomicFunctions
+import graft.model._
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions.col
+
+class ExtraOpsSpec extends SparkSpec {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  test("leftNormalizeCigar slides insertions through repeats") {
+    // read AAAATAAA: 4M1I3M with I='T' at pos 4; preceding A != T: no shift
+    assert(GenomicFunctions.leftNormalizeCigar("AAAATAAA", "4M1I3M") == "4M1I3M")
+    // read AAAAAAA with insertion of A: homopolymer — slides left
+    // 4M1I2M: ins base read(4)='A' == read(3)='A' -> shift until M exhausts
+    assert(GenomicFunctions.leftNormalizeCigar("AAAAAAA", "4M1I2M") == "1M1I5M")
+    // deletion in homopolymer slides too
+    assert(GenomicFunctions.leftNormalizeCigar("AAAAAA", "4M2D2M") == "1M2D5M")
+    // no M after indel: untouched
+    assert(GenomicFunctions.leftNormalizeCigar("AAAA", "4M1I") == "4M1I")
+  }
+
+  test("leftNormalizeIndels dataset op records originalCigar") {
+    val r = Alignment(readName = Some("a"), sequence = Some("AAAAAAA"),
+      cigar = Some("4M1I2M"), readMapped = Some(true))
+    val out = AlignmentOps.leftNormalizeIndels(spark.createDataset(Seq(r)))
+      .collect().head
+    assert(out.cigar.contains("1M1I5M"))
+    assert(out.originalCigar.contains("4M1I2M"))
+  }
+
+  test("reassembleReadPairs restores mate fields") {
+    val r1 = Alignment(readName = Some("p"), referenceName = Some("chr1"),
+      start = Some(100L), readInFragment = Some(0), readMapped = Some(true),
+      readNegativeStrand = Some(false))
+    val r2 = Alignment(readName = Some("p"), referenceName = Some("chr1"),
+      start = Some(300L), readInFragment = Some(1), readMapped = Some(true),
+      readNegativeStrand = Some(true))
+    val lone = Alignment(readName = Some("q"), readInFragment = Some(0),
+      readMapped = Some(false))
+    val out = AlignmentOps.reassembleReadPairs(
+      spark.createDataset(Seq(r1, r2, lone))).collect()
+    val p1 = out.find(a => a.readName.contains("p") && a.readInFragment.contains(0)).get
+    assert(p1.mateAlignmentStart.contains(300L))
+    assert(p1.mateNegativeStrand.contains(true))
+    val p2 = out.find(a => a.readName.contains("p") && a.readInFragment.contains(1)).get
+    assert(p2.mateAlignmentStart.contains(100L))
+    val q = out.find(_.readName.contains("q")).get
+    assert(q.mateAlignmentStart.isEmpty)
+  }
+
+  test("sampleCoverage keeps bin-aligned starts") {
+    import spark.implicits._
+    val cov = Seq(("chr1", 0L, 1L, 1L), ("chr1", 5L, 6L, 1L),
+      ("chr1", 10L, 11L, 1L)).toDF("referenceName", "start", "end", "count")
+    val s = CoverageOps.sampleCoverage(cov, 10L).collect().map(_.getLong(1))
+    assert(s.toSet == Set(0L, 10L))
+  }
+
+  test("pipe FASTQ formatter pair round-trips through cat") {
+    implicit val re: org.apache.spark.sql.Encoder[Read] = Encoders.product[Read]
+    val reads = spark.createDataset(Seq(
+      Read(name = Some("r1"), sequence = Some("ACGT"),
+        length = Some(4L), qualityScores = Some("IIII")),
+      Read(name = Some("r2"), sequence = Some("TTTT"),
+        length = Some(4L), qualityScores = Some("@@@@"))))
+    val out = Pipe.pipe(reads, Seq("cat"),
+      Pipe.FastqInFormatter, Pipe.FastqOutFormatter)
+    assert(out.collect().map(r => (r.name, r.sequence, r.qualityScores)).toSet ==
+      reads.collect().map(r => (r.name, r.sequence, r.qualityScores)).toSet)
+  }
+
+  test("pipe VCF formatter pair round-trips through cat") {
+    implicit val ve: org.apache.spark.sql.Encoder[VariantContext] =
+      Encoders.product[VariantContext]
+    val vc = VariantContext(Some("chr1"), Some(100L), Some(101L),
+      Some(Variant(Some("chr1"), Some(100L), Some(101L),
+        referenceAllele = Some("A"), alternateAllele = Some("G"),
+        filtersApplied = Some(true), filtersPassed = Some(true))),
+      Seq(Genotype(Some("chr1"), Some(100L), Some(101L),
+        sampleId = Some("s1"), alleles = Seq("REF", "ALT"))))
+    val out = Pipe.pipe(spark.createDataset(Seq(vc)), Seq("cat"),
+      new Pipe.VcfInFormatter(Seq("s1")), Pipe.VcfOutFormatter)
+    val got = out.collect().head
+    assert(got.start.contains(100L))
+    assert(got.variant.get.alternateAllele.contains("G"))
+    assert(got.genotypes.head.alleles == Seq("REF", "ALT"))
+  }
+}
