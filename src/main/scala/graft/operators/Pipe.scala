@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import scala.collection.mutable.ArrayBuffer
 
 /** External-process dataflow operator — pipe records through a command per
@@ -70,6 +70,70 @@ object Pipe {
         }
       }
     }
+  }
+
+  /** Genome-binned pipe (the reference's full pipe() operator,
+    * GD:786-917): records are keyed into genome bins WITH flanked copies
+    * (a record lands in its own bin plus any bin within `flank` bases, so
+    * the child process sees boundary context), each bin's records run
+    * through the command together, and outputs are deduplicated by keeping
+    * only records whose start lies in the bin's own range — the flank-dedup
+    * rule of GD:897-916.
+    *
+    * `regionOf` extracts (referenceName, start) from a record; `startOf`
+    * extracts the output record's coordinates for dedup.
+    */
+  def pipeBinned[T, U: Encoder](
+      ds: Dataset[T],
+      command: Seq[String],
+      inFormatter: InFormatter[T],
+      outFormatter: OutFormatter[U],
+      regionOf: T => (String, Long, Long),
+      startOf: U => (String, Long),
+      binSize: Long = 1000000L,
+      flank: Long = 0L,
+      environment: Map[String, String] = Map.empty)(
+      implicit tEnc: Encoder[T]): Dataset[U] = {
+    import ds.sparkSession.implicits._
+    val keyed = ds.flatMap { t =>
+      val (ref, start, end) = regionOf(t)
+      val lo = math.max(0L, start - flank) / binSize
+      val hi = (math.max(start, end - 1) + flank) / binSize
+      (lo to hi).map(b => (s"$ref:$b", t))
+    }(Encoders.tuple(Encoders.STRING, tEnc))
+
+    keyed.groupByKey(_._1)
+      .flatMapGroups { (binKey: String, it: Iterator[(String, T)]) =>
+        val records = it.map(_._2).toSeq
+        val Array(ref, binStr) = binKey.split(":", 2)
+        val bin = binStr.toLong
+        val lo = bin * binSize
+        val hi = lo + binSize
+
+        val pb = new ProcessBuilder(command: _*)
+        environment.foreach { case (k, v) => pb.environment().put(k, v) }
+        val proc = pb.start()
+        val feeder = new Thread(() => {
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+          try {
+            inFormatter.header.foreach { h => w.write(h); w.newLine() }
+            records.foreach { r => w.write(inFormatter.format(r)); w.newLine() }
+          } finally w.close()
+        }, "graft-pipe-feeder")
+        feeder.setDaemon(true)
+        feeder.start()
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        val out = outFormatter.parse(lines).filter { u =>
+          // flank dedup: only the owning bin emits a record
+          val (oref, ostart) = startOf(u)
+          oref == ref && ostart >= lo && ostart < hi
+        }.toVector
+        reader.close(); proc.waitFor()
+        out.iterator
+      }
   }
 
   // ---------------- formatter pairs for the engine's types ----------------

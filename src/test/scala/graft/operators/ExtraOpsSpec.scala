@@ -73,6 +73,24 @@ class ExtraOpsSpec extends SparkSpec {
       reads.collect().map(r => (r.name, r.sequence, r.qualityScores)).toSet)
   }
 
+  test("pipeBinned: flanked copies feed context but outputs dedup exactly") {
+    implicit val fe: org.apache.spark.sql.Encoder[Feature] = Encoders.product[Feature]
+    // features spaced so several sit within the flank of a bin boundary
+    val feats = (0 until 40).map(i =>
+      Feature(referenceName = Some("chr1"), start = Some(i * 100L),
+        end = Some(i * 100L + 50L), name = Some(s"f$i")))
+    val out = Pipe.pipeBinned(
+      spark.createDataset(feats), Seq("cat"),
+      Pipe.BedInFormatter, Pipe.BedOutFormatter,
+      regionOf = (f: Feature) => (f.referenceName.get, f.start.get, f.end.get),
+      startOf = (f: Feature) => (f.referenceName.get, f.start.get),
+      binSize = 1000L, flank = 300L)
+    val got = out.collect()
+    // every record exactly once despite flank replication
+    assert(got.length == 40)
+    assert(got.map(_.start.get).toSet == feats.map(_.start.get).toSet)
+  }
+
   test("pipe VCF formatter pair round-trips through cat") {
     implicit val ve: org.apache.spark.sql.Encoder[VariantContext] =
       Encoders.product[VariantContext]
