@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model._
+import java.nio.file.{Files, Paths}
+
+/** Round-trip + dispatch coverage for the formats not exercised in IOSpec:
+  * NarrowPeak, IntervalList, readFeatures extension dispatch, interleaved
+  * FASTQ, and VariantAnnotations typed INFO access. */
+class FormatEdgeSpec extends SparkSpec {
+
+  private def fixture(name: String, content: String): String = {
+    val p = Paths.get(tmpDir(), name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("NarrowPeak round trip incl. signal columns") {
+    val np = "chr1\t100\t200\tpeak1\t500\t+\t12.5\t3.2\t1.1\t40\n" +
+      "chr2\t0\t50\tpeak2\t100\t-\t5.0\t-1\t-1\t-1\n"
+    val fs = FeatureIO.readNarrowPeak(spark, fixture("t.narrowPeak", np))
+      .collect().sortBy(_.start)
+    assert(fs.length == 2)
+    val p1 = fs.find(_.name.contains("peak1")).get
+    assert(p1.attributes("signalValue") == "12.5")
+    assert(p1.attributes("peak") == "40")
+    val out = tmpDir() + "/o.narrowPeak"
+    import spark.implicits._
+    FeatureIO.writeNarrowPeak(spark.createDataset(fs.toSeq), out)
+    val rt = FeatureIO.readNarrowPeak(spark, out).collect()
+    assert(rt.map(f => (f.name, f.start, f.attributes.get("signalValue"))).toSet ==
+      fs.map(f => (f.name, f.start, f.attributes.get("signalValue"))).toSet)
+  }
+
+  test("IntervalList round trip with @-header skip") {
+    val il = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n" +
+      "chr1\t101\t200\t+\ttarget1\nchr1\t501\t600\t-\ttarget2\n"
+    val fs = FeatureIO.readIntervalList(spark, fixture("t.interval_list", il))
+      .collect().sortBy(_.start)
+    assert(fs.length == 2)
+    assert(fs.head.start.contains(100L)) // 1-based closed -> 0-based half-open
+    assert(fs.head.end.contains(200L))
+    assert(fs.head.strand.contains("FORWARD"))
+    assert(fs.head.name.contains("target1"))
+    val out = tmpDir() + "/o.interval_list"
+    import spark.implicits._
+    FeatureIO.writeIntervalList(spark.createDataset(fs.toSeq), out)
+    val rt = FeatureIO.readIntervalList(spark, out).collect()
+    assert(rt.map(f => (f.name, f.start, f.end)).toSet ==
+      fs.map(f => (f.name, f.start, f.end)).toSet)
+  }
+
+  test("readFeatures dispatches by extension; unknown rejects") {
+    val bed = fixture("d.bed", "chr1\t0\t10\tx\t1\t+\n")
+    assert(FeatureIO.readFeatures(spark, bed).count() == 1)
+    assertThrows[IllegalArgumentException] {
+      FeatureIO.readFeatures(spark, "whatever.xyz")
+    }
+  }
+
+  test("interleaved FASTQ pairs and validates names") {
+    val fq = "@frag1/1\nACGT\n+\nIIII\n@frag1/2\nTTTT\n+\nFFFF\n" +
+      "@frag2/1\nGGGG\n+\nIIII\n@frag2/2\nCCCC\n+\nIIII\n"
+    val pairs = SequenceIO.readInterleavedFastq(spark, fixture("t.ifq", fq))
+      .collect().sortBy(_._1.name)
+    assert(pairs.length == 2)
+    assert(pairs.head._1.name.contains("frag1/1"))
+    assert(pairs.head._2.sequence.contains("TTTT"))
+  }
+
+  test("VariantAnnotations typed INFO access, Scala and Column") {
+    import graft.api.VariantAnnotations._
+    val v = Variant(annotation = Map(
+      "AC" -> "3,1", "AF" -> "0.25,0.05", "AN" -> "12", "DP" -> "88",
+      "END" -> "1234", "DB" -> "true"))
+    assert(alleleCount(v).contains(3))
+    assert(alleleFrequency(v).contains(0.25))
+    assert(totalAlleles(v).contains(12))
+    assert(combinedDepth(v).contains(88))
+    assert(endPosition(v).contains(1234L))
+    assert(isDbSnp(v) && !isSomatic(v))
+
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Map("AC" -> "3,1", "DP" -> "88")).toDF("annotation")
+    val row = df.select(
+      alleleCountCol(col("annotation")).as("ac"),
+      combinedDepthCol(col("annotation")).as("dp"),
+      isDbSnpCol(col("annotation")).as("db")).collect().head
+    assert(row.getInt(0) == 3 && row.getInt(1) == 88 && !row.getBoolean(2))
+  }
+}
