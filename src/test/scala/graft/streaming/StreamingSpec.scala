@@ -36,6 +36,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign events to overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.slidingCounts(input.toDF(), "10 minutes", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      input.addData(Ev(ts(7), "click", 1, 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("sliding")
+        .collect().map(_.getTimestamp(0).toString).sorted.toSeq
+      // event at 10:07 belongs to windows starting 10:00 and 10:05
+      assert(starts == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+    } finally q.stop()
+  }
+
   test("session windows split on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
