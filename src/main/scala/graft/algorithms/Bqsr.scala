@@ -40,6 +40,29 @@ object Bqsr {
 
   private val MinQuality = 6 // reference skips very-low-quality bases
 
+  private def complement(c: Char): Char = Character.toUpperCase(c) match {
+    case 'A' => 'T'
+    case 'C' => 'G'
+    case 'G' => 'C'
+    case 'T' => 'A'
+    case _   => 'N'
+  }
+
+  /** Dinucleotide (previous sequenced base, this base) on the SEQUENCED
+    * strand (DinucCovariate semantics): a negative-strand read stores the
+    * reverse complement of what the sequencer read, so the sequenced-order
+    * pair at stored index i is (complement(seq(i+1)), complement(seq(i))).
+    * The 5'-most sequenced base (stored index 0 on +, last index on -) has
+    * no previous base -> "NN". */
+  private[algorithms] def dinucAt(seq: String, i: Int, negativeStrand: Boolean): String =
+    if (negativeStrand) {
+      if (i == seq.length - 1) "NN"
+      else s"${complement(seq.charAt(i + 1))}${complement(seq.charAt(i))}"
+    } else {
+      if (i == 0) "NN"
+      else s"${Character.toUpperCase(seq.charAt(i - 1))}${Character.toUpperCase(seq.charAt(i))}"
+    }
+
   /** Per-base covariates of one read (CycleCovariate.scala /
     * DinucCovariate.scala semantics: cycle counts from the 5' end,
     * dinucleotide is (previous base, base) on the sequenced strand). */
@@ -59,10 +82,15 @@ object Bqsr {
     val neg = r.readNegativeStrand.getOrElse(false)
     val rg = r.readGroupId.getOrElse("")
 
-    // walk CIGAR: map read offset -> reference offset for M/=/X bases
+    // walk CIGAR: map read offset -> reference offset for M/=/X bases.
+    // refOff is genomic (advances through N skips, for the known-site
+    // mask); mdOff is MD-tag space (M/=/X and D only — the MD tag does
+    // NOT count skipped (N) regions, so spliced RNA-seq reads would
+    // mis-key mismatches if compared against refOff).
     val out = Iterator.newBuilder[Observation]
     var readPos = 0
     var refOff = 0L
+    var mdOff = 0L
     graft.model.Cigar.parse(r.cigar.get).foreach { e =>
       e.op match {
         case 'M' | '=' | 'X' =>
@@ -72,17 +100,16 @@ object Bqsr {
             val refPos = start + refOff
             if (q >= MinQuality && !isKnownSite(refName, refPos)) {
               val cycle = if (neg) seq.length - 1 - readPos else readPos
-              val dinuc =
-                if (readPos == 0) "NN"
-                else s"${Character.toUpperCase(seq.charAt(readPos - 1))}${Character.toUpperCase(seq.charAt(readPos))}"
-              val mismatch = mismatchOffsets.contains(refOff)
+              val dinuc = dinucAt(seq, readPos, neg)
+              val mismatch = mismatchOffsets.contains(mdOff)
               out += Observation(rg, q, cycle, dinuc, 1L,
                 if (mismatch) 1L else 0L)
             }
-            readPos += 1; refOff += 1; k += 1
+            readPos += 1; refOff += 1; mdOff += 1; k += 1
           }
         case 'I' | 'S' => readPos += e.length
-        case 'D' | 'N' => refOff += e.length
+        case 'D' => refOff += e.length; mdOff += e.length
+        case 'N' => refOff += e.length
         case _ =>
       }
     }
@@ -132,9 +159,7 @@ object Bqsr {
         while (i < quals.length) {
           val q = quals.charAt(i) - 33
           val cycle = if (neg) seq.length - 1 - i else i
-          val dinuc =
-            if (i == 0) "NN"
-            else s"${Character.toUpperCase(seq.charAt(i - 1))}${Character.toUpperCase(seq.charAt(i))}"
+          val dinuc = dinucAt(seq, i, neg)
           val newQ = t.get((rg, q, cycle, dinuc)) match {
             case Some((obs, mm)) => empiricalQuality(obs, mm)
             case None => q

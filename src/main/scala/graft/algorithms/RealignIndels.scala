@@ -151,15 +151,19 @@ object RealignIndels {
     val scored = consensuses.map { c =>
       val cs = (c.start - windowStart).toInt
       val ce = (c.end - windowStart).toInt
-      if (cs < 0 || ce > refWindow.length || cs > ce) (c, Long.MaxValue, Map.empty[String, (Int, Long)])
+      if (cs < 0 || ce > refWindow.length || cs > ce) (c, Long.MaxValue, Map.empty[Int, (Int, Long)])
       else {
         val hap = refWindow.substring(0, cs) + c.alt + refWindow.substring(ce)
-        val placements = reads.map { r =>
+        // keyed by index in `reads`, NOT readName: both mates of a fragment
+        // (and primary+supplementary alignments) share a name but need
+        // independent placements (reference keys per-read too).
+        val placements = reads.indices.map { i =>
+          val r = reads(i)
           val orig = (r.start.getOrElse(0L) - windowStart).toInt
           val (off, sc) = bestOffset(r.sequence.getOrElse(""),
             r.qualityScores.getOrElse(""), hap, orig,
             slack = math.max(8, c.alt.length + (ce - cs)))
-          r.readName.getOrElse("") -> (off, sc)
+          i -> (off, sc)
         }.toMap
         val total = placements.values.map(_._2).filter(_ != Long.MaxValue).sum
         (c, total, placements)
@@ -175,9 +179,9 @@ object RealignIndels {
     val ce = bestC.end
     val altLen = bestC.alt.length
     val refLen = ce - cs
-    reads.map { r =>
-      val name = r.readName.getOrElse("")
-      placements.get(name) match {
+    reads.indices.map { idx =>
+      val r = reads(idx)
+      placements.get(idx) match {
         case Some((off, sc)) if sc != Long.MaxValue &&
           sc < readScore(r, refWindow, 0L) =>
           val hapStart = windowStart + off // position in haplotype coords
@@ -226,15 +230,18 @@ object RealignIndels {
         col("end").as("t_end"), col("targetId"))
 
     // assign each read to the first target it overlaps (padded), via a
-    // binned-join-shaped equi+theta join; reads with no target -> null id
-    val readsDf = reads.toDF()
+    // binned-join-shaped equi+theta join; reads with no target -> null id.
+    // __rid is a true per-read identity: (readName,start) is NOT unique
+    // (both-unmapped mate pairs, fully-overlapping pairs, secondaries), and
+    // deduping on it would silently drop reads from the output.
+    val readsDf = reads.toDF().withColumn("__rid", monotonically_increasing_id())
     val tagged = readsDf
       .join(targets,
         col("referenceName") === col("t_ref") &&
           col("start") < col("t_end") + pad && col("t_start") - pad < col("end"),
         "left_outer")
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("readName", "start").orderBy(col("t_start").asc_nulls_last)))
+        Window.partitionBy("__rid").orderBy(col("t_start").asc_nulls_last)))
       .filter(col("__rn") === 1)
 
     val lod = lodThreshold

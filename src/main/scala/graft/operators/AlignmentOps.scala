@@ -37,6 +37,30 @@ private[operators] object DupKeying {
     (r.referenceName.getOrElse(""), pos, neg)
   }
 
+  /** Two-stage duplicate verdict over a DupKey frame (reference
+    * MarkDuplicates.scala:99-161): stage 1 groups by (library, left 5'
+    * position); if any paired fragment (right end mapped) is present, every
+    * unpaired fragment in the group is a duplicate. Stage 2 ranks fragments
+    * within the full (left, right) key by (score desc, name); rank 1
+    * survives. Left-unmapped fragments are never marked. Both windows
+    * partition by (or by a superset of) the left-position key, so Catalyst
+    * plans ONE exchange for the pair. */
+  def flagDuplicates(keyed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wLeft = Window.partitionBy("library", "leftRef", "leftPos", "leftStrand")
+    val wFull = Window
+      .partitionBy("library", "leftRef", "leftPos", "leftStrand",
+        "rightRef", "rightPos", "rightStrand")
+      .orderBy(col("score").desc, col("name").asc)
+    keyed
+      .withColumn("hasPairedAtLeft",
+        max(when(col("rightPos") =!= -1L, 1).otherwise(0)).over(wLeft) === 1)
+      .withColumn("rank", row_number().over(wFull))
+      .withColumn("isDup",
+        when(col("leftPos") === -1L, lit(false))
+          .when(col("rightPos") === -1L && col("hasPairedAtLeft"), lit(true))
+          .otherwise(col("rank") > 1))
+  }
+
   def keyOf(rgId: String, name: String, bucket: Seq[Alignment],
       libOf: Map[String, String]): DupKey = {
     val primaries = bucket.filter(r =>
@@ -165,12 +189,16 @@ object AlignmentOps {
     *     reads (ReferencePositionPair semantics) + fragment score = sum of
     *     phred scores >= 15 over primary reads (score fn,
     *     MarkDuplicates.scala:42-48);
-    *  3. window over (library, leftRef, leftPos, leftStrand, rightRef,
-    *     rightPos, rightStrand) ordered by (score desc, readName) — rank 1
-    *     survives, the rest are duplicates [shuffle 2: hash on position key];
+    *  3. two-stage marking on the (library, left 5' position) group
+    *     (MarkDuplicates.scala:99-161 semantics): if ANY paired fragment
+    *     (both ends mapped) shares the left position, every unpaired
+    *     fragment there is a duplicate; paired fragments rank by
+    *     (score desc, name) within the full (left, right) key and
+    *     unpaired-only groups rank among themselves — rank 1 survives
+    *     [shuffle 2: hash on the left-position key, both windows share it];
     *  4. explode buckets back to reads with duplicateRead set. Fragments
     *     whose left position is unmapped are never marked (MarkDuplicates
-    *     rule); right-unmapped fragments compete in a (left, null) group.
+    *     rule).
     *
     * No driver collect; both shuffles are on well-distributed keys.
     */
@@ -191,18 +219,7 @@ object AlignmentOps {
         DupKeying.keyOf(key._1, key._2, rs.toSeq, libOfB.value)
       }
 
-    val w = Window
-      .partitionBy("library", "leftRef", "leftPos", "leftStrand",
-        "rightRef", "rightPos", "rightStrand")
-      .orderBy(col("score").desc, col("name").asc)
-
-    val flagged = keyed.toDF()
-      .withColumn("rank", row_number().over(w))
-      .withColumn("isDup",
-        // left-unmapped fragments are never duplicates
-        when(col("leftPos") === -1L, lit(false)).otherwise(col("rank") > 1))
-
-    flagged
+    DupKeying.flagDuplicates(keyed.toDF())
       .select(col("isDup"), explode(col("reads")).as("read"))
       .select(col("isDup"), col("read.*"))
       .withColumn("duplicateRead",
@@ -238,15 +255,8 @@ object AlignmentOps {
         f.alignments, libOfB.value)
     }
 
-    val w = Window
-      .partitionBy("library", "leftRef", "leftPos", "leftStrand",
-        "rightRef", "rightPos", "rightStrand")
-      .orderBy(col("score").desc, col("name").asc)
-
-    keyed.toDF()
-      .withColumn("rank", row_number().over(w))
-      .withColumn("isDup",
-        when(col("leftPos") === -1L, lit(false)).otherwise(col("rank") > 1))
+    DupKeying.flagDuplicates(keyed.toDF())
+      .drop("hasPairedAtLeft")
       .as[FlaggedDupKey]
       .map { fk =>
         Fragment(

@@ -123,13 +123,16 @@ object DedupOps {
         xxhash64(lit("band"), lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("col", "bandHash")
 
+    // distinct column names on the two sides: a self-join on `bandHash ===
+    // bandHash` resolves both references to the SAME attribute, Spark drops
+    // it as trivially true, and the join degenerates to per-band all-pairs.
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("pos").as("band_a"), col("bandHash"))
+      col("pos").as("band_a"), col("bandHash").as("bh_a"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("pos").as("band_b"), col("bandHash"))
+      col("pos").as("band_b"), col("bandHash").as("bh_b"))
     val pairs = a.join(b,
-        a("bandHash") === b("bandHash") && a("band_a") === b("band_b") &&
-          a("id_a") < b("id_b"))
+        col("bh_a") === col("bh_b") && col("band_a") === col("band_b") &&
+          col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
 
     pairs

@@ -23,10 +23,38 @@ object VcfIO {
   private implicit val gEnc: org.apache.spark.sql.Encoder[Genotype] =
     Encoders.product[Genotype]
 
+  /** Reserved INFO keys with per-alternate (Number=A) / per-allele
+    * (Number=R) cardinality, from the VCF 4.3 spec reserved-keys table.
+    * Header ##INFO lines override/extend these in [[read]]. */
+  val ReservedInfoNumbers: Map[String, String] = Map(
+    "AC" -> "A", "AF" -> "A", "CIGAR" -> "A",
+    "AD" -> "R", "ADF" -> "R", "ADR" -> "R")
+
+  private def sliceCsv(v: String, i: Int): String = {
+    val parts = v.split(",", -1)
+    if (i < parts.length) parts(i) else v
+  }
+
+  /** Re-index a diploid/haploid PL vector for the biallelic split keeping
+    * alleles {REF, alt a}: genotype (j,k) lives at k(k+1)/2 + j in the full
+    * vector (VCF spec ordering; converter semantics — reference
+    * VariantContextConverter reshapes PL per ploidy + allele count).
+    * Unsliceable shapes drop the likelihoods rather than carry wrong ones. */
+  private def slicePl(pl: Seq[Double], ploidy: Int, altIdx: Int): Seq[Double] = {
+    val a = altIdx + 1
+    val idx =
+      if (ploidy == 2) Seq(0, a * (a + 1) / 2, a * (a + 1) / 2 + a)
+      else if (ploidy == 1) Seq(0, a)
+      else Seq.empty
+    if (idx.nonEmpty && idx.forall(_ < pl.length)) idx.map(pl) else Seq.empty
+  }
+
   /** Parse one record line into one VariantContext per ALT allele
     * (multi-allelic split, splitFromMultiAllelic flag — converter
-    * semantics). */
-  def parseLine(line: String, samples: Seq[String]): Seq[VariantContext] = {
+    * semantics). Number=A/R INFO fields and the PL vector are sliced
+    * per alternate during the split. */
+  def parseLine(line: String, samples: Seq[String],
+      infoNumber: Map[String, String] = ReservedInfoNumbers): Seq[VariantContext] = {
     val f = line.split("\t", -1)
     val chrom = f(0); val pos = f(1).toLong - 1
     val ids = if (f(2) == ".") Seq.empty[String] else f(2).split(";").toSeq
@@ -48,6 +76,18 @@ object VcfIO {
 
     val isMulti = alts.length > 1
     alts.zipWithIndex.map { case (alt, altIdx) =>
+      val infoForAlt =
+        if (!isMulti) info
+        else info.map { case (k, v) =>
+          infoNumber.get(k) match {
+            case Some("A") => k -> sliceCsv(v, altIdx)
+            case Some("R") =>
+              val parts = v.split(",", -1)
+              k -> (if (altIdx + 1 < parts.length) s"${parts(0)},${parts(altIdx + 1)}"
+                    else v)
+            case _ => k -> v
+          }
+        }
       val variant = Variant(
         referenceName = Some(chrom), start = Some(pos),
         end = Some(pos + ref.length),
@@ -55,7 +95,7 @@ object VcfIO {
         referenceAllele = Some(ref), alternateAllele = Some(alt),
         quality = qual, filtersApplied = filtersApplied,
         filtersPassed = filtersPassed, filtersFailed = filtersFailed,
-        annotation = info)
+        annotation = infoForAlt)
 
       val genotypes = samples.zipWithIndex.flatMap { case (sample, si) =>
         if (f.length <= 9 + si) None
@@ -85,8 +125,11 @@ object VcfIO {
               .filter(_ != ".").map(_.toInt),
             alternateReadDepth = ad.flatMap(_.lift(altIdx + 1))
               .filter(_ != ".").map(_.toInt),
-            genotypeLikelihoods = kv.get("PL").toSeq
-              .flatMap(_.split(",").filter(_ != ".").map(_.toDouble)),
+            genotypeLikelihoods = {
+              val full = kv.get("PL").toSeq
+                .flatMap(_.split(",").filter(_ != ".").map(_.toDouble))
+              if (isMulti) slicePl(full, alleleIdx.length, altIdx) else full
+            },
             attributes = kv -- Seq("GT", "GQ", "DP", "AD", "PL")))
         }
       }
@@ -120,9 +163,22 @@ object VcfIO {
       sequences = SequenceDictionary(contigs),
       samples = samples.map(s => Sample(s)),
       headerLines = headerLines.filter(_.startsWith("##")).map(HeaderLine))
+    // ##INFO=<ID=X,Number=A,...> declarations drive per-alt slicing during
+    // the multi-allelic split; reserved spec keys are the fallback.
+    val headerNumbers: Map[String, String] = headerLines
+      .filter(_.startsWith("##INFO=<"))
+      .flatMap { l =>
+        val body = l.stripPrefix("##INFO=<").stripSuffix(">")
+        val kv = body.split(",").iterator
+          .filter(_.contains('='))
+          .map { p => val j = p.indexOf('='); p.substring(0, j) -> p.substring(j + 1) }
+          .toMap
+        for (id <- kv.get("ID"); num <- kv.get("Number")) yield id -> num
+      }.toMap
+    val infoNumber = ReservedInfoNumbers ++ headerNumbers
     val records = lines
       .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
-      .flatMap(l => parseLine(l, samples))
+      .flatMap(l => parseLine(l, samples, infoNumber))
     VcfBundle(records, meta, samples)
   }
 
@@ -157,7 +213,8 @@ object VcfIO {
       (v.filtersApplied, v.filtersPassed) match {
         case (Some(true), Some(true)) => "PASS"
         case (Some(true), Some(false)) =>
-          if (v.filtersFailed.isEmpty) "FAIL" else v.filtersFailed.mkString(";")
+          // '.' (unknown) when no named filter — "FAIL" is not a spec value
+          if (v.filtersFailed.isEmpty) "." else v.filtersFailed.mkString(";")
         case _ => "."
       },
       if (v.annotation.isEmpty) "."

@@ -72,6 +72,31 @@ class BqsrSpec extends SparkSpec {
     assert(obs.map(_.mismatches).sum == 0)
   }
 
+  test("dinucleotide is reverse-complemented on negative strand") {
+    // stored seq ACGTACGTAC is the reverse complement of the sequenced
+    // read; sequenced-order pair at stored i = (comp(seq(i+1)), comp(seq(i)))
+    val r = read("a", 100L, "ACGTACGTAC", "??????????", "10")
+      .copy(readNegativeStrand = Some(true))
+    val byCycle = Bqsr.observeRead(r, (_, _) => false).toSeq
+      .map(o => o.cycle -> o.dinuc).toMap
+    assert(byCycle(0) == "NN") // stored index 9 is the 5' sequenced end
+    // stored index 8 (cycle 1): (comp('C'), comp('A')) = "GT"
+    assert(byCycle(1) == "GT")
+    // stored index 0 (cycle 9): (comp('C'), comp('A')) = "GT"
+    assert(byCycle(9) == "GT")
+  }
+
+  test("spliced reads key mismatches in MD space (N ops excluded)") {
+    // 4M100N6M with MD "4A5": the mismatch is the first base AFTER the
+    // splice; genomic offset 104 but MD offset 4
+    val r = read("s", 100L, "ACGTACGTAC", "??????????", "4A5")
+      .copy(cigar = Some("4M100N6M"), end = Some(100L + 110L))
+    val obs = Bqsr.observeRead(r, (_, _) => false).toSeq
+    val mm = obs.filter(_.mismatches == 1L)
+    assert(mm.length == 1, s"expected exactly one mismatch, got ${mm.length}")
+    assert(mm.head.cycle == 4)
+  }
+
   test("recalibration moves quality toward empirical rate") {
     // all bases quality 40 ('I') but half the reads mismatch everywhere:
     // empirical quality should drop well below 40
@@ -167,6 +192,36 @@ class RealignIndelsSpec extends SparkSpec {
     assert(out.length == 5)
     assert(out.forall(_.cigar.get == "10M"))
     assert(out.forall(_.originalCigar.isEmpty))
+  }
+
+  test("pipeline never drops reads sharing (readName, start)") {
+    // mate pairs with identical name+start, plus a primary+supplementary
+    // pair at the same position: (readName, start) is NOT a read identity
+    val contigs = ReferenceContigs(Map("chr1" -> ref))
+    val twins = Seq(
+      read("t", 10L, ref.substring(10, 20), "10M"),
+      read("t", 10L, ref.substring(10, 20), "10M"),
+      read("ev", 8L, "GGGGTTTTACGTAAAA", "8M4D8M"), // target evidence
+      read("s", 12L, ref.substring(12, 22), "10M"),
+      read("s", 12L, ref.substring(12, 22), "10M"))
+    val out = RealignIndels(spark.createDataset(twins), contigs).collect()
+    assert(out.length == twins.length,
+      s"reads dropped: got ${out.length}, expected ${twins.length}")
+    assert(out.count(_.readName.contains("t")) == 2)
+    assert(out.count(_.readName.contains("s")) == 2)
+  }
+
+  test("consensus placements are per-read, not per-name") {
+    // both 'mates' share a name; only the second matches the deletion
+    // haplotype — the first must NOT inherit its mate's realignment
+    val withDel = read("pair", 8L, "GGGGTTTTACGTAAAA", "8M4D8M")
+    val cleanMate = read("pair", 24L, ref.substring(24, 34), "10M")
+    val out = RealignIndels.realignTargetGroup(
+      Seq(withDel, cleanMate), ReferenceRegion("chr1", 16, 20),
+      refWindow = ref, windowStart = 0L, lodThreshold = 1.0)
+    val clean = out.find(_.start.contains(24L))
+    assert(clean.isDefined, "clean mate kept its own placement")
+    assert(clean.get.cigar.contains("10M"))
   }
 }
 

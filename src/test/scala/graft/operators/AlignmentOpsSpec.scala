@@ -118,6 +118,24 @@ class AlignmentOpsSpec extends SparkSpec {
     assert(res("p3") == false)
   }
 
+  test("markDuplicates: unpaired fragments at a paired left position are duplicates") {
+    // reference MarkDuplicates rule: when a paired fragment shares the left
+    // 5' position, every unpaired fragment there is a duplicate — even one
+    // scoring higher than the pair
+    val p = Seq(
+      read("pair", start = 100L, paired = true, fragIdx = 0, qual = "5555555555"),
+      read("pair", start = 300L, paired = true, fragIdx = 1, qual = "5555555555",
+        negative = true))
+    val frag = read("frag", start = 100L, qual = "IIIIIIIIII")
+    val lone = read("lone", start = 900L, qual = "IIIIIIIIII")
+    val res = AlignmentOps.markDuplicates(
+        spark.createDataset(p ++ Seq(frag, lone)))
+      .collect().map(r => r.readName.get -> r.duplicateRead.get).toMap
+    assert(res("pair") == false)
+    assert(res("frag") == true) // out-scored by no one, still marked
+    assert(res("lone") == false)
+  }
+
   test("markDuplicateFragments: shuffle-free path agrees with read path") {
     val dup1 = read("low", start = 100L, qual = "##########")
     val dup2 = read("high", start = 100L, qual = "IIIIIIIIII")

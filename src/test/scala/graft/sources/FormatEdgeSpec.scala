@@ -68,6 +68,44 @@ class FormatEdgeSpec extends SparkSpec {
     assert(pairs.head._2.sequence.contains("TTTT"))
   }
 
+  test("multi-allelic split slices Number=A/R INFO and PL per alternate") {
+    val line = "chr1\t100\t.\tA\tC,T\t50\tPASS\t" +
+      "AC=3,4;AF=0.3,0.4;AD=90,5,6;DP=100\tGT:PL\t1/2:10,20,30,40,50,60"
+    val vcs = VcfIO.parseLine(line, Seq("s1"))
+    assert(vcs.length == 2)
+    val v0 = vcs(0).variant.get
+    assert(v0.annotation("AC") == "3")
+    assert(v0.annotation("AF") == "0.3")
+    assert(v0.annotation("AD") == "90,5")   // Number=R: ref + this alt
+    assert(v0.annotation("DP") == "100")    // Number=1: untouched
+    val v1 = vcs(1).variant.get
+    assert(v1.annotation("AC") == "4")
+    assert(v1.annotation("AF") == "0.4")
+    assert(v1.annotation("AD") == "90,6")
+    // diploid PL re-index keeping {REF, alt a}: (0,0),(0,a),(a,a)
+    assert(vcs(0).genotypes.head.genotypeLikelihoods == Seq(10.0, 20.0, 30.0))
+    assert(vcs(1).genotypes.head.genotypeLikelihoods == Seq(10.0, 40.0, 60.0))
+    // single-alt records keep PL verbatim
+    val single = VcfIO.parseLine(
+      "chr1\t200\t.\tG\tC\t50\tPASS\tDP=9\tGT:PL\t0/1:12,0,34", Seq("s1"))
+    assert(single.head.genotypes.head.genotypeLikelihoods == Seq(12.0, 0.0, 34.0))
+  }
+
+  test("failed FILTER with no named filters emits '.', not FAIL") {
+    val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
+      Some(Variant(referenceName = Some("chr1"), start = Some(99L),
+        end = Some(100L), referenceAllele = Some("A"),
+        alternateAllele = Some("T"), filtersApplied = Some(true),
+        filtersPassed = Some(false))), Seq.empty)
+    val cols = VcfIO.toVcfLine(vc, Seq.empty).split("\t")
+    assert(cols(6) == ".")
+    val named = VcfIO.toVcfLine(
+      VariantContext(Some("chr1"), Some(99L), Some(100L),
+        Some(vc.variant.get.copy(filtersFailed = Seq("q10"))), Seq.empty),
+      Seq.empty).split("\t")
+    assert(named(6) == "q10")
+  }
+
   test("VariantAnnotations typed INFO access, Scala and Column") {
     import graft.api.VariantAnnotations._
     val v = Variant(annotation = Map(
