@@ -114,4 +114,127 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col(qid), col("rank"), col(id), col("cosine"))
   }
+
+  // ------------------- embedding-cosine near-duplicates -------------------
+
+  /** Exact embedding-cosine near-duplicate pairs: every (id_a, id_b) with
+    * id_a < id_b and cosine >= threshold. All-pairs — the oracle baseline
+    * and correct at any scale where n² fits (use [[lshNearDuplicates]] as
+    * the 100 TB path). The theta-only join is a cartesian by construction;
+    * the cosine is computed after the id filter halves the pair count. */
+  def cosineNearDuplicates(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Near-duplicate pairs via SRP-LSH banding: candidates share at least
+    * one signature band, then exact cosine verifies. The self-join shuffles
+    * only (band, bandVal)-bucketed rows — never all-pairs — so cost scales
+    * with collision count. Recall < 1 by construction; raise `bands` (or
+    * lower `numBits` per band) to trade cost for recall. */
+  def lshNearDuplicates(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBits: Int = 32, bands: Int = 8): DataFrame = {
+    require(numBits % bands == 0)
+    val rowsPerBand = numBits / bands
+    val mask = (1L << rowsPerBand) - 1
+    val sig = srpSignature(numBits)
+
+    val banded = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sig(col(vecCol)).as("sig"))
+      .select(col("id"), col("vec"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))
+      .select(col("id"), col("vec"), col("pos").as("band"), col("col").as("bandVal"))
+
+    val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("band").as("band_a"), col("bandVal").as("bv_a"))
+    val b = banded.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("band").as("band_b"), col("bandVal").as("bv_b"))
+    a.join(b,
+        col("band_a") === col("band_b") && col("bv_a") === col("bv_b") &&
+          col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ------------------------------- IVF ANN --------------------------------
+
+  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else d / nn
+  }
+
+  /** IVF (inverted-file) approximate top-k — the partition-pruned ANN scale
+    * path: `nCentroids` corpus vectors are sampled deterministically (the
+    * smallest xxhash64(id) values — a bounded driver collect, like a range
+    * partitioner's sample), every corpus vector is assigned map-side to its
+    * nearest centroid (one narrow pass, no shuffle), and each query probes
+    * only its `nProbe` nearest centroid lists. The candidate join shuffles
+    * |corpus| × nProbe/nCentroids rows instead of all-pairs; exact cosine
+    * re-ranks inside the probed lists.
+    *
+    * nProbe == nCentroids degenerates to exact brute force (every list
+    * probed) — asserted in the spec. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 8,
+      qid: String = "qid", qvec: String = "qvec",
+      id: String = "id", vec: String = "vec"): DataFrame = {
+    val spark = corpus.sparkSession
+
+    // deterministic centroid sample: smallest hash-of-id wins (stable
+    // across runs and cluster sizes); bounded collect of nCentroids rows
+    val centroids: Array[(Int, Seq[Float])] = corpus
+      .select(col(id), col(vec))
+      .orderBy(xxhash64(col(id)), col(id))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val centB = spark.sparkContext.broadcast(centroids)
+
+    val nearestC = udf { v: Seq[Float] =>
+      var best = -2.0; var bi = 0
+      centB.value.foreach { case (ci, cv) =>
+        val s = cosSeq(v, cv)
+        if (s > best) { best = s; bi = ci }
+      }
+      bi
+    }
+    val probes = {
+      val np = nProbe
+      udf { v: Seq[Float] =>
+        centB.value.map { case (ci, cv) => (cosSeq(v, cv), ci) }
+          .sortBy { case (s, ci) => (-s, ci) }.take(np).map(_._2)
+      }
+    }
+
+    val assigned = corpus.withColumn("cid", nearestC(col(vec)))
+    val probed = broadcast(
+      queries.withColumn("cid", explode(probes(col(qvec)))))
+
+    val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(id).asc)
+    assigned.join(probed, Seq("cid"))
+      .withColumn("cosine", cosine(col(qvec), col(vec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col("rank"), col(id), col("cosine"))
+  }
 }

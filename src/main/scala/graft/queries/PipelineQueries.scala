@@ -197,6 +197,31 @@ object PipelineQueries extends QuerySet {
         SimilarityOps.lshTopK(q, c, 5, numBits = 16, bands = 8)
           .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
       },
+      None),
+
+    // Embedding-cosine near-duplicate pairs, exact (id pairs only — float
+    // similarity values are not engine-hashable; double-precision math on
+    // both sides so the threshold cut agrees).
+    Query("q37_embedding_neardup",
+      (s, dir) => SimilarityOps.cosineNearDuplicates(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
+
+    // IVF approximate top-k (partition-pruned ANN; rows-only check, exact
+    // equivalence to brute force at nProbe == nCentroids asserted in
+    // ScalaTest).
+    Query("q38_ivf_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        SimilarityOps.ivfTopK(q, c, 5, nCentroids = 32, nProbe = 8)
+          .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
+      },
       None)
   )
 }

@@ -68,4 +68,72 @@ class SimilarityOpsSpec extends SparkSpec {
     val recall = (brute intersect lshSet).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("cosineNearDuplicates finds planted near-identical pairs only") {
+    import spark.implicits._
+    val base = Array.fill(16)(new Random(7).nextFloat() * 2 - 1)
+    val nearDup = base.clone(); nearDup(0) = nearDup(0) + 0.01f
+    val opposite = base.map(-_)
+    val rnd = new Random(8)
+    val noise = (10L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (Seq((0L, base), (1L, nearDup), (2L, opposite)) ++ noise)
+      .toDF("id", "vec")
+    val pairs = SimilarityOps.cosineNearDuplicates(df, "id", "vec", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("lshNearDuplicates recovers exact pairs at high threshold") {
+    import spark.implicits._
+    val rnd = new Random(9)
+    // 5 planted near-dup pairs + noise
+    val planted = (0 until 5).flatMap { g =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val w = v.clone(); w(g) = w(g) + 0.005f
+      Seq((g * 2L, v), (g * 2L + 1, w))
+    }
+    val noise = (100L until 160L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (planted ++ noise).toDF("id", "vec")
+    val exact = SimilarityOps.cosineNearDuplicates(df, "id", "vec", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshNearDuplicates(df, "id", "vec", 0.999,
+      numBits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical vectors agree on every SRP band -> full recall here,
+    // and the cosine verify keeps precision exact
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(exact.size >= 5)
+  }
+
+  test("ivfTopK with nProbe == nCentroids equals brute force") {
+    val corpus = vecs(150, 16, seed = 11)
+    val queries = corpus.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val brute = SimilarityOps.bruteForceTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfTopK(queries, corpus, 5,
+      nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK partial probe keeps self-match and reasonable recall") {
+    val corpus = vecs(200, 16, seed = 12)
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val brute = SimilarityOps.bruteForceTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfTopK(queries, corpus, 5,
+      nCentroids = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // the self vector's list is always probed (it IS its nearest list)
+    for (q <- 0L until 5L)
+      assert(ivf.exists(t => t._1 == q && t._2 == 1 && t._3 == q), s"self $q")
+    val recall = (brute intersect ivf.map(t => (t._1, t._3)).toSet).size
+      .toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
 }
