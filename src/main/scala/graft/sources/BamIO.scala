@@ -11,11 +11,17 @@ import graft.model._
   * 2041-2111; neither ships in this stack, so the record codec is
   * implemented from the spec over the [[Bgzf]] container).
   *
-  * Parallelism model: one stream per FILE (BAM's BGZF blocks are
-  * splittable in principle — hadoop-bam's approach — but block-boundary
-  * discovery is heuristic; per-file tasks are exact and scale across the
-  * many-file layouts produced by distributed writers). Header parsing is
-  * driver-side, record decoding runs in executors.
+  * Parallelism model: BGZF-block-level SPLITS within each file (the
+  * hadoop-bam approach, re-derived from the spec): a split [start, end)
+  * owns every record whose first byte lies in a compressed block starting
+  * inside the range. Boundary discovery scans for the next member header
+  * (any offset is within 64 KiB of one); the first record offset inside a
+  * mid-file split is found by chain-validating candidate record starts
+  * (plausible field ranges + NUL-terminated name + 2 following records).
+  * A record spanning past `end` drains into the next split's blocks, whose
+  * owner skips it by the same ownership rule — so a 100 GB BAM fans out
+  * across executors instead of pinning one task per file. Header parsing
+  * is driver-side, record decoding runs in executors.
   */
 object BamIO {
 
@@ -191,36 +197,161 @@ object BamIO {
       def next(): Alignment = { val r = nextRec; nextRec = advance(); r }
     }
 
-  /** Load BAM file(s): header from the first file driver-side; per-file
-    * record decoding in executors. `path` may be a file or a directory of
-    * part-BAMs. */
-  def read(spark: SparkSession, path: String): GenomicDataset[Alignment] = {
+  /** Iterate records but stop before the first record whose initial byte
+    * belongs to a block at/after `end` — the split-ownership rule. */
+  private def boundedRecordIterator(
+      in: Bgzf.BgzfBlockInput, refNames: Array[String],
+      end: Long): Iterator[Alignment] =
+    new Iterator[Alignment] {
+      private var nextRec: Alignment = advance()
+      private def advance(): Alignment = {
+        if (in.nextByteBlockStart >= end) { in.close(); return null }
+        val szb = new Array[Byte](4)
+        var off = 0
+        while (off < 4) {
+          val r = in.read(szb, off, 4 - off)
+          if (r < 0) { if (off == 0) { in.close(); return null }
+            else throw new EOFException("truncated BAM record header") }
+          off += r
+        }
+        decodeRecord(readFully(in, i32(szb, 0)), refNames)
+      }
+      def hasNext: Boolean = nextRec != null
+      def next(): Alignment = { val r = nextRec; nextRec = advance(); r }
+    }
+
+  /** Is offset `o` in `b` a plausible BAM record start? Field-range checks
+    * plus the NUL terminator of read_name — combined with chain validation
+    * a false positive needs ~10 independent coincidences. */
+  private def plausibleRecord(b: Array[Byte], o: Int, nRef: Int): Int = {
+    if (o + 36 > b.length) return -2 // out of window
+    val bs = i32(b, o)
+    if (bs < 32 || bs > (1 << 22)) return -1
+    val refId = i32(b, o + 4)
+    if (refId < -1 || refId >= nRef) return -1
+    if (i32(b, o + 8) < -1) return -1                  // pos
+    val lrn = b(o + 12) & 0xff
+    if (lrn < 1) return -1
+    val nCigar = u16(b, o + 16)
+    val lSeq = i32(b, o + 20)
+    if (lSeq < 0 || lSeq > (1 << 20)) return -1
+    val nextRef = i32(b, o + 24)
+    if (nextRef < -1 || nextRef >= nRef) return -1
+    if (i32(b, o + 28) < -1) return -1                 // next pos
+    val required = 32 + lrn + 4 * nCigar + (lSeq + 1) / 2 + lSeq
+    if (required > bs) return -1
+    // name NUL terminator (may fall past the window -> treat as unknown)
+    val nameEnd = o + 36 + lrn - 1
+    if (nameEnd < b.length && b(nameEnd) != 0) return -1
+    // cigar op codes are 0..8
+    var k = 0
+    val cigarBase = o + 36 + lrn
+    while (k < math.min(nCigar, 8)) {
+      val co = cigarBase + 4 * k
+      if (co + 4 <= b.length && (i32(b, co) & 0xf) > 8) return -1
+      k += 1
+    }
+    4 + bs // offset delta to the next record
+  }
+
+  /** First offset in `b` (scanning [0, maxScan)) that starts a chain of
+    * `depth` plausible records; -1 when none does. */
+  private[sources] def guessRecordStart(
+      b: Array[Byte], nRef: Int, maxScan: Int, depth: Int = 3): Int = {
+    var o = 0
+    while (o < maxScan) {
+      var cur = o
+      var ok = 0
+      var verdict = 0
+      while (ok < depth && verdict >= 0) {
+        verdict = plausibleRecord(b, cur, nRef)
+        if (verdict > 0) { ok += 1; cur += verdict }
+        else if (verdict == -2 && ok > 0) ok = depth // chain left the window after >=1 hit
+      }
+      if (ok >= depth) return o
+      o += 1
+    }
+    -1
+  }
+
+  /** Records of one split of one BAM file (ownership rule in the class
+    * scaladoc). Split 0 parses the header in place; later splits locate
+    * the next block boundary and guess the first record offset. */
+  private[sources] def splitRecords(
+      fs: org.apache.hadoop.fs.FileSystem, file: String,
+      start: Long, end: Long, refNames: Array[String]): Iterator[Alignment] = {
+    val p = new Path(file)
+    if (start == 0) {
+      val in = new Bgzf.BgzfBlockInput(fs.open(p), 0L)
+      val (_, names) = readHeader(in)
+      boundedRecordIterator(in, names, end)
+    } else {
+      val fileSize = fs.getFileStatus(p).getLen
+      val raw = fs.open(p)
+      raw.seek(start)
+      val b0 = Bgzf.findNextBlockStart(raw, start, fileSize)
+      if (b0 < 0 || b0 >= end) { raw.close(); Iterator.empty }
+      else {
+        raw.seek(b0)
+        val in = new Bgzf.BgzfBlockInput(raw, b0)
+        val firstLen = in.firstUnreadBlockLen
+        if (firstLen == 0) { in.close(); Iterator.empty }
+        else {
+          val win = in.peek(1 << 20)
+          val o = guessRecordStart(win, refNames.length,
+            math.min(firstLen, win.length))
+          if (o < 0) { in.close(); Iterator.empty }
+          else {
+            in.skipFully(o.toLong)
+            boundedRecordIterator(in, refNames, end)
+          }
+        }
+      }
+    }
+  }
+
+  /** Load BAM file(s) with BGZF-block-level splits: header from the first
+    * file driver-side; record decoding fans out over (file, range) splits
+    * in executors. `path` may be a file or a directory of part-BAMs. */
+  def read(spark: SparkSession, path: String,
+      splitSize: Long = 32L << 20): GenomicDataset[Alignment] = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
+    val files: Seq[(String, Long)] =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-          .filterNot(f => f.contains("/_") || f.contains("/."))
-          .sorted.toIndexedSeq
-      else Seq(path)
+        fs.listStatus(p).filter(_.isFile)
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath.toString, f.getLen))
+          .sortBy(_._1).toIndexedSeq
+      else Seq((path, fs.getFileStatus(p).getLen))
 
-    val (meta, _) = {
-      val in = Bgzf.inputStream(fs.open(new Path(files.head)))
+    val (meta, refNames) = {
+      val in = Bgzf.inputStream(fs.open(new Path(files.head._1)))
       try readHeader(in) finally in.close()
     }
 
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
+      if (len <= splitSize + splitSize / 2) Seq((f, 0L, len))
+      else {
+        val n = math.max(1, (len / splitSize).toInt)
+        val step = len / n
+        (0 until n).map(i =>
+          (f, i * step, if (i == n - 1) len else (i + 1) * step))
+      }
+    }
+
     val sc = spark.sparkContext
-    val rdd = sc.parallelize(files, math.max(1, files.length))
-      .flatMap { f =>
+    val refNamesB = sc.broadcast(refNames)
+    val rdd = sc.parallelize(splits, math.max(1, splits.length))
+      .flatMap { case (f, s, e) =>
         // default Hadoop conf in-task (site configs come from the
         // classpath; fine for local FS + default HDFS)
         val fp = new Path(f)
-        val in = Bgzf.inputStream(fp.getFileSystem(
-          new org.apache.hadoop.conf.Configuration()).open(fp))
-        val (_, refNames) = readHeader(in)
-        recordIterator(in, refNames)
+        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        splitRecords(tfs, f, s, e, refNamesB.value)
       }
     GenomicDataset(spark.createDataset(rdd), meta)
   }

@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.io.{InputStream, OutputStream}
-import java.util.zip.{CRC32, Deflater, GZIPInputStream}
+import java.io.{EOFException, InputStream, OutputStream}
+import java.util.zip.{CRC32, Deflater, GZIPInputStream, Inflater}
 
 /** BGZF container codec (public SAM/BAM spec §4.1: gzip members ≤64 KiB
   * uncompressed, each carrying a BC/BSIZE extra subfield, terminated by a
@@ -20,6 +20,222 @@ object Bgzf {
   /** Decompressing stream over a BGZF file. */
   def inputStream(in: InputStream): InputStream =
     new GZIPInputStream(new java.io.BufferedInputStream(in), 1 << 16)
+
+  // ----------------------- block-level (split) reading ---------------------
+
+  private def readFullyOrFail(in: InputStream, b: Array[Byte], off: Int, n: Int): Unit = {
+    var o = off
+    while (o < off + n) {
+      val r = in.read(b, o, off + n - o)
+      if (r < 0) throw new EOFException("truncated BGZF block")
+      o += r
+    }
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Read one BGZF member from a positioned stream: (decompressed payload,
+    * compressed size). None at clean EOF. */
+  def readBlock(in: InputStream): Option[(Array[Byte], Int)] = {
+    val first = in.read()
+    if (first < 0) return None
+    val hdr = new Array[Byte](12)
+    hdr(0) = first.toByte
+    readFullyOrFail(in, hdr, 1, 11)
+    if ((hdr(0) & 0xff) != 0x1f || (hdr(1) & 0xff) != 0x8b ||
+      hdr(2) != 8 || (hdr(3) & 4) == 0)
+      throw new IllegalStateException("not a BGZF member header")
+    val xlen = u16(hdr, 10)
+    val extra = new Array[Byte](xlen)
+    readFullyOrFail(in, extra, 0, xlen)
+    var bsize = -1
+    var i = 0
+    while (i + 4 <= xlen && bsize < 0) {
+      val slen = u16(extra, i + 2)
+      if (extra(i) == 'B' && extra(i + 1) == 'C' && slen == 2)
+        bsize = u16(extra, i + 4)
+      i += 4 + slen
+    }
+    require(bsize >= 0, "BGZF member missing BC subfield")
+    val cdataLen = bsize + 1 - 12 - xlen - 8
+    val cdata = new Array[Byte](cdataLen)
+    readFullyOrFail(in, cdata, 0, cdataLen)
+    val footer = new Array[Byte](8)
+    readFullyOrFail(in, footer, 0, 8)
+    val isize = (footer(4) & 0xff) | ((footer(5) & 0xff) << 8) |
+      ((footer(6) & 0xff) << 16) | ((footer(7) & 0xff) << 24)
+    val out = new Array[Byte](isize)
+    if (isize > 0) {
+      val inf = new Inflater(true)
+      inf.setInput(cdata)
+      var done = 0
+      while (done < isize && !inf.finished())
+        done += inf.inflate(out, done, isize - done)
+      inf.end()
+      if (done != isize) throw new EOFException("short BGZF inflate")
+    }
+    Some((out, bsize + 1))
+  }
+
+  /** Scan the compressed stream (positioned at `from`) for the next BGZF
+    * member boundary at absolute offset >= from. Any byte offset is within
+    * 64 KiB of a boundary (BSIZE <= 0xffff), so a bounded window suffices.
+    * A candidate is accepted only when the member it declares is followed
+    * by another member header (or ends the file) — false magic inside
+    * compressed payload fails that check. Returns -1 when no boundary
+    * exists in [from, fileSize). */
+  def findNextBlockStart(raw: InputStream, from: Long, fileSize: Long): Long = {
+    if (from >= fileSize) return -1L
+    val window = math.min(3L * 65536, fileSize - from).toInt
+    val buf = new Array[Byte](window)
+    var got = 0
+    var r = 0
+    while (got < window && r >= 0) {
+      r = raw.read(buf, got, window - got)
+      if (r > 0) got += r
+    }
+    var i = 0
+    while (i + 18 <= got) {
+      if ((buf(i) & 0xff) == 0x1f && (buf(i + 1) & 0xff) == 0x8b &&
+        buf(i + 2) == 8 && (buf(i + 3) & 4) != 0) {
+        val xlen = u16(buf, i + 10)
+        if (xlen >= 6 && i + 12 + xlen <= got) {
+          var bsize = -1
+          var j = 0
+          while (j + 4 <= xlen && bsize < 0) {
+            val slen = u16(buf, i + 12 + j + 2)
+            if (buf(i + 12 + j) == 'B' && buf(i + 12 + j + 1) == 'C' && slen == 2)
+              bsize = u16(buf, i + 12 + j + 4)
+            j += 4 + slen
+          }
+          if (bsize >= 27) {
+            val nxt = i + bsize + 1
+            val atEof = from + nxt >= fileSize
+            val nextOk = nxt + 4 <= got &&
+              (buf(nxt) & 0xff) == 0x1f && (buf(nxt + 1) & 0xff) == 0x8b &&
+              buf(nxt + 2) == 8 && (buf(nxt + 3) & 4) != 0
+            if (atEof || nextOk) return from + i
+          }
+        }
+      }
+      i += 1
+    }
+    -1L
+  }
+
+  /** Decompressing stream over successive BGZF members that tracks which
+    * compressed block each byte came from — the ownership test for
+    * splittable reads (a split owns records whose first byte lies in a
+    * block starting inside [splitStart, splitEnd); the stream itself never
+    * stops at splitEnd so a spanning record can drain into the next
+    * split's blocks). `peek` preloads without consuming, for record-start
+    * guessing. */
+  final class BgzfBlockInput(raw: InputStream, firstBlockOffset: Long)
+      extends InputStream {
+    private case class Blk(start: Long, data: Array[Byte])
+    private val blocks = new java.util.ArrayDeque[Blk]()
+    private var posInHead = 0
+    private var nextOffset = firstBlockOffset
+    private var eof = false
+
+    private def loadOne(): Boolean =
+      !eof && (readBlock(raw) match {
+        case Some((data, csize)) =>
+          blocks.addLast(Blk(nextOffset, data)); nextOffset += csize; true
+        case None => eof = true; false
+      })
+
+    private def ensureReadable(): Boolean = {
+      while (true) {
+        val h = blocks.peekFirst()
+        if (h == null) { if (!loadOne()) return false }
+        else if (posInHead >= h.data.length) { blocks.pollFirst(); posInHead = 0 }
+        else return true
+      }
+      false
+    }
+
+    /** Compressed offset of the block that will supply the next byte
+      * (lower-bounded by the next unloaded block's offset at a block edge). */
+    def nextByteBlockStart: Long = {
+      val it = blocks.iterator()
+      var first = true
+      while (it.hasNext) {
+        val b = it.next()
+        val consumed = if (first) posInHead else 0
+        if (consumed < b.data.length) return b.start
+        first = false
+      }
+      nextOffset
+    }
+
+    /** Unread length of the first not-fully-consumed block (preloads one). */
+    def firstUnreadBlockLen: Int =
+      if (ensureReadable()) blocks.peekFirst().data.length - posInHead else 0
+
+    /** Copy of the next up-to-maxBytes unread bytes, without consuming. */
+    def peek(maxBytes: Int): Array[Byte] = {
+      var avail = unreadLoaded
+      while (avail < maxBytes && loadOne()) avail = unreadLoaded
+      val out = new Array[Byte](math.min(maxBytes.toLong, avail).toInt)
+      var o = 0
+      val it = blocks.iterator()
+      var first = true
+      while (it.hasNext && o < out.length) {
+        val b = it.next()
+        val from = if (first) posInHead else 0
+        first = false
+        val take = math.min(b.data.length - from, out.length - o)
+        if (take > 0) { System.arraycopy(b.data, from, out, o, take); o += take }
+      }
+      out
+    }
+
+    private def unreadLoaded: Long = {
+      var s = 0L
+      val it = blocks.iterator()
+      var first = true
+      while (it.hasNext) {
+        val b = it.next()
+        s += b.data.length - (if (first) posInHead else 0)
+        first = false
+      }
+      s
+    }
+
+    def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        if (!ensureReadable()) throw new EOFException("skip past BGZF end")
+        val h = blocks.peekFirst()
+        val take = math.min(left, (h.data.length - posInHead).toLong).toInt
+        posInHead += take; left -= take
+      }
+    }
+
+    override def read(): Int =
+      if (!ensureReadable()) -1
+      else {
+        val h = blocks.peekFirst()
+        val v = h.data(posInHead) & 0xff
+        posInHead += 1
+        v
+      }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (len == 0) 0
+      else if (!ensureReadable()) -1
+      else {
+        val h = blocks.peekFirst()
+        val take = math.min(len, h.data.length - posInHead)
+        System.arraycopy(h.data, posInHead, b, off, take)
+        posInHead += take
+        take
+      }
+
+    override def close(): Unit = raw.close()
+  }
 
   /** Writes BGZF members of up to 64 KiB of payload. Close to flush the
     * final member + EOF marker. */

@@ -97,6 +97,88 @@ class BamIOSpec extends SparkSpec {
     assert(back.ds.collect().map(key).toSet == reads.map(key).toSet)
   }
 
+  test("block-split read returns the same multiset as whole-file read") {
+    // enough randomized records to span many BGZF blocks
+    val rnd = new scala.util.Random(13)
+    val bases = "ACGT"
+    val many = (0 until 30000).map { i =>
+      val seq = Array.fill(36)(bases(rnd.nextInt(4))).mkString
+      Alignment(readName = Some(s"r$i"), referenceName = Some("chr1"),
+        start = Some(i.toLong % 9000), end = Some(i.toLong % 9000 + 36),
+        cigar = Some("36M"), sequence = Some(seq),
+        qualityScores = Some("I" * 36), mappingQuality = Some(60),
+        readMapped = Some(true), readPaired = Some(false),
+        readNegativeStrand = Some(i % 2 == 1), mateNegativeStrand = Some(false),
+        primaryAlignment = Some(true), secondaryAlignment = Some(false),
+        supplementaryAlignment = Some(false), duplicateRead = Some(false),
+        failedVendorQualityChecks = Some(false), mateMapped = Some(false),
+        readGroupId = Some("rg1"), attributes = Map("RG" -> "Z:rg1"))
+    }
+    val path = tmpDir() + "/big.bam"
+    BamIO.write(GenomicDataset(spark.createDataset(many), meta), path,
+      asSingleFile = true)
+    val size = new java.io.File(path).length()
+    assert(size > 300000, s"fixture too small to split: $size")
+
+    val whole = BamIO.read(spark, path, splitSize = Long.MaxValue)
+      .ds.collect().map(_.readName.get)
+    assert(whole.length == 30000)
+    // force ~8+ splits; every record must appear exactly once
+    val split = BamIO.read(spark, path, splitSize = size / 8)
+      .ds.collect().map(_.readName.get)
+    assert(split.length == 30000,
+      s"split read lost/duplicated records: ${split.length}")
+    assert(split.sorted.sameElements(whole.sorted))
+  }
+
+  test("record-start guesser rejects mid-record offsets") {
+    val rnd = new scala.util.Random(17)
+    val recs = (0 until 50).map { i =>
+      Alignment(readName = Some(s"q$i"), referenceName = Some("chr1"),
+        start = Some(i.toLong), end = Some(i + 36L), cigar = Some("36M"),
+        sequence = Some(Array.fill(36)("ACGT"(rnd.nextInt(4))).mkString),
+        qualityScores = Some("I" * 36), readMapped = Some(true),
+        readPaired = Some(false), readNegativeStrand = Some(false),
+        mateNegativeStrand = Some(false), primaryAlignment = Some(true),
+        secondaryAlignment = Some(false), supplementaryAlignment = Some(false),
+        duplicateRead = Some(false), failedVendorQualityChecks = Some(false),
+        mateMapped = Some(false))
+    }
+    val path = tmpDir() + "/guess.bam"
+    BamIO.write(GenomicDataset(spark.createDataset(recs), meta), path,
+      asSingleFile = true)
+    // decompress everything, find where records start (right after header)
+    val in = new Bgzf.BgzfBlockInput(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)), 0L)
+    val all = in.peek(1 << 20)
+    in.close()
+    // guessing from offset 0 of the record region must return 0; from 1,
+    // the next record boundary (not some mid-record false positive)
+    val headerLen = {
+      // magic(4) + l_text + text + n_ref + per-ref entries
+      val lText = (all(4) & 0xff) | ((all(5) & 0xff) << 8) |
+        ((all(6) & 0xff) << 16) | ((all(7) & 0xff) << 24)
+      var o = 8 + lText
+      val nRef = (all(o) & 0xff) | ((all(o + 1) & 0xff) << 8) |
+        ((all(o + 2) & 0xff) << 16) | ((all(o + 3) & 0xff) << 24)
+      o += 4
+      (0 until nRef).foreach { _ =>
+        val ln = (all(o) & 0xff) | ((all(o + 1) & 0xff) << 8) |
+          ((all(o + 2) & 0xff) << 16) | ((all(o + 3) & 0xff) << 24)
+        o += 4 + ln + 4
+      }
+      o
+    }
+    val region = all.drop(headerLen)
+    assert(BamIO.guessRecordStart(region, nRef = 2, maxScan = 1) == 0)
+    val rec0Len = 4 + ((region(0) & 0xff) | ((region(1) & 0xff) << 8) |
+      ((region(2) & 0xff) << 16) | ((region(3) & 0xff) << 24))
+    val fromInside = BamIO.guessRecordStart(
+      region.drop(1), nRef = 2, maxScan = region.length - 1)
+    assert(fromInside == rec0Len - 1,
+      s"guesser found $fromInside, expected ${rec0Len - 1}")
+  }
+
   test("SAM -> BAM -> SAM preserves the record line content") {
     val samPath = tmpDir() + "/x.sam"
     val gd = GenomicDataset(spark.createDataset(reads), meta)
