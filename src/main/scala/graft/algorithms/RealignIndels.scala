@@ -36,7 +36,36 @@ object RealignIndels {
 
   // ------------------------- target discovery -----------------------------
 
-  /** Reference spans of indel evidence, merged within maxTargetGap.
+  /** Genomic positions of MD-tag mismatches (walks the CIGAR so D advances
+    * both spaces but N advances only the genome — MD excludes skips). */
+  private def mismatchPositions(r: Alignment): Iterator[(String, Long)] = {
+    val md = r.mismatchingPositions
+    if (md.isEmpty || r.cigar.isEmpty) return Iterator.empty
+    val offsets = graft.functions.GenomicFunctions.mdMismatchOffsets(md.get).toSet
+    if (offsets.isEmpty) return Iterator.empty
+    val ref = r.referenceName.getOrElse("")
+    val out = Iterator.newBuilder[(String, Long)]
+    var refPos = r.start.getOrElse(0L)
+    var mdOff = 0L
+    Cigar.parse(r.cigar.get).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' =>
+          var k = 0L
+          while (k < e.length) {
+            if (offsets.contains(mdOff + k)) out += ((ref, refPos + k))
+            k += 1
+          }
+          refPos += e.length; mdOff += e.length
+        case 'D' => refPos += e.length; mdOff += e.length
+        case 'N' => refPos += e.length
+        case _ =>
+      }
+    }
+    out.result()
+  }
+
+  /** Reference spans of indel AND mismatch evidence (the reference's
+    * IndelRealignmentTarget takes both), merged within maxTargetGap.
     * Output columns: referenceName, start, end, targetId. */
   def findTargets(reads: Dataset[Alignment], maxTargetGap: Long = 100L): DataFrame = {
     import reads.sparkSession.implicits._
@@ -55,7 +84,7 @@ object RealignIndels {
               Iterator((ref, refPos, refPos + 1))
             case _ => Iterator.empty
           }
-        }
+        } ++ mismatchPositions(r).map { case (n, p) => (n, p, p + 1) }
       }
     }.toDF("referenceName", "start", "end").distinct()
 
@@ -128,15 +157,65 @@ object RealignIndels {
     (bi, best)
   }
 
+  /** Consensus from a Smith-Waterman alignment of the read against the
+    * reference window (ConsensusGeneratorFromSmithWaterman semantics):
+    * realign the raw sequence and collapse the indel region the local
+    * alignment introduces. A repeat can make SW fragment one event into
+    * several small gaps tied at equal score (e.g. 1D + 3D around an ACGT
+    * repeat), so the consensus spans first-indel-start .. last-indel-end
+    * in reference space with the read bases consumed in between as the
+    * alt — net-equivalent to the contiguous event. Only useful for reads
+    * whose stored CIGAR has no indel. */
+  private[algorithms] def indelFromSW(
+      r: Alignment, refWindow: String, windowStart: Long): Option[Consensus] = {
+    val seq = r.sequence.getOrElse("")
+    if (seq.isEmpty) return None
+    val a = SmithWaterman.align(seq, refWindow)
+    var refPos = windowStart + a.yStart
+    var readPos = a.xStart
+    var firstRefStart = -1L
+    var lastRefEnd = -1L
+    var altStartRead = -1
+    var altEndRead = -1
+    Cigar.parse(a.cigarX).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' => refPos += e.length; readPos += e.length
+        case 'D' =>
+          if (firstRefStart < 0) { firstRefStart = refPos; altStartRead = readPos }
+          refPos += e.length
+          lastRefEnd = refPos; altEndRead = readPos
+        case 'I' =>
+          if (firstRefStart < 0) { firstRefStart = refPos; altStartRead = readPos }
+          readPos += e.length
+          lastRefEnd = refPos; altEndRead = readPos
+        case _ =>
+      }
+    }
+    if (firstRefStart < 0 || altEndRead > seq.length) None
+    else Some(Consensus(firstRefStart, lastRefEnd,
+      seq.substring(altStartRead, altEndRead)))
+  }
+
   def realignTargetGroup(
       reads: Seq[Alignment],
       target: ReferenceRegion,
       refWindow: String,
       windowStart: Long,
-      lodThreshold: Double = 5.0): Seq[Alignment] = {
+      lodThreshold: Double = 5.0,
+      useSmithWaterman: Boolean = false,
+      knownIndels: Seq[Consensus] = Nil): Seq[Alignment] = {
 
-    // candidate consensuses from the indels the reads carry
-    val consensuses = reads.flatMap(indelOf).distinct
+    // candidate consensuses: observed indels (ConsensusGeneratorFromReads),
+    // known variant sites inside the window (FromKnowns), and optionally
+    // SW-realigned indel-free reads (FromSmithWaterman)
+    val observed = reads.flatMap(indelOf)
+    val knowns = knownIndels.filter(c =>
+      c.start >= windowStart && c.end <= windowStart + refWindow.length)
+    val swDerived =
+      if (!useSmithWaterman) Nil
+      else reads.filter(r => indelOf(r).isEmpty)
+        .flatMap(indelFromSW(_, refWindow, windowStart))
+    val consensuses = (observed ++ knowns ++ swDerived).distinct
     if (consensuses.isEmpty) return reads
 
     // score all reads against the reference window as-is
@@ -192,15 +271,24 @@ object RealignIndels {
             else if (hapStart >= cs + altLen) hapStart - altLen + refLen
             else hapStart
           val readEndHap = hapStart + readLen
+          // replacement consensus (altLen, refLen both > 0) = match the
+          // alt bases then the net indel: (before+alt)M (ref-alt)D after M
+          // or (before+ref)M (alt-ref)I after M; pure ins/del are the
+          // degenerate cases
           val newCigar =
             if (readEndHap <= cs || hapStart >= cs + altLen) s"${readLen}M"
             else {
               val before = (cs - hapStart).toInt
-              val after = readLen - before - altLen
+              val after = (readLen - before - altLen).toInt
               if (before <= 0 || after < 0) s"${readLen}M"
-              else if (refLen == 0) s"${before}M${altLen}I${after}M"
-              else if (altLen == 0) s"${before}M${refLen}D${readLen - before}M"
-              else s"${readLen}M"
+              else if (refLen == altLen) s"${readLen}M"
+              else if (refLen > altLen) {
+                val d = refLen - altLen
+                s"${before + altLen}M${d}D" + (if (after > 0) s"${after}M" else "")
+              } else {
+                val ins = altLen - refLen
+                s"${before + refLen}M${ins}I" + (if (after > 0) s"${after}M" else "")
+              }
             }
           r.copy(
             start = Some(newStart),
@@ -220,10 +308,15 @@ object RealignIndels {
       contigs: ReferenceContigs,
       maxTargetGap: Long = 100L,
       pad: Long = 150L,
-      lodThreshold: Double = 5.0): Dataset[Alignment] = {
+      lodThreshold: Double = 5.0,
+      useSmithWaterman: Boolean = false,
+      knownIndels: Seq[(String, Consensus)] = Nil): Dataset[Alignment] = {
     val spark = reads.sparkSession
     import spark.implicits._
     val refB = spark.sparkContext.broadcast(contigs)
+    val knownsB = spark.sparkContext.broadcast(
+      knownIndels.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) })
+    val useSW = useSmithWaterman
 
     val targets = findTargets(reads, maxTargetGap)
       .select(col("referenceName").as("t_ref"), col("start").as("t_start"),
@@ -263,7 +356,8 @@ object RealignIndels {
           val window = refB.value.extract(
             ReferenceRegion(tRef, winStart, tEnd + padV))
           realignTargetGroup(aligns, ReferenceRegion(tRef, tStart, tEnd),
-            window, winStart, lod).iterator
+            window, winStart, lod, useSW,
+            knownsB.value.getOrElse(tRef, Nil)).iterator
         }
       }
     result

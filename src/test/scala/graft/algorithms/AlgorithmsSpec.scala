@@ -211,6 +211,41 @@ class RealignIndelsSpec extends SparkSpec {
     assert(out.count(_.readName.contains("s")) == 2)
   }
 
+  test("Smith-Waterman consensus realigns without an evidence read") {
+    // NO read carries the deletion in its CIGAR; the SW generator must
+    // discover it from the force-aligned mismatching read itself
+    val seqNoDel = ref.substring(10, 16) + ref.substring(20, 30)
+    val misaligned = (0 until 3).map(i =>
+      read(s"mis$i", 10L, seqNoDel, "16M"))
+    val out = RealignIndels.realignTargetGroup(
+      misaligned, ReferenceRegion("chr1", 16, 20),
+      refWindow = ref, windowStart = 0L, lodThreshold = 1.0,
+      useSmithWaterman = true)
+    assert(out.exists(_.cigar.exists(_.contains("D"))),
+      s"expected SW-derived deletion, got ${out.map(_.cigar)}")
+  }
+
+  test("known-indel consensus realigns without an evidence read") {
+    val seqNoDel = ref.substring(10, 16) + ref.substring(20, 30)
+    val misaligned = (0 until 3).map(i =>
+      read(s"mis$i", 10L, seqNoDel, "16M"))
+    val out = RealignIndels.realignTargetGroup(
+      misaligned, ReferenceRegion("chr1", 16, 20),
+      refWindow = ref, windowStart = 0L, lodThreshold = 1.0,
+      knownIndels = Seq(RealignIndels.Consensus(16L, 20L, "")))
+    assert(out.exists(_.cigar.exists(_.contains("D"))),
+      s"expected known-indel deletion, got ${out.map(_.cigar)}")
+  }
+
+  test("findTargets picks up mismatch evidence from MD tags") {
+    val reads = spark.createDataset(Seq(
+      read("m", 100L, "ACGTACGTAC", "10M")
+        .copy(mismatchingPositions = Some("4A5"))))
+    val ts = RealignIndels.findTargets(reads, maxTargetGap = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ts.toSeq == Seq(("chr1", 104L, 105L)))
+  }
+
   test("consensus placements are per-read, not per-name") {
     // both 'mates' share a name; only the second matches the deletion
     // haplotype — the first must NOT inherit its mate's realignment
