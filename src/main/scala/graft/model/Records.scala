@@ -155,9 +155,14 @@ case class Genotype(
     quality: Option[Double] = None,
     genotypeQuality: Option[Int] = None,
     readDepth: Option[Int] = None,
+    minReadDepth: Option[Int] = None,
     referenceReadDepth: Option[Int] = None,
     alternateReadDepth: Option[Int] = None,
     genotypeLikelihoods: Seq[Double] = Seq.empty,
+    strandBiasComponents: Seq[Int] = Seq.empty,
+    splitFromMultiAllelic: Option[Boolean] = None,
+    phaseSetId: Option[Int] = None,
+    phaseQuality: Option[Int] = None,
     attributes: Map[String, String] = Map.empty)
 
 /** Site + all genotypes at the site (models/VariantContext.scala:113; SQL

@@ -30,6 +30,14 @@ object VcfIO {
     "AC" -> "A", "AF" -> "A", "CIGAR" -> "A",
     "AD" -> "R", "ADF" -> "R", "ADR" -> "R")
 
+  /** Reserved FORMAT keys with per-alternate / per-allele / per-genotype
+    * cardinality (VCF 4.3 spec table); drives slicing of passthrough
+    * genotype attributes during the multi-allelic split. */
+  val ReservedFormatNumbers: Map[String, String] = Map(
+    "EC" -> "A",
+    "AD" -> "R", "ADF" -> "R", "ADR" -> "R",
+    "GL" -> "G", "GP" -> "G", "PL" -> "G", "PP" -> "G")
+
   private def sliceCsv(v: String, i: Int): String = {
     val parts = v.split(",", -1)
     if (i < parts.length) parts(i) else v
@@ -49,12 +57,39 @@ object VcfIO {
     if (idx.nonEmpty && idx.forall(_ < pl.length)) idx.map(pl) else Seq.empty
   }
 
+  /** Slice a comma-separated FORMAT value by its declared Number for the
+    * biallelic split keeping {REF, alt a} (A = per-alt element, R = ref +
+    * alt elements, G = genotype re-index for ploidy 1/2). Unsliceable
+    * shapes pass through unchanged. */
+  private def sliceFormatValue(
+      v: String, number: String, ploidy: Int, altIdx: Int): String = {
+    val a = altIdx + 1
+    number match {
+      case "A" => sliceCsv(v, altIdx)
+      case "R" =>
+        val parts = v.split(",", -1)
+        if (a < parts.length) s"${parts(0)},${parts(a)}" else v
+      case "G" =>
+        val parts = v.split(",", -1)
+        val idx =
+          if (ploidy == 2) Seq(0, a * (a + 1) / 2, a * (a + 1) / 2 + a)
+          else if (ploidy == 1) Seq(0, a)
+          else Seq.empty
+        if (idx.nonEmpty && idx.forall(_ < parts.length))
+          idx.map(parts).mkString(",")
+        else v
+      case _ => v
+    }
+  }
+
   /** Parse one record line into one VariantContext per ALT allele
     * (multi-allelic split, splitFromMultiAllelic flag — converter
-    * semantics). Number=A/R INFO fields and the PL vector are sliced
-    * per alternate during the split. */
+    * semantics). Number=A/R INFO fields, the PL/GL vectors, and
+    * Number=A/R/G FORMAT attributes are sliced per alternate during the
+    * split. */
   def parseLine(line: String, samples: Seq[String],
-      infoNumber: Map[String, String] = ReservedInfoNumbers): Seq[VariantContext] = {
+      infoNumber: Map[String, String] = ReservedInfoNumbers,
+      formatNumber: Map[String, String] = ReservedFormatNumbers): Seq[VariantContext] = {
     val f = line.split("\t", -1)
     val chrom = f(0); val pos = f(1).toLong - 1
     val ids = if (f(2) == ".") Seq.empty[String] else f(2).split(";").toSeq
@@ -114,6 +149,14 @@ object VcfIO {
           def intField(k: String): Option[Int] =
             kv.get(k).filter(v => v != "." && v.nonEmpty).map(_.toInt)
           val ad = kv.get("AD").map(_.split(",").toSeq)
+          val typedKeys = Seq("GT", "GQ", "DP", "AD", "PL", "GL",
+            "MIN_DP", "PS", "PQ", "SB")
+          val restAttrs = (kv -- typedKeys).map { case (k, v) =>
+            k -> (if (isMulti)
+              sliceFormatValue(v, formatNumber.getOrElse(k, "."),
+                alleleIdx.length, altIdx)
+            else v)
+          }
           Some(Genotype(
             referenceName = Some(chrom), start = Some(pos),
             end = Some(pos + ref.length),
@@ -121,16 +164,25 @@ object VcfIO {
             alleles = alleles, phased = Some(phased),
             genotypeQuality = intField("GQ"),
             readDepth = intField("DP"),
+            minReadDepth = intField("MIN_DP"),
+            phaseSetId = intField("PS"),
+            phaseQuality = intField("PQ"),
+            strandBiasComponents = kv.get("SB").toSeq
+              .flatMap(_.split(",").filter(v => v != "." && v.nonEmpty)
+                .map(_.toInt)),
+            splitFromMultiAllelic = Some(isMulti),
             referenceReadDepth = ad.flatMap(_.headOption)
               .filter(_ != ".").map(_.toInt),
             alternateReadDepth = ad.flatMap(_.lift(altIdx + 1))
               .filter(_ != ".").map(_.toInt),
             genotypeLikelihoods = {
-              val full = kv.get("PL").toSeq
+              // PL preferred; GL (log10 likelihoods) as fallback, sliced
+              // with the same genotype re-index
+              val full = kv.get("PL").orElse(kv.get("GL")).toSeq
                 .flatMap(_.split(",").filter(_ != ".").map(_.toDouble))
               if (isMulti) slicePl(full, alleleIdx.length, altIdx) else full
             },
-            attributes = kv -- Seq("GT", "GQ", "DP", "AD", "PL")))
+            attributes = restAttrs))
         }
       }
       VariantContext(Some(chrom), Some(pos), Some(pos + ref.length),
@@ -163,22 +215,23 @@ object VcfIO {
       sequences = SequenceDictionary(contigs),
       samples = samples.map(s => Sample(s)),
       headerLines = headerLines.filter(_.startsWith("##")).map(HeaderLine))
-    // ##INFO=<ID=X,Number=A,...> declarations drive per-alt slicing during
-    // the multi-allelic split; reserved spec keys are the fallback.
-    val headerNumbers: Map[String, String] = headerLines
-      .filter(_.startsWith("##INFO=<"))
+    // ##INFO/##FORMAT <ID=X,Number=A,...> declarations drive per-alt
+    // slicing during the multi-allelic split; reserved spec keys fallback.
+    def numbersOf(prefix: String): Map[String, String] = headerLines
+      .filter(_.startsWith(s"##$prefix=<"))
       .flatMap { l =>
-        val body = l.stripPrefix("##INFO=<").stripSuffix(">")
+        val body = l.stripPrefix(s"##$prefix=<").stripSuffix(">")
         val kv = body.split(",").iterator
           .filter(_.contains('='))
           .map { p => val j = p.indexOf('='); p.substring(0, j) -> p.substring(j + 1) }
           .toMap
         for (id <- kv.get("ID"); num <- kv.get("Number")) yield id -> num
       }.toMap
-    val infoNumber = ReservedInfoNumbers ++ headerNumbers
+    val infoNumber = ReservedInfoNumbers ++ numbersOf("INFO")
+    val formatNumber = ReservedFormatNumbers ++ numbersOf("FORMAT")
     val records = lines
       .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
-      .flatMap(l => parseLine(l, samples, infoNumber))
+      .flatMap(l => parseLine(l, samples, infoNumber, formatNumber))
     VcfBundle(records, meta, samples)
   }
 
@@ -222,6 +275,9 @@ object VcfIO {
         .map { case (k, vv) => if (vv == "true") k else s"$k=$vv" }
         .mkString(";"))
     val bySample = vc.genotypes.flatMap(g => g.sampleId.map(_ -> g)).toMap
+    val anyPl = vc.genotypes.exists(_.genotypeLikelihoods.nonEmpty)
+    val anyPs = vc.genotypes.exists(_.phaseSetId.nonEmpty)
+    val fmt = "GT:GQ:DP" + (if (anyPl) ":PL" else "") + (if (anyPs) ":PS" else "")
     val gts = samples.map { s =>
       bySample.get(s).map { g =>
         val gtSep = if (g.phased.getOrElse(false)) "|" else "/"
@@ -231,12 +287,18 @@ object VcfIO {
           case "NO_CALL" => "."
           case _ => "2"
         }.mkString(gtSep)
-        (Seq(gt) ++ g.genotypeQuality.map(_.toString) ++
-          g.readDepth.map(_.toString)).mkString(":")
+        (Seq(gt,
+          g.genotypeQuality.map(_.toString).getOrElse("."),
+          g.readDepth.map(_.toString).getOrElse(".")) ++
+          (if (anyPl) Seq(
+            if (g.genotypeLikelihoods.isEmpty) "."
+            else g.genotypeLikelihoods.map(d => fmtDouble(d)).mkString(",")) else Nil) ++
+          (if (anyPs) Seq(g.phaseSetId.map(_.toString).getOrElse(".")) else Nil))
+          .mkString(":")
       }.getOrElse("./.")
     }
     if (samples.isEmpty) base.mkString("\t")
-    else (base ++ Seq("GT:GQ:DP") ++ gts).mkString("\t")
+    else (base ++ Seq(fmt) ++ gts).mkString("\t")
   }
 
   def write(

@@ -91,6 +91,34 @@ class FormatEdgeSpec extends SparkSpec {
     assert(single.head.genotypes.head.genotypeLikelihoods == Seq(12.0, 0.0, 34.0))
   }
 
+  test("typed FORMAT fields: PS/PQ/SB/MIN_DP, and Number=A/G attribute slicing") {
+    val line = "chr1\t300\t.\tA\tC,T\t99\tPASS\tDP=44\t" +
+      "GT:DP:MIN_DP:PS:PQ:SB:EC:GP\t" +
+      "1|2:30:25:7:40:10,2,9,3:5,6:0.9,0.05,0.01,0.02,0.01,0.01"
+    val vcs = VcfIO.parseLine(line, Seq("s1"))
+    val g0 = vcs(0).genotypes.head
+    assert(g0.readDepth.contains(30))
+    assert(g0.minReadDepth.contains(25))
+    assert(g0.phaseSetId.contains(7))
+    assert(g0.phaseQuality.contains(40))
+    assert(g0.phased.contains(true))
+    assert(g0.strandBiasComponents == Seq(10, 2, 9, 3))
+    assert(g0.splitFromMultiAllelic.contains(true))
+    // EC is Number=A (reserved): per-alt element
+    assert(g0.attributes("EC") == "5")
+    assert(vcs(1).genotypes.head.attributes("EC") == "6")
+    // GP is Number=G: diploid re-index (0,0),(0,a),(a,a)
+    assert(g0.attributes("GP") == "0.9,0.05,0.01")
+    assert(vcs(1).genotypes.head.attributes("GP") == "0.9,0.02,0.01")
+  }
+
+  test("GL fallback feeds genotypeLikelihoods when PL absent") {
+    val vcs = VcfIO.parseLine(
+      "chr1\t400\t.\tG\tA\t50\tPASS\tDP=9\tGT:GL\t0/1:-0.1,-1.2,-3.4",
+      Seq("s1"))
+    assert(vcs.head.genotypes.head.genotypeLikelihoods == Seq(-0.1, -1.2, -3.4))
+  }
+
   test("failed FILTER with no named filters emits '.', not FAIL") {
     val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
       Some(Variant(referenceName = Some("chr1"), start = Some(99L),
