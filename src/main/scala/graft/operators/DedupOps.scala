@@ -130,16 +130,17 @@ object DedupOps {
       col("pos").as("band_a"), col("bandHash").as("bh_a"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("pos").as("band_b"), col("bandHash").as("bh_b"))
-    val pairs = a.join(b,
+    // estimate at the band-match site (signatures in hand), THEN dedup
+    // multi-band hits on narrow (id, id, est) rows — the signature arrays
+    // are never shuffled
+    a.join(b,
         col("bh_a") === col("bh_b") && col("band_a") === col("band_b") &&
           col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-
-    pairs
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
             when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }

@@ -28,10 +28,29 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, 0.0).otherwise(d / n)
+  /** Cosine similarity. Implemented as a tight-loop UDF, not
+    * zip_with/aggregate: Spark's higher-order functions are CodegenFallback
+    * (interpreted per row), which is ruinous inside an all-pairs join —
+    * the JVM loop is ~100× faster and sums in the same left-to-right index
+    * order, so results are bit-identical to the declarative form (and to
+    * DuckDB's list_cosine_similarity over DOUBLE[]). */
+  def cosine(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
+
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null) 0.0
+    else {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0.0 else d / nn
+    }
   }
 
   /** Exact cosine top-k of each query vector against the corpus.
@@ -118,19 +137,59 @@ object SimilarityOps {
   // ------------------- embedding-cosine near-duplicates -------------------
 
   /** Exact embedding-cosine near-duplicate pairs: every (id_a, id_b) with
-    * id_a < id_b and cosine >= threshold. All-pairs — the oracle baseline
-    * and correct at any scale where n² fits (use [[lshNearDuplicates]] as
-    * the 100 TB path). The theta-only join is a cartesian by construction;
-    * the cosine is computed after the id filter halves the pair count. */
+    * id_a < id_b and cosine >= threshold (ids must be integral). All-pairs
+    * is inherently O(n²): this exact variant broadcasts the (id, vector,
+    * norm) table — right while the table fits executor memory (~10M × 64-d
+    * doubles ≈ 5 GB); beyond that use [[lshNearDuplicates]], which never
+    * materializes all pairs. The n² dot products stay distributed: each
+    * task computes its rows against the broadcast side in a primitive-array
+    * loop (a nested-loop join evaluating a per-pair UDF measures ~100×
+    * slower from per-probe deserialization alone). Norms are precomputed
+    * per vector; the summation order matches the per-pair formula
+    * bit-for-bit, so the threshold cut agrees with DuckDB's
+    * list_cosine_similarity over DOUBLE[]. */
   def cosineNearDuplicates(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = vectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+
+    def normOf(v: Array[Double]): Double = {
+      var na = 0.0; var i = 0
+      while (i < v.length) { na += v(i) * v(i); i += 1 }
+      math.sqrt(na)
+    }
+
+    val table: Array[(Long, Array[Double], Double)] = rows.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (r.getLong(0), v, normOf(v))
+    }
+    val tableB = spark.sparkContext.broadcast(table)
+    val th = threshold
+
+    rows.as[(Long, Seq[Double])].mapPartitions { it =>
+      val all = tableB.value
+      it.flatMap { case (id, vSeq) =>
+        val v = vSeq.toArray
+        val myNorm = normOf(v)
+        all.iterator.flatMap { case (oid, ov, onorm) =>
+          if (oid <= id) Iterator.empty
+          else {
+            var d = 0.0
+            var i = 0
+            val n = math.min(v.length, ov.length)
+            while (i < n) { d += v(i) * ov(i); i += 1 }
+            val nn = myNorm * onorm
+            val cos = if (nn == 0.0) 0.0 else d / nn
+            if (cos >= th) Iterator.single((id, oid)) else Iterator.empty
+          }
+        }
+      }
+    }.toDF("id_a", "id_b")
   }
 
   /** Near-duplicate pairs via SRP-LSH banding: candidates share at least
