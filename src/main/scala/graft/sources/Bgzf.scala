@@ -235,7 +235,86 @@ object Bgzf {
       }
 
     override def close(): Unit = raw.close()
+
+    /** Read one '\n'-terminated line: (text without terminator, block
+      * offset of the terminator byte — of the last byte when the final
+      * line is unterminated). Null at EOF. */
+    def readLine(): (String, Long) = {
+      if (!ensureReadable()) return null
+      val sb = new java.io.ByteArrayOutputStream(128)
+      var termBlock = -1L
+      var done = false
+      while (!done) {
+        if (!ensureReadable()) { done = true }
+        else {
+          val h = blocks.peekFirst()
+          val blockStart = h.start
+          val b = h.data(posInHead)
+          posInHead += 1
+          if (b == '\n') { termBlock = blockStart; done = true }
+          else { sb.write(b); termBlock = blockStart }
+        }
+      }
+      (new String(sb.toByteArray, "UTF-8"), termBlock)
+    }
   }
+
+  /** Lines of one split of a BGZF text file. Ownership: a split owns every
+    * line whose terminating '\n' lives in a block starting inside
+    * [start, end) (the final unterminated line belongs to the split owning
+    * its last byte). Each split discards through the first newline when
+    * start > 0 (the previous split reads that line, draining past its own
+    * end), so every line is read exactly once with no cross-split
+    * coordination. */
+  def splitLines(
+      raw: InputStream, fileSize: Long, start: Long, end: Long,
+      seek: Long => Unit): Iterator[String] = {
+    val b0 =
+      if (start == 0L) 0L
+      else {
+        seek(start)
+        findNextBlockStart(raw, start, fileSize)
+      }
+    if (b0 < 0 || b0 >= end) { raw.close(); return Iterator.empty }
+    if (start > 0L) seek(b0)
+    val in = new BgzfBlockInput(raw, b0)
+    var stopped = false
+    if (start > 0L) {
+      val first = in.readLine()
+      // the discarded partial line may already drain past end — then the
+      // whole split belongs to the previous reader
+      if (first == null || first._2 >= end) stopped = true
+    }
+    new Iterator[String] {
+      private var nextLine: String = advance()
+      private def advance(): String = {
+        if (stopped) { in.close(); return null }
+        val l = in.readLine()
+        if (l == null) { in.close(); return null }
+        if (l._2 >= end) stopped = true // last owned line (drained past end)
+        l._1
+      }
+      def hasNext: Boolean = nextLine != null
+      def next(): String = { val r = nextLine; nextLine = advance(); r }
+    }
+  }
+
+  /** Does this file start with a BGZF member (vs plain gzip / plain text)? */
+  def isBgzf(header: Array[Byte]): Boolean =
+    header.length >= 18 && (header(0) & 0xff) == 0x1f &&
+      (header(1) & 0xff) == 0x8b && header(2) == 8 && (header(3) & 4) != 0 &&
+      {
+        val xlen = (header(10) & 0xff) | ((header(11) & 0xff) << 8)
+        var i = 0
+        var found = false
+        while (i + 4 <= math.min(xlen, header.length - 12) && !found) {
+          val slen = (header(12 + i + 2) & 0xff) | ((header(12 + i + 3) & 0xff) << 8)
+          if (header(12 + i) == 'B' && header(12 + i + 1) == 'C' && slen == 2)
+            found = true
+          i += 4 + slen
+        }
+        found
+      }
 
   /** Writes BGZF members of up to 64 KiB of payload. Close to flush the
     * final member + EOF marker. */

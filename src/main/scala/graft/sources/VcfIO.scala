@@ -197,7 +197,12 @@ object VcfIO {
 
   def read(spark: SparkSession, path: String): VcfBundle = {
     import spark.implicits._
-    val lines = spark.read.textFile(path)
+    // bgzipped VCF reads through the splittable BGZF text path (block-level
+    // parallelism within one file); plain text through the native reader
+    val lines =
+      if (path.endsWith(".gz") || path.endsWith(".bgz"))
+        BgzfText.readLines(spark, path)
+      else spark.read.textFile(path)
     val headerLines = lines.filter((l: String) => l.startsWith("#")).collect().toSeq
     val samples = headerLines.find(_.startsWith("#CHROM")).toSeq
       .flatMap(_.split("\t").drop(9))

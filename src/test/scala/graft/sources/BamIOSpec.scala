@@ -179,6 +179,48 @@ class BamIOSpec extends SparkSpec {
       s"guesser found $fromInside, expected ${rec0Len - 1}")
   }
 
+  test("BGZF text: split reads return every line exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // variable-length lines so terminators land at arbitrary block offsets
+    val lines = (0 until 60000).map(i =>
+      s"line-$i-" + ("x" * rnd.nextInt(60)))
+    val path = tmpDir() + "/text.gz"
+    BgzfText.writeLines(spark.createDataset(lines), path, asSingleFile = true)
+    val size = new java.io.File(path).length()
+    assert(size > 150000, s"fixture too small: $size")
+
+    val whole = BgzfText.readLines(spark, path, splitSize = Long.MaxValue)
+      .collect()
+    assert(whole.length == 60000)
+    assert(whole.sorted.sameElements(lines.sorted))
+    val split = BgzfText.readLines(spark, path, splitSize = size / 7).collect()
+    assert(split.length == 60000,
+      s"split text read lost/duplicated lines: ${split.length}")
+    assert(split.sorted.sameElements(lines.sorted))
+  }
+
+  test("bgzipped VCF round-trips through the splittable path") {
+    import spark.implicits._
+    val header =
+      "##fileformat=VCFv4.2\n" +
+        "##contig=<ID=chr1,length=10000>\n" +
+        "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+    val body = (1 to 5000).map(i =>
+      s"chr1\t$i\t.\tA\tC\t50\tPASS\tDP=$i\tGT:DP\t0/1:$i")
+    val path = tmpDir() + "/x.vcf.gz"
+    BgzfText.writeLines(spark.createDataset(body), path,
+      asSingleFile = true, header = Some(header))
+    val b = VcfIO.read(spark, path)
+    assert(b.samples == Seq("s1"))
+    assert(b.meta.sequences.records.map(_.name) == Seq("chr1"))
+    val vcs = b.contexts.collect()
+    assert(vcs.length == 5000)
+    assert(vcs.flatMap(_.genotypes).flatMap(_.readDepth).sum ==
+      (1 to 5000).sum)
+  }
+
   test("SAM -> BAM -> SAM preserves the record line content") {
     val samPath = tmpDir() + "/x.sam"
     val gd = GenomicDataset(spark.createDataset(reads), meta)
