@@ -356,6 +356,87 @@ object BamIO {
     GenomicDataset(spark.createDataset(rdd), meta)
   }
 
+  /** Region-pruned read of an indexed single-file BAM (`loadIndexedBam`,
+    * ADAMContext.scala:2125-2243): the `.bai` sidecar maps the query
+    * regions to compressed chunks; only those byte ranges are opened.
+    * Chunks from all regions are merged to a disjoint list (each record is
+    * decoded exactly once) and fan out as one task per chunk; decoded
+    * records are filtered against the query set. */
+  def readIndexed(
+      spark: SparkSession, path: String,
+      regions: Seq[graft.model.ReferenceRegion]): GenomicDataset[Alignment] = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val (meta, refNames) = {
+      val in = Bgzf.inputStream(fs.open(p))
+      try readHeader(in) finally in.close()
+    }
+    val index = {
+      val in = fs.open(new Path(path + ".bai"))
+      try Bai.read(in) finally in.close()
+    }
+    val refIdx = refNames.zipWithIndex.toMap
+    val allChunks = regions
+      .flatMap { rr =>
+        refIdx.get(rr.referenceName).toSeq.flatMap(ri =>
+          Bai.chunksForRegion(index, ri, rr.start, rr.end))
+      }
+      .sortBy(_.beg)
+    // merge to disjoint ranges so no record decodes twice
+    val merged = allChunks.foldLeft(List.empty[Bai.Chunk]) { (acc, c) =>
+      acc match {
+        case h :: t if (c.beg >> 16) <= (h.end >> 16) =>
+          h.copy(end = math.max(h.end, c.end)) :: t
+        case _ => c :: acc
+      }
+    }.reverse
+
+    val sc = spark.sparkContext
+    val refNamesB = sc.broadcast(refNames)
+    val regionsB = sc.broadcast(regions)
+    val file = path
+    val rdd = sc.parallelize(merged, math.max(1, merged.length))
+      .flatMap { chunk =>
+        val fp = new Path(file)
+        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val raw = tfs.open(fp)
+        val coffset = chunk.beg >> 16
+        raw.seek(coffset)
+        val in = new Bgzf.BgzfBlockInput(raw, coffset)
+        in.skipFully(chunk.beg & 0xffffL)
+        val names = refNamesB.value
+        val rs = regionsB.value
+        new Iterator[Alignment] {
+          private var nextRec: Alignment = advance()
+          private def advance(): Alignment = {
+            while (in.virtualPos < chunk.end) {
+              val szb = new Array[Byte](4)
+              var off = 0
+              var eof = false
+              while (off < 4 && !eof) {
+                val r = in.read(szb, off, 4 - off)
+                if (r < 0) eof = true else off += r
+              }
+              if (eof) { in.close(); return null }
+              val rec = decodeRecord(readFully(in, i32(szb, 0)), names)
+              val hit = (rec.referenceName, rec.start, rec.end) match {
+                case (Some(rn), Some(s), Some(e)) =>
+                  rs.exists(rr => rr.referenceName == rn && s < rr.end && rr.start < e)
+                case _ => false
+              }
+              if (hit) return rec
+            }
+            in.close(); null
+          }
+          def hasNext: Boolean = nextRec != null
+          def next(): Alignment = { val r = nextRec; nextRec = advance(); r }
+        }
+      }
+    GenomicDataset(spark.createDataset(rdd), meta)
+  }
+
   // ------------------------------- write ----------------------------------
 
   private def encodeRecord(r: Alignment, refIndex: Map[String, Int]): Array[Byte] = {
@@ -417,9 +498,11 @@ object BamIO {
   }
 
   /** Write a single BAM file (driver-streamed, like FileMerger outputs) or
-    * distributed part-BAMs under a directory. */
+    * distributed part-BAMs under a directory. `writeIndex` additionally
+    * emits `<path>.bai` (single-file mode; meaningful for
+    * coordinate-sorted records). */
   def write(gd: GenomicDataset[Alignment], path: String,
-      asSingleFile: Boolean = true): Unit = {
+      asSingleFile: Boolean = true, writeIndex: Boolean = false): Unit = {
     val meta = gd.meta
     val refIndex = meta.sequences.records.zipWithIndex
       .map { case (r, i) => r.name -> i }.toMap
@@ -446,18 +529,35 @@ object BamIO {
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
       val out = new Bgzf.BgzfOutputStream(fs.create(p, true))
+      val baiB =
+        if (writeIndex)
+          Some(new Bai.Builder(meta.sequences.records.length,
+            meta.sequences.records.map(_.length)))
+        else None
       try {
         writeHeaderTo(out)
         gd.ds.toLocalIterator().forEachRemaining { r =>
           val rec = encodeRecord(r, refIndex)
+          val vStart = out.virtualOffset
           val sz = new Array[Byte](4)
           sz(0) = (rec.length & 0xff).toByte
           sz(1) = ((rec.length >> 8) & 0xff).toByte
           sz(2) = ((rec.length >> 16) & 0xff).toByte
           sz(3) = ((rec.length >> 24) & 0xff).toByte
           out.write(sz); out.write(rec)
+          baiB.foreach { b =>
+            (r.referenceName.flatMap(refIndex.get), r.start) match {
+              case (Some(ri), Some(s)) =>
+                b.add(ri, s, r.end.getOrElse(s + 1), vStart, out.virtualOffset)
+              case _ =>
+            }
+          }
         }
       } finally out.close()
+      baiB.foreach { b =>
+        val baiOut = fs.create(new Path(path + ".bai"), true)
+        try Bai.write(b.result(), baiOut) finally baiOut.close()
+      }
     } else {
       val spark = gd.spark
       val refIndexB = spark.sparkContext.broadcast(refIndex)

@@ -174,6 +174,13 @@ object Bgzf {
     def firstUnreadBlockLen: Int =
       if (ensureReadable()) blocks.peekFirst().data.length - posInHead else 0
 
+    /** BAM virtual position of the next byte:
+      * (block compressed offset << 16) | in-block offset. */
+    def virtualPos: Long =
+      if (ensureReadable())
+        (blocks.peekFirst().start << 16) | posInHead.toLong
+      else (nextOffset << 16)
+
     /** Copy of the next up-to-maxBytes unread bytes, without consuming. */
     def peek(maxBytes: Int): Array[Byte] = {
       var avail = unreadLoaded
@@ -321,6 +328,11 @@ object Bgzf {
   class BgzfOutputStream(out: OutputStream) extends OutputStream {
     private val buf = new Array[Byte](0xff00) // spec-recommended payload cap
     private var n = 0
+    private var compressedWritten = 0L
+
+    /** BAM virtual offset of the next byte to be written:
+      * (compressed offset of the current block << 16) | in-block offset. */
+    def virtualOffset: Long = (compressedWritten << 16) | n.toLong
 
     override def write(b: Int): Unit = {
       buf(n) = b.toByte; n += 1
@@ -366,6 +378,7 @@ object Bgzf {
       fu32(crc.getValue)
       fu32(n.toLong)
       out.write(f.toByteArray)
+      compressedWritten += 12 + 6 + clen + 8
       n = 0
     }
 

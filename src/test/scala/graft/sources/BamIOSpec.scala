@@ -179,6 +179,46 @@ class BamIOSpec extends SparkSpec {
       s"guesser found $fromInside, expected ${rec0Len - 1}")
   }
 
+  test("indexed BAM: region query reads only matching records") {
+    val rnd = new scala.util.Random(19)
+    val bases = "ACGT"
+    // coordinate-sorted across both refs
+    val sorted = (Seq("chr1", "chr2").zipWithIndex.flatMap { case (ref, ri) =>
+      val n = if (ri == 0) 12000 else 6000
+      (0 until n).map { i =>
+        val s = (i.toLong * 7) % (if (ri == 0) 9900 else 4900)
+        (ri, s, ref)
+      }.sortBy(_._2).zipWithIndex.map { case ((_, s, refName), i) =>
+        Alignment(readName = Some(s"$refName-$i"), referenceName = Some(refName),
+          start = Some(s), end = Some(s + 36), cigar = Some("36M"),
+          sequence = Some(Array.fill(36)(bases(rnd.nextInt(4))).mkString),
+          qualityScores = Some("I" * 36), mappingQuality = Some(60),
+          readMapped = Some(true), readPaired = Some(false),
+          readNegativeStrand = Some(false), mateNegativeStrand = Some(false),
+          primaryAlignment = Some(true), secondaryAlignment = Some(false),
+          supplementaryAlignment = Some(false), duplicateRead = Some(false),
+          failedVendorQualityChecks = Some(false), mateMapped = Some(false))
+      }
+    })
+    val path = tmpDir() + "/indexed.bam"
+    BamIO.write(GenomicDataset(spark.createDataset(sorted), meta), path,
+      asSingleFile = true, writeIndex = true)
+    assert(new java.io.File(path + ".bai").exists())
+
+    val regions = Seq(
+      ReferenceRegion("chr1", 1000L, 1400L),
+      ReferenceRegion("chr2", 4000L, 4200L))
+    val got = BamIO.readIndexed(spark, path, regions)
+      .ds.collect().map(_.readName.get).sorted
+    val expected = sorted.filter(r => regions.exists(rr =>
+        r.referenceName.contains(rr.referenceName) &&
+          r.start.exists(_ < rr.end) && r.end.exists(_ > rr.start)))
+      .map(_.readName.get).sorted
+    assert(expected.nonEmpty, "fixture produced no overlaps")
+    assert(got.sameElements(expected),
+      s"indexed read got ${got.length}, expected ${expected.length}")
+  }
+
   test("BGZF text: split reads return every line exactly once") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
