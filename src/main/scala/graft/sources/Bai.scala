@@ -82,7 +82,7 @@ object Bai {
 
   // ------------------------------- io --------------------------------------
 
-  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+  private[sources] def readFully(in: InputStream, n: Int): Array[Byte] = {
     val b = new Array[Byte](n)
     var o = 0
     while (o < n) {
@@ -92,31 +92,49 @@ object Bai {
     }
     b
   }
-  private def i32(b: Array[Byte], o: Int): Int =
+  private[sources] def i32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
       ((b(o + 3) & 0xff) << 24)
-  private def i64(b: Array[Byte], o: Int): Long =
+  private[sources] def i64(b: Array[Byte], o: Int): Long =
     (i32(b, o).toLong & 0xffffffffL) | (i32(b, o + 4).toLong << 32)
+
+  /** Read one per-reference section (bins + linear index) — shared with
+    * the Tabix container, which uses the identical layout. */
+  private[sources] def readRefSection(in: InputStream): BaiRef = {
+    val nBin = i32(readFully(in, 4), 0)
+    val bins = (0 until nBin).map { _ =>
+      val hdr = readFully(in, 8)
+      val bin = i32(hdr, 0)
+      val nChunk = i32(hdr, 4)
+      val cb = readFully(in, 16 * nChunk)
+      bin -> (0 until nChunk).map(c =>
+        Chunk(i64(cb, 16 * c), i64(cb, 16 * c + 8)))
+    }.toMap
+    val nIntv = i32(readFully(in, 4), 0)
+    val lb = readFully(in, 8 * nIntv)
+    BaiRef(bins, Array.tabulate(nIntv)(i => i64(lb, 8 * i)))
+  }
+
+  private[sources] def writeRefSection(r: BaiRef, out: OutputStream): Unit = {
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w64(v: Long): Unit = { w32(v.toInt); w32((v >> 32).toInt) }
+    w32(r.bins.size)
+    r.bins.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
+      w32(bin); w32(chunks.length)
+      chunks.foreach { c => w64(c.beg); w64(c.end) }
+    }
+    w32(r.linear.length)
+    r.linear.foreach(w64)
+  }
 
   def read(in: InputStream): BaiIndex = {
     val magic = readFully(in, 4)
     require(magic.sameElements(Magic), "not a BAI stream")
     val nRef = i32(readFully(in, 4), 0)
-    val refs = (0 until nRef).map { _ =>
-      val nBin = i32(readFully(in, 4), 0)
-      val bins = (0 until nBin).map { _ =>
-        val hdr = readFully(in, 8)
-        val bin = i32(hdr, 0)
-        val nChunk = i32(hdr, 4)
-        val cb = readFully(in, 16 * nChunk)
-        bin -> (0 until nChunk).map(c =>
-          Chunk(i64(cb, 16 * c), i64(cb, 16 * c + 8)))
-      }.toMap
-      val nIntv = i32(readFully(in, 4), 0)
-      val lb = readFully(in, 8 * nIntv)
-      BaiRef(bins, Array.tabulate(nIntv)(i => i64(lb, 8 * i)))
-    }
-    BaiIndex(refs.toIndexedSeq)
+    BaiIndex((0 until nRef).map(_ => readRefSection(in)).toIndexedSeq)
   }
 
   def write(index: BaiIndex, out: OutputStream): Unit = {
@@ -124,18 +142,9 @@ object Bai {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
-    def w64(v: Long): Unit = { w32(v.toInt); w32((v >> 32).toInt) }
     out.write(Magic)
     w32(index.refs.length)
-    index.refs.foreach { r =>
-      w32(r.bins.size)
-      r.bins.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
-        w32(bin); w32(chunks.length)
-        chunks.foreach { c => w64(c.beg); w64(c.end) }
-      }
-      w32(r.linear.length)
-      r.linear.foreach(w64)
-    }
+    index.refs.foreach(writeRefSection(_, out))
     out.flush()
   }
 

@@ -195,15 +195,11 @@ object VcfIO {
       meta: GenomicMetadata,
       samples: Seq[String])
 
-  def read(spark: SparkSession, path: String): VcfBundle = {
-    import spark.implicits._
-    // bgzipped VCF reads through the splittable BGZF text path (block-level
-    // parallelism within one file); plain text through the native reader
-    val lines =
-      if (path.endsWith(".gz") || path.endsWith(".bgz"))
-        BgzfText.readLines(spark, path)
-      else spark.read.textFile(path)
-    val headerLines = lines.filter((l: String) => l.startsWith("#")).collect().toSeq
+  /** Parsed header state: (meta, samples, infoNumber, formatNumber).
+    * ##INFO/##FORMAT <ID=X,Number=A,...> declarations drive per-alt
+    * slicing during the multi-allelic split; reserved spec keys fallback. */
+  private def parseVcfHeader(headerLines: Seq[String])
+      : (GenomicMetadata, Seq[String], Map[String, String], Map[String, String]) = {
     val samples = headerLines.find(_.startsWith("#CHROM")).toSeq
       .flatMap(_.split("\t").drop(9))
     val contigs = headerLines.filter(_.startsWith("##contig=")).zipWithIndex.map {
@@ -220,8 +216,6 @@ object VcfIO {
       sequences = SequenceDictionary(contigs),
       samples = samples.map(s => Sample(s)),
       headerLines = headerLines.filter(_.startsWith("##")).map(HeaderLine))
-    // ##INFO/##FORMAT <ID=X,Number=A,...> declarations drive per-alt
-    // slicing during the multi-allelic split; reserved spec keys fallback.
     def numbersOf(prefix: String): Map[String, String] = headerLines
       .filter(_.startsWith(s"##$prefix=<"))
       .flatMap { l =>
@@ -232,12 +226,111 @@ object VcfIO {
           .toMap
         for (id <- kv.get("ID"); num <- kv.get("Number")) yield id -> num
       }.toMap
-    val infoNumber = ReservedInfoNumbers ++ numbersOf("INFO")
-    val formatNumber = ReservedFormatNumbers ++ numbersOf("FORMAT")
+    (meta, samples,
+      ReservedInfoNumbers ++ numbersOf("INFO"),
+      ReservedFormatNumbers ++ numbersOf("FORMAT"))
+  }
+
+  def read(spark: SparkSession, path: String): VcfBundle = {
+    import spark.implicits._
+    // bgzipped VCF reads through the splittable BGZF text path (block-level
+    // parallelism within one file); plain text through the native reader
+    val lines =
+      if (path.endsWith(".gz") || path.endsWith(".bgz"))
+        BgzfText.readLines(spark, path)
+      else spark.read.textFile(path)
+    val headerLines = lines.filter((l: String) => l.startsWith("#")).collect().toSeq
+    val (meta, samples, infoNumber, formatNumber) = parseVcfHeader(headerLines)
     val records = lines
       .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
       .flatMap(l => parseLine(l, samples, infoNumber, formatNumber))
     VcfBundle(records, meta, samples)
+  }
+
+  /** Region-pruned read of a tabix-indexed .vcf.gz (`loadIndexedVcf`,
+    * AC:2690-2804): the .tbi maps query regions to compressed chunks;
+    * chunks are merged disjoint (each line parses once) and fan out one
+    * task per chunk. */
+  def readIndexed(
+      spark: SparkSession, path: String,
+      regions: Seq[graft.model.ReferenceRegion]): VcfBundle = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val headerLines = {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        Bgzf.inputStream(fs.open(p)), "UTF-8"))
+      try Iterator.continually(br.readLine())
+        .takeWhile(l => l != null && l.startsWith("#")).toVector
+      finally br.close()
+    }
+    val (meta, samples, infoNumber, formatNumber) = parseVcfHeader(headerLines)
+    val index = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path + ".tbi"))
+      try Tabix.read(in) finally in.close()
+    }
+    val chunks = Tabix.chunksForRegions(index, regions)
+    val regionsB = spark.sparkContext.broadcast(regions)
+    val file = path
+    val rdd = spark.sparkContext
+      .parallelize(chunks, math.max(1, chunks.length))
+      .flatMap { chunk =>
+        val fp = new org.apache.hadoop.fs.Path(file)
+        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val raw = tfs.open(fp)
+        val coffset = chunk.beg >> 16
+        raw.seek(coffset)
+        val in = new Bgzf.BgzfBlockInput(raw, coffset)
+        in.skipFully(chunk.beg & 0xffffL)
+        val rs = regionsB.value
+        val out = Iterator.newBuilder[VariantContext]
+        var done = false
+        while (!done && in.virtualPos < chunk.end) {
+          val l = in.readLine()
+          if (l == null) done = true
+          else if (l._1.nonEmpty && !l._1.startsWith("#"))
+            out ++= parseLine(l._1, samples, infoNumber, formatNumber)
+              .filter(vc => (vc.referenceName, vc.start, vc.end) match {
+                case (Some(rn), Some(s), Some(e)) =>
+                  rs.exists(rr => rr.referenceName == rn && s < rr.end && rr.start < e)
+                case _ => false
+              })
+        }
+        in.close()
+        out.result()
+      }
+    VcfBundle(spark.createDataset(rdd), meta, samples)
+  }
+
+  /** Driver-streamed single bgzipped VCF with a tabix index. Input must be
+    * coordinate-sorted (sort ahead with orderBy(referenceName, start)). */
+  def writeBgzfIndexed(
+      contexts: Dataset[VariantContext],
+      meta: GenomicMetadata,
+      samples: Seq[String],
+      path: String): Unit = {
+    val spark = contexts.sparkSession
+    val header =
+      (Seq("##fileformat=VCFv4.2") ++
+        meta.headerLines.map(_.raw).filterNot(_.startsWith("##fileformat")) ++
+        Seq((Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+          "INFO") ++ (if (samples.nonEmpty) "FORMAT" +: samples else Nil))
+          .mkString("\t"))).mkString("", "\n", "\n")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new Bgzf.BgzfOutputStream(fs.create(p, true))
+    val tbx = new Tabix.Builder()
+    try {
+      out.write(header.getBytes("UTF-8"))
+      contexts.toLocalIterator().forEachRemaining { vc =>
+        val vStart = out.virtualOffset
+        out.write(toVcfLine(vc, samples).getBytes("UTF-8")); out.write('\n')
+        for (rn <- vc.referenceName; s <- vc.start)
+          tbx.add(rn, s, vc.end.getOrElse(s + 1), vStart, out.virtualOffset)
+      }
+    } finally out.close()
+    val ti = fs.create(new org.apache.hadoop.fs.Path(path + ".tbi"), true)
+    try Tabix.write(tbx.result(), ti) finally ti.close()
   }
 
   def readVariants(spark: SparkSession, path: String): GenomicDataset[Variant] = {

@@ -240,6 +240,44 @@ class BamIOSpec extends SparkSpec {
     assert(split.sorted.sameElements(lines.sorted))
   }
 
+  test("tabix-indexed VCF region query returns exactly the overlapping sites") {
+    import spark.implicits._
+    val vcMeta = GenomicMetadata(
+      sequences = SequenceDictionary(Seq(
+        SequenceRecord("chr1", 100000, index = Some(0)),
+        SequenceRecord("chr2", 50000, index = Some(1)))),
+      headerLines = Seq(HeaderLine("##contig=<ID=chr1,length=100000>"),
+        HeaderLine("##contig=<ID=chr2,length=50000>")))
+    val sites = (Seq("chr1", "chr2").flatMap { rn =>
+      (0 until 8000).map { i =>
+        val s = i.toLong * 11
+        VariantContext(Some(rn), Some(s), Some(s + 1),
+          Some(Variant(referenceName = Some(rn), start = Some(s),
+            end = Some(s + 1), referenceAllele = Some("A"),
+            alternateAllele = Some("T"), filtersApplied = Some(true),
+            filtersPassed = Some(true))), Seq.empty)
+      }
+    })
+    val path = tmpDir() + "/sites.vcf.gz"
+    VcfIO.writeBgzfIndexed(spark.createDataset(sites), vcMeta, Seq.empty, path)
+    assert(new java.io.File(path + ".tbi").exists())
+
+    val regions = Seq(
+      ReferenceRegion("chr1", 30000L, 31000L),
+      ReferenceRegion("chr2", 100L, 400L))
+    val got = VcfIO.readIndexed(spark, path, regions)
+    assert(got.samples.isEmpty)
+    val gotKeys = got.contexts.collect()
+      .map(vc => (vc.referenceName.get, vc.start.get)).sorted
+    val expected = sites.filter(vc => regions.exists(rr =>
+        vc.referenceName.contains(rr.referenceName) &&
+          vc.start.exists(_ < rr.end) && vc.end.exists(_ > rr.start)))
+      .map(vc => (vc.referenceName.get, vc.start.get)).sorted
+    assert(expected.nonEmpty)
+    assert(gotKeys.sameElements(expected),
+      s"indexed VCF got ${gotKeys.length}, expected ${expected.length}")
+  }
+
   test("bgzipped VCF round-trips through the splittable path") {
     import spark.implicits._
     val header =
