@@ -63,6 +63,14 @@ object Bqsr {
       else s"${Character.toUpperCase(seq.charAt(i - 1))}${Character.toUpperCase(seq.charAt(i))}"
     }
 
+  /** Sequencer cycle of stored index i (CycleCovariate semantics): first-
+    * of-fragment reads get positive 1-based cycles counted from the 5'
+    * sequenced end, second-of-fragment reads the negated values. */
+  private[algorithms] def cycleAt(
+      i: Int, len: Int, negativeStrand: Boolean, secondOfFragment: Boolean): Int =
+    if (!negativeStrand) { if (secondOfFragment) -(i + 1) else i + 1 }
+    else { if (secondOfFragment) -(len - i) else len - i }
+
   /** Per-base covariates of one read (CycleCovariate.scala /
     * DinucCovariate.scala semantics: cycle counts from the 5' end,
     * dinucleotide is (previous base, base) on the sequenced strand). */
@@ -80,6 +88,7 @@ object Bqsr {
     val refName = r.referenceName.getOrElse("")
     val start = r.start.getOrElse(0L)
     val neg = r.readNegativeStrand.getOrElse(false)
+    val second = r.readInFragment.exists(_ != 0)
     val rg = r.readGroupId.getOrElse("")
 
     // walk CIGAR: map read offset -> reference offset for M/=/X bases.
@@ -99,7 +108,7 @@ object Bqsr {
             val q = quals.charAt(readPos) - 33
             val refPos = start + refOff
             if (q >= MinQuality && !isKnownSite(refName, refPos)) {
-              val cycle = if (neg) seq.length - 1 - readPos else readPos
+              val cycle = cycleAt(readPos, seq.length, neg, second)
               val dinuc = dinucAt(seq, readPos, neg)
               val mismatch = mismatchOffsets.contains(mdOff)
               out += Observation(rg, q, cycle, dinuc, 1L,
@@ -152,13 +161,14 @@ object Bqsr {
       if (!r.readMapped.getOrElse(false) || quals.isEmpty || seq.isEmpty) r
       else {
         val neg = r.readNegativeStrand.getOrElse(false)
+        val second = r.readInFragment.exists(_ != 0)
         val rg = r.readGroupId.getOrElse("")
         val t = tableB.value
         val sb = new StringBuilder(quals.length)
         var i = 0
         while (i < quals.length) {
           val q = quals.charAt(i) - 33
-          val cycle = if (neg) seq.length - 1 - i else i
+          val cycle = cycleAt(i, seq.length, neg, second)
           val dinuc = dinucAt(seq, i, neg)
           val newQ = t.get((rg, q, cycle, dinuc)) match {
             case Some((obs, mm)) => empiricalQuality(obs, mm)

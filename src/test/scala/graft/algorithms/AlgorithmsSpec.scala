@@ -61,8 +61,23 @@ class BqsrSpec extends SparkSpec {
     assert(obs.map(_.mismatches).sum == 1)
     assert(obs.count(_.dinuc == "NN") == 1) // first base only
     val mm = obs.find(_.mismatches == 1).get
-    assert(mm.cycle == 4)
+    assert(mm.cycle == 5) // 1-based cycles (CycleCovariate), index 4
     assert(mm.dinuc == "TA") // prev base T (pos3), base A (pos4)
+  }
+
+  test("cycles are 1-based, 5'-anchored, negated for second-of-fragment") {
+    // positive first: 1..10; positive second: -1..-10;
+    // negative first: 10..1; negative second: -10..-1
+    assert(Bqsr.cycleAt(0, 10, negativeStrand = false, secondOfFragment = false) == 1)
+    assert(Bqsr.cycleAt(9, 10, negativeStrand = false, secondOfFragment = false) == 10)
+    assert(Bqsr.cycleAt(0, 10, negativeStrand = false, secondOfFragment = true) == -1)
+    assert(Bqsr.cycleAt(0, 10, negativeStrand = true, secondOfFragment = false) == 10)
+    assert(Bqsr.cycleAt(9, 10, negativeStrand = true, secondOfFragment = false) == 1)
+    assert(Bqsr.cycleAt(9, 10, negativeStrand = true, secondOfFragment = true) == -1)
+    val r2 = read("b", 100L, "ACGTACGTAC", "??????????", "10")
+      .copy(readInFragment = Some(1))
+    val obs = Bqsr.observeRead(r2, (_, _) => false).toSeq
+    assert(obs.forall(_.cycle < 0), "second-of-fragment cycles negative")
   }
 
   test("known sites are masked") {
@@ -79,11 +94,11 @@ class BqsrSpec extends SparkSpec {
       .copy(readNegativeStrand = Some(true))
     val byCycle = Bqsr.observeRead(r, (_, _) => false).toSeq
       .map(o => o.cycle -> o.dinuc).toMap
-    assert(byCycle(0) == "NN") // stored index 9 is the 5' sequenced end
-    // stored index 8 (cycle 1): (comp('C'), comp('A')) = "GT"
-    assert(byCycle(1) == "GT")
-    // stored index 0 (cycle 9): (comp('C'), comp('A')) = "GT"
-    assert(byCycle(9) == "GT")
+    assert(byCycle(1) == "NN") // stored index 9 is the 5' sequenced end
+    // stored index 8 (cycle 2): (comp('C'), comp('A')) = "GT"
+    assert(byCycle(2) == "GT")
+    // stored index 0 (cycle 10): (comp('C'), comp('A')) = "GT"
+    assert(byCycle(10) == "GT")
   }
 
   test("spliced reads key mismatches in MD space (N ops excluded)") {
@@ -94,7 +109,7 @@ class BqsrSpec extends SparkSpec {
     val obs = Bqsr.observeRead(r, (_, _) => false).toSeq
     val mm = obs.filter(_.mismatches == 1L)
     assert(mm.length == 1, s"expected exactly one mismatch, got ${mm.length}")
-    assert(mm.head.cycle == 4)
+    assert(mm.head.cycle == 5) // stored index 4, 1-based
   }
 
   test("recalibration moves quality toward empirical rate") {
