@@ -162,4 +162,39 @@ object SequenceIO {
         "\n+\n" + r.qualityScores.getOrElse("")
     }.write.mode("overwrite").text(path)
   }
+
+  /** Paired FASTQ save (saveAsPairedFastq, AlignmentDataset.scala:
+    * 1394-1572): first-of-fragment reads to `r1Path`, second to `r2Path`,
+    * both name-sorted so line N of each file is the same fragment.
+    * Negative-strand reads are restored to sequenced orientation (reverse
+    * complement + reversed qualities), as the reference does on FASTQ
+    * export. `strict` validates the two sides pair one-to-one. */
+  def writePairedFastq(
+      reads: Dataset[graft.model.Alignment],
+      r1Path: String, r2Path: String,
+      strict: Boolean = true): Unit = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    def fastqLine(r: graft.model.Alignment, suffix: String): (String, String) = {
+      val neg = r.readNegativeStrand.getOrElse(false)
+      val seq0 = r.sequence.getOrElse("")
+      val q0 = r.qualityScores.getOrElse("")
+      val seq = if (neg) graft.functions.GenomicFunctions.reverseComplement(seq0) else seq0
+      val q = if (neg) q0.reverse else q0
+      val name = r.readName.getOrElse("")
+      (name, s"@$name$suffix\n$seq\n+\n$q")
+    }
+    val r1 = reads.filter((r: graft.model.Alignment) => r.readInFragment.contains(0))
+      .map(fastqLine(_, "/1"))
+    val r2 = reads.filter((r: graft.model.Alignment) => r.readInFragment.contains(1))
+      .map(fastqLine(_, "/2"))
+    if (strict) {
+      val n1 = r1.count(); val n2 = r2.count()
+      require(n1 == n2, s"unpaired FASTQ export: $n1 first reads vs $n2 second")
+      val unmatched = r1.select($"_1").except(r2.select($"_1")).count()
+      require(unmatched == 0, s"$unmatched first-of-pair reads lack a mate")
+    }
+    r1.orderBy($"_1").select($"_2").write.mode("overwrite").text(r1Path)
+    r2.orderBy($"_1").select($"_2").write.mode("overwrite").text(r2Path)
+  }
 }

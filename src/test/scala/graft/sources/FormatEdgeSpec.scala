@@ -134,6 +134,54 @@ class FormatEdgeSpec extends SparkSpec {
     assert(named(6) == "q10")
   }
 
+  test(".fai index: build, persist, and random-access extract") {
+    val chr1 = (0 until 237).map(i => "ACGT"((i * 7) % 4)).mkString
+    val chr2 = (0 until 91).map(i => "TGCA"((i * 3) % 4)).mkString
+    val fasta = ">chr1 desc here\n" + chr1.grouped(60).mkString("\n") +
+      "\n>chr2\n" + chr2.grouped(60).mkString("\n") + "\n"
+    val path = fixture("ref.fa", fasta)
+    val idx = Fai.open(spark, path)
+    assert(new java.io.File(path + ".fai").exists())
+    assert(idx.entries.map(e => (e.name, e.length)) ==
+      Seq(("chr1", 237L), ("chr2", 91L)))
+    // line-boundary-crossing, start, end, and cross-contig probes
+    assert(idx.extract(ReferenceRegion("chr1", 0, 10)) == chr1.substring(0, 10))
+    assert(idx.extract(ReferenceRegion("chr1", 55, 130)) == chr1.substring(55, 130))
+    assert(idx.extract(ReferenceRegion("chr1", 230, 237)) == chr1.substring(230))
+    assert(idx.extract(ReferenceRegion("chr2", 59, 62)) == chr2.substring(59, 62))
+    // reopen from the persisted .fai (parse path, not build path)
+    val idx2 = Fai.open(spark, path)
+    assert(idx2.extract(ReferenceRegion("chr1", 100, 160)) ==
+      chr1.substring(100, 160))
+  }
+
+  test("paired FASTQ save splits mates, restores sequenced orientation") {
+    import org.apache.spark.sql.Encoders
+    implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+      Encoders.product[Alignment]
+    def mate(name: String, frag: Int, seq: String, neg: Boolean) =
+      Alignment(readName = Some(name), readInFragment = Some(frag),
+        sequence = Some(seq), qualityScores = Some("ABCD"),
+        readNegativeStrand = Some(neg), readPaired = Some(true))
+    val reads = spark.createDataset(Seq(
+      mate("p1", 0, "ACGT", neg = false),
+      mate("p1", 1, "TTGG", neg = true), // stored revcomp of sequenced CCAA
+      mate("p2", 0, "GGGG", neg = false),
+      mate("p2", 1, "CCCC", neg = false)))
+    val d1 = tmpDir() + "/r1"; val d2 = tmpDir() + "/r2"
+    SequenceIO.writePairedFastq(reads, d1, d2)
+    val r1 = spark.read.textFile(d1).collect().mkString("\n")
+    val r2 = spark.read.textFile(d2).collect().mkString("\n")
+    assert(r1.contains("@p1/1\nACGT\n+\nABCD"))
+    assert(r2.contains("@p1/2\nCCAA\n+\nDCBA")) // revcomp + reversed quals
+    assert(r2.contains("@p2/2\nCCCC"))
+    // strict validation rejects missing mates
+    val broken = spark.createDataset(Seq(mate("q", 0, "AAAA", neg = false)))
+    intercept[IllegalArgumentException] {
+      SequenceIO.writePairedFastq(broken, tmpDir() + "/x1", tmpDir() + "/x2")
+    }
+  }
+
   test("VariantAnnotations typed INFO access, Scala and Column") {
     import graft.api.VariantAnnotations._
     val v = Variant(annotation = Map(
