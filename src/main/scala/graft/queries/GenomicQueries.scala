@@ -131,6 +131,74 @@ object GenomicQueries extends QuerySet {
 
     // Grouped region join with per-left aggregates (the AndGroupByLeft
     // family materialized as stats; GenomicDataset.scala:2592-2754).
+    // Grouped region join (shuffleRegionJoinAndGroupByLeft family): per
+    // target, the numerically-sorted id list of overlapping reads as one
+    // string — hash-matching proves the grouped collect (incl. empty
+    // groups under outer semantics) against the naive SQL.
+    Query("q39_region_join_grouped",
+      (s, dir) => {
+        val grouped = RegionJoins.overlapJoinGroupByLeft(
+          ivTargets(s, dir), ivReads(s, dir), rightStructCols = Seq("id"),
+          outer = true, binSize = 100)
+        grouped.select(col("id").as("target_id"),
+          array_join(
+            expr("transform(array_sort(transform(overlaps, o -> o.id)), x -> cast(x as string))"),
+            ",").as("read_ids"))
+      },
+      Some(s"""WITH reads AS ($ivReadsSql), targets AS ($ivTargetsSql)
+        SELECT t.id AS target_id,
+          coalesce(string_agg(CAST(a.id AS VARCHAR), ',' ORDER BY a.id), '') AS read_ids
+        FROM targets t LEFT JOIN reads a
+          ON a.referenceName = t.referenceName
+         AND a."start" < t."end" AND t."start" < a."end"
+        GROUP BY t.id""")),
+
+    // The REAL markDuplicates operator over reads synthesized from
+    // lineitem, against an independent SQL statement of the semantics:
+    // single-end reads ranked within (refName, 5' position) by
+    // (phred score desc, name) — rank 1 survives.
+    Query("q40_markdup_semantics",
+      (s, dir) => {
+        implicit val alignEnc: org.apache.spark.sql.Encoder[graft.model.Alignment] =
+          org.apache.spark.sql.Encoders.product[graft.model.Alignment]
+        // (orderkey, linenumber, partkey, suppkey) is the unique row key of
+        // the synthetic lineitem — names must be unique or reads merge
+        // into one fragment bucket
+        val rows = t(s, dir, "lineitem").select(
+          concat_ws("-", lit("r"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")).as("readName"),
+          (col("l_orderkey") % 4).cast("string").as("referenceName"),
+          ((col("l_partkey") * 7 + col("l_linenumber")) % 10000).as("start"),
+          (col("l_suppkey") % 40).cast("int").as("q"))
+        val reads = rows.map { r =>
+          val q = r.getInt(3)
+          graft.model.Alignment(
+            readName = Some(r.getString(0)),
+            referenceName = Some(r.getString(1)),
+            start = Some(r.getLong(2)), end = Some(r.getLong(2) + 36),
+            cigar = Some("36M"), sequence = Some("A" * 36),
+            qualityScores = Some(((33 + q).toChar.toString) * 36),
+            readMapped = Some(true), readPaired = Some(false),
+            readNegativeStrand = Some(false), primaryAlignment = Some(true),
+            secondaryAlignment = Some(false), supplementaryAlignment = Some(false))
+        }
+        graft.operators.AlignmentOps.markDuplicates(reads)
+          .toDF().select(col("readName"), col("duplicateRead"))
+      },
+      Some("""WITH reads AS (
+          SELECT 'r-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR) || '-' ||
+              CAST(l_partkey AS VARCHAR) || '-' ||
+              CAST(l_suppkey AS VARCHAR) AS readName,
+            CAST(l_orderkey % 4 AS VARCHAR) AS refName,
+            (l_partkey*7 + l_linenumber) % 10000 AS pos,
+            CASE WHEN l_suppkey % 40 >= 15 THEN 36*(l_suppkey % 40) ELSE 0 END AS score
+          FROM lineitem),
+        ranked AS (SELECT readName, row_number() OVER (
+            PARTITION BY refName, pos ORDER BY score DESC, readName) AS rn
+          FROM reads)
+        SELECT readName, rn > 1 AS duplicateRead FROM ranked""")),
+
     Query("q33_region_aggregate",
       (s, dir) => {
         val j = RegionJoins.overlapJoin(
