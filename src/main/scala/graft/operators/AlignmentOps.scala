@@ -76,7 +76,10 @@ private[operators] object DupKeying {
       case Seq(l) =>
         DupKey(lib, l._1, l._2, l._3, "", -1L, false, score, name, bucket)
       case ls =>
-        val sorted = ls.sortBy(t => (t._1, t._2))
+        // order ends by (ref, pos, strand) — ReferencePosition ordering
+        // includes orientation, so mate-swapped duplicate fragments land
+        // on the same key
+        val sorted = ls.sortBy(t => (t._1, t._2, t._3))
         DupKey(lib, sorted.head._1, sorted.head._2, sorted.head._3,
           sorted.last._1, sorted.last._2, sorted.last._3, score, name, bucket)
     }
@@ -210,23 +213,62 @@ object AlignmentOps {
       .flatMap(rg => rg.library.map(l => rg.id -> l)).toMap
     val libOfB = spark.sparkContext.broadcast(libOf)
 
-    implicit val keyedEnc: org.apache.spark.sql.Encoder[DupKey] =
-      org.apache.spark.sql.Encoders.product[DupKey]
+    // Declarative formulation of DupKeying.keyOf: the fragment regroup
+    // aggregates NARROW projected fields with native collect_list — the
+    // full records are shuffled exactly once (the verdict join), never
+    // through the window, and no Alignment objects materialize. Semantics
+    // are pinned to the typed keyOf by the fragment-path agreement spec
+    // and the q40 oracle.
+    val scoreU = udf((q: String) => q.iterator.map(_ - 33).filter(_ >= 15).sum)
+    val fpU = udf((start: Long, end: Long, cigar: String, neg: Boolean) =>
+      Cigar.fivePrimePosition(start, end, cigar, neg))
+    val libU = udf((rg: String) => libOfB.value.getOrElse(rg, rg))
 
-    val keyed = reads
-      .groupByKey(r => (r.readGroupId.getOrElse(""), r.readName.getOrElse("")))
-      .mapGroups { (key: (String, String), rs: Iterator[Alignment]) =>
-        DupKeying.keyOf(key._1, key._2, rs.toSeq, libOfB.value)
-      }
+    val df = reads.toDF()
+    val isPrimary = coalesce(col("primaryAlignment"), lit(true)) &&
+      !coalesce(col("secondaryAlignment"), lit(false)) &&
+      !coalesce(col("supplementaryAlignment"), lit(false))
+    val isMapped = coalesce(col("readMapped"), lit(false))
 
-    DupKeying.flagDuplicates(keyed.toDF())
-      .select(col("isDup"), explode(col("reads")).as("read"))
-      .select(col("isDup"), col("read.*"))
+    val keyed = df
+      .groupBy(
+        coalesce(col("readGroupId"), lit("")).as("__rg"),
+        coalesce(col("readName"), lit("")).as("__name"))
+      .agg(
+        sum(when(isPrimary, scoreU(coalesce(col("qualityScores"), lit("")))))
+          .as("__scoreSum"),
+        // ends sorted by (ref, pos, strand) = keyOf's ReferencePosition order
+        sort_array(collect_list(when(isPrimary && isMapped,
+          struct(
+            coalesce(col("referenceName"), lit("")).as("r"),
+            fpU(coalesce(col("start"), lit(0L)), coalesce(col("end"), lit(0L)),
+              coalesce(col("cigar"), lit("*")),
+              coalesce(col("readNegativeStrand"), lit(false))).as("p"),
+            coalesce(col("readNegativeStrand"), lit(false)).as("n")))))
+          .as("ends"))
+      .select(
+        col("__rg"), col("__name"),
+        libU(col("__rg")).as("library"),
+        when(size(col("ends")) === 0, lit("")).otherwise(col("ends")(0)("r")).as("leftRef"),
+        when(size(col("ends")) === 0, lit(-1L)).otherwise(col("ends")(0)("p")).as("leftPos"),
+        when(size(col("ends")) === 0, lit(false)).otherwise(col("ends")(0)("n")).as("leftStrand"),
+        when(size(col("ends")) <= 1, lit("")).otherwise(element_at(col("ends"), -1)("r")).as("rightRef"),
+        when(size(col("ends")) <= 1, lit(-1L)).otherwise(element_at(col("ends"), -1)("p")).as("rightPos"),
+        when(size(col("ends")) <= 1, lit(false)).otherwise(element_at(col("ends"), -1)("n")).as("rightStrand"),
+        coalesce(col("__scoreSum"), lit(0)).cast("int").as("score"),
+        col("__name").as("name"))
+
+    val verdict = DupKeying.flagDuplicates(keyed)
+      .select(col("__rg"), col("__name"), col("isDup"))
+
+    df.join(verdict,
+        coalesce(df("readGroupId"), lit("")) === verdict("__rg") &&
+          coalesce(df("readName"), lit("")) === verdict("__name"))
       .withColumn("duplicateRead",
         // secondary/supplementary reads inherit the fragment's duplicate flag
         when(col("readMapped") === true || col("readPaired") === true,
           col("isDup")).otherwise(lit(false)))
-      .drop("isDup")
+      .drop("__rg", "__name", "isDup")
       .as[Alignment]
   }
 
