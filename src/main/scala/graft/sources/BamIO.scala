@@ -497,10 +497,12 @@ object BamIO {
     out.toByteArray
   }
 
-  /** Write a single BAM file (driver-streamed, like FileMerger outputs) or
-    * distributed part-BAMs under a directory. `writeIndex` additionally
-    * emits `<path>.bai` (single-file mode; meaningful for
-    * coordinate-sorted records). */
+  /** Write a single BAM file or distributed part-BAMs under a directory.
+    * Single-file output is DISTRIBUTED (executor-written BGZF fragments,
+    * binary-concatenated with the header member and EOF marker) unless
+    * `writeIndex` is set, which needs globally-ordered virtual offsets and
+    * therefore streams through the driver while building `<path>.bai`
+    * (meaningful for coordinate-sorted records). */
   def write(gd: GenomicDataset[Alignment], path: String,
       asSingleFile: Boolean = true, writeIndex: Boolean = false): Unit = {
     val meta = gd.meta
@@ -524,7 +526,42 @@ object BamIO {
       }
     }
 
-    if (asSingleFile) {
+    if (asSingleFile && !writeIndex) {
+      // Distributed single-file write: executors emit records-only BGZF
+      // fragments; the merge concatenates header member + parts + EOF
+      // marker (BGZF is valid under concatenation). No driver streaming.
+      val spark = gd.spark
+      val refIndexB = spark.sparkContext.broadcast(refIndex)
+      val partsDir = path + "._parts"
+      val dir = new Path(partsDir)
+      val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.mkdirs(dir)
+      gd.ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val part = new Path(dir, f"part-$pid%05d")
+          val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = new Bgzf.BgzfOutputStream(fs.create(part, true),
+            writeEofOnClose = false)
+          try it.foreach { r =>
+            val rec = encodeRecord(r, refIndexB.value)
+            val sz = Array[Byte](
+              (rec.length & 0xff).toByte, ((rec.length >> 8) & 0xff).toByte,
+              ((rec.length >> 16) & 0xff).toByte, ((rec.length >> 24) & 0xff).toByte)
+            out.write(sz); out.write(rec)
+          } finally out.close()
+          Iterator.single(1)
+        }
+      }.count()
+      val headerBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val hout = new Bgzf.BgzfOutputStream(bos, writeEofOnClose = false)
+        writeHeaderTo(hout)
+        hout.close()
+        bos.toByteArray
+      }
+      FileMerger.mergeBinary(spark, partsDir, path, headerBytes, Bgzf.EofMarker)
+    } else if (asSingleFile) {
       val conf = gd.spark.sparkContext.hadoopConfiguration
       val p = new Path(path)
       val fs = p.getFileSystem(conf)

@@ -324,8 +324,12 @@ object Bgzf {
       }
 
   /** Writes BGZF members of up to 64 KiB of payload. Close to flush the
-    * final member + EOF marker. */
-  class BgzfOutputStream(out: OutputStream) extends OutputStream {
+    * final member + EOF marker. `writeEofOnClose=false` produces a
+    * FRAGMENT (no EOF member) for binary concatenation — BGZF files are
+    * valid when concatenated, which is how distributed single-file BAM
+    * writes merge executor parts. */
+  class BgzfOutputStream(out: OutputStream, writeEofOnClose: Boolean = true)
+      extends OutputStream {
     private val buf = new Array[Byte](0xff00) // spec-recommended payload cap
     private var n = 0
     private var compressedWritten = 0L
@@ -385,7 +389,7 @@ object Bgzf {
     override def flush(): Unit = { flushBlock(); out.flush() }
     override def close(): Unit = {
       flushBlock()
-      out.write(EofMarker)
+      if (writeEofOnClose) out.write(EofMarker)
       out.close()
     }
   }
