@@ -60,8 +60,10 @@ object RelationalQueries extends QuerySet {
         val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
         val r = t(s, dir, "region")
+        // customer is a dimension (~1/40 of lineitem): broadcast it like
+        // nation/region so only the l ⋈ o shuffle remains
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")

@@ -160,11 +160,76 @@ object Cli {
         FileMerger.mergeToSingleFile(spark, in, out, deleteParts = false)
         println(s"mergeShards: wrote $out")
 
+      case "countSliceKmers" :: in :: k :: out :: _ =>
+        import org.apache.spark.sql.functions._
+        val seqs =
+          if (in.toLowerCase.endsWith(".parquet")) spark.read.parquet(in)
+          else SequenceIO.readFasta(spark, in).toDF()
+        seqs.filter(col("sequence").isNotNull)
+          .select(explode(
+            graft.functions.GenomicFunctions.kmers("sequence", k.toInt)).as("kmer"))
+          .filter(length(col("kmer")) === k.toInt)
+          .groupBy("kmer").agg(count(lit(1)).as("count"))
+          .write.mode("overwrite").parquet(out)
+        println(s"countSliceKmers: wrote $out")
+
+      case "transformSequences" :: in :: out :: _ =>
+        implicit val seqE: org.apache.spark.sql.Encoder[Sequence] =
+          Encoders.product[Sequence]
+        val seqs =
+          if (in.toLowerCase.endsWith(".parquet"))
+            spark.read.parquet(in).as[Sequence]
+          else SequenceIO.readFasta(spark, in)
+        if (out.toLowerCase.endsWith(".fasta") || out.toLowerCase.endsWith(".fa"))
+          SequenceIO.writeFasta(seqs, out)
+        else GenomicDataset(seqs, GenomicMetadata.empty).saveAsParquet(out)
+        println(s"transformSequences: wrote $out")
+
+      case "transformSlices" :: in :: out :: _ =>
+        implicit val slE: org.apache.spark.sql.Encoder[Slice] =
+          Encoders.product[Slice]
+        val slices =
+          if (in.toLowerCase.endsWith(".parquet"))
+            spark.read.parquet(in).as[Slice]
+          else SequenceIO.readFastaSlices(spark, in)
+        GenomicDataset(slices, GenomicMetadata.empty).saveAsParquet(out)
+        println(s"transformSlices: wrote $out")
+
+      case "transformFragments" :: rest =>
+        implicit val frE: org.apache.spark.sql.Encoder[Fragment] =
+          Encoders.product[Fragment]
+        val (flags, pos) = rest.partition(_.startsWith("-"))
+        val Seq(in, out) = pos.take(2)
+        val gd = loadAlignments(spark, in)
+        var frags = AlignmentOps.toFragments(gd.ds)
+        if (flags.contains("-mark_duplicates"))
+          frags = AlignmentOps.markDuplicateFragments(frags, gd.meta.readGroups)
+        GenomicDataset(frags, gd.meta).saveAsParquet(out)
+        println(s"transformFragments: wrote $out")
+
+      case "adam2fastq" :: in :: out1 :: rest =>
+        val gd = loadAlignments(spark, in)
+        rest.headOption match {
+          case Some(out2) =>
+            SequenceIO.writePairedFastq(gd.ds, out1, out2, strict = false)
+            println(s"adam2fastq: wrote $out1 + $out2")
+          case None =>
+            implicit val rdE: org.apache.spark.sql.Encoder[Read] =
+              Encoders.product[Read]
+            SequenceIO.writeFastq(Conversions.alignmentsToReads(gd.ds), out1)
+            println(s"adam2fastq: wrote $out1")
+        }
+
+      case ("print" | "view") :: in :: rest =>
+        val n = rest.headOption.map(_.toInt).getOrElse(20)
+        loadAlignments(spark, in).ds.show(n, truncate = false)
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
-          "\nCommands: transformAlignments transformFeatures flagstat " +
-          "countKmers coverage transformVariants transformGenotypes " +
-          "vcf2parquet mergeShards")
+          "\nCommands: transformAlignments transformFeatures transformFragments " +
+          "transformSequences transformSlices flagstat countKmers countSliceKmers " +
+          "coverage transformVariants transformGenotypes vcf2parquet mergeShards " +
+          "adam2fastq print view")
         sys.exit(2)
     } finally spark.stop()
   }
