@@ -75,6 +75,41 @@ class PlanSpec extends SparkSpec {
     assert(pruned.ds.count() > 0)
   }
 
+  test("q39 grouped region join avoids cartesian/nested-loop plans") {
+    val plan = planOf("q39_region_join_grouped")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("q38 IVF probe join broadcasts the query side") {
+    val plan = planOf("q38_ivf_ann")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("markDuplicates windows shuffle only narrow verdict columns") {
+    // the regroup aggregation carries projected fields, not records: the
+    // window input must NOT contain the sequence column
+    implicit val ae: org.apache.spark.sql.Encoder[graft.model.Alignment] =
+      Encoders.product
+    val reads = spark.createDataset((0 until 100).map(i =>
+      graft.model.Alignment(readName = Some(s"r$i"),
+        referenceName = Some("chr1"), start = Some(i.toLong),
+        end = Some(i + 36L), cigar = Some("36M"), sequence = Some("A" * 36),
+        qualityScores = Some("I" * 36), readMapped = Some(true),
+        readPaired = Some(false), readNegativeStrand = Some(false),
+        primaryAlignment = Some(true), secondaryAlignment = Some(false),
+        supplementaryAlignment = Some(false))))
+    val plan = graft.operators.AlignmentOps.markDuplicates(reads)
+      .queryExecution.executedPlan.toString
+    // tree children print BELOW the parent: everything after the Window
+    // line is the bucket-aggregation pipeline feeding it — it must carry
+    // projected fragment fields, never the sequence column
+    assert(plan.contains("Window"))
+    val windowInput = plan.split("Window").last
+    assert(!windowInput.contains("sequence#"),
+      "window input should be narrow fragment keys, not full records")
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),
