@@ -109,6 +109,11 @@ object VcfIO {
       }.toMap
     val format = if (f.length > 8) f(8).split(":").toSeq else Seq.empty
 
+    // spec: INFO END defines the interval for symbolic/structural alleles
+    // (<DEL>, <DUP>, ...); otherwise the record spans the REF bases
+    val recordEnd = info.get("END").flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(pos + ref.length)
+
     val isMulti = alts.length > 1
     alts.zipWithIndex.map { case (alt, altIdx) =>
       val infoForAlt =
@@ -125,7 +130,7 @@ object VcfIO {
         }
       val variant = Variant(
         referenceName = Some(chrom), start = Some(pos),
-        end = Some(pos + ref.length),
+        end = Some(recordEnd),
         names = ids, splitFromMultiAllelic = Some(isMulti),
         referenceAllele = Some(ref), alternateAllele = Some(alt),
         quality = qual, filtersApplied = filtersApplied,
@@ -159,7 +164,7 @@ object VcfIO {
           }
           Some(Genotype(
             referenceName = Some(chrom), start = Some(pos),
-            end = Some(pos + ref.length),
+            end = Some(recordEnd),
             variant = Some(variant), sampleId = Some(sample),
             alleles = alleles, phased = Some(phased),
             genotypeQuality = intField("GQ"),
@@ -185,7 +190,7 @@ object VcfIO {
             attributes = restAttrs))
         }
       }
-      VariantContext(Some(chrom), Some(pos), Some(pos + ref.length),
+      VariantContext(Some(chrom), Some(pos), Some(recordEnd),
         Some(variant), genotypes)
     }
   }

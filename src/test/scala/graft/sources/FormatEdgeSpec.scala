@@ -119,6 +119,18 @@ class FormatEdgeSpec extends SparkSpec {
     assert(vcs.head.genotypes.head.genotypeLikelihoods == Seq(-0.1, -1.2, -3.4))
   }
 
+  test("symbolic alleles take their span from INFO END") {
+    val sv = VcfIO.parseLine(
+      "chr1\t1000\t.\tN\t<DEL>\t60\tPASS\tSVTYPE=DEL;END=5000", Seq.empty)
+    assert(sv.head.variant.get.start.contains(999L))
+    assert(sv.head.variant.get.end.contains(5000L))
+    assert(sv.head.variant.get.alternateAllele.contains("<DEL>"))
+    // no END -> REF span
+    val snp = VcfIO.parseLine(
+      "chr1\t1000\t.\tAC\tA\t60\tPASS\tDP=5", Seq.empty)
+    assert(snp.head.variant.get.end.contains(999L + 2))
+  }
+
   test("failed FILTER with no named filters emits '.', not FAIL") {
     val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
       Some(Variant(referenceName = Some("chr1"), start = Some(99L),
