@@ -60,6 +60,7 @@ object Cli {
     val p = path.toLowerCase
     if (p.endsWith(".sam")) SamIO.read(spark, path)
     else if (p.endsWith(".bam")) BamIO.read(spark, path)
+    else if (p.endsWith(".cram")) CramIO.read(spark, path)
     else GenomicDataset.loadParquet[Alignment](spark, path)
   }
 
@@ -68,6 +69,7 @@ object Cli {
     val p = path.toLowerCase
     if (p.endsWith(".sam")) SamIO.write(gd, path, asSingleFile = single)
     else if (p.endsWith(".bam")) BamIO.write(gd, path, asSingleFile = single)
+    else if (p.endsWith(".cram")) CramIO.write(gd, path)
     else gd.saveAsParquet(path)
   }
 

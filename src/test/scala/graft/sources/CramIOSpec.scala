@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.GenomicDataset
+import graft.model._
+import org.apache.spark.sql.Encoders
+
+class CramIOSpec extends SparkSpec {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  private val meta = GenomicMetadata(
+    sequences = SequenceDictionary(Seq(
+      SequenceRecord("chr1", 10000, index = Some(0)),
+      SequenceRecord("chr2", 5000, index = Some(1)))),
+    readGroups = ReadGroupDictionary(Seq(
+      ReadGroup(sampleId = "s1", id = "rg1", library = Some("lib1")))))
+
+  test("itf8 / ltf8 round trips incl. negatives") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val vals = Seq(0, 1, 127, 128, 300, 1 << 14, (1 << 21) + 5, (1 << 28) + 9,
+      Int.MaxValue, -1, -2)
+    vals.foreach(CramIO.writeItf8(bos, _))
+    val in = new java.io.ByteArrayInputStream(bos.toByteArray)
+    vals.foreach(v => assert(CramIO.readItf8(in) == v, s"itf8 $v"))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val lvals = Seq(0L, 5L, 1L << 40, Long.MaxValue, -1L)
+    lvals.foreach(CramIO.writeLtf8(bos2, _))
+    val in2 = new java.io.ByteArrayInputStream(bos2.toByteArray)
+    lvals.foreach(v => assert(CramIO.readLtf8(in2) == v, s"ltf8 $v"))
+  }
+
+  private def rec(
+      name: String, ref: Option[String], start: Option[Long],
+      cigar: Option[String], seq: String, quals: String,
+      attrs: Map[String, String] = Map.empty,
+      paired: Boolean = false, neg: Boolean = false): Alignment =
+    Alignment(
+      readName = Some(name), referenceName = ref, start = start,
+      end = for (s <- start; c <- cigar) yield s + Cigar.referenceLength(c),
+      cigar = cigar, sequence = Some(seq), qualityScores = Some(quals),
+      mappingQuality = if (ref.isDefined) Some(37) else None,
+      readMapped = Some(ref.isDefined), readPaired = Some(paired),
+      readNegativeStrand = Some(neg), mateNegativeStrand = Some(false),
+      mateMapped = Some(paired),
+      mateReferenceName = if (paired) ref else None,
+      mateAlignmentStart = if (paired) start.map(_ + 100) else None,
+      insertSize = if (paired) Some(136L) else None,
+      readInFragment = Some(0), primaryAlignment = Some(true),
+      secondaryAlignment = Some(false), supplementaryAlignment = Some(false),
+      duplicateRead = Some(false), failedVendorQualityChecks = Some(false),
+      readGroupId = Some("rg1"), attributes = attrs)
+
+  private def key(a: Alignment) =
+    (a.readName, a.referenceName, a.start, a.end, a.cigar, a.sequence,
+      a.qualityScores, a.mappingQuality, a.readMapped, a.readPaired,
+      a.readNegativeStrand, a.duplicateRead, a.readGroupId,
+      a.mateReferenceName, a.mateAlignmentStart, a.insertSize, a.attributes)
+
+  test("CRAM round trip: cigars, clips, indels, tags, unmapped") {
+    val reads = Seq(
+      rec("r1", Some("chr1"), Some(100L), Some("36M"),
+        "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "I" * 36,
+        attrs = Map("NM" -> "i:0", "RG" -> "Z:rg1")),
+      rec("r2", Some("chr1"), Some(200L), Some("5S26M5S"),
+        "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "F" * 36,
+        attrs = Map("MD" -> "Z:26", "XS" -> "A:+", "XF" -> "f:1.5")),
+      rec("r3", Some("chr2"), Some(300L), Some("10M4D10M2I14M"),
+        "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "5" * 36, paired = true),
+      rec("r4", Some("chr2"), Some(400L), Some("8M100N28M"),
+        "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "#" * 36, neg = true),
+      rec("u1", None, None, None, "GGGGCCCC", "IIIIIIII"))
+    val path = tmpDir() + "/t.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path)
+    val back = CramIO.read(spark, path)
+    assert(back.meta.sequences.records.map(_.name) == Seq("chr1", "chr2"))
+    val got = back.ds.collect()
+    assert(got.length == reads.length)
+    assert(got.map(key).toSet == reads.map(key).toSet)
+  }
+
+  test("CRAM multi-container files parallelize per container") {
+    val rnd = new scala.util.Random(31)
+    val bases = "ACGT"
+    val many = (0 until 5000).map { i =>
+      rec(s"m$i", Some("chr1"), Some((i % 9000).toLong), Some("20M"),
+        Array.fill(20)(bases(rnd.nextInt(4))).mkString, "I" * 20)
+    }
+    val path = tmpDir() + "/many.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(many), meta), path,
+      recordsPerContainer = 512)
+    val back = CramIO.read(spark, path)
+    val got = back.ds.collect()
+    assert(got.length == 5000)
+    assert(got.map(_.readName.get).sorted.sameElements(
+      many.map(_.readName.get).sorted))
+    // several containers -> several partitions
+    assert(back.ds.rdd.getNumPartitions >= 5)
+  }
+
+  test("CRAM compresses smaller than BAM on repetitive data") {
+    val reads = (0 until 2000).map(i =>
+      rec(s"c$i", Some("chr1"), Some(i.toLong), Some("36M"),
+        "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "I" * 36))
+    val gd = GenomicDataset(spark.createDataset(reads), meta)
+    val cramPath = tmpDir() + "/c.cram"
+    val bamPath = tmpDir() + "/c.bam"
+    CramIO.write(gd, cramPath)
+    BamIO.write(gd, bamPath, asSingleFile = true)
+    val cramSize = new java.io.File(cramPath).length()
+    val bamSize = new java.io.File(bamPath).length()
+    assert(cramSize < bamSize,
+      s"cram=$cramSize should be smaller than bam=$bamSize")
+  }
+}
