@@ -523,8 +523,15 @@ object CramIO {
     out.toByteArray
   }
 
+  /** Write with a `.crai` index sidecar (gzipped text, spec columns:
+    * seqId, start, span, container offset, slice offset, slice size) —
+    * enables region-pruned reads via [[readIndexed]]. */
+  def writeIndexed(gd: GenomicDataset[Alignment], path: String,
+      recordsPerContainer: Int = 10000): Unit =
+    write(gd, path, recordsPerContainer, writeIndex = true)
+
   def write(gd: GenomicDataset[Alignment], path: String,
-      recordsPerContainer: Int = 10000): Unit = {
+      recordsPerContainer: Int = 10000, writeIndex: Boolean = false): Unit = {
     val meta = gd.meta
     val refIndex = meta.sequences.records.zipWithIndex
       .map { case (r, i) => r.name -> i }.toMap
@@ -573,10 +580,28 @@ object CramIO {
       }
 
       var counter = 0L
+      val craiLines = Seq.newBuilder[String]
       val it = gd.ds.toLocalIterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[Alignment]
       def flush(): Unit = if (buf.nonEmpty) {
-        out.write(encodeContainer(buf.toSeq, refIndex, rgIndex, counter))
+        val containerOffset = out.getPos
+        val body = encodeContainer(buf.toSeq, refIndex, rgIndex, counter)
+        out.write(body)
+        if (writeIndex) {
+          // one index line per referenced contig span in this container
+          buf.toSeq.groupBy(_.referenceName.flatMap(refIndex.get))
+            .foreach {
+              case (Some(ri), rs) =>
+                val starts = rs.flatMap(_.start)
+                if (starts.nonEmpty) {
+                  val mn = starts.min
+                  val mx = rs.flatMap(_.end).maxOption.getOrElse(mn + 1)
+                  craiLines += Seq(ri, mn + 1, mx - mn,
+                    containerOffset, 0, body.length).mkString("\t")
+                }
+              case _ =>
+            }
+        }
         counter += buf.length
         buf.clear()
       }
@@ -585,6 +610,13 @@ object CramIO {
         if (buf.length >= recordsPerContainer) flush()
       }
       flush()
+      if (writeIndex) {
+        val craiOut = new GZIPOutputStream(
+          fs.create(new Path(path + ".crai"), true))
+        try craiOut.write(
+          craiLines.result().mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally craiOut.close()
+      }
       // EOF sentinel: an empty container (0 records, 0 blocks)
       locally {
         val hdr = new ByteArrayOutputStream()
@@ -824,7 +856,54 @@ object CramIO {
     }
   }
 
-  def read(spark: SparkSession, path: String): GenomicDataset[Alignment] = {
+  /** Region-pruned read of a `.crai`-indexed CRAM: only containers whose
+    * index spans overlap the query regions are decoded; decoded records
+    * are filtered against the query set. */
+  def readIndexed(
+      spark: SparkSession, path: String,
+      regions: Seq[ReferenceRegion]): GenomicDataset[Alignment] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val whole = read(spark, path) // metadata + container scan (headers only)
+    val refIdx = whole.meta.sequences.records.map(_.name)
+      .zipWithIndex.toMap
+    val wanted: Set[Long] = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new GZIPInputStream(fs.open(new Path(path + ".crai"))), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty)
+        .flatMap { l =>
+          val f = l.split("\t")
+          val (ri, start1, span, off) =
+            (f(0).toInt, f(1).toLong, f(2).toLong, f(3).toLong)
+          val hit = regions.exists(rr =>
+            refIdx.get(rr.referenceName).contains(ri) &&
+              (start1 - 1) < rr.end && rr.start < (start1 - 1 + span))
+          if (hit) Some(off) else None
+        }.toSet
+      finally in.close()
+    }
+    val regionsB = spark.sparkContext.broadcast(regions)
+    val pruned = prunedRead(spark, path, wanted)
+    pruned.transform(_.filter { r =>
+      (r.referenceName, r.start, r.end) match {
+        case (Some(rn), Some(s), Some(e)) =>
+          regionsB.value.exists(rr =>
+            rr.referenceName == rn && s < rr.end && rr.start < e)
+        case _ => false
+      }
+    })
+  }
+
+  private def prunedRead(spark: SparkSession, path: String,
+      keepOffsets: Set[Long]): GenomicDataset[Alignment] =
+    readInternal(spark, path, Some(keepOffsets))
+
+  def read(spark: SparkSession, path: String): GenomicDataset[Alignment] =
+    readInternal(spark, path, None)
+
+  private def readInternal(spark: SparkSession, path: String,
+      keepOffsets: Option[Set[Long]]): GenomicDataset[Alignment] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -856,10 +935,12 @@ object CramIO {
     var done = false
     while (!done && pos < fileLen) {
       in.seek(pos)
+      val headerStart = pos
       readContainerHeader(in) match {
         case Some(hc) if hc.nRecords > 0 =>
           val bodyStart = in.getPos
-          offsets += ((bodyStart, hc.length))
+          if (keepOffsets.forall(_.contains(headerStart)))
+            offsets += ((bodyStart, hc.length))
           pos = bodyStart + hc.length
         case Some(hc) =>
           pos = in.getPos + hc.length // header/EOF container: skip

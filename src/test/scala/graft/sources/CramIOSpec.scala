@@ -99,6 +99,33 @@ class CramIOSpec extends SparkSpec {
     assert(back.ds.rdd.getNumPartitions >= 5)
   }
 
+  test("crai-indexed region query decodes only overlapping containers") {
+    val rnd = new scala.util.Random(37)
+    val bases = "ACGT"
+    // coordinate-sorted so containers have tight spans
+    val many = (0 until 6000).map { i =>
+      val s = (i.toLong * 3) % 9000
+      (s, rec(s"i$i", Some("chr1"), Some(s), Some("20M"),
+        Array.fill(20)(bases(rnd.nextInt(4))).mkString, "I" * 20))
+    }.sortBy(_._1).map(_._2)
+    val path = tmpDir() + "/idx.cram"
+    CramIO.writeIndexed(GenomicDataset(spark.createDataset(many), meta), path,
+      recordsPerContainer = 500)
+    assert(new java.io.File(path + ".crai").exists())
+
+    val regions = Seq(ReferenceRegion("chr1", 4000L, 4200L))
+    val got = CramIO.readIndexed(spark, path, regions)
+    val gotNames = got.ds.collect().map(_.readName.get).sorted
+    val expected = many.filter(r => regions.exists(rr =>
+        r.start.exists(_ < rr.end) && r.end.exists(_ > rr.start)))
+      .map(_.readName.get).sorted
+    assert(expected.nonEmpty)
+    assert(gotNames.sameElements(expected))
+    // pruning: far fewer containers decoded than exist (12 total)
+    assert(got.ds.rdd.getNumPartitions < 6,
+      s"expected pruned containers, got ${got.ds.rdd.getNumPartitions}")
+  }
+
   test("CRAM compresses smaller than BAM on repetitive data") {
     val reads = (0 until 2000).map(i =>
       rec(s"c$i", Some("chr1"), Some(i.toLong), Some("36M"),
