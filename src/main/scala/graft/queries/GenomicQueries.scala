@@ -163,25 +163,39 @@ object GenomicQueries extends QuerySet {
           org.apache.spark.sql.Encoders.product[graft.model.Alignment]
         // (orderkey, linenumber, partkey, suppkey) is the unique row key of
         // the synthetic lineitem — names must be unique or reads merge
-        // into one fragment bucket
-        val rows = t(s, dir, "lineitem").select(
+        // into one fragment bucket. Columns are built declaratively (no
+        // typed map) so the whole query stays in codegen.
+        val nullS = lit(null).cast("string")
+        val nullL = lit(null).cast("long")
+        val nullI = lit(null).cast("int")
+        val nullB = lit(null).cast("boolean")
+        val start = (col("l_partkey") * 7 + col("l_linenumber")) % 10000
+        val reads = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 4).cast("string").as("referenceName"),
+          start.as("start"),
+          (start + 36).as("end"),
+          nullL.as("originalStart"),
           concat_ws("-", lit("r"), col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey")).as("readName"),
-          (col("l_orderkey") % 4).cast("string").as("referenceName"),
-          ((col("l_partkey") * 7 + col("l_linenumber")) % 10000).as("start"),
-          (col("l_suppkey") % 40).cast("int").as("q"))
-        val reads = rows.map { r =>
-          val q = r.getInt(3)
-          graft.model.Alignment(
-            readName = Some(r.getString(0)),
-            referenceName = Some(r.getString(1)),
-            start = Some(r.getLong(2)), end = Some(r.getLong(2) + 36),
-            cigar = Some("36M"), sequence = Some("A" * 36),
-            qualityScores = Some(((33 + q).toChar.toString) * 36),
-            readMapped = Some(true), readPaired = Some(false),
-            readNegativeStrand = Some(false), primaryAlignment = Some(true),
-            secondaryAlignment = Some(false), supplementaryAlignment = Some(false))
-        }
+          lit("A" * 36).as("sequence"),
+          // quality char = chr(33 + suppkey % 40), repeated 36 times
+          expr("repeat(chr(33 + l_suppkey % 40), 36)").as("qualityScores"),
+          lit("36M").as("cigar"),
+          nullS.as("originalCigar"),
+          nullI.as("basesTrimmedFromStart"), nullI.as("basesTrimmedFromEnd"),
+          nullI.as("mappingQuality"),
+          lit(false).as("readPaired"), nullB.as("properPair"),
+          lit(true).as("readMapped"), nullB.as("mateMapped"),
+          nullI.as("readInFragment"),
+          nullB.as("failedVendorQualityChecks"), nullB.as("duplicateRead"),
+          lit(false).as("readNegativeStrand"), nullB.as("mateNegativeStrand"),
+          lit(true).as("primaryAlignment"), lit(false).as("secondaryAlignment"),
+          lit(false).as("supplementaryAlignment"),
+          nullS.as("mismatchingPositions"), nullS.as("mateReferenceName"),
+          nullL.as("mateAlignmentStart"), nullL.as("insertSize"),
+          nullS.as("readGroupId"), nullS.as("readGroupSampleId"),
+          expr("cast(map() as map<string,string>)").as("attributes")
+        ).as[graft.model.Alignment]
         graft.operators.AlignmentOps.markDuplicates(reads)
           .toDF().select(col("readName"), col("duplicateRead"))
       },
