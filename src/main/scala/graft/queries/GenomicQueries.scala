@@ -195,12 +195,18 @@ object GenomicQueries extends QuerySet {
           nullL.as("mateAlignmentStart"), nullL.as("insertSize"),
           nullS.as("readGroupId"), nullS.as("readGroupSampleId"),
           expr("cast(map() as map<string,string>)").as("attributes")
-        ).as[graft.model.Alignment]
+        ) // sf0.001 contains a fully-duplicated lineitem row: identical
+          // rows would merge into one two-read fragment bucket while the
+          // SQL twin ranks them separately. The name encodes every varying
+          // column, so deduping on it drops exactly the clones (distinct()
+          // can't be used over the MAP column).
+          .dropDuplicates("readName")
+          .as[graft.model.Alignment]
         graft.operators.AlignmentOps.markDuplicates(reads)
           .toDF().select(col("readName"), col("duplicateRead"))
       },
       Some("""WITH reads AS (
-          SELECT 'r-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+          SELECT DISTINCT 'r-' || CAST(l_orderkey AS VARCHAR) || '-' ||
               CAST(l_linenumber AS VARCHAR) || '-' ||
               CAST(l_partkey AS VARCHAR) || '-' ||
               CAST(l_suppkey AS VARCHAR) AS readName,
