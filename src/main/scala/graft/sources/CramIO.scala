@@ -657,6 +657,26 @@ object CramIO {
     Some(ContainerHeader(len, refSeqId, nRecords, nBlocks))
   }
 
+  /** itf8 decoded straight off the array; returns the new offset in the
+    * high int and the value in the low int via a packed long (avoids a
+    * stream allocation per field per record). */
+  private def itf8At(b: Array[Byte], o: Int): Long = {
+    val b0 = b(o) & 0xff
+    if ((b0 & 0x80) == 0) ((o + 1).toLong << 32) | (b0.toLong & 0xffffffffL)
+    else if ((b0 & 0x40) == 0)
+      ((o + 2).toLong << 32) | ((((b0 & 0x3f) << 8) | (b(o + 1) & 0xff)).toLong & 0xffffffffL)
+    else if ((b0 & 0x20) == 0)
+      ((o + 3).toLong << 32) | ((((b0 & 0x1f) << 16) | ((b(o + 1) & 0xff) << 8) |
+        (b(o + 2) & 0xff)).toLong & 0xffffffffL)
+    else if ((b0 & 0x10) == 0)
+      ((o + 4).toLong << 32) | ((((b0 & 0x0f) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)).toLong & 0xffffffffL)
+    else
+      ((o + 5).toLong << 32) | ((((b0 & 0x0f) << 28) | ((b(o + 1) & 0xff) << 20) |
+        ((b(o + 2) & 0xff) << 12) | ((b(o + 3) & 0xff) << 4) |
+        (b(o + 4) & 0x0f)).toLong & 0xffffffffL)
+  }
+
   private class SeriesReader(blocks: Map[Int, Array[Byte]], ch: CompressionHeader) {
     private val pos = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
     private def stream(series: String): Int =
@@ -667,12 +687,9 @@ object CramIO {
         case Some(c) => c
         case None =>
           val id = stream(series)
-          val b = blocks(id)
-          val in = new ByteArrayInputStream(b, pos(id), b.length - pos(id))
-          val before = b.length - pos(id)
-          val v = readItf8(in)
-          pos(id) += before - in.available()
-          v
+          val packed = itf8At(blocks(id), pos(id))
+          pos(id) = (packed >>> 32).toInt
+          packed.toInt
       }
     def bytes(series: String, n: Int): Array[Byte] = {
       val id = stream(series)
