@@ -97,6 +97,18 @@ object CramIO {
   private val MethodGzip = 1
   private val MethodRans = 4
 
+  /** InputStream.skip may short-skip (Hadoop streams do); loop to the
+    * requested count. */
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) throw new EOFException("skip")
+      else left -= 1
+    }
+  }
+
   private def gzip(data: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val gz = new GZIPOutputStream(bos) {
@@ -156,7 +168,7 @@ object CramIO {
       if (r < 0) throw new EOFException("block payload")
       o += r
     }
-    in.skip(4) // block CRC (verified structurally by decode)
+    skipFully(in, 4) // block CRC (verified structurally by decode)
     val data = method match {
       case MethodRaw => payload
       case MethodGzip => gunzip(payload, rawSize)
@@ -287,7 +299,7 @@ object CramIO {
           }
           val ls = lines.result()
           if (ls.nonEmpty) tagLines = ls
-        case "SM" => in.skip(5)
+        case "SM" => skipFully(in, 5)
         case _ => in.read() // boolean prescription byte
       }
       i += 1
@@ -653,7 +665,7 @@ object CramIO {
     val nLandmarks = readItf8(in)
     var i = 0
     while (i < nLandmarks) { readItf8(in); i += 1 }
-    in.skip(4) // CRC
+    skipFully(in, 4) // CRC
     Some(ContainerHeader(len, refSeqId, nRecords, nBlocks))
   }
 
@@ -929,7 +941,7 @@ object CramIO {
     val magic = new Array[Byte](6)
     in.readFully(magic)
     require(magic.sameElements(Magic), "not a CRAM 3.0 file")
-    in.skip(20)
+    skipFully(in, 20)
 
     val hdrContainer = readContainerHeader(in).getOrElse(
       throw new EOFException("missing CRAM header container"))
