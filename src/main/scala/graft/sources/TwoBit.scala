@@ -41,7 +41,11 @@ object TwoBit {
     def skipTo(target: Long): Unit = {
       require(target >= pos, s"cannot seek backwards $pos -> $target")
       var left = target - pos
-      while (left > 0) { val s = d.skip(left); require(s > 0); pos += s; left -= s }
+      while (left > 0) {
+        val s = d.skip(left)
+        if (s > 0) { pos += s; left -= s }
+        else { u8(); left -= 1 } // skip() may return 0 on some streams
+      }
     }
   }
 

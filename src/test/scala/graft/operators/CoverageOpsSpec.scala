@@ -45,6 +45,33 @@ class CoverageOpsSpec extends SparkSpec {
     assert(flat == orig)
   }
 
+  test("collapseBinned equals plain collapse incl. runs crossing bin edges") {
+    import spark.implicits._
+    val rnd = new Random(41)
+    // random per-base depths over two contigs: long equal-depth runs will
+    // frequently cross the tiny 50-base bins
+    val rows = Seq.newBuilder[(String, Long, Long, Long)]
+    for (ref <- Seq("chr1", "chr2")) {
+      var p = 0L
+      while (p < 1000L) {
+        val runLen = 1L + rnd.nextInt(120)
+        val depth = 1L + rnd.nextInt(3)
+        var i = 0L
+        while (i < runLen && p + i < 1000L) {
+          rows += ((ref, p + i, p + i + 1, depth))
+          i += 1
+        }
+        p += runLen
+      }
+    }
+    val cov = rows.result().toDF("referenceName", "start", "end", "count")
+    def keySet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = keySet(CoverageOps.collapse(cov))
+    val binned = keySet(CoverageOps.collapseBinned(cov, binSize = 50L))
+    assert(binned == plain)
+  }
+
   test("property: collapse(flatten(x)) preserves per-base depth") {
     import spark.implicits._
     val rnd = new Random(11)
