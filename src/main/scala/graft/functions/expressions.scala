@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY.md §4 "optional accelerators"):
@@ -92,6 +93,73 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cosine_similarity(array<double>, array<double>) — codegen'd cosine over
+  * ArrayData with zero boxing (a ScalaUDF deserializes both arrays to
+  * Seq[Double] per call — ruinous inside pair joins). Sums run
+  * left-to-right in double precision, bit-identical to
+  * [[graft.operators.SimilarityOps.cosine]]'s former UDF and to DuckDB's
+  * list_cosine_similarity over DOUBLE[]. Elements must be non-null. */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity needs two array<double> arguments, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  protected override def nullSafeEval(input1: Any, input2: Any): Any = {
+    val a = input1.asInstanceOf[ArrayData]
+    val b = input2.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else d / nn
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val nn = ctx.freshName("nn")
+      s"""int $n = Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $nn = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = ($nn == 0.0) ? 0.0 : $d / $nn;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API + SQL-registry access to the native expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -106,13 +174,20 @@ object GraftFunctions {
   def fnv1a64(c: Column): Column =
     ColumnBridge.column(Fnv1a64(ColumnBridge.expression(c)))
 
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("reverse_complement"),
       new ExpressionInfo(classOf[ReverseComplement].getName, "reverse_complement"),
       (args: Seq[Expression]) => ReverseComplement(args.head)),
     (FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
-      (args: Seq[Expression]) => Fnv1a64(args.head)))
+      (args: Seq[Expression]) => Fnv1a64(args.head)),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

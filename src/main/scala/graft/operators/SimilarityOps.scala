@@ -28,30 +28,16 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. Implemented as a tight-loop UDF, not
-    * zip_with/aggregate: Spark's higher-order functions are CodegenFallback
-    * (interpreted per row), which is ruinous inside an all-pairs join —
-    * the JVM loop is ~100× faster and sums in the same left-to-right index
-    * order, so results are bit-identical to the declarative form (and to
-    * DuckDB's list_cosine_similarity over DOUBLE[]). */
+  /** Cosine similarity, as the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression: zip_with/aggregate
+    * are CodegenFallback (interpreted per row) and a ScalaUDF pays
+    * Seq[Double] deserialization per call — the expression reads ArrayData
+    * in generated code with zero boxing. Sums run left-to-right, so
+    * results are bit-identical to the declarative form (and to DuckDB's
+    * list_cosine_similarity over DOUBLE[]). */
   def cosine(a: Column, b: Column): Column =
-    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
-
-  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    if (a == null || b == null) 0.0
-    else {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n) {
-        val x = a(i); val y = b(i)
-        d += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val nn = math.sqrt(na) * math.sqrt(nb)
-      if (nn == 0.0) 0.0 else d / nn
-    }
-  }
+    graft.functions.GraftFunctions.cosineSimilarity(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact cosine top-k of each query vector against the corpus.
     *

@@ -56,6 +56,53 @@ class ExpressionsSpec extends SparkSpec {
       .collect().head.getString(0) == "ACGT")
   }
 
+  test("cosine_similarity expression: values, codegen path, SQL, nulls") {
+    import spark.implicits._
+    def ref(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0.0 else d / nn
+    }
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 50).map(_ =>
+      (Seq.fill(16)(rnd.nextDouble() * 2 - 1), Seq.fill(16)(rnd.nextDouble() * 2 - 1))) ++
+      Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)),   // identical
+        (Seq(1.0, 0.0), Seq(0.0, 1.0)),     // orthogonal
+        (Seq(0.0, 0.0), Seq(1.0, 1.0)))     // zero norm
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(r.getDouble(2) == ref(a, b), s"bitwise mismatch for $a / $b")
+    }
+    // codegen path (range-backed, not constant-folded)
+    val gen = spark.range(32)
+      .select(array(col("id").cast("double"), lit(1.0)).as("a"),
+        array(lit(2.0), col("id").cast("double")).as("b"))
+      .select(col("a"), col("b"),
+        GraftFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+    assert(gen.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    gen.collect().foreach { r =>
+      assert(r.getDouble(2) == ref(r.getSeq[Double](0), r.getSeq[Double](1)))
+    }
+    // SQL registry
+    GraftFunctions.register(spark)
+    val s = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(s == 1.0)
+    // nulls propagate
+    val nr = Seq((Seq(1.0), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(GraftFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .collect().head
+    assert(nr.isNullAt(0))
+  }
+
   test("null propagates") {
     import spark.implicits._
     val r = Seq[(Integer, String)]((1, null)).toDF("i", "s")
