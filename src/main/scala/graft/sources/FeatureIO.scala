@@ -19,8 +19,13 @@ object FeatureIO {
 
   private def lines(spark: SparkSession, path: String): Dataset[String] = {
     import spark.implicits._
-    spark.read.textFile(path)
-      .filter((l: String) => l.nonEmpty)
+    // bgzipped feature files (.bed.gz, .gff3.gz, ...) read through the
+    // splittable BGZF text path; plain text through the native reader
+    val raw =
+      if (path.endsWith(".gz") || path.endsWith(".bgz"))
+        BgzfText.readLines(spark, path)
+      else spark.read.textFile(path)
+    raw.filter((l: String) => l.nonEmpty)
   }
 
   private def opt(s: String): Option[String] =
@@ -264,12 +269,12 @@ object FeatureIO {
   /** Extension-dispatch loader (loadFeatures routing,
     * ADAMContext.scala:3432). */
   def readFeatures(spark: SparkSession, path: String): Dataset[Feature] = {
-    val p = path.toLowerCase
+    // compression suffixes route inside lines(); dispatch on the format
+    val p = path.toLowerCase.stripSuffix(".gz").stripSuffix(".bgz")
     if (p.endsWith(".bed")) readBed(spark, path)
     else if (p.endsWith(".gff3") || p.endsWith(".gff")) readGff3(spark, path)
     else if (p.endsWith(".gtf")) readGtf(spark, path)
-    else if (p.endsWith(".narrowpeak") || p.endsWith(".narrowPeak"))
-      readNarrowPeak(spark, path)
+    else if (p.endsWith(".narrowpeak")) readNarrowPeak(spark, path)
     else if (p.endsWith(".interval_list")) readIntervalList(spark, path)
     else throw new IllegalArgumentException(s"Unknown feature format: $path")
   }

@@ -146,6 +146,18 @@ class FormatEdgeSpec extends SparkSpec {
     assert(named(6) == "q10")
   }
 
+  test("bgzipped BED reads through the splittable path with extension dispatch") {
+    import spark.implicits._
+    val lines = (0 until 3000).map(i =>
+      s"chr${i % 2 + 1}\t${i * 10}\t${i * 10 + 5}\tf$i\t${i % 1000}\t+")
+    val path = tmpDir() + "/feat.bed.gz"
+    BgzfText.writeLines(spark.createDataset(lines), path, asSingleFile = true)
+    val feats = FeatureIO.readFeatures(spark, path).collect()
+    assert(feats.length == 3000)
+    assert(feats.flatMap(_.name).toSet.contains("f2999"))
+    assert(feats.forall(f => f.start.exists(_ % 10 == 0)))
+  }
+
   test(".fai index: build, persist, and random-access extract") {
     val chr1 = (0 until 237).map(i => "ACGT"((i * 7) % 4)).mkString
     val chr2 = (0 until 91).map(i => "TGCA"((i * 3) % 4)).mkString
