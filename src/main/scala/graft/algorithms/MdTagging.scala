@@ -1,7 +1,7 @@
 package graft.algorithms
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import graft.core.ReferenceContigs
+import graft.core.{ReferenceContigs, ReferenceSource}
 import graft.functions.GenomicFunctions
 import graft.model.{Alignment, Cigar, ReferenceRegion}
 
@@ -16,9 +16,9 @@ object MdTagging {
 
   def tagReads(
       reads: Dataset[Alignment],
-      contigs: ReferenceContigs,
+      reference: ReferenceSource,
       overwrite: Boolean = true): Dataset[Alignment] = {
-    val refB = reads.sparkSession.sparkContext.broadcast(contigs)
+    val refB = reads.sparkSession.sparkContext.broadcast(reference)
     reads.map { r =>
       val ok = r.readMapped.getOrElse(false) && r.cigar.isDefined &&
         r.sequence.isDefined && r.referenceName.isDefined && r.start.isDefined &&

@@ -3,7 +3,7 @@ package graft.algorithms
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.ReferenceContigs
+import graft.core.{ReferenceContigs, ReferenceSource}
 import graft.model.{Alignment, Cigar, ReferenceRegion}
 
 /** Local indel realignment (SURVEY.md §2.5; reference
@@ -305,7 +305,7 @@ object RealignIndels {
     * each target. */
   def apply(
       reads: Dataset[Alignment],
-      contigs: ReferenceContigs,
+      reference: ReferenceSource,
       maxTargetGap: Long = 100L,
       pad: Long = 150L,
       lodThreshold: Double = 5.0,
@@ -313,7 +313,7 @@ object RealignIndels {
       knownIndels: Seq[(String, Consensus)] = Nil): Dataset[Alignment] = {
     val spark = reads.sparkSession
     import spark.implicits._
-    val refB = spark.sparkContext.broadcast(contigs)
+    val refB = spark.sparkContext.broadcast(reference)
     val knownsB = spark.sparkContext.broadcast(
       knownIndels.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) })
     val useSW = useSmithWaterman

@@ -4,12 +4,21 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import graft.model.ReferenceRegion
 
+/** Random-access reference genome interface (the reference's
+  * util/ReferenceFile.scala:32): implemented by the broadcast in-memory
+  * [[ReferenceContigs]] and by the seek-based
+  * [[graft.sources.Fai.IndexedFasta]] handle (IndexedFastaFile analog —
+  * no whole-genome memory, one seek per extract). */
+trait ReferenceSource extends Serializable {
+  def extract(region: ReferenceRegion): String
+}
+
 /** Random-access reference genome held driver-side and broadcast
   * (SURVEY.md §2.1: util/ReferenceFile.scala:32, TwoBitFile.scala:59,
   * IndexedFastaFile.scala in the reference). Backed by an in-memory contig
   * map built from FASTA — the broadcast pattern is identical; a 2bit
   * packed representation is a storage detail behind the same interface. */
-case class ReferenceContigs(contigs: Map[String, String]) extends Serializable {
+case class ReferenceContigs(contigs: Map[String, String]) extends ReferenceSource {
 
   /** Bases for a region (clamped to the contig). */
   def extract(region: ReferenceRegion): String = {

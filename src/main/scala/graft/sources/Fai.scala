@@ -74,8 +74,12 @@ object Fai {
     entries.result()
   }
 
-  /** Random-access handle; safe to broadcast (opens the file per call). */
-  case class IndexedFasta(path: String, entries: Seq[Entry]) {
+  /** Random-access handle; safe to broadcast (opens the file per call).
+    * Implements [[graft.core.ReferenceSource]], so realignment / MD
+    * tagging can run against a seek-based reference without holding the
+    * genome in memory. */
+  case class IndexedFasta(path: String, entries: Seq[Entry])
+      extends graft.core.ReferenceSource {
     @transient private lazy val byName = entries.map(e => e.name -> e).toMap
 
     def extract(region: ReferenceRegion): String = {

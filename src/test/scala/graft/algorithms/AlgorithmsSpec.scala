@@ -261,6 +261,22 @@ class RealignIndelsSpec extends SparkSpec {
     assert(ts.toSeq == Seq(("chr1", 104L, 105L)))
   }
 
+  test("pipeline runs against a seek-based .fai reference (no genome in memory)") {
+    val fa = java.nio.file.Files.createTempFile("graftref", ".fa")
+    java.nio.file.Files.writeString(fa,
+      ">chr1\n" + ref.grouped(60).mkString("\n") + "\n")
+    val idx = graft.sources.Fai.open(spark, fa.toString)
+    val withDel = read("ev", 8L, "GGGGTTTTACGTAAAA", "8M4D8M")
+    val seqNoDel = ref.substring(10, 16) + ref.substring(20, 30)
+    val misaligned = read("mis", 10L, seqNoDel, "16M")
+    val out = RealignIndels(
+      spark.createDataset(Seq(withDel, misaligned)), idx,
+      lodThreshold = 1.0).collect()
+    val mis = out.find(_.readName.contains("mis")).get
+    assert(mis.cigar.exists(_.contains("D")),
+      s"expected realignment against fai reference, got ${mis.cigar}")
+  }
+
   test("consensus placements are per-read, not per-name") {
     // both 'mates' share a name; only the second matches the deletion
     // haplotype — the first must NOT inherit its mate's realignment
