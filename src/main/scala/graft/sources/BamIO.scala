@@ -294,17 +294,30 @@ object BamIO {
       else {
         raw.seek(b0)
         val in = new Bgzf.BgzfBlockInput(raw, b0)
-        val firstLen = in.firstUnreadBlockLen
-        if (firstLen == 0) { in.close(); Iterator.empty }
-        else {
-          val win = in.peek(1 << 20)
-          val o = guessRecordStart(win, refNames.length,
-            math.min(firstLen, win.length))
-          if (o < 0) { in.close(); Iterator.empty }
-          else {
-            in.skipFully(o.toLong)
-            boundedRecordIterator(in, refNames, end)
+        // The next record start may lie BEYOND the first owned block (a
+        // long-read record can span many blocks), so scan the whole
+        // decompressed window and grow it until a start appears or the
+        // file is exhausted. Ownership stays exact: the bounded iterator
+        // stops before a record whose first byte is in a block >= end, so
+        // a start found past the range is simply not emitted here (the
+        // owning split finds it through the same scan).
+        var winSize = 1 << 20
+        var lastLen = -1
+        var offset = -1
+        var exhausted = false
+        while (offset < 0 && !exhausted && winSize <= (64 << 20)) {
+          val win = in.peek(winSize)
+          offset = guessRecordStart(win, refNames.length, win.length)
+          if (offset < 0) {
+            if (win.length == lastLen) exhausted = true
+            lastLen = win.length
+            winSize *= 2
           }
+        }
+        if (offset < 0) { in.close(); Iterator.empty }
+        else {
+          in.skipFully(offset.toLong)
+          boundedRecordIterator(in, refNames, end)
         }
       }
     }

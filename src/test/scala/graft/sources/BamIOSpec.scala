@@ -179,6 +179,38 @@ class BamIOSpec extends SparkSpec {
       s"guesser found $fromInside, expected ${rec0Len - 1}")
   }
 
+  test("block-split read survives long-read records spanning many blocks") {
+    // 60 kb sequences: one record ≈ 90 kb encoded > a 64 KiB BGZF block,
+    // so every record spans block boundaries and split ownership must
+    // still deliver each exactly once
+    val rnd = new scala.util.Random(43)
+    val bases = "ACGT"
+    val long = (0 until 40).map { i =>
+      val n = 40000 + rnd.nextInt(40000)
+      Alignment(readName = Some(s"L$i"), referenceName = Some("chr1"),
+        start = Some(i * 100L), end = Some(i * 100L + n),
+        cigar = Some(s"${n}M"),
+        sequence = Some(Array.fill(n)(bases(rnd.nextInt(4))).mkString),
+        qualityScores = Some("I" * n), mappingQuality = Some(60),
+        readMapped = Some(true), readPaired = Some(false),
+        readNegativeStrand = Some(false), mateNegativeStrand = Some(false),
+        primaryAlignment = Some(true), secondaryAlignment = Some(false),
+        supplementaryAlignment = Some(false), duplicateRead = Some(false),
+        failedVendorQualityChecks = Some(false), mateMapped = Some(false))
+    }
+    val path = tmpDir() + "/long.bam"
+    BamIO.write(GenomicDataset(spark.createDataset(long), meta), path,
+      asSingleFile = true)
+    val size = new java.io.File(path).length()
+    val split = BamIO.read(spark, path, splitSize = size / 6)
+      .ds.collect().map(r => (r.readName.get, r.sequence.get.length))
+    assert(split.length == 40, s"got ${split.length}")
+    assert(split.map(_._1).sorted.sameElements(long.map(_.readName.get).sorted))
+    split.foreach { case (n, len) =>
+      assert(long.find(_.readName.contains(n)).get.sequence.get.length == len)
+    }
+  }
+
   test("indexed BAM: region query reads only matching records") {
     val rnd = new scala.util.Random(19)
     val bases = "ACGT"

@@ -126,6 +126,57 @@ class CramIOSpec extends SparkSpec {
       s"expected pruned containers, got ${got.ds.rdd.getNumPartitions}")
   }
 
+  test("CRAM fuzz: random cigars, hard clips, padding, empty quals survive") {
+    val rnd = new scala.util.Random(47)
+    val bases = "ACGT"
+    def randomRead(i: Int): Alignment = {
+      // random cigar over read-consuming and ref-consuming ops
+      val ops = Seq.newBuilder[(Char, Int)]
+      if (rnd.nextBoolean()) ops += (('H', 1 + rnd.nextInt(5)))
+      if (rnd.nextBoolean()) ops += (('S', 1 + rnd.nextInt(8)))
+      ops += (('M', 10 + rnd.nextInt(30)))
+      rnd.nextInt(3) match {
+        case 0 => ops += (('D', 1 + rnd.nextInt(6))); ops += (('M', 5 + rnd.nextInt(10)))
+        case 1 => ops += (('I', 1 + rnd.nextInt(6))); ops += (('M', 5 + rnd.nextInt(10)))
+        case _ => ops += (('N', 20 + rnd.nextInt(50))); ops += (('M', 5 + rnd.nextInt(10)))
+      }
+      if (rnd.nextBoolean()) ops += (('P', 1 + rnd.nextInt(3)))
+      if (rnd.nextBoolean()) ops += (('S', 1 + rnd.nextInt(8)))
+      val cig = ops.result()
+      val readLen = cig.collect { case (op, l) if "MIS".contains(op) => l }.sum
+      val refLen = cig.collect { case (op, l) if "MDN".contains(op) => l }.sum
+      val cigar = cig.map { case (op, l) => s"$l$op" }.mkString
+      Alignment(readName = Some(s"f$i"), referenceName = Some("chr1"),
+        start = Some(i * 200L), end = Some(i * 200L + refLen),
+        cigar = Some(cigar),
+        sequence = Some(Array.fill(readLen)(bases(rnd.nextInt(4))).mkString),
+        qualityScores = Some(Array.fill(readLen)((33 + rnd.nextInt(60)).toChar).mkString),
+        mappingQuality = Some(rnd.nextInt(61)),
+        readMapped = Some(true), readPaired = Some(rnd.nextBoolean()),
+        readNegativeStrand = Some(rnd.nextBoolean()),
+        mateNegativeStrand = Some(false),
+        primaryAlignment = Some(true), secondaryAlignment = Some(false),
+        supplementaryAlignment = Some(false),
+        duplicateRead = Some(rnd.nextBoolean()),
+        failedVendorQualityChecks = Some(false), mateMapped = Some(false),
+        attributes = Map("XI" -> s"i:$i"))
+    }
+    val reads = (0 until 300).map(randomRead)
+    val path = tmpDir() + "/fuzz.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path)
+    val back = CramIO.read(spark, path).ds.collect()
+      .map(r => r.readName.get -> r).toMap
+    assert(back.size == 300)
+    reads.foreach { r =>
+      val b = back(r.readName.get)
+      assert(b.cigar == r.cigar, s"${r.readName}: ${b.cigar} vs ${r.cigar}")
+      assert(b.sequence == r.sequence)
+      assert(b.qualityScores == r.qualityScores)
+      assert(b.start == r.start && b.end == r.end)
+      assert(b.attributes.get("XI") == r.attributes.get("XI"))
+    }
+  }
+
   test("CRAM compresses smaller than BAM on repetitive data") {
     val reads = (0 until 2000).map(i =>
       rec(s"c$i", Some("chr1"), Some(i.toLong), Some("36M"),
