@@ -272,6 +272,23 @@ class BamIOSpec extends SparkSpec {
     assert(split.sorted.sameElements(lines.sorted))
   }
 
+  test("BGZF text: giant lines spanning whole splits still read exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // mix of ~300 KB lines (span several 64 KiB blocks and whole small
+    // splits) and short lines
+    val lines = (0 until 30).map { i =>
+      if (i % 3 == 0) s"G$i-" + Array.fill(300000)(('a' + rnd.nextInt(26)).toChar).mkString
+      else s"s$i-short"
+    }
+    val path = tmpDir() + "/giant.gz"
+    BgzfText.writeLines(spark.createDataset(lines), path, asSingleFile = true)
+    val size = new java.io.File(path).length()
+    val got = BgzfText.readLines(spark, path, splitSize = size / 9).collect()
+    assert(got.length == 30, s"got ${got.length}")
+    assert(got.sorted.sameElements(lines.sorted))
+  }
+
   test("tabix-indexed VCF region query returns exactly the overlapping sites") {
     import spark.implicits._
     val vcMeta = GenomicMetadata(
