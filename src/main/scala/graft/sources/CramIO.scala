@@ -192,6 +192,72 @@ object CramIO {
   private val EncExternal = 1
   private val EncHuffman = 3
   private val EncByteArrayStop = 5
+  private val EncBeta = 6
+
+  // ------------------------ encodings / bit io -----------------------------
+
+  /** A data-series encoding, as declared in the compression header.
+    * EXTERNAL/BYTE_ARRAY_STOP read byte streams; BETA and HUFFMAN read the
+    * shared CORE bit stream (MSB-first); a zero-bit single-symbol HUFFMAN
+    * is a constant. */
+  private sealed trait SeriesEnc
+  private case class ExtEnc(id: Int) extends SeriesEnc
+  private case class StopEnc(stop: Byte, id: Int) extends SeriesEnc
+  private case class ConstEnc(value: Int) extends SeriesEnc
+  private case class BetaEnc(offset: Int, nbits: Int) extends SeriesEnc
+  private case class HuffEnc(symbols: Array[Int], lens: Array[Int]) extends SeriesEnc {
+    /** canonical codes: symbols ranked by (len, alphabet order). */
+    lazy val codes: Array[Int] = {
+      val order = symbols.indices.sortBy(i => (lens(i), i))
+      val out = new Array[Int](symbols.length)
+      var code = 0
+      var prevLen = 0
+      order.foreach { i =>
+        code = if (prevLen == 0) 0 else (code + 1) << (lens(i) - prevLen)
+        out(i) = code
+        prevLen = lens(i)
+      }
+      out
+    }
+    lazy val decode: Map[(Int, Int), Int] =
+      symbols.indices.map(i => (lens(i), codes(i)) -> symbols(i)).toMap
+  }
+
+  private final class BitWriter {
+    private val bos = new ByteArrayOutputStream()
+    private var cur = 0
+    private var nIn = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nIn += 1
+        if (nIn == 8) { bos.write(cur); cur = 0; nIn = 0 }
+        i -= 1
+      }
+    }
+    def result(): Array[Byte] = {
+      if (nIn > 0) { bos.write(cur << (8 - nIn)); cur = 0; nIn = 0 }
+      bos.toByteArray
+    }
+  }
+
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    private var bit = 0
+    def readBit(): Int = {
+      val v = (b(pos) >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
 
   // ------------------------- compression header ----------------------------
 
@@ -201,13 +267,42 @@ object CramIO {
   }
 
   private case class CompressionHeader(
-      seriesEnc: Map[String, Int],      // series -> external content id
-      rnStop: Boolean,                  // RN uses BYTE_ARRAY_STOP
-      tagLines: IndexedSeq[Seq[TagDef]],
-      huffmanConst: Map[String, Int])   // series -> constant value
+      seriesEnc: Map[String, SeriesEnc],
+      tagLines: IndexedSeq[Seq[TagDef]])
+
+  /** Default encoding per series: EXTERNAL, RN via BYTE_ARRAY_STOP. */
+  private def defaultEncodings: Map[String, SeriesEnc] =
+    SeriesIds.map { case (key, id) =>
+      key -> (if (key == "RN") StopEnc('\t', id) else ExtEnc(id))
+    }
+
+  private def writeEncodingSpec(em: ByteArrayOutputStream, e: SeriesEnc): Unit = {
+    val params = new ByteArrayOutputStream()
+    val codec = e match {
+      case ExtEnc(id) => writeItf8(params, id); EncExternal
+      case StopEnc(stop, id) =>
+        params.write(stop); writeItf8(params, id); EncByteArrayStop
+      case ConstEnc(v) =>
+        writeItf8(params, 1); writeItf8(params, v)
+        writeItf8(params, 1); writeItf8(params, 0)
+        EncHuffman
+      case h: HuffEnc =>
+        writeItf8(params, h.symbols.length)
+        h.symbols.foreach(writeItf8(params, _))
+        writeItf8(params, h.lens.length)
+        h.lens.foreach(writeItf8(params, _))
+        EncHuffman
+      case BetaEnc(offset, nbits) =>
+        writeItf8(params, offset); writeItf8(params, nbits); EncBeta
+    }
+    writeItf8(em, codec)
+    val p = params.toByteArray
+    writeItf8(em, p.length); em.write(p, 0, p.length)
+  }
 
   private def writeCompressionHeader(
-      tagLines: IndexedSeq[Seq[TagDef]]): Block = {
+      tagLines: IndexedSeq[Seq[TagDef]],
+      encodings: Map[String, SeriesEnc]): Block = {
     val out = new ByteArrayOutputStream()
     // preservation map: RN=true, AP(delta)=false, RR=false, TD=dictionary
     val pm = new ByteArrayOutputStream()
@@ -227,26 +322,12 @@ object CramIO {
     writeItf8(out, pmBytes.length)
     out.write(pmBytes, 0, pmBytes.length)
 
-    // data series encoding map: every series EXTERNAL except RN
-    // (BYTE_ARRAY_STOP with '\t')
+    // data series encoding map
     val em = new ByteArrayOutputStream()
-    writeItf8(em, SeriesIds.size)
-    SeriesIds.toSeq.sortBy(_._2).foreach { case (key, id) =>
+    writeItf8(em, encodings.size)
+    encodings.toSeq.sortBy(_._1).foreach { case (key, e) =>
       em.write(key(0)); em.write(key(1))
-      if (key == "RN") {
-        writeItf8(em, EncByteArrayStop)
-        val params = new ByteArrayOutputStream()
-        params.write('\t')
-        writeItf8(params, id)
-        val p = params.toByteArray
-        writeItf8(em, p.length); em.write(p, 0, p.length)
-      } else {
-        writeItf8(em, EncExternal)
-        val params = new ByteArrayOutputStream()
-        writeItf8(params, id)
-        val p = params.toByteArray
-        writeItf8(em, p.length); em.write(p, 0, p.length)
-      }
+      writeEncodingSpec(em, e)
     }
     val emBytes = em.toByteArray
     writeItf8(out, emBytes.length)
@@ -307,9 +388,7 @@ object CramIO {
     // data series encodings
     readItf8(in)
     val nEm = readItf8(in)
-    val enc = Map.newBuilder[String, Int]
-    val consts = Map.newBuilder[String, Int]
-    var rnStop = false
+    val enc = Map.newBuilder[String, SeriesEnc]
     i = 0
     while (i < nEm) {
       val key = new String(Array(in.read().toByte, in.read().toByte))
@@ -319,41 +398,101 @@ object CramIO {
       in.read(params)
       val pin = new ByteArrayInputStream(params)
       codec match {
-        case EncExternal => enc += key -> readItf8(pin)
+        case EncExternal => enc += key -> ExtEnc(readItf8(pin))
         case EncByteArrayStop =>
-          pin.read() // stop byte (we write '\t')
-          enc += key -> readItf8(pin)
-          if (key == "RN") rnStop = true
+          val stop = pin.read().toByte
+          enc += key -> StopEnc(stop, readItf8(pin))
         case EncHuffman =>
-          // single-symbol zero-bit huffman = constant
           val nSyms = readItf8(pin)
-          if (nSyms != 1)
-            throw new UnsupportedOperationException(
-              s"multi-symbol HUFFMAN for series $key not supported")
-          consts += key -> readItf8(pin)
+          val symbols = Array.fill(nSyms)(readItf8(pin))
+          val nLens = readItf8(pin)
+          val lens = Array.fill(nLens)(readItf8(pin))
+          enc += key -> (
+            if (nSyms == 1) ConstEnc(symbols(0))
+            else HuffEnc(symbols, lens))
+        case EncBeta =>
+          val offset = readItf8(pin)
+          val nbits = readItf8(pin)
+          enc += key -> BetaEnc(offset, nbits)
         case 0 => // NULL encoding: series absent
         case other =>
           throw new UnsupportedOperationException(
             s"CRAM encoding codec $other for series $key not supported " +
-              "(supported: EXTERNAL, BYTE_ARRAY_STOP, constant HUFFMAN)")
+              "(supported: EXTERNAL, BYTE_ARRAY_STOP, HUFFMAN, BETA)")
       }
       i += 1
     }
     // tag encodings: ids are derivable from the tag defs; skip the map
-    CompressionHeader(enc.result(), rnStop, tagLines, consts.result())
+    CompressionHeader(enc.result(), tagLines)
   }
 
   // ------------------------------ writing ----------------------------------
 
-  private class SeriesWriter {
+  private class SeriesWriter(enc: Map[String, SeriesEnc]) {
     val streams = scala.collection.mutable.Map.empty[Int, ByteArrayOutputStream]
+    val core = new BitWriter
     def s(id: Int): ByteArrayOutputStream =
       streams.getOrElseUpdate(id, new ByteArrayOutputStream())
-    def itf8(series: String, v: Int): Unit = writeItf8(s(SeriesIds(series)), v)
-    def bytes(series: String, b: Array[Byte]): Unit =
-      s(SeriesIds(series)).write(b, 0, b.length)
-    def byte(series: String, v: Int): Unit = s(SeriesIds(series)).write(v)
+    def itf8(series: String, v: Int): Unit = enc(series) match {
+      case ExtEnc(id) => writeItf8(s(id), v)
+      case StopEnc(_, id) => writeItf8(s(id), v)
+      case ConstEnc(c) =>
+        require(v == c, s"series $series declared constant $c, got $v")
+      case BetaEnc(offset, nbits) => core.write(v + offset, nbits)
+      case h: HuffEnc =>
+        val i = h.symbols.indexOf(v)
+        require(i >= 0, s"series $series: symbol $v not in huffman alphabet")
+        core.write(h.codes(i), h.lens(i))
+    }
+    // feature codes are ASCII < 0x80, so the raw byte equals its itf8 form
+    def byte(series: String, v: Int): Unit = itf8(series, v)
+    def bytes(series: String, b: Array[Byte]): Unit = enc(series) match {
+      case ExtEnc(id) => s(id).write(b, 0, b.length)
+      case StopEnc(_, id) => s(id).write(b, 0, b.length)
+      case other => throw new IllegalStateException(
+        s"series $series carries byte payloads; encoding $other invalid")
+    }
   }
+
+  private case class Feat(code: Char, pos: Int, lenOrBytes: Either[Int, Array[Byte]])
+
+  /** cigar + stored bases -> CRAM read features (1-based in-read pos). */
+  private def buildFeatures(r: Alignment, seq: String): Seq[Feat] = {
+    val feats = Seq.newBuilder[Feat]
+    var readPos = 1
+    Cigar.parse(r.cigar.getOrElse(s"${seq.length}M")).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' | 'S' | 'I' =>
+          val code = e.op match {
+            case 'M' | '=' | 'X' => 'b'
+            case other => other
+          }
+          feats += Feat(code, readPos,
+            Right(seq.substring(readPos - 1,
+              math.min(seq.length, readPos - 1 + e.length)).getBytes("UTF-8")))
+          readPos += e.length
+        case 'D' => feats += Feat('D', readPos, Left(e.length.toInt))
+        case 'N' => feats += Feat('N', readPos, Left(e.length.toInt))
+        case 'H' => feats += Feat('H', readPos, Left(e.length.toInt))
+        case 'P' => feats += Feat('P', readPos, Left(e.length.toInt))
+        case _ =>
+      }
+    }
+    feats.result()
+  }
+
+  private def bitsFor(maxV: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxV)))
+
+  /** Equal-length canonical huffman over the given alphabet (single symbol
+    * degenerates to a zero-bit constant). */
+  private def huffFor(symbols: Seq[Int]): SeriesEnc =
+    if (symbols.size == 1) ConstEnc(symbols.head)
+    else {
+      val sorted = symbols.sorted.toArray
+      val len = bitsFor(symbols.size - 1)
+      HuffEnc(sorted, Array.fill(sorted.length)(len))
+    }
 
   private def bamFlags(r: Alignment): Int = SamIO.flagOf(r)
 
@@ -377,7 +516,8 @@ object CramIO {
 
   private def encodeContainer(
       records: Seq[Alignment], refIndex: Map[String, Int],
-      rgIndex: Map[String, Int], counterStart: Long): Array[Byte] = {
+      rgIndex: Map[String, Int], counterStart: Long,
+      coreProfile: Boolean = false): Array[Byte] = {
 
     // tag dictionary for this container
     val recTags: Seq[Seq[(TagDef, String)]] = records.map { r =>
@@ -388,10 +528,35 @@ object CramIO {
       recTags.map(_.map(_._1)).distinct.toIndexedSeq
     val lineIdx: Map[Seq[TagDef], Int] = tagLines.zipWithIndex.toMap
 
-    val w = new SeriesWriter
+    // feature pre-pass: needed for the record loop and (core profile) for
+    // encoding parameter selection
+    val recFeats: Seq[Option[Seq[Feat]]] = records.map { r =>
+      if (r.readMapped.getOrElse(false))
+        Some(buildFeatures(r, r.sequence.getOrElse("")))
+      else None
+    }
+
+    val encodings: Map[String, SeriesEnc] =
+      if (!coreProfile) defaultEncodings
+      else {
+        val allFeats = recFeats.flatten.flatten
+        val maxRL = records.map(_.sequence.map(_.length).getOrElse(0)).maxOption.getOrElse(1)
+        val maxFN = recFeats.flatten.map(_.length).maxOption.getOrElse(1)
+        val maxFP = allFeats.map(_.pos).maxOption.getOrElse(1)
+        val fcAlphabet = allFeats.map(_.code.toInt).distinct
+        defaultEncodings ++ Map(
+          "RL" -> BetaEnc(0, bitsFor(maxRL)),
+          "MQ" -> BetaEnc(0, 8),
+          "FN" -> BetaEnc(0, bitsFor(maxFN)),
+          "FP" -> BetaEnc(0, bitsFor(maxFP)),
+          "TL" -> huffFor(tagLines.indices)) ++
+          (if (fcAlphabet.nonEmpty) Map("FC" -> huffFor(fcAlphabet)) else Map.empty)
+      }
+
+    val w = new SeriesWriter(encodings)
     val tagStreams = scala.collection.mutable.Map.empty[Int, ByteArrayOutputStream]
 
-    records.zip(recTags).foreach { case (r, tags) =>
+    records.zip(recTags).zip(recFeats).foreach { case ((r, tags), featsOpt) =>
       val mapped = r.readMapped.getOrElse(false)
       w.itf8("BF", bamFlags(r))
       w.itf8("CF", 3) // qualities preserved | detached
@@ -416,56 +581,28 @@ object CramIO {
         st.write(vb, 0, vb.length)
       }
 
-      if (mapped) {
-        // cigar+bases -> features; prev-position delta for FP (1-based)
-        case class Feat(code: Char, pos: Int, lenOrBytes: Either[Int, Array[Byte]])
-        val feats = Seq.newBuilder[Feat]
-        var readPos = 1
-        Cigar.parse(r.cigar.getOrElse(s"${seq.length}M")).foreach { e =>
-          e.op match {
-            case 'M' | '=' | 'X' =>
-              feats += Feat('b', readPos,
-                Right(seq.substring(readPos - 1,
-                  math.min(seq.length, readPos - 1 + e.length)).getBytes("UTF-8")))
-              readPos += e.length
-            case 'S' =>
-              feats += Feat('S', readPos,
-                Right(seq.substring(readPos - 1,
-                  math.min(seq.length, readPos - 1 + e.length)).getBytes("UTF-8")))
-              readPos += e.length
-            case 'I' =>
-              feats += Feat('I', readPos,
-                Right(seq.substring(readPos - 1,
-                  math.min(seq.length, readPos - 1 + e.length)).getBytes("UTF-8")))
-              readPos += e.length
-            case 'D' => feats += Feat('D', readPos, Left(e.length))
-            case 'N' => feats += Feat('N', readPos, Left(e.length))
-            case 'H' => feats += Feat('H', readPos, Left(e.length))
-            case 'P' => feats += Feat('P', readPos, Left(e.length))
-            case _ =>
+      featsOpt match {
+        case Some(fs) =>
+          w.itf8("FN", fs.length)
+          var last = 0
+          fs.foreach { f =>
+            w.byte("FC", f.code)
+            w.itf8("FP", f.pos - last)
+            last = f.pos
+            (f.code, f.lenOrBytes) match {
+              case ('b', Right(bs)) => w.itf8("BB", bs.length); w.bytes("BB", bs)
+              case ('S', Right(bs)) => w.itf8("SC", bs.length); w.bytes("SC", bs)
+              case ('I', Right(bs)) => w.itf8("IN", bs.length); w.bytes("IN", bs)
+              case ('D', Left(l)) => w.itf8("DL", l)
+              case ('N', Left(l)) => w.itf8("RS", l)
+              case ('H', Left(l)) => w.itf8("HC", l)
+              case ('P', Left(l)) => w.itf8("PD", l)
+              case _ =>
+            }
           }
-        }
-        val fs = feats.result()
-        w.itf8("FN", fs.length)
-        var last = 0
-        fs.foreach { f =>
-          w.byte("FC", f.code)
-          w.itf8("FP", f.pos - last)
-          last = f.pos
-          (f.code, f.lenOrBytes) match {
-            case ('b', Right(bs)) => w.itf8("BB", bs.length); w.bytes("BB", bs)
-            case ('S', Right(bs)) => w.itf8("SC", bs.length); w.bytes("SC", bs)
-            case ('I', Right(bs)) => w.itf8("IN", bs.length); w.bytes("IN", bs)
-            case ('D', Left(l)) => w.itf8("DL", l)
-            case ('N', Left(l)) => w.itf8("RS", l)
-            case ('H', Left(l)) => w.itf8("HC", l)
-            case ('P', Left(l)) => w.itf8("PD", l)
-            case _ =>
-          }
-        }
-        w.itf8("MQ", r.mappingQuality.getOrElse(255))
-      } else {
-        w.bytes("BA", seq.getBytes("UTF-8"))
+          w.itf8("MQ", r.mappingQuality.getOrElse(255))
+        case None =>
+          w.bytes("BA", seq.getBytes("UTF-8"))
       }
       val quals = r.qualityScores.getOrElse("")
       val qb = new Array[Byte](seq.length)
@@ -477,7 +614,8 @@ object CramIO {
       w.bytes("QS", qb)
     }
 
-    // blocks: compression header, slice header, core (empty), externals
+    // blocks: compression header, slice header, core, externals
+    val coreData = w.core.result()
     val extBlocks =
       (w.streams.toSeq.map { case (id, s) => Block(4, id, s.toByteArray) } ++
         tagStreams.toSeq.map { case (id, s) => Block(4, id, s.toByteArray) })
@@ -498,10 +636,10 @@ object CramIO {
     }
 
     val payload = new ByteArrayOutputStream()
-    writeBlock(payload, writeCompressionHeader(tagLines))
+    writeBlock(payload, writeCompressionHeader(tagLines, encodings))
     val landmark = payload.size()
     writeBlock(payload, sliceHdr)
-    writeBlock(payload, Block(5, 0, Array.emptyByteArray), MethodRaw) // core
+    writeBlock(payload, Block(5, 0, coreData), MethodRaw) // core bit stream
     extBlocks.foreach { b =>
       // qualities compress best with order-1 rANS; the rest gzip
       val method = if (b.contentId == SeriesIds("QS")) MethodRans else MethodGzip
@@ -542,8 +680,12 @@ object CramIO {
       recordsPerContainer: Int = 10000): Unit =
     write(gd, path, recordsPerContainer, writeIndex = true)
 
+  /** `coreProfile=true` declares BETA/HUFFMAN core-bit-stream encodings
+    * for RL/MQ/FN/FP/FC/TL instead of EXTERNAL — exercises the core
+    * codec path end-to-end (and shrinks those series). */
   def write(gd: GenomicDataset[Alignment], path: String,
-      recordsPerContainer: Int = 10000, writeIndex: Boolean = false): Unit = {
+      recordsPerContainer: Int = 10000, writeIndex: Boolean = false,
+      coreProfile: Boolean = false): Unit = {
     val meta = gd.meta
     val refIndex = meta.sequences.records.zipWithIndex
       .map { case (r, i) => r.name -> i }.toMap
@@ -597,7 +739,8 @@ object CramIO {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Alignment]
       def flush(): Unit = if (buf.nonEmpty) {
         val containerOffset = out.getPos
-        val body = encodeContainer(buf.toSeq, refIndex, rgIndex, counter)
+        val body = encodeContainer(buf.toSeq, refIndex, rgIndex, counter,
+          coreProfile)
         out.write(body)
         if (writeIndex) {
           // one index line per referenced contig span in this container
@@ -689,20 +832,39 @@ object CramIO {
         (b(o + 4) & 0x0f)).toLong & 0xffffffffL)
   }
 
-  private class SeriesReader(blocks: Map[Int, Array[Byte]], ch: CompressionHeader) {
+  private class SeriesReader(
+      blocks: Map[Int, Array[Byte]], ch: CompressionHeader,
+      core: Array[Byte]) {
     private val pos = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
-    private def stream(series: String): Int =
-      ch.seriesEnc.getOrElse(series,
-        throw new UnsupportedOperationException(s"series $series has no block"))
-    def itf8(series: String): Int =
-      ch.huffmanConst.get(series) match {
-        case Some(c) => c
-        case None =>
-          val id = stream(series)
-          val packed = itf8At(blocks(id), pos(id))
-          pos(id) = (packed >>> 32).toInt
-          packed.toInt
-      }
+    private val bits = new BitReader(core)
+    private def stream(series: String): Int = ch.seriesEnc.get(series) match {
+      case Some(ExtEnc(id)) => id
+      case Some(StopEnc(_, id)) => id
+      case other =>
+        throw new UnsupportedOperationException(
+          s"series $series is not byte-stream encoded ($other)")
+    }
+    def itf8(series: String): Int = ch.seriesEnc.get(series) match {
+      case Some(ConstEnc(c)) => c
+      case Some(BetaEnc(offset, nbits)) => bits.readBits(nbits) - offset
+      case Some(h: HuffEnc) =>
+        var acc = 0
+        var len = 0
+        while (len < 32) {
+          acc = (acc << 1) | bits.readBit()
+          len += 1
+          h.decode.get((len, acc)) match {
+            case Some(sym) => return sym
+            case None =>
+          }
+        }
+        throw new IllegalStateException(s"series $series: bad huffman code")
+      case _ =>
+        val id = stream(series)
+        val packed = itf8At(blocks(id), pos(id))
+        pos(id) = (packed >>> 32).toInt
+        packed.toInt
+    }
     def bytes(series: String, n: Int): Array[Byte] = {
       val id = stream(series)
       val b = blocks(id)
@@ -710,13 +872,9 @@ object CramIO {
       pos(id) += n
       out
     }
-    def byte(series: String): Int = {
-      val id = stream(series)
-      val b = blocks(id)
-      val v = b(pos(id)) & 0xff
-      pos(id) += 1
-      v
-    }
+    // feature codes are ASCII < 0x80: raw byte == its itf8 form, and core
+    // encodings route through the same dispatch
+    def byte(series: String): Int = itf8(series)
     def untilStop(series: String, stop: Byte): String = {
       val id = stream(series)
       val b = blocks(id)
@@ -760,13 +918,15 @@ object CramIO {
     val nBlocks = readItf8(shIn)
 
     val blocks = Map.newBuilder[Int, Array[Byte]]
+    var core: Array[Byte] = Array.emptyByteArray
     var i = 0
     while (i < nBlocks) {
       val b = readBlock(in)
       if (b.contentType == 4) blocks += b.contentId -> b.data
+      else if (b.contentType == 5) core = b.data
       i += 1
     }
-    val r = new SeriesReader(blocks.result(), ch)
+    val r = new SeriesReader(blocks.result(), ch, core)
 
     (0 until nRecords).map { _ =>
       val bf = r.itf8("BF")

@@ -177,6 +177,38 @@ class CramIOSpec extends SparkSpec {
     }
   }
 
+  test("core-profile CRAM (BETA/HUFFMAN bit encodings) round trips") {
+    val rnd = new scala.util.Random(59)
+    val bases = "ACGT"
+    val reads = (0 until 400).map { i =>
+      val cigar = rnd.nextInt(3) match {
+        case 0 => "30M"
+        case 1 => "5S20M2D5M"
+        case _ => "10M3I17M"
+      }
+      val readLen = Cigar.parse(cigar).collect {
+        case e if "MIS=X".contains(e.op) => e.length.toInt }.sum
+      rec(s"c$i", Some("chr1"), Some(i * 50L), Some(cigar),
+        Array.fill(readLen)(bases(rnd.nextInt(4))).mkString,
+        Array.fill(readLen)((33 + rnd.nextInt(40)).toChar).mkString,
+        attrs = if (i % 2 == 0) Map("XC" -> s"i:$i") else Map.empty)
+    } :+ rec("u", None, None, None, "ACGT", "IIII")
+    val path = tmpDir() + "/core.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path,
+      coreProfile = true)
+    val back = CramIO.read(spark, path).ds.collect()
+      .map(r => r.readName.get -> r).toMap
+    assert(back.size == reads.length)
+    reads.foreach { r =>
+      val b = back(r.readName.get)
+      assert(b.cigar == r.cigar, s"${r.readName}: ${b.cigar} vs ${r.cigar}")
+      assert(b.sequence == r.sequence)
+      assert(b.qualityScores == r.qualityScores)
+      assert(b.mappingQuality == r.mappingQuality)
+      assert(b.attributes.get("XC") == r.attributes.get("XC"))
+    }
+  }
+
   test("CRAM compresses smaller than BAM on repetitive data") {
     val reads = (0 until 2000).map(i =>
       rec(s"c$i", Some("chr1"), Some(i.toLong), Some("36M"),
