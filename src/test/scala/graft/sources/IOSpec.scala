@@ -3,6 +3,7 @@ package graft.sources
 import graft.SparkSpec
 import graft.model._
 import java.nio.file.{Files, Paths}
+import scala.util.chaining._
 
 class IOSpec extends SparkSpec {
 
@@ -63,6 +64,62 @@ class IOSpec extends SparkSpec {
   }
 
   // ------------------------------- BED ------------------------------------
+
+  test("SAM fuzz: random flags/cigars/tags survive SAM -> BAM -> CRAM -> SAM") {
+    import org.apache.spark.sql.Encoders
+    implicit val ae: org.apache.spark.sql.Encoder[Alignment] = Encoders.product
+    val rnd = new scala.util.Random(61)
+    val bases = "ACGT"
+    val meta = GenomicMetadata(
+      sequences = SequenceDictionary(Seq(
+        SequenceRecord("chr1", 100000, index = Some(0)),
+        SequenceRecord("chr2", 50000, index = Some(1)))),
+      readGroups = ReadGroupDictionary(Seq(
+        ReadGroup(sampleId = "s", id = "rg1"))))
+    val reads = (0 until 150).map { i =>
+      val mapped = rnd.nextInt(5) != 0
+      val n = 10 + rnd.nextInt(30)
+      val cigar = if (rnd.nextBoolean()) s"${n}M"
+        else s"${n / 2}M${n - n / 2}S"
+      Alignment(
+        readName = Some(s"z$i"),
+        referenceName = if (mapped) Some(if (rnd.nextBoolean()) "chr1" else "chr2") else None,
+        start = if (mapped) Some(rnd.nextInt(40000).toLong) else None,
+        end = None, cigar = if (mapped) Some(cigar) else None,
+        sequence = Some(Array.fill(n)(bases(rnd.nextInt(4))).mkString),
+        qualityScores = Some(Array.fill(n)((33 + rnd.nextInt(60)).toChar).mkString),
+        mappingQuality = if (mapped) Some(rnd.nextInt(61)) else None,
+        readMapped = Some(mapped),
+        readPaired = Some(rnd.nextBoolean()),
+        readNegativeStrand = Some(rnd.nextBoolean()),
+        mateNegativeStrand = Some(false),
+        readInFragment = Some(rnd.nextInt(2)),
+        duplicateRead = Some(rnd.nextBoolean()),
+        secondaryAlignment = Some(false), supplementaryAlignment = Some(false),
+        primaryAlignment = Some(true),
+        failedVendorQualityChecks = Some(false), mateMapped = Some(false),
+        readGroupId = Some("rg1"),
+        attributes = Map("RG" -> "Z:rg1", "XZ" -> s"i:${rnd.nextInt(1000)}"))
+        .pipe(r => r.copy(end = for (s <- r.start; c <- r.cigar)
+          yield s + Cigar.referenceLength(c)))
+    }
+    def key(a: Alignment) = (a.readName, a.referenceName, a.start, a.cigar,
+      a.sequence, a.qualityScores, a.readNegativeStrand, a.duplicateRead,
+      a.attributes.get("XZ"))
+    val gd = graft.core.GenomicDataset(spark.createDataset(reads), meta)
+    val samPath = tmpDir() + "/fz.sam"
+    SamIO.write(gd, samPath, asSingleFile = true)
+    val viaSam = SamIO.read(spark, samPath)
+    val bamPath = tmpDir() + "/fz.bam"
+    BamIO.write(viaSam, bamPath, asSingleFile = true)
+    val viaBam = BamIO.read(spark, bamPath)
+    val cramPath = tmpDir() + "/fz.cram"
+    CramIO.write(viaBam, cramPath, coreProfile = true)
+    val viaCram = CramIO.read(spark, cramPath)
+    assert(viaCram.ds.collect().map(key).toSet ==
+      viaSam.ds.collect().map(key).toSet)
+    assert(viaCram.ds.count() == 150)
+  }
 
   test("BED round-trip") {
     val bed = "chr1\t10\t20\tfeat1\t5\t+\nchr2\t0\t100\tfeat2\t0\t-\n"
