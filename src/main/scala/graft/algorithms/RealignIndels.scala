@@ -284,10 +284,16 @@ object RealignIndels {
               else if (refLen == altLen) s"${readLen}M"
               else if (refLen > altLen) {
                 val d = refLen - altLen
-                s"${before + altLen}M${d}D" + (if (after > 0) s"${after}M" else "")
+                // a read ending exactly at the alt boundary must not carry a
+                // trailing D (invalid SAM; would inflate `end` by d)
+                if (after > 0) s"${before + altLen}M${d}D${after}M"
+                else s"${before + altLen}M"
               } else {
                 val ins = altLen - refLen
-                s"${before + refLen}M${ins}I" + (if (after > 0) s"${after}M" else "")
+                // trailing insertion -> soft-clip the inserted bases instead
+                // of emitting a CIGAR that ends in I
+                if (after > 0) s"${before + refLen}M${ins}I${after}M"
+                else s"${before + refLen}M${ins}S"
               }
             }
           r.copy(

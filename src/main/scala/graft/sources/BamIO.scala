@@ -358,12 +358,11 @@ object BamIO {
 
     val sc = spark.sparkContext
     val refNamesB = sc.broadcast(refNames)
+    val confB = sc.broadcast(HadoopConf(spark))
     val rdd = sc.parallelize(splits, math.max(1, splits.length))
       .flatMap { case (f, s, e) =>
-        // default Hadoop conf in-task (site configs come from the
-        // classpath; fine for local FS + default HDFS)
         val fp = new Path(f)
-        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = fp.getFileSystem(confB.value.value)
         splitRecords(tfs, f, s, e, refNamesB.value)
       }
     GenomicDataset(spark.createDataset(rdd), meta)
@@ -409,11 +408,12 @@ object BamIO {
     val sc = spark.sparkContext
     val refNamesB = sc.broadcast(refNames)
     val regionsB = sc.broadcast(regions)
+    val confB = sc.broadcast(HadoopConf(spark))
     val file = path
     val rdd = sc.parallelize(merged, math.max(1, merged.length))
       .flatMap { chunk =>
         val fp = new Path(file)
-        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = fp.getFileSystem(confB.value.value)
         val raw = tfs.open(fp)
         val coffset = chunk.beg >> 16
         raw.seek(coffset)
@@ -549,11 +549,12 @@ object BamIO {
       val dir = new Path(partsDir)
       val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs0.mkdirs(dir)
+      val confB = spark.sparkContext.broadcast(HadoopConf(spark))
       gd.ds.rdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
           val part = new Path(dir, f"part-$pid%05d")
-          val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = part.getFileSystem(confB.value.value)
           val out = new Bgzf.BgzfOutputStream(fs.create(part, true),
             writeEofOnClose = false)
           try it.foreach { r =>
@@ -616,9 +617,10 @@ object BamIO {
       val dir = new Path(path)
       val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs0.mkdirs(dir)
+      val confB = spark.sparkContext.broadcast(HadoopConf(spark))
       gd.ds.rdd.mapPartitionsWithIndex { (pid, it) =>
         val part = new Path(dir, f"part-$pid%05d.bam")
-        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = part.getFileSystem(confB.value.value)
         val out = new Bgzf.BgzfOutputStream(fs.create(part, true))
         try {
           val (ht, refs) = headerB.value

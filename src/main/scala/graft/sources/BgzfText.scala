@@ -54,6 +54,7 @@ object BgzfText {
     val bgzf = files.headOption.exists { case (f, _) =>
       Bgzf.isBgzf(headerBytes(spark, f)) }
 
+    val confB = spark.sparkContext.broadcast(HadoopConf(spark))
     if (!bgzf) {
       // plain gzip: not splittable — one task per file
       val rdd = spark.sparkContext
@@ -61,8 +62,8 @@ object BgzfText {
         .flatMap { f =>
           val fp = new Path(f)
           val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-            new java.util.zip.GZIPInputStream(fp.getFileSystem(
-              new org.apache.hadoop.conf.Configuration()).open(fp)), "UTF-8"))
+            new java.util.zip.GZIPInputStream(
+              fp.getFileSystem(confB.value.value).open(fp)), "UTF-8"))
           Iterator.continually(in.readLine()).takeWhile(_ != null)
         }
       return spark.createDataset(rdd)
@@ -81,7 +82,7 @@ object BgzfText {
       .parallelize(splits, math.max(1, splits.length))
       .flatMap { case (f, s, e) =>
         val fp = new Path(f)
-        val fs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = fp.getFileSystem(confB.value.value)
         val len = fs.getFileStatus(fp).getLen
         val raw = fs.open(fp)
         Bgzf.splitLines(raw, len, s, e, off => raw.seek(off))
@@ -110,9 +111,10 @@ object BgzfText {
       val fs0 = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs0.mkdirs(dir)
       val headerB = spark.sparkContext.broadcast(header)
+      val confB = spark.sparkContext.broadcast(HadoopConf(spark))
       lines.rdd.mapPartitionsWithIndex { (pid, it) =>
         val part = new Path(dir, f"part-$pid%05d.gz")
-        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = part.getFileSystem(confB.value.value)
         val out = new Bgzf.BgzfOutputStream(fs.create(part, true))
         try {
           if (pid == 0) headerB.value.foreach(h => out.write(h.getBytes("UTF-8")))

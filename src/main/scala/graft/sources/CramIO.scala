@@ -37,6 +37,24 @@ object CramIO {
 
   private val Magic = Array[Byte]('C', 'R', 'A', 'M', 3, 0)
 
+  /** The CRAM 3.0 spec's literal 38-byte EOF container (section 9 of the
+    * specification; validated byte-for-byte by htsjdk/samtools). */
+  private val EofContainer: Array[Byte] = Array(
+    0x0f, 0x00, 0x00, 0x00, // container length 15
+    0xff, 0xff, 0xff, 0xff, 0x0f, // refSeqId -1 (itf8)
+    0xe0, 0x45, 0x4f, 0x46, // alignmentStart 4542278 ("EOF")
+    0x00, // alignmentSpan 0
+    0x00, // nRecords 0
+    0x00, // recordCounter 0 (ltf8)
+    0x00, // bases 0 (ltf8)
+    0x01, // nBlocks 1
+    0x00, // nLandmarks 0
+    0x05, 0xbd, 0xd9, 0x4f, // header CRC32
+    0x00, 0x01, 0x00, 0x06, 0x06, // block: raw, comp-header, id 0, 6/6
+    0x01, 0x00, 0x01, 0x00, 0x01, 0x00, // empty compression header
+    0xee, 0x63, 0x01, 0x4b // block CRC32
+  ).map(_.toByte)
+
   // ------------------------------ varints ----------------------------------
 
   private[sources] def writeItf8(out: ByteArrayOutputStream, v0: Int): Unit = {
@@ -206,9 +224,10 @@ object CramIO {
   private case class ConstEnc(value: Int) extends SeriesEnc
   private case class BetaEnc(offset: Int, nbits: Int) extends SeriesEnc
   private case class HuffEnc(symbols: Array[Int], lens: Array[Int]) extends SeriesEnc {
-    /** canonical codes: symbols ranked by (len, alphabet order). */
+    /** canonical codes: symbols ranked by (len, symbol value) — the spec's
+      * canonical order, independent of declaration order. */
     lazy val codes: Array[Int] = {
-      val order = symbols.indices.sortBy(i => (lens(i), i))
+      val order = symbols.indices.sortBy(i => (lens(i), symbols(i)))
       val out = new Array[Int](symbols.length)
       var code = 0
       var prevLen = 0
@@ -772,22 +791,9 @@ object CramIO {
           craiLines.result().mkString("", "\n", "\n").getBytes("UTF-8"))
         finally craiOut.close()
       }
-      // EOF sentinel: an empty container (0 records, 0 blocks)
-      locally {
-        val hdr = new ByteArrayOutputStream()
-        hdr.write(0); hdr.write(0); hdr.write(0); hdr.write(0)
-        writeItf8(hdr, -1)
-        writeItf8(hdr, 0); writeItf8(hdr, 0); writeItf8(hdr, 0)
-        writeLtf8(hdr, counter); writeLtf8(hdr, 0L)
-        writeItf8(hdr, 0)
-        writeItf8(hdr, 0)
-        val hb = hdr.toByteArray
-        val crc = new CRC32; crc.update(hb)
-        out.write(hb)
-        val c = crc.getValue
-        out.write((c & 0xff).toInt); out.write(((c >> 8) & 0xff).toInt)
-        out.write(((c >> 16) & 0xff).toInt); out.write(((c >> 24) & 0xff).toInt)
-      }
+      // EOF sentinel: the spec's literal CRAM 3.0 EOF container bytes
+      // (htsjdk/samtools validate this exact sequence)
+      out.write(EofContainer)
     } finally out.close()
   }
 
@@ -1141,12 +1147,13 @@ object CramIO {
     val containers = offsets.result()
     val refNamesB = spark.sparkContext.broadcast(refNames)
     val rgIdsB = spark.sparkContext.broadcast(rgIds)
+    val confB = spark.sparkContext.broadcast(HadoopConf(spark))
     val file = path
     val rdd = spark.sparkContext
       .parallelize(containers, math.max(1, containers.length))
       .flatMap { case (off, len) =>
         val fp = new Path(file)
-        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = fp.getFileSystem(confB.value.value)
         val tin = tfs.open(fp)
         try {
           tin.seek(off)

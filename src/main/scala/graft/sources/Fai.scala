@@ -78,7 +78,8 @@ object Fai {
     * Implements [[graft.core.ReferenceSource]], so realignment / MD
     * tagging can run against a seek-based reference without holding the
     * genome in memory. */
-  case class IndexedFasta(path: String, entries: Seq[Entry])
+  case class IndexedFasta(path: String, entries: Seq[Entry],
+      conf: Option[HadoopConf] = None)
       extends graft.core.ReferenceSource {
     @transient private lazy val byName = entries.map(e => e.name -> e).toMap
 
@@ -91,7 +92,8 @@ object Fai {
       val byteStart = e.offset + (start / e.lineBases) * e.lineWidth + start % e.lineBases
       val byteEnd = e.offset + ((end - 1) / e.lineBases) * e.lineWidth + (end - 1) % e.lineBases + 1
       val p = new Path(path)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf.map(_.value)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
       val in = fs.open(p)
       try {
         in.seek(byteStart)
@@ -126,6 +128,6 @@ object Fai {
         }
         built
       }
-    IndexedFasta(fastaPath, entries)
+    IndexedFasta(fastaPath, entries, Some(HadoopConf(spark)))
   }
 }

@@ -276,12 +276,13 @@ object VcfIO {
     }
     val chunks = Tabix.chunksForRegions(index, regions)
     val regionsB = spark.sparkContext.broadcast(regions)
+    val confB = spark.sparkContext.broadcast(HadoopConf(spark))
     val file = path
     val rdd = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.length))
       .flatMap { chunk =>
         val fp = new org.apache.hadoop.fs.Path(file)
-        val tfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = fp.getFileSystem(confB.value.value)
         val raw = tfs.open(fp)
         val coffset = chunk.beg >> 16
         raw.seek(coffset)

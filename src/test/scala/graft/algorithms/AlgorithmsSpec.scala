@@ -277,6 +277,33 @@ class RealignIndelsSpec extends SparkSpec {
       s"expected realignment against fai reference, got ${mis.cigar}")
   }
 
+  test("read ending exactly at the alt boundary gets no trailing D/I") {
+    // replacement consensus: ref[16,20) "ACGT" -> "GT". A read covering
+    // exactly up to the end of the alt (after == 0) must emit plain M —
+    // a trailing D is invalid SAM and would inflate `end` by the deletion.
+    val seqToAltEnd = ref.substring(10, 16) + "GT" // hap[10,18), 8 bases
+    val misaligned = read("mis", 10L, seqToAltEnd, "8M")
+    val out = RealignIndels.realignTargetGroup(
+      Seq(misaligned), ReferenceRegion("chr1", 16, 20),
+      refWindow = ref, windowStart = 0L, lodThreshold = 1.0,
+      knownIndels = Seq(RealignIndels.Consensus(16L, 20L, "GT")))
+    val m = out.head
+    assert(m.cigar.contains("8M"), s"expected 8M, got ${m.cigar}")
+    assert(m.end.contains(18L), s"end must not be inflated: ${m.end}")
+
+    // insertion consensus: "GG" inserted at 16; read ends at the end of
+    // the insert -> trailing insert is soft-clipped, not a trailing I
+    val seqToInsEnd = ref.substring(10, 16) + "GG"
+    val mis2 = read("mis2", 10L, seqToInsEnd, "8M")
+    val out2 = RealignIndels.realignTargetGroup(
+      Seq(mis2), ReferenceRegion("chr1", 16, 16),
+      refWindow = ref, windowStart = 0L, lodThreshold = 1.0,
+      knownIndels = Seq(RealignIndels.Consensus(16L, 16L, "GG")))
+    val m2 = out2.head
+    assert(m2.cigar.exists(c => !c.endsWith("I") && !c.endsWith("D")),
+      s"no trailing I/D allowed, got ${m2.cigar}")
+  }
+
   test("consensus placements are per-read, not per-name") {
     // both 'mates' share a name; only the second matches the deletion
     // haplotype — the first must NOT inherit its mate's realignment
