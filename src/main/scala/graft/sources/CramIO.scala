@@ -206,11 +206,16 @@ object CramIO {
     "RN" -> 7, "MF" -> 8, "NS" -> 9, "NP" -> 10, "TS" -> 11, "TL" -> 12,
     "FN" -> 13, "FC" -> 14, "FP" -> 15, "DL" -> 16, "BB" -> 17, "SC" -> 18,
     "IN" -> 19, "RS" -> 20, "HC" -> 21, "PD" -> 22, "MQ" -> 23, "BA" -> 24,
-    "QS" -> 25)
+    "QS" -> 25, "NF" -> 26, "BS" -> 27, "QQ" -> 28)
   private val EncExternal = 1
+  private val EncGolomb = 2
   private val EncHuffman = 3
+  private val EncByteArrayLen = 4
   private val EncByteArrayStop = 5
   private val EncBeta = 6
+  private val EncSubexp = 7
+  private val EncGolombRice = 8
+  private val EncGamma = 9
 
   // ------------------------ encodings / bit io -----------------------------
 
@@ -223,6 +228,13 @@ object CramIO {
   private case class StopEnc(stop: Byte, id: Int) extends SeriesEnc
   private case class ConstEnc(value: Int) extends SeriesEnc
   private case class BetaEnc(offset: Int, nbits: Int) extends SeriesEnc
+  private case class GammaEnc(offset: Int) extends SeriesEnc
+  private case class SubexpEnc(offset: Int, k: Int) extends SeriesEnc
+  private case class GolombEnc(offset: Int, m: Int) extends SeriesEnc
+  private case class RiceEnc(offset: Int, log2m: Int) extends SeriesEnc
+  /** BYTE_ARRAY_LEN: nested (length encoding, value encoding). */
+  private case class ByteArrayLenEnc(lenEnc: SeriesEnc, valEnc: SeriesEnc)
+      extends SeriesEnc
   private case class HuffEnc(symbols: Array[Int], lens: Array[Int]) extends SeriesEnc {
     /** canonical codes: symbols ranked by (len, symbol value) — the spec's
       * canonical order, independent of declaration order. */
@@ -278,6 +290,104 @@ object CramIO {
     }
   }
 
+  /** The CRAM core-stream integer codecs beyond BETA/HUFFMAN: Elias
+    * gamma, subexponential, Golomb, and Golomb-Rice — bit-level layouts
+    * per the CRAM 3.0 spec section 13 (encode + decode, so round-trip
+    * property tests cover them without external fixtures). */
+  private[sources] object IntCodecs {
+    // Elias gamma: value >= 1; floor(log2 v) zeros, then v in log2+1 bits
+    def writeGamma(w: BitWriter, v: Int): Unit = {
+      require(v >= 1, s"gamma requires positive value, got $v")
+      val n = 31 - Integer.numberOfLeadingZeros(v)
+      w.write(0, n)
+      w.write(v, n + 1)
+    }
+    def readGamma(r: BitReader): Int = {
+      var len = 1
+      while (r.readBit() == 0) len += 1
+      r.readBits(len - 1) | (1 << (len - 1))
+    }
+
+    // subexponential(k): unary u (ones, 0-terminated) + b-bit mantissa
+    def writeSubexp(w: BitWriter, v: Int, k: Int): Unit = {
+      require(v >= 0, s"subexp requires non-negative value, got $v")
+      val b = if (v < (1 << k)) k else 31 - Integer.numberOfLeadingZeros(v)
+      val u = if (v < (1 << k)) 0 else b - k + 1
+      var i = 0
+      while (i < u) { w.write(1, 1); i += 1 }
+      w.write(0, 1)
+      w.write(v, b) // low b bits; the leading 1 is implied when u > 0
+    }
+    def readSubexp(r: BitReader, k: Int): Int = {
+      var u = 0
+      while (r.readBit() == 1) u += 1
+      if (u == 0) r.readBits(k)
+      else {
+        val b = u + k - 1
+        (1 << b) | r.readBits(b)
+      }
+    }
+
+    // Golomb(m): quotient unary (ones, 0-terminated) + truncated-binary
+    // remainder. GOLOMB_RICE is the power-of-two special case.
+    def writeGolomb(w: BitWriter, v: Int, m: Int): Unit = {
+      require(v >= 0 && m >= 1, s"golomb v=$v m=$m")
+      val q = v / m
+      val rem = v % m
+      var i = 0
+      while (i < q) { w.write(1, 1); i += 1 }
+      w.write(0, 1)
+      val ceilBits = 32 - Integer.numberOfLeadingZeros(m) // floor(log2 m)+1
+      val threshold = (1 << ceilBits) - m
+      if (rem < threshold) w.write(rem, ceilBits - 1)
+      else w.write(rem + threshold, ceilBits)
+    }
+    def readGolomb(r: BitReader, m: Int): Int = {
+      var q = 0
+      while (r.readBit() == 1) q += 1
+      val ceilBits = 32 - Integer.numberOfLeadingZeros(m)
+      val threshold = (1 << ceilBits) - m
+      var rem = if (ceilBits > 1) r.readBits(ceilBits - 1) else 0
+      if (rem >= threshold) rem = ((rem << 1) | r.readBit()) - threshold
+      q * m + rem
+    }
+
+    def writeRice(w: BitWriter, v: Int, log2m: Int): Unit = {
+      require(v >= 0, s"rice requires non-negative value, got $v")
+      val q = v >>> log2m
+      var i = 0
+      while (i < q) { w.write(1, 1); i += 1 }
+      w.write(0, 1)
+      w.write(v & ((1 << log2m) - 1), log2m)
+    }
+    def readRice(r: BitReader, log2m: Int): Int = {
+      var q = 0
+      while (r.readBit() == 1) q += 1
+      (q << log2m) | (if (log2m > 0) r.readBits(log2m) else 0)
+    }
+  }
+
+  // test-only handles (round-trip properties without external fixtures)
+  private[sources] def codecRoundTrip(
+      which: String, values: Seq[Int], param: Int): Seq[Int] = {
+    val w = new BitWriter
+    which match {
+      case "gamma" => values.foreach(IntCodecs.writeGamma(w, _))
+      case "subexp" => values.foreach(IntCodecs.writeSubexp(w, _, param))
+      case "golomb" => values.foreach(IntCodecs.writeGolomb(w, _, param))
+      case "rice" => values.foreach(IntCodecs.writeRice(w, _, param))
+    }
+    val r = new BitReader(w.result())
+    values.map { _ =>
+      which match {
+        case "gamma" => IntCodecs.readGamma(r)
+        case "subexp" => IntCodecs.readSubexp(r, param)
+        case "golomb" => IntCodecs.readGolomb(r, param)
+        case "rice" => IntCodecs.readRice(r, param)
+      }
+    }
+  }
+
   // ------------------------- compression header ----------------------------
 
   private case class TagDef(t1: Char, t2: Char, typ: Char) {
@@ -287,7 +397,35 @@ object CramIO {
 
   private case class CompressionHeader(
       seriesEnc: Map[String, SeriesEnc],
-      tagLines: IndexedSeq[Seq[TagDef]])
+      tagLines: IndexedSeq[Seq[TagDef]],
+      tagEnc: Map[Int, SeriesEnc] = Map.empty,
+      readNamesIncluded: Boolean = true,
+      apDelta: Boolean = false,
+      refRequired: Boolean = false,
+      substMatrix: Array[Byte] = DefaultSubstMatrix)
+
+  /** Default substitution matrix: for each ref base (ACGTN), the four
+    * substitute bases in ACGTN-minus-ref order get codes 0..3. */
+  private val DefaultSubstMatrix: Array[Byte] =
+    Array(0x1b, 0x1b, 0x1b, 0x1b, 0x1b).map(_.toByte) // 00 01 10 11 per byte
+
+  private val SubstBases = "ACGTN"
+
+  /** Decode a substitution code: ref base + 2-bit code -> read base. */
+  private def substituteBase(sm: Array[Byte], refBase: Char, code: Int): Char = {
+    val ri = SubstBases.indexOf(Character.toUpperCase(refBase)) match {
+      case -1 => 4
+      case i => i
+    }
+    val candidates = SubstBases.filter(_ != SubstBases(ri))
+    val b = sm(ri) & 0xff
+    var j = 0
+    while (j < 4) {
+      if (((b >> (2 * (3 - j))) & 3) == code) return candidates(j)
+      j += 1
+    }
+    'N'
+  }
 
   /** Default encoding per series: EXTERNAL, RN via BYTE_ARRAY_STOP. */
   private def defaultEncodings: Map[String, SeriesEnc] =
@@ -313,6 +451,17 @@ object CramIO {
         EncHuffman
       case BetaEnc(offset, nbits) =>
         writeItf8(params, offset); writeItf8(params, nbits); EncBeta
+      case GammaEnc(offset) => writeItf8(params, offset); EncGamma
+      case SubexpEnc(offset, k) =>
+        writeItf8(params, offset); writeItf8(params, k); EncSubexp
+      case GolombEnc(offset, m) =>
+        writeItf8(params, offset); writeItf8(params, m); EncGolomb
+      case RiceEnc(offset, log2m) =>
+        writeItf8(params, offset); writeItf8(params, log2m); EncGolombRice
+      case ByteArrayLenEnc(lenEnc, valEnc) =>
+        writeEncodingSpec(params, lenEnc)
+        writeEncodingSpec(params, valEnc)
+        EncByteArrayLen
     }
     writeItf8(em, codec)
     val p = params.toByteArray
@@ -321,13 +470,18 @@ object CramIO {
 
   private def writeCompressionHeader(
       tagLines: IndexedSeq[Seq[TagDef]],
-      encodings: Map[String, SeriesEnc]): Block = {
+      encodings: Map[String, SeriesEnc],
+      readNames: Boolean = true,
+      apDelta: Boolean = false,
+      refRequired: Boolean = false): Block = {
     val out = new ByteArrayOutputStream()
-    // preservation map: RN=true, AP(delta)=false, RR=false, TD=dictionary
+    // preservation map: RN, AP(delta), RR, TD=dictionary
     val pm = new ByteArrayOutputStream()
     writeItf8(pm, 4)
     def kv(k: String, v: Int): Unit = { pm.write(k(0)); pm.write(k(1)); pm.write(v) }
-    kv("RN", 1); kv("AP", 0); kv("RR", 0)
+    kv("RN", if (readNames) 1 else 0)
+    kv("AP", if (apDelta) 1 else 0)
+    kv("RR", if (refRequired) 1 else 0)
     pm.write('T'); pm.write('D')
     val td = new ByteArrayOutputStream()
     tagLines.foreach { line =>
@@ -373,12 +527,76 @@ object CramIO {
     Block(1, 0, out.toByteArray)
   }
 
+  /** One encoding spec (codec id + params), recursive for BYTE_ARRAY_LEN.
+    * Returns None for the NULL encoding (series absent). */
+  private def readEncodingSpec(in: InputStream, label: String): Option[SeriesEnc] = {
+    val codec = readItf8(in)
+    val plen = readItf8(in)
+    val params = new Array[Byte](plen)
+    var got = 0
+    while (got < plen) {
+      val r = in.read(params, got, plen - got)
+      if (r < 0) throw new EOFException("encoding params")
+      got += r
+    }
+    val pin = new ByteArrayInputStream(params)
+    codec match {
+      case 0 => None
+      case EncExternal => Some(ExtEnc(readItf8(pin)))
+      case EncByteArrayStop =>
+        val stop = pin.read().toByte
+        Some(StopEnc(stop, readItf8(pin)))
+      case EncByteArrayLen =>
+        val lenEnc = readEncodingSpec(pin, s"$label.len").getOrElse(
+          throw new UnsupportedOperationException(
+            s"BYTE_ARRAY_LEN for $label declares NULL length encoding"))
+        val valEnc = readEncodingSpec(pin, s"$label.val").getOrElse(
+          throw new UnsupportedOperationException(
+            s"BYTE_ARRAY_LEN for $label declares NULL value encoding"))
+        Some(ByteArrayLenEnc(lenEnc, valEnc))
+      case EncHuffman =>
+        val nSyms = readItf8(pin)
+        val symbols = Array.fill(nSyms)(readItf8(pin))
+        val nLens = readItf8(pin)
+        val lens = Array.fill(nLens)(readItf8(pin))
+        Some(
+          if (nSyms == 1) ConstEnc(symbols(0))
+          else HuffEnc(symbols, lens))
+      case EncBeta =>
+        val offset = readItf8(pin)
+        val nbits = readItf8(pin)
+        Some(BetaEnc(offset, nbits))
+      case EncGamma => Some(GammaEnc(readItf8(pin)))
+      case EncSubexp =>
+        val offset = readItf8(pin)
+        val k = readItf8(pin)
+        Some(SubexpEnc(offset, k))
+      case EncGolomb =>
+        val offset = readItf8(pin)
+        val m = readItf8(pin)
+        Some(GolombEnc(offset, m))
+      case EncGolombRice =>
+        val offset = readItf8(pin)
+        val log2m = readItf8(pin)
+        Some(RiceEnc(offset, log2m))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"CRAM encoding codec $other for $label not supported " +
+            "(supported: EXTERNAL, GOLOMB, HUFFMAN, BYTE_ARRAY_LEN, " +
+            "BYTE_ARRAY_STOP, BETA, SUBEXP, GOLOMB_RICE, GAMMA)")
+    }
+  }
+
   private def readCompressionHeader(b: Block): CompressionHeader = {
     val in = new ByteArrayInputStream(b.data)
     // preservation map
     readItf8(in) // size
     val nPm = readItf8(in)
     var tagLines: IndexedSeq[Seq[TagDef]] = IndexedSeq(Seq.empty)
+    var readNames = true
+    var apDelta = false
+    var refRequired = false
+    var substMatrix = DefaultSubstMatrix
     var i = 0
     while (i < nPm) {
       val key = new String(Array(in.read().toByte, in.read().toByte))
@@ -399,8 +617,19 @@ object CramIO {
           }
           val ls = lines.result()
           if (ls.nonEmpty) tagLines = ls
-        case "SM" => skipFully(in, 5)
-        case _ => in.read() // boolean prescription byte
+        case "SM" =>
+          val sm = new Array[Byte](5)
+          var got = 0
+          while (got < 5) {
+            val r = in.read(sm, got, 5 - got)
+            if (r < 0) throw new EOFException("SM")
+            got += r
+          }
+          substMatrix = sm
+        case "RN" => readNames = in.read() != 0
+        case "AP" => apDelta = in.read() != 0
+        case "RR" => refRequired = in.read() != 0
+        case _ => in.read() // unknown boolean prescription byte
       }
       i += 1
     }
@@ -411,38 +640,24 @@ object CramIO {
     i = 0
     while (i < nEm) {
       val key = new String(Array(in.read().toByte, in.read().toByte))
-      val codec = readItf8(in)
-      val plen = readItf8(in)
-      val params = new Array[Byte](plen)
-      in.read(params)
-      val pin = new ByteArrayInputStream(params)
-      codec match {
-        case EncExternal => enc += key -> ExtEnc(readItf8(pin))
-        case EncByteArrayStop =>
-          val stop = pin.read().toByte
-          enc += key -> StopEnc(stop, readItf8(pin))
-        case EncHuffman =>
-          val nSyms = readItf8(pin)
-          val symbols = Array.fill(nSyms)(readItf8(pin))
-          val nLens = readItf8(pin)
-          val lens = Array.fill(nLens)(readItf8(pin))
-          enc += key -> (
-            if (nSyms == 1) ConstEnc(symbols(0))
-            else HuffEnc(symbols, lens))
-        case EncBeta =>
-          val offset = readItf8(pin)
-          val nbits = readItf8(pin)
-          enc += key -> BetaEnc(offset, nbits)
-        case 0 => // NULL encoding: series absent
-        case other =>
-          throw new UnsupportedOperationException(
-            s"CRAM encoding codec $other for series $key not supported " +
-              "(supported: EXTERNAL, BYTE_ARRAY_STOP, HUFFMAN, BETA)")
-      }
+      readEncodingSpec(in, s"series $key").foreach(e => enc += key -> e)
       i += 1
     }
-    // tag encodings: ids are derivable from the tag defs; skip the map
-    CompressionHeader(enc.result(), tagLines)
+    // tag encodings: content id -> encoding (values are BAM-typed bytes)
+    val tagEnc = Map.newBuilder[Int, SeriesEnc]
+    val tmLenAvailable = in.available() > 0
+    if (tmLenAvailable) {
+      readItf8(in)
+      val nTm = readItf8(in)
+      i = 0
+      while (i < nTm) {
+        val id = readItf8(in)
+        readEncodingSpec(in, f"tag 0x$id%06x").foreach(e => tagEnc += id -> e)
+        i += 1
+      }
+    }
+    CompressionHeader(enc.result(), tagLines, tagEnc.result(),
+      readNames, apDelta, refRequired, substMatrix)
   }
 
   // ------------------------------ writing ----------------------------------
@@ -452,24 +667,52 @@ object CramIO {
     val core = new BitWriter
     def s(id: Int): ByteArrayOutputStream =
       streams.getOrElseUpdate(id, new ByteArrayOutputStream())
-    def itf8(series: String, v: Int): Unit = enc(series) match {
-      case ExtEnc(id) => writeItf8(s(id), v)
-      case StopEnc(_, id) => writeItf8(s(id), v)
-      case ConstEnc(c) =>
-        require(v == c, s"series $series declared constant $c, got $v")
-      case BetaEnc(offset, nbits) => core.write(v + offset, nbits)
-      case h: HuffEnc =>
-        val i = h.symbols.indexOf(v)
-        require(i >= 0, s"series $series: symbol $v not in huffman alphabet")
-        core.write(h.codes(i), h.lens(i))
-    }
+    def itf8(series: String, v: Int): Unit =
+      encodeIntWith(enc(series), v, s"series $series")
     // feature codes are ASCII < 0x80, so the raw byte equals its itf8 form
     def byte(series: String, v: Int): Unit = itf8(series, v)
     def bytes(series: String, b: Array[Byte]): Unit = enc(series) match {
       case ExtEnc(id) => s(id).write(b, 0, b.length)
       case StopEnc(_, id) => s(id).write(b, 0, b.length)
+      case ByteArrayLenEnc(_, ExtEnc(id)) => s(id).write(b, 0, b.length)
       case other => throw new IllegalStateException(
         s"series $series carries byte payloads; encoding $other invalid")
+    }
+    /** Self-delimiting byte array (mirrors SeriesReader.byteArray):
+      * EXTERNAL -> legacy itf8-length prefix + bytes; BYTE_ARRAY_STOP ->
+      * bytes + stop; BYTE_ARRAY_LEN -> length via nested int encoding,
+      * bytes via the value encoding. */
+    def byteArray(series: String, b: Array[Byte]): Unit = enc(series) match {
+      case ExtEnc(id) =>
+        writeItf8(s(id), b.length); s(id).write(b, 0, b.length)
+      case StopEnc(stop, id) =>
+        s(id).write(b, 0, b.length); s(id).write(stop)
+      case ByteArrayLenEnc(lenEnc, valEnc) =>
+        encodeIntWith(lenEnc, b.length, s"$series.len")
+        valEnc match {
+          case ExtEnc(id) => s(id).write(b, 0, b.length)
+          case other =>
+            b.foreach(x => encodeIntWith(other, x & 0xff, s"$series.val"))
+        }
+      case other => throw new IllegalStateException(
+        s"series $series carries byte payloads; encoding $other invalid")
+    }
+    private def encodeIntWith(e: SeriesEnc, v: Int, label: String): Unit = e match {
+      case ExtEnc(id) => writeItf8(s(id), v)
+      case StopEnc(_, id) => writeItf8(s(id), v)
+      case ConstEnc(c) =>
+        require(v == c, s"$label declared constant $c, got $v")
+      case BetaEnc(offset, nbits) => core.write(v + offset, nbits)
+      case GammaEnc(offset) => IntCodecs.writeGamma(core, v + offset)
+      case SubexpEnc(offset, k) => IntCodecs.writeSubexp(core, v + offset, k)
+      case GolombEnc(offset, m) => IntCodecs.writeGolomb(core, v + offset, m)
+      case RiceEnc(offset, log2m) => IntCodecs.writeRice(core, v + offset, log2m)
+      case h: HuffEnc =>
+        val i = h.symbols.indexOf(v)
+        require(i >= 0, s"$label: symbol $v not in huffman alphabet")
+        core.write(h.codes(i), h.lens(i))
+      case other => throw new IllegalStateException(
+        s"$label: integer value under $other")
     }
   }
 
@@ -516,27 +759,114 @@ object CramIO {
   private def bamFlags(r: Alignment): Int = SamIO.flagOf(r)
 
   private def parseTag(k: String, v: String): Option[(TagDef, String)] =
-    if (k.length == 2 && v.length > 2 && v(1) == ':' && "AifZ".contains(v(0)))
+    if (k.length == 2 && v.length > 2 && v(1) == ':' && "AifZBH".contains(v(0)))
       Some((TagDef(k(0), k(1), v(0)), v.drop(2)))
     else None
 
+  private def le32(x: Int): Array[Byte] =
+    Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+
   private def tagValueBytes(t: TagDef, v: String): Array[Byte] = t.typ match {
     case 'A' => Array(v.head.toByte)
-    case 'i' =>
-      val x = v.toInt
-      Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
-        ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
-    case 'f' =>
-      val x = java.lang.Float.floatToIntBits(v.toFloat)
-      Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
-        ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
-    case _ => v.getBytes("UTF-8") :+ 0.toByte
+    case 'i' => le32(v.toInt)
+    case 'f' => le32(java.lang.Float.floatToIntBits(v.toFloat))
+    case 'B' =>
+      // SAM text array: <subtype>,v1,v2,... -> subtype + i32 count + elems
+      val parts = v.split(",")
+      val sub = parts(0).head
+      val elems = parts.tail
+      val bos = new ByteArrayOutputStream()
+      bos.write(sub)
+      le32(elems.length).foreach(b => bos.write(b & 0xff))
+      elems.foreach { e =>
+        sub match {
+          case 'c' | 'C' => bos.write(e.toInt & 0xff)
+          case 's' | 'S' =>
+            val x = e.toInt; bos.write(x & 0xff); bos.write((x >> 8) & 0xff)
+          case 'i' => le32(e.toInt).foreach(b => bos.write(b & 0xff))
+          case 'I' => le32(e.toLong.toInt).foreach(b => bos.write(b & 0xff))
+          case 'f' => le32(java.lang.Float.floatToIntBits(e.toFloat))
+            .foreach(b => bos.write(b & 0xff))
+          case other => throw new UnsupportedOperationException(
+            s"B-array subtype '$other' not supported")
+        }
+      }
+      bos.toByteArray
+    case _ => v.getBytes("UTF-8") :+ 0.toByte // Z and H: NUL-terminated
+  }
+
+  /** Writer behavior knobs. The default profile matches round-2 output
+    * byte-for-byte; the other switches exercise spec features that
+    * external writers use (so the reader's envelope is testable without
+    * external fixtures). */
+  case class WriteProfile(
+      core: Boolean = false, // BETA/HUFFMAN core encodings for int series
+      extraCodecs: Boolean = false, // GAMMA/SUBEXP/GOLOMB/RICE core codecs
+      byteArrayLen: Boolean = false, // BB/SC via BYTE_ARRAY_LEN
+      apDelta: Boolean = false, // delta-coded alignment positions
+      attachedMates: Boolean = false, // NF-linked in-slice pairs
+      readNames: Boolean = true, // RN=false drops names (generated on read)
+      recordsPerSlice: Int = Int.MaxValue, // multi-slice containers
+      refBased: Boolean = false, // RR=true: matches as gaps, mismatches 'X'
+      embedRef: Boolean = false, // embed slice reference block (single-ref)
+      reference: Option[graft.core.ReferenceSource] = None)
+
+  /** Reference-based read features (preservation RR=true): bases matching
+    * the reference become implicit gaps, mismatches become substitution
+    * codes ('X' via the substitution matrix), non-ACGTN mismatches fall
+    * back to literal single-base 'b' features. */
+  private def buildFeaturesRef(r: Alignment, seq: String,
+      ref: graft.core.ReferenceSource): Seq[Feat] = {
+    val feats = Seq.newBuilder[Feat]
+    var readPos = 1
+    var refPos = r.start.getOrElse(0L)
+    val contig = r.referenceName.getOrElse(
+      throw new IllegalArgumentException("refBased write needs referenceName"))
+    Cigar.parse(r.cigar.getOrElse(s"${seq.length}M")).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' =>
+          val n = e.length.toInt
+          val refSpan = ref.extract(ReferenceRegion(contig, refPos, refPos + n))
+          var k = 0
+          while (k < n) {
+            val rb = if (k < refSpan.length)
+              Character.toUpperCase(refSpan(k)) else 'N'
+            val qb = Character.toUpperCase(seq(readPos - 1 + k))
+            if (qb != rb) {
+              val ri = SubstBases.indexOf(rb)
+              val ci =
+                if (ri >= 0) SubstBases.filter(_ != SubstBases(ri)).indexOf(qb)
+                else -1
+              if (ci >= 0) {
+                val code = (DefaultSubstMatrix(ri) >> (2 * (3 - ci))) & 3
+                feats += Feat('X', readPos + k, Left(code))
+              } else
+                feats += Feat('b', readPos + k,
+                  Right(Array(seq(readPos - 1 + k).toByte)))
+            }
+            k += 1
+          }
+          readPos += n; refPos += n
+        case 'S' | 'I' =>
+          feats += Feat(e.op, readPos,
+            Right(seq.substring(readPos - 1,
+              math.min(seq.length, readPos - 1 + e.length.toInt)).getBytes("UTF-8")))
+          readPos += e.length.toInt
+        case 'D' => feats += Feat('D', readPos, Left(e.length.toInt)); refPos += e.length
+        case 'N' => feats += Feat('N', readPos, Left(e.length.toInt)); refPos += e.length
+        case 'H' => feats += Feat('H', readPos, Left(e.length.toInt))
+        case 'P' => feats += Feat('P', readPos, Left(e.length.toInt))
+        case _ =>
+      }
+    }
+    feats.result()
   }
 
   private def encodeContainer(
       records: Seq[Alignment], refIndex: Map[String, Int],
       rgIndex: Map[String, Int], counterStart: Long,
-      coreProfile: Boolean = false): Array[Byte] = {
+      profile: WriteProfile = WriteProfile()): Array[Byte] = {
 
     // tag dictionary for this container
     val recTags: Seq[Seq[(TagDef, String)]] = records.map { r =>
@@ -549,21 +879,30 @@ object CramIO {
 
     // feature pre-pass: needed for the record loop and (core profile) for
     // encoding parameter selection
+    val refForWrite =
+      if (profile.refBased)
+        Some(profile.reference.getOrElse(throw new IllegalArgumentException(
+          "WriteProfile.refBased requires WriteProfile.reference")))
+      else None
     val recFeats: Seq[Option[Seq[Feat]]] = records.map { r =>
       if (r.readMapped.getOrElse(false))
-        Some(buildFeatures(r, r.sequence.getOrElse("")))
+        refForWrite match {
+          case Some(ref) if r.referenceName.isDefined =>
+            Some(buildFeaturesRef(r, r.sequence.getOrElse(""), ref))
+          case _ => Some(buildFeatures(r, r.sequence.getOrElse("")))
+        }
       else None
     }
 
-    val encodings: Map[String, SeriesEnc] =
-      if (!coreProfile) defaultEncodings
-      else {
+    val encodings: Map[String, SeriesEnc] = {
+      var e = defaultEncodings
+      if (profile.core) {
         val allFeats = recFeats.flatten.flatten
         val maxRL = records.map(_.sequence.map(_.length).getOrElse(0)).maxOption.getOrElse(1)
         val maxFN = recFeats.flatten.map(_.length).maxOption.getOrElse(1)
         val maxFP = allFeats.map(_.pos).maxOption.getOrElse(1)
         val fcAlphabet = allFeats.map(_.code.toInt).distinct
-        defaultEncodings ++ Map(
+        e = e ++ Map(
           "RL" -> BetaEnc(0, bitsFor(maxRL)),
           "MQ" -> BetaEnc(0, 8),
           "FN" -> BetaEnc(0, bitsFor(maxFN)),
@@ -571,98 +910,185 @@ object CramIO {
           "TL" -> huffFor(tagLines.indices)) ++
           (if (fcAlphabet.nonEmpty) Map("FC" -> huffFor(fcAlphabet)) else Map.empty)
       }
+      if (profile.extraCodecs)
+        e = e ++ Map(
+          "FP" -> GammaEnc(1), // deltas >= 0; gamma needs >= 1
+          "DL" -> SubexpEnc(0, 2),
+          "HC" -> RiceEnc(0, 2),
+          "RS" -> GolombEnc(0, 3))
+      if (profile.byteArrayLen)
+        e = e ++ Map(
+          // lengths via a dedicated external stream and via the core
+          // bit stream — both shapes appear in external files
+          "BB" -> ByteArrayLenEnc(ExtEnc(30), ExtEnc(SeriesIds("BB"))),
+          "SC" -> ByteArrayLenEnc(GammaEnc(1), ExtEnc(SeriesIds("SC"))))
+      e
+    }
 
-    val w = new SeriesWriter(encodings)
-    val tagStreams = scala.collection.mutable.Map.empty[Int, ByteArrayOutputStream]
+    val slices = records.zip(recTags).zip(recFeats)
+      .grouped(math.max(1, profile.recordsPerSlice)).toSeq
 
-    records.zip(recTags).zip(recFeats).foreach { case ((r, tags), featsOpt) =>
-      val mapped = r.readMapped.getOrElse(false)
-      w.itf8("BF", bamFlags(r))
-      w.itf8("CF", 3) // qualities preserved | detached
-      w.itf8("RI", r.referenceName.flatMap(refIndex.get).getOrElse(-1))
-      val seq = r.sequence.getOrElse("")
-      w.itf8("RL", seq.length)
-      w.itf8("AP", r.start.map(_ + 1).getOrElse(0L).toInt)
-      w.itf8("RG", r.readGroupId.flatMap(rgIndex.get).getOrElse(-1))
-      w.bytes("RN", (r.readName.getOrElse("") + "\t").getBytes("UTF-8"))
-      // detached mate info
-      var mf = 0
-      if (r.mateNegativeStrand.getOrElse(false)) mf |= 1
-      if (!r.mateMapped.getOrElse(false)) mf |= 2
-      w.itf8("MF", mf)
-      w.itf8("NS", r.mateReferenceName.flatMap(refIndex.get).getOrElse(-1))
-      w.itf8("NP", r.mateAlignmentStart.map(_ + 1).getOrElse(0L).toInt)
-      w.itf8("TS", r.insertSize.getOrElse(0L).toInt)
-      w.itf8("TL", lineIdx(tags.map(_._1)))
-      tags.foreach { case (t, v) =>
-        val st = tagStreams.getOrElseUpdate(t.contentId, new ByteArrayOutputStream())
-        val vb = tagValueBytes(t, v)
-        st.write(vb, 0, vb.length)
-      }
+    val sliceBlobs: Seq[(Seq[Block], Block, Array[Byte])] = // ext, hdr, core
+      slices.zipWithIndex.map { case (sliceRecs, sliceIdx) =>
+        val w = new SeriesWriter(encodings)
+        val tagStreams = scala.collection.mutable.Map.empty[Int, ByteArrayOutputStream]
+        val sliceCounter =
+          counterStart + slices.take(sliceIdx).map(_.length).sum
 
-      featsOpt match {
-        case Some(fs) =>
-          w.itf8("FN", fs.length)
-          var last = 0
-          fs.foreach { f =>
-            w.byte("FC", f.code)
-            w.itf8("FP", f.pos - last)
-            last = f.pos
-            (f.code, f.lenOrBytes) match {
-              case ('b', Right(bs)) => w.itf8("BB", bs.length); w.bytes("BB", bs)
-              case ('S', Right(bs)) => w.itf8("SC", bs.length); w.bytes("SC", bs)
-              case ('I', Right(bs)) => w.itf8("IN", bs.length); w.bytes("IN", bs)
-              case ('D', Left(l)) => w.itf8("DL", l)
-              case ('N', Left(l)) => w.itf8("RS", l)
-              case ('H', Left(l)) => w.itf8("HC", l)
-              case ('P', Left(l)) => w.itf8("PD", l)
-              case _ =>
-            }
+        // in-slice mate pairing (first two records sharing a name)
+        val pairOf = scala.collection.mutable.Map.empty[Int, Int] // i -> j
+        val pointee = scala.collection.mutable.Set.empty[Int]
+        if (profile.attachedMates) {
+          val byName = sliceRecs.zipWithIndex
+            .filter(_._1._1._1.readPaired.getOrElse(false))
+            .groupBy(_._1._1._1.readName)
+          byName.foreach {
+            case (Some(_), xs) if xs.length == 2 =>
+              val i = xs(0)._2; val j = xs(1)._2
+              pairOf(i) = j; pointee += j
+            case _ =>
           }
-          w.itf8("MQ", r.mappingQuality.getOrElse(255))
-        case None =>
-          w.bytes("BA", seq.getBytes("UTF-8"))
-      }
-      val quals = r.qualityScores.getOrElse("")
-      val qb = new Array[Byte](seq.length)
-      var qi = 0
-      while (qi < seq.length) {
-        qb(qi) = if (qi < quals.length) (quals(qi) - 33).toByte else 0xff.toByte
-        qi += 1
-      }
-      w.bytes("QS", qb)
-    }
+        }
 
-    // blocks: compression header, slice header, core, externals
-    val coreData = w.core.result()
-    val extBlocks =
-      (w.streams.toSeq.map { case (id, s) => Block(4, id, s.toByteArray) } ++
-        tagStreams.toSeq.map { case (id, s) => Block(4, id, s.toByteArray) })
-        .sortBy(_.contentId)
+        // single-reference slice (required for an embedded reference
+        // block): only when every record maps to one contig
+        val sliceRefId: Int =
+          if (!profile.embedRef) -2
+          else sliceRecs.map(_._1._1.referenceName.flatMap(refIndex.get))
+            .distinct match {
+            case Seq(Some(ci)) => ci
+            case _ => -2
+          }
+        val (sliceAlignStart, sliceSpan) =
+          if (sliceRefId >= 0) {
+            val starts = sliceRecs.flatMap(_._1._1.start)
+            val ends = sliceRecs.flatMap(_._1._1.end)
+            val mn = starts.minOption.getOrElse(0L)
+            val mx = ends.maxOption.getOrElse(mn)
+            ((mn + 1).toInt, (mx - mn).toInt)
+          } else (0, 0)
 
-    val sliceHdr = {
-      val out = new ByteArrayOutputStream()
-      writeItf8(out, -2) // multi-ref slice
-      writeItf8(out, 0); writeItf8(out, 0)
-      writeItf8(out, records.length)
-      writeLtf8(out, counterStart)
-      writeItf8(out, extBlocks.length + 1) // + core block
-      writeItf8(out, extBlocks.length)
-      extBlocks.foreach(b => writeItf8(out, b.contentId))
-      writeItf8(out, -1) // no embedded reference
-      out.write(new Array[Byte](16)) // MD5 zero (no reference)
-      Block(2, 0, out.toByteArray)
-    }
+        var prevAp = sliceAlignStart
+        sliceRecs.zipWithIndex.foreach { case (((r, tags), featsOpt), i) =>
+          val mapped = r.readMapped.getOrElse(false)
+          val downstream = pairOf.contains(i)
+          val attached = pointee.contains(i)
+          w.itf8("BF", bamFlags(r))
+          val cf = 1 | // qualities preserved
+            (if (downstream) 4 else if (attached) 0 else 2)
+          w.itf8("CF", cf)
+          if (sliceRefId == -2)
+            w.itf8("RI", r.referenceName.flatMap(refIndex.get).getOrElse(-1))
+          val seq = r.sequence.getOrElse("")
+          w.itf8("RL", seq.length)
+          val apValue = r.start.map(_ + 1).getOrElse(0L).toInt
+          if (profile.apDelta) {
+            w.itf8("AP", apValue - prevAp)
+            prevAp = apValue
+          } else w.itf8("AP", apValue)
+          w.itf8("RG", r.readGroupId.flatMap(rgIndex.get).getOrElse(-1))
+          val nameBytes = r.readName.getOrElse("").getBytes("UTF-8")
+          if (profile.readNames) w.byteArray("RN", nameBytes)
+          if ((cf & 2) != 0) {
+            // detached mate info
+            var mf = 0
+            if (r.mateNegativeStrand.getOrElse(false)) mf |= 1
+            if (!r.mateMapped.getOrElse(false)) mf |= 2
+            w.itf8("MF", mf)
+            if (!profile.readNames) w.byteArray("RN", nameBytes)
+            w.itf8("NS", r.mateReferenceName.flatMap(refIndex.get).getOrElse(-1))
+            w.itf8("NP", r.mateAlignmentStart.map(_ + 1).getOrElse(0L).toInt)
+            w.itf8("TS", r.insertSize.getOrElse(0L).toInt)
+          } else if (downstream) {
+            w.itf8("NF", pairOf(i) - i - 1)
+          }
+          w.itf8("TL", lineIdx(tags.map(_._1)))
+          tags.foreach { case (t, v) =>
+            val st = tagStreams.getOrElseUpdate(t.contentId, new ByteArrayOutputStream())
+            val vb = tagValueBytes(t, v)
+            st.write(vb, 0, vb.length)
+          }
+
+          featsOpt match {
+            case Some(fs) =>
+              w.itf8("FN", fs.length)
+              var last = 0
+              fs.foreach { f =>
+                w.byte("FC", f.code)
+                w.itf8("FP", f.pos - last)
+                last = f.pos
+                (f.code, f.lenOrBytes) match {
+                  case ('b', Right(bs)) => w.byteArray("BB", bs)
+                  case ('S', Right(bs)) => w.byteArray("SC", bs)
+                  case ('I', Right(bs)) => w.byteArray("IN", bs)
+                  case ('X', Left(code)) => w.itf8("BS", code)
+                  case ('D', Left(l)) => w.itf8("DL", l)
+                  case ('N', Left(l)) => w.itf8("RS", l)
+                  case ('H', Left(l)) => w.itf8("HC", l)
+                  case ('P', Left(l)) => w.itf8("PD", l)
+                  case _ =>
+                }
+              }
+              w.itf8("MQ", r.mappingQuality.getOrElse(255))
+            case None =>
+              w.bytes("BA", seq.getBytes("UTF-8"))
+          }
+          val quals = r.qualityScores.getOrElse("")
+          val qb = new Array[Byte](seq.length)
+          var qi = 0
+          while (qi < seq.length) {
+            qb(qi) = if (qi < quals.length) (quals(qi) - 33).toByte else 0xff.toByte
+            qi += 1
+          }
+          w.bytes("QS", qb)
+        }
+
+        val coreData = w.core.result()
+        // embedded reference block: the slice's contig span, content id 29
+        val embeddedRefBlock: Option[Block] =
+          if (sliceRefId >= 0 && profile.embedRef) refForWrite.map { ref =>
+            val contig = sliceRecs.head._1._1.referenceName.get
+            Block(4, 29, ref.extract(ReferenceRegion(contig,
+              sliceAlignStart - 1L,
+              sliceAlignStart - 1L + sliceSpan)).getBytes("UTF-8"))
+          } else None
+        val extBlocks =
+          (w.streams.toSeq.map { case (id, s) => Block(4, id, s.toByteArray) } ++
+            tagStreams.toSeq.map { case (id, s) => Block(4, id, s.toByteArray) } ++
+            embeddedRefBlock.toSeq)
+            .sortBy(_.contentId)
+
+        val sliceHdr = {
+          val out = new ByteArrayOutputStream()
+          writeItf8(out, sliceRefId)
+          writeItf8(out, sliceAlignStart); writeItf8(out, sliceSpan)
+          writeItf8(out, sliceRecs.length)
+          writeLtf8(out, sliceCounter)
+          writeItf8(out, extBlocks.length + 1) // + core block
+          writeItf8(out, extBlocks.length)
+          extBlocks.foreach(b => writeItf8(out, b.contentId))
+          writeItf8(out, embeddedRefBlock.fold(-1)(_.contentId))
+          out.write(new Array[Byte](16)) // MD5 zero (not computed)
+          Block(2, 0, out.toByteArray)
+        }
+        (extBlocks, sliceHdr, coreData)
+      }
 
     val payload = new ByteArrayOutputStream()
-    writeBlock(payload, writeCompressionHeader(tagLines, encodings))
-    val landmark = payload.size()
-    writeBlock(payload, sliceHdr)
-    writeBlock(payload, Block(5, 0, coreData), MethodRaw) // core bit stream
-    extBlocks.foreach { b =>
-      // qualities compress best with order-1 rANS; the rest gzip
-      val method = if (b.contentId == SeriesIds("QS")) MethodRans else MethodGzip
-      writeBlock(payload, b, method)
+    writeBlock(payload, writeCompressionHeader(tagLines, encodings,
+      profile.readNames, profile.apDelta, profile.refBased))
+    val landmarks = Seq.newBuilder[Int]
+    var totalBlocks = 1
+    sliceBlobs.foreach { case (extBlocks, sliceHdr, coreData) =>
+      landmarks += payload.size()
+      writeBlock(payload, sliceHdr)
+      writeBlock(payload, Block(5, 0, coreData), MethodRaw) // core bit stream
+      extBlocks.foreach { b =>
+        // qualities compress best with order-1 rANS; the rest gzip
+        val method = if (b.contentId == SeriesIds("QS")) MethodRans else MethodGzip
+        writeBlock(payload, b, method)
+      }
+      totalBlocks += 2 + extBlocks.length
     }
     val body = payload.toByteArray
 
@@ -677,9 +1103,10 @@ object CramIO {
     writeItf8(hdr, records.length)
     writeLtf8(hdr, counterStart)
     writeLtf8(hdr, records.map(_.sequence.map(_.length.toLong).getOrElse(0L)).sum)
-    writeItf8(hdr, extBlocks.length + 3)
-    writeItf8(hdr, 1) // one landmark = slice offset
-    writeItf8(hdr, landmark)
+    writeItf8(hdr, totalBlocks)
+    val lms = landmarks.result()
+    writeItf8(hdr, lms.length)
+    lms.foreach(writeItf8(hdr, _))
     val hb = hdr.toByteArray
     val crc = new CRC32
     crc.update(hb)
@@ -701,10 +1128,13 @@ object CramIO {
 
   /** `coreProfile=true` declares BETA/HUFFMAN core-bit-stream encodings
     * for RL/MQ/FN/FP/FC/TL instead of EXTERNAL — exercises the core
-    * codec path end-to-end (and shrinks those series). */
+    * codec path end-to-end (and shrinks those series). `profile` exposes
+    * the full [[WriteProfile]] knob set. */
   def write(gd: GenomicDataset[Alignment], path: String,
       recordsPerContainer: Int = 10000, writeIndex: Boolean = false,
-      coreProfile: Boolean = false): Unit = {
+      coreProfile: Boolean = false,
+      profile: Option[WriteProfile] = None): Unit = {
+    val prof = profile.getOrElse(WriteProfile(core = coreProfile))
     val meta = gd.meta
     val refIndex = meta.sequences.records.zipWithIndex
       .map { case (r, i) => r.name -> i }.toMap
@@ -759,7 +1189,7 @@ object CramIO {
       def flush(): Unit = if (buf.nonEmpty) {
         val containerOffset = out.getPos
         val body = encodeContainer(buf.toSeq, refIndex, rgIndex, counter,
-          coreProfile)
+          prof)
         out.write(body)
         if (writeIndex) {
           // one index line per referenced contig span in this container
@@ -850,10 +1280,17 @@ object CramIO {
         throw new UnsupportedOperationException(
           s"series $series is not byte-stream encoded ($other)")
     }
-    def itf8(series: String): Int = ch.seriesEnc.get(series) match {
-      case Some(ConstEnc(c)) => c
-      case Some(BetaEnc(offset, nbits)) => bits.readBits(nbits) - offset
-      case Some(h: HuffEnc) =>
+    private def block(id: Int): Array[Byte] = blocks.getOrElse(id,
+      throw new IllegalStateException(s"external block $id absent from slice"))
+
+    private def decodeInt(label: String, e: SeriesEnc): Int = e match {
+      case ConstEnc(c) => c
+      case BetaEnc(offset, nbits) => bits.readBits(nbits) - offset
+      case GammaEnc(offset) => IntCodecs.readGamma(bits) - offset
+      case SubexpEnc(offset, k) => IntCodecs.readSubexp(bits, k) - offset
+      case GolombEnc(offset, m) => IntCodecs.readGolomb(bits, m) - offset
+      case RiceEnc(offset, log2m) => IntCodecs.readRice(bits, log2m) - offset
+      case h: HuffEnc =>
         var acc = 0
         var len = 0
         while (len < 32) {
@@ -864,105 +1301,323 @@ object CramIO {
             case None =>
           }
         }
-        throw new IllegalStateException(s"series $series: bad huffman code")
-      case _ =>
-        val id = stream(series)
-        val packed = itf8At(blocks(id), pos(id))
+        throw new IllegalStateException(s"$label: bad huffman code")
+      case ExtEnc(id) =>
+        val packed = itf8At(block(id), pos(id))
         pos(id) = (packed >>> 32).toInt
         packed.toInt
+      case StopEnc(_, id) =>
+        val packed = itf8At(block(id), pos(id))
+        pos(id) = (packed >>> 32).toInt
+        packed.toInt
+      case other => throw new UnsupportedOperationException(
+        s"$label: integer read under $other")
     }
+
+    def itf8(series: String): Int = ch.seriesEnc.get(series) match {
+      case Some(e) => decodeInt(s"series $series", e)
+      case None => throw new UnsupportedOperationException(
+        s"series $series has no declared encoding")
+    }
+
     def bytes(series: String, n: Int): Array[Byte] = {
       val id = stream(series)
-      val b = blocks(id)
+      val b = block(id)
       val out = java.util.Arrays.copyOfRange(b, pos(id), pos(id) + n)
       pos(id) += n
       out
     }
+
+    /** Self-delimiting byte array under the declared encoding:
+      * BYTE_ARRAY_STOP reads to the stop byte; BYTE_ARRAY_LEN reads a
+      * length via its nested int encoding then that many value bytes;
+      * EXTERNAL uses this writer's legacy convention (itf8 length prefix
+      * in the same stream). */
+    def byteArrayEnc(label: String, e: SeriesEnc): Array[Byte] = e match {
+      case StopEnc(stop, id) =>
+        val b = block(id)
+        var end = pos(id)
+        while (end < b.length && b(end) != stop) end += 1
+        val out = java.util.Arrays.copyOfRange(b, pos(id), end)
+        pos(id) = end + 1
+        out
+      case ByteArrayLenEnc(lenEnc, valEnc) =>
+        val n = decodeInt(s"$label.len", lenEnc)
+        valEnc match {
+          case ExtEnc(id) =>
+            val b = block(id)
+            val out = java.util.Arrays.copyOfRange(b, pos(id), pos(id) + n)
+            pos(id) += n
+            out
+          case other =>
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              out(i) = decodeInt(s"$label.val", other).toByte; i += 1
+            }
+            out
+        }
+      case ExtEnc(id) =>
+        val b = block(id)
+        val packed = itf8At(b, pos(id))
+        val start = (packed >>> 32).toInt
+        val n = packed.toInt
+        val out = java.util.Arrays.copyOfRange(b, start, start + n)
+        pos(id) = start + n
+        out
+      case other => throw new UnsupportedOperationException(
+        s"$label: byte-array read under $other")
+    }
+
+    /** Byte array of a data series whose payload length is part of the
+      * encoding (or, legacy, itf8-prefixed in the external stream). */
+    def byteArray(series: String): Array[Byte] = ch.seriesEnc.get(series) match {
+      case Some(e) => byteArrayEnc(s"series $series", e)
+      case None => throw new UnsupportedOperationException(
+        s"series $series has no declared encoding")
+    }
+
     // feature codes are ASCII < 0x80: raw byte == its itf8 form, and core
     // encodings route through the same dispatch
     def byte(series: String): Int = itf8(series)
+
     def untilStop(series: String, stop: Byte): String = {
       val id = stream(series)
-      val b = blocks(id)
+      val b = block(id)
       var e = pos(id)
       while (e < b.length && b(e) != stop) e += 1
       val s = new String(b, pos(id), e - pos(id), "UTF-8")
       pos(id) = e + 1
       s
     }
+
     def tagBytes(id: Int, n: Int): Array[Byte] = {
-      val b = blocks(id)
+      val b = block(id)
       val out = java.util.Arrays.copyOfRange(b, pos(id), pos(id) + n)
       pos(id) += n
       out
     }
-    def tagUntilNul(id: Int): String = {
-      val b = blocks(id)
+    def tagUntilNul(id: Int): Array[Byte] = {
+      val b = block(id)
       var e = pos(id)
       while (e < b.length && b(e) != 0) e += 1
-      val s = new String(b, pos(id), e - pos(id), "UTF-8")
+      val out = java.util.Arrays.copyOfRange(b, pos(id), e)
       pos(id) = e + 1
-      s
+      out
+    }
+
+    /** One tag value for this record: raw BAM-typed bytes, via the
+      * declared tag encoding when present (external writers), else this
+      * writer's EXTERNAL + type-implied-length convention. */
+    def tagValue(t: TagDef): Array[Byte] = ch.tagEnc.get(t.contentId) match {
+      case Some(e: ByteArrayLenEnc) => byteArrayEnc(s"tag ${t.key}", e)
+      case Some(e: StopEnc) => byteArrayEnc(s"tag ${t.key}", e)
+      case _ =>
+        t.typ match {
+          case 'A' | 'c' | 'C' => tagBytes(t.contentId, 1)
+          case 's' | 'S' => tagBytes(t.contentId, 2)
+          case 'i' | 'I' | 'f' => tagBytes(t.contentId, 4)
+          case 'Z' | 'H' => tagUntilNul(t.contentId)
+          case 'B' =>
+            val head = tagBytes(t.contentId, 5)
+            val count = (head(1) & 0xff) | ((head(2) & 0xff) << 8) |
+              ((head(3) & 0xff) << 16) | ((head(4) & 0xff) << 24)
+            val elemSize = (head(0).toChar: @unchecked) match {
+              case 'c' | 'C' => 1
+              case 's' | 'S' => 2
+              case 'i' | 'I' | 'f' => 4
+            }
+            head ++ tagBytes(t.contentId, count * elemSize)
+          case other => throw new UnsupportedOperationException(
+            s"tag ${t.key} has unsupported BAM type '$other'")
+        }
     }
   }
 
+  /** BAM-typed value bytes -> (SAM text type, SAM text value). Integer
+    * widths c/C/s/S/i/I all render as SAM 'i'. */
+  private def formatTagValue(typ: Char, v: Array[Byte]): (Char, String) = {
+    def u8(o: Int) = v(o) & 0xff
+    def i16(o: Int) = ((u8(o) | (u8(o + 1) << 8)).toShort).toInt
+    def u16(o: Int) = u8(o) | (u8(o + 1) << 8)
+    def i32(o: Int) = u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16) | (u8(o + 3) << 24)
+    def u32(o: Int) = i32(o).toLong & 0xffffffffL
+    typ match {
+      case 'A' => ('A', v(0).toChar.toString)
+      case 'c' => ('i', v(0).toInt.toString)
+      case 'C' => ('i', u8(0).toString)
+      case 's' => ('i', i16(0).toString)
+      case 'S' => ('i', u16(0).toString)
+      case 'i' => ('i', i32(0).toString)
+      case 'I' => ('i', u32(0).toString)
+      case 'f' => ('f', java.lang.Float.intBitsToFloat(i32(0)).toString)
+      case 'Z' =>
+        val end = v.indexOf(0.toByte) match { case -1 => v.length; case x => x }
+        ('Z', new String(v, 0, end, "UTF-8"))
+      case 'H' =>
+        val end = v.indexOf(0.toByte) match { case -1 => v.length; case x => x }
+        ('H', new String(v, 0, end, "UTF-8"))
+      case 'B' =>
+        val sub = v(0).toChar
+        val count = i32(1)
+        val vals = (0 until count).map { k =>
+          sub match {
+            case 'c' => v(5 + k).toInt.toString
+            case 'C' => u8(5 + k).toString
+            case 's' => i16(5 + 2 * k).toString
+            case 'S' => u16(5 + 2 * k).toString
+            case 'i' => i32(5 + 4 * k).toString
+            case 'I' => u32(5 + 4 * k).toString
+            case 'f' => java.lang.Float.intBitsToFloat(i32(5 + 4 * k)).toString
+          }
+        }
+        ('B', (sub.toString +: vals).mkString(","))
+      case other => throw new UnsupportedOperationException(
+        s"BAM tag type '$other' not supported")
+    }
+  }
+
+  private case class SliceHeader(
+      refSeqId: Int, alignmentStart: Int, alignmentSpan: Int,
+      nRecords: Int, recordCounter: Long, nBlocks: Int, embeddedRefId: Int)
+
+  private def parseSliceHeader(data: Array[Byte]): SliceHeader = {
+    val in = new ByteArrayInputStream(data)
+    val refSeqId = readItf8(in)
+    val start = readItf8(in)
+    val span = readItf8(in)
+    val n = readItf8(in)
+    val counter = readLtf8(in)
+    val nBlocks = readItf8(in)
+    val nIds = readItf8(in)
+    var i = 0
+    while (i < nIds) { readItf8(in); i += 1 }
+    val embeddedRefId = if (in.available() > 0) readItf8(in) else -1
+    SliceHeader(refSeqId, start, span, n, counter, nBlocks, embeddedRefId)
+  }
+
+  /** Decode a whole container body: compression header + one or MORE
+    * slices (external writers emit multi-slice containers). When the
+    * container header's record count is known, the decoded total is
+    * validated against it so a structural desync fails loudly instead of
+    * silently dropping records. */
   private[sources] def decodeContainer(
       data: Array[Byte], refNames: Array[String],
-      rgIds: Array[String]): Seq[Alignment] = {
+      rgIds: Array[String], expectedRecords: Int = -1,
+      reference: Option[graft.core.ReferenceSource] = None): Seq[Alignment] = {
     val in = new ByteArrayInputStream(data)
     val chBlock = readBlock(in)
     require(chBlock.contentType == 1, "expected compression header block")
     val ch = readCompressionHeader(chBlock)
 
-    // slice header
-    val sh = readBlock(in)
-    require(sh.contentType == 2, s"expected slice header, got ${sh.contentType}")
-    val shIn = new ByteArrayInputStream(sh.data)
-    readItf8(shIn); readItf8(shIn); readItf8(shIn)
-    val nRecords = readItf8(shIn)
-    readLtf8(shIn)
-    val nBlocks = readItf8(shIn)
-
-    val blocks = Map.newBuilder[Int, Array[Byte]]
-    var core: Array[Byte] = Array.emptyByteArray
-    var i = 0
-    while (i < nBlocks) {
-      val b = readBlock(in)
-      if (b.contentType == 4) blocks += b.contentId -> b.data
-      else if (b.contentType == 5) core = b.data
-      i += 1
+    val out = Vector.newBuilder[Alignment]
+    var total = 0
+    while (in.available() > 0 && (expectedRecords < 0 || total < expectedRecords)) {
+      val sh = readBlock(in)
+      require(sh.contentType == 2, s"expected slice header, got ${sh.contentType}")
+      val slice = parseSliceHeader(sh.data)
+      val blocks = Map.newBuilder[Int, Array[Byte]]
+      var core: Array[Byte] = Array.emptyByteArray
+      var i = 0
+      while (i < slice.nBlocks) {
+        val b = readBlock(in)
+        if (b.contentType == 4) blocks += b.contentId -> b.data
+        else if (b.contentType == 5) core = b.data
+        i += 1
+      }
+      out ++= decodeSlice(ch, slice, blocks.result(), core, refNames, rgIds,
+        reference)
+      total += slice.nRecords
     }
-    val r = new SeriesReader(blocks.result(), ch, core)
+    if (expectedRecords >= 0 && total != expectedRecords)
+      throw new IllegalStateException(
+        s"CRAM container decode desync: header declares $expectedRecords " +
+          s"records, slices decoded $total")
+    out.result()
+  }
 
-    (0 until nRecords).map { _ =>
+  private def decodeSlice(
+      ch: CompressionHeader, slice: SliceHeader,
+      blocks: Map[Int, Array[Byte]], core: Array[Byte],
+      refNames: Array[String], rgIds: Array[String],
+      reference: Option[graft.core.ReferenceSource]): Seq[Alignment] = {
+    val r = new SeriesReader(blocks, ch, core)
+
+    // reference bases provider (0-based absolute position on the contig):
+    // embedded-reference block first, then the supplied ReferenceSource
+    val embeddedRef: Option[Array[Byte]] =
+      if (slice.embeddedRefId >= 0) blocks.get(slice.embeddedRefId) else None
+    def refBases(ri: Int, start0: Long, len: Int): String = {
+      if (len <= 0) return ""
+      embeddedRef match {
+        case Some(eb) =>
+          val off = (start0 - (slice.alignmentStart - 1L)).toInt
+          if (off < 0 || off + len > eb.length)
+            throw new IllegalStateException(
+              s"embedded reference window [$off,${off + len}) outside slice span")
+          new String(eb, off, len, "UTF-8")
+        case None => reference match {
+          case Some(src) =>
+            src.extract(ReferenceRegion(refNames(ri), start0, start0 + len))
+          case None => throw new UnsupportedOperationException(
+            "CRAM slice requires reference bases (RR=true, no embedded " +
+              "reference): pass a ReferenceSource to CramIO.read")
+        }
+      }
+    }
+
+    var prevAp = slice.alignmentStart // AP-delta accumulator (1-based)
+    // per-record deferred mate links: index -> mate index (downstream)
+    val mateLinks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val recs = new scala.collection.mutable.ArrayBuffer[Alignment](slice.nRecords)
+
+    var idx = 0
+    while (idx < slice.nRecords) {
       val bf = r.itf8("BF")
-      r.itf8("CF")
-      val ri = r.itf8("RI")
+      val cf = r.itf8("CF")
+      def cfBit(m: Int): Boolean = (cf & m) != 0
+      val qualsStored = cfBit(0x1)
+      val detached = cfBit(0x2)
+      val mateDownstream = cfBit(0x4)
+      val basesUnknown = cfBit(0x8)
+
+      val ri =
+        if (slice.refSeqId == -2) r.itf8("RI")
+        else slice.refSeqId
       val rl = r.itf8("RL")
-      val ap = r.itf8("AP")
+      val apRaw = r.itf8("AP")
+      val ap = if (ch.apDelta) { prevAp += apRaw; prevAp } else apRaw
       val rg = r.itf8("RG")
-      val name = r.untilStop("RN", '\t')
-      val mf = r.itf8("MF")
-      val ns = r.itf8("NS")
-      val np = r.itf8("NP")
-      val ts = r.itf8("TS")
+
+      var name =
+        if (ch.readNamesIncluded) new String(r.byteArray("RN"), "UTF-8")
+        else ""
+
+      // mate info: detached records carry it inline; attached records
+      // point at the mate record downstream in the same slice
+      var mf = 0
+      var ns = -1
+      var np = 0
+      var ts = 0
+      if (detached) {
+        mf = r.itf8("MF")
+        if (!ch.readNamesIncluded) name = new String(r.byteArray("RN"), "UTF-8")
+        ns = r.itf8("NS")
+        np = r.itf8("NP")
+        ts = r.itf8("TS")
+      } else if (mateDownstream) {
+        val nf = r.itf8("NF")
+        mateLinks += ((idx, idx + nf + 1))
+      }
+      if (name.isEmpty && !ch.readNamesIncluded)
+        name = (slice.recordCounter + idx).toString
+
       val tl = r.itf8("TL")
       val attrs = Map.newBuilder[String, String]
       ch.tagLines(tl).foreach { t =>
-        val v = t.typ match {
-          case 'A' => r.tagBytes(t.contentId, 1)(0).toChar.toString
-          case 'i' =>
-            val b = r.tagBytes(t.contentId, 4)
-            ((b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) |
-              ((b(3) & 0xff) << 24)).toString
-          case 'f' =>
-            val b = r.tagBytes(t.contentId, 4)
-            java.lang.Float.intBitsToFloat(
-              (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) |
-                ((b(3) & 0xff) << 24)).toString
-          case _ => r.tagUntilNul(t.contentId)
-        }
-        attrs += t.key -> s"${t.typ}:$v"
+        val raw = r.tagValue(t)
+        val (samType, v) = formatTagValue(t.typ, raw)
+        attrs += t.key -> s"$samType:$v"
       }
       val mapped = (bf & 0x4) == 0
 
@@ -970,6 +1625,12 @@ object CramIO {
       var cigar: Option[String] = None
       var mapq: Option[Int] = None
       var refLen = 0L
+      var featQuals: Array[Byte] = null
+      def qualAt(p1: Int, q: Int): Unit = {
+        if (featQuals == null) featQuals = Array.fill[Byte](rl)(0xff.toByte)
+        if (p1 >= 1 && p1 <= rl) featQuals(p1 - 1) = q.toByte
+      }
+
       if (mapped) {
         val fn = r.itf8("FN")
         val sb = new StringBuilder(rl)
@@ -984,45 +1645,99 @@ object CramIO {
               lastOp = op; lastLen = len
             }
           }
+        var readPos = 1 // next unconsumed 1-based read position
+        var fp = 0 // absolute feature position (FP series is delta-coded)
+        // fill [readPos, until) from the reference (match gap)
+        def fillGap(until: Int): Unit = {
+          val gap = until - readPos
+          if (gap > 0) {
+            if (!basesUnknown)
+              sb.append(refBases(ri, ap - 1L + refLen, gap))
+            emit('M', gap)
+            refLen += gap
+            readPos = until
+          }
+        }
         var k = 0
         while (k < fn) {
           val fc = r.byte("FC").toChar
-          r.itf8("FP")
+          fp += r.itf8("FP")
           fc match {
             case 'b' =>
-              val n = r.itf8("BB"); val bs = r.bytes("BB", n)
-              sb.append(new String(bs, "UTF-8")); emit('M', n); refLen += n
+              fillGap(fp)
+              val bs = r.byteArray("BB")
+              sb.append(new String(bs, "UTF-8"))
+              emit('M', bs.length); refLen += bs.length; readPos += bs.length
+            case 'X' =>
+              fillGap(fp)
+              val code = r.itf8("BS")
+              val base =
+                if (basesUnknown) 'N'
+                else substituteBase(ch.substMatrix,
+                  refBases(ri, ap - 1L + refLen, 1).headOption.getOrElse('N'),
+                  code)
+              sb.append(base)
+              emit('M', 1); refLen += 1; readPos += 1
+            case 'B' =>
+              fillGap(fp)
+              val base = r.itf8("BA")
+              qualAt(fp, r.itf8("QS"))
+              sb.append(base.toChar)
+              emit('M', 1); refLen += 1; readPos += 1
             case 'S' =>
-              val n = r.itf8("SC"); val bs = r.bytes("SC", n)
-              sb.append(new String(bs, "UTF-8")); emit('S', n)
+              fillGap(fp)
+              val bs = r.byteArray("SC")
+              sb.append(new String(bs, "UTF-8"))
+              emit('S', bs.length); readPos += bs.length
             case 'I' =>
-              val n = r.itf8("IN"); val bs = r.bytes("IN", n)
-              sb.append(new String(bs, "UTF-8")); emit('I', n)
-            case 'D' => val n = r.itf8("DL"); emit('D', n); refLen += n
-            case 'N' => val n = r.itf8("RS"); emit('N', n); refLen += n
-            case 'H' => val n = r.itf8("HC"); emit('H', n)
-            case 'P' => val n = r.itf8("PD"); emit('P', n)
+              fillGap(fp)
+              val bs = r.byteArray("IN")
+              sb.append(new String(bs, "UTF-8"))
+              emit('I', bs.length); readPos += bs.length
+            case 'i' =>
+              fillGap(fp)
+              sb.append(r.itf8("BA").toChar)
+              emit('I', 1); readPos += 1
+            case 'D' =>
+              fillGap(fp)
+              val n = r.itf8("DL"); emit('D', n); refLen += n
+            case 'N' =>
+              fillGap(fp)
+              val n = r.itf8("RS"); emit('N', n); refLen += n
+            case 'H' => fillGap(fp); val n = r.itf8("HC"); emit('H', n)
+            case 'P' => fillGap(fp); val n = r.itf8("PD"); emit('P', n)
+            case 'Q' => qualAt(fp, r.itf8("QS")) // quality only; no base
+            case 'q' =>
+              val qs = r.byteArray("QQ")
+              var j = 0
+              while (j < qs.length) { qualAt(fp + j, qs(j) & 0xff); j += 1 }
             case other =>
               throw new UnsupportedOperationException(
                 s"CRAM read feature '$other' not supported")
           }
           k += 1
         }
+        fillGap(rl + 1) // trailing match gap to the end of the read
         if (lastOp != ' ') cig.append(lastLen).append(lastOp)
         mapq = Some(r.itf8("MQ")).filter(_ != 255)
         cigar = Some(cig.toString).filter(_.nonEmpty)
-        seq = sb.toString
-      } else {
+        seq = if (basesUnknown) "" else sb.toString
+      } else if (!basesUnknown) {
         seq = new String(r.bytes("BA", rl), "UTF-8")
       }
-      val qb = r.bytes("QS", rl)
+
       val quals =
-        if (rl == 0 || (qb.nonEmpty && (qb(0) & 0xff) == 0xff)) None
-        else Some(qb.map(q => ((q & 0xff) + 33).toChar).mkString)
+        if (qualsStored) {
+          val qb = r.bytes("QS", rl)
+          if (rl == 0 || (qb.nonEmpty && (qb(0) & 0xff) == 0xff)) None
+          else Some(qb.map(q => ((q & 0xff) + 33).toChar).mkString)
+        } else if (featQuals != null)
+          Some(featQuals.map(q => ((q & 0xff) + 33).toChar).mkString)
+        else None
 
       def bit(m: Int): Boolean = (bf & m) != 0
       val attributes = attrs.result()
-      Alignment(
+      recs += Alignment(
         readName = Some(name).filter(_.nonEmpty),
         referenceName = if (ri >= 0 && ri < refNames.length) Some(refNames(ri)) else None,
         start = if (mapped && ap > 0) Some(ap - 1L) else None,
@@ -1036,8 +1751,10 @@ object CramIO {
         mateAlignmentStart = if (np > 0 && bit(0x1)) Some(np - 1L) else None,
         insertSize = Some(ts.toLong).filter(_ != 0L),
         readPaired = Some(bit(0x1)), properPair = Some(bit(0x2)),
-        readMapped = Some(mapped), mateMapped = Some(!bit(0x8)),
-        readNegativeStrand = Some(bit(0x10)), mateNegativeStrand = Some(bit(0x20)),
+        readMapped = Some(mapped),
+        mateMapped = Some(!bit(0x8) && (mf & 2) == 0),
+        readNegativeStrand = Some(bit(0x10)),
+        mateNegativeStrand = Some(bit(0x20) || (mf & 1) != 0),
         readInFragment = Some(if (bit(0x80)) 1 else 0),
         secondaryAlignment = Some(bit(0x100)),
         failedVendorQualityChecks = Some(bit(0x200)),
@@ -1048,7 +1765,42 @@ object CramIO {
           else attributes.get("RG").map(_.drop(2)),
         mismatchingPositions = attributes.get("MD").map(_.drop(2)),
         attributes = attributes)
+      idx += 1
     }
+
+    // resolve attached (non-detached) mate pairs within the slice
+    mateLinks.foreach { case (i, j) =>
+      if (j >= 0 && j < recs.length) {
+        val a = recs(i)
+        val b = recs(j)
+        // attached mates share the earlier record's name
+        val sharedName = a.readName.orElse(b.readName)
+        def tlen(x: Alignment, y: Alignment): (Option[Long], Option[Long]) =
+          (x.start, x.end, y.start, y.end) match {
+            case (Some(xs), Some(xe), Some(ys), Some(ye))
+                if x.referenceName == y.referenceName =>
+              val span = math.max(xe, ye) - math.min(xs, ys)
+              if (xs <= ys) (Some(span), Some(-span)) else (Some(-span), Some(span))
+            case _ => (None, None)
+          }
+        val (ta, tb) = tlen(a, b)
+        recs(i) = a.copy(
+          readName = sharedName,
+          mateReferenceName = b.referenceName,
+          mateAlignmentStart = b.start,
+          mateMapped = b.readMapped,
+          mateNegativeStrand = b.readNegativeStrand,
+          insertSize = ta)
+        recs(j) = b.copy(
+          readName = sharedName,
+          mateReferenceName = a.referenceName,
+          mateAlignmentStart = a.start,
+          mateMapped = a.readMapped,
+          mateNegativeStrand = a.readNegativeStrand,
+          insertSize = tb)
+      }
+    }
+    recs.toSeq
   }
 
   /** Region-pruned read of a `.crai`-indexed CRAM: only containers whose
@@ -1092,13 +1844,20 @@ object CramIO {
 
   private def prunedRead(spark: SparkSession, path: String,
       keepOffsets: Set[Long]): GenomicDataset[Alignment] =
-    readInternal(spark, path, Some(keepOffsets))
+    readInternal(spark, path, Some(keepOffsets), None)
 
   def read(spark: SparkSession, path: String): GenomicDataset[Alignment] =
-    readInternal(spark, path, None)
+    readInternal(spark, path, None, None)
+
+  /** Read with a reference for reference-compressed (RR=true) CRAMs whose
+    * slices carry no embedded reference block. */
+  def read(spark: SparkSession, path: String,
+      reference: graft.core.ReferenceSource): GenomicDataset[Alignment] =
+    readInternal(spark, path, None, Some(reference))
 
   private def readInternal(spark: SparkSession, path: String,
-      keepOffsets: Option[Set[Long]]): GenomicDataset[Alignment] = {
+      keepOffsets: Option[Set[Long]],
+      reference: Option[graft.core.ReferenceSource]): GenomicDataset[Alignment] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1125,7 +1884,7 @@ object CramIO {
     // scan container offsets (headers only); honor the header container's
     // declared length (other writers may pad it with extra blocks)
     val fileLen = fs.getFileStatus(p).getLen
-    val offsets = Seq.newBuilder[(Long, Int)]
+    val offsets = Seq.newBuilder[(Long, Int, Int)]
     var pos = hdrBodyStart + hdrContainer.length
     var done = false
     while (!done && pos < fileLen) {
@@ -1135,7 +1894,7 @@ object CramIO {
         case Some(hc) if hc.nRecords > 0 =>
           val bodyStart = in.getPos
           if (keepOffsets.forall(_.contains(headerStart)))
-            offsets += ((bodyStart, hc.length))
+            offsets += ((bodyStart, hc.length, hc.nRecords))
           pos = bodyStart + hc.length
         case Some(hc) =>
           pos = in.getPos + hc.length // header/EOF container: skip
@@ -1148,10 +1907,11 @@ object CramIO {
     val refNamesB = spark.sparkContext.broadcast(refNames)
     val rgIdsB = spark.sparkContext.broadcast(rgIds)
     val confB = spark.sparkContext.broadcast(HadoopConf(spark))
+    val referenceB = spark.sparkContext.broadcast(reference)
     val file = path
     val rdd = spark.sparkContext
       .parallelize(containers, math.max(1, containers.length))
-      .flatMap { case (off, len) =>
+      .flatMap { case (off, len, nRecords) =>
         val fp = new Path(file)
         val tfs = fp.getFileSystem(confB.value.value)
         val tin = tfs.open(fp)
@@ -1159,7 +1919,8 @@ object CramIO {
           tin.seek(off)
           val buf = new Array[Byte](len)
           tin.readFully(buf)
-          decodeContainer(buf, refNamesB.value, rgIdsB.value)
+          decodeContainer(buf, refNamesB.value, rgIdsB.value, nRecords,
+            referenceB.value)
         } finally tin.close()
       }
     GenomicDataset(spark.createDataset(rdd), meta)

@@ -209,6 +209,270 @@ class CramIOSpec extends SparkSpec {
     }
   }
 
+  test("core integer codecs round trip (gamma, subexp, golomb, rice)") {
+    val rnd = new scala.util.Random(61)
+    val gammaVals = (0 until 500).map(_ => 1 + rnd.nextInt(1 << 20))
+    assert(CramIO.codecRoundTrip("gamma", gammaVals, 0) == gammaVals)
+    val nonneg = (0 until 500).map(_ => rnd.nextInt(1 << 20))
+    for (k <- Seq(0, 1, 2, 5, 10))
+      assert(CramIO.codecRoundTrip("subexp", nonneg, k) == nonneg,
+        s"subexp k=$k")
+    for (m <- Seq(1, 2, 3, 5, 8, 100, 1000))
+      assert(CramIO.codecRoundTrip("golomb", nonneg.map(_ % 5000), m) ==
+        nonneg.map(_ % 5000), s"golomb m=$m")
+    for (lg <- Seq(0, 1, 3, 8))
+      assert(CramIO.codecRoundTrip("rice", nonneg.map(_ % 5000), lg) ==
+        nonneg.map(_ % 5000), s"rice log2m=$lg")
+    // boundary values
+    val edges = Seq(0, 1, 2, 3, 4, 7, 8, 15, 16, 255, 256, 65535, 65536)
+    assert(CramIO.codecRoundTrip("gamma", edges.map(_ + 1), 0) == edges.map(_ + 1))
+    assert(CramIO.codecRoundTrip("subexp", edges, 2) == edges)
+    assert(CramIO.codecRoundTrip("golomb", edges, 7) == edges)
+    assert(CramIO.codecRoundTrip("rice", edges, 4) == edges)
+  }
+
+  private def roundTripWith(profile: CramIO.WriteProfile,
+      reads: Seq[Alignment], readRef: Option[graft.core.ReferenceSource] = None,
+      recordsPerContainer: Int = 10000): Map[String, Alignment] = {
+    val path = tmpDir() + s"/p${profile.hashCode}.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path,
+      recordsPerContainer = recordsPerContainer, profile = Some(profile))
+    val back = readRef match {
+      case Some(r) => CramIO.read(spark, path, r)
+      case None => CramIO.read(spark, path)
+    }
+    back.ds.collect().map(r => r.readName.get -> r).toMap
+  }
+
+  private def mixedReads(n: Int, seed: Int): Seq[Alignment] = {
+    val rnd = new scala.util.Random(seed)
+    val bases = "ACGT"
+    (0 until n).map { i =>
+      val cigar = rnd.nextInt(5) match {
+        case 0 => "30M"
+        case 1 => "5S20M2D5M"
+        case 2 => "10M3I17M"
+        case 3 => "3H10M40N10M"
+        case _ => "8M1D8M2P8M4S"
+      }
+      val readLen = Cigar.parse(cigar).collect {
+        case e if "MIS=X".contains(e.op) => e.length.toInt }.sum
+      rec(s"x$i", Some("chr1"), Some(i * 50L), Some(cigar),
+        Array.fill(readLen)(bases(rnd.nextInt(4))).mkString,
+        Array.fill(readLen)((33 + rnd.nextInt(40)).toChar).mkString,
+        attrs = if (i % 3 == 0) Map("XC" -> s"i:$i") else Map.empty)
+    }
+  }
+
+  private def assertSame(got: Map[String, Alignment], want: Seq[Alignment]): Unit = {
+    assert(got.size == want.length)
+    want.foreach { r =>
+      val b = got(r.readName.get)
+      assert(b.cigar == r.cigar, s"${r.readName}: ${b.cigar} vs ${r.cigar}")
+      assert(b.sequence == r.sequence, s"${r.readName} seq")
+      assert(b.qualityScores == r.qualityScores, s"${r.readName} quals")
+      assert(b.start == r.start && b.end == r.end, s"${r.readName} pos")
+      assert(b.attributes == r.attributes,
+        s"${r.readName}: ${b.attributes} vs ${r.attributes}")
+    }
+  }
+
+  test("multi-slice containers round trip (container record count verified)") {
+    val reads = mixedReads(450, 67)
+    val got = roundTripWith(CramIO.WriteProfile(recordsPerSlice = 100), reads)
+    assertSame(got, reads)
+  }
+
+  test("extra core codecs profile (GAMMA/SUBEXP/GOLOMB/RICE) round trips") {
+    val reads = mixedReads(400, 71)
+    val got = roundTripWith(CramIO.WriteProfile(extraCodecs = true), reads)
+    assertSame(got, reads)
+  }
+
+  test("BYTE_ARRAY_LEN encodings (external + core lengths) round trip") {
+    val reads = mixedReads(400, 73)
+    val got = roundTripWith(CramIO.WriteProfile(byteArrayLen = true), reads)
+    assertSame(got, reads)
+  }
+
+  test("AP-delta coded positions round trip (sorted and with unmapped)") {
+    val sorted = mixedReads(300, 79).sortBy(_.start)
+    val withUnmapped = sorted :+ rec("u9", None, None, None, "ACGT", "IIII")
+    val got = roundTripWith(CramIO.WriteProfile(apDelta = true), withUnmapped)
+    assertSame(got, withUnmapped)
+  }
+
+  test("everything-at-once profile round trips") {
+    val reads = mixedReads(500, 83)
+    val got = roundTripWith(CramIO.WriteProfile(core = true,
+      extraCodecs = true, byteArrayLen = true, apDelta = true,
+      recordsPerSlice = 128), reads.sortBy(_.start),
+      recordsPerContainer = 256)
+    assertSame(got, reads)
+  }
+
+  test("attached (NF-linked) mate pairs reconstruct mate info") {
+    def mate(name: String, s: Long, mateS: Long, tlen: Long,
+        neg: Boolean, mateNeg: Boolean, frag: Int): Alignment =
+      Alignment(readName = Some(name), referenceName = Some("chr1"),
+        start = Some(s), end = Some(s + 36), cigar = Some("36M"),
+        sequence = Some("ACGTACGTACGTACGTACGTACGTACGTACGTACGT"),
+        qualityScores = Some("I" * 36), mappingQuality = Some(37),
+        readMapped = Some(true), readPaired = Some(true),
+        properPair = Some(false),
+        readNegativeStrand = Some(neg), mateNegativeStrand = Some(mateNeg),
+        mateMapped = Some(true), mateReferenceName = Some("chr1"),
+        mateAlignmentStart = Some(mateS), insertSize = Some(tlen),
+        readInFragment = Some(frag), primaryAlignment = Some(true),
+        secondaryAlignment = Some(false), supplementaryAlignment = Some(false),
+        duplicateRead = Some(false), failedVendorQualityChecks = Some(false),
+        readGroupId = Some("rg1"))
+    val pairs = (0 until 50).flatMap { i =>
+      val s1 = 100L + i * 500
+      val s2 = s1 + 200
+      Seq(
+        mate(s"p$i", s1, s2, 236L, neg = false, mateNeg = true, frag = 0),
+        mate(s"p$i", s2, s1, -236L, neg = true, mateNeg = false, frag = 1))
+    }
+    // singletons interleaved to exercise NF distances > 0
+    val singles = (0 until 20).map(i =>
+      rec(s"s$i", Some("chr1"), Some(50L + i * 700), Some("36M"),
+        "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "F" * 36))
+    val reads = (pairs ++ singles).sortBy(_.start)
+    val path = tmpDir() + "/mates.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path,
+      profile = Some(CramIO.WriteProfile(attachedMates = true)))
+    val got = CramIO.read(spark, path).ds.collect()
+    assert(got.length == reads.length)
+    val byNameFrag = got.map(r =>
+      (r.readName.get, r.readInFragment.get) -> r).toMap
+    pairs.foreach { r =>
+      val b = byNameFrag((r.readName.get, r.readInFragment.get))
+      assert(b.mateAlignmentStart == r.mateAlignmentStart,
+        s"${r.readName} mateStart: ${b.mateAlignmentStart} vs ${r.mateAlignmentStart}")
+      assert(b.mateReferenceName == r.mateReferenceName)
+      assert(b.insertSize == r.insertSize,
+        s"${r.readName} tlen: ${b.insertSize} vs ${r.insertSize}")
+      assert(b.mateNegativeStrand == r.mateNegativeStrand,
+        s"${r.readName} mateNeg")
+      assert(b.mateMapped.contains(true))
+    }
+  }
+
+  test("RN=false: detached records keep names, attached pairs get generated ones") {
+    // detached records carry RN inline even when RN=false (spec); only
+    // attached (NF-linked) records have names regenerated from the counter
+    val singles = mixedReads(60, 89)
+    val pairs = (0 until 30).flatMap { i =>
+      val s1 = 10000L + i * 500
+      val s2 = s1 + 100
+      Seq(
+        rec(s"q$i", Some("chr1"), Some(s1), Some("36M"),
+          "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "I" * 36, paired = true),
+        rec(s"q$i", Some("chr1"), Some(s2), Some("36M"),
+          "ACGTACGTACGTACGTACGTACGTACGTACGTACGT", "F" * 36, paired = true))
+    }
+    val reads = singles ++ pairs
+    val path = tmpDir() + "/noname.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path,
+      profile = Some(CramIO.WriteProfile(readNames = false,
+        attachedMates = true)))
+    val got = CramIO.read(spark, path).ds.collect()
+    assert(got.length == reads.length)
+    // detached singles keep their original names
+    val gotNames = got.flatMap(_.readName).toSet
+    singles.foreach(r => assert(gotNames.contains(r.readName.get),
+      s"detached ${r.readName} must keep its name"))
+    // attached pairs: numeric generated names, shared within the pair
+    val generated = got.filter(_.readName.exists(_.forall(_.isDigit)))
+    assert(generated.length == pairs.length,
+      s"expected ${pairs.length} generated names, got ${generated.length}")
+    assert(generated.groupBy(_.readName).forall(_._2.length == 2),
+      "each attached pair shares one generated name")
+    // everything else survives
+    val byStart = got.map(r => r.start -> r.cigar).toMap
+    reads.foreach(r => assert(byStart(r.start) == r.cigar))
+  }
+
+  test("reference-based compression (RR=true) round trips via ReferenceSource") {
+    val rnd = new scala.util.Random(97)
+    val bases = "ACGT"
+    val contig = Array.fill(20000)(bases(rnd.nextInt(4))).mkString
+    val ref = graft.core.ReferenceContigs(Map("chr1" -> contig))
+    val reads = (0 until 300).map { i =>
+      val start = i * 60L
+      val cigar = rnd.nextInt(4) match {
+        case 0 => "36M"
+        case 1 => "4S28M4S"
+        case 2 => "10M4D26M"
+        case _ => "12M3I21M"
+      }
+      val readLen = Cigar.parse(cigar).collect {
+        case e if "MIS=X".contains(e.op) => e.length.toInt }.sum
+      // bases: mostly the reference, with sprinkled mismatches
+      var refPos = start
+      val sb = new StringBuilder
+      Cigar.parse(cigar).foreach { e =>
+        e.op match {
+          case 'M' =>
+            (0 until e.length.toInt).foreach { k =>
+              val rb = contig((refPos + k).toInt)
+              sb.append(if (rnd.nextInt(10) == 0)
+                bases((bases.indexOf(rb) + 1) % 4) else rb)
+            }
+            refPos += e.length
+          case 'D' => refPos += e.length
+          case 'S' | 'I' =>
+            (0 until e.length.toInt).foreach(_ => sb.append(bases(rnd.nextInt(4))))
+          case _ =>
+        }
+      }
+      rec(s"r$i", Some("chr1"), Some(start), Some(cigar), sb.toString,
+        Array.fill(readLen)((33 + rnd.nextInt(40)).toChar).mkString)
+    }
+    val prof = CramIO.WriteProfile(refBased = true, reference = Some(ref))
+    val got = roundTripWith(prof, reads, readRef = Some(ref))
+    assertSame(got, reads)
+
+    // reading a reference-compressed file WITHOUT a reference fails loudly
+    val path = tmpDir() + "/rr.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path,
+      profile = Some(prof))
+    val ex = intercept[org.apache.spark.SparkException] {
+      CramIO.read(spark, path).ds.collect()
+    }
+    assert(ex.getMessage.contains("reference") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("reference"))
+  }
+
+  test("embedded-reference slices decode with no external reference") {
+    val rnd = new scala.util.Random(101)
+    val bases = "ACGT"
+    val contig = Array.fill(9000)(bases(rnd.nextInt(4))).mkString
+    val ref = graft.core.ReferenceContigs(Map("chr1" -> contig))
+    val reads = (0 until 200).map { i =>
+      val start = i * 40L
+      val seq = contig.substring(start.toInt, start.toInt + 36)
+      rec(s"e$i", Some("chr1"), Some(start), Some("36M"), seq, "I" * 36)
+    }
+    val prof = CramIO.WriteProfile(refBased = true, embedRef = true,
+      reference = Some(ref))
+    // no reference passed on read: the embedded block supplies the bases
+    val got = roundTripWith(prof, reads, readRef = None)
+    assertSame(got, reads)
+  }
+
+  test("BAM array (B) and hex (H) tags round trip") {
+    val reads = Seq(
+      rec("t1", Some("chr1"), Some(10L), Some("8M"), "ACGTACGT", "IIIIIIII",
+        attrs = Map("XB" -> "B:c,-1,2,3", "XH" -> "H:1AFF00")),
+      rec("t2", Some("chr1"), Some(20L), Some("8M"), "ACGTACGT", "IIIIIIII",
+        attrs = Map("XS" -> "B:S,1,65535", "XI" -> "B:i,-100000,100000",
+          "XF" -> "B:f,1.5,-2.5")))
+    val got = roundTripWith(CramIO.WriteProfile(), reads)
+    assertSame(got, reads)
+  }
+
   test("CRAM compresses smaller than BAM on repetitive data") {
     val reads = (0 until 2000).map(i =>
       rec(s"c$i", Some("chr1"), Some(i.toLong), Some("36M"),
