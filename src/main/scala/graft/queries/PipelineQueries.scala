@@ -159,6 +159,39 @@ object PipelineQueries extends QuerySet {
       },
       None),
 
+    // EXACT all-pairs n-gram Jaccard >= 0.5 via the prefix-filtered
+    // set-similarity join (AllPairs/PPJoin) — the hash match against the
+    // naive all-pairs SQL proves the prefix filter loses no pair.
+    Query("q41_jaccard_join_exact",
+      (s, dir) => DedupOps.jaccardSimilarityJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(CASE
+              WHEN len(t) = 0 THEN []
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                    for i in generate_series(1, len(t)-2)]
+            END) AS s
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+          CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter >= 0.5 * (sa.n + sb.n - n_inter)""")),
+
     // Drop-duplicates materialization: keep the minimum doc_id per
     // normalized fingerprint (DedupOps.dropExactDuplicates semantics).
     Query("q36_drop_duplicates",

@@ -93,4 +93,43 @@ class TextDedupSpec extends SparkSpec {
       .collect().head.getAs[Double]("jaccard")
     assert(j == 3.0 / 5.0) // {a,b,c} shared of {a,b,c,d,e}
   }
+
+  test("jaccardSimilarityJoin: prefix filter finds exactly the brute-force pairs") {
+    import spark.implicits._
+    // random docs from a small vocabulary so near-duplicates exist
+    val rnd = new scala.util.Random(113)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    // sprinkle true near-duplicates: copies with one word changed
+    val nearDups = base.take(15).map { case (id, text) =>
+      val w = text.split(" ")
+      w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+      (id + 1000L, w.mkString(" "))
+    }
+    val d = docs((base ++ nearDups): _*)
+
+    for (t <- Seq(0.3, 0.5, 0.8); n <- Seq(1, 2, 3)) {
+      val fast = DedupOps.jaccardSimilarityJoin(d, "doc_id", "text",
+          shingleN = n, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      // brute force: every pair, exact jaccard
+      val sets = (base ++ nearDups).map { case (id, text) =>
+        id -> DedupOps.shingles(text, n).distinct.toSet
+      }.filter(_._2.nonEmpty)
+      val slow = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size
+        union = (sa | sb).size
+        if union > 0 && inter >= t * union
+      } yield (ia, ib, inter.toLong, union.toLong)).toSet
+      assert(fast == slow,
+        s"t=$t n=$n: missing=${slow -- fast} extra=${fast -- slow}")
+      assert(slow.nonEmpty || t > 0.5, s"t=$t n=$n degenerate test")
+    }
+  }
 }
