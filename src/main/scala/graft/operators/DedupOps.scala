@@ -229,30 +229,63 @@ object DedupOps {
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sn = shingleN
-    val shingleUdf = udf((t: String) => shingles(if (t == null) "" else t, sn).distinct)
+    // candidate generation keys on 64-bit shingle hashes: every heavy
+    // shuffle/join/sort moves 8-byte longs, never strings. A hash
+    // collision only merges two tokens for ORDERING and CANDIDATE
+    // purposes — the order stays a total order (consistent across docs)
+    // and the candidate set only widens; the verify step intersects the
+    // TRUE string sets, so the result is exact regardless of collisions.
+    val shingleUdf = udf((t: String) =>
+      shingles(if (t == null) "" else t, sn).distinct)
+    val hashedUdf = udf((t: String) =>
+      shingles(if (t == null) "" else t, sn).distinct.map(fnv1a64))
+    // persisted: the shingling UDF and the candidate index feed several
+    // plan branches (both self-join sides, both verify sides); without a
+    // persist Catalyst re-evaluates the whole upstream per branch. Narrow
+    // columns only — spills cleanly at scale (MLlib-style internal cache).
     val sets = docs
       .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashedSets = docs
+      .select(col(idCol).as("id"), hashedUdf(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
 
-    val ex = sets.select(col("id"), explode(col("sh")).as("tok"))
-    // global rarity order: ascending document frequency, ties by token —
+    val ex = hashedSets.select(col("id"), explode(col("sh")).as("h"))
+    // global rarity order: ascending document frequency, ties by hash —
     // rare-first prefixes keep the candidate join sparse
-    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "tok")
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "h")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("toks"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
       .select(col("id"),
-        expr("transform(toks, x -> x.tok)").as("toks"),
+        expr("transform(toks, x -> x.h)").as("toks"),
         size(col("toks")).as("n"))
     val prefixed = ordered.select(col("id"), col("n"),
-      explode(slice(col("toks"), lit(1),
-        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))).as("tok"))
+      posexplode(slice(col("toks"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))))
+      .select(col("id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cand = prefixed.select(col("id").as("id_a"), col("tok"))
-      .join(prefixed.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+    // candidate pruning beyond the prefix (all exact, PPJoin-style):
+    //  - length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+    //  - positional filter: the remaining-suffix overlap upper bound
+    //    1 + min(|A|-pa, |B|-pb) must reach the required overlap
+    //    t/(1+t)*(|A|+|B|)  (epsilon guards float rounding toward KEEP)
+    val eps = 1e-9
+    val cand = prefixed.select(col("id").as("id_a"), col("n").as("na"),
+        col("p").as("pa"), col("h"))
+      .join(prefixed.select(col("id").as("id_b"), col("n").as("nb"),
+        col("p").as("pb"), col("h")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(eps))
       .select("id_a", "id_b").distinct()
 
+    // verify on the TRUE string shingle sets — exact regardless of any
+    // hash collision upstream
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
