@@ -237,8 +237,6 @@ object DedupOps {
     // TRUE string sets, so the result is exact regardless of collisions.
     val shingleUdf = udf((t: String) =>
       shingles(if (t == null) "" else t, sn).distinct)
-    val hashedUdf = udf((t: String) =>
-      shingles(if (t == null) "" else t, sn).distinct.map(fnv1a64))
     // persisted: the shingling UDF and the candidate index feed several
     // plan branches (both self-join sides, both verify sides); without a
     // persist Catalyst re-evaluates the whole upstream per branch. Narrow
@@ -247,11 +245,11 @@ object DedupOps {
       .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashedSets = docs
-      .select(col(idCol).as("id"), hashedUdf(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
 
-    val ex = hashedSets.select(col("id"), explode(col("sh")).as("h"))
+    // single shingling pass: tokens hash to longs with the codegen-native
+    // xxhash64 at explode time
+    val ex = sets.select(col("id"), explode(col("sh")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
     // global rarity order: ascending document frequency, ties by hash —
     // rare-first prefixes keep the candidate join sparse
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
