@@ -26,6 +26,10 @@ object VcfIO {
   /** Reserved INFO keys with per-alternate (Number=A) / per-allele
     * (Number=R) cardinality, from the VCF 4.3 spec reserved-keys table.
     * Header ##INFO lines override/extend these in [[read]]. */
+  /** gVCF "any other allele" placeholders (<NON_REF> gVCF convention,
+    * <*> in VCF 4.3). */
+  val NonRefAlts: Set[String] = Set("<NON_REF>", "<*>")
+
   val ReservedInfoNumbers: Map[String, String] = Map(
     "AC" -> "A", "AF" -> "A", "CIGAR" -> "A",
     "AD" -> "R", "ADF" -> "R", "ADR" -> "R")
@@ -115,7 +119,16 @@ object VcfIO {
       .getOrElse(pos + ref.length)
 
     val isMulti = alts.length > 1
-    alts.zipWithIndex.map { case (alt, altIdx) =>
+    // gVCF conventions: <NON_REF> (and the VCF 4.3 alias <*>) is a
+    // placeholder for "any other allele" — it keeps its allele INDEX for
+    // Number=A/R/G slicing but never becomes a split record of its own.
+    // A record whose only alt is the placeholder is a reference block
+    // spanning [POS, END) with no alternate allele.
+    val isRefBlock = alts.nonEmpty && alts.forall(NonRefAlts.contains)
+    val emitted: Seq[(String, Int)] =
+      if (isRefBlock) Seq((null, -1))
+      else alts.zipWithIndex.filterNot { case (a, _) => NonRefAlts.contains(a) }
+    emitted.map { case (alt, altIdx) =>
       val infoForAlt =
         if (!isMulti) info
         else info.map { case (k, v) =>
@@ -132,7 +145,7 @@ object VcfIO {
         referenceName = Some(chrom), start = Some(pos),
         end = Some(recordEnd),
         names = ids, splitFromMultiAllelic = Some(isMulti),
-        referenceAllele = Some(ref), alternateAllele = Some(alt),
+        referenceAllele = Some(ref), alternateAllele = Option(alt),
         quality = qual, filtersApplied = filtersApplied,
         filtersPassed = filtersPassed, filtersFailed = filtersFailed,
         annotation = infoForAlt)
@@ -178,8 +191,10 @@ object VcfIO {
             splitFromMultiAllelic = Some(isMulti),
             referenceReadDepth = ad.flatMap(_.headOption)
               .filter(_ != ".").map(_.toInt),
-            alternateReadDepth = ad.flatMap(_.lift(altIdx + 1))
-              .filter(_ != ".").map(_.toInt),
+            alternateReadDepth =
+              if (altIdx < 0) None // reference block: no alternate
+              else ad.flatMap(_.lift(altIdx + 1))
+                .filter(_ != ".").map(_.toInt),
             genotypeLikelihoods = {
               // PL preferred; GL (log10 likelihoods) as fallback, sliced
               // with the same genotype re-index

@@ -119,6 +119,42 @@ class FormatEdgeSpec extends SparkSpec {
     assert(vcs.head.genotypes.head.genotypeLikelihoods == Seq(-0.1, -1.2, -3.4))
   }
 
+  test("gVCF: <NON_REF> reference blocks span to END with no alternate") {
+    val block = VcfIO.parseLine(
+      "chr1\t1000\t.\tA\t<NON_REF>\t.\t.\tEND=1099\tGT:DP:GQ:MIN_DP\t0/0:33:99:30",
+      Seq("s1"))
+    assert(block.length == 1)
+    val v = block.head.variant.get
+    assert(v.alternateAllele.isEmpty, "reference block has no alternate")
+    assert(v.start.contains(999L) && v.end.contains(1099L))
+    val g = block.head.genotypes.head
+    assert(g.alleles == Seq("REF", "REF"))
+    assert(g.minReadDepth.contains(30))
+    assert(g.alternateReadDepth.isEmpty)
+    // VCF 4.3 spells the placeholder <*>
+    val star = VcfIO.parseLine(
+      "chr1\t2000\t.\tG\t<*>\t.\t.\tEND=2050\tGT\t0/0", Seq("s1"))
+    assert(star.head.variant.get.alternateAllele.isEmpty)
+    assert(star.head.variant.get.end.contains(2050L))
+  }
+
+  test("gVCF: <NON_REF> placeholder keeps its slicing slot but emits no record") {
+    val line = "chr1\t500\t.\tA\tC,<NON_REF>\t50\tPASS\t" +
+      "AC=3,0;AD=90,5,0;DP=100\tGT:AD:PL\t0/1:90,5,0:10,20,30,40,50,60"
+    val vcs = VcfIO.parseLine(line, Seq("s1"))
+    assert(vcs.length == 1, "the placeholder must not split into a record")
+    val v = vcs.head.variant.get
+    assert(v.alternateAllele.contains("C"))
+    // Number=A/R slicing still indexes over the full alt list incl. NON_REF
+    assert(v.annotation("AC") == "3")
+    assert(v.annotation("AD") == "90,5")
+    val g = vcs.head.genotypes.head
+    assert(g.alleles == Seq("REF", "ALT"))
+    assert(g.alternateReadDepth.contains(5))
+    // PL re-index keeps {REF, C}: (0,0),(0,1),(1,1)
+    assert(g.genotypeLikelihoods == Seq(10.0, 20.0, 30.0))
+  }
+
   test("symbolic alleles take their span from INFO END") {
     val sv = VcfIO.parseLine(
       "chr1\t1000\t.\tN\t<DEL>\t60\tPASS\tSVTYPE=DEL;END=5000", Seq.empty)
