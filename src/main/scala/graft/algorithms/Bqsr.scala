@@ -182,17 +182,58 @@ object Bqsr {
     }
   }
 
+  /** Compact broadcastable known-sites mask: per-contig SORTED primitive
+    * position arrays + binary search — ~8 bytes/site instead of ~64+ for
+    * a boxed Set entry. This is the reference's SnpTable design
+    * (models/SnpTable.scala:198); its multi-GB broadcast is ADAM's
+    * published BQSR scaling bottleneck (docs/benchmarks/
+    * algorithms.rst:17-23), so the mask representation matters at 100 TB:
+    * 50M dbSNP sites fit in ~400 MB here vs several GB as a Set. */
+  case class SnpMask(positions: Map[String, Array[Long]]) {
+    def contains(ref: String, pos: Long): Boolean =
+      positions.get(ref)
+        .exists(a => java.util.Arrays.binarySearch(a, pos) >= 0)
+    def siteCount: Long = positions.valuesIterator.map(_.length.toLong).sum
+  }
+
+  object SnpMask {
+    val empty: SnpMask = SnpMask(Map.empty)
+
+    def apply(sites: Iterable[(String, Long)]): SnpMask =
+      SnpMask(sites.groupBy(_._1).map { case (ref, ps) =>
+        ref -> ps.map(_._2).toArray.distinct.sorted
+      })
+
+    /** Build from a distributed variant table (dbSNP-style): dedup +
+      * per-contig sort happen distributed; only the final per-contig
+      * primitive arrays land on the driver — the same bounded collect the
+      * reference's SnpTable does (`reduceByKeyLocally`). */
+    def fromVariants(variants: org.apache.spark.sql.DataFrame): SnpMask = {
+      import org.apache.spark.sql.functions.col
+      val rows = variants.select(
+          col("referenceName").cast("string"), col("start").cast("long"))
+        .where(col("referenceName").isNotNull && col("start").isNotNull)
+        .distinct()
+        .collect()
+      apply(rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    }
+  }
+
   /** Full pipeline: observe (masking known sites) then recalibrate
-    * (recalibrateBaseQualities, AlignmentDataset.scala:1089-1163). The
-    * known-sites mask is the SnpTable analog (models/SnpTable.scala):
-    * a broadcast set of (referenceName, position). */
+    * (recalibrateBaseQualities, AlignmentDataset.scala:1089-1163). */
   def apply(
       reads: Dataset[Alignment],
-      knownSites: Set[(String, Long)]): Dataset[Alignment] = {
+      mask: SnpMask): Dataset[Alignment] = {
     val spark = reads.sparkSession
-    val maskB = spark.sparkContext.broadcast(knownSites)
-    val isKnown = (ref: String, pos: Long) => maskB.value.contains((ref, pos))
+    val maskB = spark.sparkContext.broadcast(mask)
+    val isKnown = (ref: String, pos: Long) => maskB.value.contains(ref, pos)
     val table = observationTable(reads, isKnown)
     recalibrate(reads, table)
   }
+
+  /** Set-based convenience overload (tests, small masks). */
+  def apply(
+      reads: Dataset[Alignment],
+      knownSites: Set[(String, Long)]): Dataset[Alignment] =
+    apply(reads, SnpMask(knownSites))
 }

@@ -30,6 +30,25 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication: normalized-text fingerprint +
+    * watermark-bounded `dropDuplicates` — the streaming twin of
+    * `DedupOps.dropExactDuplicates` for continuous ingestion pipelines.
+    * State is keyed by the 128-bit fingerprint and evicted once the
+    * watermark passes (`dropDuplicatesWithinWatermark`), so a 24/7 ingest
+    * at 100 TB/day holds only the watermark window's fingerprints, not
+    * the corpus's. */
+  def dedupDocuments(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp",
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Sliding-window variant. */
   def slidingCounts(
       events: DataFrame,

@@ -98,7 +98,7 @@ object Cli {
       gd = gd.transform(ds => RealignIndels(ds, contigs))
     }
     if (flags.contains("-recalibrate"))
-      gd = gd.transform(ds => Bqsr(ds, Set.empty))
+      gd = gd.transform(ds => Bqsr(ds, Bqsr.SnpMask.empty))
     if (flags.contains("-bin_qualities"))
       gd = gd.transform(ds => AlignmentOps.binQualities(ds,
         Seq((0, 20, 10), (20, 30, 25), (30, 60, 37))))

@@ -120,7 +120,7 @@ class BqsrSpec extends SparkSpec {
     val bad = (1 to 8).map(i => read(s"b$i", 100L, "AAAAAAAAAA",
       "IIIIIIIIII", "0A0A0A0A0A0A0A0A0A0A"))
     val ds = spark.createDataset(good ++ bad)
-    val recal = Bqsr(ds, Set.empty).collect()
+    val recal = Bqsr(ds, Set.empty[(String, Long)]).collect()
     val q = recal.head.qualityScores.get.charAt(5) - 33
     assert(q < 10, s"expected low empirical quality, got $q") // ~3
     assert(recal.forall(_.qualityScores.get.length == 10))
@@ -130,6 +130,37 @@ class BqsrSpec extends SparkSpec {
     assert(Bqsr.empiricalQuality(999998L, 0L) == 50) // capped
     assert(Bqsr.empiricalQuality(98L, 0L) == 20)     // 1/100 error floor
     assert(Bqsr.empiricalQuality(8L, 4L) == 3)       // (4+1)/(8+2)=0.5
+  }
+
+  test("SnpMask: compact per-contig sorted arrays agree with the Set mask") {
+    val rnd = new scala.util.Random(127)
+    val sites = (0 until 5000).map(_ =>
+      (s"chr${1 + rnd.nextInt(3)}", rnd.nextInt(100000).toLong)).toSet
+    val mask = Bqsr.SnpMask(sites)
+    assert(mask.siteCount == sites.size)
+    sites.foreach { case (r, p) => assert(mask.contains(r, p)) }
+    (0 until 2000).foreach { _ =>
+      val probe = (s"chr${1 + rnd.nextInt(4)}", rnd.nextInt(120000).toLong)
+      assert(mask.contains(probe._1, probe._2) == sites.contains(probe),
+        s"disagreement at $probe")
+    }
+    // distributed build path
+    import spark.implicits._
+    val df = sites.toSeq.toDF("referenceName", "start")
+    val fromDf = Bqsr.SnpMask.fromVariants(df)
+    assert(fromDf.positions.keySet == mask.positions.keySet)
+    fromDf.positions.foreach { case (k, v) =>
+      assert(java.util.Arrays.equals(v, mask.positions(k))) }
+
+    // the full pipeline gives identical results under either mask form
+    val reads = (1 to 6).map(i => read(s"m$i", 100L, "ACGTACGTAC",
+      "IIIIIIIIII", "4A5"))
+    val ds = spark.createDataset(reads)
+    val viaSet = Bqsr(ds, Set(("chr1", 104L))).collect()
+      .map(r => r.readName.get -> r.qualityScores.get).toMap
+    val viaMask = Bqsr(ds, Bqsr.SnpMask(Seq(("chr1", 104L)))).collect()
+      .map(r => r.readName.get -> r.qualityScores.get).toMap
+    assert(viaSet == viaMask)
   }
 }
 

@@ -110,6 +110,15 @@ class PlanSpec extends SparkSpec {
       "window input should be narrow fragment keys, not full records")
   }
 
+  test("q41 similarity join: equi-join candidates, no cartesian, cached index") {
+    val plan = planOf("q41_jaccard_join_exact")
+    assert(!plan.contains("CartesianProduct"), "prefix join must be an equi join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // the persisted shingle-set/prefix tables appear as in-memory scans
+    assert(plan.contains("InMemoryTableScan"),
+      "shared shingle index should be cached, not recomputed per branch")
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),

@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops normalized-duplicate docs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(ts: Timestamp, doc_id: Long, text: String)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupDocuments(
+        input.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "Hello  World"),
+        (ts(2), 2L, "hello world"), // normalized duplicate of doc 1
+        (ts(3), 3L, "something else"),
+        (ts(4), 4L, " HELLO   WORLD "), // duplicate again
+        (ts(5), 5L, "fifth"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
