@@ -47,17 +47,36 @@ object VcfIO {
     if (i < parts.length) parts(i) else v
   }
 
-  /** Re-index a diploid/haploid PL vector for the biallelic split keeping
-    * alleles {REF, alt a}: genotype (j,k) lives at k(k+1)/2 + j in the full
-    * vector (VCF spec ordering; converter semantics — reference
-    * VariantContextConverter reshapes PL per ploidy + allele count).
-    * Unsliceable shapes drop the likelihoods rather than carry wrong ones. */
+  private def binom(n: Long, k: Long): Long = {
+    if (k < 0 || k > n) 0L
+    else {
+      val kk = math.min(k, n - k)
+      var r = 1L
+      var i = 1L
+      while (i <= kk) { r = r * (n - kk + i) / i; i += 1 }
+      r
+    }
+  }
+
+  /** VCF-spec Number=G vector indices for the biallelic slice keeping
+    * {REF, alt a} at ARBITRARY ploidy P: the genotype with sorted allele
+    * indices k1<=...<=kP sits at Σ C(k_m + m - 1, m), so the genotype
+    * with c alt copies (and P-c refs) sits at Σ_{m=P-c+1..P} C(a+m-1, m).
+    * Diploid reduces to (0, a(a+1)/2, a(a+1)/2 + a), haploid to (0, a). */
+  private def genotypeIndices(ploidy: Int, a: Int): Seq[Int] =
+    (0 to ploidy).map { c =>
+      var s = 0L
+      var m = ploidy - c + 1
+      while (m <= ploidy) { s += binom(a + m - 1L, m.toLong); m += 1 }
+      if (s > Int.MaxValue) Int.MaxValue else s.toInt
+    }
+
+  /** Re-index a PL vector for the biallelic split keeping {REF, alt a}
+    * (converter semantics — reference VariantContextConverter reshapes PL
+    * per ploidy + allele count). Unsliceable shapes drop the likelihoods
+    * rather than carry wrong ones. */
   private def slicePl(pl: Seq[Double], ploidy: Int, altIdx: Int): Seq[Double] = {
-    val a = altIdx + 1
-    val idx =
-      if (ploidy == 2) Seq(0, a * (a + 1) / 2, a * (a + 1) / 2 + a)
-      else if (ploidy == 1) Seq(0, a)
-      else Seq.empty
+    val idx = if (ploidy >= 1) genotypeIndices(ploidy, altIdx + 1) else Seq.empty
     if (idx.nonEmpty && idx.forall(_ < pl.length)) idx.map(pl) else Seq.empty
   }
 
@@ -75,10 +94,7 @@ object VcfIO {
         if (a < parts.length) s"${parts(0)},${parts(a)}" else v
       case "G" =>
         val parts = v.split(",", -1)
-        val idx =
-          if (ploidy == 2) Seq(0, a * (a + 1) / 2, a * (a + 1) / 2 + a)
-          else if (ploidy == 1) Seq(0, a)
-          else Seq.empty
+        val idx = if (ploidy >= 1) genotypeIndices(ploidy, a) else Seq.empty
         if (idx.nonEmpty && idx.forall(_ < parts.length))
           idx.map(parts).mkString(",")
         else v

@@ -462,6 +462,27 @@ class CramIOSpec extends SparkSpec {
     assertSame(got, reads)
   }
 
+  test("profile fuzz: random reads survive every writer-profile combination") {
+    val rnd = new scala.util.Random(131)
+    val reads = mixedReads(150, 137) :+
+      rec("u", None, None, None, "ACGTAC", "IIIIII")
+    val sorted = reads.sortBy(_.start)
+    val profiles = for {
+      core <- Seq(false, true)
+      extra <- Seq(false, true)
+      bal <- Seq(false, true)
+      apd <- Seq(false, true)
+      rps <- Seq(Int.MaxValue, 64)
+    } yield CramIO.WriteProfile(core = core, extraCodecs = extra,
+      byteArrayLen = bal, apDelta = apd, recordsPerSlice = rps)
+    // sample 8 of the 32 combinations per run (deterministic seed)
+    rnd.shuffle(profiles).take(8).foreach { p =>
+      val got = roundTripWith(p, sorted,
+        recordsPerContainer = 100 + rnd.nextInt(100))
+      assertSame(got, sorted)
+    }
+  }
+
   test("BAM array (B) and hex (H) tags round trip") {
     val reads = Seq(
       rec("t1", Some("chr1"), Some(10L), Some("8M"), "ACGTACGT", "IIIIIIII",

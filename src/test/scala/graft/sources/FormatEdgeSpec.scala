@@ -119,6 +119,19 @@ class FormatEdgeSpec extends SparkSpec {
     assert(vcs.head.genotypes.head.genotypeLikelihoods == Seq(-0.1, -1.2, -3.4))
   }
 
+  test("triploid PL re-index follows VCF genotype ordering") {
+    // 3 alleles (REF + C,T), ploidy 3: full G vector has C(5,3)=10 entries
+    // ordered 000,001,011,111,002,012,112,022,122,222. Keeping {REF,T}
+    // (a=2) selects 000(0), 002(4), 022(7), 222(9).
+    val line = "chr1\t700\t.\tA\tC,T\t50\tPASS\tDP=9\tGT:PL\t" +
+      "0/1/2:0,1,2,3,4,5,6,7,8,9"
+    val vcs = VcfIO.parseLine(line, Seq("s1"))
+    assert(vcs(0).genotypes.head.genotypeLikelihoods ==
+      Seq(0.0, 1.0, 2.0, 3.0)) // {REF,C}: 000,001,011,111
+    assert(vcs(1).genotypes.head.genotypeLikelihoods ==
+      Seq(0.0, 4.0, 7.0, 9.0)) // {REF,T}: 000,002,022,222
+  }
+
   test("gVCF: <NON_REF> reference blocks span to END with no alternate") {
     val block = VcfIO.parseLine(
       "chr1\t1000\t.\tA\t<NON_REF>\t.\t.\tEND=1099\tGT:DP:GQ:MIN_DP\t0/0:33:99:30",
