@@ -18,15 +18,23 @@ import graft.operators.RegionJoins
   * GenomicDataset.getReferenceRegions GD:1018). Types whose coordinates are
   * nested (Fragment, Genotype.variant) expose a flattened view first.
   */
-case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata)(implicit enc: Encoder[T]) {
+case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
+    sorted: Boolean = false)(implicit enc: Encoder[T]) {
 
   def spark: SparkSession = ds.sparkSession
   def toDF: DataFrame = ds.toDF()
 
   /** User-function transform re-attaching metadata — the key invariant:
     * metadata flows around the Catalyst plan, not through it
-    * (transformDataset, GD:509-531). */
+    * (transformDataset, GD:509-531). Conservatively clears the sortedness
+    * flag (an arbitrary fn may reorder); row-filtering callers that
+    * preserve order use [[transformKeepingSort]]. */
   def transform(fn: Dataset[T] => Dataset[T]): GenomicDataset[T] =
+    copy(ds = fn(ds), sorted = false)
+
+  /** Order-preserving transform (filters, column rewrites): keeps the
+    * sortedness contract (isSorted, GD:568). */
+  def transformKeepingSort(fn: Dataset[T] => Dataset[T]): GenomicDataset[T] =
     copy(ds = fn(ds))
 
   def transformMeta(fn: GenomicMetadata => GenomicMetadata): GenomicDataset[T] =
@@ -42,10 +50,10 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata)(implicit enc
     * (filterByOverlappingRegion, GD:1034-1081; pushdown semantics of
     * ReferenceRegion.createPredicate, models/ReferenceRegion.scala:392). */
   def filterByOverlappingRegion(r: ReferenceRegion): GenomicDataset[T] =
-    transform(_.filter(RegionColumns.overlapsRegion(r)))
+    transformKeepingSort(_.filter(RegionColumns.overlapsRegion(r)))
 
   def filterByOverlappingRegions(rs: Seq[ReferenceRegion]): GenomicDataset[T] =
-    transform(_.filter(RegionColumns.overlapsAny(rs)))
+    transformKeepingSort(_.filter(RegionColumns.overlapsAny(rs)))
 
   // ----------------------------- sort ------------------------------------
 
@@ -54,13 +62,14 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata)(implicit enc
     * range partitioner's sampled bounds replace the reference's driver-
     * collected partition map (GD:744-747) — no driver collect. */
   def sortLexicographically(numPartitions: Int = 0): GenomicDataset[T] =
-    transform { d =>
+    if (sorted && numPartitions == 0) this // isSorted fast path (GD:568)
+    else transform { d =>
       val cols = Seq(col("referenceName"), col("start"))
       val ranged =
         if (numPartitions > 0) d.repartitionByRange(numPartitions, cols: _*)
         else d.repartitionByRange(cols: _*)
       ranged.sortWithinPartitions(cols: _*)
-    }
+    }.copy(sorted = true)
 
   /** Sort by the SequenceDictionary's contig index then position
     * (sortByReferencePositionAndIndex semantics, AlignmentDataset.scala:
@@ -117,10 +126,14 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata)(implicit enc
 
   // ----------------------------- save ------------------------------------
 
-  /** Parquet save + metadata sidecars (GD:324-353, 3775-3830). */
+  /** Parquet save + metadata sidecars (GD:324-353, 3775-3830). The
+    * sortedness contract persists with the data (the reference's
+    * `_partitionMap.avro` role, GD:3832-3877): a sorted save reloads as
+    * sorted, so downstream sorts are elided. */
   def saveAsParquet(path: String): Unit = {
     toDF.write.mode("overwrite").parquet(path)
     Sidecars.write(spark, path, meta)
+    if (sorted) Sidecars.writeSortedFlag(spark, path)
   }
 
   /** Hive-partitioned layout (referenceName, positionBin) — identical
@@ -143,7 +156,8 @@ object GenomicDataset {
     * ADAMContext.scala:1814-1857 — pushdown/projection free via Catalyst). */
   def loadParquet[T](spark: SparkSession, path: String)(implicit e: Encoder[T]): GenomicDataset[T] = {
     val meta = Sidecars.read(spark, path)
-    GenomicDataset(spark.read.parquet(path).as[T], meta)
+    GenomicDataset(spark.read.parquet(path).as[T], meta,
+      sorted = Sidecars.readSortedFlag(spark, path))
   }
 
   /** Load of a partitioned layout, optionally pruned to query regions: the

@@ -54,6 +54,20 @@ object Sidecars {
     out.close()
   }
 
+  /** Sortedness sidecar — the role of the reference's `_partitionMap.avro`
+    * (GenomicDataset.scala:3832-3877): a position-sorted save reloads with
+    * the contract intact so downstream sorts are elided. */
+  def writeSortedFlag(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_positionSorted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  def readSortedFlag(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_positionSorted")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def readPartitionFlag(spark: SparkSession, path: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_partitionedByStartPos")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

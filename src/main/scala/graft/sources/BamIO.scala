@@ -521,7 +521,7 @@ object BamIO {
     val meta = gd.meta
     val refIndex = meta.sequences.records.zipWithIndex
       .map { case (r, i) => r.name -> i }.toMap
-    val headerText = SamIO.headerLines(meta).mkString("", "\n", "\n")
+    val headerText = SamIO.headerLines(meta, gd.sorted).mkString("", "\n", "\n")
 
     def writeHeaderTo(out: java.io.OutputStream): Unit = {
       def w32(v: Int): Unit = {

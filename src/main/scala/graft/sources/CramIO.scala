@@ -1140,7 +1140,7 @@ object CramIO {
       .map { case (r, i) => r.name -> i }.toMap
     val rgIndex = meta.readGroups.readGroups.zipWithIndex
       .map { case (rg, i) => rg.id -> i }.toMap
-    val headerText = SamIO.headerLines(meta).mkString("", "\n", "\n")
+    val headerText = SamIO.headerLines(meta, gd.sorted).mkString("", "\n", "\n")
 
     val p = new Path(path)
     val fs = p.getFileSystem(gd.spark.sparkContext.hadoopConfiguration)

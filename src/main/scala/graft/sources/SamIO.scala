@@ -183,12 +183,12 @@ object SamIO {
     gd.ds.map(toSamLine).write.mode("overwrite").text(body)
     if (asSingleFile)
       FileMerger.mergeToSingleFile(gd.spark, body, path,
-        header = Some(headerLines(gd.meta).mkString("", "\n", "\n")))
+        header = Some(headerLines(gd.meta, gd.sorted).mkString("", "\n", "\n")))
     else {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(gd.spark.sparkContext.hadoopConfiguration)
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$body/_header.sam"), true)
-      out.write(headerLines(gd.meta).mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.write(headerLines(gd.meta, gd.sorted).mkString("", "\n", "\n").getBytes("UTF-8"))
       out.close()
       fs.rename(new org.apache.hadoop.fs.Path(body),
         new org.apache.hadoop.fs.Path(path))

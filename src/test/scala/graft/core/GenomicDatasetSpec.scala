@@ -76,6 +76,40 @@ class GenomicDatasetSpec extends SparkSpec {
     })
   }
 
+  test("sortedness contract survives save/load and gates the sort fast path") {
+    val gd = GenomicDataset(spark.createDataset(features(40)), meta)
+    assert(!gd.sorted)
+    val s = gd.sortLexicographically()
+    assert(s.sorted)
+    // already-sorted: fast path returns the same instance, no new plan
+    assert(s.sortLexicographically() eq s)
+    // order-preserving filter keeps the flag; arbitrary transform clears it
+    assert(s.filterByOverlappingRegion(
+      ReferenceRegion("chr1", 0L, 100000L)).sorted)
+    assert(!s.transform(_.repartition(4)).sorted)
+
+    val path = tmpDir() + "/sorted.parquet"
+    s.saveAsParquet(path)
+    val loaded = GenomicDataset.loadParquet[Feature](spark, path)
+    assert(loaded.sorted, "sorted save must reload as sorted")
+    // rows actually come back position-ordered per contig
+    val perRef = loaded.ds.collect().toSeq.groupBy(_.referenceName)
+    perRef.values.foreach { rs =>
+      assert(rs.map(_.start) == rs.map(_.start).sortBy(identity))
+    }
+    // and an unsorted save does not claim the contract
+    val path2 = tmpDir() + "/unsorted.parquet"
+    gd.saveAsParquet(path2)
+    assert(!GenomicDataset.loadParquet[Feature](spark, path2).sorted)
+  }
+
+  test("coordinate-sorted SAM headers declare SO:coordinate") {
+    import graft.sources.SamIO
+    val lines = SamIO.headerLines(meta, sorted = true)
+    assert(lines.head.contains("SO:coordinate"))
+    assert(SamIO.headerLines(meta).head.contains("SO:unsorted"))
+  }
+
   test("union merges data and metadata") {
     val gd1 = GenomicDataset(spark.createDataset(features(5)), meta)
     val extra = GenomicMetadata(
