@@ -59,13 +59,27 @@ object GenomicFunctions {
 
   // ------------------------------ k-mers ----------------------------------
 
-  /** All k-length substrings of a sequence column, as an array column —
-    * codegen-native (no UDF): `transform(sequence(...), i -> substr(...))`.
-    * countKmers = explode(this) + groupBy().count()
+  /** All k-length substrings of a sequence column, as an array column.
+    * A tight JVM loop beats the `transform(sequence(...), substr)`
+    * formulation: Spark's higher-order array functions are CodegenFallback
+    * (interpreted per element), while a primitive-loop UDF runs compiled —
+    * the same lesson as the cosine kernel (q37). Strings shorter than k
+    * yield no k-mers. countKmers = explode(this) + groupBy().count()
     * (AlignmentDataset.scala:784-795 shape). */
-  def kmers(colName: String, k: Int): Column =
-    expr(s"transform(sequence(1, greatest(length($colName) - ${k - 1}, 0)), " +
-      s"i -> substr($colName, i, $k))")
+  def kmers(colName: String, k: Int): Column = {
+    val kk = k
+    val f = udf { (s: String) =>
+      if (s == null || s.length < kk) Array.empty[String]
+      else {
+        val n = s.length - kk + 1
+        val out = new Array[String](n)
+        var i = 0
+        while (i < n) { out(i) = s.substring(i, i + kk); i += 1 }
+        out
+      }
+    }
+    f(col(colName))
+  }
 
   // --------------------------- MD-tag algebra -----------------------------
   // models/MdTag.scala (611 LoC) — parse + mismatch reconstruction.
