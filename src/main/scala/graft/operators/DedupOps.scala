@@ -133,13 +133,21 @@ object DedupOps {
     // estimate at the band-match site (signatures in hand), THEN dedup
     // multi-band hits on narrow (id, id, est) rows — the signature arrays
     // are never shuffled
+    // tight-loop signature agreement: zip_with/aggregate are
+    // CodegenFallback (interpreted per element) — a compiled loop over the
+    // two long arrays is the fast path inside the pair join
+    val agree = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var n = 0
+      var i = 0
+      val m = math.min(x.length, y.length)
+      while (i < m) { if (x(i) == y(i)) n += 1; i += 1 }
+      n
+    }
     a.join(b,
         col("bh_a") === col("bh_b") && col("band_a") === col("band_b") &&
           col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-            when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
