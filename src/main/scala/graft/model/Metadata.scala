@@ -72,10 +72,17 @@ case class ReadGroupDictionary(readGroups: Seq[ReadGroup]) {
   /** Library for duplicate-marking grouping (MarkDuplicates.scala:99). */
   def libraryOf(readGroupId: Option[String]): Option[String] =
     readGroupId.flatMap(byId.get).flatMap(_.library)
+  /** Union law matching SequenceDictionary's: identical read groups dedup
+    * (so union is idempotent — self-union of a dataset is legal); the same
+    * id with DIFFERENT content is a real conflict and is rejected. */
   def ++(other: ReadGroupDictionary): ReadGroupDictionary = {
-    val dup = other.readGroups.map(_.id).toSet intersect byId.keySet
-    require(dup.isEmpty, s"Duplicate read group ids on union: $dup")
-    ReadGroupDictionary(readGroups ++ other.readGroups)
+    val conflicts = other.readGroups
+      .filter(r => byId.get(r.id).exists(_ != r)).map(_.id)
+    require(conflicts.isEmpty,
+      s"Read group id conflict on union (same id, different content): " +
+        conflicts.toSet)
+    ReadGroupDictionary(
+      readGroups ++ other.readGroups.filterNot(r => byId.contains(r.id)))
   }
   def isEmpty: Boolean = readGroups.isEmpty
 }
