@@ -1842,6 +1842,31 @@ object CramIO {
     })
   }
 
+  /** Test seam: body bytes + declared record count of the first data
+    * container (driver-side scan, same walk as readInternal). */
+  private[sources] def firstContainerBody(
+      spark: SparkSession, path: String): (Array[Byte], Int) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      skipFully(in, 26) // magic + file id
+      val hdrContainer = readContainerHeader(in).get
+      skipFully(in, hdrContainer.length)
+      var res: Option[(Array[Byte], Int)] = None
+      while (res.isEmpty) {
+        val hc = readContainerHeader(in).getOrElse(
+          throw new EOFException("no data container"))
+        if (hc.nRecords > 0) {
+          val buf = new Array[Byte](hc.length)
+          in.readFully(buf)
+          res = Some((buf, hc.nRecords))
+        } else skipFully(in, hc.length)
+      }
+      res.get
+    } finally in.close()
+  }
+
   private def prunedRead(spark: SparkSession, path: String,
       keepOffsets: Set[Long]): GenomicDataset[Alignment] =
     readInternal(spark, path, Some(keepOffsets), None)

@@ -494,6 +494,35 @@ class CramIOSpec extends SparkSpec {
     assertSame(got, reads)
   }
 
+  test("corrupt inputs fail loudly with clear errors") {
+    // wrong magic
+    val bad = tmpDir() + "/bad.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "definitely not a cram file".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] { CramIO.read(spark, bad) }
+    assert(e1.getMessage.contains("CRAM"))
+
+    // truncated mid-container: write a good file, chop its tail
+    val reads = mixedReads(50, 139)
+    val good = tmpDir() + "/good.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), good)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
+    val cut = tmpDir() + "/cut.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cut),
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length * 2 / 3))
+    intercept[Exception] { CramIO.read(spark, cut).ds.collect() }
+
+    // container record-count desync is detected, not silently dropped
+    val (body, n) = CramIO.firstContainerBody(spark, good)
+    assert(n == 50)
+    assert(CramIO.decodeContainer(body,
+      Array("chr1", "chr2"), Array("rg1"), n).length == 50)
+    val e3 = intercept[IllegalStateException] {
+      CramIO.decodeContainer(body, Array("chr1", "chr2"), Array("rg1"), n + 1)
+    }
+    assert(e3.getMessage.contains("desync"))
+  }
+
   test("CRAM compresses smaller than BAM on repetitive data") {
     val reads = (0 until 2000).map(i =>
       rec(s"c$i", Some("chr1"), Some(i.toLong), Some("36M"),
