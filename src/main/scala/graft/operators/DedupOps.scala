@@ -302,6 +302,56 @@ object DedupOps {
       .filter(col("n_inter") >= lit(threshold) * col("n_union"))
   }
 
+  /** Duplicate-pair CLUSTERING: connected components over an undirected
+    * pair graph (id_a, id_b) by iterative min-label propagation — the
+    * step a production dedup pipeline needs between "similar pairs" and
+    * "keep one doc per group". Returns (id, cluster_id) for every id
+    * appearing in a pair, cluster_id = the component's minimum id (the
+    * canonical survivor).
+    *
+    * All DataFrame algebra: per round one equi-join + min-aggregation;
+    * rounds = graph diameter (near-dup graphs are shallow — cliques and
+    * short chains), each bounded by a convergence count. No driver state
+    * beyond the loop counter; the label table is (id, label) longs and
+    * the edge list is persisted narrow — at 100 TB both spill cleanly and
+    * skew lands on AQE. (Iterative CC by label propagation is the
+    * standard public formulation, e.g. Kiveris et al. "Connected
+    * Components in MapReduce"; GraphX/GraphFrames use the same shape.) */
+  def clusterDuplicates(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+
+    // localCheckpoint truncates the logical plan each round — without it
+    // the self-referential lineage doubles per iteration and the PLAN
+    // itself (not the data) blows up (the standard iterative-graph
+    // pitfall; GraphX/GraphFrames checkpoint the same way)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("newLabel") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("newLabel").as("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   def ngramJaccard(
       docs: DataFrame,
       candidates: DataFrame,

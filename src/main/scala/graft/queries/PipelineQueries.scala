@@ -192,6 +192,38 @@ object PipelineQueries extends QuerySet {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_inter >= 0.5 * (sa.n + sb.n - n_inter)""")),
 
+    // Duplicate-pair clustering (connected components by min-label
+    // propagation) over a deterministic pair graph of stars bridged by
+    // chains — hash-matched against DuckDB's recursive-CTE transitive
+    // closure, proving the iterative propagation computes exact components
+    // including multi-hop merges.
+    Query("q42_dedup_clusters",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val star = c.filter(col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey").as("id_a"),
+            (col("c_custkey") - col("c_custkey") % 5).as("id_b"))
+        val chain = c.filter(col("c_custkey") % 50 < 8)
+          .select(col("c_custkey").as("id_a"),
+            (col("c_custkey") + 1).as("id_b"))
+        DedupOps.clusterDuplicates(star.union(chain))
+          .select(col("id"), col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+          SELECT c_custkey AS id_a, c_custkey - c_custkey % 5 AS id_b
+          FROM customer WHERE c_custkey % 5 <> 0
+          UNION ALL
+          SELECT c_custkey, c_custkey + 1 FROM customer WHERE c_custkey % 50 < 8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+        SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id""")),
+
     // Drop-duplicates materialization: keep the minimum doc_id per
     // normalized fingerprint (DedupOps.dropExactDuplicates semantics).
     Query("q36_drop_duplicates",

@@ -94,6 +94,43 @@ class TextDedupSpec extends SparkSpec {
     assert(j == 3.0 / 5.0) // {a,b,c} shared of {a,b,c,d,e}
   }
 
+  test("clusterDuplicates matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(149)
+    for (trial <- 1 to 3) {
+      val n = 200
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = DedupOps.clusterDuplicates(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // in-memory union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map { x =>
+        val root = find(x)
+        // canonical = min member of the component
+        x -> nodes.filter(find(_) == root).min
+      }.toMap
+      assert(got == want, s"trial $trial: ${got.toSeq.diff(want.toSeq).take(5)}")
+    }
+
+    // long chain: multi-hop propagation converges to one component
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val cc = DedupOps.clusterDuplicates(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cc.toSeq == Seq(0L), "a 31-node chain is one component rooted at 0")
+  }
+
   test("jaccardSimilarityJoin: prefix filter finds exactly the brute-force pairs") {
     import spark.implicits._
     // random docs from a small vocabulary so near-duplicates exist
