@@ -17,11 +17,12 @@ object Explain {
       .getOrCreate()
     try {
       names.foreach { n =>
-        val df = SparkEntry.queries(n)(spark, dir)
         println(s"===== $n =====")
-        df.explain("formatted")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+        // time build + action together: some operators run eagerly
+        // during construction (iterative algorithms)
         val t0 = System.nanoTime()
-        val cnt = df.count()
+        val cnt = SparkEntry.queries(n)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"===== $n rows=$cnt time=$sec%.2f s")
       }

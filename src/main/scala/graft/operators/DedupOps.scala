@@ -339,13 +339,22 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
+      // pointer jumping: label <- label(label). Labels are always member
+      // ids of the same component, so the jump stays within the component
+      // while collapsing chains logarithmically (rounds ~ log diameter
+      // instead of diameter)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("jid"), col("nl").as("jl")),
+          col("nl") === col("jid"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("jl"), col("nl")).as("newLabel"))
         .localCheckpoint(true)
-      converged = updated.filter(col("newLabel") < col("label")).isEmpty
-      labels = updated.select(col("id"), col("newLabel").as("label"))
+      converged = jumped.filter(col("newLabel") < col("label")).isEmpty
+      labels = jumped.select(col("id"), col("newLabel").as("label"))
       iter += 1
     }
     edges.unpersist()
