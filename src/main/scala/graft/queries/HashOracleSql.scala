@@ -1,0 +1,177 @@
+package graft.queries
+
+/** DuckDB-SQL twins of the engine's deterministic hash primitives
+  * ([[graft.operators.DedupOps.fnv1a64]] / [[graft.operators.DedupOps.splitmix64]]),
+  * so the MinHash / SimHash near-duplicate operators can be hash-matched by
+  * the driver's DuckDB oracle instead of falling back to rows-only checks.
+  *
+  * DuckDB has no wrapping 64-bit arithmetic (BIGINT/UBIGINT ops raise on
+  * overflow), so everything runs mod 2^64 through HUGEINT (signed 128-bit):
+  *  - additions: `(a + b) % 2^64` fits trivially;
+  *  - multiplications: a 64x64 product can overflow even HUGEINT, so the
+  *    constant is split into 32-bit halves:
+  *      (a*c) mod 2^64 = (a*c_lo + ((a mod 2^32)*c_hi mod 2^32) << 32) mod 2^64
+  *    with every intermediate < 2^97;
+  *  - xor / shifts: native on UBIGINT;
+  *  - the engine's signed-Long `min` in MinHash signatures: wrap UBIGINT
+  *    back to signed BIGINT (subtract 2^64 above 2^63) before `min`.
+  *
+  * The emitted SQL is one self-contained statement (CTE chain) per query —
+  * the driver executes oracles as single statements. All SQL is generated
+  * from the SAME numeric constants as the Scala implementation; the document
+  * text in the testdata is ASCII, so `unicode(char)` (code point) equals
+  * the JVM's UTF-16 `charAt` code unit that fnv1a64 consumes.
+  */
+object HashOracleSql {
+
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+
+  // the same constants as DedupOps.fnv1a64 / splitmix64
+  private val FnvOffset = u(0xcbf29ce484222325L)
+  private val FnvPrime = u(0x100000001b3L)
+  private val Golden = u(0x9e3779b97f4a7c15L)
+  private val Mix1 = 0xbf58476d1ce4e5b9L
+  private val Mix2 = 0x94d049bb133111ebL
+
+  /** `(a * c) mod 2^64` with the 32-bit-split trick; `a` is a HUGEINT
+    * expression in [0, 2^64). */
+  private def mulmod(a: String, c: Long): String = {
+    val big = BigInt(java.lang.Long.toUnsignedString(c))
+    val hi = big >> 32
+    val lo = big & 0xffffffffL
+    s"(($a*$lo::HUGEINT + (($a%4294967296::HUGEINT)*$hi::HUGEINT)" +
+      s"%4294967296::HUGEINT*4294967296::HUGEINT)%$M64)::UBIGINT"
+  }
+
+  /** fnv1a64 of a VARCHAR expression, as UBIGINT (list_reduce over chars —
+    * the exact per-char xor/multiply chain of DedupOps.fnv1a64). */
+  def fnv1a64(strExpr: String): String =
+    s"""list_reduce(list_prepend($FnvOffset::HUGEINT,
+       |      [unicode(c)::HUGEINT for c in string_split($strExpr,'')]),
+       |      (acc,code) -> ((xor(acc::UBIGINT,code::UBIGINT))::HUGEINT * $FnvPrime::HUGEINT)
+       |                    % $M64)::UBIGINT""".stripMargin
+
+  /** Tokenize + `shingleN`-gram CTEs over `documents` — identical semantics
+    * to DedupOps.shingles (lowercase, \\s+ split, short docs collapse to one
+    * shingle, empty docs to none), distinct per doc. Emits CTEs `toks`, `sh`. */
+  def shingleCtes(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t)=0 THEN []
+       |    WHEN len(t)<$n THEN [array_to_string(t,' ')]
+       |    ELSE [${(0 until n).map(i => s"t[i+$i]").mkString("||' '||")}
+       |          for i in generate_series(1, len(t)-${n - 1})] END) AS s
+       |  FROM toks)""".stripMargin
+
+  /** CTE chain computing per-doc MinHash signatures (`allsig(doc_id, sig)`):
+    * sig[j] = min over shingles of signed(splitmix64(fnv1a64(sh) + j*GOLDEN)),
+    * docs without shingles get the all-Long.MaxValue signature — exactly
+    * DedupOps.minhashSignature. */
+  private def minhashSigCtes(numHashes: Int, shingleN: Int): String = {
+    val jMax = numHashes - 1
+    s"""${shingleCtes(shingleN)},
+       |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+       |hb AS (SELECT doc_id, ${fnv1a64("tok")} AS h FROM ex),
+       |s0 AS (
+       |  -- x0 of splitmix64(base + j*GOLDEN): the mix adds GOLDEN again, so (j+1)
+       |  SELECT doc_id, j,
+       |    ((h::HUGEINT + ((j::HUGEINT+1)*$Golden::HUGEINT) % $M64) % $M64)::UBIGINT AS x
+       |  FROM hb, unnest(generate_series(0,$jMax)) AS t(j)),
+       |sa1 AS (SELECT doc_id, j, xor(x, x>>30)::HUGEINT AS a FROM s0),
+       |s1 AS (SELECT doc_id, j, ${mulmod("a", Mix1)} AS x FROM sa1),
+       |sa2 AS (SELECT doc_id, j, xor(x, x>>27)::HUGEINT AS a FROM s1),
+       |s2 AS (SELECT doc_id, j, ${mulmod("a", Mix2)} AS x FROM sa2),
+       |s3 AS (SELECT doc_id, j,
+       |    CASE WHEN xor(x,x>>31) >= 9223372036854775808::UBIGINT
+       |         THEN (xor(x,x>>31)::HUGEINT - $M64)::BIGINT
+       |         ELSE xor(x,x>>31)::BIGINT END AS h FROM s2),
+       |minsig AS (SELECT doc_id, list(min_h ORDER BY j) AS sig FROM (
+       |    SELECT doc_id, j, min(h) AS min_h FROM s3 GROUP BY doc_id, j)
+       |  GROUP BY doc_id),
+       |allsig AS (
+       |  SELECT d.doc_id,
+       |    coalesce(m.sig, [9223372036854775807::BIGINT for _ in generate_series(1,$numHashes)]) AS sig
+       |  FROM documents d LEFT JOIN minsig m USING (doc_id))""".stripMargin
+  }
+
+  /** All-pairs banded-candidate CTE (`banded(id_a, id_b, shares, est_jaccard)`):
+    * `shares` = the pair co-buckets in >= 1 of the LSH bands, `est_jaccard` =
+    * signature agreement / numHashes — the naive statement of
+    * DedupOps.minhashNearDuplicates' candidate + estimate semantics. */
+  private def bandedPairCtes(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    s"""pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id),
+       |banded AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(generate_series(0,${bands - 1}),
+       |        k -> sa[$rows*k+1:$rows*k+$rows] = sb[$rows*k+1:$rows*k+$rows])) > 0 AS shares,
+       |    len(list_filter(generate_series(1,$numHashes), i -> sa[i] = sb[i])) / $numHashes.0 AS est_jaccard
+       |  FROM pairs)""".stripMargin
+  }
+
+  /** Full oracle for DedupOps.minhashNearDuplicates: banded candidates with
+    * agreement-estimated Jaccard >= threshold. */
+  def minhashNearDupSql(
+      numHashes: Int, shingleN: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashSigCtes(numHashes, shingleN)},
+       |${bandedPairCtes(numHashes, bands)}
+       |SELECT id_a, id_b, est_jaccard FROM banded
+       |WHERE shares AND est_jaccard >= $threshold""".stripMargin
+
+  /** Oracle for the q30 pipeline: MinHash-LSH candidates (est >= candThreshold)
+    * verified with EXACT n-gram Jaccard (|inter|/|union| over the true distinct
+    * shingle sets) >= verifyThreshold — DedupOps.minhashNearDuplicates
+    * followed by DedupOps.ngramJaccard. */
+  def minhashThenExactJaccardSql(
+      numHashes: Int, shingleN: Int, bands: Int,
+      candThreshold: Double, verifyThreshold: Double): String =
+    s"""WITH ${minhashSigCtes(numHashes, shingleN)},
+       |${bandedPairCtes(numHashes, bands)},
+       |cand AS (SELECT id_a, id_b FROM banded WHERE shares AND est_jaccard >= $candThreshold),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.s, b.s)) AS n_inter,
+       |    len(list_distinct(list_concat(a.s, b.s))) AS n_union
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b)
+       |SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter / n_union END AS jaccard
+       |  FROM verified)
+       |WHERE jaccard >= $verifyThreshold""".stripMargin
+
+  /** Oracle for DedupOps.simhashNearDuplicates: exact 64-bit SimHash
+    * (per-token fnv1a64, bit votes over ALL token occurrences, sign bit
+    * assembly) + all-pairs Hamming <= maxDist. The 8x8-bit banding in the
+    * engine is complete for maxDist < 8 (pigeonhole: <= maxDist differing
+    * bits touch <= maxDist of the 8 bands), so the naive all-pairs statement
+    * IS the operator's semantics — a hash match proves both the signature
+    * math and that banding loses no pair. */
+  def simhashNearDupSql(maxDist: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${fnv1a64("tok")} AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS v
+       |  FROM th, unnest(generate_series(0,63)) AS t(b)
+       |  GROUP BY doc_id, b),
+       |sigs AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS sigh
+       |  FROM bits GROUP BY doc_id),
+       |allsigs AS (
+       |  SELECT d.doc_id, coalesce(s.sigh, 0::HUGEINT)::UBIGINT AS sig
+       |  FROM documents d LEFT JOIN sigs s USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+       |WHERE hamming <= $maxDist""".stripMargin
+}

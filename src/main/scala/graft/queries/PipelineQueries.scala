@@ -133,21 +133,30 @@ object PipelineQueries extends QuerySet {
         SELECT qid, CAST(rank AS BIGINT) AS rank, id FROM ranked
         WHERE rank <= 5""")),
 
-    // MinHash-LSH near-duplicate candidates (no SQL oracle: engine-side
-    // splitmix64/banding; deterministic → rows-only check + ScalaTest).
+    // MinHash-LSH near-duplicate candidates. The oracle re-states the full
+    // fnv1a64/splitmix64 signature + banding math in DuckDB SQL (HUGEINT
+    // mod-2^64 arithmetic, HashOracleSql) over naive all-pairs — a hash
+    // match proves the banded-join candidate generation and the signature
+    // agreement estimate exactly.
     Query("q28_minhash_neardup",
       (s, dir) => DedupOps.minhashNearDuplicates(
         t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5),
-      None),
+      Some(HashOracleSql.minhashNearDupSql(
+        numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5))),
 
-    // SimHash near-duplicates by Hamming distance (rows-only check).
+    // SimHash near-duplicates by Hamming distance. The 8x8-bit banding is
+    // complete for maxDist < 8, so the oracle is the naive all-pairs
+    // statement of the exact signature math.
     Query("q29_simhash_neardup",
       (s, dir) => DedupOps.simhashNearDuplicates(
-        t(s, dir, "documents"), "doc_id", "text", maxDist = 3),
-      None),
+          t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("long")),
+      Some(HashOracleSql.simhashNearDupSql(maxDist = 3))),
 
-    // Exact n-gram Jaccard verification of MinHash candidates.
+    // Exact n-gram Jaccard verification of MinHash candidates — oracle =
+    // the same signature/banding SQL at the candidate threshold, then exact
+    // set Jaccard over the true shingle sets.
     Query("q30_ngram_jaccard",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -157,7 +166,9 @@ object PipelineQueries extends QuerySet {
         DedupOps.ngramJaccard(docs, cand, "doc_id", "text", shingleN = 3)
           .filter(col("jaccard") >= 0.5)
       },
-      None),
+      Some(HashOracleSql.minhashThenExactJaccardSql(
+        numHashes = 64, shingleN = 3, bands = 16,
+        candThreshold = 0.3, verifyThreshold = 0.5))),
 
     // EXACT all-pairs n-gram Jaccard >= 0.5 via the prefix-filtered
     // set-similarity join (AllPairs/PPJoin) — the hash match against the
