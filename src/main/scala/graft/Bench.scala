@@ -20,10 +20,28 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // Operators that persist() intermediates (similarity joins, clustering)
+    // leave their blocks cached after the action; drop them between runs so
+    // later queries aren't timed under accumulated memory pressure.
+    def dropCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+    // Warm each query's generated code and JIT profile with one untimed pass
+    // at the TARGET scale factor (AQE picks different physical plans — and
+    // therefore different generated code — at other SFs, so warming on a
+    // smaller SF would leave the hot plans cold). The timed pass below then
+    // measures engine throughput, not one-time Janino compilation/C2 warmup.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      dropCaches()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -259,9 +259,12 @@ object DedupOps {
     val ex = sets.select(col("id"), explode(col("sh")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
     // global rarity order: ascending document frequency, ties by hash —
-    // rare-first prefixes keep the candidate join sparse
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "h")
+    // rare-first prefixes keep the candidate join sparse. Computed as a
+    // window count over h: one shuffle of the token table, versus the two
+    // (groupBy + join-back re-shuffle) of the aggregate-then-join shape.
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val ordered = ex
+      .withColumn("df", count(lit(1)).over(byH))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
       .select(col("id"),
@@ -330,8 +333,14 @@ object DedupOps {
     // the self-referential lineage doubles per iteration and the PLAN
     // itself (not the data) blows up (the standard iterative-graph
     // pitfall; GraphX/GraphFrames checkpoint the same way)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    //
+    // Seed label(v) = min(v, min neighbor) — the first propagation round
+    // computed in the same aggregation that discovers the vertex set, so
+    // star-shaped components (the common near-dup shape) are already done
+    // before the loop runs once.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
