@@ -86,4 +86,118 @@ object TextOps {
     * The exact-dedup key (see [[DedupOps.exactDuplicates]]). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // ------------------- benchmark decontamination ---------------------------
+
+  /** Benchmark decontamination hits: for each corpus document, the number of
+    * DISTINCT word n-grams it shares with a benchmark/eval set — the
+    * standard test-set-overlap filter a pretraining pipeline runs before
+    * training (n-gram collision decontamination, as published with GPT-3 /
+    * The Pile / FineWeb).
+    *
+    * Shape at scale: both sides reduce to distinct n-grams BEFORE the join
+    * (map-side combine on the corpus side, a distinct on the benchmark
+    * side), so the join moves one row per distinct (doc, gram) — never raw
+    * text. Benchmarks are small (thousands of eval items), so Catalyst
+    * broadcasts the benchmark gram set and the 100 TB corpus side never
+    * shuffles: filter + partial-agg only. n-gram semantics match
+    * [[DedupOps.shingles]] (lowercase, whitespace tokens, whole-doc gram
+    * when shorter than n).
+    *
+    * Returns (idCol, n_hits) for documents with at least `minHits` shared
+    * n-grams — the rows a `dropContaminated` anti-join removes. */
+  def contaminationHits(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      ngramN: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val n = ngramN
+    val gramUdf = udf((t: String) => DedupOps.shingles(if (t == null) "" else t, n).distinct)
+    val benchGrams = benchmark
+      .select(explode(gramUdf(col(benchTextCol))).as("__g")).distinct()
+    corpus
+      .select(col(idCol), explode(gramUdf(col(textCol))).as("__g"))
+      .join(benchGrams, "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Drop corpus documents contaminated by benchmark overlap (left-anti on
+    * [[contaminationHits]]). */
+  def dropContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      ngramN: Int = 8,
+      minHits: Int = 1): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, benchmark, idCol, textCol, benchTextCol, ngramN, minHits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  // ------------------------- sequence packing ------------------------------
+
+  /** GPT-style sequence packing by concatenation: documents are laid out
+    * end-to-end in `orderCol` order as one global token stream, which is
+    * then cut into fixed `seqLen`-token training sequences; a document
+    * contributes one span per sequence it crosses. Returns
+    * (idCol, seq_id, doc_off, len): sequence `seq_id` takes `len` tokens of
+    * the document starting at token `doc_off` (whitespace tokens, matching
+    * [[tokenCount]]). Empty documents contribute nothing.
+    *
+    * The global token offset is a distributed two-phase prefix sum — range
+    * partition on `orderCol`, a within-partition running total, then a
+    * cumulative offset across the per-partition totals (one row per
+    * partition — bounded by cluster size, NOT by data). No global-order
+    * window (which would serialize 100 TB through one partition) and no
+    * driver collect. */
+  def packTokenSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      orderCol: String = null): DataFrame = {
+    val ord = Option(orderCol).getOrElse(idCol)
+    // persisted: both the per-partition totals and the local running sums
+    // read `__pid`, and partition ids are only consistent across the two
+    // branches if the range exchange is materialized exactly once
+    val sized = docs.select(col(idCol), col(ord).as("__ord"),
+        tokenCount(col(textCol)).cast("long").as("__n"))
+      .repartitionByRange(col("__ord"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pidW = org.apache.spark.sql.expressions.Window
+      .orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // one row per range partition: safe to window over a single partition
+    val partOffsets = sized.groupBy("__pid").agg(sum("__n").as("__psum"))
+      .withColumn("__poff", coalesce(sum("__psum").over(pidW), lit(0L)))
+      .select("__pid", "__poff")
+    val offd = sized
+      .withColumn("__loff", coalesce(sum("__n").over(localW), lit(0L)))
+      .join(broadcast(partOffsets), "__pid")
+      .select(col(idCol), col("__n"), (col("__loff") + col("__poff")).as("__off"))
+      .filter(col("__n") > 0)
+    val L = seqLen.toLong
+    // `div`, not `/`: Column./ is IEEE double division, which both fails
+    // sequence()'s integral-type requirement and loses exactness past 2^53
+    offd
+      .select(col(idCol), col("__n"), col("__off"),
+        explode(sequence(expr(s"__off div $L"), expr(s"(__off + __n - 1) div $L")))
+          .as("seq_id"))
+      .select(
+        col(idCol), col("seq_id"),
+        (greatest(col("__off"), col("seq_id") * L) - col("__off")).as("doc_off"),
+        (least(col("__off") + col("__n"), (col("seq_id") + 1) * L) -
+          greatest(col("__off"), col("seq_id") * L)).as("len"))
+  }
 }

@@ -298,6 +298,53 @@ object PipelineQueries extends QuerySet {
         SimilarityOps.ivfTopK(q, c, 5, nCentroids = 32, nProbe = 8)
           .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
       },
-      None)
+      None),
+
+    // Benchmark decontamination: distinct 5-gram collisions between the
+    // corpus (doc_id % 20 != 0) and a held-out "benchmark" slice
+    // (doc_id % 20 == 0) — the GPT-3/Pile-style test-set-overlap filter.
+    // Oracle restates the shingle semantics via HashOracleSql.shingleCtes.
+    Query("q43_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("text").as("bench_text"))
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        TextOps.contaminationHits(corpus, bench, "doc_id", "text",
+          "bench_text", ngramN = 5, minHits = 2)
+      },
+      Some(s"""WITH ${HashOracleSql.shingleCtes(5)},
+        bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM corpus c JOIN bench USING (g)
+        GROUP BY c.doc_id HAVING count(*) >= 2""")),
+
+    // GPT-style sequence packing: documents concatenated in doc_id order
+    // into one token stream, cut into 512-token training sequences; one
+    // span per (document, sequence) crossing. The Spark side is a
+    // distributed two-phase prefix sum (no global-order window); the oracle
+    // is the single-window naive statement of the same layout.
+    Query("q44_pack_sequences",
+      (s, dir) => TextOps.packTokenSpans(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 512),
+      Some("""WITH sized AS (
+          SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n
+          FROM documents),
+        offs AS (
+          SELECT doc_id, n,
+            CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM sized),
+        spans AS (
+          SELECT doc_id, n, off,
+            unnest(generate_series(off // 512, (off + n - 1) // 512)) AS seq_id
+          FROM offs WHERE n > 0)
+        SELECT doc_id, seq_id,
+          greatest(off, seq_id * 512) - off AS doc_off,
+          least(off + n, (seq_id + 1) * 512) - greatest(off, seq_id * 512) AS len
+        FROM spans"""))
   )
 }

@@ -169,4 +169,83 @@ class TextDedupSpec extends SparkSpec {
       assert(slow.nonEmpty || t > 0.5, s"t=$t n=$n degenerate test")
     }
   }
+
+  test("contaminationHits counts distinct shared n-grams; dropContaminated removes them") {
+    import spark.implicits._
+    val corpus = docs(
+      // shares "the quick brown fox" (two distinct 3-grams with bench)
+      (1L, "the quick brown fox jumps high"),
+      // shares one 3-gram, repeated — distinct-counted once
+      (2L, "lazy dog sleeps lazy dog sleeps lazy dog sleeps"),
+      (3L, "completely unrelated words only here"))
+    val bench = Seq("the quick brown fox", "lazy dog sleeps a lot")
+      .toDF("bench_text")
+
+    val hits = TextOps.contaminationHits(
+        corpus, bench, "doc_id", "text", "bench_text", ngramN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L))
+
+    val kept = TextOps.dropContaminated(
+        corpus, bench, "doc_id", "text", "bench_text", ngramN = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+
+    // minHits raises the bar: doc 2 (one shared gram) survives
+    val kept2 = TextOps.dropContaminated(
+        corpus, bench, "doc_id", "text", "bench_text", ngramN = 3, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L, 3L))
+  }
+
+  test("packTokenSpans: spans tile each sequence exactly and cover each doc") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(100)}").mkString(" "))
+    }
+    val tokenCounts = data.map { case (id, t) =>
+      id -> t.split("\\s+").count(_.nonEmpty).toLong
+    }.toMap
+    val seqLen = 32
+    val spans = TextOps.packTokenSpans(docs(data: _*), "doc_id", "text", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // every document's spans cover [0, n) contiguously
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"doc $id starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array((_, _, o1, l1), (_, _, o2, _)) =>
+          assert(o1 + l1 == o2, s"doc $id gap at $o2")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == tokenCounts(id), s"doc $id length")
+    }
+    assert(spans.map(_._1).toSet == tokenCounts.filter(_._2 > 0).keySet)
+
+    // every sequence except the last holds exactly seqLen tokens
+    val total = tokenCounts.values.sum
+    val bySeq = spans.groupBy(_._2).map { case (s, ss) => s -> ss.map(_._4).sum }
+    val lastSeq = (total - 1) / seqLen
+    bySeq.foreach { case (s, n) =>
+      if (s < lastSeq) assert(n == seqLen, s"seq $s has $n tokens")
+      else assert(n == total - lastSeq * seqLen)
+    }
+    assert(bySeq.keySet == (0L to lastSeq).toSet)
+
+    // spans match the single-threaded reference layout exactly
+    var off = 0L
+    val expected = data.sortBy(_._1).flatMap { case (id, _) =>
+      val n = tokenCounts(id)
+      val out = (off / seqLen to (off + n - 1) / seqLen).map { s =>
+        val lo = math.max(off, s * seqLen)
+        val hi = math.min(off + n, (s + 1) * seqLen)
+        (id, s, lo - off, hi - lo)
+      }
+      off += n
+      out.filter(_ => n > 0)
+    }
+    assert(spans.toSet == expected.toSet)
+  }
 }
