@@ -87,6 +87,87 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // ------------------ repetition / quality filters -------------------------
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 "Scaling Language
+    * Models", table A1 — the published repetition-removal filters used by
+    * Gopher/MassiveText and FineWeb). Per-document, over lowercase
+    * whitespace tokens:
+    *
+    *  - `n_tokens`, `n_distinct_tokens`, `tok_chars` (total token chars,
+    *    excluding whitespace);
+    *  - `top2_chars` / `top3_chars`: characters covered by the single MOST
+    *    frequent word 2-/3-gram (count × gram token chars; the numerator
+    *    of Gopher's "fraction of characters in the most frequent n-gram");
+    *    ties break to the lexicographically smallest gram; docs shorter
+    *    than n tokens score 0;
+    *  - `dup5_chars` / `dup10_chars`: Σ over DUPLICATED 5-/10-grams
+    *    (count ≥ 2) of count × gram token chars (the numerator of
+    *    Gopher's "fraction of characters in duplicate n-grams"; overlaps
+    *    counted per occurrence, so the ratio may exceed 1 — documented
+    *    deviation, keeps the statistic one-pass).
+    *
+    * All counts are exact longs — ratios are left to the caller so the
+    * result hash-matches an integer-only oracle.
+    *
+    * Scale: per-row computation in ONE compiled pass (hash map over the
+    * doc's own n-grams) — zero shuffles, embarrassingly parallel at
+    * 100 TB. The groupBy-per-gram formulation would shuffle the whole
+    * corpus's n-gram stream for stats that are row-local. */
+  def repetitionStats(text: Column): Column = {
+    val f = udf { t: String =>
+      val toks = (if (t == null) "" else t).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val tokChars = { var s = 0L; var i = 0
+        while (i < toks.length) { s += toks(i).length; i += 1 }; s }
+      def topN(n: Int): Long = {
+        if (toks.length < n) return 0L
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + n <= toks.length) {
+          val g = toks.slice(i, i + n).mkString(" ")
+          counts.merge(g, 1, Integer.sum)
+          i += 1
+        }
+        var bestGram: String = null
+        var bestCnt = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > bestCnt ||
+            (e.getValue == bestCnt && (bestGram == null || e.getKey < bestGram))) {
+            bestGram = e.getKey; bestCnt = e.getValue
+          }
+        }
+        if (bestGram == null) 0L
+        else bestCnt.toLong * (bestGram.length - (n - 1))
+      }
+      def dupN(n: Int): Long = {
+        if (toks.length < n) return 0L
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + n <= toks.length) {
+          val g = toks.slice(i, i + n).mkString(" ")
+          counts.merge(g, 1, Integer.sum)
+          i += 1
+        }
+        var s = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue >= 2)
+            s += e.getValue.toLong * (e.getKey.length - (n - 1))
+        }
+        s
+      }
+      (toks.length.toLong, toks.distinct.length.toLong, tokChars,
+        topN(2), topN(3), dupN(5), dupN(10))
+    }
+    f(text).cast(
+      "struct<n_tokens:long,n_distinct_tokens:long,tok_chars:long," +
+        "top2_chars:long,top3_chars:long,dup5_chars:long,dup10_chars:long>")
+  }
+
   // ------------------- benchmark decontamination ---------------------------
 
   /** Benchmark decontamination hits: for each corpus document, the number of

@@ -66,6 +66,11 @@ object HashOracleSql {
        |          for i in generate_series(1, len(t)-${n - 1})] END) AS s
        |  FROM toks)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.SamplingOps.uniformHash]]: top 53
+    * bits of fnv1a64(key || ':' || salt) as an exact double in [0,1). */
+  def uniformSql(strExpr: String, salt: String): String =
+    s"(${fnv1a64(s"($strExpr || ':$salt')")} >> 11)::DOUBLE / 9007199254740992.0"
+
   /** CTE chain computing per-doc MinHash signatures (`allsig(doc_id, sig)`):
     * sig[j] = min over shingles of signed(splitmix64(fnv1a64(sh) + j*GOLDEN)),
     * docs without shingles get the all-Long.MaxValue signature — exactly

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, SamplingOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (SURVEY.md §7 step 10): text analysis, exact + near dedup, similarity
@@ -345,6 +345,76 @@ object PipelineQueries extends QuerySet {
         SELECT doc_id, seq_id,
           greatest(off, seq_id * 512) - off AS doc_off,
           least(off + n, (seq_id + 1) * 512) - greatest(off, seq_id * 512) AS len
-        FROM spans"""))
+        FROM spans""")),
+
+    // Gopher-style repetition statistics (Rae et al. 2021 table A1): per
+    // document, the integer numerators of the published repetition-removal
+    // filters — most-frequent-2/3-gram char coverage, duplicated-5/10-gram
+    // char coverage — plus token counts. Spark computes them in one
+    // compiled per-row pass (zero shuffles); the oracle restates them as
+    // the naive unnest + group-by.
+    Query("q45_repetition_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct_tokens"),
+          col("r.tok_chars"), col("r.top2_chars"), col("r.top3_chars"),
+          col("r.dup5_chars"), col("r.dup10_chars")),
+      Some {
+        def grams(n: Int) =
+          s"""g$n AS (SELECT doc_id,
+             |  unnest([array_to_string(t[i:i+${n - 1}],' ')
+             |          for i in generate_series(1, len(t)-${n - 1})]) AS g
+             |  FROM toks WHERE len(t) >= $n),
+             |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY doc_id, g)""".stripMargin
+        def top(n: Int) =
+          s"""t$n AS (SELECT doc_id, cnt * (length(g) - ${n - 1}) AS v,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+             |  FROM c$n),
+             |top$n AS (SELECT doc_id, v FROM t$n WHERE rn = 1)""".stripMargin
+        def dup(n: Int) =
+          s"""d$n AS (SELECT doc_id,
+             |  sum(CASE WHEN cnt >= 2 THEN cnt * (length(g) - ${n - 1}) ELSE 0 END) AS v
+             |  FROM c$n GROUP BY doc_id)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+           |    coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars
+           |  FROM toks),
+           |${grams(2)}, ${top(2)}, ${grams(3)}, ${top(3)},
+           |${grams(5)}, ${dup(5)}, ${grams(10)}, ${dup(10)}
+           |SELECT b.doc_id,
+           |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(b.n_distinct AS BIGINT) AS n_distinct_tokens,
+           |  CAST(b.tok_chars AS BIGINT) AS tok_chars,
+           |  CAST(coalesce(top2.v, 0) AS BIGINT) AS top2_chars,
+           |  CAST(coalesce(top3.v, 0) AS BIGINT) AS top3_chars,
+           |  CAST(coalesce(d5.v, 0) AS BIGINT) AS dup5_chars,
+           |  CAST(coalesce(d10.v, 0) AS BIGINT) AS dup10_chars
+           |FROM base b
+           |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+           |LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)""".stripMargin
+      }),
+
+    // Domain mixing: down-sample per-language strata to a target mixture
+    // at the largest achievable size (bottleneck stratum kept whole), the
+    // keep decision a deterministic per-row hash — GPT-3/Gopher-style data
+    // re-weighting. The oracle replays the fnv1a64 uniform bit-for-bit.
+    Query("q46_domain_mix",
+      (s, dir) => SamplingOps.mixToWeights(
+        t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1, "es" -> 0.1),
+        salt = "mix")
+        .select(col("doc_id"), col("lang")),
+      Some(s"""WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w(lang, w) AS (VALUES ('en',0.4),('de',0.2),('fr',0.2),('zh',0.1),('es',0.1)),
+        cw AS (SELECT c.lang, c.n, w.w FROM counts c JOIN w USING (lang)),
+        tmin AS (SELECT min(n / w) AS t FROM cw),
+        rates AS (SELECT lang, least(1.0, w * t / n) AS rate FROM cw, tmin)
+        SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+        WHERE ${HashOracleSql.uniformSql("d.doc_id::VARCHAR", "mix")} < r.rate"""))
   )
 }

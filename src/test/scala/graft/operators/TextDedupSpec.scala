@@ -248,4 +248,76 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(spans.toSet == expected.toSet)
   }
+
+  test("repetitionStats matches hand-computed Gopher numerators") {
+    val d = docs(
+      // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" x3
+      // covers 3*2=6 chars; tokens 6, distinct 2, chars 6
+      (1L, "a b a b a b"),
+      // no repeated grams; 5 distinct tokens
+      (2L, "one two three four five"),
+      // shorter than 2 tokens: top2 = 0
+      (3L, "single"),
+      (4L, ""),
+      // dup5: "x y z w v" appears twice (count 2, 5 chars + 4 spaces ->
+      // gramChars 5): contributes 2*5 = 10
+      (5L, "x y z w v q x y z w v"))
+    val m = d.select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+      .select("doc_id", "r.n_tokens", "r.n_distinct_tokens", "r.tok_chars",
+        "r.top2_chars", "r.top3_chars", "r.dup5_chars", "r.dup10_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+
+    // doc1: top2 = "a b" x3 * 2 chars = 6; top3 = "a b a" x2 * 3 = 6
+    // (tie with "b a b" x2 breaks lexicographically); both 5-grams unique.
+    assert(m(1L) == ((6L, 2L, 6L, 6L, 6L, 0L, 0L)))
+    // doc2: all grams unique (count 1); top2 tie -> smallest gram
+    // "four five" (8 chars), top3 -> "one two three" (11 chars)
+    assert(m(2L) == ((5L, 5L, 19L, 8L, 11L, 0L, 0L)))
+    assert(m(3L) == ((1L, 1L, 6L, 0L, 0L, 0L, 0L)))
+    assert(m(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(m(5L)._6 == 10L) // dup5_chars
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val sampled = SamplingOps.stratifiedSample(
+      df, "s", "id", Map("a" -> 0.5, "b" -> 0.1), defaultRate = 0.0)
+    val counts = sampled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10k per stratum; hash-uniform keep ~5000 / ~1000 (3-sigma bounds)
+    assert(math.abs(counts("a") - 5000L) < 250, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 1000L) < 120, s"b=${counts("b")}")
+    // deterministic: same ids on re-run
+    val again = SamplingOps.stratifiedSample(
+      df.repartition(7), "s", "id", Map("a" -> 0.5, "b" -> 0.1), 0.0)
+    assert(again.select("id").collect().map(_.getLong(0)).toSet ==
+      sampled.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixToWeights hits target mixture; bottleneck stratum kept whole") {
+    import spark.implicits._
+    // 8000 a / 1500 b / 500 c, target 50/25/25 -> bottleneck c (500/0.25
+    // = 2000 = T), rates: a 0.125, b 1/3, c 1.0
+    val df = ((1L to 8000L).map((_, "a")) ++ (8001L to 9500L).map((_, "b")) ++
+      (9501L to 10000L).map((_, "c"))).toDF("id", "s")
+    val rates = SamplingOps.mixingRates(df, "s",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    val rm = rates.map(r => r._1 -> r._3).toMap
+    assert(math.abs(rm("a") - 0.125) < 1e-12)
+    assert(math.abs(rm("b") - 1.0 / 3) < 1e-12)
+    assert(rm("c") == 1.0)
+
+    val mixed = SamplingOps.mixToWeights(df, "s", "id",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val counts = mixed.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("c") == 500L) // rate 1.0 — every row kept
+    assert(math.abs(counts("a") - 1000L) < 120, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 500L) < 90, s"b=${counts("b")}")
+  }
 }
