@@ -261,7 +261,9 @@ object AlignmentOps {
     val verdict = DupKeying.flagDuplicates(keyed)
       .select(col("__rg"), col("__name"), col("isDup"))
 
-    df.join(verdict,
+    // shuffle-hash: (rg, name) keys are uniform and the verdict side is
+    // narrow — avoids sorting the full-record side in a sort-merge join
+    df.join(verdict.hint("shuffle_hash"),
         coalesce(df("readGroupId"), lit("")) === verdict("__rg") &&
           coalesce(df("readName"), lit("")) === verdict("__name"))
       .withColumn("duplicateRead",

@@ -143,7 +143,7 @@ object DedupOps {
       while (i < m) { if (x(i) == y(i)) n += 1; i += 1 }
       n
     }
-    a.join(b,
+    a.join(b.hint("shuffle_hash"),
         col("bh_a") === col("bh_b") && col("band_a") === col("band_b") &&
           col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
@@ -196,7 +196,7 @@ object DedupOps {
       col("band"), col("bandVal"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band").as("band_b"), col("bandVal").as("bandVal_b"))
-    val pairs = a.join(b,
+    val pairs = a.join(b.hint("shuffle_hash"),
         a("band") === b("band_b") && a("bandVal") === b("bandVal_b") &&
           a("id_a") < b("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
@@ -282,10 +282,12 @@ object DedupOps {
     //    1 + min(|A|-pa, |B|-pb) must reach the required overlap
     //    t/(1+t)*(|A|+|B|)  (epsilon guards float rounding toward KEEP)
     val eps = 1e-9
+    // uniform 64-bit join keys throughout: shuffle-hash skips the sorts a
+    // sort-merge join would pay on both exploded streams
     val cand = prefixed.select(col("id").as("id_a"), col("n").as("na"),
         col("p").as("pa"), col("h"))
       .join(prefixed.select(col("id").as("id_b"), col("n").as("nb"),
-        col("p").as("pb"), col("h")), Seq("h"))
+        col("p").as("pb"), col("h")).hint("shuffle_hash"), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("na"), col("nb")) >=
         lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
@@ -296,8 +298,10 @@ object DedupOps {
     // verify on the TRUE string shingle sets — exact regardless of any
     // hash collision upstream
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
         (size(col("sh_a")) + size(col("sh_b")) -
@@ -345,11 +349,16 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
+      // all per-round joins hint shuffle-hash: vertex-id keys are uniform
+      // longs, and skipping the SMJ sorts matters when the loop runs
+      // several rounds over a 100 TB-scale edge list
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .join(labels.withColumnRenamed("id", "dst2").hint("shuffle_hash"),
+          col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
       val stepped = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .join(neighborMin.hint("shuffle_hash"),
+          labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
       // pointer jumping: label <- label(label). Labels are always member
@@ -357,7 +366,8 @@ object DedupOps {
       // while collapsing chains logarithmically (rounds ~ log diameter
       // instead of diameter)
       val jumped = stepped
-        .join(stepped.select(col("id").as("jid"), col("nl").as("jl")),
+        .join(stepped.select(col("id").as("jid"), col("nl").as("jl"))
+          .hint("shuffle_hash"),
           col("nl") === col("jid"), "left")
         .select(col("id"), col("label"),
           coalesce(col("jl"), col("nl")).as("newLabel"))

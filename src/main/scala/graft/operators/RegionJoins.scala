@@ -102,14 +102,19 @@ object RegionJoins {
 
     joinType match {
       case "inner" =>
-        l.join(r, cond, "inner").drop("__bin", "__binR")
+        // shuffle-hash beats sort-merge here: the bin key is dense and
+        // uniform (no skewed build side), and SMJ would sort BOTH exploded
+        // streams — the dominant cost of the join. AQE still overrides on
+        // runtime skew.
+        l.join(r.hint("shuffle_hash"), cond, "inner").drop("__bin", "__binR")
       case "left_outer" =>
         // Outer joins cannot ride the exploded copies directly (a left row
         // appears once per bin): inner join once, then re-attach miss rows
         // found via a cheap distinct-coordinate SEMI join (matching is a
         // function of coordinates only, so coords classify rows exactly;
         // this avoids recomputing the full inner join for the anti side).
-        val inner = l.join(r, cond, "inner").drop("__bin", "__binR")
+        val inner = l.join(r.hint("shuffle_hash"), cond, "inner")
+          .drop("__bin", "__binR")
         val misses = leftMisses(left, right, binSize, flank)
         inner.unionByName(prefixed(misses, "l_"), allowMissingColumns = true)
       case "right_outer" =>
@@ -122,7 +127,8 @@ object RegionJoins {
           col(c).as(renamed)
         }.toSeq: _*)
       case "full_outer" =>
-        val inner = l.join(r, cond, "inner").drop("__bin", "__binR")
+        val inner = l.join(r.hint("shuffle_hash"), cond, "inner")
+          .drop("__bin", "__binR")
         val lMiss = leftMisses(left, right, binSize, flank)
         val rMiss = leftMisses(right, left, binSize, flank)
         inner
@@ -145,7 +151,7 @@ object RegionJoins {
     val rb = binned(right, binSize)
       .select(col("referenceName").as("rrn"), col("start").as("rs"),
         col("end").as("re"), col("__bin").as("__binR"))
-    val matchedCoords = cb.join(rb,
+    val matchedCoords = cb.join(rb.hint("shuffle_hash"),
         col("__bin") === col("__binR") && col("crn") === col("rrn") &&
           col("cs") < col("re") + flank && col("rs") < col("ce") + flank,
         "left_semi")

@@ -201,7 +201,7 @@ object TextOps {
       .select(explode(gramUdf(col(benchTextCol))).as("__g")).distinct()
     corpus
       .select(col(idCol), explode(gramUdf(col(textCol))).as("__g"))
-      .join(benchGrams, "__g")
+      .join(broadcast(benchGrams), "__g")
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_hits"))
       .filter(col("n_hits") >= minHits)

@@ -86,6 +86,25 @@ class BamIOSpec extends SparkSpec {
     assert(r1.attributes.get("NM").contains("i:0"))
   }
 
+  test("BAM round trip preserves '='/'X' CIGAR operators") {
+    val path = tmpDir() + "/eqx.bam"
+    val r = Alignment(readName = Some("eqx1"), referenceName = Some("chr1"),
+      start = Some(10L), end = Some(20L), cigar = Some("4=1X5="),
+      sequence = Some("ACGTTACGTA"), qualityScores = Some("IIIIIIIIII"),
+      mappingQuality = Some(60), readMapped = Some(true),
+      readPaired = Some(false), readNegativeStrand = Some(false),
+      mateNegativeStrand = Some(false), primaryAlignment = Some(true),
+      secondaryAlignment = Some(false), supplementaryAlignment = Some(false),
+      duplicateRead = Some(false), failedVendorQualityChecks = Some(false),
+      mateMapped = Some(true))
+    val gd = GenomicDataset(spark.createDataset(Seq(r)), meta)
+    BamIO.write(gd, path, asSingleFile = true)
+    val back = BamIO.read(spark, path).ds.collect()
+    assert(back.length == 1)
+    assert(back.head.cigar.contains("4=1X5="))
+    assert(back.head.end.contains(20L))
+  }
+
   test("BAM distributed part-files round trip") {
     val path = tmpDir() + "/parts.bam"
     val gd = GenomicDataset(
