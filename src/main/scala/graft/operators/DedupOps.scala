@@ -282,12 +282,10 @@ object DedupOps {
     //    1 + min(|A|-pa, |B|-pb) must reach the required overlap
     //    t/(1+t)*(|A|+|B|)  (epsilon guards float rounding toward KEEP)
     val eps = 1e-9
-    // uniform 64-bit join keys throughout: shuffle-hash skips the sorts a
-    // sort-merge join would pay on both exploded streams
     val cand = prefixed.select(col("id").as("id_a"), col("n").as("na"),
         col("p").as("pa"), col("h"))
       .join(prefixed.select(col("id").as("id_b"), col("n").as("nb"),
-        col("p").as("pb"), col("h")).hint("shuffle_hash"), Seq("h"))
+        col("p").as("pb"), col("h")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("na"), col("nb")) >=
         lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
@@ -297,11 +295,11 @@ object DedupOps {
 
     // verify on the TRUE string shingle sets — exact regardless of any
     // hash collision upstream
+    // verify joins stay sort-merge: both sides are corpus-sized and the
+    // build side would hold the full shingle arrays in task memory
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
         (size(col("sh_a")) + size(col("sh_b")) -

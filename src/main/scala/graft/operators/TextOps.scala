@@ -87,6 +87,40 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // ----------------------------- PII redaction -----------------------------
+
+  /** PII redaction patterns — the standard pre-training scrub (emails,
+    * IPv4s, phone-shaped digit runs). Patterns stay inside the common
+    * Java-regex ∩ RE2 subset (no backrefs, no lookaround) so the same
+    * pattern strings run identically in Spark and the DuckDB oracle, and
+    * on any RE2-based scale-out engine. Order matters: emails first (an
+    * email's host part must not be half-eaten by another rule). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b" -> "<PHONE>")
+
+  /** Redact PII in place: chained `regexp_replace` — pure codegen'd
+    * per-row work, zero shuffles at any scale. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-document PII hit counts (before redaction) — the audit side of
+    * the scrub: occurrences = (len - len(after-redaction)) recovered per
+    * pattern by counting replacement tokens instead, so overlapping
+    * pattern families don't double-count. */
+  def piiCounts(text: Column): Column = {
+    def countToken(c: Column, tok: String): Column =
+      (length(c) - length(replace(c, lit(tok), lit("")))) / tok.length
+    val redacted = redactPii(text)
+    struct(
+      countToken(redacted, "<EMAIL>").cast("long").as("n_emails"),
+      countToken(redacted, "<IP>").cast("long").as("n_ips"),
+      countToken(redacted, "<PHONE>").cast("long").as("n_phones"))
+  }
+
   // ------------------ repetition / quality filters -------------------------
 
   /** Gopher-style repetition statistics (Rae et al. 2021 "Scaling Language

@@ -415,6 +415,119 @@ object PipelineQueries extends QuerySet {
         tmin AS (SELECT min(n / w) AS t FROM cw),
         rates AS (SELECT lang, least(1.0, w * t / n) AS rate FROM cw, tmin)
         SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
-        WHERE ${HashOracleSql.uniformSql("d.doc_id::VARCHAR", "mix")} < r.rate"""))
+        WHERE ${HashOracleSql.uniformSql("d.doc_id::VARCHAR", "mix")} < r.rate""")),
+
+    // PII redaction audit: emails/IPv4s/phone numbers scrubbed from text
+    // synthesized over customer rows (the testdata documents carry no PII,
+    // so the query plants deterministic PII from customer columns first).
+    // Patterns live in the Java-regex ∩ RE2 subset — the oracle runs the
+    // SAME pattern strings ('g' flag: DuckDB replaces first-only by
+    // default, Spark replaces all).
+    Query("q47_redact_pii",
+      (s, dir) => {
+        val phone = concat(
+          lit("25-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("c_custkey") % 997).cast("string"), 3, "0"),
+          lit("-"), lpad((col("c_custkey") % 9973).cast("string"), 4, "0"))
+        val text = concat(col("c_mktsegment"), lit(" contact "), col("c_name"),
+          lit("@example.com ip 10.0.0."), (col("c_custkey") % 256),
+          lit(" phone "), phone)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), text.as("raw"))
+          .select(col("c_custkey"),
+            TextOps.redactPii(col("raw")).as("redacted"),
+            TextOps.piiCounts(col("raw")).as("p"))
+          .select(col("c_custkey"), col("redacted"),
+            col("p.n_emails"), col("p.n_ips"), col("p.n_phones"))
+      },
+      Some {
+        // DuckDB string literals are backslash-verbatim: the Scala pattern
+        // string passes through unchanged (only quotes need escaping)
+        val redact = TextOps.piiPatterns.foldLeft("raw") { case (e, (pat, repl)) =>
+          val p = pat.replace("'", "''")
+          s"regexp_replace($e, '$p', '$repl', 'g')"
+        }
+        def cnt(tok: String) =
+          s"CAST((length(redacted) - length(replace(redacted, '$tok', ''))) / ${tok.length} AS BIGINT)"
+        s"""WITH raws AS (
+           |  SELECT c_custkey,
+           |    c_mktsegment || ' contact ' || c_name || '@example.com ip 10.0.0.'
+           |      || (c_custkey % 256) || ' phone 25-'
+           |      || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-'
+           |      || lpad((c_custkey % 997)::VARCHAR, 3, '0') || '-'
+           |      || lpad((c_custkey % 9973)::VARCHAR, 4, '0') AS raw
+           |  FROM customer),
+           |red AS (SELECT c_custkey, $redact AS redacted FROM raws)
+           |SELECT c_custkey, redacted,
+           |  ${cnt("<EMAIL>")} AS n_emails,
+           |  ${cnt("<IP>")} AS n_ips,
+           |  ${cnt("<PHONE>")} AS n_phones
+           |FROM red""".stripMargin
+      }),
+
+    // End-to-end training-data pipeline in ONE Catalyst plan: quality
+    // filter -> exact dedup -> benchmark decontamination -> domain mixing
+    // -> per-(lang, source) corpus counts. Each stage's SQL twin is
+    // individually verified by q23/q24/q43/q46; this query proves they
+    // COMPOSE — the whole pipeline optimizes as a single declarative plan
+    // (one pass over the corpus plus the dedup/decontamination shuffles).
+    Query("q48_pipeline_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quality = docs.filter(TextOps.qualityScore(col("text")) >= 0.75)
+        val deduped = DedupOps.dropExactDuplicates(quality, "doc_id", "text")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("text").as("bench_text"))
+        val corpus = deduped.filter(col("doc_id") % 20 =!= 0)
+        val clean = TextOps.dropContaminated(corpus, bench, "doc_id", "text",
+          "bench_text", ngramN = 8, minHits = 1)
+        val mixed = SamplingOps.mixToWeights(clean, "lang", "doc_id",
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1, "es" -> 0.1),
+          salt = "e2e")
+        mixed.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH q AS (
+        SELECT * FROM documents WHERE
+          ((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) <= 0.1 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 >= 0.75),
+        d AS (
+          SELECT * FROM q
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1),
+        btoks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 20 = 0),
+        bgrams AS (
+          SELECT DISTINCT unnest(CASE WHEN len(t) = 0 THEN []
+            WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+            ELSE [array_to_string(t[i:i+7], ' ')
+                  for i in generate_series(1, len(t) - 7)] END) AS g
+          FROM btoks),
+        ctoks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+          FROM d WHERE doc_id % 20 <> 0),
+        cgrams AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) = 0 THEN []
+            WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+            ELSE [array_to_string(t[i:i+7], ' ')
+                  for i in generate_series(1, len(t) - 7)] END)) AS g
+          FROM ctoks),
+        contaminated AS (
+          SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams USING (g)),
+        clean AS (
+          SELECT * FROM d WHERE doc_id % 20 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        counts AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+        w(lang, w) AS (VALUES ('en',0.4),('de',0.2),('fr',0.2),('zh',0.1),('es',0.1)),
+        cw AS (SELECT c.lang, c.n, w.w FROM counts c JOIN w USING (lang)),
+        tmin AS (SELECT min(n / w) AS t FROM cw),
+        rates AS (SELECT lang, least(1.0, w * t / n) AS rate FROM cw, tmin),
+        mixed AS (
+          SELECT c.* FROM clean c JOIN rates r USING (lang)
+          WHERE ${HashOracleSql.uniformSql("c.doc_id::VARCHAR", "e2e")} < r.rate)
+        SELECT lang, source, count(*) AS n_docs FROM mixed GROUP BY lang, source"""))
   )
 }

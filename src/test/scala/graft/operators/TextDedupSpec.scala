@@ -280,6 +280,30 @@ class TextDedupSpec extends SparkSpec {
     assert(m(5L)._6 == 10L) // dup5_chars
   }
 
+  test("redactPii scrubs emails, IPs, phones and counts hits") {
+    import spark.implicits._
+    val rows = Seq(
+      "write to alice.smith+x@corp.example.org or bob@ex.io today",
+      "server 192.168.0.1 and 10.0.0.254 up",
+      "call 25-989-741-2988 now",
+      "no pii here at all",
+      "mixed a@b.co 1.2.3.4 99-123-456-7890 end")
+      .toDF("text")
+      .select(TextOps.redactPii(col("text")).as("red"),
+        TextOps.piiCounts(col("text")).as("c"))
+      .select("red", "c.n_emails", "c.n_ips", "c.n_phones")
+      .collect()
+    assert(rows(0).getString(0) == "write to <EMAIL> or <EMAIL> today")
+    assert(rows(0).getLong(1) == 2L)
+    assert(rows(1).getString(0) == "server <IP> and <IP> up")
+    assert(rows(1).getLong(2) == 2L)
+    assert(rows(2).getString(0) == "call <PHONE> now")
+    assert(rows(2).getLong(3) == 1L)
+    assert(rows(3).getString(0) == "no pii here at all")
+    assert((rows(3).getLong(1), rows(3).getLong(2), rows(3).getLong(3)) == ((0L, 0L, 0L)))
+    assert(rows(4).getString(0) == "mixed <EMAIL> <IP> <PHONE> end")
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     import spark.implicits._
     val df = (1L to 20000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
