@@ -274,7 +274,6 @@ object DedupOps {
       posexplode(slice(col("toks"), lit(1),
         (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))))
       .select(col("id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate pruning beyond the prefix (all exact, PPJoin-style):
     //  - length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
@@ -294,16 +293,19 @@ object DedupOps {
       .select("id_a", "id_b").distinct()
 
     // verify on the TRUE string shingle sets — exact regardless of any
-    // hash collision upstream
-    // verify joins stay sort-merge: both sides are corpus-sized and the
-    // build side would hold the full shingle arrays in task memory
+    // hash collision upstream. The candidate side is near the true-pair
+    // count (the point of PPJoin) and arrives from a shuffle, so AQE's
+    // runtime stats convert these to broadcast-hash probes of the cached
+    // `sets` when small; under heavy duplication they stay sort-merge and
+    // spill cleanly — no hint, by design.
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
-        (size(col("sh_a")) + size(col("sh_b")) -
-          size(array_intersect(col("sh_a"), col("sh_b")))).cast("long").as("n_union"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+          .cast("long").as("n_union"))
       .filter(col("n_inter") >= lit(threshold) * col("n_union"))
   }
 

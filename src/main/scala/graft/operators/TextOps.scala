@@ -256,6 +256,96 @@ object TextOps {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[contaminationHits]] with a deterministic Bloom-filter PREFILTER on
+    * the corpus gram stream — the scale path when the benchmark set is
+    * large (a full eval-suite union easily reaches 10^8-10^9 distinct
+    * grams, where broadcasting the string set costs tens of GB per
+    * executor while the Bloom bitset at `bitsPerGram`=12 is ~1.5 GB per
+    * 10^9 grams, ~20x smaller than the strings).
+    *
+    * Exactness is preserved: a Bloom filter has no false negatives, so the
+    * prefilter only thins the corpus side (a per-row codegen-adjacent
+    * bitset probe, no shuffle), and every surviving gram is still verified
+    * against the TRUE benchmark gram set. False positives cost only wasted
+    * verify work — at the default 12 bits / 5 probes the FP rate is ~0.3%,
+    * so the exact join downstream moves ~0.3% of the corpus gram stream
+    * instead of all of it. Output is identical to [[contaminationHits]]
+    * (same oracle SQL applies).
+    *
+    * Bloom construction is distributed: grams → k probe positions
+    * (Kirsch-Mitzenmacher double hashing off fnv1a64/splitmix64, both
+    * deterministic) → `bit_or` aggregation per 64-bit word → the collected
+    * word array is bounded driver state (mBits/8 bytes, sized from a
+    * count() of the benchmark set, NOT from the corpus). */
+  def contaminationHitsBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      ngramN: Int = 8,
+      minHits: Int = 1,
+      bitsPerGram: Int = 12,
+      numProbes: Int = 5,
+      broadcastVerify: Boolean = true): DataFrame = {
+    require(bitsPerGram >= 1 && numProbes >= 1, "need >=1 bit and >=1 probe")
+    val n = ngramN
+    val k = numProbes
+    val gramUdf = udf((t: String) => DedupOps.shingles(if (t == null) "" else t, n).distinct)
+    val benchGrams = benchmark
+      .select(explode(gramUdf(col(benchTextCol))).as("__g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // bounded driver actions: one count (sizes the filter) + one collect of
+    // the word table (mBits/64 longs)
+    val nGrams = math.max(1L, benchGrams.count())
+    val mBits = ((nGrams * bitsPerGram + 63L) / 64L) * 64L
+    val nWords = (mBits >>> 6).toInt
+    val probeUdf = udf { g: String =>
+      val h1 = DedupOps.fnv1a64(g)
+      val h2 = DedupOps.splitmix64(h1) | 1L // odd => full-period stride
+      val out = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        out(i) = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits)
+        i += 1
+      }
+      out
+    }
+    val words = new Array[Long](nWords)
+    benchGrams
+      .select(explode(probeUdf(col("__g"))).as("bit"))
+      .select(shiftrightunsigned(col("bit"), 6).as("word"),
+        expr("shiftleft(1L, cast(bit & 63 as int))").as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bcWords = corpus.sparkSession.sparkContext.broadcast(words)
+
+    val mightContain = udf { g: String =>
+      val w = bcWords.value
+      val h1 = DedupOps.fnv1a64(g)
+      val h2 = DedupOps.splitmix64(h1) | 1L
+      var i = 0
+      var hit = true
+      while (hit && i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits)
+        hit = (w((bit >>> 6).toInt) & (1L << (bit & 63L).toInt)) != 0L
+        i += 1
+      }
+      hit
+    }
+    val survivors = corpus
+      .select(col(idCol), explode(gramUdf(col(textCol))).as("__g"))
+      .filter(mightContain(col("__g")))
+    val verify = if (broadcastVerify) broadcast(benchGrams) else benchGrams
+    survivors
+      .join(verify, "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   // ------------------------- sequence packing ------------------------------
 
   /** GPT-style sequence packing by concatenation: documents are laid out

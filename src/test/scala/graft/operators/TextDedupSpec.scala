@@ -198,6 +198,35 @@ class TextDedupSpec extends SparkSpec {
     assert(kept2 == Set(2L, 3L))
   }
 
+  test("contaminationHitsBloom equals the exact operator (no false negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val corpus = docs((1 to 300).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }: _*)
+    val bench = (1 to 40)
+      .map(_ => Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      .toDF("bench_text")
+
+    for (ngramN <- Seq(3, 5); minHits <- Seq(1, 2)) {
+      val exact = TextOps.contaminationHits(
+          corpus, bench, "doc_id", "text", "bench_text", ngramN, minHits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bloom = TextOps.contaminationHitsBloom(
+          corpus, bench, "doc_id", "text", "bench_text", ngramN, minHits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bloom == exact, s"ngramN=$ngramN minHits=$minHits")
+      // and with a deliberately tiny filter (high FP rate) it is STILL
+      // exact — false positives only widen the verify join
+      val tiny = TextOps.contaminationHitsBloom(
+          corpus, bench, "doc_id", "text", "bench_text", ngramN, minHits,
+          bitsPerGram = 1, numProbes = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tiny == exact, s"tiny filter ngramN=$ngramN minHits=$minHits")
+    }
+  }
+
   test("packTokenSpans: spans tile each sequence exactly and cover each doc") {
     val rnd = new scala.util.Random(7)
     val data = (1 to 200).map { i =>
