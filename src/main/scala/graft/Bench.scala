@@ -36,12 +36,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       dropCaches()
     }
+    // >=3 timed iterations per query, report the MIN: a single timed pass is
+    // noise-fragile (GC pauses / machine contention mid-run showed up as a
+    // phantom 40% regression in round 5); min-of-3 measures the plan, not
+    // the weather.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      dropCaches()
-      name -> sec
+      val times = (0 until iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        dropCaches()
+        sec
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

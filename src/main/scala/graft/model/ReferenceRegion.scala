@@ -40,15 +40,31 @@ case class ReferenceRegion(
   def width: Long = end - start
   def isEmpty: Boolean = width == 0
 
-  private def sameStrand(o: ReferenceRegion): Boolean =
-    strand == o.strand || strand == Strand.Independent || o.strand == Strand.Independent
+  /** Strict strand equality (reference ReferenceRegion.sameStrand:703). */
+  def sameStrand(o: ReferenceRegion): Boolean = strand == o.strand
+
+  def sameReferenceName(o: ReferenceRegion): Boolean =
+    referenceName == o.referenceName
 
   private def sameContig(o: ReferenceRegion): Boolean =
-    referenceName == o.referenceName && sameStrand(o)
+    sameReferenceName(o) && sameStrand(o)
 
-  /** True iff the two half-open intervals share at least one base. */
-  def overlaps(o: ReferenceRegion): Boolean =
-    sameContig(o) && start < o.end && o.start < end
+  /** Strand-independent overlap: the two half-open intervals share at least
+    * one base on the same reference sequence (reference covers:648). */
+  def covers(o: ReferenceRegion): Boolean =
+    sameReferenceName(o) && start < o.end && o.start < end
+
+  /** Covers, or within `threshold` ignoring strand (reference covers:661). */
+  def covers(o: ReferenceRegion, threshold: Long): Boolean =
+    isNearby(o, threshold, requireStranded = false)
+
+  /** True iff the intervals share a base AND are on the same strand
+    * (reference overlaps:671 = sameStrand && covers). */
+  def overlaps(o: ReferenceRegion): Boolean = sameStrand(o) && covers(o)
+
+  /** Overlaps, or within `threshold` on the same strand (reference :683). */
+  def overlaps(o: ReferenceRegion, threshold: Long): Boolean =
+    isNearby(o, threshold)
 
   /** Number of overlapping bases, if any. */
   def overlapsBy(o: ReferenceRegion): Option[Long] =
@@ -61,21 +77,31 @@ case class ReferenceRegion(
   def contains(refName: String, pos: Long): Boolean =
     referenceName == refName && start <= pos && pos < end
 
-  /** Abut without overlapping (share a boundary). */
-  def isAdjacent(o: ReferenceRegion): Boolean =
-    sameContig(o) && (end == o.start || o.end == start)
+  /** Abut without overlapping — defined via distance, exactly as the
+    * reference does (isAdjacent:499 = distance.contains(1)). */
+  def isAdjacent(o: ReferenceRegion): Boolean = distance(o).contains(1L)
 
-  /** Distance in bases between closest ends; 0 when overlapping/adjacent.
-    * None on different contigs. */
+  /** Minimum distance between any point of this region and any point of the
+    * other: overlap -> 0, abutting -> 1, else greater (reference
+    * distance:534). None on different contigs or strands. */
   def distance(o: ReferenceRegion): Option[Long] =
     if (!sameContig(o)) None
-    else if (overlaps(o) || isAdjacent(o)) Some(0L)
-    else Some(if (start >= o.end) start - o.end else o.start - end)
+    else if (overlaps(o)) Some(0L)
+    else Some(math.max(start, o.start) - math.min(end, o.end) + 1)
+
+  /** [[distance]] ignoring strand (reference unstrandedDistance:558). */
+  def unstrandedDistance(o: ReferenceRegion): Option[Long] =
+    if (!sameReferenceName(o)) None
+    else if (covers(o)) Some(0L)
+    else Some(math.max(start, o.start) - math.min(end, o.end) + 1)
 
   /** Within `threshold` bases (the flank/as-of tolerance used by the
-    * reference's joins; GenomicDataset flankSize). */
-  def isNearby(o: ReferenceRegion, threshold: Long): Boolean =
-    distance(o).exists(_ <= threshold)
+    * reference's joins; reference isNearby:514). Distance counts abutting
+    * as 1, so `isNearby(o, k)` admits gaps of at most k-1 bases. */
+  def isNearby(o: ReferenceRegion, threshold: Long,
+               requireStranded: Boolean = true): Boolean =
+    distance(o).exists(_ <= threshold) ||
+      (!requireStranded && unstrandedDistance(o).exists(_ <= threshold))
 
   /** Union of two overlapping-or-adjacent regions. */
   def merge(o: ReferenceRegion): ReferenceRegion = {

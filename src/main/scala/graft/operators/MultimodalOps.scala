@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * partitioning, the operator plumbing — is real and tested; swapping the
   * stub for a real codec is a one-function change.
   */
+/** Output row of [[MultimodalOps.extractImageFeatures]]. Top-level (not
+  * nested in the object) so the generated encoder code compiles under
+  * Janino — object-nested case classes fall back to interpreted mode. */
+case class MediaFeatureRow(
+    media_id: Long, mean_intensity: Double, histogram: Array[Long])
+
 object MultimodalOps {
 
   /** Typed metadata carried with each media payload. */
@@ -57,17 +63,14 @@ object MultimodalOps {
         lit(null).cast("int").as("sampleRateHz"),
         lit(null).cast("long").as("durationMs")).as("meta"))
 
-  private case class FeatureRow(
-      media_id: Long, mean_intensity: Double, histogram: Array[Long])
-
   /** Decode + feature-extract, batched per partition (the Scala analog of a
     * `mapInPandas` batch UDF: one partition = a bounded iterator of rows,
     * codec state amortized across the batch). Output: per-media mean
     * intensity + 16-bin histogram. */
   def extractImageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    implicit val enc: org.apache.spark.sql.Encoder[FeatureRow] =
-      Encoders.product[FeatureRow]
+    implicit val enc: org.apache.spark.sql.Encoder[MediaFeatureRow] =
+      Encoders.product[MediaFeatureRow]
     val ds = media.select("media_id", "payload", "meta.width", "meta.height")
       .mapPartitions { rows: Iterator[Row] =>
         // per-partition "codec" init happens here, once per batch
@@ -83,7 +86,7 @@ object MultimodalOps {
             s += p
             hist(math.min(15, (p * 16).toInt)) += 1
           }
-          FeatureRow(id, if (px.isEmpty) 0.0 else s / px.length, hist)
+          MediaFeatureRow(id, if (px.isEmpty) 0.0 else s / px.length, hist)
         }
       }(enc)
     ds.toDF()

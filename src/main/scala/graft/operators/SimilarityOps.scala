@@ -124,58 +124,47 @@ object SimilarityOps {
 
   /** Exact embedding-cosine near-duplicate pairs: every (id_a, id_b) with
     * id_a < id_b and cosine >= threshold (ids must be integral). All-pairs
-    * is inherently O(n²): this exact variant broadcasts the (id, vector,
-    * norm) table — right while the table fits executor memory (~10M × 64-d
-    * doubles ≈ 5 GB); beyond that use [[lshNearDuplicates]], which never
-    * materializes all pairs. The n² dot products stay distributed: each
-    * task computes its rows against the broadcast side in a primitive-array
-    * loop (a nested-loop join evaluating a per-pair UDF measures ~100×
-    * slower from per-probe deserialization alone). Norms are precomputed
-    * per vector; the summation order matches the per-pair formula
-    * bit-for-bit, so the threshold cut agrees with DuckDB's
-    * list_cosine_similarity over DOUBLE[]. */
+    * is inherently O(n²) dot products, but NOTHING here touches the driver:
+    * each vector hashes to one of `blocks` blocks, and every unordered
+    * block pair (i <= j) becomes one equi-join key — the left side
+    * replicates a row of block b to keys (b, j) for j >= b, the right side
+    * to keys (i, b) for i <= b, so a cross-block pair meets at exactly one
+    * key and a same-block pair meets at (b, b) in both orders (the
+    * id_l < id_r filter keeps one). Shuffle volume is ~`blocks`/2 × input
+    * per side (never all-pairs materialized as shuffle rows); the n²
+    * cosines run inside the per-key hash-join loop through the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression, whose left-to-right
+    * double summation agrees bit-for-bit with DuckDB's
+    * list_cosine_similarity over DOUBLE[]. At 100 TB: size `blocks` so one
+    * block (~input/blocks rows) fits a task's memory; work per task is
+    * |block_i|×|block_j| cosines, uniform under hash blocking. For
+    * sub-quadratic cost use [[lshNearDuplicates]]. */
   def cosineNearDuplicates(
       vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
+      threshold: Double, blocks: Int = 8): DataFrame = {
+    require(blocks >= 1 && blocks <= 1024, s"blocks out of range: $blocks")
     val rows = vectors
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(blocks)).cast("int").as("blk"))
 
-    def normOf(v: Array[Double]): Double = {
-      var na = 0.0; var i = 0
-      while (i < v.length) { na += v(i) * v(i); i += 1 }
-      math.sqrt(na)
-    }
+    val blockIds = array((0 until blocks).map(lit): _*)
+    val left = rows
+      .withColumn("bj", explode(blockIds)).filter(col("bj") >= col("blk"))
+      .select(col("blk").as("bi"), col("bj"),
+        col("id").as("id_l"), col("v").as("v_l"), col("blk").as("blk_l"))
+    val right = rows
+      .withColumn("bi", explode(blockIds)).filter(col("bi") <= col("blk"))
+      .select(col("bi"), col("blk").as("bj"),
+        col("id").as("id_r"), col("v").as("v_r"), col("blk").as("blk_r"))
 
-    val table: Array[(Long, Array[Double], Double)] = rows.collect().map { r =>
-      val v = r.getSeq[Double](1).toArray
-      (r.getLong(0), v, normOf(v))
-    }
-    val tableB = spark.sparkContext.broadcast(table)
-    val th = threshold
-
-    rows.as[(Long, Seq[Double])].mapPartitions { it =>
-      val all = tableB.value
-      it.flatMap { case (id, vSeq) =>
-        val v = vSeq.toArray
-        val myNorm = normOf(v)
-        all.iterator.flatMap { case (oid, ov, onorm) =>
-          if (oid <= id) Iterator.empty
-          else {
-            var d = 0.0
-            var i = 0
-            val n = math.min(v.length, ov.length)
-            while (i < n) { d += v(i) * ov(i); i += 1 }
-            val nn = myNorm * onorm
-            val cos = if (nn == 0.0) 0.0 else d / nn
-            if (cos >= th) Iterator.single((id, oid)) else Iterator.empty
-          }
-        }
-      }
-    }.toDF("id_a", "id_b")
+    left.hint("shuffle_hash").join(right, Seq("bi", "bj"))
+      .filter(col("blk_l") < col("blk_r") ||
+        (col("blk_l") === col("blk_r") && col("id_l") < col("id_r")))
+      .filter(cosine(col("v_l"), col("v_r")) >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
   }
 
   /** Near-duplicate pairs via SRP-LSH banding: candidates share at least

@@ -103,12 +103,12 @@ object SamIO {
       attributes = attrs)
   }
 
-  /** Load SAM: header collected driver-side (bounded: header lines only),
-    * records parsed in parallel. */
+  /** Load SAM: header read driver-side from the head of each file (no
+    * distributed scan — see [[TextHeader]]), records parsed in parallel. */
   def read(spark: SparkSession, path: String): GenomicDataset[Alignment] = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
-    val header = lines.filter((l: String) => l.startsWith("@")).collect().toSeq
+    val header = TextHeader.headerLines(spark, path, "@")
     val records = lines
       .filter((l: String) => l.nonEmpty && !l.startsWith("@"))
       .map(parseRecord)

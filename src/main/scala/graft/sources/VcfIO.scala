@@ -275,7 +275,8 @@ object VcfIO {
       if (path.endsWith(".gz") || path.endsWith(".bgz"))
         BgzfText.readLines(spark, path)
       else spark.read.textFile(path)
-    val headerLines = lines.filter((l: String) => l.startsWith("#")).collect().toSeq
+    // header from the file head(s), driver-side — never a distributed scan
+    val headerLines = TextHeader.headerLines(spark, path, "#")
     val (meta, samples, infoNumber, formatNumber) = parseVcfHeader(headerLines)
     val records = lines
       .filter((l: String) => l.nonEmpty && !l.startsWith("#"))

@@ -28,13 +28,28 @@ class ReferenceRegionSpec extends AnyFunSuite {
     assert(!a.contains(ReferenceRegion("chr1", 12, 21)))
   }
 
-  test("distance and nearby") {
+  test("distance and nearby (reference semantics: overlap->0, abut->1)") {
     val a = ReferenceRegion("chr1", 10, 20)
-    assert(a.distance(ReferenceRegion("chr1", 30, 40)).contains(10L))
+    // min point-to-point distance: last base 19 to first base 30 = 11
+    assert(a.distance(ReferenceRegion("chr1", 30, 40)).contains(11L))
+    assert(a.distance(ReferenceRegion("chr1", 20, 30)).contains(1L)) // abutting
     assert(a.distance(ReferenceRegion("chr2", 30, 40)).isEmpty)
     assert(a.distance(ReferenceRegion("chr1", 15, 25)).contains(0L))
-    assert(a.isNearby(ReferenceRegion("chr1", 25, 30), 5L))
-    assert(!a.isNearby(ReferenceRegion("chr1", 26, 30), 5L))
+    assert(a.isNearby(ReferenceRegion("chr1", 25, 30), 6L))
+    assert(!a.isNearby(ReferenceRegion("chr1", 26, 30), 6L))
+  }
+
+  test("stranded algebra: overlaps requires strand, covers ignores it") {
+    val fwd = ReferenceRegion("chr1", 10, 20, Strand.Forward)
+    val rev = ReferenceRegion("chr1", 15, 25, Strand.Reverse)
+    assert(!fwd.overlaps(rev) && fwd.covers(rev))
+    assert(fwd.distance(rev).isEmpty)
+    assert(fwd.unstrandedDistance(rev).contains(0L))
+    assert(!fwd.isNearby(rev, 10L))
+    assert(fwd.isNearby(rev, 10L, requireStranded = false))
+    val farRev = ReferenceRegion("chr1", 25, 30, Strand.Reverse)
+    assert(fwd.unstrandedDistance(farRev).contains(6L))
+    assert(fwd.covers(farRev, 6L) && !fwd.covers(farRev, 5L))
   }
 
   test("pad floors at zero") {

@@ -85,6 +85,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("cosineNearDuplicates plan: shuffled block join, no collect/cartesian") {
+    val df = vecs(80, 8, seed = 21)
+    val plan = SimilarityOps.cosineNearDuplicates(df, "id", "vec", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffle join over block pairs:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("lshNearDuplicates recovers exact pairs at high threshold") {
     import spark.implicits._
     val rnd = new Random(9)
