@@ -125,15 +125,25 @@ object Bqsr {
     out.result()
   }
 
+  /** Pass 1 as a DataFrame: distributed per-base observation + one
+    * map-side-combined aggregation over the covariate space (readGroup,
+    * reportedQuality, cycle, dinuc). This is the driver-gate surface
+    * (q49); [[observationTable]] collects it for the pass-2 broadcast. */
+  def observationDF(
+      reads: Dataset[Alignment],
+      isKnownSite: (String, Long) => Boolean): org.apache.spark.sql.DataFrame = {
+    val fn = isKnownSite
+    reads.flatMap(r => observeRead(r, fn))
+      .groupBy("readGroupId", "reportedQuality", "cycle", "dinuc")
+      .agg(sum("observations").as("observations"), sum("mismatches").as("mismatches"))
+  }
+
   /** Pass 1: distributed observation + aggregation; the table collects to
     * the driver (bounded: covariate-space-sized). */
   def observationTable(
       reads: Dataset[Alignment],
       isKnownSite: (String, Long) => Boolean): Map[(String, Int, Int, String), (Long, Long)] = {
-    val fn = isKnownSite
-    reads.flatMap(r => observeRead(r, fn))
-      .groupBy("readGroupId", "reportedQuality", "cycle", "dinuc")
-      .agg(sum("observations").as("observations"), sum("mismatches").as("mismatches"))
+    observationDF(reads, isKnownSite)
       .collect()
       .map { row =>
         (row.getString(0), row.getInt(1), row.getInt(2), row.getString(3)) ->

@@ -233,11 +233,13 @@ object SimilarityOps {
       id: String = "id", vec: String = "vec"): DataFrame = {
     val spark = corpus.sparkSession
 
-    // deterministic centroid sample: smallest hash-of-id wins (stable
-    // across runs and cluster sizes); bounded collect of nCentroids rows
+    // deterministic centroid sample: smallest splitmix64-of-id wins (stable
+    // across runs and cluster sizes, and replayable in the DuckDB oracle —
+    // HashOracleSql.ivfTopKSql); bounded collect of nCentroids rows
+    val smix = udf { x: Long => DedupOps.splitmix64(x) }
     val centroids: Array[(Int, Seq[Float])] = corpus
       .select(col(id), col(vec))
-      .orderBy(xxhash64(col(id)), col(id))
+      .orderBy(smix(col(id).cast("long")), col(id))
       .limit(nCentroids)
       .collect()
       .zipWithIndex

@@ -261,6 +261,163 @@ object GenomicQueries extends QuerySet {
           FROM flagged)
         SELECT referenceName, min(pos) AS "start", max(pos) + 1 AS "end",
           cnt AS count
-        FROM grp GROUP BY referenceName, g, cnt"""))
+        FROM grp GROUP BY referenceName, g, cnt""")),
+
+    // BQSR pass-1 observation table (recalibrateBaseQualities pass 1;
+    // reference recalibration/BaseQualityRecalibration.scala:58-120). Reads
+    // are synthesized 36M single-base-repeat sequences with a planted MD
+    // mismatch on every 3rd order — so cycle (strand- and fragment-signed),
+    // dinucleotide (sequenced-strand pair) and the per-base mismatch count
+    // are all closed-form in SQL. The Spark side runs the REAL operator
+    // (CIGAR/MD walk in observeRead); a hash match proves the covariate
+    // extraction, not a SQL re-statement of it.
+    Query("q49_bqsr_observations",
+      (s, dir) => {
+        val m = (col("l_linenumber") * 5 % 36).cast("int")
+        val md = when(col("l_orderkey") % 3 === 0,
+          concat(m.cast("string"), lit("G"), (lit(35) - m).cast("string")))
+          .otherwise(lit("36"))
+        val reads = synthReads(s, dir,
+          sequence = expr("repeat(substr('ACGT', cast(l_partkey % 4 as int) + 1, 1), 36)"),
+          quality = expr("repeat(chr(33 + l_suppkey % 40), 36)"),
+          cigar = lit("36M"), md = md,
+          neg = col("l_orderkey") % 2 === 1,
+          inFragment = (col("l_partkey") % 2).cast("int"),
+          readGroup = concat(lit("rg"), (col("l_suppkey") % 4).cast("string")))
+        graft.algorithms.Bqsr.observationDF(reads, (_, _) => false)
+          .select(col("readGroupId"),
+            col("reportedQuality").cast("long").as("reportedQuality"),
+            col("cycle").cast("long").as("cycle"), col("dinuc"),
+            col("observations"), col("mismatches"))
+      },
+      Some("""WITH reads AS (
+          SELECT 'rg' || CAST(l_suppkey % 4 AS VARCHAR) AS rg,
+            l_suppkey % 40 AS q,
+            substr('ACGT', CAST(l_partkey % 4 AS INT) + 1, 1) AS base,
+            l_orderkey % 2 = 1 AS neg,
+            l_partkey % 2 = 1 AS second,
+            CASE WHEN l_orderkey % 3 = 0 THEN (l_linenumber * 5) % 36
+                 ELSE -1 END AS mmoff
+          FROM lineitem),
+        cells AS (
+          SELECT rg, q,
+            CASE WHEN NOT neg AND NOT second THEN i + 1
+                 WHEN NOT neg AND second THEN -(i + 1)
+                 WHEN neg AND NOT second THEN 36 - i
+                 ELSE -(36 - i) END AS cycle,
+            CASE WHEN (NOT neg AND i = 0) OR (neg AND i = 35) THEN 'NN'
+                 WHEN NOT neg THEN base || base
+                 ELSE translate(base, 'ACGT', 'TGCA') ||
+                      translate(base, 'ACGT', 'TGCA') END AS dinuc,
+            CASE WHEN i = mmoff THEN 1 ELSE 0 END AS mm
+          FROM reads, generate_series(0, 35) AS t(i)
+          WHERE q >= 6)
+        SELECT rg AS readGroupId, CAST(q AS BIGINT) AS reportedQuality,
+          CAST(cycle AS BIGINT) AS cycle, dinuc,
+          CAST(count(*) AS BIGINT) AS observations,
+          CAST(sum(mm) AS BIGINT) AS mismatches
+        FROM cells GROUP BY 1, 2, 3, 4""")),
+
+    // Realignment target finding (realignIndels step 1; reference
+    // realignmenttarget/RealignmentTargetFinder.scala:126): indel spans
+    // from the CIGAR + mismatch sites from the MD tag, distinct'd and
+    // merged within maxTargetGap. Reads carry one of four evidence shapes
+    // keyed on l_orderkey % 4 (deletion / insertion / MD mismatch / clean),
+    // so the span set is closed-form in SQL; the gaps-and-islands merge
+    // runs for real on the Spark side and is restated with window
+    // functions in the oracle.
+    Query("q50_realign_targets",
+      (s, dir) => {
+        val m = (col("l_linenumber") * 5 % 36).cast("int")
+        val kind = col("l_orderkey") % 4
+        val reads = synthReads(s, dir,
+          sequence = lit("A" * 36),
+          quality = lit("I" * 36),
+          cigar = when(kind === 0, lit("10M2D26M"))
+            .when(kind === 1, lit("18M2I16M"))
+            .otherwise(lit("36M")),
+          md = when(kind === 2,
+            concat(m.cast("string"), lit("G"), (lit(35) - m).cast("string")))
+            .otherwise(lit(null).cast("string")),
+          neg = lit(false),
+          inFragment = lit(null).cast("int"),
+          readGroup = lit(null).cast("string"))
+        graft.algorithms.RealignIndels.findTargets(reads, maxTargetGap = 100L)
+      },
+      Some("""WITH reads AS (
+          SELECT CAST(l_orderkey % 4 AS VARCHAR) AS ref,
+            (l_partkey * 7 + l_linenumber) % 10000 AS pos,
+            l_orderkey % 4 AS kind,
+            (l_linenumber * 5) % 36 AS mmoff
+          FROM lineitem),
+        spans AS (
+          SELECT DISTINCT ref, s, e FROM (
+            SELECT ref, pos + 10 AS s, pos + 12 AS e FROM reads WHERE kind = 0
+            UNION ALL
+            SELECT ref, pos + 18 AS s, pos + 19 AS e FROM reads WHERE kind = 1
+            UNION ALL
+            SELECT ref, pos + mmoff AS s, pos + mmoff + 1 AS e
+            FROM reads WHERE kind = 2)),
+        flagged AS (
+          SELECT ref, s, e,
+            CASE WHEN max(e) OVER (PARTITION BY ref ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s > max(e) OVER (PARTITION BY ref ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 100
+                 THEN 1 ELSE 0 END AS brk
+          FROM spans),
+        grp AS (
+          SELECT ref, s, e, sum(brk) OVER (PARTITION BY ref ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          FROM flagged)
+        SELECT ref AS referenceName, CAST(min(s) AS BIGINT) AS "start",
+          CAST(max(e) AS BIGINT) AS "end",
+          ref || ':' || CAST(min(s) AS VARCHAR) AS targetId
+        FROM grp GROUP BY ref, g"""))
   )
+
+  /** Alignment rows synthesized from lineitem for the read-algorithm
+    * oracles (q49/q50): one read per lineitem row at
+    * (orderkey%4, partkey*7+linenumber mod 10000), caller-chosen
+    * sequence/quality/CIGAR/MD/strand columns — all pure column arithmetic
+    * so the SQL twin states the identical read set. */
+  private def synthReads(
+      s: SparkSession, dir: String,
+      sequence: org.apache.spark.sql.Column, quality: org.apache.spark.sql.Column,
+      cigar: org.apache.spark.sql.Column, md: org.apache.spark.sql.Column,
+      neg: org.apache.spark.sql.Column, inFragment: org.apache.spark.sql.Column,
+      readGroup: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[graft.model.Alignment] = {
+    implicit val alignEnc: org.apache.spark.sql.Encoder[graft.model.Alignment] =
+      org.apache.spark.sql.Encoders.product[graft.model.Alignment]
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val nullI = lit(null).cast("int")
+    val nullB = lit(null).cast("boolean")
+    val start = (col("l_partkey") * 7 + col("l_linenumber")) % 10000
+    t(s, dir, "lineitem").select(
+      (col("l_orderkey") % 4).cast("string").as("referenceName"),
+      start.as("start"),
+      (start + 36).as("end"),
+      nullL.as("originalStart"),
+      concat_ws("-", lit("r"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")).as("readName"),
+      sequence.as("sequence"),
+      quality.as("qualityScores"),
+      cigar.as("cigar"),
+      nullS.as("originalCigar"),
+      nullI.as("basesTrimmedFromStart"), nullI.as("basesTrimmedFromEnd"),
+      nullI.as("mappingQuality"),
+      lit(false).as("readPaired"), nullB.as("properPair"),
+      lit(true).as("readMapped"), nullB.as("mateMapped"),
+      inFragment.as("readInFragment"),
+      nullB.as("failedVendorQualityChecks"), nullB.as("duplicateRead"),
+      neg.as("readNegativeStrand"), nullB.as("mateNegativeStrand"),
+      lit(true).as("primaryAlignment"), lit(false).as("secondaryAlignment"),
+      lit(false).as("supplementaryAlignment"),
+      md.as("mismatchingPositions"), nullS.as("mateReferenceName"),
+      nullL.as("mateAlignmentStart"), nullL.as("insertSize"),
+      readGroup.as("readGroupId"), nullS.as("readGroupSampleId"),
+      expr("cast(map() as map<string,string>)").as("attributes")
+    ).as[graft.model.Alignment]
+  }
 }

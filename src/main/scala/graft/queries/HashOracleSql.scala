@@ -158,6 +158,102 @@ object HashOracleSql {
     * bits touch <= maxDist of the 8 bands), so the naive all-pairs statement
     * IS the operator's semantics — a hash match proves both the signature
     * math and that banding loses no pair. */
+  /** Full oracle for [[graft.operators.SimilarityOps.lshTopK]] (q31):
+    * replays the splitmix64 hyperplane signs (sign bit b of vector v =
+    * [sum_j ±v_j > 0] with ± = bit 0 of splitmix64(b*1000003 + j)), the
+    * banded candidate join, and the exact cosine re-rank. The sign sum is
+    * an ORDERED left-to-right double fold (list_reduce), matching the
+    * engine UDF's accumulation loop bit-for-bit; multiplying by ±1.0 is an
+    * exact IEEE sign flip. */
+  def srpLshTopKSql(
+      numBits: Int, bands: Int, dim: Int, k: Int, qidMax: Int): String = {
+    val rpb = numBits / bands
+    s"""WITH spl0 AS (
+       |  SELECT b, j, ((b::HUGEINT*1000003::HUGEINT + j::HUGEINT) + $Golden::HUGEINT) % $M64 AS x
+       |  FROM generate_series(0,${numBits - 1}) tb(b), generate_series(0,${dim - 1}) tj(j)),
+       |spl1 AS (SELECT b, j, xor(x::UBIGINT, x::UBIGINT>>30)::HUGEINT AS a FROM spl0),
+       |spl2 AS (SELECT b, j, ${mulmod("a", Mix1)} AS x FROM spl1),
+       |spl3 AS (SELECT b, j, xor(x, x>>27)::HUGEINT AS a FROM spl2),
+       |spl4 AS (SELECT b, j, ${mulmod("a", Mix2)} AS x FROM spl3),
+       |sgn AS (SELECT b, j, CASE WHEN (xor(x, x>>31) & 1::UBIGINT) = 1::UBIGINT
+       |    THEN 1.0 ELSE -1.0 END AS sg FROM spl4),
+       |sgl AS (SELECT b, list(sg ORDER BY j) AS sg FROM sgn GROUP BY b),
+       |bits AS (
+       |  SELECT e.vec_id, s.b,
+       |    CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), s.sg),
+       |          p -> p[1] * p[2])),
+       |      (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, sgl s),
+       |bnd AS (
+       |  SELECT vec_id, b // $rpb AS band,
+       |    CAST(sum(bit * (1 << (b % $rpb))) AS BIGINT) AS bandval
+       |  FROM bits GROUP BY vec_id, b // $rpb),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS id
+       |  FROM bnd q JOIN bnd c ON q.band = c.band AND q.bandval = c.bandval
+       |  WHERE q.vec_id < $qidMax
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cand.qid, cand.id,
+       |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |                           CAST(ec.embedding AS DOUBLE[])) AS cos
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.qid
+       |  JOIN embeddings ec ON ec.vec_id = cand.id),
+       |ranked AS (SELECT qid, id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM scored)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Full oracle for [[graft.operators.SimilarityOps.ivfTopK]] (q38):
+    * replays the splitmix64-of-id centroid sample (signed order, ties by
+    * id), the nearest-centroid assignment (argmax cosine, first centroid
+    * wins ties — row_number over (sim DESC, ci ASC)), the nProbe probe
+    * lists, and the exact cosine re-rank inside probed lists. */
+  def ivfTopKSql(nCentroids: Int, nProbe: Int, k: Int, qidMax: Int): String =
+    s"""WITH h0 AS (
+       |  SELECT vec_id, embedding,
+       |    (vec_id::HUGEINT + $Golden::HUGEINT) % $M64 AS x
+       |  FROM embeddings),
+       |h1 AS (SELECT vec_id, embedding, xor(x::UBIGINT, x::UBIGINT>>30)::HUGEINT AS a FROM h0),
+       |h2 AS (SELECT vec_id, embedding, ${mulmod("a", Mix1)} AS x FROM h1),
+       |h3 AS (SELECT vec_id, embedding, xor(x, x>>27)::HUGEINT AS a FROM h2),
+       |h4 AS (SELECT vec_id, embedding, ${mulmod("a", Mix2)} AS x FROM h3),
+       |hs AS (SELECT vec_id, embedding,
+       |    CASE WHEN xor(x, x>>31) >= 9223372036854775808::UBIGINT
+       |         THEN (xor(x, x>>31)::HUGEINT - $M64)::BIGINT
+       |         ELSE xor(x, x>>31)::BIGINT END AS h FROM h4),
+       |cent AS (
+       |  SELECT vec_id AS cvid, CAST(embedding AS DOUBLE[]) AS cvec,
+       |    row_number() OVER (ORDER BY h, vec_id) - 1 AS ci
+       |  FROM hs QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $nCentroids),
+       |sims AS (
+       |  SELECT e.vec_id AS id, c.ci,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT id, ci AS cid FROM (
+       |    SELECT id, ci, row_number() OVER (
+       |      PARTITION BY id ORDER BY s DESC, ci ASC) AS rn FROM sims)
+       |  WHERE rn = 1),
+       |qprobe AS (SELECT id AS qid, ci AS cid FROM (
+       |    SELECT id, ci, row_number() OVER (
+       |      PARTITION BY id ORDER BY s DESC, ci ASC) AS rn FROM sims
+       |    WHERE id < $qidMax)
+       |  WHERE rn <= $nProbe),
+       |cand AS (SELECT q.qid, a.id FROM qprobe q JOIN assign a ON a.cid = q.cid),
+       |scored AS (
+       |  SELECT cand.qid, cand.id,
+       |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |                           CAST(ec.embedding AS DOUBLE[])) AS cos
+       |  FROM cand JOIN embeddings eq ON eq.vec_id = cand.qid
+       |            JOIN embeddings ec ON ec.vec_id = cand.id),
+       |ranked AS (SELECT qid, id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM scored)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id FROM ranked
+       |WHERE rank <= $k""".stripMargin
+
   def simhashNearDupSql(maxDist: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS tok

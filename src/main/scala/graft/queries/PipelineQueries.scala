@@ -262,7 +262,7 @@ object PipelineQueries extends QuerySet {
         FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
         GROUP BY kmer HAVING count(*) >= 20""")),
 
-    // SRP-LSH approximate top-k (the ANN scale path; rows-only check,
+    // SRP-LSH approximate top-k (the ANN scale path; full DuckDB oracle,
     // recall vs q27 asserted in ScalaTest).
     Query("q31_ann_lsh",
       (s, dir) => {
@@ -273,7 +273,10 @@ object PipelineQueries extends QuerySet {
         SimilarityOps.lshTopK(q, c, 5, numBits = 16, bands = 8)
           .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
       },
-      None),
+      // full oracle: splitmix64 hyperplane signs + banding + cosine re-rank
+      // replayed in DuckDB (ordered list_reduce fold = the UDF's loop)
+      Some(HashOracleSql.srpLshTopKSql(
+        numBits = 16, bands = 8, dim = 64, k = 5, qidMax = 8))),
 
     // Embedding-cosine near-duplicate pairs, exact (id pairs only — float
     // similarity values are not engine-hashable; double-precision math on
@@ -286,7 +289,7 @@ object PipelineQueries extends QuerySet {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
 
-    // IVF approximate top-k (partition-pruned ANN; rows-only check, exact
+    // IVF approximate top-k (partition-pruned ANN; full DuckDB oracle, exact
     // equivalence to brute force at nProbe == nCentroids asserted in
     // ScalaTest).
     Query("q38_ivf_ann",
@@ -298,7 +301,10 @@ object PipelineQueries extends QuerySet {
         SimilarityOps.ivfTopK(q, c, 5, nCentroids = 32, nProbe = 8)
           .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
       },
-      None),
+      // full oracle: splitmix64 centroid sample + argmax assignment +
+      // probe lists + cosine re-rank replayed in DuckDB
+      Some(HashOracleSql.ivfTopKSql(
+        nCentroids = 32, nProbe = 8, k = 5, qidMax = 8))),
 
     // Benchmark decontamination: distinct 5-gram collisions between the
     // corpus (doc_id % 20 != 0) and a held-out "benchmark" slice
