@@ -21,6 +21,10 @@ object Pipe {
   trait InFormatter[T] extends Serializable {
     def header: Seq[String] = Seq.empty
     def format(record: T): String
+    /** Output lines for one record — override for records that serialize
+      * to several lines (interleaved FASTQ) or may be dropped (improper
+      * pairs). Default: one line via [[format]]. */
+    def formatAll(record: T): Iterator[String] = Iterator.single(format(record))
   }
 
   /** Parses the child's stdout lines back into records. */
@@ -48,7 +52,8 @@ object Pipe {
             new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
           try {
             inFormatter.header.foreach { h => w.write(h); w.newLine() }
-            it.foreach { r => w.write(inFormatter.format(r)); w.newLine() }
+            it.foreach(r => inFormatter.formatAll(r)
+              .foreach { l => w.write(l); w.newLine() })
           } finally w.close()
         }, "graft-pipe-feeder")
         feeder.setDaemon(true)
@@ -118,7 +123,8 @@ object Pipe {
             new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
           try {
             inFormatter.header.foreach { h => w.write(h); w.newLine() }
-            records.foreach { r => w.write(inFormatter.format(r)); w.newLine() }
+            records.foreach(r => inFormatter.formatAll(r)
+              .foreach { l => w.write(l); w.newLine() })
           } finally w.close()
         }, "graft-pipe-feeder")
         feeder.setDaemon(true)
@@ -218,6 +224,91 @@ object Pipe {
           samples = l.split("\t").drop(9).toSeq; Iterator.empty
         case l if l.startsWith("#") || l.isEmpty => Iterator.empty
         case l => graft.sources.VcfIO.parseLine(l, samples).iterator
+      }
+    }
+  }
+
+  // ------- Bowtie/BWA interop formatters over Fragment (reference
+  // ds/fragment/Tab5InFormatter.scala / Tab6InFormatter.scala /
+  // InterleavedFASTQInFormatter.scala; per-read field prep =
+  // AlignmentConverter.prepareFastq:250-295) -------
+
+  /** FASTQ-ready (name, sequence, quality) of one read: optional "/1"-"/2"
+    * name suffix, reverse-complement + reversed quality on the negative
+    * strand, 'B'-filled quality when unknown. */
+  private def prepFastq(
+      r: graft.model.Alignment, addSuffix: Boolean): (String, String, String) = {
+    val name0 = r.readName.getOrElse("")
+    val suffix =
+      if (addSuffix && !hasPairSuffix(name0) && r.readPaired.getOrElse(false))
+        "/" + (r.readInFragment.getOrElse(0) + 1)
+      else ""
+    val seq0 = r.sequence.getOrElse("")
+    val qual0 = r.qualityScores.filter(_ != "*").getOrElse("B" * seq0.length)
+    val neg = r.readNegativeStrand.getOrElse(false)
+    (name0 + suffix,
+      if (neg) graft.functions.GenomicFunctions.reverseComplement(seq0) else seq0,
+      if (neg) qual0.reverse else qual0)
+  }
+
+  private def hasPairSuffix(n: String): Boolean =
+    n.length > 2 && n.charAt(n.length - 2) == '/' &&
+      (n.last == '1' || n.last == '2')
+
+  private def trimPairSuffix(n: String): String =
+    if (hasPairSuffix(n)) n.dropRight(2) else n
+
+  /** Bowtie tab5 in: one line per fragment — unpaired
+    * `[name]\t[seq]\t[qual]`, paired
+    * `[trimmed name]\t[seq1]\t[qual1]\t[seq2]\t[qual2]` (suffix always
+    * trimmed; reference Tab5InFormatter + convertToTab5:383). */
+  object Tab5InFormatter extends InFormatter[graft.model.Fragment] {
+    def format(f: graft.model.Fragment): String = {
+      val reads = f.alignments.take(2)
+      val (n, s, q) = prepFastq(reads.head, addSuffix = false)
+      val first = s"${trimPairSuffix(n)}\t$s\t$q"
+      if (reads.size == 1) first
+      else {
+        val (_, s2, q2) = prepFastq(reads(1), addSuffix = false)
+        s"$first\t$s2\t$q2"
+      }
+    }
+    override def formatAll(f: graft.model.Fragment): Iterator[String] =
+      if (f.alignments.isEmpty) Iterator.empty else Iterator.single(format(f))
+  }
+
+  /** Bowtie tab6 in: like tab5 but the second end keeps its own name —
+    * `[name1]\t[seq1]\t[qual1]\t[name2]\t[seq2]\t[qual2]` (reference
+    * Tab6InFormatter + convertToTab6:353). */
+  class Tab6InFormatter(writeSuffixes: Boolean = false)
+    extends InFormatter[graft.model.Fragment] {
+    def format(f: graft.model.Fragment): String =
+      f.alignments.take(2).map { r =>
+        val (n, s, q) = prepFastq(r, addSuffix = writeSuffixes)
+        s"$n\t$s\t$q"
+      }.mkString("\t")
+    override def formatAll(f: graft.model.Fragment): Iterator[String] =
+      if (f.alignments.isEmpty) Iterator.empty else Iterator.single(format(f))
+  }
+
+  /** Interleaved FASTQ in: paired fragments only, read 1 then read 2 (the
+    * reference drops unpaired fragments and improper pairs —
+    * InterleavedFASTQInFormatter.scala:59-95). */
+  class InterleavedFastqInFormatter(writeSuffixes: Boolean = false)
+    extends InFormatter[graft.model.Fragment] {
+    def format(f: graft.model.Fragment): String = formatAll(f).mkString("\n")
+    override def formatAll(f: graft.model.Fragment): Iterator[String] = {
+      val reads = f.alignments.take(2)
+      if (reads.size < 2) Iterator.empty
+      else {
+        val sorted = reads.sortBy(_.readInFragment.getOrElse(-1))
+        if (sorted(0).readInFragment.contains(0) &&
+          sorted(1).readInFragment.contains(1)) {
+          sorted.iterator.flatMap { r =>
+            val (n, s, q) = prepFastq(r, addSuffix = writeSuffixes)
+            Iterator("@" + n, s, "+", q)
+          }
+        } else Iterator.empty // improper pair
       }
     }
   }

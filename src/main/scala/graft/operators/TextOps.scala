@@ -276,7 +276,12 @@ object TextOps {
     * (Kirsch-Mitzenmacher double hashing off fnv1a64/splitmix64, both
     * deterministic) → `bit_or` aggregation per 64-bit word → the collected
     * word array is bounded driver state (mBits/8 bytes, sized from a
-    * count() of the benchmark set, NOT from the corpus). */
+    * count() of the benchmark set, NOT from the corpus).
+    *
+    * Lifetime note: `benchGrams` stays persisted and `bcWords` broadcast as
+    * long as the RETURNED DataFrame is alive (both back the lazy verify
+    * join); a long-lived session issuing many decontamination passes should
+    * `spark.catalog.clearCache()` between them. */
   def contaminationHitsBloom(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -287,7 +292,7 @@ object TextOps {
       minHits: Int = 1,
       bitsPerGram: Int = 12,
       numProbes: Int = 5,
-      broadcastVerify: Boolean = true): DataFrame = {
+      broadcastVerify: Option[Boolean] = None): DataFrame = {
     require(bitsPerGram >= 1 && numProbes >= 1, "need >=1 bit and >=1 probe")
     val n = ngramN
     val k = numProbes
@@ -300,6 +305,10 @@ object TextOps {
     // the word table (mBits/64 longs)
     val nGrams = math.max(1L, benchGrams.count())
     val mBits = ((nGrams * bitsPerGram + 63L) / 64L) * 64L
+    require((mBits >>> 6) <= Int.MaxValue,
+      s"Bloom filter of $nGrams grams x $bitsPerGram bits/gram needs " +
+        s"${mBits >>> 6} words > Int.MaxValue; lower bitsPerGram or shard " +
+        "the benchmark set")
     val nWords = (mBits >>> 6).toInt
     val probeUdf = udf { g: String =>
       val h1 = DedupOps.fnv1a64(g)
@@ -312,14 +321,18 @@ object TextOps {
       }
       out
     }
+    // stream the word rows instead of collect(): the final long[] is
+    // mBits/8 bytes but a collect() of the Row objects would hit
+    // spark.driver.maxResultSize long before that (one boxed Row per
+    // non-zero word) — toLocalIterator holds one partition at a time
     val words = new Array[Long](nWords)
     benchGrams
       .select(explode(probeUdf(col("__g"))).as("bit"))
       .select(shiftrightunsigned(col("bit"), 6).as("word"),
         expr("shiftleft(1L, cast(bit & 63 as int))").as("mask"))
       .groupBy("word").agg(bit_or(col("mask")).as("bits"))
-      .collect()
-      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+      .toLocalIterator()
+      .forEachRemaining(r => words(r.getLong(0).toInt) = r.getLong(1))
     val bcWords = corpus.sparkSession.sparkContext.broadcast(words)
 
     val mightContain = udf { g: String =>
@@ -338,7 +351,12 @@ object TextOps {
     val survivors = corpus
       .select(col(idCol), explode(gramUdf(col(textCol))).as("__g"))
       .filter(mightContain(col("__g")))
-    val verify = if (broadcastVerify) broadcast(benchGrams) else benchGrams
+    // auto-select the verify join strategy from the measured gram count:
+    // broadcasting a 10^8+-gram benchmark set exceeds Spark's broadcast
+    // limits on exactly the scale this operator targets, so only hint
+    // broadcast when the string set plausibly fits (~32 bytes/gram heap)
+    val doBroadcast = broadcastVerify.getOrElse(nGrams <= 10L * 1000 * 1000)
+    val verify = if (doBroadcast) broadcast(benchGrams) else benchGrams
     survivors
       .join(verify, "__g")
       .groupBy(idCol)

@@ -110,7 +110,12 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val spark = session()
-    try args.toList match {
+    try run(spark, args.toSeq) finally spark.stop()
+  }
+
+  /** Command dispatch, session-agnostic (tests drive this directly). */
+  def run(spark: SparkSession, args: Seq[String]): Unit = {
+    args.toList match {
       case "transformAlignments" :: rest =>
         transformAlignments(spark, rest)
 
@@ -233,6 +238,6 @@ object Cli {
           "coverage transformVariants transformGenotypes vcf2parquet mergeShards " +
           "adam2fastq print view")
         sys.exit(2)
-    } finally spark.stop()
+    }
   }
 }

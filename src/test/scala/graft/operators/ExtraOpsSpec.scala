@@ -107,4 +107,67 @@ class ExtraOpsSpec extends SparkSpec {
     assert(got.variant.get.alternateAllele.contains("G"))
     assert(got.genotypes.head.alleles == Seq("REF", "ALT"))
   }
+
+  private def pairedFragment(
+      name: String, seq1: String, q1: String, seq2: String, q2: String,
+      neg2: Boolean = false) = Fragment(
+    name = Some(name),
+    alignments = Seq(
+      Alignment(readName = Some(name), sequence = Some(seq1),
+        qualityScores = Some(q1), readPaired = Some(true),
+        readInFragment = Some(0)),
+      Alignment(readName = Some(name), sequence = Some(seq2),
+        qualityScores = Some(q2), readPaired = Some(true),
+        readInFragment = Some(1), readNegativeStrand = Some(neg2))))
+
+  test("tab5 formatter: paired one-line, unpaired three-field, revcomp on -") {
+    val paired = pairedFragment("p1/1", "ACGT", "IIII", "GGCC", "12@4", neg2 = true)
+    // negative-strand read 2: sequence revcomp'd, quality reversed
+    assert(Pipe.Tab5InFormatter.formatAll(paired).toSeq ==
+      Seq("p1\tACGT\tIIII\tGGCC\t4@21"))
+    val unpaired = Fragment(name = Some("u1"), alignments = Seq(
+      Alignment(readName = Some("u1"), sequence = Some("TTAA"),
+        qualityScores = None)))
+    // unknown quality -> B-run of read length
+    assert(Pipe.Tab5InFormatter.formatAll(unpaired).toSeq ==
+      Seq("u1\tTTAA\tBBBB"))
+    assert(Pipe.Tab5InFormatter.formatAll(Fragment(name = Some("e"))).isEmpty)
+  }
+
+  test("tab6 formatter keeps both names and optional suffixes") {
+    val paired = pairedFragment("p2", "ACGT", "IIII", "CCGG", "FFFF")
+    assert(new Pipe.Tab6InFormatter().formatAll(paired).toSeq ==
+      Seq("p2\tACGT\tIIII\tp2\tCCGG\tFFFF"))
+    assert(new Pipe.Tab6InFormatter(writeSuffixes = true).formatAll(paired).toSeq ==
+      Seq("p2/1\tACGT\tIIII\tp2/2\tCCGG\tFFFF"))
+  }
+
+  test("interleaved FASTQ formatter emits read1 then read2, drops unpaired") {
+    val paired = pairedFragment("p3", "ACGT", "IIII", "CCGG", "FFFF")
+    assert(new Pipe.InterleavedFastqInFormatter(writeSuffixes = true)
+      .formatAll(paired).toSeq ==
+      Seq("@p3/1", "ACGT", "+", "IIII", "@p3/2", "CCGG", "+", "FFFF"))
+    // order restored when alignments arrive second-first
+    val swapped = paired.copy(alignments = paired.alignments.reverse)
+    assert(new Pipe.InterleavedFastqInFormatter()
+      .formatAll(swapped).toSeq.head == "@p3")
+    val unpaired = Fragment(name = Some("u2"), alignments = Seq(
+      Alignment(readName = Some("u2"), sequence = Some("AC"),
+        qualityScores = Some("II"))))
+    assert(new Pipe.InterleavedFastqInFormatter().formatAll(unpaired).isEmpty)
+  }
+
+  test("tab6 fragments round-trip through cat as text") {
+    implicit val fre: org.apache.spark.sql.Encoder[Fragment] =
+      Encoders.product[Fragment]
+    implicit val se: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    val frags = spark.createDataset(Seq(
+      pairedFragment("f1", "ACGT", "IIII", "CCGG", "FFFF"),
+      pairedFragment("f2", "TTTT", "@@@@", "AAAA", "HHHH")))
+    val out = Pipe.pipe(frags, Seq("cat"),
+      new Pipe.Tab6InFormatter(), Pipe.TextOutFormatter)
+    assert(out.collect().toSet == Set(
+      "f1\tACGT\tIIII\tf1\tCCGG\tFFFF",
+      "f2\tTTTT\t@@@@\tf2\tAAAA\tHHHH"))
+  }
 }

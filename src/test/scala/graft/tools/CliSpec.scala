@@ -1,0 +1,160 @@
+package graft.tools
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Every CLI command exercised end-to-end on fixture files (the reference
+  * covers its command surface in adam-cli/src/test; here each command runs
+  * through Cli.run so the dispatch, loaders and sinks are all on the
+  * tested path). */
+class CliSpec extends SparkSpec {
+
+  private def fixture(name: String, content: String): String = {
+    val p = Paths.get(tmpDir(), name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private val sam =
+    """@HD	VN:1.6	SO:unsorted
+      |@SQ	SN:chr1	LN:10000
+      |@RG	ID:rg1	SM:s1
+      |a1	0	chr1	101	60	10M	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+      |a2	0	chr1	101	60	10M	*	0	0	ACGTACGTAC	FFFFFFFFFF	RG:Z:rg1
+      |a3	0	chr1	301	60	4M2D6M	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+      |""".stripMargin
+
+  private val vcf =
+    """##fileformat=VCFv4.2
+      |##contig=<ID=chr1,length=10000>
+      |##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+      |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	s1
+      |chr1	101	rs1	A	T	50	PASS	DP=20	GT	0/1
+      |chr1	201	.	G	C	.	PASS	DP=5	GT	1/1
+      |""".stripMargin
+
+  private val bed = "chr1\t10\t100\tf1\t5\t+\nchr1\t200\t300\tf2\t7\t-\n"
+
+  private val fasta = ">chr1 test\nACGTACGTACGTACGT\nACGTACGTACGTACGT\n"
+
+  private def parquetRows(path: String): Long =
+    spark.read.parquet(path).count()
+
+  test("transformAlignments: SAM -> sorted dup-marked SAM single file") {
+    val in = fixture("in.sam", sam)
+    val out = tmpDir() + "/out.sam"
+    Cli.run(spark, Seq("transformAlignments", in, out,
+      "-mark_duplicates", "-sort", "-single"))
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.stream().filter(l => !l.startsWith("@")).count() == 3)
+    // a1/a2 same position: one is marked duplicate (flag 0x400)
+    val flags = Files.readAllLines(Paths.get(out)).stream()
+      .filter(l => !l.startsWith("@"))
+      .map[Int](l => l.split("\t")(1).toInt).toArray
+    assert(flags.count(f => (f.asInstanceOf[Int] & 0x400) != 0) == 1)
+  }
+
+  test("transformAlignments: SAM -> parquet") {
+    val in = fixture("in2.sam", sam)
+    val out = tmpDir() + "/aln.parquet"
+    Cli.run(spark, Seq("transformAlignments", in, out))
+    assert(parquetRows(out) == 3)
+  }
+
+  test("transformFeatures: BED -> GFF3 and parquet") {
+    val in = fixture("f.bed", bed)
+    val outG = tmpDir() + "/f.gff3"
+    Cli.run(spark, Seq("transformFeatures", in, outG))
+    val outP = tmpDir() + "/f.parquet"
+    Cli.run(spark, Seq("transformFeatures", in, outP))
+    assert(parquetRows(outP) == 2)
+  }
+
+  test("flagstat and print run without error") {
+    val in = fixture("fs.sam", sam)
+    Cli.run(spark, Seq("flagstat", in))
+    Cli.run(spark, Seq("print", in, "5"))
+  }
+
+  test("countKmers writes k-mer counts") {
+    val in = fixture("k.sam", sam)
+    val out = tmpDir() + "/kmers.parquet"
+    Cli.run(spark, Seq("countKmers", in, "4", out))
+    val df = spark.read.parquet(out)
+    assert(df.columns.toSet == Set("kmer", "count") && df.count() > 0)
+  }
+
+  test("coverage with -collapse writes merged depth runs") {
+    val in = fixture("c.sam", sam)
+    val out = tmpDir() + "/cov.parquet"
+    Cli.run(spark, Seq("coverage", in, out, "-collapse"))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.nonEmpty)
+    // a1+a2 overlap exactly: depth-2 run at [100,110)
+    assert(rows.exists(r => r.getAs[Number]("count").doubleValue == 2.0))
+  }
+
+  test("transformVariants / transformGenotypes / vcf2parquet") {
+    val in = fixture("v.vcf", vcf)
+    val ov = tmpDir() + "/variants.parquet"
+    Cli.run(spark, Seq("transformVariants", in, ov))
+    assert(parquetRows(ov) == 2)
+    val og = tmpDir() + "/genotypes.parquet"
+    Cli.run(spark, Seq("transformGenotypes", in, og))
+    assert(parquetRows(og) == 2)
+    val oc = tmpDir() + "/contexts.parquet"
+    Cli.run(spark, Seq("vcf2parquet", in, oc))
+    assert(parquetRows(oc) == 2)
+  }
+
+  test("mergeShards concatenates part files") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(dir, "part-00000"), "one\n")
+    Files.writeString(Paths.get(dir, "part-00001"), "two\n")
+    val out = dir + ".merged"
+    Cli.run(spark, Seq("mergeShards", dir, out))
+    assert(Files.readString(Paths.get(out)) == "one\ntwo\n")
+  }
+
+  test("countSliceKmers over FASTA") {
+    val in = fixture("s.fa", fasta)
+    val out = tmpDir() + "/skmers.parquet"
+    Cli.run(spark, Seq("countSliceKmers", in, "4", out))
+    val df = spark.read.parquet(out)
+    // ACGT repeated: 4 distinct 4-mers (ACGT CGTA GTAC TACG)
+    assert(df.count() == 4)
+  }
+
+  test("transformSequences FASTA -> parquet -> FASTA") {
+    val in = fixture("t.fa", fasta)
+    val outP = tmpDir() + "/seq.parquet"
+    Cli.run(spark, Seq("transformSequences", in, outP))
+    assert(parquetRows(outP) == 1)
+    val outF = tmpDir() + "/seq.fasta"
+    Cli.run(spark, Seq("transformSequences", outP, outF))
+    val txt = spark.read.textFile(outF).collect().mkString("\n")
+    assert(txt.contains(">chr1") && txt.contains("ACGT"))
+  }
+
+  test("transformSlices FASTA -> parquet") {
+    val in = fixture("sl.fa", fasta)
+    val out = tmpDir() + "/slices.parquet"
+    Cli.run(spark, Seq("transformSlices", in, out))
+    assert(parquetRows(out) >= 1)
+  }
+
+  test("transformFragments with -mark_duplicates") {
+    val in = fixture("fr.sam", sam)
+    val out = tmpDir() + "/frags.parquet"
+    Cli.run(spark, Seq("transformFragments", in, out, "-mark_duplicates"))
+    assert(parquetRows(out) == 3)
+  }
+
+  test("adam2fastq writes reads") {
+    val in = fixture("fq.sam", sam)
+    val out = tmpDir() + "/reads.fastq"
+    Cli.run(spark, Seq("adam2fastq", in, out))
+    val txt = spark.read.textFile(out).collect()
+    assert(txt.count(_.startsWith("@a")) == 3)
+  }
+}
