@@ -124,6 +124,22 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
     (RegionJoins.overlapJoin(toDF, broadcast(other.ds.toDF()), joinType, binSize, flank),
       meta ++ other.meta)
 
+  /** Prepare this dataset as a reusable broadcast join side — the
+    * reference's `broadcast()` → GenomicBroadcast (GD:1108): persist once,
+    * then run many [[broadcastRegionJoinAgainst]] calls without
+    * recomputing or re-shuffling this side. */
+  def prepareBroadcast(): RegionJoins.RegionBroadcast =
+    RegionJoins.prepareBroadcast(toDF)
+
+  /** Join against a previously prepared broadcast side (the reference's
+    * `*Against` family, GD:1173-1797). */
+  def broadcastRegionJoinAgainst(
+      bc: RegionJoins.RegionBroadcast,
+      joinType: String = "inner",
+      flank: Long = 0L,
+      binSize: Long = RegionJoins.DefaultBinSize): DataFrame =
+    RegionJoins.joinAgainst(toDF, bc, joinType, binSize, flank)
+
   // ----------------------------- save ------------------------------------
 
   /** Parquet save + metadata sidecars (GD:324-353, 3775-3830). The

@@ -46,6 +46,25 @@ object RegionJoins {
   private def prefixed(df: DataFrame, p: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
 
+  /** True when the caller already attached a broadcast hint anywhere under
+    * this plan (`functions.broadcast(df)` / `df.hint("broadcast")`). The
+    * join body must then NOT add its shuffle_hash hint: the nearer hint
+    * would override the broadcast and silently demote the join back to a
+    * shuffle. */
+  private def hasBroadcastHint(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, UnresolvedHint}
+    df.queryExecution.logical.collectFirst {
+      case h: ResolvedHint if h.hints.strategy.exists(
+        _.toString.toUpperCase.contains("BROADCAST")) => true
+      case UnresolvedHint(n, _, _) if Set("broadcast", "broadcastjoin",
+        "mapjoin").contains(n.toLowerCase) => true
+    }.getOrElse(false)
+  }
+
+  /** shuffle_hash unless the caller pre-hinted broadcast. */
+  private def hinted(r: DataFrame, original: DataFrame): DataFrame =
+    if (hasBroadcastHint(original)) r else r.hint("shuffle_hash")
+
   /** Overlap predicate plus the dedup condition that makes bin-replication
     * exact: a pair is emitted only from the single bin that contains the
     * larger of the two starts. */
@@ -105,15 +124,16 @@ object RegionJoins {
         // shuffle-hash beats sort-merge here: the bin key is dense and
         // uniform (no skewed build side), and SMJ would sort BOTH exploded
         // streams — the dominant cost of the join. AQE still overrides on
-        // runtime skew.
-        l.join(r.hint("shuffle_hash"), cond, "inner").drop("__bin", "__binR")
+        // runtime skew. A caller-supplied broadcast hint wins instead
+        // (broadcastRegionJoin / joinAgainst).
+        l.join(hinted(r, right), cond, "inner").drop("__bin", "__binR")
       case "left_outer" =>
         // Outer joins cannot ride the exploded copies directly (a left row
         // appears once per bin): inner join once, then re-attach miss rows
         // found via a cheap distinct-coordinate SEMI join (matching is a
         // function of coordinates only, so coords classify rows exactly;
         // this avoids recomputing the full inner join for the anti side).
-        val inner = l.join(r.hint("shuffle_hash"), cond, "inner")
+        val inner = l.join(hinted(r, right), cond, "inner")
           .drop("__bin", "__binR")
         val misses = leftMisses(left, right, binSize, flank)
         inner.unionByName(prefixed(misses, "l_"), allowMissingColumns = true)
@@ -127,7 +147,7 @@ object RegionJoins {
           col(c).as(renamed)
         }.toSeq: _*)
       case "full_outer" =>
-        val inner = l.join(r.hint("shuffle_hash"), cond, "inner")
+        val inner = l.join(hinted(r, right), cond, "inner")
           .drop("__bin", "__binR")
         val lMiss = leftMisses(left, right, binSize, flank)
         val rMiss = leftMisses(right, left, binSize, flank)
@@ -151,7 +171,7 @@ object RegionJoins {
     val rb = binned(right, binSize)
       .select(col("referenceName").as("rrn"), col("start").as("rs"),
         col("end").as("re"), col("__bin").as("__binR"))
-    val matchedCoords = cb.join(rb.hint("shuffle_hash"),
+    val matchedCoords = cb.join(hinted(rb, right),
         col("__bin") === col("__binR") && col("crn") === col("rrn") &&
           col("cs") < col("re") + flank && col("rs") < col("ce") + flank,
         "left_semi")
@@ -222,4 +242,60 @@ object RegionJoins {
       .agg(collect_list(when(col("r_" + rightStructCols.head).isNotNull, rStruct))
         .as("overlaps"))
   }
+
+  /** GroupByRight family (reference broadcastRegionJoinAndGroupByRight
+    * GD:1228-1432, rightOuterShuffleRegionJoinAndGroupByRight GD:2754-2918):
+    * each right row with the collected overlapping LEFT rows. A side-swap
+    * of [[overlapJoinGroupByLeft]], exposed explicitly because the
+    * reference ships it as a first-class API. `outer=true` keeps match-less
+    * right rows with an empty array. */
+  def overlapJoinGroupByRight(
+      left: DataFrame,
+      right: DataFrame,
+      leftStructCols: Seq[String],
+      outer: Boolean = false,
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame =
+    overlapJoinGroupByLeft(right, left, leftStructCols, outer, binSize, flank)
+
+  // --------------- pre-prepared broadcast side (`*Against`) ---------------
+
+  /** A reusable broadcast join side — the reference's GenomicBroadcast +
+    * `*Against` family (GD:1108-1797: `broadcast()` once, join many). The
+    * side is persisted, so every subsequent [[joinAgainst]] rebuilds its
+    * broadcast hash table from the cached blocks instead of recomputing
+    * the side's lineage; `destroy()` releases the blocks. */
+  final class RegionBroadcast private[operators] (val side: DataFrame) {
+    def destroy(): Unit = { side.unpersist(); () }
+  }
+
+  /** Prepare (persist + mark) a DataFrame as a reusable broadcast side. */
+  def prepareBroadcast(side: DataFrame): RegionBroadcast =
+    new RegionBroadcast(
+      side.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Overlap join against a prepared broadcast side
+    * (broadcastRegionJoinAgainst / rightOuterBroadcastRegionJoinAgainst,
+    * GD:1173,1330,1497,1727). Identical semantics to [[overlapJoin]] with
+    * `bc.side` as the right input; the broadcast hint + cached side make
+    * repeated joins skip both the side's recompute and its shuffle. */
+  def joinAgainst(
+      left: DataFrame,
+      bc: RegionBroadcast,
+      joinType: String = "inner",
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame =
+    overlapJoin(left, broadcast(bc.side), joinType, binSize, flank)
+
+  /** GroupByRight against a prepared broadcast side
+    * (broadcastRegionJoinAndGroupByRightAgainst, GD:1330-1432). */
+  def joinAgainstGroupByRight(
+      left: DataFrame,
+      bc: RegionBroadcast,
+      leftStructCols: Seq[String],
+      outer: Boolean = false,
+      binSize: Long = DefaultBinSize,
+      flank: Long = 0L): DataFrame =
+    overlapJoinGroupByLeft(broadcast(bc.side), left, leftStructCols,
+      outer, binSize, flank)
 }

@@ -105,4 +105,52 @@ class RegionJoinSpec extends SparkSpec {
     assert(binnedResult(l, empty, "left_outer", 1000L, 0L).size == 10)
     assert(binnedResult(empty, l, "right_outer", 1000L, 0L).size == 10)
   }
+
+  test("groupByRight is the mirror of groupByLeft") {
+    val l = randomIntervals(80, seed = 10, maxLen = 200)
+    val r = randomIntervals(80, seed = 11, maxLen = 200)
+    val got = RegionJoins.overlapJoinGroupByRight(
+        l, r, leftStructCols = Seq("id"), outer = true, binSize = 500L)
+      .select(col("id"), expr("transform(overlaps, x -> x.id)").as("lids"))
+      .collect()
+      .map(row => row.getLong(0) -> row.getSeq[Long](1).toSet).toMap
+    val expected = naive(l, r, "right_outer", 0L)
+      .groupBy(_._2.get)
+      .view.mapValues(_.flatMap(_._1).toSet).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"right id $k") }
+  }
+
+  test("prepared broadcast side: repeated joinAgainst, BroadcastHashJoin plan") {
+    val small = randomIntervals(40, seed = 12, maxLen = 100)
+    val bc = RegionJoins.prepareBroadcast(small)
+    try {
+      val l1 = randomIntervals(200, seed = 13, maxLen = 150)
+      val l2 = randomIntervals(200, seed = 14, maxLen = 150)
+      val j1 = RegionJoins.joinAgainst(l1, bc)
+      assert(j1.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "prepared side must broadcast")
+      val got1 = j1.select("l_id", "r_id").collect()
+        .map(row => (Option(row.get(0)).map(_.asInstanceOf[Long]),
+          Option(row.get(1)).map(_.asInstanceOf[Long]))).toSet
+      assert(got1 == naive(l1, small, "inner", 0L))
+      // second join against the SAME prepared side
+      val got2 = RegionJoins.joinAgainst(l2, bc, "left_outer")
+        .select("l_id", "r_id").collect()
+        .map(row => (Option(row.get(0)).map(_.asInstanceOf[Long]),
+          Option(row.get(1)).map(_.asInstanceOf[Long]))).toSet
+      assert(got2 == naive(l2, small, "left_outer", 0L))
+      // grouped-by-right against the prepared side
+      val grouped = RegionJoins.joinAgainstGroupByRight(
+          l1, bc, leftStructCols = Seq("id"), outer = true)
+        .select(col("id"), expr("transform(overlaps, x -> x.id)").as("lids"))
+        .collect()
+        .map(row => row.getLong(0) -> row.getSeq[Long](1).toSet).toMap
+      val expected = naive(l1, small, "right_outer", 0L)
+        .groupBy(_._2.get)
+        .view.mapValues(_.flatMap(_._1).toSet).toMap
+      assert(grouped.keySet == expected.keySet)
+      expected.foreach { case (k, v) => assert(grouped(k) == v) }
+    } finally bc.destroy()
+  }
 }
