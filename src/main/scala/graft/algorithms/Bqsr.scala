@@ -125,15 +125,96 @@ object Bqsr {
     out.result()
   }
 
-  /** Pass 1 as a DataFrame: distributed per-base observation + one
-    * map-side-combined aggregation over the covariate space (readGroup,
-    * reportedQuality, cycle, dinuc). This is the driver-gate surface
-    * (q49); [[observationTable]] collects it for the pass-2 broadcast. */
+  /** Packs (quality, cycle, dinuc chars) into one primitive key:
+    * q in bits 0-7, cycle+2^19 in bits 8-27 (reads up to ~512 kb), the two
+    * UTF-16 dinuc chars in bits 28-59. */
+  @inline private def packKey(q: Int, cycle: Int, d0: Char, d1: Char): Long =
+    ((d0.toLong << 16 | d1.toLong) << 28) |
+      ((cycle + (1 << 19)).toLong << 8) | q.toLong
+
+  /** Pass 1 as a DataFrame: per-base observation with a PARTITION-LOCAL
+    * combine before the covariate-space aggregation — the same idea as the
+    * reference's reduceByKeyLocally pass-1
+    * (BaseQualityRecalibration.scala:58-120). The inner loop is
+    * allocation-free: one specialized LongMap per (partition, readGroup),
+    * keys packed primitives — a per-base tuple-keyed HashMap (measured)
+    * spends the whole query re-hashing the readGroup string and boxing.
+    * Walk semantics are IDENTICAL to [[observeRead]] (spec asserts
+    * agreement); this is the driver-gate surface (q49) and feeds
+    * [[observationTable]]. */
   def observationDF(
       reads: Dataset[Alignment],
       isKnownSite: (String, Long) => Boolean): org.apache.spark.sql.DataFrame = {
     val fn = isKnownSite
-    reads.flatMap(r => observeRead(r, fn))
+    reads.mapPartitions { it =>
+      val byRg = new java.util.HashMap[String, scala.collection.mutable.LongMap[Array[Long]]]()
+      it.foreach { r =>
+        val seq = r.sequence.getOrElse("")
+        val quals = r.qualityScores.getOrElse("")
+        val md = r.mismatchingPositions
+        if (r.readMapped.getOrElse(false) && seq.nonEmpty && quals.nonEmpty &&
+          md.nonEmpty && r.cigar.nonEmpty) {
+          // increasing reference-space offsets -> pointer walk, no Set
+          val mmOff = GenomicFunctions.mdMismatchOffsets(md.get).toArray
+          var mi = 0
+          val refName = r.referenceName.getOrElse("")
+          val start = r.start.getOrElse(0L)
+          val neg = r.readNegativeStrand.getOrElse(false)
+          val second = r.readInFragment.exists(_ != 0)
+          val acc = byRg.computeIfAbsent(r.readGroupId.getOrElse(""),
+            _ => new scala.collection.mutable.LongMap[Array[Long]]())
+          val len = seq.length
+          var readPos = 0
+          var refOff = 0L
+          var mdOff = 0L
+          graft.model.Cigar.parse(r.cigar.get).foreach { e =>
+            e.op match {
+              case 'M' | '=' | 'X' =>
+                var k = 0
+                while (k < e.length) {
+                  val q = quals.charAt(readPos) - 33
+                  if (q >= MinQuality && !fn(refName, start + refOff)) {
+                    val cycle = cycleAt(readPos, len, neg, second)
+                    // dinuc chars exactly as dinucAt computes them
+                    var d0 = 'N'; var d1 = 'N'
+                    if (neg) {
+                      if (readPos < len - 1) {
+                        d0 = complement(seq.charAt(readPos + 1))
+                        d1 = complement(seq.charAt(readPos))
+                      }
+                    } else if (readPos > 0) {
+                      d0 = Character.toUpperCase(seq.charAt(readPos - 1))
+                      d1 = Character.toUpperCase(seq.charAt(readPos))
+                    }
+                    while (mi < mmOff.length && mmOff(mi) < mdOff) mi += 1
+                    val mm = mi < mmOff.length && mmOff(mi) == mdOff
+                    val cell = acc.getOrElseUpdate(
+                      packKey(q, cycle, d0, d1), new Array[Long](2))
+                    cell(0) += 1L
+                    if (mm) cell(1) += 1L
+                  }
+                  readPos += 1; refOff += 1; mdOff += 1; k += 1
+                }
+              case 'I' | 'S' => readPos += e.length
+              case 'D' => refOff += e.length; mdOff += e.length
+              case 'N' => refOff += e.length
+              case _ =>
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      byRg.entrySet().iterator().asScala.flatMap { rgEntry =>
+        rgEntry.getValue.iterator.map { case (key, cell) =>
+          val q = (key & 0xffL).toInt
+          val cycle = ((key >>> 8) & 0xfffffL).toInt - (1 << 19)
+          val chars = Array(((key >>> 44) & 0xffffL).toChar,
+            ((key >>> 28) & 0xffffL).toChar)
+          Observation(rgEntry.getKey, q, cycle, new String(chars),
+            cell(0), cell(1))
+        }
+      }
+    }
       .groupBy("readGroupId", "reportedQuality", "cycle", "dinuc")
       .agg(sum("observations").as("observations"), sum("mismatches").as("mismatches"))
   }

@@ -112,6 +112,42 @@ class BqsrSpec extends SparkSpec {
     assert(mm.head.cycle == 5) // stored index 4, 1-based
   }
 
+  test("observationDF fast path agrees with observeRead on varied reads") {
+    import scala.util.Random
+    val rnd = new Random(31)
+    val bases = "ACGTN"
+    val reads = (0 until 120).map { i =>
+      val len = 8 + rnd.nextInt(24)
+      val seq = (0 until len).map(_ => bases(rnd.nextInt(5))).mkString
+      val quals = (0 until len).map(_ => (33 + rnd.nextInt(45)).toChar).mkString
+      val mmAt = rnd.nextInt(len)
+      val md = if (i % 3 == 0) s"$len" else s"${mmAt}G${len - mmAt - 1}"
+      val cigar =
+        if (i % 5 == 0 && len > 10) s"${len / 2}M2D${len - len / 2}M"
+        else if (i % 7 == 0 && len > 10) s"3S${len - 3}M"
+        else s"${len}M"
+      Alignment(readName = Some(s"r$i"), referenceName = Some("chr" + (i % 2)),
+        start = Some(rnd.nextInt(5000).toLong),
+        cigar = Some(cigar), sequence = Some(seq), qualityScores = Some(quals),
+        readMapped = Some(i % 11 != 0),
+        readNegativeStrand = Some(i % 2 == 0),
+        readPaired = Some(true), readInFragment = Some(i % 3 % 2),
+        readGroupId = Some("rg" + (i % 3)),
+        mismatchingPositions = Some(md))
+    }
+    val ds = spark.createDataset(reads)
+    val mask = Bqsr.SnpMask(Seq(("chr0", 100L), ("chr1", 200L)))
+    val fn = (ref: String, pos: Long) => mask.contains(ref, pos)
+    val fast = Bqsr.observationDF(ds, fn).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    val slow = ds.collect().toSeq.flatMap(r => Bqsr.observeRead(r, fn))
+      .groupBy(o => (o.readGroupId, o.reportedQuality, o.cycle, o.dinuc))
+      .view.mapValues(os =>
+        (os.map(_.observations).sum, os.map(_.mismatches).sum)).toMap
+    assert(fast == slow)
+  }
+
   test("recalibration moves quality toward empirical rate") {
     // all bases quality 40 ('I') but half the reads mismatch everywhere:
     // empirical quality should drop well below 40
