@@ -1,0 +1,162 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import graft.model.Alignment
+import graft.operators.{AlignmentOps, CoverageOps, DedupOps, RegionJoins,
+  SamplingOps, SimilarityOps, TextOps}
+
+/** Java / Python (py4j) facade — the analog of the reference's
+  * adam-apis JavaADAMContext + adam-python ds.py surface
+  * (adam-apis/src/main/scala/org/bdgenomics/adam/api/java/
+  * JavaADAMContext.scala, adam-python/bdgenomics/adam/ds.py:49).
+  *
+  * Everything here is a STATIC method taking and returning DataFrames with
+  * explicit (non-default, non-Option) arguments, so it is directly callable
+  * from Java and from PySpark through the py4j gateway:
+  *
+  * {{{
+  * # PySpark
+  * ja = spark._jvm.graft.api.JavaApi
+  * reads = DataFrame(ja.loadAlignments(spark._jsparkSession, "in.bam"), spark)
+  * deduped = DataFrame(ja.markDuplicates(reads._jdf), spark)
+  * }}}
+  *
+  * The typed Scala API (GenomicDataset, operators) remains the primary
+  * surface; this file only removes the Scala-isms from the call boundary.
+  */
+object JavaApi {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  private def asAlignments(df: DataFrame): Dataset[Alignment] =
+    df.as[Alignment]
+
+  // ------------------------------ loaders ---------------------------------
+
+  /** Extension-dispatched alignment load (SAM/BAM/CRAM/parquet). */
+  def loadAlignments(spark: SparkSession, path: String): DataFrame =
+    graft.tools.Cli.loadAlignments(spark, path).toDF
+
+  def loadFeatures(spark: SparkSession, path: String): DataFrame =
+    graft.sources.FeatureIO.readFeatures(spark, path).toDF()
+
+  def loadVariants(spark: SparkSession, path: String): DataFrame =
+    graft.sources.VcfIO.readVariants(spark, path).toDF
+
+  def loadGenotypes(spark: SparkSession, path: String): DataFrame =
+    graft.sources.VcfIO.readGenotypes(spark, path).toDF
+
+  // --------------------------- read operators -----------------------------
+
+  def markDuplicates(alignments: DataFrame): DataFrame =
+    AlignmentOps.markDuplicates(asAlignments(alignments)).toDF()
+
+  def flagStat(alignments: DataFrame): DataFrame =
+    AlignmentOps.flagStat(asAlignments(alignments))
+
+  def countKmers(alignments: DataFrame, k: Int): DataFrame =
+    AlignmentOps.countKmers(asAlignments(alignments), k)
+
+  def toCoverage(alignments: DataFrame): DataFrame =
+    AlignmentOps.toCoverage(asAlignments(alignments)).toDF()
+
+  def collapseCoverage(coverage: DataFrame): DataFrame =
+    CoverageOps.collapse(coverage)
+
+  def binQualities(alignments: DataFrame): DataFrame =
+    AlignmentOps.binQualities(asAlignments(alignments),
+      Seq((0, 20, 10), (20, 30, 25), (30, 60, 37))).toDF()
+
+  // ------------------------------- joins ----------------------------------
+
+  /** Binned interval-overlap join; joinType one of
+    * inner/left_outer/right_outer/full_outer. */
+  def regionJoin(left: DataFrame, right: DataFrame, joinType: String): DataFrame =
+    RegionJoins.overlapJoin(left, right, joinType)
+
+  def regionJoinFlanked(
+      left: DataFrame, right: DataFrame, joinType: String, flank: Long): DataFrame =
+    RegionJoins.overlapJoin(left, right, joinType,
+      RegionJoins.DefaultBinSize, flank)
+
+  def broadcastRegionJoin(
+      left: DataFrame, right: DataFrame, joinType: String): DataFrame =
+    RegionJoins.overlapJoin(left,
+      org.apache.spark.sql.functions.broadcast(right), joinType)
+
+  def overlapCounts(left: DataFrame, right: DataFrame): DataFrame =
+    RegionJoins.overlapCounts(left, right)
+
+  // ------------------- training-data pipeline operators -------------------
+
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    DedupOps.exactDuplicates(docs, idCol, textCol)
+
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    DedupOps.dropExactDuplicates(docs, idCol, textCol)
+
+  def minhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame =
+    DedupOps.minhashNearDuplicates(docs, idCol, textCol,
+      numHashes, shingleN, bands, threshold)
+
+  def simhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame =
+    DedupOps.simhashNearDuplicates(docs, idCol, textCol, maxDist)
+
+  def jaccardSimilarityJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame =
+    DedupOps.jaccardSimilarityJoin(docs, idCol, textCol, shingleN, threshold)
+
+  /** Connected components over (id_a, id_b) duplicate pairs. */
+  def clusterDuplicates(pairs: DataFrame): DataFrame =
+    DedupOps.clusterDuplicates(pairs)
+
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    SimilarityOps.bruteForceTopK(queries, corpus, k)
+
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numBits: Int, bands: Int): DataFrame =
+    SimilarityOps.lshTopK(queries, corpus, k, numBits, bands)
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame =
+    SimilarityOps.ivfTopK(queries, corpus, k, nCentroids, nProbe)
+
+  def cosineNearDuplicates(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    SimilarityOps.cosineNearDuplicates(vectors, idCol, vecCol, threshold)
+
+  def qualityFilter(docs: DataFrame, textCol: String, minScore: Double): DataFrame =
+    docs.filter(TextOps.qualityScore(
+      org.apache.spark.sql.functions.col(textCol)) >= minScore)
+
+  def langId(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("pred_lang",
+      TextOps.langId(org.apache.spark.sql.functions.col(textCol)))
+
+  def redactPii(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      TextOps.redactPii(org.apache.spark.sql.functions.col(textCol)))
+
+  def packTokenSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, orderCol: String): DataFrame =
+    TextOps.packTokenSpans(docs, idCol, textCol, seqLen, orderCol)
+
+  /** Deterministic hash-Bernoulli stratified sample: `rates` maps stratum
+    * value to keep-rate (java.util.Map for py4j/Java callers). */
+  def stratifiedSample(
+      docs: DataFrame, strataCol: String, keyCol: String,
+      rates: java.util.Map[String, Double], defaultRate: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    SamplingOps.stratifiedSample(docs, strataCol, keyCol,
+      rates.asScala.toMap, defaultRate)
+  }
+}
