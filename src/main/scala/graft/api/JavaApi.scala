@@ -150,6 +150,14 @@ object JavaApi {
       seqLen: Int, orderCol: String): DataFrame =
     TextOps.packTokenSpans(docs, idCol, textCol, seqLen, orderCol)
 
+  def extractImageFeatures(media: DataFrame): DataFrame =
+    graft.operators.MultimodalOps.extractImageFeatures(media)
+
+  def extractAudioFeatures(
+      media: DataFrame, windowSamples: Int, hopSamples: Int): DataFrame =
+    graft.operators.MultimodalOps.extractAudioFeatures(
+      media, windowSamples, hopSamples)
+
   /** Deterministic hash-Bernoulli stratified sample: `rates` maps stratum
     * value to keep-rate (java.util.Map for py4j/Java callers). */
   def stratifiedSample(

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
 case class MediaFeatureRow(
     media_id: Long, mean_intensity: Double, histogram: Array[Long])
 
+/** Output row of [[MultimodalOps.extractAudioFeatures]] (one per window). */
+case class AudioFeatureRow(
+    media_id: Long, window: Int, rms: Double, zero_crossing_rate: Double)
+
 object MultimodalOps {
 
   /** Typed metadata carried with each media payload. */
@@ -39,6 +43,15 @@ object MultimodalOps {
   /** Deterministic fake decode: "pixels" derived from payload bytes. Stands
     * in for a real image decoder; deterministic so tests can assert. */
   object StubDecoder {
+    /** Deterministic fake PCM decode: signed bytes → [-1,1) samples. */
+    def decodePcm(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return Array.empty
+      val out = new Array[Float](payload.length)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i) / 128.0f; i += 1 }
+      out
+    }
+
     def decodeGray8(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
       val out = new Array[Float](w * h)
       var i = 0
@@ -128,6 +141,47 @@ object MultimodalOps {
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media.select(col("media_id"),
       posexplode(split_part_bytes(col("payload"), n)).as(Seq("frame_idx", "frame")))
+
+  /** Audio decode + windowed feature extraction, batched per partition.
+    * The PCM decode is the [[StubDecoder]] fake (payload bytes → [-1,1]
+    * samples); everything around it — per-window RMS energy and
+    * zero-crossing rate, window/hop framing, output schema — is the real
+    * operator shape a production audio featurizer (mapInPandas over
+    * librosa/torchaudio batches) plugs into. One output row per
+    * (media_id, window). */
+  def extractAudioFeatures(
+      media: DataFrame, windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[AudioFeatureRow] =
+      Encoders.product[AudioFeatureRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        // per-partition codec init happens here, once per batch
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val pcm = StubDecoder.decodePcm(payload)
+          val nWin =
+            if (pcm.length < windowSamples) 0
+            else (pcm.length - windowSamples) / hopSamples + 1
+          (0 until nWin).iterator.map { w =>
+            val off = w * hopSamples
+            var sumSq = 0.0
+            var crossings = 0
+            var i = 0
+            while (i < windowSamples) {
+              val s = pcm(off + i)
+              sumSq += s.toDouble * s.toDouble
+              if (i > 0 && (s >= 0f) != (pcm(off + i - 1) >= 0f)) crossings += 1
+              i += 1
+            }
+            AudioFeatureRow(id, w,
+              math.sqrt(sumSq / windowSamples),
+              crossings.toDouble / (windowSamples - 1))
+          }
+        }
+      }.toDF()
+  }
 
   /** Helper: split a binary column into n roughly equal slices. */
   private def split_part_bytes(payload: org.apache.spark.sql.Column, n: Int) = {

@@ -52,4 +52,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(frames.map(_.length).sum == 64)
     assert(frames(0).head == 0.toByte && frames(3).last == 63.toByte)
   }
+
+  test("extractAudioFeatures: window count, silence RMS, alternating ZCR") {
+    import spark.implicits._
+    // media 1: 96 bytes of silence; media 2: alternating +64/-64 square wave
+    val silent = Array.fill[Byte](96)(0)
+    val square = Array.tabulate[Byte](96)(i => if (i % 2 == 0) 64 else -64)
+    val media = Seq((1L, silent), (2L, square)).toDF("media_id", "payload")
+    val feats = MultimodalOps
+      .extractAudioFeatures(media, windowSamples = 32, hopSamples = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // (96 - 32) / 16 + 1 = 5 windows per media
+    assert(feats.keySet == (for (m <- 1L to 2L; w <- 0 until 5) yield (m, w)).toSet)
+    assert(feats((1L, 0))._1 == 0.0) // silence: zero RMS
+    assert(feats((1L, 0))._2 == 0.0) // silence: sign never flips (>=0)
+    assert(math.abs(feats((2L, 0))._1 - 0.5) < 1e-9) // |64/128| = 0.5 RMS
+    assert(feats((2L, 0))._2 == 1.0) // flips every sample
+    // too-short payload yields no windows
+    val none = MultimodalOps.extractAudioFeatures(
+      Seq((3L, Array.fill[Byte](10)(1))).toDF("media_id", "payload"),
+      windowSamples = 32, hopSamples = 16)
+    assert(none.count() == 0)
+  }
 }
