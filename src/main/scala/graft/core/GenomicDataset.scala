@@ -44,6 +44,21 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
   def transmute[U](fn: Dataset[T] => Dataset[U])(implicit e: Encoder[U]): GenomicDataset[U] =
     GenomicDataset(fn(ds), meta)
 
+  /** Pipe records through an external command per partition (reference
+    * GenomicDataset.pipe GD:786-917); formatter pairs live in
+    * [[graft.operators.Pipe]] (SAM/BED/GFF3/FASTA/FASTQ/VCF/text +
+    * tab5/tab6/interleaved-FASTQ). */
+  def pipe[U](
+      command: Seq[String],
+      inFormatter: graft.operators.Pipe.InFormatter[T],
+      outFormatter: graft.operators.Pipe.OutFormatter[U],
+      environment: Map[String, String] = Map.empty)(
+      implicit e: Encoder[U]): GenomicDataset[U] =
+    GenomicDataset(
+      graft.operators.Pipe.pipe(ds, command, inFormatter, outFormatter,
+        environment),
+      meta)
+
   // ------------------------- region filters ------------------------------
 
   /** Region filter as a pushed-down column predicate

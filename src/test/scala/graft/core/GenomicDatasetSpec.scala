@@ -132,4 +132,14 @@ class GenomicDatasetSpec extends SparkSpec {
     assert(joined.filter(col("l_featureId") === col("r_featureId")).count() == 10)
     assert(m.sequences.records.length == 3)
   }
+
+  test("pipe through cat keeps records and metadata") {
+    import graft.operators.Pipe
+    val gd = GenomicDataset(spark.createDataset(features(8)), meta)
+    val out = gd.pipe[Feature](Seq("cat"),
+      Pipe.BedInFormatter, Pipe.BedOutFormatter)
+    assert(out.ds.collect().flatMap(_.start).toSet ==
+      gd.ds.collect().flatMap(_.start).toSet)
+    assert(out.meta.sequences.records.length == 3)
+  }
 }
