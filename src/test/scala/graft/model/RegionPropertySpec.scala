@@ -14,6 +14,11 @@ object RegionPropertySpec extends Properties("ReferenceRegion") {
     width <- Gen.choose(1L, 200L)
   } yield ReferenceRegion(ref, start, start + width)
 
+  private val genStranded: Gen[ReferenceRegion] = for {
+    r <- genRegion
+    s <- Gen.oneOf(Strand.Forward, Strand.Reverse, Strand.Independent)
+  } yield r.copy(strand = s)
+
   property("overlap symmetric; overlap implies same contig") =
     forAll(genRegion, genRegion) { (a, b) =>
       a.overlaps(b) == b.overlaps(a) &&
@@ -56,6 +61,21 @@ object RegionPropertySpec extends Properties("ReferenceRegion") {
       a.distance(b) == b.distance(a) &&
         (!a.overlaps(b) || a.distance(b).contains(0L)) &&
         (!a.isAdjacent(b) || a.distance(b).contains(1L))
+    }
+
+  property("stranded laws: overlaps = sameStrand && covers; distances consistent") =
+    forAll(genStranded, genStranded) { (a, b) =>
+      val strandOk = a.overlaps(b) == (a.strand == b.strand && a.covers(b))
+      val coversSym = a.covers(b) == b.covers(a)
+      val unstrandedSym = a.unstrandedDistance(b) == b.unstrandedDistance(a)
+      // stranded distance defined only on same strand; equals unstranded there
+      val distLaw =
+        if (a.strand == b.strand) a.distance(b) == a.unstrandedDistance(b)
+        else a.distance(b).isEmpty
+      // unstranded distance 0 exactly when the intervals share a base
+      val zeroLaw = (a.referenceName != b.referenceName) ||
+        (a.unstrandedDistance(b).contains(0L) == a.covers(b))
+      strandOk && coversSym && unstrandedSym && distLaw && zeroLaw
     }
 
   property("pad contains original; width grows by both pads") =
