@@ -167,12 +167,24 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
     if (sorted) Sidecars.writeSortedFlag(spark, path)
   }
 
-  /** Hive-partitioned layout (referenceName, positionBin) — identical
-    * mechanics to the reference, which itself uses Spark SQL here
-    * (GD:380-394). Partition pruning on load is native. */
+  /** Hive-partitioned layout (referenceName, positionBin) — same layout as
+    * the reference (GD:380-394) with two write-side fixes that matter at
+    * 100 TB:
+    *  - repartition on the partition columns BEFORE partitionBy: without
+    *    it every task writes a part-file into every hive partition it
+    *    touches (tasks × bins small files — millions at cluster scale);
+    *    with it each (referenceName, positionBin) is owned by one task and
+    *    writes one consolidated file. A pathologically hot bin is bounded
+    *    by binSize of genome; lower binSize if one bin's rows exceed a
+    *    task.
+    *  - sortWithinPartitions on start: parquet row-group min/max stats
+    *    become tight, so start-range scans prune row groups inside each
+    *    bin file, not just whole partitions. */
   def saveAsPartitionedParquet(path: String, binSize: Long = 1000000L): Unit = {
     toDF
       .withColumn("positionBin", floor(col("start") / binSize))
+      .repartition(col("referenceName"), col("positionBin"))
+      .sortWithinPartitions(col("referenceName"), col("positionBin"), col("start"))
       .write.mode("overwrite")
       .partitionBy("referenceName", "positionBin")
       .parquet(path)

@@ -54,6 +54,16 @@ class GenomicDatasetSpec extends SparkSpec {
     val got = pruned.ds.collect().map(_.featureId.get).toSet
     // chr1 features: f0 (0-50), f3 (300-350), f6 (600-650)...
     assert(got == Set("f0", "f3"))
+    // write consolidation: one task owns each (referenceName, positionBin)
+    // -> exactly one part file per hive partition directory
+    val binDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("referenceName="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("positionBin="))
+    assert(binDirs.nonEmpty)
+    binDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+    }
   }
 
   test("filterByOverlappingRegion pushes a plain predicate") {
