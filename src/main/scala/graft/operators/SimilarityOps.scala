@@ -57,22 +57,51 @@ object SimilarityOps {
       .select(col(qid), col("rank"), col(id), col("cosine"))
   }
 
-  /** Signed-random-projection (hyperplane) LSH signature: `numBits` sign
-    * bits of projections onto deterministic pseudo-random planes
-    * (plane component r_{b,j} derived from splitmix64 — reproducible
-    * everywhere). */
-  def srpSignature(numBits: Int): Column => Column = {
-    val nb = numBits
-    val f = udf { v: Seq[Float] =>
+  /** Per-executor cache of the ±1 hyperplane sign table: sign(b, j) = bit 0
+    * of splitmix64(b*1000003 + j). Deterministic, so precomputing per
+    * executor (instead of re-hashing numBits × dim per ROW) changes nothing
+    * numerically — the signature loop becomes table reads + adds. Grows to
+    * the largest dim seen; rebuilds are idempotent so racing threads are
+    * harmless. */
+  private final class SrpSignTable(nb: Int) extends Serializable {
+    // (stride, signs) published together — racing rebuilds are idempotent
+    @transient @volatile private var cached: (Int, Array[Boolean]) = _
+    private def tableFor(d: Int): (Int, Array[Boolean]) = {
+      var c = cached
+      if (c == null || c._1 < d) {
+        val t = new Array[Boolean](nb * d)
+        var b = 0
+        while (b < nb) {
+          var j = 0
+          while (j < d) {
+            t(b * d + j) =
+              (DedupOps.splitmix64(b.toLong * 1000003L + j) & 1L) == 1L
+            j += 1
+          }
+          b += 1
+        }
+        c = (d, t)
+        cached = c
+      }
+      c
+    }
+    def signature(v: Seq[Float]): Long = {
+      val n = v.length
+      val a: Array[Float] = v match {
+        case w: scala.collection.immutable.ArraySeq[_]
+          if w.unsafeArray.isInstanceOf[Array[Float]] =>
+          w.unsafeArray.asInstanceOf[Array[Float]]
+        case _ => v.toArray
+      }
+      val (stride, t) = tableFor(n)
       var sig = 0L
       var b = 0
       while (b < nb) {
         var s = 0.0
+        val row = b * stride
         var j = 0
-        while (j < v.length) {
-          // pseudo-random ±1 plane component from (b, j)
-          val h = DedupOps.splitmix64(b.toLong * 1000003L + j)
-          s += (if ((h & 1L) == 1L) v(j) else -v(j))
+        while (j < n) {
+          s += (if (t(row + j)) a(j) else -a(j))
           j += 1
         }
         if (s > 0) sig |= (1L << b)
@@ -80,6 +109,15 @@ object SimilarityOps {
       }
       sig
     }
+  }
+
+  /** Signed-random-projection (hyperplane) LSH signature: `numBits` sign
+    * bits of projections onto deterministic pseudo-random planes
+    * (plane component r_{b,j} derived from splitmix64 — reproducible
+    * everywhere; replayed bit-for-bit by HashOracleSql.srpLshTopKSql). */
+  def srpSignature(numBits: Int): Column => Column = {
+    val holder = new SrpSignTable(numBits)
+    val f = udf { v: Seq[Float] => holder.signature(v) }
     f.apply(_)
   }
 
