@@ -96,6 +96,75 @@ object DedupOps {
     f.apply(_)
   }
 
+  /** Per-document MinHash signature table (id, sig) — the persistable LSH
+    * index: compute once over a corpus (write it as parquet), then probe it
+    * with [[minhashNearDuplicatesAgainst]] for each incoming batch. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, shingleN: Int = 3): DataFrame = {
+    val sig = minhashSignature(numHashes, shingleN)
+    docs.select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
+  }
+
+  /** Banded explode of a signature table: (id, sig, band, bandHash). */
+  private def bandedSignatures(
+      signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    signed.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit("band"), lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+  }
+
+  /** Compiled-loop signature agreement count (zip_with/aggregate are
+    * CodegenFallback — interpreted per element — so a tight loop over the
+    * two long arrays is the fast path inside pair joins). */
+  private val agreeUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+    var n = 0
+    var i = 0
+    val m = math.min(x.length, y.length)
+    while (i < m) { if (x(i) == y(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** Near-duplicates of `incoming` documents AGAINST an existing signature
+    * index (from [[minhashSignatures]], typically loaded from parquet) —
+    * the incremental-ingest shape of [[minhashNearDuplicates]]: the corpus
+    * is never re-signed and never self-joined; each batch signs only
+    * itself and probes the banded index. Output (incoming_id, corpus_id,
+    * est_jaccard), est >= threshold; pairs where the same id appears on
+    * both sides are excluded. At 100 TB the index is the big side: the
+    * band join shuffles it once per batch (or zero times if the index is
+    * stored bucketed by bandHash), while the batch side is tiny. */
+  def minhashNearDuplicatesAgainst(
+      incoming: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleN: Int = 3,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newBanded = bandedSignatures(
+      minhashSignatures(incoming, idCol, textCol, numHashes, shingleN),
+      numHashes, bands)
+      .select(col("id").as("id_new"), col("sig").as("sig_new"),
+        col("band").as("band_new"), col("bandHash").as("bh_new"))
+    val idxBanded = bandedSignatures(index, numHashes, bands)
+      .select(col("id").as("id_idx"), col("sig").as("sig_idx"),
+        col("band").as("band_idx"), col("bandHash").as("bh_idx"))
+    idxBanded.join(broadcast(newBanded),
+        col("bh_idx") === col("bh_new") && col("band_idx") === col("band_new") &&
+          col("id_idx") =!= col("id_new"))
+      .withColumn("est_jaccard",
+        agreeUdf(col("sig_new"), col("sig_idx")).cast("double") / numHashes)
+      .groupBy(col("id_new").as("incoming_id"), col("id_idx").as("corpus_id"))
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Candidate near-duplicate pairs via banded MinHash-LSH, verified with
     * the signature-agreement estimate of Jaccard similarity.
     *
@@ -111,43 +180,26 @@ object DedupOps {
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minhashSignature(numHashes, shingleN)
-
-    val signed = docs
-      .select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
     // band key = hash of the band's rows; explode → one shuffle on band key.
-    val banded = signed.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit("band"), lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
-      .withColumnRenamed("col", "bandHash")
+    val banded = bandedSignatures(
+      minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
+      numHashes, bands)
 
     // distinct column names on the two sides: a self-join on `bandHash ===
     // bandHash` resolves both references to the SAME attribute, Spark drops
     // it as trivially true, and the join degenerates to per-band all-pairs.
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("pos").as("band_a"), col("bandHash").as("bh_a"))
+      col("band").as("band_a"), col("bandHash").as("bh_a"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("pos").as("band_b"), col("bandHash").as("bh_b"))
+      col("band").as("band_b"), col("bandHash").as("bh_b"))
     // estimate at the band-match site (signatures in hand), THEN dedup
     // multi-band hits on narrow (id, id, est) rows — the signature arrays
     // are never shuffled
-    // tight-loop signature agreement: zip_with/aggregate are
-    // CodegenFallback (interpreted per element) — a compiled loop over the
-    // two long arrays is the fast path inside the pair join
-    val agree = udf { (x: Seq[Long], y: Seq[Long]) =>
-      var n = 0
-      var i = 0
-      val m = math.min(x.length, y.length)
-      while (i < m) { if (x(i) == y(i)) n += 1; i += 1 }
-      n
-    }
     a.join(b.hint("shuffle_hash"),
         col("bh_a") === col("bh_b") && col("band_a") === col("band_b") &&
           col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
-        agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+        agreeUdf(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")

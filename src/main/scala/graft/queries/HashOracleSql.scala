@@ -158,6 +158,30 @@ object HashOracleSql {
     * bits touch <= maxDist of the 8 bands), so the naive all-pairs statement
     * IS the operator's semantics — a hash match proves both the signature
     * math and that banding loses no pair. */
+  /** Full oracle for DedupOps.minhashNearDuplicatesAgainst (q51): incoming
+    * slice (doc_id % incomingMod == 0) probed against the signatures of the
+    * remaining corpus — banding restated as band-slice equality over the
+    * replayed signatures, exactly like [[minhashNearDupSql]]. */
+  def minhashAgainstSql(
+      numHashes: Int, shingleN: Int, bands: Int,
+      threshold: Double, incomingMod: Int): String = {
+    val rows = numHashes / bands
+    s"""WITH ${minhashSigCtes(numHashes, shingleN)},
+       |pairs AS (
+       |  SELECT a.doc_id AS incoming_id, b.doc_id AS corpus_id,
+       |         a.sig AS sa, b.sig AS sb
+       |  FROM allsig a, allsig b
+       |  WHERE a.doc_id % $incomingMod = 0 AND b.doc_id % $incomingMod <> 0),
+       |banded AS (
+       |  SELECT incoming_id, corpus_id,
+       |    len(list_filter(generate_series(0,${bands - 1}),
+       |        k -> sa[$rows*k+1:$rows*k+$rows] = sb[$rows*k+1:$rows*k+$rows])) > 0 AS shares,
+       |    len(list_filter(generate_series(1,$numHashes), i -> sa[i] = sb[i])) / $numHashes.0 AS est_jaccard
+       |  FROM pairs)
+       |SELECT incoming_id, corpus_id, est_jaccard FROM banded
+       |WHERE shares AND est_jaccard >= $threshold""".stripMargin
+  }
+
   /** Full oracle for [[graft.operators.SimilarityOps.lshTopK]] (q31):
     * replays the splitmix64 hyperplane signs (sign bit b of vector v =
     * [sum_j ±v_j > 0] with ± = bit 0 of splitmix64(b*1000003 + j)), the

@@ -145,6 +145,26 @@ object PipelineQueries extends QuerySet {
       Some(HashOracleSql.minhashNearDupSql(
         numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5))),
 
+    // Incremental MinHash dedup: a small incoming batch (doc_id % 7 == 0)
+    // probed against the signature INDEX of the remaining corpus — the
+    // streaming-ingest shape (corpus never re-signed or self-joined). The
+    // oracle replays the signatures and restates banding as band-slice
+    // equality, like q28.
+    Query("q51_minhash_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") % 7 === 0)
+        val index = DedupOps.minhashSignatures(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          numHashes = 64, shingleN = 3)
+        DedupOps.minhashNearDuplicatesAgainst(incoming, index,
+          "doc_id", "text", numHashes = 64, shingleN = 3,
+          bands = 16, threshold = 0.5)
+      },
+      Some(HashOracleSql.minhashAgainstSql(
+        numHashes = 64, shingleN = 3, bands = 16,
+        threshold = 0.5, incomingMod = 7))),
+
     // SimHash near-duplicates by Hamming distance. The 8x8-bit banding is
     // complete for maxDist < 8, so the oracle is the naive all-pairs
     // statement of the exact signature math.

@@ -61,6 +61,38 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("minhashNearDuplicatesAgainst == self-join restricted to cross-slice") {
+    import scala.util.Random
+    val rnd = new Random(17)
+    // clusters of near-identical docs spread across both slices + noise
+    val rows = (0 until 5).flatMap { g =>
+      val base = (1 to 40).map(_ => s"t${rnd.nextInt(60)}")
+      (0 until 3).map { m =>
+        val words = if (m == 0) base else base.updated(rnd.nextInt(40), s"x$m")
+        (g * 10L + m, words.mkString(" "))
+      }
+    } ++ (100L until 115L).map(i =>
+      (i, (1 to 40).map(_ => s"n${rnd.nextInt(5000)}").mkString(" ")))
+    val d = docs(rows: _*)
+    val incoming = d.filter(col("doc_id") % 2 === 0)
+    val corpus = d.filter(col("doc_id") % 2 =!= 0)
+    val index = DedupOps.minhashSignatures(corpus, "doc_id", "text", 64, 2)
+    val got = DedupOps.minhashNearDuplicatesAgainst(
+        incoming, index, "doc_id", "text", 64, 2, bands = 16, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the self-join over everything, keeping (even, odd) pairs
+    val self = DedupOps.minhashNearDuplicates(
+        d, "doc_id", "text", 64, 2, bands = 16, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = self.flatMap { case (a, b, e) =>
+      Seq((a, b, e), (b, a, e)) // against output is (incoming, corpus)
+    }.filter { case (i, c, _) => i % 2 == 0 && c % 2 != 0 }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "clusters must straddle the slices")
+  }
+
   test("minhash estimate approximates true jaccard") {
     // 80 shared + 20 distinct shingle-words each side
     val shared = (1 to 80).map(i => s"w$i")
