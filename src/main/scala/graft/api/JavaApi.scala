@@ -111,6 +111,33 @@ object JavaApi {
       shingleN: Int, threshold: Double): DataFrame =
     DedupOps.jaccardSimilarityJoin(docs, idCol, textCol, shingleN, threshold)
 
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame =
+    DedupOps.minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+
+  def minhashNearDuplicatesAgainst(
+      incoming: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame =
+    DedupOps.minhashNearDuplicatesAgainst(incoming, index, idCol, textCol,
+      numHashes, shingleN, bands, threshold)
+
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    DedupOps.simhashSignatures(docs, idCol, textCol)
+
+  def simhashNearDuplicatesAgainst(
+      incoming: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame =
+    DedupOps.simhashNearDuplicatesAgainst(incoming, index, idCol, textCol, maxDist)
+
+  def srpSignatures(corpus: DataFrame, numBits: Int): DataFrame =
+    SimilarityOps.srpSignatures(corpus, numBits)
+
+  def lshTopKAgainst(
+      queries: DataFrame, signedCorpus: DataFrame, k: Int,
+      numBits: Int, bands: Int): DataFrame =
+    SimilarityOps.lshTopKAgainst(queries, signedCorpus, k, numBits, bands)
+
   /** Connected components over (id_a, id_b) duplicate pairs. */
   def clusterDuplicates(pairs: DataFrame): DataFrame =
     DedupOps.clusterDuplicates(pairs)

@@ -230,6 +230,42 @@ object DedupOps {
     f.apply(_)
   }
 
+  /** Per-document 64-bit SimHash table (id, sig) — persistable index for
+    * [[simhashNearDuplicatesAgainst]]. */
+  def simhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+
+  /** Near-duplicates of `incoming` against an existing SimHash index —
+    * the incremental shape: the corpus is never re-signed or self-joined.
+    * Output (incoming_id, corpus_id, hamming), hamming <= maxDist; same-id
+    * pairs excluded. */
+  def simhashNearDuplicatesAgainst(
+      incoming: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 8, "8x8-bit banding is complete only for maxDist < 8")
+    def banded(signed: DataFrame) = signed.select(col("id"), col("sig"),
+      posexplode(array((0 until 8).map(b =>
+        shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)))
+    val newBanded = banded(simhashSignatures(incoming, idCol, textCol))
+      .select(col("id").as("id_new"), col("sig").as("sig_new"),
+        col("pos").as("band_new"), col("col").as("bv_new"))
+    val idxBanded = banded(index)
+      .select(col("id").as("id_idx"), col("sig").as("sig_idx"),
+        col("pos").as("band_idx"), col("col").as("bv_idx"))
+    idxBanded.join(broadcast(newBanded),
+        col("band_idx") === col("band_new") && col("bv_idx") === col("bv_new") &&
+          col("id_idx") =!= col("id_new"))
+      .withColumn("hamming",
+        bit_count(col("sig_new").bitwiseXOR(col("sig_idx"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id_new").as("incoming_id"), col("id_idx").as("corpus_id"))
+      .agg(min("hamming").as("hamming"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, using
     * 8-bit band LSH (two docs within Hamming k of each other share at least
     * one of 8 bands when k < 8). */
@@ -238,7 +274,7 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val signed = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val signed = simhashSignatures(docs, idCol, textCol)
     val banded = signed.select(col("id"), col("sig"),
       posexplode(array((0 until 8).map(b =>
         shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)))

@@ -121,6 +121,14 @@ object SimilarityOps {
     f.apply(_)
   }
 
+  /** Per-corpus-row SRP signature table — the persistable ANN index:
+    * compute once (write as parquet alongside the vectors), then serve
+    * query batches with [[lshTopKAgainst]] without re-signing the corpus.
+    * Output: corpus columns + `csig`. */
+  def srpSignatures(
+      corpus: DataFrame, numBits: Int = 32, vec: String = "vec"): DataFrame =
+    corpus.withColumn("csig", srpSignature(numBits)(col(vec)))
+
   /** Approximate top-k: SRP signatures, candidate = corpus vectors sharing
     * at least one of `bands` signature bands with the query, exact cosine
     * re-rank within candidates. Recall rises with bands; cost stays
@@ -129,21 +137,33 @@ object SimilarityOps {
       queries: DataFrame, corpus: DataFrame, k: Int,
       numBits: Int = 32, bands: Int = 4,
       qid: String = "qid", qvec: String = "qvec",
+      id: String = "id", vec: String = "vec"): DataFrame =
+    lshTopKAgainst(queries, srpSignatures(corpus, numBits, vec), k,
+      numBits, bands, qid, qvec, id, vec)
+
+  /** [[lshTopK]] against a pre-signed corpus index (from
+    * [[srpSignatures]], typically loaded from parquet): only the query
+    * batch is signed per call — the 100 TB corpus scan carries its stored
+    * signatures. */
+  def lshTopKAgainst(
+      queries: DataFrame, signedCorpus: DataFrame, k: Int,
+      numBits: Int = 32, bands: Int = 4,
+      qid: String = "qid", qvec: String = "qvec",
       id: String = "id", vec: String = "vec"): DataFrame = {
     require(numBits % bands == 0)
     val rowsPerBand = numBits / bands
     val mask = (1L << rowsPerBand) - 1
-    val sig = srpSignature(numBits)
 
-    def banded(df: DataFrame, idc: String, sigName: String): DataFrame =
-      df.withColumn(sigName, sig(col(if (idc == qid) qvec else vec)))
-        .select(col("*"),
+    def banded(df: DataFrame, sigName: String): DataFrame =
+      df.select(col("*"),
           posexplode(array((0 until bands).map(b =>
             shiftrightunsigned(col(sigName), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
 
-    val qb = banded(broadcast(queries), qid, "qsig")
-    val cb = banded(corpus, id, "csig")
+    val qb = banded(
+      broadcast(queries.withColumn("qsig", srpSignature(numBits)(col(qvec)))),
+      "qsig")
+    val cb = banded(signedCorpus, "csig")
     // Compute cosine at the band-match site (both vectors in hand), THEN
     // dedup multi-band hits on the narrow (qid, id, cosine) rows — never
     // shuffles the vectors themselves.

@@ -69,6 +69,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("lshTopKAgainst on a persisted index equals lshTopK") {
+    val corpus = vecs(150, 16, seed = 19)
+    val queries = corpus.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val direct = SimilarityOps.lshTopK(queries, corpus, 5, numBits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // round-trip the signature index through parquet (the production shape)
+    val path = tmpDir() + "/srp.parquet"
+    SimilarityOps.srpSignatures(corpus, numBits = 16)
+      .write.mode("overwrite").parquet(path)
+    val loaded = spark.read.parquet(path)
+    val viaIndex = SimilarityOps.lshTopKAgainst(queries, loaded, 5,
+        numBits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == direct)
+  }
+
   test("cosineNearDuplicates finds planted near-identical pairs only") {
     import spark.implicits._
     val base = Array.fill(16)(new Random(7).nextFloat() * 2 - 1)

@@ -93,6 +93,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "clusters must straddle the slices")
   }
 
+  test("simhashNearDuplicatesAgainst == self-join restricted to cross-slice") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = t1.replace("dog", "cat") // small hamming perturbation
+    val t3 = "completely unrelated words describing entirely other topics"
+    val d = docs((0L, t1), (1L, t1), (2L, t2), (3L, t3), (4L, t2), (5L, t3))
+    val incoming = d.filter(col("doc_id") % 2 === 0)
+    val index = DedupOps.simhashSignatures(
+      d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    val got = DedupOps.simhashNearDuplicatesAgainst(
+        incoming, index, "doc_id", "text", maxDist = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val self = DedupOps.simhashNearDuplicates(d, "doc_id", "text", maxDist = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val expected = self.flatMap { case (a, b, h) => Seq((a, b, h), (b, a, h)) }
+      .filter { case (i, c, _) => i % 2 == 0 && c % 2 != 0 }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("minhash estimate approximates true jaccard") {
     // 80 shared + 20 distinct shingle-words each side
     val shared = (1 to 80).map(i => s"w$i")
