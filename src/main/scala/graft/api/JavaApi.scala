@@ -111,6 +111,14 @@ object JavaApi {
       shingleN: Int, threshold: Double): DataFrame =
     DedupOps.jaccardSimilarityJoin(docs, idCol, textCol, shingleN, threshold)
 
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    DedupOps.fingerprints(docs, idCol, textCol)
+
+  def exactDuplicatesAgainst(
+      incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    DedupOps.exactDuplicatesAgainst(incoming, index, idCol, textCol)
+
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame =

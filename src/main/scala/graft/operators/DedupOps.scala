@@ -60,6 +60,26 @@ object DedupOps {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
 
+  /** Per-document fingerprint table (id, fp) — persistable exact-dedup
+    * index for [[exactDuplicatesAgainst]]. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+
+  /** Incoming documents whose normalized text already exists in a
+    * fingerprint index (from [[fingerprints]]): (incoming_id, corpus_id)
+    * with corpus_id = the index's min id for the fingerprint. One equi
+    * join on the 32-hex digest; batch side broadcasts. */
+  def exactDuplicatesAgainst(
+      incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val newFp = broadcast(fingerprints(incoming, idCol, textCol)
+      .select(col("id").as("incoming_id"), col("fp")))
+    index.groupBy("fp").agg(min(col("id")).as("corpus_id"))
+      .join(newFp, "fp")
+      .filter(col("incoming_id") =!= col("corpus_id"))
+      .select("incoming_id", "corpus_id")
+  }
+
   /** Keep one row per fingerprint (the min id) — the "drop duplicates"
     * materialization. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -61,6 +61,16 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("exactDuplicatesAgainst finds incoming docs already in the index") {
+    val corpus = docs((1L, "same text here"), (3L, "other content"),
+      (5L, "Same  TEXT here")) // 1 and 5 share a fingerprint; min id = 1
+    val incoming = docs((10L, "same text here"), (11L, "brand new content"))
+    val idx = DedupOps.fingerprints(corpus, "doc_id", "text")
+    val got = DedupOps.exactDuplicatesAgainst(incoming, idx, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)))
+  }
+
   test("minhashNearDuplicatesAgainst == self-join restricted to cross-slice") {
     import scala.util.Random
     val rnd = new Random(17)
