@@ -127,7 +127,7 @@ object DedupOps {
   }
 
   /** Banded explode of a signature table: (id, sig, band, bandHash). */
-  private def bandedSignatures(
+  private[graft] def bandedSignatures(
       signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     signed.select(
@@ -140,7 +140,7 @@ object DedupOps {
   /** Compiled-loop signature agreement count (zip_with/aggregate are
     * CodegenFallback — interpreted per element — so a tight loop over the
     * two long arrays is the fast path inside pair joins). */
-  private val agreeUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+  private[graft] val agreeUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
     var n = 0
     var i = 0
     val m = math.min(x.length, y.length)

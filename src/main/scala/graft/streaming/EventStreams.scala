@@ -49,6 +49,66 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming near-duplicate flagging against a STATIC MinHash index
+    * (from [[graft.operators.DedupOps.minhashSignatures]], e.g. loaded
+    * from parquet): each micro-batch signs its own documents and probes
+    * the banded index via a stream-static inner join — natively supported
+    * by Structured Streaming and STATELESS on the stream side (no
+    * watermark state grows with the corpus; the index is the only big
+    * thing and it lives in the static plan). Emits
+    * (incoming columns minus text, corpus_id, est_jaccard) for documents
+    * whose estimated Jaccard vs some indexed doc reaches `threshold`.
+    *
+    * Multi-band hits are collapsed WITHOUT streaming aggregation: a pair
+    * is emitted only from its smallest agreeing band (both signatures are
+    * in hand at the join site), so the output needs no watermark or
+    * dropDuplicates state. */
+  def flagNearDuplicates(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 128,
+      shingleN: Int = 3,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // true iff no band before `band` also agrees -> exactly-once per pair
+    val firstAgreeingBand = udf { (x: Seq[Long], y: Seq[Long], band: Int) =>
+      var b = 0
+      var earlier = false
+      while (!earlier && b < band) {
+        var i = b * rows
+        val end = i + rows
+        var eq = true
+        while (eq && i < end) { eq = x(i) == y(i); i += 1 }
+        earlier = eq
+        b += 1
+      }
+      !earlier
+    }
+    val streamBanded = graft.operators.DedupOps.bandedSignatures(
+      docs.select(col("*"),
+        graft.operators.DedupOps.minhashSignature(numHashes, shingleN)(
+          col(textCol)).as("sig"))
+        .withColumnRenamed(idCol, "id").drop(textCol),
+      numHashes, bands)
+    val idxBanded = graft.operators.DedupOps.bandedSignatures(index, numHashes, bands)
+      .select(col("id").as("corpus_id"), col("sig").as("sig_idx"),
+        col("band").as("band_idx"), col("bandHash").as("bh_idx"))
+    streamBanded.join(idxBanded,
+        col("bandHash") === col("bh_idx") && col("band") === col("band_idx") &&
+          col("id") =!= col("corpus_id"))
+      .filter(firstAgreeingBand(col("sig"), col("sig_idx"), col("band")))
+      .withColumn("est_jaccard",
+        graft.operators.DedupOps.agreeUdf(col("sig"), col("sig_idx"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .withColumnRenamed("id", idCol)
+      .drop("sig", "sig_idx", "band", "bandHash", "band_idx", "bh_idx")
+  }
+
   /** Sliding-window variant. */
   def slidingCounts(
       events: DataFrame,

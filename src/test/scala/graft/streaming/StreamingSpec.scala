@@ -59,6 +59,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static MinHash probe flags near-dups like the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ")
+    val fresh = (100 to 140).map(i => s"q$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, fresh.replace("q", "p")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.DedupOps.minhashSignatures(
+      corpus, "doc_id", "text", numHashes = 64, shingleN = 2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.flagNearDuplicates(
+        input.toDF().toDF("doc_id", "text"), index,
+        numHashes = 64, shingleN = 2, bands = 16, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardups")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, nearDup), (11L, fresh))
+      q.processAllAvailable()
+      val got = spark.table("neardups")
+        .select("doc_id", "corpus_id", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exactly once per flagged pair, matching the batch Against operator
+      val batch = graft.operators.DedupOps.minhashNearDuplicatesAgainst(
+          Seq((10L, nearDup), (11L, fresh)).toDF("doc_id", "text"), index,
+          "doc_id", "text", numHashes = 64, shingleN = 2,
+          bands = 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.sorted.toSeq == batch.sorted.toSeq)
+      assert(got.exists { case (i, c, _) => i == 10L && c == 1L })
+      assert(!got.exists(_._1 == 11L))
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
