@@ -119,6 +119,13 @@ class PlanSpec extends SparkSpec {
       "shared shingle index should be cached, not recomputed per branch")
   }
 
+  test("q51 incremental dedup broadcasts the batch into the index join") {
+    val plan = planOf("q51_minhash_incremental")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),
