@@ -200,10 +200,21 @@ object DedupOps {
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // persisted: both self-join sides derive from the signed table via
+    // differently-aliased projections, and Catalyst plans no ReusedExchange
+    // for that shape (same measured fact as `prefixed` in
+    // jaccardSimilarityJoin), so without the persist the shingle +
+    // numHashes-permutation signature UDF — the dominant cost of the whole
+    // operator — runs TWICE per document. The cached table is the NARROW
+    // (id, sig) form, one row per doc (caching the banded explode would
+    // duplicate each signature `bands` times); the cheap codegen'd banding
+    // re-runs per side against the cache. Cache lifetime: as long as the
+    // RETURNED DataFrame is alive; a long-lived session issuing many dedup
+    // passes should `spark.catalog.clearCache()` between them.
+    val signed = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key = hash of the band's rows; explode → one shuffle on band key.
-    val banded = bandedSignatures(
-      minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
-      numHashes, bands)
+    val banded = bandedSignatures(signed, numHashes, bands)
 
     // distinct column names on the two sides: a self-join on `bandHash ===
     // bandHash` resolves both references to the SAME attribute, Spark drops
@@ -294,7 +305,11 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // persisted for the same reason as minhashNearDuplicates: both aliased
+    // self-join sides re-derive the tokenize+64-bit-vote UDF without it.
+    // Narrow (id, long) rows; lifetime as documented there.
     val signed = simhashSignatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(col("id"), col("sig"),
       posexplode(array((0 until 8).map(b =>
         shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)))
@@ -357,6 +372,11 @@ object DedupOps {
     // plan branches (both self-join sides, both verify sides); without a
     // persist Catalyst re-evaluates the whole upstream per branch. Narrow
     // columns only — spills cleanly at scale (MLlib-style internal cache).
+    // Cache lifetime (this and `prefixed` below): as long as the RETURNED
+    // DataFrame is alive — the lazy verify join reads both. A long-lived
+    // session issuing many similarity-join passes should
+    // `spark.catalog.clearCache()` between them (same contract as
+    // TextOps.contaminationHitsBloom).
     val sets = docs
       .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -503,7 +523,13 @@ object DedupOps {
       shingleN: Int = 3): DataFrame = {
     val sn = shingleN
     val shingleUdf = udf((t: String) => shingles(if (t == null) "" else t, sn).distinct)
+    // persisted: `sets` is joined for BOTH id_a and id_b; without the
+    // persist the shingling UDF runs twice over the full corpus (no
+    // ReusedExchange across the differently-keyed joins — same measured
+    // fact as jaccardSimilarityJoin's `prefixed`). Narrow (id, shingles)
+    // rows; cache lifetime as documented in minhashNearDuplicates.
     val sets = docs.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -119,6 +119,20 @@ class PlanSpec extends SparkSpec {
       "shared shingle index should be cached, not recomputed per branch")
   }
 
+  test("q28/q30 near-dup self-joins scan the cached signature table, not recompute") {
+    // both aliased self-join sides must read the persisted narrow
+    // (id, sig)/(id, shingles) table — one signature-UDF pass per doc.
+    // Without the persist Catalyst plans zero ReusedExchange for the
+    // differently-aliased projections and the dominant UDF runs twice.
+    for (q <- Seq("q28_minhash_neardup", "q30_ngram_jaccard")) {
+      val plan = planOf(q)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q: signature table should be cached, not recomputed per side")
+      assert(!plan.contains("CartesianProduct"), plan.take(600))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q51 incremental dedup broadcasts the batch into the index join") {
     val plan = planOf("q51_minhash_incremental")
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
