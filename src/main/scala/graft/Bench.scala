@@ -27,14 +27,17 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
     }
-    // Warm each query's generated code and JIT profile with one untimed pass
-    // at the TARGET scale factor (AQE picks different physical plans — and
-    // therefore different generated code — at other SFs, so warming on a
-    // smaller SF would leave the hot plans cold). The timed pass below then
-    // measures engine throughput, not one-time Janino compilation/C2 warmup.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    // Reclaim session state between queries: caches, then a forced GC so
+    // the ContextCleaner actually releases unreferenced broadcasts and
+    // shuffle files. Round 6 showed that a global warmup pass over all 51
+    // queries left every timed run in a late-session JVM (51 plans'
+    // generated classes, accumulated broadcast/shuffle blocks): mid-run
+    // timings inflated 2-4x over BenchOne isolation, surviving even the
+    // min-of-3. Warm-then-time ADJACENTLY per query + GC between queries
+    // keeps each measurement near its isolation state.
+    def reclaim(): Unit = {
       dropCaches()
+      System.gc()
     }
     // >=3 timed iterations per query, report the MIN: a single timed pass is
     // noise-fragile (GC pauses / machine contention mid-run showed up as a
@@ -42,6 +45,13 @@ object Bench {
     // the weather.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // warm THIS query's generated code and JIT profile with one untimed
+      // pass at the target scale factor (AQE picks different physical plans
+      // — and therefore different generated code — at other SFs), right
+      // before its timed passes so the hot code is freshly compiled and
+      // the session state matches isolation.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      reclaim()
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -49,6 +59,7 @@ object Bench {
         dropCaches()
         sec
       }
+      reclaim()
       name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
