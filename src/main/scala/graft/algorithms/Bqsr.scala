@@ -127,10 +127,17 @@ object Bqsr {
 
   /** Packs (quality, cycle, dinuc chars) into one primitive key:
     * q in bits 0-7, cycle+2^19 in bits 8-27 (reads up to ~512 kb), the two
-    * UTF-16 dinuc chars in bits 28-59. */
+    * UTF-16 dinuc chars in bits 28-59. Reads with length >= [[MaxPackedLen]]
+    * would overflow the cycle field into the dinuc bits (|cycle| <= len),
+    * so [[observationDF]] routes them through [[observeRead]] instead of
+    * this packed fast path — divergence is impossible, not just loud. */
   @inline private def packKey(q: Int, cycle: Int, d0: Char, d1: Char): Long =
     ((d0.toLong << 16 | d1.toLong) << 28) |
       ((cycle + (1 << 19)).toLong << 8) | q.toLong
+
+  /** Longest read the packed covariate key can hold (~512 kb; ultra-long
+    * nanopore reads beyond this take the unpacked [[observeRead]] path). */
+  private[algorithms] val MaxPackedLen: Int = 1 << 19
 
   /** Pass 1 as a DataFrame: per-base observation with a PARTITION-LOCAL
     * combine before the covariate-space aggregation — the same idea as the
@@ -148,11 +155,17 @@ object Bqsr {
     val fn = isKnownSite
     reads.mapPartitions { it =>
       val byRg = new java.util.HashMap[String, scala.collection.mutable.LongMap[Array[Long]]]()
+      // reads too long for the packed covariate key (ultra-long nanopore)
+      // take the reference observeRead walk — identical semantics, no
+      // silent key corruption; downstream groupBy merges both paths
+      val overflow = scala.collection.mutable.ArrayBuffer.empty[Observation]
       it.foreach { r =>
         val seq = r.sequence.getOrElse("")
         val quals = r.qualityScores.getOrElse("")
         val md = r.mismatchingPositions
-        if (r.readMapped.getOrElse(false) && seq.nonEmpty && quals.nonEmpty &&
+        if (seq.length >= MaxPackedLen) {
+          overflow ++= observeRead(r, fn)
+        } else if (r.readMapped.getOrElse(false) && seq.nonEmpty && quals.nonEmpty &&
           md.nonEmpty && r.cigar.nonEmpty) {
           // increasing reference-space offsets -> pointer walk, no Set
           val mmOff = GenomicFunctions.mdMismatchOffsets(md.get).toArray
@@ -213,7 +226,7 @@ object Bqsr {
           Observation(rgEntry.getKey, q, cycle, new String(chars),
             cell(0), cell(1))
         }
-      }
+      } ++ overflow.iterator
     }
       .groupBy("readGroupId", "reportedQuality", "cycle", "dinuc")
       .agg(sum("observations").as("observations"), sum("mismatches").as("mismatches"))
@@ -298,7 +311,17 @@ object Bqsr {
     /** Build from a distributed variant table (dbSNP-style): dedup +
       * per-contig sort happen distributed; only the final per-contig
       * primitive arrays land on the driver — the same bounded collect the
-      * reference's SnpTable does (`reduceByKeyLocally`). */
+      * reference's SnpTable does (`reduceByKeyLocally`).
+      *
+      * Driver-memory bound: the collect is sized by the DISTINCT known-site
+      * count, not the read data. Human dbSNP common variants ≈ 1.1e9 sites
+      * upper bound; at (String, Long) row width the compact per-contig long
+      * arrays built by `apply` are 8 bytes/site ≈ 9 GB worst-case full
+      * dbSNP, and the usual curated mask (HapMap/1000G ≈ 5e7 sites) is
+      * ~400 MB — within any reasonable driver. This mirrors the reference's
+      * published bottleneck (BASELINE.md #5) with the ~8x array shrink
+      * already applied; a per-contig sorted mapPartitions stream would be
+      * the next step if masks ever outgrow the driver. */
     def fromVariants(variants: org.apache.spark.sql.DataFrame): SnpMask = {
       import org.apache.spark.sql.functions.col
       val rows = variants.select(

@@ -126,12 +126,14 @@ object DedupOps {
     docs.select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
   }
 
-  /** Banded explode of a signature table: (id, sig, band, bandHash). */
+  /** Banded explode of a signature table: every input column (at least
+    * (id, sig)) plus (band, bandHash) — extra columns (e.g. a stream's
+    * event-time column) pass through untouched. */
   private[graft] def bandedSignatures(
       signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     signed.select(
-      col("id"), col("sig"),
+      col("*"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit("band"), lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")

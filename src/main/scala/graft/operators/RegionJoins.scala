@@ -46,19 +46,30 @@ object RegionJoins {
   private def prefixed(df: DataFrame, p: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
 
-  /** True when the caller already attached a broadcast hint anywhere under
-    * this plan (`functions.broadcast(df)` / `df.hint("broadcast")`). The
-    * join body must then NOT add its shuffle_hash hint: the nearer hint
-    * would override the broadcast and silently demote the join back to a
-    * shuffle. */
+  /** True when the caller attached a broadcast hint AT THE TOP of this
+    * plan (`functions.broadcast(df)` / `df.hint("broadcast")`), peeking
+    * through pure projections/aliases. The join body must then NOT add its
+    * shuffle_hash hint: the nearer hint would override the broadcast and
+    * silently demote the join back to a shuffle. Deliberately NOT a
+    * whole-subtree search — a broadcast hint buried in an unrelated
+    * upstream join (e.g. a right side built from a query that broadcast
+    * one of its own inputs) says nothing about THIS join and must not
+    * suppress its shuffle_hash. */
   private def hasBroadcastHint(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, UnresolvedHint}
-    df.queryExecution.logical.collectFirst {
-      case h: ResolvedHint if h.hints.strategy.exists(
-        _.toString.toUpperCase.contains("BROADCAST")) => true
-      case UnresolvedHint(n, _, _) if Set("broadcast", "broadcastjoin",
-        "mapjoin").contains(n.toLowerCase) => true
-    }.getOrElse(false)
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, SubqueryAlias, ResolvedHint, UnresolvedHint}
+    @annotation.tailrec
+    def top(p: LogicalPlan): Boolean = p match {
+      case h: ResolvedHint => h.hints.strategy.exists(
+        _.toString.toUpperCase.contains("BROADCAST"))
+      case UnresolvedHint(n, _, child) =>
+        Set("broadcast", "broadcastjoin", "mapjoin").contains(n.toLowerCase) ||
+          top(child)
+      case Project(_, child) => top(child)
+      case SubqueryAlias(_, child) => top(child)
+      case _ => false
+    }
+    top(df.queryExecution.logical)
   }
 
   /** shuffle_hash unless the caller pre-hinted broadcast. */
@@ -288,14 +299,21 @@ object RegionJoins {
     overlapJoin(left, broadcast(bc.side), joinType, binSize, flank)
 
   /** GroupByRight against a prepared broadcast side
-    * (broadcastRegionJoinAndGroupByRightAgainst, GD:1330-1432). */
+    * (broadcastRegionJoinAndGroupByRightAgainst, GD:1330-1432). Reference
+    * parity: the broadcast side is the LEFT of the pair and the STREAMED
+    * caller is the "right" the grouping keys on — each streamed `right`
+    * row comes back with the collected overlapping broadcast-side structs
+    * in `overlaps`. Grouping this way is also the only memory-bounded
+    * direction: the collected arrays hold only broadcast-side (small)
+    * values, never the unbounded streamed side. `outer=true` keeps
+    * match-less streamed rows with an empty array (GD:1497-1611). */
   def joinAgainstGroupByRight(
-      left: DataFrame,
+      right: DataFrame,
       bc: RegionBroadcast,
-      leftStructCols: Seq[String],
+      sideStructCols: Seq[String],
       outer: Boolean = false,
       binSize: Long = DefaultBinSize,
       flank: Long = 0L): DataFrame =
-    overlapJoinGroupByLeft(broadcast(bc.side), left, leftStructCols,
+    overlapJoinGroupByLeft(right, broadcast(bc.side), sideStructCols,
       outer, binSize, flank)
 }

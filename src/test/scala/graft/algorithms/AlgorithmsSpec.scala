@@ -148,6 +148,32 @@ class BqsrSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("observationDF routes over-length reads through the unpacked walk") {
+    // a read longer than the packed key's cycle field (>= 2^19 bases) must
+    // not silently corrupt covariate keys — it takes the observeRead path
+    val len = Bqsr.MaxPackedLen + 8
+    val seq = "ACGT" * (len / 4 + 1)
+    val long = Alignment(readName = Some("ultra"),
+      referenceName = Some("chr1"), start = Some(10L),
+      cigar = Some(s"${len}M"), sequence = Some(seq.take(len)),
+      qualityScores = Some("I" * len), readMapped = Some(true),
+      readNegativeStrand = Some(false), readPaired = Some(false),
+      readGroupId = Some("rgL"), mismatchingPositions = Some(len.toString))
+    val short = read("s1", 100L, "ACGTACGTAC", "IIIIIIIIII", "10")
+    val ds = spark.createDataset(Seq(long, short))
+    val fn = (_: String, _: Long) => false
+    val fast = Bqsr.observationDF(ds, fn).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    val slow = Seq(long, short).flatMap(r => Bqsr.observeRead(r, fn))
+      .groupBy(o => (o.readGroupId, o.reportedQuality, o.cycle, o.dinuc))
+      .view.mapValues(os =>
+        (os.map(_.observations).sum, os.map(_.mismatches).sum)).toMap
+    assert(fast == slow)
+    // the ultra-long read's largest cycle is present and uncorrupted
+    assert(fast.keys.exists(k => k._1 == "rgL" && k._3 == len))
+  }
+
   test("recalibration moves quality toward empirical rate") {
     // all bases quality 40 ('I') but half the reads mismatch everywhere:
     // empirical quality should drop well below 40

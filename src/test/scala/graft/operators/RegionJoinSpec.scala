@@ -140,17 +140,23 @@ class RegionJoinSpec extends SparkSpec {
         .map(row => (Option(row.get(0)).map(_.asInstanceOf[Long]),
           Option(row.get(1)).map(_.asInstanceOf[Long]))).toSet
       assert(got2 == naive(l2, small, "left_outer", 0L))
-      // grouped-by-right against the prepared side
+      // grouped-by-right against the prepared side: the STREAMED rows are
+      // the group keys (reference "right"); the arrays collect only the
+      // broadcast-side (small) values — the memory-bounded direction.
       val grouped = RegionJoins.joinAgainstGroupByRight(
-          l1, bc, leftStructCols = Seq("id"), outer = true)
-        .select(col("id"), expr("transform(overlaps, x -> x.id)").as("lids"))
+          l1, bc, sideStructCols = Seq("id"), outer = true)
+        .select(col("id"), expr("transform(overlaps, x -> x.id)").as("bcids"))
         .collect()
         .map(row => row.getLong(0) -> row.getSeq[Long](1).toSet).toMap
-      val expected = naive(l1, small, "right_outer", 0L)
-        .groupBy(_._2.get)
-        .view.mapValues(_.flatMap(_._1).toSet).toMap
+      val expected = naive(l1, small, "left_outer", 0L)
+        .groupBy(_._1.get)
+        .view.mapValues(_.flatMap(_._2).toSet).toMap
       assert(grouped.keySet == expected.keySet)
       expected.foreach { case (k, v) => assert(grouped(k) == v) }
+      // the grouped plan must still probe via broadcast, not shuffle
+      assert(RegionJoins.joinAgainstGroupByRight(
+          l1, bc, sideStructCols = Seq("id"), outer = true)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally bc.destroy()
   }
 }

@@ -70,15 +70,22 @@ class StreamingSpec extends SparkSpec {
     val index = graft.operators.DedupOps.minhashSignatures(
       corpus, "doc_id", "text", numHashes = 64, shingleN = 2)
 
-    val input = MemoryStream[(Long, String)]
-    val q = EventStreams.flagNearDuplicates(
-        input.toDF().toDF("doc_id", "text"), index,
+    val input = MemoryStream[(Long, String, Long)]
+    val flagged = EventStreams.flagNearDuplicates(
+        input.toDF().toDF("doc_id", "text", "arrival"), index,
         numHashes = 64, shingleN = 2, bands = 16, threshold = 0.5)
+    // every incoming column except the text survives (e.g. an event-time
+    // column a production stream watermarks on)
+    assert(flagged.columns.contains("arrival"))
+    assert(!flagged.columns.contains("text"))
+    val q = flagged
       .writeStream.format("memory").queryName("neardups")
       .outputMode("append").start()
     try {
-      input.addData((10L, nearDup), (11L, fresh))
+      input.addData((10L, nearDup, 777L), (11L, fresh, 778L))
       q.processAllAvailable()
+      assert(spark.table("neardups").select("arrival")
+        .collect().map(_.getLong(0)).forall(_ == 777L))
       val got = spark.table("neardups")
         .select("doc_id", "corpus_id", "est_jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
