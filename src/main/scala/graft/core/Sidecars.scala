@@ -11,9 +11,14 @@ import graft.model._
   * Spark's file index (like `_SUCCESS`), readable on any Hadoop filesystem,
   * no extra JSON codec needed. All data is bounded driver-side metadata.
   */
-object Sidecars {
+/** One saved VCF/SAM header line. Top-level (not nested in [[Sidecars]])
+  * so the generated encoder code compiles under Janino — object-nested
+  * case classes fall back to the interpreted encoder with a logged
+  * CompileException (same bug class as MediaFeatureRow,
+  * MultimodalOps.scala). */
+private[core] case class HeaderRow(raw: String)
 
-  private case class HeaderRow(raw: String)
+object Sidecars {
 
   def write(spark: SparkSession, path: String, meta: GenomicMetadata): Unit = {
     import spark.implicits._

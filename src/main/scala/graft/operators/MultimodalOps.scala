@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct; decode/feature-extraction runs
   * per-partition in bounded batches.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): [[StubDecoder]] produces a deterministic fake decode from
-  * the byte content. Everything around it — schema, batch shape,
-  * partitioning, the operator plumbing — is real and tested; swapping the
-  * stub for a real codec is a one-function change.
+  * Codecs: BMP images decode for REAL via [[graft.sources.Bmp]] (pure-JVM,
+  * from the public spec — 24-bit and 8-bit BI_RGB, top-down and bottom-up,
+  * driver-gated by the q52 oracle). Other image/audio/video formats are
+  * STUBBED (this container ships no media libraries): [[StubDecoder]]
+  * produces a deterministic fake decode from the byte content. Everything
+  * around the stub — schema, batch shape, partitioning, the operator
+  * plumbing — is real and tested; swapping a stub for a codec is a
+  * one-function change, exactly as done for BMP.
   */
 /** Output row of [[MultimodalOps.extractImageFeatures]]. Top-level (not
   * nested in the object) so the generated encoder code compiles under
@@ -24,6 +27,11 @@ case class MediaFeatureRow(
 /** Output row of [[MultimodalOps.extractAudioFeatures]] (one per window). */
 case class AudioFeatureRow(
     media_id: Long, window: Int, rms: Double, zero_crossing_rate: Double)
+
+/** Output row of [[MultimodalOps.imageStats]] (one per non-empty bin);
+  * all-integer so oracles replay it exactly. */
+case class ImageStatsRow(
+    media_id: Long, bin: Int, bin_count: Long, n_px: Long, sum_gray: Long)
 
 object MultimodalOps {
 
@@ -79,7 +87,12 @@ object MultimodalOps {
   /** Decode + feature-extract, batched per partition (the Scala analog of a
     * `mapInPandas` batch UDF: one partition = a bounded iterator of rows,
     * codec state amortized across the batch). Output: per-media mean
-    * intensity + 16-bin histogram. */
+    * intensity + 16-bin histogram.
+    *
+    * BMP payloads ('BM' magic) take the REAL [[graft.sources.Bmp]] decoder
+    * (24-bit / 8-bit BI_RGB, pure JVM, from the public spec); other
+    * formats still go through [[StubDecoder]] (no media libraries in this
+    * container). */
   def extractImageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     implicit val enc: org.apache.spark.sql.Encoder[MediaFeatureRow] =
@@ -90,9 +103,15 @@ object MultimodalOps {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val w = Option(r.get(2)).map(_.asInstanceOf[Int]).getOrElse(8)
-          val h = Option(r.get(3)).map(_.asInstanceOf[Int]).getOrElse(8)
-          val px = StubDecoder.decodeGray8(payload, w, h)
+          val px: Array[Float] =
+            if (graft.sources.Bmp.isBmp(payload)) {
+              val img = graft.sources.Bmp.decode(payload)
+              img.gray.map(_ / 255.0f)
+            } else {
+              val w = Option(r.get(2)).map(_.asInstanceOf[Int]).getOrElse(8)
+              val h = Option(r.get(3)).map(_.asInstanceOf[Int]).getOrElse(8)
+              StubDecoder.decodeGray8(payload, w, h)
+            }
           val hist = new Array[Long](16)
           var s = 0.0
           px.foreach { p =>
@@ -103,6 +122,28 @@ object MultimodalOps {
         }
       }(enc)
     ds.toDF()
+  }
+
+  /** Integer-exact per-image statistics from REAL BMP decode: one row per
+    * non-empty 16-wide gray bin — (media_id, bin, bin_count, n_px,
+    * sum_gray), all integers, so an external oracle can replay the math
+    * bit-exactly. bin = gray / 16 over the decoder's integer luma. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    implicit val enc: org.apache.spark.sql.Encoder[ImageStatsRow] =
+      Encoders.product[ImageStatsRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val img = graft.sources.Bmp.decode(r.getAs[Array[Byte]](1))
+          val hist = new Array[Long](16)
+          var sum = 0L
+          img.gray.foreach { g => sum += g; hist(g / 16) += 1 }
+          (0 until 16).iterator.filter(hist(_) > 0).map(b =>
+            ImageStatsRow(id, b, hist(b), img.gray.length.toLong, sum))
+        }
+      }(enc).toDF()
   }
 
   /** Thumbnail/resize stub: nearest-neighbor down-sample of the fake decode,

@@ -554,6 +554,42 @@ object PipelineQueries extends QuerySet {
         mixed AS (
           SELECT c.* FROM clean c JOIN rates r USING (lang)
           WHERE ${HashOracleSql.uniformSql("c.doc_id::VARCHAR", "e2e")} < r.rate)
-        SELECT lang, source, count(*) AS n_docs FROM mixed GROUP BY lang, source"""))
+        SELECT lang, source, count(*) AS n_docs FROM mixed GROUP BY lang, source""")),
+
+    // REAL image decode through the pure-JVM BMP codec: each document id
+    // deterministically generates grayscale pixels, Spark ENCODES them as a
+    // 24-bit BMP byte payload and decodes it back through
+    // MultimodalOps.imageStats (graft.sources.Bmp). The oracle replays the
+    // pixel-generation arithmetic directly — so a hash match proves the
+    // BMP encode→decode round trip is exact on every image (any padding /
+    // row-order / luma bug would shift a bin). All-integer output.
+    Query("q52_bmp_image_stats",
+      (s, dir) => {
+        val bmpUdf = udf { id: Long =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val px = Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 256).toInt)
+          graft.sources.Bmp.encode(w, h, px)
+        }
+        val media = t(s, dir, "documents").select(
+          col("doc_id").as("media_id"), bmpUdf(col("doc_id")).as("payload"))
+        graft.operators.MultimodalOps.imageStats(media)
+      },
+      Some("""WITH dims AS (
+          SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(8 + doc_id % 7 AS BIGINT) AS h
+          FROM documents),
+        px AS (
+          SELECT doc_id,
+            (doc_id * 31 + unnest(generate_series(0, w * h - 1)) * 7) % 256 AS gray
+          FROM dims),
+        binned AS (
+          SELECT doc_id AS media_id, CAST(gray // 16 AS INTEGER) AS bin,
+            count(*) AS bin_count, CAST(sum(gray) AS BIGINT) AS bin_sum
+          FROM px GROUP BY 1, 2)
+        SELECT media_id, bin, bin_count,
+          CAST(sum(bin_count) OVER (PARTITION BY media_id) AS BIGINT) AS n_px,
+          CAST(sum(bin_sum) OVER (PARTITION BY media_id) AS BIGINT) AS sum_gray
+        FROM binned"""))
   )
 }

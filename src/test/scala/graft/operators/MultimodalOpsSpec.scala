@@ -34,6 +34,32 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(feats(1L)._2.sum == 64L)
   }
 
+  test("extractImageFeatures decodes BMP payloads for real") {
+    import spark.implicits._
+    // 4x2 image, gray ramp 0,32,...,224 -> mean = (0+...+224)/8/255
+    val px = Array.tabulate(8)(_ * 32)
+    val bmp = graft.sources.Bmp.encode(4, 2, px)
+    val media = MultimodalOps.asMedia(
+      Seq((7L, bmp)).toDF("id", "bytes"), "id", "bytes", "image/bmp", 4, 2)
+    val r = MultimodalOps.extractImageFeatures(media).collect().head
+    val expected = px.map(_ / 255.0).sum / 8
+    assert(math.abs(r.getDouble(1) - expected) < 1e-6)
+    // each ramp step lands in its own 16-wide bin: bins 0,2,4,...,14
+    val hist = r.getSeq[Long](2)
+    assert((0 until 16).map(b => hist(b)).sum == 8L)
+    assert((0 until 8).forall(i => hist(i * 2) == 1L))
+  }
+
+  test("imageStats: integer-exact per-bin stats from BMP decode") {
+    import spark.implicits._
+    val px = Array(0, 15, 16, 255) // bins 0,0,1,15
+    val media = Seq((3L, graft.sources.Bmp.encode(2, 2, px)))
+      .toDF("media_id", "payload")
+    val rows = MultimodalOps.imageStats(media).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set((0, 2L, 4L, 286L), (1, 1L, 4L, 286L), (15, 1L, 4L, 286L)))
+  }
+
   test("resize keeps schema and scales dimensions") {
     val out = MultimodalOps.resize(mediaDf, 4, 4)
     val r = out.filter(col("media_id") === 2L).collect().head
