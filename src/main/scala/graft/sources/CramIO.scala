@@ -863,10 +863,27 @@ object CramIO {
     feats.result()
   }
 
+  /** '='/'X' CIGAR preservation: the referenceless profile encodes M/=/X
+    * runs uniformly as 'b' base features, so the decoder reconstructs M.
+    * When the original CIGAR distinguishes =/X, stash it in the local-use
+    * tag `zC:Z:` (lowercase-first tags are reserved for local use by the
+    * SAM spec §1.5, so the file stays interoperable — foreign readers see
+    * the standard M collapse plus an ignorable tag); [[decodeRecords]]
+    * restores the CIGAR and strips the tag. Byte-identical CIGARs through
+    * SAM→BAM→CRAM→read, no reference needed. */
+  private def preserveEqX(r: Alignment): Alignment =
+    r.cigar match {
+      case Some(c) if r.readMapped.getOrElse(false) &&
+        (c.contains('=') || c.contains('X')) =>
+        r.copy(attributes = r.attributes + ("zC" -> ("Z:" + c)))
+      case _ => r
+    }
+
   private def encodeContainer(
-      records: Seq[Alignment], refIndex: Map[String, Int],
+      records0: Seq[Alignment], refIndex: Map[String, Int],
       rgIndex: Map[String, Int], counterStart: Long,
       profile: WriteProfile = WriteProfile()): Array[Byte] = {
+    val records = records0.map(preserveEqX)
 
     // tag dictionary for this container
     val recTags: Seq[Seq[(TagDef, String)]] = records.map { r =>
@@ -1736,7 +1753,11 @@ object CramIO {
         else None
 
       def bit(m: Int): Boolean = (bf & m) != 0
-      val attributes = attrs.result()
+      val attributes0 = attrs.result()
+      // restore an '='/'X'-preserving CIGAR stashed by [[preserveEqX]]
+      // and strip the local-use tag
+      val attributes = attributes0 - "zC"
+      attributes0.get("zC").foreach(v => cigar = Some(v.drop(2)))
       recs += Alignment(
         readName = Some(name).filter(_.nonEmpty),
         referenceName = if (ri >= 0 && ri < refNames.length) Some(refNames(ri)) else None,

@@ -26,6 +26,9 @@ import graft.sources._
   *   graft.tools.Cli transformVariants <in.vcf> <outParquet>
   *   graft.tools.Cli transformGenotypes <in.vcf> <outParquet>
   *   graft.tools.Cli mergeShards <inDir> <outFile>
+  *   graft.tools.Cli view <in> [-f N] [-F N] [-g N] [-G N] [-q MINQ] [-c]
+  *     [-o out] [-single]        (PRINT group: samtools-style viewer)
+  *   graft.tools.Cli print <file.parquet>... [-o localFile] [-pretty]
   */
 object Cli {
 
@@ -106,6 +109,115 @@ object Cli {
       gd = gd.sortLexicographically()
     saveAlignments(gd, out, single = flags.contains("-single"))
     println(s"transformAlignments: wrote $out")
+  }
+
+  // ------------------------- PRINT group ----------------------------------
+
+  /** Per-bit predicate Columns for each SAM flag bit set in `n`, in the
+    * `matchValue = true` sense (reference View.getFilters,
+    * adam-cli/.../View.scala:121-156). The 0x8 subtlety is preserved: the
+    * record model stores mate MAPPED, and "mate unmapped" is only
+    * meaningful for paired reads, so 0x8 = paired && !mateMapped. */
+  private def bitPredicates(n: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    def b(c: org.apache.spark.sql.Column) = coalesce(c, lit(false))
+    val preds = Seq(
+      0x1 -> b(col("readPaired")),
+      0x2 -> b(col("properPair")),
+      0x4 -> !b(col("readMapped")),
+      0x8 -> (b(col("readPaired")) && !coalesce(col("mateMapped"), lit(true))),
+      0x10 -> b(col("readNegativeStrand")),
+      0x20 -> b(col("mateNegativeStrand")),
+      0x40 -> (coalesce(col("readInFragment"), lit(-1)) === 0),
+      0x80 -> (coalesce(col("readInFragment"), lit(-1)) === 1),
+      0x100 -> !coalesce(col("primaryAlignment"), lit(true)),
+      0x200 -> b(col("failedVendorQualityChecks")),
+      0x400 -> b(col("duplicateRead")),
+      0x800 -> b(col("supplementaryAlignment")))
+    preds.collect { case (bit, p) if (n & bit) > 0 => p }
+  }
+
+  /** `view` — the reference's samtools-style record viewer
+    * (adam-cli/.../View.scala): -f N (ALL bits match), -F N (NO bit
+    * matches), -g N (ANY bit matches), -G N (ANY bit mismatches), -c
+    * (count only), -o FILE / second positional (save SAM/BAM/CRAM/parquet
+    * by extension), -single; plus samtools' -q MINQ (mapq >= MINQ).
+    * With no output path it prints SAM to stdout. All filters are Column
+    * predicates — one codegen'd scan, no driver-side row filtering. */
+  def view(spark: SparkSession, args: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    def intArg(name: String): Int = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) {
+        val v = args(i + 1)
+        if (v.startsWith("0x")) Integer.parseInt(v.drop(2), 16) else v.toInt
+      } else 0
+    }
+    // positional args = everything that is neither an option nor a value
+    // consumed by one of the valued options
+    val valued = Set("-f", "-F", "-g", "-G", "-q", "-o")
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ai = 0
+    while (ai < args.length) {
+      val a = args(ai)
+      if (valued.contains(a)) ai += 2
+      else { if (!a.startsWith("-")) pos += a; ai += 1 }
+    }
+    require(pos.nonEmpty, "view: INPUT path required")
+    val in = pos.head
+    val oIdx = args.indexOf("-o")
+    val out = (if (oIdx >= 0 && oIdx + 1 < args.length) Some(args(oIdx + 1))
+      else None).orElse(pos.lift(1))
+
+    val gd = loadAlignments(spark, in)
+    val allPreds = bitPredicates(intArg("-f")) ++
+      bitPredicates(intArg("-F")).map(p => !p)
+    val somePreds = bitPredicates(intArg("-g"))
+    val someMismatch = bitPredicates(intArg("-G")).map(p => !p)
+    val minQ = intArg("-q")
+    val pred = (allPreds ++ Seq(
+      if (somePreds.nonEmpty) Some(somePreds.reduce(_ || _)) else None,
+      if (someMismatch.nonEmpty) Some(someMismatch.reduce(_ || _)) else None,
+      if (minQ > 0) Some(coalesce(col("mappingQuality"), lit(0)) >= minQ)
+      else None).flatten).foldLeft(lit(true))(_ && _)
+    val filtered = gd.transform(_.filter(pred))
+
+    out match {
+      case Some(o) => saveAlignments(filtered, o, single = args.contains("-single"))
+      case None if args.contains("-c") => println(filtered.ds.count())
+      case None =>
+        // stdout prints SAM, like the reference; stream, don't collect
+        SamIO.headerLines(filtered.meta).foreach(println)
+        filtered.ds.toLocalIterator().forEachRemaining(r =>
+          println(SamIO.toSamLine(r)))
+    }
+  }
+
+  /** `print` — the reference's PrintADAM: dump parquet files as JSON
+    * records to stdout or `-o FILE` (local); `-pretty` re-indents. */
+  def printParquet(spark: SparkSession, args: Seq[String]): Unit = {
+    val oIdx = args.indexOf("-o")
+    val outFile = if (oIdx >= 0 && oIdx + 1 < args.length) Some(args(oIdx + 1)) else None
+    val pretty = args.contains("-pretty")
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ai = 0
+    while (ai < args.length) {
+      if (args(ai) == "-o") ai += 2
+      else { if (!args(ai).startsWith("-")) files += args(ai); ai += 1 }
+    }
+    require(files.nonEmpty, "print: at least one parquet file required")
+    val ps = outFile.map(f => new java.io.PrintStream(f)).getOrElse(Console.out)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      files.foreach { f =>
+        spark.read.parquet(f).toJSON.toLocalIterator().forEachRemaining { line =>
+          if (pretty)
+            ps.println(mapper.writerWithDefaultPrettyPrinter()
+              .writeValueAsString(mapper.readTree(line)))
+          else ps.println(line)
+        }
+      }
+    } finally if (outFile.isDefined) ps.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -227,16 +339,20 @@ object Cli {
             println(s"adam2fastq: wrote $out1")
         }
 
-      case ("print" | "view") :: in :: rest =>
-        val n = rest.headOption.map(_.toInt).getOrElse(20)
-        loadAlignments(spark, in).ds.show(n, truncate = false)
+      case "view" :: rest =>
+        view(spark, rest)
+
+      case "print" :: rest =>
+        printParquet(spark, rest)
 
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
           "transformSequences transformSlices flagstat countKmers countSliceKmers " +
           "coverage transformVariants transformGenotypes vcf2parquet mergeShards " +
-          "adam2fastq print view")
+          "adam2fastq" +
+          "\n  view <in> [-f N] [-F N] [-g N] [-G N] [-q MINQ] [-c] [-o out|out] [-single]" +
+          "\n  print <file.parquet>... [-o localFile] [-pretty]")
         sys.exit(2)
     }
   }

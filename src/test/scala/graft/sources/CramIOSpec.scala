@@ -134,7 +134,18 @@ class CramIOSpec extends SparkSpec {
       val ops = Seq.newBuilder[(Char, Int)]
       if (rnd.nextBoolean()) ops += (('H', 1 + rnd.nextInt(5)))
       if (rnd.nextBoolean()) ops += (('S', 1 + rnd.nextInt(8)))
-      ops += (('M', 10 + rnd.nextInt(30)))
+      // aligned block: plain M, or the explicit '='/'X' match/mismatch ops
+      rnd.nextInt(3) match {
+        case 0 => ops += (('M', 10 + rnd.nextInt(30)))
+        case 1 =>
+          ops += (('=', 6 + rnd.nextInt(10)))
+          ops += (('X', 1 + rnd.nextInt(3)))
+          ops += (('=', 4 + rnd.nextInt(8)))
+        case _ =>
+          ops += (('M', 5 + rnd.nextInt(10)))
+          ops += (('X', 1 + rnd.nextInt(2)))
+          ops += (('=', 5 + rnd.nextInt(5)))
+      }
       rnd.nextInt(3) match {
         case 0 => ops += (('D', 1 + rnd.nextInt(6))); ops += (('M', 5 + rnd.nextInt(10)))
         case 1 => ops += (('I', 1 + rnd.nextInt(6))); ops += (('M', 5 + rnd.nextInt(10)))
@@ -143,8 +154,8 @@ class CramIOSpec extends SparkSpec {
       if (rnd.nextBoolean()) ops += (('P', 1 + rnd.nextInt(3)))
       if (rnd.nextBoolean()) ops += (('S', 1 + rnd.nextInt(8)))
       val cig = ops.result()
-      val readLen = cig.collect { case (op, l) if "MIS".contains(op) => l }.sum
-      val refLen = cig.collect { case (op, l) if "MDN".contains(op) => l }.sum
+      val readLen = cig.collect { case (op, l) if "MIS=X".contains(op) => l }.sum
+      val refLen = cig.collect { case (op, l) if "MDN=X".contains(op) => l }.sum
       val cigar = cig.map { case (op, l) => s"$l$op" }.mkString
       Alignment(readName = Some(s"f$i"), referenceName = Some("chr1"),
         start = Some(i * 200L), end = Some(i * 200L + refLen),
@@ -248,11 +259,13 @@ class CramIOSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val bases = "ACGT"
     (0 until n).map { i =>
-      val cigar = rnd.nextInt(5) match {
+      val cigar = rnd.nextInt(7) match {
         case 0 => "30M"
         case 1 => "5S20M2D5M"
         case 2 => "10M3I17M"
         case 3 => "3H10M40N10M"
+        case 4 => "10=2X18="          // explicit match/mismatch ops
+        case 5 => "4S6=1X9M2D5=2X4S"  // mixed M/=/X with clips
         case _ => "8M1D8M2P8M4S"
       }
       val readLen = Cigar.parse(cigar).collect {
@@ -521,6 +534,46 @@ class CramIOSpec extends SparkSpec {
       CramIO.decodeContainer(body, Array("chr1", "chr2"), Array("rg1"), n + 1)
     }
     assert(e3.getMessage.contains("desync"))
+  }
+
+  test("'='/'X' CIGARs survive SAM -> BAM -> CRAM -> read byte-identically") {
+    val samText =
+      """@HD	VN:1.6	SO:unsorted
+        |@SQ	SN:chr1	LN:10000
+        |@RG	ID:rg1	SM:s1
+        |e1	0	chr1	101	60	10=	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+        |e2	0	chr1	201	60	4=2X4=	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+        |e3	0	chr1	301	60	2S3=1X2M2S	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+        |e4	0	chr1	401	60	3=2I2X3=	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+        |""".stripMargin
+    val samPath = tmpDir() + "/eqx.sam"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(samPath), samText)
+    val expected = Map("e1" -> "10=", "e2" -> "4=2X4=",
+      "e3" -> "2S3=1X2M2S", "e4" -> "3=2I2X3=")
+
+    val fromSam = SamIO.read(spark, samPath)
+    fromSam.ds.collect().foreach(r =>
+      assert(r.cigar.contains(expected(r.readName.get)), s"SAM ${r.readName}"))
+
+    val bamPath = tmpDir() + "/eqx.bam"
+    BamIO.write(fromSam, bamPath, asSingleFile = true)
+    val fromBam = BamIO.read(spark, bamPath)
+    fromBam.ds.collect().foreach(r =>
+      assert(r.cigar.contains(expected(r.readName.get)), s"BAM ${r.readName}"))
+
+    val cramPath = tmpDir() + "/eqx.cram"
+    CramIO.write(fromBam, cramPath)
+    val fromCram = CramIO.read(spark, cramPath).ds.collect()
+    assert(fromCram.length == 4)
+    fromCram.foreach { r =>
+      assert(r.cigar.contains(expected(r.readName.get)),
+        s"CRAM ${r.readName}: ${r.cigar}")
+      // the preservation tag is an internal channel: never user-visible
+      assert(!r.attributes.contains("zC"), s"zC leaked on ${r.readName}")
+      assert(r.attributes.get("RG").isDefined || r.readGroupId.isDefined)
+    }
+    // sequences/quals also intact through the chain
+    fromCram.foreach(r => assert(r.sequence.exists(_.length == 10)))
   }
 
   test("CRAM compresses smaller than BAM on repetitive data") {

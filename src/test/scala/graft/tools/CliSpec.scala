@@ -70,10 +70,88 @@ class CliSpec extends SparkSpec {
     assert(parquetRows(outP) == 2)
   }
 
-  test("flagstat and print run without error") {
+  test("flagstat runs without error") {
     val in = fixture("fs.sam", sam)
     Cli.run(spark, Seq("flagstat", in))
-    Cli.run(spark, Seq("print", in, "5"))
+  }
+
+  // paired/dup-flavored SAM for the view flag-filter matrix:
+  // p1 = paired first-of-pair fwd; p2 = paired second-of-pair rev, dup;
+  // u1 = unpaired unmapped; s1 = unpaired mapped mapq 10
+  private val viewSam =
+    """@HD	VN:1.6	SO:unsorted
+      |@SQ	SN:chr1	LN:10000
+      |@RG	ID:rg1	SM:s1
+      |p1	67	chr1	101	60	10M	=	201	110	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+      |p2	1171	chr1	201	60	10M	=	101	-110	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+      |u1	4	*	0	0	*	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+      |s1	0	chr1	301	10	10M	*	0	0	ACGTACGTAC	IIIIIIIIII	RG:Z:rg1
+      |""".stripMargin
+
+  private def viewNames(args: String*): Set[String] = {
+    val in = fixture(s"v${args.hashCode.abs}.sam", viewSam)
+    val out = tmpDir() + "/v.sam"
+    Cli.run(spark, Seq("view", in, out) ++ args :+ "-single")
+    Files.readAllLines(Paths.get(out)).stream().toArray.map(_.toString)
+      .filter(l => !l.startsWith("@")).map(_.split("\t")(0)).toSet
+  }
+
+  test("view -f/-F/-g/-G/-q implement the reference flag-filter semantics") {
+    // -f 1: all bits of 0x1 set -> paired reads only
+    assert(viewNames("-f", "1") == Set("p1", "p2"))
+    // -f 65: paired AND first-of-pair
+    assert(viewNames("-f", "65") == Set("p1"))
+    // -F 4: drop unmapped
+    assert(viewNames("-F", "4") == Set("p1", "p2", "s1"))
+    // -F 1: unpaired only
+    assert(viewNames("-F", "1") == Set("u1", "s1"))
+    // -f 1 -F 1024: paired, not duplicate
+    assert(viewNames("-f", "1", "-F", "1024") == Set("p1"))
+    // -g 1028 (0x400|0x4): duplicate OR unmapped
+    assert(viewNames("-g", "1028") == Set("p2", "u1"))
+    // -G 1028: NOT (duplicate AND unmapped) — at least one bit mismatches
+    assert(viewNames("-G", "1028") == Set("p1", "p2", "u1", "s1"))
+    // hex accepted like samtools. Reference parity quirk: the reference's
+    // 0x40 filter is `readInFragment == 0` with NO paired check
+    // (View.scala:147; Avro defaults unpaired reads to fragment 0), so
+    // unpaired u1/s1 match too — samtools would return only p1.
+    assert(viewNames("-f", "0x40") == Set("p1", "u1", "s1"))
+    // -q 30: mapq >= 30 (u1 has mapq 0, s1 mapq 10)
+    assert(viewNames("-q", "30") == Set("p1", "p2"))
+  }
+
+  test("view -c prints the count; stdout prints SAM with header") {
+    val in = fixture("vc.sam", viewSam)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Cli.run(spark, Seq("view", in, "-f", "1", "-c"))
+    }
+    assert(outBuf.toString.trim == "2")
+    val outBuf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf2)) {
+      Cli.run(spark, Seq("view", in, "-F", "4"))
+    }
+    val lines = outBuf2.toString.split("\n")
+    assert(lines.exists(_.startsWith("@SQ")), "SAM header expected on stdout")
+    assert(lines.count(l => l.nonEmpty && !l.startsWith("@")) == 3)
+  }
+
+  test("print dumps parquet records as JSON (plain and -pretty, -o file)") {
+    val in = fixture("pr.sam", sam)
+    val pq = tmpDir() + "/pr.parquet"
+    Cli.run(spark, Seq("transformAlignments", in, pq))
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Cli.run(spark, Seq("print", pq))
+    }
+    val lines = outBuf.toString.split("\n").filter(_.nonEmpty)
+    assert(lines.length == 3)
+    assert(lines.forall(l => l.startsWith("{") && l.contains("\"readName\"")))
+    // -o writes a local file; -pretty multi-lines each record
+    val f = tmpDir() + "/dump.json"
+    Cli.run(spark, Seq("print", pq, "-o", f, "-pretty"))
+    val dumped = Files.readString(Paths.get(f))
+    assert(dumped.count(_ == '{') >= 3 && dumped.contains("\n  "))
   }
 
   test("countKmers writes k-mer counts") {
