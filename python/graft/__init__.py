@@ -1,0 +1,295 @@
+"""graft — PySpark bindings for the graft Spark analytics engine.
+
+Source-only wrapper over the ``graft.api.JavaApi`` py4j facade (the same
+call path PySpark itself uses for every DataFrame operation): each function
+hands py4j ``DataFrame._jdf`` handles to the JVM-side static facade and
+wraps the returned JVM DataFrame back. No server process, no serialization
+beyond what PySpark already does — the plan stays 100% JVM-side.
+
+Usage (any PySpark session whose JVM classpath includes the graft jar)::
+
+    from pyspark.sql import SparkSession
+    import graft
+
+    spark = (SparkSession.builder
+             .config("spark.jars", "/path/to/graft.jar")
+             .getOrCreate())
+
+    reads = graft.load_alignments(spark, "sample.bam")
+    deduped = graft.mark_duplicates(reads)
+    stats = graft.flag_stat(deduped)
+
+    docs = spark.read.parquet("documents.parquet")
+    pairs = graft.minhash_near_duplicates(docs, "doc_id", "text",
+                                          num_hashes=128, bands=32,
+                                          threshold=0.8)
+
+This mirrors the reference's adam-python ``bdgenomics.adam`` package
+(adam-python/bdgenomics/adam/ds.py), re-expressed for the DataFrame-first
+engine: functions take and return plain PySpark DataFrames instead of
+wrapping them in genomic dataset classes.
+
+NOTE: this container has no PySpark available to the build, so this module
+ships as documented source verified against the JavaApi signatures (the
+JVM side is spec-tested in JavaApiSpec); it is not exercised by CI here.
+"""
+
+__all__ = [
+    "load_alignments", "load_features", "load_variants", "load_genotypes",
+    "mark_duplicates", "flag_stat", "count_kmers", "to_coverage",
+    "collapse_coverage", "bin_qualities", "region_join",
+    "region_join_flanked", "broadcast_region_join", "overlap_counts",
+    "exact_duplicates", "drop_exact_duplicates", "fingerprints",
+    "exact_duplicates_against", "minhash_signatures",
+    "minhash_near_duplicates", "minhash_near_duplicates_against",
+    "simhash_signatures", "simhash_near_duplicates",
+    "simhash_near_duplicates_against", "jaccard_similarity_join",
+    "cluster_duplicates", "srp_signatures", "lsh_top_k_against",
+    "brute_force_top_k", "lsh_top_k", "ivf_top_k",
+    "cosine_near_duplicates", "quality_filter", "lang_id", "redact_pii",
+    "pack_token_spans", "extract_image_features", "extract_audio_features",
+    "stratified_sample",
+]
+
+_FACADE = "graft.api.JavaApi"
+
+
+def _api(spark):
+    return getattr(spark._jvm, _FACADE)
+
+
+def _wrap(spark, jdf):
+    from pyspark.sql import DataFrame
+    return DataFrame(jdf, spark._wrapped if hasattr(spark, "_wrapped") else spark)
+
+
+# ------------------------------- loaders ---------------------------------
+
+def load_alignments(spark, path):
+    """Extension-dispatch alignment load (SAM/BAM/CRAM/parquet)."""
+    return _wrap(spark, _api(spark).loadAlignments(spark._jsparkSession, path))
+
+
+def load_features(spark, path):
+    return _wrap(spark, _api(spark).loadFeatures(spark._jsparkSession, path))
+
+
+def load_variants(spark, path):
+    return _wrap(spark, _api(spark).loadVariants(spark._jsparkSession, path))
+
+
+def load_genotypes(spark, path):
+    return _wrap(spark, _api(spark).loadGenotypes(spark._jsparkSession, path))
+
+
+# ------------------------------ genomics ---------------------------------
+
+def mark_duplicates(alignments):
+    s = alignments.sparkSession
+    return _wrap(s, _api(s).markDuplicates(alignments._jdf))
+
+
+def flag_stat(alignments):
+    s = alignments.sparkSession
+    return _wrap(s, _api(s).flagStat(alignments._jdf))
+
+
+def count_kmers(alignments, k):
+    s = alignments.sparkSession
+    return _wrap(s, _api(s).countKmers(alignments._jdf, k))
+
+
+def to_coverage(alignments):
+    s = alignments.sparkSession
+    return _wrap(s, _api(s).toCoverage(alignments._jdf))
+
+
+def collapse_coverage(coverage):
+    s = coverage.sparkSession
+    return _wrap(s, _api(s).collapseCoverage(coverage._jdf))
+
+
+def bin_qualities(alignments):
+    s = alignments.sparkSession
+    return _wrap(s, _api(s).binQualities(alignments._jdf))
+
+
+def region_join(left, right, join_type="inner"):
+    """Interval-overlap join; both sides need referenceName/start/end."""
+    s = left.sparkSession
+    return _wrap(s, _api(s).regionJoin(left._jdf, right._jdf, join_type))
+
+
+def region_join_flanked(left, right, join_type, flank):
+    s = left.sparkSession
+    return _wrap(s, _api(s).regionJoinFlanked(left._jdf, right._jdf,
+                                              join_type, flank))
+
+
+def broadcast_region_join(left, right, join_type="inner"):
+    s = left.sparkSession
+    return _wrap(s, _api(s).broadcastRegionJoin(left._jdf, right._jdf,
+                                                join_type))
+
+
+def overlap_counts(left, right):
+    s = left.sparkSession
+    return _wrap(s, _api(s).overlapCounts(left._jdf, right._jdf))
+
+
+# ----------------------------- dedup / text ------------------------------
+
+def exact_duplicates(docs, id_col, text_col):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).exactDuplicates(docs._jdf, id_col, text_col))
+
+
+def drop_exact_duplicates(docs, id_col, text_col):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).dropExactDuplicates(docs._jdf, id_col, text_col))
+
+
+def fingerprints(docs, id_col, text_col):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).fingerprints(docs._jdf, id_col, text_col))
+
+
+def exact_duplicates_against(incoming, index, id_col, text_col):
+    s = incoming.sparkSession
+    return _wrap(s, _api(s).exactDuplicatesAgainst(incoming._jdf, index._jdf,
+                                                   id_col, text_col))
+
+
+def minhash_signatures(docs, id_col, text_col, num_hashes=128, shingle_n=3):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).minhashSignatures(docs._jdf, id_col, text_col,
+                                              num_hashes, shingle_n))
+
+
+def minhash_near_duplicates(docs, id_col, text_col, num_hashes=128,
+                            shingle_n=3, bands=32, threshold=0.8):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).minhashNearDuplicates(
+        docs._jdf, id_col, text_col, num_hashes, shingle_n, bands, threshold))
+
+
+def minhash_near_duplicates_against(incoming, index, id_col, text_col,
+                                    num_hashes=128, shingle_n=3, bands=32,
+                                    threshold=0.8):
+    s = incoming.sparkSession
+    return _wrap(s, _api(s).minhashNearDuplicatesAgainst(
+        incoming._jdf, index._jdf, id_col, text_col, num_hashes, shingle_n,
+        bands, threshold))
+
+
+def simhash_signatures(docs, id_col, text_col):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).simhashSignatures(docs._jdf, id_col, text_col))
+
+
+def simhash_near_duplicates(docs, id_col, text_col, max_dist=3):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).simhashNearDuplicates(docs._jdf, id_col,
+                                                  text_col, max_dist))
+
+
+def simhash_near_duplicates_against(incoming, index, id_col, text_col,
+                                    max_dist=3):
+    s = incoming.sparkSession
+    return _wrap(s, _api(s).simhashNearDuplicatesAgainst(
+        incoming._jdf, index._jdf, id_col, text_col, max_dist))
+
+
+def jaccard_similarity_join(docs, id_col, text_col, shingle_n=3,
+                            threshold=0.5):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).jaccardSimilarityJoin(docs._jdf, id_col,
+                                                  text_col, shingle_n,
+                                                  threshold))
+
+
+def cluster_duplicates(pairs):
+    """Connected components over (id_a, id_b) near-duplicate pairs."""
+    s = pairs.sparkSession
+    return _wrap(s, _api(s).clusterDuplicates(pairs._jdf))
+
+
+# --------------------------- similarity search ---------------------------
+
+def srp_signatures(corpus, num_bits):
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).srpSignatures(corpus._jdf, num_bits))
+
+
+def lsh_top_k_against(queries, signed_corpus, k, num_bits, bands):
+    s = queries.sparkSession
+    return _wrap(s, _api(s).lshTopKAgainst(queries._jdf, signed_corpus._jdf,
+                                           k, num_bits, bands))
+
+
+def brute_force_top_k(queries, corpus, k):
+    s = queries.sparkSession
+    return _wrap(s, _api(s).bruteForceTopK(queries._jdf, corpus._jdf, k))
+
+
+def lsh_top_k(queries, corpus, k, num_bits, bands):
+    s = queries.sparkSession
+    return _wrap(s, _api(s).lshTopK(queries._jdf, corpus._jdf, k, num_bits,
+                                    bands))
+
+
+def ivf_top_k(queries, corpus, k, n_centroids, n_probe):
+    s = queries.sparkSession
+    return _wrap(s, _api(s).ivfTopK(queries._jdf, corpus._jdf, k,
+                                    n_centroids, n_probe))
+
+
+def cosine_near_duplicates(vectors, id_col, vec_col, threshold):
+    s = vectors.sparkSession
+    return _wrap(s, _api(s).cosineNearDuplicates(vectors._jdf, id_col,
+                                                 vec_col, threshold))
+
+
+# ------------------------------ pipelines --------------------------------
+
+def quality_filter(docs, text_col, min_score):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).qualityFilter(docs._jdf, text_col, min_score))
+
+
+def lang_id(docs, text_col):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).langId(docs._jdf, text_col))
+
+
+def redact_pii(docs, text_col):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).redactPii(docs._jdf, text_col))
+
+
+def pack_token_spans(docs, id_col, text_col, seq_len, order_col=None):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).packTokenSpans(docs._jdf, id_col, text_col,
+                                           seq_len,
+                                           order_col if order_col else id_col))
+
+
+def extract_image_features(media):
+    s = media.sparkSession
+    return _wrap(s, _api(s).extractImageFeatures(media._jdf))
+
+
+def extract_audio_features(media, window_samples=256, hop_samples=128):
+    s = media.sparkSession
+    return _wrap(s, _api(s).extractAudioFeatures(media._jdf, window_samples,
+                                                 hop_samples))
+
+
+def stratified_sample(docs, strata_col, key_col, rates, default_rate):
+    """rates: dict of stratum value -> keep rate in [0, 1]."""
+    s = docs.sparkSession
+    jmap = s._jvm.java.util.HashMap()
+    for k, v in rates.items():
+        jmap.put(k, float(v))
+    return _wrap(s, _api(s).stratifiedSample(docs._jdf, strata_col, key_col,
+                                             jmap, default_rate))

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: runs the five most expensive operators at ~sf1 (10x the
+  * largest driver-provided testdata) and prints one JSON line per probe.
+  *
+  * The driver ships testdata up to sf0.1 only, so the probe SYNTHESIZES
+  * sf1-scale inputs from sf0.1: documents are replicated 10x with the id
+  * space shifted and one token deterministically perturbed per replica
+  * (so replicas are near- but not exact duplicates — the worst realistic
+  * case for the dedup family: every bucket has ~10 co-located members),
+  * and interval tables are generated at 10x the q16 row count. Inputs are
+  * materialized to parquet under /tmp first, so probe timings measure the
+  * operator, not the synthesis.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [workDir]
+  */
+object ScaleProbe {
+
+  private def timed(name: String)(body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"$name","rows":$rows,"sec":$sec%.2f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft-scaleprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{DedupOps, RegionJoins, TextOps}
+
+    // ---- synthesize sf1-scale inputs (10x sf0.1), materialized first ----
+    val docs01 = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val nDocs01 = docs01.count()
+    val perturb = udf { (text: String, rep: Int) =>
+      if (rep == 0 || text == null || text.isEmpty) text
+      else {
+        val toks = text.split(" ")
+        val i = math.abs(31 * rep + text.length) % toks.length
+        toks(i) = s"rep$rep"
+        toks.mkString(" ")
+      }
+    }
+    val docsBig = spark.range(10).crossJoin(docs01)
+      .select((col("doc_id") + col("id") * nDocs01 * 2).as("doc_id"),
+        perturb(col("text"), col("id").cast("int")).as("text"))
+    val docsPath = s"$work/documents_sf1.parquet"
+    docsBig.write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+    println(s"""{"probe":"setup_docs","rows":${docs.count()}}""")
+
+    // interval tables ~sf1: 2M left rows / 500k right rows over 25 contigs
+    def intervals(n: Long, seed: Long, maxLen: Long): DataFrame =
+      spark.range(n).select(
+        concat(lit("chr"), (col("id") % 25).cast("string")).as("referenceName"),
+        ((col("id") * 2654435761L + seed) % 100000000L).as("s0"),
+        (((col("id") * 2654435761L + seed) % 100000000L) +
+          (col("id") * 40503L + seed) % maxLen + 1L).as("e0"),
+        col("id"))
+        .select(col("referenceName"), abs(col("s0")).as("start"),
+          (abs(col("s0")) + (abs(col("e0") - col("s0")) % maxLen) + 1L).as("end"),
+          col("id"))
+    val lPath = s"$work/left_sf1.parquet"; val rPath = s"$work/right_sf1.parquet"
+    intervals(2000000L, 7L, 5000L).write.mode("overwrite").parquet(lPath)
+    intervals(500000L, 13L, 20000L).write.mode("overwrite").parquet(rPath)
+    val lIv = spark.read.parquet(lPath); val rIv = spark.read.parquet(rPath)
+
+    // ---- probes ----
+    timed("region_join_inner") {
+      RegionJoins.overlapJoin(lIv, rIv, "inner").count()
+    }
+    timed("minhash_neardup") {
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 128, shingleN = 3, bands = 32, threshold = 0.8).count()
+    }
+    spark.catalog.clearCache()
+    timed("ppjoin_exact_jaccard") {
+      DedupOps.jaccardSimilarityJoin(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5).count()
+    }
+    spark.catalog.clearCache()
+    timed("cluster_duplicates") {
+      val pairs = DedupOps.minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 128, shingleN = 3, bands = 32, threshold = 0.5)
+        .select("id_a", "id_b")
+      DedupOps.clusterDuplicates(pairs).count()
+    }
+    spark.catalog.clearCache()
+    timed("pack_sequences") {
+      TextOps.packTokenSpans(docs, "doc_id", "text", seqLen = 512).count()
+    }
+    spark.stop()
+  }
+}

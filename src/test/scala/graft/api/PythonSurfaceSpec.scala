@@ -1,0 +1,48 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** python/graft/__init__.py calls `graft.api.JavaApi` via py4j with exact
+  * method names and arities (py4j dispatches reflectively — a rename or
+  * arity change breaks Python callers at runtime, not compile time). This
+  * spec pins that surface: every (name, paramCount) the wrapper uses must
+  * exist on the facade. Update BOTH files together. */
+class PythonSurfaceSpec extends AnyFunSuite {
+
+  test("JavaApi exposes every (method, arity) the python wrapper calls") {
+    val surface = graft.api.JavaApi.getClass.getMethods
+      .map(m => m.getName -> m.getParameterCount).toSet
+    val called = Seq(
+      "loadAlignments" -> 2, "loadFeatures" -> 2, "loadVariants" -> 2,
+      "loadGenotypes" -> 2,
+      "markDuplicates" -> 1, "flagStat" -> 1, "countKmers" -> 2,
+      "toCoverage" -> 1, "collapseCoverage" -> 1, "binQualities" -> 1,
+      "regionJoin" -> 3, "regionJoinFlanked" -> 4,
+      "broadcastRegionJoin" -> 3, "overlapCounts" -> 2,
+      "exactDuplicates" -> 3, "dropExactDuplicates" -> 3,
+      "fingerprints" -> 3, "exactDuplicatesAgainst" -> 4,
+      "minhashSignatures" -> 5, "minhashNearDuplicates" -> 7,
+      "minhashNearDuplicatesAgainst" -> 8,
+      "simhashSignatures" -> 3, "simhashNearDuplicates" -> 4,
+      "simhashNearDuplicatesAgainst" -> 5,
+      "jaccardSimilarityJoin" -> 5, "clusterDuplicates" -> 1,
+      "srpSignatures" -> 2, "lshTopKAgainst" -> 5, "bruteForceTopK" -> 3,
+      "lshTopK" -> 5, "ivfTopK" -> 5, "cosineNearDuplicates" -> 4,
+      "qualityFilter" -> 3, "langId" -> 2, "redactPii" -> 2,
+      "packTokenSpans" -> 5, "extractImageFeatures" -> 1,
+      "extractAudioFeatures" -> 3, "stratifiedSample" -> 5)
+    called.foreach { e =>
+      assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
+    }
+  }
+
+  test("the python wrapper source actually names those methods") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("python/graft/__init__.py")), "UTF-8")
+    Seq("loadAlignments", "minhashNearDuplicatesAgainst", "lshTopKAgainst",
+      "cosineNearDuplicates", "packTokenSpans", "stratifiedSample",
+      "extractAudioFeatures").foreach { m =>
+      assert(src.contains(m), s"python wrapper no longer calls $m")
+    }
+  }
+}
