@@ -48,7 +48,7 @@ __all__ = [
     "brute_force_top_k", "lsh_top_k", "ivf_top_k",
     "cosine_near_duplicates", "quality_filter", "lang_id", "redact_pii",
     "pack_token_spans", "extract_image_features", "extract_audio_features",
-    "stratified_sample",
+    "image_stats", "audio_stats", "stratified_sample",
 ]
 
 _FACADE = "graft.api.JavaApi"
@@ -283,6 +283,18 @@ def extract_audio_features(media, window_samples=256, hop_samples=128):
     s = media.sparkSession
     return _wrap(s, _api(s).extractAudioFeatures(media._jdf, window_samples,
                                                  hop_samples))
+
+
+def image_stats(media):
+    """Integer-exact per-bin image stats via the real BMP codec."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).imageStats(media._jdf))
+
+
+def audio_stats(media, window_samples=256):
+    """Integer-exact per-window audio stats via the real WAV codec."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).audioStats(media._jdf, window_samples))
 
 
 def stratified_sample(docs, strata_col, key_col, rates, default_rate):

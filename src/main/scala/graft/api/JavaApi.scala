@@ -193,6 +193,14 @@ object JavaApi {
     graft.operators.MultimodalOps.extractAudioFeatures(
       media, windowSamples, hopSamples)
 
+  /** Integer-exact BMP image stats (real codec; see MultimodalOps). */
+  def imageStats(media: DataFrame): DataFrame =
+    graft.operators.MultimodalOps.imageStats(media)
+
+  /** Integer-exact WAV audio stats (real codec; see MultimodalOps). */
+  def audioStats(media: DataFrame, windowSamples: Int): DataFrame =
+    graft.operators.MultimodalOps.audioStats(media, windowSamples)
+
   /** Deterministic hash-Bernoulli stratified sample: `rates` maps stratum
     * value to keep-rate (java.util.Map for py4j/Java callers). */
   def stratifiedSample(

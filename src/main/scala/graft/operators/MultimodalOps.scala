@@ -33,6 +33,12 @@ case class AudioFeatureRow(
 case class ImageStatsRow(
     media_id: Long, bin: Int, bin_count: Long, n_px: Long, sum_gray: Long)
 
+/** Output row of [[MultimodalOps.audioStats]] (one per full window);
+  * all-integer so oracles replay it exactly. */
+case class AudioStatsRow(
+    media_id: Long, window: Int, sum_abs: Long, zero_crossings: Long,
+    n_samples: Long)
+
 object MultimodalOps {
 
   /** Typed metadata carried with each media payload. */
@@ -146,6 +152,40 @@ object MultimodalOps {
       }(enc).toDF()
   }
 
+  /** Integer-exact per-window statistics from REAL WAV decode: one row per
+    * full window of `windowSamples` samples (hop == window, so windows
+    * tile) — (media_id, window, sum_abs, zero_crossings, n_samples), all
+    * integers, so an external oracle can replay the math bit-exactly.
+    * zero_crossings counts sign boundaries WITHIN the window using the
+    * same (s >= 0) convention as [[extractAudioFeatures]]. */
+  def audioStats(media: DataFrame, windowSamples: Int = 256): DataFrame = {
+    require(windowSamples > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[AudioStatsRow] =
+      Encoders.product[AudioStatsRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val audio = graft.sources.Wav.decode(r.getAs[Array[Byte]](1))
+          val s = audio.samples
+          val nWin = s.length / windowSamples
+          (0 until nWin).iterator.map { w =>
+            val off = w * windowSamples
+            var sumAbs = 0L
+            var zc = 0L
+            var i = 0
+            while (i < windowSamples) {
+              val v = s(off + i)
+              sumAbs += math.abs(v)
+              if (i > 0 && (v >= 0) != (s(off + i - 1) >= 0)) zc += 1
+              i += 1
+            }
+            AudioStatsRow(id, w, sumAbs, zc, s.length.toLong)
+          }
+        }
+      }.toDF()
+  }
+
   /** Thumbnail/resize stub: nearest-neighbor down-sample of the fake decode,
     * re-encoded as binary — demonstrates payload→payload transforms keeping
     * the media schema. */
@@ -184,10 +224,12 @@ object MultimodalOps {
       posexplode(split_part_bytes(col("payload"), n)).as(Seq("frame_idx", "frame")))
 
   /** Audio decode + windowed feature extraction, batched per partition.
-    * The PCM decode is the [[StubDecoder]] fake (payload bytes → [-1,1]
-    * samples); everything around it — per-window RMS energy and
-    * zero-crossing rate, window/hop framing, output schema — is the real
-    * operator shape a production audio featurizer (mapInPandas over
+    * WAV payloads (RIFF magic) take the REAL [[graft.sources.Wav]] decoder
+    * (PCM 8/16-bit, multi-channel averaged to mono, pure JVM from the
+    * public spec); other formats go through the [[StubDecoder]] fake
+    * (payload bytes → [-1,1] samples). Per-window RMS energy and
+    * zero-crossing rate, window/hop framing, output schema — the operator
+    * shape a production audio featurizer (mapInPandas over
     * librosa/torchaudio batches) plugs into. One output row per
     * (media_id, window). */
   def extractAudioFeatures(
@@ -201,7 +243,10 @@ object MultimodalOps {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val pcm = StubDecoder.decodePcm(payload)
+          val pcm =
+            if (graft.sources.Wav.isWav(payload))
+              graft.sources.Wav.decode(payload).samples.map(_ / 32768.0f)
+            else StubDecoder.decodePcm(payload)
           val nWin =
             if (pcm.length < windowSamples) 0
             else (pcm.length - windowSamples) / hopSamples + 1

@@ -590,6 +590,45 @@ object PipelineQueries extends QuerySet {
         SELECT media_id, bin, bin_count,
           CAST(sum(bin_count) OVER (PARTITION BY media_id) AS BIGINT) AS n_px,
           CAST(sum(bin_sum) OVER (PARTITION BY media_id) AS BIGINT) AS sum_gray
-        FROM binned"""))
+        FROM binned""")),
+
+    // REAL audio decode through the pure-JVM WAV codec, same proof shape
+    // as q52: deterministic 16-bit PCM samples per document, Spark ENCODES
+    // them as a RIFF/WAVE payload and decodes it back through
+    // MultimodalOps.audioStats (graft.sources.Wav); the oracle replays the
+    // sample arithmetic. A header/chunk-walk/sign bug would shift a
+    // window's integer sums.
+    Query("q53_wav_audio_stats",
+      (s, dir) => {
+        val wavUdf = udf { id: Long =>
+          val n = (256 * (2 + id % 4)).toInt
+          val smp = Array.tabulate(n)(i =>
+            (((id * 37 + i * 11) % 4096) - 2048).toInt)
+          graft.sources.Wav.encode(16000, smp)
+        }
+        val media = t(s, dir, "documents").select(
+          col("doc_id").as("media_id"), wavUdf(col("doc_id")).as("payload"))
+        graft.operators.MultimodalOps.audioStats(media, windowSamples = 256)
+      },
+      Some("""WITH dims AS (
+          SELECT doc_id, CAST(256 * (2 + doc_id % 4) AS BIGINT) AS n
+          FROM documents),
+        px AS (
+          SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM dims),
+        s AS (
+          SELECT doc_id, n, i,
+            (doc_id * 37 + i * 11) % 4096 - 2048 AS v,
+            CAST(i // 256 AS INTEGER) AS w, i % 256 AS j
+          FROM px),
+        lagged AS (
+          SELECT doc_id, n, w, v,
+            lag(v) OVER (PARTITION BY doc_id, w ORDER BY j) AS pv
+          FROM s)
+        SELECT doc_id AS media_id, w AS window,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+          CAST(max(n) AS BIGINT) AS n_samples
+        FROM lagged GROUP BY 1, 2"""))
   )
 }

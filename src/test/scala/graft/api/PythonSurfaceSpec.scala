@@ -30,7 +30,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "lshTopK" -> 5, "ivfTopK" -> 5, "cosineNearDuplicates" -> 4,
       "qualityFilter" -> 3, "langId" -> 2, "redactPii" -> 2,
       "packTokenSpans" -> 5, "extractImageFeatures" -> 1,
-      "extractAudioFeatures" -> 3, "stratifiedSample" -> 5)
+      "extractAudioFeatures" -> 3, "imageStats" -> 1, "audioStats" -> 2,
+      "stratifiedSample" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -60,6 +60,32 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rows == Set((0, 2L, 4L, 286L), (1, 1L, 4L, 286L), (15, 1L, 4L, 286L)))
   }
 
+  test("extractAudioFeatures decodes WAV payloads for real") {
+    import spark.implicits._
+    // 512 samples alternating +/-1000 -> every window is full-scale RMS
+    // 1000/32768 and ZCR 1.0
+    val smp = Array.tabulate(512)(i => if (i % 2 == 0) 1000 else -1000)
+    val wav = graft.sources.Wav.encode(16000, smp)
+    val media = Seq((9L, wav)).toDF("media_id", "payload")
+    val rows = MultimodalOps.extractAudioFeatures(media, 256, 256).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1000.0 / 32768) < 1e-6)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    }
+  }
+
+  test("audioStats: integer-exact per-window stats from WAV decode") {
+    import spark.implicits._
+    val smp = Array(5, -5, 5, -5, 3, 3, -3, -3) // two windows of 4
+    val media = Seq((4L, graft.sources.Wav.encode(8000, smp)))
+      .toDF("media_id", "payload")
+    val rows = MultimodalOps.audioStats(media, windowSamples = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // w0: |5|*4=20, crossings at every boundary = 3; w1: 12, 1 crossing
+    assert(rows == Set((0, 20L, 3L, 8L), (1, 12L, 1L, 8L)))
+  }
+
   test("resize keeps schema and scales dimensions") {
     val out = MultimodalOps.resize(mediaDf, 4, 4)
     val r = out.filter(col("media_id") === 2L).collect().head
