@@ -48,7 +48,8 @@ __all__ = [
     "brute_force_top_k", "lsh_top_k", "ivf_top_k",
     "cosine_near_duplicates", "quality_filter", "lang_id", "redact_pii",
     "pack_token_spans", "extract_image_features", "extract_audio_features",
-    "image_stats", "audio_stats", "stratified_sample",
+    "image_stats", "audio_stats", "video_stats", "sample_frames",
+    "stratified_sample",
 ]
 
 _FACADE = "graft.api.JavaApi"
@@ -295,6 +296,18 @@ def audio_stats(media, window_samples=256):
     """Integer-exact per-window audio stats via the real WAV codec."""
     s = media.sparkSession
     return _wrap(s, _api(s).audioStats(media._jdf, window_samples))
+
+
+def video_stats(media):
+    """Integer-exact per-frame video stats via the real AVI codec."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).videoStats(media._jdf))
+
+
+def sample_frames(media, n):
+    """n evenly spaced frames: real decode for AVI, stub chunks otherwise."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).sampleFrames(media._jdf, n))
 
 
 def stratified_sample(docs, strata_col, key_col, rates, default_rate):

@@ -201,6 +201,14 @@ object JavaApi {
   def audioStats(media: DataFrame, windowSamples: Int): DataFrame =
     graft.operators.MultimodalOps.audioStats(media, windowSamples)
 
+  /** Integer-exact AVI video stats (real codec; see MultimodalOps). */
+  def videoStats(media: DataFrame): DataFrame =
+    graft.operators.MultimodalOps.videoStats(media)
+
+  /** Frame sampling: real decode for AVI, stub chunking otherwise. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    graft.operators.MultimodalOps.sampleFrames(media, n)
+
   /** Deterministic hash-Bernoulli stratified sample: `rates` maps stratum
     * value to keep-rate (java.util.Map for py4j/Java callers). */
   def stratifiedSample(

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct; decode/feature-extraction runs
   * per-partition in bounded batches.
   *
-  * Codecs: BMP images decode for REAL via [[graft.sources.Bmp]] (pure-JVM,
-  * from the public spec — 24-bit and 8-bit BI_RGB, top-down and bottom-up,
-  * driver-gated by the q52 oracle). Other image/audio/video formats are
+  * Codecs: BMP images ([[graft.sources.Bmp]]), WAV audio
+  * ([[graft.sources.Wav]]) and AVI video ([[graft.sources.Avi]]) decode
+  * for REAL — pure-JVM from the public specs, driver-gated by the
+  * q52/q53/q54 oracles. Other formats (compressed codecs) are
   * STUBBED (this container ships no media libraries): [[StubDecoder]]
   * produces a deterministic fake decode from the byte content. Everything
   * around the stub — schema, batch shape, partitioning, the operator
@@ -38,6 +39,13 @@ case class ImageStatsRow(
 case class AudioStatsRow(
     media_id: Long, window: Int, sum_abs: Long, zero_crossings: Long,
     n_samples: Long)
+
+/** Output row of [[MultimodalOps.videoStats]] (one per frame);
+  * all-integer so oracles replay it exactly. `motion_abs` is the summed
+  * absolute gray delta vs the previous frame (0 for frame 0), so a
+  * frame-ordering bug in the container walk shifts it detectably. */
+case class VideoStatsRow(
+    media_id: Long, frame: Int, n_px: Long, sum_gray: Long, motion_abs: Long)
 
 object MultimodalOps {
 
@@ -216,12 +224,54 @@ object MultimodalOps {
     spark.createDataFrame(rddOut, outSchema)
   }
 
-  /** Frame sampling for video-like payloads: split a payload into `n`
-    * deterministic chunks ("frames") — the partition/batch plumbing of a
-    * frame sampler with the codec stubbed. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  /** Frame sampling for video payloads. AVI payloads (RIFF 'AVI ' magic)
+    * decode for REAL via [[graft.sources.Avi]]: `n` evenly spaced frames
+    * are re-emitted as row-major grayscale bytes (all frames when the
+    * video has fewer than `n`). Other payloads keep the stub chunk split
+    * (the partition/batch plumbing with the codec faked). */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0)
+    val aviFrames = udf { payload: Array[Byte] =>
+      if (graft.sources.Avi.isAvi(payload)) {
+        val v = graft.sources.Avi.decode(payload)
+        val total = v.frames.length
+        val idxs =
+          if (total <= n) 0 until total
+          else (0 until n).map(i => (i.toLong * total / n).toInt)
+        idxs.map(i => v.frames(i).map(_.toByte)).toArray
+      } else null
+    }
     media.select(col("media_id"),
-      posexplode(split_part_bytes(col("payload"), n)).as(Seq("frame_idx", "frame")))
+      posexplode(coalesce(
+        aviFrames(col("payload")), split_part_bytes(col("payload"), n)))
+        .as(Seq("frame_idx", "frame")))
+  }
+
+  /** Integer-exact per-frame statistics from REAL AVI decode: one row per
+    * frame — (media_id, frame, n_px, sum_gray, motion_abs), all integers,
+    * so an external oracle can replay the math bit-exactly. */
+  def videoStats(media: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[VideoStatsRow] =
+      Encoders.product[VideoStatsRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val v = graft.sources.Avi.decode(r.getAs[Array[Byte]](1))
+          val nPx = (v.width.toLong * v.height)
+          v.frames.iterator.zipWithIndex.map { case (g, f) =>
+            var sum = 0L; var motion = 0L
+            var i = 0
+            while (i < g.length) {
+              sum += g(i)
+              if (f > 0) motion += math.abs(g(i) - v.frames(f - 1)(i))
+              i += 1
+            }
+            VideoStatsRow(id, f, nPx, sum, motion)
+          }
+        }
+      }.toDF()
+  }
 
   /** Audio decode + windowed feature extraction, batched per partition.
     * WAV payloads (RIFF magic) take the REAL [[graft.sources.Wav]] decoder

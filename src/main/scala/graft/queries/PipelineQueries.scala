@@ -629,6 +629,44 @@ object PipelineQueries extends QuerySet {
           CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
           CAST(max(n) AS BIGINT) AS n_samples
-        FROM lagged GROUP BY 1, 2"""))
+        FROM lagged GROUP BY 1, 2""")),
+
+    // REAL video decode through the pure-JVM AVI container codec, same
+    // proof shape as q52/q53: deterministic 6x4 grayscale frames per
+    // document, Spark ENCODES them as a RIFF/AVI payload (24-bit DIB
+    // frames) and decodes it back through MultimodalOps.videoStats
+    // (graft.sources.Avi); the oracle replays the pixel arithmetic. A
+    // header/chunk-walk/row-order bug shifts a frame's sums; a
+    // frame-ORDER bug shifts motion_abs.
+    Query("q54_avi_video_stats",
+      (s, dir) => {
+        val aviUdf = udf { id: Long =>
+          val nf = (2 + id % 3).toInt
+          val frames = Array.tabulate(nf)(f =>
+            Array.tabulate(24)(i => ((id * 13 + f * 7 + i * 3) % 256).toInt))
+          graft.sources.Avi.encode(6, 4, 40000, frames)
+        }
+        val media = t(s, dir, "documents").select(
+          col("doc_id").as("media_id"), aviUdf(col("doc_id")).as("payload"))
+        graft.operators.MultimodalOps.videoStats(media)
+      },
+      Some("""WITH dims AS (
+          SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS nf
+          FROM documents),
+        fr AS (
+          SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM dims),
+        px AS (
+          SELECT doc_id, f, unnest(generate_series(0, 23)) AS i FROM fr),
+        v AS (
+          SELECT doc_id, f, i,
+            (doc_id * 13 + f * 7 + i * 3) % 256 AS g,
+            (doc_id * 13 + (f - 1) * 7 + i * 3) % 256 AS gp
+          FROM px)
+        SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame,
+          CAST(count(*) AS BIGINT) AS n_px,
+          CAST(sum(g) AS BIGINT) AS sum_gray,
+          CAST(sum(CASE WHEN f = 0 THEN 0 ELSE abs(g - gp) END) AS BIGINT)
+            AS motion_abs
+        FROM v GROUP BY 1, 2"""))
   )
 }

@@ -86,6 +86,34 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rows == Set((0, 20L, 3L, 8L), (1, 12L, 1L, 8L)))
   }
 
+  test("sampleFrames decodes AVI payloads for real, evenly spaced") {
+    import spark.implicits._
+    // 5 frames of 2x1; frame f is all-f gray
+    val frames = Array.tabulate(5)(f => Array.fill(2)(f * 10))
+    val avi = graft.sources.Avi.encode(2, 1, 1000, frames)
+    val media = Seq((7L, avi)).toDF("media_id", "payload")
+    val rows = MultimodalOps.sampleFrames(media, 2).collect()
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    // 2 of 5 evenly spaced -> source frames 0 and 2
+    assert(rows == Set(
+      (0, Seq[Byte](0, 0)), (1, Seq[Byte](20, 20))))
+    // non-AVI payloads still take the stub chunk split
+    val stub = Seq((8L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "payload")
+    assert(MultimodalOps.sampleFrames(stub, 2).count() == 2)
+  }
+
+  test("videoStats: integer-exact per-frame stats incl. motion") {
+    import spark.implicits._
+    // 2x2, frame0 = [0,10,20,30] (sum 60), frame1 = [5,10,15,40] (sum 70,
+    // motion |5|+0+|5|+|10| = 20)
+    val avi = graft.sources.Avi.encode(2, 2, 1000,
+      Array(Array(0, 10, 20, 30), Array(5, 10, 15, 40)))
+    val media = Seq((3L, avi)).toDF("media_id", "payload")
+    val rows = MultimodalOps.videoStats(media).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set((0, 4L, 60L, 0L), (1, 4L, 70L, 20L)))
+  }
+
   test("resize keeps schema and scales dimensions") {
     val out = MultimodalOps.resize(mediaDf, 4, 4)
     val r = out.filter(col("media_id") === 2L).collect().head
