@@ -40,6 +40,7 @@ __all__ = [
     "collapse_coverage", "bin_qualities", "region_join",
     "region_join_flanked", "broadcast_region_join", "overlap_counts",
     "exact_duplicates", "drop_exact_duplicates", "fingerprints",
+    "dedup_paragraphs", "duplicated_paragraphs", "c4_clean_lines",
     "exact_duplicates_against", "minhash_signatures",
     "minhash_near_duplicates", "minhash_near_duplicates_against",
     "simhash_signatures", "simhash_near_duplicates",
@@ -143,6 +144,25 @@ def overlap_counts(left, right):
 def exact_duplicates(docs, id_col, text_col):
     s = docs.sparkSession
     return _wrap(s, _api(s).exactDuplicates(docs._jdf, id_col, text_col))
+
+
+def dedup_paragraphs(docs, id_col, text_col, sep="\n\n"):
+    """C4-style paragraph dedup: keep each paragraph's global first occurrence."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).dedupParagraphs(docs._jdf, id_col, text_col, sep))
+
+
+def duplicated_paragraphs(docs, id_col, text_col, sep="\n\n"):
+    """Paragraphs occurring more than once across the corpus, with counts."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).duplicatedParagraphs(docs._jdf, id_col, text_col,
+                                                 sep))
+
+
+def c4_clean_lines(docs, text_col, min_words=3):
+    """C4 line-level cleaning: rewrite text_col to its surviving lines."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).c4CleanLines(docs._jdf, text_col, min_words))
 
 
 def drop_exact_duplicates(docs, id_col, text_col):

@@ -93,6 +93,21 @@ object JavaApi {
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     DedupOps.exactDuplicates(docs, idCol, textCol)
 
+  /** C4-style paragraph-level dedup (keep global first occurrence). */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    DedupOps.dedupParagraphs(docs, idCol, textCol, sep)
+
+  /** Paragraphs occurring more than once across the corpus. */
+  def duplicatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    DedupOps.duplicatedParagraphs(docs, idCol, textCol, sep)
+
+  /** C4 line-level cleaning: textCol rewritten to surviving lines. */
+  def c4CleanLines(docs: DataFrame, textCol: String, minWords: Int): DataFrame =
+    docs.withColumn(textCol,
+      graft.operators.TextOps.c4CleanLines(docs(textCol), minWords))
+
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     DedupOps.dropExactDuplicates(docs, idCol, textCol)
 

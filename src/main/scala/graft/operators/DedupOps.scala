@@ -89,6 +89,83 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  // --------------------------- paragraph level -----------------------------
+
+  /** Paragraphs duplicated across the corpus (the C4/RefinedWeb unit of
+    * dedup below the whole document): one row per paragraph text occurring
+    * more than once, with its occurrence count, distinct-document count and
+    * first (minimum (id, idx)) occurrence. Empty/whitespace paragraphs are
+    * ignored. One explode + one hash-aggregated shuffle whose partial maps
+    * combine per-task (a boilerplate paragraph repeated a million times
+    * arrives at the reducer as one row per task, not a million — the skew
+    * story a window-over-paragraph would not have). */
+  def duplicatedParagraphs(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame =
+    explodeParagraphs(docs, idCol, textCol, sep)
+      .groupBy("para")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("idx"))).as("first"))
+      .filter(col("n_occurrences") > 1)
+      .select(col("para"), col("n_occurrences"), col("n_docs"),
+        col("first.id").as("first_id"), col("first.idx").as("first_idx"))
+
+  /** C4-style paragraph-level deduplication: split each document into
+    * paragraphs on `sep`, keep only the globally FIRST occurrence of each
+    * distinct paragraph (first = minimum (id, paragraph index)), and
+    * reassemble each document from its surviving paragraphs in order
+    * (possibly the empty string when everything was removed elsewhere
+    * first). Returns (idCol, textCol) with textCol rewritten.
+    *
+    * Plan: explode → first-occurrence table via map-side-combinable
+    * min((id, idx)) aggregation → inner join back on the UNIQUE key
+    * (hash, para, id, idx) — exactly one keeper row per distinct
+    * paragraph, so no reducer ever sees a hot paragraph's full occurrence
+    * list (the C4-at-100 TB failure mode of partition-by-paragraph
+    * windows) — → regroup by document. Matching includes the full
+    * paragraph string, so 64-bit hash collisions cannot drop text; the
+    * hash only keeps the shuffle/join key dense.
+    *
+    * The exploded table is deliberately NOT persisted even though both
+    * the aggregate and the join derive from it (cf. the persisted
+    * signature tables in [[minhashNearDuplicates]]): there the recompute
+    * was an expensive per-doc UDF and the persisted table narrow; here
+    * the recompute is codegen'd split+hash and the intermediate is
+    * corpus-sized — at 100 TB a second scan is cheaper than caching the
+    * whole corpus re-shaped. */
+  def dedupParagraphs(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val exploded = explodeParagraphs(docs, idCol, textCol, sep)
+    val firsts = exploded
+      .groupBy("h", "para")
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+      .select(col("h"), col("para"),
+        col("first.id").as("id"), col("first.idx").as("idx"))
+    val kept = exploded.join(firsts, Seq("h", "para", "id", "idx"))
+      .groupBy(col("id"))
+      .agg(array_join(array_sort(collect_list(struct(col("idx"), col("para"))))
+        .getField("para"), sep).as("__cleaned"))
+      .select(col("id").as("__pdid"), col("__cleaned"))
+    docs.select(col(idCol), col(textCol))
+      .join(kept, col(idCol) === col("__pdid"), "left")
+      .select(col(idCol),
+        coalesce(col("__cleaned"), lit("")).as(textCol))
+  }
+
+  /** (id, idx, para, h): non-empty trimmed paragraphs of each document
+    * with their in-document index and 64-bit content hash. */
+  private def explodeParagraphs(
+      docs: DataFrame, idCol: String, textCol: String, sep: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("h", xxhash64(col("para")))
+
   // ----------------------------- MinHash LSH -------------------------------
 
   /** MinHash signature of `numHashes` permutations over word `shingleN`-grams.

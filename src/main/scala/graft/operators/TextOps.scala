@@ -52,6 +52,32 @@ object TextOps {
     (lenOk + punctOk + digitOk + upperOk) / 4.0
   }
 
+  /** C4-style line keep predicate over an exploded line (the public C4
+    * cleaning rules, Raffel et al. 2020 §2.2): a line survives iff it ends
+    * in terminal punctuation, has at least `minWords` whitespace words,
+    * and contains none of the boilerplate markers (curly brace,
+    * "javascript", "lorem ipsum" — case-insensitive). */
+  private def c4LineKeep(line: Column, minWords: Int): Column = {
+    val t = trim(line)
+    t.rlike("[.!?\"']$") &&
+      size(split(t, "\\s+")) >= minWords &&
+      !t.contains("{") &&
+      !lower(t).contains("javascript") &&
+      !lower(t).contains("lorem ipsum")
+  }
+
+  /** Lines of `text` surviving the C4 rules, in order — a codegen'd
+    * higher-order `filter` over `split`, no UDF, no shuffle. */
+  def c4KeepLines(text: Column, minWords: Int = 3): Column =
+    filter(split(text, "\n"), l => c4LineKeep(l, minWords))
+
+  /** `text` with non-surviving lines removed (C4 line-level cleaning);
+    * empty string when nothing survives. Pair with
+    * [[c4KeepLines]]`.size >= minSentences` for the paper's document-level
+    * drop. */
+  def c4CleanLines(text: Column, minWords: Int = 3): Column =
+    array_join(c4KeepLines(text, minWords), "\n")
+
   /** Stopword-evidence language ID. Counts occurrences of high-frequency
     * function words per language (padded with spaces so they only match as
     * whole words) and argmaxes with a fixed preference order — a standard

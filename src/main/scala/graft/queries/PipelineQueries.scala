@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, SamplingOps, SimilarityOps, TextOps}
 
@@ -667,6 +667,121 @@ object PipelineQueries extends QuerySet {
           CAST(sum(g) AS BIGINT) AS sum_gray,
           CAST(sum(CASE WHEN f = 0 THEN 0 ELSE abs(g - gp) END) AS BIGINT)
             AS motion_abs
-        FROM v GROUP BY 1, 2"""))
+        FROM v GROUP BY 1, 2""")),
+
+    // C4-style paragraph-level dedup: multi-paragraph docs are composed
+    // in-plan (the corpus text has no newlines) from a small shared pool
+    // plus per-doc unique paragraphs and deliberate in-doc repeats; only
+    // the globally first (min (doc_id, idx)) occurrence of each paragraph
+    // survives, docs reassembled in order. The oracle replays the whole
+    // pipeline with a row_number window.
+    Query("q55_paragraph_dedup",
+      (s, dir) => {
+        val pool = (k: Int) => concat(lit("para "),
+          ((col("doc_id") * 7 + lit(k * 13)) % 97).cast("string"))
+        val composed = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat_ws("\n\n",
+            pool(0), pool(1), pool(2),
+            when(col("doc_id") % 5 === 0, pool(0)) // in-doc repeat
+              .otherwise(concat(lit("extra "), col("doc_id").cast("string"))))
+            .as("text"))
+        graft.operators.DedupOps
+          .dedupParagraphs(composed, "doc_id", "text")
+          .select(col("doc_id"), col("text").as("cleaned_text"))
+      },
+      Some("""WITH ks AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS k FROM documents),
+        paras AS (
+          SELECT doc_id, k,
+            CASE WHEN k < 3
+              THEN 'para ' || CAST((doc_id * 7 + k * 13) % 97 AS VARCHAR)
+            WHEN doc_id % 5 = 0
+              THEN 'para ' || CAST((doc_id * 7) % 97 AS VARCHAR)
+            ELSE 'extra ' || CAST(doc_id AS VARCHAR) END AS para
+          FROM ks),
+        ranked AS (
+          SELECT doc_id, k, para,
+            row_number() OVER (PARTITION BY para ORDER BY doc_id, k) AS rn
+          FROM paras)
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+            chr(10) || chr(10) ORDER BY k), '') AS cleaned_text
+        FROM ranked GROUP BY doc_id""")),
+
+    // The inspection side of the same operator: which paragraphs repeat,
+    // how often, in how many docs, and where they first occur.
+    Query("q56_duplicated_paragraphs",
+      (s, dir) => {
+        val pool = (k: Int) => concat(lit("para "),
+          ((col("doc_id") * 7 + lit(k * 13)) % 97).cast("string"))
+        val composed = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat_ws("\n\n", pool(0), pool(1), pool(2)).as("text"))
+        graft.operators.DedupOps
+          .duplicatedParagraphs(composed, "doc_id", "text")
+      },
+      Some("""WITH ks AS (
+          SELECT doc_id, unnest(generate_series(0, 2)) AS k FROM documents),
+        paras AS (
+          SELECT doc_id, k,
+            'para ' || CAST((doc_id * 7 + k * 13) % 97 AS VARCHAR) AS para
+          FROM ks)
+        SELECT para,
+          CAST(count(*) AS BIGINT) AS n_occurrences,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(min(doc_id) AS BIGINT) AS first_id,
+          CAST(min(k) FILTER (WHERE doc_id = (
+            SELECT min(p2.doc_id) FROM paras p2 WHERE p2.para = paras.para))
+            AS INTEGER) AS first_idx
+        FROM paras GROUP BY para HAVING count(*) > 1""")),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) over in-plan
+    // composed lines: per (doc, line j) a deterministic word count (via
+    // substr of a fixed word run), terminal-punctuation/none/brace
+    // suffixes, and an occasional "javascript " prefix. The operator is a
+    // codegen'd higher-order filter (no UDF); the oracle replays every
+    // rule. cleaned_text preserves line order.
+    Query("q57_c4_line_filter",
+      (s, dir) => {
+        val d = col("doc_id")
+        def line(j: Int): Column = concat(
+          when((d + j) % 7 === 0, lit("javascript ")).otherwise(lit("")),
+          lit("w w w w w").substr(lit(1), ((d + j) % 5) * 2 + 1),
+          when((d * 3 + j) % 4 === 0, lit("."))
+            .when((d * 3 + j) % 4 === 1, lit("!"))
+            .when((d * 3 + j) % 4 === 2, lit(""))
+            .otherwise(lit(" {")))
+        val composed = t(s, dir, "documents").select(
+          d, concat_ws("\n", (0 until 6).map(line): _*).as("text"))
+        composed.select(
+          col("doc_id"),
+          graft.operators.TextOps.c4CleanLines(col("text")).as("cleaned_text"),
+          size(graft.operators.TextOps.c4KeepLines(col("text"))).as("n_kept"),
+          size(split(col("text"), "\n")).as("n_total"))
+      },
+      Some("""WITH js AS (
+          SELECT doc_id, unnest(generate_series(0, 5)) AS j FROM documents),
+        lines AS (
+          SELECT doc_id, j,
+            CASE WHEN (doc_id + j) % 7 = 0 THEN 'javascript ' ELSE '' END ||
+            substring('w w w w w', 1,
+              CAST(((doc_id + j) % 5) * 2 + 1 AS INTEGER)) ||
+            CASE (doc_id * 3 + j) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+              WHEN 2 THEN '' ELSE ' {' END AS line
+          FROM js),
+        flags AS (
+          SELECT doc_id, j, line,
+            (line LIKE '%.' OR line LIKE '%!')
+              AND length(line) - length(replace(line, ' ', '')) + 1 >= 3
+              AND line NOT LIKE '%{%'
+              AND line NOT LIKE '%javascript%' AS keep
+          FROM lines)
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN keep THEN line END,
+            chr(10) ORDER BY j), '') AS cleaned_text,
+          CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_kept,
+          CAST(count(*) AS INTEGER) AS n_total
+        FROM flags GROUP BY doc_id"""))
   )
 }

@@ -31,7 +31,9 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "qualityFilter" -> 3, "langId" -> 2, "redactPii" -> 2,
       "packTokenSpans" -> 5, "extractImageFeatures" -> 1,
       "extractAudioFeatures" -> 3, "imageStats" -> 1, "audioStats" -> 2,
-      "videoStats" -> 1, "sampleFrames" -> 2, "stratifiedSample" -> 5)
+      "videoStats" -> 1, "sampleFrames" -> 2, "stratifiedSample" -> 5,
+      "dedupParagraphs" -> 4, "duplicatedParagraphs" -> 4,
+      "c4CleanLines" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -436,4 +436,54 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(counts("a") - 1000L) < 120, s"a=${counts("a")}")
     assert(math.abs(counts("b") - 500L) < 90, s"b=${counts("b")}")
   }
+
+  test("c4CleanLines applies the public C4 line rules") {
+    import spark.implicits._
+    val text = Seq(
+      "This line is long enough and ends well.",   // keep
+      "Too short.",                                // < 3 words
+      "No terminal punctuation at all",            // no [.!?"'] at end
+      "Some JavaScript is mentioned here!",        // boilerplate marker
+      "A brace { appears mid line today.",         // brace
+      "lorem ipsum dolor sit amet?",               // lorem ipsum
+      "Another keeper with a question mark?"       // keep
+    ).mkString("\n")
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextOps.c4CleanLines(col("text")).as("c"),
+        size(TextOps.c4KeepLines(col("text"))).as("n"))
+      .collect().head
+    assert(out.getString(0) ==
+      "This line is long enough and ends well.\nAnother keeper with a question mark?")
+    assert(out.getInt(1) == 2)
+    // everything filtered -> empty string
+    val none = Seq((2L, "nope")).toDF("doc_id", "text")
+      .select(TextOps.c4CleanLines(col("text"))).collect().head.getString(0)
+    assert(none == "")
+  }
+
+  test("dedupParagraphs keeps only the globally first occurrence") {
+    // doc 1: A, B      doc 2: B, C, A     doc 3: A, A (in-doc repeat)
+    val df = docs(
+      (1L, "A\n\nB"), (2L, "B\n\nC\n\nA"), (3L, "A\n\nA"))
+    val out = DedupOps.dedupParagraphs(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "A\n\nB", 2L -> "C", 3L -> ""))
+  }
+
+  test("dedupParagraphs: empty paragraphs dropped, custom separator") {
+    val df = docs((1L, "x||y"), (2L, "||x||z||"))
+    val out = DedupOps.dedupParagraphs(df, "doc_id", "text", sep = "||")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "x||y", 2L -> "z"))
+  }
+
+  test("duplicatedParagraphs reports counts and first occurrence") {
+    val df = docs(
+      (1L, "A\n\nB"), (2L, "B\n\nC\n\nB"), (3L, "unique"))
+    val rows = DedupOps.duplicatedParagraphs(df, "doc_id", "text").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "B" && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L && r.getInt(4) == 1)
+  }
 }
