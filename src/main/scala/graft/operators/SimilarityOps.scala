@@ -238,9 +238,18 @@ object SimilarityOps {
     val mask = (1L << rowsPerBand) - 1
     val sig = srpSignature(numBits)
 
-    val banded = vectors
+    // persisted: both self-join sides derive from the signed table via
+    // differently-aliased projections and Catalyst plans no ReusedExchange
+    // for that shape (the measured fact behind the identical persists in
+    // DedupOps.minhashNearDuplicates / jaccardSimilarityJoin), so without
+    // it the SRP sign UDF (numBits × dim multiply-adds per vector) runs
+    // twice per row. Cache lifetime: as long as the returned DataFrame is
+    // alive; long-lived sessions should clearCache() between passes.
+    val signed = vectors
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         sig(col(vecCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = signed
       .select(col("id"), col("vec"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))

@@ -189,10 +189,13 @@ object HashOracleSql {
     * an ORDERED left-to-right double fold (list_reduce), matching the
     * engine UDF's accumulation loop bit-for-bit; multiplying by ±1.0 is an
     * exact IEEE sign flip. */
-  def srpLshTopKSql(
-      numBits: Int, bands: Int, dim: Int, k: Int, qidMax: Int): String = {
+  /** Shared SRP-banding CTEs (spl*…bnd): splitmix64 hyperplane signs, the
+    * per-vector sign bits (ordered list_reduce fold = the UDF's loop) and
+    * the band values — identical replay for [[srpLshTopKSql]] (q31) and
+    * [[srpNearDupSql]] (q58). Ends without a trailing comma. */
+  private def srpBandCtes(numBits: Int, bands: Int, dim: Int): String = {
     val rpb = numBits / bands
-    s"""WITH spl0 AS (
+    s"""spl0 AS (
        |  SELECT b, j, ((b::HUGEINT*1000003::HUGEINT + j::HUGEINT) + $Golden::HUGEINT) % $M64 AS x
        |  FROM generate_series(0,${numBits - 1}) tb(b), generate_series(0,${dim - 1}) tj(j)),
        |spl1 AS (SELECT b, j, xor(x::UBIGINT, x::UBIGINT>>30)::HUGEINT AS a FROM spl0),
@@ -212,7 +215,30 @@ object HashOracleSql {
        |bnd AS (
        |  SELECT vec_id, b // $rpb AS band,
        |    CAST(sum(bit * (1 << (b % $rpb))) AS BIGINT) AS bandval
-       |  FROM bits GROUP BY vec_id, b // $rpb),
+       |  FROM bits GROUP BY vec_id, b // $rpb)""".stripMargin
+  }
+
+  /** Full oracle for [[graft.operators.SimilarityOps.lshNearDuplicates]]
+    * (q58): SRP banding over every vector, band-bucket candidate pairs
+    * (id_a < id_b), exact double-precision cosine cut at `threshold`. */
+  def srpNearDupSql(
+      numBits: Int, bands: Int, dim: Int, threshold: Double): String =
+    s"""WITH ${srpBandCtes(numBits, bands, dim)},
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bandval = b.bandval
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b FROM cand
+       |JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |JOIN embeddings eb ON eb.vec_id = cand.id_b
+       |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |  CAST(eb.embedding AS DOUBLE[])) >= $threshold""".stripMargin
+
+  def srpLshTopKSql(
+      numBits: Int, bands: Int, dim: Int, k: Int, qidMax: Int): String = {
+    s"""WITH ${srpBandCtes(numBits, bands, dim)},
        |cand AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS id
        |  FROM bnd q JOIN bnd c ON q.band = c.band AND q.bandval = c.bandval

@@ -782,6 +782,18 @@ object PipelineQueries extends QuerySet {
             chr(10) ORDER BY j), '') AS cleaned_text,
           CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_kept,
           CAST(count(*) AS INTEGER) AS n_total
-        FROM flags GROUP BY doc_id"""))
+        FROM flags GROUP BY doc_id""")),
+
+    // Embedding near-dup via SRP-LSH banding (the scale path q37's exact
+    // triangle join approximates AT): 32-bit signatures in 4 8-bit bands,
+    // candidates only within band buckets, exact double cosine cut. Full
+    // oracle — the splitmix64 hyperplane signs, banding and threshold are
+    // all replayed in DuckDB (same machinery as q31).
+    Query("q58_embedding_neardup_lsh",
+      (s, dir) => SimilarityOps.lshNearDuplicates(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, numBits = 32, bands = 4),
+      Some(HashOracleSql.srpNearDupSql(
+        numBits = 32, bands = 4, dim = 64, threshold = 0.35)))
   )
 }

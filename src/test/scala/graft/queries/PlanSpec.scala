@@ -124,7 +124,8 @@ class PlanSpec extends SparkSpec {
     // (id, sig)/(id, shingles) table — one signature-UDF pass per doc.
     // Without the persist Catalyst plans zero ReusedExchange for the
     // differently-aliased projections and the dominant UDF runs twice.
-    for (q <- Seq("q28_minhash_neardup", "q30_ngram_jaccard")) {
+    for (q <- Seq("q28_minhash_neardup", "q30_ngram_jaccard",
+        "q58_embedding_neardup_lsh")) {
       val plan = planOf(q)
       assert(plan.contains("InMemoryTableScan"),
         s"$q: signature table should be cached, not recomputed per side")
