@@ -41,6 +41,7 @@ __all__ = [
     "region_join_flanked", "broadcast_region_join", "overlap_counts",
     "exact_duplicates", "drop_exact_duplicates", "fingerprints",
     "dedup_paragraphs", "duplicated_paragraphs", "c4_clean_lines",
+    "dedup_lines_in_doc",
     "exact_duplicates_against", "minhash_signatures",
     "minhash_near_duplicates", "minhash_near_duplicates_against",
     "simhash_signatures", "simhash_near_duplicates",
@@ -163,6 +164,12 @@ def c4_clean_lines(docs, text_col, min_words=3):
     """C4 line-level cleaning: rewrite text_col to its surviving lines."""
     s = docs.sparkSession
     return _wrap(s, _api(s).c4CleanLines(docs._jdf, text_col, min_words))
+
+
+def dedup_lines_in_doc(docs, text_col, sep="\n"):
+    """Remove repeated lines within each doc (first occurrence wins)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).dedupLinesInDoc(docs._jdf, text_col, sep))
 
 
 def drop_exact_duplicates(docs, id_col, text_col):

@@ -108,6 +108,11 @@ object JavaApi {
     docs.withColumn(textCol,
       graft.operators.TextOps.c4CleanLines(docs(textCol), minWords))
 
+  /** Within-doc repeated-line removal (first occurrence wins). */
+  def dedupLinesInDoc(docs: DataFrame, textCol: String, sep: String): DataFrame =
+    docs.withColumn(textCol,
+      graft.operators.TextOps.dedupLinesInDoc(docs(textCol), sep))
+
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     DedupOps.dropExactDuplicates(docs, idCol, textCol)
 

@@ -78,6 +78,21 @@ object TextOps {
   def c4CleanLines(text: Column, minWords: Int = 3): Column =
     array_join(c4KeepLines(text, minWords), "\n")
 
+  /** Within-document repeated-line removal (the RefinedWeb/MassiveText
+    * in-doc cleanup that complements cross-corpus
+    * [[graft.operators.DedupOps.dedupParagraphs]]): keep each line's FIRST
+    * in-document occurrence, preserving order. Per-row higher-order
+    * expression — no UDF, no shuffle: a line survives iff no earlier index
+    * holds the same content. O(lines²) per doc in the worst case, but
+    * line counts are small and the work is embarrassingly row-parallel. */
+  def dedupLinesInDoc(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    // array_position is the FIRST (1-based) index holding the value
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + 1),
+      sep)
+  }
+
   /** Stopword-evidence language ID. Counts occurrences of high-frequency
     * function words per language (padded with spaces so they only match as
     * whole words) and argmaxes with a fixed preference order — a standard

@@ -794,6 +794,38 @@ object PipelineQueries extends QuerySet {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, numBits = 32, bands = 4),
       Some(HashOracleSql.srpNearDupSql(
-        numBits = 32, bands = 4, dim = 64, threshold = 0.35)))
+        numBits = 32, bands = 4, dim = 64, threshold = 0.35))),
+
+    // RefinedWeb-style within-doc repeated-line removal: lines composed
+    // in-plan with triangular-number offsets mod 5, so each doc repeats
+    // some line contents at later indices; only each content's FIRST
+    // in-doc occurrence survives, order preserved. Pure per-row
+    // higher-order expression (no shuffle); oracle replays it with a
+    // min-over window.
+    Query("q59_dedup_lines_in_doc",
+      (s, dir) => {
+        val d = col("doc_id")
+        val tri = Seq(0, 1, 3, 6, 10, 15)
+        val composed = t(s, dir, "documents").select(
+          d, concat_ws("\n", tri.map(o =>
+            concat(lit("L"), ((d + o) % 5).cast("string"))): _*).as("text"))
+        composed.select(col("doc_id"),
+          graft.operators.TextOps.dedupLinesInDoc(col("text"))
+            .as("cleaned_text"))
+      },
+      Some("""WITH js AS (
+          SELECT doc_id, unnest(generate_series(0, 5)) AS j FROM documents),
+        lines AS (
+          SELECT doc_id, j,
+            'L' || CAST((doc_id + (j * (j + 1)) // 2) % 5 AS VARCHAR) AS line
+          FROM js),
+        firsts AS (
+          SELECT doc_id, j, line,
+            min(j) OVER (PARTITION BY doc_id, line) AS fj
+          FROM lines)
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN j = fj THEN line END,
+            chr(10) ORDER BY j), '') AS cleaned_text
+        FROM firsts GROUP BY doc_id"""))
   )
 }

@@ -461,6 +461,18 @@ class TextDedupSpec extends SparkSpec {
     assert(none == "")
   }
 
+  test("dedupLinesInDoc keeps first in-doc occurrence, preserves order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "x"),
+      (3L, "same\nsame\nsame"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.dedupLinesInDoc(col("text")).as("t"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a\nb\nc", 2L -> "x", 3L -> "same"))
+  }
+
   test("dedupParagraphs keeps only the globally first occurrence") {
     // doc 1: A, B      doc 2: B, C, A     doc 3: A, A (in-doc repeat)
     val df = docs(
