@@ -42,6 +42,8 @@ __all__ = [
     "exact_duplicates", "drop_exact_duplicates", "fingerprints",
     "dedup_paragraphs", "duplicated_paragraphs", "c4_clean_lines",
     "dedup_lines_in_doc",
+    "duplicated_substring_spans", "remove_duplicated_substrings",
+    "gopher_quality_rules", "token_frequencies",
     "exact_duplicates_against", "minhash_signatures",
     "minhash_near_duplicates", "minhash_near_duplicates_against",
     "simhash_signatures", "simhash_near_duplicates",
@@ -175,6 +177,32 @@ def dedup_lines_in_doc(docs, text_col, sep="\n"):
 def drop_exact_duplicates(docs, id_col, text_col):
     s = docs.sparkSession
     return _wrap(s, _api(s).dropExactDuplicates(docs._jdf, id_col, text_col))
+
+
+def token_frequencies(docs, text_col, k):
+    """Corpus top-k lowercase token frequencies (vocabulary building)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).tokenFrequencies(docs._jdf, text_col, k))
+
+
+def gopher_quality_rules(docs, text_col):
+    """Append Gopher (Rae et al. 2021 A1.1) rule columns and a keep flag."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).gopherQualityRules(docs._jdf, text_col))
+
+
+def duplicated_substring_spans(docs, id_col, text_col, min_len):
+    """ExactSubstr: merged [start, end) spans of duplicated min_len-grams."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).duplicatedSubstringSpans(
+        docs._jdf, id_col, text_col, min_len))
+
+
+def remove_duplicated_substrings(docs, id_col, text_col, min_len):
+    """ExactSubstr removal keeping each gram's corpus-wide first occurrence."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).removeDuplicatedSubstrings(
+        docs._jdf, id_col, text_col, min_len))
 
 
 def fingerprints(docs, id_col, text_col):

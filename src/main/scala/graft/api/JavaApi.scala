@@ -116,6 +116,31 @@ object JavaApi {
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     DedupOps.dropExactDuplicates(docs, idCol, textCol)
 
+  /** Corpus top-k lowercase token frequencies (vocabulary building). */
+  def tokenFrequencies(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    graft.operators.TextOps.tokenFrequencies(docs, textCol, k)
+
+  /** Gopher quality-rule panel (Rae et al. 2021 A1.1) + keep flag,
+    * appended as columns. */
+  def gopherQualityRules(docs: DataFrame, textCol: String): DataFrame = {
+    val rules = graft.operators.TextOps.gopherQualityRules(docs(textCol))
+    val withRules = rules.foldLeft(docs) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    withRules.withColumn("keep",
+      graft.operators.TextOps.gopherKeep(docs(textCol)))
+  }
+
+  /** ExactSubstr (Lee et al. 2021): merged duplicated-substring spans. */
+  def duplicatedSubstringSpans(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    DedupOps.duplicatedSubstringSpans(docs, idCol, textCol, minLen)
+
+  /** ExactSubstr removal — keeps the corpus-wide first occurrence. */
+  def removeDuplicatedSubstrings(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    DedupOps.removeDuplicatedSubstrings(docs, idCol, textCol, minLen)
+
   def minhashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame =

@@ -166,6 +166,143 @@ object DedupOps {
       .filter(trim(col("para")) =!= "")
       .withColumn("h", xxhash64(col("para")))
 
+  // --------------------------- exact substring -----------------------------
+  //
+  // ExactSubstr deduplication (Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better", 2021; reference-independent LLM-pipeline
+  // operator): find every length-`minLen` character window whose content
+  // occurs at >= 2 positions in the corpus, merge overlapping/adjacent
+  // flagged windows into per-document spans, and (optionally) excise them
+  // keeping only the globally first occurrence of each duplicated window.
+  //
+  // The paper builds a corpus-wide suffix array; the Spark-first equivalent
+  // is the same O(total chars) work expressed as one shuffle: explode every
+  // window start in-plan (sequence + explode, codegen'd substring — no UDF),
+  // aggregate per window content with map-side-combinable count + min(site)
+  // (NO partition-by-content window function — a corpus-hot gram would pin a
+  // reducer, the same failure mode dedupParagraphs avoids), then join the
+  // stats back on the unique (hash, gram) key. Span merge and text excision
+  // are per-row array expressions.
+  //
+  // Scale note (SCALE.md): the gram shuffle is ~minLen x corpus chars with
+  // exact grams — the same constant a distributed suffix-array sort pays.
+  // `hashGrams = true` drops the gram from the shuffle/join key and keys on
+  // its 64-bit xxhash64 instead (16x narrower at minLen = 50), at the cost
+  // of a vanishing false-flag probability on hash collision.
+
+  /** (idCol, dup_spans): for EVERY input document, the merged 0-based
+    * [start, end) character spans covered by duplicated `minLen`-grams
+    * (empty array when none). With `keepFirst` the corpus-wide first
+    * occurrence (minimum (id, position)) of each duplicated gram is not
+    * flagged, so one copy of every duplicated region survives excision. */
+  def duplicatedSubstringSpans(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int,
+      keepFirst: Boolean = true, hashGrams: Boolean = false): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .join(substrSpanTable(docs, idCol, textCol, minLen, keepFirst,
+        hashGrams), col(idCol) === col("__esid"), "left")
+      .select(col(idCol),
+        coalesce(col("__spans"), emptySpans).as("dup_spans"))
+
+  /** Documents with `textCol` rewritten to exclude all duplicated-substring
+    * spans (first occurrence kept when `keepFirst`). All other columns pass
+    * through untouched. */
+  def removeDuplicatedSubstrings(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int,
+      keepFirst: Boolean = true, hashGrams: Boolean = false): DataFrame = {
+    val tbl = substrSpanTable(docs, idCol, textCol, minLen, keepFirst,
+      hashGrams)
+    docs.join(tbl, col(idCol) === col("__esid"), "left")
+      .withColumn(textCol, excised(col(textCol), col("__spans")))
+      .drop("__esid", "__spans")
+  }
+
+  /** (idCol, n_dup_spans, removed_chars, cleaned_text) — per-document
+    * ExactSubstr diagnostic: span count, characters excised, and the
+    * cleaned text, in one plan. */
+  def exactSubstrDedupReport(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int,
+      keepFirst: Boolean = true, hashGrams: Boolean = false): DataFrame = {
+    val tbl = substrSpanTable(docs, idCol, textCol, minLen, keepFirst,
+      hashGrams)
+    val spans = coalesce(col("__spans"), emptySpans)
+    docs.select(col(idCol), col(textCol))
+      .join(tbl, col(idCol) === col("__esid"), "left")
+      .select(col(idCol),
+        size(spans).as("n_dup_spans"),
+        coalesce(aggregate(spans, lit(0),
+          (acc, s) => acc + (s("end") - s("start"))), lit(0))
+          .as("removed_chars"),
+        excised(col(textCol), col("__spans")).as("cleaned_text"))
+  }
+
+  private val emptySpans =
+    array().cast("array<struct<start:int,end:int>>")
+
+  /** (__esid, __spans) ONLY for documents with >= 1 flagged window: merged
+    * ascending non-overlapping spans of duplicated `minLen`-grams. */
+  private def substrSpanTable(
+      docs: DataFrame, idCol: String, textCol: String, minLen: Int,
+      keepFirst: Boolean, hashGrams: Boolean): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    // one row per window start (0-based); docs shorter than L emit nothing.
+    // sequence(0, n) with n < 0 counts DOWN in Spark — guard with when().
+    val wins = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"),
+        explode(when(length(col("t")) >= L,
+          sequence(lit(0), length(col("t")) - L))
+          .otherwise(array().cast("array<int>"))).as("p"),
+        col("t"))
+      .select(col("id"), col("p"),
+        col("t").substr(col("p") + 1, lit(L)).as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+    // map-side-combinable stats per distinct gram; the join key carries the
+    // full gram unless hashGrams — then a 64-bit collision can false-flag a
+    // window but text can never be silently corrupted on the KEEP side
+    // (keepFirst keeps the colliding pair's first occurrence).
+    val key = if (hashGrams) Seq("h") else Seq("h", "gram")
+    val keyCols = key.map(col)
+    val stats = wins.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"), min(struct(col("id"), col("p"))).as("__first"))
+      .filter(col("__n") > 1)
+    val flagged = wins.join(stats, key)
+      .filter(if (keepFirst) struct(col("id"), col("p")) =!= col("__first")
+              else lit(true))
+    // merge sorted window starts into spans: starts are ascending and every
+    // window has length L, so a new span begins exactly where the gap from
+    // the previous start exceeds L; span ends pair with the next break.
+    flagged.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("id").as("__esid"), mergeStarts(col("ps"), L).as("__spans"))
+  }
+
+  /** Ascending sorted window starts (fixed window length L) -> merged
+    * array<struct<start,end>>. Break indexes (1-based) are positions whose
+    * start opens a new span; each span's end is the start before the NEXT
+    * break + L. Pure array expressions, per-row. */
+  private def mergeStarts(ps: Column, L: Int): Column = {
+    val n = size(ps)
+    val breaks = filter(sequence(lit(1), n), i =>
+      i === 1 || element_at(ps, i) > element_at(ps, i - 1) + L)
+    val nexts = concat(slice(breaks, lit(2), size(breaks) - 1),
+      array(n + 1))
+    zip_with(breaks, nexts, (b, nb) => struct(
+      element_at(ps, b).cast("int").as("start"),
+      (element_at(ps, nb - 1) + L).cast("int").as("end")))
+  }
+
+  /** Rebuild text from the complement of `spans` (null spans -> original
+    * text). Kept segments run from each span end to the next span start. */
+  private def excised(text: Column, spans: Column): Column = {
+    val sp = coalesce(spans, emptySpans)
+    val keptStarts = concat(array(lit(0)), transform(sp, s => s("end")))
+    val keptEnds = concat(transform(sp, s => s("start")), array(length(text)))
+    array_join(zip_with(keptStarts, keptEnds,
+      (s, e) => text.substr(s + 1, greatest(e - s, lit(0)))), "")
+  }
+
   // ----------------------------- MinHash LSH -------------------------------
 
   /** MinHash signature of `numHashes` permutations over word `shingleN`-grams.

@@ -93,6 +93,82 @@ object TextOps {
       sep)
   }
 
+  /** Corpus token-frequency table (vocabulary building): lowercase
+    * whitespace tokens, counted corpus-wide, top `k` by (count desc,
+    * token asc) — the deterministic tie-break makes the result stable
+    * across cluster sizes. One map-side-combined shuffle on the token
+    * (explode + partial count), then a rank cut; token cardinality —
+    * not corpus size — bounds the final aggregation. */
+  def tokenFrequencies(
+      docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+    toks
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
+  /** The eight Gopher stop words (Rae et al. 2021, Appendix A1.1): a doc
+    * must contain at least two of them (as whole lowercase tokens). */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Named Gopher quality-rule columns (Rae et al. 2021, Appendix A1.1),
+    * ASCII interpretation, all codegen'd/higher-order expressions — no UDF,
+    * no shuffle:
+    *  - word count in [50, 100000];
+    *  - mean word length in [3, 10] chars;
+    *  - symbol-to-word ratio (`#` or `...`) < 0.1;
+    *  - <= 90% of lines starting with a bullet (`-` or `*`);
+    *  - < 30% of lines ending with `...`;
+    *  - >= 80% of words containing an alphabetic character;
+    *  - at least 2 of the 8 [[gopherStopWords]] present as whole tokens.
+    * Ratio rules are `false` for empty (0-word) documents. Every ratio is
+    * a single int/int double division, so a SQL oracle replays bit-exact. */
+  def gopherQualityRules(text: Column): Seq[(String, Column)] = {
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    val nWords = size(words)
+    // ANSI mode errors on ANY zero divisor (even behind &&, which codegen
+    // may not short-circuit) — every division must sit inside a when().
+    def safeRatio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w))
+        .cast("double") / nWords)
+    val nSym = countMatches(text, "#") + countMatches(text, "\\.\\.\\.") / 3
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*]")))
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = gopherStopWords
+      .map(kw => when(exists(words, w => lower(w) === kw), 1).otherwise(0))
+      .reduce(_ + _)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "rule_word_count" -> (nWords >= 50 && nWords <= 100000),
+      "rule_mean_word_len" ->
+        coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false)),
+      "rule_symbol_ratio" ->
+        (nWords > 0 && safeRatio(nSym, nWords) < 0.1),
+      "rule_bullet_lines" ->
+        (safeRatio(bulletLines, nLines) <= 0.9),
+      "rule_ellipsis_lines" ->
+        (safeRatio(ellipsisLines, nLines) < 0.3),
+      "rule_alpha_words" ->
+        (nWords > 0 && safeRatio(alphaWords, nWords) >= 0.8),
+      "rule_stop_words" -> (stopHits >= 2))
+  }
+
+  /** Conjunction of every [[gopherQualityRules]] rule column. */
+  def gopherKeep(text: Column): Column =
+    gopherQualityRules(text).collect {
+      case (n, c) if n.startsWith("rule_") => c
+    }.reduce(_ && _)
+
   /** Stopword-evidence language ID. Counts occurrences of high-frequency
     * function words per language (padded with spaces so they only match as
     * whole words) and argmaxes with a fixed preference order — a standard

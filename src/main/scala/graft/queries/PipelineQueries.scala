@@ -826,6 +826,146 @@ object PipelineQueries extends QuerySet {
         SELECT doc_id,
           COALESCE(string_agg(CASE WHEN j = fj THEN line END,
             chr(10) ORDER BY j), '') AS cleaned_text
-        FROM firsts GROUP BY doc_id"""))
+        FROM firsts GROUP BY doc_id""")),
+
+    // ExactSubstr dedup (Lee et al. 2021) on the REAL documents text:
+    // every 30-char window occurring >= 2x corpus-wide is excised except
+    // its globally first (doc_id, pos) occurrence; overlapping/adjacent
+    // windows merge into spans. The oracle replays windows + keep-first +
+    // gaps-and-islands span merge + complement reconstruction in DuckDB
+    // (site encoded as doc_id*1e6+p — equivalent to the operator's
+    // min(struct(id, p)) for these ids/positions).
+    Query("q60_exact_substr_dedup",
+      (s, dir) => DedupOps.exactSubstrDedupReport(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", minLen = 30),
+      Some("""WITH w AS (
+          SELECT doc_id, text,
+            unnest(generate_series(1, length(text) - 29)) AS p1
+          FROM documents WHERE length(text) >= 30),
+        g AS (
+          SELECT doc_id, p1 - 1 AS p, substr(text, p1, 30) AS gram FROM w),
+        st AS (
+          SELECT gram, min(doc_id * 1000000 + p) AS first_site
+          FROM g GROUP BY gram HAVING count(*) > 1),
+        fl AS (
+          SELECT g.doc_id, g.p FROM g JOIN st USING (gram)
+          WHERE g.doc_id * 1000000 + g.p <> st.first_site),
+        brk AS (
+          SELECT doc_id, p,
+            CASE WHEN COALESCE(p > lag(p) OVER w + 30, TRUE)
+              THEN 1 ELSE 0 END AS b
+          FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        isl AS (
+          SELECT doc_id, p,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM brk),
+        spans AS (
+          SELECT doc_id, grp, min(p) AS s, max(p) + 30 AS e
+          FROM isl GROUP BY doc_id, grp),
+        pieces AS (
+          SELECT sp.doc_id, sp.s AS ord,
+            substr(d.text,
+              COALESCE(lag(sp.e) OVER pw, 0) + 1,
+              sp.s - COALESCE(lag(sp.e) OVER pw, 0)) AS piece
+          FROM spans sp JOIN documents d USING (doc_id)
+          WINDOW pw AS (PARTITION BY sp.doc_id ORDER BY sp.s)
+          UNION ALL
+          SELECT m.doc_id, 1000000000 AS ord,
+            substr(d.text, m.mx + 1) AS piece
+          FROM (SELECT doc_id, max(e) AS mx FROM spans GROUP BY doc_id) m
+          JOIN documents d USING (doc_id)),
+        cleanedt AS (
+          SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS cleaned
+          FROM pieces GROUP BY doc_id),
+        stats AS (
+          SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+          FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(st.n_spans, 0) AS INTEGER) AS n_dup_spans,
+          CAST(COALESCE(st.removed, 0) AS INTEGER) AS removed_chars,
+          COALESCE(c.cleaned, d.text) AS cleaned_text
+        FROM documents d
+        LEFT JOIN stats st USING (doc_id)
+        LEFT JOIN cleanedt c USING (doc_id)""")),
+
+    // Full Gopher quality-rule panel (Rae et al. 2021 A1.1) on the real
+    // documents text. Oracle SQL is generated from the SAME stop-word
+    // constants as the operator; every ratio is one int/int double
+    // division so the replay is bit-exact.
+    Query("q61_gopher_rules",
+      (s, dir) => {
+        val rules = TextOps.gopherQualityRules(col("text"))
+        t(s, dir, "documents").select(
+          col("doc_id") +: rules.map { case (n, c) => c.as(n) } :+
+            TextOps.gopherKeep(col("text")).as("keep"): _*)
+      },
+      Some(gopherRulesSql)),
+
+    // Vocabulary building: corpus-wide lowercase token frequencies, top
+    // 100 by (count desc, token asc) — the unique-token tie-break makes
+    // the cut deterministic, so LIMIT is oracle-safe.
+    Query("q62_token_vocab",
+      (s, dir) => TextOps.tokenFrequencies(
+        t(s, dir, "documents"), "text", k = 100),
+      Some("""WITH toks AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'),
+            t -> t <> '')) AS token
+          FROM documents)
+        SELECT token, count(*) AS n_occurrences
+        FROM toks GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 100"""))
   )
+
+  /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */
+  private def gopherRulesSql: String = {
+    val stopHits = TextOps.gopherStopWords.map { kw =>
+      s"(CASE WHEN list_contains(lwords, '$kw') THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+        SELECT doc_id, text,
+          list_filter(regexp_split_to_array(text, '\\s+'),
+            w -> w <> '') AS words,
+          str_split(text, chr(10)) AS lines
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(words) AS INTEGER) AS n_words,
+          CAST(list_sum(list_transform(words, w -> length(w)))
+            AS DOUBLE) / len(words) AS mean_word_len,
+          (length(text) - length(replace(text, '#', ''))) +
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+          len(lines) AS n_lines,
+          len(list_filter(lines,
+            l -> regexp_matches(trim(l), '^[-*]'))) AS bullet_lines,
+          len(list_filter(lines,
+            l -> regexp_matches(trim(l), '\\.\\.\\.${"$"}'))) AS ellipsis_lines,
+          len(list_filter(words,
+            w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+          list_transform(words, w -> lower(w)) AS lwords
+        FROM base),
+      r AS (
+        SELECT doc_id, n_words, mean_word_len,
+          (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+          (n_words > 0 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AS rule_mean_word_len,
+          (n_words > 0 AND CAST(n_sym AS DOUBLE) / n_words < 0.1)
+            AS rule_symbol_ratio,
+          (CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9)
+            AS rule_bullet_lines,
+          (CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3)
+            AS rule_ellipsis_lines,
+          (n_words > 0 AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+            AS rule_alpha_words,
+          ($stopHits >= 2) AS rule_stop_words
+        FROM m)
+      SELECT doc_id, n_words, mean_word_len, rule_word_count,
+        rule_mean_word_len, rule_symbol_ratio, rule_bullet_lines,
+        rule_ellipsis_lines, rule_alpha_words, rule_stop_words,
+        (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+          AND rule_bullet_lines AND rule_ellipsis_lines
+          AND rule_alpha_words AND rule_stop_words) AS keep
+      FROM r"""
+  }
 }

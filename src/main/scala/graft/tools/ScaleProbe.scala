@@ -103,6 +103,19 @@ object ScaleProbe {
     timed("pack_sequences") {
       TextOps.packTokenSpans(docs, "doc_id", "text", seqLen = 512).count()
     }
+    // ExactSubstr on the replicated corpus is adversarial: ~90% of all
+    // windows are duplicated (each doc has 9 near-copies), so the flagged
+    // set — and the per-doc span lists — are near their worst case.
+    spark.catalog.clearCache()
+    timed("exact_substr_dedup") {
+      DedupOps.exactSubstrDedupReport(docs, "doc_id", "text", minLen = 30)
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("exact_substr_dedup_hashed") {
+      DedupOps.exactSubstrDedupReport(docs, "doc_id", "text", minLen = 30,
+        hashGrams = true).count()
+    }
     spark.stop()
   }
 }

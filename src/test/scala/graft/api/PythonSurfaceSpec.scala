@@ -33,7 +33,9 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "extractAudioFeatures" -> 3, "imageStats" -> 1, "audioStats" -> 2,
       "videoStats" -> 1, "sampleFrames" -> 2, "stratifiedSample" -> 5,
       "dedupParagraphs" -> 4, "duplicatedParagraphs" -> 4,
-      "c4CleanLines" -> 3, "dedupLinesInDoc" -> 3)
+      "c4CleanLines" -> 3, "dedupLinesInDoc" -> 3,
+      "duplicatedSubstringSpans" -> 4, "removeDuplicatedSubstrings" -> 4,
+      "gopherQualityRules" -> 2, "tokenFrequencies" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -473,6 +473,61 @@ class TextDedupSpec extends SparkSpec {
     assert(m == Map(1L -> "a\nb\nc", 2L -> "x", 3L -> "same"))
   }
 
+  test("tokenFrequencies: lowercased counts, deterministic tie-break cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The the THE b b  a"),
+      (2L, "a c b")).toDF("doc_id", "text")
+    val top3 = TextOps.tokenFrequencies(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the=3, b=3, a=2, c=1 — ties break by token asc
+    assert(top3 == Seq(("b", 3L), ("the", 3L), ("a", 2L)))
+  }
+
+  test("gopherQualityRules: each rule triggers on its adversarial doc") {
+    import spark.implicits._
+    val good = (("the be to of and that have with " * 8).trim + " " +
+      Seq.tabulate(20)(i => s"word$i").mkString(" ")) // 84 words, mean 3.6
+    val rows = Seq(
+      1L -> good,
+      2L -> "too short to pass the word count rule",      // word count < 50
+      3L -> Seq.tabulate(60)(_ => "a").mkString(" "),     // mean len 1 < 3
+      4L -> (good + " " + Seq.fill(10)("####").mkString(" ")), // symbols
+      5L -> (good.split(" ").map(w => s"- $w\n").mkString),    // bullets
+      6L -> good.split(" ").map(w => s"$w...\n").mkString,     // ellipses
+      7L -> (Seq.fill(55)("12345").mkString(" ") + " the be"), // non-alpha
+      8L -> Seq.tabulate(60)(i => s"word$i").mkString(" "))    // no stops
+    val df = rows.toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.gopherKeep(col("text")).as("keep"),
+        struct(TextOps.gopherQualityRules(col("text"))
+          .map { case (n, c) => c.as(n) }: _*).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1), "clean doc must pass all rules")
+    (2L to 8L).foreach(i => assert(!out(i).getBoolean(1), s"doc $i must fail"))
+    def rule(i: Long, name: String) =
+      out(i).getStruct(2).getAs[Boolean](name)
+    assert(!rule(2L, "rule_word_count") && rule(2L, "rule_stop_words"))
+    assert(!rule(3L, "rule_mean_word_len"))
+    assert(!rule(4L, "rule_symbol_ratio") && rule(4L, "rule_word_count"))
+    assert(!rule(5L, "rule_bullet_lines"))
+    assert(!rule(6L, "rule_ellipsis_lines"))
+    assert(!rule(7L, "rule_alpha_words"))
+    assert(!rule(8L, "rule_stop_words"))
+  }
+
+  test("gopherQualityRules: empty doc fails ratio rules without erroring") {
+    import spark.implicits._
+    val out = Seq(1L -> "").toDF("doc_id", "text")
+      .select(TextOps.gopherKeep(col("text")).as("keep"),
+        struct(TextOps.gopherQualityRules(col("text"))
+          .map { case (n, c) => c.as(n) }: _*).as("r"))
+      .collect().head
+    assert(!out.getBoolean(0))
+    assert(!out.getStruct(1).getAs[Boolean]("rule_mean_word_len"))
+    assert(!out.getStruct(1).getAs[Boolean]("rule_alpha_words"))
+  }
+
   test("dedupParagraphs keeps only the globally first occurrence") {
     // doc 1: A, B      doc 2: B, C, A     doc 3: A, A (in-doc repeat)
     val df = docs(

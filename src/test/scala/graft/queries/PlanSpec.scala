@@ -141,6 +141,16 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("q60 ExactSubstr plans equi joins with partial aggregation") {
+    val plan = planOf("q60_exact_substr_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // gram stats must pre-aggregate map-side (partial_count / partial_min)
+    // so a corpus-hot gram can never pin a single reducer
+    assert(plan.contains("partial_count") || plan.contains("partial count") ||
+      plan.contains("HashAggregate(keys=[h"), plan.take(1200))
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),

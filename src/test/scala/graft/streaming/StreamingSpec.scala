@@ -59,6 +59,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher quality filter runs stateless on a stream") {
+    // the whole rule panel is per-row column expressions, so it must work
+    // unchanged as a streaming filter (no state, no watermark needed)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = ("the be to of and that have with " * 8).trim + " " +
+      Seq.tabulate(20)(i => s"word$i").mkString(" ")
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(graft.operators.TextOps.gopherKeep(org.apache.spark.sql
+        .functions.col("text")))
+      .writeStream.format("memory").queryName("gopherq")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> good, 2L -> "too short", 3L -> good)
+      q.processAllAvailable()
+      val ids = spark.table("gopherq").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("stream-static MinHash probe flags near-dups like the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
