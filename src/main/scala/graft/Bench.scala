@@ -44,17 +44,26 @@ object Bench {
     // phantom 40% regression in round 5); min-of-3 measures the plan, not
     // the weather.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Force = run the DECLARED plan and discard rows. count() is NOT a fair
+    // force: Catalyst prunes every unreferenced projection under it (map-only
+    // queries collapse to bare scans) and even eliminates a left join whose
+    // aggregated right side is provably unique-keyed — q60's whole pipeline
+    // optimized away under count(). toRdd materializes the query's own
+    // output columns, so every operator pays its real cost.
+    def force(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // warm THIS query's generated code and JIT profile with one untimed
       // pass at the target scale factor (AQE picks different physical plans
       // — and therefore different generated code — at other SFs), right
       // before its timed passes so the hot code is freshly compiled and
       // the session state matches isolation.
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      force(fn)
       reclaim()
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        force(fn)
         val sec = (System.nanoTime() - t0) / 1e9
         dropCaches()
         sec

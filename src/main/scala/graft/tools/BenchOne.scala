@@ -27,7 +27,14 @@ object BenchOne {
     // the driver's protocol (persisted intermediates are recomputed)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // same force as graft.Bench: run the DECLARED plan (count() lets
+      // Catalyst prune projections / eliminate unique-key outer joins)
+      val df = fn(spark, sfDir)
+      val n = spark.sparkContext
+        .runJob(df.queryExecution.toRdd,
+          (it: Iterator[_]) => { var c = 0L
+            while (it.hasNext) { it.next(); c += 1 }; c })
+        .sum
       println(f"RUN$i $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()

@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * materialized to parquet under /tmp first, so probe timings measure the
   * operator, not the synthesis.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] [workDir]
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [workDir] [probeFilter]
+  * probeFilter: comma-separated substrings — only matching probes run
+  * (setup always runs; materialized inputs are reused across invocations).
   */
 object ScaleProbe {
 
+  private var only: Seq[String] = Nil
+
   private def timed(name: String)(body: => Long): Unit = {
+    if (only.nonEmpty && !only.exists(name.contains)) return
     val t0 = System.nanoTime()
     val rows = body
     val sec = (System.nanoTime() - t0) / 1e9
@@ -29,6 +34,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft-scaleprobe")
+    only = args.lift(2).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,8 +64,10 @@ object ScaleProbe {
     val docsBig = spark.range(10).crossJoin(docs01)
       .select((col("doc_id") + col("id") * nDocs01 * 2).as("doc_id"),
         perturb(col("text"), col("id").cast("int")).as("text"))
+    def fresh(p: String): Boolean =
+      !new java.io.File(p, "_SUCCESS").exists()
     val docsPath = s"$work/documents_sf1.parquet"
-    docsBig.write.mode("overwrite").parquet(docsPath)
+    if (fresh(docsPath)) docsBig.write.mode("overwrite").parquet(docsPath)
     val docs = spark.read.parquet(docsPath)
     println(s"""{"probe":"setup_docs","rows":${docs.count()}}""")
 
@@ -75,8 +83,10 @@ object ScaleProbe {
           (abs(col("s0")) + (abs(col("e0") - col("s0")) % maxLen) + 1L).as("end"),
           col("id"))
     val lPath = s"$work/left_sf1.parquet"; val rPath = s"$work/right_sf1.parquet"
-    intervals(2000000L, 7L, 5000L).write.mode("overwrite").parquet(lPath)
-    intervals(500000L, 13L, 20000L).write.mode("overwrite").parquet(rPath)
+    if (fresh(lPath)) intervals(2000000L, 7L, 5000L)
+      .write.mode("overwrite").parquet(lPath)
+    if (fresh(rPath)) intervals(500000L, 13L, 20000L)
+      .write.mode("overwrite").parquet(rPath)
     val lIv = spark.read.parquet(lPath); val rIv = spark.read.parquet(rPath)
 
     // ---- probes ----
@@ -106,15 +116,19 @@ object ScaleProbe {
     // ExactSubstr on the replicated corpus is adversarial: ~90% of all
     // windows are duplicated (each doc has 9 near-copies), so the flagged
     // set — and the per-doc span lists — are near their worst case.
+    // NOTE: .count() would let Catalyst ELIMINATE the whole pipeline here
+    // (left join against a grouped — provably unique — key with no columns
+    // referenced is join-eliminated), so aggregate the payload instead.
     spark.catalog.clearCache()
     timed("exact_substr_dedup") {
       DedupOps.exactSubstrDedupReport(docs, "doc_id", "text", minLen = 30)
-        .count()
+        .agg(sum(col("removed_chars"))).collect().head.getLong(0)
     }
     spark.catalog.clearCache()
     timed("exact_substr_dedup_hashed") {
       DedupOps.exactSubstrDedupReport(docs, "doc_id", "text", minLen = 30,
-        hashGrams = true).count()
+        hashGrams = true)
+        .agg(sum(col("removed_chars"))).collect().head.getLong(0)
     }
     spark.stop()
   }
