@@ -248,8 +248,11 @@ object DedupOps {
     val L = minLen
     // one row per window start (0-based); docs shorter than L emit nothing.
     // sequence(0, n) with n < 0 counts DOWN in Spark — guard with when().
-    val wins = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
+    // fanOut: the ~L-per-char window explode is the operator's dominant
+    // narrow stage; an under-parallel scan must not serialize it.
+    val wins = Parallelism
+      .fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")),
+        col("id"))
       .select(col("id"),
         explode(when(length(col("t")) >= L,
           sequence(lit(0), length(col("t")) - L))
@@ -337,7 +340,10 @@ object DedupOps {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleN: Int = 3): DataFrame = {
     val sig = minhashSignature(numHashes, shingleN)
-    docs.select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
+    // fanOut: the shingle + numHashes loop is the dominant cost of the
+    // whole MinHash family; never let an under-parallel scan serialize it.
+    Parallelism.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
   }
 
   /** Banded explode of a signature table: every input column (at least
@@ -481,7 +487,8 @@ object DedupOps {
     * [[simhashNearDuplicatesAgainst]]. */
   def simhashSignatures(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    Parallelism.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
 
   /** Near-duplicates of `incoming` against an existing SimHash index —
     * the incremental shape: the corpus is never re-signed or self-joined.
@@ -593,7 +600,8 @@ object DedupOps {
     // session issuing many similarity-join passes should
     // `spark.catalog.clearCache()` between them (same contract as
     // TextOps.contaminationHitsBloom).
-    val sets = docs
+    val sets = Parallelism
+      .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -744,7 +752,9 @@ object DedupOps {
     // ReusedExchange across the differently-keyed joins — same measured
     // fact as jaccardSimilarityJoin's `prefixed`). Narrow (id, shingles)
     // rows; cache lifetime as documented in minhashNearDuplicates.
-    val sets = docs.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+    val sets = Parallelism
+      .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -86,10 +86,14 @@ object MultimodalOps {
     }
   }
 
-  /** Wrap raw payload rows into the standard media schema. */
+  /** Wrap raw payload rows into the standard media schema.
+    * fanOut: every downstream decode (BMP/WAV/AVI, feature extraction)
+    * is a compute-heavy narrow stage; an under-parallel payload scan
+    * must not serialize it (no-op at real scale — see
+    * [[Parallelism.fanOut]]). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
       mediaType: String, width: Int, height: Int): DataFrame =
-    df.select(
+    Parallelism.fanOut(df, col(idCol)).select(
       col(idCol).cast("long").as("media_id"),
       col(payloadCol).cast("binary").as("payload"),
       struct(
