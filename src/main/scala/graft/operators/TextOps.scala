@@ -110,6 +110,62 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 relevance of every document against a fixed bag of query terms
+    * (Robertson/Sparck Jones probabilistic weighting; the non-negative
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant) — the retrieval
+    * primitive behind eval-set leakage triage and quality mining over a
+    * training corpus.
+    *
+    * Tokens are lowercase alphanumeric runs. Output: one row per document
+    * matching at least one term — `(doc_id, bm25_q, matched_terms)` where
+    * `bm25_q` is the score in integer 1e-7 units: each (doc, term)
+    * contribution is quantized `floor(x*1e7 + 0.5)` BEFORE the per-doc
+    * sum, so the sum is an order-free BIGINT aggregation — bit-stable
+    * across engines and partitionings (raw double sums are neither, and
+    * libm `ln` differs by 1 ulp between JVM and C on ~0.1% of inputs;
+    * both vanish below the quantum).
+    *
+    * Plan shape at 100 TB: the exploded token stream is filtered to the
+    * query terms BEFORE the tf shuffle, so shuffle volume is bounded by
+    * matches (≤ |terms| rows per doc after partial aggregation), not
+    * corpus tokens; `df` and the corpus length stats are tiny aggregates
+    * broadcast back onto the tf table. */
+  def bm25Scores(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    val toks = Parallelism
+      .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+          .as("ts"))
+    val dl = toks.select(col("doc_id"), size(col("ts")).as("dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf is unique per (doc, term), so df = row count per term.
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("dlsum"))
+    // Operation ORDER below mirrors the SQL oracle token for token —
+    // IEEE +|*|/ are individually bit-exact across engines, so identical
+    // association yields identical doubles (Q.scala conventions).
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val x = col("dl").cast("double") /
+      (col("dlsum").cast("double") / col("n"))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * x))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(contrib * lit(1e7) + lit(0.5)).cast("long").as("cq"))
+      .groupBy("doc_id")
+      .agg(sum(col("cq")).as("bm25_q"),
+        count(lit(1)).as("matched_terms"))
+  }
+
   /** The eight Gopher stop words (Rae et al. 2021, Appendix A1.1): a doc
     * must contain at least two of them (as whole lowercase tokens). */
   val gopherStopWords: Seq[String] =

@@ -915,7 +915,46 @@ object PipelineQueries extends QuerySet {
           FROM documents)
         SELECT token, count(*) AS n_occurrences
         FROM toks GROUP BY token
-        ORDER BY n_occurrences DESC, token LIMIT 100"""))
+        ORDER BY n_occurrences DESC, token LIMIT 100""")),
+
+    // BM25 retrieval scores against a fixed query bag (one rare term,
+    // 'dup', for idf contrast). Scores are integer 1e-7 units quantized
+    // per (doc, term) BEFORE the sum — order-free BIGINT aggregation,
+    // immune to the measured 1-ulp JVM-vs-C libm ln divergence. The
+    // oracle mirrors the operator's operation order token for token.
+    Query("q63_bm25",
+      (s, dir) => TextOps.bm25Scores(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "hash", "window", "merge", "dup")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '') AS ts
+          FROM documents),
+        dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(dl) AS BIGINT) AS dlsum FROM dl),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+          WHERE term IN ('spark', 'hash', 'window', 'merge', 'dup')
+          GROUP BY doc_id, term),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+        c AS (
+          SELECT tf.doc_id,
+            CAST(floor(
+              ln(1.0 + (n - df + 0.5) / (df + 0.5))
+              * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+              / (tf + CAST(1.2 AS DOUBLE) *
+                 (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                  (CAST(dl AS DOUBLE) / (CAST(dlsum AS DOUBLE) / n))))
+              * 1e7 + 0.5) AS BIGINT) AS cq
+          FROM tf JOIN dl USING (doc_id)
+          CROSS JOIN stats JOIN dfs USING (term))
+        SELECT doc_id, CAST(sum(cq) AS BIGINT) AS bm25_q,
+          CAST(count(*) AS BIGINT) AS matched_terms
+        FROM c GROUP BY doc_id"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */
