@@ -282,6 +282,23 @@ object SimilarityOps {
     if (nn == 0.0) 0.0 else d / nn
   }
 
+  /** Deterministic centroid sample: the `n` corpus vectors with the
+    * smallest splitmix64-of-id (stable across runs and cluster sizes, and
+    * replayable in the DuckDB oracle — HashOracleSql.centroidSampleCtes);
+    * bounded collect of `n` rows, like a range partitioner's sample. */
+  private def sampleCentroids(
+      corpus: DataFrame, id: String, vec: String,
+      n: Int): Array[(Int, Seq[Float])] = {
+    val smix = udf { x: Long => DedupOps.splitmix64(x) }
+    corpus
+      .select(col(id), col(vec))
+      .orderBy(smix(col(id).cast("long")), col(id))
+      .limit(n)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+  }
+
   /** IVF (inverted-file) approximate top-k — the partition-pruned ANN scale
     * path: `nCentroids` corpus vectors are sampled deterministically (the
     * smallest xxhash64(id) values — a bounded driver collect, like a range
@@ -300,18 +317,8 @@ object SimilarityOps {
       id: String = "id", vec: String = "vec"): DataFrame = {
     val spark = corpus.sparkSession
 
-    // deterministic centroid sample: smallest splitmix64-of-id wins (stable
-    // across runs and cluster sizes, and replayable in the DuckDB oracle —
-    // HashOracleSql.ivfTopKSql); bounded collect of nCentroids rows
-    val smix = udf { x: Long => DedupOps.splitmix64(x) }
-    val centroids: Array[(Int, Seq[Float])] = corpus
-      .select(col(id), col(vec))
-      .orderBy(smix(col(id).cast("long")), col(id))
-      .limit(nCentroids)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
-    val centB = spark.sparkContext.broadcast(centroids)
+    val centB = spark.sparkContext.broadcast(
+      sampleCentroids(corpus, id, vec, nCentroids))
 
     val nearestC = udf { v: Seq[Float] =>
       var best = -2.0; var bi = 0
@@ -339,5 +346,80 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qid), col("rank"), col(id), col("cosine"))
+  }
+
+  // ------------------------------ SemDeDup --------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and dropping, within each cluster, every member
+    * of a >`threshold`-cosine pair except the one LEAST similar to its
+    * cluster centroid — the paper's keep-low-centroid-similarity rule
+    * (keeping the most atypical representative preserves diversity).
+    *
+    * Clustering is the engine's deterministic IVF partitioning (the
+    * splitmix64-of-id centroid sample + map-side nearest-centroid
+    * assignment [[ivfTopK]] uses) rather than iterated Lloyd k-means:
+    * iterated means are FP-order-sensitive (not bit-exact replayable in a
+    * SQL oracle, not stable across partitionings), while the IVF sample is
+    * deterministic at any cluster count and oracle-replayable
+    * (HashOracleSql.semDedupSql); the paper's drop rule is independent of
+    * how the space is partitioned.
+    *
+    * Output: every corpus row as (id, cid, dropped) — id cast to long, cid
+    * the 0-based cluster, dropped true iff some same-cluster neighbor with
+    * cosine > threshold exists whose centroid-similarity is lower (ties by
+    * id: the higher id drops).
+    *
+    * Plan shape at 100 TB: assignment is one narrow broadcast pass (no
+    * shuffle); the pair join shuffles the (id, vec, cid, c2c) table on cid
+    * only; within-cluster work is n_c² cosines through the codegen'd
+    * [[graft.functions.CosineSimilarity]] — size `nClusters` so a cluster
+    * fits a task (the paper runs ~100k clusters at web scale), and AQE
+    * splits hot clusters. */
+  def semanticDuplicates(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 64, threshold: Double = 0.8): DataFrame = {
+    val spark = corpus.sparkSession
+    val centB = spark.sparkContext.broadcast(
+      sampleCentroids(corpus, idCol, vecCol, nClusters))
+
+    val assignU = udf { v: Seq[Float] =>
+      var best = -2.0; var bi = 0
+      centB.value.foreach { case (ci, cv) =>
+        val s = cosSeq(v, cv)
+        if (s > best) { best = s; bi = ci }
+      }
+      (bi, best)
+    }
+    // persisted: the assignment feeds both self-join sides plus the final
+    // projection (3 consumers of a UDF projection — no ReusedExchange for
+    // differently-aliased sides, the measured fact behind the identical
+    // persists in lshNearDuplicates / DedupOps). Cache lifetime: as long as
+    // the returned DataFrame is alive; long-lived sessions should
+    // clearCache() between passes.
+    val assigned = Parallelism.fanOut(
+        corpus.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("a", assignU(col("vec")))
+      .select(col("id"), col("vec"),
+        col("a._1").as("cid"), col("a._2").as("c2c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pa = assigned.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("c2c").as("c2c_a"))
+    val pb = assigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("c2c").as("c2c_b"))
+    val victims = pa.join(pb, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) > lit(threshold))
+      .select(when(col("c2c_a") < col("c2c_b"), col("id_b"))
+        .when(col("c2c_a") > col("c2c_b"), col("id_a"))
+        .otherwise(col("id_b")).as("id"))
+      .distinct()
+
+    assigned.select(col("id"), col("cid").cast("long").as("cid"))
+      .join(victims.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
   }
 }

@@ -257,13 +257,13 @@ object HashOracleSql {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** Full oracle for [[graft.operators.SimilarityOps.ivfTopK]] (q38):
-    * replays the splitmix64-of-id centroid sample (signed order, ties by
-    * id), the nearest-centroid assignment (argmax cosine, first centroid
-    * wins ties — row_number over (sim DESC, ci ASC)), the nProbe probe
-    * lists, and the exact cosine re-rank inside probed lists. */
-  def ivfTopKSql(nCentroids: Int, nProbe: Int, k: Int, qidMax: Int): String =
-    s"""WITH h0 AS (
+  /** Replay of the splitmix64-of-id centroid sample shared by
+    * [[graft.operators.SimilarityOps.ivfTopK]] and
+    * [[graft.operators.SimilarityOps.semanticDuplicates]] (their common
+    * `sampleCentroids` helper): signed splitmix64 order, ties by id, first
+    * `nCentroids` rows → CTE `cent(cvid, cvec, ci)` with 0-based ci. */
+  private def centroidSampleCtes(nCentroids: Int): String =
+    s"""h0 AS (
        |  SELECT vec_id, embedding,
        |    (vec_id::HUGEINT + $Golden::HUGEINT) % $M64 AS x
        |  FROM embeddings),
@@ -278,7 +278,15 @@ object HashOracleSql {
        |cent AS (
        |  SELECT vec_id AS cvid, CAST(embedding AS DOUBLE[]) AS cvec,
        |    row_number() OVER (ORDER BY h, vec_id) - 1 AS ci
-       |  FROM hs QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $nCentroids),
+       |  FROM hs QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $nCentroids)""".stripMargin
+
+  /** Full oracle for [[graft.operators.SimilarityOps.ivfTopK]] (q38):
+    * replays the splitmix64-of-id centroid sample (signed order, ties by
+    * id), the nearest-centroid assignment (argmax cosine, first centroid
+    * wins ties — row_number over (sim DESC, ci ASC)), the nProbe probe
+    * lists, and the exact cosine re-rank inside probed lists. */
+  def ivfTopKSql(nCentroids: Int, nProbe: Int, k: Int, qidMax: Int): String =
+    s"""WITH ${centroidSampleCtes(nCentroids)},
        |sims AS (
        |  SELECT e.vec_id AS id, c.ci,
        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS s
@@ -303,6 +311,41 @@ object HashOracleSql {
        |    PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank FROM scored)
        |SELECT qid, CAST(rank AS BIGINT) AS rank, id FROM ranked
        |WHERE rank <= $k""".stripMargin
+
+  /** Full oracle for [[graft.operators.SimilarityOps.semanticDuplicates]]
+    * (q64): replays the centroid sample, the argmax assignment WITH its
+    * winning similarity (c2c), the within-cluster >threshold pair scan, and
+    * the keep-low-centroid-similarity victim rule (ties: higher id drops).
+    * Both engines compare c2c values produced by the same left-to-right
+    * d/na/nb loop (list_cosine_similarity == CosineSimilarity == cosSeq,
+    * proven bit-identical by q37/q38/q58), so the victim CASE branches
+    * agree exactly. */
+  def semDedupSql(nClusters: Int, threshold: Double): String =
+    s"""WITH ${centroidSampleCtes(nClusters)},
+       |sims AS (
+       |  SELECT e.vec_id AS id, c.ci,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT id, ci AS cid, s AS c2c FROM (
+       |    SELECT id, ci, s, row_number() OVER (
+       |      PARTITION BY id ORDER BY s DESC, ci ASC) AS rn FROM sims)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.c2c AS c2c_a, b.c2c AS c2c_b
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+       |  JOIN embeddings ea ON ea.vec_id = a.id
+       |  JOIN embeddings eb ON eb.vec_id = b.id
+       |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                               CAST(eb.embedding AS DOUBLE[]))
+       |        > CAST($threshold AS DOUBLE)),
+       |victims AS (
+       |  SELECT DISTINCT CASE WHEN c2c_a < c2c_b THEN id_b
+       |                       WHEN c2c_a > c2c_b THEN id_a
+       |                       ELSE id_b END AS id
+       |  FROM pairs)
+       |SELECT a.id, CAST(a.cid AS BIGINT) AS cid,
+       |       (v.id IS NOT NULL) AS dropped
+       |FROM assign a LEFT JOIN victims v ON v.id = a.id""".stripMargin
 
   def simhashNearDupSql(maxDist: Int): String =
     s"""WITH toks AS (

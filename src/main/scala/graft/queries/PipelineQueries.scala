@@ -954,7 +954,18 @@ object PipelineQueries extends QuerySet {
           CROSS JOIN stats JOIN dfs USING (term))
         SELECT doc_id, CAST(sum(cq) AS BIGINT) AS bm25_q,
           CAST(count(*) AS BIGINT) AS matched_terms
-        FROM c GROUP BY doc_id"""))
+        FROM c GROUP BY doc_id""")),
+
+    // SemDeDup (Abbas et al. 2023): deterministic IVF clustering of the
+    // embeddings, then within each cluster drop the higher-centroid-
+    // similarity member of every >threshold cosine pair. Full oracle —
+    // centroid sample, argmax assignment, pair scan and victim rule all
+    // replayed in DuckDB (same centroid CTEs as q38).
+    Query("q64_semantic_dedup",
+      (s, dir) => SimilarityOps.semanticDuplicates(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 16, threshold = 0.3),
+      Some(HashOracleSql.semDedupSql(nClusters = 16, threshold = 0.3)))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

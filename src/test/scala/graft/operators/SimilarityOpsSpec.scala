@@ -163,4 +163,72 @@ class SimilarityOpsSpec extends SparkSpec {
       .toDouble / brute.size
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("semanticDuplicates drops the higher-centroid-similarity twin") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    // 4 planted near-dup pairs + noise; every id appears exactly once in
+    // the output, one member of each planted pair is dropped
+    val planted = (0 until 4).flatMap { g =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val w = v.clone(); w(g) = w(g) + 0.004f
+      Seq((g * 2L, v), (g * 2L + 1, w))
+    }
+    val noise = (100L until 160L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (planted ++ noise).toDF("id", "vec")
+    val out = SimilarityOps.semanticDuplicates(df, "id", "vec",
+        nClusters = 8, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    assert(out.map(_._1).sorted.toSeq == (planted ++ noise).map(_._1).sorted)
+    for (g <- 0 until 4) {
+      val pair = out.filter(t => t._1 / 2 == g && t._1 < 100)
+      // near-identical twins always share a cluster (their nearest
+      // centroid is decided by essentially the same vector)
+      assert(pair.map(_._2).distinct.length == 1, s"pair $g split")
+      assert(pair.count(_._3) == 1, s"pair $g: exactly one member drops")
+    }
+    // noise vectors at threshold .999 never collide
+    assert(out.filter(_._1 >= 100).forall(!_._3))
+  }
+
+  test("semanticDuplicates is partitioning-invariant and keeps the atypical member") {
+    import spark.implicits._
+    val df = vecs(120, 16, seed = 14)
+    val a = SimilarityOps.semanticDuplicates(df, "id", "vec",
+        nClusters = 8, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = SimilarityOps.semanticDuplicates(df.repartition(7), "id", "vec",
+        nClusters = 8, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+
+    // victim rule cross-check against a driver-side replay
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i); na += x(i).toDouble * x(i)
+        nb += y(i).toDouble * y(i)
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0.0 else d / nn
+    }
+    val cid = a.map(t => t._1 -> t._2).toMap
+    // for every same-cluster pair above threshold, at least one member is
+    // dropped, and nothing is dropped without such a witness pair
+    val samePairs = for {
+      (i, vi) <- rows; (j, vj) <- rows
+      if i < j && cid(i) == cid(j) && cos(vi, vj) > 0.7
+    } yield (i, j)
+    val dropped = a.filter(_._3).map(_._1)
+    samePairs.foreach { case (i, j) =>
+      assert(dropped.contains(i) || dropped.contains(j),
+        s"pair ($i,$j) above threshold, neither dropped")
+    }
+    // and nothing is dropped without a witness pair
+    val witnessed = samePairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(dropped.subsetOf(witnessed))
+  }
 }
