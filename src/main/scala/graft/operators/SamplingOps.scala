@@ -88,4 +88,96 @@ object SamplingOps {
       .filter(uniformHash(col(keyCol), salt) < col("rate"))
       .drop("rate")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how target-like its hashed
+    * n-gram profile is, then Gumbel-top-k resample the raw pool.
+    *
+    *  - Features: lowercase alphanumeric unigrams + space-joined bigrams,
+    *    hashed into `buckets` buckets (fnv1a64, pmod on the signed value).
+    *  - Two bag-of-words multinomials with add-`alpha` smoothing: the
+    *    target rows (`isTarget` true) vs the whole pool. Per-doc importance
+    *    log-weight = Σ_feature ln(p_target(b)/p_raw(b)).
+    *  - Resampling: Gumbel noise g = -ln(-ln(u)) from the deterministic
+    *    53-bit hash uniform of (id, `salt`) — u = (bits + 0.5)/2^53, exact
+    *    and strictly inside (0,1) — added to the log-weight; the top `k`
+    *    non-target rows by the noised weight are `selected`.
+    *
+    * Every per-(doc,bucket) contribution AND the Gumbel noise are quantized
+    * to integer 1e-7 units before summation (floor(x*1e7 + 0.5)), the
+    * [[graft.operators.TextOps.bm25Scores]] technique: aggregation is
+    * order-free BIGINT arithmetic and the 1-ulp JVM-vs-C libm `ln`
+    * divergence vanishes below the quantum, so a SQL oracle replays the
+    * selection bit-for-bit (HashOracleSql.dsirSql).
+    *
+    * Output: one row per input doc — (id, is_target, dsir_q, selected)
+    * with dsir_q the quantized log-weight (0 for feature-less docs).
+    *
+    * Plan shape at 100 TB: feature explode is narrow; the (doc, bucket)
+    * count shuffles with map-side combine (docs are contiguous per task, so
+    * the partial agg collapses nearly all duplicates); the bucket tables
+    * are `buckets` rows — broadcast; the top-k is a distributed
+    * TakeOrdered on narrow (key, id) pairs, never a global single-partition
+    * window; the winner set (k ids) broadcasts back. */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      k: Int, buckets: Int = 4096, alpha: Double = 1.0,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets > 0 && k > 0, s"bad dsir params: buckets=$buckets k=$k")
+    val base = Parallelism.fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        isTarget.as("is_target")), col(idCol))
+
+    val toks = base.select(col("doc_id"), col("is_target"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
+    // unigrams ++ bigrams; zip_with pads the shorter side with null, so the
+    // dangling last pair concat()s to null and the filter drops it
+    val feats = toks.select(col("doc_id"), col("is_target"),
+      explode(filter(
+        concat(col("ts"),
+          zip_with(col("ts"), slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => concat(a, lit(" "), b))),
+        f => f.isNotNull)).as("feat"))
+    val ndb = feats
+      .select(col("doc_id"), col("is_target"),
+        pmod(GraftFunctions.fnv1a64(col("feat")), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("n"))
+
+    val bstats = ndb.groupBy("b").agg(
+      sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tn"),
+      sum(col("n")).as("rn"))
+    val totals = bstats.agg(sum("tn").as("tt"), sum("rn").as("rt"))
+
+    // operation ORDER mirrors HashOracleSql.dsirSql token for token
+    val ab = alpha * buckets
+    val lr = log((col("tn").cast("double") + lit(alpha)) /
+        (col("tt").cast("double") + lit(ab))) -
+      log((col("rn").cast("double") + lit(alpha)) /
+        (col("rt").cast("double") + lit(ab)))
+    val scores = ndb.join(broadcast(bstats), "b").crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        floor(col("n").cast("double") * lr * lit(1e7) + lit(0.5))
+          .cast("long").as("cq"))
+      .groupBy("doc_id").agg(sum(col("cq")).as("dsir_q"))
+
+    val perDoc = base.select(col("doc_id"), col("is_target"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
+
+    // Gumbel in the same 1e-7 units as dsir_q -> the noised key is BIGINT
+    val bits = shiftrightunsigned(GraftFunctions.fnv1a64(
+      concat(col("doc_id").cast("string"), lit(":" + salt))), 11)
+    val u = (bits.cast("double") + lit(0.5)) / lit(9007199254740992.0) // 2^53
+    val gq = floor(-log(-log(u)) * lit(1e7) + lit(0.5)).cast("long")
+
+    val winners = perDoc.filter(!col("is_target"))
+      .select(col("doc_id"), (col("dsir_q") + gq).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), lit(true).as("sel"))
+    perDoc.join(broadcast(winners), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"), col("dsir_q"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
 }

@@ -347,6 +347,67 @@ object HashOracleSql {
        |       (v.id IS NOT NULL) AS dropped
        |FROM assign a LEFT JOIN victims v ON v.id = a.id""".stripMargin
 
+  /** Full oracle for [[graft.operators.SamplingOps.dsirWeights]] (q65):
+    * replays the hashed unigram+bigram features (fnv1a64 pmod'd on the
+    * SIGNED value, matching Spark's pmod over LongType), the add-alpha
+    * smoothed target/raw bucket multinomials, the per-(doc,bucket)
+    * quantized log-ratio contributions (integer 1e-7 units — order-free
+    * BIGINT sums, immune to the 1-ulp libm ln divergence), the quantized
+    * Gumbel noise from the (id, salt) hash uniform, and the top-k
+    * selection over non-target rows. Features are pure [a-z0-9 ] so the
+    * unicode(c) fnv replay is exact even for non-ASCII documents. */
+  def dsirSql(buckets: Int, alpha: Double, k: Int,
+      targetPred: String, salt: String): String = {
+    val ab = alpha * buckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, ($targetPred) AS is_target,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> x <> '') AS ts
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, is_target, unnest(ts) AS feat FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, is_target, ts[i] || ' ' || ts[i+1] AS feat
+       |  FROM toks, unnest(generate_series(1, len(ts)-1)) AS t(i)
+       |  WHERE len(ts) >= 2),
+       |fh AS (SELECT doc_id, is_target, ${fnv1a64("feat")} AS h FROM feats),
+       |fb AS (SELECT doc_id, is_target,
+       |    ((CASE WHEN h >= 9223372036854775808::UBIGINT
+       |           THEN h::HUGEINT - $M64 ELSE h::HUGEINT END
+       |      % $buckets::HUGEINT)
+       |     + $buckets::HUGEINT) % $buckets::HUGEINT AS b FROM fh),
+       |ndb AS (SELECT doc_id, is_target, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM fb GROUP BY doc_id, is_target, b),
+       |bstats AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(n) AS BIGINT) AS rn
+       |  FROM ndb GROUP BY b),
+       |tot AS (SELECT CAST(sum(tn) AS BIGINT) AS tt,
+       |               CAST(sum(rn) AS BIGINT) AS rt FROM bstats),
+       |c AS (SELECT doc_id,
+       |    CAST(floor(CAST(n AS DOUBLE) *
+       |      (ln((CAST(tn AS DOUBLE) + $alpha) / (CAST(tt AS DOUBLE) + $ab))
+       |       - ln((CAST(rn AS DOUBLE) + $alpha) / (CAST(rt AS DOUBLE) + $ab)))
+       |      * 1e7 + 0.5) AS BIGINT) AS cq
+       |  FROM ndb JOIN bstats USING (b) CROSS JOIN tot),
+       |scores AS (SELECT doc_id, CAST(sum(cq) AS BIGINT) AS dsir_q
+       |  FROM c GROUP BY doc_id),
+       |perdoc AS (SELECT d.doc_id, ($targetPred) AS is_target,
+       |    coalesce(s.dsir_q, 0) AS dsir_q
+       |  FROM documents d LEFT JOIN scores s USING (doc_id)),
+       |gum AS (SELECT doc_id,
+       |    CAST(floor(-ln(-ln(
+       |      ((${fnv1a64(s"(doc_id::VARCHAR || ':$salt')")} >> 11)::DOUBLE + 0.5)
+       |      / 9007199254740992.0)) * 1e7 + 0.5) AS BIGINT) AS gq
+       |  FROM documents),
+       |sel AS (SELECT p.doc_id FROM perdoc p JOIN gum g USING (doc_id)
+       |  WHERE NOT p.is_target
+       |  ORDER BY p.dsir_q + g.gq DESC, p.doc_id LIMIT $k)
+       |SELECT p.doc_id, p.is_target, p.dsir_q,
+       |       (s.doc_id IS NOT NULL) AS selected
+       |FROM perdoc p LEFT JOIN sel s USING (doc_id)""".stripMargin
+  }
+
   def simhashNearDupSql(maxDist: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS tok

@@ -965,7 +965,18 @@ object PipelineQueries extends QuerySet {
       (s, dir) => SimilarityOps.semanticDuplicates(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         nClusters = 16, threshold = 0.3),
-      Some(HashOracleSql.semDedupSql(nClusters = 16, threshold = 0.3)))
+      Some(HashOracleSql.semDedupSql(nClusters = 16, threshold = 0.3))),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed n-gram
+    // multinomials (target = English docs vs the whole pool), quantized
+    // log-ratio weights, deterministic Gumbel top-k over the non-target
+    // rows. Weights, noise and selection all replay in DuckDB.
+    Query("q65_dsir_selection",
+      (s, dir) => SamplingOps.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        k = 50, buckets = 1024, alpha = 1.0, salt = "dsir"),
+      Some(HashOracleSql.dsirSql(buckets = 1024, alpha = 1.0, k = 50,
+        targetPred = "lang = 'en'", salt = "dsir")))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -437,6 +437,57 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(counts("b") - 500L) < 90, s"b=${counts("b")}")
   }
 
+  test("dsirWeights scores target-like docs above junk and selects them") {
+    import spark.implicits._
+    val targetText = "the quick brown fox jumps over the lazy dog " * 5
+    val junkText = "zz9 qq8 vv7 kk6 jj5 xx4 ww3 uu2 yy1 tt0 " * 5
+    val docs =
+      (0L until 20L).map(i => (i, targetText + s"run $i")) ++      // target
+      (100L until 120L).map(i => (i, targetText + s"run $i")) ++   // raw, target-like
+      (200L until 240L).map(i => (i, junkText + s"run $i")) ++     // raw, junk
+      Seq((300L, ""))                                              // raw, empty
+    val df = docs.toDF("id", "text")
+    val out = SamplingOps.dsirWeights(df, "id", "text",
+        isTarget = col("id") < 20, k = 20, buckets = 256)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+
+    assert(out.map(_._1).sorted.toSeq == docs.map(_._1).sorted)
+    assert(out.filter(_._2).map(_._1).toSet == (0L until 20L).toSet)
+    // target rows are never selected (selection is over the raw pool)
+    assert(out.filter(_._2).forall(!_._4))
+    // empty doc: no features -> weight 0, and junk scores far below it
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(300L)._3 == 0L)
+    assert((200L until 240L).forall(i => byId(i)._3 < -100000000L))
+    assert((100L until 120L).forall(i => byId(i)._3 > 100000000L))
+    // the separation (>2e8 quanta) dwarfs Gumbel noise (~5e7), so the 20
+    // selected rows are exactly the target-like raw docs
+    assert(out.filter(_._4).map(_._1).toSet == (100L until 120L).toSet)
+  }
+
+  test("dsirWeights is partitioning-invariant; salt only moves the noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 80L).map { i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      SamplingOps.dsirWeights(d, "id", "text",
+        isTarget = col("id") % 3 === 0, k = 10, buckets = 128, salt = salt)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+    val a = run(df, "dsir")
+    val b = run(df.repartition(7), "dsir")
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different salt re-rolls the Gumbel noise but not the weights
+    val c = run(df, "other")
+    assert(a.map(t => t._1 -> t._3).toMap == c.map(t => t._1 -> t._3).toMap)
+    assert(a.count(_._4) == 10 && c.count(_._4) == 10)
+  }
+
   test("c4CleanLines applies the public C4 line rules") {
     import spark.implicits._
     val text = Seq(
