@@ -195,6 +195,28 @@ object JavaApi {
   def clusterDuplicates(pairs: DataFrame): DataFrame =
     DedupOps.clusterDuplicates(pairs)
 
+  def semanticDuplicates(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double): DataFrame =
+    SimilarityOps.semanticDuplicates(corpus, idCol, vecCol, nClusters, threshold)
+
+  def dsirIndex(
+      docs: DataFrame, idCol: String, textCol: String, targetExpr: String,
+      buckets: Int): DataFrame =
+    SamplingOps.dsirIndex(docs, idCol, textCol,
+      org.apache.spark.sql.functions.expr(targetExpr), buckets)
+
+  def dsirScoreAgainst(
+      docs: DataFrame, index: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    SamplingOps.dsirScoreAgainst(docs, index, textCol, buckets)
+
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String, targetExpr: String,
+      k: Int, buckets: Int): DataFrame =
+    SamplingOps.dsirWeights(docs, idCol, textCol,
+      org.apache.spark.sql.functions.expr(targetExpr), k, buckets)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     SimilarityOps.bruteForceTopK(queries, corpus, k)
 

@@ -113,12 +113,101 @@ object SamplingOps {
     * Output: one row per input doc — (id, is_target, dsir_q, selected)
     * with dsir_q the quantized log-weight (0 for feature-less docs).
     *
-    * Plan shape at 100 TB: feature explode is narrow; the (doc, bucket)
-    * count shuffles with map-side combine (docs are contiguous per task, so
-    * the partial agg collapses nearly all duplicates); the bucket tables
-    * are `buckets` rows — broadcast; the top-k is a distributed
+    * Plan shape at 100 TB: one [[dsirIndex]] aggregation pass (shuffle
+    * bounded by `buckets` rows per map task), one zero-shuffle
+    * [[dsirScoreAgainst]] scoring pass; the top-k is a distributed
     * TakeOrdered on narrow (key, id) pairs, never a global single-partition
     * window; the winner set (k ids) broadcasts back. */
+  /** The DSIR bucket-multinomial index: one distributed pass over the pool
+    * producing (b, tn, rn, lr) for every OCCUPIED bucket — tn/rn the
+    * target/pool feature counts, lr the add-`alpha` smoothed importance
+    * log-ratio ln(p_target(b)/p_raw(b)). `buckets` rows at most (the paper
+    * uses 10k) — persist it as parquet and probe many batches/streams with
+    * [[dsirScoreAgainst]]. The groupBy(b) shuffle carries ≤`buckets` rows
+    * per map task after partial aggregation, regardless of corpus size. */
+  def dsirIndex(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0, s"bad dsir buckets: $buckets")
+    val base = Parallelism.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        isTarget.as("is_target")), col(idCol))
+    val toks = base.select(col("is_target"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
+    // unigrams ++ bigrams; zip_with pads the shorter side with null, so the
+    // dangling last pair concat()s to null and the filter drops it
+    val feats = toks.select(col("is_target"),
+      explode(filter(
+        concat(col("ts"),
+          zip_with(col("ts"), slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => concat(a, lit(" "), b))),
+        f => f.isNotNull)).as("feat"))
+    val bstats = feats
+      .select(col("is_target"),
+        pmod(GraftFunctions.fnv1a64(col("feat")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("tn"),
+        count(lit(1)).as("rn"))
+    val totals = bstats.agg(sum("tn").as("tt"), sum("rn").as("rt"))
+    // operation ORDER mirrors HashOracleSql.dsirSql token for token
+    val ab = alpha * buckets
+    val lr = log((col("tn").cast("double") + lit(alpha)) /
+        (col("tt").cast("double") + lit(ab))) -
+      log((col("rn").cast("double") + lit(alpha)) /
+        (col("rt").cast("double") + lit(ab)))
+    bstats.crossJoin(broadcast(totals))
+      .select(col("b"), col("tn"), col("rn"), lr.as("lr"))
+  }
+
+  /** Score rows against a prebuilt [[dsirIndex]]: appends `dsir_q`, the
+    * per-row quantized DSIR log-weight (Σ_feature floor(n·lr·1e7 + 0.5),
+    * integer 1e-7 units; 0 for feature-less rows).
+    *
+    * The index collapses to a dense `buckets`-slot broadcast array
+    * (buckets the pool never saw get the n=0 smoothed ratio), and the scan
+    * is ONE compiled per-row pass — tokenize, hash, local bucket counts,
+    * integer sum — with zero shuffle, so it runs unchanged on a STREAM
+    * (stateless, no watermark) and never moves the 100 TB side. The
+    * arithmetic is identical to the declarative build (same fnv1a64/pmod,
+    * same double order, same floor), so scores replay bit-for-bit in the
+    * q65 oracle. */
+  def dsirScoreAgainst(
+      docs: DataFrame, index: DataFrame, textCol: String,
+      buckets: Int, alpha: Double = 1.0): DataFrame = {
+    val rows = index.select(col("b").cast("int"), col("tn").cast("long"),
+      col("rn").cast("long"), col("lr")).collect()
+    val ab = alpha * buckets
+    val tt = rows.map(_.getLong(1)).sum
+    val rt = rows.map(_.getLong(2)).sum
+    val lr0 = math.log((0.0 + alpha) / (tt.toDouble + ab)) -
+      math.log((0.0 + alpha) / (rt.toDouble + ab))
+    val dense = Array.fill(buckets)(lr0)
+    rows.foreach(r => dense(r.getInt(0)) = r.getDouble(3))
+    val lrB = docs.sparkSession.sparkContext.broadcast(dense)
+    val m = buckets.toLong
+    val scoreU = udf { text: String =>
+      if (text == null) 0L
+      else {
+        val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val counts = new scala.collection.mutable.LongMap[Long]()
+        def add(f: String): Unit = {
+          val h = DedupOps.fnv1a64(f)
+          val b = ((h % m) + m) % m
+          counts(b) = counts.getOrElse(b, 0L) + 1L
+        }
+        ts.foreach(add)
+        var i = 0
+        while (i < ts.length - 1) { add(ts(i) + " " + ts(i + 1)); i += 1 }
+        var s = 0L
+        counts.foreach { case (b, n) =>
+          s += math.floor(n.toDouble * lrB.value(b.toInt) * 1e7 + 0.5).toLong
+        }
+        s
+      }
+    }
+    docs.withColumn("dsir_q", scoreU(col(textCol)))
+  }
+
   def dsirWeights(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
       k: Int, buckets: Int = 4096, alpha: Double = 1.0,
@@ -128,42 +217,9 @@ object SamplingOps {
       docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
         isTarget.as("is_target")), col(idCol))
 
-    val toks = base.select(col("doc_id"), col("is_target"),
-      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
-    // unigrams ++ bigrams; zip_with pads the shorter side with null, so the
-    // dangling last pair concat()s to null and the filter drops it
-    val feats = toks.select(col("doc_id"), col("is_target"),
-      explode(filter(
-        concat(col("ts"),
-          zip_with(col("ts"), slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => concat(a, lit(" "), b))),
-        f => f.isNotNull)).as("feat"))
-    val ndb = feats
-      .select(col("doc_id"), col("is_target"),
-        pmod(GraftFunctions.fnv1a64(col("feat")), lit(buckets.toLong)).as("b"))
-      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("n"))
-
-    val bstats = ndb.groupBy("b").agg(
-      sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tn"),
-      sum(col("n")).as("rn"))
-    val totals = bstats.agg(sum("tn").as("tt"), sum("rn").as("rt"))
-
-    // operation ORDER mirrors HashOracleSql.dsirSql token for token
-    val ab = alpha * buckets
-    val lr = log((col("tn").cast("double") + lit(alpha)) /
-        (col("tt").cast("double") + lit(ab))) -
-      log((col("rn").cast("double") + lit(alpha)) /
-        (col("rt").cast("double") + lit(ab)))
-    val scores = ndb.join(broadcast(bstats), "b").crossJoin(broadcast(totals))
-      .select(col("doc_id"),
-        floor(col("n").cast("double") * lr * lit(1e7) + lit(0.5))
-          .cast("long").as("cq"))
-      .groupBy("doc_id").agg(sum(col("cq")).as("dsir_q"))
-
-    val perDoc = base.select(col("doc_id"), col("is_target"))
-      .join(scores, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("is_target"),
-        coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
+    val index = dsirIndex(docs, idCol, textCol, isTarget, buckets, alpha)
+    val perDoc = dsirScoreAgainst(base, index, "text", buckets, alpha)
+      .select(col("doc_id"), col("is_target"), col("dsir_q"))
 
     // Gumbel in the same 1e-7 units as dsir_q -> the noised key is BIGINT
     val bits = shiftrightunsigned(GraftFunctions.fnv1a64(

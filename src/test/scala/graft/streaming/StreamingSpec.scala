@@ -81,6 +81,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DSIR index probe scores a stream exactly like the batch pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pool = ((0L until 10L).map(i => (i, "alpha beta gamma delta " * 3)) ++
+      (10L until 30L).map(i => (i, s"kk$i jj$i xx$i ww$i " * 3)))
+      .toDF("doc_id", "text")
+    val index = graft.operators.SamplingOps.dsirIndex(
+      pool, "doc_id", "text", isTarget = col("doc_id") < 10, buckets = 128)
+    // round-trip the index through parquet (the production shape)
+    val path = tmpDir() + "/dsir_index.parquet"
+    index.write.mode("overwrite").parquet(path)
+    val loaded = spark.read.parquet(path)
+
+    // probe batch includes a feature the pool never saw (novel bucket)
+    val probes = Seq((100L, "alpha beta gamma delta"),
+      (101L, "kk11 jj11 xx11"), (102L, "totally novel words qqq"))
+    val batch = graft.operators.SamplingOps.dsirScoreAgainst(
+        probes.toDF("doc_id", "text"), loaded, "text", buckets = 128)
+      .select("doc_id", "dsir_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch(100L) > 0L && batch(101L) < 0L)
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.SamplingOps.dsirScoreAgainst(
+        input.toDF().toDF("doc_id", "text"), loaded, "text", buckets = 128)
+      .writeStream.format("memory").queryName("dsirscores")
+      .outputMode("append").start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsirscores").select("doc_id", "dsir_q")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static MinHash probe flags near-dups like the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
