@@ -230,6 +230,17 @@ object JavaApi {
       nCentroids: Int, nProbe: Int): DataFrame =
     SimilarityOps.ivfTopK(queries, corpus, k, nCentroids, nProbe)
 
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    SimilarityOps.ivfCentroids(corpus, nCentroids)
+
+  def ivfAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    SimilarityOps.ivfAssignments(corpus, centroids)
+
+  def ivfTopKAgainst(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame =
+    SimilarityOps.ivfTopKAgainst(queries, assigned, centroids, k, nProbe)
+
   def cosineNearDuplicates(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =

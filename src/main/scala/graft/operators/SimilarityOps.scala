@@ -299,27 +299,36 @@ object SimilarityOps {
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
   }
 
-  /** IVF (inverted-file) approximate top-k — the partition-pruned ANN scale
-    * path: `nCentroids` corpus vectors are sampled deterministically (the
-    * smallest xxhash64(id) values — a bounded driver collect, like a range
-    * partitioner's sample), every corpus vector is assigned map-side to its
-    * nearest centroid (one narrow pass, no shuffle), and each query probes
-    * only its `nProbe` nearest centroid lists. The candidate join shuffles
-    * |corpus| × nProbe/nCentroids rows instead of all-pairs; exact cosine
-    * re-ranks inside the probed lists.
-    *
-    * nProbe == nCentroids degenerates to exact brute force (every list
-    * probed) — asserted in the spec. */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 64, nProbe: Int = 8,
-      qid: String = "qid", qvec: String = "qvec",
+  /** The deterministic IVF centroid table (ci, cvec) — the sampled
+    * centroids of [[sampleCentroids]] as a persistable DataFrame: write it
+    * as parquet next to the [[ivfAssignments]] table and serve query
+    * batches with [[ivfTopKAgainst]] without resampling or reassigning the
+    * corpus. */
+  def ivfCentroids(
+      corpus: DataFrame, nCentroids: Int,
       id: String = "id", vec: String = "vec"): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
+    sampleCentroids(corpus, id, vec, nCentroids).toSeq.toDF("ci", "cvec")
+  }
 
-    val centB = spark.sparkContext.broadcast(
-      sampleCentroids(corpus, id, vec, nCentroids))
+  /** Ordered broadcastable centroid array from a (ci, cvec) table (e.g.
+    * loaded back from parquet, which does not preserve row order): sorted
+    * by ci so the strict `s > best` argmax keeps first-centroid-wins
+    * tie-breaking identical everywhere. Bounded collect (nCentroids). */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float])] =
+    centroids.select(col("ci").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
 
+  /** Map-side nearest-centroid assignment: corpus + `cid` column. One
+    * narrow pass, no shuffle — the persistable IVF index body. */
+  def ivfAssignments(
+      corpus: DataFrame, centroids: DataFrame,
+      vec: String = "vec"): DataFrame = {
+    val centB = corpus.sparkSession.sparkContext.broadcast(
+      collectCentroids(centroids))
     val nearestC = udf { v: Seq[Float] =>
       var best = -2.0; var bi = 0
       centB.value.foreach { case (ci, cv) =>
@@ -328,6 +337,20 @@ object SimilarityOps {
       }
       bi
     }
+    corpus.withColumn("cid", nearestC(col(vec)))
+  }
+
+  /** [[ivfTopK]] against a prebuilt index (an [[ivfAssignments]] table and
+    * its [[ivfCentroids]], typically loaded from parquet): only the query
+    * batch computes probe lists per call — the 100 TB corpus scan carries
+    * its stored `cid`. */
+  def ivfTopKAgainst(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 8,
+      qid: String = "qid", qvec: String = "qvec",
+      id: String = "id", vec: String = "vec"): DataFrame = {
+    val centB = queries.sparkSession.sparkContext.broadcast(
+      collectCentroids(centroids))
     val probes = {
       val np = nProbe
       udf { v: Seq[Float] =>
@@ -335,8 +358,6 @@ object SimilarityOps {
           .sortBy { case (s, ci) => (-s, ci) }.take(np).map(_._2)
       }
     }
-
-    val assigned = corpus.withColumn("cid", nearestC(col(vec)))
     val probed = broadcast(
       queries.withColumn("cid", explode(probes(col(qvec)))))
 
@@ -346,6 +367,29 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qid), col("rank"), col(id), col("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the partition-pruned ANN scale
+    * path: `nCentroids` corpus vectors are sampled deterministically (the
+    * smallest splitmix64(id) values — a bounded driver collect, like a
+    * range partitioner's sample), every corpus vector is assigned map-side
+    * to its nearest centroid (one narrow pass, no shuffle), and each query
+    * probes only its `nProbe` nearest centroid lists. The candidate join
+    * shuffles |corpus| × nProbe/nCentroids rows instead of all-pairs; exact
+    * cosine re-ranks inside the probed lists.
+    *
+    * nProbe == nCentroids degenerates to exact brute force (every list
+    * probed) — asserted in the spec. Composes [[ivfCentroids]] →
+    * [[ivfAssignments]] → [[ivfTopKAgainst]]; persist the first two as the
+    * index-once-probe-many shape. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 8,
+      qid: String = "qid", qvec: String = "qvec",
+      id: String = "id", vec: String = "vec"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, id, vec)
+    ivfTopKAgainst(queries, ivfAssignments(corpus, centroids, vec),
+      centroids, k, nProbe, qid, qvec, id, vec)
   }
 
   // ------------------------------ SemDeDup --------------------------------

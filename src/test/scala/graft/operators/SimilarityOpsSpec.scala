@@ -164,6 +164,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("ivfTopKAgainst on a parquet round-tripped index equals ivfTopK") {
+    val corpus = vecs(150, 16, seed = 23)
+    val queries = corpus.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val direct = SimilarityOps.ivfTopK(queries, corpus, 5,
+        nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val dir = tmpDir()
+    SimilarityOps.ivfCentroids(corpus, 16)
+      .write.mode("overwrite").parquet(dir + "/cent.parquet")
+    val cents = spark.read.parquet(dir + "/cent.parquet")
+    SimilarityOps.ivfAssignments(corpus, cents)
+      .write.mode("overwrite").parquet(dir + "/assigned.parquet")
+    val assigned = spark.read.parquet(dir + "/assigned.parquet")
+    val viaIndex = SimilarityOps.ivfTopKAgainst(queries, assigned, cents,
+        5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == direct)
+  }
+
   test("semanticDuplicates drops the higher-centroid-similarity twin") {
     import spark.implicits._
     val rnd = new Random(13)
