@@ -217,6 +217,14 @@ object JavaApi {
     SamplingOps.dsirWeights(docs, idCol, textCol,
       org.apache.spark.sql.functions.expr(targetExpr), k, buckets)
 
+  def lmIndex(docs: DataFrame, textCol: String, buckets: Int): DataFrame =
+    TextOps.lmIndex(docs, textCol, buckets)
+
+  def lmScoreAgainst(
+      docs: DataFrame, index: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    TextOps.lmScoreAgainst(docs, index, textCol, buckets)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     SimilarityOps.bruteForceTopK(queries, corpus, k)
 

@@ -166,6 +166,82 @@ object TextOps {
         count(lit(1)).as("matched_terms"))
   }
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2019), as a hashed
+    * bigram language model: the reference pipeline scores every document by
+    * its perplexity under a KenLM trained on the target domain (Wikipedia)
+    * and keeps the low-perplexity head. Here the LM is an add-`alpha`
+    * smoothed bigram model over HASHED token buckets — kind-prefixed
+    * features "u:w" (context unigram) and "b:w1 w2" (bigram) share one
+    * fnv1a64-pmod count table, so model memory is `buckets` cells no
+    * matter how large the target corpus — with
+    * P(w2 | w1) = (c[b:w1 w2] + alpha) / (c[u:w1] + alpha*buckets).
+    *
+    * [[lmIndex]] builds the count table from the target slice (one
+    * aggregation pass, ≤`buckets` output rows); [[lmScoreAgainst]] appends
+    * `lm_q` (Σ_transition floor(ln P · 1e7 + 0.5) — each transition
+    * quantized to integer 1e-7 units before the order-free BIGINT sum, the
+    * [[bm25Scores]] technique, so a SQL oracle replays it bit-for-bit) and
+    * `n_transitions`; perplexity = exp(-lm_q/1e7/n_transitions).
+    *
+    * The probe is one compiled per-row pass over the broadcast count
+    * array — zero shuffle, streaming-safe (stateless, no watermark). */
+  def lmIndex(
+      docs: DataFrame, textCol: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    require(buckets > 0, s"bad lm buckets: $buckets")
+    val toks = docs.select(
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "").as("ts"))
+    // kind-prefixed features: "u:" + token, "b:" + token + " " + next
+    val feats = toks.select(explode(filter(
+      concat(
+        transform(col("ts"), t => concat(lit("u:"), t)),
+        zip_with(col("ts"), slice(col("ts"), lit(2), size(col("ts"))),
+          (a, b) => concat(lit("b:"), a, lit(" "), b))),
+      f => f.isNotNull)).as("feat"))
+    feats
+      .select(pmod(graft.functions.GraftFunctions.fnv1a64(col("feat")),
+        lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Score rows against a prebuilt [[lmIndex]]: appends `lm_q` (quantized
+    * bigram log-likelihood, 0 for docs with <2 tokens) and
+    * `n_transitions`. See [[lmIndex]] for the model and scale notes. */
+  def lmScoreAgainst(
+      docs: DataFrame, index: DataFrame, textCol: String,
+      buckets: Int, alpha: Double = 1.0): DataFrame = {
+    val counts = new Array[Long](buckets)
+    index.select(col("b").cast("int"), col("c").cast("long"))
+      .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val cB = docs.sparkSession.sparkContext.broadcast(counts)
+    val m = buckets.toLong
+    val ab = alpha * buckets
+    val scoreU = udf { text: String =>
+      if (text == null) (0L, 0)
+      else {
+        val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        def bucket(f: String): Int = {
+          val h = graft.operators.DedupOps.fnv1a64(f)
+          (((h % m) + m) % m).toInt
+        }
+        var s = 0L
+        var i = 0
+        while (i < ts.length - 1) {
+          val c2 = cB.value(bucket("b:" + ts(i) + " " + ts(i + 1)))
+          val c1 = cB.value(bucket("u:" + ts(i)))
+          val lp = math.log((c2.toDouble + alpha) / (c1.toDouble + ab))
+          s += math.floor(lp * 1e7 + 0.5).toLong
+          i += 1
+        }
+        (s, math.max(ts.length - 1, 0))
+      }
+    }
+    docs.withColumn("__lm", scoreU(col(textCol)))
+      .withColumn("lm_q", col("__lm._1"))
+      .withColumn("n_transitions", col("__lm._2"))
+      .drop("__lm")
+  }
+
   /** The eight Gopher stop words (Rae et al. 2021, Appendix A1.1): a doc
     * must contain at least two of them (as whole lowercase tokens). */
   val gopherStopWords: Seq[String] =

@@ -408,6 +408,55 @@ object HashOracleSql {
        |FROM perdoc p LEFT JOIN sel s USING (doc_id)""".stripMargin
   }
 
+  /** Full oracle for [[graft.operators.TextOps.lmScoreAgainst]] over a
+    * [[graft.operators.TextOps.lmIndex]] built on the target slice (q66):
+    * replays the kind-prefixed hashed features ("u:w" / "b:w1 w2", signed
+    * fnv1a64 pmod), the target count table, and the per-transition add-alpha
+    * smoothed quantized log-probs (integer 1e-7 units — order-free BIGINT
+    * sums; unseen buckets count 0 via left joins). */
+  def lmSql(buckets: Int, alpha: Double, targetPred: String): String = {
+    val ab = alpha * buckets
+    val pm = s"""((CASE WHEN h >= 9223372036854775808::UBIGINT
+       |           THEN h::HUGEINT - $M64 ELSE h::HUGEINT END
+       |      % $buckets::HUGEINT)
+       |     + $buckets::HUGEINT) % $buckets::HUGEINT""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, ($targetPred) AS is_target,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> x <> '') AS ts
+       |  FROM documents),
+       |tfeats AS (
+       |  SELECT unnest(list_transform(ts, x -> 'u:' || x)) AS feat
+       |  FROM toks WHERE is_target
+       |  UNION ALL
+       |  SELECT 'b:' || ts[i] || ' ' || ts[i+1] AS feat
+       |  FROM toks, unnest(generate_series(1, len(ts)-1)) AS t(i)
+       |  WHERE is_target AND len(ts) >= 2),
+       |fh AS (SELECT ${fnv1a64("feat")} AS h FROM tfeats),
+       |cb AS (SELECT $pm AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM fh GROUP BY 1),
+       |trans AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM toks, unnest(generate_series(1, len(ts)-1)) AS t(i)
+       |  WHERE len(ts) >= 2),
+       |tb2 AS (SELECT doc_id, w1, w2, ${fnv1a64("('b:' || w1 || ' ' || w2)")} AS h FROM trans),
+       |tb2b AS (SELECT doc_id, w1, $pm AS b2 FROM tb2),
+       |tb1 AS (SELECT doc_id, b2, ${fnv1a64("('u:' || w1)")} AS h FROM tb2b),
+       |tb AS (SELECT doc_id, b2, $pm AS b1 FROM tb1),
+       |sc AS (SELECT doc_id,
+       |    CAST(floor(ln((CAST(coalesce(c2.c, 0) AS DOUBLE) + $alpha)
+       |      / (CAST(coalesce(c1.c, 0) AS DOUBLE) + $ab)) * 1e7 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM tb LEFT JOIN cb c2 ON c2.b = tb.b2
+       |          LEFT JOIN cb c1 ON c1.b = tb.b1),
+       |agg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS lm_q,
+       |    CAST(count(*) AS INTEGER) AS n_transitions
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.lm_q, 0) AS lm_q,
+       |       coalesce(a.n_transitions, 0) AS n_transitions
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   def simhashNearDupSql(maxDist: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS tok

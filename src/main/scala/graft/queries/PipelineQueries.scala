@@ -976,7 +976,22 @@ object PipelineQueries extends QuerySet {
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
         k = 50, buckets = 1024, alpha = 1.0, salt = "dsir"),
       Some(HashOracleSql.dsirSql(buckets = 1024, alpha = 1.0, k = 50,
-        targetPred = "lang = 'en'", salt = "dsir")))
+        targetPred = "lang = 'en'", salt = "dsir"))),
+
+    // CCNet-style LM quality scoring: hashed bigram LM trained on the
+    // English slice, every doc scored by quantized log-likelihood
+    // (perplexity = exp(-lm_q/1e7/n_transitions)). Features, counts and
+    // per-transition smoothed log-probs all replay in DuckDB.
+    Query("q66_lm_perplexity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = TextOps.lmIndex(
+          docs.filter(col("lang") === "en"), "text", buckets = 4096)
+        TextOps.lmScoreAgainst(docs, index, "text", buckets = 4096)
+          .select(col("doc_id"), col("lm_q"), col("n_transitions"))
+      },
+      Some(HashOracleSql.lmSql(buckets = 4096, alpha = 1.0,
+        targetPred = "lang = 'en'")))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

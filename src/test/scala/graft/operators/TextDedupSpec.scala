@@ -488,6 +488,37 @@ class TextDedupSpec extends SparkSpec {
     assert(a.count(_._4) == 10 && c.count(_._4) == 10)
   }
 
+  test("lmScoreAgainst: in-domain text beats scrambled text; short docs score 0") {
+    import spark.implicits._
+    val target = (0L until 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog"))
+    val index = TextOps.lmIndex(target.toDF("id", "text"), "text",
+      buckets = 1024)
+    // index round-trips through parquet (the production shape)
+    val path = tmpDir() + "/lm_index.parquet"
+    index.write.mode("overwrite").parquet(path)
+    val loaded = spark.read.parquet(path)
+
+    val probes = Seq(
+      (1L, "the quick brown fox jumps"),   // in-domain transitions
+      (2L, "fox the jumps quick brown"),   // same tokens, unseen bigrams
+      (3L, "word"),                        // 1 token -> no transitions
+      (4L, ""))
+    val out = TextOps.lmScoreAgainst(probes.toDF("id", "text"), loaded,
+        "text", buckets = 1024)
+      .select("id", "lm_q", "n_transitions").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L)._2 == 4 && out(2L)._2 == 4)
+    // every in-domain transition has count 30; scrambled bigrams miss
+    assert(out(1L)._1 > out(2L)._1)
+    assert(out(3L) == ((0L, 0)) && out(4L) == ((0L, 0)))
+    // closed-form check ("the" occurs twice per target doc -> u:the = 60;
+    // each probe bigram once per doc -> 30): transition (the->quick) is
+    // 31/(60+1024), the other three are 31/(30+1024), each quantized
+    val q = (p: Double) => math.floor(math.log(p) * 1e7 + 0.5).toLong
+    assert(out(1L)._1 == q(31.0 / 1084.0) + 3 * q(31.0 / 1054.0))
+  }
+
   test("c4CleanLines applies the public C4 line rules") {
     import spark.implicits._
     val text = Seq(
