@@ -89,6 +89,83 @@ object SamplingOps {
       .drop("rate")
   }
 
+  /** Deterministic per-stratum quota sample: EXACTLY `min(n, |stratum|)`
+    * rows per stratum — the rows with the smallest hash uniforms (ties by
+    * key), so membership is a pure function of the data, stable across
+    * runs, retries and cluster sizes (the fixed-size counterpart of
+    * [[stratifiedSample]]'s fixed-rate Bernoulli).
+    *
+    * Two-phase top-n so no single reducer ever sorts a whole stratum: each
+    * (stratum, shard) slice keeps its local n smallest (64 shards — any
+    * reducer sees one slice), then the global window ranks only the
+    * ≤ 64·n survivors per stratum. Identical output to a single global
+    * window (a global top-n member is a top-n member of its shard). */
+  def quotaSample(
+      df: DataFrame, strataCol: String, keyCol: String, n: Int,
+      salt: String = "graft"): DataFrame = {
+    require(n > 0, s"bad quota: $n")
+    import org.apache.spark.sql.expressions.Window
+    val u = uniformHash(col(keyCol), salt)
+    val shards = 64
+    val w1 = Window
+      .partitionBy(col(strataCol),
+        pmod(xxhash64(col(keyCol)), lit(shards)))
+      .orderBy(u.asc, col(keyCol).asc)
+    val w2 = Window.partitionBy(col(strataCol))
+      .orderBy(u.asc, col(keyCol).asc)
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= n)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= n)
+      .drop("__r1", "__r2")
+  }
+
+  /** Per-stratum epoch plan for a fixed output budget: epochs_s =
+    * (w_s · targetRows) / c_s — unlike [[mixingRates]] (which only
+    * DOWN-samples to the largest achievable size), a stratum whose target
+    * exceeds its size REPEATS (epochs > 1), the LLaMA/DoReMi-style
+    * data-mixture shape where high-weight domains run multiple epochs.
+    * Strata without a weight get no row (dropped downstream). Output:
+    * (stratum, n, epochs). */
+  def epochMixingPlan(
+      df: DataFrame, strataCol: String,
+      weights: Map[String, Double], targetRows: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("__stratum", "__w")
+    df.groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(wdf), "__stratum")
+      .select(col("__stratum").as(strataCol), col("n"),
+        (col("__w") * lit(targetRows.toDouble) / col("n").cast("double"))
+          .as("epochs"))
+  }
+
+  /** Materialize an [[epochMixingPlan]]: each row of stratum s appears with
+    * `epoch` = 0..floor(epochs_s)-1 unconditionally, plus one fractional
+    * epoch kept iff the row's hash uniform < frac(epochs_s) — so the
+    * expected output per stratum is w_s · targetRows, every repetition is
+    * tagged with its epoch index, and membership is a pure function of the
+    * data (stable across runs/retries/cluster sizes). The per-row explode
+    * is ceil(epochs) copies — narrow, no shuffle beyond the count
+    * aggregation; the plan table (one row per stratum) broadcasts. */
+  def materializeEpochs(
+      df: DataFrame, strataCol: String, keyCol: String,
+      weights: Map[String, Double], targetRows: Long,
+      salt: String = "graft"): DataFrame = {
+    val plan = epochMixingPlan(df, strataCol, weights, targetRows)
+      .filter(col("epochs") > 0).select(col(strataCol), col("epochs").as("__ep"))
+    val frac = col("__ep") - floor(col("__ep"))
+    df.join(broadcast(plan), Seq(strataCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0), ceil(col("__ep")).cast("int") - lit(1))))
+      .filter(col("epoch") < floor(col("__ep")) ||
+        (col("epoch") === floor(col("__ep")) &&
+          uniformHash(col(keyCol), salt) < frac))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("__ep")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): score every document by how target-like its hashed
     * n-gram profile is, then Gumbel-top-k resample the raw pool.

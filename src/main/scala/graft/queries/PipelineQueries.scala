@@ -991,7 +991,52 @@ object PipelineQueries extends QuerySet {
           .select(col("doc_id"), col("lm_q"), col("n_transitions"))
       },
       Some(HashOracleSql.lmSql(buckets = 4096, alpha = 1.0,
-        targetPred = "lang = 'en'")))
+        targetPred = "lang = 'en'"))),
+
+    // Deterministic per-stratum quota sample: exactly 20 docs per language,
+    // membership a pure hash of the row key. The oracle replays the 53-bit
+    // uniform and the (u, key) rank.
+    Query("q67_quota_sample",
+      (s, dir) => SamplingOps.quotaSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", n = 20, salt = "quota"),
+      Some(s"""WITH u AS (
+          SELECT doc_id, lang,
+            ${HashOracleSql.uniformSql("doc_id::VARCHAR", "quota")} AS u
+          FROM documents),
+        r AS (SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+          FROM u)
+        SELECT doc_id, lang FROM r WHERE rn <= 20""")),
+
+    // Epoch-aware mixture materialization: a fixed 1000-row budget at
+    // weights en/zh/de = .5/.3/.2 forces repetition (epochs > 1) for
+    // under-sized strata; every copy carries its epoch index and the
+    // fractional epoch is a deterministic hash sample. fr/es have no
+    // weight -> dropped. The oracle replays plan + epochs + uniform.
+    Query("q68_epoch_mix",
+      (s, dir) => SamplingOps.materializeEpochs(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2),
+        targetRows = 1000L, salt = "epochs")
+        .select(col("doc_id"), col("lang"), col("epoch")),
+      Some(s"""WITH counts AS (
+          SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        w(lang, w) AS (VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2)),
+        plan AS (
+          SELECT c.lang,
+            CAST(w.w AS DOUBLE) * 1000.0 / CAST(c.c AS DOUBLE) AS ep
+          FROM counts c JOIN w USING (lang) WHERE
+            CAST(w.w AS DOUBLE) * 1000.0 / CAST(c.c AS DOUBLE) > 0),
+        e AS (
+          SELECT d.doc_id, d.lang, p.ep, t.epoch
+          FROM documents d JOIN plan p USING (lang),
+            unnest(generate_series(0, CAST(ceil(p.ep) AS INTEGER) - 1))
+              AS t(epoch))
+        SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM e
+        WHERE epoch < floor(ep) OR (epoch = floor(ep) AND
+          ${HashOracleSql.uniformSql("doc_id::VARCHAR", "epochs")} < ep - floor(ep))"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

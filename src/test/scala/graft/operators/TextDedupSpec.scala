@@ -437,6 +437,46 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(counts("b") - 500L) < 90, s"b=${counts("b")}")
   }
 
+  test("quotaSample: exactly n per stratum, hash-prefix-stable, partition-invariant") {
+    import spark.implicits._
+    val df = ((1L to 5000L).map((_, "a")) ++ (5001L to 5012L).map((_, "b")))
+      .toDF("id", "s")
+    val got = SamplingOps.quotaSample(df, "s", "id", n = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "a") == 100)
+    assert(got.count(_._2 == "b") == 12) // stratum smaller than the quota
+    val again = SamplingOps.quotaSample(df.repartition(7), "s", "id", n = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == again.toSet)
+    // hash-order sampling nests: the 100-sample is a prefix of the 150-sample
+    val wider = SamplingOps.quotaSample(df, "s", "id", n = 150)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet.subsetOf(wider))
+  }
+
+  test("materializeEpochs repeats under-sized strata with tagged epochs") {
+    import spark.implicits._
+    val df = ((1L to 100L).map((_, "hot")) ++ (101L to 1100L).map((_, "cold"))
+      ++ (1101L to 1200L).map((_, "dropme"))).toDF("id", "s")
+    // budget 1000: hot 0.5 -> 500/100 = 5.0 epochs exactly; cold 0.5 ->
+    // 500/1000 = 0.5 epochs (pure fractional sample); dropme unweighted
+    val out = SamplingOps.materializeEpochs(df, "s", "id",
+        Map("hot" -> 0.5, "cold" -> 0.5), targetRows = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hot = out.filter(_._1 == "hot")
+    assert(hot.length == 500) // integral epochs: every row exactly 5 times
+    assert(hot.groupBy(_._2).forall(_._2.map(_._3).sorted.toSeq == (0L to 4L)))
+    val cold = out.filter(_._1 == "cold")
+    assert(cold.forall(_._3 == 0L))
+    assert(math.abs(cold.length - 500) < 80, s"cold=${cold.length}")
+    assert(!out.exists(_._1 == "dropme"))
+    // deterministic under repartitioning
+    val again = SamplingOps.materializeEpochs(df.repartition(5), "s", "id",
+        Map("hot" -> 0.5, "cold" -> 0.5), targetRows = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("dsirWeights scores target-like docs above junk and selects them") {
     import spark.implicits._
     val targetText = "the quick brown fox jumps over the lazy dog " * 5

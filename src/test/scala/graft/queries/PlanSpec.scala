@@ -134,6 +134,35 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q64 SemDeDup scans the cached assignment table; pair join is equi") {
+    val plan = planOf("q64_semantic_dedup")
+    // the UDF assignment feeds both pair-join sides and the final
+    // projection — must come from the persisted table, not recompute
+    assert(plan.contains("InMemoryTableScan"), plan.take(600))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    spark.catalog.clearCache()
+  }
+
+  test("q65/q66 index probes add no shuffle to the scoring scan") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val dsirIdx = graft.operators.SamplingOps.dsirIndex(
+      docs, "doc_id", "text", col("lang") === "en", buckets = 256)
+    val dsirPlan = graft.operators.SamplingOps.dsirScoreAgainst(
+      docs, dsirIdx, "text", buckets = 256)
+      .queryExecution.executedPlan.toString
+    assert(!dsirPlan.contains("Exchange"),
+      s"dsir probe must be a narrow scan:\n${dsirPlan.take(600)}")
+    val lmIdx = graft.operators.TextOps.lmIndex(
+      docs.filter(col("lang") === "en"), "text", buckets = 256)
+    val lmPlan = graft.operators.TextOps.lmScoreAgainst(
+      docs, lmIdx, "text", buckets = 256)
+      .queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("Exchange"),
+      s"lm probe must be a narrow scan:\n${lmPlan.take(600)}")
+  }
+
   test("q51 incremental dedup broadcasts the batch into the index join") {
     val plan = planOf("q51_minhash_incremental")
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
