@@ -130,6 +130,46 @@ object ScaleProbe {
         hashGrams = true)
         .agg(sum(col("removed_chars"))).collect().head.getLong(0)
     }
+
+    // embeddings ~sf1: 10x sf0.1 (20k vectors), each replica one dim
+    // nudged — replicas land in the SAME cluster, so SemDeDup's
+    // within-cluster pair scan sees ~10 co-located near-dups per vector
+    // (its adversarial shape, like the perturbed documents above).
+    val emb01 = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val nEmb01 = emb01.count()
+    val nudge = udf { (v: Seq[Float], rep: Int) =>
+      if (rep == 0 || v == null || v.isEmpty) v
+      else v.updated(rep % v.length, v(rep % v.length) + 0.001f * rep)
+    }
+    val embPath = s"$work/embeddings_sf1.parquet"
+    if (fresh(embPath)) spark.range(10).crossJoin(emb01)
+      .select((col("vec_id") + col("id") * nEmb01 * 2).as("vec_id"),
+        nudge(col("embedding"), col("id").cast("int")).as("embedding"))
+      .write.mode("overwrite").parquet(embPath)
+    val emb = spark.read.parquet(embPath)
+
+    spark.catalog.clearCache()
+    timed("semantic_dedup") {
+      graft.operators.SimilarityOps.semanticDuplicates(
+        emb, "vec_id", "embedding", nClusters = 64, threshold = 0.3)
+        .filter(col("dropped")).count()
+    }
+    spark.catalog.clearCache()
+    timed("dsir_selection") {
+      graft.operators.SamplingOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = pmod(col("doc_id"), lit(5)) === 0, k = 5000,
+        buckets = 4096)
+        .agg(sum(col("dsir_q"))).collect().head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("lm_perplexity") {
+      val index = TextOps.lmIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text",
+        buckets = 1 << 16)
+      TextOps.lmScoreAgainst(docs, index, "text", buckets = 1 << 16)
+        .agg(sum(col("lm_q"))).collect().head.getLong(0)
+    }
     spark.stop()
   }
 }
