@@ -336,6 +336,67 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    * hash every character `k`-gram of the whitespace-normalized lowercase
+    * text, then in every window of `w` consecutive hashes select the
+    * minimum (ties → RIGHTMOST position, the paper's robust winnowing).
+    * The selected (pos, fp) set guarantees any shared substring of at
+    * least w + k - 1 chars shares a fingerprint — the local document
+    * sketch behind plagiarism/near-dup detection at corpus scale.
+    *
+    * Output: (id, pos, fp) — pos the 1-based k-gram offset in the
+    * normalized text. Docs shorter than k emit nothing; docs with fewer
+    * than w k-grams select from the single truncated window.
+    *
+    * The per-row selection is ONE compiled loop (hash the grams, slide the
+    * window keeping the rightmost min, emit on change) — O(chars·(k + w)),
+    * no shuffle until the narrow (id, pos, fp) rows leave the task. A
+    * higher-order-function formulation was tried first and abandoned:
+    * lambda bodies re-evaluate their captured array expression per
+    * invocation (O(chars²·k) — Spark's HOFs are also interpreted), the
+    * same measured reason the MinHash signature loop is compiled. Selected
+    * positions are non-decreasing across sliding windows, so emit-on-change
+    * IS the distinct selection set. */
+  def winnowingFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
+    val winnowU = udf { text: String =>
+      if (text == null) Array.empty[(Long, Long)]
+      else {
+        val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        val hn = t.length - k + 1
+        if (hn < 1) Array.empty[(Long, Long)]
+        else {
+          val hs = new Array[Long](hn)
+          var i = 0
+          while (i < hn) {
+            hs(i) = DedupOps.fnv1a64(t.substring(i, i + k)); i += 1
+          }
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var lastPos = -1
+          var j = 0
+          val maxJ = math.max(hn - w, 0)
+          while (j <= maxJ) {
+            var bi = j; var bh = hs(j)
+            var x = j + 1
+            val end = math.min(j + w, hn)
+            while (x < end) { // <= keeps the RIGHTMOST min on ties
+              if (hs(x) <= bh) { bh = hs(x); bi = x }
+              x += 1
+            }
+            if (bi != lastPos) { buf += ((bi + 1L, bh)); lastPos = bi }
+            j += 1
+          }
+          buf.toArray
+        }
+      }
+    }
+    docs
+      .select(col(idCol).as("id"), explode(winnowU(col(textCol))).as("s"))
+      .select(col("id"), col("s._1").as("pos"), col("s._2").as("fp"))
+  }
+
   // ----------------------------- PII redaction -----------------------------
 
   /** PII redaction patterns — the standard pre-training scrub (emails,

@@ -457,6 +457,46 @@ object HashOracleSql {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** Full oracle for [[graft.operators.TextOps.winnowingFingerprints]]
+    * (q69): replays the normalized k-gram fnv hashes (converted to SIGNED
+    * to match Spark's long ordering), then packs (h + 2^63, 2^32-1-i) into
+    * one HUGEINT so a plain windowed min() reproduces the
+    * min-hash-rightmost-tie selection, guarded to full window starts
+    * (ROWS CURRENT..w-1 FOLLOWING truncates at the end exactly like
+    * Spark's slice()). */
+  def winnowingSql(k: Int, w: Int): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, s.i, len(t) - $k + 1 AS hn,
+       |    ${fnv1a64(s"substr(t, s.i, $k)")} AS hu
+       |  FROM norm, unnest(generate_series(1, len(t) - $k + 1)) AS s(i)
+       |  WHERE len(t) >= $k),
+       |g AS (
+       |  SELECT doc_id, i, hn,
+       |    (CASE WHEN hu >= 9223372036854775808::UBIGINT
+       |          THEN (hu::HUGEINT - $M64)::BIGINT
+       |          ELSE hu::BIGINT END) AS h
+       |  FROM g0),
+       |keyed AS (
+       |  SELECT doc_id, i, hn,
+       |    (h::HUGEINT + 9223372036854775808::HUGEINT) * 4294967296::HUGEINT
+       |      + (4294967295 - i)::HUGEINT AS key
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, i, hn,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk
+       |  FROM keyed),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(4294967295 - (mk % 4294967296::HUGEINT) AS BIGINT) AS pos,
+       |    CAST((mk // 4294967296::HUGEINT)
+       |      - 9223372036854775808::HUGEINT AS BIGINT) AS fp
+       |  FROM m WHERE i <= greatest(hn - $w + 1, 1))
+       |SELECT doc_id, pos, fp FROM sel""".stripMargin
+
   def simhashNearDupSql(maxDist: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS tok

@@ -1036,7 +1036,18 @@ object PipelineQueries extends QuerySet {
               AS t(epoch))
         SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM e
         WHERE epoch < floor(ep) OR (epoch = floor(ep) AND
-          ${HashOracleSql.uniformSql("doc_id::VARCHAR", "epochs")} < ep - floor(ep))"""))
+          ${HashOracleSql.uniformSql("doc_id::VARCHAR", "epochs")} < ep - floor(ep))""")),
+
+    // Winnowing fingerprints (MOSS): per-window rightmost-min of k-gram
+    // hashes over the normalized text — guarantees shared >=13-char
+    // substrings (k=8, w=6) share a fingerprint. The oracle replays the
+    // selection via a HUGEINT-packed windowed min.
+    Query("q69_winnowing",
+      (s, dir) => TextOps.winnowingFingerprints(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8, w = 6)
+        .withColumnRenamed("id", "doc_id"),
+      Some(HashOracleSql.winnowingSql(k = 8, w = 6)))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

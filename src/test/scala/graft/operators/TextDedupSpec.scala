@@ -437,6 +437,48 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(counts("b") - 500L) < 90, s"b=${counts("b")}")
   }
 
+  test("winnowingFingerprints matches a brute-force replay and its guarantee") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcdefgh "
+    def randText(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val shared = "the shared stretch of text here" // >= w+k-1 = 13 chars
+    val docs = Seq(
+      (1L, randText(80) + shared + randText(80)),
+      (2L, randText(90) + shared + randText(60)),
+      (3L, randText(120)),                         // no planted overlap
+      (4L, "tiny"),                                // < k -> nothing
+      (5L, "ababababab"))                          // repeated grams -> ties
+      .toDF("id", "text")
+    val k = 8; val w = 6
+    val got = TextOps.winnowingFingerprints(docs, "id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // driver-side brute force: rightmost min per window, distinct
+    def brute(text: String): Set[(Long, Long)] = {
+      val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val hn = t.length - k + 1
+      if (hn < 1) Set.empty
+      else (0 to math.max(hn - w, 0)).map { j =>
+        val win = (j until math.min(j + w, hn))
+          .map(i => (DedupOps.fnv1a64(t.substring(i, i + k)), i))
+        val (bh, bi) = win.minBy { case (h, i) => (h, -i) }
+        (bi + 1L, bh)
+      }.toSet
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- texts.keys)
+      assert(got.filter(_._1 == id).map(t => (t._2, t._3)).toSet ==
+        brute(texts(id)), s"doc $id")
+    assert(!got.exists(_._1 == 4L))
+    // the winnowing guarantee: docs 1 and 2 share >= w+k-1 chars, so they
+    // share at least one fingerprint VALUE
+    val f1 = got.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = got.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 intersect f2).nonEmpty)
+  }
+
   test("quotaSample: exactly n per stratum, hash-prefix-stable, partition-invariant") {
     import spark.implicits._
     val df = ((1L to 5000L).map((_, "a")) ++ (5001L to 5012L).map((_, "b")))
