@@ -397,6 +397,41 @@ object TextOps {
       .select(col("id"), col("s._1").as("pos"), col("s._2").as("fp"))
   }
 
+  /** Winnowing near-duplicate pairs (the MOSS match step): documents
+    * sharing at least `minShared` DISTINCT fingerprint values from
+    * [[winnowingFingerprints]]. Fingerprints held by more than `maxDocFreq`
+    * documents are dropped first (0 = off) — MOSS's over-common-fingerprint
+    * suppression, which is ALSO the scale guard: boilerplate grams would
+    * otherwise make one fp bucket quadratic in the pair join. Output:
+    * (id_a, id_b, n_shared) with id_a < id_b.
+    *
+    * Plan shape at 100 TB: the per-doc fingerprint pass is narrow; the
+    * distinct (id, fp) table persists once (both self-join sides — the
+    * no-ReusedExchange measured fact); the pair join shuffles on the fp
+    * value with bucket sizes capped by `maxDocFreq`; the pair count is a
+    * map-side-combined aggregation on narrow (id_a, id_b) rows. */
+  def winnowingNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6, minShared: Int = 2,
+      maxDocFreq: Int = 0): DataFrame = {
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc-frequency suppression joins on fp (NOT broadcast: the rare-fp
+    // table scales with the corpus); the pair join shuffles on fp too, so
+    // the exchange is reusable
+    val kept =
+      if (maxDocFreq <= 0) fps
+      else fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("fp"), "fp")
+    kept.select(col("id").as("id_a"), col("fp"))
+      .join(kept.select(col("id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ----------------------------- PII redaction -----------------------------
 
   /** PII redaction patterns — the standard pre-training scrub (emails,

@@ -464,8 +464,8 @@ object HashOracleSql {
     * min-hash-rightmost-tie selection, guarded to full window starts
     * (ROWS CURRENT..w-1 FOLLOWING truncates at the end exactly like
     * Spark's slice()). */
-  def winnowingSql(k: Int, w: Int): String =
-    s"""WITH norm AS (
+  private def winnowingCtes(k: Int, w: Int): String =
+    s"""norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents),
        |g0 AS (
@@ -494,8 +494,33 @@ object HashOracleSql {
        |    CAST(4294967295 - (mk % 4294967296::HUGEINT) AS BIGINT) AS pos,
        |    CAST((mk // 4294967296::HUGEINT)
        |      - 9223372036854775808::HUGEINT AS BIGINT) AS fp
-       |  FROM m WHERE i <= greatest(hn - $w + 1, 1))
+       |  FROM m WHERE i <= greatest(hn - $w + 1, 1))""".stripMargin
+
+  def winnowingSql(k: Int, w: Int): String =
+    s"""WITH ${winnowingCtes(k, w)}
        |SELECT doc_id, pos, fp FROM sel""".stripMargin
+
+  /** Full oracle for [[graft.operators.TextOps.winnowingNearDuplicates]]
+    * (q70): distinct per-doc fingerprint values, doc-frequency
+    * suppression, pair join, shared count >= minShared. */
+  def winnowingNearDupSql(
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int): String = {
+    val dfFilter =
+      if (maxDocFreq <= 0) "dfp"
+      else s"""(SELECT dfp.* FROM dfp JOIN (
+         |    SELECT fp FROM dfp GROUP BY fp
+         |    HAVING count(*) <= $maxDocFreq) ok USING (fp))""".stripMargin
+    s"""WITH ${winnowingCtes(k, w)},
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |kept AS (SELECT * FROM $dfFilter),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, n_shared FROM pairs
+       |WHERE n_shared >= $minShared""".stripMargin
+  }
 
   def simhashNearDupSql(maxDist: Int): String =
     s"""WITH toks AS (

@@ -1047,7 +1047,18 @@ object PipelineQueries extends QuerySet {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", k = 8, w = 6)
         .withColumnRenamed("id", "doc_id"),
-      Some(HashOracleSql.winnowingSql(k = 8, w = 6)))
+      Some(HashOracleSql.winnowingSql(k = 8, w = 6))),
+
+    // Winnowing near-dup pairs (the MOSS match step): >= 5 shared distinct
+    // fingerprints after dropping fingerprints held by > 20 docs (the
+    // boilerplate suppression that also caps pair-join bucket sizes).
+    Query("q70_winnowing_neardup",
+      (s, dir) => TextOps.winnowingNearDuplicates(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8, w = 6, minShared = 5, maxDocFreq = 20)
+        .select(col("id_a"), col("id_b"), col("n_shared")),
+      Some(HashOracleSql.winnowingNearDupSql(
+        k = 8, w = 6, minShared = 5, maxDocFreq = 20)))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -479,6 +479,34 @@ class TextDedupSpec extends SparkSpec {
     assert((f1 intersect f2).nonEmpty)
   }
 
+  test("winnowingNearDuplicates finds planted overlaps; docFreq suppression prunes boilerplate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val alpha = "abcdefgh "
+    def randText(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val shared = "a long shared stretch of very specific text in both documents"
+    val boiler = "standard footer text appended to every single document here"
+    val docs = Seq(
+      (1L, randText(100) + shared + boiler),
+      (2L, randText(110) + shared + boiler)) ++
+      (10L until 40L).map(i => (i, randText(130) + boiler))
+    val df = docs.toDF("id", "text")
+    // without suppression every doc pairs with every other via the footer
+    val loose = TextOps.winnowingNearDuplicates(df, "id", "text",
+        minShared = 2, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)))
+    assert(loose.size > 100, s"footer should link most pairs: ${loose.size}")
+    // footer fingerprints live in all 32 docs; cap at 10 -> only the
+    // genuinely shared stretch links 1-2
+    val tight = TextOps.winnowingNearDuplicates(df, "id", "text",
+        minShared = 2, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)), s"tight=$tight")
+    spark.catalog.clearCache()
+  }
+
   test("quotaSample: exactly n per stratum, hash-prefix-stable, partition-invariant") {
     import spark.implicits._
     val df = ((1L to 5000L).map((_, "a")) ++ (5001L to 5012L).map((_, "b")))
