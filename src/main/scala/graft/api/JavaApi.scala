@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import graft.model.Alignment
 import graft.operators.{AlignmentOps, CoverageOps, DedupOps, RegionJoins,
-  SamplingOps, SimilarityOps, TextOps}
+  SamplingOps, Sessionize, SimilarityOps, TextOps}
 
 /** Java / Python (py4j) facade — the analog of the reference's
   * adam-apis JavaADAMContext + adam-python ds.py surface
@@ -224,6 +224,15 @@ object JavaApi {
       docs: DataFrame, index: DataFrame, textCol: String,
       buckets: Int): DataFrame =
     TextOps.lmScoreAgainst(docs, index, textCol, buckets)
+
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: java.util.List[String],
+      leftTime: String, rightTime: String,
+      rightCols: java.util.List[String], rightTieBreak: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Sessionize.asofJoin(left, right, keys.asScala.toSeq, leftTime, rightTime,
+      rightCols.asScala.toSeq, rightTieBreak)
+  }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     SimilarityOps.bruteForceTopK(queries, corpus, k)

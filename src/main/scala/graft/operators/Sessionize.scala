@@ -53,4 +53,54 @@ object Sessionize {
       .groupBy(col(keyCol), col("session_id"))
       .agg(base.head, (base.tail ++ aggs): _*)
   }
+
+  /** As-of (backward) join — the time-series operator Spark's join algebra
+    * lacks: for every left row, the single right row with the greatest
+    * `rightTime` <= `leftTime` within the same `keys` (inclusive; ties on
+    * rightTime broken by the LAST value of `rightTieBreak`, a unique
+    * column). Left rows with no prior right row keep nulls.
+    *
+    * Implemented as the union-marker + ordered-carry composition, NOT a
+    * per-left-row subquery: both inputs union into one stream tagged
+    * left/right, one window per key ordered by (time, side, tieBreak)
+    * carries `last(right payload, ignoreNulls)` forward, and left rows
+    * read the carry. ONE shuffle+sort on the join keys total — cost is
+    * that of a sort-merge join regardless of how many right rows precede
+    * each left row (a naive `rightTime <= leftTime` theta join is
+    * quadratic per key). Right rows sort before left rows at equal time,
+    * so an exactly-simultaneous right row IS matched.
+    *
+    * Output: every left column, plus each of `rightCols` as
+    * `<prefix><name>`. Scale: plain hash exchange on `keys` (AQE skew
+    * split applies); window state is one carried struct per key. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], rightTieBreak: String,
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty && rightCols.nonEmpty, "asofJoin needs keys+cols")
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    val lType = left.select(leftCols.map(col): _*).schema
+    val rType = right.select(rightCols.map(col): _*).schema
+    val lS = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__isL"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rType).as("__r")): _*)
+    val rS = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__isL"),
+        lit(null).cast(lType).as("__l"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isL").asc,
+        col("__r").getField(rightTieBreak).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lS.unionByName(rS)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isL") === 1)
+      .select(keys.map(col) ++
+        leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
+  }
 }

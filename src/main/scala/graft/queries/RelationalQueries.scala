@@ -301,6 +301,45 @@ object RelationalQueries extends QuerySet {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           min(tsec) AS session_start, max(tsec) AS session_end,
           count(*) AS n_events
-        FROM sessioned GROUP BY user_id, session_id"""))
+        FROM sessioned GROUP BY user_id, session_id""")),
+
+    // As-of (backward) join: each purchase matched to the user's latest
+    // view at-or-before it. The operator is the union-marker + ordered
+    // carry composition (one shuffle); the oracle is the INDEPENDENT
+    // per-purchase rank over qualifying views, so the two formulations
+    // cross-check each other.
+    Query("q71_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        graft.operators.Sessionize.asofJoin(
+          p, v, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "ts", "value"), rightTieBreak = "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            expr("unix_millis(ts)").as("t_ms"),
+            col("asof_event_id").as("view_id"),
+            expr("unix_millis(asof_ts)").as("view_t_ms"),
+            cents(col("asof_value")).as("view_value_cents"))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        v AS (
+          SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'view'),
+        m AS (
+          SELECT p.event_id AS pe, v.event_id AS ve, v.ts AS vts,
+            v.value AS vv,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+          FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+        SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS t_ms,
+          m.ve AS view_id, epoch_ms(m.vts) AS view_t_ms,
+          CAST(floor(m.vv*100 + 0.5) AS BIGINT) AS view_value_cents
+        FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON m.pe = p.event_id"""))
   )
 }

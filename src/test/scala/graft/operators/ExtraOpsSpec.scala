@@ -170,4 +170,27 @@ class ExtraOpsSpec extends SparkSpec {
       "f1\tACGT\tIIII\tf1\tCCGG\tFFFF",
       "f2\tTTTT\t@@@@\tf2\tAAAA\tHHHH"))
   }
+
+  test("asofJoin picks the latest at-or-before right row per key") {
+    import spark.implicits._
+    val left = Seq( // (user, lid, t)
+      (1L, 10L, 100L), (1L, 11L, 205L), (1L, 12L, 50L),
+      (2L, 20L, 100L)) // user 2 has no views at all
+      .toDF("u", "lid", "t")
+    val right = Seq( // (user, rid, t, v) — two rows tie at t=200
+      (1L, 100L, 90L, 1.0), (1L, 101L, 200L, 2.0), (1L, 102L, 200L, 3.0),
+      (1L, 103L, 100L, 4.0), // exactly simultaneous with lid=10
+      (3L, 300L, 10L, 5.0))
+      .toDF("u", "rid", "t", "v")
+    val got = Sessionize.asofJoin(left, right, Seq("u"), "t", "t",
+        Seq("rid", "v"), rightTieBreak = "rid")
+      .select("u", "lid", "asof_rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 10L, 103L), // equal-time right row IS matched (103 beats 90)
+      (1L, 11L, 102L), // t=200 tie -> max tieBreak wins
+      (1L, 12L, -1L),  // nothing at or before t=50
+      (2L, 20L, -1L))) // no right rows for the key
+  }
 }
