@@ -54,6 +54,9 @@ __all__ = [
     "pack_token_spans", "extract_image_features", "extract_audio_features",
     "image_stats", "audio_stats", "video_stats", "sample_frames",
     "stratified_sample",
+    "semantic_duplicates", "dsir_index", "dsir_score_against",
+    "dsir_weights", "lm_index", "lm_score_against",
+    "ivf_centroids", "ivf_assignments", "ivf_top_k_against", "asof_join",
 ]
 
 _FACADE = "graft.api.JavaApi"
@@ -373,3 +376,71 @@ def stratified_sample(docs, strata_col, key_col, rates, default_rate):
         jmap.put(k, float(v))
     return _wrap(s, _api(s).stratifiedSample(docs._jdf, strata_col, key_col,
                                              jmap, default_rate))
+
+
+def semantic_duplicates(corpus, id_col, vec_col, n_clusters, threshold):
+    """SemDeDup: (id, cid, dropped) — see SimilarityOps.semanticDuplicates."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).semanticDuplicates(corpus._jdf, id_col, vec_col,
+                                               n_clusters, float(threshold)))
+
+
+def dsir_index(docs, id_col, text_col, target_expr, buckets):
+    """DSIR bucket multinomials; target_expr is a SQL boolean over docs."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).dsirIndex(docs._jdf, id_col, text_col,
+                                      target_expr, buckets))
+
+
+def dsir_score_against(docs, index, text_col, buckets):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).dsirScoreAgainst(docs._jdf, index._jdf,
+                                             text_col, buckets))
+
+
+def dsir_weights(docs, id_col, text_col, target_expr, k, buckets):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).dsirWeights(docs._jdf, id_col, text_col,
+                                        target_expr, k, buckets))
+
+
+def lm_index(docs, text_col, buckets):
+    """Hashed bigram LM count table (CCNet-style quality scoring)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).lmIndex(docs._jdf, text_col, buckets))
+
+
+def lm_score_against(docs, index, text_col, buckets):
+    s = docs.sparkSession
+    return _wrap(s, _api(s).lmScoreAgainst(docs._jdf, index._jdf,
+                                           text_col, buckets))
+
+
+def ivf_centroids(corpus, n_centroids):
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).ivfCentroids(corpus._jdf, n_centroids))
+
+
+def ivf_assignments(corpus, centroids):
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).ivfAssignments(corpus._jdf, centroids._jdf))
+
+
+def ivf_top_k_against(queries, assigned, centroids, k, n_probe):
+    s = queries.sparkSession
+    return _wrap(s, _api(s).ivfTopKAgainst(queries._jdf, assigned._jdf,
+                                           centroids._jdf, k, n_probe))
+
+
+def asof_join(left, right, keys, left_time, right_time, right_cols,
+              right_tie_break):
+    """Backward as-of join; keys/right_cols are lists of column names."""
+    s = left.sparkSession
+    jkeys = s._jvm.java.util.ArrayList()
+    for k in keys:
+        jkeys.add(k)
+    jcols = s._jvm.java.util.ArrayList()
+    for c in right_cols:
+        jcols.add(c)
+    return _wrap(s, _api(s).asofJoin(left._jdf, right._jdf, jkeys, left_time,
+                                     right_time, jcols, right_tie_break))

@@ -345,6 +345,57 @@ object Cli {
       case "print" :: rest =>
         printParquet(spark, rest)
 
+      // -------- training-data pipeline group (documents parquet in/out) ----
+      // dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|
+      //   minhash|winnowing] — drop duplicate docs, keep each duplicate
+      //   cluster's minimum id (transitive closure for the near-dup methods)
+      case "dedup" :: in :: out :: rest =>
+        import org.apache.spark.sql.functions.col
+        import graft.operators.{DedupOps, TextOps}
+        def fv(flag: String): Option[String] = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) Some(rest(i + 1)) else None
+        }
+        val id = fv("-id").getOrElse("doc_id")
+        val text = fv("-text").getOrElse("text")
+        val docs = spark.read.parquet(in)
+        val kept = fv("-method").getOrElse("exact") match {
+          case "exact" => DedupOps.dropExactDuplicates(docs, id, text)
+          case m =>
+            val pairs = m match {
+              case "minhash" =>
+                DedupOps.minhashNearDuplicates(docs, id, text)
+                  .select("id_a", "id_b")
+              case "winnowing" =>
+                TextOps.winnowingNearDuplicates(docs, id, text,
+                  minShared = 5, maxDocFreq = 50).select("id_a", "id_b")
+              case other => sys.error(s"unknown dedup method: $other")
+            }
+            val victims = DedupOps.clusterDuplicates(pairs)
+              .filter(col("id") =!= col("label")).select(col("id").as("__v"))
+            docs.join(victims, docs(id) === col("__v"), "left_anti")
+        }
+        kept.write.mode("overwrite").parquet(out)
+        println(s"dedup: wrote $out")
+
+      // score <in.parquet> <out.parquet> [-text c] — append quality
+      // columns: gopher rules + keep, langId, token count
+      case "score" :: in :: out :: rest =>
+        import org.apache.spark.sql.functions.col
+        import graft.operators.TextOps
+        val ti = rest.indexOf("-text")
+        val text = if (ti >= 0 && ti + 1 < rest.length) rest(ti + 1) else "text"
+        val docs = spark.read.parquet(in)
+        val ruled = TextOps.gopherQualityRules(col(text)).foldLeft(docs) {
+          case (d, (name, c)) => d.withColumn(name, c)
+        }
+        ruled
+          .withColumn("gopher_keep", TextOps.gopherKeep(col(text)))
+          .withColumn("pred_lang", TextOps.langId(col(text)))
+          .withColumn("n_tokens", TextOps.tokenCount(col(text)))
+          .write.mode("overwrite").parquet(out)
+        println(s"score: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -352,7 +403,9 @@ object Cli {
           "coverage transformVariants transformGenotypes vcf2parquet mergeShards " +
           "adam2fastq" +
           "\n  view <in> [-f N] [-F N] [-g N] [-G N] [-q MINQ] [-c] [-o out|out] [-single]" +
-          "\n  print <file.parquet>... [-o localFile] [-pretty]")
+          "\n  print <file.parquet>... [-o localFile] [-pretty]" +
+          "\n  dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|minhash|winnowing]" +
+          "\n  score <in.parquet> <out.parquet> [-text c]")
         sys.exit(2)
     }
   }

@@ -235,4 +235,39 @@ class CliSpec extends SparkSpec {
     val txt = spark.read.textFile(out).collect()
     assert(txt.count(_.startsWith("@a")) == 3)
   }
+
+  test("dedup command: exact and winnowing methods keep cluster minima") {
+    import spark.implicits._
+    val body = "a long enough stretch of shared text to fingerprint " * 3
+    val in = tmpDir() + "/docs.parquet"
+    (Seq((1L, body), (2L, body), (3L, "something else entirely " * 5))
+      ++ Seq((4L, body + " trailing difference")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+
+    val outE = tmpDir() + "/dedup_exact.parquet"
+    Cli.run(spark, Seq("dedup", in, outE)) // default exact
+    assert(spark.read.parquet(outE).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+    val outW = tmpDir() + "/dedup_win.parquet"
+    Cli.run(spark, Seq("dedup", in, outW, "-method", "winnowing"))
+    // 1,2,4 share >= 5 winnowing fingerprints -> one cluster, min id kept
+    assert(spark.read.parquet(outW).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    spark.catalog.clearCache()
+  }
+
+  test("score command appends quality columns") {
+    import spark.implicits._
+    val in = tmpDir() + "/score_docs.parquet"
+    Seq((1L, ("the be to of and that have with words here " * 8).trim))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = tmpDir() + "/scored.parquet"
+    Cli.run(spark, Seq("score", in, out))
+    val row = spark.read.parquet(out).collect().head
+    val sch = spark.read.parquet(out).schema.fieldNames.toSet
+    assert(Set("gopher_keep", "pred_lang", "n_tokens", "rule_word_count")
+      .subsetOf(sch))
+    assert(row.getAs[Int]("n_tokens") == 80)
+  }
 }
