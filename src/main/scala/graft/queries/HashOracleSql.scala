@@ -357,13 +357,14 @@ object HashOracleSql {
     * selection over non-target rows. Features are pure [a-z0-9 ] so the
     * unicode(c) fnv replay is exact even for non-ASCII documents. */
   def dsirSql(buckets: Int, alpha: Double, k: Int,
-      targetPred: String, salt: String): String = {
+      targetPred: String, salt: String,
+      table: String = "documents"): String = {
     val ab = alpha * buckets
     s"""WITH toks AS (
        |  SELECT doc_id, ($targetPred) AS is_target,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                x -> x <> '') AS ts
-       |  FROM documents),
+       |  FROM $table),
        |feats AS (
        |  SELECT doc_id, is_target, unnest(ts) AS feat FROM toks
        |  UNION ALL
@@ -394,12 +395,12 @@ object HashOracleSql {
        |  FROM c GROUP BY doc_id),
        |perdoc AS (SELECT d.doc_id, ($targetPred) AS is_target,
        |    coalesce(s.dsir_q, 0) AS dsir_q
-       |  FROM documents d LEFT JOIN scores s USING (doc_id)),
+       |  FROM $table d LEFT JOIN scores s USING (doc_id)),
        |gum AS (SELECT doc_id,
        |    CAST(floor(-ln(-ln(
        |      ((${fnv1a64(s"(doc_id::VARCHAR || ':$salt')")} >> 11)::DOUBLE + 0.5)
        |      / 9007199254740992.0)) * 1e7 + 0.5) AS BIGINT) AS gq
-       |  FROM documents),
+       |  FROM $table),
        |sel AS (SELECT p.doc_id FROM perdoc p JOIN gum g USING (doc_id)
        |  WHERE NOT p.is_target
        |  ORDER BY p.dsir_q + g.gq DESC, p.doc_id LIMIT $k)

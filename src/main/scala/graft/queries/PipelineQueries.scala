@@ -1058,7 +1058,41 @@ object PipelineQueries extends QuerySet {
         "doc_id", "text", k = 8, w = 6, minShared = 5, maxDocFreq = 20)
         .select(col("id_a"), col("id_b"), col("n_shared")),
       Some(HashOracleSql.winnowingNearDupSql(
-        k = 8, w = 6, minShared = 5, maxDocFreq = 20)))
+        k = 8, w = 6, minShared = 5, maxDocFreq = 20))),
+
+    // Capstone selection pipeline over the round-7 family: quality gate
+    // (Gopher word-count rule — the full 7-rule keep is degenerate on this
+    // corpus: no doc contains 2 of the 8 English stop words) -> LM
+    // perplexity gate (per-transition quantized log-prob >= -5.6e7,
+    // integer arithmetic both sides) -> DSIR Gumbel-top-k over the
+    // surviving pool. Every stage reuses its own proven oracle, composed
+    // as nested CTEs (dsirSql parameterized over the pool table).
+    Query("q72_pipeline_select",
+      (s, dir) => {
+        val thr = -56000000L
+        val docs = t(s, dir, "documents")
+        val lmIdx = TextOps.lmIndex(
+          docs.filter(col("lang") === "en"), "text", buckets = 4096)
+        val wordCountOk = TextOps.gopherQualityRules(col("text"))
+          .toMap.apply("rule_word_count")
+        val pool = TextOps.lmScoreAgainst(docs, lmIdx, "text", buckets = 4096)
+          .filter(wordCountOk &&
+            col("lm_q") >= lit(thr) * col("n_transitions"))
+        SamplingOps.dsirWeights(pool, "doc_id", "text",
+          col("lang") === "en", k = 30, buckets = 1024, salt = "sel72")
+      },
+      Some(s"""WITH lm AS (${HashOracleSql.lmSql(
+            buckets = 4096, alpha = 1.0, targetPred = "lang = 'en'")}),
+        gop AS ($gopherRulesSql),
+        pool0 AS (
+          SELECT d.doc_id, d.text, d.lang FROM documents d
+          JOIN lm USING (doc_id) JOIN gop g USING (doc_id)
+          WHERE g.rule_word_count AND
+            lm.lm_q >= CAST(-56000000 AS BIGINT) * lm.n_transitions)
+        SELECT * FROM (${HashOracleSql.dsirSql(
+            buckets = 1024, alpha = 1.0, k = 30,
+            targetPred = "lang = 'en'", salt = "sel72",
+            table = "pool0")})"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */
