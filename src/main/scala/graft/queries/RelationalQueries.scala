@@ -340,6 +340,30 @@ object RelationalQueries extends QuerySet {
           m.ve AS view_id, epoch_ms(m.vts) AS view_t_ms,
           CAST(floor(m.vv*100 + 0.5) AS BIGINT) AS view_value_cents
         FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
-          ON m.pe = p.event_id"""))
+          ON m.pe = p.event_id""")),
+
+    // Retention cohort matrix: users bucketed by first-event week, distinct
+    // active users per (cohort, weeks since) — the classic growth-analytics
+    // triangle. Two map-side-combined aggregations + a broadcastable
+    // (user, cohort) join.
+    Query("q73_retention_cohorts",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 604800000").as("wk"))
+        val firsts = e.groupBy("user_id")
+          .agg(min(col("wk")).as("cohort_week"))
+        e.join(firsts, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+        SELECT f.cohort_week, e.wk - f.cohort_week AS weeks_since,
+          CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY f.cohort_week, e.wk - f.cohort_week"""))
   )
 }

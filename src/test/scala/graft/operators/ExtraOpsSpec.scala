@@ -193,4 +193,31 @@ class ExtraOpsSpec extends SparkSpec {
       (1L, 12L, -1L),  // nothing at or before t=50
       (2L, 20L, -1L))) // no right rows for the key
   }
+
+  test("asofJoin agrees with brute force on random data; single shuffle plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // small time range forces many collisions (incl. left==right times)
+    val lRows = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(40).toLong))
+    val rRows = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, 1000L + i, rnd.nextInt(40).toLong))
+    val left = lRows.toDF("u", "lid", "t")
+    val right = rRows.toDF("u", "rid", "t")
+    val out = Sessionize.asofJoin(left, right, Seq("u"), "t", "t",
+      Seq("rid"), rightTieBreak = "rid")
+    val got = out.select("lid", "asof_rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    lRows.foreach { case (u, lid, t) =>
+      val expect = rRows.filter(r => r._1 == u && r._3 <= t)
+        .sortBy(r => (r._3, r._2)).lastOption.map(_._2).getOrElse(-1L)
+      assert(got(lid) == expect, s"lid=$lid")
+    }
+    // the union-carry composition pays ONE exchange (the key hash), not
+    // one per side plus a join exchange
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single shuffle:\n${plan.take(1200)}")
+  }
 }

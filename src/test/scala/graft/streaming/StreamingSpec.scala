@@ -117,6 +117,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LM index probe scores a stream exactly like the batch pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = (0L until 20L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextOps.lmIndex(target, "text", buckets = 256)
+    val probes = Seq((100L, "alpha beta gamma"), (101L, "gamma alpha beta"),
+      (102L, "zz"))
+    val batch = graft.operators.TextOps.lmScoreAgainst(
+        probes.toDF("doc_id", "text"), index, "text", buckets = 256)
+      .select("doc_id", "lm_q", "n_transitions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.lmScoreAgainst(
+        input.toDF().toDF("doc_id", "text"), index, "text", buckets = 256)
+      .writeStream.format("memory").queryName("lmscores")
+      .outputMode("append").start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lmscores")
+        .select("doc_id", "lm_q", "n_transitions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static MinHash probe flags near-dups like the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
