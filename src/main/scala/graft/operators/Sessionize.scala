@@ -54,6 +54,53 @@ object Sessionize {
       .agg(base.head, (base.tail ++ aggs): _*)
   }
 
+  /** Ordered-funnel stage tables: stage i holds, per key, the FIRST time
+    * the i-th `steps` event type occurred STRICTLY AFTER the key's stage
+    * i-1 time (stage 0 = first occurrence of steps.head), and — when
+    * `maxGap` is set — no later than stage i-1's time + maxGap (same units
+    * as `tsCol`). Keys drop out of later tables when the order is never
+    * completed — the classic conversion funnel. Returns one DataFrame per
+    * stage: (key, t1, ..., t_{i+1}).
+    *
+    * Each stage is a filter + map-side-combined min aggregation joined to
+    * the (strictly shrinking) previous stage — |steps| shuffles on the key,
+    * no windows, no per-user event sorting. */
+  def funnelStages(
+      events: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], maxGap: Option[Long] = None): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val cur = events.filter(col(typeCol) === step)
+        val stage =
+          if (i == 0)
+            cur.groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+          else {
+            val carried = (1 to i).map(j => col(s"t$j"))
+            val within = maxGap.map(g =>
+              col(tsCol) <= col(s"t$i") + lit(g)).getOrElse(lit(true))
+            cur.join(acc.last, Seq(keyCol))
+              .filter(col(tsCol) > col(s"t$i") && within)
+              .groupBy(col(keyCol) +: carried: _*)
+              .agg(min(col(tsCol)).as(s"t${i + 1}"))
+          }
+        acc :+ stage
+    }
+  }
+
+  /** Funnel summary: one row per stage — (step, n_keys) with step labeled
+    * `"<ordinal>_<event type>"` — counting the keys that reached it in
+    * order. */
+  def funnelCounts(
+      events: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], maxGap: Option[Long] = None): DataFrame =
+    funnelStages(events, keyCol, typeCol, tsCol, steps, maxGap).zipWithIndex
+      .map { case (stage, i) =>
+        stage.agg(count(lit(1)).as("n_keys"))
+          .select(lit(s"${i + 1}_${steps(i)}").as("step"), col("n_keys"))
+      }
+      .reduce(_.unionByName(_))
+
   /** As-of (backward) join — the time-series operator Spark's join algebra
     * lacks: for every left row, the single right row with the greatest
     * `rightTime` <= `leftTime` within the same `keys` (inclusive; ties on

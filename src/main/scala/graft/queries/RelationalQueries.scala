@@ -364,6 +364,33 @@ object RelationalQueries extends QuerySet {
         SELECT f.cohort_week, e.wk - f.cohort_week AS weeks_since,
           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         FROM e JOIN f USING (user_id)
-        GROUP BY f.cohort_week, e.wk - f.cohort_week"""))
+        GROUP BY f.cohort_week, e.wk - f.cohort_week""")),
+
+    // Ordered conversion funnel view -> click -> purchase, each step
+    // within 24h of the previous: per stage, the users whose first
+    // qualifying event comes strictly after their previous stage time. No
+    // windows, no event sorting — filter + min-agg + key join per stage.
+    Query("q74_funnel",
+      (s, dir) => graft.operators.Sessionize.funnelCounts(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_millis(ts)").as("ms")),
+        "user_id", "event_type", "ms",
+        Seq("view", "click", "purchase"), maxGap = Some(86400000L)),
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        v AS (SELECT user_id, min(ms) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ms) AS t2 FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ms > v.t1
+            AND e.ms <= v.t1 + 86400000 GROUP BY e.user_id),
+        p AS (SELECT e.user_id FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ms > c.t2
+            AND e.ms <= c.t2 + 86400000 GROUP BY e.user_id)
+        SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_keys FROM v
+        UNION ALL
+        SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p"""))
   )
 }

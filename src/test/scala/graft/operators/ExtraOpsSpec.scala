@@ -220,4 +220,32 @@ class ExtraOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected a single shuffle:\n${plan.take(1200)}")
   }
+
+  test("funnelStages: strict order, gap cutoff, dropouts") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes a->b->c in order
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      // user 2: b before a only -> drops at stage 2
+      (2L, "b", 5L), (2L, "a", 10L), (2L, "c", 4L),
+      // user 3: b exactly at a's time -> NOT strictly after, drops
+      (3L, "a", 10L), (3L, "b", 10L),
+      // user 4: b too late for the gap
+      (4L, "a", 10L), (4L, "b", 200L), (4L, "c", 210L))
+      .toDF("u", "et", "ms")
+    val stages = Sessionize.funnelStages(ev, "u", "et", "ms",
+      Seq("a", "b", "c"), maxGap = Some(50L))
+    def users(i: Int) = stages(i).select("u").collect().map(_.getLong(0)).toSet
+    assert(users(0) == Set(1L, 2L, 3L, 4L))
+    assert(users(1) == Set(1L)) // 2: no b after a; 3: tie; 4: gap
+    assert(users(2) == Set(1L))
+    // the completed-stage row carries all step times
+    val r = stages(2).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 20L, 30L)))
+
+    val counts = Sessionize.funnelCounts(ev, "u", "et", "ms",
+        Seq("a", "b", "c"), maxGap = Some(50L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("1_a" -> 4L, "2_b" -> 1L, "3_c" -> 1L))
+  }
 }
