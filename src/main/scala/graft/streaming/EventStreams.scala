@@ -143,6 +143,53 @@ object EventStreams {
   case class UserState(nEvents: Long, sumValue: Double, lastTsMillis: Long)
   case class UserUpdate(user_id: Long, nEvents: Long, sumValue: Double)
 
+  case class TypedEvent(user_id: Long, event_type: String, tsMillis: Long)
+  case class FunnelState(stageTimes: List[Long])
+  case class FunnelAdvance(
+    user_id: Long, stage: Int, step: String, tsMillis: Long)
+
+  /** Streaming twin of [[graft.operators.Sessionize.funnelStages]]: a
+    * per-key stage machine in `flatMapGroupsWithState` — a key advances to
+    * stage i+1 at the first `steps(i+1)` event STRICTLY after its stage-i
+    * time (within `maxGapMs` when set), emitting one [[FunnelAdvance]] per
+    * advance as it happens. State per key is just the completed stage
+    * times (≤ |steps| longs).
+    *
+    * Events are folded in (ts, type) order WITHIN each micro-batch;
+    * cross-batch late events cannot retroactively rewrite stages (the
+    * standard streaming caveat — the batch operator is the exact
+    * formulation, and the spec proves agreement for in-order feeds). */
+  def funnelProgress(
+      events: Dataset[TypedEvent], steps: Seq[String],
+      maxGapMs: Option[Long] = None): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[TypedEvent],
+         state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.stageTimes).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          batch.toSeq.sortBy(e => (e.tsMillis, e.event_type)).foreach { e =>
+            val stage = times.length
+            if (stage < steps.length && e.event_type == steps(stage)) {
+              val afterPrev = times.isEmpty ||
+                (e.tsMillis > times.last &&
+                  maxGapMs.forall(g => e.tsMillis <= times.last + g))
+              if (afterPrev) {
+                times = times :+ e.tsMillis
+                out += FunnelAdvance(userId, times.length,
+                  steps(stage), e.tsMillis)
+              }
+            }
+          }
+          state.update(FunnelState(times))
+          out.iterator
+      }
+  }
+
   /** flatMapGroupsWithState example operator: running per-user totals —
     * the KeyValueGroupedDataset custom-state capability (SURVEY.md §7
     * streaming bullet). Pass `evictAfter=Some(duration)` to bound state via

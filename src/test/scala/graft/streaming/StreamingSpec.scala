@@ -224,6 +224,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnelProgress agrees with the batch funnel stages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      EventStreams.TypedEvent(1L, "view", 10L),
+      EventStreams.TypedEvent(1L, "click", 20L),
+      EventStreams.TypedEvent(2L, "click", 5L),  // click before any view
+      EventStreams.TypedEvent(2L, "view", 10L),
+      EventStreams.TypedEvent(3L, "view", 10L),
+      EventStreams.TypedEvent(3L, "click", 200L)) // outside the gap
+    val late = Seq( // second micro-batch: stage 3 for user 1, stage 2 for 2
+      EventStreams.TypedEvent(1L, "purchase", 30L),
+      EventStreams.TypedEvent(2L, "click", 15L))
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.funnelProgress(input.toDS(),
+        Seq("view", "click", "purchase"), maxGapMs = Some(50L))
+      .writeStream.format("memory").queryName("funnelprog")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(late: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnelprog")
+        .select("user_id", "stage", "tsMillis").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      // batch twin over the union of both micro-batches
+      val batchEv = (evs ++ late).map(e => (e.user_id, e.event_type, e.tsMillis))
+        .toDF("u", "et", "ms")
+      val stages = graft.operators.Sessionize.funnelStages(
+        batchEv, "u", "et", "ms", Seq("view", "click", "purchase"),
+        maxGap = Some(50L))
+      val expect = stages.zipWithIndex.flatMap { case (st, i) =>
+        st.select(col("u"), col(s"t${i + 1}")).collect()
+          .map(r => (r.getLong(0), i + 1, r.getLong(1)))
+      }.toSet
+      assert(got == expect, s"got=$got expect=$expect")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
