@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SamplingOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, SamplingOps, SimilarityOps, TextOps, WebOps}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (SURVEY.md §7 step 10): text analysis, exact + near dedup, similarity
@@ -1092,7 +1092,112 @@ object PipelineQueries extends QuerySet {
         SELECT * FROM (${HashOracleSql.dsirSql(
             buckets = 1024, alpha = 1.0, k = 30,
             targetPred = "lang = 'en'", salt = "sel72",
-            table = "pool0")})"""))
+            table = "pool0")})""")),
+
+    // HTML -> text extraction (WebOps.htmlToText): each document is
+    // wrapped in a deterministic HTML page exercising script/style
+    // content drops, comments, quote-guarded '>' in attributes, &nbsp; /
+    // &amp; / numeric-entity decode (the text's own 'a's travel as &#97;),
+    // and block-tag line breaks; the oracle states what a correct
+    // extractor must recover — the round-trip proof pattern of
+    // q52_bmp_image_stats.
+    Query("q75_html_extract",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val wrapped = concat(
+          lit("<html><head><script type=\"text/javascript\">" +
+            "var a = \"1 > 0 </b>\";</script>" +
+            "<style>p { color: red; }</style></head>" +
+            "<body><!-- hidden <p>x</p> -->" +
+            "<h1 class=\"t\" data-x=\"a>b\">Doc&nbsp;"),
+          col("doc_id").cast("string"),
+          lit("</h1><p> "),
+          regexp_replace(col("text"), "a", "&#97;"),
+          lit(" </p><div class=\"foot\">src="),
+          col("source"),
+          lit(" &amp; co</div></body></html>"))
+        d.select(col("doc_id"),
+          WebOps.htmlToText(wrapped).as("extracted"))
+      },
+      Some("""SELECT doc_id,
+        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN ''
+             ELSE trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10) END ||
+        'src=' || source || ' & co' AS extracted
+        FROM documents""")),
+
+    // URL canonicalization + URL-level dedup (WebOps.urlDedup): messy
+    // URLs synthesized per doc (scheme/host case, www., default vs real
+    // ports, trailing slash, unsorted query, utm_/gclid tracking params,
+    // fragments) are canonicalized and grouped; the oracle REPLAYS the
+    // generic parse + normalization in SQL (regexp parse, key-filtered
+    // list_sort of params) rather than shortcutting from the generator's
+    // structure — both engines must agree on every rule.
+    Query("q76_url_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val id = col("doc_id")
+        val messy = concat(
+          lit("HTTP"), when(id % 2 === 0, lit("S")).otherwise(lit("")),
+          lit("://WWW.Site"), (id % 5).cast("string"), lit(".COM"),
+          when(id % 2 === 0, lit(":443"))
+            .when(id % 3 === 0, lit(":8080")).otherwise(lit(":80")),
+          lit("/Path/"), (id % 7).cast("string"),
+          when(id % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), (id % 3).cast("string"), lit("&a=1"),
+          when(id % 4 === 0, lit("&gclid=abc")).otherwise(lit("")),
+          lit("#sec"), (id % 2).cast("string"))
+        WebOps.urlDedup(d.select(id, messy.as("url")), "url", "doc_id")
+      },
+      Some(s"""WITH u0 AS (
+        SELECT doc_id,
+          'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END ||
+          '://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+          CASE WHEN doc_id % 2 = 0 THEN ':443'
+               WHEN doc_id % 3 = 0 THEN ':8080' ELSE ':80' END ||
+          '/Path/' || CAST(doc_id % 7 AS VARCHAR) ||
+          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+          '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' ||
+          CASE WHEN doc_id % 4 = 0 THEN '&gclid=abc' ELSE '' END ||
+          '#sec' || CAST(doc_id % 2 AS VARCHAR) AS url
+        FROM documents),
+      p1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM u0),
+      p2 AS (SELECT doc_id,
+          lower(regexp_extract(nofrag, '^([^:]*)://', 1)) AS scheme,
+          regexp_extract(nofrag, '^[^:]*://([^/?]*)', 1) AS hostport,
+          regexp_replace(
+            regexp_extract(nofrag, '^[^:]*://[^/?]*([^?]*)', 1),
+            '/+$$', '') AS path,
+          CASE WHEN contains(nofrag, '?')
+               THEN regexp_extract(nofrag, '\\?(.*)$$', 1) ELSE '' END AS query
+        FROM p1),
+      p3 AS (SELECT doc_id, scheme, path, query,
+          CASE WHEN regexp_matches(hostport, ':[0-9]+$$')
+               THEN lower(regexp_replace(hostport, ':[0-9]+$$', ''))
+               ELSE lower(hostport) END AS host0,
+          regexp_extract(hostport, ':([0-9]+)$$', 1) AS port
+        FROM p2),
+      p4 AS (SELECT doc_id, scheme, path,
+          CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5)
+               ELSE host0 END AS host,
+          CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END AS keepport,
+          list_sort(list_filter(string_split(query, '&'), p ->
+            len(p) > 0
+            AND NOT starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_')
+            AND NOT list_contains(
+              ['gclid','fbclid','msclkid','mc_cid','mc_eid','ref',
+               'ref_src','igshid','spm','yclid'],
+              regexp_extract(p, '^([^=]*)', 1)))) AS params
+        FROM p3),
+      canon AS (SELECT doc_id,
+          scheme || '://' || host || keepport || path ||
+          CASE WHEN len(params) > 0
+               THEN '?' || array_to_string(params, '&') ELSE '' END AS url
+        FROM p4)
+      SELECT min(doc_id) AS doc_id, url, count(*) AS n_dups
+      FROM canon GROUP BY url"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */
