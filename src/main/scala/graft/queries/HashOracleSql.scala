@@ -544,4 +544,68 @@ object HashOracleSql {
        |  FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
        |WHERE hamming <= $maxDist""".stripMargin
+
+  /** Full oracle for [[graft.operators.ClusteringOps]] k-means (q77):
+    * replays the fixed-point pipeline exactly — component quantization
+    * `floor(x*scale + 0.5)` to BIGINT, the splitmix64-of-id init sample
+    * (signed order, ties by id — same chain as [[centroidSampleCtes]]),
+    * then `iters` unrolled Lloyd rounds (squared-L2 argmin with ties to
+    * the lowest ci via `qq - 2qc + cc` on DOUBLE-cast integer lists —
+    * every product ≤ 2^46 so DOUBLE is exact — and per-dimension
+    * `floor(sum/count)` centroid means, empty clusters carrying forward),
+    * and a final assignment against the fitted centroids. */
+  def kmeansSql(k: Int, iters: Int, dim: Int, scale: Long): String = {
+    def assignCtes(i: Int, prev: String, sName: String, aName: String) =
+      s"""$sName AS (
+         |  SELECT t.vec_id, c.ci,
+         |    t.qq - 2 * list_inner_product(t.qvd,
+         |          list_transform(c.cv, x -> CAST(x AS DOUBLE)))
+         |        + list_inner_product(
+         |          list_transform(c.cv, x -> CAST(x AS DOUBLE)),
+         |          list_transform(c.cv, x -> CAST(x AS DOUBLE))) AS dist
+         |  FROM qx t CROSS JOIN $prev c),
+         |$aName AS (
+         |  SELECT vec_id, ci AS cid FROM (
+         |    SELECT vec_id, ci, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist ASC, ci ASC) AS rn
+         |    FROM $sName)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCtes(i, s"c${i - 1}", s"s$i", s"a$i")},
+         |u$i AS (
+         |  SELECT a.cid, t.d,
+         |    CAST(floor(CAST(sum(q.qv[t.d + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |  FROM a$i a JOIN q USING (vec_id) CROSS JOIN range($dim) t(d)
+         |  GROUP BY a.cid, t.d),
+         |c$i AS (
+         |  SELECT cid AS ci, list(v ORDER BY d) AS cv FROM u$i GROUP BY cid
+         |  UNION ALL
+         |  SELECT ci, cv FROM c${i - 1}
+         |  WHERE ci NOT IN (SELECT DISTINCT cid FROM a$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * $scale + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qx AS (
+       |  SELECT vec_id, qv, qvd, list_inner_product(qvd, qvd) AS qq FROM (
+       |    SELECT vec_id, qv,
+       |      list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q)),
+       |h0 AS (SELECT vec_id, (vec_id::HUGEINT + $Golden::HUGEINT) % $M64 AS x FROM q),
+       |h1 AS (SELECT vec_id, xor(x::UBIGINT, x::UBIGINT>>30)::HUGEINT AS a FROM h0),
+       |h2 AS (SELECT vec_id, ${mulmod("a", Mix1)} AS x FROM h1),
+       |h3 AS (SELECT vec_id, xor(x, x>>27)::HUGEINT AS a FROM h2),
+       |h4 AS (SELECT vec_id, ${mulmod("a", Mix2)} AS x FROM h3),
+       |hs AS (SELECT vec_id,
+       |    CASE WHEN xor(x, x>>31) >= 9223372036854775808::UBIGINT
+       |         THEN (xor(x, x>>31)::HUGEINT - $M64)::BIGINT
+       |         ELSE xor(x, x>>31)::BIGINT END AS h FROM h4),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS ci, qv AS cv
+       |  FROM hs JOIN q USING (vec_id)
+       |  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $k),
+       |$rounds,
+       |${assignCtes(iters + 1, s"c$iters", "sF", "aF")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM aF""".stripMargin
+  }
 }

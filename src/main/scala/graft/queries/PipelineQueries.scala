@@ -1197,7 +1197,23 @@ object PipelineQueries extends QuerySet {
                THEN '?' || array_to_string(params, '&') ELSE '' END AS url
         FROM p4)
       SELECT min(doc_id) AS doc_id, url, count(*) AS n_dups
-      FROM canon GROUP BY url"""))
+      FROM canon GROUP BY url""")),
+
+    // Distributed k-means (Lloyd, 3 rounds, k=8) in fixed-point integer
+    // arithmetic — the centroid TRAINER behind IVF/SemDeDup (their
+    // splitmix sample is this at iters=0). Quantization makes every
+    // distance/sum/mean an exact integer, so the oracle replays the whole
+    // fit (init sample, 3 unrolled Lloyd rounds, final assignment)
+    // bit-exactly, and the fit is partitioning-independent — the
+    // reproducibility property that matters at 100 TB.
+    Query("q77_kmeans",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = graft.operators.ClusteringOps.kmeansFit(e, k = 8, iters = 3)
+        graft.operators.ClusteringOps.kmeansAssign(e, cents)
+          .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      },
+      Some(HashOracleSql.kmeansSql(k = 8, iters = 3, dim = 64, scale = 1L << 20)))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

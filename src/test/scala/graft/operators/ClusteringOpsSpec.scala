@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringOpsSpec extends SparkSpec {
+
+  private val Scale = ClusteringOps.DefaultScale
+
+  /** Driver-side reference implementation of the exact same fixed-point
+    * Lloyd algorithm (quantize, splitmix init, argmin ties->lowest ci,
+    * floorDiv means, empty clusters carry) — the distributed fit must
+    * match it exactly on any input. */
+  private def referenceFit(
+      rows: Seq[(Long, Seq[Float])], k: Int, iters: Int): Array[Array[Long]] = {
+    val q = rows.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * Scale + 0.5).toLong).toArray)
+    }
+    var cents = q.sortBy { case (id, _) => (DedupOps.splitmix64(id), id) }
+      .take(k).map(_._2.map(identity)).toArray
+    def assign(qv: Array[Long]): Int = {
+      var best = 0; var bestD = Long.MaxValue
+      for (ci <- cents.indices) {
+        var d = 0L
+        for (i <- cents(ci).indices) { val t = qv(i) - cents(ci)(i); d += t * t }
+        if (d < bestD) { bestD = d; best = ci }
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val byC = q.groupBy { case (_, qv) => assign(qv) }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byC.get(ci) match {
+          case None => old.clone()
+          case Some(members) =>
+            old.indices.map { d =>
+              Math.floorDiv(members.map(_._2(d)).sum, members.size.toLong)
+            }.toArray
+        }
+      }
+    }
+    cents
+  }
+
+  private def mkDf(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Deterministic pseudo-random vectors (no RNG — hash-derived). */
+  private def synth(n: Int, dim: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map { d =>
+        val h = DedupOps.splitmix64(i.toLong * 131 + d)
+        ((h & 0xffff) / 65536.0f) - 0.5f
+      })
+    }
+
+  test("kmeansFit matches the driver-side reference implementation") {
+    val rows = synth(200, 8)
+    val fitted = ClusteringOps.kmeansFit(mkDf(rows), k = 5, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val expect = referenceFit(rows, k = 5, iters = 3)
+    assert(fitted.length == expect.length)
+    fitted.zip(expect).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("fit is partitioning-independent (fixed-point determinism)") {
+    val rows = synth(300, 6)
+    def fit(parts: Int) = ClusteringOps.kmeansFit(
+      mkDf(rows).repartition(parts), k = 4, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    assert(fit(1) == fit(7))
+  }
+
+  test("Lloyd rounds do not increase the quantized objective") {
+    val rows = synth(250, 8)
+    def objective(iters: Int): Long = {
+      val cents = ClusteringOps.kmeansFit(mkDf(rows), k = 4, iters = iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).map(_._2)
+      rows.map { case (_, v) =>
+        val qv = v.map(x => math.floor(x.toDouble * Scale + 0.5).toLong).toArray
+        cents.map { c =>
+          c.indices.map { i => val t = qv(i) - c(i); t * t }.sum
+        }.min
+      }.sum
+    }
+    val objs = (0 to 3).map(objective)
+    objs.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    assert(objs.last < objs.head) // it actually moved on this data
+  }
+
+  test("duplicate init points: losing centroid keeps its position") {
+    // three distinct points, k=4 -> at least two init centroids coincide;
+    // ties assign to the lowest ci, so the duplicate never wins a point
+    // and must carry its init position through every round.
+    val base = Seq(
+      Seq.fill(4)(0.1f), Seq.fill(4)(0.2f), Seq.fill(4)(0.3f))
+    val rows = (0 until 12).map(i => (i.toLong, base(i % 3)))
+    val fitted = ClusteringOps.kmeansFit(mkDf(rows), k = 4, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val expect = referenceFit(rows, k = 4, iters = 2)
+    fitted.zip(expect).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("kmeansAssign agrees with the reference assignment; probe plan has no shuffle") {
+    val rows = synth(100, 8)
+    val df = mkDf(rows)
+    val centDf = ClusteringOps.kmeansFit(df, k = 3, iters = 2)
+    val got = ClusteringOps.kmeansAssign(df, centDf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val cents = referenceFit(rows, k = 3, iters = 2)
+    rows.foreach { case (id, v) =>
+      val qv = v.map(x => math.floor(x.toDouble * Scale + 0.5).toLong).toArray
+      val exp = cents.zipWithIndex.minBy { case (c, ci) =>
+        (c.indices.map { i => val t = qv(i) - c(i); t * t }.sum, ci)
+      }._2
+      assert(got(id) == exp, s"vec $id")
+    }
+    val plan = ClusteringOps.kmeansAssign(df, centDf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe should be narrow:\n$plan")
+  }
+
+  test("centroidsAsFloat plugs into the IVF probe shape") {
+    val rows = synth(80, 8)
+    val df = mkDf(rows)
+    val cents = ClusteringOps.centroidsAsFloat(
+      ClusteringOps.kmeansFit(df, k = 3, iters = 1))
+    assert(cents.columns.toSeq == Seq("ci", "cvec"))
+    val assigned = SimilarityOps.ivfAssignments(
+      df.select(col("vec_id").as("id"), col("embedding").as("vec")), cents)
+    assert(assigned.count() == 80)
+    assert(assigned.select("cid").distinct().count() <= 3)
+  }
+}
