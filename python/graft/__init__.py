@@ -444,3 +444,40 @@ def asof_join(left, right, keys, left_time, right_time, right_cols,
         jcols.add(c)
     return _wrap(s, _api(s).asofJoin(left._jdf, right._jdf, jkeys, left_time,
                                      right_time, jcols, right_tie_break))
+
+
+def extract_html_text(docs, html_col, out_col="text"):
+    """HTML -> text extraction (tag strip, entity decode, block newlines)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).extractHtmlText(docs._jdf, html_col, out_col))
+
+
+def canonicalize_urls(docs, url_col, out_col="url_canon"):
+    """Canonical URL column (case, www., ports, tracking params, sorting)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).canonicalizeUrls(docs._jdf, url_col, out_col))
+
+
+def url_dedup(docs, url_col, id_col):
+    """URL-level dedup on the canonical form: (id_col, url, n_dups)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).urlDedup(docs._jdf, url_col, id_col))
+
+
+def kmeans_fit(corpus, k, iters, id_col="vec_id", vec_col="embedding"):
+    """Fixed-point Lloyd k-means centroids: (ci, cqvec longs)."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).kmeansFit(corpus._jdf, k, iters, id_col, vec_col))
+
+
+def kmeans_assign(corpus, centroids, id_col="vec_id", vec_col="embedding"):
+    """Nearest-centroid probe against a fitted table: (id, cid)."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).kmeansAssign(corpus._jdf, centroids._jdf,
+                                         id_col, vec_col))
+
+
+def kmeans_centroids_as_float(centroids):
+    """De-quantized (ci, cvec float) view for the IVF/SemDeDup consumers."""
+    s = centroids.sparkSession
+    return _wrap(s, _api(s).kmeansCentroidsAsFloat(centroids._jdf))

@@ -313,4 +313,32 @@ object JavaApi {
     SamplingOps.stratifiedSample(docs, strataCol, keyCol,
       rates.asScala.toMap, defaultRate)
   }
+
+  /** HTML -> text extraction over a column (WebOps.htmlToText). */
+  def extractHtmlText(docs: DataFrame, htmlCol: String, outCol: String): DataFrame =
+    docs.withColumn(outCol, graft.operators.WebOps.htmlToText(
+      org.apache.spark.sql.functions.col(htmlCol)))
+
+  /** Canonical URL column (WebOps.canonicalUrl). */
+  def canonicalizeUrls(docs: DataFrame, urlCol: String, outCol: String): DataFrame =
+    docs.withColumn(outCol, graft.operators.WebOps.canonicalUrl(
+      org.apache.spark.sql.functions.col(urlCol)))
+
+  /** URL-level dedup on the canonical form: (idCol, url, n_dups). */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    graft.operators.WebOps.urlDedup(docs, urlCol, idCol)
+
+  /** Fixed-point Lloyd k-means centroids: (ci, cqvec longs). */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): DataFrame =
+    graft.operators.ClusteringOps.kmeansFit(corpus, k, iters, idCol, vecCol)
+
+  /** Nearest-centroid probe against a fitted table: (id, cid). */
+  def kmeansAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    graft.operators.ClusteringOps.kmeansAssign(corpus, centroids, idCol, vecCol)
+
+  /** De-quantized (ci, cvec float) view for the IVF/SemDeDup consumers. */
+  def kmeansCentroidsAsFloat(centroids: DataFrame): DataFrame =
+    graft.operators.ClusteringOps.centroidsAsFloat(centroids)
 }

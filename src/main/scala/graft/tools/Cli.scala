@@ -396,6 +396,32 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"score: wrote $out")
 
+      // extractText <in.parquet> <out.parquet> [-html c] [-out c] — HTML ->
+      // text extraction (WebOps.htmlToText) as a column rewrite
+      case "extractText" :: in :: out :: rest =>
+        import org.apache.spark.sql.functions.col
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        spark.read.parquet(in)
+          .withColumn(fv("-out", "text"),
+            graft.operators.WebOps.htmlToText(col(fv("-html", "html"))))
+          .write.mode("overwrite").parquet(out)
+        println(s"extractText: wrote $out")
+
+      // urlDedup <in.parquet> <out.parquet> [-url c] [-id c] — one row per
+      // canonical URL (smallest id wins) with the duplicate count
+      case "urlDedup" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.WebOps.urlDedup(spark.read.parquet(in),
+            fv("-url", "url"), fv("-id", "doc_id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"urlDedup: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -405,7 +431,9 @@ object Cli {
           "\n  view <in> [-f N] [-F N] [-g N] [-G N] [-q MINQ] [-c] [-o out|out] [-single]" +
           "\n  print <file.parquet>... [-o localFile] [-pretty]" +
           "\n  dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|minhash|winnowing]" +
-          "\n  score <in.parquet> <out.parquet> [-text c]")
+          "\n  score <in.parquet> <out.parquet> [-text c]" +
+          "\n  extractText <in.parquet> <out.parquet> [-html c] [-out c]" +
+          "\n  urlDedup <in.parquet> <out.parquet> [-url c] [-id c]")
         sys.exit(2)
     }
   }

@@ -35,7 +35,9 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "dedupParagraphs" -> 4, "duplicatedParagraphs" -> 4,
       "c4CleanLines" -> 3, "dedupLinesInDoc" -> 3,
       "duplicatedSubstringSpans" -> 4, "removeDuplicatedSubstrings" -> 4,
-      "gopherQualityRules" -> 2, "tokenFrequencies" -> 3)
+      "gopherQualityRules" -> 2, "tokenFrequencies" -> 3,
+      "extractHtmlText" -> 3, "canonicalizeUrls" -> 3, "urlDedup" -> 3,
+      "kmeansFit" -> 5, "kmeansAssign" -> 4, "kmeansCentroidsAsFloat" -> 1)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

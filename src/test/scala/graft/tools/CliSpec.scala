@@ -270,4 +270,29 @@ class CliSpec extends SparkSpec {
       .subsetOf(sch))
     assert(row.getAs[Int]("n_tokens") == 80)
   }
+
+  test("extractText command rewrites an html column to text") {
+    import spark.implicits._
+    val in = tmpDir() + "/pages.parquet"
+    Seq((1L, "<html><body><p>hello &amp; bye</p><script>x</script></body></html>"))
+      .toDF("doc_id", "html").write.mode("overwrite").parquet(in)
+    val out = tmpDir() + "/pages_text.parquet"
+    Cli.run(spark, Seq("extractText", in, out))
+    val row = spark.read.parquet(out).collect().head
+    assert(row.getAs[String]("text") == "hello & bye")
+  }
+
+  test("urlDedup command groups canonical forms") {
+    import spark.implicits._
+    val in = tmpDir() + "/urls.parquet"
+    Seq((5L, "http://WWW.a.com/x/"), (9L, "http://a.com:80/x#frag"),
+      (2L, "https://b.com/y"))
+      .toDF("doc_id", "url").write.mode("overwrite").parquet(in)
+    val out = tmpDir() + "/urls_dedup.parquet"
+    Cli.run(spark, Seq("urlDedup", in, out))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_dups"))).toSet
+    assert(got == Set(("http://a.com/x", 5L, 2L), ("https://b.com/y", 2L, 1L)))
+  }
 }
