@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  // JSON string escape (same contract as Verify.q)
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,31 +62,63 @@ object Bench {
     // aggregated right side is provably unique-keyed — q60's whole pipeline
     // optimized away under count(). toRdd materializes the query's own
     // output columns, so every operator pays its real cost.
-    def force(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // A query that THROWS is a failure, never a timing: round 7's
+    // TIMESTAMP_NTZ breakage recorded six time-to-throw values (0.07-0.12s)
+    // as if they were real runs because force() swallowed the exception.
+    // Failures now land in the emitted JSON's "errors" field and the query
+    // is excluded from "queries"/total.
+    def force(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      force(fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      sec
+    }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val suspects = scala.collection.mutable.ArrayBuffer[String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // warm THIS query's generated code and JIT profile with one untimed
       // pass at the target scale factor (AQE picks different physical plans
       // — and therefore different generated code — at other SFs), right
       // before its timed passes so the hot code is freshly compiled and
       // the session state matches isolation.
-      force(fn)
+      val warmErr = force(fn)
       reclaim()
-      val times = (0 until iters).map { _ =>
-        val t0 = System.nanoTime()
-        force(fn)
-        val sec = (System.nanoTime() - t0) / 1e9
-        dropCaches()
-        sec
+      warmErr match {
+        case Some(err) =>
+          errors(name) = err
+          None
+        case None =>
+          var times = (0 until iters).map(_ => timed(fn))
+          // Session-state tripwire (VERDICT r7 #3): if even the best timed
+          // pass is way off the typical run, the measurement is suspect —
+          // reclaim hard and give it one more chance, then flag it in the
+          // output either way so a contended run is visible, not silent.
+          if (times.min * 2 < times.max) {
+            reclaim()
+            times = times :+ timed(fn)
+            if (times.min * 2 < times.max) suspects += name
+          }
+          reclaim()
+          Some(name -> times.min)
       }
-      reclaim()
-      name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    val susp = suspects.sorted.map(q).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

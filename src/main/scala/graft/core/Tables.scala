@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -18,13 +18,17 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads via
+    // Normalize `ts` to TimestampType regardless of how the driver generated
+    // the parquet: TIMESTAMP(NANOS) reads as LongType under
     // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench/test
-    // sessions). Normalize back to TimestampType at microsecond precision
-    // so downstream operators see a timestamp everywhere.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    // sessions); TIMESTAMP(MICROS, isAdjustedToUTC=false) reads natively as
+    // TIMESTAMP_NTZ in Spark 4. Downstream operators (unix_millis, windows,
+    // watermarks) require TimestampType — with the UTC session timezone the
+    // NTZ→TZ cast is exact (same micros value reinterpreted).
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

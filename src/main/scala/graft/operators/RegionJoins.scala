@@ -76,19 +76,6 @@ object RegionJoins {
   private def hinted(r: DataFrame, original: DataFrame): DataFrame =
     if (hasBroadcastHint(original)) r else r.hint("shuffle_hash")
 
-  /** Overlap predicate plus the dedup condition that makes bin-replication
-    * exact: a pair is emitted only from the single bin that contains the
-    * larger of the two starts. */
-  private def joinCond(l: DataFrame, r: DataFrame, binSize: Long, flank: Long): Column = {
-    val overlap =
-      l("l_referenceName") === r("r_referenceName") &&
-        l("l_start") < r("r_end") + flank &&
-        r("r_start") < l("l_end") + flank
-    val dedup =
-      l("__bin") === (greatest(l("l_start") - flank, r("r_start") - flank, lit(0L)) / binSize).cast("long")
-    overlap && dedup
-  }
-
   private def flankedBin(df: DataFrame, binSize: Long, flank: Long): DataFrame =
     if (flank == 0L) binned(df, binSize)
     else
