@@ -750,11 +750,22 @@ object DedupOps {
     // persisted: `sets` is joined for BOTH id_a and id_b; without the
     // persist the shingling UDF runs twice over the full corpus (no
     // ReusedExchange across the differently-keyed joins — same measured
-    // fact as jaccardSimilarityJoin's `prefixed`). Narrow (id, shingles)
-    // rows; cache lifetime as documented in minhashNearDuplicates.
+    // fact as jaccardSimilarityJoin's `prefixed`). Cache lifetime as
+    // documented in minhashNearDuplicates.
+    //
+    // Shingles hash to 64-bit longs AT SHINGLE TIME (codegen xxhash64 in a
+    // higher-order transform), so both verify joins shuffle narrow
+    // array<bigint> columns instead of full string-shingle arrays — at
+    // 100 TB the string arrays dominated the exchange (VERDICT r7 #4).
+    // Intersection/union cardinalities over the hashed sets equal the
+    // string-set values unless two distinct shingles of the SAME candidate
+    // pair collide in 64 bits (~n²/2⁶⁴ per doc — negligible, and
+    // deterministic); array_distinct guards the set property post-hash.
     val sets = Parallelism
       .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"),
+        array_distinct(transform(shingleUdf(col(textCol)), x => xxhash64(x)))
+          .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
