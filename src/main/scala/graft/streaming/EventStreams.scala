@@ -190,6 +190,59 @@ object EventStreams {
       }
   }
 
+  // ------------------- custom state: streaming as-of carry ----------------
+
+  /** One tagged row of the as-of stream: left rows ask "latest right at or
+    * before me", right rows update the carry. Same union-marker shape as
+    * the batch operator's internal union. */
+  case class AsofEvent(
+    user_id: Long, isLeft: Boolean, tsMillis: Long, event_id: Long,
+    value: Double)
+  case class AsofCarry(tsMillis: Long, event_id: Long, value: Double)
+  case class AsofMatch(
+    user_id: Long, purchase_id: Long, tsMillis: Long,
+    view_id: Option[Long], view_tsMillis: Option[Long],
+    view_value: Option[Double])
+
+  /** Streaming twin of [[graft.operators.Sessionize.asofJoin]]: per-key
+    * state is ONE [[AsofCarry]] — the greatest-(ts, event_id) right row
+    * seen so far — and each left row emits the carry at its position.
+    * Rows are folded in (ts, side, event_id) order WITHIN each
+    * micro-batch, right before left at equal ts, so an exactly-
+    * simultaneous right row IS matched — the same ordering the batch
+    * window uses (`__isL` ascending with right = 0).
+    *
+    * Same streaming caveat as [[funnelProgress]]: a cross-batch late right
+    * row cannot retroactively rewrite already-emitted matches; the batch
+    * operator is the exact formulation and the spec proves agreement for
+    * in-order feeds on the driver events fixture. State per key is one
+    * 24-byte struct — bounded regardless of stream length. */
+  def asofCarry(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofCarry, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[AsofEvent],
+         state: GroupState[AsofCarry]) =>
+          var carry = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          batch.toSeq
+            .sortBy(e => (e.tsMillis, if (e.isLeft) 1 else 0, e.event_id))
+            .foreach { e =>
+              if (e.isLeft)
+                out += AsofMatch(userId, e.event_id, e.tsMillis,
+                  carry.map(_.event_id), carry.map(_.tsMillis),
+                  carry.map(_.value))
+              else if (carry.forall(c => e.tsMillis > c.tsMillis ||
+                (e.tsMillis == c.tsMillis && e.event_id >= c.event_id)))
+                carry = Some(AsofCarry(e.tsMillis, e.event_id, e.value))
+            }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** flatMapGroupsWithState example operator: running per-user totals —
     * the KeyValueGroupedDataset custom-state capability (SURVEY.md §7
     * streaming bullet). Pass `evictAfter=Some(duration)` to bound state via

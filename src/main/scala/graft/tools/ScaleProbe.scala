@@ -170,6 +170,64 @@ object ScaleProbe {
       TextOps.lmScoreAgainst(docs, index, "text", buckets = 1 << 16)
         .agg(sum(col("lm_q"))).collect().head.getLong(0)
     }
+
+    // events ~sf1: 10x sf0.1 with the SAME user population — each replica
+    // shifts ts by one span of the original time range, so every user has
+    // 10x the events in one contiguous history. That is the adversarial
+    // shape for the time-analytics family: per-user ordered windows
+    // (asof carry, sessionize) get 10x deeper instead of the shuffle just
+    // getting wider.
+    val ev01 = graft.core.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val nEv01 = ev01.count()
+    val evPath = s"$work/events_sf1.parquet"
+    if (fresh(evPath)) {
+      val span = ev01.agg(
+        (max(expr("unix_millis(ts)")) - min(expr("unix_millis(ts)")) +
+          1000000L).as("span")).collect().head.getLong(0)
+      spark.range(10).crossJoin(ev01)
+        .select((col("event_id") + col("id") * nEv01 * 2).as("event_id"),
+          expr(s"timestamp_millis(unix_millis(ts) + id * ${span}L)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(evPath)
+    }
+    val ev = spark.read.parquet(evPath)
+    println(s"""{"probe":"setup_events","rows":${ev.count()}}""")
+    import graft.operators.Sessionize
+
+    spark.catalog.clearCache()
+    timed("asof_join") {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      Sessionize.asofJoin(p, v, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "ts", "value"), rightTieBreak = "event_id").count()
+    }
+    spark.catalog.clearCache()
+    timed("sessionize") {
+      Sessionize.sessions(ev, "user_id", "ts", "event_id",
+        gapSeconds = 1800L).count()
+    }
+    spark.catalog.clearCache()
+    timed("funnel") {
+      Sessionize.funnelCounts(
+        ev.select(col("user_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ms")),
+        "user_id", "event_type", "ms",
+        Seq("view", "click", "purchase"), maxGap = Some(86400000L))
+        .agg(sum(col("n_keys"))).collect().head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("retention_cohorts") {
+      val e = ev.select(col("user_id"),
+        expr("unix_millis(ts) div 604800000").as("wk"))
+      val firsts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      e.join(firsts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users")).count()
+    }
     spark.stop()
   }
 }

@@ -289,6 +289,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asofCarry matches batch asofJoin on the driver events fixture") {
+    // the q71-verified batch operator is the oracle; the stream replays the
+    // REAL sf0.001 events table (purchases = left, views = right) in two
+    // in-order micro-batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val batch = graft.operators.Sessionize.asofJoin(
+        p, v, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "ts", "value"), rightTieBreak = "event_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("unix_millis(ts)").as("t"),
+        col("asof_event_id"), expr("unix_millis(asof_ts)").as("asof_t"),
+        col("asof_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toSet
+
+    val feed = ev
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), (col("event_type") === "purchase").as("isLeft"),
+        expr("unix_millis(ts)").as("tsMillis"), col("event_id"), col("value"))
+      .as[EventStreams.AsofEvent]
+      .collect()
+      .sortBy(e => (e.tsMillis, if (e.isLeft) 1 else 0, e.event_id))
+    val (first, second) = feed.splitAt(feed.length / 2)
+    val input = MemoryStream[EventStreams.AsofEvent]
+    val q = EventStreams.asofCarry(input.toDS())
+      .writeStream.format("memory").queryName("asofcarry")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("asofcarry").as[EventStreams.AsofMatch]
+        .collect()
+        .map(m => (m.user_id, m.purchase_id, m.tsMillis,
+          m.view_id, m.view_tsMillis, m.view_value))
+        .toSet
+      assert(got.size == batch.size, s"got ${got.size} vs batch ${batch.size}")
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming funnelProgress matches batch funnelStages on the driver events fixture") {
+    // the q74-verified batch operator is the oracle on the same fixture
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val stages = graft.operators.Sessionize.funnelStages(
+      ev, "user_id", "event_type", "ms", steps, maxGap = Some(86400000L))
+    val expect = stages.zipWithIndex.flatMap { case (st, i) =>
+      st.select(col("user_id"), col(s"t${i + 1}")).collect()
+        .map(r => (r.getLong(0), i + 1, r.getLong(1)))
+    }.toSet
+
+    val feed = ev.select(col("user_id"), col("event_type"),
+        col("ms").as("tsMillis"))
+      .as[EventStreams.TypedEvent]
+      .collect()
+      .sortBy(e => (e.tsMillis, e.event_type))
+    val (first, second) = feed.splitAt(feed.length / 2)
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.funnelProgress(input.toDS(), steps,
+        maxGapMs = Some(86400000L))
+      .writeStream.format("memory").queryName("funnelfix")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("funnelfix")
+        .select("user_id", "stage", "tsMillis").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expect,
+        s"stream-batch drift: onlyStream=${(got -- expect).take(5)} onlyBatch=${(expect -- got).take(5)}")
+    } finally q.stop()
+  }
+
   test("batch events table flows through the same window expr") {
     // the q14 batch query and tumblingCounts share grouping semantics
     val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
