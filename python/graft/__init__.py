@@ -57,6 +57,9 @@ __all__ = [
     "semantic_duplicates", "dsir_index", "dsir_score_against",
     "dsir_weights", "lm_index", "lm_score_against",
     "ivf_centroids", "ivf_assignments", "ivf_top_k_against", "asof_join",
+    "extract_html_text", "canonicalize_urls", "url_dedup",
+    "kmeans_fit", "kmeans_assign", "kmeans_centroids_as_float",
+    "hash_split", "temperature_mix", "contamination_report",
 ]
 
 _FACADE = "graft.api.JavaApi"
@@ -481,3 +484,35 @@ def kmeans_centroids_as_float(centroids):
     """De-quantized (ci, cvec float) view for the IVF/SemDeDup consumers."""
     s = centroids.sparkSession
     return _wrap(s, _api(s).kmeansCentroidsAsFloat(centroids._jdf))
+
+
+def hash_split(docs, key_col, splits, salt="graft"):
+    """Deterministic named dataset split: splits is an ordered list of
+    (name, fraction) pairs summing to 1; adds a `split` column whose
+    assignment is a pure hash of the key (stable across runs and corpus
+    growth, unlike randomSplit)."""
+    s = docs.sparkSession
+    names = [n for n, _ in splits]
+    fractions = [float(f) for _, f in splits]
+    return _wrap(s, _api(s).hashSplit(docs._jdf, key_col, names, fractions,
+                                      salt))
+
+
+def temperature_mix(docs, strata_col, key_col, alpha, target_rows,
+                    salt="graft"):
+    """Temperature-scaled stratum mixture (w_s proportional to n_s^alpha)
+    down-sampled to an expected target_rows total."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).temperatureMix(docs._jdf, strata_col, key_col,
+                                           float(alpha), int(target_rows),
+                                           salt))
+
+
+def contamination_report(corpus, benchmark, id_col, text_col,
+                         bench_text_col, ngram_n=8, max_fraction=0.2):
+    """Per-document benchmark-overlap report: (id, n_grams, n_hits,
+    contaminated at max_fraction distinct-gram overlap)."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).contaminationReport(
+        corpus._jdf, benchmark._jdf, id_col, text_col, bench_text_col,
+        int(ngram_n), float(max_fraction)))

@@ -341,4 +341,29 @@ object JavaApi {
   /** De-quantized (ci, cvec float) view for the IVF/SemDeDup consumers. */
   def kmeansCentroidsAsFloat(centroids: DataFrame): DataFrame =
     graft.operators.ClusteringOps.centroidsAsFloat(centroids)
+
+  /** Deterministic named train/val/test split: `names`/`fractions` are
+    * parallel lists (py4j auto-converts Python lists); adds a `split`
+    * column. */
+  def hashSplit(docs: DataFrame, keyCol: String,
+      names: java.util.List[String], fractions: java.util.List[java.lang.Double],
+      salt: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    SamplingOps.hashSplit(docs, keyCol,
+      names.asScala.toSeq.zip(fractions.asScala.toSeq.map(_.doubleValue)), salt)
+  }
+
+  /** Temperature-scaled stratum mixture: keep-rates realize w_s ∝ n_s^alpha
+    * over an expected `targetRows` budget. */
+  def temperatureMix(docs: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetRows: Long, salt: String): DataFrame =
+    SamplingOps.temperatureMix(docs, strataCol, keyCol, alpha, targetRows, salt)
+
+  /** Per-doc decontamination report vs a benchmark set:
+    * (idCol, n_grams, n_hits, contaminated at maxFraction overlap). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngramN: Int, maxFraction: Double): DataFrame =
+    graft.operators.TextOps.contaminationReport(
+      corpus, benchmark, idCol, textCol, benchTextCol, ngramN, maxFraction)
 }

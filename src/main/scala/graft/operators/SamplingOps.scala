@@ -120,6 +120,88 @@ object SamplingOps {
       .drop("__r1", "__r2")
   }
 
+  /** Deterministic named dataset split (train/val/test): each row is
+    * assigned the first split whose cumulative fraction bound exceeds the
+    * row's hash uniform — a pure per-row function of the key, so the split
+    * is stable across runs, retries, cluster sizes AND incremental corpus
+    * growth (a row's assignment never changes when other rows arrive — the
+    * property `randomSplit` lacks that makes it unusable for a 100 TB
+    * corpus that is continuously re-ingested). No shuffle, no state.
+    *
+    * Output: `df` plus a `split` column holding the split name. */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be positive and sum to 1: $splits")
+    val u = uniformHash(col(keyCol), salt)
+    val assigned =
+      if (splits.size == 1) lit(splits.head._1)
+      else {
+        // cumulative bounds from left-to-right double addition — the oracle
+        // must restate these EXACT doubles (not re-derive them from the
+        // fractions) for bit-identical assignment
+        val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+        splits.zip(cums).dropRight(1).tail.foldLeft(
+          when(u < lit(cums.head), lit(splits.head._1))) {
+          case (acc, ((name, _), cum)) => acc.when(u < lit(cum), lit(name))
+        }.otherwise(lit(splits.last._1))
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Cumulative split bounds as exact round-trip decimal strings — for
+    * composing an external (SQL) replay of [[hashSplit]]. */
+  def hashSplitBounds(splits: Seq[(String, Double)]): Seq[(String, String)] =
+    splits.map(_._1).zip(
+      splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_.toString))
+
+  /** Temperature-scaled source weights (the multinomial mixture of the
+    * XLM-R / mT5 / LLaMA data recipes): w_s ∝ n_s^alpha, so alpha = 1
+    * reproduces natural proportions and alpha → 0 flattens toward uniform,
+    * up-weighting low-resource domains. The per-stratum pow is quantized to
+    * integer 1e-6 units BEFORE the normalizing sum (the BM25/DSIR
+    * technique), so the sum is order-free BIGINT arithmetic and every
+    * downstream double is a pure function of exact integers — an external
+    * replay is bit-identical, ulp differences in libm pow never surface.
+    *
+    * Output: (stratum, n, weight). One aggregation; the normalizer is an
+    * in-plan 1-row cross join (no driver collect). */
+  def temperatureWeights(
+      df: DataFrame, strataCol: String, alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__pwq",
+        floor(pow(col("n").cast("double"), lit(alpha)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val tot = counts.agg(sum(col("__pwq")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n"),
+        (col("__pwq").cast("double") / col("__tot").cast("double"))
+          .as("weight"))
+  }
+
+  /** Down-sample to a temperature-scaled mixture of `targetRows` expected
+    * total rows: rate_s = min(1, w_s · target / n_s) with w_s from
+    * [[temperatureWeights]], applied as the deterministic hash filter of
+    * [[stratifiedSample]]. The rate table is one row per stratum
+    * (broadcast); the corpus side is filter-only — no shuffle at any
+    * scale. */
+  def temperatureMix(
+      df: DataFrame, strataCol: String, keyCol: String, alpha: Double,
+      targetRows: Long, salt: String = "graft"): DataFrame = {
+    val rates = temperatureWeights(df, strataCol, alpha)
+      .select(col(strataCol),
+        least(lit(1.0),
+          col("weight") * lit(targetRows.toDouble) / col("n").cast("double"))
+          .as("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(uniformHash(col(keyCol), salt) < col("rate"))
+      .drop("rate")
+  }
+
   /** Per-stratum epoch plan for a fixed output budget: epochs_s =
     * (w_s · targetRows) / c_s — unlike [[mixingRates]] (which only
     * DOWN-samples to the largest achievable size), a stratum whose target

@@ -586,6 +586,42 @@ object TextOps {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Full decontamination REPORT: per corpus document, its distinct-gram
+    * count, the number of those grams shared with the benchmark set, and a
+    * `contaminated` verdict at `maxFraction` overlap — the
+    * fraction-thresholded variant of [[contaminationHits]] (the form the
+    * published GPT-3 appendix-C / FineWeb filters actually apply: a long
+    * document sharing a few grams by chance is NOT contamination, a short
+    * one matching half its content is).
+    *
+    * Same scale shape as [[contaminationHits]]: the benchmark gram set
+    * broadcasts, the corpus side never shuffles strings — after the per-row
+    * explode and broadcast probe, the only exchange is the map-side-combined
+    * (id, n_grams, n_hits) partial aggregation. Documents with zero grams
+    * (empty text) produce no row. */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      ngramN: Int = 8,
+      maxFraction: Double = 0.2): DataFrame = {
+    val n = ngramN
+    val gramUdf = udf((t: String) => DedupOps.shingles(if (t == null) "" else t, n).distinct)
+    val benchGrams = benchmark
+      .select(explode(gramUdf(col(benchTextCol))).as("__g")).distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), explode(gramUdf(col(textCol))).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        count(col("__hit")).cast("long").as("n_hits"))
+      .withColumn("contaminated",
+        col("n_hits") > lit(maxFraction) * col("n_grams"))
+  }
+
   /** Drop corpus documents contaminated by benchmark overlap (left-anti on
     * [[contaminationHits]]). */
   def dropContaminated(

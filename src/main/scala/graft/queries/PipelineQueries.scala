@@ -1213,7 +1213,80 @@ object PipelineQueries extends QuerySet {
         graft.operators.ClusteringOps.kmeansAssign(e, cents)
           .select(col("vec_id"), col("cid").cast("long").as("cid"))
       },
-      Some(HashOracleSql.kmeansSql(k = 8, iters = 3, dim = 64, scale = 1L << 20)))
+      Some(HashOracleSql.kmeansSql(k = 8, iters = 3, dim = 64, scale = 1L << 20))),
+
+    // Deterministic train/val/test split: assignment is a pure hash of the
+    // row key against cumulative fraction bounds — stable across runs,
+    // retries, cluster sizes and corpus growth (unlike randomSplit). The
+    // oracle restates the EXACT left-to-right accumulated double bounds
+    // (hashSplitBounds), not the nominal fractions, so both engines compare
+    // against bit-identical constants.
+    Query("q78_hash_split",
+      (s, dir) => SamplingOps.hashSplit(
+        t(s, dir, "documents"),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        salt = "split")
+        .select(col("doc_id"), col("split")),
+      Some {
+        val bounds = SamplingOps.hashSplitBounds(
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        val cases = bounds.dropRight(1).map { case (name, b) =>
+          s"WHEN u < CAST('$b' AS DOUBLE) THEN '$name'"
+        }.mkString(" ")
+        s"""WITH u AS (SELECT doc_id,
+             ${HashOracleSql.uniformSql("doc_id::VARCHAR", "split")} AS u
+           FROM documents)
+           SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+           FROM u"""
+      }),
+
+    // Decontamination REPORT with a fraction threshold: per corpus doc its
+    // distinct 5-grams, benchmark-shared grams, and contaminated verdict at
+    // >17% overlap — the form the published test-set-overlap filters apply
+    // (absolute hit counts over-flag long docs). Same corpus/benchmark
+    // carve as q43.
+    Query("q79_decontam_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("text").as("bench_text"))
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        TextOps.contaminationReport(corpus, bench, "doc_id", "text",
+          "bench_text", ngramN = 5, maxFraction = 0.17)
+      },
+      Some(s"""WITH ${HashOracleSql.shingleCtes(5)},
+        bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
+        agg AS (
+          SELECT c.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+          FROM corpus c LEFT JOIN bench b ON c.g = b.g
+          GROUP BY c.doc_id)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          CAST(n_hits AS BIGINT) AS n_hits,
+          n_hits > 0.17 * n_grams AS contaminated
+        FROM agg""")),
+
+    // Temperature-scaled language mixture (XLM-R/mT5-style): keep-rates
+    // realize w_l ∝ n_l^0.5 over an expected 250-row budget, up-weighting
+    // low-resource languages. The per-stratum pow is quantized to integer
+    // 1e-6 units BEFORE normalization, so the oracle's arithmetic is exact
+    // integer + pure IEEE division — libm pow ulp drift cannot surface.
+    Query("q80_temperature_mix",
+      (s, dir) => SamplingOps.temperatureMix(
+        t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5,
+        targetRows = 250L, salt = "temp")
+        .select(col("doc_id"), col("lang")),
+      Some(s"""WITH counts AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        pw AS (SELECT lang, n,
+          CAST(floor(pow(n::DOUBLE, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS pwq
+          FROM counts),
+        tot AS (SELECT sum(pwq) AS t FROM pw),
+        rates AS (SELECT lang,
+          least(1.0, (pwq::DOUBLE / t::DOUBLE) * 250.0 / n::DOUBLE) AS rate
+          FROM pw, tot)
+        SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+        WHERE ${HashOracleSql.uniformSql("d.doc_id::VARCHAR", "temp")} < r.rate"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

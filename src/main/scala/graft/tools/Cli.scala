@@ -422,6 +422,54 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"urlDedup: wrote $out")
 
+      // split <in.parquet> <out.parquet> [-key c] [-fractions train=0.9,val=0.05,test=0.05]
+      // — deterministic hash split, adds a `split` column
+      case "split" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val splits = fv("-fractions", "train=0.9,val=0.05,test=0.05")
+          .split(",").toSeq.map { kv =>
+            val Array(n, f) = kv.split("=", 2)
+            n -> f.toDouble
+          }
+        graft.operators.SamplingOps.hashSplit(
+            spark.read.parquet(in), fv("-key", "doc_id"), splits,
+            salt = fv("-salt", "graft"))
+          .write.mode("overwrite").parquet(out)
+        println(s"split: wrote $out")
+
+      // mix <in.parquet> <out.parquet> [-strata c] [-key c] [-alpha a]
+      //     [-target n] — temperature-scaled stratum mixture
+      case "mix" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SamplingOps.temperatureMix(
+            spark.read.parquet(in), fv("-strata", "lang"),
+            fv("-key", "doc_id"), fv("-alpha", "0.5").toDouble,
+            fv("-target", "1000000").toLong, salt = fv("-salt", "graft"))
+          .write.mode("overwrite").parquet(out)
+        println(s"mix: wrote $out")
+
+      // decontaminate <corpus.parquet> <bench.parquet> <out.parquet>
+      //   [-id c] [-text c] [-benchText c] [-n N] [-maxFrac f]
+      //   — per-doc benchmark-overlap report
+      case "decontaminate" :: in :: bench :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.TextOps.contaminationReport(
+            spark.read.parquet(in), spark.read.parquet(bench),
+            fv("-id", "doc_id"), fv("-text", "text"),
+            fv("-benchText", "text"), fv("-n", "8").toInt,
+            fv("-maxFrac", "0.2").toDouble)
+          .write.mode("overwrite").parquet(out)
+        println(s"decontaminate: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -433,7 +481,10 @@ object Cli {
           "\n  dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|minhash|winnowing]" +
           "\n  score <in.parquet> <out.parquet> [-text c]" +
           "\n  extractText <in.parquet> <out.parquet> [-html c] [-out c]" +
-          "\n  urlDedup <in.parquet> <out.parquet> [-url c] [-id c]")
+          "\n  urlDedup <in.parquet> <out.parquet> [-url c] [-id c]" +
+          "\n  split <in.parquet> <out.parquet> [-key c] [-fractions n=f,...] [-salt s]" +
+          "\n  mix <in.parquet> <out.parquet> [-strata c] [-key c] [-alpha a] [-target n] [-salt s]" +
+          "\n  decontaminate <corpus.parquet> <bench.parquet> <out.parquet> [-id c] [-text c] [-benchText c] [-n N] [-maxFrac f]")
         sys.exit(2)
     }
   }

@@ -37,7 +37,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "duplicatedSubstringSpans" -> 4, "removeDuplicatedSubstrings" -> 4,
       "gopherQualityRules" -> 2, "tokenFrequencies" -> 3,
       "extractHtmlText" -> 3, "canonicalizeUrls" -> 3, "urlDedup" -> 3,
-      "kmeansFit" -> 5, "kmeansAssign" -> 4, "kmeansCentroidsAsFloat" -> 1)
+      "kmeansFit" -> 5, "kmeansAssign" -> 4, "kmeansCentroidsAsFloat" -> 1,
+      "hashSplit" -> 5, "temperatureMix" -> 6, "contaminationReport" -> 7)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

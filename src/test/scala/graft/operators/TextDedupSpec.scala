@@ -437,6 +437,92 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(counts("b") - 500L) < 90, s"b=${counts("b")}")
   }
 
+  test("hashSplit partitions rows; assignment survives corpus growth") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = SamplingOps.hashSplit(df, "id", splits, salt = "s1")
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every row assigned exactly once; proportions near nominal (3-sigma)
+    assert(got.length == 10000)
+    val counts = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 8000) < 160, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 120, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000) < 120, s"test=${counts("test")}")
+    // growth-stable: the first 1000 rows keep their assignment when the
+    // other 9000 arrive (the property randomSplit lacks)
+    val sub = SamplingOps.hashSplit((1L to 1000L).toDF("id"), "id", splits,
+      salt = "s1").select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter(_._1 <= 1000L).foreach { case (id, s) =>
+      assert(sub(id) == s, s"id=$id moved from ${sub(id)} to $s")
+    }
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      SamplingOps.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("temperatureMix: alpha=1 is natural, lower alpha up-weights small strata") {
+    import spark.implicits._
+    val df = ((1L to 8000L).map((_, "big")) ++ (8001L to 9000L).map((_, "small")))
+      .toDF("id", "s")
+    // alpha=1: w_s = n_s/N, so rate_s = T/N for every stratum — the keep
+    // fraction is uniform and stratum-independent
+    val w1 = SamplingOps.temperatureWeights(df, "s", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(w1("big") - 8.0 / 9.0) < 1e-9)
+    assert(math.abs(w1("small") - 1.0 / 9.0) < 1e-9)
+    // alpha=0.5: sqrt scaling shifts weight toward the small stratum
+    val w5 = SamplingOps.temperatureWeights(df, "s", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w5("small") > w1("small") && w5("big") < w1("big"))
+    assert(math.abs(w5("small") - math.sqrt(1000.0) /
+      (math.sqrt(8000.0) + math.sqrt(1000.0))) < 1e-6)
+    // materialized mix: per-stratum keep fraction tracks rate_s = w_s*T/n_s
+    val mixed = SamplingOps.temperatureMix(df, "s", "id", alpha = 0.5,
+      targetRows = 900L)
+    val counts = mixed.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expBig = w5("big") * 900.0
+    val expSmall = w5("small") * 900.0
+    assert(math.abs(counts("big") - expBig) < 4 * math.sqrt(expBig),
+      s"big=${counts("big")} exp=$expBig")
+    assert(math.abs(counts("small") - expSmall) < 4 * math.sqrt(expSmall),
+      s"small=${counts("small")} exp=$expSmall")
+    // partition-invariant determinism
+    val again = SamplingOps.temperatureMix(df.repartition(13), "s", "id",
+      alpha = 0.5, targetRows = 900L)
+    assert(again.select("id").collect().map(_.getLong(0)).toSet ==
+      mixed.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("contaminationReport: fraction threshold flags short-heavy overlap only") {
+    import spark.implicits._
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("btext")
+    val corpus = Seq(
+      // doc 1: 5 tokens of pure benchmark text -> 3 of 3 trigrams shared
+      (1L, "quick brown fox jumps over"),
+      // doc 2: long doc, 2 shared trigrams out of many
+      (2L, "quick brown fox jumps " + (1 to 40).map(i => s"w$i").mkString(" ")),
+      // doc 3: disjoint
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val byId = graft.operators.TextOps.contaminationReport(
+        corpus, bench, "doc_id", "text", "btext", ngramN = 3,
+        maxFraction = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byId(1L) == ((3L, 3L, true)))   // 100% overlap -> contaminated
+    assert(byId(2L)._2 == 2L && !byId(2L)._3) // 2 hits, long doc -> clean
+    assert(byId(3L) == ((2L, 0L, false)))
+    // n_hits agrees with contaminationHits for flagged docs
+    val hits = graft.operators.TextOps.contaminationHits(
+        corpus, bench, "doc_id", "text", "btext", ngramN = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) == 3L && hits(2L) == 2L && !hits.contains(3L))
+  }
+
   test("winnowingFingerprints matches a brute-force replay and its guarantee") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

@@ -180,6 +180,26 @@ class PlanSpec extends SparkSpec {
       plan.contains("HashAggregate(keys=[h"), plan.take(1200))
   }
 
+  test("q78 hash split is a pure per-row pass — zero exchanges") {
+    val plan = planOf("q78_hash_split")
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
+  }
+
+  test("q79/q80: benchmark grams and rate tables broadcast; corpus never shuffles strings") {
+    val p79 = planOf("q79_decontam_report")
+    assert(p79.contains("BroadcastHashJoin"), p79.take(800))
+    // corpus-side exchanges carry (doc_id, counts) partials only; the
+    // benchmark side may shuffle its own (small) grams for the distinct.
+    // A corpus gram shuffle would show an exchange keyed on doc_id whose
+    // row still carries the __g string.
+    val exchanges79 = p79.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges79.exists(l => l.contains("doc_id") && l.contains("__g")),
+      s"corpus gram strings shuffled: $exchanges79")
+    val p80 = planOf("q80_temperature_mix")
+    assert(p80.contains("BroadcastHashJoin"), p80.take(800))
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),
