@@ -804,4 +804,150 @@ object TextOps {
         (least(col("__off") + col("__n"), (col("seq_id") + 1) * L) -
           greatest(col("__off"), col("seq_id") * L)).as("len"))
   }
+
+  // ------------------ cross-document line dedup ----------------------------
+
+  /** RefinedWeb-style CROSS-document exact line deduplication (Penedo et
+    * al. 2023 §3.2 — the within-doc variant is [[dedupLinesInDoc]]): any
+    * line whose exact content occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (navigation chrome, cookie banners, footers)
+    * and is removed from EVERY document. Returns one row per input
+    * document: `(idCol, cleaned_text, n_removed)` with surviving lines in
+    * original order; documents whose every line is boilerplate keep an
+    * empty `cleaned_text`.
+    *
+    * Plan shape at 100 TB: lines are exploded once; the document-frequency
+    * aggregate runs over the (line, doc) DISTINCT projection, so a footer
+    * repeated 50× inside one page costs ONE row in the frequency shuffle,
+    * and the per-line count is map-side combined. The banned-line table is
+    * tiny relative to the corpus (only lines crossing the threshold) —
+    * AQE turns the filter join into a broadcast when it fits; the
+    * reconstruction groupBy shuffles each doc's surviving lines exactly
+    * once, keyed by the dense doc id. Line strings are the join key here
+    * (keeps the DuckDB oracle byte-exact); a 100 TB deployment would key
+    * the frequency/ban join on `xxhash64(line)` and carry the 8-byte hash
+    * instead — same plan, narrower exchanges, collision odds ~n²/2⁶⁴. */
+  def globalLineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val id = col(idCol)
+    val lines = docs
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val banned = lines.select(col("line"), id).distinct()
+      .groupBy("line").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs)
+      .select(col("line"), lit(true).as("__banned"))
+    val kept = lines
+      .join(banned, Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(not(coalesce(col("__banned"), lit(false))),
+                struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("cleaned_text"),
+        sum(coalesce(col("__banned"), lit(false)).cast("long"))
+          .as("n_removed"))
+    // every input doc appears, even if split/explode produced only banned
+    // lines (cleaned_text '' either way — split never yields zero rows)
+    docs.select(id).join(kept, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  // ------------------ sliding-window chunking ------------------------------
+
+  /** Fixed-size character chunking with overlap — the context-window
+    * splitter of a training/RAG pipeline: chunk `i` covers
+    * `[i*stride, i*stride + size)`; the last chunk may be shorter, and the
+    * first chunk always exists (an empty document yields one empty chunk),
+    * so every document survives into the chunked corpus. Output:
+    * `(idCol, chunk_id, chunk_text, chunk_len)`.
+    *
+    * Chunk count is `1 + ceil(max(0, len-size)/stride)` in pure integer
+    * arithmetic — the minimal set of windows covering every character.
+    *
+    * Scale: per-row `sequence`+`explode`+`substr`, zero shuffles, full
+    * whole-stage codegen; output rows ≈ input chars / stride regardless of
+    * document skew, and the explode sits directly above the scan so the
+    * fan-out never re-shuffles parent columns. */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    // `div`, not Column./ (IEEE double division — same trap as
+    // packTokenSpans): chunk count must be exact integer arithmetic
+    val lastChunk = expr(
+      s"(greatest(length($textCol) - $size, 0L) + ${stride - 1}) div $stride")
+    docs
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        col("__t").substr((col("chunk_id") * stride + 1).cast("int"), lit(size))
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  // ------------------ collocation mining (PMI) -----------------------------
+
+  /** Corpus-level collocation extraction by pointwise mutual information
+    * (Church & Hanks 1990) — the vocabulary/phrase-mining step of a
+    * training pipeline (multi-word-expression merging, tokenizer seeding).
+    * Over lowercase alphanumeric-run tokens: every adjacent bigram with
+    * count ≥ `minCount` is scored
+    * `PMI = ln(p(w1,w2) / (p(w1)·p(w2)))`, and the top `k` by
+    * `(pmi_q desc, w1, w2)` are returned — the unique-bigram tie-break
+    * makes the LIMIT deterministic, so a SQL oracle can replay it.
+    *
+    * `pmi_q` is the PMI in integer 1e-7 units, quantized from a
+    * fixed-association double expression
+    * `ln((c12/B) * (T/c1) * (T/c2))` — each division/multiplication is an
+    * individually-exact IEEE op replayed in the same order by the oracle,
+    * so the only cross-engine hazard is libm `ln`'s 1-ulp tail, which the
+    * 1e-7 quantum absorbs (same technique as [[bm25Scores]]).
+    *
+    * Plan shape at 100 TB: bigrams are composed per-row (a `transform`
+    * over the token array — no self-join), the bigram and unigram counts
+    * are map-side-combined hash aggregates, and the unigram table joins
+    * back twice by broadcast (vocabulary-sized, not corpus-sized). The
+    * final top-k is a `TakeOrderedAndProject` — partial top-k per
+    * partition, k rows to the driver, never a global sort. */
+  def collocationsPmi(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = docs.select(
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+        .as("ts"))
+    val bigrams = toks
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val unigrams = toks
+      .select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = toks.agg(
+      sum(size(col("ts")).cast("long")).as("t_toks"),
+      sum(greatest(size(col("ts")) - 1, lit(0)).cast("long")).as("t_bgs"))
+    val pmi =
+      log((col("c12").cast("double") / col("t_bgs")) *
+        (col("t_toks").cast("double") / col("c1")) *
+        (col("t_toks").cast("double") / col("c2")))
+    bigrams
+      .join(broadcast(unigrams.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
+      .join(broadcast(unigrams.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        floor(pmi * lit(1e7) + lit(0.5)).cast("long").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

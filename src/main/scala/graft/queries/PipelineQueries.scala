@@ -1286,7 +1286,100 @@ object PipelineQueries extends QuerySet {
           least(1.0, (pwq::DOUBLE / t::DOUBLE) * 250.0 / n::DOUBLE) AS rate
           FROM pw, tot)
         SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
-        WHERE ${HashOracleSql.uniformSql("d.doc_id::VARCHAR", "temp")} < r.rate"""))
+        WHERE ${HashOracleSql.uniformSql("d.doc_id::VARCHAR", "temp")} < r.rate""")),
+
+    // RefinedWeb-style CROSS-document line dedup: lines occurring in >= 3
+    // distinct docs (injected boilerplate: footer in every doc, a
+    // newsletter banner in 1/4 of docs) are removed everywhere; the
+    // doc-unique content lines survive in order. The testdata's texts are
+    // single-line, so the multi-line pages are composed in-plan (same
+    // technique as q57/q59) and the oracle replays the composition.
+    Query("q81_global_line_dedup",
+      (s, dir) => {
+        val d = col("doc_id")
+        val composed = t(s, dir, "documents").select(
+          d, concat_ws("\n",
+            col("text").substr(lit(1), lit(40)),
+            when(d % 4 === 0, lit("subscribe to our newsletter"))
+              .otherwise(col("text").substr(lit(5), lit(40))),
+            concat(lit("copyright "), (d % 2).cast("string"))).as("text"))
+        TextOps.globalLineDedup(composed, "doc_id", "text", minDocs = 3)
+      },
+      Some("""WITH comp AS (
+          SELECT doc_id,
+            substr(text, 1, 40) || chr(10) ||
+            CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter'
+                 ELSE substr(text, 5, 40) END || chr(10) ||
+            'copyright ' || CAST(doc_id % 2 AS VARCHAR) AS text
+          FROM documents),
+        sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM comp),
+        idx AS (SELECT doc_id, ls,
+                  unnest(generate_series(1, len(ls))) AS j FROM sp),
+        lines AS (SELECT doc_id, j, ls[j] AS line FROM idx),
+        banned AS (
+          SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+          GROUP BY line HAVING count(*) >= 3),
+        flags AS (
+          SELECT l.doc_id, l.j, l.line, b.line IS NOT NULL AS bad
+          FROM lines l LEFT JOIN banned b ON l.line = b.line)
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN NOT bad THEN line END,
+            chr(10) ORDER BY j), '') AS cleaned_text,
+          CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_removed
+        FROM flags GROUP BY doc_id""")),
+
+    // Sliding-window character chunking (size 120, stride 80): the
+    // context-window splitter of a RAG/training pipeline, on the REAL
+    // document texts. Chunk boundaries are pure integer arithmetic; the
+    // oracle replays count + substr per chunk.
+    Query("q82_chunk_stride",
+      (s, dir) => TextOps.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text", size = 120, stride = 80),
+      Some("""WITH n AS (
+          SELECT doc_id, text,
+            (greatest(length(text) - 120, 0) + 79) // 80 AS lastc
+          FROM documents),
+        i AS (SELECT doc_id, text,
+                unnest(generate_series(0, lastc)) AS chunk_id FROM n)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          substr(text, CAST(chunk_id * 80 + 1 AS INTEGER), 120) AS chunk_text,
+          CAST(length(substr(text, CAST(chunk_id * 80 + 1 AS INTEGER), 120))
+            AS BIGINT) AS chunk_len
+        FROM i""")),
+
+    // PMI collocation mining over the real texts: adjacent lowercase
+    // alphanumeric bigrams with count >= 5, scored
+    // ln((c12/B)*(T/c1)*(T/c2)) in quantized 1e-7 units (q63's
+    // fixed-association technique), top 50 by (pmi_q desc, w1, w2).
+    Query("q83_collocations_pmi",
+      (s, dir) => TextOps.collocationsPmi(
+        t(s, dir, "documents"), "text", minCount = 5L, k = 50),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '') AS ts
+          FROM documents),
+        bgi AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                FROM toks WHERE len(ts) >= 2),
+        bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM bgi),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM bg GROUP BY w1, w2 HAVING count(*) >= 5),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS t_toks,
+                  CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS t_bgs
+                FROM toks)
+        SELECT w1, w2, c12,
+          CAST(floor(ln(
+            (CAST(c12 AS DOUBLE) / t_bgs) *
+            (CAST(t_toks AS DOUBLE) / u1.cu) *
+            (CAST(t_toks AS DOUBLE) / u2.cu)) * 1e7 + 0.5) AS BIGINT)
+            AS pmi_q
+        FROM cb
+        JOIN uni u1 ON cb.w1 = u1.w
+        JOIN uni u2 ON cb.w2 = u2.w
+        CROSS JOIN tot
+        ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-8 text-pipeline additions: cross-document line
+  * dedup, sliding-window chunking, and PMI collocation mining. */
+class TextPipelineOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ------------------------ globalLineDedup --------------------------------
+
+  test("globalLineDedup removes lines shared by >= minDocs docs, keeps order") {
+    val d = docs(
+      1L -> "unique one\nshared footer\nmore text",
+      2L -> "other content\nshared footer",
+      3L -> "shared footer\nthird doc body",
+      4L -> "solo document")
+    val out = TextOps.globalLineDedup(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("unique one\nmore text", 1L)))
+    assert(out(2L) == (("other content", 1L)))
+    assert(out(3L) == (("third doc body", 1L)))
+    assert(out(4L) == (("solo document", 0L)))
+  }
+
+  test("globalLineDedup counts a within-doc repeat once toward doc frequency") {
+    // "x" repeats twice inside doc 1 but only 2 DISTINCT docs contain it:
+    // below minDocs=3, so it must survive everywhere.
+    val d = docs(1L -> "x\nx\na", 2L -> "x\nb", 3L -> "c")
+    val out = TextOps.globalLineDedup(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "x\nx\na")
+    assert(out(2L) == "x\nb")
+  }
+
+  test("globalLineDedup keeps fully-boilerplate docs as empty rows") {
+    val d = docs(1L -> "f", 2L -> "f", 3L -> "f\nkeep me")
+    val out = TextOps.globalLineDedup(d, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("", 1L)))
+    assert(out(2L) == (("", 1L)))
+    assert(out(3L) == (("keep me", 1L)))
+    assert(out.size == 3)
+  }
+
+  // ------------------------ chunkDocuments ---------------------------------
+
+  test("chunkDocuments covers every char; last chunk short; overlap = size-stride") {
+    val text = "abcdefghij" // 10 chars
+    val out = TextOps.chunkDocuments(docs(1L -> text), "doc_id", "text",
+        size = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // offsets 0,3,6 cover chars 0..9 (last chunk "ghij" len 4); next
+    // offset 9 would start inside the text IF (len-size) not yet covered:
+    // lastChunk = ceil((10-4)/3) = 2 -> chunks at 0,3,6
+    assert(out.toSeq == Seq(
+      (0L, "abcd", 4L), (1L, "defg", 4L), (2L, "ghij", 4L)))
+  }
+
+  test("chunkDocuments ragged tail and empty doc") {
+    val out = TextOps.chunkDocuments(docs(1L -> "abcdefgh", 2L -> ""),
+        "doc_id", "text", size = 5, stride = 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 0L, "abcde"), (1L, 1L, "fgh"), (2L, 0L, "")))
+  }
+
+  test("chunkDocuments row count = sum over docs of 1+ceil(max(0,len-size)/stride)") {
+    val d = docs((1L to 20L).map(i => i -> ("x" * (i * 7).toInt)): _*)
+    val n = TextOps.chunkDocuments(d, "doc_id", "text", size = 30, stride = 10)
+      .count()
+    val expected = (1L to 20L).map { i =>
+      val len = i * 7
+      1L + math.max(0L, len - 30 + 10 - 1) / 10
+    }.sum
+    assert(n == expected)
+  }
+
+  // ------------------------ collocationsPmi --------------------------------
+
+  test("collocationsPmi ranks the exclusive pair above the promiscuous one") {
+    // "hong kong" always together (high PMI); "the end" with "the"
+    // everywhere (low PMI). 6 repeats clear minCount=5.
+    val base = Seq(
+      "hong kong is far",
+      "the story has the end here",
+      "the cat saw the end of the show")
+    val d = docs((1L to 6L).flatMap(i =>
+      base.zipWithIndex.map { case (t, j) => (i * 10 + j).toLong -> t }): _*)
+    val out = TextOps.collocationsPmi(d, "text", minCount = 5L, k = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val rank = out.zipWithIndex.collect {
+      case ((w1, w2, _), i) if (w1, w2) == ("hong", "kong") => ("hk", i)
+      case ((w1, w2, _), i) if (w1, w2) == ("the", "end") => ("te", i)
+    }.toMap
+    assert(rank.contains("hk") && rank.contains("te"))
+    assert(rank("hk") < rank("te"))
+    // exclusive-pair PMI: p(w1,w2)=c/B with c1=c2=c -> ln(B/c) ... positive
+    val hk = out.find(r => r._1 == "hong" && r._2 == "kong").get
+    assert(hk._3 > 0L)
+  }
+
+  test("collocationsPmi enforces minCount and the deterministic tie-break") {
+    val d = docs(
+      1L -> "a b a b a b a b a b", // "a b" x5, "b a" x4
+      2L -> "rare pair")
+    val out = TextOps.collocationsPmi(d, "text", minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "b"))) // "b a"=4 < 5, "rare pair"=1
+  }
+}
