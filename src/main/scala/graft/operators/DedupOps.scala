@@ -776,4 +776,103 @@ object DedupOps {
         when(col("uni") === 0, 0.0).otherwise(col("inter").cast("double") / col("uni")))
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ------------------ edit-distance near-dup (PassJoin) --------------------
+
+  /** Segment bounds for PassJoin: string of length `len` split into
+    * `d + 1` contiguous segments, longer segments first — `(start, len)`
+    * per segment. */
+  private[operators] def passJoinSegments(
+      len: Int, d: Int): Array[(Int, Int)] = {
+    val k = d + 1
+    val base = len / k
+    val extra = len % k
+    val out = new Array[(Int, Int)](k)
+    var start = 0
+    var i = 0
+    while (i < k) {
+      val l = base + (if (i < extra) 1 else 0)
+      out(i) = (start, l)
+      start += l
+      i += 1
+    }
+    out
+  }
+
+  /** Edit-distance near-duplicate self-join: every unordered pair with
+    * `levenshtein <= maxDist`, found WITHOUT an all-pairs comparison via
+    * PassJoin segment blocking (Li, Deng, Feng — "PASS-JOIN: a
+    * partition-based method for similarity joins", PVLDB 5(3) 2011;
+    * reference analog: the reference engine has no edit-distance join —
+    * this extends the dedup family the same way jaccardSimilarityJoin
+    * does for set similarity).
+    *
+    * Pigeonhole completeness: split every indexed string u into
+    * `maxDist + 1` segments. If `ed(u, v) <= maxDist`, at most `maxDist`
+    * segments are touched by edits, so at least one segment of u occurs
+    * VERBATIM in v, displaced by at most `maxDist` positions; and
+    * `|len(u) - len(v)| <= maxDist`. The probe side therefore emits, for
+    * each target length `L` within `maxDist` of its own and each segment
+    * slot, every substring of itself inside the displaced window — a
+    * CONSTANT number of keys per row ((d+1)·(2d+1)² at most, 75 for
+    * d = 2), never a cross product.
+    *
+    * Plan shape at 100 TB: both key streams explode per-row above the
+    * scan; the candidate join keys are (slot, target-length, segment)
+    * structs — dense, and hot boilerplate segments split by AQE skew
+    * handling; candidates are `distinct`-ed BEFORE the levenshtein
+    * verify, and the verify joins rebind strings by id (narrow exchange).
+    * Output: `(id_a, id_b, dist)` with `id_a < id_b`, each pair once. */
+  def editDistanceNearDuplicates(
+      docs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val d = maxDist
+    val indexKeys = udf { s: String =>
+      val str = if (s == null) "" else s
+      passJoinSegments(str.length, d).zipWithIndex.map {
+        case ((st, l), i) => (i, str.length, str.substring(st, st + l))
+      }.toSeq
+    }
+    val probeKeys = udf { s: String =>
+      val str = if (s == null) "" else s
+      val m = str.length
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, String)]
+      var targetL = math.max(0, m - d)
+      while (targetL <= m + d) {
+        val segs = passJoinSegments(targetL, d)
+        var i = 0
+        while (i < segs.length) {
+          val (st, l) = segs(i)
+          var p = math.max(0, st - d)
+          val pMax = math.min(m - l, st + d)
+          while (p <= pMax) {
+            out += ((i, targetL, str.substring(p, p + l)))
+            p += 1
+          }
+          i += 1
+        }
+        targetL += 1
+      }
+      out.toSeq
+    }
+    val strs = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fanned = Parallelism.fanOut(strs, col("id"))
+    val idx = fanned.select(col("id").as("__ia"),
+      explode(indexKeys(col("s"))).as("k"))
+    val prb = fanned.select(col("id").as("__ib"),
+      explode(probeKeys(col("s"))).as("k"))
+    val cand = idx.join(prb, "k")
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+      .distinct()
+    cand
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -150,4 +150,29 @@ object Sessionize {
         leftCols.map(c => col("__l").getField(c).as(c)) ++
         rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
+
+  /** First-order Markov transition counts over each key's time-ordered
+    * event stream — the path-analysis primitive behind "what do users do
+    * next" dashboards and behavioral-cohort features. Per key, events are
+    * ordered by `(tsCol, tieBreak)` (the unique tie-break makes the chain
+    * deterministic under equal timestamps); every adjacent pair
+    * contributes one `(from_type, to_type)` observation. Output:
+    * `(from_type, to_type, n_transitions)`.
+    *
+    * Scale: ONE shuffle on the key for the per-key ordered window (AQE
+    * skew-splits hot keys), then a map-side-combined count over the tiny
+    * (|types|²-bounded) transition matrix — the second exchange carries
+    * only partial counts, never events. */
+  def eventTransitions(
+      events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        col(tsCol), col(tieBreak))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }

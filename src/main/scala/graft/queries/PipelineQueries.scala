@@ -1379,7 +1379,47 @@ object PipelineQueries extends QuerySet {
         JOIN uni u1 ON cb.w1 = u1.w
         JOIN uni u2 ON cb.w2 = u2.w
         CROSS JOIN tot
-        ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""))
+        ORDER BY pmi_q DESC, w1, w2 LIMIT 50""")),
+
+    // Edit-distance near-dup join via PassJoin segment blocking (never
+    // all-pairs): composed record keys where each 4-doc group carries a
+    // base string, a 1-deletion variant, a 1-substitution variant and an
+    // unrelated string — plus cross-group digit-typo pairs. The oracle
+    // verifies by brute force (sound at sf scale); the operator's
+    // pigeonhole candidates + levenshtein verify must find exactly the
+    // same pair set.
+    Query("q84_edit_distance_neardup",
+      (s, dir) => {
+        val d = col("doc_id")
+        val g = expr("doc_id div 4").cast("string")
+        val composed = t(s, dir, "documents").select(
+          d,
+          when(d % 4 === 0, concat(lit("item "), g, lit(" alpha beta gamma")))
+            .when(d % 4 === 1, concat(lit("item "), g, lit(" alpha beta gamm")))
+            .when(d % 4 === 2, concat(lit("item "), g, lit(" alpha bXta gamma")))
+            .otherwise(concat(lit("wholly different record "),
+              d.cast("string"))).as("s"))
+        DedupOps.editDistanceNearDuplicates(composed, "doc_id", "s",
+          maxDist = 2)
+      },
+      Some("""WITH c AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'item ' || CAST(doc_id // 4 AS VARCHAR)
+                || ' alpha beta gamma'
+              WHEN 1 THEN 'item ' || CAST(doc_id // 4 AS VARCHAR)
+                || ' alpha beta gamm'
+              WHEN 2 THEN 'item ' || CAST(doc_id // 4 AS VARCHAR)
+                || ' alpha bXta gamma'
+              ELSE 'wholly different record ' || CAST(doc_id AS VARCHAR)
+            END AS s
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        FROM c a JOIN c b
+          ON a.doc_id < b.doc_id
+          AND abs(length(a.s) - length(b.s)) <= 2
+          AND levenshtein(a.s, b.s) <= 2"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -391,6 +391,47 @@ object RelationalQueries extends QuerySet {
         UNION ALL
         SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         UNION ALL
-        SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p"""))
+        SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""")),
+
+    // First-order Markov transition matrix over each user's time-ordered
+    // event stream — "what happens next" path analysis. One keyed window
+    // shuffle, then a map-side-combined count over the |types|²-bounded
+    // matrix.
+    Query("q85_event_transitions",
+      (s, dir) => graft.operators.Sessionize.eventTransitions(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH nx AS (
+          SELECT user_id, event_type AS from_type,
+            lead(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events)
+        SELECT from_type, to_type,
+          CAST(count(*) AS BIGINT) AS n_transitions
+        FROM nx WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type""")),
+
+    // Exact per-type value percentiles (percentile_disc semantics — actual
+    // data values, no interpolation arithmetic) via distributed rank, NOT
+    // a buffering percentile aggregate: the group sort is a window
+    // exchange, the post-window shuffle carries one candidate row per
+    // (group, percentile).
+    Query("q86_value_percentiles",
+      (s, dir) => graft.operators.Quantiles.discPercentiles(
+        t(s, dir, "events"), "event_type", "value", "event_id",
+        Seq(0.5, 0.9, 0.99)),
+      Some("""WITH r AS (
+          SELECT event_type, value,
+            row_number() OVER (
+              PARTITION BY event_type ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+            THEN value END) AS p50,
+          min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+            THEN value END) AS p90,
+          min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+            THEN value END) AS p99
+        FROM r GROUP BY event_type"""))
   )
 }
