@@ -243,6 +243,44 @@ object EventStreams {
       }
   }
 
+  case class SeqEvent(
+      user_id: Long, event_id: Long, event_type: String, tsMillis: Long)
+  case class LastSeen(tsMillis: Long, event_id: Long, event_type: String)
+  case class TransitionObs(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[graft.operators.Sessionize.eventTransitions]]:
+    * per-user last-event state carried across micro-batches; every arriving
+    * event emits its `(from_type, to_type)` observation against the carried
+    * predecessor (ordered inside each batch by `(tsMillis, event_id)` —
+    * same total order as the batch window). Downstream, a streaming
+    * `groupBy(from,to).count` (or the caller's sink) accumulates the
+    * transition matrix. Same cross-batch ordering contract as
+    * [[asofCarry]]: events later than the carried state advance it; an
+    * out-of-order event older than the carry is scored against the carry
+    * (late data needs an upstream watermark sort to be exact). State is one
+    * tiny record per user. */
+  def transitionCarry(events: Dataset[SeqEvent]): Dataset[TransitionObs] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, TransitionObs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[SeqEvent],
+         state: GroupState[LastSeen]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionObs]
+          batch.toSeq
+            .sortBy(e => (e.tsMillis, e.event_id))
+            .foreach { e =>
+              last.foreach(l =>
+                out += TransitionObs(userId, l.event_type, e.event_type))
+              last = Some(LastSeen(e.tsMillis, e.event_id, e.event_type))
+            }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** flatMapGroupsWithState example operator: running per-user totals —
     * the KeyValueGroupedDataset custom-state capability (SURVEY.md §7
     * streaming bullet). Pass `evictAfter=Some(duration)` to bound state via

@@ -388,4 +388,43 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(batch.count() > 0)
   }
+
+  test("streaming transitionCarry matches batch eventTransitions on the driver events fixture") {
+    // the q85-verified batch operator is the oracle; the stream replays the
+    // REAL sf0.001 events table in three in-order micro-batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = graft.operators.Sessionize.eventTransitions(
+        ev, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val feed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("tsMillis"))
+      .as[EventStreams.SeqEvent]
+      .collect()
+      .sortBy(e => (e.tsMillis, e.event_id))
+    val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
+    val input = MemoryStream[EventStreams.SeqEvent]
+    val q = EventStreams.transitionCarry(input.toDS())
+      .writeStream.format("memory").queryName("transcarry")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        input.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("transcarry")
+        .groupBy("from_type", "to_type").count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == batch,
+        s"stream-batch drift: onlyStream=${(got.toSet -- batch.toSet).take(5)} " +
+          s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
 }
