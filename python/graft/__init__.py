@@ -516,3 +516,58 @@ def contamination_report(corpus, benchmark, id_col, text_col,
     return _wrap(s, _api(s).contaminationReport(
         corpus._jdf, benchmark._jdf, id_col, text_col, bench_text_col,
         int(ngram_n), float(max_fraction)))
+
+
+def global_line_dedup(docs, id_col="doc_id", text_col="text", min_docs=2):
+    """Cross-document boilerplate line removal (RefinedWeb-style): lines in
+    >= min_docs distinct docs are removed everywhere; returns
+    (id_col, cleaned_text, n_removed)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).globalLineDedup(docs._jdf, id_col, text_col,
+                                            int(min_docs)))
+
+
+def chunk_documents(docs, id_col="doc_id", text_col="text",
+                    size=2048, stride=1536):
+    """Sliding-window character chunking: (id_col, chunk_id, chunk_text,
+    chunk_len); the last chunk may be shorter, empty docs keep one empty
+    chunk."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).chunkDocuments(docs._jdf, id_col, text_col,
+                                           int(size), int(stride)))
+
+
+def collocations_pmi(docs, text_col="text", min_count=5, k=100):
+    """Top-k adjacent-bigram collocations by quantized PMI:
+    (w1, w2, c12, pmi_q in 1e-7 units)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).collocationsPmi(docs._jdf, text_col,
+                                            int(min_count), int(k)))
+
+
+def edit_distance_near_duplicates(docs, id_col="doc_id", str_col="text",
+                                  max_dist=2):
+    """PassJoin edit-distance near-dup pairs (never all-pairs):
+    (id_a, id_b, dist) with id_a < id_b."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).editDistanceNearDuplicates(docs._jdf, id_col,
+                                                       str_col,
+                                                       int(max_dist)))
+
+
+def event_transitions(events, key_col="user_id", type_col="event_type",
+                      ts_col="ts", tie_break="event_id"):
+    """Per-key Markov transition counts over the time-ordered event
+    stream: (from_type, to_type, n_transitions)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).eventTransitions(events._jdf, key_col, type_col,
+                                             ts_col, tie_break))
+
+
+def disc_percentiles(df, group_col, value_col, tie_break, ps):
+    """Exact grouped percentile_disc via distributed rank (no buffering
+    aggregate): (group_col, n, p<pct>...)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).discPercentiles(df._jdf, group_col, value_col,
+                                            tie_break,
+                                            [float(p) for p in ps]))

@@ -366,4 +366,44 @@ object JavaApi {
       ngramN: Int, maxFraction: Double): DataFrame =
     graft.operators.TextOps.contaminationReport(
       corpus, benchmark, idCol, textCol, benchTextCol, ngramN, maxFraction)
+
+  /** Cross-document boilerplate line removal:
+    * (idCol, cleaned_text, n_removed). */
+  def globalLineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame =
+    graft.operators.TextOps.globalLineDedup(docs, idCol, textCol, minDocs)
+
+  /** Sliding-window character chunking:
+    * (idCol, chunk_id, chunk_text, chunk_len). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame =
+    graft.operators.TextOps.chunkDocuments(docs, idCol, textCol, size, stride)
+
+  /** Top-k adjacent-bigram collocations by quantized PMI:
+    * (w1, w2, c12, pmi_q). */
+  def collocationsPmi(docs: DataFrame, textCol: String,
+      minCount: Long, k: Int): DataFrame =
+    graft.operators.TextOps.collocationsPmi(docs, textCol, minCount, k)
+
+  /** PassJoin edit-distance near-dup pairs: (id_a, id_b, dist). */
+  def editDistanceNearDuplicates(docs: DataFrame, idCol: String,
+      strCol: String, maxDist: Int): DataFrame =
+    graft.operators.DedupOps.editDistanceNearDuplicates(
+      docs, idCol, strCol, maxDist)
+
+  /** Per-key Markov transition counts:
+    * (from_type, to_type, n_transitions). */
+  def eventTransitions(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieBreak: String): DataFrame =
+    graft.operators.Sessionize.eventTransitions(
+      events, keyCol, typeCol, tsCol, tieBreak)
+
+  /** Exact grouped disc percentiles via distributed rank:
+    * (groupCol, n, p<pct>...). */
+  def discPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String, ps: java.util.List[java.lang.Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.Quantiles.discPercentiles(df, groupCol, valueCol,
+      tieBreak, ps.asScala.toSeq.map(_.doubleValue))
+  }
 }

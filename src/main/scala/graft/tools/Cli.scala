@@ -369,6 +369,9 @@ object Cli {
               case "winnowing" =>
                 TextOps.winnowingNearDuplicates(docs, id, text,
                   minShared = 5, maxDocFreq = 50).select("id_a", "id_b")
+              case "edit" =>
+                DedupOps.editDistanceNearDuplicates(docs, id, text,
+                  maxDist = 2).select("id_a", "id_b")
               case other => sys.error(s"unknown dedup method: $other")
             }
             val victims = DedupOps.clusterDuplicates(pairs)
@@ -470,6 +473,74 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"decontaminate: wrote $out")
 
+      // lineDedup <in.parquet> <out.parquet> [-id c] [-text c] [-minDocs n]
+      //   — cross-document boilerplate line removal (RefinedWeb-style)
+      case "lineDedup" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.TextOps.globalLineDedup(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-text", "text"), fv("-minDocs", "2").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"lineDedup: wrote $out")
+
+      // chunk <in.parquet> <out.parquet> [-id c] [-text c] [-size n]
+      //   [-stride n] — sliding-window character chunking
+      case "chunk" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.TextOps.chunkDocuments(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-text", "text"), fv("-size", "2048").toInt,
+            fv("-stride", "1536").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"chunk: wrote $out")
+
+      // collocations <in.parquet> <out.parquet> [-text c] [-minCount n]
+      //   [-k n] — top-k adjacent-bigram collocations by PMI
+      case "collocations" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.TextOps.collocationsPmi(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-minCount", "5").toLong, fv("-k", "100").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"collocations: wrote $out")
+
+      // transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c]
+      //   [-tie c] — per-key Markov transition counts
+      case "transitions" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Sessionize.eventTransitions(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-type", "event_type"), fv("-ts", "ts"),
+            fv("-tie", "event_id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"transitions: wrote $out")
+
+      // percentiles <in.parquet> <out.parquet> [-group c] [-value c]
+      //   [-tie c] [-ps 0.5,0.9,0.99] — exact grouped disc percentiles
+      case "percentiles" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Quantiles.discPercentiles(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-value", "value"), fv("-tie", "event_id"),
+            fv("-ps", "0.5,0.9,0.99").split(",").toSeq.map(_.toDouble))
+          .write.mode("overwrite").parquet(out)
+        println(s"percentiles: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -478,13 +549,18 @@ object Cli {
           "adam2fastq" +
           "\n  view <in> [-f N] [-F N] [-g N] [-G N] [-q MINQ] [-c] [-o out|out] [-single]" +
           "\n  print <file.parquet>... [-o localFile] [-pretty]" +
-          "\n  dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|minhash|winnowing]" +
+          "\n  dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|minhash|winnowing|edit]" +
           "\n  score <in.parquet> <out.parquet> [-text c]" +
           "\n  extractText <in.parquet> <out.parquet> [-html c] [-out c]" +
           "\n  urlDedup <in.parquet> <out.parquet> [-url c] [-id c]" +
           "\n  split <in.parquet> <out.parquet> [-key c] [-fractions n=f,...] [-salt s]" +
           "\n  mix <in.parquet> <out.parquet> [-strata c] [-key c] [-alpha a] [-target n] [-salt s]" +
-          "\n  decontaminate <corpus.parquet> <bench.parquet> <out.parquet> [-id c] [-text c] [-benchText c] [-n N] [-maxFrac f]")
+          "\n  decontaminate <corpus.parquet> <bench.parquet> <out.parquet> [-id c] [-text c] [-benchText c] [-n N] [-maxFrac f]" +
+          "\n  lineDedup <in.parquet> <out.parquet> [-id c] [-text c] [-minDocs n]" +
+          "\n  chunk <in.parquet> <out.parquet> [-id c] [-text c] [-size n] [-stride n]" +
+          "\n  collocations <in.parquet> <out.parquet> [-text c] [-minCount n] [-k n]" +
+          "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-tie c]" +
+          "\n  percentiles <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-ps p,...]")
         sys.exit(2)
     }
   }

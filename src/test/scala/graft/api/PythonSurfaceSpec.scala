@@ -38,7 +38,10 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "gopherQualityRules" -> 2, "tokenFrequencies" -> 3,
       "extractHtmlText" -> 3, "canonicalizeUrls" -> 3, "urlDedup" -> 3,
       "kmeansFit" -> 5, "kmeansAssign" -> 4, "kmeansCentroidsAsFloat" -> 1,
-      "hashSplit" -> 5, "temperatureMix" -> 6, "contaminationReport" -> 7)
+      "hashSplit" -> 5, "temperatureMix" -> 6, "contaminationReport" -> 7,
+      "globalLineDedup" -> 4, "chunkDocuments" -> 5,
+      "collocationsPmi" -> 4, "editDistanceNearDuplicates" -> 4,
+      "eventTransitions" -> 5, "discPercentiles" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

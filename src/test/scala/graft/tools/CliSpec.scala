@@ -347,4 +347,49 @@ class CliSpec extends SparkSpec {
         r.getAs[Long]("n_dups"))).toSet
     assert(got == Set(("http://a.com/x", 5L, 2L), ("https://b.com/y", 2L, 1L)))
   }
+
+  test("lineDedup command strips cross-doc boilerplate lines") {
+    import spark.implicits._
+    val in = tmpDir() + "/ld.parquet"
+    Seq((1L, "body one\nfooter"), (2L, "body two\nfooter"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = tmpDir() + "/ld_out.parquet"
+    Cli.run(spark, Seq("lineDedup", in, out, "-minDocs", "2"))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned_text"))
+      .toMap
+    assert(got == Map(1L -> "body one", 2L -> "body two"))
+  }
+
+  test("chunk command windows text with stride") {
+    import spark.implicits._
+    val in = tmpDir() + "/ch.parquet"
+    Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val out = tmpDir() + "/ch_out.parquet"
+    Cli.run(spark, Seq("chunk", in, out, "-size", "5", "-stride", "3"))
+    val got = spark.read.parquet(out).orderBy("chunk_id").collect()
+      .map(_.getAs[String]("chunk_text")).toSeq
+    assert(got == Seq("abcde", "defgh"))
+  }
+
+  test("transitions and percentiles commands run on an events fixture") {
+    import spark.implicits._
+    val in = tmpDir() + "/ev.parquet"
+    Seq((1L, 1L, "a", 10L, 1.0), (1L, 2L, "b", 20L, 2.0),
+      (2L, 3L, "a", 5L, 3.0), (2L, 4L, "a", 6L, 4.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(in)
+    val tOut = tmpDir() + "/trans.parquet"
+    Cli.run(spark, Seq("transitions", in, tOut))
+    val trans = spark.read.parquet(tOut).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(trans == Map(("a", "b") -> 1L, ("a", "a") -> 1L))
+    val pOut = tmpDir() + "/pct.parquet"
+    Cli.run(spark, Seq("percentiles", in, pOut,
+      "-group", "event_type", "-ps", "0.5"))
+    val p = spark.read.parquet(pOut).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p == Map("a" -> 3.0, "b" -> 2.0))
+  }
 }
