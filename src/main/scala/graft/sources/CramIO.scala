@@ -13,8 +13,12 @@ import graft.model._
   * SUBSET):
   *
   *  - container / block / slice structure with itf8/ltf8 varints and CRCs;
-  *  - block methods raw, gzip, and rANS 4x8 ([[RansCodec]], validated by
-  *    round-trip);
+  *  - block methods raw, gzip, rANS 4x8 ([[RansCodec]]) and the CRAM 3.1
+  *    rANS Nx16 ([[RansNx16Codec]]), each validated by round-trip; 3.1
+  *    files are accepted on read, and `WriteProfile(version31 = true)`
+  *    emits a 3.1 file with Nx16-coded quality blocks (3.1's name
+  *    tokenizer / fqzcomp / adaptive-arithmetic methods remain
+  *    unsupported — a clear error on such blocks);
   *  - all data series in EXTERNAL blocks (a legal encoding choice the
   *    writer declares in the compression header); reads decode EXTERNAL,
   *    BYTE_ARRAY_STOP, and constant single-symbol HUFFMAN encodings and
@@ -36,6 +40,7 @@ object CramIO {
     Encoders.product[Alignment]
 
   private val Magic = Array[Byte]('C', 'R', 'A', 'M', 3, 0)
+  private val Magic31 = Array[Byte]('C', 'R', 'A', 'M', 3, 1)
 
   /** The CRAM 3.0 spec's literal 38-byte EOF container (section 9 of the
     * specification; validated byte-for-byte by htsjdk/samtools). */
@@ -114,6 +119,7 @@ object CramIO {
   private val MethodRaw = 0
   private val MethodGzip = 1
   private val MethodRans = 4
+  private val MethodRansNx16 = 5
 
   /** InputStream.skip may short-skip (Hadoop streams do); loop to the
     * requested count. */
@@ -157,6 +163,8 @@ object CramIO {
       else method match {
         case MethodGzip => (MethodGzip, gzip(b.data))
         case MethodRans => (MethodRans, RansCodec.compress(b.data, 1))
+        case MethodRansNx16 =>
+          (MethodRansNx16, RansNx16Codec.compress(b.data, RansNx16Codec.Order1))
         case _ => (MethodRaw, b.data)
       }
     val hdr = new ByteArrayOutputStream()
@@ -191,10 +199,11 @@ object CramIO {
       case MethodRaw => payload
       case MethodGzip => gunzip(payload, rawSize)
       case MethodRans => RansCodec.uncompress(payload)
+      case MethodRansNx16 => RansNx16Codec.uncompress(payload)
       case other =>
         throw new UnsupportedOperationException(
           s"CRAM block compression method $other not supported " +
-            "(supported: raw, gzip, rANS 4x8)")
+            "(supported: raw, gzip, rANS 4x8, rANS Nx16)")
     }
     Block(contentType, contentId, data)
   }
@@ -810,7 +819,8 @@ object CramIO {
       recordsPerSlice: Int = Int.MaxValue, // multi-slice containers
       refBased: Boolean = false, // RR=true: matches as gaps, mismatches 'X'
       embedRef: Boolean = false, // embed slice reference block (single-ref)
-      reference: Option[graft.core.ReferenceSource] = None)
+      reference: Option[graft.core.ReferenceSource] = None,
+      version31: Boolean = false) // emit CRAM 3.1 with rANS Nx16 blocks
 
   /** Reference-based read features (preservation RR=true): bases matching
     * the reference become implicit gaps, mismatches become substitution
@@ -1101,8 +1111,12 @@ object CramIO {
       writeBlock(payload, sliceHdr)
       writeBlock(payload, Block(5, 0, coreData), MethodRaw) // core bit stream
       extBlocks.foreach { b =>
-        // qualities compress best with order-1 rANS; the rest gzip
-        val method = if (b.contentId == SeriesIds("QS")) MethodRans else MethodGzip
+        // qualities compress best with order-1 rANS (Nx16 in 3.1 files);
+        // the rest gzip
+        val method =
+          if (b.contentId == SeriesIds("QS"))
+            (if (profile.version31) MethodRansNx16 else MethodRans)
+          else MethodGzip
         writeBlock(payload, b, method)
       }
       totalBlocks += 2 + extBlocks.length
@@ -1163,7 +1177,7 @@ object CramIO {
     val fs = p.getFileSystem(gd.spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try {
-      out.write(Magic)
+      out.write(if (prof.version31) Magic31 else Magic)
       val fileId = new Array[Byte](20)
       val pb = path.getBytes("UTF-8")
       System.arraycopy(pb, 0, fileId, 0, math.min(20, pb.length))
@@ -1911,7 +1925,8 @@ object CramIO {
     val in = fs.open(p)
     val magic = new Array[Byte](6)
     in.readFully(magic)
-    require(magic.sameElements(Magic), "not a CRAM 3.0 file")
+    require(magic.sameElements(Magic) || magic.sameElements(Magic31),
+      "not a CRAM 3.0/3.1 file")
     skipFully(in, 20)
 
     val hdrContainer = readContainerHeader(in).getOrElse(

@@ -228,6 +228,59 @@ object ScaleProbe {
           (col("wk") - col("cohort_week")).as("weeks_since"))
         .agg(countDistinct(col("user_id")).as("n_users")).count()
     }
+
+    // ---- round-8 operators ----
+    // Multi-line pages for line dedup: 6 lines per doc — 3 doc-unique
+    // (text substrings), 3 boilerplate shared corpus-wide (footer in all,
+    // banner in 1/4, copyright in 1/2). ADVERSARIAL: half the exploded
+    // line stream is a handful of ultra-hot keys — the worst skew shape
+    // for the frequency agg and the ban join.
+    spark.catalog.clearCache()
+    timed("global_line_dedup") {
+      val pages = docs.select(col("doc_id"), concat_ws("\n",
+        col("text").substr(lit(1), lit(60)),
+        lit("subscribe to our newsletter"),
+        col("text").substr(lit(31), lit(60)),
+        when(col("doc_id") % 4 === 0, lit("cookie banner"))
+          .otherwise(col("text").substr(lit(61), lit(60))),
+        concat(lit("copyright "), (col("doc_id") % 2).cast("string")),
+        col("text").substr(lit(91), lit(60))).as("text"))
+      TextOps.globalLineDedup(pages, "doc_id", "text", minDocs = 3)
+        .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    }
+    // PassJoin on 500k composed record keys: every 4-doc group holds a
+    // base + 1-deletion + 1-substitution variant, and adjacent group ids
+    // differ by one digit — dense true-pair structure plus hot shared
+    // segments ("item " prefixes), the operator's skew worst case.
+    spark.catalog.clearCache()
+    timed("edit_distance_neardup") {
+      val keys = spark.range(500000L).select(col("id").as("doc_id"),
+        when(col("id") % 4 === 0, concat(lit("item "),
+          expr("id div 4").cast("string"), lit(" alpha beta gamma")))
+          .when(col("id") % 4 === 1, concat(lit("item "),
+            expr("id div 4").cast("string"), lit(" alpha beta gamm")))
+          .when(col("id") % 4 === 2, concat(lit("item "),
+            expr("id div 4").cast("string"), lit(" alpha bXta gamma")))
+          .otherwise(concat(lit("wholly different record "),
+            col("id").cast("string"))).as("s"))
+      DedupOps.editDistanceNearDuplicates(keys, "doc_id", "s", maxDist = 2)
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("collocations_pmi") {
+      TextOps.collocationsPmi(docs, "text", minCount = 50L, k = 100).count()
+    }
+    spark.catalog.clearCache()
+    timed("event_transitions") {
+      Sessionize.eventTransitions(ev, "user_id", "event_type",
+        "ts", "event_id")
+        .agg(sum(col("n_transitions"))).collect().head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("disc_percentiles") {
+      graft.operators.Quantiles.discPercentiles(ev, "event_type", "value",
+        "event_id", Seq(0.5, 0.9, 0.99)).count()
+    }
     spark.stop()
   }
 }

@@ -296,6 +296,27 @@ class CramIOSpec extends SparkSpec {
     assertSame(got, reads)
   }
 
+  test("CRAM 3.1 profile round trips (rANS Nx16 quality blocks)") {
+    val reads = mixedReads(500, 73)
+    val got = roundTripWith(CramIO.WriteProfile(version31 = true), reads)
+    assertSame(got, reads)
+    // the file really is version 3.1 on disk
+    val path = tmpDir() + "/v31.cram"
+    CramIO.write(GenomicDataset(spark.createDataset(reads), meta), path,
+      profile = Some(CramIO.WriteProfile(version31 = true)))
+    val in = new java.io.FileInputStream(path)
+    val magic = new Array[Byte](6)
+    assert(in.read(magic) == 6); in.close()
+    assert(magic.toSeq == Seq[Byte]('C', 'R', 'A', 'M', 3, 1))
+  }
+
+  test("CRAM 3.1 with multi-slice + tags profile round trips") {
+    val reads = mixedReads(300, 79)
+    val got = roundTripWith(
+      CramIO.WriteProfile(version31 = true, recordsPerSlice = 64), reads)
+    assertSame(got, reads)
+  }
+
   test("extra core codecs profile (GAMMA/SUBEXP/GOLOMB/RICE) round trips") {
     val reads = mixedReads(400, 71)
     val got = roundTripWith(CramIO.WriteProfile(extraCodecs = true), reads)
