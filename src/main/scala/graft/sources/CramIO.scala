@@ -16,9 +16,10 @@ import graft.model._
   *  - block methods raw, gzip, rANS 4x8 ([[RansCodec]]) and the CRAM 3.1
   *    rANS Nx16 ([[RansNx16Codec]]), each validated by round-trip; 3.1
   *    files are accepted on read, and `WriteProfile(version31 = true)`
-  *    emits a 3.1 file with Nx16-coded quality blocks (3.1's name
-  *    tokenizer / fqzcomp / adaptive-arithmetic methods remain
-  *    unsupported — a clear error on such blocks);
+  *    emits a 3.1 file with Nx16-coded quality blocks and
+  *    name-tokenized RN blocks ([[NameTokCodec]], method 8); 3.1's
+  *    fqzcomp / adaptive-arithmetic methods remain unsupported — a clear
+  *    error on such blocks;
   *  - all data series in EXTERNAL blocks (a legal encoding choice the
   *    writer declares in the compression header); reads decode EXTERNAL,
   *    BYTE_ARRAY_STOP, and constant single-symbol HUFFMAN encodings and
@@ -120,6 +121,7 @@ object CramIO {
   private val MethodGzip = 1
   private val MethodRans = 4
   private val MethodRansNx16 = 5
+  private val MethodNameTok = 8
 
   /** InputStream.skip may short-skip (Hadoop streams do); loop to the
     * requested count. */
@@ -165,6 +167,8 @@ object CramIO {
         case MethodRans => (MethodRans, RansCodec.compress(b.data, 1))
         case MethodRansNx16 =>
           (MethodRansNx16, RansNx16Codec.compress(b.data, RansNx16Codec.Order1))
+        case MethodNameTok =>
+          (MethodNameTok, NameTokCodec.compressByteStream(b.data, '\t'))
         case _ => (MethodRaw, b.data)
       }
     val hdr = new ByteArrayOutputStream()
@@ -200,10 +204,11 @@ object CramIO {
       case MethodGzip => gunzip(payload, rawSize)
       case MethodRans => RansCodec.uncompress(payload)
       case MethodRansNx16 => RansNx16Codec.uncompress(payload)
+      case MethodNameTok => NameTokCodec.uncompressByteStream(payload, '\t')
       case other =>
         throw new UnsupportedOperationException(
           s"CRAM block compression method $other not supported " +
-            "(supported: raw, gzip, rANS 4x8, rANS Nx16)")
+            "(supported: raw, gzip, rANS 4x8, rANS Nx16, name-tok)")
     }
     Block(contentType, contentId, data)
   }
@@ -1116,6 +1121,8 @@ object CramIO {
         val method =
           if (b.contentId == SeriesIds("QS"))
             (if (profile.version31) MethodRansNx16 else MethodRans)
+          else if (b.contentId == SeriesIds("RN") && profile.version31)
+            MethodNameTok
           else MethodGzip
         writeBlock(payload, b, method)
       }
