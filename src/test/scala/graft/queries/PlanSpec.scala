@@ -200,6 +200,51 @@ class PlanSpec extends SparkSpec {
     assert(p80.contains("BroadcastHashJoin"), p80.take(800))
   }
 
+  test("q81 line dedup: distinct-projection frequency, no cartesian") {
+    val plan = planOf("q81_global_line_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the doc-frequency agg runs over the (line, doc) DISTINCT projection:
+    // a distinct HashAggregate keyed on (line, doc_id) must feed the count
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("line") && l.contains("doc_id") && !l.contains("count")),
+      "missing (line, doc) distinct stage")
+    assert(plan.contains("partial_count"), "frequency count not map-side combined")
+  }
+
+  test("q83 collocations: TakeOrdered top-k, broadcast unigram joins") {
+    val plan = planOf("q83_collocations_pmi")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort: " + plan.take(500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q84 PassJoin: equi-join candidates, no cartesian, levenshtein verify") {
+    val plan = planOf("q84_edit_distance_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("levenshtein"), "verify stage missing")
+    // candidate pairs dedup before the verify joins
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("id_a") && l.contains("id_b")),
+      "candidate distinct stage missing")
+  }
+
+  test("q85/q86: one keyed exchange feeds the window; counts partial-agg") {
+    val p85 = planOf("q85_event_transitions")
+    assert(p85.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Broadcast")) == 2, // user window + final count
+      p85.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p85.contains("partial_count"))
+    val p86 = planOf("q86_value_percentiles")
+    // the rank windows and BOTH aggregate stages ride the single
+    // event_type exchange — no second shuffle, no buffering percentile agg
+    assert(p86.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Broadcast")) == 1,
+      p86.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p86.contains("percentile"), "must not use a buffering percentile agg")
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),
