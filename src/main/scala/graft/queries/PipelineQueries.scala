@@ -1382,38 +1382,45 @@ object PipelineQueries extends QuerySet {
         ORDER BY pmi_q DESC, w1, w2 LIMIT 50""")),
 
     // Edit-distance near-dup join via PassJoin segment blocking (never
-    // all-pairs): composed record keys where each 4-doc group carries a
-    // base string, a 1-deletion variant, a 1-substitution variant and an
-    // unrelated string — plus cross-group digit-typo pairs. The oracle
-    // verifies by brute force (sound at sf scale); the operator's
-    // pigeonhole candidates + levenshtein verify must find exactly the
-    // same pair set.
+    // all-pairs): each 4-doc group shares a base drawn from the GROUP
+    // REPRESENTATIVE's real text (doc-unique across groups — unlike
+    // composed numeric keys, whose dense id space makes every id a
+    // digit-edit neighbor of hundreds of others and the TRUE pair set
+    // quadratic), carrying a 1-append variant, a 1-substitution variant
+    // and a far (reversed) string. The oracle verifies by brute force;
+    // the operator's pigeonhole candidates + levenshtein verify must find
+    // exactly the same pair set.
     Query("q84_edit_distance_neardup",
       (s, dir) => {
         val d = col("doc_id")
-        val g = expr("doc_id div 4").cast("string")
-        val composed = t(s, dir, "documents").select(
-          d,
-          when(d % 4 === 0, concat(lit("item "), g, lit(" alpha beta gamma")))
-            .when(d % 4 === 1, concat(lit("item "), g, lit(" alpha beta gamm")))
-            .when(d % 4 === 2, concat(lit("item "), g, lit(" alpha bXta gamma")))
-            .otherwise(concat(lit("wholly different record "),
-              d.cast("string"))).as("s"))
+        val docs0 = t(s, dir, "documents").select(d, col("text"))
+        val reps = docs0.filter(d % 4 === 0)
+          .select(expr("doc_id div 4").as("g"),
+            col("text").substr(lit(1), lit(24)).as("base"))
+        val composed = docs0
+          .select(d, expr("doc_id div 4").as("g"))
+          .join(reps, "g")
+          .select(d,
+            when(d % 4 === 0, col("base"))
+              .when(d % 4 === 1, concat(col("base"), lit("x")))
+              .when(d % 4 === 2, concat(col("base").substr(lit(1), lit(10)),
+                lit("Q"), col("base").substr(lit(12), lit(13))))
+              .otherwise(reverse(col("base"))).as("s"))
         DedupOps.editDistanceNearDuplicates(composed, "doc_id", "s",
           maxDist = 2)
       },
-      Some("""WITH c AS (
-          SELECT doc_id,
-            CASE doc_id % 4
-              WHEN 0 THEN 'item ' || CAST(doc_id // 4 AS VARCHAR)
-                || ' alpha beta gamma'
-              WHEN 1 THEN 'item ' || CAST(doc_id // 4 AS VARCHAR)
-                || ' alpha beta gamm'
-              WHEN 2 THEN 'item ' || CAST(doc_id // 4 AS VARCHAR)
-                || ' alpha bXta gamma'
-              ELSE 'wholly different record ' || CAST(doc_id AS VARCHAR)
+      Some("""WITH reps AS (
+          SELECT doc_id // 4 AS g, substr(text, 1, 24) AS base
+          FROM documents WHERE doc_id % 4 = 0),
+        c AS (
+          SELECT d.doc_id,
+            CASE d.doc_id % 4
+              WHEN 0 THEN r.base
+              WHEN 1 THEN r.base || 'x'
+              WHEN 2 THEN substr(r.base, 1, 10) || 'Q' || substr(r.base, 12, 13)
+              ELSE reverse(r.base)
             END AS s
-          FROM documents)
+          FROM documents d JOIN reps r ON d.doc_id // 4 = r.g)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
         FROM c a JOIN c b

@@ -248,21 +248,21 @@ object ScaleProbe {
       TextOps.globalLineDedup(pages, "doc_id", "text", minDocs = 3)
         .agg(sum(col("n_removed"))).collect().head.getLong(0)
     }
-    // PassJoin on 500k composed record keys: every 4-doc group holds a
-    // base + 1-deletion + 1-substitution variant, and adjacent group ids
-    // differ by one digit — dense true-pair structure plus hot shared
-    // segments ("item " prefixes), the operator's skew worst case.
+    // PassJoin on 500k record keys: every 4-doc group shares a 16-hex-char
+    // hash tag (group tags are FAR apart — a dense decimal id space would
+    // make every id a digit-edit neighbor of hundreds of others and the
+    // TRUE answer quadratic, which no algorithm outruns), with a
+    // 1-append, a 1-substitution and a reversed (far) variant. Shared
+    // "rec " prefixes still exercise the hot-segment skew path.
     spark.catalog.clearCache()
     timed("edit_distance_neardup") {
+      val tag = lpad(hex(abs(xxhash64(expr("id div 4")))), 16, "0")
       val keys = spark.range(500000L).select(col("id").as("doc_id"),
-        when(col("id") % 4 === 0, concat(lit("item "),
-          expr("id div 4").cast("string"), lit(" alpha beta gamma")))
-          .when(col("id") % 4 === 1, concat(lit("item "),
-            expr("id div 4").cast("string"), lit(" alpha beta gamm")))
-          .when(col("id") % 4 === 2, concat(lit("item "),
-            expr("id div 4").cast("string"), lit(" alpha bXta gamma")))
-          .otherwise(concat(lit("wholly different record "),
-            col("id").cast("string"))).as("s"))
+        when(col("id") % 4 === 0, concat(lit("rec "), tag, lit(" v")))
+          .when(col("id") % 4 === 1, concat(lit("rec "), tag, lit(" vx")))
+          .when(col("id") % 4 === 2, concat(lit("rec Q"),
+            substring(tag, 2, 15), lit(" v")))
+          .otherwise(concat(lit("rev "), reverse(tag))).as("s"))
       DedupOps.editDistanceNearDuplicates(keys, "doc_id", "s", maxDist = 2)
         .count()
     }
