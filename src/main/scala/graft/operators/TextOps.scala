@@ -950,4 +950,85 @@ object TextOps {
       .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  // ------------------ per-document TF-IDF keywords -------------------------
+
+  /** Top-`k` characteristic terms per document by TF-IDF — the keyword
+    * extractor of corpus exploration / topic labeling pipelines. Tokens
+    * are lowercase alphanumeric runs; `idf = ln((N+1)/(df+1))` (add-one
+    * smoothed, non-negative); score is quantized
+    * `floor(tf · idf · 1e7 + 0.5)` so the per-doc ranking replays exactly
+    * in SQL; ties break on the term string. Output:
+    * `(idCol, term, tf, tfidf_q, rank)` with rank 1..k.
+    *
+    * Plan shape at 100 TB: one (doc, term) shuffle for the tf counts
+    * (map-side combined), the vocabulary-sized df table broadcast back,
+    * and the per-doc top-k as a doc-keyed window — ranks within a doc's
+    * handful of terms, never a global sort. */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+        .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is unique per (doc, term) => df = rows per term
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val score = floor(
+      col("tf").cast("double") *
+        log((col("n_docs").cast("double") + 1.0) / (col("df") + 1.0)) *
+        lit(1e7) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf_q").desc, col("term"))
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), score.as("tfidf_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------ Zipf rank-frequency diagnostic -----------------------
+
+  /** Zipf's-law fit over the corpus vocabulary — the distribution
+    * diagnostic of corpus health checks (a natural-language corpus has
+    * rank-frequency slope ≈ -1; template/boilerplate-heavy corpora flatten
+    * or steepen it). Ranks tokens by `(count desc, token)`, takes
+    * `x = ln(rank)`, `y = ln(count)` QUANTIZED to integer 1e-4 units, and
+    * returns the least-squares slope via exact BIGINT sums:
+    * `slope = (V·Σxy − Σx·Σy) / (V·Σxx − (Σx)²)` evaluated as one double
+    * division of exact integers — bit-identical across engines and
+    * partitionings. Output: one row
+    * `(n_types, n_tokens, num, den, slope)`.
+    *
+    * Scale: the global rank window runs over the VOCABULARY table
+    * (bounded by distinct tokens, not corpus size) — the documented
+    * single-partition window is over that bounded table, the corpus
+    * itself only passes one map-side-combined count. The 1e-4 quantum
+    * keeps `Σxy` under 2^63 up to ~10^8 types. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val freqs = docs
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val xy = freqs
+      .withColumn("rank", row_number().over(w))
+      .select(col("n"),
+        floor(log(col("rank").cast("double")) * 1e4 + 0.5).cast("long").as("x"),
+        floor(log(col("n").cast("double")) * 1e4 + 0.5).cast("long").as("y"))
+    xy.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_types"), col("n_tokens"),
+        (col("n_types") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_types") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope",
+        when(col("den") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
+  }
 }

@@ -1426,7 +1426,71 @@ object PipelineQueries extends QuerySet {
         FROM c a JOIN c b
           ON a.doc_id < b.doc_id
           AND abs(length(a.s) - length(b.s)) <= 2
-          AND levenshtein(a.s, b.s) <= 2"""))
+          AND levenshtein(a.s, b.s) <= 2""")),
+
+    // Per-document TF-IDF keywords: top-3 characteristic terms per doc,
+    // quantized smoothed idf (q63's ln technique), (score desc, term)
+    // tie-break so the per-doc rank replays exactly.
+    Query("q87_tfidf_keywords",
+      (s, dir) => TextOps.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+            CAST(floor(
+              CAST(tf.tf AS DOUBLE) *
+              ln((CAST(n_docs AS DOUBLE) + 1.0) / (df + 1.0)) *
+              1e7 + 0.5) AS BIGINT) AS tfidf_q
+          FROM tf JOIN dfs USING (term) CROSS JOIN nd),
+        ranked AS (
+          SELECT doc_id, term, tf, tfidf_q,
+            CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf_q DESC, term)
+              AS INTEGER) AS rank
+          FROM scored)
+        SELECT * FROM ranked WHERE rank <= 3""")),
+
+    // Zipf rank-frequency diagnostic: least-squares slope of
+    // (ln rank, ln count) over the vocabulary, quantized 1e-4 integer
+    // sums -> one exact double division. Healthy natural text ~ -1.
+    Query("q88_zipf_fit",
+      (s, dir) => TextOps.zipfFit(t(s, dir, "documents"), "text"),
+      Some("""WITH toks AS (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS token
+          FROM documents),
+        freqs AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM toks GROUP BY token),
+        xy AS (
+          SELECT n,
+            CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+              AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS x,
+            CAST(floor(ln(CAST(n AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS y
+          FROM freqs),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(n) AS BIGINT) AS n_tokens,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM xy)
+        SELECT n_types, n_tokens,
+          n_types * sxy - sx * sy AS num,
+          n_types * sxx - sx * sx AS den,
+          CASE WHEN n_types * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST(n_types * sxy - sx * sy AS DOUBLE) /
+              CAST(n_types * sxx - sx * sx AS DOUBLE) END AS slope
+        FROM s"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -114,4 +114,43 @@ class TextPipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq == Seq(("a", "b"))) // "b a"=4 < 5, "rare pair"=1
   }
+
+  // ------------------------ tfidfKeywords ----------------------------------
+
+  test("tfidfKeywords surfaces doc-specific terms over ubiquitous ones") {
+    // "common" appears in every doc (idf = ln(4/4) small); each doc's own
+    // marker term appears only there (idf = ln(4/2) larger)
+    val d = docs(
+      1L -> "common common alpha alpha alpha",
+      2L -> "common common beta beta beta",
+      3L -> "common gamma gamma gamma")
+    val out = TextOps.tfidfKeywords(d, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("tfidfKeywords rank caps at k with term tie-break") {
+    val d = docs(1L -> "x y z x y z") // all tf=2, same idf -> term order
+    val out = TextOps.tfidfKeywords(d, "doc_id", "text", k = 2)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("x", "y"))
+  }
+
+  // ------------------------ zipfFit ----------------------------------------
+
+  test("zipfFit recovers ~ -1 slope on synthetic zipfian counts") {
+    // term i repeated floor(1000/i) times: perfect 1/rank profile
+    val text = (1 to 50).flatMap(i =>
+      Seq.fill(1000 / i)(f"t$i%02d")).mkString(" ")
+    val row = TextOps.zipfFit(docs(1L -> text), "text").collect().head
+    val slope = row.getDouble(4)
+    assert(row.getLong(0) == 50L)
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope")
+  }
+
+  test("zipfFit flat corpus (all counts equal) has slope ~ 0") {
+    val text = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val row = TextOps.zipfFit(docs(1L -> text), "text").collect().head
+    assert(math.abs(row.getDouble(4)) < 1e-9, s"slope ${row.getDouble(4)}")
+  }
 }
