@@ -17,9 +17,11 @@ import graft.model._
   *    rANS Nx16 ([[RansNx16Codec]]), each validated by round-trip; 3.1
   *    files are accepted on read, and `WriteProfile(version31 = true)`
   *    emits a 3.1 file with Nx16-coded quality blocks and
-  *    name-tokenized RN blocks ([[NameTokCodec]], method 8); 3.1's
-  *    fqzcomp / adaptive-arithmetic methods remain unsupported — a clear
-  *    error on such blocks;
+  *    name-tokenized RN blocks ([[NameTokCodec]], method 8); the
+  *    adaptive-arithmetic method ([[ArithCodec]], method 6) and the
+  *    fqzcomp-style quality method ([[FqzCodec]], method 7) decode on
+  *    read and are emitted under `WriteProfile(fqzQuals/arithBlocks)` —
+  *    ALL FOUR 3.1 codec methods are implemented, round-trip gated;
   *  - all data series in EXTERNAL blocks (a legal encoding choice the
   *    writer declares in the compression header); reads decode EXTERNAL,
   *    BYTE_ARRAY_STOP, and constant single-symbol HUFFMAN encodings and
@@ -121,6 +123,8 @@ object CramIO {
   private val MethodGzip = 1
   private val MethodRans = 4
   private val MethodRansNx16 = 5
+  private val MethodArith = 6
+  private val MethodFqz = 7
   private val MethodNameTok = 8
 
   /** InputStream.skip may short-skip (Hadoop streams do); loop to the
@@ -169,6 +173,9 @@ object CramIO {
           (MethodRansNx16, RansNx16Codec.compress(b.data, RansNx16Codec.Order1))
         case MethodNameTok =>
           (MethodNameTok, NameTokCodec.compressByteStream(b.data, '\t'))
+        case MethodArith =>
+          (MethodArith, ArithCodec.compress(b.data, ArithCodec.Order1))
+        case MethodFqz => (MethodFqz, FqzCodec.compressByteStream(b.data))
         case _ => (MethodRaw, b.data)
       }
     val hdr = new ByteArrayOutputStream()
@@ -205,10 +212,12 @@ object CramIO {
       case MethodRans => RansCodec.uncompress(payload)
       case MethodRansNx16 => RansNx16Codec.uncompress(payload)
       case MethodNameTok => NameTokCodec.uncompressByteStream(payload, '\t')
+      case MethodArith => ArithCodec.uncompress(payload)
+      case MethodFqz => FqzCodec.uncompressByteStream(payload)
       case other =>
         throw new UnsupportedOperationException(
           s"CRAM block compression method $other not supported " +
-            "(supported: raw, gzip, rANS 4x8, rANS Nx16, name-tok)")
+            "(supported: raw, gzip, rANS 4x8, rANS Nx16, arith, fqzcomp, name-tok)")
     }
     Block(contentType, contentId, data)
   }
@@ -825,7 +834,9 @@ object CramIO {
       refBased: Boolean = false, // RR=true: matches as gaps, mismatches 'X'
       embedRef: Boolean = false, // embed slice reference block (single-ref)
       reference: Option[graft.core.ReferenceSource] = None,
-      version31: Boolean = false) // emit CRAM 3.1 with rANS Nx16 blocks
+      version31: Boolean = false, // emit CRAM 3.1 with rANS Nx16 blocks
+      fqzQuals: Boolean = false, // 3.1: QS blocks via the fqzcomp-style codec
+      arithBlocks: Boolean = false) // 3.1: other ext blocks via arith coder
 
   /** Reference-based read features (preservation RR=true): bases matching
     * the reference become implicit gaps, mismatches become substitution
@@ -1120,9 +1131,12 @@ object CramIO {
         // the rest gzip
         val method =
           if (b.contentId == SeriesIds("QS"))
-            (if (profile.version31) MethodRansNx16 else MethodRans)
+            (if (profile.version31 && profile.fqzQuals) MethodFqz
+             else if (profile.version31) MethodRansNx16
+             else MethodRans)
           else if (b.contentId == SeriesIds("RN") && profile.version31)
             MethodNameTok
+          else if (profile.version31 && profile.arithBlocks) MethodArith
           else MethodGzip
         writeBlock(payload, b, method)
       }

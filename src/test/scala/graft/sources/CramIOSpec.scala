@@ -317,6 +317,14 @@ class CramIOSpec extends SparkSpec {
     assertSame(got, reads)
   }
 
+  test("CRAM 3.1 all-new-codecs profile round trips (fqz quals + arith blocks + tok names)") {
+    val reads = mixedReads(400, 83)
+    val got = roundTripWith(
+      CramIO.WriteProfile(version31 = true, fqzQuals = true,
+        arithBlocks = true), reads)
+    assertSame(got, reads)
+  }
+
   test("extra core codecs profile (GAMMA/SUBEXP/GOLOMB/RICE) round trips") {
     val reads = mixedReads(400, 71)
     val got = roundTripWith(CramIO.WriteProfile(extraCodecs = true), reads)
