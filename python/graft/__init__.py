@@ -571,3 +571,11 @@ def disc_percentiles(df, group_col, value_col, tie_break, ps):
     return _wrap(s, _api(s).discPercentiles(df._jdf, group_col, value_col,
                                             tie_break,
                                             [float(p) for p in ps]))
+
+
+def zorder_write(df, path, cols, num_files=64, bits_per_dim=16):
+    """Morton-curve clustered parquet rewrite: row-group min/max become
+    tight on EVERY listed dimension, so filters on any of them prune."""
+    s = df.sparkSession
+    _api(s).zOrderWrite(df._jdf, path, cols, int(num_files),
+                        int(bits_per_dim))

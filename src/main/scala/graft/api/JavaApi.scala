@@ -398,6 +398,14 @@ object JavaApi {
     graft.operators.Sessionize.eventTransitions(
       events, keyCol, typeCol, tsCol, tieBreak)
 
+  /** Morton z-value column over numeric dims (bounded stats supplied). */
+  def zOrderWrite(df: DataFrame, path: String,
+      cols: java.util.List[String], numFiles: Int, bitsPerDim: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.ZOrder.writeZOrdered(df, path, cols.asScala.toSeq,
+      numFiles, bitsPerDim)
+  }
+
   /** Exact grouped disc percentiles via distributed rank:
     * (groupCol, n, p<pct>...). */
   def discPercentiles(df: DataFrame, groupCol: String, valueCol: String,

@@ -541,6 +541,19 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"percentiles: wrote $out")
 
+      // zorder <in.parquet> <out.parquet> -cols a,b [-files n] [-bits n]
+      //   — Morton-curve clustered rewrite for multi-dim row-group pruning
+      case "zorder" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.ZOrder.writeZOrdered(
+          spark.read.parquet(in), out,
+          fv("-cols", "").split(",").toSeq.filter(_.nonEmpty),
+          fv("-files", "64").toInt, fv("-bits", "16").toInt)
+        println(s"zorder: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -560,7 +573,8 @@ object Cli {
           "\n  chunk <in.parquet> <out.parquet> [-id c] [-text c] [-size n] [-stride n]" +
           "\n  collocations <in.parquet> <out.parquet> [-text c] [-minCount n] [-k n]" +
           "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-tie c]" +
-          "\n  percentiles <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-ps p,...]")
+          "\n  percentiles <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-ps p,...]" +
+          "\n  zorder <in.parquet> <out.parquet> -cols a,b [-files n] [-bits n]")
         sys.exit(2)
     }
   }

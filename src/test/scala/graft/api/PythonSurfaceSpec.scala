@@ -41,7 +41,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "hashSplit" -> 5, "temperatureMix" -> 6, "contaminationReport" -> 7,
       "globalLineDedup" -> 4, "chunkDocuments" -> 5,
       "collocationsPmi" -> 4, "editDistanceNearDuplicates" -> 4,
-      "eventTransitions" -> 5, "discPercentiles" -> 5)
+      "eventTransitions" -> 5, "discPercentiles" -> 5,
+      "zOrderWrite" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

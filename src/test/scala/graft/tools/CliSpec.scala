@@ -392,4 +392,15 @@ class CliSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(p == Map("a" -> 3.0, "b" -> 2.0))
   }
+
+  test("zorder command rewrites clustered parquet") {
+    import spark.implicits._
+    val in = tmpDir() + "/zin.parquet"
+    (1L to 1000L).map(i => (i % 37, i % 53)).toDF("a", "b")
+      .write.mode("overwrite").parquet(in)
+    val out = tmpDir() + "/zout.parquet"
+    Cli.run(spark, Seq("zorder", in, out, "-cols", "a,b", "-files", "4",
+      "-bits", "6"))
+    assert(spark.read.parquet(out).count() == 1000L)
+  }
 }
