@@ -427,4 +427,64 @@ class StreamingSpec extends SparkSpec {
           s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
     } finally q.stop()
   }
+
+  test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
+    // end-to-end composition on the REAL documents fixture: streaming
+    // exact dedup, then stateless quality gate + chunking — one continuous
+    // readStream plan, asserted row-equal to the same operators in batch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      // base offset: epoch-0 event time collides with the INITIAL
+      // watermark (0) and is treated as late -> dropped
+      .withColumn("ts", expr("timestamp_millis(1700000000000 + doc_id * 1000)"))
+    // duplicate every 5th doc under a fresh id: dedup has real work
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    def stagesAfterDedup(deduped: org.apache.spark.sql.DataFrame) = {
+      val scored = deduped.filter(
+        graft.operators.TextOps.tokenCount(col("text")) >= 5)
+      graft.operators.TextOps.chunkDocuments(scored, "doc_id", "text",
+        size = 100, stride = 60)
+    }
+    // batch twin: same fingerprint rule, keep the FIRST (min doc_id is the
+    // original; the stream sees originals before the +1e6 duplicates)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val batchDeduped = withDups
+      .withColumn("__fp", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    val want = stagesAfterDedup(batchDeduped)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val feed = withDups.orderBy("doc_id")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    // originals in batch 1, duplicates in batch 2: the state-store winner
+    // is then deterministic (within one batch, first-processed-wins order
+    // is partition-dependent and the batch twin could not replay it)
+    val (first, second) = feed.partition(_._1 < 1000000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streamed = stagesAfterDedup(
+      EventStreams.dedupDocuments(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        watermarkDelay = "10 days")) // fixture spans days of event time
+    val q = streamed
+      .writeStream.format("memory").queryName("intake")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("intake")
+        .select("doc_id", "chunk_id", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == want,
+        s"onlyStream=${(got -- want).take(3)} onlyBatch=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
 }
