@@ -777,6 +777,70 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------ containment (subset) similarity join -----------------
+
+  /** Shingle-containment join (Broder 1997's resemblance companion):
+    * every unordered pair whose MAX directional containment
+    * `c(A,B) = |A∩B| / |A|` reaches `threshold` — the subset/quote
+    * detector MinHash cannot express (a short document fully embedded in
+    * a long one has near-zero JACCARD, so LSH banding recalls nothing,
+    * but containment 1.0).
+    *
+    * Candidates come from an ASYMMETRIC prefix filter: tokens ordered by
+    * ascending global document frequency; if `c(A,B) >= t` then B misses
+    * at most `floor((1-t)|A|)` of A's shingles, so A's first
+    * `floor((1-t)|A|) + 1` rarest shingles must hit B somewhere — the
+    * probe joins each doc's PREFIX against the FULL inverted index (both
+    * directions covered because every doc is also a probe). Exact — no
+    * pair with max containment >= t can be missed.
+    *
+    * Scale: the prefix bounds probe keys per doc at `(1-t)|A|+1` (tiny
+    * for high thresholds); the index side is the full (shingle, doc)
+    * stream but shuffles 8-byte hashes; document frequency ordering makes
+    * prefix keys the RAREST shingles, so candidate buckets stay small
+    * (the PPJoin argument); verify rebinds hashed shingle arrays by id.
+    * Same 64-bit shingle-hash caveat as [[ngramJaccard]]. */
+  def containmentJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val sn = shingleN
+    val shingleUdf = udf((t: String) => shingles(if (t == null) "" else t, sn).distinct)
+    val sets = Parallelism
+      .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(transform(shingleUdf(col(textCol)), x => xxhash64(x)))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("id"), explode(col("sh")).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("__df"))
+    // rarest-first rank within each doc; deterministic tie on the hash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("tok"))
+    val prefix = ex.join(dfreq, "tok")
+      .withColumn("__rk", row_number().over(w))
+      .join(sets.select(col("id"), size(col("sh")).as("__n")), "id")
+      .filter(col("__rk") <=
+        floor((lit(1.0) - threshold) * col("__n")).cast("int") + 1)
+      .select(col("id").as("__pa"), col("tok"))
+    val cand = prefix
+      .join(ex.select(col("id").as("__pb"), col("tok")), "tok")
+      .filter(col("__pa") =!= col("__pb"))
+      .select(least(col("__pa"), col("__pb")).as("id_a"),
+        greatest(col("__pa"), col("__pb")).as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("c_a", col("n_inter").cast("double") / size(col("sh_a")))
+      .withColumn("c_b", col("n_inter").cast("double") / size(col("sh_b")))
+      .filter(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select("id_a", "id_b", "n_inter", "c_a", "c_b")
+  }
+
   // ------------------ edit-distance near-dup (PassJoin) --------------------
 
   /** Segment bounds for PassJoin: string of length `len` split into

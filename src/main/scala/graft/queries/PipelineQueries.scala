@@ -1490,7 +1490,60 @@ object PipelineQueries extends QuerySet {
           CASE WHEN n_types * sxx - sx * sx = 0 THEN 0.0
             ELSE CAST(n_types * sxy - sx * sy AS DOUBLE) /
               CAST(n_types * sxx - sx * sx AS DOUBLE) END AS slope
-        FROM s"""))
+        FROM s""")),
+
+    // Containment (subset) similarity join: quote documents (each a
+    // word-suffix of its source, so its shingles embed verbatim) carry
+    // near-zero JACCARD against the source but containment ~1 — the
+    // asymmetric prefix-filter candidates must find exactly the pairs the
+    // brute-force oracle finds.
+    Query("q89_containment_join",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val quotes = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(
+              slice(filter(split(col("text"), "\\s+"), w => w =!= ""),
+                8, 100000), " ").as("text"))
+        DedupOps.containmentJoin(d.unionByName(quotes), "doc_id", "text",
+          shingleN = 3, threshold = 0.9)
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+            array_to_string(
+              (list_filter(string_split_regex(text, '\s+'),
+                x -> x <> ''))[8:], ' ') AS text
+          FROM documents WHERE doc_id % 3 = 0),
+        toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x <> '') AS t
+          FROM raw),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(CASE
+              WHEN len(t) = 0 THEN []
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                    for i in generate_series(1, len(t)-2)]
+            END) AS s
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+          CAST(n_inter AS DOUBLE) / sa.n AS c_a,
+          CAST(n_inter AS DOUBLE) / sb.n AS c_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n,
+                       CAST(n_inter AS DOUBLE) / sb.n) >= 0.9"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -148,6 +148,55 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(slope < -0.9 && slope > -1.1, s"slope $slope")
   }
 
+  // ------------------------ containmentJoin --------------------------------
+
+  test("containmentJoin finds embedded quotes MinHash-Jaccard would miss") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (40 to 60).map(i => s"w$i").mkString(" ") // suffix of big
+    val other = (100 to 160).map(i => s"q$i").mkString(" ")
+    val d = docs(1L -> big, 2L -> quote, 3L -> other)
+    val out = DedupOps.containmentJoin(d, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) == ((1L, 2L)))
+    // quote's shingles all embed in big: containment of the SMALLER is 1
+    assert(cb == 1.0 && ca < 0.5)
+  }
+
+  test("containmentJoin matches brute force on a random corpus (completeness)") {
+    // docs are overlapping word-windows of one master sequence, so nested
+    // and heavily-overlapping pairs exist at every containment level
+    val rnd = new scala.util.Random(31)
+    val master = (0 until 200).map(_ => s"m${rnd.nextInt(50)}")
+    val texts = (1L to 60L).map { i =>
+      val start = rnd.nextInt(170)
+      val len = 8 + rnd.nextInt(30)
+      i -> master.slice(start, math.min(200, start + len)).mkString(" ")
+    }
+    val t = 0.5
+    def shingleSet(s: String) =
+      DedupOps.shingles(s, 3).distinct.toSet
+    val expected = (for {
+      (ia, ta) <- texts
+      (ib, tb) <- texts
+      if ia < ib
+      sa = shingleSet(ta)
+      sb = shingleSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size
+      if math.max(inter.toDouble / sa.size, inter.toDouble / sb.size) >= t
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty)
+    val got = DedupOps.containmentJoin(docs(texts: _*), "doc_id", "text",
+        shingleN = 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"onlyOp=${(got -- expected).take(5)} missed=${(expected -- got).take(5)}")
+  }
+
   test("zipfFit flat corpus (all counts equal) has slope ~ 0") {
     val text = (1 to 30).map(i => f"w$i%02d").mkString(" ")
     val row = TextOps.zipfFit(docs(1L -> text), "text").collect().head
