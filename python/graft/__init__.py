@@ -579,3 +579,14 @@ def zorder_write(df, path, cols, num_files=64, bits_per_dim=16):
     s = df.sparkSession
     _api(s).zOrderWrite(df._jdf, path, cols, int(num_files),
                         int(bits_per_dim))
+
+
+def containment_join(docs, id_col="doc_id", text_col="text", shingle_n=3,
+                     threshold=0.8):
+    """Containment (subset) similarity pairs — finds quote/embedding
+    relationships MinHash-Jaccard banding cannot recall:
+    (id_a, id_b, n_inter, c_a, c_b)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).containmentJoin(docs._jdf, id_col, text_col,
+                                            int(shingle_n),
+                                            float(threshold)))

@@ -398,6 +398,11 @@ object JavaApi {
     graft.operators.Sessionize.eventTransitions(
       events, keyCol, typeCol, tsCol, tieBreak)
 
+  /** Containment (subset) similarity pairs: (id_a, id_b, n_inter, c_a, c_b). */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame =
+    DedupOps.containmentJoin(docs, idCol, textCol, shingleN, threshold)
+
   /** Morton z-value column over numeric dims (bounded stats supplied). */
   def zOrderWrite(df: DataFrame, path: String,
       cols: java.util.List[String], numFiles: Int, bitsPerDim: Int): Unit = {

@@ -432,6 +432,58 @@ object RelationalQueries extends QuerySet {
             THEN value END) AS p90,
           min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
             THEN value END) AS p99
-        FROM r GROUP BY event_type"""))
+        FROM r GROUP BY event_type""")),
+
+    // Funnel latency: per step-transition, exact disc percentiles of the
+    // time-to-convert among users who completed the q74 funnel — the
+    // funnel stage tables composed with the q86 distributed-rank
+    // percentile machinery, one plan.
+    Query("q90_funnel_latency",
+      (s, dir) => {
+        val stages = graft.operators.Sessionize.funnelStages(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              expr("unix_millis(ts)").as("ms")),
+          "user_id", "event_type", "ms",
+          Seq("view", "click", "purchase"), maxGap = Some(86400000L))
+        val done = stages(2) // (user_id, t1, t2, t3)
+        val gaps = done.select(col("user_id"),
+            lit("1_view_to_click").as("step"),
+            (col("t2") - col("t1")).as("gap_ms"))
+          .unionByName(done.select(col("user_id"),
+            lit("2_click_to_purchase").as("step"),
+            (col("t3") - col("t2")).as("gap_ms")))
+        graft.operators.Quantiles.discPercentiles(
+          gaps, "step", "gap_ms", "user_id", Seq(0.5, 0.9))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        v AS (SELECT user_id, min(ms) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(v.t1) AS t1, min(e.ms) AS t2
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ms > v.t1
+            AND e.ms <= v.t1 + 86400000 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(c.t1) AS t1, min(c.t2) AS t2,
+            min(e.ms) AS t3
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ms > c.t2
+            AND e.ms <= c.t2 + 86400000 GROUP BY e.user_id),
+        gaps AS (
+          SELECT user_id, '1_view_to_click' AS step, t2 - t1 AS gap_ms FROM p
+          UNION ALL
+          SELECT user_id, '2_click_to_purchase', t3 - t2 FROM p),
+        r AS (
+          SELECT step, gap_ms,
+            row_number() OVER (
+              PARTITION BY step ORDER BY gap_ms, user_id) AS rn,
+            count(*) OVER (PARTITION BY step) AS n
+          FROM gaps)
+        SELECT step, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+            THEN gap_ms END) AS p50,
+          min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+            THEN gap_ms END) AS p90
+        FROM r GROUP BY step"""))
   )
 }

@@ -42,7 +42,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "globalLineDedup" -> 4, "chunkDocuments" -> 5,
       "collocationsPmi" -> 4, "editDistanceNearDuplicates" -> 4,
       "eventTransitions" -> 5, "discPercentiles" -> 5,
-      "zOrderWrite" -> 5)
+      "zOrderWrite" -> 5, "containmentJoin" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }
