@@ -590,3 +590,55 @@ def containment_join(docs, id_col="doc_id", text_col="text", shingle_n=3,
     return _wrap(s, _api(s).containmentJoin(docs._jdf, id_col, text_col,
                                             int(shingle_n),
                                             float(threshold)))
+
+
+def cms_heavy_hitters(docs, text_col="text", depth=4, width=1024, top_k=20):
+    """Exact top tokens with their count-min sketch point estimates:
+    (token, n_exact, n_est, overcount). The sketch grid is depth x width
+    and merges associatively — the scale path for streaming/huge corpora."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).cmsHeavyHitters(docs._jdf, text_col, int(depth),
+                                            int(width), int(top_k)))
+
+
+def hll_summary(docs, text_col="text", p=10):
+    """HyperLogLog distinct-token summary with an integer-exact estimator
+    (bit-identical at any partitioning): one row of
+    (n_tokens, n_distinct, v_zero, s_q, est_q, err_permille)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).hllSummary(docs._jdf, text_col, int(p)))
+
+
+def bottom_k_sketch(docs, group_col="source", text_col="text", shingle_n=3,
+                    k=256):
+    """Bottom-k shingle-set sketch per group: the k smallest distinct
+    shingle hashes, as rows (group, h, r)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).bottomKSketch(docs._jdf, group_col, text_col,
+                                          int(shingle_n), int(k)))
+
+
+def sketch_overlap(sketches, k=256):
+    """Pairwise corpus-overlap estimates from bottom-k sketches:
+    (grp_a, grp_b, k_used, n_shared, est_jaccard)."""
+    s = sketches.sparkSession
+    return _wrap(s, _api(s).sketchOverlap(sketches._jdf, int(k)))
+
+
+def co_occurrence_edges(incidence, key_col, item_col):
+    """Undirected co-occurrence (market-basket) edges (src, dst) from an
+    incidence list — feeds page_rank."""
+    s = incidence.sparkSession
+    return _wrap(s, _api(s).coOccurrenceEdges(incidence._jdf, key_col,
+                                              item_col))
+
+
+def page_rank(edges, iters=5, scale=1000000000, top_k=None):
+    """Fixed-point integer PageRank over edges(src, dst) — deterministic
+    at any cluster size. Returns (node, rank_q); top_k limits to the k
+    highest-centrality nodes with a deterministic tie-break."""
+    s = edges.sparkSession
+    if top_k is None:
+        return _wrap(s, _api(s).pageRank(edges._jdf, int(iters), int(scale)))
+    return _wrap(s, _api(s).pageRankTopK(edges._jdf, int(iters), int(top_k),
+                                         int(scale)))

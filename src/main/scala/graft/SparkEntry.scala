@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GenomicQueries, PipelineQueries, Query, RelationalQueries}
+import graft.queries.{GenomicQueries, PipelineQueries, Query, RelationalQueries, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{GenomicQueries, PipelineQueries, Query, RelationalQueries}
 object SparkEntry {
 
   def allQueries: Seq[Query] =
-    RelationalQueries.queries ++ GenomicQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ GenomicQueries.queries ++
+      PipelineQueries.queries ++ SketchQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2,8 +2,8 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import graft.model.Alignment
-import graft.operators.{AlignmentOps, CoverageOps, DedupOps, RegionJoins,
-  SamplingOps, Sessionize, SimilarityOps, TextOps}
+import graft.operators.{AlignmentOps, CoverageOps, DedupOps, GraphOps,
+  RegionJoins, SamplingOps, Sessionize, SimilarityOps, SketchOps, TextOps}
 
 /** Java / Python (py4j) facade — the analog of the reference's
   * adam-apis JavaADAMContext + adam-python ds.py surface
@@ -419,4 +419,39 @@ object JavaApi {
     graft.operators.Quantiles.discPercentiles(df, groupCol, valueCol,
       tieBreak, ps.asScala.toSeq.map(_.doubleValue))
   }
+
+  /** Count-min heavy hitters: (token, n_exact, n_est, overcount). */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+      depth: Int, width: Int, topK: Int): DataFrame =
+    SketchOps.cmsHeavyHitters(docs, textCol, depth, width, topK)
+
+  /** One-row HyperLogLog distinct-count summary (integer-exact
+    * estimator): (n_tokens, n_distinct, v_zero, s_q, est_q, err_permille). */
+  def hllSummary(docs: DataFrame, textCol: String, p: Int): DataFrame =
+    SketchOps.hllSummary(docs, textCol, p)
+
+  /** Bottom-k shingle-set sketch rows (group, h, r) per group. */
+  def bottomKSketch(docs: DataFrame, groupCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    SketchOps.bottomKSketch(docs, groupCol, textCol, shingleN, k)
+
+  /** Pairwise set-overlap estimates from bottom-k sketches:
+    * (grp_a, grp_b, k_used, n_shared, est_jaccard). */
+  def sketchOverlap(sketches: DataFrame, k: Int): DataFrame =
+    SketchOps.sketchOverlap(sketches, k)
+
+  /** Undirected co-occurrence (market-basket) edges from an
+    * (key, item) incidence list. */
+  def coOccurrenceEdges(incidence: DataFrame, keyCol: String,
+      itemCol: String): DataFrame =
+    GraphOps.coOccurrenceEdges(incidence, keyCol, itemCol)
+
+  /** Fixed-point integer PageRank over edges(src, dst): (node, rank_q). */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long): DataFrame =
+    GraphOps.pageRank(edges, iters, scale)
+
+  /** Top-k PageRank nodes, (rank desc, node asc) tie-break. */
+  def pageRankTopK(edges: DataFrame, iters: Int, k: Int,
+      scale: Long): DataFrame =
+    GraphOps.pageRankTopK(edges, iters, k, scale)
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames.
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic end to end: ranks are
+  * scaled longs, per-edge contributions are floor divisions, damping is the
+  * exact rational 17/20, and every reduce is a sum of longs — exact and
+  * commutative, so the result is bit-identical at any partition count, any
+  * executor count, and in the DuckDB oracle's unrolled replay. The usual
+  * floating-point PageRank cannot make that promise (FP addition is
+  * order-sensitive), which is why reproducible-pipeline engines quantize
+  * first — same contract as [[ClusteringOps]]' fixed-point k-means.
+  *
+  * Scale design (Pregel-shaped): each iteration is ONE shuffle (the
+  * contribution sum keyed by dst); the edge table is hash-partitioned on
+  * `src` once and persisted, so the per-iteration join against ranks
+  * (also keyed by node = src) reuses co-partitioning; rank lineage is cut
+  * with localCheckpoint per iteration so the plan stays constant-depth
+  * over any iteration count (the q42 connected-components recipe).
+  */
+object GraphOps {
+
+  /** Undirected co-occurrence edges from an (order, item) incidence list:
+    * both directions of every distinct item pair sharing an order. The
+    * classic market-basket graph; self-pairs excluded. */
+  def coOccurrenceEdges(
+      incidence: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    val a = incidence.select(col(keyCol).as("k"), col(itemCol).as("src"))
+    val b = incidence.select(col(keyCol).as("k"), col(itemCol).as("dst"))
+    a.join(b, "k")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** Integer PageRank over directed `edges(src, dst)`.
+    *
+    * rank_0(v) = scale (i.e. 1.0 fixed-point); each iteration:
+    * rank'(v) = (3*scale div 20) + (17 * sum_{u->v} (rank(u) div outdeg(u))) div 20
+    * — the standard per-node formulation with damping 0.85 = 17/20 and
+    * teleport 0.15*scale, all in exact long arithmetic. Callers pick
+    * `scale` so that n_nodes * scale stays far below 2^63/17 (the default
+    * 1e9 supports ~5e8 nodes).
+    *
+    * Every node must have outdegree >= 1 (true for co-occurrence graphs,
+    * where edges are symmetric); dangling-node mass is therefore never
+    * dropped. Output: (node, rank_q). */
+  def pageRank(
+      edges: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst")).repartition(n, col("src")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val nodes = outdeg.select(col("src").as("node")).persist()
+    val teleport = (3L * scale) / 20L
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("rank div deg").as("c"))
+      val msgs = e.join(contrib, "src")
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes
+        .join(msgs, nodes("node") === msgs("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank").as("rank_q"))
+  }
+
+  /** Top-`k` nodes of [[pageRank]] with the deterministic
+    * (rank desc, node asc) tie-break — a TakeOrdered, never a full sort
+    * collect. */
+  def pageRankTopK(edges: DataFrame, iters: Int, k: Int,
+      scale: Long = 1000000000L): DataFrame =
+    pageRank(edges, iters, scale)
+      .orderBy(desc("rank_q"), asc("node"))
+      .limit(k)
+}

@@ -52,6 +52,29 @@ object HashOracleSql {
        |      (acc,code) -> ((xor(acc::UBIGINT,code::UBIGINT))::HUGEINT * $FnvPrime::HUGEINT)
        |                    % $M64)::UBIGINT""".stripMargin
 
+  /** `GOLDEN` as an unsigned SQL literal — for building splitmix64 inputs
+    * `x0 = (h + (j+1)*GOLDEN) mod 2^64` (the finalizer below does NOT add
+    * GOLDEN itself; callers fold the +1 in, mirroring minhashSigCtes). */
+  def goldenU: String = Golden
+
+  /** Generic splitmix64 finalizer as a CTE chain: reads CTE `pre` holding
+    * carried columns `carry` plus `x` (UBIGINT in [0,2^64), already offset
+    * by the appropriate GOLDEN multiples), emits CTE `out` with (`carry`,
+    * `hu` UBIGINT, `h` BIGINT) — the unsigned and signed views of
+    * splitmix64's output. Exactly the xor/multiply chain of
+    * [[graft.operators.DedupOps.splitmix64]]. */
+  def splitmixCtes(pre: String, carry: String, out: String): String = {
+    val c = if (carry.isEmpty) "" else carry + ", "
+    s"""${out}_a1 AS (SELECT ${c}xor(x, x>>30)::HUGEINT AS a FROM $pre),
+       |${out}_m1 AS (SELECT ${c}${mulmod("a", Mix1)} AS x FROM ${out}_a1),
+       |${out}_a2 AS (SELECT ${c}xor(x, x>>27)::HUGEINT AS a FROM ${out}_m1),
+       |${out}_m2 AS (SELECT ${c}${mulmod("a", Mix2)} AS x FROM ${out}_a2),
+       |$out AS (SELECT ${c}xor(x, x>>31) AS hu,
+       |  CASE WHEN xor(x, x>>31) >= 9223372036854775808::UBIGINT
+       |       THEN (xor(x, x>>31)::HUGEINT - $M64)::BIGINT
+       |       ELSE xor(x, x>>31)::BIGINT END AS h FROM ${out}_m2)""".stripMargin
+  }
+
   /** Tokenize + `shingleN`-gram CTEs over `documents` — identical semantics
     * to DedupOps.shingles (lowercase, \\s+ split, short docs collapse to one
     * shingle, empty docs to none), distinct per doc. Emits CTEs `toks`, `sh`. */

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, SketchOps}
+import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
+
+/** Sketch + graph analytics queries (q91+): count-min heavy hitters,
+  * HyperLogLog distinct counting, integer PageRank over the co-purchase
+  * graph, and bottom-k corpus-overlap sketches. Every query carries a full
+  * DuckDB oracle — the sketches are deterministic (shared fnv1a64/splitmix64
+  * hash family, integer-only estimators), so even the "approximate"
+  * estimates hash-match bit-for-bit. */
+object SketchQueries extends QuerySet {
+
+  private val tokCte =
+    """toks AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents)""".stripMargin
+
+  /** One unrolled integer-PageRank iteration (DuckDB): messages keyed by
+    * dst, then teleport + damped sum with the exact 17/20 rational. */
+  private def prIter(i: Int): String =
+    s"""m$i AS (
+       |  SELECT p.dst AS node, sum(r.rank // d.deg) AS s
+       |  FROM pairs p JOIN r${i - 1} r ON p.src = r.node
+       |  JOIN outdeg d ON d.src = p.src
+       |  GROUP BY p.dst),
+       |r$i AS (
+       |  SELECT n.node,
+       |    CAST(150000000 + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN m$i m ON n.node = m.node)""".stripMargin
+
+  def queries: Seq[Query] = Seq(
+
+    // Count-min sketch heavy hitters: exact top-20 tokens joined with
+    // their CMS point estimates (min over 4 rows of a 4x1024 grid). The
+    // estimate is a guaranteed upper bound; `overcount` shows the
+    // collision error the sketch actually incurred at this width.
+    Query("q91_cms_heavy_hitters",
+      (s, dir) => SketchOps.cmsHeavyHitters(
+        t(s, dir, "documents"), "text", depth = 4, width = 1024, topK = 20),
+      Some(s"""WITH $tokCte,
+          |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+          |        FROM toks GROUP BY token),
+          |hb AS (SELECT token, n, ${fnv1a64("token")} AS fh FROM cnt),
+          |x0 AS (SELECT token, n, i,
+          |    ((fh::HUGEINT + ((i::HUGEINT + 1) * $goldenU::HUGEINT) % 18446744073709551616::HUGEINT)
+          |     % 18446744073709551616::HUGEINT)::UBIGINT AS x
+          |  FROM hb, unnest(generate_series(0, 3)) AS t(i)),
+          |${splitmixCtes("x0", "token, n, i", "sm")},
+          |bkt AS (SELECT token, n, i, (hu % 1024)::BIGINT AS bucket FROM sm),
+          |cells AS (SELECT i, bucket, CAST(sum(n) AS BIGINT) AS cell
+          |          FROM bkt GROUP BY i, bucket),
+          |topk AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 20)
+          |SELECT t.token, t.n AS n_exact,
+          |  CAST(min(c.cell) AS BIGINT) AS n_est,
+          |  CAST(min(c.cell) - t.n AS BIGINT) AS overcount
+          |FROM topk t JOIN bkt b ON b.token = t.token
+          |JOIN cells c ON c.i = b.i AND c.bucket = b.bucket
+          |GROUP BY t.token, t.n""".stripMargin)),
+
+    // HyperLogLog distinct count, integer-exact estimator: 1024 registers,
+    // harmonic denominator as the exact integer S = sum 2^(33-M_j), raw
+    // estimate (alphaQ*m*m*8) div S — bit-identical across engines and
+    // partitionings, with the exact distinct count alongside for the
+    // accuracy report.
+    Query("q92_hll_distinct",
+      (s, dir) => SketchOps.hllSummary(t(s, dir, "documents"), "text", p = 10),
+      Some(s"""WITH $tokCte,
+          |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+          |        FROM toks GROUP BY token),
+          |hb AS (SELECT token, n, ${fnv1a64("token")} AS fh FROM cnt),
+          |x0 AS (SELECT token, n,
+          |    ((fh::HUGEINT + $goldenU::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS x
+          |  FROM hb),
+          |${splitmixCtes("x0", "token, n", "sm")},
+          |rr AS (SELECT n, (hu >> 54)::BIGINT AS reg,
+          |    CASE WHEN (hu & 4294967295::UBIGINT) = 0::UBIGINT THEN 33
+          |         ELSE 33 - length(bin(hu & 4294967295::UBIGINT)) END AS rho
+          |  FROM sm),
+          |regs AS (SELECT reg, max(rho) AS mrho,
+          |    CAST(sum(n) AS BIGINT) AS n_toks,
+          |    CAST(count(*) AS BIGINT) AS n_types
+          |  FROM rr GROUP BY reg),
+          |agg AS (SELECT
+          |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+          |    CAST(sum(n_types) AS BIGINT) AS n_distinct,
+          |    1024 - CAST(count(*) AS BIGINT) AS v_zero,
+          |    (1024 - CAST(count(*) AS BIGINT)) * 8589934592 +
+          |      CAST(sum(1::BIGINT << (33 - mrho)) AS BIGINT) AS s_q
+          |  FROM regs)
+          |SELECT n_tokens, n_distinct, v_zero, s_q,
+          |  CAST((${SketchOps.hllAlphaQ(10)}::BIGINT * 1024 * 1024 * 8) // s_q AS BIGINT) AS est_q,
+          |  CAST(abs((${SketchOps.hllAlphaQ(10)}::BIGINT * 1024 * 1024 * 8) // s_q - n_distinct)
+          |    * 1000 // n_distinct AS BIGINT) AS err_permille
+          |FROM agg""".stripMargin)),
+
+    // Integer PageRank over the part co-purchase graph (parts sharing an
+    // order), 5 Pregel iterations, top-100 by centrality. Fixed-point
+    // long arithmetic end to end, so the distributed loop and the oracle's
+    // unrolled recursion agree exactly.
+    Query("q93_copurchase_pagerank",
+      (s, dir) => GraphOps.pageRankTopK(
+        GraphOps.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        iters = 5, k = 100),
+      Some(s"""WITH pairs AS (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |nodes AS (SELECT DISTINCT src AS node FROM pairs),
+          |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |           FROM pairs GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+          |${(1 to 5).map(prIter).mkString(",\n")}
+          |SELECT node, rank AS rank_q FROM r5
+          |ORDER BY rank_q DESC, node LIMIT 100""".stripMargin)),
+
+    // Corpus-overlap matrix between sources from bottom-k shingle
+    // sketches: per source, the 256 smallest distinct shingle hashes; per
+    // source pair, the standard bottom-k Jaccard estimator
+    // |bottomk(A u B) n A n B| / k. The pairwise stage runs on sketch rows
+    // only — the corpus is touched once, however many sources there are.
+    Query("q94_source_overlap_sketch",
+      (s, dir) => SketchOps.sketchOverlap(
+        SketchOps.bottomKSketch(
+          t(s, dir, "documents"), "source", "text", shingleN = 3, k = 256),
+        k = 256),
+      Some(s"""WITH toks AS (
+          |  SELECT source, list_filter(
+          |    string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT source, CASE WHEN len(t) = 0 THEN []
+          |    WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          |    ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |          for i in generate_series(1, len(t)-2)] END AS s
+          |  FROM toks),
+          |ex AS (SELECT DISTINCT source, unnest(s) AS tok FROM sh),
+          |hb AS (SELECT source, ${fnv1a64("tok")} AS fh FROM ex),
+          |x0 AS (SELECT source,
+          |    ((fh::HUGEINT + $goldenU::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS x
+          |  FROM hb),
+          |${splitmixCtes("x0", "source", "sm")},
+          |dsk AS (SELECT DISTINCT source, h FROM sm),
+          |rk AS (SELECT source, h,
+          |    row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM dsk),
+          |sk AS (SELECT source, h FROM rk WHERE r <= 256),
+          |pairs AS (
+          |  SELECT a.source AS grp_a, b.source AS grp_b
+          |  FROM (SELECT DISTINCT source FROM sk) a,
+          |       (SELECT DISTINCT source FROM sk) b
+          |  WHERE a.source < b.source),
+          |pr AS (
+          |  SELECT p.grp_a, p.grp_b, s.h, count(*) AS c
+          |  FROM pairs p JOIN sk s ON s.source = p.grp_a OR s.source = p.grp_b
+          |  GROUP BY p.grp_a, p.grp_b, s.h),
+          |urk AS (SELECT grp_a, grp_b, h, c = 2 AS in_both,
+          |    row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS r
+          |  FROM pr)
+          |SELECT grp_a, grp_b,
+          |  CAST(count(*) AS BIGINT) AS k_used,
+          |  CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          |  CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          |    AS est_jaccard
+          |FROM urk WHERE r <= 256
+          |GROUP BY grp_a, grp_b""".stripMargin))
+  )
+}

@@ -554,6 +554,63 @@ object Cli {
           fv("-files", "64").toInt, fv("-bits", "16").toInt)
         println(s"zorder: wrote $out")
 
+      // heavyHitters <in.parquet> <out.parquet> [-text c] [-depth n]
+      //   [-width n] [-top n] — exact top tokens + count-min estimates
+      case "heavyHitters" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SketchOps.cmsHeavyHitters(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-depth", "4").toInt, fv("-width", "1024").toInt,
+            fv("-top", "20").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"heavyHitters: wrote $out")
+
+      // hll <in.parquet> <out.parquet> [-text c] [-p n] — HyperLogLog
+      //   distinct-count summary (integer-exact estimator)
+      case "hll" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SketchOps.hllSummary(
+            spark.read.parquet(in), fv("-text", "text"), fv("-p", "10").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"hll: wrote $out")
+
+      // sourceOverlap <in.parquet> <out.parquet> [-group c] [-text c]
+      //   [-n shingleN] [-k n] — pairwise corpus overlap via bottom-k sketches
+      case "sourceOverlap" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val k = fv("-k", "256").toInt
+        graft.operators.SketchOps.sketchOverlap(
+            graft.operators.SketchOps.bottomKSketch(
+              spark.read.parquet(in), fv("-group", "source"),
+              fv("-text", "text"), fv("-n", "3").toInt, k), k)
+          .write.mode("overwrite").parquet(out)
+        println(s"sourceOverlap: wrote $out")
+
+      // pagerank <edges.parquet> <out.parquet> [-iters n] [-top n]
+      //   [-scale n] — fixed-point integer PageRank over (src, dst)
+      case "pagerank" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val edges = spark.read.parquet(in)
+        val iters = fv("-iters", "5").toInt
+        val scale = fv("-scale", "1000000000").toLong
+        val top = fv("-top", "0").toInt
+        (if (top > 0) graft.operators.GraphOps.pageRankTopK(edges, iters, top, scale)
+         else graft.operators.GraphOps.pageRank(edges, iters, scale))
+          .write.mode("overwrite").parquet(out)
+        println(s"pagerank: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -574,7 +631,11 @@ object Cli {
           "\n  collocations <in.parquet> <out.parquet> [-text c] [-minCount n] [-k n]" +
           "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-tie c]" +
           "\n  percentiles <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-ps p,...]" +
-          "\n  zorder <in.parquet> <out.parquet> -cols a,b [-files n] [-bits n]")
+          "\n  zorder <in.parquet> <out.parquet> -cols a,b [-files n] [-bits n]" +
+          "\n  heavyHitters <in.parquet> <out.parquet> [-text c] [-depth n] [-width n] [-top n]" +
+          "\n  hll <in.parquet> <out.parquet> [-text c] [-p n]" +
+          "\n  sourceOverlap <in.parquet> <out.parquet> [-group c] [-text c] [-n shingleN] [-k n]" +
+          "\n  pagerank <edges.parquet> <out.parquet> [-iters n] [-top n] [-scale n]")
         sys.exit(2)
     }
   }

@@ -42,7 +42,10 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "globalLineDedup" -> 4, "chunkDocuments" -> 5,
       "collocationsPmi" -> 4, "editDistanceNearDuplicates" -> 4,
       "eventTransitions" -> 5, "discPercentiles" -> 5,
-      "zOrderWrite" -> 5, "containmentJoin" -> 5)
+      "zOrderWrite" -> 5, "containmentJoin" -> 5,
+      "cmsHeavyHitters" -> 5, "hllSummary" -> 3, "bottomKSketch" -> 5,
+      "sketchOverlap" -> 2, "coOccurrenceEdges" -> 3, "pageRank" -> 3,
+      "pageRankTopK" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }
@@ -53,7 +56,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       java.nio.file.Paths.get("python/graft/__init__.py")), "UTF-8")
     Seq("loadAlignments", "minhashNearDuplicatesAgainst", "lshTopKAgainst",
       "cosineNearDuplicates", "packTokenSpans", "stratifiedSample",
-      "extractAudioFeatures").foreach { m =>
+      "extractAudioFeatures", "cmsHeavyHitters", "hllSummary",
+      "pageRankTopK", "sketchOverlap").foreach { m =>
       assert(src.contains(m), s"python wrapper no longer calls $m")
     }
   }

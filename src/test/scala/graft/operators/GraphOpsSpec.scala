@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+
+  /** Driver-side replay of the exact integer-PageRank recurrence — the
+    * distributed loop must match it value-for-value. */
+  private def referencePageRank(
+      edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = 3L * scale / 20L
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until iters) {
+      val msgs = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case (s, d) =>
+        msgs(d) = msgs.getOrElse(d, 0L) + rank(s) / outdeg(s)
+      }
+      rank = nodes.map(n => n -> (teleport + 17L * msgs.getOrElse(n, 0L) / 20L)).toMap
+    }
+    rank
+  }
+
+  private def toDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  test("pageRank equals the driver-side integer replay on a ring + chords") {
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val chords = Seq((0L, 6L), (3L, 9L), (6L, 0L), (9L, 3L), (1L, 0L), (5L, 0L))
+    val edges = ring ++ chords
+    val got = GraphOps.pageRank(toDf(edges), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referencePageRank(edges, 5, 1000000000L))
+  }
+
+  test("star graph: the hub out-ranks every spoke") {
+    // undirected star: hub 0 <-> spokes 1..8
+    val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val ranks = GraphOps.pageRank(toDf(edges), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = ranks(0L)
+    (1L to 8L).foreach(i => assert(hub > ranks(i)))
+    assert(got6Digits(ranks), "every rank positive and bounded")
+    def got6Digits(m: Map[Long, Long]): Boolean =
+      m.values.forall(v => v > 0L && v < 9L * 1000000000L)
+  }
+
+  test("pageRank is bit-identical at any partition count") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), ((i * 7 + 1) % 40, i)))
+    val a = GraphOps.pageRank(toDf(edges), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = GraphOps.pageRank(toDf(edges).repartition(13), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("coOccurrenceEdges: distinct symmetric pairs, no self-loops") {
+    import spark.implicits._
+    val inc = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), // dup item in same basket
+      (2L, 10L), (2L, 13L),
+      (3L, 14L)) // singleton basket -> no edges
+      .toDF("basket", "item")
+    val got = GraphOps.coOccurrenceEdges(inc, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(
+      (10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L), (11L, 12L), (12L, 11L),
+      (10L, 13L), (13L, 10L))
+    assert(got === expected)
+  }
+
+  test("pageRankTopK: deterministic (rank desc, node asc) prefix") {
+    val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val top = GraphOps.pageRankTopK(toDf(edges), iters = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = GraphOps.pageRank(toDf(edges), iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (n, rq) => (-rq, n) }
+    assert(top.toSeq === all.take(3).toSeq)
+  }
+}
