@@ -642,3 +642,18 @@ def page_rank(edges, iters=5, scale=1000000000, top_k=None):
         return _wrap(s, _api(s).pageRank(edges._jdf, int(iters), int(scale)))
     return _wrap(s, _api(s).pageRankTopK(edges._jdf, int(iters), int(top_k),
                                          int(scale)))
+
+
+def image_dhash(media):
+    """Perceptual hash table (media_id, dhash) from real BMP decode —
+    the persistable index for image near-dup at corpus scale."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).imageDHash(media._jdf))
+
+
+def image_near_duplicates(media, max_dist=3, bands=4):
+    """Image near-duplicate pairs (id_a, id_b, dist) by banded Hamming
+    distance over dHash; complete for dist < bands by pigeonhole."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).imageNearDuplicates(media._jdf, int(max_dist),
+                                                int(bands)))

@@ -454,4 +454,14 @@ object JavaApi {
   def pageRankTopK(edges: DataFrame, iters: Int, k: Int,
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
+
+  /** Perceptual image hash table (media_id, dhash) via REAL BMP decode. */
+  def imageDHash(media: DataFrame): DataFrame =
+    graft.operators.MultimodalOps.imageDHash(media)
+
+  /** Image near-dup pairs (id_a, id_b, dist) by banded Hamming over
+    * dHash — pigeonhole-complete for dist < bands. */
+  def imageNearDuplicates(media: DataFrame, maxDist: Int,
+      bands: Int): DataFrame =
+    graft.operators.MultimodalOps.imageNearDuplicates(media, maxDist, bands)
 }

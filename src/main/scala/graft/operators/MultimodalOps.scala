@@ -34,6 +34,9 @@ case class AudioFeatureRow(
 case class ImageStatsRow(
     media_id: Long, bin: Int, bin_count: Long, n_px: Long, sum_gray: Long)
 
+/** Output row of [[MultimodalOps.imageDHash]] — a 64-bit perceptual key. */
+case class DHashRow(media_id: Long, dhash: Long)
+
 /** Output row of [[MultimodalOps.audioStats]] (one per full window);
   * all-integer so oracles replay it exactly. */
 case class AudioStatsRow(
@@ -321,6 +324,86 @@ object MultimodalOps {
           }
         }
       }.toDF()
+  }
+
+  /** Difference hash (dHash) of one decoded grayscale image: box-average
+    * the pixels onto a `gridW` x `gridH` grid (integer box sums, floor
+    * division — pixel (r,c) belongs to box (r*gridH/h, c*gridW/w)), then
+    * one bit per horizontally adjacent cell pair: bit = left > right,
+    * packed row-major into a 64-bit value. Pure integer arithmetic so an
+    * external oracle replays it exactly; brightness shifts cancel (both
+    * sides of every comparison move together) — the property that makes
+    * dHash a perceptual near-dup key rather than an exact checksum. */
+  def dhashOf(w: Int, h: Int, gray: Array[Int],
+      gridW: Int = 9, gridH: Int = 8): Long = {
+    val sums = Array.ofDim[Long](gridH, gridW)
+    val counts = Array.ofDim[Long](gridH, gridW)
+    var i = 0
+    while (i < gray.length) {
+      val br = (i / w) * gridH / h
+      val bc = (i % w) * gridW / w
+      sums(br)(bc) += gray(i)
+      counts(br)(bc) += 1
+      i += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < gridH) {
+      var c = 0
+      while (c < gridW - 1) {
+        val a = if (counts(r)(c) == 0) 0L else sums(r)(c) / counts(r)(c)
+        val b = if (counts(r)(c + 1) == 0) 0L else sums(r)(c + 1) / counts(r)(c + 1)
+        if (a > b) hash |= 1L << (r * (gridW - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hash table (media_id, dhash) from REAL BMP
+    * decode — the persistable index for image near-dup at corpus scale
+    * (embarrassingly parallel; one shuffle nowhere). */
+  def imageDHash(media: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[DHashRow] =
+      Encoders.product[DHashRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val img = graft.sources.Bmp.decode(r.getAs[Array[Byte]](1))
+          DHashRow(r.getLong(0), dhashOf(img.width, img.height, img.gray))
+        }
+      }.toDF()
+  }
+
+  /** Image near-duplicate pairs by Hamming distance over dHash:
+    * (id_a, id_b, dist <= maxDist). The hash is split into `bands`
+    * equal bit-bands; candidates must share at least one band
+    * (pigeonhole: complete for maxDist < bands), then verified with an
+    * exact popcount — never an all-pairs comparison, so the shuffle is
+    * keyed by (band, value) buckets exactly like the MinHash family. */
+  def imageNearDuplicates(
+      media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "pigeonhole recall needs maxDist < bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val hashes = imageDHash(media).persist()
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("media_id").as("id_a"), col("dhash").as("ha")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"), col("dhash").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 
   /** Helper: split a binary column into n roughly equal slices. */

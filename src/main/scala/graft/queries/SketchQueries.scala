@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{GraphOps, SketchOps}
+import graft.operators.{GraphOps, MultimodalOps, SketchOps}
 import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
 
 /** Sketch + graph analytics queries (q91+): count-min heavy hitters,
@@ -30,6 +30,56 @@ object SketchQueries extends QuerySet {
        |  SELECT n.node,
        |    CAST(150000000 + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS rank
        |  FROM nodes n LEFT JOIN m$i m ON n.node = m.node)""".stripMargin
+
+  /** Deterministic BMP corpus with planted near-duplicates: docs with
+    * doc_id % 4 == 1 re-encode their predecessor's pixels shifted +3 in
+    * brightness (dHash-invariant), everything else is unique. The same
+    * pixel formula replays in SQL, and the REAL Bmp encode->decode round
+    * trip sits in the middle — same proof shape as q52. */
+  private def dhashMediaUdf = udf { id: Long =>
+    val eid = if (id % 4 == 1) id - 1 else id
+    val shift = if (id % 4 == 1) 3 else 0
+    val w = (16 + eid % 9).toInt
+    val h = (16 + eid % 7).toInt
+    val px = Array.tabulate(w * h)(i => ((eid * 31 + i * 7) % 250 + shift).toInt)
+    graft.sources.Bmp.encode(w, h, px)
+  }
+
+  /** DuckDB replay of pixel-gen -> 9x8 box-average -> dHash bit packing
+    * (CTE `dh(media_id, dhash, hu)`): pure integer floor arithmetic,
+    * bit-exact vs [[MultimodalOps.dhashOf]] over the decoded image. */
+  private val dhashCtes: String =
+    """ids AS (SELECT doc_id,
+      |    doc_id - CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS eid,
+      |    CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END AS shift
+      |  FROM documents),
+      |dims AS (SELECT doc_id, eid, shift,
+      |    CAST(16 + eid % 9 AS BIGINT) AS w, CAST(16 + eid % 7 AS BIGINT) AS h
+      |  FROM ids),
+      |px AS (SELECT doc_id, w, h, shift, eid,
+      |    unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM dims),
+      |pg AS (SELECT doc_id, (i // w) * 8 // h AS br, (i % w) * 9 // w AS bc,
+      |    (eid * 31 + i * 7) % 250 + shift AS g
+      |  FROM px),
+      |cells AS (SELECT doc_id, br, bc,
+      |    CAST(sum(g) // count(*) AS BIGINT) AS cell
+      |  FROM pg GROUP BY doc_id, br, bc),
+      |bits AS (SELECT a.doc_id, a.br, a.bc,
+      |    CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1),
+      |hsh AS (SELECT doc_id AS media_id,
+      |    CAST(sum(CASE WHEN bit = 1
+      |      THEN (1::UBIGINT << (br * 8 + bc))::HUGEINT
+      |      ELSE 0::HUGEINT END) AS HUGEINT) AS hu
+      |  FROM bits GROUP BY doc_id),
+      |dh AS (SELECT media_id,
+      |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+      |         ELSE hu::BIGINT END AS dhash,
+      |    hu::UBIGINT AS hu
+      |  FROM hsh)""".stripMargin
 
   def queries: Seq[Query] = Seq(
 
@@ -165,6 +215,34 @@ object SketchQueries extends QuerySet {
           |  CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
           |    AS est_jaccard
           |FROM urk WHERE r <= 256
-          |GROUP BY grp_a, grp_b""".stripMargin))
+          |GROUP BY grp_a, grp_b""".stripMargin)),
+
+    // Perceptual image hashing through the REAL BMP codec: Spark encodes
+    // deterministic pixel grids as BMP payloads, decodes them back, and
+    // computes the 9x8 dHash; the oracle replays the pixel formula and the
+    // integer box-average/bit-pack directly — a codec or hash defect
+    // flips bits.
+    Query("q95_image_dhash",
+      (s, dir) => MultimodalOps.imageDHash(
+        t(s, dir, "documents").select(col("doc_id").as("media_id"),
+          dhashMediaUdf(col("doc_id")).as("payload"))),
+      Some(s"""WITH $dhashCtes
+          |SELECT media_id, dhash FROM dh""".stripMargin)),
+
+    // Image near-dup pairs by Hamming distance over dHash, banded
+    // (4 x 16-bit bands; pigeonhole-complete for dist <= 3) then verified
+    // with exact popcount. Planted duplicates (brightness-shifted
+    // re-encodes) must come out at dist 0; the oracle brute-forces all
+    // pairs, so banding recall is proven, not assumed.
+    Query("q96_image_neardup",
+      (s, dir) => MultimodalOps.imageNearDuplicates(
+        t(s, dir, "documents").select(col("doc_id").as("media_id"),
+          dhashMediaUdf(col("doc_id")).as("payload")),
+        maxDist = 3, bands = 4),
+      Some(s"""WITH $dhashCtes
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  CAST(bit_count(xor(a.hu, b.hu)) AS INTEGER) AS dist
+          |FROM dh a JOIN dh b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin))
   )
 }

@@ -595,6 +595,19 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"sourceOverlap: wrote $out")
 
+      // imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]
+      //   — perceptual near-dup pairs over (media_id, payload) BMP rows
+      case "imageDedup" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.MultimodalOps.imageNearDuplicates(
+            spark.read.parquet(in),
+            fv("-maxDist", "3").toInt, fv("-bands", "4").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"imageDedup: wrote $out")
+
       // pagerank <edges.parquet> <out.parquet> [-iters n] [-top n]
       //   [-scale n] — fixed-point integer PageRank over (src, dst)
       case "pagerank" :: in :: out :: rest =>
@@ -635,7 +648,8 @@ object Cli {
           "\n  heavyHitters <in.parquet> <out.parquet> [-text c] [-depth n] [-width n] [-top n]" +
           "\n  hll <in.parquet> <out.parquet> [-text c] [-p n]" +
           "\n  sourceOverlap <in.parquet> <out.parquet> [-group c] [-text c] [-n shingleN] [-k n]" +
-          "\n  pagerank <edges.parquet> <out.parquet> [-iters n] [-top n] [-scale n]")
+          "\n  pagerank <edges.parquet> <out.parquet> [-iters n] [-top n] [-scale n]" +
+          "\n  imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]")
         sys.exit(2)
     }
   }

@@ -156,4 +156,59 @@ class MultimodalOpsSpec extends SparkSpec {
       windowSamples = 32, hopSamples = 16)
     assert(none.count() == 0)
   }
+
+  test("dhashOf: brightness shifts cancel, content changes flip bits") {
+    val w = 20; val h = 17
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 240)
+    val base = MultimodalOps.dhashOf(w, h, px)
+    // +7 uniform brightness: every box mean moves together -> same hash
+    assert(MultimodalOps.dhashOf(w, h, px.map(_ + 7)) === base)
+    // structural change (invert a vertical stripe) -> different hash
+    val edited = px.zipWithIndex.map { case (p, i) =>
+      if (i % w < 4) 255 - p else p
+    }
+    assert(MultimodalOps.dhashOf(w, h, edited) !== base)
+  }
+
+  test("imageDHash: encode->decode round trip preserves the hash") {
+    import spark.implicits._
+    val imgs = (0L until 12L).map { id =>
+      val w = (16 + id % 5).toInt; val h = (16 + id % 3).toInt
+      val px = Array.tabulate(w * h)(i => ((id * 13 + i * 7) % 256).toInt)
+      (id, w, h, px)
+    }
+    val media = imgs.map { case (id, w, h, px) =>
+      (id, graft.sources.Bmp.encode(w, h, px))
+    }.toDF("media_id", "payload")
+    val got = MultimodalOps.imageDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    imgs.foreach { case (id, w, h, px) =>
+      assert(got(id) === MultimodalOps.dhashOf(w, h, px), s"id=$id")
+    }
+  }
+
+  test("imageNearDuplicates equals brute-force Hamming over the hash table") {
+    import spark.implicits._
+    // 8 base patterns x 8 brightness-shifted clones -> lots of dist-0
+    // pairs, plus whatever incidental near-collisions exist; the banded
+    // join must find exactly what brute force finds.
+    val media = (0L until 64L).map { id =>
+      val base = id % 8
+      val w = (16 + base % 5).toInt; val h = (16 + base % 3).toInt
+      val shift = (id / 8).toInt // 0..7 uniform brightness
+      val px = Array.tabulate(w * h)(i => ((base * 13 + i * 7) % 240 + shift).toInt)
+      (id, graft.sources.Bmp.encode(w, h, px))
+    }.toDF("media_id", "payload")
+    val got = MultimodalOps.imageNearDuplicates(media, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = MultimodalOps.imageDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ref = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === ref)
+    // the 8 clones of each base must all pair at distance 0
+    assert(ref.count(_._3 == 0) >= 8 * 8 * 7 / 2)
+  }
 }
