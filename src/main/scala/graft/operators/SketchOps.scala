@@ -39,7 +39,7 @@ object SketchOps {
   /** Row-`i` bucket of `token`: `splitmix64(fnv1a64(token) + i*GOLDEN)`
     * taken unsigned mod `width` — the same per-row hash family as MinHash
     * permutations, so the oracle replays it with the shared SQL chain. */
-  private def cmsBucketsUdf(depth: Int, width: Int) = udf { token: String =>
+  private[graft] def cmsBucketsUdf(depth: Int, width: Int) = udf { token: String =>
     val base = DedupOps.fnv1a64(if (token == null) "" else token)
     Array.tabulate(depth) { i =>
       java.lang.Long.remainderUnsigned(
@@ -97,7 +97,7 @@ object SketchOps {
     * set bit in the low 32-bit window (1-based from the MSB), 33 if the
     * window is all zeros. The 32-bit window keeps the oracle's
     * `length(bin(w))` replay integer-exact. */
-  private def hllRegUdf(p: Int) = udf { token: String =>
+  private[graft] def hllRegUdf(p: Int) = udf { token: String =>
     val h = DedupOps.splitmix64(
       DedupOps.fnv1a64(if (token == null) "" else token))
     val reg = (h >>> (64 - p)).toInt

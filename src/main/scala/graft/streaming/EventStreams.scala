@@ -314,4 +314,39 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming count-min sketch: the depth x width grid maintained as a
+    * plain streaming aggregation. The sketch IS the state — at most
+    * depth*width rows forever, no watermark needed, and because the grid
+    * merges associatively the micro-batch partial aggregation is exactly
+    * the batch map-side combine. Drained over the same rows it equals
+    * [[graft.operators.SketchOps.countMinCells]] cell-for-cell (proven in
+    * StreamingSpec). Run in update/complete output mode. */
+  def streamingCountMin(
+      docs: DataFrame, textCol: String = "text",
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    docs
+      .select(explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("token"))
+      .select(posexplode(
+        graft.operators.SketchOps.cmsBucketsUdf(depth, width)(col("token")))
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket")
+      .agg(count(lit(1)).as("cell"))
+
+  /** Streaming HyperLogLog registers: max(rho) per register as a streaming
+    * aggregation — at most 2^p state rows forever (max is the canonical
+    * mergeable-sketch reduce). Equals
+    * [[graft.operators.SketchOps.hllRegisters]]' (reg, mrho) projection
+    * when drained over the same rows; feed the result to the batch
+    * summary formula for the live distinct estimate. */
+  def streamingHllRegisters(
+      docs: DataFrame, textCol: String = "text", p: Int = 10): DataFrame =
+    docs
+      .select(explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("token"))
+      .select(graft.operators.SketchOps.hllRegUdf(p)(col("token")).as("rr"))
+      .select(col("rr._1").as("reg"), col("rr._2").as("rho"))
+      .groupBy("reg")
+      .agg(max("rho").as("mrho"))
 }

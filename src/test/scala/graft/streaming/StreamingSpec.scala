@@ -487,4 +487,54 @@ class StreamingSpec extends SparkSpec {
         s"onlyStream=${(got -- want).take(3)} onlyBatch=${(want -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming count-min grid equals the batch sketch when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (0 until 40).map(i => s"alpha tok${i % 11} beta tok${i % 5}")
+    val input = MemoryStream[String]
+    val q = EventStreams.streamingCountMin(
+        input.toDF().toDF("text"), "text", depth = 3, width = 32)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the grid must merge across them
+      input.addData(texts.take(15): _*)
+      q.processAllAvailable()
+      input.addData(texts.drop(15): _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.SketchOps.countMinCells(
+          graft.operators.SketchOps.tokenCounts(
+            texts.toDF("text"), "text"), depth = 3, width = 32)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("streaming HLL registers equal the batch registers when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (0 until 60).map(i => s"w${i % 23} x${(i * 3) % 17} shared")
+    val input = MemoryStream[String]
+    val q = EventStreams.streamingHllRegisters(
+        input.toDF().toDF("text"), "text", p = 6)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(texts.take(20): _*)
+      q.processAllAvailable()
+      input.addData(texts.drop(20): _*)
+      q.processAllAvailable()
+      val got = spark.table("hll_stream")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val batch = graft.operators.SketchOps.hllRegisters(
+          graft.operators.SketchOps.tokenCounts(texts.toDF("text"), "text"),
+          p = 6)
+        .select("reg", "mrho")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
