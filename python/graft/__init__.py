@@ -657,3 +657,19 @@ def image_near_duplicates(media, max_dist=3, bands=4):
     s = media.sparkSession
     return _wrap(s, _api(s).imageNearDuplicates(media._jdf, int(max_dist),
                                                 int(bands)))
+
+
+def pca_axis(corpus, vec_col="embedding", iters=10):
+    """Top principal axis of an embedding column as (d, axis_q) — fixed-
+    point power iteration, bit-identical at any partitioning."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).pcaAxis(corpus._jdf, vec_col, int(iters)))
+
+
+def pca_label_projection(corpus, vec_col="embedding", label_col="label",
+                         iters=10):
+    """Per-label separation along the top principal component:
+    (label, n, mean_proj_q, min_proj, max_proj)."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).pcaLabelProjection(corpus._jdf, vec_col,
+                                               label_col, int(iters)))

@@ -455,6 +455,18 @@ object JavaApi {
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
 
+  /** Top principal axis of an embedding column as (d, axis_q) — fixed
+    * point, bit-identical at any partitioning. */
+  def pcaAxis(corpus: DataFrame, vecCol: String, iters: Int): DataFrame =
+    graft.operators.ClusteringOps.pcaAxis(corpus, vecCol, iters)
+
+  /** Per-label separation along PC1:
+    * (label, n, mean_proj_q, min_proj, max_proj). */
+  def pcaLabelProjection(corpus: DataFrame, vecCol: String,
+      labelCol: String, iters: Int): DataFrame =
+    graft.operators.ClusteringOps.pcaLabelProjection(
+      corpus, vecCol, labelCol, iters)
+
   /** Perceptual image hash table (media_id, dhash) via REAL BMP decode. */
   def imageDHash(media: DataFrame): DataFrame =
     graft.operators.MultimodalOps.imageDHash(media)

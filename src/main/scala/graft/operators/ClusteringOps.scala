@@ -120,4 +120,141 @@ object ClusteringOps {
   def centroidsAsFloat(centroids: DataFrame, scale: Long = DefaultScale): DataFrame =
     centroids.select(col("ci"),
       transform(col("cqvec"), x => (x.cast("double") / scale).cast("float")).as("cvec"))
+
+  // ------------------- fixed-point PCA (power iteration) -------------------
+
+  /** Quantization for the PCA path: coarser than k-means (2^10) because
+    * Gram entries accumulate n * qc^2 — at 1e12 rows this budget keeps the
+    * matrix inside Long; the axis direction only needs ~3 digits. */
+  val PcaScale: Long = 1L << 10
+
+  /** Normalization magnitude of the iterated eigenvector (2^16). */
+  val PcaVScale: Long = 1L << 16
+
+  /** Centered fixed-point quantization + the integer Gram matrix of a
+    * vector column, all exact: mean_q[d] = sum(qx_d) / n with TRUNCATING
+    * division (toward zero) — the shared semantics of Scala Long `/`,
+    * Spark `div` and DuckDB `//`, so negative sums divide identically in
+    * every engine; G[a][b] = sum (qx_a - mean_a)(qx_b - mean_b).
+    *
+    * Scale shape: per-partition partial Gram via mapPartitions (a dim x dim
+    * long array per partition, the map-side combine of a dim^2-cell
+    * aggregation), one shuffle of dim^2 cells, one bounded dim^2 collect —
+    * the k-means bounded-collect contract at k = dim. */
+  def gramMatrix(
+      corpus: DataFrame, vec: String = "embedding",
+      scale: Long = PcaScale): (Array[Long], Array[Array[Long]], Long) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus.select(quantize(col(vec), scale).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (sums, n) = q.select(posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("d").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .foldLeft((Map.empty[Int, Long], 0L)) { case ((m, _), r) =>
+          (m + (r.getInt(0) -> r.getLong(1)), r.getLong(2))
+        }
+      val dim = sums.size
+      val mean = Array.tabulate(dim)(d => sums(d) / n)
+      val meanBc = spark.sparkContext.broadcast(mean)
+      val cells = q.mapPartitions { rows =>
+        val m = meanBc.value
+        val d = m.length
+        val acc = new Array[Long](d * d)
+        rows.foreach { r =>
+          val qv = r.getSeq[Long](0)
+          val c = Array.tabulate(d)(i => qv(i) - m(i))
+          var a = 0
+          while (a < d) {
+            var b = 0
+            while (b < d) { acc(a * d + b) += c(a) * c(b); b += 1 }
+            a += 1
+          }
+        }
+        (0 until d * d).iterator.filter(acc(_) != 0L)
+          .map(i => (i / d, i % d, acc(i)))
+      }.toDF("a", "b", "s")
+        .groupBy("a", "b").agg(sum("s").as("g"))
+        .collect()
+      val g = Array.ofDim[Long](dim, dim)
+      cells.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      (mean, g, n)
+    } finally q.unpersist()
+  }
+
+  /** Top principal axis of the integer Gram matrix by fixed-point power
+    * iteration — pure long arithmetic, so the driver loop and the oracle's
+    * unrolled SQL agree exactly: v0 = vscale * (1,1,...,1) — the all-ones
+    * start, which unlike a basis vector is never an exact minor
+    * eigenvector of a centered Gram matrix in practice; each step w = G v,
+    * v' = w / max(max|w| / vscale, 1) with TRUNCATING division (the
+    * Scala-Long / Spark-div / DuckDB-// shared semantics); sign fixed so
+    * the first nonzero component is positive. */
+  def powerIteration(
+      g: Array[Array[Long]], iters: Int = 10,
+      vscale: Long = PcaVScale): Array[Long] = {
+    val dim = g.length
+    var v = Array.fill(dim)(vscale)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val m = w.map(math.abs).max
+      val div = math.max(m / vscale, 1L)
+      v = w.map(_ / div)
+    }
+    val firstNz = v.indexWhere(_ != 0L)
+    if (firstNz >= 0 && v(firstNz) < 0L) v.map(-_) else v
+  }
+
+  /** Per-label separation along the top principal component:
+    * (label, n, mean_proj_q, min_proj, max_proj) with
+    * proj = sum_d (qx_d - mean_d) * axis_d — the classic "do my labels
+    * separate linearly?" embedding diagnostic, exact integers end to end
+    * (mean_proj truncating-divided). One narrow projection pass after the
+    * bounded Gram collect; nothing grows with dim^2 on the cluster side. */
+  def pcaLabelProjection(
+      corpus: DataFrame, vec: String = "embedding", labelCol: String = "label",
+      iters: Int = 10, scale: Long = PcaScale,
+      vscale: Long = PcaVScale): DataFrame = {
+    val (mean, g, _) = gramMatrix(corpus, vec, scale)
+    val axis = powerIteration(g, iters, vscale)
+    val meanBc = corpus.sparkSession.sparkContext.broadcast(mean)
+    val axisBc = corpus.sparkSession.sparkContext.broadcast(axis)
+    val projUdf = udf { qv: Seq[Long] =>
+      val m = meanBc.value
+      val a = axisBc.value
+      var s = 0L
+      var i = 0
+      while (i < a.length) { s += (qv(i) - m(i)) * a(i); i += 1 }
+      s
+    }
+    corpus
+      .select(col(labelCol).as("label"),
+        projUdf(quantize(col(vec), scale)).as("p"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("p").as("sp"),
+        min("p").as("min_proj"), max("p").as("max_proj"))
+      .select(col("label"), col("n"),
+        // `div` truncates toward zero — the same semantics as DuckDB's
+        // `//` (verified: -121 // 50 = -2), so negative sums agree
+        expr("sp div n").as("mean_proj_q"),
+        col("min_proj"), col("max_proj"))
+  }
+
+  /** The fitted top principal axis as a table (d, axis_q) — persistable,
+    * so one fit serves any number of projection passes. */
+  def pcaAxis(
+      corpus: DataFrame, vec: String = "embedding", iters: Int = 10,
+      scale: Long = PcaScale, vscale: Long = PcaVScale): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (_, g, _) = gramMatrix(corpus, vec, scale)
+    powerIteration(g, iters, vscale).zipWithIndex
+      .map { case (v, d) => (d, v) }.toSeq.toDF("d", "axis_q")
+  }
 }

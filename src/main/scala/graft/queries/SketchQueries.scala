@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{GraphOps, MultimodalOps, SketchOps}
+import graft.operators.{ClusteringOps, GraphOps, MultimodalOps, SketchOps}
 import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
 
 /** Sketch + graph analytics queries (q91+): count-min heavy hitters,
@@ -80,6 +80,22 @@ object SketchQueries extends QuerySet {
       |         ELSE hu::BIGINT END AS dhash,
       |    hu::UBIGINT AS hu
       |  FROM hsh)""".stripMargin
+
+  /** One unrolled fixed-point power-iteration step (DuckDB): w = G v,
+    * then renormalize by max|w| / 2^16 — both divisions TRUNCATE toward
+    * zero (DuckDB `//` semantics, verified -121 // 50 = -2), matching
+    * [[ClusteringOps.powerIteration]]'s Scala Long division exactly.
+    * MATERIALIZED is load-bearing: each w$k is referenced twice (main
+    * scan + the max-abs scalar subquery), and with DuckDB's default CTE
+    * inlining the doubly-referenced chain re-evaluates the whole upstream
+    * pipeline per reference — 2^iters blowup. */
+  private def pcaIter(k: Int): String =
+    s"""w$k AS MATERIALIZED (SELECT g.ia AS i, sum(g.gv * v.v) AS w
+       |  FROM g JOIN v${k - 1} v ON g.ib = v.i GROUP BY g.ia),
+       |v$k AS (SELECT i,
+       |  CAST(w // greatest((SELECT max(abs(w)) FROM w$k) // 65536, 1)
+       |    AS BIGINT) AS v
+       |  FROM w$k)""".stripMargin
 
   def queries: Seq[Query] = Seq(
 
@@ -243,6 +259,43 @@ object SketchQueries extends QuerySet {
           |SELECT a.media_id AS id_a, b.media_id AS id_b,
           |  CAST(bit_count(xor(a.hu, b.hu)) AS INTEGER) AS dist
           |FROM dh a JOIN dh b ON a.media_id < b.media_id
-          |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin))
+          |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
+
+    // Fixed-point PCA: integer Gram matrix, 10 power iterations in exact
+    // long arithmetic, then per-label separation along the top principal
+    // axis — "do my labels separate linearly?" over the embeddings table.
+    // The driver-side eigenvector loop and the oracle's unrolled SQL
+    // recursion agree bit-for-bit (floor divisions everywhere, sign fixed
+    // at the first nonzero component).
+    Query("q97_pca_label_separation",
+      (s, dir) => ClusteringOps.pcaLabelProjection(
+        t(s, dir, "embeddings"), vec = "embedding", labelCol = "label",
+        iters = 10),
+      Some(s"""WITH q AS (
+          |  SELECT vec_id, label, i,
+          |    CAST(floor(embedding[i + 1] * 1024 + 0.5) AS BIGINT) AS qx
+          |  FROM embeddings, unnest(generate_series(0, 63)) AS t(i)),
+          |st AS (SELECT i, CAST(sum(qx) AS BIGINT) AS s,
+          |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY i),
+          |mn AS (SELECT i, s // n AS m FROM st),
+          |c AS MATERIALIZED (SELECT q.vec_id, q.label, q.i, q.qx - mn.m AS cx
+          |      FROM q JOIN mn USING (i)),
+          |g AS MATERIALIZED (SELECT a.i AS ia, b.i AS ib,
+          |    CAST(sum(a.cx * b.cx) AS BIGINT) AS gv
+          |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+          |v0 AS (SELECT i, CAST(65536 AS BIGINT) AS v
+          |  FROM (SELECT unnest(generate_series(0, 63)) AS i) t),
+          |${(1 to 10).map(pcaIter).mkString(",\n")},
+          |axis AS (SELECT i,
+          |    v * (CASE WHEN (SELECT v FROM v10 WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+          |         THEN -1 ELSE 1 END) AS a
+          |  FROM v10),
+          |pr AS (SELECT c.label, c.vec_id, sum(c.cx * axis.a) AS p
+          |       FROM c JOIN axis ON c.i = axis.i GROUP BY c.label, c.vec_id)
+          |SELECT label, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(p) // count(*) AS BIGINT) AS mean_proj_q,
+          |  CAST(min(p) AS BIGINT) AS min_proj,
+          |  CAST(max(p) AS BIGINT) AS max_proj
+          |FROM pr GROUP BY label""".stripMargin))
   )
 }

@@ -45,7 +45,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "zOrderWrite" -> 5, "containmentJoin" -> 5,
       "cmsHeavyHitters" -> 5, "hllSummary" -> 3, "bottomKSketch" -> 5,
       "sketchOverlap" -> 2, "coOccurrenceEdges" -> 3, "pageRank" -> 3,
-      "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3)
+      "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3,
+      "pcaAxis" -> 3, "pcaLabelProjection" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

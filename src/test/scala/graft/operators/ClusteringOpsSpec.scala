@@ -136,4 +136,79 @@ class ClusteringOpsSpec extends SparkSpec {
     assert(assigned.count() == 80)
     assert(assigned.select("cid").distinct().count() <= 3)
   }
+
+  // ------------------------------ PCA -------------------------------------
+
+  /** Driver-side replay of the exact fixed-point pipeline: quantize,
+    * truncating-division mean, Gram, power iteration, projection. */
+  private def referencePca(
+      rows: Seq[(Long, Int, Seq[Float])], iters: Int): Map[Int, (Long, Long, Long, Long)] = {
+    val s = ClusteringOps.PcaScale
+    val q = rows.map { case (id, lab, v) =>
+      (id, lab, v.map(x => math.floor(x.toDouble * s + 0.5).toLong).toArray)
+    }
+    val dim = q.head._3.length
+    val n = q.size.toLong
+    val mean = Array.tabulate(dim)(d => q.map(_._3(d)).sum / n)
+    val c = q.map { case (id, lab, qv) =>
+      (id, lab, Array.tabulate(dim)(d => qv(d) - mean(d)))
+    }
+    val g = Array.tabulate(dim, dim)((a, b) => c.map(r => r._3(a) * r._3(b)).sum)
+    val axis = ClusteringOps.powerIteration(g, iters)
+    c.groupBy(_._2).map { case (lab, rs) =>
+      val ps = rs.map(r => (0 until dim).map(d => r._3(d) * axis(d)).sum)
+      lab -> (rs.size.toLong, ps.sum / rs.size, ps.min, ps.max)
+    }
+  }
+
+  private def synthEmbeddings(n: Int, dim: Int) = {
+    import spark.implicits._
+    // two linearly separated label blobs along a planted direction
+    (0 until n).map { i =>
+      val lab = i % 2
+      val v = Array.tabulate(dim) { d =>
+        val noise = (((i * 31 + d * 7) % 17) - 8) / 40.0f
+        (if (d < 4) (if (lab == 0) 0.4f else -0.4f) else 0.0f) + noise
+      }.toSeq
+      (i.toLong, lab, v)
+    }
+  }
+
+  test("pcaLabelProjection equals the driver-side fixed-point replay") {
+    import spark.implicits._
+    val rows = synthEmbeddings(120, 16)
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = ClusteringOps.pcaLabelProjection(df, iters = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === referencePca(rows, 10))
+  }
+
+  test("pca separates planted label clusters and is partitioning-invariant") {
+    import spark.implicits._
+    val rows = synthEmbeddings(200, 16)
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val a = ClusteringOps.pcaLabelProjection(df, iters = 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // opposite signs along PC1 — the planted direction dominates
+    assert(a(0).sign * a(1).sign === -1L,
+      s"labels did not separate: $a")
+    val b = ClusteringOps.pcaLabelProjection(df.repartition(7), iters = 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("powerIteration converges to the dominant eigendirection") {
+    // diag-dominant 3x3 with known principal axis ~ e2
+    val g = Array(
+      Array(2L, 0L, 0L),
+      Array(0L, 5L, 1L),
+      Array(0L, 1L, 90L))
+    val v = ClusteringOps.powerIteration(g.map(_.map(_ * 1000000L)), iters = 12)
+    val vd = v.map(_.toDouble)
+    val norm = math.sqrt(vd.map(x => x * x).sum)
+    assert(math.abs(vd(2) / norm) > 0.99, v.toSeq.toString)
+    // sign convention: first nonzero component positive
+    assert(v.find(_ != 0L).forall(_ > 0L))
+  }
 }
