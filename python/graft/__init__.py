@@ -673,3 +673,11 @@ def pca_label_projection(corpus, vec_col="embedding", label_col="label",
     s = corpus.sparkSession
     return _wrap(s, _api(s).pcaLabelProjection(corpus._jdf, vec_col,
                                                label_col, int(iters)))
+
+
+def triangle_counts(edges):
+    """Per-node triangle counts + local clustering coefficient as an exact
+    integer rational: (node, n_triangles, deg, coeff_num, coeff_den).
+    Degree-ordered orientation keeps the wedge join O(m^1.5)."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).triangleCounts(edges._jdf))

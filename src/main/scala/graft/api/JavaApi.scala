@@ -455,6 +455,11 @@ object JavaApi {
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
 
+  /** Per-node triangle counts + clustering coefficient (exact integer
+    * rational): (node, n_triangles, deg, coeff_num, coeff_den). */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    GraphOps.triangleCounts(edges)
+
   /** Top principal axis of an embedding column as (d, axis_q) — fixed
     * point, bit-identical at any partitioning. */
   def pcaAxis(corpus: DataFrame, vecCol: String, iters: Int): DataFrame =

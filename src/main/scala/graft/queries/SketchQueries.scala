@@ -183,6 +183,43 @@ object SketchQueries extends QuerySet {
           |SELECT node, rank AS rank_q FROM r5
           |ORDER BY rank_q DESC, node LIMIT 100""".stripMargin)),
 
+    // Per-node triangle counts + clustering coefficient on the part
+    // co-purchase graph: degree-ordered orientation (each edge points at
+    // its higher-degree endpoint) bounds wedge enumeration to O(m^1.5);
+    // the coefficient ships as an exact integer rational.
+    Query("q98_triangle_counts",
+      (s, dir) => GraphOps.triangleCounts(
+        GraphOps.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+      Some("""WITH pairs AS (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM pairs),
+          |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+          |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+          |  GROUP BY n),
+          |o AS (SELECT
+          |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+          |         THEN u.a ELSE u.b END AS s,
+          |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+          |         THEN u.b ELSE u.a END AS d
+          |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+          |wg AS (SELECT e1.s AS u, e1.d AS v, e2.d AS w
+          |       FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.d < e2.d),
+          |tri AS (SELECT u, v, w FROM wg
+          |        JOIN und ON und.a = wg.v AND und.b = wg.w),
+          |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+          |    SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
+          |    UNION ALL SELECT w AS n FROM tri)
+          |  GROUP BY n)
+          |SELECT d.n AS node,
+          |  coalesce(pn.n_triangles, 0) AS n_triangles, d.deg,
+          |  2 * coalesce(pn.n_triangles, 0) AS coeff_num,
+          |  d.deg * (d.deg - 1) AS coeff_den
+          |FROM deg d LEFT JOIN pn ON pn.n = d.n""".stripMargin)),
+
     // Corpus-overlap matrix between sources from bottom-k shingle
     // sketches: per source, the 256 smallest distinct shingle hashes; per
     // source pair, the standard bottom-k Jaccard estimator

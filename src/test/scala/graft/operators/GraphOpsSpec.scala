@@ -73,6 +73,50 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("triangleCounts equals brute force on a random-ish graph") {
+    val edges = (0L until 30L).flatMap { i =>
+      val j = (i * 7 + 3) % 30
+      val k = (i * 11 + 5) % 30
+      Seq((i, j), (j, i), (i, k), (k, i))
+    }.filter { case (a, b) => a != b }
+    val got = GraphOps.triangleCounts(toDf(edges))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val triPerNode = nodes.map { n =>
+      val nb = adj(n).toSeq
+      n -> (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size.toLong
+    }.toMap
+    nodes.foreach { n =>
+      val (t, d, num, den) = got(n)
+      assert(t === triPerNode(n), s"node $n")
+      assert(d === adj(n).size.toLong)
+      assert(num === 2 * t && den === d * (d - 1))
+    }
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles, coefficient 1") {
+    val k4 = for {
+      a <- 0L until 4L; b <- 0L until 4L if a != b
+    } yield (a, b)
+    val got = GraphOps.triangleCounts(toDf(k4)).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getLong(1) === 3L) // triangles
+      assert(r.getLong(2) === 3L) // degree
+      assert(r.getLong(3) === r.getLong(4)) // 2T == deg(deg-1) -> coeff 1
+    }
+  }
+
   test("pageRankTopK: deterministic (rank desc, node asc) prefix") {
     val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
     val top = GraphOps.pageRankTopK(toDf(edges), iters = 5, k = 3)
