@@ -681,3 +681,13 @@ def triangle_counts(edges):
     Degree-ordered orientation keeps the wedge join O(m^1.5)."""
     s = edges.sparkSession
     return _wrap(s, _api(s).triangleCounts(edges._jdf))
+
+
+def association_rules(incidence, key_col, item_col, min_pair_support=2):
+    """Market-basket association rules with integer-exact metrics:
+    (ante, cons, n_ab, n_ante, n_cons, n_baskets, conf_permille,
+    lift_ppm)."""
+    s = incidence.sparkSession
+    return _wrap(s, _api(s).associationRules(incidence._jdf, key_col,
+                                             item_col,
+                                             int(min_pair_support)))

@@ -455,6 +455,14 @@ object JavaApi {
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
 
+  /** Pairwise association rules with integer-exact confidence/lift:
+    * (ante, cons, n_ab, n_ante, n_cons, n_baskets, conf_permille,
+    * lift_ppm). */
+  def associationRules(incidence: DataFrame, keyCol: String,
+      itemCol: String, minPairSupport: Long): DataFrame =
+    graft.operators.AssociationOps.associationRules(
+      incidence, keyCol, itemCol, minPairSupport)
+
   /** Per-node triangle counts + clustering coefficient (exact integer
     * rational): (node, n_triangles, deg, coeff_num, coeff_den). */
   def triangleCounts(edges: DataFrame): DataFrame =

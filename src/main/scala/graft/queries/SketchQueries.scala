@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{ClusteringOps, GraphOps, MultimodalOps, SketchOps}
+import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SketchOps}
 import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
 
 /** Sketch + graph analytics queries (q91+): count-min heavy hitters,
@@ -297,6 +297,49 @@ object SketchQueries extends QuerySet {
           |  CAST(bit_count(xor(a.hu, b.hu)) AS INTEGER) AS dist
           |FROM dh a JOIN dh b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
+
+    // Association rules at the brand level: baskets = customers, items =
+    // the part brands they ordered; support / confidence / lift as exact
+    // quantized integers, both rule directions per supported pair.
+    Query("q99_association_rules",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val parts = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val inc = li
+          .join(ords, li("l_orderkey") === ords("o_orderkey"))
+          .join(parts, li("l_partkey") === parts("p_partkey"))
+          .select(col("o_custkey"), col("p_brand"))
+        AssociationOps.associationRules(inc, "o_custkey", "p_brand",
+          minPairSupport = 10L)
+      },
+      Some("""WITH inc AS (
+          |  SELECT DISTINCT o.o_custkey AS k, p.p_brand AS item
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN part p ON l.l_partkey = p.p_partkey),
+          |nb AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_baskets FROM inc),
+          |supp AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+          |         FROM inc GROUP BY item),
+          |pairs AS (
+          |  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM inc x JOIN inc y ON x.k = y.k AND x.item < y.item
+          |  GROUP BY x.item, y.item
+          |  HAVING count(*) >= 10),
+          |rules AS (
+          |  SELECT a AS ante, b AS cons, n_ab FROM pairs
+          |  UNION ALL
+          |  SELECT b AS ante, a AS cons, n_ab FROM pairs)
+          |SELECT r.ante, r.cons, r.n_ab,
+          |  sa.n_item AS n_ante, sc.n_item AS n_cons, nb.n_baskets,
+          |  r.n_ab * 1000 // sa.n_item AS conf_permille,
+          |  r.n_ab * nb.n_baskets * 1000000 // (sa.n_item * sc.n_item)
+          |    AS lift_ppm
+          |FROM rules r
+          |JOIN supp sa ON sa.item = r.ante
+          |JOIN supp sc ON sc.item = r.cons
+          |CROSS JOIN nb""".stripMargin)),
 
     // Fixed-point PCA: integer Gram matrix, 10 power iterations in exact
     // long arithmetic, then per-label separation along the top principal

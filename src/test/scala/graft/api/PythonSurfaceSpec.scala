@@ -46,7 +46,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "cmsHeavyHitters" -> 5, "hllSummary" -> 3, "bottomKSketch" -> 5,
       "sketchOverlap" -> 2, "coOccurrenceEdges" -> 3, "pageRank" -> 3,
       "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3,
-      "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1)
+      "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
+      "associationRules" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }
