@@ -691,3 +691,18 @@ def association_rules(incidence, key_col, item_col, min_pair_support=2):
     return _wrap(s, _api(s).associationRules(incidence._jdf, key_col,
                                              item_col,
                                              int(min_pair_support)))
+
+
+def audio_fingerprint(media, windows=65):
+    """Volume-invariant audio fingerprint table (media_id, afp) from real
+    WAV decode — the audio analog of image_dhash."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).audioFingerprint(media._jdf, int(windows)))
+
+
+def audio_near_duplicates(media, max_dist=3, bands=4):
+    """Audio near-duplicate pairs (id_a, id_b, dist) by banded Hamming
+    distance over the energy-delta fingerprint."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).audioNearDuplicates(media._jdf, int(max_dist),
+                                                int(bands)))

@@ -489,4 +489,15 @@ object JavaApi {
   def imageNearDuplicates(media: DataFrame, maxDist: Int,
       bands: Int): DataFrame =
     graft.operators.MultimodalOps.imageNearDuplicates(media, maxDist, bands)
+
+  /** Volume-invariant audio fingerprint table (media_id, afp) via REAL
+    * WAV decode. */
+  def audioFingerprint(media: DataFrame, windows: Int): DataFrame =
+    graft.operators.MultimodalOps.audioFingerprint(media, windows)
+
+  /** Audio near-dup pairs (id_a, id_b, dist) by banded Hamming over the
+    * energy fingerprint. */
+  def audioNearDuplicates(media: DataFrame, maxDist: Int,
+      bands: Int): DataFrame =
+    graft.operators.MultimodalOps.audioNearDuplicates(media, maxDist, bands)
 }

@@ -37,6 +37,9 @@ case class ImageStatsRow(
 /** Output row of [[MultimodalOps.imageDHash]] — a 64-bit perceptual key. */
 case class DHashRow(media_id: Long, dhash: Long)
 
+/** Output row of [[MultimodalOps.audioFingerprint]]. */
+case class AudioFpRow(media_id: Long, afp: Long)
+
 /** Output row of [[MultimodalOps.audioStats]] (one per full window);
   * all-integer so oracles replay it exactly. */
 case class AudioStatsRow(
@@ -376,21 +379,24 @@ object MultimodalOps {
       }.toDF()
   }
 
-  /** Image near-duplicate pairs by Hamming distance over dHash:
-    * (id_a, id_b, dist <= maxDist). The hash is split into `bands`
+  /** Near-duplicate pairs by Hamming distance over any 64-bit perceptual
+    * hash table (`idCol`, `hashCol`): the hash is split into `bands`
     * equal bit-bands; candidates must share at least one band
     * (pigeonhole: complete for maxDist < bands), then verified with an
     * exact popcount — never an all-pairs comparison, so the shuffle is
-    * keyed by (band, value) buckets exactly like the MinHash family. */
-  def imageNearDuplicates(
-      media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    * keyed by (band, value) buckets exactly like the MinHash family.
+    * Shared by the image-dHash and audio-fingerprint dedup paths. */
+  private[graft] def hammingNearDuplicates(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bands: Int): DataFrame = {
     require(maxDist < bands, "pigeonhole recall needs maxDist < bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val hashes = imageDHash(media).persist()
-    val banded = hashes.select(col("media_id"), col("dhash"),
+    val h = hashes.select(col(idCol).as("media_id"), col(hashCol).as("h"))
+      .persist()
+    val banded = h.select(col("media_id"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
+        shiftrightunsigned(col("h"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bval")))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -399,12 +405,66 @@ object MultimodalOps {
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
       .distinct()
     cand
-      .join(hashes.select(col("media_id").as("id_a"), col("dhash").as("ha")), "id_a")
-      .join(hashes.select(col("media_id").as("id_b"), col("dhash").as("hb")), "id_b")
+      .join(h.select(col("media_id").as("id_a"), col("h").as("ha")), "id_a")
+      .join(h.select(col("media_id").as("id_b"), col("h").as("hb")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Image near-duplicate pairs (id_a, id_b, dist <= maxDist) — banded
+    * Hamming over [[imageDHash]]. */
+  def imageNearDuplicates(
+      media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame =
+    hammingNearDuplicates(imageDHash(media), "media_id", "dhash",
+      maxDist, bands)
+
+  /** Volume-invariant audio fingerprint of decoded PCM samples: box the
+    * samples onto `windows` equal spans (sample i -> span i*windows/n,
+    * truncating), sum |s| per span, then one bit per adjacent span pair:
+    * bit = left energy > right energy. Uniform volume scaling multiplies
+    * every span energy alike, so comparisons — and the fingerprint —
+    * are unchanged; pure integer arithmetic, oracle-replayable. */
+  def audioEnergyFingerprint(samples: Array[Int], windows: Int = 65): Long = {
+    val e = new Array[Long](windows)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      e((i.toLong * windows / n).toInt) += math.abs(samples(i))
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < windows - 1) {
+      if (e(k) > e(k + 1)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Per-clip fingerprint table (media_id, afp) from REAL WAV decode —
+    * the audio analog of [[imageDHash]] (embarrassingly parallel,
+    * persistable index). */
+  def audioFingerprint(media: DataFrame, windows: Int = 65): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioFpRow] =
+      Encoders.product[AudioFpRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val audio = graft.sources.Wav.decode(r.getAs[Array[Byte]](1))
+          AudioFpRow(r.getLong(0),
+            audioEnergyFingerprint(audio.samples, windows))
+        }
+      }.toDF()
+  }
+
+  /** Audio near-duplicate pairs (id_a, id_b, dist <= maxDist) — banded
+    * Hamming over [[audioFingerprint]]; volume-shifted re-encodes land at
+    * distance 0. */
+  def audioNearDuplicates(
+      media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame =
+    hammingNearDuplicates(audioFingerprint(media), "media_id", "afp",
+      maxDist, bands)
 
   /** Helper: split a binary column into n roughly equal slices. */
   private def split_part_bytes(payload: org.apache.spark.sql.Column, n: Int) = {

@@ -341,6 +341,52 @@ object SketchQueries extends QuerySet {
           |JOIN supp sc ON sc.item = r.cons
           |CROSS JOIN nb""".stripMargin)),
 
+    // Audio near-dup pairs through the REAL WAV codec: deterministic PCM
+    // clips, with every doc_id % 4 == 1 clip a volume-DOUBLED re-encode of
+    // its predecessor — the energy-delta fingerprint is volume-invariant,
+    // so planted pairs land at Hamming distance 0. Oracle replays the
+    // sample formula -> 65-span energies -> bit pack -> brute-force pairs.
+    Query("q100_audio_neardup",
+      (s, dir) => {
+        val wavUdf = udf { id: Long =>
+          val eid = if (id % 4 == 1) id - 1 else id
+          val vol = if (id % 4 == 1) 2 else 1
+          val n = (256 * (2 + eid % 4)).toInt
+          val smp = Array.tabulate(n)(i =>
+            (((eid * 37 + i * 11) % 4096 - 2048) * vol).toInt)
+          graft.sources.Wav.encode(16000, smp)
+        }
+        MultimodalOps.audioNearDuplicates(
+          t(s, dir, "documents").select(col("doc_id").as("media_id"),
+            wavUdf(col("doc_id")).as("payload")),
+          maxDist = 3, bands = 4)
+      },
+      Some("""WITH ids AS (SELECT doc_id,
+          |    doc_id - CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS eid,
+          |    CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS vol
+          |  FROM documents),
+          |dims AS (SELECT doc_id, eid, vol,
+          |    CAST(256 * (2 + eid % 4) AS BIGINT) AS n FROM ids),
+          |smp AS (SELECT doc_id, eid, vol, n,
+          |    unnest(generate_series(0, n - 1)) AS i FROM dims),
+          |en AS (SELECT doc_id, i * 65 // n AS w,
+          |    abs(((eid * 37 + i * 11) % 4096 - 2048) * vol) AS av
+          |  FROM smp),
+          |ew AS (SELECT doc_id, w, CAST(sum(av) AS BIGINT) AS e
+          |       FROM en GROUP BY doc_id, w),
+          |bits AS (SELECT a.doc_id, a.w,
+          |    CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          |  FROM ew a JOIN ew b ON a.doc_id = b.doc_id AND b.w = a.w + 1),
+          |af AS (SELECT doc_id AS media_id,
+          |    CAST(sum(CASE WHEN bit = 1
+          |      THEN (1::UBIGINT << w)::HUGEINT
+          |      ELSE 0::HUGEINT END) AS HUGEINT)::UBIGINT AS hu
+          |  FROM bits GROUP BY doc_id)
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  CAST(bit_count(xor(a.hu, b.hu)) AS INTEGER) AS dist
+          |FROM af a JOIN af b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
+
     // Fixed-point PCA: integer Gram matrix, 10 power iterations in exact
     // long arithmetic, then per-label separation along the top principal
     // axis — "do my labels separate linearly?" over the embeddings table.

@@ -608,6 +608,19 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"imageDedup: wrote $out")
 
+      // audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]
+      //   — near-dup pairs over (media_id, payload) WAV rows
+      case "audioDedup" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.MultimodalOps.audioNearDuplicates(
+            spark.read.parquet(in),
+            fv("-maxDist", "3").toInt, fv("-bands", "4").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"audioDedup: wrote $out")
+
       // pagerank <edges.parquet> <out.parquet> [-iters n] [-top n]
       //   [-scale n] — fixed-point integer PageRank over (src, dst)
       case "pagerank" :: in :: out :: rest =>
@@ -649,7 +662,8 @@ object Cli {
           "\n  hll <in.parquet> <out.parquet> [-text c] [-p n]" +
           "\n  sourceOverlap <in.parquet> <out.parquet> [-group c] [-text c] [-n shingleN] [-k n]" +
           "\n  pagerank <edges.parquet> <out.parquet> [-iters n] [-top n] [-scale n]" +
-          "\n  imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]")
+          "\n  imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
+          "\n  audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]")
         sys.exit(2)
     }
   }

@@ -47,7 +47,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "sketchOverlap" -> 2, "coOccurrenceEdges" -> 3, "pageRank" -> 3,
       "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3,
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
-      "associationRules" -> 4)
+      "associationRules" -> 4, "audioFingerprint" -> 2,
+      "audioNearDuplicates" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

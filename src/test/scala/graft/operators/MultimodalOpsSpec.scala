@@ -187,6 +187,55 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("audioEnergyFingerprint: volume scaling cancels, content changes flip bits") {
+    val smp = Array.tabulate(1000)(i => ((i * 53 + 17) % 3000) - 1500)
+    val base = MultimodalOps.audioEnergyFingerprint(smp)
+    assert(MultimodalOps.audioEnergyFingerprint(smp.map(_ * 3)) === base)
+    val edited = smp.zipWithIndex.map { case (s, i) =>
+      if (i < 100) 0 else s // silence the head -> different energy profile
+    }
+    assert(MultimodalOps.audioEnergyFingerprint(edited) !== base)
+  }
+
+  test("audioFingerprint: WAV encode->decode round trip preserves the hash") {
+    import spark.implicits._
+    val clips = (0L until 10L).map { id =>
+      val n = (512 + (id % 3) * 256).toInt
+      (id, Array.tabulate(n)(i => (((id * 29 + i * 13) % 4000) - 2000).toInt))
+    }
+    val media = clips.map { case (id, smp) =>
+      (id, graft.sources.Wav.encode(8000, smp))
+    }.toDF("media_id", "payload")
+    val got = MultimodalOps.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clips.foreach { case (id, smp) =>
+      assert(got(id) === MultimodalOps.audioEnergyFingerprint(smp), s"id=$id")
+    }
+  }
+
+  test("audioNearDuplicates equals brute-force Hamming over the fingerprints") {
+    import spark.implicits._
+    val media = (0L until 40L).map { id =>
+      val base = id % 5
+      val vol = (id / 5 + 1).toInt
+      val n = (512 + (base % 3) * 256).toInt
+      val smp = Array.tabulate(n)(i =>
+        ((((base * 29 + i * 13) % 2000) - 1000) * vol).toInt)
+      (id, graft.sources.Wav.encode(8000, smp))
+    }.toDF("media_id", "payload")
+    val got = MultimodalOps.audioNearDuplicates(media, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = MultimodalOps.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ref = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === ref)
+    // the 8 volume variants of each base pair at distance 0
+    assert(ref.count(_._3 == 0) >= 5 * 8 * 7 / 2)
+  }
+
   test("imageNearDuplicates equals brute-force Hamming over the hash table") {
     import spark.implicits._
     // 8 base patterns x 8 brightness-shifted clones -> lots of dist-0
