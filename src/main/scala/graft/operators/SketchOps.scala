@@ -201,7 +201,10 @@ object SketchOps {
     * division (exact IEEE both engines). */
   def sketchOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
     val grpCol = sketches.columns.head
-    val sk = sketches.select(col(grpCol).as("g"), col("h"))
+    // persisted: referenced twice (group list + pair join) — without it the
+    // whole upstream sketch pipeline (distinct + two window phases) would
+    // execute once per reference (seen in the q94 physical plan)
+    val sk = sketches.select(col(grpCol).as("g"), col("h")).persist()
     val groups = sk.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("grp_a"))
       .crossJoin(groups.select(col("g").as("grp_b")))

@@ -245,6 +245,74 @@ class PlanSpec extends SparkSpec {
     assert(!p86.contains("percentile"), "must not use a buffering percentile agg")
   }
 
+  test("q91 CMS: map-side token counts, cells broadcast into the probe") {
+    val plan = planOf("q91_cms_heavy_hitters")
+    assert(plan.contains("partial_count"),
+      "token counts must map-side combine: " + plan.take(500))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the depth x width cell grid should broadcast to the probes")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q92 HLL: one aggregation chain, no plan-reuse recompute") {
+    val plan = planOf("q92_hll_distinct")
+    // token-count shuffle + register shuffle + final single-row agg
+    assert(plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Broadcast")) <= 3,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.contains("partial_count"))
+  }
+
+  test("q94 bottom-k: two-phase sharded top-k, sketch computed once") {
+    val plan = planOf("q94_source_overlap_sketch")
+    assert(plan.linesIterator.count(_.contains("Window [row_number()")) >= 2,
+      "expected shard-phase + group-phase windows:\n" +
+        plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // Spark 4 inserts partial WindowGroupLimit before each rank exchange —
+    // the map-side top-k that makes the phases skew-safe
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-limit pushdown missing")
+    // the sketch pipeline is persisted, so the pair stage reads the cache
+    // instead of re-running distinct+windows per reference
+    assert(plan.contains("InMemoryTableScan"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q96/q100 perceptual dedup: banded equi-join, popcount verify, no all-pairs") {
+    Seq("q96_image_neardup", "q100_audio_neardup").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+      assert(plan.contains("bit_count"), q + ": popcount verify missing")
+      // candidate pairs are distinct'd before the verify joins
+      assert(plan.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("id_a") && l.contains("id_b")), q)
+    }
+  }
+
+  test("q98 triangles: oriented wedge join closes as equi joins only") {
+    val plan = planOf("q98_triangle_counts")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_count"),
+      "per-node triangle counts must map-side combine")
+  }
+
+  test("q99 association rules: basket-keyed pair join, partial-agg supports") {
+    val plan = planOf("q99_association_rules")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("partial_count"))
+  }
+
+  test("q97 PCA projection: one label exchange after the bounded collect") {
+    val plan = planOf("q97_pca_label_separation")
+    assert(plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Broadcast")) <= 2,
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.contains("partial_"),
+      "label stats must partial-aggregate before the shuffle")
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),
