@@ -281,6 +281,53 @@ object ScaleProbe {
       graft.operators.Quantiles.discPercentiles(ev, "event_type", "value",
         "event_id", Seq(0.5, 0.9, 0.99)).count()
     }
+    // ---- round-8 sketch/graph probes: the 10x documents corpus and a
+    // synthetic ~5M-edge co-occurrence graph (sf1-equivalent lineitem
+    // self-join volume) exercise the new families at scale ----
+    spark.catalog.clearCache()
+    timed("cms_heavy_hitters") {
+      graft.operators.SketchOps.cmsHeavyHitters(docs, "text").count()
+    }
+    spark.catalog.clearCache()
+    timed("hll_distinct") {
+      graft.operators.SketchOps.hllSummary(docs, "text").count()
+    }
+    spark.catalog.clearCache()
+    timed("source_overlap_sketch") {
+      // group key with ~20 groups over the 10x corpus
+      val grouped = docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 20).cast("string")))
+      graft.operators.SketchOps.sketchOverlap(
+        graft.operators.SketchOps.bottomKSketch(
+          grouped, "source", "text"), 256).count()
+    }
+    spark.catalog.clearCache()
+    val bigEdges = {
+      // ~1M baskets x ~5 items: 5M directed co-occurrence edges after
+      // dedup — the sf1-equivalent of the lineitem co-purchase graph
+      val inc = spark.range(5000000L).select(
+        (col("id") % 1000000L).as("k"),
+        ((col("id") * 2654435761L + col("id") % 97) % 30000L).as("item"))
+      graft.operators.GraphOps.coOccurrenceEdges(inc, "k", "item")
+    }
+    timed("pagerank_5m_edges") {
+      graft.operators.GraphOps.pageRank(bigEdges, iters = 5).count()
+    }
+    spark.catalog.clearCache()
+    timed("triangles_5m_edges") {
+      graft.operators.GraphOps.triangleCounts(bigEdges)
+        .agg(sum(col("n_triangles"))).collect().head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("pca_label_projection") {
+      // 500k synthetic 64-dim vectors — 100x the sf0.1 embeddings table
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        (col("id") % 10).cast("int").as("label"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(col("id") * 31 + d * 7, lit(1000)) - 500) / 1000.0)
+            .cast("float")).as("embedding"))
+      graft.operators.ClusteringOps.pcaLabelProjection(vecs).count()
+    }
     spark.stop()
   }
 }
