@@ -706,3 +706,18 @@ def audio_near_duplicates(media, max_dist=3, bands=4):
     s = media.sparkSession
     return _wrap(s, _api(s).audioNearDuplicates(media._jdf, int(max_dist),
                                                 int(bands)))
+
+
+def video_dhash(media):
+    """Middle-frame perceptual hash table (media_id, vdhash) from real
+    AVI decode."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).videoDHash(media._jdf))
+
+
+def video_near_duplicates(media, max_dist=3, bands=4):
+    """Video near-duplicate pairs (id_a, id_b, dist) by banded Hamming
+    distance over the middle-frame dHash."""
+    s = media.sparkSession
+    return _wrap(s, _api(s).videoNearDuplicates(media._jdf, int(max_dist),
+                                                int(bands)))

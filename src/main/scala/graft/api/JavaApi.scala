@@ -500,4 +500,15 @@ object JavaApi {
   def audioNearDuplicates(media: DataFrame, maxDist: Int,
       bands: Int): DataFrame =
     graft.operators.MultimodalOps.audioNearDuplicates(media, maxDist, bands)
+
+  /** Middle-frame perceptual hash table (media_id, vdhash) via REAL AVI
+    * decode. */
+  def videoDHash(media: DataFrame): DataFrame =
+    graft.operators.MultimodalOps.videoDHash(media)
+
+  /** Video near-dup pairs (id_a, id_b, dist) by banded Hamming over the
+    * middle-frame dHash. */
+  def videoNearDuplicates(media: DataFrame, maxDist: Int,
+      bands: Int): DataFrame =
+    graft.operators.MultimodalOps.videoNearDuplicates(media, maxDist, bands)
 }

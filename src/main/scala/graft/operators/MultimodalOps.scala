@@ -40,6 +40,9 @@ case class DHashRow(media_id: Long, dhash: Long)
 /** Output row of [[MultimodalOps.audioFingerprint]]. */
 case class AudioFpRow(media_id: Long, afp: Long)
 
+/** Output row of [[MultimodalOps.videoDHash]]. */
+case class VideoDHashRow(media_id: Long, vdhash: Long)
+
 /** Output row of [[MultimodalOps.audioStats]] (one per full window);
   * all-integer so oracles replay it exactly. */
 case class AudioStatsRow(
@@ -464,6 +467,32 @@ object MultimodalOps {
   def audioNearDuplicates(
       media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame =
     hammingNearDuplicates(audioFingerprint(media), "media_id", "afp",
+      maxDist, bands)
+
+  /** Per-video perceptual hash (media_id, vdhash) from REAL AVI decode:
+    * the dHash of the MIDDLE frame (index nFrames/2, truncating) — the
+    * cheap-and-standard keyframe heuristic; brightness-shifted re-encodes
+    * hash identically (dHash invariance). The full-video variant is
+    * hashing every k-th frame with [[dhashOf]] and banding per frame;
+    * the middle-frame key is what the dedup query gates. */
+  def videoDHash(media: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[VideoDHashRow] =
+      Encoders.product[VideoDHashRow]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val v = graft.sources.Avi.decode(r.getAs[Array[Byte]](1))
+          val mid = v.frames(v.frames.length / 2)
+          VideoDHashRow(r.getLong(0), dhashOf(v.width, v.height, mid))
+        }
+      }.toDF()
+  }
+
+  /** Video near-duplicate pairs (id_a, id_b, dist <= maxDist) — banded
+    * Hamming over [[videoDHash]]. */
+  def videoNearDuplicates(
+      media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame =
+    hammingNearDuplicates(videoDHash(media), "media_id", "vdhash",
       maxDist, bands)
 
   /** Helper: split a binary column into n roughly equal slices. */

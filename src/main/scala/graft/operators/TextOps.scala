@@ -1031,4 +1031,37 @@ object TextOps {
         when(col("den") === 0, lit(0.0))
           .otherwise(col("num").cast("double") / col("den").cast("double")))
   }
+
+  /** Per-document character-distribution Shannon entropy — the classic
+    * gibberish / compression-quality signal (natural text sits ~2.5-3.2
+    * nats/char; base64 blobs and keyboard mash spike higher, repeated-char
+    * spam collapses toward 0).
+    *
+    * Engine-exact via the zipfFit technique: each character class
+    * contributes the integer term floor(c * (ln n - ln c) * 1e6 + 0.5);
+    * integer terms sum exactly in any order (never a raw double sum), and
+    * ent_micro = sum div n is the entropy in micro-nats/char. One
+    * chars-explode + per-doc combine; the per-doc distinct-char window is
+    * bounded by the alphabet. */
+  def charEntropy(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(filter(split(col(textCol), ""),
+        c => c =!= "")).as("ch"))
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    counts
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col(idCol), col("n"),
+        floor(col("c") *
+          (log(col("n").cast("double")) - log(col("c").cast("double"))) *
+          1e6 + 0.5).cast("long").as("term"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_classes"),
+        sum(col("term")).as("ent_sum_q"))
+      .withColumn("ent_micro", expr("ent_sum_q div n_chars"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SketchOps}
+import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SketchOps, TextOps}
 import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
 
 /** Sketch + graph analytics queries (q91+): count-min heavy hitters,
@@ -386,6 +386,77 @@ object SketchQueries extends QuerySet {
           |  CAST(bit_count(xor(a.hu, b.hu)) AS INTEGER) AS dist
           |FROM af a JOIN af b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
+
+    // Video near-dup through the REAL AVI codec: 16x12 3-frame clips,
+    // doc_id % 4 == 1 re-encodes its predecessor brightness-shifted;
+    // the middle-frame dHash is invariant to the shift, so planted pairs
+    // land at distance 0. Oracle replays middle-frame pixels -> 9x8
+    // box-average -> bit pack -> brute-force pairs.
+    Query("q101_video_neardup",
+      (s, dir) => {
+        val aviUdf = udf { id: Long =>
+          val eid = if (id % 4 == 1) id - 1 else id
+          val shift = if (id % 4 == 1) 3 else 0
+          val frames = Array.tabulate(3)(f =>
+            Array.tabulate(16 * 12)(i =>
+              ((eid * 13 + f * 7 + i * 3) % 250 + shift).toInt))
+          graft.sources.Avi.encode(16, 12, 40000, frames)
+        }
+        MultimodalOps.videoNearDuplicates(
+          t(s, dir, "documents").select(col("doc_id").as("media_id"),
+            aviUdf(col("doc_id")).as("payload")),
+          maxDist = 3, bands = 4)
+      },
+      Some("""WITH ids AS (SELECT doc_id,
+          |    doc_id - CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS eid,
+          |    CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END AS shift
+          |  FROM documents),
+          |px AS (SELECT doc_id,
+          |    unnest(generate_series(0, 16 * 12 - 1)) AS i, eid, shift
+          |  FROM ids),
+          |pg AS (SELECT doc_id,
+          |    (i // 16) * 8 // 12 AS br, (i % 16) * 9 // 16 AS bc,
+          |    (eid * 13 + 1 * 7 + i * 3) % 250 + shift AS g
+          |  FROM px),
+          |cells AS (SELECT doc_id, br, bc,
+          |    CAST(sum(g) // count(*) AS BIGINT) AS cell
+          |  FROM pg GROUP BY doc_id, br, bc),
+          |bits AS (SELECT a.doc_id, a.br, a.bc,
+          |    CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+          |  FROM cells a JOIN cells b
+          |    ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1),
+          |vh AS (SELECT doc_id AS media_id,
+          |    CAST(sum(CASE WHEN bit = 1
+          |      THEN (1::UBIGINT << (br * 8 + bc))::HUGEINT
+          |      ELSE 0::HUGEINT END) AS HUGEINT)::UBIGINT AS hu
+          |  FROM bits GROUP BY doc_id)
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  CAST(bit_count(xor(a.hu, b.hu)) AS INTEGER) AS dist
+          |FROM vh a JOIN vh b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
+
+    // Per-document character entropy (gibberish / compressibility
+    // signal): integer-quantized ln terms sum exactly in any order, so
+    // even this "floating-point" statistic hash-matches the oracle.
+    Query("q102_char_entropy",
+      (s, dir) => TextOps.charEntropy(t(s, dir, "documents")),
+      Some("""WITH ch AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ''),
+          |    c -> c <> '')) AS ch
+          |  FROM documents),
+          |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+          |        FROM ch GROUP BY doc_id, ch),
+          |terms AS (SELECT doc_id,
+          |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+          |    CAST(floor(c * (ln(CAST(sum(c) OVER (PARTITION BY doc_id)
+          |      AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * 1e6 + 0.5)
+          |      AS BIGINT) AS term
+          |  FROM cnt)
+          |SELECT doc_id, max(n) AS n_chars,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(sum(term) AS BIGINT) AS ent_sum_q,
+          |  CAST(sum(term) AS BIGINT) // max(n) AS ent_micro
+          |FROM terms GROUP BY doc_id""".stripMargin)),
 
     // Fixed-point PCA: integer Gram matrix, 10 power iterations in exact
     // long arithmetic, then per-label separation along the top principal

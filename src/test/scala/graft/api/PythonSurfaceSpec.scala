@@ -48,7 +48,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3,
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
       "associationRules" -> 4, "audioFingerprint" -> 2,
-      "audioNearDuplicates" -> 3)
+      "audioNearDuplicates" -> 3, "videoDHash" -> 1,
+      "videoNearDuplicates" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -236,6 +236,47 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(ref.count(_._3 == 0) >= 5 * 8 * 7 / 2)
   }
 
+  test("videoDHash: AVI round trip hashes the middle frame") {
+    import spark.implicits._
+    val clips = (0L until 8L).map { id =>
+      val nf = (2 + id % 3).toInt
+      val frames = Array.tabulate(nf)(f =>
+        Array.tabulate(16 * 12)(i => ((id * 19 + f * 5 + i * 3) % 256).toInt))
+      (id, nf, frames)
+    }
+    val media = clips.map { case (id, _, frames) =>
+      (id, graft.sources.Avi.encode(16, 12, 40000, frames))
+    }.toDF("media_id", "payload")
+    val got = MultimodalOps.videoDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clips.foreach { case (id, nf, frames) =>
+      assert(got(id) === MultimodalOps.dhashOf(16, 12, frames(nf / 2)),
+        s"id=$id")
+    }
+  }
+
+  test("videoNearDuplicates equals brute-force Hamming over middle-frame hashes") {
+    import spark.implicits._
+    val media = (0L until 24L).map { id =>
+      val base = id % 6
+      val shift = (id / 6).toInt
+      val frames = Array.tabulate(3)(f =>
+        Array.tabulate(16 * 12)(i =>
+          ((base * 19 + f * 5 + i * 3) % 250 + shift).toInt))
+      (id, graft.sources.Avi.encode(16, 12, 40000, frames))
+    }.toDF("media_id", "payload")
+    val got = MultimodalOps.videoNearDuplicates(media, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = MultimodalOps.videoDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ref = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === ref)
+    assert(ref.count(_._3 == 0) >= 6 * 4 * 3 / 2)
+  }
+
   test("imageNearDuplicates equals brute-force Hamming over the hash table") {
     import spark.implicits._
     // 8 base patterns x 8 brightness-shifted clones -> lots of dist-0

@@ -202,4 +202,29 @@ class TextPipelineOpsSpec extends SparkSpec {
     val row = TextOps.zipfFit(docs(1L -> text), "text").collect().head
     assert(math.abs(row.getDouble(4)) < 1e-9, s"slope ${row.getDouble(4)}")
   }
+
+  test("charEntropy equals a driver-side quantized replay") {
+    val texts = Seq(1L -> "hello world", 2L -> "aaaa", 3L -> "abcdefgh",
+      4L -> "the quick brown fox jumps over the lazy dog")
+    val got = TextOps.charEntropy(docs(texts: _*))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    texts.foreach { case (id, t) =>
+      val counts = t.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = t.length.toLong
+      val terms = counts.values.map(c =>
+        math.floor(c * (math.log(n.toDouble) - math.log(c.toDouble)) * 1e6 + 0.5).toLong)
+      val sum = terms.sum
+      assert(got(id) === ((n, counts.size.toLong, sum, sum / n)), s"doc $id")
+    }
+  }
+
+  test("charEntropy: repeated-char spam collapses to 0, uniform text ~ ln(k)") {
+    val got = TextOps.charEntropy(docs(1L -> "zzzzzzzz", 2L -> "abcdefgh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got(1L) === 0L)
+    // uniform over 8 classes: H = ln 8 ~ 2.0794 nats -> ~2079441 micro-nats
+    assert(math.abs(got(2L) - 2079441L) <= 8L, got(2L).toString)
+  }
 }
