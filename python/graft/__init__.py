@@ -721,3 +721,10 @@ def video_near_duplicates(media, max_dist=3, bands=4):
     s = media.sparkSession
     return _wrap(s, _api(s).videoNearDuplicates(media._jdf, int(max_dist),
                                                 int(bands)))
+
+
+def k_core(edges, rounds=4):
+    """Fixed-round k-core peel at the data-derived median degree:
+    (node, deg_residual, k_threshold)."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).kCoreByMedianDegree(edges._jdf, int(rounds)))

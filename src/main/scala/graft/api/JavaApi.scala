@@ -455,6 +455,11 @@ object JavaApi {
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
 
+  /** Fixed-round k-core peel at the median initial degree:
+    * (node, deg_residual, k_threshold). */
+  def kCoreByMedianDegree(edges: DataFrame, rounds: Int): DataFrame =
+    GraphOps.kCoreByMedianDegree(edges, rounds)
+
   /** Pairwise association rules with integer-exact confidence/lift:
     * (ante, cons, n_ab, n_ante, n_cons, n_baskets, conf_permille,
     * lift_ppm). */

@@ -81,6 +81,46 @@ object GraphOps {
       .orderBy(desc("rank_q"), asc("node"))
       .limit(k)
 
+  /** Iterative k-core peel: `rounds` rounds of "drop every node whose
+    * current degree is below k", over symmetric directed edges. k is
+    * derived from the data as the exact MEDIAN initial degree ((n+1)/2-th
+    * in (deg, node) order — deterministic tie-break), so the peel is
+    * non-trivial at any scale factor. Fixed round count (not
+    * loop-to-fixpoint) keeps the computation exactly replayable by an
+    * unrolled oracle; 2-4 rounds reach the fixpoint on real graphs.
+    *
+    * Output: (node, deg_residual, k_threshold) for nodes surviving all
+    * rounds. Each round is one degree aggregation + two semi-join-shaped
+    * filters, all keyed by node — Pregel-grade shuffles, no collects
+    * beyond the single median scalar. */
+  def kCoreByMedianDegree(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg0.count()
+    // exact median degree, (deg, node)-ordered — the 20k-row window is a
+    // node-table-sized sort, not an edge-scale one
+    val k = deg0
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("deg"), col("src"))))
+      .filter(col("rn") === ((n + 1) / 2))
+      .select("deg").head().getLong(0)
+    for (_ <- 0 until rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("n"))
+      e = e
+        .join(keep.select(col("n").as("src")), "src")
+        .join(keep.select(col("n").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg_residual"))
+      .select(col("src").as("node"), col("deg_residual"),
+        lit(k).as("k_threshold"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected graph given as directed `edges(src, dst)` (direction
     * duplicates and self-loops tolerated — edges are canonicalized

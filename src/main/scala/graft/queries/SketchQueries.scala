@@ -97,7 +97,40 @@ object SketchQueries extends QuerySet {
        |    AS BIGINT) AS v
        |  FROM w$k)""".stripMargin
 
+  /** One unrolled k-core peel round (DuckDB): recompute degrees on the
+    * surviving edge set, keep nodes at or above the median threshold,
+    * filter both endpoints. MATERIALIZED everywhere — every CTE here is
+    * multiply referenced. */
+  private def kcoreRound(i: Int): String =
+    s"""k$i AS MATERIALIZED (SELECT src AS n FROM
+       |    (SELECT src, count(*) AS dg FROM e${i - 1} GROUP BY src)
+       |  WHERE dg >= (SELECT k FROM kv)),
+       |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+       |  JOIN k$i a ON e.src = a.n JOIN k$i b ON e.dst = b.n)""".stripMargin
+
   def queries: Seq[Query] = Seq(
+
+    // k-core peel of the co-purchase graph at the data-derived median
+    // degree: 4 unrolled rounds of "drop nodes below k", exact median
+    // with a deterministic (deg, node) tie-break, residual degrees out.
+    Query("q103_kcore",
+      (s, dir) => GraphOps.kCoreByMedianDegree(
+        GraphOps.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        rounds = 4),
+      Some(s"""WITH e0 AS MATERIALIZED (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |d0 AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |  FROM e0 GROUP BY src),
+          |kv AS MATERIALIZED (SELECT deg AS k FROM
+          |    (SELECT deg, row_number() OVER (ORDER BY deg, src) AS rn FROM d0)
+          |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM d0)),
+          |${(1 to 4).map(kcoreRound).mkString(",\n")}
+          |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_residual,
+          |  (SELECT k FROM kv) AS k_threshold
+          |FROM e4 GROUP BY src""".stripMargin)),
 
     // Count-min sketch heavy hitters: exact top-20 tokens joined with
     // their CMS point estimates (min over 4 rows of a 4x1024 grid). The

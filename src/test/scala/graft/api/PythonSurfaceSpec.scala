@@ -49,7 +49,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
       "associationRules" -> 4, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
-      "videoNearDuplicates" -> 3)
+      "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -117,6 +117,35 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("kCoreByMedianDegree equals a driver-side peel replay") {
+    val edges = ((0L until 20L).flatMap { i =>
+      val j = (i * 3 + 1) % 20
+      Seq((i, j), (j, i))
+    } ++ // a dense clique that must survive the peel
+      (for { a <- 30L to 36L; b <- 30L to 36L if a != b } yield (a, b)))
+      .distinct
+    val rounds = 4
+    val got = GraphOps.kCoreByMedianDegree(toDf(edges), rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    var e = edges.toSet
+    val deg0 = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg0.size
+    val k = deg0.toSeq.map { case (nd, d) => (d, nd) }.sorted
+      .apply((n + 1) / 2 - 1)._1
+    for (_ <- 0 until rounds) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter { case (s, d) => keep(s) && keep(d) }
+    }
+    val ref = e.groupBy(_._1).map { case (nd, es) =>
+      (nd, es.size.toLong, k)
+    }.toSet
+    assert(got === ref)
+    // the 7-clique (degree 6 each) survives
+    assert((30L to 36L).forall(nd => got.exists(_._1 == nd)))
+  }
+
   test("pageRankTopK: deterministic (rank desc, node asc) prefix") {
     val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
     val top = GraphOps.pageRankTopK(toDf(edges), iters = 5, k = 3)
