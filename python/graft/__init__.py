@@ -728,3 +728,17 @@ def k_core(edges, rounds=4):
     (node, deg_residual, k_threshold)."""
     s = edges.sparkSession
     return _wrap(s, _api(s).kCoreByMedianDegree(edges._jdf, int(rounds)))
+
+
+def read_warc(spark, path_glob):
+    """Distributed WARC (Common Crawl) read: one task per archive file,
+    records streamed with constant memory; gzip-per-record detected."""
+    return _wrap(spark, _api(spark).readWarc(spark._jsparkSession,
+                                             path_glob))
+
+
+def warc_responses(warc):
+    """HTTP response records with the envelope stripped:
+    (target_uri, warc_date, html, src_file)."""
+    s = warc.sparkSession
+    return _wrap(s, _api(s).warcResponses(warc._jdf))

@@ -455,6 +455,17 @@ object JavaApi {
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
 
+  /** Distributed WARC read (one task per archive file, streamed records):
+    * (record_type, target_uri, warc_date, content_type, record_id,
+    * content, src_file). */
+  def readWarc(spark: SparkSession, pathGlob: String): DataFrame =
+    graft.sources.WarcIO.read(spark, pathGlob)
+
+  /** Response records with the HTTP envelope stripped:
+    * (target_uri, warc_date, html, src_file). */
+  def warcResponses(warc: DataFrame): DataFrame =
+    graft.sources.WarcIO.responses(warc)
+
   /** Fixed-round k-core peel at the median initial degree:
     * (node, deg_residual, k_threshold). */
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int): DataFrame =

@@ -621,6 +621,18 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"audioDedup: wrote $out")
 
+      // warcExtract <warc-glob> <out.parquet> — crawl intake: WARC
+      //   responses -> HTTP envelope strip -> html -> extracted text
+      case "warcExtract" :: in :: out :: _ =>
+        val resp = graft.sources.WarcIO.responses(
+          graft.sources.WarcIO.read(spark, in))
+        resp.select(org.apache.spark.sql.functions.col("target_uri"),
+            org.apache.spark.sql.functions.col("warc_date"),
+            graft.operators.WebOps.htmlToText(
+              org.apache.spark.sql.functions.col("html")).as("text"))
+          .write.mode("overwrite").parquet(out)
+        println(s"warcExtract: wrote $out")
+
       // pagerank <edges.parquet> <out.parquet> [-iters n] [-top n]
       //   [-scale n] — fixed-point integer PageRank over (src, dst)
       case "pagerank" :: in :: out :: rest =>
@@ -663,7 +675,8 @@ object Cli {
           "\n  sourceOverlap <in.parquet> <out.parquet> [-group c] [-text c] [-n shingleN] [-k n]" +
           "\n  pagerank <edges.parquet> <out.parquet> [-iters n] [-top n] [-scale n]" +
           "\n  imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
-          "\n  audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]")
+          "\n  audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
+          "\n  warcExtract <warc-glob> <out.parquet>")
         sys.exit(2)
     }
   }

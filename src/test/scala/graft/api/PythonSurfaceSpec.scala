@@ -49,7 +49,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
       "associationRules" -> 4, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
-      "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2)
+      "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,
+      "readWarc" -> 2, "warcResponses" -> 1)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }
