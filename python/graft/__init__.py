@@ -742,3 +742,20 @@ def warc_responses(warc):
     (target_uri, warc_date, html, src_file)."""
     s = warc.sparkSession
     return _wrap(s, _api(s).warcResponses(warc._jdf))
+
+
+def warc_conversions(warc):
+    """WET-shape conversion records decoded as UTF-8 text:
+    (target_uri, warc_date, text, src_file)."""
+    s = warc.sparkSession
+    return _wrap(s, _api(s).warcConversions(warc._jdf))
+
+
+def hamming_near_duplicates_against(index, probes, id_col="media_id",
+                                    hash_col="dhash", max_dist=3, bands=4):
+    """Probe a persisted perceptual-hash index (image/audio/video) with a
+    batch of probe hashes: (probe_id, corpus_id, dist)."""
+    s = index.sparkSession
+    return _wrap(s, _api(s).hammingNearDuplicatesAgainst(
+        index._jdf, probes._jdf, id_col, hash_col, int(max_dist),
+        int(bands)))

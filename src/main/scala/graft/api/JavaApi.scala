@@ -466,6 +466,18 @@ object JavaApi {
   def warcResponses(warc: DataFrame): DataFrame =
     graft.sources.WarcIO.responses(warc)
 
+  /** WET-shape conversion records decoded as UTF-8 text:
+    * (target_uri, warc_date, text, src_file). */
+  def warcConversions(warc: DataFrame): DataFrame =
+    graft.sources.WarcIO.conversions(warc)
+
+  /** Probe a persisted perceptual-hash index with a batch of probe
+    * hashes: (probe_id, corpus_id, dist). */
+  def hammingNearDuplicatesAgainst(index: DataFrame, probes: DataFrame,
+      idCol: String, hashCol: String, maxDist: Int, bands: Int): DataFrame =
+    graft.operators.MultimodalOps.hammingNearDuplicatesAgainst(
+      index, probes, idCol, hashCol, maxDist, bands)
+
   /** Fixed-round k-core peel at the median initial degree:
     * (node, deg_residual, k_threshold). */
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int): DataFrame =

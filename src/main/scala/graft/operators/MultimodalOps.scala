@@ -422,6 +422,35 @@ object MultimodalOps {
     hammingNearDuplicates(imageDHash(media), "media_id", "dhash",
       maxDist, bands)
 
+  /** Probe a PERSISTED perceptual-hash index (any (id, hash64) table —
+    * [[imageDHash]] / [[audioFingerprint]] / [[videoDHash]] output, e.g.
+    * loaded from parquet) with a batch of probe hashes: emits
+    * (probe_id, corpus_id, dist <= maxDist). The index-once/probe-many
+    * shape of the MinHash family for the multimodal keys: the corpus is
+    * hashed exactly once, each incoming batch only hashes itself and
+    * joins on (band, value) buckets. */
+  def hammingNearDuplicatesAgainst(
+      index: DataFrame, probes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "pigeonhole recall needs maxDist < bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    def withBands(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"h_$side"))
+        .select(col(s"${side}_id"), col(s"h_$side"),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col(s"h_$side"), b * width)
+              .bitwiseAND(lit(mask))): _*))
+            .as(Seq("band", "bval")))
+    withBands(probes, "probe")
+      .join(withBands(index, "corpus"), Seq("band", "bval"))
+      .select(col("probe_id"), col("corpus_id"),
+        bit_count(col("h_probe").bitwiseXOR(col("h_corpus")))
+          .cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Volume-invariant audio fingerprint of decoded PCM samples: box the
     * samples onto `windows` equal spans (sample i -> span i*windows/n,
     * truncating), sum |s| per span, then one bit per adjacent span pair:

@@ -165,6 +165,16 @@ object WarcIO {
         "record_id", "content", "src_file")
   }
 
+  /** WET-shape projection: `conversion` records (pre-extracted plain text,
+    * the Common Crawl WET sidecar format — same container, different
+    * record type) decoded as UTF-8. */
+  def conversions(warc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    warc.filter(col("record_type") === "conversion")
+      .select(col("target_uri"), col("warc_date"),
+        decode(col("content"), "UTF-8").as("text"), col("src_file"))
+  }
+
   /** The standard crawl-intake projection: HTTP `response` records with
     * their payload decoded as UTF-8 text (the input to
     * [[graft.operators.WebOps.htmlToText]]). HTTP response headers, when

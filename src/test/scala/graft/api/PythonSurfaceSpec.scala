@@ -50,7 +50,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "associationRules" -> 4, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,
-      "readWarc" -> 2, "warcResponses" -> 1)
+      "readWarc" -> 2, "warcResponses" -> 1, "warcConversions" -> 1,
+      "hammingNearDuplicatesAgainst" -> 6)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -277,6 +277,29 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(ref.count(_._3 == 0) >= 6 * 4 * 3 / 2)
   }
 
+  test("hammingNearDuplicatesAgainst: index/probe equals the cross brute force") {
+    import spark.implicits._
+    val index = (0L until 30L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("media_id", "dhash")
+    // probes: exact copies of 5 corpus hashes + 1-bit flips of 5 more
+    val probes = ((100L until 105L).zip(0L until 5L).map { case (p, c) =>
+      (p, c * 0x9e3779b97f4a7c15L)
+    } ++ (105L until 110L).zip(5L until 10L).map { case (p, c) =>
+      (p, (c * 0x9e3779b97f4a7c15L) ^ (1L << (p % 64).toInt))
+    }).toDF("media_id", "dhash")
+    val got = MultimodalOps.hammingNearDuplicatesAgainst(
+        index, probes, "media_id", "dhash", maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = index.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val prb = probes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = (for {
+      (pid, ph) <- prb; (cid, ch) <- idx
+      d = java.lang.Long.bitCount(ph ^ ch) if d <= 3
+    } yield (pid, cid, d)).toSet
+    assert(got === ref)
+    assert(ref.count(_._3 == 0) === 5 && ref.count(_._3 == 1) === 5)
+  }
+
   test("imageNearDuplicates equals brute-force Hamming over the hash table") {
     import spark.implicits._
     // 8 base patterns x 8 brightness-shifted clones -> lots of dist-0

@@ -67,6 +67,18 @@ class WarcSpec extends SparkSpec {
     assert(resp("http://example.com/empty") === "")
   }
 
+  test("conversions(): WET-shape plain-text records decode as UTF-8") {
+    val path = tmpDir() + "/t.wet"
+    WarcIO.write(path, Seq(
+      WarcRecord("conversion", Some("http://example.com/a"), None,
+        Some("text/plain"), Some("<urn:uuid:wet-1>"),
+        "extracted text body".getBytes(UTF_8)),
+      sampleRecords.head))
+    val got = WarcIO.conversions(WarcIO.read(spark, path))
+      .collect().map(r => r.getString(0) -> r.getString(2))
+    assert(got.toSeq === Seq("http://example.com/a" -> "extracted text body"))
+  }
+
   test("end-to-end crawl intake: WARC -> responses -> htmlToText") {
     import org.apache.spark.sql.functions._
     val path = tmpDir() + "/t.warc.gz"
