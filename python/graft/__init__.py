@@ -759,3 +759,20 @@ def hamming_near_duplicates_against(index, probes, id_col="media_id",
     return _wrap(s, _api(s).hammingNearDuplicatesAgainst(
         index._jdf, probes._jdf, id_col, hash_col, int(max_dist),
         int(bands)))
+
+
+def hll_summary_by_group(docs, group_col="source", text_col="text", p=10):
+    """Per-group HLL distinct-token summaries — the deterministic,
+    oracle-exact analog of approx_count_distinct(...) GROUP BY."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).hllSummaryByGroup(docs._jdf, group_col,
+                                              text_col, int(p)))
+
+
+def apply_near_dedup(docs, id_col, pairs):
+    """Terminal near-dedup step: cluster duplicate pairs (exact connected
+    components), keep the min-id representative per cluster, return the
+    surviving corpus. Composes with any pair source (MinHash, SimHash,
+    embedding-cosine, edit-distance, dHash)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).applyNearDedup(docs._jdf, id_col, pairs._jdf))

@@ -483,6 +483,18 @@ object JavaApi {
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int): DataFrame =
     GraphOps.kCoreByMedianDegree(edges, rounds)
 
+  /** Per-group HLL distinct-token summaries (deterministic
+    * approx_count_distinct GROUP BY analog). */
+  def hllSummaryByGroup(docs: DataFrame, groupCol: String,
+      textCol: String, p: Int): DataFrame =
+    SketchOps.hllSummaryByGroup(docs, groupCol, textCol, p)
+
+  /** Terminal near-dedup: cluster duplicate pairs, keep the min-id
+    * representative, return the surviving corpus. */
+  def applyNearDedup(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    DedupOps.applyNearDedup(docs, idCol, pairs)
+
   /** Pairwise association rules with integer-exact confidence/lift:
     * (ante, cons, n_ab, n_ante, n_cons, n_baskets, conf_permille,
     * lift_ppm). */

@@ -939,4 +939,21 @@ object DedupOps {
       .filter(col("dist") <= d)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Materialize a near-dedup decision: cluster the duplicate `pairs`
+    * ([[clusterDuplicates]]' exact connected components) and keep ONE
+    * representative per cluster — the minimum id, the same canonical
+    * choice as exact dedup — dropping every other member from `docs`.
+    * Docs in no pair pass through untouched (the clusters table only
+    * contains paired ids, so the anti-join leaves them alone).
+    * This is the "give me the deduplicated corpus" terminal step that
+    * composes with any pair source: MinHash, SimHash, embedding-cosine,
+    * edit-distance, dHash. */
+  def applyNearDedup(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drops = clusterDuplicates(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
 }

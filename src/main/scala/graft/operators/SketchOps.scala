@@ -153,6 +153,40 @@ object SketchOps {
         expr("abs(est_q - n_distinct) * 1000 div n_distinct"))
   }
 
+  /** Per-group HLL summaries — the deterministic, oracle-exact analog of
+    * `approx_count_distinct(...) GROUP BY`: one row per `groupCol` value
+    * with the same integer-exact estimator as [[hllSummary]]. State per
+    * group is 2^p registers; the whole thing is two map-side-combinable
+    * aggregations keyed by (group, token) then (group, register). */
+  def hllSummaryByGroup(
+      docs: DataFrame, groupCol: String, textCol: String,
+      p: Int = 10): DataFrame = {
+    val m = 1L << p
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+        .as("token"))
+      .groupBy("g", "token").agg(count(lit(1)).as("n"))
+    counts
+      .select(col("g"), col("n"), hllRegUdf(p)(col("token")).as("rr"))
+      .select(col("g"), col("n"), col("rr._1").as("reg"), col("rr._2").as("rho"))
+      .groupBy("g", "reg")
+      .agg(max("rho").as("mrho"), sum("n").as("n_toks"),
+        count(lit(1)).as("n_types"))
+      .groupBy("g")
+      .agg(
+        sum("n_toks").as("n_tokens"),
+        sum("n_types").as("n_distinct"),
+        (lit(m) - count(lit(1))).as("v_zero"),
+        ((lit(m) - count(lit(1))) * lit(1L << 33) +
+          sum(expr("shiftleft(1L, 33 - mrho)"))).as("s_q"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_distinct"),
+        col("v_zero"), col("s_q"),
+        expr(s"(${hllAlphaQ(p)}L * $m * $m * 8) div s_q").as("est_q"))
+      .withColumn("err_permille",
+        expr("abs(est_q - n_distinct) * 1000 div n_distinct"))
+  }
+
   // -------------------------- bottom-k set sketches ------------------------
 
   private def shinglesUdf(n: Int) = udf { text: String =>

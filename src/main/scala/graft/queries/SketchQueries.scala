@@ -468,6 +468,76 @@ object SketchQueries extends QuerySet {
           |FROM vh a JOIN vh b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
 
+    // Grouped HLL: per-source distinct-token cardinality with the
+    // integer-exact estimator — the deterministic analog of
+    // approx_count_distinct(...) GROUP BY, exact enough to hash-match.
+    Query("q104_hll_by_source",
+      (s, dir) => SketchOps.hllSummaryByGroup(
+        t(s, dir, "documents"), "source", "text", p = 10),
+      Some(s"""WITH toks AS (
+          |  SELECT source, unnest(list_filter(
+          |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+          |  FROM documents),
+          |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+          |        FROM toks GROUP BY source, token),
+          |hb AS (SELECT source, token, n, ${fnv1a64("token")} AS fh FROM cnt),
+          |x0 AS (SELECT source, n,
+          |    ((fh::HUGEINT + $goldenU::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS x
+          |  FROM hb),
+          |${splitmixCtes("x0", "source, n", "sm")},
+          |rr AS (SELECT source, n, (hu >> 54)::BIGINT AS reg,
+          |    CASE WHEN (hu & 4294967295::UBIGINT) = 0::UBIGINT THEN 33
+          |         ELSE 33 - length(bin(hu & 4294967295::UBIGINT)) END AS rho
+          |  FROM sm),
+          |regs AS (SELECT source, reg, max(rho) AS mrho,
+          |    CAST(sum(n) AS BIGINT) AS n_toks,
+          |    CAST(count(*) AS BIGINT) AS n_types
+          |  FROM rr GROUP BY source, reg),
+          |agg AS (SELECT source,
+          |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+          |    CAST(sum(n_types) AS BIGINT) AS n_distinct,
+          |    1024 - CAST(count(*) AS BIGINT) AS v_zero,
+          |    (1024 - CAST(count(*) AS BIGINT)) * 8589934592 +
+          |      CAST(sum(1::BIGINT << (33 - mrho)) AS BIGINT) AS s_q
+          |  FROM regs GROUP BY source)
+          |SELECT source, n_tokens, n_distinct, v_zero, s_q,
+          |  CAST((${SketchOps.hllAlphaQ(10)}::BIGINT * 1024 * 1024 * 8) // s_q
+          |    AS BIGINT) AS est_q,
+          |  CAST(abs((${SketchOps.hllAlphaQ(10)}::BIGINT * 1024 * 1024 * 8) // s_q
+          |    - n_distinct) * 1000 // n_distinct AS BIGINT) AS err_permille
+          |FROM agg""".stripMargin)),
+
+    // Terminal dedup step: MinHash near-dup pairs -> exact connected
+    // components -> keep the min-id representative per cluster -> the
+    // surviving corpus. The oracle replays banding, a recursive-CTE
+    // transitive closure, and the anti-join.
+    Query("q105_near_dedup_apply",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = graft.operators.DedupOps.minhashNearDuplicates(
+          d, "doc_id", "text",
+          numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)
+          .select("id_a", "id_b")
+        graft.operators.DedupOps.applyNearDedup(
+          d.select(col("doc_id"), col("source")), "doc_id", pairs)
+      },
+      Some(s"""WITH RECURSIVE prs AS MATERIALIZED (
+          |  SELECT id_a, id_b FROM (
+          |${HashOracleSql.minhashNearDupSql(
+            numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)}
+          |  ) mh),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          |          UNION SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+          |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          |drops AS (SELECT id FROM cl WHERE id <> cluster_id)
+          |SELECT d.doc_id, d.source FROM documents d
+          |LEFT JOIN drops ON d.doc_id = drops.id
+          |WHERE drops.id IS NULL""".stripMargin)),
+
     // Per-document character entropy (gibberish / compressibility
     // signal): integer-quantized ln terms sum exactly in any order, so
     // even this "floating-point" statistic hash-matches the oracle.

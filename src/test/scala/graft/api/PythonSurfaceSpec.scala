@@ -51,7 +51,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,
       "readWarc" -> 2, "warcResponses" -> 1, "warcConversions" -> 1,
-      "hammingNearDuplicatesAgainst" -> 6)
+      "hammingNearDuplicatesAgainst" -> 6, "hllSummaryByGroup" -> 4,
+      "applyNearDedup" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

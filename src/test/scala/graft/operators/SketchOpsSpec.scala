@@ -140,6 +140,20 @@ class SketchOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_jaccard") === inter.toDouble / union)
   }
 
+  test("hllSummaryByGroup: per-group rows equal per-group hllSummary") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i =>
+      (s"src${i % 3}", s"w${i % 29} x${(i * 7) % 41} common"))
+    val df = rows.toDF("source", "text")
+    val grouped = SketchOps.hllSummaryByGroup(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    rows.map(_._1).distinct.foreach { src =>
+      val single = SketchOps.hllSummary(
+        df.filter($"source" === src), "text").collect().head.toSeq
+      assert(grouped(src) === single, src)
+    }
+  }
+
   test("sketches are identical at any partitioning") {
     val texts = (0 until 60).map(i => s"p$i q${i % 7} r${i % 13} s t u v w")
     val df = docsDf(texts)

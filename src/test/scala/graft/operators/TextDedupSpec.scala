@@ -831,4 +831,18 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getString(0) == "B" && r.getLong(1) == 3L && r.getLong(2) == 2L)
     assert(r.getLong(3) == 1L && r.getInt(4) == 1)
   }
+
+  test("applyNearDedup keeps the min-id representative per cluster, untouched singletons") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
+    // clusters: {1,2,3} (chain), {5,7}; 4,6,8..12 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val kept = DedupOps.applyNearDedup(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 6L, 8L, 9L, 10L, 11L, 12L))
+    // non-paired columns survive intact
+    val body = DedupOps.applyNearDedup(docs, "doc_id", pairs)
+      .filter($"doc_id" === 5L).collect().head.getString(1)
+    assert(body === "doc5")
+  }
 }
