@@ -776,3 +776,12 @@ def apply_near_dedup(docs, id_col, pairs):
     embedding-cosine, edit-distance, dHash)."""
     s = docs.sparkSession
     return _wrap(s, _api(s).applyNearDedup(docs._jdf, id_col, pairs._jdf))
+
+
+def correlation_matrix(df, cols, scales):
+    """Exact pairwise Pearson correlations over quantized columns:
+    (col_a, col_b, n, sxy, sxx, syy, corr) — integer centered sums, so
+    the double corr is bit-identical across engines and partitionings."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).correlationMatrix(df._jdf, list(cols),
+                                              [int(x) for x in scales]))

@@ -483,6 +483,16 @@ object JavaApi {
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int): DataFrame =
     GraphOps.kCoreByMedianDegree(edges, rounds)
 
+  /** Exact pairwise Pearson correlations over quantized columns:
+    * (col_a, col_b, n, sxy, sxx, syy, corr) — corr is the same IEEE
+    * double in any engine computing from the integer sums. */
+  def correlationMatrix(df: DataFrame, cols: java.util.List[String],
+      scales: java.util.List[java.lang.Long]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.Stats.correlationMatrix(df, cols.asScala.toSeq,
+      scales.asScala.toSeq.map(_.longValue))
+  }
+
   /** Per-group HLL distinct-token summaries (deterministic
     * approx_count_distinct GROUP BY analog). */
   def hllSummaryByGroup(docs: DataFrame, groupCol: String,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact numeric statistics over quantized columns.
+  *
+  * Pearson correlation the engine-portable way: quantize each column to
+  * longs (caller-chosen scale), subtract the truncating-division integer
+  * mean, and aggregate the centered cross/self products as exact long
+  * sums. The correlation then reduces to `sxy / (sqrt(sxx) * sqrt(syy))`
+  * over integers below 2^53 — every step (long→double cast, sqrt,
+  * multiply, divide) is correctly-rounded IEEE, so two engines computing
+  * from the same sums produce the SAME double, bit for bit. The usual
+  * streaming-variance float path cannot promise that (its partial sums
+  * are order-sensitive).
+  *
+  * Scale shape: one pass for the means (k sums), one pass for all
+  * k(k+1)/2 centered products (single aggregation, map-side combined);
+  * the only collects are the two bounded k- and k^2-cell rows. Callers
+  * pick scales so that n * (column spread * scale)^2 stays below 2^53. */
+object Stats {
+
+  /** Pairwise Pearson correlations of `cols` quantized by `scales`:
+    * one row per unordered pair (col_a < col_b in list order) —
+    * (col_a, col_b, n, sxy, sxx, syy, corr). */
+  def correlationMatrix(
+      df: DataFrame, cols: Seq[String], scales: Seq[Long]): DataFrame = {
+    require(cols.length == scales.length && cols.length >= 2)
+    val spark = df.sparkSession
+    val k = cols.length
+    val q = df.select(cols.zip(scales).map { case (c, s) =>
+      floor(col(c) * s + 0.5).cast("long").as(c)
+    }: _*)
+
+    val meanRow = q.agg(count(lit(1)).as("n"),
+        cols.map(c => sum(col(c)).as(s"s_$c")): _*)
+      .collect().head
+    val n = meanRow.getLong(0)
+    require(n > 0, "correlationMatrix over an empty input")
+    val means = cols.indices.map(i => meanRow.getLong(i + 1) / n)
+
+    val centered = q.select(cols.zipWithIndex.map { case (c, i) =>
+      (col(c) - lit(means(i))).as(c)
+    }: _*)
+    val prodExprs = for {
+      i <- 0 until k; j <- i until k
+    } yield sum(col(cols(i)) * col(cols(j))).as(s"p_${i}_$j")
+    val sums = centered.agg(prodExprs.head, prodExprs.tail: _*).collect().head
+    def s(i: Int, j: Int): Long = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      val idx = (0 until k).take(a).map(x => k - x).sum + (b - a)
+      sums.getLong(idx)
+    }
+
+    val rows = for {
+      i <- 0 until k; j <- (i + 1) until k
+    } yield {
+      val sxy = s(i, j); val sxx = s(i, i); val syy = s(j, j)
+      val corr =
+        if (sxx == 0L || syy == 0L) 0.0
+        else sxy.toDouble / (math.sqrt(sxx.toDouble) * math.sqrt(syy.toDouble))
+      Row(cols(i), cols(j), n, sxy, sxx, syy, corr)
+    }
+    val schema = StructType(Seq(
+      StructField("col_a", StringType, nullable = false),
+      StructField("col_b", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("sxy", LongType, nullable = false),
+      StructField("sxx", LongType, nullable = false),
+      StructField("syy", LongType, nullable = false),
+      StructField("corr", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

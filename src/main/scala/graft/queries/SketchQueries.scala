@@ -468,6 +468,48 @@ object SketchQueries extends QuerySet {
           |FROM vh a JOIN vh b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
 
+    // Exact Pearson correlation matrix over lineitem's numeric columns:
+    // integer centered sums below 2^53, so the final
+    // sxy/(sqrt(sxx)*sqrt(syy)) is the SAME IEEE double in both engines
+    // — a "floating-point" statistic that hash-matches.
+    Query("q106_correlation_matrix",
+      (s, dir) => graft.operators.Stats.correlationMatrix(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        Seq(100L, 1L, 10000L, 10000L)),
+      Some {
+        val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairRows = (for {
+          i <- 0 until 4; j <- (i + 1) until 4
+        } yield
+          s"""SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b, n,
+             |  s${i}$j AS sxy, s${i}$i AS sxx, s${j}$j AS syy,
+             |  CASE WHEN s${i}$i = 0 OR s${j}$j = 0 THEN 0.0
+             |    ELSE CAST(s${i}$j AS DOUBLE) /
+             |      (sqrt(CAST(s${i}$i AS DOUBLE)) * sqrt(CAST(s${j}$j AS DOUBLE)))
+             |  END AS corr FROM st""".stripMargin).mkString("\nUNION ALL\n")
+        val prods = (for { i <- 0 until 4; j <- i until 4 }
+          yield s"CAST(sum(c$i * c$j) AS BIGINT) AS s$i$j").mkString(",\n    ")
+        s"""WITH q AS (SELECT
+           |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q0,
+           |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS q1,
+           |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS q2,
+           |    CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS q3
+           |  FROM lineitem),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(q0) AS BIGINT) // CAST(count(*) AS BIGINT) AS m0,
+           |    CAST(sum(q1) AS BIGINT) // CAST(count(*) AS BIGINT) AS m1,
+           |    CAST(sum(q2) AS BIGINT) // CAST(count(*) AS BIGINT) AS m2,
+           |    CAST(sum(q3) AS BIGINT) // CAST(count(*) AS BIGINT) AS m3
+           |  FROM q),
+           |c AS (SELECT q0 - m.m0 AS c0, q1 - m.m1 AS c1,
+           |    q2 - m.m2 AS c2, q3 - m.m3 AS c3 FROM q, m),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    $prods
+           |  FROM c)
+           |$pairRows""".stripMargin
+      }),
+
     // Grouped HLL: per-source distinct-token cardinality with the
     // integer-exact estimator — the deterministic analog of
     // approx_count_distinct(...) GROUP BY, exact enough to hash-match.
