@@ -319,6 +319,36 @@ object ScaleProbe {
         .agg(sum(col("n_triangles"))).collect().head.getLong(0)
     }
     spark.catalog.clearCache()
+    timed("warc_intake") {
+      // 8 gzip-per-record archives x 6,250 response records (the Common
+      // Crawl layout in miniature): write once, then time the streamed
+      // read -> envelope strip -> htmlToText over all files
+      import graft.sources.WarcIO
+      val warcDir = s"$work/warc"
+      new java.io.File(warcDir).mkdirs()
+      if (!new java.io.File(s"$warcDir/w0.warc.gz").exists()) {
+        (0 until 8).foreach { f =>
+          val recs = (0 until 6250).map { i =>
+            val id = f * 6250 + i
+            WarcIO.WarcRecord("response",
+              Some(s"http://example.com/p$id"),
+              Some("2024-01-01T00:00:00Z"),
+              Some("application/http; msgtype=response"),
+              Some(s"<urn:uuid:$id>"),
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                s"<html><body><h1>Page $id</h1><p>body text $id " +
+                ("lorem ipsum " * 40) + "</p></body></html>")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          WarcIO.write(s"$warcDir/w$f.warc.gz", recs, gzipPerRecord = true)
+        }
+      }
+      WarcIO.responses(WarcIO.read(spark, s"$warcDir/*.warc.gz"))
+        .select(graft.operators.WebOps.htmlToText(col("html")).as("text"))
+        .filter(length(col("text")) > 0)
+        .count()
+    }
+    spark.catalog.clearCache()
     timed("pca_label_projection") {
       // 500k synthetic 64-dim vectors — 100x the sf0.1 embeddings table
       val vecs = spark.range(500000L).select(col("id").as("vec_id"),
