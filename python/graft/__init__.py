@@ -785,3 +785,13 @@ def correlation_matrix(df, cols, scales):
     s = df.sparkSession
     return _wrap(s, _api(s).correlationMatrix(df._jdf, list(cols),
                                               [int(x) for x in scales]))
+
+
+def interval_join(left, right, key_col, ts_col, max_gap="30 minutes",
+                  watermark_delay="10 minutes"):
+    """Stream-stream (or batch) interval join with dual watermarks — the
+    ad-attribution shape; state bounded by key-rate x max_gap. Columns
+    come back prefixed l_/r_."""
+    s = left.sparkSession
+    return _wrap(s, _api(s).intervalJoin(left._jdf, right._jdf, key_col,
+                                         ts_col, max_gap, watermark_delay))

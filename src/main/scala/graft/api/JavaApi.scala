@@ -483,6 +483,14 @@ object JavaApi {
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int): DataFrame =
     GraphOps.kCoreByMedianDegree(edges, rounds)
 
+  /** Stream-stream (or batch) interval join with dual watermarks: right
+    * events join same-key left events within [l.ts, l.ts + maxGap];
+    * columns come back prefixed l_/r_. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, maxGap: String, watermarkDelay: String): DataFrame =
+    graft.streaming.EventStreams.intervalJoin(
+      left, right, keyCol, tsCol, maxGap, watermarkDelay)
+
   /** Exact pairwise Pearson correlations over quantized columns:
     * (col_a, col_b, n, sxy, sxx, syy, corr) — corr is the same IEEE
     * double in any engine computing from the integer sums. */

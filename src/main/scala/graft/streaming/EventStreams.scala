@@ -315,6 +315,29 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM interval join with dual watermarks — the ad-attribution
+    * shape: every `right` event joins the `left` events of the same key
+    * that happened within `[left.ts, left.ts + maxGap]` before it.
+    * Both sides are watermarked, and the time-range predicate gives
+    * Structured Streaming the state-expiry bound it needs: left rows are
+    * dropped once `left.ts + maxGap` falls behind the right watermark —
+    * state is O(key-rate x maxGap), not unbounded. Columns are prefixed
+    * `l_`/`r_` so arbitrary schemas compose. The batch twin is the same
+    * join expression on static frames (proven equal in StreamingSpec). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      maxGap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+    val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermarkDelay)
+    val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermarkDelay)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxGap"))
+  }
+
   /** Streaming count-min sketch: the depth x width grid maintained as a
     * plain streaming aggregation. The sketch IS the state — at most
     * depth*width rows forever, no watermark needed, and because the grid

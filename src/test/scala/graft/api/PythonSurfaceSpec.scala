@@ -52,7 +52,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,
       "readWarc" -> 2, "warcResponses" -> 1, "warcConversions" -> 1,
       "hammingNearDuplicatesAgainst" -> 6, "hllSummaryByGroup" -> 4,
-      "applyNearDedup" -> 3, "correlationMatrix" -> 3)
+      "applyNearDedup" -> 3, "correlationMatrix" -> 3,
+      "intervalJoin" -> 6)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

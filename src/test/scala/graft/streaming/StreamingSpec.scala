@@ -488,6 +488,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals its batch twin (ad attribution)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Imp(ts: Timestamp, user_id: Long, imp_id: Long)
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStreams.intervalJoin(
+        imps.toDF().toDF("ts", "user_id", "imp_id"),
+        clicks.toDF().toDF("ts", "user_id", "click_id"),
+        "user_id", "ts", maxGap = "10 minutes", watermarkDelay = "5 minutes")
+      .select("l_imp_id", "r_click_id")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      val impRows = Seq(
+        (ts(0), 1L, 100L), (ts(20), 1L, 101L), // two imp sessions, user 1
+        (ts(0), 2L, 200L), (ts(40), 3L, 300L))
+      val clickRows = Seq(
+        (ts(5), 1L, 900L),   // attributes to imp 100 only
+        (ts(25), 1L, 901L),  // to imp 101 only (100 is > 10 min away)
+        (ts(12), 2L, 902L),  // > 10 min after imp 200 -> no match
+        (ts(40), 3L, 903L))  // equal-ts click matches
+      imps.addData(impRows.take(2): _*)
+      clicks.addData(clickRows.take(1): _*)
+      q.processAllAvailable()
+      imps.addData(impRows.drop(2): _*)
+      clicks.addData(clickRows.drop(1): _*)
+      q.processAllAvailable()
+      // push the watermark far enough that all joinable pairs are emitted
+      imps.addData((ts(59), 9L, 999L))
+      clicks.addData((ts(59), 9L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.intervalJoin(
+          impRows.toDF("ts", "user_id", "imp_id"),
+          clickRows.toDF("ts", "user_id", "click_id"),
+          "user_id", "ts", maxGap = "10 minutes")
+        .select("l_imp_id", "r_click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((100L, 900L), (101L, 901L), (300L, 903L)))
+      assert((got -- Set((999L, 998L))) === batch,
+        s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming count-min grid equals the batch sketch when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
