@@ -327,15 +327,20 @@ object EventStreams {
   def intervalJoin(
       left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       maxGap: String = "30 minutes",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
     val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermarkDelay)
     val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermarkDelay)
+    // left_outer additionally emits never-matched left rows (nulls on the
+    // right) once the watermark proves no match can still arrive — the
+    // "un-attributed impressions" stream
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxGap"))
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxGap"),
+      joinType)
   }
 
   /** Streaming count-min sketch: the depth x width grid maintained as a

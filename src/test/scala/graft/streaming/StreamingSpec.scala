@@ -534,6 +534,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join left_outer: unmatched impressions surface with null clicks") {
+    import spark.implicits._
+    val impRows = Seq((ts(0), 1L, 100L), (ts(0), 2L, 200L))
+    val clickRows = Seq((ts(5), 1L, 900L)) // user 2 never clicks
+    val out = EventStreams.intervalJoin(
+        impRows.toDF("ts", "user_id", "imp_id"),
+        clickRows.toDF("ts", "user_id", "click_id"),
+        "user_id", "ts", maxGap = "10 minutes", joinType = "left_outer")
+      .select("l_imp_id", "r_click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(out === Set((100L, 900L), (200L, -1L)))
+  }
+
   test("streaming count-min grid equals the batch sketch when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
