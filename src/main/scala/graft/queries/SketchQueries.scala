@@ -468,6 +468,35 @@ object SketchQueries extends QuerySet {
           |FROM vh a JOIN vh b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.hu, b.hu)) <= 3""".stripMargin)),
 
+    // Batch click attribution through the SAME intervalJoin used by the
+    // streaming path (withWatermark is a no-op in batch): every click
+    // joins the views of its user within the prior 30 minutes — the
+    // driver-verified anchor for the stream-stream join semantics.
+    Query("q107_click_attribution",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("ts"), col("user_id"), col("event_id").as("imp_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+        graft.streaming.EventStreams.intervalJoin(
+            views, clicks, "user_id", "ts",
+            maxGap = "30 minutes", watermarkDelay = "10 minutes")
+          .select(col("l_imp_id").as("imp_id"),
+            col("r_click_id").as("click_id"),
+            (expr("unix_millis(r_ts)") - expr("unix_millis(l_ts)"))
+              .as("gap_ms"))
+      },
+      Some("""WITH v AS (SELECT ts, user_id, event_id AS imp_id
+          |       FROM events WHERE event_type = 'view'),
+          |c AS (SELECT ts, user_id, event_id AS click_id
+          |      FROM events WHERE event_type = 'click')
+          |SELECT v.imp_id, c.click_id,
+          |  CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+          |FROM v JOIN c ON v.user_id = c.user_id
+          |  AND c.ts >= v.ts
+          |  AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
     // Exact Pearson correlation matrix over lineitem's numeric columns:
     // integer centered sums below 2^53, so the final
     // sxy/(sqrt(sxx)*sqrt(syy)) is the SAME IEEE double in both engines
