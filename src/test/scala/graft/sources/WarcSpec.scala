@@ -102,7 +102,6 @@ class WarcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not a WARC record header")))
 
     val trunc = s"$dir/trunc.warc"
-    val full = new java.io.ByteArrayOutputStream()
     WarcIO.write(s"$dir/ok.warc", sampleRecords.take(3))
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/ok.warc"))
