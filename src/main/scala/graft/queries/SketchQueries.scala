@@ -609,6 +609,54 @@ object SketchQueries extends QuerySet {
           |LEFT JOIN drops ON d.doc_id = drops.id
           |WHERE drops.id IS NULL""".stripMargin)),
 
+    // Observability for the dedup pipeline: per-source removal report
+    // after the full MinHash -> cluster -> keep-representative chain —
+    // the dashboard number a 100 TB dedup run is judged by.
+    Query("q108_dedup_report",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = graft.operators.DedupOps.minhashNearDuplicates(
+          d, "doc_id", "text",
+          numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)
+          .select("id_a", "id_b")
+        val kept = graft.operators.DedupOps.applyNearDedup(
+          d.select(col("doc_id"), col("source")), "doc_id", pairs)
+        val total = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val surv = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+        total.join(surv, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            expr("(n_docs - coalesce(n_kept, 0L)) * 1000 div n_docs")
+              .as("drop_permille"))
+      },
+      Some(s"""WITH RECURSIVE prs AS MATERIALIZED (
+          |  SELECT id_a, id_b FROM (
+          |${HashOracleSql.minhashNearDupSql(
+            numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)}
+          |  ) mh),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          |          UNION SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+          |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          |drops AS (SELECT id FROM cl WHERE id <> cluster_id),
+          |kept AS (SELECT d.source FROM documents d
+          |         LEFT JOIN drops ON d.doc_id = drops.id
+          |         WHERE drops.id IS NULL)
+          |SELECT t.source, t.n_docs,
+          |  coalesce(k.n_kept, 0) AS n_kept,
+          |  t.n_docs - coalesce(k.n_kept, 0) AS n_dropped,
+          |  (t.n_docs - coalesce(k.n_kept, 0)) * 1000 // t.n_docs
+          |    AS drop_permille
+          |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          |      FROM documents GROUP BY source) t
+          |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+          |           FROM kept GROUP BY source) k
+          |  ON t.source = k.source""".stripMargin)),
+
     // Per-document character entropy (gibberish / compressibility
     // signal): integer-quantized ln terms sum exactly in any order, so
     // even this "floating-point" statistic hash-matches the oracle.
