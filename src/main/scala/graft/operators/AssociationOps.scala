@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the only corpus-sized work is the per-basket pair
   * self-join — keyed by basket, so a basket with B distinct items emits
-  * B(B-1)/2 rows (bound B upstream for pathological baskets); supports are
+  * B(B-1)/2 rows. `maxBasketSize` ENFORCES the bound: baskets above it are
+  * removed (one cheap size aggregation + a semi-join) before any pair is
+  * emitted, and the drop count is logged — never a silent cap. Supports are
   * map-side-combined counts over the (item-pair) key space; the rule
   * expansion runs on the pair table, which min-support has already cut. */
 object AssociationOps {
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Pairwise association rules over an (basket, item) incidence list.
     *
@@ -25,16 +29,32 @@ object AssociationOps {
     *
     * `minPairSupport` prunes the pair table before the rule expansion —
     * the Apriori trick that keeps output linear in interesting rules.
+    * `maxBasketSize` (default 10,000 distinct items — generous; real
+    * retail/log baskets are orders of magnitude smaller) drops degenerate
+    * baskets whose quadratic pair fan-out would dominate the job (a single
+    * 10^5-item basket alone emits 5*10^9 pair rows); every drop is counted
+    * and logged at WARN. Dropped baskets are excluded from item supports
+    * and `n_baskets` too, keeping the metrics internally consistent.
     * Budget note: lift_ppm's numerator is n_ab * n_baskets * 1e6 — at
     * billions of baskets drop the quantization to ppt or pre-divide. */
   def associationRules(
       incidence: DataFrame, keyCol: String, itemCol: String,
-      minPairSupport: Long = 2L): DataFrame = {
-    val inc = incidence
+      minPairSupport: Long = 2L, maxBasketSize: Long = 10000L): DataFrame = {
+    val raw = incidence
       .select(col(keyCol).as("k"), col(itemCol).as("item"))
       .distinct()
       .persist()
-    val nBaskets = inc.select("k").distinct().count()
+    val sizes = raw.groupBy("k").agg(count(lit(1)).as("bsz")).persist()
+    val keepKeys = sizes.filter(col("bsz") <= maxBasketSize).select("k")
+    val nBaskets = keepKeys.count()
+    val nDropped = sizes.count() - nBaskets
+    if (nDropped > 0)
+      logger.warn(
+        s"associationRules: dropped $nDropped basket(s) with more than " +
+          s"$maxBasketSize distinct items (quadratic pair fan-out guard)")
+    val inc =
+      if (nDropped == 0) raw
+      else raw.join(keepKeys, Seq("k"), "left_semi").persist()
     val itemSupp = inc.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = inc.as("x")
       .join(inc.as("y"),

@@ -91,21 +91,44 @@ object GraphOps {
     *
     * Output: (node, deg_residual, k_threshold) for nodes surviving all
     * rounds. Each round is one degree aggregation + two semi-join-shaped
-    * filters, all keyed by node — Pregel-grade shuffles, no collects
-    * beyond the single median scalar. */
+    * filters, all keyed by node — Pregel-grade shuffles. The median gate
+    * never sorts the node table: the value at rank (n+1)/2 in (deg, node)
+    * order depends only on the DEGREE HISTOGRAM (the node tie-break cannot
+    * cross a degree boundary), so it reduces to one map-side-combinable
+    * `groupBy(deg).count()` plus a cumulative scan of the histogram. The
+    * histogram has at most ~2*sqrt(m) rows for m edges (t distinct degree
+    * values force sum(deg) >= t*(t+1)/2 <= m), so the driver-side scan is
+    * a bounded collect — ~2M rows even at 10^12 edges — not the
+    * single-partition node-table window a naive row_number() would plan. */
+  /** Degree histogram (deg, cnt) of directed `edges(src, dst)` — the
+    * constant-shape aggregation the k-core median gate runs on instead of
+    * sorting the node table. Exposed for plan tests. */
+  private[graft] def degreeHistogram(e: DataFrame): DataFrame =
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("cnt"))
+      .orderBy("deg")
+
+  /** Exact value at rank (n+1)/2 of the (deg, node)-ordered degree list,
+    * read off a (deg asc)-sorted histogram: the node tie-break never
+    * crosses a degree boundary, so the cumulative counts determine it. */
+  private[graft] def medianFromHistogram(
+      hist: Array[(Long, Long)]): Long = {
+    val n = hist.iterator.map(_._2).sum
+    val target = (n + 1) / 2
+    var cum = 0L
+    var k = 0L
+    val it = hist.iterator
+    while (cum < target && it.hasNext) {
+      val r = it.next(); cum += r._2; k = r._1
+    }
+    k
+  }
+
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
-    val deg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val n = deg0.count()
-    // exact median degree, (deg, node)-ordered — the 20k-row window is a
-    // node-table-sized sort, not an edge-scale one
-    val k = deg0
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("deg"), col("src"))))
-      .filter(col("rn") === ((n + 1) / 2))
-      .select("deg").head().getLong(0)
+    val k = medianFromHistogram(
+      degreeHistogram(e).collect().map(r => (r.getLong(0), r.getLong(1))))
     for (_ <- 0 until rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)

@@ -232,19 +232,41 @@ object SketchOps {
     * bottom-k Jaccard estimator |bottomk(A u B) n A n B| / k. Runs entirely
     * on sketch rows (|groups| * k), never on the corpus. Output:
     * (grp_a, grp_b, k_used, n_shared, est_jaccard) with est = int/int
-    * division (exact IEEE both engines). */
+    * division (exact IEEE both engines).
+    *
+    * The group-pair list is enumerated on the driver (bounded collect: the
+    * output is |G|^2/2 rows BY CONTRACT, so |G| must be small — a few
+    * thousand sources at most) and each pair is exploded to its two member
+    * groups, making the sketch lookup a plain hash equi-join on g. The
+    * earlier `g === grp_a || g === grp_b` formulation planned as a
+    * BroadcastNestedLoopJoin over every (pair, sketch-row) combination. */
   def sketchOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
     val grpCol = sketches.columns.head
     // persisted: referenced twice (group list + pair join) — without it the
     // whole upstream sketch pipeline (distinct + two window phases) would
     // execute once per reference (seen in the q94 physical plan)
     val sk = sketches.select(col(grpCol).as("g"), col("h")).persist()
-    val groups = sk.select(col("g")).distinct()
-    val pairs = groups.select(col("g").as("grp_a"))
-      .crossJoin(groups.select(col("g").as("grp_b")))
-      .filter(col("grp_a") < col("grp_b"))
-    pairs
-      .join(sk, col("g") === col("grp_a") || col("g") === col("grp_b"))
+    val spark = sketches.sparkSession
+    // ascending Spark sort order, so vals(i) < vals(j) iff i < j; null
+    // groups are excluded (they never satisfied `<` in the join form either)
+    val vals = sk.select("g").distinct().filter(col("g").isNotNull)
+      .orderBy("g").collect().map(_.get(0))
+    val gType = sk.schema("g").dataType
+    val pairRows = new java.util.ArrayList[Row](vals.length * vals.length / 2)
+    var i = 0
+    while (i < vals.length) {
+      var j = i + 1
+      while (j < vals.length) { pairRows.add(Row(vals(i), vals(j))); j += 1 }
+      i += 1
+    }
+    val pairSchema = new StructType()
+      .add("grp_a", gType, nullable = false).add("grp_b", gType, nullable = false)
+    spark.createDataFrame(pairRows, pairSchema)
+      .select(col("grp_a"), col("grp_b"),
+        explode(array(col("grp_a"), col("grp_b"))).as("g"))
+      .join(sk, "g")
       .groupBy("grp_a", "grp_b", "h")
       .agg((count(lit(1)) === 2).as("in_both"))
       .withColumn("r", row_number().over(

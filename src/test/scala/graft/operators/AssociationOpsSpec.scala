@@ -58,6 +58,30 @@ class AssociationOpsSpec extends SparkSpec {
     assert(nab === 3L && na === 5L && conf === 600L)
   }
 
+  test("maxBasketSize drops oversized baskets from supports and n_baskets") {
+    import spark.implicits._
+    // basket 99 has 6 distinct items; a cap of 5 must remove it entirely —
+    // from the pair join, the item supports, AND the basket denominator —
+    // leaving exactly the rules of the original 7-basket corpus
+    val big = (1 to 6).map(i => 99L -> s"extra$i")
+    val df = (baskets ++ big).toDF("basket", "item")
+    val capped = AssociationOps
+      .associationRules(df, "basket", "item", 1L, maxBasketSize = 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(capped === reference(1L))
+    // the generous default keeps it: extra1-extra2 rules appear and every
+    // rule's basket denominator counts all 8 baskets
+    val uncapped = AssociationOps.associationRules(df, "basket", "item", 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(uncapped.contains(("extra1", "extra2")))
+    assert(uncapped.values.forall(_ === 8L))
+  }
+
   test("min support prunes pairs, not single-item support counts") {
     val pruned = run(3L)
     // milk-bread (baskets 1,2,5) and bread-butter (1,4,5) survive at 3

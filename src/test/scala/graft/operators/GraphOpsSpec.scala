@@ -146,6 +146,38 @@ class GraphOpsSpec extends SparkSpec {
     assert((30L to 36L).forall(nd => got.exists(_._1 == nd)))
   }
 
+  test("median gate: histogram rank equals a full (deg, node) sort") {
+    // the cumulative-histogram median must equal the value at rank
+    // (n+1)/2 of the fully sorted (deg, node) list on arbitrary degree
+    // multisets, including heavy ties and singleton lists
+    val cases = Seq(
+      Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L),
+      Seq(7L),
+      Seq(2L, 2L, 2L, 2L),
+      Seq(1L, 1L, 2L, 3L, 3L, 3L, 3L, 10L, 10L),
+      (0L until 101L).map(i => (i * 37) % 11 + 1))
+    cases.foreach { degs =>
+      val hist = degs.groupBy(identity).view.mapValues(_.size.toLong)
+        .toArray.sortBy(_._1)
+      val sorted = degs.sorted
+      val expected = sorted((degs.size + 1) / 2 - 1)
+      assert(GraphOps.medianFromHistogram(hist) === expected, degs)
+    }
+  }
+
+  test("k-core plans: no window sort anywhere — histogram gate + keyed peels") {
+    val edges = (0L until 30L).flatMap(i => Seq((i, (i * 7 + 1) % 30),
+      ((i * 7 + 1) % 30, i)))
+    val histPlan = GraphOps.degreeHistogram(toDf(edges))
+      .queryExecution.executedPlan.toString
+    assert(!histPlan.contains("Window"), histPlan.take(600))
+    assert(histPlan.contains("partial_count"),
+      "histogram must map-side combine")
+    val corePlan = GraphOps.kCoreByMedianDegree(toDf(edges), rounds = 2)
+      .queryExecution.executedPlan.toString
+    assert(!corePlan.contains("Window"), corePlan.take(600))
+  }
+
   test("pageRankTopK: deterministic (rank desc, node asc) prefix") {
     val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
     val top = GraphOps.pageRankTopK(toDf(edges), iters = 5, k = 3)

@@ -276,6 +276,17 @@ class PlanSpec extends SparkSpec {
     // instead of re-running distinct+windows per reference
     assert(plan.contains("InMemoryTableScan"), plan.take(400))
     assert(!plan.contains("CartesianProduct"))
+    // the pair list is driver-enumerated and the sketch lookup is a hash
+    // equi-join on g — the OR-predicate formulation planned a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q103 k-core: no window sort — histogram median + keyed peel rounds") {
+    val plan = planOf("q103_kcore")
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q96/q100 perceptual dedup: banded equi-join, popcount verify, no all-pairs") {
