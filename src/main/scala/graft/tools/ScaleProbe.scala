@@ -319,6 +319,38 @@ object ScaleProbe {
         .agg(sum(col("n_triangles"))).collect().head.getLong(0)
     }
     spark.catalog.clearCache()
+    timed("kcore_5m_edges") {
+      // round 9: the histogram-median gate + 4 peel rounds on the same
+      // 5M-edge graph — no node-table sort anywhere in the plan
+      graft.operators.GraphOps.kCoreByMedianDegree(bigEdges, rounds = 4)
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("video_neardup_50k_clips") {
+      // round 9: 50k 3-frame 16x12 AVI clips (10x the q101 corpus),
+      // 1-in-4 a brightness-shifted re-encode of its predecessor — decode
+      // dominates (embarrassingly parallel); banded Hamming join after.
+      // Unlike q101's linear-mod-250 pixels (fine at 500 docs, but only
+      // ~250 distinct contents — a 50k corpus would be one giant duplicate
+      // class), each clip seeds from splitmix64 so contents are unique and
+      // the planted predecessor pairs are the only expected matches.
+      val aviUdf = udf { id: Long =>
+        val eid = if (id % 4 == 1) id - 1 else id
+        val shift = if (id % 4 == 1) 3 else 0
+        val frames = Array.tabulate(3) { f =>
+          val base = graft.operators.DedupOps.splitmix64(eid * 7 + f)
+          Array.tabulate(16 * 12)(i =>
+            (math.floorMod(base + i * 3 + (i % 7) * (base >> 8), 250L)
+              + shift).toInt)
+        }
+        graft.sources.Avi.encode(16, 12, 40000, frames)
+      }
+      val clips = spark.range(50000L).select(col("id").as("media_id"),
+        aviUdf(col("id")).as("payload"))
+      graft.operators.MultimodalOps.videoNearDuplicates(
+        clips, maxDist = 3, bands = 4).count()
+    }
+    spark.catalog.clearCache()
     timed("warc_intake") {
       // 8 gzip-per-record archives x 6,250 response records (the Common
       // Crawl layout in miniature): write once, then time the streamed
