@@ -683,14 +683,32 @@ def triangle_counts(edges):
     return _wrap(s, _api(s).triangleCounts(edges._jdf))
 
 
-def association_rules(incidence, key_col, item_col, min_pair_support=2):
+def association_rules(incidence, key_col, item_col, min_pair_support=2,
+                      max_basket_size=10000):
     """Market-basket association rules with integer-exact metrics:
     (ante, cons, n_ab, n_ante, n_cons, n_baskets, conf_permille,
-    lift_ppm)."""
+    lift_ppm). Baskets above max_basket_size distinct items are dropped
+    (from pairs, supports and the denominator) with a logged count."""
     s = incidence.sparkSession
     return _wrap(s, _api(s).associationRules(incidence._jdf, key_col,
                                              item_col,
-                                             int(min_pair_support)))
+                                             int(min_pair_support),
+                                             int(max_basket_size)))
+
+
+def link_breakends(variants):
+    """Link VCF breakend (BND) records to mates by INFO MATEID or
+    reciprocal coordinates: (id, referenceName, start, alt, mate_id,
+    mate_referenceName, mate_start, via)."""
+    s = variants.sparkSession
+    return _wrap(s, _api(s).linkBreakends(variants._jdf))
+
+
+def breakend_event_groups(variants):
+    """Group structural-variant records by INFO EVENT: (event, n_records,
+    n_breakends, referenceNames, min_start, max_start)."""
+    s = variants.sparkSession
+    return _wrap(s, _api(s).breakendEventGroups(variants._jdf))
 
 
 def audio_fingerprint(media, windows=65):

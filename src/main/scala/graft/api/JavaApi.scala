@@ -521,6 +521,25 @@ object JavaApi {
     graft.operators.AssociationOps.associationRules(
       incidence, keyCol, itemCol, minPairSupport)
 
+  /** As above with an explicit basket-size cap (oversized baskets are
+    * dropped from pairs, supports and n_baskets; drop count logged). */
+  def associationRules(incidence: DataFrame, keyCol: String,
+      itemCol: String, minPairSupport: Long, maxBasketSize: Long): DataFrame =
+    graft.operators.AssociationOps.associationRules(
+      incidence, keyCol, itemCol, minPairSupport, maxBasketSize)
+
+  /** Link VCF breakend (BND) records to their mates by INFO MATEID or
+    * reciprocal coordinates. Input columns: referenceName, start, names,
+    * alternateAllele, annotation. Output: (id, referenceName, start, alt,
+    * mate_id, mate_referenceName, mate_start, via). */
+  def linkBreakends(variants: DataFrame): DataFrame =
+    graft.operators.StructuralVariants.linkBreakends(variants)
+
+  /** Group structural-variant records by INFO EVENT: (event, n_records,
+    * n_breakends, referenceNames, min_start, max_start). */
+  def breakendEventGroups(variants: DataFrame): DataFrame =
+    graft.operators.StructuralVariants.eventGroups(variants)
+
   /** Per-node triangle counts + clustering coefficient (exact integer
     * rational): (node, n_triangles, deg, coeff_num, coeff_den). */
   def triangleCounts(edges: DataFrame): DataFrame =

@@ -110,4 +110,23 @@ object StructuralVariants {
 
     byId.unionByName(byCoords)
   }
+
+  /** Group structural-variant records by INFO EVENT (VCF 4.2 §5.4.3: all
+    * breakends — and any companion symbolic records — of one rearrangement
+    * share an EVENT id). Output, one row per event:
+    * (event, n_records, n_breakends, referenceNames sorted-distinct,
+    * min_start, max_start). One map-side-combinable aggregation keyed by
+    * the event id; the referenceNames set is bounded by the event's
+    * adjacency count (a handful), never corpus-sized. */
+  def eventGroups(variants: DataFrame): DataFrame =
+    variants
+      .filter(element_at(col("annotation"), "EVENT").isNotNull)
+      .groupBy(element_at(col("annotation"), "EVENT").as("event"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(isBreakend(col("alternateAllele")), 1L).otherwise(0L))
+          .as("n_breakends"),
+        sort_array(collect_set(col("referenceName"))).as("referenceNames"),
+        min("start").as("min_start"),
+        max("start").as("max_start"))
 }

@@ -649,6 +649,24 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"pagerank: wrote $out")
 
+      case "svLink" :: in :: out :: rest =>
+        // link breakend (BND) mates from a VCF (or a variants parquet) by
+        // MATEID / reciprocal coordinates; -events writes EVENT groups too
+        val vars =
+          if (in.endsWith(".parquet")) spark.read.parquet(in)
+          else {
+            import org.apache.spark.sql.functions.col
+            VcfIO.readVariants(spark, in).toDF
+              .select(col("referenceName"), col("start"), col("names"),
+                col("alternateAllele"), col("annotation"))
+          }
+        graft.operators.StructuralVariants.linkBreakends(vars)
+          .write.mode("overwrite").parquet(out)
+        if (rest.contains("-events"))
+          graft.operators.StructuralVariants.eventGroups(vars)
+            .write.mode("overwrite").parquet(out + ".events")
+        println(s"svLink: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -676,7 +694,8 @@ object Cli {
           "\n  pagerank <edges.parquet> <out.parquet> [-iters n] [-top n] [-scale n]" +
           "\n  imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
           "\n  audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
-          "\n  warcExtract <warc-glob> <out.parquet>")
+          "\n  warcExtract <warc-glob> <out.parquet>" +
+          "\n  svLink <in.vcf|in.parquet> <out.parquet> [-events]")
         sys.exit(2)
     }
   }

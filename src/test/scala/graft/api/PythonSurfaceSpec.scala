@@ -47,7 +47,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "sketchOverlap" -> 2, "coOccurrenceEdges" -> 3, "pageRank" -> 3,
       "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3,
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
-      "associationRules" -> 4, "audioFingerprint" -> 2,
+      "associationRules" -> 5, "linkBreakends" -> 1,
+      "breakendEventGroups" -> 1, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,
       "readWarc" -> 2, "warcResponses" -> 1, "warcConversions" -> 1,

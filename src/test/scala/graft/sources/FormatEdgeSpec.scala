@@ -180,6 +180,63 @@ class FormatEdgeSpec extends SparkSpec {
     assert(snp.head.variant.get.end.contains(999L + 2))
   }
 
+  test("breakend + symbolic ALTs round-trip through VcfIO; MATEID/EVENT link") {
+    // the VCF 4.2 §5.4 canonical breakend quartet (MATEID + shared EVENT)
+    // plus two symbolic records (<DEL> with END span, <DUP:TANDEM>)
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">
+        |##INFO=<ID=END,Number=1,Type=Integer,Description="End">
+        |##INFO=<ID=MATEID,Number=.,Type=String,Description="Mate">
+        |##INFO=<ID=EVENT,Number=1,Type=String,Description="Event">
+        |##ALT=<ID=DEL,Description="Deletion">
+        |##ALT=<ID=DUP:TANDEM,Description="Tandem dup">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |2	321681	bnd_W	G	G]17:198982]	6	PASS	SVTYPE=BND;MATEID=bnd_Y;EVENT=tra1
+        |2	321682	bnd_V	T	]13:123456]T	6	PASS	SVTYPE=BND;MATEID=bnd_U;EVENT=tra1
+        |13	123456	bnd_U	C	C[2:321682[	6	PASS	SVTYPE=BND;MATEID=bnd_V;EVENT=tra1
+        |17	198982	bnd_Y	A	A]2:321681]	6	PASS	SVTYPE=BND;MATEID=bnd_W;EVENT=tra1
+        |3	12665100	del1	A	<DEL>	12	PASS	SVTYPE=DEL;END=12686200;EVENT=del_ev
+        |4	18665128	dup1	T	<DUP:TANDEM>	11	PASS	SVTYPE=DUP;END=18665204;EVENT=dup_ev
+        |""".stripMargin
+    val b = VcfIO.read(spark, fixture("sv.vcf", vcf))
+    val out = tmpDir() + "/sv_out.vcf"
+    VcfIO.write(b.contexts, b.meta, b.samples, out, asSingleFile = true)
+    val b2 = VcfIO.read(spark, out)
+    val vs = b2.contexts.collect().flatMap(_.variant)
+    assert(vs.length == 6)
+    // bracket ALTs survive byte-identical, as do MATEID/EVENT INFO entries
+    val w = vs.find(_.names == Seq("bnd_W")).get
+    assert(w.alternateAllele.contains("G]17:198982]"))
+    assert(w.annotation("MATEID") == "bnd_Y" && w.annotation("EVENT") == "tra1")
+    // symbolic span re-derives from the round-tripped INFO END
+    val del = vs.find(_.names == Seq("del1")).get
+    assert(del.alternateAllele.contains("<DEL>"))
+    assert(del.start.contains(12665099L) && del.end.contains(12686200L))
+    val dup = vs.find(_.names == Seq("dup1")).get
+    assert(dup.alternateAllele.contains("<DUP:TANDEM>"))
+    assert(dup.end.contains(18665204L))
+    // the round-tripped records still link: 4 breakends, all via MATEID
+    import org.apache.spark.sql.functions.col
+    val varDf = b2.contexts.toDF().selectExpr("variant.referenceName",
+      "variant.start", "variant.names", "variant.alternateAllele",
+      "variant.annotation")
+    val linked = graft.operators.StructuralVariants.linkBreakends(varDf)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("mate_id"), r.getAs[String]("via"))).toMap
+    assert(linked.keySet == Set("bnd_W", "bnd_V", "bnd_U", "bnd_Y"))
+    assert(linked("bnd_W") == ("bnd_Y", "mateid"))
+    assert(linked("bnd_U") == ("bnd_V", "mateid"))
+    // EVENT grouping: tra1 holds the 4 breakends across contigs 2/13/17
+    val ev = graft.operators.StructuralVariants.eventGroups(varDf)
+      .collect().map(r => r.getAs[String]("event") ->
+        (r.getAs[Long]("n_records"), r.getAs[Long]("n_breakends"),
+          r.getAs[Seq[String]]("referenceNames"))).toMap
+    assert(ev("tra1") == ((4L, 4L, Seq("13", "17", "2"))))
+    assert(ev("del_ev") == ((1L, 0L, Seq("3"))))
+    assert(ev("dup_ev") == ((1L, 0L, Seq("4"))))
+  }
+
   test("failed FILTER with no named filters emits '.', not FAIL") {
     val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
       Some(Variant(referenceName = Some("chr1"), start = Some(99L),
