@@ -267,8 +267,17 @@ object VcfIO {
       ReservedFormatNumbers ++ numbersOf("FORMAT"))
   }
 
-  def read(spark: SparkSession, path: String): VcfBundle = {
+  /** Read a VCF. `stringency` mirrors htsjdk's ValidationStringency (the
+    * reference CLI's -stringency flag): STRICT propagates any malformed
+    * record as a task failure; LENIENT skips it with one WARN per record;
+    * SILENT skips without logging. Malformed-record handling is per-row,
+    * so a lenient 100 TB read loses only the bad lines, never a split. */
+  def read(spark: SparkSession, path: String,
+      stringency: String = "STRICT"): VcfBundle = {
     import spark.implicits._
+    val s = stringency.toUpperCase
+    require(Set("STRICT", "LENIENT", "SILENT")(s),
+      s"stringency must be SILENT, LENIENT or STRICT, got: $stringency")
     // bgzipped VCF reads through the splittable BGZF text path (block-level
     // parallelism within one file); plain text through the native reader
     val lines =
@@ -280,7 +289,19 @@ object VcfIO {
     val (meta, samples, infoNumber, formatNumber) = parseVcfHeader(headerLines)
     val records = lines
       .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
-      .flatMap(l => parseLine(l, samples, infoNumber, formatNumber))
+      .flatMap { l =>
+        if (s == "STRICT") parseLine(l, samples, infoNumber, formatNumber)
+        else
+          try parseLine(l, samples, infoNumber, formatNumber)
+          catch {
+            case e: Exception =>
+              if (s == "LENIENT")
+                org.slf4j.LoggerFactory.getLogger(VcfIO.getClass).warn(
+                  s"skipping malformed VCF record (${e.getMessage}): " +
+                    l.take(120))
+              Seq.empty
+          }
+      }
     VcfBundle(records, meta, samples)
   }
 
@@ -371,15 +392,17 @@ object VcfIO {
     try Tabix.write(tbx.result(), ti) finally ti.close()
   }
 
-  def readVariants(spark: SparkSession, path: String): GenomicDataset[Variant] = {
+  def readVariants(spark: SparkSession, path: String,
+      stringency: String = "STRICT"): GenomicDataset[Variant] = {
     import spark.implicits._
-    val b = read(spark, path)
+    val b = read(spark, path, stringency)
     GenomicDataset(b.contexts.flatMap(_.variant), b.meta)
   }
 
-  def readGenotypes(spark: SparkSession, path: String): GenomicDataset[Genotype] = {
+  def readGenotypes(spark: SparkSession, path: String,
+      stringency: String = "STRICT"): GenomicDataset[Genotype] = {
     import spark.implicits._
-    val b = read(spark, path)
+    val b = read(spark, path, stringency)
     GenomicDataset(b.contexts.flatMap(_.genotypes), b.meta)
   }
 

@@ -111,6 +111,90 @@ object Cli {
     println(s"transformAlignments: wrote $out")
   }
 
+  /** transformVariants / transformGenotypes with the reference CLI's flag
+    * surface (adam-cli TransformVariants.scala / TransformGenotypes.scala):
+    * -coalesce N [-force_shuffle_coalesce], -sort_on_save (contig-index
+    * order) XOR -sort_lexicographically_on_save, -single (single-file VCF
+    * out), -partition_by_start_pos [-partition_bin_size N] (Hive-style
+    * parquet layout), -stringency SILENT|LENIENT|STRICT (lenient reads
+    * skip malformed records per-row), and for genotypes
+    * -nested_annotations (keep the INFO map on the nested variant —
+    * stripped by default, as in the reference). Input/output format picked
+    * by extension: .vcf/.vcf.gz/.vcf.bgz vs parquet. */
+  private def transformVcfSide(spark: SparkSession, in: String, out: String,
+      rest: Seq[String], genotypes: Boolean): Unit = {
+    def has(f: String) = rest.contains(f)
+    def fv(f: String, dft: String): String = {
+      val i = rest.indexOf(f)
+      if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+    }
+    require(!(has("-sort_on_save") && has("-sort_lexicographically_on_save")),
+      "Cannot set both -sort_on_save and -sort_lexicographically_on_save.")
+    val stringency = fv("-stringency", "STRICT")
+    val cmd = if (genotypes) "transformGenotypes" else "transformVariants"
+    def isVcfExt(p: String): Boolean = {
+      val l = p.toLowerCase
+      l.endsWith(".vcf") || l.endsWith(".vcf.gz") || l.endsWith(".vcf.bgz") ||
+        l.endsWith(".vcf.bgzf")
+    }
+    import graft.model.{Genotype, Variant, VariantContext}
+    import graft.api.Conversions
+
+    def postProcess[T](gd0: GenomicDataset[T]): GenomicDataset[T] = {
+      var gd = gd0
+      val n = fv("-coalesce", "-1").toInt
+      if (n != -1) {
+        // reference semantics: plain coalesce unless growing the partition
+        // count (coalesce can only shrink) or the caller forces a shuffle
+        val shuffle = n > gd.ds.rdd.getNumPartitions ||
+          has("-force_shuffle_coalesce")
+        gd = gd.transform(ds => if (shuffle) ds.repartition(n) else ds.coalesce(n))
+      }
+      if (has("-sort_on_save")) gd.sortByDictionaryOrder()
+      else if (has("-sort_lexicographically_on_save"))
+        gd.sortLexicographically()
+      else gd
+    }
+
+    if (!genotypes) {
+      val gd = postProcess(
+        if (isVcfExt(in)) VcfIO.readVariants(spark, in, stringency)
+        else GenomicDataset.loadParquet[Variant](spark, in))
+      if (isVcfExt(out))
+        VcfIO.write(Conversions.variantsToVariantContexts(gd.ds), gd.meta,
+          Seq.empty, out, asSingleFile = has("-single"))
+      else if (has("-partition_by_start_pos"))
+        gd.saveAsPartitionedParquet(out,
+          fv("-partition_bin_size", "1000000").toLong)
+      else gd.saveAsParquet(out)
+    } else {
+      var gd = postProcess(
+        if (isVcfExt(in)) VcfIO.readGenotypes(spark, in, stringency)
+        else GenomicDataset.loadParquet[Genotype](spark, in))
+      // reference default: the nested variant's annotation map is NOT
+      // populated on genotype records; -nested_annotations keeps it
+      if (!has("-nested_annotations"))
+        gd = gd.transform(_.map(g =>
+          g.copy(variant = g.variant.map(_.copy(
+            annotation = Map.empty[String, String]))))(
+          org.apache.spark.sql.Encoders.product[Genotype]))
+      if (isVcfExt(out)) {
+        val sampleNames = gd.meta.samples.map(_.id) match {
+          case s if s.nonEmpty => s
+          case _ => // derive from the data: distinct sampleIds, sorted
+            gd.toDF.select("sampleId").distinct()
+              .collect().map(_.getString(0)).sorted.toSeq
+        }
+        VcfIO.write(Conversions.genotypesToVariantContexts(gd.ds), gd.meta,
+          sampleNames, out, asSingleFile = has("-single"))
+      } else if (has("-partition_by_start_pos"))
+        gd.saveAsPartitionedParquet(out,
+          fv("-partition_bin_size", "1000000").toLong)
+      else gd.saveAsParquet(out)
+    }
+    println(s"$cmd: wrote $out")
+  }
+
   // ------------------------- PRINT group ----------------------------------
 
   /** Per-bit predicate Columns for each SAM flag bit set in `n`, in the
@@ -259,15 +343,11 @@ object Cli {
         cov.write.mode("overwrite").parquet(out)
         println(s"coverage: wrote $out")
 
-      case "transformVariants" :: in :: out :: _ =>
-        val b = VcfIO.readVariants(spark, in)
-        b.saveAsParquet(out)
-        println(s"transformVariants: wrote $out")
+      case "transformVariants" :: in :: out :: rest =>
+        transformVcfSide(spark, in, out, rest, genotypes = false)
 
-      case "transformGenotypes" :: in :: out :: _ =>
-        val b = VcfIO.readGenotypes(spark, in)
-        b.saveAsParquet(out)
-        println(s"transformGenotypes: wrote $out")
+      case "transformGenotypes" :: in :: out :: rest =>
+        transformVcfSide(spark, in, out, rest, genotypes = true)
 
       case "vcf2parquet" :: in :: out :: _ =>
         val b = VcfIO.read(spark, in)
@@ -671,8 +751,12 @@ object Cli {
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
           "transformSequences transformSlices flagstat countKmers countSliceKmers " +
-          "coverage transformVariants transformGenotypes vcf2parquet mergeShards " +
-          "adam2fastq" +
+          "coverage vcf2parquet mergeShards adam2fastq" +
+          "\n  transformVariants|transformGenotypes <in> <out> [-coalesce n " +
+          "[-force_shuffle_coalesce]] [-sort_on_save|" +
+          "-sort_lexicographically_on_save] [-single] " +
+          "[-partition_by_start_pos [-partition_bin_size n]] " +
+          "[-stringency SILENT|LENIENT|STRICT] [-nested_annotations]" +
           "\n  view <in> [-f N] [-F N] [-g N] [-G N] [-q MINQ] [-c] [-o out|out] [-single]" +
           "\n  print <file.parquet>... [-o localFile] [-pretty]" +
           "\n  dedup <in.parquet> <out.parquet> [-id c] [-text c] [-method exact|minhash|winnowing|edit]" +

@@ -185,6 +185,57 @@ class CliSpec extends SparkSpec {
     assert(parquetRows(oc) == 2)
   }
 
+  test("transformVariants reference flag surface: sort/single/partition/stringency") {
+    // one malformed record (bad POS): STRICT fails, LENIENT skips it
+    val dirty = vcf + "chr1\toops\t.\tA\tT\t10\tPASS\tDP=1\tGT\t0/1\n"
+    val in = fixture("dirty.vcf", dirty)
+    intercept[Exception] {
+      Cli.run(spark, Seq("transformVariants", in, tmpDir() + "/boom.parquet"))
+    }
+    // VCF -> single-file VCF, lexicographic sort, coalesce 1
+    val ovcf = tmpDir() + "/rt.vcf"
+    Cli.run(spark, Seq("transformVariants", in, ovcf,
+      "-stringency", "LENIENT", "-sort_lexicographically_on_save",
+      "-coalesce", "1", "-single"))
+    val body = Files.readAllLines(Paths.get(ovcf)).stream()
+      .filter(l => !l.startsWith("#")).toArray.map(_.toString)
+    assert(body.length == 2 && body(0).startsWith("chr1\t101"))
+    // VCF -> Hive-partitioned parquet with a custom bin size
+    val opart = tmpDir() + "/vpart.parquet"
+    Cli.run(spark, Seq("transformVariants", in, opart,
+      "-stringency", "SILENT", "-partition_by_start_pos",
+      "-partition_bin_size", "100"))
+    assert(new java.io.File(opart).listFiles()
+      .exists(_.getName.startsWith("referenceName=")))
+    assert(parquetRows(opart) == 2)
+    // conflicting sort flags rejected
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("transformVariants", in, tmpDir() + "/x.parquet",
+        "-sort_on_save", "-sort_lexicographically_on_save"))
+    }
+  }
+
+  test("transformGenotypes strips nested annotations unless -nested_annotations") {
+    val in = fixture("g.vcf", vcf)
+    val bare = tmpDir() + "/g_bare.parquet"
+    Cli.run(spark, Seq("transformGenotypes", in, bare))
+    val nested = tmpDir() + "/g_nested.parquet"
+    Cli.run(spark, Seq("transformGenotypes", in, nested, "-nested_annotations"))
+    import org.apache.spark.sql.functions.{col, map_keys, size => fsize}
+    val bareAnn = spark.read.parquet(bare)
+      .select(fsize(map_keys(col("variant.annotation")))).collect().map(_.getInt(0))
+    val nestedAnn = spark.read.parquet(nested)
+      .select(fsize(map_keys(col("variant.annotation")))).collect().map(_.getInt(0))
+    assert(bareAnn.forall(_ == 0), "default must strip variant.annotation")
+    assert(nestedAnn.forall(_ > 0), "-nested_annotations must keep the INFO map")
+    // genotype -> VCF out derives the sample column from the data
+    val ovcf = tmpDir() + "/g_rt.vcf"
+    Cli.run(spark, Seq("transformGenotypes", in, ovcf, "-single"))
+    val header = Files.readAllLines(Paths.get(ovcf)).stream()
+      .filter(l => l.startsWith("#CHROM")).toArray.map(_.toString)
+    assert(header.head.endsWith("s1"))
+  }
+
   test("mergeShards concatenates part files") {
     val dir = tmpDir()
     Files.writeString(Paths.get(dir, "part-00000"), "one\n")
