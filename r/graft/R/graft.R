@@ -1,0 +1,320 @@
+# SparkR bindings for the graft Spark analytics engine.
+#
+# Design: unlike the reference's S4 dataset-class hierarchy (adam-r
+# bdgenomics.adam/R/ds.R), graft's engine is DataFrame-centric, so the R
+# surface is FLAT — every function takes/returns SparkR SparkDataFrames and
+# dispatches one static call to the JVM facade `graft.api.JavaApi` (the same
+# facade the Python wrapper drives over py4j). Deployment: put the graft jar
+# on the Spark classpath (sparkConfig = list(spark.jars = "...")), then
+#   library(graft); df <- graft.loadAlignments("reads.bam")
+#
+# Integer-typed JVM params are passed with as.integer(); Spark's R backend
+# widens Integer -> Long where the JVM signature needs it, so every numeric
+# default below stays inside 2^31. The (method, arity) surface this file
+# calls is pinned against JavaApi by RSurfaceSpec — rename there, fail here.
+
+.jvm <- "graft.api.JavaApi"
+
+.gdf <- function(jdf) {
+  new("SparkDataFrame", sdf = jdf, isCached = FALSE)
+}
+
+.session <- function() {
+  SparkR::sparkR.session()
+}
+
+# ------------------------------- loaders ------------------------------------
+
+#' Load alignments from SAM/BAM/CRAM/parquet into a SparkDataFrame.
+graft.loadAlignments <- function(path) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "loadAlignments", .session(), path))
+}
+
+#' Load features from BED/GFF3/GTF/NarrowPeak/IntervalList/parquet.
+graft.loadFeatures <- function(path) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "loadFeatures", .session(), path))
+}
+
+#' Load variants from VCF (.vcf/.vcf.gz) or parquet.
+graft.loadVariants <- function(path) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "loadVariants", .session(), path))
+}
+
+#' Load genotypes from VCF (.vcf/.vcf.gz) or parquet.
+graft.loadGenotypes <- function(path) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "loadGenotypes", .session(), path))
+}
+
+#' Read WARC web archives (one row per record).
+graft.readWarc <- function(pathGlob) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "readWarc", .session(), pathGlob))
+}
+
+# --------------------------- read operators ---------------------------------
+
+#' Mark PCR/optical duplicate reads.
+graft.markDuplicates <- function(alignments) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "markDuplicates", alignments@sdf))
+}
+
+#' samtools-flagstat style summary counts.
+graft.flagStat <- function(alignments) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "flagStat", alignments@sdf))
+}
+
+#' Count canonical k-mers over aligned read sequences.
+graft.countKmers <- function(alignments, k) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "countKmers", alignments@sdf,
+                                  as.integer(k)))
+}
+
+#' Per-base coverage from alignments.
+graft.toCoverage <- function(alignments) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "toCoverage", alignments@sdf))
+}
+
+#' Merge equal-depth adjacent coverage runs.
+graft.collapseCoverage <- function(coverage) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "collapseCoverage", coverage@sdf))
+}
+
+# ---------------------------- interval joins --------------------------------
+
+#' Interval-overlap join; joinType one of inner/left/right/full.
+graft.regionJoin <- function(left, right, joinType = "inner") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "regionJoin", left@sdf, right@sdf,
+                                  joinType))
+}
+
+#' Overlap join broadcasting the (small) right side.
+graft.broadcastRegionJoin <- function(left, right, joinType = "inner") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "broadcastRegionJoin", left@sdf,
+                                  right@sdf, joinType))
+}
+
+#' Per-left-row count of overlapping right rows.
+graft.overlapCounts <- function(left, right) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "overlapCounts", left@sdf, right@sdf))
+}
+
+# ------------------------------ dedup family --------------------------------
+
+#' Exact duplicate groups by content digest.
+graft.exactDuplicates <- function(docs, idCol = "doc_id", textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "exactDuplicates", docs@sdf, idCol,
+                                  textCol))
+}
+
+#' Drop exact duplicates, keeping one representative per digest.
+graft.dropExactDuplicates <- function(docs, idCol = "doc_id",
+                                      textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "dropExactDuplicates", docs@sdf,
+                                  idCol, textCol))
+}
+
+#' MinHash-LSH near-duplicate pairs (id_a, id_b, est_jaccard).
+graft.minhashNearDuplicates <- function(docs, idCol = "doc_id",
+                                        textCol = "text", numHashes = 128,
+                                        shingleN = 3, bands = 32,
+                                        threshold = 0.8) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "minhashNearDuplicates", docs@sdf,
+                                  idCol, textCol, as.integer(numHashes),
+                                  as.integer(shingleN), as.integer(bands),
+                                  threshold))
+}
+
+#' SimHash near-duplicate pairs by banded Hamming distance.
+graft.simhashNearDuplicates <- function(docs, idCol = "doc_id",
+                                        textCol = "text", maxDist = 3) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "simhashNearDuplicates", docs@sdf,
+                                  idCol, textCol, as.integer(maxDist)))
+}
+
+#' Exact all-pairs Jaccard join (PPJoin prefix filter).
+graft.jaccardSimilarityJoin <- function(docs, idCol = "doc_id",
+                                        textCol = "text", shingleN = 3,
+                                        threshold = 0.8) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "jaccardSimilarityJoin", docs@sdf,
+                                  idCol, textCol, as.integer(shingleN),
+                                  threshold))
+}
+
+#' Connected-component cluster ids over near-dup pairs.
+graft.clusterDuplicates <- function(pairs) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "clusterDuplicates", pairs@sdf))
+}
+
+#' End-to-end near-dedup: cluster pairs, keep one representative per cluster.
+graft.applyNearDedup <- function(docs, idCol, pairs) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "applyNearDedup", docs@sdf, idCol,
+                                  pairs@sdf))
+}
+
+#' Edit-distance near-duplicates (PassJoin segment blocking).
+graft.editDistanceNearDuplicates <- function(docs, idCol, textCol,
+                                             maxDist = 2) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "editDistanceNearDuplicates",
+                                  docs@sdf, idCol, textCol,
+                                  as.integer(maxDist)))
+}
+
+#' Cross-document boilerplate line removal.
+graft.globalLineDedup <- function(docs, idCol, textCol, minDocs = 3) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "globalLineDedup", docs@sdf, idCol,
+                                  textCol, as.integer(minDocs)))
+}
+
+# ------------------------- similarity / embeddings --------------------------
+
+#' Brute-force exact cosine top-k neighbours.
+graft.bruteForceTopK <- function(queries, corpus, k = 10) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "bruteForceTopK", queries@sdf,
+                                  corpus@sdf, as.integer(k)))
+}
+
+#' Embedding cosine near-duplicate pairs (exact or SRP-banded).
+graft.cosineNearDuplicates <- function(corpus, threshold = 0.95,
+                                       useLsh = TRUE, numBits = 256) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "cosineNearDuplicates", corpus@sdf,
+                                  threshold, useLsh, as.integer(numBits)))
+}
+
+# ------------------------------ text quality --------------------------------
+
+#' Gopher-style quality rule columns.
+graft.gopherQualityRules <- function(docs, textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "gopherQualityRules", docs@sdf,
+                                  textCol))
+}
+
+#' Heuristic n-gram language id column.
+graft.langId <- function(docs, textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "langId", docs@sdf, textCol))
+}
+
+#' Regex PII redaction (emails, phones, ips).
+graft.redactPii <- function(docs, textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "redactPii", docs@sdf, textCol))
+}
+
+#' Top-k corpus token frequencies.
+graft.tokenFrequencies <- function(docs, textCol = "text", k = 100) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "tokenFrequencies", docs@sdf,
+                                  textCol, as.integer(k)))
+}
+
+#' Deterministic hash-based train/val/test split column.
+graft.hashSplit <- function(docs, keyCol, names, fractions, salt = "") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hashSplit", docs@sdf, keyCol,
+                                  as.list(names), as.list(fractions), salt))
+}
+
+# -------------------------------- sketches ----------------------------------
+
+#' Count-min heavy hitters with exact counts alongside.
+graft.cmsHeavyHitters <- function(docs, textCol = "text", depth = 4,
+                                  width = 1024, topK = 20) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "cmsHeavyHitters", docs@sdf, textCol,
+                                  as.integer(depth), as.integer(width),
+                                  as.integer(topK)))
+}
+
+#' One-row integer-exact HyperLogLog distinct-count summary.
+graft.hllSummary <- function(docs, textCol = "text", p = 10) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hllSummary", docs@sdf, textCol,
+                                  as.integer(p)))
+}
+
+#' Per-group bottom-k set sketches of word shingles.
+graft.bottomKSketch <- function(docs, groupCol, textCol = "text",
+                                shingleN = 3, k = 256) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "bottomKSketch", docs@sdf, groupCol,
+                                  textCol, as.integer(shingleN),
+                                  as.integer(k)))
+}
+
+#' Pairwise Jaccard-overlap estimates from bottom-k sketches.
+graft.sketchOverlap <- function(sketches, k = 256) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "sketchOverlap", sketches@sdf,
+                                  as.integer(k)))
+}
+
+# ------------------------------ graph analytics -----------------------------
+
+#' Co-occurrence edges from an (order, item) incidence list.
+graft.coOccurrenceEdges <- function(incidence, keyCol, itemCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "coOccurrenceEdges", incidence@sdf,
+                                  keyCol, itemCol))
+}
+
+#' Fixed-point integer PageRank (deterministic at any cluster size).
+graft.pageRank <- function(edges, iters = 5, scale = 1000000000) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "pageRank", edges@sdf,
+                                  as.integer(iters), as.integer(scale)))
+}
+
+#' Per-node triangle counts + clustering coefficient (integer rational).
+graft.triangleCounts <- function(edges) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "triangleCounts", edges@sdf))
+}
+
+#' k-core peel at the data-derived median degree.
+graft.kCore <- function(edges, rounds = 4) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "kCoreByMedianDegree", edges@sdf,
+                                  as.integer(rounds)))
+}
+
+#' Market-basket association rules with integer-exact metrics.
+graft.associationRules <- function(incidence, keyCol, itemCol,
+                                   minPairSupport = 2,
+                                   maxBasketSize = 10000) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "associationRules", incidence@sdf,
+                                  keyCol, itemCol,
+                                  as.integer(minPairSupport),
+                                  as.integer(maxBasketSize)))
+}
+
+# --------------------------- structural variants ----------------------------
+
+#' Link VCF breakend (BND) records to mates by MATEID or coordinates.
+graft.linkBreakends <- function(variants) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "linkBreakends", variants@sdf))
+}
+
+#' Group structural-variant records by INFO EVENT.
+graft.breakendEventGroups <- function(variants) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "breakendEventGroups", variants@sdf))
+}
+
+# ------------------------------- multimodal ---------------------------------
+
+#' Perceptual image hash table via real BMP decode.
+graft.imageDHash <- function(media) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "imageDHash", media@sdf))
+}
+
+#' Image near-duplicate pairs by banded Hamming over dHash.
+graft.imageNearDuplicates <- function(media, maxDist = 3, bands = 4) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "imageNearDuplicates", media@sdf,
+                                  as.integer(maxDist), as.integer(bands)))
+}
+
+#' Audio near-duplicate pairs over the energy fingerprint.
+graft.audioNearDuplicates <- function(media, maxDist = 3, bands = 4) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "audioNearDuplicates", media@sdf,
+                                  as.integer(maxDist), as.integer(bands)))
+}
+
+#' Video near-duplicate pairs by keyframe dHash through the AVI codec.
+graft.videoNearDuplicates <- function(media, maxDist = 3, bands = 4) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "videoNearDuplicates", media@sdf,
+                                  as.integer(maxDist), as.integer(bands)))
+}
+
+# -------------------------------- statistics --------------------------------
+
+#' Exact Pearson correlation matrix (bit-identical across engines).
+graft.correlationMatrix <- function(df, cols, quantScale = 1000000) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "correlationMatrix", df@sdf,
+                                  as.list(cols), as.integer(quantScale)))
+}
