@@ -696,6 +696,23 @@ def association_rules(incidence, key_col, item_col, min_pair_support=2,
                                              int(max_basket_size)))
 
 
+def bpe_merges(docs, text_col="text", num_merges=10):
+    """BPE tokenizer training over the corpus word histogram: the learned
+    merge table (merge_rank, left_sym, right_sym, merged, n_pair) —
+    deterministic (count desc, pair asc) tie-breaks, bit-identical at any
+    partitioning."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).bpeMerges(docs._jdf, text_col, int(num_merges)))
+
+
+def bpe_token_stats(docs, text_col="text", num_merges=10, top_k=40):
+    """Post-training subword statistics: top_k final-vocabulary tokens by
+    corpus occurrence (token, n_words, n_occurrences)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).bpeTokenStats(docs._jdf, text_col,
+                                          int(num_merges), int(top_k)))
+
+
 def link_breakends(variants):
     """Link VCF breakend (BND) records to mates by INFO MATEID or
     reciprocal coordinates: (id, referenceName, start, alt, mate_id,

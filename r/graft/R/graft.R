@@ -274,6 +274,19 @@ graft.associationRules <- function(incidence, keyCol, itemCol,
                                   as.integer(maxBasketSize)))
 }
 
+#' BPE tokenizer training: learned merge table over the word histogram.
+graft.bpeMerges <- function(docs, textCol = "text", numMerges = 10) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "bpeMerges", docs@sdf, textCol,
+                                  as.integer(numMerges)))
+}
+
+#' Post-training subword statistics: top-k vocabulary tokens.
+graft.bpeTokenStats <- function(docs, textCol = "text", numMerges = 10,
+                                topK = 40) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "bpeTokenStats", docs@sdf, textCol,
+                                  as.integer(numMerges), as.integer(topK)))
+}
+
 # --------------------------- structural variants ----------------------------
 
 #' Link VCF breakend (BND) records to mates by MATEID or coordinates.

@@ -528,6 +528,17 @@ object JavaApi {
     graft.operators.AssociationOps.associationRules(
       incidence, keyCol, itemCol, minPairSupport, maxBasketSize)
 
+  /** BPE tokenizer training: the learned merge table (merge_rank,
+    * left_sym, right_sym, merged, n_pair) over the corpus word histogram. */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    graft.operators.TokenizerOps.bpeMerges(docs, textCol, numMerges)
+
+  /** Post-training subword statistics: topK final-vocabulary tokens by
+    * corpus occurrence (token, n_words, n_occurrences). */
+  def bpeTokenStats(docs: DataFrame, textCol: String, numMerges: Int,
+      topK: Int): DataFrame =
+    graft.operators.TokenizerOps.bpeTokenStats(docs, textCol, numMerges, topK)
+
   /** Link VCF breakend (BND) records to their mates by INFO MATEID or
     * reciprocal coordinates. Input columns: referenceName, start, names,
     * alternateAllele, annotation. Output: (id, referenceName, start, alt,

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training over a document corpus — the
+  * subword-vocabulary learning step every LLM data pipeline runs before
+  * tokenizing (Sennrich et al. 2016; the HuggingFace `tokenizers` BPE
+  * trainer has the same two-stage shape).
+  *
+  * Scale design: the ONLY corpus-sized work is the word-histogram
+  * aggregation (one shuffle, map-side combined to vocabulary size per map
+  * task — the standard trainer trick: BPE statistics depend only on the
+  * word histogram, never on document order). Every merge round then runs
+  * on the |V|-row vocabulary: one pair-count aggregation (reduce key space
+  * = symbol-pair vocabulary), one 1-row argmax collect, one per-row
+  * `replace` pass. Lineage is cut per round with localCheckpoint (the
+  * PageRank/k-means recipe) so the plan stays constant-depth over any
+  * merge count. At 100 TB the histogram is ~10M rows — trivially
+  * vocabulary-bounded state.
+  *
+  * Exactness contract: merge selection ties break (count DESC, left ASC,
+  * right ASC) — pure integer/string comparisons, so the learned merge
+  * table is bit-identical at any partitioning and replayable by an
+  * unrolled DuckDB oracle. Merge application uses the SQL `replace`
+  * function, whose left-to-right non-overlapping semantics are exactly
+  * BPE's greedy within-word application and agree across engines.
+  *
+  * Words are lowercased `[a-z0-9]+` runs (the corpus tokenizer shared
+  * with [[SketchOps.tokens]]); symbols are spelled as a space-delimited
+  * string with sentinel spaces (" h e l l o ") so a merge of (a, b) is
+  * `replace(sym, " a b ", " ab ")` — symbols never contain spaces, so no
+  * cross-boundary false matches are possible.
+  */
+object TokenizerOps {
+
+  /** Corpus word histogram (word, n) — the one corpus-wide shuffle. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+      .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** " h e l l o " — char symbols with sentinel spaces. */
+  private def symbolize(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  /** One learned merge: rank (1-based), the two merged symbols, their
+    * concatenation, and the pre-merge pair count that won the round. */
+  case class BpeMerge(
+      merge_rank: Int, left_sym: String, right_sym: String,
+      merged: String, n_pair: Long)
+
+  /** Run the trainer loop: returns the merge list and the final
+    * symbolized vocabulary (sym, n). Stops early only if no pairs remain
+    * (every word fully merged) — callers pick numMerges well below that. */
+  private def train(docs: DataFrame, textCol: String,
+      numMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    var vocab = wordHistogram(docs, textCol)
+      .select(symbolize(col("word")).as("sym"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[BpeMerge]()
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      // adjacent symbol pairs of every word, weighted by word count —
+      // arrays_zip of the two shifted slices, a per-row expression
+      val best = vocab
+        .withColumn("syms", split(trim(col("sym")), " "))
+        .select(col("n"), explode(expr(
+          "arrays_zip(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1))")).as("pr"))
+        .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
+        .agg(sum("n").as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        merges += BpeMerge(r, a, b, a + b, best(0).getLong(2))
+        // symbols are [a-z0-9]+ concatenations — safe to interpolate
+        vocab = vocab
+          .select(expr(s"replace(sym, ' $a $b ', ' $a$b ')").as("sym"),
+            col("n"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** The learned merge table: (merge_rank, left_sym, right_sym, merged,
+    * n_pair), ranks 1..numMerges in training order. */
+  def bpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = train(docs, textCol, numMerges)
+    spark.createDataset(merges)(
+      org.apache.spark.sql.Encoders.product[BpeMerge]).toDF()
+  }
+
+  /** Post-training subword statistics: the topK tokens of the final
+    * vocabulary by corpus occurrence — (token, n_words = word types
+    * containing it, n_occurrences = corpus occurrences), ordered
+    * (n_occurrences DESC, token ASC). */
+  def bpeTokenStats(docs: DataFrame, textCol: String, numMerges: Int,
+      topK: Int): DataFrame = {
+    val (_, vocab) = train(docs, textCol, numMerges)
+    vocab
+      .select(col("n"), explode(split(trim(col("sym")), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_words"), sum("n").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(topK)
+  }
+}

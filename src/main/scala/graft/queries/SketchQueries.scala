@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SketchOps, TextOps}
+import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SketchOps, TextOps, TokenizerOps}
 import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
 
 /** Sketch + graph analytics queries (q91+): count-min heavy hitters,
@@ -96,6 +96,34 @@ object SketchQueries extends QuerySet {
        |  CAST(w // greatest((SELECT max(abs(w)) FROM w$k) // 65536, 1)
        |    AS BIGINT) AS v
        |  FROM w$k)""".stripMargin
+
+  /** One unrolled BPE merge round (DuckDB): weighted adjacent-pair counts
+    * over the symbolized vocabulary, the (count DESC, a, b) argmax, then
+    * the space-delimited `replace` application — replace()'s left-to-right
+    * non-overlapping semantics are BPE's greedy within-word application
+    * and agree between DuckDB and Spark. */
+  private def bpeRound(i: Int): String =
+    s"""p$i AS MATERIALIZED (SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM (
+       |    SELECT list_extract(s, ix) AS a, list_extract(s, ix + 1) AS b, n
+       |    FROM (SELECT s, n, unnest(range(1, len(s))) AS ix FROM
+       |      (SELECT string_split(trim(sym), ' ') AS s, n FROM v${i - 1})))
+       |  GROUP BY a, b),
+       |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
+       |  ORDER BY c DESC, a, b LIMIT 1),
+       |v$i AS MATERIALIZED (SELECT replace(sym,
+       |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+       |    ' ' || (SELECT a || b FROM b$i) || ' ') AS sym, n
+       |  FROM v${i - 1})""".stripMargin
+
+  /** Shared BPE oracle prelude: word histogram + sentinel-spaced symbol
+    * strings (' h e l l o '). */
+  private val bpePrelude =
+    s"""words AS MATERIALIZED (SELECT token AS word,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM toks GROUP BY token),
+       |v0 AS MATERIALIZED (SELECT
+       |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, n
+       |  FROM words)""".stripMargin
 
   /** One unrolled k-core peel round (DuckDB): recompute degrees on the
     * surviving edge set, keep nodes at or above the median threshold,
@@ -715,6 +743,40 @@ object SketchQueries extends QuerySet {
           |  CAST(sum(p) // count(*) AS BIGINT) AS mean_proj_q,
           |  CAST(min(p) AS BIGINT) AS min_proj,
           |  CAST(max(p) AS BIGINT) AS max_proj
-          |FROM pr GROUP BY label""".stripMargin))
+          |FROM pr GROUP BY label""".stripMargin)),
+
+    // BPE tokenizer training (10 merges) over the documents corpus: the
+    // subword-vocabulary learning step of every LLM pipeline. Statistics
+    // depend only on the word HISTOGRAM (the one corpus shuffle); each
+    // round is a vocabulary-sized pair count + 1-row argmax + replace.
+    // The oracle unrolls the 10 rounds and must match the merge table
+    // bit-for-bit (integer counts, string tie-breaks).
+    Query("q109_bpe_merges",
+      (s, dir) => TokenizerOps.bpeMerges(
+        t(s, dir, "documents"), "text", numMerges = 10),
+      Some(s"""WITH $tokCte,
+          |$bpePrelude,
+          |${(1 to 10).map(bpeRound).mkString(",\n")}
+          |${(1 to 10).map(i =>
+              s"SELECT CAST($i AS INTEGER) AS merge_rank, a AS left_sym, " +
+                s"b AS right_sym, a || b AS merged, c AS n_pair FROM b$i")
+              .mkString("\nUNION ALL\n")}""".stripMargin)),
+
+    // Post-training subword statistics: top-40 final-vocabulary tokens by
+    // corpus occurrence — what the learned tokenizer's hot vocabulary
+    // looks like (n_words = word types containing the token).
+    Query("q110_bpe_vocab_stats",
+      (s, dir) => TokenizerOps.bpeTokenStats(
+        t(s, dir, "documents"), "text", numMerges = 10, topK = 40),
+      Some(s"""WITH $tokCte,
+          |$bpePrelude,
+          |${(1 to 10).map(bpeRound).mkString(",\n")}
+          |SELECT token, CAST(count(*) AS BIGINT) AS n_words,
+          |  CAST(sum(n) AS BIGINT) AS n_occurrences
+          |FROM (SELECT unnest(string_split(trim(sym), ' ')) AS token, n
+          |      FROM v10)
+          |GROUP BY token
+          |ORDER BY n_occurrences DESC, token
+          |LIMIT 40""".stripMargin))
   )
 }

@@ -729,6 +729,24 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"pagerank: wrote $out")
 
+      case "bpe" :: in :: out :: rest =>
+        // train a BPE tokenizer on a parquet corpus; writes the merge
+        // table, and with -vocabStats also the top-k subword statistics
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val docs = spark.read.parquet(in)
+        val text = fv("-text", "text")
+        val merges = fv("-merges", "10").toInt
+        graft.operators.TokenizerOps.bpeMerges(docs, text, merges)
+          .write.mode("overwrite").parquet(out)
+        if (rest.contains("-vocabStats"))
+          graft.operators.TokenizerOps.bpeTokenStats(docs, text, merges,
+            fv("-top", "40").toInt)
+            .write.mode("overwrite").parquet(out + ".vocab")
+        println(s"bpe: wrote $out")
+
       case "svLink" :: in :: out :: rest =>
         // link breakend (BND) mates from a VCF (or a variants parquet) by
         // MATEID / reciprocal coordinates; -events writes EVENT groups too
@@ -779,7 +797,8 @@ object Cli {
           "\n  imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
           "\n  audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
           "\n  warcExtract <warc-glob> <out.parquet>" +
-          "\n  svLink <in.vcf|in.parquet> <out.parquet> [-events]")
+          "\n  svLink <in.vcf|in.parquet> <out.parquet> [-events]" +
+          "\n  bpe <in.parquet> <out.parquet> [-text c] [-merges n] [-vocabStats [-top n]]")
         sys.exit(2)
     }
   }
