@@ -713,6 +713,15 @@ def bpe_token_stats(docs, text_col="text", num_merges=10, top_k=40):
                                           int(num_merges), int(top_k)))
 
 
+def bpe_encode_counts(docs, id_col="doc_id", text_col="text",
+                      num_merges=10):
+    """Encode every document with a freshly trained BPE tokenizer: per-doc
+    (n_word_tokens, n_bpe_tokens, n_chars, chars_per_token_permille)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).bpeEncodeCounts(docs._jdf, id_col, text_col,
+                                            int(num_merges)))
+
+
 def link_breakends(variants):
     """Link VCF breakend (BND) records to mates by INFO MATEID or
     reciprocal coordinates: (id, referenceName, start, alt, mate_id,

@@ -287,6 +287,13 @@ graft.bpeTokenStats <- function(docs, textCol = "text", numMerges = 10,
                                   as.integer(numMerges), as.integer(topK)))
 }
 
+#' Encode the corpus with a trained BPE tokenizer: per-doc token counts.
+graft.bpeEncodeCounts <- function(docs, idCol = "doc_id", textCol = "text",
+                                  numMerges = 10) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "bpeEncodeCounts", docs@sdf, idCol,
+                                  textCol, as.integer(numMerges)))
+}
+
 # --------------------------- structural variants ----------------------------
 
 #' Link VCF breakend (BND) records to mates by MATEID or coordinates.

@@ -539,6 +539,13 @@ object JavaApi {
       topK: Int): DataFrame =
     graft.operators.TokenizerOps.bpeTokenStats(docs, textCol, numMerges, topK)
 
+  /** Encode the corpus with a freshly trained tokenizer: per-doc word/
+    * subword/char counts + chars_per_token_permille. */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame =
+    graft.operators.TokenizerOps.bpeEncodeCounts(docs, idCol, textCol,
+      numMerges)
+
   /** Link VCF breakend (BND) records to their mates by INFO MATEID or
     * reciprocal coordinates. Input columns: referenceName, start, names,
     * alternateAllele, annotation. Output: (id, referenceName, start, alt,

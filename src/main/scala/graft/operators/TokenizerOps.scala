@@ -57,7 +57,7 @@ object TokenizerOps {
   private def train(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[BpeMerge], DataFrame) = {
     var vocab = wordHistogram(docs, textCol)
-      .select(symbolize(col("word")).as("sym"), col("n"))
+      .select(col("word"), symbolize(col("word")).as("sym"), col("n"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[BpeMerge]()
     var r = 1
@@ -81,7 +81,8 @@ object TokenizerOps {
         merges += BpeMerge(r, a, b, a + b, best(0).getLong(2))
         // symbols are [a-z0-9]+ concatenations — safe to interpolate
         vocab = vocab
-          .select(expr(s"replace(sym, ' $a $b ', ' $a$b ')").as("sym"),
+          .select(col("word"),
+            expr(s"replace(sym, ' $a $b ', ' $a$b ')").as("sym"),
             col("n"))
           .localCheckpoint()
         r += 1
@@ -98,6 +99,37 @@ object TokenizerOps {
     val (merges, _) = train(docs, textCol, numMerges)
     spark.createDataset(merges)(
       org.apache.spark.sql.Encoders.product[BpeMerge]).toDF()
+  }
+
+  /** Encode the corpus with the trained tokenizer — the apply terminal
+    * step (train once, tokenize everything). Per document:
+    * (idCol, n_word_tokens = word occurrences, n_bpe_tokens = subword
+    * count after the merges, n_chars = alnum chars, chars_per_token_permille
+    * = n_chars*1000 div n_bpe_tokens — the compression the tokenizer
+    * achieves, the number a data pipeline budgets sequence lengths with).
+    *
+    * Scale: training as in [[bpeMerges]]; encoding joins the per-doc word
+    * counts against the |V|-row trained vocabulary (word -> subword count)
+    * — AQE broadcasts the vocab side when it is small, and the corpus side
+    * carries only (id, word, count), never text. */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    val (_, vocab) = train(docs, textCol, numMerges)
+    val wordLens = vocab.select(col("word"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_sub"),
+      length(col("word")).cast("long").as("n_ch"))
+    val docWords = docs
+      .select(col(idCol), explode(
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+        .as("word"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("k"))
+    docWords.join(wordLens, "word")
+      .groupBy(idCol)
+      .agg(sum("k").as("n_word_tokens"),
+        sum(col("k") * col("n_sub")).as("n_bpe_tokens"),
+        sum(col("k") * col("n_ch")).as("n_chars"))
+      .withColumn("chars_per_token_permille",
+        expr("n_chars * 1000 div n_bpe_tokens"))
   }
 
   /** Post-training subword statistics: the topK tokens of the final

@@ -110,7 +110,7 @@ object SketchQueries extends QuerySet {
        |  GROUP BY a, b),
        |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
        |  ORDER BY c DESC, a, b LIMIT 1),
-       |v$i AS MATERIALIZED (SELECT replace(sym,
+       |v$i AS MATERIALIZED (SELECT word, replace(sym,
        |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
        |    ' ' || (SELECT a || b FROM b$i) || ' ') AS sym, n
        |  FROM v${i - 1})""".stripMargin
@@ -121,7 +121,7 @@ object SketchQueries extends QuerySet {
     s"""words AS MATERIALIZED (SELECT token AS word,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM toks GROUP BY token),
-       |v0 AS MATERIALIZED (SELECT
+       |v0 AS MATERIALIZED (SELECT word,
        |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, n
        |  FROM words)""".stripMargin
 
@@ -777,6 +777,35 @@ object SketchQueries extends QuerySet {
           |      FROM v10)
           |GROUP BY token
           |ORDER BY n_occurrences DESC, token
-          |LIMIT 40""".stripMargin))
+          |LIMIT 40""".stripMargin)),
+
+    // The tokenizer's APPLY terminal step (the q105-style "train once,
+    // run on everything" shape): encode every document with the 10 learned
+    // merges and report per-doc word/subword/char counts plus the
+    // chars-per-token compression a pipeline budgets sequence lengths
+    // with. The encode join carries (doc, word, count) — never text.
+    Query("q111_bpe_encode",
+      (s, dir) => TokenizerOps.bpeEncodeCounts(
+        t(s, dir, "documents"), "doc_id", "text", numMerges = 10),
+      Some(s"""WITH dwords AS MATERIALIZED (SELECT doc_id,
+          |    unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z0-9]+'),
+          |      x -> x <> '')) AS word
+          |  FROM documents),
+          |toks AS (SELECT word AS token FROM dwords),
+          |$bpePrelude,
+          |${(1 to 10).map(bpeRound).mkString(",\n")},
+          |wl AS (SELECT word,
+          |    CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sub,
+          |    CAST(length(word) AS BIGINT) AS n_ch
+          |  FROM v10),
+          |dk AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k
+          |  FROM dwords GROUP BY doc_id, word)
+          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_word_tokens,
+          |  CAST(sum(k * n_sub) AS BIGINT) AS n_bpe_tokens,
+          |  CAST(sum(k * n_ch) AS BIGINT) AS n_chars,
+          |  CAST(sum(k * n_ch) AS BIGINT) * 1000
+          |    // CAST(sum(k * n_sub) AS BIGINT) AS chars_per_token_permille
+          |FROM dk JOIN wl USING (word) GROUP BY doc_id""".stripMargin))
   )
 }

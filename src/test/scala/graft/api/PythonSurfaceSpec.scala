@@ -48,7 +48,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "pageRankTopK" -> 4, "imageDHash" -> 1, "imageNearDuplicates" -> 3,
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
       "associationRules" -> 5, "linkBreakends" -> 1,
-      "bpeMerges" -> 3, "bpeTokenStats" -> 4,
+      "bpeMerges" -> 3, "bpeTokenStats" -> 4, "bpeEncodeCounts" -> 4,
       "breakendEventGroups" -> 1, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,

@@ -80,6 +80,25 @@ class TokenizerOpsSpec extends SparkSpec {
     assert(pairs.sortBy { case (n, t) => (-n, t) }.toSeq === pairs.toSeq)
   }
 
+  test("bpeEncodeCounts: conservation and bounds per document") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val enc = TokenizerOps.bpeEncodeCounts(docs, "doc_id", "text", 6)
+      .collect()
+    assert(enc.length === corpus.length)
+    enc.foreach { r =>
+      val (w, bpe, ch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bpe >= w, "merges never split below one token per word")
+      assert(bpe <= ch, "subwords never outnumber characters")
+      assert(r.getLong(4) === ch * 1000 / bpe)
+    }
+    // corpus-wide subword mass equals the vocabulary-side occurrence total
+    val statTotal = TokenizerOps.bpeTokenStats(docs, "text", 6, 1000)
+      .collect().map(_.getLong(2)).sum
+    assert(enc.map(_.getLong(2)).sum === statTotal)
+  }
+
   test("merges are identical at any partitioning") {
     import spark.implicits._
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
