@@ -722,6 +722,28 @@ def bpe_encode_counts(docs, id_col="doc_id", text_col="text",
                                             int(num_merges)))
 
 
+def histogram_sketch(df, group_col, value_col, lo_cents=0, hi_cents=50000,
+                     bins=50):
+    """Per-group equi-width histogram sketch (group, bin, n): constant
+    mergeable state, integer-exact binning on cent-quantized values — the
+    approx-quantile primitive when exact per-group sorts are too costly."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).histogramSketch(df._jdf, group_col, value_col,
+                                            int(lo_cents), int(hi_cents),
+                                            int(bins)))
+
+
+def histogram_percentiles(cells, group_col, ps_permille, lo_cents=0,
+                          hi_cents=50000, bins=50):
+    """Percentile estimates off histogram cells: (group, p_permille, bin,
+    est_cents, n_total) — smallest bin reaching the cumulative target."""
+    s = cells.sparkSession
+    return _wrap(s, _api(s).histogramPercentiles(cells._jdf, group_col,
+                                                 [int(p) for p in ps_permille],
+                                                 int(lo_cents),
+                                                 int(hi_cents), int(bins)))
+
+
 def link_breakends(variants):
     """Link VCF breakend (BND) records to mates by INFO MATEID or
     reciprocal coordinates: (id, referenceName, start, alt, mate_id,

@@ -239,6 +239,14 @@ graft.sketchOverlap <- function(sketches, k = 256) {
                                   as.integer(k)))
 }
 
+#' Per-group equi-width histogram sketch (group, bin, n).
+graft.histogramSketch <- function(df, groupCol, valueCol, loCents = 0,
+                                  hiCents = 50000, bins = 50) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "histogramSketch", df@sdf, groupCol,
+                                  valueCol, as.integer(loCents),
+                                  as.integer(hiCents), as.integer(bins)))
+}
+
 # ------------------------------ graph analytics -----------------------------
 
 #' Co-occurrence edges from an (order, item) incidence list.

@@ -546,6 +546,21 @@ object JavaApi {
     graft.operators.TokenizerOps.bpeEncodeCounts(docs, idCol, textCol,
       numMerges)
 
+  /** Per-group equi-width histogram sketch (groupCol, bin, n) — constant
+    * mergeable state, integer-exact binning on cent-quantized values. */
+  def histogramSketch(df: DataFrame, groupCol: String, valueCol: String,
+      loCents: Long, hiCents: Long, bins: Int): DataFrame =
+    SketchOps.histogramSketch(df, groupCol, valueCol, loCents, hiCents, bins)
+
+  /** Percentile estimates off histogram cells:
+    * (groupCol, p_permille, bin, est_cents, n_total). */
+  def histogramPercentiles(cells: DataFrame, groupCol: String,
+      psPermille: java.util.List[Integer], loCents: Long, hiCents: Long,
+      bins: Int): DataFrame =
+    SketchOps.histogramPercentiles(cells, groupCol,
+      scala.jdk.CollectionConverters.ListHasAsScala(psPermille)
+        .asScala.map(_.intValue()).toSeq, loCents, hiCents, bins)
+
   /** Link VCF breakend (BND) records to their mates by INFO MATEID or
     * reciprocal coordinates. Input columns: referenceName, start, names,
     * alternateAllele, annotation. Output: (id, referenceName, start, alt,

@@ -187,6 +187,58 @@ object SketchOps {
         expr("abs(est_q - n_distinct) * 1000 div n_distinct"))
   }
 
+  // ------------------------ equi-width histogram sketch --------------------
+
+  /** Bin index of `valueCol` (a double, quantized to cents — the house
+    * exactness trick) over [loCents, hiCents) split into `bins` equal
+    * cells: -1 underflow, `bins` overflow, else (c - lo) * bins div span
+    * — pure integer arithmetic, engine-exact. */
+  def histogramBin(valueCol: String, loCents: Long, hiCents: Long,
+      bins: Int): Column = {
+    val span = hiCents - loCents
+    val c = s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)"
+    expr(s"""CASE WHEN $c < ${loCents}L THEN -1L
+            |WHEN $c >= ${hiCents}L THEN ${bins}L
+            |ELSE ($c - ${loCents}L) * $bins div ${span}L END""".stripMargin)
+  }
+
+  /** Per-group equi-width histogram of a double value column:
+    * (groupCol, bin, n). State is groups x (bins+2) cells — constant,
+    * mergeable (counts add), map-side combinable; the streaming twin
+    * [[graft.streaming.EventStreams.streamingHistogram]] maintains the
+    * same cells as a plain streaming aggregation. This is the quantile
+    * primitive for when exact per-group sorts ([[Quantiles]]) are too
+    * expensive — resolution is a bin width, never a data pass. */
+  def histogramSketch(df: DataFrame, groupCol: String, valueCol: String,
+      loCents: Long, hiCents: Long, bins: Int): DataFrame =
+    df.select(col(groupCol),
+        histogramBin(valueCol, loCents, hiCents, bins).as("bin"))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("n"))
+
+  /** Percentile estimates off histogram cells: for each permille p, the
+    * smallest bin whose cumulative count reaches ceil(p/1000 * total),
+    * with the bin's left edge in cents. The cumulative window partitions
+    * by group over at most bins+2 rows — never a data-sized sort.
+    * Output: (groupCol, p_permille, bin, est_cents, n_total). */
+  def histogramPercentiles(cells: DataFrame, groupCol: String,
+      psPermille: Seq[Int], loCents: Long, hiCents: Long,
+      bins: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("bin")
+    val span = hiCents - loCents
+    val cum = cells.withColumn("n_cum", sum("n").over(w))
+    val tot = cells.groupBy(groupCol).agg(sum("n").as("n_total"))
+    cum.join(tot, groupCol)
+      .select(col(groupCol), col("bin"), col("n_cum"), col("n_total"),
+        explode(typedLit(psPermille)).as("p_permille"))
+      .filter(col("n_cum") * 1000 >= col("p_permille") * col("n_total"))
+      .groupBy(groupCol, "p_permille")
+      .agg(min("bin").as("bin"), max("n_total").as("n_total"))
+      .select(col(groupCol), col("p_permille"), col("bin"),
+        (lit(loCents) + expr(s"bin * ${span}L div $bins")).as("est_cents"),
+        col("n_total"))
+  }
+
   // -------------------------- bottom-k set sketches ------------------------
 
   private def shinglesUdf(n: Int) = udf { text: String =>

@@ -806,6 +806,40 @@ object SketchQueries extends QuerySet {
           |  CAST(sum(k * n_ch) AS BIGINT) AS n_chars,
           |  CAST(sum(k * n_ch) AS BIGINT) * 1000
           |    // CAST(sum(k * n_sub) AS BIGINT) AS chars_per_token_permille
-          |FROM dk JOIN wl USING (word) GROUP BY doc_id""".stripMargin))
+          |FROM dk JOIN wl USING (word) GROUP BY doc_id""".stripMargin)),
+
+    // Mergeable equi-width histogram sketch + percentile estimates over
+    // events.value: constant groups x (bins+2) state (the
+    // approx-quantile primitive for when exact per-group sorts are too
+    // expensive), integer-exact binning on cent-quantized values, and a
+    // streaming twin proven cell-equal in StreamingSpec. p50/p90/p99 per
+    // event type with the bin's left edge in cents.
+    Query("q112_value_histogram_percentiles",
+      (s, dir) => SketchOps.histogramPercentiles(
+        SketchOps.histogramSketch(t(s, dir, "events"), "event_type",
+          "value", loCents = 0L, hiCents = 50000L, bins = 50),
+        "event_type", Seq(500, 900, 990), loCents = 0L, hiCents = 50000L,
+        bins = 50),
+      Some("""WITH cents AS (SELECT event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+          |cells AS MATERIALIZED (SELECT event_type,
+          |    CASE WHEN c < 0 THEN -1
+          |         WHEN c >= 50000 THEN 50
+          |         ELSE (c - 0) * 50 // 50000 END AS bin,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM cents GROUP BY 1, 2),
+          |cum AS (SELECT event_type, bin, CAST(sum(n) OVER (
+          |    PARTITION BY event_type ORDER BY bin) AS BIGINT) AS n_cum
+          |  FROM cells),
+          |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+          |  FROM cells GROUP BY event_type),
+          |px AS (SELECT c.event_type, c.bin, t.n_total, p.p_permille
+          |  FROM cum c JOIN tot t USING (event_type),
+          |       (SELECT unnest([500, 900, 990]) AS p_permille) p
+          |  WHERE c.n_cum * 1000 >= p.p_permille * t.n_total)
+          |SELECT event_type, p_permille, CAST(min(bin) AS BIGINT) AS bin,
+          |  0 + CAST(min(bin) AS BIGINT) * 50000 // 50 AS est_cents,
+          |  CAST(max(n_total) AS BIGINT) AS n_total
+          |FROM px GROUP BY event_type, p_permille""".stripMargin))
   )
 }

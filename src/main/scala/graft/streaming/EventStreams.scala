@@ -362,6 +362,23 @@ object EventStreams {
       .groupBy("i", "bucket")
       .agg(count(lit(1)).as("cell"))
 
+  /** Streaming per-group equi-width histogram: the same constant
+    * groups x (bins+2) cell grid as
+    * [[graft.operators.SketchOps.histogramSketch]], maintained as a plain
+    * streaming aggregation (counts add — the canonical mergeable reduce),
+    * so the micro-batch partial agg IS the batch map-side combine.
+    * Drained over the same rows it equals the batch cells exactly
+    * (StreamingSpec). Run in update/complete output mode. */
+  def streamingHistogram(
+      events: DataFrame, groupCol: String, valueCol: String,
+      loCents: Long, hiCents: Long, bins: Int): DataFrame =
+    events
+      .select(col(groupCol),
+        graft.operators.SketchOps
+          .histogramBin(valueCol, loCents, hiCents, bins).as("bin"))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming HyperLogLog registers: max(rho) per register as a streaming
     * aggregation — at most 2^p state rows forever (max is the canonical
     * mergeable-sketch reduce). Equals

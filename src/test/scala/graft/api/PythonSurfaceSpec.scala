@@ -49,6 +49,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "pcaAxis" -> 3, "pcaLabelProjection" -> 4, "triangleCounts" -> 1,
       "associationRules" -> 5, "linkBreakends" -> 1,
       "bpeMerges" -> 3, "bpeTokenStats" -> 4, "bpeEncodeCounts" -> 4,
+      "histogramSketch" -> 6, "histogramPercentiles" -> 6,
       "breakendEventGroups" -> 1, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,

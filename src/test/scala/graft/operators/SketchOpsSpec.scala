@@ -154,6 +154,43 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramSketch equals a driver-side binning replay") {
+    import spark.implicits._
+    val vals = Seq(
+      ("a", 0.004), ("a", 0.01), ("a", 9.99), ("a", 10.0), ("a", 499.99),
+      ("a", 500.0), ("a", 730.2), ("b", -3.5), ("b", 250.004), ("b", 250.006))
+    val df = vals.toDF("g", "v")
+    val got = SketchOps.histogramSketch(df, "g", "v", 0L, 50000L, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val ref = vals.groupBy { case (g, v) =>
+      val c = math.floor(v * 100 + 0.5).toLong
+      val bin = if (c < 0) -1L else if (c >= 50000) 50L else c * 50 / 50000
+      (g, bin)
+    }.view.mapValues(_.size.toLong).toMap
+    assert(got === ref)
+    // boundary sanity: 499.99 -> bin 49, 500.0 -> overflow, -3.5 -> -1
+    assert(got(("a", 49L)) === 1L && got(("a", 50L)) === 2L &&
+      got(("b", -1L)) === 1L)
+  }
+
+  test("histogramPercentiles: smallest bin reaching the cumulative target") {
+    import spark.implicits._
+    // group g: 10 values spread so p50 and p99 land in known bins
+    val vals = (1 to 10).map(i => ("g", i * 10.0 - 5.0)) // 5,15,...,95
+    val cells = SketchOps.histogramSketch(
+      vals.toDF("g", "v"), "g", "v", 0L, 10000L, 10) // bin i-1 per value
+    val got = SketchOps.histogramPercentiles(
+        cells, "g", Seq(500, 900, 990), 0L, 10000L, 10)
+      .collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // p50: cum reaches 5/10 at bin 4; p90 at bin 8; p99 at bin 9
+    assert(got(500) === ((4L, 4000L, 10L)))
+    assert(got(900) === ((8L, 8000L, 10L)))
+    assert(got(990) === ((9L, 9000L, 10L)))
+  }
+
   test("sketches are identical at any partitioning") {
     val texts = (0 until 60).map(i => s"p$i q${i % 7} r${i % 13} s t u v w")
     val df = docsDf(texts)

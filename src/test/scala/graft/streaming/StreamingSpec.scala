@@ -573,6 +573,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram cells equal the batch sketch when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 50).map(i => (s"g${i % 3}", (i * 17 % 600).toDouble))
+    val input = MemoryStream[(String, Double)]
+    val q = EventStreams.streamingHistogram(
+        input.toDF().toDF("g", "v"), "g", "v", 0L, 50000L, 25)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      val got = spark.table("hist_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.operators.SketchOps.histogramSketch(
+          rows.toDF("g", "v"), "g", "v", 0L, 50000L, 25)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch registers when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
