@@ -744,6 +744,23 @@ def histogram_percentiles(cells, group_col, ps_permille, lo_cents=0,
                                                  int(hi_cents), int(bins)))
 
 
+def weighted_sample(df, key_col, weight_col, k, salt="graft"):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential race): k rows with probability proportional to weight,
+    deterministic across runs/retries/cluster sizes."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).weightedSample(df._jdf, key_col, weight_col,
+                                           int(k), salt))
+
+
+def z_score_outliers(df, group_col, value_col, k_permille=3000):
+    """Per-group k-sigma outlier counts via the exact 128-bit integer
+    z-test (no floating point): (group, n_total, n_outliers)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).zScoreOutliers(df._jdf, group_col, value_col,
+                                           int(k_permille)))
+
+
 def link_breakends(variants):
     """Link VCF breakend (BND) records to mates by INFO MATEID or
     reciprocal coordinates: (id, referenceName, start, alt, mate_id,

@@ -339,6 +339,18 @@ graft.videoNearDuplicates <- function(media, maxDist = 3, bands = 4) {
                                   as.integer(maxDist), as.integer(bands)))
 }
 
+#' Weighted sampling without replacement: k rows, p proportional to weight.
+graft.weightedSample <- function(df, keyCol, weightCol, k, salt = "graft") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "weightedSample", df@sdf, keyCol,
+                                  weightCol, as.integer(k), salt))
+}
+
+#' Per-group k-sigma outlier counts via the exact integer z-test.
+graft.zScoreOutliers <- function(df, groupCol, valueCol, kPermille = 3000) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "zScoreOutliers", df@sdf, groupCol,
+                                  valueCol, as.integer(kPermille)))
+}
+
 # -------------------------------- statistics --------------------------------
 
 #' Exact Pearson correlation matrix (bit-identical across engines).

@@ -561,6 +561,18 @@ object JavaApi {
       scala.jdk.CollectionConverters.ListHasAsScala(psPermille)
         .asScala.map(_.intValue()).toSeq, loCents, hiCents, bins)
 
+  /** Weighted sampling without replacement (exponential race): k rows
+    * with probability proportional to weightCol, deterministic. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame =
+    graft.operators.SamplingOps.weightedSample(df, keyCol, weightCol, k, salt)
+
+  /** Per-group k-sigma outlier counts via the exact 128-bit integer
+    * z-test: (groupCol, n_total, n_outliers). */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      kPermille: Long): DataFrame =
+    graft.operators.Stats.zScoreOutliers(df, groupCol, valueCol, kPermille)
+
   /** Link VCF breakend (BND) records to their mates by INFO MATEID or
     * reciprocal coordinates. Input columns: referenceName, start, names,
     * alternateAllele, annotation. Output: (id, referenceName, start, alt,

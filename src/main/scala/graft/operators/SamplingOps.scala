@@ -120,6 +120,39 @@ object SamplingOps {
       .drop("__r1", "__r2")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    * exponential race): each row draws a deterministic exponential clock
+    * ln(1/u)/w from its own hash uniform — heavier rows draw faster
+    * clocks — and the k smallest clocks win, which is exactly sampling k
+    * rows without replacement with probability proportional to weight.
+    *
+    * Exactness: u is the house 53-bit hash uniform (+0.5 ulp so it is
+    * never 0); ln(1/u) is quantized to 1e-6 integer units (the q102
+    * quantized-ln precedent — a libm ulp difference cannot flip the
+    * floor at this granularity in practice) and the clock is the integer
+    * division lnq * 1e6 div w_q, ties broken by key — bit-stable across
+    * engines and partitionings. Rows with non-positive quantized weight
+    * are excluded (they have probability 0).
+    *
+    * Scale: pure per-row scoring (no shuffle) + one distributed
+    * TakeOrdered of k rows — never a global sort materialization.
+    * Output: the input rows + (w_q, score_q), the k winners. */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    val bits = shiftrightunsigned(GraftFunctions.fnv1a64(
+      concat(col(keyCol).cast("string"), lit(":" + salt))), 11)
+    val u = (bits.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    df.withColumn("w_q", floor(col(weightCol) * 1e6 + 0.5).cast("long"))
+      .filter(col("w_q") > 0)
+      .withColumn("__lnq", floor(log(lit(1.0) / u) * 1e6 + 0.5).cast("long"))
+      .withColumn("score_q", expr("__lnq * 1000000 div w_q"))
+      .drop("__lnq")
+      .orderBy(col("score_q").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic named dataset split (train/val/test): each row is
     * assigned the first split whose cumulative fraction bound exceeds the
     * row's hash uniform — a pure per-row function of the key, so the split

@@ -74,4 +74,39 @@ object Stats {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Per-group k-sigma outlier report with NO floating point: values
+    * quantize to cents and the z-test runs as the cross-multiplied
+    * integer inequality. From z^2 = (c - S/n)^2 / ((nQ - S^2)/n^2)
+    * = (cn - S)^2 / (nQ - S^2), a row is an outlier at threshold
+    * k = kPermille/1000 sigma iff
+    *   (cn - S)^2 * 10^6  >  kPermille^2 * (nQ - S^2),
+    * evaluated in 128-bit exact arithmetic (Spark DECIMAL(38,0) /
+    * DuckDB HUGEINT) — magnitudes stay under ~30 digits for cent values
+    * and trillion-row groups, so the comparison never rounds and two
+    * engines always agree. The usual stddev() route cannot promise that
+    * (order-sensitive float partials).
+    *
+    * Scale: one moments aggregation (n, S, Q per group — constant state,
+    * map-side combined) joined back to the rows (AQE broadcasts the
+    * group-moments side); one flag-and-count aggregation. Output:
+    * (groupCol, n_total, n_outliers). */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      kPermille: Long = 3000L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(col(groupCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+    val mom = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum("c").as("s"),
+      sum(expr("c * c")).as("q"))
+    base.join(mom, groupCol)
+      .withColumn("d", (col("c") * col("n") - col("s")).cast(dec))
+      .withColumn("is_out",
+        col("d") * col("d") * lit(1000000L) >
+          lit(kPermille * kPermille) *
+            (col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s")))
+      .groupBy(groupCol)
+      .agg(max("n").as("n_total"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

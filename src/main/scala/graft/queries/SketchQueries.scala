@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SketchOps, TextOps, TokenizerOps}
+import graft.operators.{AssociationOps, ClusteringOps, GraphOps, MultimodalOps, SamplingOps, SketchOps, TextOps, TokenizerOps}
 import HashOracleSql.{fnv1a64, goldenU, splitmixCtes}
 
 /** Sketch + graph analytics queries (q91+): count-min heavy hitters,
@@ -840,6 +840,57 @@ object SketchQueries extends QuerySet {
           |SELECT event_type, p_permille, CAST(min(bin) AS BIGINT) AS bin,
           |  0 + CAST(min(bin) AS BIGINT) * 50000 // 50 AS est_cents,
           |  CAST(max(n_total) AS BIGINT) AS n_total
-          |FROM px GROUP BY event_type, p_permille""".stripMargin))
+          |FROM px GROUP BY event_type, p_permille""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential race), 100 documents with probability proportional to
+    // text length: per-row deterministic clocks ln(1/u)/w (quantized-ln
+    // integers, the q102 precedent), k smallest win via TakeOrdered —
+    // no shuffle before the top-k.
+    Query("q113_weighted_sample",
+      (s, dir) => SamplingOps.weightedSample(
+        t(s, dir, "documents")
+          .withColumn("w", length(col("text")).cast("double")),
+        "doc_id", "w", k = 100, salt = "r9")
+        .select(col("doc_id"), col("w_q"), col("score_q")),
+      Some(s"""WITH w AS (SELECT doc_id, length(text)::DOUBLE AS wv
+          |  FROM documents),
+          |u AS (SELECT doc_id, wv,
+          |    ((${fnv1a64("(doc_id::VARCHAR || ':r9')")} >> 11)::DOUBLE
+          |      + 0.5) / 9007199254740992.0 AS u
+          |  FROM w),
+          |q AS (SELECT doc_id,
+          |    CAST(floor(wv * 1000000 + 0.5) AS BIGINT) AS w_q,
+          |    CAST(floor(ln(1.0 / u) * 1000000 + 0.5) AS BIGINT) AS lnq
+          |  FROM u)
+          |SELECT doc_id, w_q, lnq * 1000000 // w_q AS score_q
+          |FROM q WHERE w_q > 0
+          |ORDER BY score_q, doc_id LIMIT 100""".stripMargin)),
+
+    // Per-event-type 1.5-sigma outlier counts with ZERO floating point:
+    // the z-test as a cross-multiplied 128-bit integer inequality
+    // (DECIMAL(38,0) / HUGEINT) off one constant-state moments
+    // aggregation — the outlier-filtering primitive a value-cleaning
+    // pipeline runs, exact at any scale.
+    Query("q114_value_outliers",
+      (s, dir) => graft.operators.Stats.zScoreOutliers(
+        t(s, dir, "events"), "event_type", "value", kPermille = 1500L),
+      Some("""WITH c AS (SELECT event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+          |m AS MATERIALIZED (SELECT event_type,
+          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+          |    CAST(sum(c * c) AS BIGINT) AS q
+          |  FROM c GROUP BY event_type),
+          |f AS (SELECT c.event_type, m.n,
+          |    ((c.c * m.n - m.s)::HUGEINT * (c.c * m.n - m.s)::HUGEINT
+          |       * 1000000::HUGEINT >
+          |     2250000::HUGEINT *
+          |       (m.n::HUGEINT * m.q::HUGEINT - m.s::HUGEINT * m.s::HUGEINT))
+          |      AS is_out
+          |  FROM c JOIN m USING (event_type))
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+          |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_outliers
+          |FROM f GROUP BY event_type""".stripMargin))
   )
 }

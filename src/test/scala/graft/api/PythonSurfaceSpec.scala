@@ -50,6 +50,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "associationRules" -> 5, "linkBreakends" -> 1,
       "bpeMerges" -> 3, "bpeTokenStats" -> 4, "bpeEncodeCounts" -> 4,
       "histogramSketch" -> 6, "histogramPercentiles" -> 6,
+      "weightedSample" -> 5, "zScoreOutliers" -> 4,
       "breakendEventGroups" -> 1, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,

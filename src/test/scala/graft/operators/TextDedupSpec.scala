@@ -593,6 +593,56 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("weightedSample equals a driver replay; heavier rows win more") {
+    import spark.implicits._
+    // weights 1..200: expected inclusion probability proportional to w
+    val rows = (1L to 200L).map(i => (i, i.toDouble))
+    val df = rows.toDF("id", "w")
+    val got = SamplingOps.weightedSample(df, "id", "w", k = 50, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // driver replay of the exact quantized exponential race
+    val ref = rows.map { case (id, w) =>
+      val bits = DedupOps.fnv1a64(s"$id:t") >>> 11
+      val u = (bits.toDouble + 0.5) / 9007199254740992.0
+      val lnq = math.floor(math.log(1.0 / u) * 1e6 + 0.5).toLong
+      val wq = math.floor(w * 1e6 + 0.5).toLong
+      (id, wq, lnq * 1000000L / wq)
+    }.filter(_._2 > 0).sortBy(t => (t._3, t._1)).take(50).sortBy(_._1)
+    assert(got.toSeq === ref)
+    // proportionality: the heavy half wins far more than the light half
+    val heavy = got.count(_._1 > 100)
+    assert(heavy > 30, s"heavy-half winners: $heavy of 50")
+    // partition invariance
+    val again = SamplingOps.weightedSample(df.repartition(13), "id", "w",
+      k = 50, salt = "t").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === got.map(_._1).toSeq)
+  }
+
+  test("zScoreOutliers: flags exactly the rows beyond k sigma (exact replay)") {
+    import spark.implicits._
+    // group a: tight cluster + two planted spikes; group b: constant
+    val a = Seq.fill(50)(10.0) ++ Seq(10.5, 9.5) ++ Seq(500.0, -480.0)
+    val vals = a.map(("a", _)) ++ Seq.fill(20)(("b", 7.77))
+    val got = graft.operators.Stats.zScoreOutliers(
+        vals.toDF("g", "v"), "g", "v", kPermille = 3000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // exact integer replay
+    val cents = a.map(v => math.floor(v * 100 + 0.5).toLong)
+    val n = cents.size.toLong
+    val s = cents.sum
+    val q = cents.map(c => c * c).sum
+    val nOut = cents.count { c =>
+      val d = BigInt(c * n - s)
+      d * d * 1000000 > BigInt(3000L * 3000L) * (BigInt(n) * q - BigInt(s) * s)
+    }.toLong
+    assert(got("a") === ((n, nOut)))
+    assert(nOut === 2L, "exactly the two planted spikes")
+    // zero variance group: inequality is strict, nothing flags
+    assert(got("b") === ((20L, 0L)))
+  }
+
   test("quotaSample: exactly n per stratum, hash-prefix-stable, partition-invariant") {
     import spark.implicits._
     val df = ((1L to 5000L).map((_, "a")) ++ (5001L to 5012L).map((_, "b")))
