@@ -744,6 +744,25 @@ def histogram_percentiles(cells, group_col, ps_permille, lo_cents=0,
                                                  int(hi_cents), int(bins)))
 
 
+def content_defined_chunks(docs, id_col="doc_id", text_col="text",
+                           window=8, mask_bits=6):
+    """Content-defined chunking (rsync/FastCDC family): boundaries where
+    the windowed fingerprint's low bits are zero, so edits shift only
+    their own chunk. Returns (id, chunk_idx, chunk_pos, chunk_len,
+    chunk); expected chunk length is 2**mask_bits chars."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).contentDefinedChunks(docs._jdf, id_col,
+                                                 text_col, int(window),
+                                                 int(mask_bits)))
+
+
+def chunk_dedup_report(chunks):
+    """One-row chunk-store dedup savings estimate: (n_chunks,
+    n_distinct_chunks, n_dup_chunks, dup_chars, total_chars)."""
+    s = chunks.sparkSession
+    return _wrap(s, _api(s).chunkDedupReport(chunks._jdf))
+
+
 def weighted_sample(df, key_col, weight_col, k, salt="graft"):
     """Weighted sampling without replacement (Efraimidis-Spirakis
     exponential race): k rows with probability proportional to weight,

@@ -158,6 +158,20 @@ graft.editDistanceNearDuplicates <- function(docs, idCol, textCol,
                                   as.integer(maxDist)))
 }
 
+#' Content-defined chunking: boundaries follow content, not offsets.
+graft.contentDefinedChunks <- function(docs, idCol = "doc_id",
+                                       textCol = "text", window = 8,
+                                       maskBits = 6) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "contentDefinedChunks", docs@sdf,
+                                  idCol, textCol, as.integer(window),
+                                  as.integer(maskBits)))
+}
+
+#' One-row chunk-store dedup savings estimate.
+graft.chunkDedupReport <- function(chunks) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "chunkDedupReport", chunks@sdf))
+}
+
 #' Cross-document boilerplate line removal.
 graft.globalLineDedup <- function(docs, idCol, textCol, minDocs = 3) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "globalLineDedup", docs@sdf, idCol,

@@ -561,6 +561,17 @@ object JavaApi {
       scala.jdk.CollectionConverters.ListHasAsScala(psPermille)
         .asScala.map(_.intValue()).toSeq, loCents, hiCents, bins)
 
+  /** Content-defined chunking: (id, chunk_idx, chunk_pos, chunk_len,
+    * chunk) with boundaries that follow content, not offsets. */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, maskBits: Int): DataFrame =
+    graft.operators.DedupOps.contentDefinedChunks(docs, idCol, textCol,
+      window, maskBits)
+
+  /** Chunk-store dedup savings off contentDefinedChunks (one row). */
+  def chunkDedupReport(chunks: DataFrame): DataFrame =
+    graft.operators.DedupOps.chunkDedupReport(chunks)
+
   /** Weighted sampling without replacement (exponential race): k rows
     * with probability proportional to weightCol, deterministic. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,

@@ -956,4 +956,69 @@ object DedupOps {
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
+
+  // ---------------------- content-defined chunking --------------------------
+
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family): split each
+    * document at positions where the rolling fingerprint of the last
+    * `window` chars has its low `maskBits` bits zero — so chunk boundaries
+    * follow CONTENT, not offsets, and an insertion early in a document
+    * shifts only the chunk it lands in (fixed-size chunking would shift
+    * every later boundary and destroy dedup). Expected chunk length is
+    * 2^maskBits chars.
+    *
+    * The fingerprint is the windowed form (fnv1a64 of each `window`-char
+    * substring — the Rabin-style definition), a pure per-row computation;
+    * cut positions per doc aggregate into one bounded array (state is
+    * bounded by doc length, never corpus size — the globalLineDedup
+    * contract) and chunks explode back out per row. No minimum-chunk
+    * constraint: every qualifying position cuts, keeping the boundary
+    * rule stateless and exactly replayable.
+    *
+    * Output: (idCol, chunk_idx, chunk_pos (1-based), chunk_len, chunk).
+    * At 100 TB, key downstream joins on xxhash64(chunk) instead of the
+    * string (the raw chunk is kept here for oracle byte-exactness). */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, maskBits: Int = 6): DataFrame = {
+    val mask = (1L << maskBits) - 1
+    val d = docs.select(col(idCol), col(textCol).as("t"),
+      length(col(textCol)).as("len"))
+      .filter(col("len") > 0)
+    val cuts = d.filter(col("len") >= window)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(window), col("len"))).as("i"))
+      .filter(graft.functions.GraftFunctions.fnv1a64(
+        expr(s"substring(t, i - ${window - 1}, $window)"))
+        .bitwiseAND(lit(mask)) === 0)
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("i"))).as("cuts"))
+    d.join(cuts, Seq(idCol), "left")
+      .withColumn("bs", concat(array(lit(0)),
+        coalesce(col("cuts"), array().cast("array<int>")),
+        array(col("len"))))
+      .select(col(idCol), col("t"), posexplode(expr(
+        "arrays_zip(slice(bs, 1, size(bs) - 1), slice(bs, 2, size(bs) - 1))"))
+        .as(Seq("chunk_idx", "pr")))
+      .filter(expr("pr.`1` > pr.`0`")) // len == last cut -> empty tail
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("CAST(pr.`0` + 1 AS BIGINT)").as("chunk_pos"),
+        expr("CAST(pr.`1` - pr.`0` AS BIGINT)").as("chunk_len"),
+        expr("substring(t, pr.`0` + 1, pr.`1` - pr.`0`)").as("chunk"))
+  }
+
+  /** Corpus-level chunk-dedup savings estimate off
+    * [[contentDefinedChunks]]: group identical chunks (exact string
+    * equality — no collision semantics) and report how many chars a
+    * chunk-store would save. One map-side-combined aggregation over the
+    * chunk table + a constant-size rollup. Output (one row):
+    * (n_chunks, n_distinct_chunks, n_dup_chunks, dup_chars, total_chars). */
+  def chunkDedupReport(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("cnt"), max("chunk_len").as("clen"))
+      .agg(sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("cnt") - 1).as("n_dup_chunks"),
+        sum((col("cnt") - 1) * col("clen")).as("dup_chars"),
+        sum(col("cnt") * col("clen")).as("total_chars"))
 }

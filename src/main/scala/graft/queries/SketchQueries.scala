@@ -891,6 +891,44 @@ object SketchQueries extends QuerySet {
           |SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
           |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_outliers
-          |FROM f GROUP BY event_type""".stripMargin))
+          |FROM f GROUP BY event_type""".stripMargin)),
+
+    // Content-defined chunking (rsync/FastCDC family) + chunk-store
+    // dedup savings: boundaries where the 8-char windowed fnv1a64 has
+    // its low 6 bits zero (expected chunk 64 chars), so an insertion
+    // shifts only its own chunk — then identical chunks collapse and the
+    // report counts the chars a chunk store saves. The oracle replays
+    // the windowed fingerprint with the shared fnv list_reduce chain.
+    Query("q115_cdc_chunk_dedup",
+      (s, dir) => graft.operators.DedupOps.chunkDedupReport(
+        graft.operators.DedupOps.contentDefinedChunks(
+          t(s, dir, "documents"), "doc_id", "text",
+          window = 8, maskBits = 6)),
+      Some(s"""WITH d AS (SELECT doc_id, text AS t, length(text) AS len
+          |  FROM documents WHERE length(text) > 0),
+          |pos AS (SELECT doc_id, t, unnest(range(8, len + 1)) AS i FROM d),
+          |cuts AS (SELECT doc_id, i AS cut FROM pos
+          |  WHERE (${fnv1a64("substr(t, i - 7, 8)")} % 64) = 0),
+          |carr AS (SELECT doc_id, list_sort(list(cut)) AS cuts
+          |  FROM cuts GROUP BY doc_id),
+          |b AS (SELECT d.doc_id, d.t,
+          |    list_concat(list_concat([0], coalesce(carr.cuts, [])),
+          |      [d.len]) AS bs
+          |  FROM d LEFT JOIN carr USING (doc_id)),
+          |ch AS (SELECT doc_id,
+          |    substr(t, bs[ix] + 1, bs[ix + 1] - bs[ix]) AS chunk,
+          |    bs[ix + 1] - bs[ix] AS clen
+          |  FROM (SELECT doc_id, t, bs, unnest(range(1, len(bs))) AS ix
+          |        FROM b)
+          |  WHERE bs[ix + 1] > bs[ix]),
+          |g AS (SELECT chunk, CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(max(clen) AS BIGINT) AS clen
+          |  FROM ch GROUP BY chunk)
+          |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+          |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+          |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_chunks,
+          |  CAST(sum((cnt - 1) * clen) AS BIGINT) AS dup_chars,
+          |  CAST(sum(cnt * clen) AS BIGINT) AS total_chars
+          |FROM g""".stripMargin))
   )
 }

@@ -51,6 +51,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "bpeMerges" -> 3, "bpeTokenStats" -> 4, "bpeEncodeCounts" -> 4,
       "histogramSketch" -> 6, "histogramPercentiles" -> 6,
       "weightedSample" -> 5, "zScoreOutliers" -> 4,
+      "contentDefinedChunks" -> 5, "chunkDedupReport" -> 1,
       "breakendEventGroups" -> 1, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,

@@ -593,6 +593,32 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("contentDefinedChunks: boundaries follow content; insertion shifts one chunk") {
+    import spark.implicits._
+    val text = (1 to 120).map(i => s"token$i word$i item$i").mkString(" ")
+    val edited = "INSERTED PREFIX CHANGES OFFSETS " + text
+    val df = Seq((1L, text), (2L, edited)).toDF("doc_id", "text")
+    val chunks = DedupOps.contentDefinedChunks(df, "doc_id", "text",
+      window = 8, maskBits = 5)
+    val byDoc = chunks.collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getString(4)).toSet).toMap
+    // chunks reassemble the document exactly, in order
+    val reassembled = chunks.filter(col("doc_id") === 1L)
+      .orderBy("chunk_idx").collect().map(_.getString(4)).mkString
+    assert(reassembled === text)
+    // offsets differ by 32 chars everywhere, yet MOST chunks are shared —
+    // the content-defined property fixed-size chunking cannot have
+    val shared = byDoc(1L).intersect(byDoc(2L)).size
+    assert(shared >= byDoc(1L).size - 2,
+      s"shared $shared of ${byDoc(1L).size} original chunks")
+    // and the chunk report counts exactly those shared chunks once
+    val rep = DedupOps.chunkDedupReport(chunks).collect().head
+    assert(rep.getLong(0) === byDoc(1L).size + byDoc(2L).size)
+    assert(rep.getLong(2) === shared.toLong,
+      "every shared chunk is one saved duplicate")
+  }
+
   test("weightedSample equals a driver replay; heavier rows win more") {
     import spark.implicits._
     // weights 1..200: expected inclusion probability proportional to w
