@@ -319,6 +319,22 @@ object ScaleProbe {
         .agg(sum(col("n_triangles"))).collect().head.getLong(0)
     }
     spark.catalog.clearCache()
+    timed("bpe_train_50k_docs") {
+      // round 9: 10 BPE merges over the 10x corpus — the word-histogram
+      // shuffle once, then 10 vocabulary-sized rounds
+      graft.operators.TokenizerOps.bpeMerges(docs, "text", 10).count()
+    }
+    spark.catalog.clearCache()
+    timed("cdc_chunk_dedup_50k_docs") {
+      // round 9: content-defined chunking + savings report; the replicated
+      // corpus is chunk-dedup's best case (9 near-copies per doc), so the
+      // chunk aggregation sees maximal duplicate mass
+      graft.operators.DedupOps.chunkDedupReport(
+        graft.operators.DedupOps.contentDefinedChunks(
+          docs, "doc_id", "text", window = 8, maskBits = 6))
+        .collect().head.getLong(3)
+    }
+    spark.catalog.clearCache()
     timed("kcore_5m_edges") {
       // round 9: the histogram-median gate + 4 peel rounds on the same
       // 5M-edge graph — no node-table sort anywhere in the plan

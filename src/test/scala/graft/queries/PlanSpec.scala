@@ -282,6 +282,43 @@ class PlanSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q109/q111 BPE: vocab-keyed aggs, partial counts, no cartesian") {
+    Seq("q109_bpe_merges", "q111_bpe_encode").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // the encode join aggregates map-side before the word shuffle
+    assert(planOf("q111_bpe_encode").contains("partial_count"))
+  }
+
+  test("q112 histogram: map-side combined cells; window over bins only") {
+    val plan = planOf("q112_value_histogram_percentiles")
+    assert(plan.contains("partial_count"),
+      "cell counts must map-side combine")
+    // the cumulative window partitions by group (never an empty
+    // partition spec = single-partition sort)
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("event_type")),
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q113 weighted sample: TakeOrdered, not a global sort") {
+    val plan = planOf("q113_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q115 CDC chunking: per-doc arrays, partial-agg savings rollup") {
+    val plan = planOf("q115_cdc_chunk_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_count"),
+      "chunk counts must map-side combine")
+  }
+
   test("q103 k-core: no window sort — histogram median + keyed peel rounds") {
     val plan = planOf("q103_kcore")
     assert(!plan.contains("Window"), plan.take(600))
