@@ -82,32 +82,118 @@ object Cli {
 
   // ------------------------------ commands --------------------------------
 
+  /** transformAlignments with the reference CLI's flag surface
+    * (adam-cli TransformAlignments.scala). Flags with values must follow
+    * the two positional paths. Pipeline order mirrors the reference:
+    * load (+paired fastq/read group/concat/region predicate) ->
+    * mark duplicates -> recalibrate (known SNPs) -> realign -> MD tags ->
+    * quality binning -> sort -> repartition/coalesce -> save. */
   def transformAlignments(spark: SparkSession, args: Seq[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("-"))
     val Seq(in, out) = pos.take(2)
-    var gd = loadAlignments(spark, in)
     def flagArg(name: String): Option[String] = {
       val i = args.indexOf(name)
       if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
     }
-    if (flags.contains("-mark_duplicates"))
-      gd = gd.transform(ds => AlignmentOps.markDuplicates(ds, gd.meta.readGroups))
-    flagArg("-md_tag").foreach { ref =>
-      val contigs = loadReference(spark, ref)
-      gd = gd.transform(ds => MdTagging.tagReads(ds, contigs))
+    def has(names: String*): Boolean = names.exists(flags.contains)
+
+    // ---- load: extension dispatch + FASTQ (unpaired / -paired_fastq) ----
+    import spark.implicits._
+    val lower = in.toLowerCase
+    var gd =
+      if (lower.endsWith(".fq") || lower.endsWith(".fastq") ||
+          lower.endsWith(".ifq")) {
+        def loadFq(p: String, frag: Int, paired: Boolean) =
+          SequenceIO.readFastq(spark, p).map(r => graft.model.Alignment(
+            readName = r.name, sequence = r.sequence,
+            qualityScores = r.qualityScores, readMapped = Some(false),
+            readPaired = Some(paired), readInFragment = Some(frag)))
+        val ds = flagArg("-paired_fastq") match {
+          case Some(p2) => loadFq(in, 0, paired = true)
+            .unionByName(loadFq(p2, 1, paired = true))
+          case None => loadFq(in, 0, paired = false)
+        }
+        GenomicDataset(ds, GenomicMetadata.empty)
+      } else loadAlignments(spark, in)
+    flagArg("-read_group").foreach { rg =>
+      // empty string -> basename of the input minus extension (reference)
+      val rgId = if (rg.isEmpty)
+        new java.io.File(in).getName.replaceAll("\\.[^.]*$", "") else rg
+      gd = gd.transform(_.map(a => a.copy(readGroupId = Some(rgId))))
     }
-    flagArg("-realign").foreach { ref =>
-      val contigs = loadReference(spark, ref)
-      gd = gd.transform(ds => RealignIndels(ds, contigs))
+    flagArg("-concat").foreach { p =>
+      gd = gd.union(loadAlignments(spark, p))
     }
-    if (flags.contains("-recalibrate"))
-      gd = gd.transform(ds => Bqsr(ds, Bqsr.SnpMask.empty))
-    if (flags.contains("-bin_qualities"))
-      gd = gd.transform(ds => AlignmentOps.binQualities(ds,
-        Seq((0, 20, 10), (20, 30, 25), (30, 60, 37))))
-    if (flags.contains("-sort"))
+    flagArg("-region_predicate").foreach { spec =>
+      val regions = spec.split(",").toSeq.map { s =>
+        val Array(name, range) = s.split(":")
+        val Array(a, b) = range.split("-")
+        graft.model.ReferenceRegion(name, a.toLong, b.toLong)
+      }
+      gd = gd.filterByOverlappingRegions(regions)
+    }
+
+    // ------------------------------ transforms ------------------------------
+    if (has("-mark_duplicates", "-mark_duplicate_reads"))
+      gd = gd.transform(ds =>
+        AlignmentOps.markDuplicates(ds, gd.meta.readGroups))
+    if (has("-recalibrate", "-recalibrate_base_qualities")) {
+      val mask = flagArg("-known_snps") match {
+        case Some(vcf) =>
+          Bqsr.SnpMask.fromVariants(VcfIO.readVariants(spark, vcf).toDF)
+        case None => Bqsr.SnpMask.empty
+      }
+      gd = gd.transform(ds => Bqsr(ds, mask))
+    }
+    flagArg("-realign").orElse(
+        if (has("-realign_indels")) flagArg("-reference") else None)
+      .foreach { ref =>
+        val contigs = loadReference(spark, ref)
+        val lod = flagArg("-log_odds_threshold").map(_.toDouble).getOrElse(5.0)
+        gd = gd.transform(ds => RealignIndels(ds, contigs,
+          lodThreshold = lod))
+      }
+    flagArg("-md_tag").orElse(flagArg("-add_md_tags")).foreach { ref =>
+      val contigs = loadReference(spark, ref)
+      gd = gd.transform(ds => MdTagging.tagReads(ds, contigs,
+        overwrite = !flags.contains("-md_tag_keep_existing")))
+    }
+    // -bin_quality_scores "0,20,10;20,40,30" (reference syntax); bare
+    // -bin_qualities keeps the historical default bins
+    val bins = flagArg("-bin_quality_scores").map(_.split(";").toSeq.map { b =>
+      val Array(lo, hi, v) = b.split(",").map(_.trim.toInt); (lo, hi, v)
+    }).orElse(if (flags.contains("-bin_qualities"))
+      Some(Seq((0, 20, 10), (20, 30, 25), (30, 60, 37))) else None)
+    bins.foreach(b => gd = gd.transform(ds => AlignmentOps.binQualities(ds, b)))
+
+    // ----------------------------- sort / layout ----------------------------
+    require(Seq("-sort", "-sort_by_reference_position",
+      "-sort_by_reference_position_and_index", "-sort_by_read_name")
+      .count(flags.contains) <= 1, "conflicting sort flags")
+    if (has("-sort", "-sort_by_reference_position"))
       gd = gd.sortLexicographically()
-    saveAlignments(gd, out, single = flags.contains("-single"))
+    else if (has("-sort_by_reference_position_and_index"))
+      gd = gd.sortByDictionaryOrder()
+    else if (has("-sort_by_read_name"))
+      gd = gd.transform(_.orderBy(
+        org.apache.spark.sql.functions.col("readName"),
+        org.apache.spark.sql.functions.col("readInFragment")))
+    flagArg("-repartition").foreach(n =>
+      gd = gd.transform(_.repartition(n.toInt)))
+    flagArg("-coalesce").foreach { n =>
+      val k = n.toInt
+      val shuffle = k > gd.ds.rdd.getNumPartitions ||
+        flags.contains("-force_shuffle_coalesce")
+      gd = gd.transform(ds => if (shuffle) ds.repartition(k) else ds.coalesce(k))
+    }
+
+    // --------------------------------- save ---------------------------------
+    val isParquetOut = !Seq(".sam", ".bam", ".cram")
+      .exists(out.toLowerCase.endsWith)
+    if (isParquetOut && flags.contains("-partition_by_start_pos"))
+      gd.saveAsPartitionedParquet(out,
+        flagArg("-partition_bin_size").map(_.toLong).getOrElse(1000000L))
+    else saveAlignments(gd, out, single = flags.contains("-single"))
     println(s"transformAlignments: wrote $out")
   }
 
@@ -770,6 +856,15 @@ object Cli {
           "\nCommands: transformAlignments transformFeatures transformFragments " +
           "transformSequences transformSlices flagstat countKmers countSliceKmers " +
           "coverage vcf2parquet mergeShards adam2fastq" +
+          "\n  transformAlignments <in(.sam|.bam|.cram|.fq|parquet)> <out> " +
+          "[-paired_fastq r2] [-read_group id] [-concat f] " +
+          "[-region_predicate chr:a-b,...] [-mark_duplicates] " +
+          "[-recalibrate [-known_snps sites.vcf]] [-realign ref " +
+          "[-log_odds_threshold x]] [-md_tag ref] " +
+          "[-bin_quality_scores lo,hi,v;...] [-sort|-sort_by_read_name|" +
+          "-sort_by_reference_position_and_index] [-repartition n] " +
+          "[-coalesce n [-force_shuffle_coalesce]] [-single] " +
+          "[-partition_by_start_pos [-partition_bin_size n]]" +
           "\n  transformVariants|transformGenotypes <in> <out> [-coalesce n " +
           "[-force_shuffle_coalesce]] [-sort_on_save|" +
           "-sort_lexicographically_on_save] [-single] " +

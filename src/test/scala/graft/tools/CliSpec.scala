@@ -185,6 +185,48 @@ class CliSpec extends SparkSpec {
     assert(parquetRows(oc) == 2)
   }
 
+  test("transformAlignments reference flags: paired fastq, read group, region, sorts, binning, layout") {
+    // paired FASTQ in -> alignments with fragment indices + read group
+    val fq1 = fixture("r1.fq", "@p1\nACGT\n+\nIIII\n@p2\nGGCC\n+\nFFFF\n")
+    val fq2 = fixture("r2.fq", "@p1\nTTAA\n+\nIIII\n@p2\nCCAA\n+\nFFFF\n")
+    val op = tmpDir() + "/paired.parquet"
+    Cli.run(spark, Seq("transformAlignments", fq1, op,
+      "-paired_fastq", fq2, "-read_group", "rgX"))
+    val rows = spark.read.parquet(op).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[String]("readGroupId") == "rgX"))
+    assert(rows.count(r => r.getAs[Int]("readInFragment") == 1) == 2)
+    // empty -read_group derives from the input basename
+    val ob = tmpDir() + "/basename.parquet"
+    Cli.run(spark, Seq("transformAlignments", fq1, ob, "-read_group", ""))
+    assert(spark.read.parquet(ob).collect()
+      .forall(_.getAs[String]("readGroupId") == "r1"))
+    // region predicate + read-name sort + coalesce + partitioned layout
+    val in = fixture("ta.sam", sam)
+    val o2 = tmpDir() + "/region.parquet"
+    Cli.run(spark, Seq("transformAlignments", in, o2,
+      "-region_predicate", "chr1:100-120", "-sort_by_read_name",
+      "-coalesce", "1"))
+    val names = spark.read.parquet(o2).collect()
+      .map(_.getAs[String]("readName"))
+    assert(names.toSeq == Seq("a1", "a2"), "a3 at 301 filtered; name order")
+    val o3 = tmpDir() + "/bypos.parquet"
+    Cli.run(spark, Seq("transformAlignments", in, o3,
+      "-partition_by_start_pos", "-partition_bin_size", "100",
+      "-bin_quality_scores", "0,20,10;20,60,37"))
+    assert(new java.io.File(o3).listFiles()
+      .exists(_.getName.startsWith("referenceName=")))
+    val quals = spark.read.parquet(o3).collect()
+      .flatMap(r => Option(r.getAs[String]("qualityScores"))).mkString
+    // all input quals (I=40, F=37) rebin to 37
+    assert(quals.toSet == Set(('!' + 37).toChar))
+    // conflicting sort flags rejected
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("transformAlignments", in, tmpDir() + "/x.parquet",
+        "-sort", "-sort_by_read_name"))
+    }
+  }
+
   test("transformVariants reference flag surface: sort/single/partition/stringency") {
     // one malformed record (bad POS): STRICT fails, LENIENT skips it
     val dirty = vcf + "chr1\toops\t.\tA\tT\t10\tPASS\tDP=1\tGT\t0/1\n"
