@@ -744,6 +744,14 @@ def histogram_percentiles(cells, group_col, ps_permille, lo_cents=0,
                                                  int(hi_cents), int(bins)))
 
 
+def apply_near_dedup_by(docs, id_col, pairs, score_col):
+    """apply_near_dedup with a quality-aware representative: each duplicate
+    cluster keeps its best row by (score desc, id asc)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).applyNearDedupBy(docs._jdf, id_col, pairs._jdf,
+                                             score_col))
+
+
 def content_defined_chunks(docs, id_col="doc_id", text_col="text",
                            window=8, mask_bits=6):
     """Content-defined chunking (rsync/FastCDC family): boundaries where

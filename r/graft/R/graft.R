@@ -150,6 +150,12 @@ graft.applyNearDedup <- function(docs, idCol, pairs) {
                                   pairs@sdf))
 }
 
+#' Near-dedup apply keeping each cluster's best row by (score desc, id).
+graft.applyNearDedupBy <- function(docs, idCol, pairs, scoreCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "applyNearDedupBy", docs@sdf, idCol,
+                                  pairs@sdf, scoreCol))
+}
+
 #' Edit-distance near-duplicates (PassJoin segment blocking).
 graft.editDistanceNearDuplicates <- function(docs, idCol, textCol,
                                              maxDist = 2) {

@@ -561,6 +561,12 @@ object JavaApi {
       scala.jdk.CollectionConverters.ListHasAsScala(psPermille)
         .asScala.map(_.intValue()).toSeq, loCents, hiCents, bins)
 
+  /** applyNearDedup with a quality-aware representative: each cluster
+    * keeps its best row by (scoreCol DESC, id ASC). */
+  def applyNearDedupBy(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame =
+    graft.operators.DedupOps.applyNearDedupBy(docs, idCol, pairs, scoreCol)
+
   /** Content-defined chunking: (id, chunk_idx, chunk_pos, chunk_len,
     * chunk) with boundaries that follow content, not offsets. */
   def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,

@@ -957,6 +957,27 @@ object DedupOps {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[applyNearDedup]] with a QUALITY-AWARE representative: instead of
+    * the min-id member, each duplicate cluster keeps its best row by
+    * (scoreCol DESC, id ASC) — the production policy ("keep the longest /
+    * highest-quality version"), deterministic under ties. Docs in no pair
+    * form singleton clusters and always survive. One keyed window over
+    * clusters (bounded by cluster size, AQE splits hot ones) after the
+    * same pointer-jumping clustering. */
+  def applyNearDedupBy(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val cl = clusterDuplicates(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val scored = docs.join(cl, Seq(idCol), "left")
+      .withColumn("__cid", coalesce(col("cluster_id"), col(idCol)))
+    val w = Window.partitionBy(col("__cid"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__cid", "__rn", "cluster_id")
+  }
+
   // ---------------------- content-defined chunking --------------------------
 
   /** Content-defined chunking (the rsync/LBFS/FastCDC family): split each

@@ -929,6 +929,44 @@ object SketchQueries extends QuerySet {
           |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_chunks,
           |  CAST(sum((cnt - 1) * clen) AS BIGINT) AS dup_chars,
           |  CAST(sum(cnt * clen) AS BIGINT) AS total_chars
-          |FROM g""".stripMargin))
+          |FROM g""".stripMargin)),
+
+    // Quality-aware dedup apply: each near-dup cluster keeps its LONGEST
+    // member ((length DESC, id ASC) — the production "keep the best
+    // version" policy) instead of the min-id representative. Oracle:
+    // the q105 recursive-CTE clustering + a per-cluster argmax window.
+    Query("q116_near_dedup_keep_best",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = graft.operators.DedupOps.minhashNearDuplicates(
+          d, "doc_id", "text",
+          numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)
+          .select("id_a", "id_b")
+        graft.operators.DedupOps.applyNearDedupBy(
+          d.select(col("doc_id"), col("source"),
+            length(col("text")).as("sc")), "doc_id", pairs, "sc")
+          .select(col("doc_id"), col("source"), col("sc").cast("long").as("sc"))
+      },
+      Some(s"""WITH RECURSIVE prs AS MATERIALIZED (
+          |  SELECT id_a, id_b FROM (
+          |${HashOracleSql.minhashNearDupSql(
+            numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)}
+          |  ) mh),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          |          UNION SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+          |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          |scored AS (SELECT d.doc_id, d.source,
+          |    CAST(length(d.text) AS BIGINT) AS sc,
+          |    coalesce(cl.cluster_id, d.doc_id) AS cid
+          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+          |SELECT doc_id, source, sc FROM (
+          |  SELECT doc_id, source, sc, row_number() OVER (
+          |    PARTITION BY cid ORDER BY sc DESC, doc_id) AS rn
+          |  FROM scored)
+          |WHERE rn = 1""".stripMargin))
   )
 }

@@ -921,4 +921,16 @@ class TextDedupSpec extends SparkSpec {
       .filter($"doc_id" === 5L).collect().head.getString(1)
     assert(body === "doc5")
   }
+
+  test("applyNearDedupBy keeps the best-scored member; ties break by id") {
+    import spark.implicits._
+    // clusters: {1,2,3} (scores 5,9,9 -> keep 2), {5,7} (tie -> keep 5);
+    // singletons 4 and 6 always survive with their own scores
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 4L),
+      (6L, 0L), (7L, 4L)).toDF("doc_id", "sc")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val kept = DedupOps.applyNearDedupBy(docs, "doc_id", pairs, "sc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((2L, 9L), (4L, 1L), (5L, 4L), (6L, 0L)))
+  }
 }
