@@ -744,6 +744,16 @@ def histogram_percentiles(cells, group_col, ps_permille, lo_cents=0,
                                                  int(hi_cents), int(bins)))
 
 
+def perceptron_train(feats, feature_cols, label_col="y", iters=24):
+    """Pocket batch-perceptron over quantized-long features: deterministic
+    integer training (mean-centered, best-accuracy snapshot kept).
+    Returns (feature_idx, feature, center, weight, n_correct, n_total)."""
+    s = feats.sparkSession
+    return _wrap(s, _api(s).perceptronTrain(feats._jdf,
+                                            [str(c) for c in feature_cols],
+                                            label_col, int(iters)))
+
+
 def apply_near_dedup_by(docs, id_col, pairs, score_col):
     """apply_near_dedup with a quality-aware representative: each duplicate
     cluster keeps its best row by (score desc, id asc)."""

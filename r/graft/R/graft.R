@@ -359,6 +359,14 @@ graft.videoNearDuplicates <- function(media, maxDist = 3, bands = 4) {
                                   as.integer(maxDist), as.integer(bands)))
 }
 
+#' Pocket batch-perceptron over quantized-long features (deterministic).
+graft.perceptronTrain <- function(feats, featureCols, labelCol = "y",
+                                  iters = 24) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "perceptronTrain", feats@sdf,
+                                  as.list(featureCols), labelCol,
+                                  as.integer(iters)))
+}
+
 #' Weighted sampling without replacement: k rows, p proportional to weight.
 graft.weightedSample <- function(df, keyCol, weightCol, k, salt = "graft") {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "weightedSample", df@sdf, keyCol,

@@ -561,6 +561,15 @@ object JavaApi {
       scala.jdk.CollectionConverters.ListHasAsScala(psPermille)
         .asScala.map(_.intValue()).toSeq, loCents, hiCents, bins)
 
+  /** Pocket batch-perceptron training over quantized-long features —
+    * deterministic, mean-centered, exact integer arithmetic. Output:
+    * (feature_idx, feature, center, weight, n_correct, n_total). */
+  def perceptronTrain(feats: DataFrame, featureCols: java.util.List[String],
+      labelCol: String, iters: Int): DataFrame =
+    graft.operators.ClusteringOps.perceptronTrain(feats,
+      scala.jdk.CollectionConverters.ListHasAsScala(featureCols)
+        .asScala.toSeq, labelCol, iters)
+
   /** applyNearDedup with a quality-aware representative: each cluster
     * keeps its best row by (scoreCol DESC, id ASC). */
   def applyNearDedupBy(docs: DataFrame, idCol: String, pairs: DataFrame,

@@ -125,6 +125,43 @@ object SketchQueries extends QuerySet {
        |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, n
        |  FROM words)""".stripMargin
 
+  /** One unrolled batch-perceptron step (DuckDB): predict with the
+    * previous weights (sign of the long dot product), then add the exact
+    * integer update sums — mirrors ClusteringOps.perceptronTrain
+    * value-for-value. p$i is MATERIALIZED: it feeds both the update and
+    * the pocket accuracy of w${i-1}. */
+  private def perceptronPred(i: Int, w: String): String =
+    s"""p$i AS MATERIALIZED (SELECT y, f_words, f_chars, f_mwl,
+       |    CASE WHEN (SELECT b FROM $w) + (SELECT w1 FROM $w) * f_words
+       |      + (SELECT w2 FROM $w) * f_chars
+       |      + (SELECT w3 FROM $w) * f_mwl > 0
+       |      THEN 1 ELSE 0 END AS pred
+       |  FROM feats)""".stripMargin
+
+  private def perceptronIter(i: Int): String = {
+    val p = s"w${i - 1}"
+    s"""${perceptronPred(i, p)},
+       |w$i AS MATERIALIZED (SELECT
+       |    (SELECT b FROM $p) + CAST(sum(y - pred) AS BIGINT) AS b,
+       |    (SELECT w1 FROM $p)
+       |      + CAST(sum((y - pred) * f_words) AS BIGINT) AS w1,
+       |    (SELECT w2 FROM $p)
+       |      + CAST(sum((y - pred) * f_chars) AS BIGINT) AS w2,
+       |    (SELECT w3 FROM $p)
+       |      + CAST(sum((y - pred) * f_mwl) AS BIGINT) AS w3
+       |  FROM p$i)""".stripMargin
+  }
+
+  /** Pocket-selected weight column: the iteration whose scored weights
+    * won (accuracy DESC, iteration ASC). */
+  private def pocketCase(colName: String, iters: Int): String =
+    s"CASE (SELECT i FROM best) " + (0 to iters).map(j =>
+      s"WHEN $j THEN (SELECT $colName FROM w$j)").mkString(" ") + " END"
+
+  /** Update count for q117 — one constant drives the Spark loop and the
+    * unrolled oracle. */
+  private val PerceptronIters = 24
+
   /** One unrolled k-core peel round (DuckDB): recompute degrees on the
     * surviving edge set, keep nodes at or above the median threshold,
     * filter both endpoints. MATERIALIZED everywhere — every CTE here is
@@ -967,6 +1004,69 @@ object SketchQueries extends QuerySet {
           |  SELECT doc_id, source, sc, row_number() OVER (
           |    PARTITION BY cid ORDER BY sc DESC, doc_id) AS rn
           |  FROM scored)
-          |WHERE rn = 1""".stripMargin))
+          |WHERE rn = 1""".stripMargin)),
+
+    // Fixed-point POCKET perceptron: train a quality gate (label = "at
+    // least 40 words") on integer features (word count, char count, mean
+    // word length permille) — the fastText-style classifier step in
+    // EXACT long arithmetic, PerceptronIters unrolled iterations replayed
+    // in SQL; the pocket rule returns the best-scoring snapshot.
+    // Output: the pocket weights + their training accuracy.
+    Query("q117_perceptron_quality_gate",
+      (s, dir) => {
+        val feats = t(s, dir, "documents").select(col("doc_id"),
+          size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => t =!= "")).cast("long").as("f_words"),
+          length(col("text")).cast("long").as("f_chars"))
+          .filter(col("f_words") > 0)
+          .withColumn("f_mwl", expr("f_chars * 1000 div f_words"))
+          .withColumn("y", when(col("f_words") >= 40, 1L).otherwise(0L))
+        ClusteringOps.perceptronTrain(feats,
+          Seq("f_words", "f_chars", "f_mwl"), "y", iters = PerceptronIters)
+      },
+      Some(s"""WITH fr AS (SELECT doc_id,
+          |    CAST(len(list_filter(
+          |      string_split_regex(lower(text), '[^a-z0-9]+'),
+          |      x -> x <> '')) AS BIGINT) AS f_words,
+          |    CAST(length(text) AS BIGINT) AS f_chars
+          |  FROM documents),
+          |feats0 AS MATERIALIZED (SELECT doc_id, f_words, f_chars,
+          |    f_chars * 1000 // f_words AS f_mwl,
+          |    CASE WHEN f_words >= 40 THEN 1 ELSE 0 END AS y
+          |  FROM fr WHERE f_words > 0),
+          |m AS MATERIALIZED (SELECT
+          |    CAST(sum(f_words) AS BIGINT) // CAST(count(*) AS BIGINT) AS m1,
+          |    CAST(sum(f_chars) AS BIGINT) // CAST(count(*) AS BIGINT) AS m2,
+          |    CAST(sum(f_mwl) AS BIGINT) // CAST(count(*) AS BIGINT) AS m3
+          |  FROM feats0),
+          |feats AS MATERIALIZED (SELECT y,
+          |    f_words - (SELECT m1 FROM m) AS f_words,
+          |    f_chars - (SELECT m2 FROM m) AS f_chars,
+          |    f_mwl - (SELECT m3 FROM m) AS f_mwl
+          |  FROM feats0),
+          |w0 AS (SELECT 0::BIGINT AS b, 0::BIGINT AS w1,
+          |       0::BIGINT AS w2, 0::BIGINT AS w3),
+          |${(1 to PerceptronIters).map(perceptronIter).mkString(",\n")},
+          |${perceptronPred(PerceptronIters + 1, s"w$PerceptronIters")},
+          |accs AS MATERIALIZED (
+          |${(1 to PerceptronIters + 1).map(j =>
+              s"  SELECT ${j - 1} AS i, (SELECT CAST(sum(CASE WHEN " +
+                s"pred = y THEN 1 ELSE 0 END) AS BIGINT) FROM p$j) AS ok")
+              .mkString("\n  UNION ALL\n")}),
+          |best AS (SELECT i, ok FROM accs ORDER BY ok DESC, i LIMIT 1),
+          |nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats)
+          |SELECT CAST(0 AS INTEGER) AS feature_idx, 'bias' AS feature,
+          |  0::BIGINT AS center,
+          |  ${pocketCase("b", PerceptronIters)} AS weight,
+          |  (SELECT ok FROM best) AS n_correct, (SELECT n FROM nrow) AS n_total
+          |UNION ALL SELECT 1, 'f_words', (SELECT m1 FROM m),
+          |  ${pocketCase("w1", PerceptronIters)},
+          |  (SELECT ok FROM best), (SELECT n FROM nrow)
+          |UNION ALL SELECT 2, 'f_chars', (SELECT m2 FROM m),
+          |  ${pocketCase("w2", PerceptronIters)},
+          |  (SELECT ok FROM best), (SELECT n FROM nrow)
+          |UNION ALL SELECT 3, 'f_mwl', (SELECT m3 FROM m),
+          |  ${pocketCase("w3", PerceptronIters)},
+          |  (SELECT ok FROM best), (SELECT n FROM nrow)""".stripMargin))
   )
 }

@@ -52,7 +52,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "histogramSketch" -> 6, "histogramPercentiles" -> 6,
       "weightedSample" -> 5, "zScoreOutliers" -> 4,
       "contentDefinedChunks" -> 5, "chunkDedupReport" -> 1,
-      "applyNearDedupBy" -> 4,
+      "applyNearDedupBy" -> 4, "perceptronTrain" -> 4,
       "breakendEventGroups" -> 1, "audioFingerprint" -> 2,
       "audioNearDuplicates" -> 3, "videoDHash" -> 1,
       "videoNearDuplicates" -> 3, "kCoreByMedianDegree" -> 2,

@@ -198,6 +198,52 @@ class ClusteringOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("perceptronTrain equals a driver replay and learns a separable gate") {
+    import spark.implicits._
+    // y = (x1 >= 50) with a noisy second feature — separable on x1
+    val rows = (1L to 300L).map { i =>
+      val x1 = (i * 7) % 100
+      val x2 = (i * 13) % 40 + 200
+      (x1, x2, if (x1 >= 50) 1L else 0L)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val got = ClusteringOps.perceptronTrain(df, Seq("x1", "x2"), "y", 12)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // driver replay: integer means, pocket over 13 candidates
+    val n = rows.size.toLong
+    val m1 = rows.map(_._1).sum / n
+    val m2 = rows.map(_._2).sum / n
+    val feats = rows.map { case (a, b, y) => (Array(1L, a - m1, b - m2), y) }
+    var w = Array(0L, 0L, 0L)
+    var pocket = w; var pocketOk = -1L
+    for (_ <- 1 to 12) {
+      val preds = feats.map { case (x, _) =>
+        if (x.zip(w).map(p => p._1 * p._2).sum > 0) 1L else 0L }
+      val ok = feats.zip(preds).count { case ((_, y), p) => y == p }.toLong
+      if (ok > pocketOk) { pocketOk = ok; pocket = w }
+      val d = w.indices.map(j =>
+        feats.zip(preds).map { case ((x, y), p) => (y - p) * x(j) }.sum)
+      w = w.indices.map(j => w(j) + d(j)).toArray
+    }
+    val lastOk = feats.count { case (x, y) =>
+      (if (x.zip(w).map(p => p._1 * p._2).sum > 0) 1L else 0L) == y }.toLong
+    if (lastOk > pocketOk) { pocketOk = lastOk; pocket = w }
+    assert(got.toSeq === Seq(
+      ("bias", 0L, pocket(0), pocketOk, n),
+      ("x1", m1, pocket(1), pocketOk, n),
+      ("x2", m2, pocket(2), pocketOk, n)))
+    // it actually learned: well above the base rate
+    val base = math.max(rows.count(_._3 == 1L), rows.count(_._3 == 0L))
+    assert(pocketOk > base, s"pocket $pocketOk vs base $base")
+    // partition invariance
+    val again = ClusteringOps.perceptronTrain(
+      df.repartition(7), Seq("x1", "x2"), "y", 12)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(3))
+    assert(again.toSeq === got.map(_._3).toSeq)
+  }
+
   test("powerIteration converges to the dominant eigendirection") {
     // diag-dominant 3x3 with known principal axis ~ e2
     val g = Array(
