@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -91,20 +91,32 @@ object Stats {
     * map-side combined) joined back to the rows (AQE broadcasts the
     * group-moments side); one flag-and-count aggregation. Output:
     * (groupCol, n_total, n_outliers). */
+  /** Per-group exact moments of the cent-quantized value column:
+    * (groupCol, n, s, q) — constant mergeable state, map-side combined.
+    * The trainable "index" for [[zScoreOutliers]] and the streaming probe
+    * [[graft.streaming.EventStreams.streamingOutlierFlags]]. */
+  def momentsTable(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(groupCol),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(expr("c * c")).as("q"))
+
+  /** The exact integer z-test as a Column over (c, n, s, q) columns. */
+  def outlierFlag(kPermille: Long): Column = {
+    val dec = DecimalType(38, 0)
+    val d = (col("c") * col("n") - col("s")).cast(dec)
+    d * d * lit(1000000L) >
+      lit(kPermille * kPermille) *
+        (col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s"))
+  }
+
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
       kPermille: Long = 3000L): DataFrame = {
-    val dec = DecimalType(38, 0)
     val base = df.select(col(groupCol),
       floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
-    val mom = base.groupBy(groupCol).agg(
-      count(lit(1)).as("n"), sum("c").as("s"),
-      sum(expr("c * c")).as("q"))
-    base.join(mom, groupCol)
-      .withColumn("d", (col("c") * col("n") - col("s")).cast(dec))
-      .withColumn("is_out",
-        col("d") * col("d") * lit(1000000L) >
-          lit(kPermille * kPermille) *
-            (col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s")))
+    base.join(momentsTable(df, groupCol, valueCol), groupCol)
+      .withColumn("is_out", outlierFlag(kPermille))
       .groupBy(groupCol)
       .agg(max("n").as("n_total"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))

@@ -379,6 +379,23 @@ object EventStreams {
       .groupBy(groupCol, "bin")
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-side outlier flagging against a BATCH-TRAINED moments table
+    * (the index-once/probe-many shape, like the dedup index probes): each
+    * streaming row joins the broadcastable per-group (n, s, q) moments and
+    * evaluates the exact 128-bit integer z-test — completely STATELESS on
+    * the stream (a stream-static inner join + a per-row expression), so
+    * state never grows and the flags equal the batch
+    * [[graft.operators.Stats.zScoreOutliers]] verdicts row-for-row
+    * (StreamingSpec). Output: input columns + (c, is_out). */
+  def streamingOutlierFlags(
+      events: DataFrame, moments: DataFrame, groupCol: String,
+      valueCol: String, kPermille: Long): DataFrame =
+    events
+      .withColumn("c", floor(col(valueCol) * 100 + 0.5).cast("long"))
+      .join(moments, groupCol)
+      .withColumn("is_out", graft.operators.Stats.outlierFlag(kPermille))
+      .drop("n", "s", "q")
+
   /** Streaming HyperLogLog registers: max(rho) per register as a streaming
     * aggregation — at most 2^p state rows forever (max is the canonical
     * mergeable-sketch reduce). Equals

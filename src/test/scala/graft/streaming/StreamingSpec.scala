@@ -598,6 +598,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming outlier flags equal the batch z-test verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // group a: tight cluster + two spikes; group b: constant (never flags)
+    val rows = ((1 to 50).map(i => (i.toLong, "a", 10.0)) ++
+      Seq((51L, "a", 500.0), (52L, "a", -480.0)) ++
+      (60 to 70).map(i => (i.toLong, "b", 7.77))).toSeq
+    val moments = graft.operators.Stats.momentsTable(
+      rows.toDF("id", "g", "v"), "g", "v")
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventStreams.streamingOutlierFlags(
+        input.toDF().toDF("id", "g", "v"), moments, "g", "v", 3000L)
+      .writeStream.format("memory").queryName("outlier_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val flagged = spark.table("outlier_stream")
+        .filter(col("is_out")).select("id").collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(51L, 52L), "exactly the two planted spikes")
+      assert(spark.table("outlier_stream").count() === rows.size.toLong)
+      // agrees with the batch report
+      val batch = graft.operators.Stats.zScoreOutliers(
+          rows.toDF("id", "g", "v"), "g", "v", 3000L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(batch === Map("a" -> 2L, "b" -> 0L))
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch registers when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
