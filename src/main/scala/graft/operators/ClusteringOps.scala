@@ -287,7 +287,10 @@ object ClusteringOps {
     val means = featureCols.indices.map(i => meansRow.getLong(i + 1) / nAll)
     val centered = featureCols.zipWithIndex
       .map { case (c, i) => (col(c) - lit(means(i))).as(c) }
-    val cf = feats.select((col(labelCol) +: centered): _*)
+    // persisted: every iteration re-aggregates this narrow (label +
+    // centered features) projection — without the cache each of the
+    // iters+1 passes re-reads and re-featurizes the corpus
+    val cf = feats.select((col(labelCol) +: centered): _*).persist()
     var w = Array.fill(featureCols.length + 1)(0L)
     def predCol: Column = {
       val dot = featureCols.zipWithIndex
@@ -314,6 +317,7 @@ object ClusteringOps {
       sum(when(predCol === col(labelCol), 1L).otherwise(0L))).collect()
       .head.getLong(0)
     if (lastOk > pocketOk) { pocketOk = lastOk; pocket = w }
+    cf.unpersist(blocking = false)
     val names = "bias" +: featureCols
     val centers = 0L +: means
     val rows = pocket.indices.map(i => Row(

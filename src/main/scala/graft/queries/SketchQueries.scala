@@ -159,8 +159,10 @@ object SketchQueries extends QuerySet {
       s"WHEN $j THEN (SELECT $colName FROM w$j)").mkString(" ") + " END"
 
   /** Update count for q117 — one constant drives the Spark loop and the
-    * unrolled oracle. */
-  private val PerceptronIters = 24
+    * unrolled oracle. 12 suffices: the pocket winner lands by iteration
+    * 11 at both sf0.01 and sf0.1 (measured), and each extra iteration is
+    * a full corpus aggregation. */
+  private val PerceptronIters = 12
 
   /** One unrolled k-core peel round (DuckDB): recompute degrees on the
     * surviving edge set, keep nodes at or above the median threshold,
