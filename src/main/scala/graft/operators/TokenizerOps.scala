@@ -22,9 +22,18 @@ import org.apache.spark.sql.functions._
   * Exactness contract: merge selection ties break (count DESC, left ASC,
   * right ASC) — pure integer/string comparisons, so the learned merge
   * table is bit-identical at any partitioning and replayable by an
-  * unrolled DuckDB oracle. Merge application uses the SQL `replace`
-  * function, whose left-to-right non-overlapping semantics are exactly
-  * BPE's greedy within-word application and agree across engines.
+  * unrolled DuckDB oracle. Merge application is EXACT canonical greedy
+  * BPE (leftmost-first within each word) via the doubled-separator
+  * `replace` trick: a naive `replace(sym, ' a b ', ' ab ')` misses
+  * immediately-consecutive occurrences because adjacent matches share
+  * the sentinel space (' b a n a n a ' merging (a,n) stops at
+  * ' b an a n a '), so instead every space is first doubled
+  * (`' '`->`'  '`), the pair is replaced as `' a  b '`->`' ab '` — with
+  * two-space boundaries consecutive matches no longer overlap, so
+  * replace's earliest-non-overlapping scan IS the leftmost-greedy
+  * pairing, including same-symbol runs ('aaaaa' with (a,a) ->
+  * [aa, aa, a]) — and the doubles are collapsed back. Three nested
+  * `replace` calls, identical semantics in Spark and DuckDB.
   *
   * Words are lowercased `[a-z0-9]+` runs (the corpus tokenizer shared
   * with [[SketchOps.tokens]]); symbols are spelled as a space-delimited
@@ -33,6 +42,16 @@ import org.apache.spark.sql.functions._
   * cross-boundary false matches are possible.
   */
 object TokenizerOps {
+
+  /** The canonical-greedy merge application as a SQL expression over a
+    * sentinel-spaced symbol column: double separators, replace the pair
+    * with doubled inner spaces, collapse. `symExpr`/`a`/`b` are spliced
+    * into SQL — callers guarantee a/b are `[a-z0-9]+` symbols. Shared
+    * verbatim (modulo the argmax subqueries) with the DuckDB oracle in
+    * SketchQueries.bpeRound. */
+  def mergeSql(symExpr: String, a: String, b: String): String =
+    s"replace(replace(replace($symExpr, ' ', '  '), " +
+      s"' $a  $b ', ' $a$b '), '  ', ' ')"
 
   /** Corpus word histogram (word, n) — the one corpus-wide shuffle. */
   def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
@@ -81,8 +100,7 @@ object TokenizerOps {
         merges += BpeMerge(r, a, b, a + b, best(0).getLong(2))
         // symbols are [a-z0-9]+ concatenations — safe to interpolate
         vocab = vocab
-          .select(col("word"),
-            expr(s"replace(sym, ' $a $b ', ' $a$b ')").as("sym"),
+          .select(col("word"), expr(mergeSql("sym", a, b)).as("sym"),
             col("n"))
           .localCheckpoint()
         r += 1

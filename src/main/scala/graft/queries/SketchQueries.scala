@@ -99,20 +99,24 @@ object SketchQueries extends QuerySet {
 
   /** One unrolled BPE merge round (DuckDB): weighted adjacent-pair counts
     * over the symbolized vocabulary, the (count DESC, a, b) argmax, then
-    * the space-delimited `replace` application — replace()'s left-to-right
-    * non-overlapping semantics are BPE's greedy within-word application
-    * and agree between DuckDB and Spark. */
+    * the doubled-separator canonical-greedy `replace` application
+    * (double spaces -> replace ' a  b ' with ' ab ' -> collapse) — with
+    * two-space boundaries consecutive matches never overlap, so one
+    * replace-all pass IS leftmost-greedy BPE, identically in DuckDB and
+    * Spark (see [[graft.operators.TokenizerOps.mergeSql]]). */
   private def bpeRound(i: Int): String =
     s"""p$i AS MATERIALIZED (SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM (
        |    SELECT list_extract(s, ix) AS a, list_extract(s, ix + 1) AS b, n
        |    FROM (SELECT s, n, unnest(range(1, len(s))) AS ix FROM
        |      (SELECT string_split(trim(sym), ' ') AS s, n FROM v${i - 1})))
        |  GROUP BY a, b),
-       |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
-       |  ORDER BY c DESC, a, b LIMIT 1),
-       |v$i AS MATERIALIZED (SELECT word, replace(sym,
-       |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
-       |    ' ' || (SELECT a || b FROM b$i) || ' ') AS sym, n
+       |b$i AS MATERIALIZED (SELECT a, b, c,
+       |    ' ' || a || '  ' || b || ' ' AS pat, ' ' || a || b || ' ' AS rep
+       |  FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+       |v$i AS MATERIALIZED (SELECT word,
+       |    replace(replace(replace(sym, ' ', '  '),
+       |      (SELECT pat FROM b$i), (SELECT rep FROM b$i)),
+       |      '  ', ' ') AS sym, n
        |  FROM v${i - 1})""".stripMargin
 
   /** Shared BPE oracle prelude: word histogram + sentinel-spaced symbol
