@@ -82,9 +82,13 @@ object Stats {
     * k = kPermille/1000 sigma iff
     *   (cn - S)^2 * 10^6  >  kPermille^2 * (nQ - S^2),
     * evaluated in 128-bit exact arithmetic (Spark DECIMAL(38,0) /
-    * DuckDB HUGEINT) — magnitudes stay under ~30 digits for cent values
-    * and trillion-row groups, so the comparison never rounds and two
-    * engines always agree. The usual stddev() route cannot promise that
+    * DuckDB HUGEINT) end to end — the moments s and q aggregate in
+    * DECIMAL too, never LONG. Exactness envelope: the largest operand is
+    * ~10^6 * (n * c_max)^2, within both engines' 38-digit cap while
+    * n * c_max < ~10^16 (e.g. 10^11 rows per group at $1000-magnitude
+    * cent values); beyond it DuckDB errors loudly and Spark nulls the
+    * comparison — never a silent wrap, unlike LONG. The usual stddev()
+    * route cannot promise engine agreement at any size
     * (order-sensitive float partials).
     *
     * Scale: one moments aggregation (n, S, Q per group — constant state,
@@ -93,19 +97,29 @@ object Stats {
     * (groupCol, n_total, n_outliers). */
   /** Per-group exact moments of the cent-quantized value column:
     * (groupCol, n, s, q) — constant mergeable state, map-side combined.
-    * The trainable "index" for [[zScoreOutliers]] and the streaming probe
+    * `s` and `q` aggregate in DECIMAL(38,0) (DuckDB HUGEINT): summing
+    * `c*c` in LONG would silently wrap near 1e9 rows per group for cent
+    * values around 1e5, far below the trillion-row envelope the 128-bit
+    * z-test claims. The trainable "index" for [[zScoreOutliers]] and the
+    * streaming probe
     * [[graft.streaming.EventStreams.streamingOutlierFlags]]. */
   def momentsTable(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame =
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
     df.select(col(groupCol),
         floor(col(valueCol) * 100 + 0.5).cast("long").as("c"))
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(expr("c * c")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("q"))
+  }
 
-  /** The exact integer z-test as a Column over (c, n, s, q) columns. */
+  /** The exact integer z-test as a Column over (c, n, s, q) columns.
+    * Every term lifts to DECIMAL(38,0) BEFORE multiplying — `c * n` in
+    * LONG would itself wrap for large groups of large values. */
   def outlierFlag(kPermille: Long): Column = {
     val dec = DecimalType(38, 0)
-    val d = (col("c") * col("n") - col("s")).cast(dec)
+    val d = col("c").cast(dec) * col("n") - col("s").cast(dec)
     d * d * lit(1000000L) >
       lit(kPermille * kPermille) *
         (col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s"))

@@ -921,14 +921,14 @@ object SketchQueries extends QuerySet {
       Some("""WITH c AS (SELECT event_type,
           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
           |m AS MATERIALIZED (SELECT event_type,
-          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
-          |    CAST(sum(c * c) AS BIGINT) AS q
+          |    CAST(count(*) AS BIGINT) AS n, sum(c::HUGEINT) AS s,
+          |    sum(c::HUGEINT * c::HUGEINT) AS q
           |  FROM c GROUP BY event_type),
           |f AS (SELECT c.event_type, m.n,
-          |    ((c.c * m.n - m.s)::HUGEINT * (c.c * m.n - m.s)::HUGEINT
+          |    ((c.c::HUGEINT * m.n::HUGEINT - m.s)
+          |       * (c.c::HUGEINT * m.n::HUGEINT - m.s)
           |       * 1000000::HUGEINT >
-          |     2250000::HUGEINT *
-          |       (m.n::HUGEINT * m.q::HUGEINT - m.s::HUGEINT * m.s::HUGEINT))
+          |     2250000::HUGEINT * (m.n::HUGEINT * m.q - m.s * m.s))
           |      AS is_out
           |  FROM c JOIN m USING (event_type))
           |SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,

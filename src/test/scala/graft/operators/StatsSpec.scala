@@ -48,6 +48,45 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got(("y", "z")) - pearson(ys, zs)) < 1e-4)
   }
 
+  test("momentsTable q is exact where LONG sum(c*c) would wrap") {
+    import spark.implicits._
+    // cents c ~ 1.23e10 -> c*c ~ 1.5e20 > Long.MaxValue: a LONG q wraps
+    // on the FIRST row; the DECIMAL(38,0) aggregation must match a BigInt
+    // replay digit for digit.
+    val vals = Seq(123456789.0, 123456790.5, 123456795.25, 98765432.1)
+    val docs = vals.map(("g", _)).toDF("g", "v")
+    val row = Stats.momentsTable(docs, "g", "v").collect().head
+    val cents = vals.map(v => BigInt(math.floor(v * 100 + 0.5).toLong))
+    assert(row.getLong(1) === vals.length.toLong)
+    assert(BigInt(row.getDecimal(2).toBigInteger) === cents.sum)
+    assert(BigInt(row.getDecimal(3).toBigInteger) ===
+      cents.map(c => c * c).sum)
+    // and the wrap is real: a LONG accumulation lands on a different value
+    assert(BigInt(cents.map(c => (c * c).toLong).sum) !=
+      cents.map(c => c * c).sum)
+  }
+
+  test("zScoreOutliers is exact on wrap-inducing magnitudes") {
+    import spark.implicits._
+    // one group of huge values with a single far outlier; driver replay
+    // in BigInt must agree with the engine's DECIMAL path
+    val base = (1 to 40).map(i => 100000000.0 + i)
+    val vals = base :+ 900000000.0
+    val docs = vals.map(("g", _)).toDF("g", "v")
+    val got = Stats.zScoreOutliers(docs, "g", "v", kPermille = 3000L)
+      .collect().head
+    val cents = vals.map(v => BigInt(math.floor(v * 100 + 0.5).toLong))
+    val n = BigInt(cents.length); val s = cents.sum
+    val q = cents.map(c => c * c).sum
+    val expected = cents.count { c =>
+      val d = c * n - s
+      d * d * BigInt(1000000) > BigInt(3000L * 3000L) * (n * q - s * s)
+    }
+    assert(got.getLong(1) === vals.length.toLong)
+    assert(got.getLong(2) === expected.toLong)
+    assert(expected === 1)
+  }
+
   test("bit-identical at any partitioning") {
     val rows = (0 until 300).map(i =>
       ((i * 31 % 97).toDouble, (i * 17 % 89).toDouble, (i % 13).toDouble))
