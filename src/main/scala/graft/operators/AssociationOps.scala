@@ -40,6 +40,11 @@ object AssociationOps {
   def associationRules(
       incidence: DataFrame, keyCol: String, itemCol: String,
       minPairSupport: Long = 2L, maxBasketSize: Long = 10000L): DataFrame = {
+    // exactly ONE cached incidence projection survives this block (`inc`);
+    // the scaffolding caches (raw, sizes) are dropped once inc is
+    // materialized. The RETURNED plan reads inc, so it depends on that
+    // cache until the caller's session drops it (Bench reclaims between
+    // queries).
     val raw = incidence
       .select(col(keyCol).as("k"), col(itemCol).as("item"))
       .distinct()
@@ -54,7 +59,13 @@ object AssociationOps {
           s"$maxBasketSize distinct items (quadratic pair fan-out guard)")
     val inc =
       if (nDropped == 0) raw
-      else raw.join(keepKeys, Seq("k"), "left_semi").persist()
+      else {
+        val filtered = raw.join(keepKeys, Seq("k"), "left_semi").persist()
+        filtered.count() // materialize before dropping the upstream caches
+        raw.unpersist(blocking = false)
+        filtered
+      }
+    sizes.unpersist(blocking = false)
     val itemSupp = inc.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = inc.as("x")
       .join(inc.as("y"),

@@ -996,6 +996,13 @@ object DedupOps {
     * constraint: every qualifying position cuts, keeping the boundary
     * rule stateless and exactly replayable.
     *
+    * Candidate positions are generated in fixed-size blocks (an outer
+    * explode of len/4096 block indices, an inner explode of at most 4096
+    * positions each) rather than one `sequence(window, len)` array per
+    * row — a single huge document would otherwise allocate an O(len)
+    * array at once (and Spark caps sequence element counts), at odds
+    * with the 100 TB framing.
+    *
     * Output: (idCol, chunk_idx, chunk_pos (1-based), chunk_len, chunk).
     * At 100 TB, key downstream joins on xxhash64(chunk) instead of the
     * string (the raw chunk is kept here for oracle byte-exactness). */
@@ -1005,9 +1012,13 @@ object DedupOps {
     val d = docs.select(col(idCol), col(textCol).as("t"),
       length(col(textCol)).as("len"))
       .filter(col("len") > 0)
+    val blk = 4096
     val cuts = d.filter(col("len") >= window)
+      .select(col(idCol), col("t"), col("len"),
+        explode(expr(s"sequence(0, (len - $window) div $blk)")).as("b"))
       .select(col(idCol), col("t"),
-        explode(sequence(lit(window), col("len"))).as("i"))
+        explode(expr(s"sequence($window + b * $blk, " +
+          s"least(len, $window + (b + 1) * $blk - 1))")).as("i"))
       .filter(graft.functions.GraftFunctions.fnv1a64(
         expr(s"substring(t, i - ${window - 1}, $window)"))
         .bitwiseAND(lit(mask)) === 0)

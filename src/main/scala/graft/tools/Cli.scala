@@ -82,19 +82,42 @@ object Cli {
 
   // ------------------------------ commands --------------------------------
 
+  /** Valued flags of [[transformAlignments]] — consumed together with
+    * their value token in a single scan, so options may appear anywhere
+    * relative to the two positional paths (as in the reference adam-cli)
+    * and a flag's value can never masquerade as an input/output path. */
+  private val alignmentValuedFlags = Set(
+    "-paired_fastq", "-read_group", "-concat", "-region_predicate",
+    "-known_snps", "-realign", "-reference", "-log_odds_threshold",
+    "-md_tag", "-add_md_tags", "-bin_quality_scores", "-repartition",
+    "-coalesce", "-partition_bin_size")
+
   /** transformAlignments with the reference CLI's flag surface
-    * (adam-cli TransformAlignments.scala). Flags with values must follow
-    * the two positional paths. Pipeline order mirrors the reference:
+    * (adam-cli TransformAlignments.scala). Options may appear anywhere;
+    * the two non-flag tokens are the input and output paths. Pipeline
+    * order mirrors the reference:
     * load (+paired fastq/read group/concat/region predicate) ->
     * mark duplicates -> recalibrate (known SNPs) -> realign -> MD tags ->
     * quality binning -> sort -> repartition/coalesce -> save. */
   def transformAlignments(spark: SparkSession, args: Seq[String]): Unit = {
-    val (flags, pos) = args.partition(_.startsWith("-"))
-    val Seq(in, out) = pos.take(2)
-    def flagArg(name: String): Option[String] = {
-      val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    val vals = scala.collection.mutable.Map[String, String]()
+    val flags = scala.collection.mutable.Set[String]()
+    val pos = scala.collection.mutable.ArrayBuffer[String]()
+    var ai = 0
+    while (ai < args.length) {
+      val a = args(ai)
+      if (a.startsWith("-") && a.length > 1) {
+        if (alignmentValuedFlags(a)) {
+          require(ai + 1 < args.length, s"flag $a requires a value")
+          vals(a) = args(ai + 1); ai += 2
+        } else { flags += a; ai += 1 }
+      } else { pos += a; ai += 1 }
     }
+    require(pos.length == 2,
+      s"transformAlignments expects exactly <in> <out> paths, got: " +
+        pos.mkString("[", ", ", "]"))
+    val Seq(in, out) = pos.toSeq
+    def flagArg(name: String): Option[String] = vals.get(name)
     def has(names: String*): Boolean = names.exists(flags.contains)
 
     // ---- load: extension dispatch + FASTQ (unpaired / -paired_fastq) ----

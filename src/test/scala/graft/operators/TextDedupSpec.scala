@@ -619,6 +619,38 @@ class TextDedupSpec extends SparkSpec {
       "every shared chunk is one saved duplicate")
   }
 
+  test("contentDefinedChunks: block-decomposed positions are seamless " +
+      "across the 4096 boundary") {
+    import spark.implicits._
+    // a document spanning several position blocks; cut candidates are
+    // generated per 4096-position block, and the result must be identical
+    // to the one-array definition: chunks reassemble exactly and a short
+    // doc (< one block) still chunks
+    val big = (1 to 900).map(i => s"al$i beta$i gamma$i").mkString(" ")
+    assert(big.length > 3 * 4096)
+    val df = Seq((1L, big), (2L, big.take(100)), (3L, "tiny")).toDF("doc_id", "text")
+    val chunks = DedupOps.contentDefinedChunks(df, "doc_id", "text",
+      window = 8, maskBits = 5)
+    val rows = chunks.collect()
+    for (id <- Seq(1L, 2L, 3L)) {
+      val mine = rows.filter(_.getLong(0) == id).sortBy(_.getLong(1))
+      val text = Seq(big, big.take(100), "tiny")(id.toInt - 1)
+      assert(mine.map(_.getString(4)).mkString === text, s"doc $id")
+      // positions/lengths are consistent with the reassembly
+      assert(mine.map(_.getLong(3)).sum === text.length.toLong)
+      var p = 1L
+      mine.foreach { r =>
+        assert(r.getLong(2) === p); p += r.getLong(3)
+      }
+    }
+    // the big doc actually produced multiple chunks (cuts fired in blocks
+    // beyond the first)
+    val bigCuts = rows.filter(_.getLong(0) == 1L)
+    assert(bigCuts.length > 4)
+    assert(bigCuts.map(_.getLong(2)).max > 4096L,
+      "at least one boundary beyond the first position block")
+  }
+
   test("weightedSample equals a driver replay; heavier rows win more") {
     import spark.implicits._
     // weights 1..200: expected inclusion probability proportional to w

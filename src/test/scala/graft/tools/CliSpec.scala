@@ -227,6 +227,27 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("transformAlignments: valued flags before the positional paths") {
+    // the reference adam-cli accepts options anywhere; a valued flag
+    // placed first must not bind its value as the input/output path
+    val fq1 = fixture("pre.fq", "@p1\nACGT\n+\nIIII\n")
+    val out = tmpDir() + "/pre.parquet"
+    Cli.run(spark, Seq("transformAlignments",
+      "-read_group", "rgPre", fq1, out))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1)
+    assert(rows.forall(_.getAs[String]("readGroupId") == "rgPre"))
+    // missing paths fail fast instead of doing wrong file I/O
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("transformAlignments", "-read_group", "rg1", fq1))
+    }
+    assert(e.getMessage.contains("<in> <out>"))
+    // a valued flag at the end without its value fails fast too
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("transformAlignments", fq1, out, "-read_group"))
+    }
+  }
+
   test("transformVariants reference flag surface: sort/single/partition/stringency") {
     // one malformed record (bad POS): STRICT fails, LENIENT skips it
     val dirty = vcf + "chr1\toops\t.\tA\tT\t10\tPASS\tDP=1\tGT\t0/1\n"
