@@ -1001,20 +1001,35 @@ object TextOps {
     * partitionings. Output: one row
     * `(n_types, n_tokens, num, den, slope)`.
     *
-    * Scale: the global rank window runs over the VOCABULARY table
-    * (bounded by distinct tokens, not corpus size) — the documented
-    * single-partition window is over that bounded table, the corpus
-    * itself only passes one map-side-combined count. The 1e-4 quantum
-    * keeps `Σxy` under 2^63 up to ~10^8 types. */
+    * Scale: ranking runs over the VOCABULARY table (bounded by distinct
+    * tokens, not corpus size) and is DISTRIBUTED even there — the vocab
+    * is range-partitioned in rank order, ranks are local row numbers
+    * plus cumulative partition offsets, and the only single-partition
+    * window is over the one-row-per-partition offset table (<= shuffle
+    * partitions rows; the exactSubstrDedup recipe). At 10^8 types a
+    * global-ORDER-BY window would sort the whole vocabulary on one
+    * reducer; this shape never does. The 1e-4 quantum keeps `Σxy` under
+    * 2^63 up to ~10^8 types. */
   def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val freqs = docs
       .select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         t => t =!= "")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val sized = freqs
+      .repartitionByRange(col("n").desc, col("token"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localW = Window.partitionBy("__pid")
       .orderBy(col("n").desc, col("token"))
-    val xy = freqs
-      .withColumn("rank", row_number().over(w))
+    val pidW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per range partition: safe to window over a single partition
+    val offsets = sized.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(pidW), lit(0L)))
+      .select("__pid", "__off")
+    val xy = sized.join(broadcast(offsets), "__pid")
+      .withColumn("rank", row_number().over(localW) + col("__off"))
       .select(col("n"),
         floor(log(col("rank").cast("double")) * 1e4 + 0.5).cast("long").as("x"),
         floor(log(col("n").cast("double")) * 1e4 + 0.5).cast("long").as("y"))

@@ -203,6 +203,38 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4)) < 1e-9, s"slope ${row.getDouble(4)}")
   }
 
+  test("zipfFit distributed ranks equal a driver replay at any partitioning") {
+    // the rank is local row_number + range-partition offsets; it must be
+    // bit-identical to a global (count desc, token) rank however the
+    // vocab lands in partitions
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 500).map(i => s"v${rnd.nextInt(120)}")
+    val text = words.mkString(" ")
+    def replay(t: String): (Long, Long, Long, Long) = {
+      val counts = t.split(" ").groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq
+        .sortBy { case (tok, n) => (-n, tok) }
+      val xy = counts.zipWithIndex.map { case ((_, n), r0) =>
+        val x = math.floor(math.log((r0 + 1).toDouble) * 1e4 + 0.5).toLong
+        val y = math.floor(math.log(n.toDouble) * 1e4 + 0.5).toLong
+        (n, x, y)
+      }
+      val v = xy.length.toLong
+      val sx = xy.map(_._2).sum; val sy = xy.map(_._3).sum
+      val sxy = xy.map(t => t._2 * t._3).sum
+      val sxx = xy.map(t => t._2 * t._2).sum
+      (v, xy.map(_._1).sum, v * sxy - sx * sy, v * sxx - sx * sx)
+    }
+    val (v, tot, num, den) = replay(text)
+    for (parts <- Seq(1, 7)) {
+      val d = docs(words.zipWithIndex.map { case (w, i) =>
+        (i + 1).toLong -> w }: _*).repartition(parts)
+      val row = TextOps.zipfFit(d, "text").collect().head
+      assert((row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3)) === ((v, tot, num, den)), s"parts=$parts")
+    }
+  }
+
   test("charEntropy equals a driver-side quantized replay") {
     val texts = Seq(1L -> "hello world", 2L -> "aaaa", 3L -> "abcdefgh",
       4L -> "the quick brown fox jumps over the lazy dog")
