@@ -48,6 +48,38 @@ object DedupOps {
     else toks.sliding(n).map(_.mkString(" ")).toArray
   }
 
+  /** The word tokens of a normalized document as a native column
+    * (lowercase, split on whitespace, empties dropped). Materialize this
+    * in its OWN projection before [[shinglesFromTokens]] — the shingle
+    * expression references the token array several times, and Catalyst's
+    * CollapseProject correctly refuses to inline a non-cheap
+    * multi-referenced expression, so the split runs once per row. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), "\\s+"), t => t =!= "")
+
+  /** [[shingles]] (+ the `.distinct` the similarity joins apply) as a
+    * NATIVE expression over a materialized token-array column — codegen
+    * higher-order functions, no UDF boundary (no per-row UTF8String <->
+    * java.lang.String conversion on the hot shingling scan), value-equal
+    * to `shingles(text, n).distinct`. Each shingle is built with
+    * concat_ws over n element_at lookups rather than slice+array_join:
+    * no per-shingle array allocation, and measurably faster on the cold
+    * first pass. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val k = size(toks)
+    when(k === 0, array().cast("array<string>"))
+      .when(k < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(transform(sequence(lit(1), k - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(toks, i + j)): _*))))
+  }
+
+  /** One-column convenience composition of [[tokensCol]] and
+    * [[shinglesFromTokens]] — for small inputs / tests; hot paths should
+    * materialize the tokens first (see tokensCol). */
+  def shinglesCol(text: Column, n: Int): Column =
+    shinglesFromTokens(tokensCol(text), n)
+
   // ------------------------------ exact ------------------------------------
 
   /** Exact duplicate groups keyed by normalized-text md5.
@@ -589,8 +621,6 @@ object DedupOps {
     // purposes — the order stays a total order (consistent across docs)
     // and the candidate set only widens; the verify step intersects the
     // TRUE string sets, so the result is exact regardless of collisions.
-    val shingleUdf = udf((t: String) =>
-      shingles(if (t == null) "" else t, sn).distinct)
     // persisted: the shingling UDF and the candidate index feed several
     // plan branches (both self-join sides, both verify sides); without a
     // persist Catalyst re-evaluates the whole upstream per branch. Narrow
@@ -602,8 +632,13 @@ object DedupOps {
     // TextOps.contaminationHitsBloom).
     val sets = Parallelism
       .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
+      // == size(sh) > 0 (any non-whitespace char yields >= 1 shingle) but
+      // CHEAP: a size(sh) filter would be pushdown-substituted below the
+      // projections, re-running the whole shingle expression per row in
+      // the scan predicate (measured 8x on the sets stage)
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("__toks"))
+      .select(col("id"), shinglesFromTokens(col("__toks"), sn).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // single shingling pass: tokens hash to longs with the codegen-native
@@ -746,9 +781,8 @@ object DedupOps {
       textCol: String,
       shingleN: Int = 3): DataFrame = {
     val sn = shingleN
-    val shingleUdf = udf((t: String) => shingles(if (t == null) "" else t, sn).distinct)
     // persisted: `sets` is joined for BOTH id_a and id_b; without the
-    // persist the shingling UDF runs twice over the full corpus (no
+    // persist the shingling pass runs twice over the full corpus (no
     // ReusedExchange across the differently-keyed joins — same measured
     // fact as jaccardSimilarityJoin's `prefixed`). Cache lifetime as
     // documented in minhashNearDuplicates.
@@ -763,8 +797,10 @@ object DedupOps {
     // deterministic); array_distinct guards the set property post-hash.
     val sets = Parallelism
       .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol).as("id"),
-        array_distinct(transform(shingleUdf(col(textCol)), x => xxhash64(x)))
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("__toks"))
+      .select(col("id"),
+        array_distinct(transform(shinglesFromTokens(col("__toks"), sn),
+          x => xxhash64(x)))
           .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
@@ -805,13 +841,15 @@ object DedupOps {
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     val sn = shingleN
-    val shingleUdf = udf((t: String) => shingles(if (t == null) "" else t, sn).distinct)
     val sets = Parallelism
       .fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol).as("id"),
-        array_distinct(transform(shingleUdf(col(textCol)), x => xxhash64(x)))
+      // cheap equivalent of size(sh) > 0 -- see jaccardSimilarityJoin
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("__toks"))
+      .select(col("id"),
+        array_distinct(transform(shinglesFromTokens(col("__toks"), sn),
+          x => xxhash64(x)))
           .as("sh"))
-      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("id"), explode(col("sh")).as("tok"))
     val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("__df"))

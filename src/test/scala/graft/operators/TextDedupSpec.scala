@@ -17,6 +17,26 @@ class TextDedupSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 2, 0, 0, 1))
   }
 
+  test("shinglesCol equals the Scala shingles definition (+distinct)") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b", "one two", "one", "", "   ",
+      "Tabs\tand\nnewlines   collapse  here",
+      "rep rep rep rep rep", null.asInstanceOf[String],
+      "MiXeD CaSe ToKeNs MIXED case tokens")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), DedupOps.shinglesCol(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val ref = DedupOps.shingles(if (t == null) "" else t, n).distinct.toSeq
+        assert(got(i.toLong) === ref, s"n=$n text=${Option(t)}")
+      }
+    }
+  }
+
   test("langId picks dominant stopword language") {
     import spark.implicits._
     val df = Seq(
