@@ -438,6 +438,74 @@ object HashOracleSql {
     * fnv1a64 pmod), the target count table, and the per-transition add-alpha
     * smoothed quantized log-probs (integer 1e-7 units — order-free BIGINT
     * sums; unseen buckets count 0 via left joins). */
+  /** Full oracle for [[graft.operators.ClassifierOps.nbConfusion]]
+    * (q118): hashed-unigram multinomial NB trained on `trainPred` rows of
+    * `documents` (label = lang), classifying `testPred` rows — replays the
+    * fnv bucket, the 1e-7-quantized log-probabilities (per-bucket excess
+    * over the zero-count quantum + closed-form smoothing mass + prior)
+    * and the (score DESC, label ASC) argmax. */
+  def nbConfusionSql(buckets: Int, alpha: Double, trainPred: String,
+      testPred: String): String = {
+    val ab = alpha * buckets
+    val pm = s"""((CASE WHEN h >= 9223372036854775808::UBIGINT
+       |           THEN h::HUGEINT - $M64 ELSE h::HUGEINT END
+       |      % $buckets::HUGEINT)
+       |     + $buckets::HUGEINT) % $buckets::HUGEINT""".stripMargin
+    s"""WITH tr AS (SELECT * FROM documents WHERE $trainPred),
+       |te AS MATERIALIZED (SELECT * FROM documents WHERE $testPred),
+       |ttok AS (SELECT lang,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                       x -> x <> '')) AS tok
+       |  FROM tr),
+       |th AS (SELECT lang, ${fnv1a64("tok")} AS h FROM ttok),
+       |cb AS MATERIALIZED (SELECT lang AS label, $pm AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM th GROUP BY 1, 2),
+       |prior AS MATERIALIZED (SELECT lang AS label,
+       |    CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+       |tot AS MATERIALIZED (SELECT label, CAST(sum(c) AS BIGINT) AS tot
+       |  FROM cb GROUP BY 1),
+       |lab AS MATERIALIZED (SELECT p.label,
+       |    CAST(floor(ln($alpha / (coalesce(t.tot, 0) + $ab)) * 1e7 + 0.5)
+       |      AS BIGINT) AS q0,
+       |    CAST(floor(ln(CAST(p.nd AS DOUBLE) /
+       |        (SELECT sum(nd) FROM prior)) * 1e7 + 0.5) AS BIGINT)
+       |      AS prior_q
+       |  FROM prior p LEFT JOIN tot t USING (label)),
+       |mq AS MATERIALIZED (SELECT cb.b, cb.label,
+       |    CAST(floor(ln((cb.c + $alpha) / (t.tot + $ab)) * 1e7 + 0.5)
+       |      AS BIGINT)
+       |      - (SELECT q0 FROM lab l WHERE l.label = cb.label) AS dq
+       |  FROM cb JOIN tot t USING (label)),
+       |dtok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                       x -> x <> '')) AS tok
+       |  FROM te),
+       |dh AS (SELECT doc_id, ${fnv1a64("tok")} AS h FROM dtok),
+       |dt AS MATERIALIZED (SELECT doc_id, $pm AS b,
+       |    CAST(count(*) AS BIGINT) AS k
+       |  FROM dh GROUP BY 1, 2),
+       |delta AS (SELECT dt.doc_id, mq.label,
+       |    CAST(sum(dt.k * mq.dq) AS BIGINT) AS dsum
+       |  FROM dt JOIN mq USING (b) GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS t
+       |  FROM dt GROUP BY 1),
+       |scored AS (SELECT d.doc_id, l.label,
+       |    l.prior_q + coalesce(s.t, 0) * l.q0 + coalesce(x.dsum, 0)
+       |      AS score
+       |  FROM te d CROSS JOIN lab l
+       |  LEFT JOIN sizes s ON s.doc_id = d.doc_id
+       |  LEFT JOIN delta x ON x.doc_id = d.doc_id AND x.label = l.label),
+       |pred AS (SELECT doc_id, label AS pred_label FROM (
+       |    SELECT doc_id, label, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT te.lang AS true_label, p.pred_label,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM te JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def lmSql(buckets: Int, alpha: Double, targetPred: String): String = {
     val ab = alpha * buckets
     val pm = s"""((CASE WHEN h >= 9223372036854775808::UBIGINT

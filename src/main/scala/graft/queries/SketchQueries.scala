@@ -1073,6 +1073,23 @@ object SketchQueries extends QuerySet {
           |  (SELECT ok FROM best), (SELECT n FROM nrow)
           |UNION ALL SELECT 3, 'f_mwl', (SELECT m3 FROM m),
           |  ${pocketCase("w3", PerceptronIters)},
-          |  (SELECT ok FROM best), (SELECT n FROM nrow)""".stripMargin))
+          |  (SELECT ok FROM best), (SELECT n FROM nrow)""".stripMargin)),
+
+    // Multinomial Naive Bayes language router: train on even doc_ids,
+    // classify the odd ones, report the confusion matrix — the cheap
+    // high-throughput classifier step of a routing pipeline, in EXACT
+    // integer arithmetic (1e-7-quantized log-probs, closed-form smoothing
+    // mass, label-ascending tie-break) so the distributed argmax replays
+    // bit-for-bit in SQL.
+    Query("q118_nb_language_confusion",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.ClassifierOps.nbConfusion(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "lang", "text", buckets = 4096, alpha = 1.0)
+      },
+      Some(HashOracleSql.nbConfusionSql(buckets = 4096, alpha = 1.0,
+        trainPred = "doc_id % 2 = 0", testPred = "doc_id % 2 = 1")))
   )
 }
