@@ -81,6 +81,53 @@ object GraphOps {
       .orderBy(desc("rank_q"), asc("node"))
       .limit(k)
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * with a DETERMINISTIC update rule: label_0(v) = v; each round every
+    * node adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label — a pure integer (count DESC, label ASC)
+    * argmax, so unlike the classic randomized LPA the result is
+    * bit-identical at any partition count and replayable by an unrolled
+    * oracle. Fixed round count, not loop-to-fixpoint (the k-core
+    * replayability contract; deterministic LPA label counts stabilize in
+    * a few rounds on co-occurrence graphs).
+    *
+    * Scale shape (Pregel): per round ONE dst-keyed join of the
+    * co-partitioned persisted edge table to the label table, one
+    * map-side-combined (node, label) count, one per-node argmax
+    * aggregation; label lineage cut per round with localCheckpoint.
+    * Output: (node, lbl). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(n, col("dst")).persist()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = counts
+        .groupBy(col("src").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("best"))
+        .select(col("node"), col("best.l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Community-size report off [[labelPropagation]]: the `k` largest
+    * communities as (community, n_nodes), deterministic
+    * (size DESC, community ASC) order — a TakeOrdered, never a full sort
+    * collect. */
+  def labelPropagationCommunities(
+      edges: DataFrame, rounds: Int = 4, k: Int = 50): DataFrame =
+    labelPropagation(edges, rounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), asc("community"))
+      .limit(k)
+
   /** Iterative k-core peel: `rounds` rounds of "drop every node whose
     * current degree is below k", over symmetric directed edges. k is
     * derived from the data as the exact MEDIAN initial degree ((n+1)/2-th

@@ -31,6 +31,20 @@ object SketchQueries extends QuerySet {
        |    CAST(150000000 + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS rank
        |  FROM nodes n LEFT JOIN m$i m ON n.node = m.node)""".stripMargin
 
+  /** One unrolled deterministic-LPA round (DuckDB): neighbor-label
+    * counts, then the (count DESC, label ASC) argmax per node — mirrors
+    * GraphOps.labelPropagation value-for-value. */
+  private def lpaRound(i: Int): String =
+    s"""c$i AS (
+       |  SELECT p.src, l.lbl, CAST(count(*) AS BIGINT) AS c
+       |  FROM pairs p JOIN l${i - 1} l ON p.dst = l.node
+       |  GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (
+       |  SELECT src AS node, lbl FROM (
+       |    SELECT src, lbl, row_number() OVER (
+       |        PARTITION BY src ORDER BY c DESC, lbl) AS rn
+       |    FROM c$i) WHERE rn = 1)""".stripMargin
+
   /** Deterministic BMP corpus with planted near-duplicates: docs with
     * doc_id % 4 == 1 re-encode their predecessor's pixels shifted +3 in
     * brightness (dHash-invariant), everything else is unique. The same
@@ -1090,6 +1104,27 @@ object SketchQueries extends QuerySet {
           "doc_id", "lang", "text", buckets = 4096, alpha = 1.0)
       },
       Some(HashOracleSql.nbConfusionSql(buckets = 4096, alpha = 1.0,
-        trainPred = "doc_id % 2 = 0", testPred = "doc_id % 2 = 1")))
+        trainPred = "doc_id % 2 = 0", testPred = "doc_id % 2 = 1"))),
+
+    // Deterministic label-propagation communities over the part
+    // co-purchase graph: 4 synchronous rounds of "adopt the most frequent
+    // neighbor label, ties to the smallest" (pure integer argmax — unlike
+    // classic randomized LPA this replays bit-for-bit), then the 50
+    // largest communities. The oracle unrolls the rounds.
+    Query("q119_copurchase_communities",
+      (s, dir) => GraphOps.labelPropagationCommunities(
+        GraphOps.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        rounds = 4, k = 50),
+      Some(s"""WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |nodes AS (SELECT DISTINCT src AS node FROM pairs),
+          |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+          |${(1 to 4).map(lpaRound).mkString(",\n")}
+          |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+          |FROM l4 GROUP BY 1
+          |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin))
   )
 }

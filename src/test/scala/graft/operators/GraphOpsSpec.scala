@@ -187,4 +187,57 @@ class GraphOpsSpec extends SparkSpec {
       .sortBy { case (n, rq) => (-rq, n) }
     assert(top.toSeq === all.take(3).toSeq)
   }
+
+  /** Driver-side replay of the deterministic LPA recurrence. */
+  private def referenceLpa(
+      edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until rounds) {
+      lbl = nodes.map { v =>
+        val counts = edges.filter(_._1 == v).map(e => lbl(e._2))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lbl
+  }
+
+  test("labelPropagation equals the driver replay; two cliques separate") {
+    // two 4-cliques joined by one bridge edge: LPA should settle each
+    // clique on its own min label
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L), (10L, 4L))
+    val got = GraphOps.labelPropagation(toDf(edges), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceLpa(edges, 4))
+    assert(Seq(1L, 2L, 3L).forall(n => got(n) == 1L))
+    assert(Seq(11L, 12L, 13L).forall(n => got(n) == 10L))
+  }
+
+  test("labelPropagation is bit-identical at any partition count") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val a = GraphOps.labelPropagation(toDf(edges), 4)
+      .collect().map(_.toSeq).toSet
+    val b = GraphOps.labelPropagation(toDf(edges).repartition(13), 4)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a === referenceLpa(edges, 4).map { case (n, l) => Seq(n, l) }.toSet)
+  }
+
+  test("labelPropagationCommunities: sizes sum to node count, ordered") {
+    val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L))) ++
+      Seq((20L, 21L), (21L, 20L))
+    val comm = GraphOps.labelPropagationCommunities(toDf(edges), 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comm.map(_._2).sum === 11L)
+    val ordered = comm.sortBy { case (c, n) => (-n, c) }
+    assert(comm.toSeq === ordered.toSeq)
+  }
 }
