@@ -466,4 +466,66 @@ object SimilarityOps {
       .select(col("id"), col("cid"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    * top-k for one query vector: greedily select `k` vectors, each round
+    * maximizing `lambda*cos(q,d) - (1-lambda)*max_{s in S} cos(d,s)`
+    * (round 1: the plain relevance argmax — empty-set diversity term is
+    * 0). Deterministic: ties break id-ascending, and every arithmetic
+    * step (relevance cosine, the two products, the subtraction) is
+    * correctly-rounded IEEE over bit-identical doubles, so an unrolled
+    * SQL oracle replays the selection exactly.
+    *
+    * Scale design: the corpus pays ONE cosine scan (the relevance pass);
+    * a TakeOrdered keeps the top `nCandidates` by (rel DESC, id) — the
+    * standard MMR prefilter — and the k greedy rounds then run over that
+    * bounded persisted table (one TakeOrdered(1) collect per round,
+    * selected vectors carried as k x dim literals). At 100 TB only the
+    * relevance pass touches the corpus.
+    *
+    * Output: (rank 1..k, id, rel, score) in selection order. */
+  def mmrSelect(
+      corpus: DataFrame, queryVec: Seq[Double], k: Int,
+      lambda: Double = 0.7, nCandidates: Int = 200,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    require(k >= 1 && nCandidates >= k && lambda >= 0 && lambda <= 1)
+    val spark = corpus.sparkSession
+    val oneMinus = 1.0 - lambda // generate the SQL literal from this exact double
+    val qLit = typedLit(queryVec)
+    val cand = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rel", cosine(col("v"), qLit))
+      .orderBy(desc("rel"), asc("id"))
+      .limit(nCandidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val picked = scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Seq[Double], Double, Double)]()
+    for (r <- 1 to k) {
+      val pool =
+        if (picked.isEmpty) cand
+        else cand.filter(!col("id").isin(picked.map(_._2).toSeq: _*))
+      val ms = picked.toSeq match {
+        case Seq() => lit(0.0)
+        case Seq(only) => cosine(col("v"), typedLit(only._3))
+        case many => greatest(many.map(p =>
+          cosine(col("v"), typedLit(p._3))): _*)
+      }
+      val best = pool
+        .withColumn("score", lit(lambda) * col("rel") - lit(oneMinus) * ms)
+        .orderBy(desc("score"), asc("id"))
+        .limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val b = best.head
+        picked += ((r, b.getLong(0), b.getSeq[Double](1).toSeq,
+          b.getDouble(2), b.getDouble(3)))
+      }
+    }
+    import spark.implicits._
+    picked.toSeq
+      .map { case (r, id, _, rel, score) => (r, id, rel, score) }
+      .toDF("rank", "id", "rel", "score")
+  }
 }

@@ -438,6 +438,44 @@ object HashOracleSql {
     * fnv1a64 pmod), the target count table, and the per-transition add-alpha
     * smoothed quantized log-probs (integer 1e-7 units — order-free BIGINT
     * sums; unseen buckets count 0 via left joins). */
+  /** Full oracle for [[graft.operators.SimilarityOps.mmrSelect]] (q120):
+    * relevance cosines against the vec_id=0 query, the (rel DESC, id)
+    * top-`nCandidates` prefilter, then `k` unrolled greedy MMR rounds —
+    * each the (score DESC, id) argmax of
+    * `lambda*rel - (1-lambda)*max sim-to-selected`. The multiplier
+    * literals are printed from the exact Scala doubles so both engines
+    * compute identical IEEE products. */
+  def mmrSql(k: Int, lambda: Double, nCandidates: Int): String = {
+    val oneMinus = 1.0 - lambda
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT $i AS rank, c2.id, c2.v, c2.rel,
+         |    $lambda * c2.rel - $oneMinus *
+         |      (SELECT max(list_cosine_similarity(c2.v, s.v))
+         |       FROM sel${i - 1} s) AS score
+         |  FROM c c2 WHERE c2.id NOT IN (SELECT id FROM sel${i - 1})
+         |  ORDER BY score DESC, id LIMIT 1),
+         |sel$i AS (SELECT id, v FROM sel${i - 1}
+         |  UNION ALL SELECT id, v FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id = 0),
+       |c AS MATERIALIZED (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v,
+       |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+       |      (SELECT v FROM qv)) AS rel
+       |  FROM embeddings WHERE vec_id <> 0
+       |  ORDER BY rel DESC, id LIMIT $nCandidates),
+       |p1 AS MATERIALIZED (SELECT 1 AS rank, id, v, rel,
+       |    $lambda * rel - $oneMinus * 0.0 AS score
+       |  FROM c ORDER BY score DESC, id LIMIT 1),
+       |sel1 AS (SELECT id, v FROM p1),
+       |$rounds
+       |SELECT CAST(rank AS INTEGER) AS rank, id, rel, score FROM (
+       |${(1 to k).map(i => s"  SELECT rank, id, rel, score FROM p$i")
+          .mkString("\n  UNION ALL\n")})
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Full oracle for [[graft.operators.ClassifierOps.nbConfusion]]
     * (q118): hashed-unigram multinomial NB trained on `trainPred` rows of
     * `documents` (label = lang), classifying `testPred` rows — replays the

@@ -309,6 +309,23 @@ object PipelineQueries extends QuerySet {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
 
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): top-10 for
+    // the vec_id=0 query with lambda=0.7 over a 200-candidate relevance
+    // prefilter — the dedup-aware retrieval step RAG pipelines run so the
+    // context window isn't k copies of the same passage. Greedy rounds
+    // and IEEE score arithmetic replay exactly in the unrolled oracle.
+    Query("q120_mmr_diversified_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toSeq
+        SimilarityOps.mmrSelect(e.filter(col("vec_id") =!= 0), qv,
+          k = 10, lambda = 0.7, nCandidates = 200,
+          idCol = "vec_id", vecCol = "embedding")
+      },
+      Some(HashOracleSql.mmrSql(k = 10, lambda = 0.7, nCandidates = 200))),
+
     // IVF approximate top-k (partition-pruned ANN; full DuckDB oracle, exact
     // equivalence to brute force at nProbe == nCentroids asserted in
     // ScalaTest).

@@ -252,4 +252,74 @@ class SimilarityOpsSpec extends SparkSpec {
     val witnessed = samePairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(dropped.subsetOf(witnessed))
   }
+
+  /** Driver-side exact replay of the greedy MMR selection. */
+  private def referenceMmr(
+      cand: Seq[(Long, Seq[Double])], qv: Seq[Double], k: Int,
+      lambda: Double, n: Int): Seq[(Int, Long)] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dotS = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dotS += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dotS / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pool = cand.map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(n)
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])]()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    for (r <- 1 to k) {
+      val remaining = pool.filter(c => !sel.exists(_._1 == c._1))
+      if (remaining.nonEmpty) {
+        val best = remaining.map { case (id, v, rel) =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+          (id, v, lambda * rel - (1.0 - lambda) * ms)
+        }.minBy { case (id, _, sc) => (-sc, id) }
+        sel += ((best._1, best._2)); out += ((r, best._1))
+      }
+    }
+    out.toSeq
+  }
+
+  test("mmrSelect equals the driver replay and diversifies duplicates") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val qv = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    // 5 near-copies of the query direction + 35 spread vectors: plain
+    // top-k would return the 5 copies first; MMR must interleave
+    val copies = (1L to 5L).map(i => (i,
+      qv.map(x => x + (rnd.nextDouble() - 0.5) * 0.01)))
+    val spread = (10L until 45L).map(i => (i,
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val cand = copies ++ spread
+    val df = cand.map { case (id, v) => (id, v.toArray) }.toDF("id", "vec")
+    val got = SimilarityOps.mmrSelect(df, qv, k = 8, lambda = 0.5,
+      nCandidates = 40).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === referenceMmr(cand, qv, 8, 0.5, 40))
+    // diversity: the 8 picks are NOT simply the 5 near-copies first
+    val copyRanks = got.filter(_._2 <= 5L).map(_._1)
+    assert(copyRanks.length < 5 || copyRanks.max > 5,
+      s"picks were pure relevance order: ${got.toSeq}")
+    // partition invariance
+    val again = SimilarityOps.mmrSelect(df.repartition(7), qv, 8, 0.5, 40)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("mmrSelect rank 1 is the pure relevance argmax; k caps at pool") {
+    import spark.implicits._
+    val df = vecs(6, 8, seed = 3)
+    val qv = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val rest = df.filter(col("id") =!= 0)
+    val got = SimilarityOps.mmrSelect(rest, qv, k = 10, lambda = 0.7,
+      nCandidates = 10).collect()
+    assert(got.length === 5, "k beyond pool size returns the whole pool")
+    val byRel = SimilarityOps.bruteForceTopK(
+      df.filter(col("id") === 0).select(col("id").as("qid"),
+        col("vec").as("qvec")),
+      rest.select(col("id"), col("vec")), 1).collect().head.getLong(2)
+    assert(got.head.getLong(1) === byRel)
+  }
 }
