@@ -644,6 +644,58 @@ def page_rank(edges, iters=5, scale=1000000000, top_k=None):
                                          int(scale)))
 
 
+def label_propagation(edges, rounds=4, top_k=None):
+    """Deterministic label-propagation communities over edges(src, dst):
+    most-frequent-neighbor-label rounds with smallest-label ties —
+    bit-identical at any partitioning, unlike classic randomized LPA.
+    Returns (node, lbl); top_k returns the k largest communities as
+    (community, n_nodes) instead."""
+    s = edges.sparkSession
+    if top_k is None:
+        return _wrap(s, _api(s).labelPropagation(edges._jdf, int(rounds)))
+    return _wrap(s, _api(s).labelPropagationCommunities(
+        edges._jdf, int(rounds), int(top_k)))
+
+
+def nb_train(docs, label_col, text_col="text", buckets=4096):
+    """Multinomial Naive Bayes model over hashed token buckets:
+    (label, b, c) counts plus one b = -1 document-count row per label."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).nbTrain(docs._jdf, label_col, text_col,
+                                    int(buckets)))
+
+
+def nb_classify(docs, model, id_col="doc_id", text_col="text",
+                buckets=4096, alpha=1.0):
+    """Classify against an nb_train model: (id, pred_label, score_q) with
+    integer-quantized log scores and label-ascending ties."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).nbClassify(docs._jdf, model._jdf, id_col,
+                                       text_col, int(buckets), float(alpha)))
+
+
+def nb_confusion(train, test, id_col="doc_id", label_col="lang",
+                 text_col="text", buckets=4096, alpha=1.0):
+    """Train-on-one-slice / classify-another confusion matrix:
+    (true_label, pred_label, n_docs)."""
+    s = train.sparkSession
+    return _wrap(s, _api(s).nbConfusion(train._jdf, test._jdf, id_col,
+                                        label_col, text_col, int(buckets),
+                                        float(alpha)))
+
+
+def mmr_select(corpus, query_vec, k=10, lambda_=0.7, n_candidates=200,
+               id_col="id", vec_col="vec"):
+    """MMR diversified top-k for one query vector (list of floats):
+    (rank, id, rel, score) in greedy selection order — the dedup-aware
+    retrieval step for RAG context building."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).mmrSelect(corpus._jdf,
+                                      [float(x) for x in query_vec],
+                                      int(k), float(lambda_),
+                                      int(n_candidates), id_col, vec_col))
+
+
 def image_dhash(media):
     """Perceptual hash table (media_id, dhash) from real BMP decode —
     the persistable index for image near-dup at corpus scale."""

@@ -286,6 +286,54 @@ graft.triangleCounts <- function(edges) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "triangleCounts", edges@sdf))
 }
 
+#' Deterministic label-propagation communities: (node, lbl).
+graft.labelPropagation <- function(edges, rounds = 4) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "labelPropagation", edges@sdf,
+                                  as.integer(rounds)))
+}
+
+#' The k largest label-propagation communities: (community, n_nodes).
+graft.labelPropagationCommunities <- function(edges, rounds = 4, k = 50) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "labelPropagationCommunities",
+                                  edges@sdf, as.integer(rounds),
+                                  as.integer(k)))
+}
+
+#' Multinomial NB model over hashed token buckets.
+graft.nbTrain <- function(docs, labelCol, textCol = "text",
+                          buckets = 4096L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "nbTrain", docs@sdf, labelCol,
+                                  textCol, as.integer(buckets)))
+}
+
+#' Classify against a graft.nbTrain model: (id, pred_label, score_q).
+graft.nbClassify <- function(docs, model, idCol = "doc_id",
+                             textCol = "text", buckets = 4096L,
+                             alpha = 1.0) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "nbClassify", docs@sdf, model@sdf,
+                                  idCol, textCol, as.integer(buckets),
+                                  as.numeric(alpha)))
+}
+
+#' NB train/classify confusion matrix: (true_label, pred_label, n_docs).
+graft.nbConfusion <- function(train, test, idCol = "doc_id",
+                              labelCol = "lang", textCol = "text",
+                              buckets = 4096L, alpha = 1.0) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "nbConfusion", train@sdf,
+                                  test@sdf, idCol, labelCol, textCol,
+                                  as.integer(buckets), as.numeric(alpha)))
+}
+
+#' MMR diversified top-k: (rank, id, rel, score) in selection order.
+graft.mmrSelect <- function(corpus, queryVec, k = 10L, lambda = 0.7,
+                            nCandidates = 200L, idCol = "id",
+                            vecCol = "vec") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "mmrSelect", corpus@sdf,
+                                  as.list(as.numeric(queryVec)),
+                                  as.integer(k), as.numeric(lambda),
+                                  as.integer(nCandidates), idCol, vecCol))
+}
+
 #' k-core peel at the data-derived median degree.
 graft.kCore <- function(edges, rounds = 4) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "kCoreByMedianDegree", edges@sdf,

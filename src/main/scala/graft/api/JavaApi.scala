@@ -455,6 +455,51 @@ object JavaApi {
       scale: Long): DataFrame =
     GraphOps.pageRankTopK(edges, iters, k, scale)
 
+  /** Deterministic label-propagation communities: (node, lbl) after
+    * `rounds` synchronous most-frequent-neighbor-label rounds (ties to
+    * the smallest label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    GraphOps.labelPropagation(edges, rounds)
+
+  /** The k largest [[labelPropagation]] communities:
+    * (community, n_nodes), (size desc, community asc) order. */
+  def labelPropagationCommunities(edges: DataFrame, rounds: Int,
+      k: Int): DataFrame =
+    GraphOps.labelPropagationCommunities(edges, rounds, k)
+
+  /** Multinomial NB model over hashed token buckets: (label, b, c) counts
+    * plus one b = -1 document-count row per label. */
+  def nbTrain(docs: DataFrame, labelCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    graft.operators.ClassifierOps.nbTrain(docs, labelCol, textCol, buckets)
+
+  /** Classify against an [[nbTrain]] model:
+    * (idCol, pred_label, score_q) — integer-quantized log scores,
+    * label-ascending ties. */
+  def nbClassify(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, buckets: Int, alpha: Double): DataFrame =
+    graft.operators.ClassifierOps.nbClassify(docs, model, idCol, textCol,
+      buckets, alpha)
+
+  /** Train-on-one-slice / classify-another confusion matrix:
+    * (true_label, pred_label, n_docs). */
+  def nbConfusion(train: DataFrame, test: DataFrame, idCol: String,
+      labelCol: String, textCol: String, buckets: Int,
+      alpha: Double): DataFrame =
+    graft.operators.ClassifierOps.nbConfusion(train, test, idCol, labelCol,
+      textCol, buckets, alpha)
+
+  /** MMR diversified top-k for one query vector:
+    * (rank, id, rel, score) in greedy selection order. */
+  def mmrSelect(corpus: DataFrame,
+      queryVec: java.util.List[java.lang.Double], k: Int, lambda: Double,
+      nCandidates: Int, idCol: String, vecCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.SimilarityOps.mmrSelect(corpus,
+      queryVec.asScala.toSeq.map(_.doubleValue), k, lambda, nCandidates,
+      idCol, vecCol)
+  }
+
   /** Distributed WARC read (one task per archive file, streamed records):
     * (record_type, target_uri, warc_date, content_type, record_id,
     * content, src_file). */

@@ -838,6 +838,65 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"pagerank: wrote $out")
 
+      // lpa <edges.parquet> <out.parquet> [-rounds n] [-top n] —
+      //   deterministic label-propagation communities over (src, dst);
+      //   -top writes the k largest communities instead of node labels
+      case "lpa" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val edges = spark.read.parquet(in)
+        val rounds = fv("-rounds", "4").toInt
+        val top = fv("-top", "0").toInt
+        (if (top > 0)
+           graft.operators.GraphOps.labelPropagationCommunities(edges, rounds, top)
+         else graft.operators.GraphOps.labelPropagation(edges, rounds))
+          .write.mode("overwrite").parquet(out)
+        println(s"lpa: wrote $out")
+
+      // nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c]
+      //   [-id c] [-text c] [-buckets n] [-confusion] — train a
+      //   multinomial NB router on one corpus, classify another
+      case "nbRoute" :: in :: test :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val label = fv("-label", "lang"); val id = fv("-id", "doc_id")
+        val text = fv("-text", "text"); val b = fv("-buckets", "4096").toInt
+        val tr = spark.read.parquet(in)
+        val te = spark.read.parquet(test)
+        (if (rest.contains("-confusion"))
+           graft.operators.ClassifierOps.nbConfusion(tr, te, id, label, text, b)
+         else graft.operators.ClassifierOps.nbClassify(te,
+           graft.operators.ClassifierOps.nbTrain(tr, label, text, b),
+           id, text, b))
+          .write.mode("overwrite").parquet(out)
+        println(s"nbRoute: wrote $out")
+
+      // mmr <embeddings.parquet> <out.parquet> [-query id] [-k n]
+      //   [-lambda x] [-cands n] [-id c] [-vec c] — MMR diversified
+      //   top-k against the embedding of row `-query`
+      case "mmr" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val id = fv("-id", "vec_id"); val vec = fv("-vec", "embedding")
+        val qid = fv("-query", "0").toLong
+        val emb = spark.read.parquet(in)
+        import org.apache.spark.sql.functions.col
+        val qv = emb.filter(col(id) === qid)
+          .select(col(vec).cast("array<double>"))
+          .head.getSeq[Double](0).toSeq
+        graft.operators.SimilarityOps.mmrSelect(
+          emb.filter(col(id) =!= qid), qv, fv("-k", "10").toInt,
+          fv("-lambda", "0.7").toDouble, fv("-cands", "200").toInt,
+          id, vec)
+          .write.mode("overwrite").parquet(out)
+        println(s"mmr: wrote $out")
+
       case "bpe" :: in :: out :: rest =>
         // train a BPE tokenizer on a parquet corpus; writes the merge
         // table, and with -vocabStats also the top-k subword statistics
@@ -916,7 +975,10 @@ object Cli {
           "\n  audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]" +
           "\n  warcExtract <warc-glob> <out.parquet>" +
           "\n  svLink <in.vcf|in.parquet> <out.parquet> [-events]" +
-          "\n  bpe <in.parquet> <out.parquet> [-text c] [-merges n] [-vocabStats [-top n]]")
+          "\n  bpe <in.parquet> <out.parquet> [-text c] [-merges n] [-vocabStats [-top n]]" +
+          "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
+          "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +
+          "\n  mmr <embeddings.parquet> <out.parquet> [-query id] [-k n] [-lambda x] [-cands n] [-id c] [-vec c]")
         sys.exit(2)
     }
   }

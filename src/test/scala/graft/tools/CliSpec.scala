@@ -371,6 +371,48 @@ class CliSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lpa / nbRoute / mmr commands write the expected shapes") {
+    import spark.implicits._
+    // lpa: two cliques + bridge -> 2 communities
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L)) ++
+      Seq((3L, 7L), (7L, 3L))
+    val ein = tmpDir() + "/edges.parquet"
+    edges.toDF("src", "dst").write.mode("overwrite").parquet(ein)
+    val eout = tmpDir() + "/comm.parquet"
+    Cli.run(spark, Seq("lpa", ein, eout, "-rounds", "4", "-top", "10"))
+    val comm = spark.read.parquet(eout).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comm.map(_._2).sum == 6L && comm.length == 2)
+
+    // nbRoute: confusion on a tiny en/de corpus
+    val din = tmpDir() + "/nbtrain.parquet"
+    val tin = tmpDir() + "/nbtest.parquet"
+    Seq((1L, "en", "the cat and the dog"), (2L, "de", "der hund und die katze"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(din)
+    Seq((3L, "en", "the dog and the cat"), (4L, "de", "die katze und der hund"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(tin)
+    val nout = tmpDir() + "/conf.parquet"
+    Cli.run(spark, Seq("nbRoute", din, tin, nout, "-buckets", "64",
+      "-confusion"))
+    val conf = spark.read.parquet(nout).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("en", "en") -> 1L, ("de", "de") -> 1L))
+
+    // mmr: picks k diversified rows against the query embedding
+    val min = tmpDir() + "/emb.parquet"
+    val rnd = new scala.util.Random(3)
+    (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(min)
+    val mout = tmpDir() + "/mmr.parquet"
+    Cli.run(spark, Seq("mmr", min, mout, "-k", "5", "-cands", "19"))
+    val picks = spark.read.parquet(mout).collect()
+    assert(picks.length == 5)
+    assert(picks.map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    spark.catalog.clearCache()
+  }
+
   test("score command appends quality columns") {
     import spark.implicits._
     val in = tmpDir() + "/score_docs.parquet"
