@@ -342,6 +342,24 @@ object ScaleProbe {
         .count()
     }
     spark.catalog.clearCache()
+    timed("lpa_5m_edges") {
+      // round 10: 4 deterministic LPA rounds on the same 5M-edge graph —
+      // per round one dst-keyed join + one (node,label) count + argmax
+      graft.operators.GraphOps.labelPropagation(bigEdges, rounds = 4)
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("nb_route_500k_docs") {
+      // round 10: NB train on half the 10x corpus, classify the other
+      // half — one labels x 4096 aggregation + one broadcast-join score
+      val labeled = docs.withColumn("lang",
+        concat(lit("l"), (col("doc_id") % 5).cast("string")))
+      graft.operators.ClassifierOps.nbConfusion(
+        labeled.filter(col("doc_id") % 2 === 0),
+        labeled.filter(col("doc_id") % 2 === 1),
+        "doc_id", "lang", "text", buckets = 4096).count()
+    }
+    spark.catalog.clearCache()
     timed("video_neardup_50k_clips") {
       // round 9: 50k 3-frame 16x12 AVI clips (10x the q101 corpus),
       // 1-in-4 a brightness-shifted re-encode of its predecessor — decode
@@ -405,6 +423,22 @@ object ScaleProbe {
           d => ((pmod(col("id") * 31 + d * 7, lit(1000)) - 500) / 1000.0)
             .cast("float")).as("embedding"))
       graft.operators.ClusteringOps.pcaLabelProjection(vecs).count()
+    }
+    spark.catalog.clearCache()
+    timed("mmr_500k_vecs") {
+      // round 10: MMR top-10 over 500k vectors — one relevance cosine
+      // scan + TakeOrdered(200) prefilter; the 10 greedy rounds then run
+      // on the bounded persisted candidate table
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(col("id") * 31 + d * 7, lit(1000)) - 500) / 1000.0)
+            .cast("float")).as("embedding"))
+      val qv = (0 until 64).map(d =>
+        ((31 + d * 7) % 1000 - 500) / 1000.0)
+      graft.operators.SimilarityOps.mmrSelect(
+        vecs.filter(col("vec_id") =!= 1L), qv, k = 10,
+        lambda = 0.7, nCandidates = 200,
+        idCol = "vec_id", vecCol = "embedding").count()
     }
     spark.stop()
   }
