@@ -361,6 +361,31 @@ class PlanSpec extends SparkSpec {
       "label stats must partial-aggregate before the shuffle")
   }
 
+  test("q118 NB: broadcast model join, partial counts, bounded crosses") {
+    val plan = planOf("q118_nb_language_confusion")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      "model-scoring join must broadcast the labels x buckets model")
+    assert(plan.contains("partial_count"),
+      "token/doc counts must map-side combine")
+    // the only nested-loop joins are the broadcast crosses against the
+    // per-label constant table (rows = label count) — never a data-sized
+    // side
+    assert(plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), plan.take(800))
+  }
+
+  test("q119 LPA: equi joins only, map-side label counts") {
+    val plan = planOf("q119_copurchase_communities")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_count"),
+      "neighbor-label counts must map-side combine")
+    assert(plan.contains("TakeOrdered"),
+      "community top-k must be a TakeOrdered, not a global sort")
+  }
+
   test("binned interval join plans as an equi join, not a cartesian") {
     val l = Tables.load(spark, sf, "part").select(
       (col("p_partkey") % 4).cast("string").as("referenceName"),
