@@ -684,6 +684,17 @@ def nb_confusion(train, test, id_col="doc_id", label_col="lang",
                                         float(alpha)))
 
 
+def streaming_nb_route(docs, model, text_col="text", buckets=4096,
+                       alpha=1.0):
+    """Stateless NB scoring against a batch-trained nb_train model —
+    append-mode streaming (or batch) serving; predictions equal
+    nb_classify row-for-row. Appends (pred_label, score_q)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).streamingNbRoute(docs._jdf, model._jdf,
+                                             text_col, int(buckets),
+                                             float(alpha)))
+
+
 def mmr_select(corpus, query_vec, k=10, lambda_=0.7, n_candidates=200,
                id_col="id", vec_col="vec"):
     """MMR diversified top-k for one query vector (list of floats):

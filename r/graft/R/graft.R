@@ -324,6 +324,14 @@ graft.nbConfusion <- function(train, test, idCol = "doc_id",
                                   as.integer(buckets), as.numeric(alpha)))
 }
 
+#' Stateless NB scoring against a batch-trained model (streaming or batch).
+graft.streamingNbRoute <- function(docs, model, textCol = "text",
+                                   buckets = 4096L, alpha = 1.0) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "streamingNbRoute", docs@sdf,
+                                  model@sdf, textCol, as.integer(buckets),
+                                  as.numeric(alpha)))
+}
+
 #' MMR diversified top-k: (rank, id, rel, score) in selection order.
 graft.mmrSelect <- function(corpus, queryVec, k = 10L, lambda = 0.7,
                             nCandidates = 200L, idCol = "id",

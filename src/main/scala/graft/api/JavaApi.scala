@@ -536,6 +536,14 @@ object JavaApi {
     graft.streaming.EventStreams.intervalJoin(
       left, right, keyCol, tsCol, maxGap, watermarkDelay)
 
+  /** Stream-side NB routing against a batch-trained [[nbTrain]] model —
+    * stateless append-mode scoring; predictions equal [[nbClassify]]
+    * row-for-row. Works on batch frames too. */
+  def streamingNbRoute(docs: DataFrame, model: DataFrame, textCol: String,
+      buckets: Int, alpha: Double): DataFrame =
+    graft.streaming.EventStreams.streamingNbRoute(docs, model, textCol,
+      buckets, alpha)
+
   /** Exact pairwise Pearson correlations over quantized columns:
     * (col_a, col_b, n, sxy, sxx, syy, corr) — corr is the same IEEE
     * double in any engine computing from the integer sums. */

@@ -396,6 +396,72 @@ object EventStreams {
       .withColumn("is_out", graft.operators.Stats.outlierFlag(kPermille))
       .drop("n", "s", "q")
 
+  /** Stream-side Naive Bayes routing against a BATCH-TRAINED
+    * [[graft.operators.ClassifierOps.nbTrain]] model (train once, serve
+    * streaming — the production classifier-serving shape): the bounded
+    * labels x buckets model collects once into a broadcast score table
+    * and each streaming document scores with a per-row pass — completely
+    * STATELESS, append mode, no stream aggregation (the batch
+    * per-document groupBy folds into the row-local token loop). Same
+    * integer quanta and (score DESC, label ASC) argmax as the batch
+    * classifier, so predictions equal
+    * [[graft.operators.ClassifierOps.nbClassify]] row-for-row
+    * (StreamingSpec). Output: input columns + (pred_label, score_q). */
+  def streamingNbRoute(
+      docs: DataFrame, model: DataFrame, textCol: String,
+      buckets: Int, alpha: Double = 1.0): DataFrame = {
+    val rows = model.collect()
+    val labels = rows.filter(_.getLong(1) == -1L).map(_.getString(0)).sorted
+    val li = labels.zipWithIndex.toMap
+    val nd = new Array[Long](labels.length)
+    val tot = new Array[Long](labels.length)
+    rows.foreach { r =>
+      if (r.getLong(1) == -1L) nd(li(r.getString(0))) = r.getLong(2)
+      else tot(li(r.getString(0))) += r.getLong(2)
+    }
+    def q7(x: Double): Long = math.floor(math.log(x) * 1e7 + 0.5).toLong
+    val ab = alpha * buckets
+    val nTrain = nd.sum
+    val q0 = labels.indices.map(l => q7(alpha / (tot(l) + ab))).toArray
+    val priorQ = labels.indices.map(l => q7(nd(l).toDouble / nTrain)).toArray
+    // dense (bucket, label) excess-quantum table: bounded state, the
+    // lmScoreAgainst broadcast recipe
+    val dq = Array.ofDim[Long](buckets, labels.length)
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      if (b >= 0) {
+        val l = li(r.getString(0))
+        dq(b.toInt)(l) = q7((r.getLong(2) + alpha) / (tot(l) + ab)) - q0(l)
+      }
+    }
+    val spark = docs.sparkSession
+    val labB = spark.sparkContext.broadcast((labels, q0, priorQ, dq))
+    val m = buckets.toLong
+    val scoreU = udf { text: String =>
+      val (ls, q0s, ps, dqs) = labB.value
+      val ts = (if (text == null) "" else text)
+        .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      var bi = 0; var bs = Long.MinValue
+      var l = 0
+      while (l < ls.length) {
+        var s = ps(l) + ts.length * q0s(l)
+        var i = 0
+        while (i < ts.length) {
+          val h = graft.operators.DedupOps.fnv1a64(ts(i))
+          s += dqs((((h % m) + m) % m).toInt)(l)
+          i += 1
+        }
+        if (s > bs) { bs = s; bi = l } // labels sorted asc: first max wins
+        l += 1
+      }
+      (ls(bi), bs)
+    }
+    docs.withColumn("__nb", scoreU(col(textCol)))
+      .withColumn("pred_label", col("__nb._1"))
+      .withColumn("score_q", col("__nb._2"))
+      .drop("__nb")
+  }
+
   /** Streaming HyperLogLog registers: max(rho) per register as a streaming
     * aggregation — at most 2^p state rows forever (max is the canonical
     * mergeable-sketch reduce). Equals

@@ -629,6 +629,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB routing equals the batch classifier row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (2L, "en", "the cat and the dog sat on the mat"),
+      (4L, "en", "a dog and a cat walk into the bar"),
+      (6L, "de", "der hund und die katze sitzen auf der matte"),
+      (8L, "de", "die katze und der hund gehen in die stadt"))
+      .toDF("doc_id", "lang", "text")
+    val incoming = Seq(
+      (1L, "the cat sat with a dog"),
+      (3L, "der hund und die katze"),
+      (5L, ""),
+      (7L, "die matte und der hund in der stadt"))
+    val model = graft.operators.ClassifierOps.nbTrain(
+      train, "lang", "text", 64)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingNbRoute(
+        input.toDF().toDF("doc_id", "text"), model, "text", 64)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      input.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("nb_stream")
+        .select("doc_id", "pred_label", "score_q").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val batch = graft.operators.ClassifierOps.nbClassify(
+          incoming.toDF("doc_id", "text"), model, "doc_id", "text", 64)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got === batch)
+      assert(got(1L)._1 === "en")
+      assert(got(3L)._1 === "de")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch registers when drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
