@@ -684,6 +684,14 @@ def nb_confusion(train, test, id_col="doc_id", label_col="lang",
                                         float(alpha)))
 
 
+def phrase_search(docs, phrase, id_col="doc_id", text_col="text"):
+    """Positional-index phrase search: (id, n_occurrences) for documents
+    containing the exact token sequence (list of words)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).phraseSearch(docs._jdf, id_col, text_col,
+                                         [str(w) for w in phrase]))
+
+
 def streaming_nb_route(docs, model, text_col="text", buckets=4096,
                        alpha=1.0):
     """Stateless NB scoring against a batch-trained nb_train model —

@@ -324,6 +324,13 @@ graft.nbConfusion <- function(train, test, idCol = "doc_id",
                                   as.integer(buckets), as.numeric(alpha)))
 }
 
+#' Positional-index phrase search: (id, n_occurrences).
+graft.phraseSearch <- function(docs, phrase, idCol = "doc_id",
+                               textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "phraseSearch", docs@sdf, idCol,
+                                  textCol, as.list(as.character(phrase))))
+}
+
 #' Stateless NB scoring against a batch-trained model (streaming or batch).
 graft.streamingNbRoute <- function(docs, model, textCol = "text",
                                    buckets = 4096L, alpha = 1.0) {

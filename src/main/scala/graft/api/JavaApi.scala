@@ -536,6 +536,15 @@ object JavaApi {
     graft.streaming.EventStreams.intervalJoin(
       left, right, keyCol, tsCol, maxGap, watermarkDelay)
 
+  /** Positional-index phrase search: (idCol, n_occurrences) for docs
+    * containing the exact token sequence. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.TextOps.phraseSearch(docs, idCol, textCol,
+      phrase.asScala.toSeq)
+  }
+
   /** Stream-side NB routing against a batch-trained [[nbTrain]] model —
     * stateless append-mode scoring; predictions equal [[nbClassify]]
     * row-for-row. Works on batch frames too. */

@@ -130,6 +130,40 @@ object TextOps {
     * matches (≤ |terms| rows per doc after partial aggregation), not
     * corpus tokens; `df` and the corpus length stats are tiny aggregates
     * broadcast back onto the tf table. */
+  /** Positional-index phrase search: documents containing the exact
+    * token sequence `phrase` (lowercased `[a-z0-9]+` tokenization, same
+    * as the rest of the text stack), with per-document occurrence
+    * counts. The positional-postings primitive of exact-match retrieval
+    * (quote finding, n-gram decontamination's precise sibling).
+    *
+    * Plan: ONE posexplode pass pruned to the phrase's terms BEFORE any
+    * shuffle (an isin filter on the exploded stream — the corpus never
+    * shuffles, only phrase-term occurrence rows do), then one
+    * (doc, position)-keyed equi join per subsequent word with the
+    * position shifted by its phrase offset, so equality means adjacency.
+    * No windows, no cartesian; candidate volume is bounded by the rarest
+    * term's occurrence count. Output: (idCol, n_occurrences) —
+    * overlapping matches count individually. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one word")
+    val words = phrase.map(_.toLowerCase)
+    val toks = docs
+      .select(col(idCol), posexplode(
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+        .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(words.distinct: _*))
+    val first = toks.filter(col("tok") === words.head)
+      .select(col(idCol), col("pos"))
+    val matched = words.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(toks.filter(col("tok") === w)
+          .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"))
+      }
+    matched.groupBy(idCol).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   def bm25Scores(
       docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -939,6 +939,26 @@ object PipelineQueries extends QuerySet {
     // per (doc, term) BEFORE the sum — order-free BIGINT aggregation,
     // immune to the measured 1-ulp JVM-vs-C libm ln divergence. The
     // oracle mirrors the operator's operation order token for token.
+    // Positional-index phrase search: exact "table hash" occurrences per
+    // doc — the precise-match retrieval primitive (quote finding). One
+    // pruned posexplode + a (doc, position)-keyed adjacency equi join.
+    Query("q121_phrase_search",
+      (s, dir) => TextOps.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        phrase = Seq("table", "hash")),
+      Some("""WITH tk AS (
+          |  SELECT doc_id, i AS pos, ts[i] AS tok FROM (
+          |    SELECT doc_id, list_filter(
+          |        string_split_regex(lower(text), '[^a-z0-9]+'),
+          |        x -> x <> '') AS ts
+          |    FROM documents),
+          |    unnest(generate_series(1, len(ts))) t(i))
+          |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM tk a JOIN tk b
+          |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |WHERE a.tok = 'table' AND b.tok = 'hash'
+          |GROUP BY a.doc_id""".stripMargin)),
+
     Query("q63_bm25",
       (s, dir) => TextOps.bm25Scores(
         t(s, dir, "documents"), "doc_id", "text",

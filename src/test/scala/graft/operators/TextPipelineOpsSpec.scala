@@ -12,6 +12,38 @@ class TextPipelineOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  // ------------------------ phraseSearch -----------------------------------
+
+  test("phraseSearch equals a driver sliding-window replay") {
+    val corpus = Seq(
+      1L -> "the quick brown fox and the quick brown dog",
+      2L -> "quick brown quick brown quick brown",
+      3L -> "brown quick nothing here",
+      4L -> "Quick BROWN, punctuation! quick-brown",
+      5L -> "quick quick quick", // repeated-word phrase below
+      6L -> "")
+    def replay(phrase: Seq[String]): Map[Long, Long] =
+      corpus.flatMap { case (id, t) =>
+        val ts = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        val n = ts.sliding(phrase.length)
+          .count(w => w.length == phrase.length && w == phrase)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+    for (phrase <- Seq(Seq("quick", "brown"),
+        Seq("the", "quick", "brown"), Seq("quick", "quick"),
+        Seq("nothing"))) {
+      val got = TextOps.phraseSearch(docs(corpus: _*), "doc_id", "text",
+        phrase).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === replay(phrase), s"phrase=$phrase")
+    }
+    // overlapping repeated-word matches count individually: "quick quick"
+    // in "quick quick quick" occurs at positions 0 and 1
+    val rep = TextOps.phraseSearch(docs(corpus: _*), "doc_id", "text",
+      Seq("quick", "quick")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(5L) === 2L)
+  }
+
   // ------------------------ globalLineDedup --------------------------------
 
   test("globalLineDedup removes lines shared by >= minDocs docs, keeps order") {
