@@ -175,4 +175,37 @@ object Sessionize {
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_transitions"))
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) validity intervals from an
+    * event log: per key, ordered by (time, tieBreak), keep only the rows
+    * where the tracked attribute CHANGES (null-safe; the first row always
+    * opens a version) and date each surviving version with
+    * `valid_from_ms` = its event time and `valid_to_ms` = the next
+    * change's time (NULL while current). This is the
+    * point-in-time-correct feature table of ML hygiene: joining facts
+    * with [[asofJoin]] against it picks the version in effect AT the
+    * fact's time, so training can never see a future attribute value
+    * (leakage-free feature joins).
+    *
+    * Scale: ONE shuffle on the key; the change-detect lag and the
+    * horizon lead run over the same key-partitioned ordering (the second
+    * window sorts only surviving change rows). No corpus-wide state.
+    * Output: (keyCol, attrCol, version 1-based, valid_from_ms,
+    * valid_to_ms). */
+  def scd2Intervals(
+      events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val base = events.select(col(keyCol), col(attrCol),
+      unix_millis(col(tsCol)).as("__ms"), col(tieBreak))
+    val w = Window.partitionBy(keyCol).orderBy(col("__ms"), col(tieBreak))
+    base
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col("__prev") <=> col(attrCol)))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_ms", col("__ms"))
+      .withColumn("valid_to_ms", lead(col("__ms"), 1).over(w))
+      .select(col(keyCol), col(attrCol), col("version"),
+        col("valid_from_ms"), col("valid_to_ms"))
+  }
 }

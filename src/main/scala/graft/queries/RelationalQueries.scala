@@ -410,6 +410,34 @@ object RelationalQueries extends QuerySet {
         FROM nx WHERE to_type IS NOT NULL
         GROUP BY from_type, to_type""")),
 
+    // SCD2 validity intervals per user over the event-type attribute:
+    // keep only change rows, date each version [valid_from, next change).
+    // The point-in-time-correct feature table — composed with the q71
+    // as-of join it gives leakage-free feature lookups (a fact joins the
+    // version in effect AT its timestamp, never a future one).
+    Query("q122_scd2_intervals",
+      (s, dir) => graft.operators.Sessionize.scd2Intervals(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH e AS (
+          |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+          |  FROM events),
+          |m AS (SELECT user_id, event_type, ms, event_id,
+          |    lag(event_type) OVER (
+          |      PARTITION BY user_id ORDER BY ms, event_id) AS prev,
+          |    row_number() OVER (
+          |      PARTITION BY user_id ORDER BY ms, event_id) AS rn
+          |  FROM e),
+          |ch AS (SELECT user_id, event_type, ms, event_id FROM m
+          |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+          |SELECT user_id, event_type,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY user_id ORDER BY ms, event_id) AS INTEGER)
+          |    AS version,
+          |  ms AS valid_from_ms,
+          |  lead(ms) OVER (
+          |    PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
+          |FROM ch""".stripMargin)),
+
     // Exact per-type value percentiles (percentile_disc semantics — actual
     // data values, no interpolation arithmetic) via distributed rank, NOT
     // a buffering percentile aggregate: the group sort is a window

@@ -57,4 +57,38 @@ class EventAnalyticsSpec extends SparkSpec {
     // b: sorted (3.0, 3.0, 9.0), p50 -> rank ceil(1.5)=2 -> 3.0
     assert(out("b") == ((3L, 3.0)))
   }
+
+  test("scd2Intervals: change rows only, contiguous leak-free horizons") {
+    import spark.implicits._
+    // user 1: a a b b a (changes at 10, 30, 50); user 2: constant x;
+    // user 3: equal timestamps tie-broken by event_id (y then z)
+    val e = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "a", 20L), (1L, 3L, "b", 30L),
+      (1L, 4L, "b", 40L), (1L, 5L, "a", 50L),
+      (2L, 6L, "x", 10L), (2L, 7L, "x", 99L),
+      (3L, 8L, "y", 5L), (3L, 9L, "z", 5L))
+      .toDF("user_id", "event_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = Sessionize.scd2Intervals(e, "user_id", "event_type", "ts",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq === Seq(
+      (1L, "a", 1, 10L, 30L), (1L, "b", 2, 30L, 50L), (1L, "a", 3, 50L, -1L),
+      (2L, "x", 1, 10L, -1L),
+      (3L, "y", 1, 5L, 5L), (3L, "z", 2, 5L, -1L)))
+    // leak-free horizon contract: per user the versions tile the timeline
+    // (valid_to(i) == valid_from(i+1), final horizon open) — so a
+    // point-in-time lookup at any t hits exactly one version
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4)
+        case _ =>
+      }
+      assert(vs.last._5 === -1L)
+      assert(vs.map(_._3).toSeq === (1 to vs.length))
+    }
+  }
 }
