@@ -684,6 +684,16 @@ def nb_confusion(train, test, id_col="doc_id", label_col="lang",
                                         float(alpha)))
 
 
+def scd2_intervals(events, key_col, attr_col, ts_col="ts",
+                   tie_break="event_id"):
+    """SCD2 validity intervals: (key, attr, version, valid_from_ms,
+    valid_to_ms) — point-in-time-correct features; compose with asof_join
+    for leakage-free lookups."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).scd2Intervals(events._jdf, key_col, attr_col,
+                                          ts_col, tie_break))
+
+
 def phrase_search(docs, phrase, id_col="doc_id", text_col="text"):
     """Positional-index phrase search: (id, n_occurrences) for documents
     containing the exact token sequence (list of words)."""

@@ -324,6 +324,13 @@ graft.nbConfusion <- function(train, test, idCol = "doc_id",
                                   as.integer(buckets), as.numeric(alpha)))
 }
 
+#' SCD2 validity intervals: point-in-time-correct feature versions.
+graft.scd2Intervals <- function(events, keyCol, attrCol, tsCol = "ts",
+                                tieBreak = "event_id") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "scd2Intervals", events@sdf,
+                                  keyCol, attrCol, tsCol, tieBreak))
+}
+
 #' Positional-index phrase search: (id, n_occurrences).
 graft.phraseSearch <- function(docs, phrase, idCol = "doc_id",
                                textCol = "text") {

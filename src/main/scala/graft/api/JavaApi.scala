@@ -536,6 +536,15 @@ object JavaApi {
     graft.streaming.EventStreams.intervalJoin(
       left, right, keyCol, tsCol, maxGap, watermarkDelay)
 
+  /** SCD2 validity intervals from an event log:
+    * (keyCol, attrCol, version, valid_from_ms, valid_to_ms) — the
+    * point-in-time-correct feature table; compose with [[asofJoin]] for
+    * leakage-free lookups. */
+  def scd2Intervals(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieBreak: String): DataFrame =
+    graft.operators.Sessionize.scd2Intervals(events, keyCol, attrCol,
+      tsCol, tieBreak)
+
   /** Positional-index phrase search: (idCol, n_occurrences) for docs
     * containing the exact token sequence. */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
