@@ -713,6 +713,15 @@ def streaming_nb_route(docs, model, text_col="text", buckets=4096,
                                              float(alpha)))
 
 
+def hard_negatives_top_k(anchors, corpus, k=5):
+    """Hard-negative mining: per anchor (qid, qvec, q_label), the top-k
+    most cosine-similar corpus rows (id, vec, label) with a DIFFERENT
+    label — contrastive-training negatives."""
+    s = anchors.sparkSession
+    return _wrap(s, _api(s).hardNegativesTopK(anchors._jdf, corpus._jdf,
+                                              int(k)))
+
+
 def mmr_select(corpus, query_vec, k=10, lambda_=0.7, n_candidates=200,
                id_col="id", vec_col="vec"):
     """MMR diversified top-k for one query vector (list of floats):

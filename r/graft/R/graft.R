@@ -346,6 +346,12 @@ graft.streamingNbRoute <- function(docs, model, textCol = "text",
                                   as.numeric(alpha)))
 }
 
+#' Hard-negative mining: per anchor, top-k similar rows with another label.
+graft.hardNegativesTopK <- function(anchors, corpus, k = 5L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hardNegativesTopK", anchors@sdf,
+                                  corpus@sdf, as.integer(k)))
+}
+
 #' MMR diversified top-k: (rank, id, rel, score) in selection order.
 graft.mmrSelect <- function(corpus, queryVec, k = 10L, lambda = 0.7,
                             nCandidates = 200L, idCol = "id",

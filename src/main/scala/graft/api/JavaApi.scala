@@ -489,6 +489,12 @@ object JavaApi {
     graft.operators.ClassifierOps.nbConfusion(train, test, idCol, labelCol,
       textCol, buckets, alpha)
 
+  /** Hard-negative mining: per anchor, the top-k most-similar corpus
+    * vectors with a DIFFERENT label. */
+  def hardNegativesTopK(anchors: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame =
+    graft.operators.SimilarityOps.hardNegativesTopK(anchors, corpus, k)
+
   /** MMR diversified top-k for one query vector:
     * (rank, id, rel, score) in greedy selection order. */
   def mmrSelect(corpus: DataFrame,

@@ -467,6 +467,33 @@ object SimilarityOps {
         coalesce(col("dropped"), lit(false)).as("dropped"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor vector, the top-`k` most cosine-similar corpus vectors with a
+    * DIFFERENT label — the "confusable but wrong" examples that make
+    * triplet/contrastive losses learn. Same plan shape as
+    * [[bruteForceTopK]] (broadcast anchors, one corpus scan, per-anchor
+    * window top-k with (cosine DESC, id ASC) ties) plus the label-mismatch
+    * predicate applied BEFORE ranking, so ranks are over true negatives
+    * only. Anchors never match themselves (id inequality is implied by
+    * the label filter). Output: (qid, q_label, rank, id, neg_label,
+    * cosine). */
+  def hardNegativesTopK(
+      anchors: DataFrame, corpus: DataFrame, k: Int,
+      qid: String = "qid", qvec: String = "qvec", qLabel: String = "q_label",
+      id: String = "id", vec: String = "vec",
+      label: String = "label"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col(qLabel) =!= col(label))
+      .withColumn("cosine", cosine(col(qvec), col(vec)))
+    val w = Window.partitionBy(col(qid))
+      .orderBy(col("cosine").desc, col(id).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col(qLabel), col("rank"), col(id),
+        col(label).as("neg_label"), col("cosine"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
     * top-k for one query vector: greedily select `k` vectors, each round
     * maximizing `lambda*cos(q,d) - (1-lambda)*max_{s in S} cos(d,s)`

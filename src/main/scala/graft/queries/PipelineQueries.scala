@@ -309,6 +309,40 @@ object PipelineQueries extends QuerySet {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
 
+    // Hard-negative mining for contrastive training: for 8 anchor
+    // vectors, the 5 most-similar embeddings with a DIFFERENT label —
+    // the confusable-but-wrong examples triplet losses train on. Same
+    // broadcast-anchors/one-scan shape as q27 with the label-mismatch
+    // predicate before ranking.
+    Query("q123_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("q_label"))
+        SimilarityOps.hardNegativesTopK(anchors,
+          e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label")), k = 5)
+          .select(col("qid"), col("q_label").cast("long").as("q_label"),
+            col("rank").cast("long").as("rank"), col("id"),
+            col("neg_label").cast("long").as("neg_label"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+          |    label AS ql FROM embeddings WHERE vec_id < 8),
+          |scored AS (SELECT q.qid, q.ql, e.vec_id AS id, e.label,
+          |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+          |      CAST(e.embedding AS DOUBLE[])) AS cos
+          |  FROM embeddings e CROSS JOIN q
+          |  WHERE e.label <> q.ql),
+          |ranked AS (SELECT qid, ql, id, label,
+          |    row_number() OVER (
+          |      PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+          |  FROM scored)
+          |SELECT qid, CAST(ql AS BIGINT) AS q_label,
+          |  CAST(rank AS BIGINT) AS rank, id,
+          |  CAST(label AS BIGINT) AS neg_label
+          |FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998): top-10 for
     // the vec_id=0 query with lambda=0.7 over a 200-candidate relevance
     // prefilter — the dedup-aware retrieval step RAG pipelines run so the

@@ -306,6 +306,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("hardNegativesTopK: ranks only label-mismatched rows; matches brute force") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 3).toInt))
+    val df = rows.toDF("id", "vec", "label")
+    val anchors = df.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("label").as("q_label"))
+    val got = SimilarityOps.hardNegativesTopK(anchors, df, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    rows.filter(_._1 < 4).foreach { case (qid, qv, ql) =>
+      val expect = rows.filter(_._3 != ql)
+        .map { case (id, v, l) => (id, l, cos(qv.toSeq, v.toSeq)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._3).toSeq === expect.map(_._1).toSeq, s"qid=$qid")
+      // every returned negative really has a different label
+      assert(mine.forall(m => m._4 != ql))
+    }
+  }
+
   test("mmrSelect rank 1 is the pure relevance argmax; k caps at pool") {
     import spark.implicits._
     val df = vecs(6, 8, seed = 3)
