@@ -438,6 +438,57 @@ object RelationalQueries extends QuerySet {
           |    PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
           |FROM ch""".stripMargin)),
 
+    // Point-in-time feature join: the q122 SCD2 version table as-of-joined
+    // (q71 machinery) to purchase facts at ms-1 — each fact reads the
+    // attribute version in effect STRICTLY BEFORE it ("state when the
+    // user purchased"), the leakage-free feature-lookup composition; a
+    // fact whose user has no prior version keeps the null group.
+    Query("q124_pit_feature_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = graft.operators.Sessionize.scd2Intervals(
+          ev, "user_id", "event_type", "ts", "event_id")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            (expr("unix_millis(ts)") - 1L).as("ms"))
+        graft.operators.Sessionize.asofJoin(
+          facts, dim, Seq("user_id"), "ms", "valid_from_ms",
+          Seq("event_type", "version"), rightTieBreak = "version")
+          .groupBy(col("asof_event_type").as("attr_in_effect"))
+          .agg(count(lit(1)).as("n_facts"),
+            sum(col("asof_version").cast("long")).as("sum_version"))
+      },
+      Some("""WITH e AS (
+          |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+          |  FROM events),
+          |m AS (SELECT user_id, event_type, ms, event_id,
+          |    lag(event_type) OVER (
+          |      PARTITION BY user_id ORDER BY ms, event_id) AS prev,
+          |    row_number() OVER (
+          |      PARTITION BY user_id ORDER BY ms, event_id) AS rn
+          |  FROM e),
+          |ch AS (SELECT user_id, event_type, ms, event_id FROM m
+          |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+          |ver AS MATERIALIZED (SELECT user_id, event_type,
+          |    CAST(row_number() OVER (
+          |      PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT)
+          |      AS version,
+          |    ms AS valid_from_ms
+          |  FROM ch),
+          |f AS (SELECT user_id, event_id, ms - 1 AS ms FROM e
+          |  WHERE event_type = 'purchase'),
+          |j AS (SELECT f.event_id, v.event_type, v.version,
+          |    row_number() OVER (PARTITION BY f.event_id
+          |      ORDER BY v.valid_from_ms DESC, v.version DESC) AS rn
+          |  FROM f JOIN ver v ON v.user_id = f.user_id
+          |    AND v.valid_from_ms <= f.ms)
+          |SELECT w.event_type AS attr_in_effect,
+          |  CAST(count(*) AS BIGINT) AS n_facts,
+          |  CAST(sum(w.version) AS BIGINT) AS sum_version
+          |FROM f LEFT JOIN (SELECT event_id, event_type, version FROM j
+          |                  WHERE rn = 1) w USING (event_id)
+          |GROUP BY 1""".stripMargin)),
+
     // Exact per-type value percentiles (percentile_disc semantics — actual
     // data values, no interpolation arithmetic) via distributed rank, NOT
     // a buffering percentile aggregate: the group sort is a window

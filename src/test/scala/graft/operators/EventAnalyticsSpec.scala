@@ -91,4 +91,29 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(vs.map(_._3).toSeq === (1 to vs.length))
     }
   }
+
+  test("point-in-time composition: asofJoin at t-1 reads the pre-fact version") {
+    import spark.implicits._
+    // user 1 history: a@10 b@30 a@50; facts at 30 (sees version a@10),
+    // at 31 (sees b@30), at 5 (sees nothing -> null group)
+    val e = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 30L), (1L, 3L, "a", 50L))
+      .toDF("user_id", "event_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val dim = Sessionize.scd2Intervals(e, "user_id", "event_type", "ts",
+      "event_id")
+    val facts = Seq((1L, 100L, 30L), (1L, 101L, 31L), (1L, 102L, 5L))
+      .toDF("user_id", "fact_id", "t")
+      .select(col("user_id"), col("fact_id"), (col("t") - 1).as("ms"))
+    val out = Sessionize.asofJoin(facts, dim, Seq("user_id"), "ms",
+        "valid_from_ms", Seq("event_type", "version"), "version")
+      .collect()
+      .map(r => r.getAs[Long]("fact_id") ->
+        (Option(r.getAs[String]("asof_event_type")),
+          Option(r.getAs[Any]("asof_version"))))
+      .toMap
+    assert(out(100L)._1 === Some("a"), "fact at t=30 must NOT see b@30")
+    assert(out(101L)._1 === Some("b"))
+    assert(out(102L)._1 === None, "fact before any version keeps nulls")
+  }
 }
