@@ -713,6 +713,17 @@ def streaming_nb_route(docs, model, text_col="text", buckets=4096,
                                              float(alpha)))
 
 
+def leak_safe_split(docs, id_col, pairs, splits, salt="graft"):
+    """Dedup-aware split: hash_split keyed by the near-dup cluster so no
+    near-duplicate pair crosses a split boundary. splits is an ordered
+    list of (name, fraction) summing to 1."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).leakSafeSplit(docs._jdf, id_col, pairs._jdf,
+                                          [str(n) for n, _ in splits],
+                                          [float(f) for _, f in splits],
+                                          salt))
+
+
 def hard_negatives_top_k(anchors, corpus, k=5):
     """Hard-negative mining: per anchor (qid, qvec, q_label), the top-k
     most cosine-similar corpus rows (id, vec, label) with a DIFFERENT

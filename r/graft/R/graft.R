@@ -346,6 +346,14 @@ graft.streamingNbRoute <- function(docs, model, textCol = "text",
                                   as.numeric(alpha)))
 }
 
+#' Dedup-aware split: no near-duplicate pair crosses a split boundary.
+graft.leakSafeSplit <- function(docs, idCol, pairs, names, fractions,
+                                salt = "graft") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "leakSafeSplit", docs@sdf, idCol,
+                                  pairs@sdf, as.list(as.character(names)),
+                                  as.list(as.numeric(fractions)), salt))
+}
+
 #' Hard-negative mining: per anchor, top-k similar rows with another label.
 graft.hardNegativesTopK <- function(anchors, corpus, k = 5L) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "hardNegativesTopK", anchors@sdf,

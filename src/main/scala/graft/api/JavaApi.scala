@@ -489,6 +489,18 @@ object JavaApi {
     graft.operators.ClassifierOps.nbConfusion(train, test, idCol, labelCol,
       textCol, buckets, alpha)
 
+  /** Dedup-aware (leak-safe) split: hashSplit keyed by the near-dup
+    * cluster, so near-duplicates never land in different splits. */
+  def leakSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      names: java.util.List[String],
+      fractions: java.util.List[java.lang.Double],
+      salt: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    SamplingOps.leakSafeSplit(docs, idCol, pairs,
+      names.asScala.toSeq.zip(fractions.asScala.toSeq.map(_.doubleValue)),
+      salt)
+  }
+
   /** Hard-negative mining: per anchor, the top-k most-similar corpus
     * vectors with a DIFFERENT label. */
   def hardNegativesTopK(anchors: DataFrame, corpus: DataFrame,

@@ -192,6 +192,30 @@ object SamplingOps {
     splits.map(_._1).zip(
       splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_.toString))
 
+  /** Dedup-aware (leak-safe) dataset split: [[hashSplit]] keyed by the
+    * near-duplicate CLUSTER instead of the row, so no two near-duplicates
+    * ever land in different splits — the split-contamination guard
+    * benchmark papers mandate (a test doc whose near-copy trains is a
+    * leaked answer). `pairs` is any near-dup pair table (id_a, id_b) —
+    * MinHash, SimHash, embedding, ...; docs in no pair are their own
+    * singleton cluster and split independently.
+    *
+    * Plan: pointer-jumping connected components over the pairs
+    * ([[DedupOps.clusterDuplicates]] — rounds bounded by component
+    * diameter), one left join of docs to cluster ids, then the stateless
+    * per-row hash assignment on `coalesce(cluster_id, id)`. Output: docs
+    * + (cluster_key, split). */
+  def leakSafeSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val cl = graft.operators.DedupOps.clusterDuplicates(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val keyed = docs.join(cl, Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    hashSplit(keyed, "cluster_key", splits, salt)
+  }
+
   /** Temperature-scaled source weights (the multinomial mixture of the
     * XLM-R / mT5 / LLaMA data recipes): w_s ∝ n_s^alpha, so alpha = 1
     * reproduces natural proportions and alpha → 0 flattens toward uniform,

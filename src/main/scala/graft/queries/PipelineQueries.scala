@@ -1311,6 +1311,53 @@ object PipelineQueries extends QuerySet {
            FROM u"""
       }),
 
+    // Dedup-aware (leak-safe) split: hashSplit keyed by the near-dup
+    // CLUSTER, so a test doc's near-copy can never train — the
+    // split-contamination guard benchmark papers mandate. Oracle replays
+    // banding, the recursive-CTE closure, and the hash assignment.
+    Query("q125_leak_safe_split",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = DedupOps.minhashNearDuplicates(
+          d, "doc_id", "text",
+          numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)
+          .select("id_a", "id_b")
+        SamplingOps.leakSafeSplit(
+          d.select(col("doc_id")), "doc_id", pairs,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          salt = "leaksplit")
+          .select(col("doc_id"), col("cluster_key"), col("split"))
+      },
+      Some {
+        val bounds = SamplingOps.hashSplitBounds(
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        val cases = bounds.dropRight(1).map { case (name, b) =>
+          s"WHEN u < CAST('$b' AS DOUBLE) THEN '$name'"
+        }.mkString(" ")
+        s"""WITH RECURSIVE prs AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM (
+           |${HashOracleSql.minhashNearDupSql(
+              numHashes = 64, shingleN = 3, bands = 16, threshold = 0.5)}
+           |  ) mh),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+           |          UNION SELECT id_b, id_a FROM prs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+           |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |k AS (SELECT d.doc_id,
+           |    coalesce(cl.cluster_id, d.doc_id) AS cluster_key
+           |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+           |u AS (SELECT doc_id, cluster_key,
+           |    ${HashOracleSql.uniformSql("cluster_key::VARCHAR",
+                  "leaksplit")} AS u
+           |  FROM k)
+           |SELECT doc_id, cluster_key,
+           |  CASE $cases ELSE '${bounds.last._1}' END AS split
+           |FROM u""".stripMargin
+      }),
+
     // Decontamination REPORT with a fraction threshold: per corpus doc its
     // distinct 5-grams, benchmark-shared grams, and contaminated verdict at
     // >17% overlap — the form the published test-set-overlap filters apply

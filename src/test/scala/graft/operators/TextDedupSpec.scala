@@ -484,6 +484,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("leakSafeSplit: no near-dup pair ever crosses a split boundary") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val ids = (1L to 2000L).toDF("doc_id")
+    // chains 1-2-3, 10-11, and a big star 100..120 around 100 — clusters
+    // that a naive per-row split would scatter across folds
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (101L to 120L).map(i => (100L, i))).toDF("id_a", "id_b")
+    val got = SamplingOps.leakSafeSplit(ids, "doc_id", pairs, splits,
+      salt = "lk").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every paired duo shares a split (transitively through clusters)
+    (Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)) ++
+      (101L to 120L).map(i => (100L, i))).foreach { case (a, b) =>
+      assert(got(a)._2 === got(b)._2, s"pair ($a,$b) split apart")
+      assert(got(a)._1 === got(b)._1)
+    }
+    // cluster keys are the min member; singletons key on themselves
+    assert(got(3L)._1 === 1L)
+    assert(got(120L)._1 === 100L)
+    assert(got(500L)._1 === 500L)
+    // singleton assignment is exactly hashSplit on the id — stable vs the
+    // plain splitter, so adding pairs later never moves unpaired docs
+    val plain = SamplingOps.hashSplit(ids, "doc_id", splits, salt = "lk")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter { case (id, (ck, _)) => ck == id }.foreach {
+      case (id, (_, s)) => assert(plain(id) === s)
+    }
+    // all three splits are actually populated
+    assert(got.values.map(_._2).toSet === Set("train", "val", "test"))
+  }
+
   test("temperatureMix: alpha=1 is natural, lower alpha up-weights small strata") {
     import spark.implicits._
     val df = ((1L to 8000L).map((_, "big")) ++ (8001L to 9000L).map((_, "small")))
