@@ -632,6 +632,44 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"split: wrote $out")
 
+      // dedupSplit <in> <out> [-id c] [-text c] [-fractions n=f,...]
+      //   [-salt s] — leak-safe split: MinHash near-dup clusters never
+      //   cross a split boundary
+      case "dedupSplit" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val id = fv("-id", "doc_id"); val text = fv("-text", "text")
+        val splits = fv("-fractions", "train=0.9,val=0.05,test=0.05")
+          .split(",").toSeq.map { kv =>
+            val Array(n, f) = kv.split("=", 2)
+            n -> f.toDouble
+          }
+        val docs = spark.read.parquet(in)
+        val pairs = graft.operators.DedupOps.minhashNearDuplicates(
+          docs, id, text, numHashes = 64, shingleN = 3, bands = 16,
+          threshold = 0.5).select("id_a", "id_b")
+        graft.operators.SamplingOps.leakSafeSplit(
+            docs, id, pairs, splits, salt = fv("-salt", "graft"))
+          .write.mode("overwrite").parquet(out)
+        println(s"dedupSplit: wrote $out")
+
+      // phrase <in> <out> -words "w1 w2 ..." [-id c] [-text c] —
+      //   positional exact phrase search, (id, n_occurrences)
+      case "phrase" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val words = fv("-words", "").split("\\s+").filter(_.nonEmpty).toSeq
+        require(words.nonEmpty, "phrase requires -words \"w1 w2 ...\"")
+        graft.operators.TextOps.phraseSearch(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-text", "text"), words)
+          .write.mode("overwrite").parquet(out)
+        println(s"phrase: wrote $out")
+
       // mix <in.parquet> <out.parquet> [-strata c] [-key c] [-alpha a]
       //     [-target n] — temperature-scaled stratum mixture
       case "mix" :: in :: out :: rest =>
@@ -976,6 +1014,8 @@ object Cli {
           "\n  warcExtract <warc-glob> <out.parquet>" +
           "\n  svLink <in.vcf|in.parquet> <out.parquet> [-events]" +
           "\n  bpe <in.parquet> <out.parquet> [-text c] [-merges n] [-vocabStats [-top n]]" +
+          "\n  dedupSplit <in.parquet> <out.parquet> [-id c] [-text c] [-fractions n=f,...] [-salt s]" +
+          "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +
           "\n  mmr <embeddings.parquet> <out.parquet> [-query id] [-k n] [-lambda x] [-cands n] [-id c] [-vec c]")

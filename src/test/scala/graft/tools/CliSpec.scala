@@ -413,6 +413,30 @@ class CliSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupSplit / phrase commands") {
+    import spark.implicits._
+    val body = "a long enough stretch of shared text to fingerprint " * 4
+    val din = tmpDir() + "/ds_docs.parquet"
+    ((1L to 40L).map(i => (i, s"unique doc $i with words w$i x$i y$i z$i " +
+      s"filler${i % 7} more${i % 5} text${i % 3}")) ++
+      Seq((100L, body), (101L, body + " tail")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(din)
+    val dout = tmpDir() + "/ds_out.parquet"
+    Cli.run(spark, Seq("dedupSplit", din, dout,
+      "-fractions", "train=0.5,test=0.5"))
+    val rows = spark.read.parquet(dout).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(rows.size == 42)
+    assert(rows(100L) == rows(101L), "near-dup pair must share a split")
+
+    val pout = tmpDir() + "/ph_out.parquet"
+    Cli.run(spark, Seq("phrase", din, pout, "-words", "shared text"))
+    val hits = spark.read.parquet(pout).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(100L, 101L) && hits(100L) == 4L)
+    spark.catalog.clearCache()
+  }
+
   test("score command appends quality columns") {
     import spark.implicits._
     val in = tmpDir() + "/score_docs.parquet"
