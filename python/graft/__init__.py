@@ -1016,3 +1016,70 @@ def interval_join(left, right, key_col, ts_col, max_gap="30 minutes",
     s = left.sparkSession
     return _wrap(s, _api(s).intervalJoin(left._jdf, right._jdf, key_col,
                                          ts_col, max_gap, watermark_delay))
+
+
+def snapshot_delta(old, new, id_col="doc_id", text_col="text",
+                   carry_cols=()):
+    """Incremental corpus diff between two snapshots: per-doc status
+    added|deleted|changed|unchanged via constant-width fingerprints."""
+    s = old.sparkSession
+    return _wrap(s, _api(s).snapshotDelta(old._jdf, new._jdf, id_col,
+                                          text_col, list(carry_cols)))
+
+
+def snapshot_delta_report(delta, group_cols):
+    """The delta rolled up per group: (group_cols*, n_added, n_deleted,
+    n_changed, n_unchanged)."""
+    s = delta.sparkSession
+    return _wrap(s, _api(s).snapshotDeltaReport(delta._jdf,
+                                                list(group_cols)))
+
+
+def budget_select(docs, id_col, score_col, tokens_col, budget):
+    """Token-budget selection: the (score DESC, id) greedy prefix under a
+    global token budget, via the two-phase distributed cumulative sum.
+    (id, score, tokens, cum_tokens, selected)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).budgetSelect(docs._jdf, id_col, score_col,
+                                         tokens_col, int(budget)))
+
+
+def calibrated_select(docs, strata_col, id_col, score_col,
+                      keep_fraction=0.3):
+    """Per-stratum percentile calibration + top-fraction selection —
+    domain-balanced quality filtering. (strata, id, score, calibrated,
+    selected)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).calibratedSelect(docs._jdf, strata_col, id_col,
+                                             score_col,
+                                             float(keep_fraction)))
+
+
+def next_event_examples(events, key_col="user_id", type_col="event_type",
+                        ts_col="ts", tie_break="event_id", history_len=3):
+    """Bounded-history next-event training examples: ('>'-joined history
+    of up to history_len prior types, label) per event."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).nextEventExamples(events._jdf, key_col,
+                                              type_col, ts_col, tie_break,
+                                              int(history_len)))
+
+
+def salted_join(left, right, using_keys, salt_key_col, salts=8,
+                join_type="inner"):
+    """Explicit salted skew join — result equals the plain equi-join; the
+    left side is salted on salt_key_col, the right replicated per salt."""
+    s = left.sparkSession
+    return _wrap(s, _api(s).saltedJoin(left._jdf, right._jdf,
+                                       [str(k) for k in using_keys],
+                                       salt_key_col, int(salts), join_type))
+
+
+def remove_boilerplate(docs, id_col="doc_id", text_col="text",
+                       group_col="source", min_docs=3):
+    """Domain-scoped boilerplate removal: every occurrence of a paragraph
+    seen in >= min_docs docs of the SAME group is removed; returns the
+    rewritten docs plus per-doc removal accounting."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).removeBoilerplate(docs._jdf, id_col, text_col,
+                                              group_col, int(min_docs)))

@@ -470,3 +470,62 @@ graft.correlationMatrix <- function(df, cols, quantScale = 1000000) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "correlationMatrix", df@sdf,
                                   as.list(cols), as.integer(quantScale)))
 }
+
+# --------------------------- corpus maintenance -----------------------------
+
+#' Incremental corpus diff between two snapshots (added/deleted/changed/
+#' unchanged via constant-width fingerprints).
+graft.snapshotDelta <- function(old, new, idCol = "doc_id",
+                                textCol = "text", carryCols = list()) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "snapshotDelta", old@sdf, new@sdf,
+                                  idCol, textCol, as.list(carryCols)))
+}
+
+#' Snapshot delta rolled up per group.
+graft.snapshotDeltaReport <- function(delta, groupCols) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "snapshotDeltaReport", delta@sdf,
+                                  as.list(groupCols)))
+}
+
+#' Token-budget selection: best-scored prefix under a global token budget.
+graft.budgetSelect <- function(docs, idCol, scoreCol, tokensCol, budget) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "budgetSelect", docs@sdf, idCol,
+                                  scoreCol, tokensCol,
+                                  SparkR::sparkR.callJStatic(
+                                    "java.lang.Long", "valueOf",
+                                    format(budget, scientific = FALSE))))
+}
+
+#' Per-stratum percentile calibration + top-fraction selection.
+graft.calibratedSelect <- function(docs, strataCol, idCol, scoreCol,
+                                   keepFraction = 0.3) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "calibratedSelect", docs@sdf,
+                                  strataCol, idCol, scoreCol,
+                                  as.numeric(keepFraction)))
+}
+
+#' Bounded-history next-event training examples.
+graft.nextEventExamples <- function(events, keyCol = "user_id",
+                                    typeCol = "event_type", tsCol = "ts",
+                                    tieBreak = "event_id", historyLen = 3) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "nextEventExamples", events@sdf,
+                                  keyCol, typeCol, tsCol, tieBreak,
+                                  as.integer(historyLen)))
+}
+
+#' Explicit salted skew join (result equals the plain equi-join).
+graft.saltedJoin <- function(left, right, usingKeys, saltKeyCol, salts = 8,
+                             joinType = "inner") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "saltedJoin", left@sdf, right@sdf,
+                                  as.list(usingKeys), saltKeyCol,
+                                  as.integer(salts), joinType))
+}
+
+#' Domain-scoped boilerplate removal with per-doc accounting.
+graft.removeBoilerplate <- function(docs, idCol = "doc_id",
+                                    textCol = "text", groupCol = "source",
+                                    minDocs = 3) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "removeBoilerplate", docs@sdf,
+                                  idCol, textCol, groupCol,
+                                  as.integer(minDocs)))
+}

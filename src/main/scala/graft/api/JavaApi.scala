@@ -748,4 +748,61 @@ object JavaApi {
   def videoNearDuplicates(media: DataFrame, maxDist: Int,
       bands: Int): DataFrame =
     graft.operators.MultimodalOps.videoNearDuplicates(media, maxDist, bands)
+
+  /** Incremental corpus diff between two snapshots:
+    * (idCol, carryCols*, status added|deleted|changed|unchanged). */
+  def snapshotDelta(old: DataFrame, nw: DataFrame, idCol: String,
+      textCol: String, carryCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.SnapshotOps.snapshotDelta(old, nw, idCol, textCol,
+      carryCols.asScala.toSeq)
+  }
+
+  /** The delta rolled up per group: (groupCols*, n_added, n_deleted,
+    * n_changed, n_unchanged). */
+  def snapshotDeltaReport(delta: DataFrame,
+      groupCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.SnapshotOps.snapshotDeltaReport(delta,
+      groupCols.asScala.toSeq)
+  }
+
+  /** Token-budget selection: (id, score, tokens, cum_tokens, selected) —
+    * the (score DESC, id) greedy prefix under a global token budget,
+    * computed by the two-phase distributed cumulative sum. */
+  def budgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    SamplingOps.budgetSelect(docs, idCol, scoreCol, tokensCol, budget)
+
+  /** Per-stratum percentile calibration + top-fraction selection:
+    * (strataCol, idCol, scoreCol, calibrated, selected). */
+  def calibratedSelect(docs: DataFrame, strataCol: String, idCol: String,
+      scoreCol: String, keepFraction: Double): DataFrame =
+    SamplingOps.calibratedSelect(docs, strataCol, idCol, scoreCol,
+      keepFraction)
+
+  /** Bounded-history next-event training examples:
+    * (keyCol, tieBreak, history, label). */
+  def nextEventExamples(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieBreak: String, historyLen: Int): DataFrame =
+    graft.operators.Sessionize.nextEventExamples(events, keyCol, typeCol,
+      tsCol, tieBreak, historyLen)
+
+  /** Explicit salted skew join: result equals the plain equi-join, with
+    * the left side salted on `saltKeyCol` and the right replicated. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      usingKeys: java.util.List[String], saltKeyCol: String, salts: Int,
+      joinType: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.SkewOps.saltedJoin(left, right,
+      usingKeys.asScala.toSeq, saltKeyCol, salts, joinType)
+  }
+
+  /** Domain-scoped boilerplate removal: every occurrence of a paragraph
+    * seen in >= minDocs docs of the same group is removed;
+    * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDocs: Int): DataFrame =
+    graft.operators.DedupOps.removeBoilerplate(docs, idCol, textCol,
+      groupCol, minDocs)
 }

@@ -187,6 +187,56 @@ object DedupOps {
         coalesce(col("__cleaned"), lit("")).as(textCol))
   }
 
+  /** Domain-scoped boilerplate removal: a paragraph that appears in at
+    * least `minDocs` DISTINCT documents of the SAME group (site / source)
+    * is navigation chrome, cookie banners, license footers — remove EVERY
+    * occurrence (unlike [[dedupParagraphs]], which keeps the first). The
+    * group scoping is what makes the rule safe: a famous quotation
+    * repeated across the whole web is content, but the same sentence on
+    * every page of ONE site is template.
+    *
+    * Plan: explode (group carried) → per-(group, paragraph) distinct-doc
+    * count with map-side partial aggregation (the hot-paragraph skew
+    * story of [[duplicatedParagraphs]]) → the ≥ minDocs survivors form
+    * the boilerplate set, joined back as a (group, hash, para) LOOKUP
+    * (one row per boilerplate paragraph — a reducer never materializes an
+    * occurrence list) → per-document reassembly + removal accounting.
+    *
+    * Output: (idCol, groupCol, textCol rewritten, n_removed_paras,
+    * removed_chars). */
+  def removeBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      minDocs: Int, sep: String = "\n\n"): DataFrame = {
+    require(minDocs > 1, s"minDocs must be > 1: $minDocs")
+    val exploded = docs
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("h", xxhash64(col("para")))
+    val boiler = exploded
+      .groupBy("grp", "h", "para")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("grp"), col("h"), col("para"), lit(true).as("__boiler"))
+    val kept = exploded
+      .join(boiler, Seq("grp", "h", "para"), "left")
+      .groupBy("id")
+      .agg(
+        array_join(array_sort(collect_list(
+          when(col("__boiler").isNull, struct(col("idx"), col("para")))))
+          .getField("para"), sep).as("__cleaned"),
+        count(when(col("__boiler").isNotNull, 1)).as("n_removed_paras"),
+        coalesce(sum(when(col("__boiler").isNotNull, length(col("para")))),
+          lit(0L)).as("removed_chars"))
+    docs.select(col(idCol), col(groupCol))
+      .join(kept, col(idCol) === col("id"), "left")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("__cleaned"), lit("")).as(textCol),
+        coalesce(col("n_removed_paras"), lit(0L)).as("n_removed_paras"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+  }
+
   /** (id, idx, para, h): non-empty trimmed paragraphs of each document
     * with their in-document index and 64-bit content hash. */
   private def explodeParagraphs(

@@ -452,4 +452,83 @@ object SamplingOps {
       .select(col("doc_id"), col("is_target"), col("dsir_q"),
         coalesce(col("sel"), lit(false)).as("selected"))
   }
+
+  /** Token-budget selection: take documents in (score DESC, id ASC) order
+    * until the cumulative token count reaches `budget` — the
+    * budget-constrained greedy that turns a scored corpus into "the best
+    * B tokens" (every pretraining run is sized in tokens, not documents).
+    *
+    * The global ordered prefix sum NEVER runs through a single-partition
+    * window (the scale-killer the k-core fix removed): documents are
+    * range-partitioned on the selection order, each partition computes its
+    * LOCAL cumulative sum in parallel, per-partition totals (one row per
+    * partition, bounded) are offset-summed and broadcast back, and the
+    * global cumulative count is offset + local. Same two-phase recipe as
+    * [[TextOps.zipfFit]]'s distributed rank.
+    *
+    * Output: (id, score, tokens, cum_tokens, selected) for every input
+    * row; selected = cum_tokens <= budget (a doc that would cross the
+    * budget line is NOT taken — deterministic, engine-portable).
+    */
+  def budgetSelect(
+      docs: DataFrame, idCol: String, scoreCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs
+      .select(col(idCol), col(scoreCol), col(tokensCol).cast("long")
+        .as("__tok"))
+      .repartitionByRange(col(scoreCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per range partition: the single-partition window is over a
+    // partition-count-sized frame, never the data
+    val pidW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy("__pid")
+      .agg(sum(col("__tok")).as("__ptot"))
+      .withColumn("__off", coalesce(sum("__ptot").over(pidW), lit(0L)))
+      .select("__pid", "__off")
+    sized.join(broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", sum(col("__tok")).over(localW) + col("__off"))
+      .select(col(idCol), col(scoreCol), col("__tok").as("tokens"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("selected"))
+  }
+
+  /** Per-stratum quality calibration + global top-fraction selection.
+    *
+    * Quality scores are not comparable across heterogeneous sources (a
+    * median web page and a median reference article score very
+    * differently), so mixing corpora by a GLOBAL score threshold starves
+    * whole domains. The standard fix is rank calibration: replace each
+    * score by its percentile WITHIN its stratum, then select the top
+    * `keepFraction` of every stratum — domain-balanced by construction.
+    *
+    * calibrated = (r - 1) / n with r the dense (score DESC, id ASC)
+    * row_number inside the stratum and n the stratum size — int/int in
+    * IEEE double, bit-exact in any engine; selected = calibrated <
+    * keepFraction (so every stratum keeps ceil(n * f) of its rows).
+    *
+    * One keyed exchange (the stratum window); no global sort, no collect.
+    */
+  def calibratedSelect(
+      docs: DataFrame, strataCol: String, idCol: String, scoreCol: String,
+      keepFraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val n = Window.partitionBy(col(strataCol))
+    docs
+      .select(col(strataCol), col(idCol), col(scoreCol))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(strataCol), col(idCol), col(scoreCol),
+        ((col("__r") - 1).cast("double") / col("__n").cast("double"))
+          .as("calibrated"),
+        ((col("__r") - 1).cast("double") <
+          col("__n").cast("double") * keepFraction).as("selected"))
+  }
 }

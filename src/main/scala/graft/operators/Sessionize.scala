@@ -208,4 +208,34 @@ object Sessionize {
       .select(col(keyCol), col(attrCol), col("version"),
         col("valid_from_ms"), col("valid_to_ms"))
   }
+
+  /** Bounded-history next-event training examples: for every event, the
+    * up-to-`historyLen` event types that PRECEDED it (same key, ordered by
+    * time with a deterministic tie-break) joined into one '>'-separated
+    * history string, labeled with the event's own type. This is the
+    * sequence→next-item example generator of session-based
+    * recommendation / behavioral-LM training — the event log becomes
+    * (history, label) supervision rows in one pass.
+    *
+    * Scale: ONE shuffle on the key, then a key-partitioned window whose
+    * frame is capped at `historyLen` ROWS — per-row state is bounded by
+    * the constant history length, never by session length. Events with no
+    * predecessor emit history '' (the cold-start class). No collect, no
+    * corpus-wide state.
+    *
+    * Output: (keyCol, tieBreak, history, label). */
+  def nextEventExamples(
+      events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieBreak: String, historyLen: Int): DataFrame = {
+    require(historyLen > 0, s"historyLen must be positive: $historyLen")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(tieBreak))
+      .rowsBetween(-historyLen, -1)
+    events
+      .select(col(keyCol), col(typeCol), col(tsCol), col(tieBreak))
+      .withColumn("history",
+        concat_ws(">", collect_list(col(typeCol)).over(w)))
+      .select(col(keyCol), col(tieBreak), col("history"),
+        col(typeCol).as("label"))
+  }
 }

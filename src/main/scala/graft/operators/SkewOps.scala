@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Explicit key-salting for skewed equi-joins.
+  *
+  * AQE's skew-join handling splits oversized SORT-MERGE partitions at
+  * runtime, but it cannot help when the exchange is absent (bucketed /
+  * pre-partitioned inputs), when the join is shuffled-hash, or when a
+  * single key's rows must ALSO pass through a downstream keyed window.
+  * The classic fix is salting: fan the hot side's rows across `salts`
+  * sub-keys with a deterministic hash of the row's own identity, and
+  * replicate the other side once per salt value, so the join key becomes
+  * (key, salt) and no reducer sees more than ~1/salts of a hot key.
+  *
+  * Result is EXACTLY the plain join (every left row meets every matching
+  * right row exactly once: the left row carries one salt value, and the
+  * right side has exactly one copy per salt value). The salt is a pure
+  * hash of a caller-named identity column — deterministic across runs,
+  * retries and repartitioning, per the same contract as
+  * [[SamplingOps.uniformHash]].
+  *
+  * Cost model: the replicated side grows `salts`×, so salt with the
+  * DIMENSION side replicated (fact side salted), and keep `salts` at the
+  * skew factor, not the cluster size. Supported join types: inner and
+  * left_outer (left = the salted side) — the ones whose semantics survive
+  * per-left-row salting unchanged.
+  */
+object SkewOps {
+
+  /** `left` ⋈ `right` on `usingKeys`, with `left` salted by
+    * `saltKeyCol` (a left column whose hash spreads rows, e.g. the
+    * primary key) and `right` replicated `salts` times. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, usingKeys: Seq[String],
+      saltKeyCol: String, salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left_outer, got: $joinType")
+    val sl = left.withColumn("__salt",
+      pmod(GraftFunctions.fnv1a64(col(saltKeyCol).cast("string")),
+        lit(salts.toLong)).cast("int"))
+    val sr = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    sl.join(sr, usingKeys :+ "__salt", joinType).drop("__salt")
+  }
+}

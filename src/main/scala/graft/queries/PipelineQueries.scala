@@ -1661,7 +1661,140 @@ object PipelineQueries extends QuerySet {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n,
-                       CAST(n_inter AS DOUBLE) / sb.n) >= 0.9"""))
+                       CAST(n_inter AS DOUBLE) / sb.n) >= 0.9""")),
+
+    // Incremental corpus refresh: the old snapshot is the corpus minus the
+    // last decile, with deciles 3-4 truncated to half length (simulated
+    // edits); the new snapshot drops decile 0. The delta classifies every
+    // doc added/deleted/changed/unchanged via constant-width fingerprints
+    // — the incremental-rebuild driver of production corpus refreshes.
+    Query("q126_snapshot_delta",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val old = d.filter(col("doc_id") % 10 < 8)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 4,
+              expr("substring(text, 1, int(greatest(1, n_chars div 2)))"))
+              .otherwise(col("text")).as("text"))
+        val nw = d.filter(col("doc_id") % 10 >= 1)
+          .select(col("doc_id"), col("source"), col("text"))
+        graft.operators.SnapshotOps.snapshotDelta(
+          old, nw, "doc_id", "text", carryCols = Seq("source"))
+      },
+      Some("""WITH fp AS (
+          SELECT doc_id, source,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS full_fp,
+            md5(lower(regexp_replace(trim(
+              substr(text, 1, greatest(1, n_chars // 2))), '\s+', ' ', 'g')))
+              AS half_fp
+          FROM documents),
+        old AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 10 IN (3, 4) THEN half_fp ELSE full_fp END AS fp
+          FROM fp WHERE doc_id % 10 < 8),
+        nw AS (
+          SELECT doc_id, source, full_fp AS fp FROM fp WHERE doc_id % 10 >= 1)
+        SELECT coalesce(nw.doc_id, old.doc_id) AS doc_id,
+          coalesce(nw.source, old.source) AS source,
+          CASE WHEN old.doc_id IS NULL THEN 'added'
+               WHEN nw.doc_id IS NULL THEN 'deleted'
+               WHEN old.fp = nw.fp THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id""")),
+
+    // Token-budget selection: the best 10k tokens by (score DESC, id)
+    // greedy prefix — how a pretraining run is actually sized. The global
+    // ordered cumulative sum is the TWO-PHASE range-partition + offset
+    // plan (never a single-partition window); the oracle is the plain
+    // window cumsum it must equal.
+    Query("q127_token_budget_select",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            ((col("doc_id") * 2654435761L) % 1000).as("score"),
+            TextOps.tokenCount(col("text")).as("toks"))
+        SamplingOps.budgetSelect(d, "doc_id", "score", "toks",
+          budget = 10000L)
+      },
+      Some("""WITH sc AS (
+          SELECT doc_id, (doc_id * 2654435761) % 1000 AS score,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), '\s+'))
+            END AS tokens
+          FROM documents)
+        SELECT doc_id, score, CAST(tokens AS BIGINT) AS tokens,
+          CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens,
+          CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            <= 10000 AS selected
+        FROM sc""")),
+
+    // Per-source quality calibration: scores are ranked WITHIN each
+    // source ((r-1)/n percentile, int/int IEEE division) and the top 30%
+    // of EVERY source is selected — the domain-balanced alternative to a
+    // global score threshold that starves whole domains.
+    Query("q128_calibrated_quality_select",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            ((col("doc_id") * 2654435761L) % 1000).as("score"))
+        SamplingOps.calibratedSelect(d, "source", "doc_id", "score",
+          keepFraction = 0.3)
+      },
+      Some("""WITH sc AS (
+          SELECT source, doc_id, (doc_id * 2654435761) % 1000 AS score
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, score,
+            row_number() OVER (PARTITION BY source
+              ORDER BY score DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM sc)
+        SELECT source, doc_id, score,
+          CAST(rn - 1 AS DOUBLE) / CAST(n AS DOUBLE) AS calibrated,
+          CAST(rn - 1 AS DOUBLE) < CAST(n AS DOUBLE) * 0.3 AS selected
+        FROM r""")),
+
+    // Domain-scoped boilerplate removal: paragraphs composed in-plan so
+    // each source shares a footer and a parity-keyed nav line (template
+    // chrome) around a unique body; every occurrence of a paragraph seen
+    // in >= 3 docs of the SAME source is removed (unlike keep-first
+    // dedup), with per-doc removal accounting.
+    Query("q131_boilerplate_removal",
+      (s, dir) => {
+        val composed = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          concat_ws("\n\n",
+            concat(lit("footer "), col("source")),
+            concat(lit("body "), col("doc_id").cast("string")),
+            concat(lit("nav "), col("source"), lit(" "),
+              (col("doc_id") % 2).cast("string"))).as("text"))
+        DedupOps.removeBoilerplate(
+          composed, "doc_id", "text", "source", minDocs = 3)
+      },
+      Some("""WITH paras AS (
+          SELECT doc_id, source, k,
+            CASE k WHEN 0 THEN 'footer ' || source
+                   WHEN 1 THEN 'body ' || CAST(doc_id AS VARCHAR)
+                   ELSE 'nav ' || source || ' ' || CAST(doc_id % 2 AS VARCHAR)
+            END AS para
+          FROM documents, unnest(generate_series(0, 2)) AS t(k)),
+        df AS (
+          SELECT source, para, count(DISTINCT doc_id) AS nd
+          FROM paras GROUP BY source, para),
+        marked AS (
+          SELECT p.doc_id, p.source, p.k, p.para,
+            (df.nd >= 3) AS boiler
+          FROM paras p JOIN df ON df.source = p.source AND df.para = p.para)
+        SELECT doc_id, source,
+          coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
+            chr(10) || chr(10) ORDER BY k), '') AS text,
+          CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_removed_paras,
+          CAST(coalesce(sum(length(para)) FILTER (WHERE boiler), 0) AS BIGINT)
+            AS removed_chars
+        FROM marked GROUP BY doc_id, source"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

@@ -563,6 +563,41 @@ object RelationalQueries extends QuerySet {
             THEN gap_ms END) AS p50,
           min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
             THEN gap_ms END) AS p90
-        FROM r GROUP BY step"""))
+        FROM r GROUP BY step""")),
+
+    // Bounded-history next-event training examples: each event labeled
+    // with the up-to-3 event types that preceded it in its user's
+    // timeline — the sequence→next-item supervision generator of
+    // session-based recommendation. Frame capped at 3 ROWS per row, one
+    // key exchange.
+    Query("q129_next_event_examples",
+      (s, dir) => Sessionize.nextEventExamples(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        historyLen = 3),
+      Some("""SELECT user_id, event_id,
+          coalesce(string_agg(event_type, '>') OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS history,
+          event_type AS label
+        FROM events""")),
+
+    // Explicit salted skew join: orders (salted on its own key) against
+    // the customer dim replicated once per salt — the pre-shuffle skew
+    // fix for bucketed / shuffled-hash joins AQE cannot split. The result
+    // must be EXACTLY the plain join (the oracle).
+    Query("q130_salted_skew_join",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("total_cents"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.operators.SkewOps.saltedJoin(
+          orders, cust, Seq("o_custkey"), "o_orderkey", salts = 8)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+          c_mktsegment
+        FROM orders JOIN customer ON c_custkey = o_custkey"""))
   )
 }

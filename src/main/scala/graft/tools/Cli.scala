@@ -655,6 +655,80 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"dedupSplit: wrote $out")
 
+      // snapshotDelta <old> <new> <out> [-id c] [-text c] [-carry c,...]
+      //   [-report] — incremental corpus diff; -report rolls up per carry col
+      case "snapshotDelta" :: oldIn :: newIn :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val carry = fv("-carry", "").split(",").filter(_.nonEmpty).toSeq
+        val delta = graft.operators.SnapshotOps.snapshotDelta(
+          spark.read.parquet(oldIn), spark.read.parquet(newIn),
+          fv("-id", "doc_id"), fv("-text", "text"), carry)
+        val res = if (rest.contains("-report")) {
+          require(carry.nonEmpty, "-report needs -carry group cols")
+          graft.operators.SnapshotOps.snapshotDeltaReport(delta, carry)
+        } else delta
+        res.write.mode("overwrite").parquet(out)
+        println(s"snapshotDelta: wrote $out")
+
+      // budgetSelect <in> <out> -budget N [-id c] [-score c] [-tokens c]
+      //   — best-scored prefix under a global token budget
+      case "budgetSelect" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SamplingOps.budgetSelect(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-score", "score"), fv("-tokens", "tokens"),
+            fv("-budget", "1000000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"budgetSelect: wrote $out")
+
+      // calibrate <in> <out> [-strata c] [-id c] [-score c] [-keep f]
+      //   — per-stratum percentile calibration + top-fraction selection
+      case "calibrate" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SamplingOps.calibratedSelect(
+            spark.read.parquet(in), fv("-strata", "source"),
+            fv("-id", "doc_id"), fv("-score", "score"),
+            fv("-keep", "0.3").toDouble)
+          .write.mode("overwrite").parquet(out)
+        println(s"calibrate: wrote $out")
+
+      // nextEvents <in> <out> [-key c] [-type c] [-ts c] [-tie c]
+      //   [-history n] — bounded-history next-event training examples
+      case "nextEvents" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Sessionize.nextEventExamples(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-type", "event_type"), fv("-ts", "ts"),
+            fv("-tie", "event_id"), fv("-history", "3").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"nextEvents: wrote $out")
+
+      // boilerplate <in> <out> [-id c] [-text c] [-group c] [-minDocs n]
+      //   — remove same-group template paragraphs (every occurrence)
+      case "boilerplate" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.DedupOps.removeBoilerplate(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-text", "text"), fv("-group", "source"),
+            fv("-minDocs", "3").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"boilerplate: wrote $out")
+
       // phrase <in> <out> -words "w1 w2 ..." [-id c] [-text c] —
       //   positional exact phrase search, (id, n_occurrences)
       case "phrase" :: in :: out :: rest =>
@@ -1015,6 +1089,11 @@ object Cli {
           "\n  svLink <in.vcf|in.parquet> <out.parquet> [-events]" +
           "\n  bpe <in.parquet> <out.parquet> [-text c] [-merges n] [-vocabStats [-top n]]" +
           "\n  dedupSplit <in.parquet> <out.parquet> [-id c] [-text c] [-fractions n=f,...] [-salt s]" +
+          "\n  snapshotDelta <old.parquet> <new.parquet> <out.parquet> [-id c] [-text c] [-carry c,...] [-report]" +
+          "\n  budgetSelect <in.parquet> <out.parquet> -budget N [-id c] [-score c] [-tokens c]" +
+          "\n  calibrate <in.parquet> <out.parquet> [-strata c] [-id c] [-score c] [-keep f]" +
+          "\n  nextEvents <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-tie c] [-history n]" +
+          "\n  boilerplate <in.parquet> <out.parquet> [-id c] [-text c] [-group c] [-minDocs n]" +
           "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +

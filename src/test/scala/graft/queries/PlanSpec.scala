@@ -319,6 +319,66 @@ class PlanSpec extends SparkSpec {
       "chunk counts must map-side combine")
   }
 
+  test("q126 snapshot delta: fingerprint-width full-outer equi join") {
+    val plan = planOf("q126_snapshot_delta")
+    assert(plan.contains("FullOuter"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q127 budget select: range partitions + broadcast offsets, no global sort of the data") {
+    val plan = planOf("q127_token_budget_select")
+    // phase 1: the data is RANGE partitioned (parallel local cumsums)...
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"), plan.take(800))
+    // ...phase 2 joins back the per-partition offsets via broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets must join back as a broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    // every window over the DATA is keyed by the range partition id; the
+    // only unkeyed window runs over the one-row-per-partition aggregate
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")), plan.take(800))
+  }
+
+  test("q128 calibration: windows keyed by stratum only") {
+    val plan = planOf("q128_calibrated_quality_select")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("source")),
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q129 next-event examples: key-partitioned window, ROWS frame capped") {
+    val plan = planOf("q129_next_event_examples")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")), plan.take(800))
+    assert(plan.contains("-3, -1"),
+      "history frame must be the bounded ROWS [-3, -1] span: " +
+        plan.linesIterator.filter(_.contains("windowspecdefinition"))
+          .mkString("\n"))
+  }
+
+  test("q130 salted join: salt reaches the join keys, no nested loop") {
+    val plan = planOf("q130_salted_skew_join")
+    assert(plan.contains("__salt"), plan.take(800))
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      "dim side must replicate via explode")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
+    val plan = planOf("q131_boilerplate_removal")
+    assert(plan.contains("partial_count"),
+      "paragraph doc-frequency must map-side combine")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q103 k-core: no window sort — histogram median + keyed peel rounds") {
     val plan = planOf("q103_kcore")
     assert(!plan.contains("Window"), plan.take(600))

@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.SparkSpec
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, timestamp_millis}
 
 /** Every CLI command exercised end-to-end on fixture files (the reference
   * covers its command surface in adam-cli/src/test; here each command runs
@@ -435,6 +436,63 @@ class CliSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits.keySet == Set(100L, 101L) && hits(100L) == 4L)
     spark.catalog.clearCache()
+  }
+
+  test("snapshotDelta / budgetSelect / calibrate / boilerplate commands") {
+    import spark.implicits._
+    val oldIn = tmpDir() + "/snap_old.parquet"
+    val newIn = tmpDir() + "/snap_new.parquet"
+    Seq((1L, "keep", "s"), (2L, "edit me", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(oldIn)
+    Seq((2L, "edited", "s"), (3L, "fresh", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(newIn)
+    val dOut = tmpDir() + "/delta.parquet"
+    Cli.run(spark, Seq("snapshotDelta", oldIn, newIn, dOut,
+      "-carry", "source"))
+    val statuses = spark.read.parquet(dOut).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses == Map(1L -> "deleted", 2L -> "changed", 3L -> "added"))
+    val rOut = tmpDir() + "/delta_report.parquet"
+    Cli.run(spark, Seq("snapshotDelta", oldIn, newIn, rOut,
+      "-carry", "source", "-report"))
+    assert(spark.read.parquet(rOut).count() == 1)
+
+    val bIn = tmpDir() + "/budget_in.parquet"
+    (1L to 10L).map(i => (i, i % 3, 10L)).toDF("doc_id", "score", "tokens")
+      .write.parquet(bIn)
+    val bOut = tmpDir() + "/budget_out.parquet"
+    Cli.run(spark, Seq("budgetSelect", bIn, bOut, "-budget", "40"))
+    assert(spark.read.parquet(bOut)
+      .filter(col("selected")).count() == 4)
+
+    val cOut = tmpDir() + "/cal_out.parquet"
+    (1L to 20L).map(i => (i, s"s${i % 2}", (i * 7 % 13).toInt))
+      .toDF("doc_id", "source", "score").write.parquet(cOut + ".in")
+    Cli.run(spark, Seq("calibrate", cOut + ".in", cOut, "-keep", "0.5"))
+    assert(spark.read.parquet(cOut).filter(col("selected")).count() == 10)
+
+    val plIn = tmpDir() + "/bp_in.parquet"
+    (1L to 4L).map(i => (i, "s", s"FOOT\n\nbody $i"))
+      .toDF("doc_id", "source", "text").write.parquet(plIn)
+    val plOut = tmpDir() + "/bp_out.parquet"
+    Cli.run(spark, Seq("boilerplate", plIn, plOut, "-minDocs", "3"))
+    assert(spark.read.parquet(plOut).collect()
+      .forall(_.getAs[Long]("n_removed_paras") == 1L))
+    spark.catalog.clearCache()
+  }
+
+  test("nextEvents command writes history examples") {
+    import spark.implicits._
+    val in = tmpDir() + "/ne_in.parquet"
+    Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .write.parquet(in)
+    val out = tmpDir() + "/ne_out.parquet"
+    Cli.run(spark, Seq("nextEvents", in, out, "-history", "2"))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[String]("history")).toMap
+    assert(got == Map("a" -> "", "b" -> "a"))
   }
 
   test("score command appends quality columns") {
