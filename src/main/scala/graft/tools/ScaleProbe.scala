@@ -440,6 +440,76 @@ object ScaleProbe {
         lambda = 0.7, nCandidates = 200,
         idCol = "vec_id", vecCol = "embedding").count()
     }
+    spark.catalog.clearCache()
+    timed("budget_select_5m_rows") {
+      // round 10: two-phase global cumsum over 5M rows — range partitions
+      // + per-partition cumsums + broadcast offsets; the only
+      // single-partition window is over one row per range partition
+      val rows = spark.range(5000000L).select(col("id").as("doc_id"),
+        pmod(col("id") * 2654435761L, lit(1000L)).as("score"),
+        (pmod(col("id") * 40503L, lit(400L)) + 100L).as("toks"))
+      graft.operators.SamplingOps.budgetSelect(
+        rows, "doc_id", "score", "toks", budget = 600000000L)
+        .filter(col("selected")).count()
+    }
+    spark.catalog.clearCache()
+    timed("snapshot_delta_50k_docs") {
+      // round 10: old = the 10x corpus, new = same with 1/10 deleted,
+      // 1/10 edited (replica perturbation), 1/10 new ids — one
+      // fingerprint-width full-outer join
+      val old = docs
+      val nw = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10L)) === 1L,
+            concat(col("text"), lit(" edited"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+      graft.operators.SnapshotOps.snapshotDelta(old, nw, "doc_id", "text")
+        .groupBy("status").count().collect().map(_.getLong(1)).sum
+    }
+    spark.catalog.clearCache()
+    timed("boilerplate_50k_docs") {
+      // round 10: every doc of a 20-source corpus carries a per-source
+      // footer + parity nav around its real text — the df aggregation
+      // sees 50k occurrences of 20 hot paragraphs (map-side combined)
+      val composed = docs.select(col("doc_id"),
+        concat(lit("s"), pmod(col("doc_id"), lit(20L)).cast("string"))
+          .as("source"),
+        concat_ws("\n\n",
+          concat(lit("footer "), pmod(col("doc_id"), lit(20L)).cast("string")),
+          col("text"),
+          concat(lit("nav "), pmod(col("doc_id"), lit(40L)).cast("string")))
+          .as("text"))
+      graft.operators.DedupOps.removeBoilerplate(
+        composed, "doc_id", "text", "source", minDocs = 3)
+        .agg(sum("removed_chars")).collect().head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("salted_join_5m_skewed") {
+      // round 10: 5M-row fact with 60% of rows on ONE key, joined to a
+      // 10k-row dim under 32-way salting — no reducer sees the hot key
+      // whole; result must equal the plain join's row count
+      val fact = spark.range(5000000L).select(col("id"),
+        when(pmod(col("id"), lit(5L)) < 3L, lit(7L))
+          .otherwise(pmod(col("id") * 2654435761L, lit(10000L))).as("k"))
+      val dim = spark.range(10000L).select(col("id").as("k"),
+        concat(lit("seg"), pmod(col("id"), lit(5L)).cast("string"))
+          .as("seg"))
+      graft.operators.SkewOps.saltedJoin(
+        fact, dim, Seq("k"), "id", salts = 32).count()
+    }
+    spark.catalog.clearCache()
+    timed("next_events_1m") {
+      // round 10: bounded-history examples over the 10x-deep user
+      // timelines — the ROWS[-3,-1] frame keeps per-row state constant
+      // even though each user's ordered history is 10x longer
+      // aggregate OVER the history column — a bare count() would let
+      // column pruning eliminate the window entirely
+      Sessionize.nextEventExamples(
+        ev, "user_id", "event_type", "ts", "event_id", historyLen = 3)
+        .agg(sum(length(col("history")))).collect().head.getLong(0)
+    }
     spark.stop()
   }
 }
