@@ -1075,6 +1075,21 @@ def salted_join(left, right, using_keys, salt_key_col, salts=8,
                                        salt_key_col, int(salts), join_type))
 
 
+def global_ntile(df, value_col, tie_break, n):
+    """Exact global equal-depth binning (ANSI NTILE(n) semantics) without
+    a single-partition sort: input columns + 1-based `bucket`."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).globalNtile(df._jdf, value_col, tie_break,
+                                        int(n)))
+
+
+def key_skew_report(df, key_col, k=20):
+    """Key-skew profile: top-k heaviest keys with count, share and global
+    (rows, distinct-keys) totals — the measure-before-you-salt diagnostic."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).keySkewReport(df._jdf, key_col, int(k)))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

@@ -521,6 +521,18 @@ graft.saltedJoin <- function(left, right, usingKeys, saltKeyCol, salts = 8,
                                   as.integer(salts), joinType))
 }
 
+#' Exact global equal-depth binning (ANSI NTILE semantics, parallel sort).
+graft.globalNtile <- function(df, valueCol, tieBreak, n) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "globalNtile", df@sdf, valueCol,
+                                  tieBreak, as.integer(n)))
+}
+
+#' Key-skew profile: top-k heaviest keys with share and global totals.
+graft.keySkewReport <- function(df, keyCol, k = 20) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "keySkewReport", df@sdf, keyCol,
+                                  as.integer(k)))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

@@ -798,6 +798,17 @@ object JavaApi {
       usingKeys.asScala.toSeq, saltKeyCol, salts, joinType)
   }
 
+  /** Exact global equal-depth binning — ANSI `NTILE(n)` semantics without
+    * the single-partition sort: input columns + `bucket` (1-based). */
+  def globalNtile(df: DataFrame, valueCol: String, tieBreak: String,
+      n: Int): DataFrame =
+    graft.operators.Quantiles.globalNtile(df, valueCol, tieBreak, n)
+
+  /** Key-skew profile: top-k heaviest keys of `keyCol` with count, share
+    * and global (rows, distinct-keys) totals — sizes saltedJoin's salts. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    graft.operators.SkewOps.keySkewReport(df, keyCol, k)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,5 +46,58 @@ object Quantiles {
     }
     ranked.groupBy(groupCol)
       .agg(max(col("__n")).cast("long").as("n"), pCols: _*)
+  }
+
+  /** Exact GLOBAL equal-depth binning (ANSI `NTILE(n)` semantics: bucket
+    * sizes differ by at most one, earlier buckets take the remainder) —
+    * without the single-partition sort `ntile(n) OVER (ORDER BY ...)`
+    * costs: the global rank is the two-phase range-partition + broadcast
+    * per-partition offsets recipe ([[graft.operators.SamplingOps
+    * .budgetSelect]] / zipfFit), so the sort work stays parallel.
+    *
+    * Equal-DEPTH bins are the curriculum/batching complement of the
+    * equal-width histogram sketch: "split the corpus into n equally-sized
+    * length tiers" is how length-stratified batch sampling and
+    * quantile-capped mixtures are built.
+    *
+    * With N rows, q = N div n and r = N mod n: ranks 1..(q+1)r fill the
+    * first r buckets (size q+1), the rest fill buckets r+1..n (size q) —
+    * integer arithmetic only, so any engine reproduces it bit-for-bit.
+    *
+    * Output: input columns + `bucket` (1-based). */
+  def globalNtile(
+      df: DataFrame, valueCol: String, tieBreak: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"ntile buckets must be positive: $n")
+    val sized = df
+      .repartitionByRange(col(valueCol), col(tieBreak))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col(valueCol), col(tieBreak))
+    // one row per range partition — the only unkeyed window is over the
+    // partition-count-sized frame, never the data
+    val pidW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(pidW), lit(0L)))
+      .withColumn("__total", sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__total")
+    // exact integer floor division of non-negative longs (Column./ is
+    // double division; a % b keeps this in pure integer arithmetic)
+    def idiv(a: Column, b: Column): Column =
+      ((a - a % b) / b).cast("long")
+    val q = idiv(col("__total"), lit(n.toLong))
+    val r = col("__total") % n
+    val rank = row_number().over(localW) + col("__off")
+    val bucket = when(rank <= (q + 1) * r,
+      idiv(rank - 1, q + 1) + 1)
+      .otherwise(idiv(rank - 1 - (q + 1) * r, greatest(q, lit(1L))) + r + 1)
+    sized.join(broadcast(offsets), "__pid")
+      .withColumn("bucket", bucket.cast("int"))
+      .drop("__pid", "__off", "__total")
   }
 }

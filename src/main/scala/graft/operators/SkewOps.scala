@@ -48,4 +48,33 @@ object SkewOps {
       explode(array((0 until salts).map(lit): _*)))
     sl.join(sr, usingKeys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Key-skew profile: the top-`k` heaviest values of `keyCol`, each with
+    * its row count and share of the table, plus the global row and
+    * distinct-key totals on every row. This is the "measure before you
+    * salt" diagnostic: share x cluster size tells you how many reducers a
+    * hot key would monopolize, and top-share / (1/distinct) is the skew
+    * factor that sizes [[saltedJoin]]'s `salts`.
+    *
+    * Plan: one map-side-combined count per key, then a `TakeOrdered` of
+    * the (count DESC, key) head — never a global sort; the totals come
+    * from the same aggregate re-aggregated (rows = distinct keys, bounded)
+    * and broadcast-joined onto the k result rows.
+    *
+    * Output: (key, n, share, total_rows, n_keys), share = n/total in
+    * IEEE double. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(
+      sum(col("n")).as("total_rows"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(k)
+    top.crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("total_rows").cast("double"))
+          .as("share"),
+        col("total_rows"), col("n_keys"))
+  }
 }

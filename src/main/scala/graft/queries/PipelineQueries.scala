@@ -1794,7 +1794,31 @@ object PipelineQueries extends QuerySet {
           CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_removed_paras,
           CAST(coalesce(sum(length(para)) FILTER (WHERE boiler), 0) AS BIGINT)
             AS removed_chars
-        FROM marked GROUP BY doc_id, source"""))
+        FROM marked GROUP BY doc_id, source""")),
+
+    // Global equal-depth length tiers (exact ANSI NTILE(10) on token
+    // count) WITHOUT the single-partition sort the window form costs: the
+    // rank is the two-phase range-partition + broadcast-offsets plan. The
+    // oracle is DuckDB's own ntile — an independent implementation of the
+    // same ANSI semantics.
+    Query("q132_length_deciles",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+        graft.operators.Quantiles.globalNtile(d, "tokens", "doc_id", n = 10)
+          // DuckDB's ntile returns BIGINT; match the schema exactly
+          .withColumn("bucket", col("bucket").cast("long"))
+      },
+      Some("""WITH sc AS (
+          SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), '\s+'))
+            END AS BIGINT) AS tokens
+          FROM documents)
+        SELECT doc_id, tokens,
+          ntile(10) OVER (ORDER BY tokens, doc_id) AS bucket
+        FROM sc"""))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

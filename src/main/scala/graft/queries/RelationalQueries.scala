@@ -598,6 +598,20 @@ object RelationalQueries extends QuerySet {
       Some("""SELECT o_custkey, o_orderkey,
           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
           c_mktsegment
-        FROM orders JOIN customer ON c_custkey = o_custkey"""))
+        FROM orders JOIN customer ON c_custkey = o_custkey""")),
+
+    // Key-skew profile of the events fact on user_id: the "measure before
+    // you salt" diagnostic — top-20 hottest keys with their share, global
+    // totals alongside. One map-side-combined count + TakeOrdered head.
+    Query("q133_key_skew",
+      (s, dir) => graft.operators.SkewOps.keySkewReport(
+        t(s, dir, "events"), "user_id", k = 20),
+      Some("""WITH c AS (
+          SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+          count(*) AS n_keys FROM c)
+        SELECT key, CAST(n AS BIGINT) AS n,
+          CAST(n AS DOUBLE) / total_rows AS share, total_rows, n_keys
+        FROM c, t ORDER BY n DESC, key LIMIT 20"""))
   )
 }

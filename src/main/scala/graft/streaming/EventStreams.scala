@@ -281,6 +281,42 @@ object EventStreams {
       }
   }
 
+  case class HistoryExample(
+      user_id: Long, event_id: Long, history: String, label: String)
+  case class HistoryCarry(recent: List[String])
+
+  /** Streaming twin of [[graft.operators.Sessionize.nextEventExamples]]:
+    * per-user ring of the last `historyLen` event types carried across
+    * micro-batches; every arriving event emits its ('>'-joined history,
+    * label) training example and pushes its own type into the carry.
+    * Ordered inside each batch by `(tsMillis, event_id)` — the same total
+    * order as the batch window — with the [[transitionCarry]] cross-batch
+    * contract (late data needs an upstream watermark sort to be exact).
+    * State per user is the constant-length type list, nothing else. */
+  def historyCarry(
+      events: Dataset[SeqEvent], historyLen: Int): Dataset[HistoryExample] = {
+    import events.sparkSession.implicits._
+    require(historyLen > 0, s"historyLen must be positive: $historyLen")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HistoryCarry, HistoryExample](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[SeqEvent],
+         state: GroupState[HistoryCarry]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[HistoryExample]
+          batch.toSeq
+            .sortBy(e => (e.tsMillis, e.event_id))
+            .foreach { e =>
+              out += HistoryExample(
+                userId, e.event_id, recent.mkString(">"), e.event_type)
+              recent = (recent :+ e.event_type).takeRight(historyLen)
+            }
+          state.update(HistoryCarry(recent))
+          out.iterator
+      }
+  }
+
   /** flatMapGroupsWithState example operator: running per-user totals —
     * the KeyValueGroupedDataset custom-state capability (SURVEY.md §7
     * streaming bullet). Pass `evictAfter=Some(duration)` to bound state via

@@ -715,6 +715,33 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"nextEvents: wrote $out")
 
+      // ntile <in> <out> -by c [-tie c] [-n k] — exact global equal-depth
+      //   binning (ANSI NTILE semantics) with a parallel range sort
+      case "ntile" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Quantiles.globalNtile(
+            spark.read.parquet(in), fv("-by", "tokens"),
+            fv("-tie", "doc_id"), fv("-n", "10").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"ntile: wrote $out")
+
+      // skewReport <in> -key c [-top k] — top-k heaviest keys with share
+      //   and global totals, printed and (optionally) written
+      case "skewReport" :: in :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val rep = graft.operators.SkewOps.keySkewReport(
+          spark.read.parquet(in), fv("-key", "user_id"),
+          fv("-top", "20").toInt)
+        val outPath = fv("-out", "")
+        if (outPath.nonEmpty) rep.write.mode("overwrite").parquet(outPath)
+        rep.show(100, truncate = false)
+
       // boilerplate <in> <out> [-id c] [-text c] [-group c] [-minDocs n]
       //   — remove same-group template paragraphs (every occurrence)
       case "boilerplate" :: in :: out :: rest =>
@@ -1094,6 +1121,8 @@ object Cli {
           "\n  calibrate <in.parquet> <out.parquet> [-strata c] [-id c] [-score c] [-keep f]" +
           "\n  nextEvents <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-tie c] [-history n]" +
           "\n  boilerplate <in.parquet> <out.parquet> [-id c] [-text c] [-group c] [-minDocs n]" +
+          "\n  ntile <in.parquet> <out.parquet> -by c [-tie c] [-n k]" +
+          "\n  skewReport <in.parquet> -key c [-top k] [-out p.parquet]" +
           "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +

@@ -59,7 +59,11 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "readWarc" -> 2, "warcResponses" -> 1, "warcConversions" -> 1,
       "hammingNearDuplicatesAgainst" -> 6, "hllSummaryByGroup" -> 4,
       "applyNearDedup" -> 3, "correlationMatrix" -> 3,
-      "intervalJoin" -> 6)
+      "intervalJoin" -> 6,
+      "budgetSelect" -> 5, "calibratedSelect" -> 5,
+      "nextEventExamples" -> 6, "saltedJoin" -> 6,
+      "removeBoilerplate" -> 5, "snapshotDeltaReport" -> 2,
+      "globalNtile" -> 4, "keySkewReport" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -177,4 +177,42 @@ class CorpusMaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
     assert(out.forall(_ == (("", 2L, 2L))))
   }
+
+  test("globalNtile matches a sequential ANSI NTILE replay (ties included)") {
+    import spark.implicits._
+    // 0..96 with heavy value ties; tieBreak=id makes the order total
+    val rows = (0 until 97).map(i => (i.toLong, (i % 7).toLong))
+    val df = rows.toDF("id", "v").repartition(8)
+    for (n <- Seq(1, 4, 10)) {
+      val got = Quantiles.globalNtile(df, "v", "id", n)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      // independent replay: fill buckets sequentially with ANSI sizes
+      val sorted = rows.sortBy(t => (t._2, t._1)).map(_._1)
+      val (q, r) = (sorted.size / n, sorted.size % n)
+      val sizes = Seq.fill(r)(q + 1) ++ Seq.fill(n - r)(q)
+      val want = sizes.zipWithIndex.flatMap { case (sz, b) =>
+        Seq.fill(sz)(b + 1) }
+      assert(got == sorted.zip(want).toMap, s"n=$n")
+    }
+  }
+
+  test("globalNtile with fewer rows than buckets: one row per bucket") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L)).toDF("id", "v")
+    val got = Quantiles.globalNtile(df, "v", "id", n = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(2L -> 1, 1L -> 2, 3L -> 3))
+  }
+
+  test("keySkewReport: counts, shares, totals, deterministic top-k order") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
+      Seq("a", "b", "c")).toDF("k")
+    val out = SkewOps.keySkewReport(df, "k", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("hot", 6L, 6.0 / 12.0, 12L, 5L),
+      ("warm", 3L, 3.0 / 12.0, 12L, 5L)))
+  }
 }

@@ -428,6 +428,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming historyCarry matches batch nextEventExamples on the driver events fixture") {
+    // the q129-verified batch operator is the oracle; three in-order
+    // micro-batches over the REAL sf0.001 events table
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = graft.operators.Sessionize.nextEventExamples(
+        ev, "user_id", "event_type", "ts", "event_id", historyLen = 3)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getString(2), r.getString(3)))
+      .toMap
+
+    val feed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("tsMillis"))
+      .as[EventStreams.SeqEvent]
+      .collect()
+      .sortBy(e => (e.tsMillis, e.event_id))
+    val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
+    val input = MemoryStream[EventStreams.SeqEvent]
+    val q = EventStreams.historyCarry(input.toDS(), historyLen = 3)
+      .writeStream.format("memory").queryName("histcarry")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        input.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("histcarry")
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[String]("history"), r.getAs[String]("label")))
+        .toMap
+      assert(got == batch,
+        s"stream-batch drift: onlyStream=${(got.toSet -- batch.toSet).take(5)} " +
+          s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
     // end-to-end composition on the REAL documents fixture: streaming
     // exact dedup, then stateless quality gate + chunking — one continuous

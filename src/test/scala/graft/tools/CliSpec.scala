@@ -631,6 +631,24 @@ class CliSpec extends SparkSpec {
     assert(p == Map("a" -> 3.0, "b" -> 2.0))
   }
 
+  test("ntile and skewReport commands") {
+    import spark.implicits._
+    val in = tmpDir() + "/nt_in.parquet"
+    (1L to 20L).map(i => (i, i % 5)).toDF("doc_id", "tokens")
+      .write.parquet(in)
+    val out = tmpDir() + "/nt_out.parquet"
+    Cli.run(spark, Seq("ntile", in, out, "-by", "tokens", "-n", "4"))
+    val buckets = spark.read.parquet(out).groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets == Map(1 -> 5L, 2 -> 5L, 3 -> 5L, 4 -> 5L))
+
+    val skOut = tmpDir() + "/sk_out.parquet"
+    Cli.run(spark, Seq("skewReport", in, "-key", "tokens", "-top", "2",
+      "-out", skOut))
+    val rep = spark.read.parquet(skOut).collect()
+    assert(rep.length == 2 && rep.forall(_.getAs[Long]("n") == 4L))
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
