@@ -69,12 +69,23 @@ object Quantiles {
       df: DataFrame, valueCol: String, tieBreak: String,
       n: Int): DataFrame = {
     require(n > 0, s"ntile buckets must be positive: $n")
+    // Range-partition on (value, tieBreak), sort within partitions, and
+    // read the partition-local position straight out of
+    // monotonically_increasing_id (partition id in the upper 31 bits,
+    // sequential row offset in the lower 33): unlike a
+    // `Window.partitionBy(__pid)` rank, this adds NO second full-data
+    // exchange — Catalyst can't see that range partitions already
+    // cluster __pid, so the window form re-shuffles everything by pid
+    // hash. Persisted so both the offsets branch and the output read one
+    // materialization of the (nondeterministic) ids.
     val sized = df
       .repartitionByRange(col(valueCol), col(tieBreak))
-      .withColumn("__pid", spark_partition_id())
+      .sortWithinPartitions(col(valueCol), col(tieBreak))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__lrk", (col("__mid") % (1L << 33)) + 1L)
+      .drop("__mid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val localW = Window.partitionBy("__pid")
-      .orderBy(col(valueCol), col(tieBreak))
     // one row per range partition — the only unkeyed window is over the
     // partition-count-sized frame, never the data
     val pidW = Window.orderBy("__pid")
@@ -92,12 +103,12 @@ object Quantiles {
       ((a - a % b) / b).cast("long")
     val q = idiv(col("__total"), lit(n.toLong))
     val r = col("__total") % n
-    val rank = row_number().over(localW) + col("__off")
+    val rank = col("__lrk") + col("__off")
     val bucket = when(rank <= (q + 1) * r,
       idiv(rank - 1, q + 1) + 1)
       .otherwise(idiv(rank - 1 - (q + 1) * r, greatest(q, lit(1L))) + r + 1)
     sized.join(broadcast(offsets), "__pid")
       .withColumn("bucket", bucket.cast("int"))
-      .drop("__pid", "__off", "__total")
+      .drop("__pid", "__off", "__total", "__lrk")
   }
 }

@@ -510,6 +510,26 @@ object ScaleProbe {
         ev, "user_id", "event_type", "ts", "event_id", historyLen = 3)
         .agg(sum(length(col("history")))).collect().head.getLong(0)
     }
+    spark.catalog.clearCache()
+    timed("global_ntile_5m") {
+      // round 10: exact ANSI NTILE(100) over 5M heavy-tied rows — the
+      // range-partition + broadcast-offsets plan; a window ntile would
+      // drag all 5M rows through one partition
+      val rows = spark.range(5000000L).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(5000L)).as("v"))
+      graft.operators.Quantiles.globalNtile(rows, "v", "id", n = 100)
+        .groupBy("bucket").count().count()
+    }
+    spark.catalog.clearCache()
+    timed("key_skew_report_5m") {
+      // round 10: the measure-before-you-salt diagnostic on the same
+      // 60%-one-key fact the salted-join probe uses — one map-side
+      // combined count + TakeOrdered(20) head, totals broadcast back
+      val fact = spark.range(5000000L).select(col("id"),
+        when(pmod(col("id"), lit(5L)) < 3L, lit(7L))
+          .otherwise(pmod(col("id") * 2654435761L, lit(10000L))).as("k"))
+      graft.operators.SkewOps.keySkewReport(fact, "k", k = 20).count()
+    }
     spark.stop()
   }
 }

@@ -371,6 +371,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q132 global ntile: no window and no second exchange over the data") {
+    val plan = planOf("q132_length_deciles")
+    // range partitioning feeds the cache; the output path must be cache
+    // scan -> broadcast offsets join -> project. A Window.partitionBy(pid)
+    // formulation would add a full-data hash Exchange + Sort here.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the only windows run over the one-row-per-range-partition aggregate
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")), plan.take(800))
+    // local rank comes from monotonically_increasing_id, not row_number
+    assert(!plan.contains("row_number"), "rank must not use a data window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q133 key skew report: map-side combine + TakeOrdered head") {
+    val plan = planOf("q133_key_skew")
+    assert(plan.contains("partial_count"),
+      "per-key counts must map-side combine")
+    assert(plan.contains("TakeOrdered"),
+      "top-k head must be TakeOrdered, never a global sort: " +
+        plan.take(600))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "totals must broadcast onto the k result rows")
+    }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),
