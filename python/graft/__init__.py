@@ -1090,6 +1090,32 @@ def key_skew_report(df, key_col, k=20):
     return _wrap(s, _api(s).keySkewReport(df._jdf, key_col, int(k)))
 
 
+def source_novelty(docs, text_col="text", source_col="source"):
+    """Per-source novelty attribution after exact dedup (alphabetical
+    ingestion order): (source, n_docs, n_distinct, n_novel, novelty_rate)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).sourceNovelty(docs._jdf, text_col, source_col))
+
+
+def source_similarity(docs, text_col="text", source_col="source",
+                      buckets=4096):
+    """Pairwise source cosine over hashed unigram count vectors:
+    (src_a, src_b, n_shared_buckets, cosine)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).sourceSimilarity(docs._jdf, text_col,
+                                             source_col, int(buckets)))
+
+
+def chi_square_features(docs, label_col="source", text_col="text",
+                        buckets=4096, k=50):
+    """Top-k label-discriminative hashed token buckets by exact quantized
+    chi-square: (b, chi2_q)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).chiSquareFeatures(docs._jdf, label_col,
+                                              text_col, int(buckets),
+                                              int(k)))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

@@ -533,6 +533,29 @@ graft.keySkewReport <- function(df, keyCol, k = 20) {
                                   as.integer(k)))
 }
 
+#' Per-source novelty attribution after exact dedup.
+graft.sourceNovelty <- function(docs, textCol = "text",
+                                sourceCol = "source") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "sourceNovelty", docs@sdf,
+                                  textCol, sourceCol))
+}
+
+#' Pairwise source cosine over hashed unigram count vectors.
+graft.sourceSimilarity <- function(docs, textCol = "text",
+                                   sourceCol = "source", buckets = 4096) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "sourceSimilarity", docs@sdf,
+                                  textCol, sourceCol, as.integer(buckets)))
+}
+
+#' Top-k label-discriminative token buckets by exact quantized chi-square.
+graft.chiSquareFeatures <- function(docs, labelCol = "source",
+                                    textCol = "text", buckets = 4096,
+                                    k = 50) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "chiSquareFeatures", docs@sdf,
+                                  labelCol, textCol, as.integer(buckets),
+                                  as.integer(k)))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

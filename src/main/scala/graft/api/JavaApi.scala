@@ -809,6 +809,26 @@ object JavaApi {
   def keySkewReport(df: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.operators.SkewOps.keySkewReport(df, keyCol, k)
 
+  /** Per-source novelty attribution after exact dedup:
+    * (source, n_docs, n_distinct, n_novel, novelty_rate). */
+  def sourceNovelty(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    graft.operators.CorpusCompareOps.sourceNovelty(docs, textCol, sourceCol)
+
+  /** Pairwise source cosine over hashed unigram count vectors:
+    * (src_a, src_b, n_shared_buckets, cosine). */
+  def sourceSimilarity(docs: DataFrame, textCol: String, sourceCol: String,
+      buckets: Int): DataFrame =
+    graft.operators.CorpusCompareOps.sourceSimilarity(docs, textCol,
+      sourceCol, buckets)
+
+  /** Top-k label-discriminative hashed token buckets by exact quantized
+    * chi-square: (b, chi2_q). */
+  def chiSquareFeatures(docs: DataFrame, labelCol: String, textCol: String,
+      buckets: Int, k: Int): DataFrame =
+    graft.operators.CorpusCompareOps.chiSquareFeatures(docs, labelCol,
+      textCol, buckets, k)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -89,6 +89,16 @@ object HashOracleSql {
        |          for i in generate_series(1, len(t)-${n - 1})] END) AS s
        |  FROM toks)""".stripMargin
 
+  /** DuckDB twin of Spark `pmod(fnv1a64, buckets)` over a UBIGINT column
+    * named `h`: reinterpret as signed 64-bit, then floor-mod to
+    * [0, buckets) — the hashed-feature bucket every classifier/compare
+    * op shares. */
+  def bucketSql(buckets: Int): String =
+    s"""((CASE WHEN h >= 9223372036854775808::UBIGINT
+       |     THEN h::HUGEINT - $M64 ELSE h::HUGEINT END
+       |  % $buckets::HUGEINT) + $buckets::HUGEINT) % $buckets::HUGEINT"""
+      .stripMargin
+
   /** DuckDB twin of [[graft.operators.SamplingOps.uniformHash]]: top 53
     * bits of fnv1a64(key || ':' || salt) as an exact double in [0,1). */
   def uniformSql(strExpr: String, salt: String): String =

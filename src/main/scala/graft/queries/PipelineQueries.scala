@@ -1818,7 +1818,108 @@ object PipelineQueries extends QuerySet {
           FROM documents)
         SELECT doc_id, tokens,
           ntile(10) OVER (ORDER BY tokens, doc_id) AS bucket
-        FROM sc"""))
+        FROM sc""")),
+
+    // Per-source novelty attribution under alphabetical ingestion order:
+    // what each source ADDS after global exact dedup — docs, distinct
+    // fingerprints, first-seen-here fingerprints, novelty rate. The
+    // mixture curator's "is this crawl worth its storage" report.
+    Query("q134_source_novelty",
+      (s, dir) => graft.operators.CorpusCompareOps.sourceNovelty(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH fp AS (
+          SELECT source,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM fp GROUP BY 1),
+        pairs AS MATERIALIZED (SELECT DISTINCT source, fp FROM fp),
+        ndist AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+          FROM pairs GROUP BY 1),
+        nv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_novel FROM (
+            SELECT fp, min(source) AS source FROM pairs GROUP BY 1)
+          GROUP BY 1)
+        SELECT n.source, n.n_docs,
+          coalesce(d.n_distinct, 0) AS n_distinct,
+          coalesce(v.n_novel, 0) AS n_novel,
+          CAST(coalesce(v.n_novel, 0) AS DOUBLE) /
+            CAST(n.n_docs AS DOUBLE) AS novelty_rate
+        FROM nd n LEFT JOIN ndist d USING (source)
+        LEFT JOIN nv v USING (source)""")),
+
+    // Pairwise source similarity: cosine between hashed unigram count
+    // vectors — "are these two crawls the same distribution" for mixture
+    // weighting. Dot/norms in DECIMAL(38,0) (HUGEINT), one deterministic
+    // double chain per cosine.
+    Query("q135_source_similarity",
+      (s, dir) => graft.operators.CorpusCompareOps.sourceSimilarity(
+        t(s, dir, "documents"), "text", "source", buckets = 4096),
+      Some(s"""WITH tok AS (SELECT source,
+          |    unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z0-9]+'),
+          |      x -> x <> '')) AS tok
+          |  FROM documents),
+          |hh AS (SELECT source, ${HashOracleSql.fnv1a64("tok")} AS h
+          |  FROM tok),
+          |cb AS MATERIALIZED (SELECT source,
+          |    ${HashOracleSql.bucketSql(4096)} AS b,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM hh GROUP BY 1, 2),
+          |nrm AS (SELECT source, sum(c::HUGEINT * c::HUGEINT) AS nrm
+          |  FROM cb GROUP BY 1),
+          |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+          |    sum(a.c::HUGEINT * b.c::HUGEINT) AS dot,
+          |    CAST(count(*) AS BIGINT) AS n_shared_buckets
+          |  FROM cb a JOIN cb b ON a.b = b.b AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared_buckets,
+          |  CAST(dot AS DOUBLE) /
+          |    (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+          |    AS cosine
+          |FROM pr JOIN nrm na ON na.source = pr.src_a
+          |JOIN nrm nb ON nb.source = pr.src_b""".stripMargin)),
+
+    // Chi-square feature-label association over the FULL labels x buckets
+    // grid (absent cells contribute their expected mass): the top-50
+    // source-discriminative hashed token buckets. Each cell quantizes its
+    // (o-e)^2/e to 1e-6 once; the statistic is then an exact LONG sum.
+    Query("q136_chi2_features",
+      (s, dir) => graft.operators.CorpusCompareOps.chiSquareFeatures(
+        t(s, dir, "documents"), "source", "text", buckets = 4096, k = 50),
+      Some(s"""WITH tok AS (SELECT source,
+          |    unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z0-9]+'),
+          |      x -> x <> '')) AS tok
+          |  FROM documents),
+          |hh AS (SELECT source, ${HashOracleSql.fnv1a64("tok")} AS h
+          |  FROM tok),
+          |obs AS MATERIALIZED (SELECT source AS label,
+          |    CAST(${HashOracleSql.bucketSql(4096)} AS BIGINT) AS b,
+          |    CAST(count(*) AS BIGINT) AS o
+          |  FROM hh GROUP BY 1, 2),
+          |rt AS (SELECT label, CAST(sum(o) AS BIGINT) AS rt
+          |  FROM obs GROUP BY 1),
+          |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct
+          |  FROM obs GROUP BY 1),
+          |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+          |grid AS (SELECT r.label, c.b, r.rt, c.ct,
+          |    (SELECT n FROM nn) AS n, coalesce(o.o, 0) AS o
+          |  FROM rt r CROSS JOIN ct c
+          |  LEFT JOIN obs o ON o.label = r.label AND o.b = c.b),
+          |cells AS (SELECT b, CAST(floor(
+          |    (CAST(o AS DOUBLE)
+          |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+          |         / CAST(n AS DOUBLE))
+          |    * (CAST(o AS DOUBLE)
+          |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+          |         / CAST(n AS DOUBLE))
+          |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+          |       / CAST(n AS DOUBLE))
+          |    * 1e6 + 0.5) AS BIGINT) AS cq
+          |  FROM grid)
+          |SELECT b, CAST(sum(cq) AS BIGINT) AS chi2_q
+          |FROM cells GROUP BY 1
+          |ORDER BY chi2_q DESC, b LIMIT 50""".stripMargin))
   )
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */

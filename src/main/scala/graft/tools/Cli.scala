@@ -715,6 +715,46 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"nextEvents: wrote $out")
 
+      // sourceNovelty <in> <out> [-text c] [-source c] — per-source
+      //   novelty attribution after exact dedup
+      case "sourceNovelty" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.CorpusCompareOps.sourceNovelty(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-source", "source"))
+          .write.mode("overwrite").parquet(out)
+        println(s"sourceNovelty: wrote $out")
+
+      // sourceSim <in> <out> [-text c] [-source c] [-buckets n] —
+      //   pairwise source cosine over hashed unigram vectors
+      case "sourceSim" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.CorpusCompareOps.sourceSimilarity(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-source", "source"), fv("-buckets", "4096").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"sourceSim: wrote $out")
+
+      // chi2 <in> <out> [-label c] [-text c] [-buckets n] [-top k] —
+      //   label-discriminative token buckets by exact chi-square
+      case "chi2" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.CorpusCompareOps.chiSquareFeatures(
+            spark.read.parquet(in), fv("-label", "source"),
+            fv("-text", "text"), fv("-buckets", "4096").toInt,
+            fv("-top", "50").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"chi2: wrote $out")
+
       // ntile <in> <out> -by c [-tie c] [-n k] — exact global equal-depth
       //   binning (ANSI NTILE semantics) with a parallel range sort
       case "ntile" :: in :: out :: rest =>
@@ -1123,6 +1163,9 @@ object Cli {
           "\n  boilerplate <in.parquet> <out.parquet> [-id c] [-text c] [-group c] [-minDocs n]" +
           "\n  ntile <in.parquet> <out.parquet> -by c [-tie c] [-n k]" +
           "\n  skewReport <in.parquet> -key c [-top k] [-out p.parquet]" +
+          "\n  sourceNovelty <in.parquet> <out.parquet> [-text c] [-source c]" +
+          "\n  sourceSim <in.parquet> <out.parquet> [-text c] [-source c] [-buckets n]" +
+          "\n  chi2 <in.parquet> <out.parquet> [-label c] [-text c] [-buckets n] [-top k]" +
           "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +

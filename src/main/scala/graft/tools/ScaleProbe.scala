@@ -511,6 +511,36 @@ object ScaleProbe {
         .agg(sum(length(col("history")))).collect().head.getLong(0)
     }
     spark.catalog.clearCache()
+    timed("source_novelty_50k") {
+      // round 10: novelty attribution over the 10x near-dup corpus with
+      // 20 synthetic sources — the (source, fp) projection carries all
+      // three aggregations; text never shuffles
+      val src = docs.select(col("doc_id"),
+        concat(lit("s"), pmod(col("doc_id"), lit(20L)).cast("string"))
+          .as("source"), col("text"))
+      graft.operators.CorpusCompareOps.sourceNovelty(src, "text", "source")
+        .agg(sum("n_novel")).collect().head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("source_cosine_50k") {
+      // round 10: pairwise source cosine — ONE corpus token aggregation
+      // to the bounded 20 x 4096 counts table, then broadcast pair join
+      val src = docs.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(20L)).cast("string"))
+          .as("source"), col("text"))
+      graft.operators.CorpusCompareOps.sourceSimilarity(
+        src, "text", "source", buckets = 4096).count()
+    }
+    spark.catalog.clearCache()
+    timed("chi2_features_50k") {
+      // round 10: chi-square feature scan — same bounded grid contract
+      val src = docs.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(20L)).cast("string"))
+          .as("source"), col("text"))
+      graft.operators.CorpusCompareOps.chiSquareFeatures(
+        src, "source", "text", buckets = 4096, k = 50).count()
+    }
+    spark.catalog.clearCache()
     timed("global_ntile_5m") {
       // round 10: exact ANSI NTILE(100) over 5M heavy-tied rows — the
       // range-partition + broadcast-offsets plan; a window ntile would

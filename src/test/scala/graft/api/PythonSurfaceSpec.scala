@@ -63,7 +63,9 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "budgetSelect" -> 5, "calibratedSelect" -> 5,
       "nextEventExamples" -> 6, "saltedJoin" -> 6,
       "removeBoilerplate" -> 5, "snapshotDeltaReport" -> 2,
-      "globalNtile" -> 4, "keySkewReport" -> 3)
+      "globalNtile" -> 4, "keySkewReport" -> 3,
+      "sourceNovelty" -> 3, "sourceSimilarity" -> 4,
+      "chiSquareFeatures" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -398,6 +398,30 @@ class PlanSpec extends SparkSpec {
       "totals must broadcast onto the k result rows")
     }
 
+  test("q134 source novelty: broadcast summary joins, no cartesian") {
+    val plan = planOf("q134_source_novelty")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "per-source summaries must broadcast, not sort-merge")
+  }
+
+  test("q135 source similarity: bounded broadcast pair join, partial agg") {
+    val plan = planOf("q135_source_similarity")
+    assert(plan.contains("partial_count"),
+      "the corpus aggregation must map-side combine")
+    assert(plan.contains("BroadcastHashJoin"),
+      "pair join on bucket must broadcast the bounded counts table")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q136 chi-square: map-side combine + TakeOrdered top-k") {
+    val plan = planOf("q136_chi2_features")
+    assert(plan.contains("partial_count"), plan.take(600))
+    assert(plan.contains("TakeOrdered"),
+      "top-k must be TakeOrdered, never a global sort")
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),

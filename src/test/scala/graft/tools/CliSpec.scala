@@ -649,6 +649,27 @@ class CliSpec extends SparkSpec {
     assert(rep.length == 2 && rep.forall(_.getAs[Long]("n") == 4L))
   }
 
+  test("corpus-compare commands: sourceNovelty, sourceSim, chi2") {
+    import spark.implicits._
+    val in = tmpDir() + "/cc_in.parquet"
+    Seq((1L, "a", "alpha beta"), (2L, "a", "alpha beta"),
+      (3L, "b", "alpha beta"), (4L, "b", "gamma delta"))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val nOut = tmpDir() + "/cc_nov.parquet"
+    Cli.run(spark, Seq("sourceNovelty", in, nOut))
+    val nov = spark.read.parquet(nOut).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(nov == Map("a" -> 1L, "b" -> 1L))
+
+    val sOut = tmpDir() + "/cc_sim.parquet"
+    Cli.run(spark, Seq("sourceSim", in, sOut))
+    assert(spark.read.parquet(sOut).count() == 1L)
+
+    val cOut = tmpDir() + "/cc_chi.parquet"
+    Cli.run(spark, Seq("chi2", in, cOut, "-top", "4"))
+    assert(spark.read.parquet(cOut).count() == 4L)
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
