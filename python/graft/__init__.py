@@ -1116,6 +1116,22 @@ def chi_square_features(docs, label_col="source", text_col="text",
                                               int(k)))
 
 
+def rrf_fuse(a, b, id_col="doc_id", rank_col="rank", k=60, top_n=100):
+    """Reciprocal-rank fusion of two (id, rank) rankings — integer-exact
+    1e12 div (k+rank) quanta: (id, rrf_q, rank_a, rank_b)."""
+    s = a.sparkSession
+    return _wrap(s, _api(s).rrfFuse(a._jdf, b._jdf, id_col, rank_col,
+                                    int(k), int(top_n)))
+
+
+def gini_by_group(df, group_col, value_col, tie_break):
+    """Per-group Gini concentration of a long value column:
+    (group, n_docs, total, gini)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).giniByGroup(df._jdf, group_col, value_col,
+                                        tie_break))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

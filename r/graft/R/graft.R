@@ -556,6 +556,19 @@ graft.chiSquareFeatures <- function(docs, labelCol = "source",
                                   as.integer(k)))
 }
 
+#' Reciprocal-rank fusion of two (id, rank) rankings (integer-exact).
+graft.rrfFuse <- function(a, b, idCol = "doc_id", rankCol = "rank",
+                          k = 60, topN = 100) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "rrfFuse", a@sdf, b@sdf, idCol,
+                                  rankCol, as.integer(k), as.integer(topN)))
+}
+
+#' Per-group Gini concentration of a long value column.
+graft.giniByGroup <- function(df, groupCol, valueCol, tieBreak) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "giniByGroup", df@sdf, groupCol,
+                                  valueCol, tieBreak))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

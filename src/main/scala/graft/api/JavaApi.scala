@@ -829,6 +829,18 @@ object JavaApi {
     graft.operators.CorpusCompareOps.chiSquareFeatures(docs, labelCol,
       textCol, buckets, k)
 
+  /** Reciprocal-rank fusion of two (idCol, rankCol) rankings:
+    * (idCol, rrf_q, rank_a, rank_b), integer-exact. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      k: Int, topN: Int): DataFrame =
+    graft.operators.RankFusionOps.rrfFuse(a, b, idCol, rankCol, k, topN)
+
+  /** Per-group Gini concentration of a long value column:
+    * (groupCol, n_docs, total, gini). */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame =
+    graft.operators.Stats.giniByGroup(df, groupCol, valueCol, tieBreak)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -135,4 +135,43 @@ object Stats {
       .agg(max("n").as("n_total"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-group Gini concentration of a non-negative LONG value column —
+    * "is this source's token mass dominated by a few huge documents?",
+    * the inequality diagnostic a curator reads next to [[momentsTable]]
+    * before trusting per-source averages.
+    *
+    * With the group's values sorted ascending (ties broken by `tieBreak`)
+    * and 1-based rank i:
+    * `G = (2*Σ(i*x_i) - (n+1)*Σx_i) / (n*Σx_i)` — both Σ terms aggregate
+    * in DECIMAL(38,0) (i*x_i reaches ~1e14 per row and 1e24 summed at
+    * trillion-token sources, far past LONG), and the final value is ONE
+    * fixed double chain over the exact aggregates, so any engine replays
+    * it bit-for-bit. All-zero groups define G = 0.
+    *
+    * Output: (groupCol, n_docs, total, gini).
+    *
+    * Scale: one keyed window (rank within group) + one map-side-combined
+    * aggregation; nothing unkeyed ever sees the data. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("x"), col("__tb"))
+    val ranked = df.select(col(groupCol),
+        col(valueCol).cast("long").as("x"), col(tieBreak).as("__tb"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x").cast(dec)).cast(dec).as("__s"),
+        sum(col("i").cast(dec) * col("x")).cast(dec).as("__six"))
+      .select(col(groupCol), col("n_docs"),
+        col("__s").cast("long").as("total"),
+        when(col("__s") === 0, lit(0.0)).otherwise(
+          (lit(2.0) * col("__six").cast("double")
+            - (col("n_docs").cast("double") + lit(1.0))
+              * col("__s").cast("double"))
+            / (col("n_docs").cast("double") * col("__s").cast("double")))
+          .as("gini"))
+  }
 }

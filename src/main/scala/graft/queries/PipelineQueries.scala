@@ -1919,8 +1919,130 @@ object PipelineQueries extends QuerySet {
           |  FROM grid)
           |SELECT b, CAST(sum(cq) AS BIGINT) AS chi2_q
           |FROM cells GROUP BY 1
-          |ORDER BY chi2_q DESC, b LIMIT 50""".stripMargin))
+          |ORDER BY chi2_q DESC, b LIMIT 50""".stripMargin)),
+
+    // Reciprocal-rank fusion of two BM25 query expansions — score-free
+    // ranking combination in pure integer arithmetic (1e12 div (k+rank)).
+    // Each ranking is a bounded top-200 TakeOrdered; the single-partition
+    // rank window runs over those 200 rows only.
+    Query("q137_rrf_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        def ranked(terms: Seq[String]): org.apache.spark.sql.DataFrame =
+          TextOps.bm25Scores(docs, "doc_id", "text", terms)
+            .orderBy(col("bm25_q").desc, col("doc_id")).limit(200)
+            .withColumn("rank", row_number().over(
+              Window.orderBy(col("bm25_q").desc, col("doc_id")))
+              .cast("long"))
+            .select("doc_id", "rank")
+        graft.operators.RankFusionOps.rrfFuse(
+          ranked(Seq("spark", "hash", "window", "merge", "dup")),
+          ranked(Seq("join", "sort", "query", "stream", "filter")),
+          "doc_id", "rank", k = 60, topN = 100)
+      },
+      Some(s"""WITH toks AS (
+          |  SELECT doc_id, list_filter(
+          |    string_split_regex(lower(text), '[^a-z0-9]+'),
+          |    x -> x <> '') AS ts
+          |  FROM documents),
+          |dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |                 CAST(sum(dl) AS BIGINT) AS dlsum FROM dl),
+          |${bm25RankCte("a", Seq("spark", "hash", "window", "merge", "dup"))},
+          |${bm25RankCte("b", Seq("join", "sort", "query", "stream", "filter"))}
+          |SELECT doc_id,
+          |  CAST(coalesce(1000000000000::BIGINT // (rank_a + 60), 0)
+          |     + coalesce(1000000000000::BIGINT // (rank_b + 60), 0) AS BIGINT)
+          |    AS rrf_q,
+          |  rank_a, rank_b
+          |FROM ra FULL OUTER JOIN rb USING (doc_id)
+          |ORDER BY rrf_q DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Per-source Gini concentration of token mass: "is this source
+    // dominated by a few huge documents". Keyed rank window + DECIMAL
+    // aggregates; one double chain per group.
+    Query("q138_source_gini",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+        graft.operators.Stats.giniByGroup(d, "source", "tokens", "doc_id")
+      },
+      Some("""WITH sc AS (
+          SELECT source, doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), '\s+'))
+            END AS BIGINT) AS tokens
+          FROM documents),
+        r AS (SELECT source, tokens AS x, row_number() OVER (
+            PARTITION BY source ORDER BY tokens, doc_id) AS i
+          FROM sc),
+        g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            sum(x::HUGEINT) AS s, sum(i::HUGEINT * x::HUGEINT) AS six
+          FROM r GROUP BY 1)
+        SELECT source, n_docs, CAST(s AS BIGINT) AS total,
+          CASE WHEN s = 0 THEN 0.0 ELSE
+            (2.0 * CAST(six AS DOUBLE)
+              - (CAST(n_docs AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+            / (CAST(n_docs AS DOUBLE) * CAST(s AS DOUBLE)) END AS gini
+        FROM g""")),
+
+    // Grouped top-k: the 3 longest documents per source — written as the
+    // declarative rank<=k filter so Spark's WindowGroupLimit pushes the
+    // per-group limit below the shuffle (PlanSpec-pinned).
+    Query("q139_top_docs_per_source",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+          .withColumn("rn", row_number().over(Window.partitionBy("source")
+            .orderBy(col("tokens").desc, col("doc_id"))).cast("long"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""WITH sc AS (
+          SELECT source, doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), '\s+'))
+            END AS BIGINT) AS tokens
+          FROM documents)
+        SELECT source, doc_id, tokens, rn FROM (
+          SELECT source, doc_id, tokens, row_number() OVER (
+              PARTITION BY source ORDER BY tokens DESC, doc_id) AS rn
+          FROM sc) WHERE rn <= 3"""))
   )
+
+  /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared
+    * `toks`/`dl`/`stats` — the q63 scoring replayed per term set, ranked
+    * (bm25_q DESC, doc_id) and cut to 200 via QUALIFY. */
+  private def bm25RankCte(tag: String, terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""tf$tag AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+       |  WHERE term IN ($in)
+       |  GROUP BY doc_id, term),
+       |dfs$tag AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf$tag GROUP BY term),
+       |c$tag AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |      * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (tf + CAST(1.2 AS DOUBLE) *
+       |         (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |          (CAST(dl AS DOUBLE) / (CAST(dlsum AS DOUBLE) / n))))
+       |      * 1e7 + 0.5) AS BIGINT) AS cq
+       |  FROM tf$tag t JOIN dl USING (doc_id)
+       |  CROSS JOIN stats JOIN dfs$tag USING (term)),
+       |sc$tag AS (SELECT doc_id, CAST(sum(cq) AS BIGINT) AS bm25_q
+       |  FROM c$tag GROUP BY doc_id),
+       |r$tag AS (SELECT doc_id, row_number() OVER (
+       |    ORDER BY bm25_q DESC, doc_id) AS rank_$tag
+       |  FROM sc$tag
+       |  QUALIFY rank_$tag <= 200)""".stripMargin
+  }
 
   /** DuckDB twin of [[TextOps.gopherQualityRules]] + keep. */
   private def gopherRulesSql: String = {

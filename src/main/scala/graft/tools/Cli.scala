@@ -755,6 +755,33 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"chi2: wrote $out")
 
+      // rrf <a.parquet> <b.parquet> <out> [-id c] [-rank c] [-k n]
+      //   [-top n] — reciprocal-rank fusion of two rankings
+      case "rrf" :: a :: b :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.RankFusionOps.rrfFuse(
+            spark.read.parquet(a), spark.read.parquet(b),
+            fv("-id", "doc_id"), fv("-rank", "rank"),
+            fv("-k", "60").toInt, fv("-top", "100").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"rrf: wrote $out")
+
+      // gini <in> <out> [-group c] [-value c] [-tie c] — per-group Gini
+      //   concentration
+      case "gini" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.giniByGroup(
+            spark.read.parquet(in), fv("-group", "source"),
+            fv("-value", "tokens"), fv("-tie", "doc_id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"gini: wrote $out")
+
       // ntile <in> <out> -by c [-tie c] [-n k] — exact global equal-depth
       //   binning (ANSI NTILE semantics) with a parallel range sort
       case "ntile" :: in :: out :: rest =>
@@ -1166,6 +1193,8 @@ object Cli {
           "\n  sourceNovelty <in.parquet> <out.parquet> [-text c] [-source c]" +
           "\n  sourceSim <in.parquet> <out.parquet> [-text c] [-source c] [-buckets n]" +
           "\n  chi2 <in.parquet> <out.parquet> [-label c] [-text c] [-buckets n] [-top k]" +
+          "\n  rrf <a.parquet> <b.parquet> <out.parquet> [-id c] [-rank c] [-k n] [-top n]" +
+          "\n  gini <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
           "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +

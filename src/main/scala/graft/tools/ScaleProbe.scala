@@ -541,6 +541,16 @@ object ScaleProbe {
         src, "source", "text", buckets = 4096, k = 50).count()
     }
     spark.catalog.clearCache()
+    timed("gini_5m") {
+      // round 10: per-group Gini over 5M rows, 20 groups — one keyed
+      // rank window + one map-side-combined DECIMAL aggregation
+      val rows = spark.range(5000000L).select(col("id"),
+        concat(lit("g"), pmod(col("id"), lit(20L)).cast("string"))
+          .as("g"),
+        pmod(col("id") * 2654435761L, lit(10000L)).as("v"))
+      graft.operators.Stats.giniByGroup(rows, "g", "v", "id").count()
+    }
+    spark.catalog.clearCache()
     timed("global_ntile_5m") {
       // round 10: exact ANSI NTILE(100) over 5M heavy-tied rows — the
       // range-partition + broadcast-offsets plan; a window ntile would

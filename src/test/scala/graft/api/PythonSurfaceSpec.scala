@@ -65,7 +65,7 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "removeBoilerplate" -> 5, "snapshotDeltaReport" -> 2,
       "globalNtile" -> 4, "keySkewReport" -> 3,
       "sourceNovelty" -> 3, "sourceSimilarity" -> 4,
-      "chiSquareFeatures" -> 5)
+      "chiSquareFeatures" -> 5, "rrfFuse" -> 6, "giniByGroup" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -422,6 +422,26 @@ class PlanSpec extends SparkSpec {
       "top-k must be TakeOrdered, never a global sort")
   }
 
+  test("q137 rrf: bounded TakeOrdered rankings, no cartesian") {
+    val plan = planOf("q137_rrf_fusion")
+    assert(plan.contains("TakeOrdered"),
+      "each ranking head must be TakeOrdered: " + plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q138 gini: rank windows keyed by source only") {
+    val plan = planOf("q138_source_gini")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("source")), plan.take(800))
+  }
+
+  test("q139 grouped top-k: WindowGroupLimit pushes the per-group limit") {
+    val plan = planOf("q139_top_docs_per_source")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k must trigger the group-limit pushdown: " + plan.take(600))
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),

@@ -670,6 +670,25 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(cOut).count() == 4L)
   }
 
+  test("rrf and gini commands") {
+    import spark.implicits._
+    val aP = tmpDir() + "/rrf_a.parquet"
+    val bP = tmpDir() + "/rrf_b.parquet"
+    Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank").write.parquet(aP)
+    Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank").write.parquet(bP)
+    val fOut = tmpDir() + "/rrf_out.parquet"
+    Cli.run(spark, Seq("rrf", aP, bP, fOut, "-top", "3"))
+    val fused = spark.read.parquet(fOut).collect().map(_.getLong(0)).toSeq
+    assert(fused == Seq(2L, 1L, 3L))
+
+    val gIn = tmpDir() + "/gini_in.parquet"
+    Seq(("s", 1L, 5L), ("s", 2L, 5L)).toDF("source", "doc_id", "tokens")
+      .write.parquet(gIn)
+    val gOut = tmpDir() + "/gini_out.parquet"
+    Cli.run(spark, Seq("gini", gIn, gOut))
+    assert(spark.read.parquet(gOut).collect().head.getDouble(3) == 0.0)
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
