@@ -1132,6 +1132,30 @@ def gini_by_group(df, group_col, value_col, tie_break):
                                         tie_break))
 
 
+def k_anonymity_report(df, quasi_cols, k=10):
+    """k-anonymity release audit over quasi-identifier columns: one row
+    (n_rows, n_classes, min_class_size, n_small_classes, n_rows_at_risk,
+    risk_rate)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).kAnonymityReport(
+        df._jdf, [str(c) for c in quasi_cols], int(k)))
+
+
+def trend_by_group(df, group_col, x_col, y_col):
+    """Per-group exact least-squares trend: (group, n_points, slope,
+    intercept); degenerate x spreads report nulls."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).trendByGroup(df._jdf, group_col, x_col, y_col))
+
+
+def wilson_ranking(df, group_col, pass_col, z=1.96):
+    """Per-group Wilson score lower bound on a boolean pass rate:
+    (group, n_docs, n_pass, wilson_lb)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).wilsonRanking(df._jdf, group_col, pass_col,
+                                          float(z)))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

@@ -569,6 +569,27 @@ graft.giniByGroup <- function(df, groupCol, valueCol, tieBreak) {
                                   valueCol, tieBreak))
 }
 
+#' k-anonymity release audit over quasi-identifier columns.
+graft.kAnonymityReport <- function(df, quasiCols, k = 10) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "kAnonymityReport", df@sdf,
+                                  as.list(quasiCols),
+                                  SparkR::sparkR.callJStatic(
+                                    "java.lang.Long", "valueOf",
+                                    format(k, scientific = FALSE))))
+}
+
+#' Per-group exact least-squares trend (slope/intercept).
+graft.trendByGroup <- function(df, groupCol, xCol, yCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "trendByGroup", df@sdf, groupCol,
+                                  xCol, yCol))
+}
+
+#' Per-group Wilson score lower bound on a boolean pass rate.
+graft.wilsonRanking <- function(df, groupCol, passCol, z = 1.96) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "wilsonRanking", df@sdf, groupCol,
+                                  passCol, as.numeric(z)))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

@@ -841,6 +841,28 @@ object JavaApi {
       tieBreak: String): DataFrame =
     graft.operators.Stats.giniByGroup(df, groupCol, valueCol, tieBreak)
 
+  /** k-anonymity release audit over quasi-identifier columns: one row
+    * (n_rows, n_classes, min_class_size, n_small_classes,
+    * n_rows_at_risk, risk_rate). */
+  def kAnonymityReport(df: DataFrame, quasiCols: java.util.List[String],
+      k: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.PrivacyOps.kAnonymityReport(df,
+      quasiCols.asScala.toSeq, k)
+  }
+
+  /** Per-group exact least-squares trend: (group, n_points, slope,
+    * intercept). */
+  def trendByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame =
+    graft.operators.Stats.trendByGroup(df, groupCol, xCol, yCol)
+
+  /** Per-group Wilson lower bound on a boolean pass rate:
+    * (group, n_docs, n_pass, wilson_lb). */
+  def wilsonRanking(df: DataFrame, groupCol: String, passCol: String,
+      z: Double): DataFrame =
+    graft.operators.Stats.wilsonRanking(df, groupCol, passCol, z)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -136,6 +136,72 @@ object Stats {
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group least-squares linear trend of a LONG y over a LONG x —
+    * "is this source/event type growing or shrinking" drift detection
+    * over (day, daily-count) style points, in closed form:
+    * `slope = (n*Σxy − Σx*Σy) / (n*Σx² − (Σx)²)`,
+    * `intercept = (Σy − slope*Σx) / n`.
+    * All five sums aggregate in DECIMAL(38,0) (epoch-day x ~2e4 times
+    * count y ~1e9 per row wraps LONG near 1e6 points), the numerator and
+    * denominator are computed EXACTLY in decimal, and slope/intercept
+    * are one fixed double chain each — engine-replayable. Groups with a
+    * degenerate x spread (den = 0) report null slope/intercept.
+    *
+    * Output: (groupCol, n_points, slope, intercept).
+    *
+    * Scale: ONE map-side-combined aggregation; constant state per group. */
+  def trendByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast(dec).as("sx"), sum(y).cast(dec).as("sy"),
+      sum(x * y).cast(dec).as("sxy"), sum(x * x).cast(dec).as("sxx"))
+    val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+    val den = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    agg
+      .withColumn("slope", when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")))
+      .withColumn("intercept", when(den === 0, lit(null).cast("double"))
+        .otherwise((col("sy").cast("double")
+          - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")))
+      .select(col(groupCol), col("n").as("n_points"),
+        col("slope"), col("intercept"))
+  }
+
+  /** Per-group Wilson score lower bound on a pass rate — the
+    * small-sample-honest way to RANK sources/domains by the fraction of
+    * their documents passing a quality gate (a 2/2 source must not
+    * outrank a 950/1000 one). `passCol` is a boolean column; `z` is the
+    * confidence quantile (1.96 ~ 95%).
+    *
+    * wlb = (p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n) with
+    * p = k/n — every term one fixed double chain over the exact integer
+    * (n, k), replayable when the oracle states the identical expression.
+    *
+    * Output: (groupCol, n_docs, n_pass, wilson_lb); empty groups can't
+    * occur (group keys come from the rows).
+    *
+    * Scale: one map-side-combined aggregation, constant per-group state. */
+  def wilsonRanking(df: DataFrame, groupCol: String, passCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0)
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(passCol), 1L).otherwise(0L)).as("n_pass"))
+    val nD = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val wlb = (p + z2 / (nD * lit(2.0))
+      - lit(z) * sqrt(p * (lit(1.0) - p) / nD
+        + z2 / (nD * nD * lit(4.0))))
+      ./(lit(1.0) + z2 / nD)
+    agg.withColumn("wilson_lb", wlb)
+  }
+
   /** Per-group Gini concentration of a non-negative LONG value column —
     * "is this source's token mass dominated by a few huge documents?",
     * the inequality diagnostic a curator reads next to [[momentsTable]]

@@ -2010,7 +2010,41 @@ object PipelineQueries extends QuerySet {
         SELECT source, doc_id, tokens, rn FROM (
           SELECT source, doc_id, tokens, row_number() OVER (
               PARTITION BY source ORDER BY tokens DESC, doc_id) AS rn
-          FROM sc) WHERE rn <= 3"""))
+          FROM sc) WHERE rn <= 3""")),
+
+    // Wilson lower-bound quality ranking: rank sources by the fraction
+    // of docs passing the >=50-token gate, small-sample corrected (a 2/2
+    // source must not outrank 950/1000). One aggregation; the bound is
+    // one fixed double chain over exact (n, k), restated verbatim in SQL.
+    Query("q142_wilson_quality_rank",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"),
+            (TextOps.tokenCount(col("text")).cast("long") >= 50)
+              .as("pass"))
+        graft.operators.Stats.wilsonRanking(d, "source", "pass", z = 1.96)
+      },
+      Some("""WITH sc AS (
+          SELECT source,
+            (CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_split_to_array(trim(text), '\s+'))
+            END AS BIGINT) >= 50) AS pass
+          FROM documents),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pass
+          FROM sc GROUP BY 1)
+        SELECT source, n_docs, n_pass,
+          ((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            + (1.96 * 1.96) / (CAST(n_docs AS DOUBLE) * 2.0)
+            - 1.96 * sqrt(
+                (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                  * (1.0 - (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                  / CAST(n_docs AS DOUBLE)
+                + (1.96 * 1.96)
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) * 4.0)))
+          / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)) AS wilson_lb
+        FROM a"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

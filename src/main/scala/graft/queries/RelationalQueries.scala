@@ -612,6 +612,63 @@ object RelationalQueries extends QuerySet {
           count(*) AS n_keys FROM c)
         SELECT key, CAST(n AS BIGINT) AS n,
           CAST(n AS DOUBLE) / total_rows AS share, total_rows, n_keys
-        FROM c, t ORDER BY n DESC, key LIMIT 20"""))
+        FROM c, t ORDER BY n DESC, key LIMIT 20""")),
+
+    // k-anonymity release audit on the customer table's quasi-identifier
+    // pair (nation, market segment): classes below k=10, rows they
+    // expose, and the risk rate — the tabular companion to PII redaction.
+    Query("q140_k_anonymity",
+      (s, dir) => graft.operators.PrivacyOps.kAnonymityReport(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some("""WITH cls AS (
+          SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2),
+        a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_classes,
+            CAST(min(n) AS BIGINT) AS min_class_size,
+            CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_small_classes,
+            CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+              AS n_rows_at_risk
+          FROM cls)
+        SELECT n_rows, n_classes, min_class_size, n_small_classes,
+          n_rows_at_risk,
+          CAST(n_rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)
+            AS risk_rate
+        FROM a""")),
+
+    // Per-event-type daily-volume drift: exact closed-form least-squares
+    // slope/intercept over (epoch day, daily count) points — DECIMAL
+    // numerator/denominator, one double chain each.
+    Query("q141_event_trend",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("event_type"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        graft.operators.Stats.trendByGroup(daily, "event_type", "day", "n")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+            sum(day::HUGEINT) AS sx, sum(n::HUGEINT) AS sy,
+            sum(day::HUGEINT * n::HUGEINT) AS sxy,
+            sum(day::HUGEINT * day::HUGEINT) AS sxx
+          FROM daily GROUP BY 1),
+        b AS (SELECT event_type, n_points, sx, sy,
+            n_points::HUGEINT * sxy - sx * sy AS num,
+            n_points::HUGEINT * sxx - sx * sx AS den
+          FROM a)
+        SELECT event_type, n_points,
+          CASE WHEN den = 0 THEN NULL
+            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+          CASE WHEN den = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+              / CAST(n_points AS DOUBLE) END AS intercept
+        FROM b"""))
   )
 }

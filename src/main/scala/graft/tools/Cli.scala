@@ -755,6 +755,45 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"chi2: wrote $out")
 
+      // kanon <in> <out> -cols a,b,c [-k n] — k-anonymity release audit
+      case "kanon" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val cols = fv("-cols", "").split(",").filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "kanon needs -cols a,b,...")
+        graft.operators.PrivacyOps.kAnonymityReport(
+            spark.read.parquet(in), cols, fv("-k", "10").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"kanon: wrote $out")
+
+      // trend <in> <out> [-group c] [-x c] [-y c] — per-group exact
+      //   least-squares slope/intercept
+      case "trend" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.trendByGroup(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-x", "day"), fv("-y", "n"))
+          .write.mode("overwrite").parquet(out)
+        println(s"trend: wrote $out")
+
+      // wilson <in> <out> [-group c] [-pass c] [-z x] — Wilson
+      //   lower-bound pass-rate ranking
+      case "wilson" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.wilsonRanking(
+            spark.read.parquet(in), fv("-group", "source"),
+            fv("-pass", "pass"), fv("-z", "1.96").toDouble)
+          .write.mode("overwrite").parquet(out)
+        println(s"wilson: wrote $out")
+
       // rrf <a.parquet> <b.parquet> <out> [-id c] [-rank c] [-k n]
       //   [-top n] — reciprocal-rank fusion of two rankings
       case "rrf" :: a :: b :: out :: rest =>
@@ -1195,6 +1234,9 @@ object Cli {
           "\n  chi2 <in.parquet> <out.parquet> [-label c] [-text c] [-buckets n] [-top k]" +
           "\n  rrf <a.parquet> <b.parquet> <out.parquet> [-id c] [-rank c] [-k n] [-top n]" +
           "\n  gini <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
+          "\n  kanon <in.parquet> <out.parquet> -cols a,b[,c] [-k n]" +
+          "\n  trend <in.parquet> <out.parquet> [-group c] [-x c] [-y c]" +
+          "\n  wilson <in.parquet> <out.parquet> [-group c] [-pass c] [-z x]" +
           "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +

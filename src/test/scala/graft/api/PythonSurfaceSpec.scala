@@ -65,7 +65,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "removeBoilerplate" -> 5, "snapshotDeltaReport" -> 2,
       "globalNtile" -> 4, "keySkewReport" -> 3,
       "sourceNovelty" -> 3, "sourceSimilarity" -> 4,
-      "chiSquareFeatures" -> 5, "rrfFuse" -> 6, "giniByGroup" -> 4)
+      "chiSquareFeatures" -> 5, "rrfFuse" -> 6, "giniByGroup" -> 4,
+      "kAnonymityReport" -> 3, "trendByGroup" -> 4, "wilsonRanking" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -96,4 +96,52 @@ class StatsSpec extends SparkSpec {
       Seq("x", "y", "z"), Seq(100L, 100L, 100L)).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("trendByGroup recovers an exact line and nulls degenerate spreads") {
+    import spark.implicits._
+    // g1: y = 3x + 7 exactly; g2: one x value repeated -> den = 0
+    val pts = (1L to 10L).map(x => ("g1", x, 3 * x + 7)) ++
+      Seq(("g2", 5L, 1L), ("g2", 5L, 9L))
+    val out = Stats.trendByGroup(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("g1") == ((10L, Some(3.0), Some(7.0))))
+    assert(out("g2") == ((2L, None, None)))
+  }
+
+  test("trendByGroup slope matches a driver closed-form replay") {
+    import spark.implicits._
+    val pts = Seq(("g", 1L, 5L), ("g", 2L, 9L), ("g", 4L, 6L),
+      ("g", 7L, 20L))
+    val out = Stats.trendByGroup(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    val (n, sx, sy) = (4.0, 14.0, 40.0)
+    val (sxy, sxx) = (5.0 + 18 + 24 + 140, 1.0 + 4 + 16 + 49)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out.getDouble(2) == slope)
+    assert(out.getDouble(3) == (sy - slope * sx) / n)
+  }
+
+  test("wilsonRanking: small perfect sample does not outrank a large one") {
+    import spark.implicits._
+    val docs = (1 to 2).map(_ => ("tiny", true)) ++
+      (1 to 1000).map(i => ("big", i <= 950))
+    val out = Stats.wilsonRanking(docs.toDF("g", "p"), "g", "p")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out("tiny")._1 == 2L && out("tiny")._2 == 2L)
+    assert(out("big")._3 > out("tiny")._3,
+      s"950/1000 must outrank 2/2: $out")
+    // the exact chain value for the 2/2 group
+    val (n, z) = (2.0, 1.96)
+    val p = 1.0
+    val z2 = z * z
+    val expect = (p + z2 / (n * 2.0) -
+      z * math.sqrt(p * (1.0 - p) / n + z2 / (n * n * 4.0))) /
+      (1.0 + z2 / n)
+    assert(out("tiny")._3 == expect)
+  }
 }

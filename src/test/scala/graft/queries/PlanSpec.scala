@@ -442,6 +442,16 @@ class PlanSpec extends SparkSpec {
       "rank<=k must trigger the group-limit pushdown: " + plan.take(600))
   }
 
+  test("q140/q141/q142 single-aggregation reports: map-side combine, no window") {
+    for (q <- Seq("q140_k_anonymity", "q141_event_trend",
+        "q142_wilson_quality_rank")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_count"), s"$q: " + plan.take(400))
+      assert(!plan.contains("Window"), s"$q must be window-free")
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),

@@ -689,6 +689,33 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(gOut).collect().head.getDouble(3) == 0.0)
   }
 
+  test("kanon, trend and wilson commands") {
+    import spark.implicits._
+    val kIn = tmpDir() + "/ka_in.parquet"
+    Seq(("a", "x"), ("a", "x"), ("a", "y")).toDF("n", "s").write.parquet(kIn)
+    val kOut = tmpDir() + "/ka_out.parquet"
+    Cli.run(spark, Seq("kanon", kIn, kOut, "-cols", "n,s", "-k", "2"))
+    assert(spark.read.parquet(kOut).collect().head
+      .getAs[Long]("n_rows_at_risk") == 1L)
+
+    val tIn = tmpDir() + "/tr_in.parquet"
+    (1L to 5L).map(x => ("g", x, 2 * x)).toDF("event_type", "day", "n")
+      .write.parquet(tIn)
+    val tOut = tmpDir() + "/tr_out.parquet"
+    Cli.run(spark, Seq("trend", tIn, tOut))
+    assert(spark.read.parquet(tOut).collect().head
+      .getAs[Double]("slope") == 2.0)
+
+    val wIn = tmpDir() + "/wi_in.parquet"
+    Seq(("s", true), ("s", false)).toDF("source", "pass").write.parquet(wIn)
+    val wOut = tmpDir() + "/wi_out.parquet"
+    Cli.run(spark, Seq("wilson", wIn, wOut))
+    val w = spark.read.parquet(wOut).collect().head
+    assert(w.getAs[Long]("n_pass") == 1L &&
+      w.getAs[Double]("wilson_lb") > 0.0 &&
+      w.getAs[Double]("wilson_lb") < 0.5)
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
