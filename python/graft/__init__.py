@@ -1156,6 +1156,14 @@ def wilson_ranking(df, group_col, pass_col, z=1.96):
                                           float(z)))
 
 
+def profile_columns(df, cols):
+    """Single-pass table profile: one row per column with
+    (col_name, n_rows, n_nulls, n_distinct, n_blank)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).profileColumns(df._jdf,
+                                           [str(c) for c in cols]))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

@@ -590,6 +590,12 @@ graft.wilsonRanking <- function(df, groupCol, passCol, z = 1.96) {
                                   passCol, as.numeric(z)))
 }
 
+#' Single-pass table profile (completeness/cardinality/blankness).
+graft.profileColumns <- function(df, cols) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "profileColumns", df@sdf,
+                                  as.list(cols)))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

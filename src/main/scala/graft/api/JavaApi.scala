@@ -863,6 +863,14 @@ object JavaApi {
       z: Double): DataFrame =
     graft.operators.Stats.wilsonRanking(df, groupCol, passCol, z)
 
+  /** Single-pass table profile: one row per column with
+    * (col_name, n_rows, n_nulls, n_distinct, n_blank). */
+  def profileColumns(df: DataFrame,
+      cols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.ProfileOps.profileColumns(df, cols.asScala.toSeq)
+  }
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -2044,7 +2044,26 @@ object PipelineQueries extends QuerySet {
                 + (1.96 * 1.96)
                   / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) * 4.0)))
           / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)) AS wilson_lb
-        FROM a"""))
+        FROM a""")),
+
+    // Snapshot data-quality profile of the documents table: per-column
+    // completeness, exact cardinality, blank-string count — ONE
+    // aggregation pass (Expand), stacked to long format.
+    Query("q143_table_profile",
+      (s, dir) => graft.operators.ProfileOps.profileColumns(
+        t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        val blank =
+          if (c == "text" || c == "lang" || c == "source")
+            s"CAST(sum(CASE WHEN trim($c) = '' THEN 1 ELSE 0 END) AS BIGINT)"
+          else "CAST(0 AS BIGINT)"
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $blank AS n_blank
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

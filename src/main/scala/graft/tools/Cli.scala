@@ -755,6 +755,22 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"chi2: wrote $out")
 
+      // profile <in> <out> [-cols a,b,c] — single-pass table profile
+      //   (defaults to every column)
+      case "profile" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val df = spark.read.parquet(in)
+        val cols = {
+          val c = fv("-cols", "").split(",").filter(_.nonEmpty).toSeq
+          if (c.nonEmpty) c else df.columns.toSeq
+        }
+        graft.operators.ProfileOps.profileColumns(df, cols)
+          .write.mode("overwrite").parquet(out)
+        println(s"profile: wrote $out")
+
       // kanon <in> <out> -cols a,b,c [-k n] — k-anonymity release audit
       case "kanon" :: in :: out :: rest =>
         def fv(flag: String, dft: String): String = {
@@ -1234,6 +1250,7 @@ object Cli {
           "\n  chi2 <in.parquet> <out.parquet> [-label c] [-text c] [-buckets n] [-top k]" +
           "\n  rrf <a.parquet> <b.parquet> <out.parquet> [-id c] [-rank c] [-k n] [-top n]" +
           "\n  gini <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
+          "\n  profile <in.parquet> <out.parquet> [-cols a,b,c]" +
           "\n  kanon <in.parquet> <out.parquet> -cols a,b[,c] [-k n]" +
           "\n  trend <in.parquet> <out.parquet> [-group c] [-x c] [-y c]" +
           "\n  wilson <in.parquet> <out.parquet> [-group c] [-pass c] [-z x]" +

@@ -66,7 +66,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "globalNtile" -> 4, "keySkewReport" -> 3,
       "sourceNovelty" -> 3, "sourceSimilarity" -> 4,
       "chiSquareFeatures" -> 5, "rrfFuse" -> 6, "giniByGroup" -> 4,
-      "kAnonymityReport" -> 3, "trendByGroup" -> 4, "wilsonRanking" -> 4)
+      "kAnonymityReport" -> 3, "trendByGroup" -> 4, "wilsonRanking" -> 4,
+      "profileColumns" -> 2)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

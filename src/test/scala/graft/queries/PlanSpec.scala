@@ -452,6 +452,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q143 profile: one scan, one Expand-backed aggregation") {
+    val plan = planOf("q143_table_profile")
+    assert(plan.contains("Expand"), plan.take(500))
+    // exactly one parquet scan of documents — not one per column
+    assert(plan.split("Scan parquet").length == 2,
+      "profile must scan the table once: " + plan.take(600))
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),

@@ -467,6 +467,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trendByGroup (complete mode) converges to the batch trend") {
+    // the five trend sums are mergeable state, so the BATCH operator
+    // applies unchanged to a stream — final complete-mode output must
+    // equal the batch q141 result on the same daily points
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val daily = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"))
+      .as[(String, Long, Long)]
+      .collect().toSeq
+    val batch = graft.operators.Stats.trendByGroup(
+        daily.toDF("event_type", "day", "n"), "event_type", "day", "n")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val input = MemoryStream[(String, Long, Long)]
+    val q = graft.operators.Stats.trendByGroup(
+        input.toDS().toDF("event_type", "day", "n"),
+        "event_type", "day", "n")
+      .writeStream.format("memory").queryName("trendstream")
+      .outputMode("complete").start()
+    try {
+      daily.grouped(math.max(1, daily.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = spark.table("trendstream").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == batch, s"stream-batch trend drift: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
     // end-to-end composition on the REAL documents fixture: streaming
     // exact dedup, then stateless quality gate + chunking — one continuous

@@ -716,6 +716,17 @@ class CliSpec extends SparkSpec {
       w.getAs[Double]("wilson_lb") < 0.5)
   }
 
+  test("profile command defaults to all columns") {
+    import spark.implicits._
+    val in = tmpDir() + "/pf_in.parquet"
+    Seq((1L, "a"), (2L, "a"), (3L, " ")).toDF("id", "s").write.parquet(in)
+    val out = tmpDir() + "/pf_out.parquet"
+    Cli.run(spark, Seq("profile", in, out))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("id" -> ((3L, 0L)), "s" -> ((2L, 1L))))
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
