@@ -1164,6 +1164,30 @@ def profile_columns(df, cols):
                                            [str(c) for c in cols]))
 
 
+def fk_audit(child, parent, child_key, parent_key):
+    """Referential-integrity audit: (n_child_rows, n_orphans,
+    orphan_rate); null child keys count as orphans."""
+    s = child.sparkSession
+    return _wrap(s, _api(s).fkAudit(child._jdf, parent._jdf, child_key,
+                                    parent_key))
+
+
+def pk_audit(df, key_cols):
+    """Primary-key uniqueness audit: (n_rows, n_keys, n_dup_keys,
+    n_dup_rows, dup_rate)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).pkAudit(df._jdf, [str(c) for c in key_cols]))
+
+
+def calibration_curve(df, score_col, outcome_col, tie_break, n=10):
+    """Reliability diagram over exact equal-depth score buckets:
+    (bucket, n, n_pos, pos_rate)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).calibrationCurve(df._jdf, score_col,
+                                             outcome_col, tie_break,
+                                             int(n)))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

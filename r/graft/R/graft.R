@@ -596,6 +596,26 @@ graft.profileColumns <- function(df, cols) {
                                   as.list(cols)))
 }
 
+#' Referential-integrity audit (orphan child keys).
+graft.fkAudit <- function(child, parent, childKey, parentKey) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "fkAudit", child@sdf, parent@sdf,
+                                  childKey, parentKey))
+}
+
+#' Primary-key uniqueness audit.
+graft.pkAudit <- function(df, keyCols) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "pkAudit", df@sdf,
+                                  as.list(keyCols)))
+}
+
+#' Reliability diagram over exact equal-depth score buckets.
+graft.calibrationCurve <- function(df, scoreCol, outcomeCol, tieBreak,
+                                   n = 10) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "calibrationCurve", df@sdf,
+                                  scoreCol, outcomeCol, tieBreak,
+                                  as.integer(n)))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

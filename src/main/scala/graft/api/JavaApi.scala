@@ -871,6 +871,26 @@ object JavaApi {
     graft.operators.ProfileOps.profileColumns(df, cols.asScala.toSeq)
   }
 
+  /** Referential-integrity audit:
+    * (n_child_rows, n_orphans, orphan_rate). */
+  def fkAudit(child: DataFrame, parent: DataFrame, childKey: String,
+      parentKey: String): DataFrame =
+    graft.operators.ProfileOps.fkAudit(child, parent, childKey, parentKey)
+
+  /** Primary-key uniqueness audit:
+    * (n_rows, n_keys, n_dup_keys, n_dup_rows, dup_rate). */
+  def pkAudit(df: DataFrame, keyCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.ProfileOps.pkAudit(df, keyCols.asScala.toSeq)
+  }
+
+  /** Score-calibration curve over equal-depth buckets:
+    * (bucket, n, n_pos, pos_rate). */
+  def calibrationCurve(df: DataFrame, scoreCol: String, outcomeCol: String,
+      tieBreak: String, n: Int): DataFrame =
+    graft.operators.Quantiles.calibrationCurve(df, scoreCol, outcomeCol,
+      tieBreak, n)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

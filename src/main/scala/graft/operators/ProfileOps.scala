@@ -41,4 +41,41 @@ object ProfileOps {
         .as("p"))
       .select("p.*")
   }
+
+  /** Referential-integrity audit: rows of `child` whose `childKey` has
+    * no match in `parent.parentKey` (NULL child keys count as orphans —
+    * they can never join). One row:
+    * (n_child_rows, n_orphans, orphan_rate).
+    *
+    * Scale: the join runs on the two key PROJECTIONS (parent distinct
+    * first, broadcastable when the dimension is small); no payload
+    * column ever shuffles. */
+  def fkAudit(child: DataFrame, parent: DataFrame, childKey: String,
+      parentKey: String): DataFrame = {
+    val c = child.select(col(childKey).as("__k"))
+    val p = parent.select(col(parentKey).as("__k")).distinct()
+      .withColumn("__hit", lit(1))
+    c.join(p, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .withColumn("orphan_rate",
+        col("n_orphans").cast("double") / col("n_child_rows").cast("double"))
+  }
+
+  /** Primary-key uniqueness audit over `keyCols`: one row
+    * (n_rows, n_keys, n_dup_keys, n_dup_rows, dup_rate) — the
+    * [[kAnonymityReport]] shape pointed at k = 2. NULL key components
+    * group together (SQL GROUP BY semantics, both engines). */
+  def pkAudit(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__kn"))
+      .agg(sum("__kn").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__kn") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("__kn") > 1, col("__kn")).otherwise(0L))
+          .as("n_dup_rows"))
+      .withColumn("dup_rate",
+        col("n_dup_rows").cast("double") / col("n_rows").cast("double"))
+  }
 }

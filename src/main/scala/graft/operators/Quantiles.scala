@@ -111,4 +111,20 @@ object Quantiles {
       .withColumn("bucket", bucket.cast("int"))
       .drop("__pid", "__off", "__total", "__lrk")
   }
+
+  /** Reliability/calibration curve: bucket a score column into `n`
+    * equal-depth tiers ([[globalNtile]] — exact, no global sort) and
+    * report the positive-outcome rate per tier. A score is calibrated
+    * when pos_rate rises monotonically with the bucket; flat curves mean
+    * the score carries no signal. Output per bucket:
+    * (bucket, n, n_pos, pos_rate) — rate the one double division. */
+  def calibrationCurve(df: DataFrame, scoreCol: String,
+      outcomeCol: String, tieBreak: String, n: Int): DataFrame = {
+    globalNtile(df, scoreCol, tieBreak, n)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(outcomeCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
 }

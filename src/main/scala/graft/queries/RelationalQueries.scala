@@ -669,6 +669,65 @@ object RelationalQueries extends QuerySet {
               - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
                 * CAST(sx AS DOUBLE))
               / CAST(n_points AS DOUBLE) END AS intercept
-        FROM b"""))
+        FROM b""")),
+
+    // Referential-integrity audit: orders rows whose o_custkey has no
+    // customer — the FK half of the deequ-style quality family. Keys
+    // only ever shuffle; the distinct dimension side broadcasts.
+    Query("q144_fk_audit",
+      (s, dir) => graft.operators.ProfileOps.fkAudit(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey"),
+      Some("""WITH c AS (SELECT o_custkey AS k FROM orders),
+        p AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        f AS (SELECT c.k,
+            CASE WHEN p.k IS NULL THEN 1 ELSE 0 END AS orphan
+          FROM c LEFT JOIN p USING (k))
+        SELECT CAST(count(*) AS BIGINT) AS n_child_rows,
+          CAST(sum(orphan) AS BIGINT) AS n_orphans,
+          CAST(sum(orphan) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS orphan_rate
+        FROM f""")),
+
+    // Primary-key uniqueness audit on lineitem's nominal key — the
+    // driver fixture plants real duplicate (orderkey, linenumber) pairs,
+    // so the dup counts are live, not vacuous.
+    Query("q145_pk_audit",
+      (s, dir) => graft.operators.ProfileOps.pkAudit(
+        t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")),
+      Some("""WITH g AS (
+          SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1, 2),
+        a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_keys,
+            CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+              AS n_dup_rows
+          FROM g)
+        SELECT n_rows, n_keys, n_dup_keys, n_dup_rows,
+          CAST(n_dup_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS dup_rate
+        FROM a""")),
+
+    // Score-calibration curve: event value deciles (exact global NTILE,
+    // the q132 parallel-sort plan) vs purchase rate per decile — the
+    // reliability diagram that validates a ranking signal before it
+    // gates a pipeline.
+    Query("q146_calibration_curve",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("value"),
+          (col("event_type") === "purchase").as("pos"))
+        graft.operators.Quantiles.calibrationCurve(
+            ev, "value", "pos", "event_id", n = 10)
+          .withColumn("bucket", col("bucket").cast("long"))
+      },
+      Some("""WITH b AS (SELECT (event_type = 'purchase') AS pos,
+            ntile(10) OVER (ORDER BY value, event_id) AS bucket
+          FROM events)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS pos_rate
+        FROM b GROUP BY 1"""))
   )
 }

@@ -771,6 +771,43 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"profile: wrote $out")
 
+      // fkAudit <child> <parent> <out> -childKey c -parentKey c —
+      //   referential-integrity orphan audit
+      case "fkAudit" :: childP :: parentP :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.ProfileOps.fkAudit(
+            spark.read.parquet(childP), spark.read.parquet(parentP),
+            fv("-childKey", "id"), fv("-parentKey", "id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"fkAudit: wrote $out")
+
+      // pkAudit <in> <out> -cols a[,b] — primary-key uniqueness audit
+      case "pkAudit" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val cols = fv("-cols", "").split(",").filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "pkAudit needs -cols a[,b]")
+        graft.operators.ProfileOps.pkAudit(spark.read.parquet(in), cols)
+          .write.mode("overwrite").parquet(out)
+        println(s"pkAudit: wrote $out")
+
+      // calibration <in> <out> [-score c] [-outcome c] [-tie c] [-n k]
+      case "calibration" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Quantiles.calibrationCurve(
+            spark.read.parquet(in), fv("-score", "score"),
+            fv("-outcome", "pos"), fv("-tie", "id"), fv("-n", "10").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"calibration: wrote $out")
+
       // kanon <in> <out> -cols a,b,c [-k n] — k-anonymity release audit
       case "kanon" :: in :: out :: rest =>
         def fv(flag: String, dft: String): String = {
@@ -1251,6 +1288,9 @@ object Cli {
           "\n  rrf <a.parquet> <b.parquet> <out.parquet> [-id c] [-rank c] [-k n] [-top n]" +
           "\n  gini <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
           "\n  profile <in.parquet> <out.parquet> [-cols a,b,c]" +
+          "\n  fkAudit <child.parquet> <parent.parquet> <out.parquet> -childKey c -parentKey c" +
+          "\n  pkAudit <in.parquet> <out.parquet> -cols a[,b]" +
+          "\n  calibration <in.parquet> <out.parquet> [-score c] [-outcome c] [-tie c] [-n k]" +
           "\n  kanon <in.parquet> <out.parquet> -cols a,b[,c] [-k n]" +
           "\n  trend <in.parquet> <out.parquet> [-group c] [-x c] [-y c]" +
           "\n  wilson <in.parquet> <out.parquet> [-group c] [-pass c] [-z x]" +

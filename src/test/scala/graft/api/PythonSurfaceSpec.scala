@@ -67,7 +67,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "sourceNovelty" -> 3, "sourceSimilarity" -> 4,
       "chiSquareFeatures" -> 5, "rrfFuse" -> 6, "giniByGroup" -> 4,
       "kAnonymityReport" -> 3, "trendByGroup" -> 4, "wilsonRanking" -> 4,
-      "profileColumns" -> 2)
+      "profileColumns" -> 2, "fkAudit" -> 4, "pkAudit" -> 2,
+      "calibrationCurve" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

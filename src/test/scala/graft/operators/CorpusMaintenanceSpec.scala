@@ -204,6 +204,20 @@ class CorpusMaintenanceSpec extends SparkSpec {
     assert(got == Map(2L -> 1, 1L -> 2, 3L -> 3))
   }
 
+  test("calibrationCurve: a perfectly predictive score is monotone 0 to 1") {
+    import spark.implicits._
+    // score == outcome signal: top half positive, bottom half negative
+    val df = (1L to 100L).map(i => (i, i.toDouble, i > 50))
+      .toDF("id", "score", "pos")
+    val out = Quantiles.calibrationCurve(df, "score", "pos", "id", n = 4)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out == Map(
+      1 -> ((25L, 0L, 0.0)), 2 -> ((25L, 0L, 0.0)),
+      3 -> ((25L, 25L, 1.0)), 4 -> ((25L, 25L, 1.0))))
+  }
+
   test("keySkewReport: counts, shares, totals, deterministic top-k order") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++

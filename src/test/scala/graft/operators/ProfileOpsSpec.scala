@@ -22,6 +22,26 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out("s") == ((4L, 1L, 3L, 1L)))
   }
 
+  test("fkAudit counts orphans including null child keys") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = ProfileOps.fkAudit(child, parent, "ck", "pk").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 2L)))
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("pkAudit counts duplicate keys and their rows") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L),
+      (2L, 1L)).toDF("a", "b")
+    val r = ProfileOps.pkAudit(df, Seq("a", "b")).collect().head
+    // keys: (1,1)x2 (1,2)x1 (2,1)x3 -> 2 dup keys covering 5 rows
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 3L, 2L, 5L)))
+    assert(r.getDouble(4) == 5.0 / 6.0)
+  }
+
   test("profileColumns is a single-pass plan (one Aggregate, Expand)") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v${i % 7}")).toDF("id", "s")

@@ -460,6 +460,20 @@ class PlanSpec extends SparkSpec {
       "profile must scan the table once: " + plan.take(600))
   }
 
+  test("q144 fk audit: broadcast key join, projections only") {
+    val plan = planOf("q144_fk_audit")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    // only the key columns reach the scan
+    assert(!plan.split("ReadSchema").last.contains("o_comment"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q145 pk audit: two-level aggregation, window-free") {
+    val plan = planOf("q145_pk_audit")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(!plan.contains("Window"))
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),

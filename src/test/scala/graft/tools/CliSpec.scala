@@ -727,6 +727,34 @@ class CliSpec extends SparkSpec {
     assert(got == Map("id" -> ((3L, 0L)), "s" -> ((2L, 1L))))
   }
 
+  test("fkAudit, pkAudit and calibration commands") {
+    import spark.implicits._
+    val cP = tmpDir() + "/fk_child.parquet"
+    val pP = tmpDir() + "/fk_parent.parquet"
+    Seq(1L, 2L, 9L).toDF("k").write.parquet(cP)
+    Seq(1L, 2L).toDF("k").write.parquet(pP)
+    val fOut = tmpDir() + "/fk_out.parquet"
+    Cli.run(spark, Seq("fkAudit", cP, pP, fOut,
+      "-childKey", "k", "-parentKey", "k"))
+    assert(spark.read.parquet(fOut).collect().head
+      .getAs[Long]("n_orphans") == 1L)
+
+    val pkOut = tmpDir() + "/pk_out.parquet"
+    Seq(1L, 1L, 2L).toDF("k").write.parquet(pkOut + ".in")
+    Cli.run(spark, Seq("pkAudit", pkOut + ".in", pkOut, "-cols", "k"))
+    assert(spark.read.parquet(pkOut).collect().head
+      .getAs[Long]("n_dup_rows") == 2L)
+
+    val cbIn = tmpDir() + "/cb_in.parquet"
+    (1L to 20L).map(i => (i, i.toDouble, i > 10))
+      .toDF("id", "score", "pos").write.parquet(cbIn)
+    val cbOut = tmpDir() + "/cb_out.parquet"
+    Cli.run(spark, Seq("calibration", cbIn, cbOut, "-n", "2"))
+    val rates = spark.read.parquet(cbOut).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(rates == Map(1 -> 0.0, 2 -> 1.0))
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
