@@ -1188,6 +1188,26 @@ def calibration_curve(df, score_col, outcome_col, tie_break, n=10):
                                              int(n)))
 
 
+def rolling_distinct_actives(events, key_col="user_id", ts_col="ts",
+                             window_days=7):
+    """Daily + rolling exact distinct actives (DAU/WAU):
+    (day, dau, rolling)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).rollingDistinctActives(events._jdf, key_col,
+                                                   ts_col,
+                                                   int(window_days)))
+
+
+def volume_anomalies(daily, group_col, day_col, count_col, lookback=7,
+                     min_history=4, k_permille=3000):
+    """Trailing-window exact z-test anomaly flags over per-group daily
+    counts: input columns + `anomalous`."""
+    s = daily.sparkSession
+    return _wrap(s, _api(s).volumeAnomalies(
+        daily._jdf, group_col, day_col, count_col, int(lookback),
+        int(min_history), int(k_permille)))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

@@ -616,6 +616,26 @@ graft.calibrationCurve <- function(df, scoreCol, outcomeCol, tieBreak,
                                   as.integer(n)))
 }
 
+#' Daily + rolling exact distinct actives (DAU/WAU).
+graft.rollingDistinctActives <- function(events, keyCol = "user_id",
+                                         tsCol = "ts", windowDays = 7) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "rollingDistinctActives",
+                                  events@sdf, keyCol, tsCol,
+                                  as.integer(windowDays)))
+}
+
+#' Trailing-window exact z-test anomaly flags over per-group daily counts.
+graft.volumeAnomalies <- function(daily, groupCol, dayCol, countCol,
+                                  lookback = 7, minHistory = 4,
+                                  kPermille = 3000) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "volumeAnomalies", daily@sdf,
+                                  groupCol, dayCol, countCol,
+                                  as.integer(lookback),
+                                  .jlong(minHistory), .jlong(kPermille)))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

@@ -891,6 +891,20 @@ object JavaApi {
     graft.operators.Quantiles.calibrationCurve(df, scoreCol, outcomeCol,
       tieBreak, n)
 
+  /** Daily + rolling exact distinct actives: (day, dau, rolling). */
+  def rollingDistinctActives(events: DataFrame, keyCol: String,
+      tsCol: String, windowDays: Int): DataFrame =
+    graft.operators.Sessionize.rollingDistinctActives(events, keyCol,
+      tsCol, windowDays)
+
+  /** Trailing-window exact z-test anomaly flags over per-group daily
+    * counts: input columns + `anomalous`. */
+  def volumeAnomalies(daily: DataFrame, groupCol: String, dayCol: String,
+      countCol: String, lookback: Int, minHistory: Long,
+      kPermille: Long): DataFrame =
+    graft.operators.Stats.volumeAnomalies(daily, groupCol, dayCol,
+      countCol, lookback, minHistory, kPermille)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -238,4 +238,34 @@ object Sessionize {
       .select(col(keyCol), col(tieBreak), col("history"),
         col(typeCol).as("label"))
   }
+
+  /** Daily + rolling EXACT distinct actives (DAU / WAU-style): for every
+    * day with events, the distinct `keyCol` count that day AND over the
+    * trailing `windowDays`-day window ending that day. Rolling distinct
+    * is NOT decomposable, so it's computed by the contribute-forward
+    * rewrite: each distinct (key, day) pair explodes to the `windowDays`
+    * window-end days it belongs to, and the window count is a plain
+    * distinct + count — exact at any scale, cost bounded at
+    * `windowDays x |distinct pairs|`, never a per-day re-scan.
+    *
+    * Output: (day, dau, rolling) — `day` = epoch-day of `tsCol`, rows
+    * only for days that have events. */
+  def rollingDistinctActives(events: DataFrame, keyCol: String,
+      tsCol: String, windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive: $windowDays")
+    val pairs = events
+      .select(col(keyCol).as("__k"),
+        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val rolling = pairs
+      .select(col("__k"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("rolling"))
+    dau.join(rolling, dau("day") === rolling("wday"))
+      .select(col("day"), col("dau"), col("rolling"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -200,6 +201,42 @@ object Stats {
         + z2 / (nD * nD * lit(4.0))))
       ./(lit(1.0) + z2 / nD)
     agg.withColumn("wilson_lb", wlb)
+  }
+
+  /** Trailing-window volume anomaly flags over per-group daily counts —
+    * "did this source/event type spike or crater today vs its own recent
+    * history". For each (group, day) row the trailing `lookback`
+    * OBSERVATIONS (ROWS frame — gaps in the calendar shorten the window,
+    * documented semantics) supply exact integer moments, and the flag is
+    * the same 128-bit z-test as [[outlierFlag]]:
+    * `(c*n − s)² · 10⁶ > k² · (n·q − s²)` with every term lifted to
+    * DECIMAL(38,0) before multiplying. Rows with fewer than `minHistory`
+    * trailing observations are never flagged (cold start).
+    *
+    * Output: input columns + `anomalous` boolean.
+    *
+    * Scale: one keyed window over the (group, day) aggregate — data-size
+    * bounded by groups x days, not by raw events. */
+  def volumeAnomalies(daily: DataFrame, groupCol: String, dayCol: String,
+      countCol: String, lookback: Int = 7, minHistory: Long = 4L,
+      kPermille: Long = 3000L): DataFrame = {
+    require(lookback > 0 && minHistory > 0 && kPermille > 0)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(groupCol).orderBy(col(dayCol))
+      .rowsBetween(-lookback, -1)
+    val c = col(countCol).cast("long").cast(dec)
+    val withMoments = daily
+      .withColumn("__wn", count(col(countCol)).over(w))
+      .withColumn("__ws", sum(c).over(w).cast(dec))
+      .withColumn("__wq", sum(c * col(countCol).cast("long")).over(w)
+        .cast(dec))
+    val d = c * col("__wn") - col("__ws")
+    val flag = col("__wn") >= minHistory &&
+      d * d * lit(1000000L) >
+        lit(kPermille * kPermille) *
+          (col("__wn").cast(dec) * col("__wq") - col("__ws") * col("__ws"))
+    withMoments.withColumn("anomalous", flag)
+      .drop("__wn", "__ws", "__wq")
   }
 
   /** Per-group Gini concentration of a non-negative LONG value column —

@@ -728,6 +728,54 @@ object RelationalQueries extends QuerySet {
           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(count(*) AS DOUBLE) AS pos_rate
-        FROM b GROUP BY 1"""))
+        FROM b GROUP BY 1""")),
+
+    // Daily + trailing-7-day EXACT distinct actives (DAU/WAU): rolling
+    // distinct is non-decomposable, so each distinct (user, day) pair
+    // contributes FORWARD to the 7 window-ends it belongs to — cost
+    // bounded at 7x the distinct pairs, never a per-day re-scan.
+    Query("q147_rolling_actives",
+      (s, dir) => graft.operators.Sessionize.rollingDistinctActives(
+        t(s, dir, "events"), "user_id", "ts", windowDays = 7),
+      Some("""WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT user_id AS k, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+          FROM pairs GROUP BY 1),
+        ex AS (SELECT DISTINCT k, day + gs AS wday
+          FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS gs)),
+        wau AS (SELECT wday, CAST(count(*) AS BIGINT) AS rolling
+          FROM ex GROUP BY 1)
+        SELECT d.day, d.dau, w.rolling
+        FROM dau d JOIN wau w ON w.wday = d.day""")),
+
+    // Trailing-window volume anomaly flags on per-type daily counts —
+    // the exact 128-bit z-test (momentsTable arithmetic) over a ROWS
+    // [-7,-1] frame; cold-start rows (<4 trailing points) never flag.
+    Query("q148_volume_anomalies",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        graft.operators.Stats.volumeAnomalies(
+          daily, "event_type", "day", "n")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, day, n,
+            count(n) OVER wf AS wn,
+            sum(n::HUGEINT) OVER wf AS ws,
+            sum(n::HUGEINT * n::HUGEINT) OVER wf AS wq
+          FROM daily
+          WINDOW wf AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, day, n,
+          (wn >= 4 AND
+           (n::HUGEINT * wn - ws) * (n::HUGEINT * wn - ws) * 1000000
+             > 9000000 * (wn::HUGEINT * wq - ws * ws)) AS anomalous
+        FROM m"""))
   )
 }

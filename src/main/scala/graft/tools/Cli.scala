@@ -755,6 +755,34 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"chi2: wrote $out")
 
+      // actives <in> <out> [-key c] [-ts c] [-window d] — DAU + rolling
+      //   exact distinct actives
+      case "actives" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Sessionize.rollingDistinctActives(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-ts", "ts"), fv("-window", "7").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"actives: wrote $out")
+
+      // anomalies <in> <out> [-group c] [-day c] [-n c] [-lookback d]
+      //   [-minHistory n] [-k permille] — trailing-window volume z-test
+      case "anomalies" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.volumeAnomalies(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-day", "day"), fv("-n", "n"),
+            fv("-lookback", "7").toInt, fv("-minHistory", "4").toLong,
+            fv("-k", "3000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"anomalies: wrote $out")
+
       // profile <in> <out> [-cols a,b,c] — single-pass table profile
       //   (defaults to every column)
       case "profile" :: in :: out :: rest =>
@@ -1288,6 +1316,8 @@ object Cli {
           "\n  rrf <a.parquet> <b.parquet> <out.parquet> [-id c] [-rank c] [-k n] [-top n]" +
           "\n  gini <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
           "\n  profile <in.parquet> <out.parquet> [-cols a,b,c]" +
+          "\n  actives <in.parquet> <out.parquet> [-key c] [-ts c] [-window d]" +
+          "\n  anomalies <in.parquet> <out.parquet> [-group c] [-day c] [-n c] [-lookback d] [-minHistory n] [-k permille]" +
           "\n  fkAudit <child.parquet> <parent.parquet> <out.parquet> -childKey c -parentKey c" +
           "\n  pkAudit <in.parquet> <out.parquet> -cols a[,b]" +
           "\n  calibration <in.parquet> <out.parquet> [-score c] [-outcome c] [-tie c] [-n k]" +

@@ -68,7 +68,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "chiSquareFeatures" -> 5, "rrfFuse" -> 6, "giniByGroup" -> 4,
       "kAnonymityReport" -> 3, "trendByGroup" -> 4, "wilsonRanking" -> 4,
       "profileColumns" -> 2, "fkAudit" -> 4, "pkAudit" -> 2,
-      "calibrationCurve" -> 5)
+      "calibrationCurve" -> 5, "rollingDistinctActives" -> 4,
+      "volumeAnomalies" -> 7)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

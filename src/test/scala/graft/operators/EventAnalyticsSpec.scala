@@ -116,4 +116,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(101L)._1 === Some("b"))
     assert(out(102L)._1 === None, "fact before any version keeps nulls")
   }
+
+  test("rollingDistinctActives: dau and 7-day window by hand") {
+    import spark.implicits._
+    // users per day (epoch days 0..8): u1 every day, u2 only day 0,
+    // u3 on days 0 and 8
+    val ms = (d: Long) => d * 86400000L
+    val ev = ((0L to 8L).map(d => (1L, ms(d))) :+ (2L, ms(0L)) :+
+      (3L, ms(0L)) :+ (3L, ms(8L)))
+      .toDF("user_id", "tsms")
+      .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+    val out = graft.operators.Sessionize.rollingDistinctActives(
+        ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(0L) == ((3L, 3L)))           // u1,u2,u3 that day
+    assert(out(6L) == ((1L, 3L)))           // window [0..6] still sees all
+    assert(out(7L) == ((1L, 1L)))           // u2/u3's day-0 aged out
+    assert(out(8L) == ((2L, 2L)))           // u3 returns on day 8
+    assert(out.size == 9)
+  }
 }

@@ -97,6 +97,29 @@ class StatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("volumeAnomalies flags a spike after history, never cold-start") {
+    import spark.implicits._
+    // flat 10s then a 100 spike; first rows lack history
+    val daily = ((1L to 8L).map(d => ("a", d, 10L)) :+ ("a", 9L, 100L))
+      .toDF("g", "day", "n")
+    val out = Stats.volumeAnomalies(daily, "g", "day", "n",
+        lookback = 7, minHistory = 4L, kPermille = 3000L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(out(9L), "the 10x spike must flag")
+    assert((1L to 8L).forall(!out(_)),
+      "flat history and cold-start days must not flag: " + out)
+  }
+
+  test("volumeAnomalies: zero-variance history flags any deviation") {
+    import spark.implicits._
+    val daily = ((1L to 5L).map(d => ("a", d, 7L)) :+ ("a", 6L, 8L))
+      .toDF("g", "day", "n")
+    val out = Stats.volumeAnomalies(daily, "g", "day", "n")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    // variance term is 0, so (c*n - s)^2 * 1e6 > 0 flags any c != mean
+    assert(out(6L))
+  }
+
   test("trendByGroup recovers an exact line and nulls degenerate spreads") {
     import spark.implicits._
     // g1: y = 3x + 7 exactly; g2: one x value repeated -> den = 0

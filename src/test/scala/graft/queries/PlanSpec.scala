@@ -474,6 +474,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("q147 rolling actives: contribute-forward rewrite, no per-day rescan") {
+    val plan = planOf("q147_rolling_actives")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      "pairs must explode forward to their window ends: " + plan.take(400))
+    assert(!plan.contains("Window"), "no window over the data")
+    // one events scan feeds both dau and the rolling branch
+    assert(plan.split("Scan parquet").length <= 3, plan.take(600))
+  }
+
+  test("q148 volume anomalies: keyed trailing frame only") {
+    val plan = planOf("q148_volume_anomalies")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("event_type")), plan.take(800))
+    assert(plan.contains("-7, -1"),
+      "trailing frame must be ROWS [-7,-1]: " +
+        plan.linesIterator.filter(_.contains("windowspecdefinition"))
+          .mkString("\n"))
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),

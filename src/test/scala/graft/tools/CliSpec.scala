@@ -755,6 +755,29 @@ class CliSpec extends SparkSpec {
     assert(rates == Map(1 -> 0.0, 2 -> 1.0))
   }
 
+  test("actives and anomalies commands") {
+    import spark.implicits._
+    val aIn = tmpDir() + "/ac_in.parquet"
+    Seq((1L, 0L), (2L, 0L), (1L, 86400000L))
+      .toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .write.parquet(aIn)
+    val aOut = tmpDir() + "/ac_out.parquet"
+    Cli.run(spark, Seq("actives", aIn, aOut))
+    val act = spark.read.parquet(aOut).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(act == Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L))))
+
+    val nIn = tmpDir() + "/an_in.parquet"
+    ((1L to 6L).map(d => ("a", d, 5L)) :+ ("a", 7L, 500L))
+      .toDF("event_type", "day", "n").write.parquet(nIn)
+    val nOut = tmpDir() + "/an_out.parquet"
+    Cli.run(spark, Seq("anomalies", nIn, nOut))
+    val fl = spark.read.parquet(nOut).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(fl(7L) && !fl(6L))
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
