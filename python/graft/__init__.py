@@ -1208,6 +1208,27 @@ def volume_anomalies(daily, group_col, day_col, count_col, lookback=7,
         int(min_history), int(k_permille)))
 
 
+def retention_cohorts(events, key_col="user_id", ts_col="ts"):
+    """Retention triangle: (cohort_day, age_days, n_active)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).retentionCohorts(events._jdf, key_col, ts_col))
+
+
+def calendar_fill(daily, group_col, day_col, value_col):
+    """Calendar gap fill + forward fill on a keyed daily series:
+    (group, day, value, observed)."""
+    s = daily.sparkSession
+    return _wrap(s, _api(s).calendarFill(daily._jdf, group_col, day_col,
+                                         value_col))
+
+
+def ab_test_report(units, group_col, variant_col, outcome_col):
+    """Pooled two-proportion A/B z-test per experiment group."""
+    s = units.sparkSession
+    return _wrap(s, _api(s).abTestReport(units._jdf, group_col,
+                                         variant_col, outcome_col))
+
+
 def remove_boilerplate(docs, id_col="doc_id", text_col="text",
                        group_col="source", min_docs=3):
     """Domain-scoped boilerplate removal: every occurrence of a paragraph

@@ -636,6 +636,25 @@ graft.volumeAnomalies <- function(daily, groupCol, dayCol, countCol,
                                   .jlong(minHistory), .jlong(kPermille)))
 }
 
+#' Retention triangle: (cohort_day, age_days, n_active).
+graft.retentionCohorts <- function(events, keyCol = "user_id",
+                                   tsCol = "ts") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "retentionCohorts", events@sdf,
+                                  keyCol, tsCol))
+}
+
+#' Calendar gap fill + forward fill on a keyed daily series.
+graft.calendarFill <- function(daily, groupCol, dayCol, valueCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "calendarFill", daily@sdf,
+                                  groupCol, dayCol, valueCol))
+}
+
+#' Pooled two-proportion A/B z-test per experiment group.
+graft.abTestReport <- function(units, groupCol, variantCol, outcomeCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "abTestReport", units@sdf,
+                                  groupCol, variantCol, outcomeCol))
+}
+
 #' Domain-scoped boilerplate removal with per-doc accounting.
 graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                     textCol = "text", groupCol = "source",

@@ -905,6 +905,25 @@ object JavaApi {
     graft.operators.Stats.volumeAnomalies(daily, groupCol, dayCol,
       countCol, lookback, minHistory, kPermille)
 
+  /** Retention triangle: (cohort_day, age_days, n_active). */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    graft.operators.Sessionize.retentionCohorts(events, keyCol, tsCol)
+
+  /** Calendar gap fill + forward fill on a keyed daily series:
+    * (group, day, value, observed). */
+  def calendarFill(daily: DataFrame, groupCol: String, dayCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.TimeSeriesOps.calendarFill(daily, groupCol, dayCol,
+      valueCol)
+
+  /** Pooled two-proportion A/B z-test per experiment group:
+    * (group, n_a, n_b, conv_a, conv_b, rate_a, rate_b, significant). */
+  def abTestReport(units: DataFrame, groupCol: String, variantCol: String,
+      outcomeCol: String): DataFrame =
+    graft.operators.Stats.abTestReport(units, groupCol, variantCol,
+      outcomeCol)
+
   /** Domain-scoped boilerplate removal: every occurrence of a paragraph
     * seen in >= minDocs docs of the same group is removed;
     * (idCol, groupCol, textCol, n_removed_paras, removed_chars). */

@@ -268,4 +268,32 @@ object Sessionize {
     dau.join(rolling, dau("day") === rolling("wday"))
       .select(col("day"), col("dau"), col("rolling"))
   }
+
+  /** Retention triangle — the classic cohort analysis: users are grouped
+    * by their FIRST active day (the cohort), and for every later day of
+    * activity the cell (cohort_day, age_days) counts how many of that
+    * cohort came back `age_days` days after joining. Age 0 is the cohort
+    * size itself; a user contributes at most once per (cohort, age)
+    * because activity is reduced to distinct (key, day) pairs first.
+    *
+    * Output: (cohort_day, age_days, n_active).
+    *
+    * Scale: distinct pairs (one map-side-combined shuffle on the key),
+    * a per-key min for the cohort (same key partitioning — exchange
+    * reuse), one join keyed by the user (AQE picks shuffle-hash; skew on
+    * power users is impossible after the distinct), then a
+    * map-side-combined count over the (days x days)/2-bounded triangle.
+    * Nothing scales with raw event volume past the first distinct. */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val pairs = events
+      .select(col(keyCol).as("__k"),
+        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+      .distinct()
+    val cohorts = pairs.groupBy("__k").agg(min("day").as("cohort_day"))
+    pairs.join(cohorts, "__k")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -239,6 +239,58 @@ object Stats {
       .drop("__wn", "__ws", "__wq")
   }
 
+  /** Two-proportion A/B report per experiment group — "did variant B
+    * convert differently from variant A, and is the difference
+    * statistically real". Inputs are UNIT-level rows (one per user/
+    * session, not per event): `variantCol` boolean (true = B),
+    * `outcomeCol` boolean (true = converted). Per group the pooled
+    * two-proportion z-test runs at alpha = 0.05:
+    * `z² = D²·N / (na·nb·C·(N−C))` with `D = ca·nb − cb·na`,
+    * `C = ca + cb`, `N = na + nb` — `significant` iff `z² > 3.8416`.
+    *
+    * Determinism contract: all counts are exact BIGINTs; the comparison
+    * runs in DOUBLE as `|D|·sqrt(N) > 1.96·sqrt(na·nb·C·(N−C))` with a
+    * fixed association — long→double conversion, multiply and sqrt are
+    * all correctly-rounded IEEE ops, so Spark and a SQL oracle replay
+    * the flag bit-for-bit (the integer products would need >38 decimal
+    * digits at full scale, so DECIMAL(38,0) is NOT the right lift here).
+    * Degenerate groups (no conversions, all conversions, or an empty
+    * arm) get D = 0 and are never significant.
+    *
+    * Output: (groupCol, n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    * significant) — rates are int/int doubles, null for empty arms.
+    *
+    * Scale: one map-side-combined aggregation over unit rows; the output
+    * is bounded by the number of experiment groups. */
+  def abTestReport(units: DataFrame, groupCol: String, variantCol: String,
+      outcomeCol: String): DataFrame = {
+    val isB = col(variantCol)
+    val conv = col(outcomeCol).cast("long")
+    val agg = units.groupBy(groupCol).agg(
+      sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isB, conv).otherwise(0L)).as("conv_a"),
+      sum(when(isB, conv).otherwise(0L)).as("conv_b"))
+    val dec = DecimalType(38, 0)
+    val na = col("n_a"); val nb = col("n_b")
+    val ca = col("conv_a"); val cb = col("conv_b")
+    val n = na + nb
+    val c = ca + cb
+    // cross products in DECIMAL(38,0): ca*nb is exact to 1e38, THEN one
+    // correctly-rounded cast to double — a LONG product would wrap past
+    // arms of ~3e9 units
+    val d = (ca.cast(dec) * nb - cb.cast(dec) * na).cast("double")
+    val rhs = lit(1.96) *
+      sqrt(na.cast("double") * nb.cast("double") * c.cast("double") *
+        (n - c).cast("double"))
+    agg
+      .withColumn("rate_a",
+        when(na > 0, ca.cast("double") / na.cast("double")))
+      .withColumn("rate_b",
+        when(nb > 0, cb.cast("double") / nb.cast("double")))
+      .withColumn("significant", abs(d) * sqrt(n.cast("double")) > rhs)
+  }
+
   /** Per-group Gini concentration of a non-negative LONG value column —
     * "is this source's token mass dominated by a few huge documents?",
     * the inequality diagnostic a curator reads next to [[momentsTable]]

@@ -776,6 +776,88 @@ object RelationalQueries extends QuerySet {
           (wn >= 4 AND
            (n::HUGEINT * wn - ws) * (n::HUGEINT * wn - ws) * 1000000
              > 9000000 * (wn::HUGEINT * wq - ws * ws)) AS anomalous
-        FROM m"""))
+        FROM m""")),
+
+    // Retention triangle: cohort = each user's first active day; cell
+    // (cohort, age) counts users of that cohort active age days later.
+    Query("q149_retention_cohorts",
+      (s, dir) => graft.operators.Sessionize.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts"),
+      Some("""WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT user_id AS k, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        coh AS (SELECT k, min(day) AS cohort_day FROM pairs GROUP BY 1)
+        SELECT c.cohort_day, p.day - c.cohort_day AS age_days,
+          CAST(count(*) AS BIGINT) AS n_active
+        FROM pairs p JOIN coh c ON c.k = p.k GROUP BY 1, 2""")),
+
+    // Calendar gap fill + forward fill on a sparse daily series (high-value
+    // event peaks): every day in each type's span appears; unobserved days
+    // carry the last peak forward and are flagged.
+    Query("q150_calendar_fill",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("value") > 300)
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"),
+            cents(col("value")).as("peak_cents"))
+          .groupBy("event_type", "day")
+          .agg(max("peak_cents").as("peak_cents"))
+        graft.operators.TimeSeriesOps.calendarFill(
+          daily, "event_type", "day", "peak_cents")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+            max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS peak_cents
+          FROM events WHERE value > 300 GROUP BY 1, 2),
+        spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+          FROM daily GROUP BY 1),
+        cal AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+          FROM spans)
+        SELECT c.event_type, c.day,
+          last_value(d.peak_cents IGNORE NULLS)
+            OVER (PARTITION BY c.event_type ORDER BY c.day) AS peak_cents,
+          d.peak_cents IS NOT NULL AS observed
+        FROM cal c LEFT JOIN daily d
+          ON d.event_type = c.event_type AND d.day = c.day""")),
+
+    // Weekly two-proportion A/B report: unit = (week, user), variant by
+    // user parity, outcome = purchased that week; pooled z-test at 0.05
+    // over exact counts (cross products in 128-bit, one IEEE double
+    // comparison — see Stats.abTestReport's determinism contract).
+    Query("q151_ab_test",
+      (s, dir) => {
+        val units = t(s, dir, "events")
+          .select(expr("unix_millis(ts) div 604800000").as("week"),
+            col("user_id"),
+            (col("event_type") === "purchase").as("p"))
+          .groupBy("week", "user_id").agg(max("p").as("converted"))
+          .withColumn("variant_b", col("user_id") % 2 === 1)
+        graft.operators.Stats.abTestReport(
+          units, "week", "variant_b", "converted")
+      },
+      Some("""WITH units AS MATERIALIZED (
+          SELECT epoch_ms(ts) // 604800000 AS week, user_id,
+            max(event_type = 'purchase') AS converted
+          FROM events GROUP BY 1, 2),
+        u2 AS (SELECT week, user_id % 2 = 1 AS variant_b, converted
+          FROM units),
+        agg AS (SELECT week,
+          CAST(sum(CASE WHEN NOT variant_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN variant_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN NOT variant_b AND converted THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+          CAST(sum(CASE WHEN variant_b AND converted THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+          FROM u2 GROUP BY 1)
+        SELECT week, n_a, n_b, conv_a, conv_b,
+          CASE WHEN n_a > 0
+            THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+          CASE WHEN n_b > 0
+            THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+          (abs(CAST(conv_a::HUGEINT * n_b - conv_b::HUGEINT * n_a AS DOUBLE))
+             * sqrt(CAST(n_a + n_b AS DOUBLE)))
+           > 1.96 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               * CAST(conv_a + conv_b AS DOUBLE)
+               * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)) AS significant
+        FROM agg"""))
   )
 }

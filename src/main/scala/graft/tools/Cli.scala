@@ -783,6 +783,43 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"anomalies: wrote $out")
 
+      // retention <in> <out> [-key c] [-ts c] — cohort retention triangle
+      case "retention" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Sessionize.retentionCohorts(
+            spark.read.parquet(in), fv("-key", "user_id"), fv("-ts", "ts"))
+          .write.mode("overwrite").parquet(out)
+        println(s"retention: wrote $out")
+
+      // calfill <in> <out> [-group c] [-day c] [-value c] — calendar gap
+      //   fill + forward fill on a keyed daily series
+      case "calfill" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.TimeSeriesOps.calendarFill(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-day", "day"), fv("-value", "n"))
+          .write.mode("overwrite").parquet(out)
+        println(s"calfill: wrote $out")
+
+      // abtest <in> <out> [-group c] [-variant c] [-outcome c] — pooled
+      //   two-proportion z-test per experiment group over unit rows
+      case "abtest" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.abTestReport(
+            spark.read.parquet(in), fv("-group", "grp"),
+            fv("-variant", "variant_b"), fv("-outcome", "converted"))
+          .write.mode("overwrite").parquet(out)
+        println(s"abtest: wrote $out")
+
       // profile <in> <out> [-cols a,b,c] — single-pass table profile
       //   (defaults to every column)
       case "profile" :: in :: out :: rest =>
@@ -1317,6 +1354,9 @@ object Cli {
           "\n  gini <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
           "\n  profile <in.parquet> <out.parquet> [-cols a,b,c]" +
           "\n  actives <in.parquet> <out.parquet> [-key c] [-ts c] [-window d]" +
+          "\n  retention <in.parquet> <out.parquet> [-key c] [-ts c]" +
+          "\n  calfill <in.parquet> <out.parquet> [-group c] [-day c] [-value c]" +
+          "\n  abtest <in.parquet> <out.parquet> [-group c] [-variant c] [-outcome c]" +
           "\n  anomalies <in.parquet> <out.parquet> [-group c] [-day c] [-n c] [-lookback d] [-minHistory n] [-k permille]" +
           "\n  fkAudit <child.parquet> <parent.parquet> <out.parquet> -childKey c -parentKey c" +
           "\n  pkAudit <in.parquet> <out.parquet> -cols a[,b]" +

@@ -69,7 +69,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "kAnonymityReport" -> 3, "trendByGroup" -> 4, "wilsonRanking" -> 4,
       "profileColumns" -> 2, "fkAudit" -> 4, "pkAudit" -> 2,
       "calibrationCurve" -> 5, "rollingDistinctActives" -> 4,
-      "volumeAnomalies" -> 7)
+      "volumeAnomalies" -> 7, "retentionCohorts" -> 3,
+      "calendarFill" -> 4, "abTestReport" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

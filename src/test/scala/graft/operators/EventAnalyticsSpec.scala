@@ -136,4 +136,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(8L) == ((2L, 2L)))           // u3 returns on day 8
     assert(out.size == 9)
   }
+
+  test("retentionCohorts builds the triangle by hand") {
+    import spark.implicits._
+    val ms = (d: Long) => d * 86400000L
+    // u1 active days 0,1,5; u2 days 1,3; u3 day 0 (twice - dedup)
+    val ev = Seq((1L, ms(0)), (1L, ms(1)), (1L, ms(5)), (2L, ms(1)),
+      (2L, ms(3)), (3L, ms(0)), (3L, ms(0) + 1000L))
+      .toDF("user_id", "tsms")
+      .withColumn("ts", timestamp_millis(col("tsms"))).drop("tsms")
+    val out = Sessionize.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L,            // cohort day 0: u1 + u3
+      (0L, 1L) -> 1L, (0L, 5L) -> 1L,   // u1 returns
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))  // u2's cohort
+  }
 }

@@ -120,6 +120,30 @@ class StatsSpec extends SparkSpec {
     assert(out(6L))
   }
 
+  test("abTestReport: clear effect flags, balanced and degenerate do not") {
+    import spark.implicits._
+    // g: 9/10 vs 1/10 (z^2 = 12.8) ; h: 5/10 vs 5/10 (D = 0) ;
+    // i: B arm empty
+    val units =
+      ((1 to 10).map(i => ("g", false, i <= 9)) ++
+        (1 to 10).map(i => ("g", true, i <= 1)) ++
+        (1 to 10).map(i => ("h", false, i <= 5)) ++
+        (1 to 10).map(i => ("h", true, i <= 5)) ++
+        (1 to 4).map(i => ("i", false, i <= 2)))
+        .toDF("grp", "variant_b", "converted")
+    val out = Stats.abTestReport(units, "grp", "variant_b", "converted")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(7))).toMap
+    assert(out("g") == ((10L, 10L, 9L, 1L, true)))
+    assert(out("h") == ((10L, 10L, 5L, 5L, false)))
+    assert(out("i") == ((4L, 0L, 2L, 0L, false)), "empty arm never flags")
+    val gRow = Stats.abTestReport(units, "grp", "variant_b", "converted")
+      .filter(org.apache.spark.sql.functions.col("grp") === "g")
+      .collect()(0)
+    assert(gRow.getDouble(5) === 0.9 && gRow.getDouble(6) === 0.1)
+  }
+
   test("trendByGroup recovers an exact line and nulls degenerate spreads") {
     import spark.implicits._
     // g1: y = 3x + 7 exactly; g2: one x value repeated -> den = 0

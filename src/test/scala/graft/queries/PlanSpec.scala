@@ -494,6 +494,29 @@ class PlanSpec extends SparkSpec {
           .mkString("\n"))
   }
 
+  test("q149 retention: keyed aggregations only, no data-wide window") {
+    val plan = planOf("q149_retention_cohorts")
+    assert(!plan.contains("Window"), "cohorts come from groupBy, not windows")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(plan.contains("partial_count"),
+      "triangle count must map-side combine: " + plan.take(600))
+  }
+
+  test("q150 calendar fill: forward-fill window is keyed by the group") {
+    val plan = planOf("q150_calendar_fill")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("event_type")),
+      "fill window must partition by event_type: " + plan.take(800))
+  }
+
+  test("q151 ab test: one aggregation pass, no window, no nested loop") {
+    val plan = planOf("q151_ab_test")
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(plan.contains("partial_"), "unit rollup must map-side combine")
+  }
+
   test("q131 boilerplate: map-side combined doc-frequency, no all-pairs") {
     val plan = planOf("q131_boilerplate_removal")
     assert(plan.contains("partial_count"),
