@@ -203,7 +203,10 @@ object DedupOps {
     * occurrence list) → per-document reassembly + removal accounting.
     *
     * Output: (idCol, groupCol, textCol rewritten, n_removed_paras,
-    * removed_chars). */
+    * removed_chars). Documents with n_removed_paras = 0 are returned
+    * BYTE-IDENTICAL to the input (no separator normalization); rewritten
+    * documents are reassembled with `sep` between surviving non-empty
+    * paragraphs. */
   def removeBoilerplate(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
       minDocs: Int, sep: String = "\n\n"): DataFrame = {
@@ -229,10 +232,14 @@ object DedupOps {
         count(when(col("__boiler").isNotNull, 1)).as("n_removed_paras"),
         coalesce(sum(when(col("__boiler").isNotNull, length(col("para")))),
           lit(0L)).as("removed_chars"))
-    docs.select(col(idCol), col(groupCol))
+    // Byte-preserve untouched documents: reassembly normalizes separators
+    // and drops whitespace-only paragraphs, so only emit the rebuilt text
+    // when something was actually removed.
+    docs.select(col(idCol), col(groupCol), col(textCol).as("__orig"))
       .join(kept, col(idCol) === col("id"), "left")
       .select(col(idCol), col(groupCol),
-        coalesce(col("__cleaned"), lit("")).as(textCol),
+        when(coalesce(col("n_removed_paras"), lit(0L)) === 0L, col("__orig"))
+          .otherwise(coalesce(col("__cleaned"), lit(""))).as(textCol),
         coalesce(col("n_removed_paras"), lit(0L)).as("n_removed_paras"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
   }

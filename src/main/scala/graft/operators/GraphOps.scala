@@ -95,11 +95,19 @@ object GraphOps {
     * co-partitioned persisted edge table to the label table, one
     * map-side-combined (node, label) count, one per-node argmax
     * aggregation; label lineage cut per round with localCheckpoint.
+    *
+    * Input edges are treated as UNDIRECTED: the operator symmetrizes
+    * internally (union of (src,dst) and (dst,src), deduplicated), so
+    * dst-only nodes are seeded and vote like any other node and callers
+    * may pass an arbitrary directed edge list. On an already-symmetric
+    * input (e.g. [[coOccurrenceEdges]]) the dedup makes this a no-op.
     * Output: (node, lbl). */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst"))
+    val ed = edges.select(col("src"), col("dst"))
+    val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
       .repartition(n, col("dst")).persist()
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()

@@ -516,6 +516,16 @@ object SimilarityOps {
       lambda: Double = 0.7, nCandidates: Int = 200,
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     require(k >= 1 && nCandidates >= k && lambda >= 0 && lambda <= 1)
+    // Fail fast on non-integral ids: a silent cast-to-long would turn a
+    // string id column into NULLs and garbage selections downstream.
+    corpus.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mmrSelect requires an integral id column; '$idCol' is $other")
+    }
     val spark = corpus.sparkSession
     val oneMinus = 1.0 - lambda // generate the SQL literal from this exact double
     val qLit = typedLit(queryVec)

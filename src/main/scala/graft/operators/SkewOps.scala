@@ -41,9 +41,14 @@ object SkewOps {
     require(salts > 0, s"salts must be positive: $salts")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left_outer, got: $joinType")
+    // A NULL saltKeyCol must still salt deterministically (to bucket 0):
+    // fnv1a64(NULL) is NULL, and a NULL __salt would silently drop left
+    // rows whose usingKeys match — violating the plain-join contract.
     val sl = left.withColumn("__salt",
-      pmod(GraftFunctions.fnv1a64(col(saltKeyCol).cast("string")),
-        lit(salts.toLong)).cast("int"))
+      coalesce(
+        pmod(GraftFunctions.fnv1a64(col(saltKeyCol).cast("string")),
+          lit(salts.toLong)),
+        lit(0L)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     sl.join(sr, usingKeys :+ "__salt", joinType).drop("__salt")

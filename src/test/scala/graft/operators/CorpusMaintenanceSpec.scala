@@ -137,6 +137,25 @@ class CorpusMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin with NULL salt keys still equals the plain join") {
+    import spark.implicits._
+    // NULL id would hash to a NULL salt; the coalesce-to-0 guard must
+    // keep those rows joinable exactly like the plain join
+    val left = Seq((Some(1L), 1L), (None, 1L), (None, 2L), (Some(4L), 9L))
+      .toDF("id", "k")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        Option(r.getString(2))))
+      .sorted.toSeq
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = canon(left.join(right, Seq("k"), jt))
+      val salted = canon(SkewOps.saltedJoin(left, right, Seq("k"), "id",
+        salts = 4, joinType = jt))
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
   test("saltedJoin actually spreads a hot key across salts") {
     import spark.implicits._
     val left = (1L to 64L).map(i => (i, 1L)).toDF("id", "k")
@@ -167,6 +186,21 @@ class CorpusMaintenanceSpec extends SparkSpec {
       assert(out(id) == ((s"body $id", 1L, 4L)), s"doc $id")
     for (id <- 4L to 5L) // below threshold in s2: kept intact
       assert(out(id) == ((s"FOOT\n\nbody $id", 0L, 0L)), s"doc $id")
+  }
+
+  test("removeBoilerplate byte-preserves documents with nothing removed") {
+    import spark.implicits._
+    // doc 4 is untouched but contains a whitespace-only paragraph and
+    // trailing separators that reassembly would normalize away
+    val weird = "unique body\n\n   \n\nanother para\n\n"
+    val docs = Seq((1L, "s", "X\n\na 1"), (2L, "s", "X\n\na 2"),
+      (3L, "s", "X\n\na 3"), (4L, "t", weird))
+      .toDF("doc_id", "source", "text")
+    val out = DedupOps.removeBoilerplate(docs, "doc_id", "text", "source", 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(4L) == ((weird, 0L)), "untouched doc must be byte-identical")
+    assert(out(1L) == (("a 1", 1L)))
   }
 
   test("removeBoilerplate: fully-boilerplate doc becomes empty with counts") {

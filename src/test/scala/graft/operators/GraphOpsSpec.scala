@@ -231,6 +231,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === referenceLpa(edges, 4).map { case (n, l) => Seq(n, l) }.toSet)
   }
 
+  test("labelPropagation symmetrizes a directed edge list (dst-only nodes)") {
+    // a directed path 1->2->3: nodes 2 and 3 appear only as dst in part;
+    // the operator must seed and vote them as if edges were undirected
+    val directed = Seq((1L, 2L), (2L, 3L))
+    val sym = directed.flatMap(e => Seq(e, e.swap)).distinct
+    val got = GraphOps.labelPropagation(toDf(directed), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got === referenceLpa(sym, 4))
+  }
+
   test("labelPropagationCommunities: sizes sum to node count, ordered") {
     val edges = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L))) ++
       Seq((20L, 21L), (21L, 20L))

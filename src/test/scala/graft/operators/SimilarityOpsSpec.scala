@@ -334,6 +334,16 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect rejects a non-integral id column loudly") {
+    import spark.implicits._
+    val df = Seq(("a", Array(1.0, 0.0)), ("b", Array(0.0, 1.0)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.mmrSelect(df, Seq(1.0, 0.0), k = 1)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("mmrSelect rank 1 is the pure relevance argmax; k caps at pool") {
     import spark.implicits._
     val df = vecs(6, 8, seed = 3)
