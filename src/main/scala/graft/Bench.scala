@@ -147,9 +147,20 @@ object Bench {
       .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val susp = stillSuspect.sorted.map(q).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"sf":"$sfDir"}""")
+    val nCatalog = SparkEntry.queries.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"n_queries":${results.size},"n_catalog":$nCatalog,"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    }
+    // Catalog-drift guard (VERDICT r10 #1): a bench record that covers
+    // fewer queries than the catalog must FAIL, not silently ship a
+    // partial timing file. Timed + errored must account for every
+    // catalog entry, and any error is itself a failure.
+    if (results.size + errors.size != nCatalog || errors.nonEmpty) {
+      System.err.println(
+        s"[bench] GUARD: timed ${results.size} + failed ${errors.size} " +
+          s"!= catalog $nCatalog — bench record is not shippable")
+      sys.exit(1)
     }
   }
 }

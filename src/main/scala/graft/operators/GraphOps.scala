@@ -69,6 +69,10 @@ object GraphOps {
           (lit(teleport) + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
         .localCheckpoint()
     }
+    // final ranks is checkpoint-backed (lineage cut): the scaffolding
+    // caches are no longer referenced — release before returning (tier 1,
+    // see operators/Caching.scala)
+    Caching.release(e, outdeg, nodes)
     ranks.select(col("node"), col("rank").as("rank_q"))
   }
 
@@ -121,6 +125,9 @@ object GraphOps {
         .select(col("node"), col("best.l").as("lbl"))
         .localCheckpoint()
     }
+    // labels (even at rounds = 0) is checkpoint-backed: release the edge
+    // cache before returning (tier 1, see operators/Caching.scala)
+    Caching.release(e)
     labels
   }
 
@@ -211,7 +218,12 @@ object GraphOps {
     * endpoint, making every node's out-degree O(sqrt(m)) on real graphs;
     * wedges are enumerated on the oriented DAG and closed against the
     * canonical edge set — O(m^1.5) total work, never a full v x v join.
-    * Both shuffles are keyed by edge endpoints; nothing is collected. */
+    * Both shuffles are keyed by edge endpoints; nothing is collected.
+    *
+    * PLAN-OWNED CACHES (tier 2, see [[Caching]]): the canonical and
+    * oriented edge tables are each read by multiple branches of the
+    * returned node-sized plan, so they stay persisted for the life of
+    * the result (ContextCleaner / caller cleanup reclaims them). */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

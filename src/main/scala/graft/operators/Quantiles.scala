@@ -77,7 +77,11 @@ object Quantiles {
     // exchange — Catalyst can't see that range partitions already
     // cluster __pid, so the window form re-shuffles everything by pid
     // hash. Persisted so both the offsets branch and the output read one
-    // materialization of the (nondeterministic) ids.
+    // materialization of the (nondeterministic) ids. PLAN-OWNED CACHE
+    // (tier 2, see operators/Caching.scala): the returned corpus-sized
+    // plan re-reads this table, so the operator cannot unpersist it;
+    // lifetime belongs to the returned Dataset (ContextCleaner) or the
+    // caller's cache cleanup.
     val sized = df
       .repartitionByRange(col(valueCol), col(tieBreak))
       .sortWithinPartitions(col(valueCol), col(tieBreak))

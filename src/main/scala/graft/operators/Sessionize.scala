@@ -265,8 +265,12 @@ object Sessionize {
           .as("wday"))
       .distinct()
       .groupBy("wday").agg(count(lit(1)).as("rolling"))
-    dau.join(rolling, dau("day") === rolling("wday"))
-      .select(col("day"), col("dau"), col("rolling"))
+    // one row per active day — bounded by the time range: materialize and
+    // release the distinct-pair cache (tier 1, see operators/Caching.scala)
+    Caching.materializeAndRelease(
+      dau.join(rolling, dau("day") === rolling("wday"))
+        .select(col("day"), col("dau"), col("rolling")),
+      pairs)
   }
 
   /** Retention triangle — the classic cohort analysis: users are grouped

@@ -76,10 +76,14 @@ object SkewOps {
     val totals = counts.agg(
       sum(col("n")).as("total_rows"), count(lit(1)).as("n_keys"))
     val top = counts.orderBy(col("n").desc, col("key")).limit(k)
-    top.crossJoin(broadcast(totals))
-      .select(col("key"), col("n"),
-        (col("n").cast("double") / col("total_rows").cast("double"))
-          .as("share"),
-        col("total_rows"), col("n_keys"))
+    // k-row bounded result: materialize it and release the per-key count
+    // cache before returning (tier 1, see operators/Caching.scala)
+    Caching.materializeAndRelease(
+      top.crossJoin(broadcast(totals))
+        .select(col("key"), col("n"),
+          (col("n").cast("double") / col("total_rows").cast("double"))
+            .as("share"),
+          col("total_rows"), col("n_keys")),
+      counts)
   }
 }

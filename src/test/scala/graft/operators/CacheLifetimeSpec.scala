@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the repo-wide cache-lifetime convention (operators/Caching.scala).
+  *
+  * Tier 1 (release-before-return): scaffolding caches are unpersisted
+  * inside the operator; the only registry entries a call may leave are
+  * the checkpoint blocks BACKING its returned result, which the driver's
+  * ContextCleaner reclaims once the result is unreferenced. So: repeated
+  * calls whose results are dropped must return `getPersistentRDDs` to
+  * baseline after GC — no unbounded growth across a long-lived session.
+  *
+  * Tier 2 (plan-owned): the returned plan reads the cache, so it stays
+  * alive with the result; a standard session cleanup (unpersist-all)
+  * must return the registry to baseline.
+  */
+class CacheLifetimeSpec extends SparkSpec {
+
+  private def persistedCount: Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  private def cleanSlate(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
+  /** GC-poll until the ContextCleaner has reclaimed result-backing
+    * checkpoints and the registry is back at `base` (or timeout). */
+  private def awaitReclaim(base: Int, timeoutMs: Long = 60000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (persistedCount > base && System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(500)
+    }
+    persistedCount <= base
+  }
+
+  test("tier 1: dropped results leave no caches behind (3 repeated calls)") {
+    import spark.implicits._
+    cleanSlate()
+    val base = persistedCount
+    def runOnce(): Unit = {
+      val edges = (1L to 30L).flatMap(i =>
+        Seq((i, i % 30 + 1), (i % 30 + 1, i))).toDF("src", "dst")
+      val docs = (1L to 50L).map(i => (i, i % 7)).toDF("id", "k")
+      val events = (1L to 60L).map(i => (i % 9, i * 43200000L))
+        .toDF("user_id", "ms")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      GraphOps.pageRank(edges, iters = 2).queryExecution.toRdd.count()
+      GraphOps.labelPropagation(edges, rounds = 2)
+        .queryExecution.toRdd.count()
+      SkewOps.keySkewReport(docs, "k", k = 3).queryExecution.toRdd.count()
+      Sessionize.rollingDistinctActives(events, "user_id", "ts", 7)
+        .queryExecution.toRdd.count()
+    }
+    for (_ <- 1 to 3) runOnce()
+    // all results are out of scope: ContextCleaner must drain the
+    // registry back to baseline — scaffolding leaks would survive GC
+    // forever and fail here
+    assert(awaitReclaim(base),
+      s"caches outlived their dropped results: $base -> $persistedCount: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+    cleanSlate()
+  }
+
+  test("tier 2: plan-owned caches fully return to baseline on cleanup") {
+    import spark.implicits._
+    cleanSlate()
+    val base = persistedCount
+    val df = (1L to 200L).map(i => (i, i % 13)).toDF("id", "v")
+    val edges = (1L to 30L).flatMap(i =>
+      Seq((i, i % 30 + 1), (i, (i + 7) % 30 + 1))).toDF("src", "dst")
+    Quantiles.globalNtile(df, "v", "id", n = 4).queryExecution.toRdd.count()
+    GraphOps.triangleCounts(edges).queryExecution.toRdd.count()
+    cleanSlate()
+    assert(persistedCount <= base,
+      "tier-2 caches survived a standard session cleanup: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+  }
+}
