@@ -36,6 +36,43 @@ object RegionJoins {
     * explode into every touched bin). */
   val DefaultBinSize = 10000L
 
+  /** Sentinel binSize: derive the width from the inputs' interval-length
+    * distribution via [[tunedBinSize]] before planning the join. */
+  val Auto = 0L
+
+  /** Upper clamp for auto-tuned bins: wider than this and bins stop pruning
+    * (everything on a contig lands in a handful of buckets). 10 Mb covers
+    * even megabase-scale structural variants at replication factor ≈ 2. */
+  val MaxAutoBinSize = 10000000L
+
+  /** Derive a bin width from the data: one aggregation over the two inputs'
+    * (end - start) lengths, pruned to exactly two long columns at the scan.
+    *
+    * Rationale: a record replicates into `1 + len/binSize` bins, so choosing
+    * binSize at the p95 length keeps expected replication ≤ ~2 for 95 % of
+    * records. The constant [[DefaultBinSize]] is the FLOOR (short-read inputs
+    * keep today's plan and parallelism exactly); the result rounds UP to a
+    * multiple of the floor so bin boundaries stay aligned across joins that
+    * tuned against different inputs, and clamps at [[MaxAutoBinSize]].
+    * At 100 TB this is one column-pruned scan — amortize it by computing the
+    * width once per dataset pair and passing the explicit value thereafter.
+    * Output pairs are binSize-invariant (the bin is an implementation detail
+    * deduped away), so tuning never changes results, only the plan. */
+  def tunedBinSize(
+      left: DataFrame,
+      right: DataFrame,
+      floor: Long = DefaultBinSize): Long = {
+    val lens = left.select((col("end") - col("start")).as("len"))
+      .unionAll(right.select((col("end") - col("start")).as("len")))
+    val p95 = lens.agg(expr("approx_percentile(len, 0.95)").as("p"))
+      .head().getAs[Any]("p") match {
+        case null => floor
+        case n: Number => n.longValue()
+      }
+    val rounded = ((math.max(p95, 1L) + floor - 1) / floor) * floor
+    math.min(math.max(rounded, floor), MaxAutoBinSize)
+  }
+
   private def binned(df: DataFrame, binSize: Long): DataFrame =
     df.withColumn(
       "__bin",
@@ -101,6 +138,9 @@ object RegionJoins {
       joinType: String = "inner",
       binSize: Long = DefaultBinSize,
       flank: Long = 0L): DataFrame = {
+
+    if (binSize == Auto)
+      return overlapJoin(left, right, joinType, tunedBinSize(left, right), flank)
 
     val l = prefixed(flankedBin(left, binSize, flank), "l_")
       .withColumnRenamed("l___bin", "__bin")

@@ -159,4 +159,31 @@ class RegionJoinSpec extends SparkSpec {
         .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally bc.destroy()
   }
+
+  test("tunedBinSize: floor for short intervals, scales up for long ones") {
+    // short reads (len ≤ 400): p95 well under the 10 kb floor → floor exactly
+    val short1 = randomIntervals(500, seed = 7, maxLen = 400)
+    val short2 = randomIntervals(500, seed = 8, maxLen = 400)
+    assert(RegionJoins.tunedBinSize(short1, short2) ==
+      RegionJoins.DefaultBinSize)
+    // long structural variants (len ~ 100 kb-1 Mb): tuned size tracks the
+    // p95 length (rounded up to a floor multiple), bounding replication ≤ ~2
+    import spark.implicits._
+    val rnd = new Random(11)
+    val long1 = (0 until 400).map { i =>
+      val start = rnd.nextLong(10000000L)
+      ("chr1", start, start + 100000L + rnd.nextLong(900000L), i.toLong)
+    }.toDF("referenceName", "start", "end", "id")
+    val tuned = RegionJoins.tunedBinSize(long1, short2)
+    assert(tuned > RegionJoins.DefaultBinSize)
+    assert(tuned % RegionJoins.DefaultBinSize == 0L)
+    assert(tuned <= RegionJoins.MaxAutoBinSize)
+    // ... and the Auto sentinel must give EXACTLY the default-size result
+    val l = randomIntervals(200, seed = 9, maxLen = 300000)
+    val r = randomIntervals(150, seed = 10, maxLen = 200000)
+    assert(binnedResult(l, r, "inner", RegionJoins.Auto, 0L) ==
+      naive(l, r, "inner", 0L))
+    assert(binnedResult(l, r, "full_outer", RegionJoins.Auto, 0L) ==
+      naive(l, r, "full_outer", 0L))
+  }
 }
