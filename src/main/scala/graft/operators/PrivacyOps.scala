@@ -26,9 +26,25 @@ object PrivacyOps {
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
       k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k > 0)
+    summarizeClassSizes(classSizes(df, quasiCols), k)
+  }
+
+  /** Phase 1 of the audit: equivalence-class sizes over the
+    * quasi-identifier columns — ONE mergeable count aggregation, so it
+    * also runs as a streaming complete-mode monitor (the state is one row
+    * per class; [[graft.streaming.EventStreams.streamingKClassSizes]]).
+    * Spark forbids chaining a second streaming aggregation, so the
+    * summary runs per drained snapshot via [[summarizeClassSizes]]. */
+  def classSizes(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty)
     // "__kn", not "n" — a quasi column named n must not collide
-    val classes = df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("__kn"))
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__kn"))
+  }
+
+  /** Phase 2: fold a class-size table (any DataFrame with a `__kn`
+    * count column) into the one-row report. */
+  def summarizeClassSizes(classes: DataFrame, k: Long): DataFrame = {
+    require(k > 0)
     classes.agg(
         sum("__kn").as("n_rows"),
         count(lit(1)).as("n_classes"),

@@ -1605,15 +1605,23 @@ object CramIO {
         case Some(eb) =>
           val off = (start0 - (slice.alignmentStart - 1L)).toInt
           if (off < 0 || off + len > eb.length)
-            throw new IllegalStateException(
-              s"embedded reference window [$off,${off + len}) outside slice span")
+            throw new UnsupportedOperationException(
+              s"embedded reference window [$off,${off + len}) outside this " +
+                s"slice's span (${eb.length} bases from ${slice.alignmentStart}): " +
+                "an embedded reference block serves ONLY its own slice; " +
+                "multi-container embedded-reference spans are unsupported " +
+                "(COVERAGE.md §CRAM) - pass a ReferenceSource to CramIO.read")
           new String(eb, off, len, "UTF-8")
         case None => reference match {
           case Some(src) =>
             src.extract(ReferenceRegion(refNames(ri), start0, start0 + len))
           case None => throw new UnsupportedOperationException(
-            "CRAM slice requires reference bases (RR=true, no embedded " +
-              "reference): pass a ReferenceSource to CramIO.read")
+            "CRAM slice requires reference bases (RR=true) but carries no " +
+              "embedded reference block; if an EARLIER container embedded a " +
+              "reference, note that embedded blocks serve only their own " +
+              "slice (multi-container embedded-reference spans are " +
+              "unsupported, COVERAGE.md §CRAM) - pass a ReferenceSource " +
+              "to CramIO.read")
         }
       }
     }

@@ -513,4 +513,29 @@ object EventStreams {
       .select(col("rr._1").as("reg"), col("rr._2").as("rho"))
       .groupBy("reg")
       .agg(max("rho").as("mrho"))
+
+  /** Streaming k-anonymity monitor (phase 1): equivalence-class sizes
+    * over the quasi-identifier columns as a complete/update-mode
+    * aggregation — counts add, so the micro-batch partial agg IS the
+    * batch map-side combine, and the state is one row per observed
+    * class. Spark forbids a second chained streaming aggregation, so
+    * fold each drained snapshot through
+    * [[graft.operators.PrivacyOps.summarizeClassSizes]] for the one-row
+    * report; drained over the same rows that equals the batch
+    * [[graft.operators.PrivacyOps.kAnonymityReport]] exactly
+    * (StreamingSpec). */
+  def streamingKClassSizes(events: DataFrame,
+      quasiCols: Seq[String]): DataFrame =
+    graft.operators.PrivacyOps.classSizes(events, quasiCols)
+
+  /** Streaming FK orphan-rate monitor: the exact
+    * [[graft.operators.ProfileOps.fkAudit]] plan with a STREAMING child —
+    * a stream-static left join on the two key projections (the static
+    * distinct parent side broadcasts) followed by ONE mergeable
+    * aggregation, run in complete mode. Stateless join + one summary row
+    * of state forever; drained over the same rows it equals the batch
+    * audit row exactly (StreamingSpec). */
+  def streamingFkAudit(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame =
+    graft.operators.ProfileOps.fkAudit(child, parent, childKey, parentKey)
 }

@@ -487,6 +487,77 @@ class CramIOSpec extends SparkSpec {
       ex.getCause != null && ex.getCause.getMessage.contains("reference"))
   }
 
+  /** Byte offset just past the SAM-header container: 26-byte file
+    * definition, then one container (4-byte LE length + itf8/ltf8 header
+    * fields + landmarks + CRC, followed by `length` body bytes). */
+  private def afterHeaderContainer(bytes: Array[Byte]): Int = {
+    var pos = 0
+    val cin = new java.io.InputStream {
+      override def read(): Int =
+        if (pos >= bytes.length) -1 else { val v = bytes(pos) & 0xff; pos += 1; v }
+    }
+    (0 until 26).foreach(_ => cin.read())
+    val len = cin.read() | (cin.read() << 8) | (cin.read() << 16) |
+      (cin.read() << 24)
+    (0 until 4).foreach(_ => CramIO.readItf8(cin)) // refSeq, start, span, nRec
+    CramIO.readLtf8(cin); CramIO.readLtf8(cin) // counter, bases
+    CramIO.readItf8(cin) // nBlocks
+    val nLandmarks = CramIO.readItf8(cin)
+    (0 until nLandmarks).foreach(_ => CramIO.readItf8(cin))
+    (0 until 4).foreach(_ => cin.read()) // CRC
+    pos + len
+  }
+
+  test("hostile: embedded reference cannot serve LATER containers - loud " +
+      "failure without a ReferenceSource, full recovery with one") {
+    val rnd = new scala.util.Random(223)
+    val bases = "ACGT"
+    val contig = Array.fill(9000)(bases(rnd.nextInt(4))).mkString
+    val ref = graft.core.ReferenceContigs(Map("chr1" -> contig))
+    def mk(i: Int) = {
+      val start = i * 40L
+      rec(s"h$i", Some("chr1"), Some(start), Some("36M"),
+        contig.substring(start.toInt, start.toInt + 36), "I" * 36)
+    }
+    val readsA = (0 until 40).map(mk)
+    val readsB = (40 until 80).map(mk)
+    val dir = tmpDir()
+    // file A embeds its slice reference; file B is reference-compressed
+    // WITHOUT an embedded block — an external writer relying on A's
+    // embedded reference to cover B's records (the documented non-goal)
+    CramIO.write(GenomicDataset(spark.createDataset(readsA), meta),
+      dir + "/a.cram", profile = Some(CramIO.WriteProfile(
+        refBased = true, embedRef = true, reference = Some(ref))))
+    CramIO.write(GenomicDataset(spark.createDataset(readsB), meta),
+      dir + "/b.cram", profile = Some(CramIO.WriteProfile(
+        refBased = true, embedRef = false, reference = Some(ref))))
+    val a = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/a.cram"))
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/b.cram"))
+    // splice B's data containers between A's data and A's EOF (38 bytes)
+    val spliced = a.dropRight(38) ++
+      b.slice(afterHeaderContainer(b), b.length - 38) ++ a.takeRight(38)
+    val sp = dir + "/spliced.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(sp), spliced)
+    // no reference: must fail LOUDLY, naming the multi-container
+    // embedded-reference limitation and the fix
+    val ex = intercept[org.apache.spark.SparkException] {
+      CramIO.read(spark, sp).ds.collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("serve only their own slice") ||
+      msgs.contains("serves ONLY its own slice"))
+    assert(msgs.contains("ReferenceSource"))
+    // with the reference: every record from BOTH writers decodes
+    val got = CramIO.read(spark, sp, ref).ds.collect()
+    assert(got.length == 80)
+    val bySeq = got.map(r => r.readName.get -> r.sequence.get).toMap
+    (readsA ++ readsB).foreach(r =>
+      assert(bySeq(r.readName.get) == r.sequence.get))
+  }
+
   test("embedded-reference slices decode with no external reference") {
     val rnd = new scala.util.Random(101)
     val bases = "ACGT"

@@ -237,6 +237,54 @@ class FormatEdgeSpec extends SparkSpec {
     assert(ev("dup_ev") == ((1L, 0L, Seq("4"))))
   }
 
+  test("hostile: htsjdk-styled symbolic-allele attribute VCF (CNV alts, " +
+      "Number=A SVLEN, CIPOS/CIEND, IMPRECISE) round-trips to a fixed point") {
+    // htsjdk VariantContextConverter's symbolic-allele attribute surface:
+    // multi-allelic copy-number alts <CN0>,<CN2> with per-alt (Number=A)
+    // SVLEN, fixed-pair (Number=2) confidence intervals with NEGATIVE
+    // values, a bare IMPRECISE flag, and an <INS> whose span falls back to
+    // the REF length because htsjdk omits END for insertions.
+    val vcf =
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">
+        |##INFO=<ID=END,Number=1,Type=Integer,Description="End">
+        |##INFO=<ID=SVLEN,Number=A,Type=Integer,Description="Length per alt">
+        |##INFO=<ID=CIPOS,Number=2,Type=Integer,Description="CI around POS">
+        |##INFO=<ID=CIEND,Number=2,Type=Integer,Description="CI around END">
+        |##INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Imprecise">
+        |##ALT=<ID=CN0,Description="CN0">
+        |##ALT=<ID=CN2,Description="CN2">
+        |##ALT=<ID=INS,Description="Insertion">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |1	5000	cnv1	N	<CN0>,<CN2>	40	PASS	IMPRECISE;SVTYPE=CNV;END=9000;SVLEN=-4000,4000;CIPOS=-56,20;CIEND=-10,62
+        |1	12000	ins1	T	<INS>	50	PASS	SVTYPE=INS;SVLEN=312
+        |""".stripMargin
+    val b = VcfIO.read(spark, fixture("htsjdk_sv.vcf", vcf))
+    def key(v: graft.model.Variant) =
+      (v.alternateAllele.get, v.start.get, v.end.get,
+        v.annotation.get("SVLEN"), v.annotation.get("CIPOS"),
+        v.annotation.get("CIEND"), v.annotation.get("IMPRECISE"))
+    val vs1 = b.contexts.collect().flatMap(_.variant)
+    assert(vs1.length == 3)
+    // Number=A slicing assigns each CN alt ITS OwN SVLEN; Number=2 pairs
+    // stay whole (never sliced); the flag materializes as "true"
+    assert(key(vs1.find(_.alternateAllele.contains("<CN0>")).get) ==
+      (("<CN0>", 4999L, 9000L, Some("-4000"), Some("-56,20"),
+        Some("-10,62"), Some("true"))))
+    assert(key(vs1.find(_.alternateAllele.contains("<CN2>")).get) ==
+      (("<CN2>", 4999L, 9000L, Some("4000"), Some("-56,20"),
+        Some("-10,62"), Some("true"))))
+    // no END -> REF-length span (htsjdk insertion convention)
+    assert(key(vs1.find(_.alternateAllele.contains("<INS>")).get) ==
+      (("<INS>", 11999L, 12000L, Some("312"), None, None, None)))
+    // write (split records become single-alt lines with sliced INFO) and
+    // re-read: the attribute surface must be a FIXED POINT
+    val out = tmpDir() + "/htsjdk_sv_out.vcf"
+    VcfIO.write(b.contexts, b.meta, b.samples, out, asSingleFile = true)
+    val vs2 = VcfIO.read(spark, out).contexts.collect().flatMap(_.variant)
+    assert(vs2.map(key).toSet == vs1.map(key).toSet)
+  }
+
   test("failed FILTER with no named filters emits '.', not FAIL") {
     val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
       Some(Variant(referenceName = Some("chr1"), start = Some(99L),

@@ -503,6 +503,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming k-anonymity class sizes + batch summarize equal the batch report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // quasi-identifiers from the driver events fixture: (event_type,
+    // value-band) pairs — small classes exist at this scale
+    val rows = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"),
+        (floor(col("value") / 50.0) * 50).cast("long").as("band"))
+      .as[(String, Long)].collect().toSeq
+    val k = 5L
+    val batch = graft.operators.PrivacyOps.kAnonymityReport(
+      rows.toDF("event_type", "band"), Seq("event_type", "band"), k)
+      .collect().head.toSeq
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.EventStreams.streamingKClassSizes(
+        input.toDS().toDF("event_type", "band"), Seq("event_type", "band"))
+      .writeStream.format("memory").queryName("kclasses")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.PrivacyOps.summarizeClassSizes(
+        spark.table("kclasses"), k).collect().head.toSeq
+      assert(got == batch, s"stream-batch k-anonymity drift: $got vs $batch")
+    } finally q.stop()
+  }
+
+  test("streaming FK orphan-rate equals the batch audit row when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // child = event user_ids streaming in; parent = a static dimension
+    // holding only even user ids, so real orphans exist
+    val users = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id")).as[Long].collect().toSeq
+    val parent = users.filter(_ % 2 == 0).distinct.toDF("uid")
+    val batch = graft.operators.ProfileOps.fkAudit(
+      users.toDF("user_id"), parent, "user_id", "uid")
+      .collect().head.toSeq
+    val input = MemoryStream[Long]
+    val q = graft.streaming.EventStreams.streamingFkAudit(
+        input.toDS().toDF("user_id"), parent, "user_id", "uid")
+      .writeStream.format("memory").queryName("fkaudit")
+      .outputMode("complete").start()
+    try {
+      users.grouped(math.max(1, users.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = spark.table("fkaudit").collect().head.toSeq
+      assert(got == batch, s"stream-batch FK drift: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
     // end-to-end composition on the REAL documents fixture: streaming
     // exact dedup, then stateless quality gate + chunking — one continuous
