@@ -570,6 +570,47 @@ object ScaleProbe {
           .otherwise(pmod(col("id") * 2654435761L, lit(10000L))).as("k"))
       graft.operators.SkewOps.keySkewReport(fact, "k", k = 20).count()
     }
+    spark.catalog.clearCache()
+    timed("table_profile_50k") {
+      // round 11: q143 single-pass profile — one Expand aggregation over
+      // rows x columns, the documented exact-profile price, paid once
+      graft.operators.ProfileOps.profileColumns(
+        docs.withColumn("lang", pmod(col("doc_id"), lit(20L)).cast("string"))
+          .withColumn("n_chars", length(col("text"))),
+        Seq("doc_id", "text", "lang", "n_chars")).count()
+    }
+    spark.catalog.clearCache()
+    timed("rolling_actives_30d_1m") {
+      // round 11: q147's contribute-forward explode at its worst case —
+      // windowDays=30 multiplies the DISTINCT (user, day) pair volume by
+      // 30 (never per-day rescans); 10x-deeper histories from the
+      // replicated events make the distinct projection the dense shape
+      graft.operators.Sessionize.rollingDistinctActives(
+        ev, "user_id", "ts", windowDays = 30).count()
+    }
+    spark.catalog.clearCache()
+    timed("volume_anomalies_1m") {
+      // round 11: q148 trailing-window z-flags — one (type, day) agg,
+      // then a keyed ROWS[-7,-1] window over the bounded daily table
+      val daily = ev.select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      graft.operators.Stats.volumeAnomalies(daily, "event_type", "day", "n")
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("calendar_fill_1m") {
+      // round 11: q150 gap fill over the 10x time span (10x the calendar
+      // rows per type) — sequence() explode on the bounded span table +
+      // one keyed last_value window, data rows never re-scan
+      val daily = ev.filter(col("value") > 300)
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("peak_cents"))
+        .groupBy("event_type", "day").agg(max("peak_cents").as("peak_cents"))
+      graft.operators.TimeSeriesOps.calendarFill(
+        daily, "event_type", "day", "peak_cents").count()
+    }
     spark.stop()
   }
 }
