@@ -1237,3 +1237,60 @@ def remove_boilerplate(docs, id_col="doc_id", text_col="text",
     s = docs.sparkSession
     return _wrap(s, _api(s).removeBoilerplate(docs._jdf, id_col, text_col,
                                               group_col, int(min_docs)))
+
+
+def water_fill_allocation(counts, source_col, avail_col, weight_col,
+                          budget):
+    """Budget-constrained water-filling mixture allocation:
+    (source, available, weight, capped, allocated)."""
+    s = counts.sparkSession
+    return _wrap(s, _api(s).waterFillAllocation(
+        counts._jdf, source_col, avail_col, weight_col, int(budget)))
+
+
+def balanced_shards(df, size_col, tie_break, n_shards):
+    """Deterministic size-balanced serpentine shard assignment: input
+    columns + shard (0-based)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).balancedShards(df._jdf, size_col, tie_break,
+                                           int(n_shards)))
+
+
+def shard_report(df, size_col, tie_break, n_shards):
+    """Per-shard balance report: (shard, n_items, total_size)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).shardReport(df._jdf, size_col, tie_break,
+                                        int(n_shards)))
+
+
+def modularity(edges, labels):
+    """Newman modularity of a labeled partition over (src, dst) edges:
+    one row (m, n_within, q_modularity)."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).modularity(edges._jdf, labels._jdf))
+
+
+def inter_arrival_stats(events, key_col="user_id", ts_col="ts",
+                        id_col="event_id", group_col="event_type"):
+    """Per-group inter-arrival gap profile (exact disc percentiles of
+    consecutive-event gaps in ms): (group, n, p50, p90, p99)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).interArrivalStats(events._jdf, key_col,
+                                              ts_col, id_col, group_col))
+
+
+def winsorize_report(df, group_col, value_col, tie_break):
+    """Winsorization audit: per group, exact disc p1/p99 cuts and the
+    integer clamp bookkeeping."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).winsorizeReport(df._jdf, group_col, value_col,
+                                            tie_break))
+
+
+def dyadic_trailing_mean(daily, group_col, day_col, value_col, window=8):
+    """Dyadic recency-weighted trailing mean over keyed daily series:
+    input columns + (num, den, smoothed)."""
+    s = daily.sparkSession
+    return _wrap(s, _api(s).dyadicTrailingMean(daily._jdf, group_col,
+                                               day_col, value_col,
+                                               int(window)))

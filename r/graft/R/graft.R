@@ -663,3 +663,53 @@ graft.removeBoilerplate <- function(docs, idCol = "doc_id",
                                   idCol, textCol, groupCol,
                                   as.integer(minDocs)))
 }
+
+#' Budget-constrained water-filling mixture allocation.
+graft.waterFillAllocation <- function(counts, sourceCol, availCol,
+                                      weightCol, budget) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "waterFillAllocation", counts@sdf,
+                                  sourceCol, availCol, weightCol,
+                                  .jlong(budget)))
+}
+
+#' Deterministic size-balanced serpentine shard assignment.
+graft.balancedShards <- function(df, sizeCol, tieBreak, nShards) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "balancedShards", df@sdf,
+                                  sizeCol, tieBreak, as.integer(nShards)))
+}
+
+#' Per-shard balance report: (shard, n_items, total_size).
+graft.shardReport <- function(df, sizeCol, tieBreak, nShards) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "shardReport", df@sdf,
+                                  sizeCol, tieBreak, as.integer(nShards)))
+}
+
+#' Newman modularity of a labeled partition: (m, n_within, q_modularity).
+graft.modularity <- function(edges, labels) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "modularity", edges@sdf,
+                                  labels@sdf))
+}
+
+#' Per-group inter-arrival gap profile: (group, n, p50, p90, p99).
+graft.interArrivalStats <- function(events, keyCol = "user_id",
+                                    tsCol = "ts", idCol = "event_id",
+                                    groupCol = "event_type") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "interArrivalStats", events@sdf,
+                                  keyCol, tsCol, idCol, groupCol))
+}
+
+#' Winsorization audit: exact disc p1/p99 cuts + integer clamp accounting.
+graft.winsorizeReport <- function(df, groupCol, valueCol, tieBreak) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "winsorizeReport", df@sdf,
+                                  groupCol, valueCol, tieBreak))
+}
+
+#' Dyadic recency-weighted trailing mean over keyed daily series.
+graft.dyadicTrailingMean <- function(daily, groupCol, dayCol, valueCol,
+                                     window = 8) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "dyadicTrailingMean", daily@sdf,
+                                  groupCol, dayCol, valueCol,
+                                  as.integer(window)))
+}

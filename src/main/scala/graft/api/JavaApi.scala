@@ -931,4 +931,48 @@ object JavaApi {
       groupCol: String, minDocs: Int): DataFrame =
     graft.operators.DedupOps.removeBoilerplate(docs, idCol, textCol,
       groupCol, minDocs)
+
+  /** Budget-constrained water-filling mixture allocation:
+    * (source, available, weight, capped, allocated). */
+  def waterFillAllocation(counts: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String, budget: Long): DataFrame =
+    graft.operators.SamplingOps.waterFillAllocation(counts, sourceCol,
+      availCol, weightCol, budget)
+
+  /** Deterministic size-balanced serpentine shard assignment:
+    * input columns + shard (0-based). */
+  def balancedShards(df: DataFrame, sizeCol: String, tieBreak: String,
+      nShards: Int): DataFrame =
+    graft.operators.ShardOps.balancedShards(df, sizeCol, tieBreak, nShards)
+
+  /** Per-shard balance report: (shard, n_items, total_size). */
+  def shardReport(df: DataFrame, sizeCol: String, tieBreak: String,
+      nShards: Int): DataFrame =
+    graft.operators.ShardOps.shardReport(df, sizeCol, tieBreak, nShards)
+
+  /** Newman modularity of a labeled partition over (src, dst) edges:
+    * one row (m, n_within, q_modularity). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
+    graft.operators.GraphOps.modularity(edges, labels)
+
+  /** Per-group inter-arrival gap profile (exact disc percentiles of
+    * consecutive-event gaps in ms): (group, n, p50, p90, p99). */
+  def interArrivalStats(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, groupCol: String): DataFrame =
+    graft.operators.Sessionize.interArrivalStats(events, keyCol, tsCol,
+      idCol, groupCol)
+
+  /** Winsorization audit: per group, exact disc p1/p99 cuts and integer
+    * clamp bookkeeping: (group, n, lo_cut, hi_cut, n_low, n_high,
+    * sum_cents, sum_winsorized_cents). */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame =
+    graft.operators.Stats.winsorizeReport(df, groupCol, valueCol, tieBreak)
+
+  /** Dyadic recency-weighted trailing mean over keyed daily series:
+    * input columns + (num, den, smoothed). */
+  def dyadicTrailingMean(daily: DataFrame, groupCol: String,
+      dayCol: String, valueCol: String, window: Int): DataFrame =
+    graft.operators.TimeSeriesOps.dyadicTrailingMean(daily, groupCol,
+      dayCol, valueCol, window)
 }

@@ -39,12 +39,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object Caching {
 
+  /** Executed plan of the most recent [[materializeAndRelease]] result —
+    * the PRE-checkpoint plan that actually ran. Spec hook: PlanSpec pins
+    * operator plan shapes that the checkpoint otherwise hides behind a
+    * `Scan ExistingRDD`. */
+  @volatile private[graft] var lastMaterializedPlan: String = ""
+
   /** Materialize `result` with an eager local checkpoint (cutting its
     * lineage off the scaffolding) and then release the `scaffolding`
     * caches. Use for BOUNDED results only — the checkpoint stores the
     * result's partitions on executor-local storage. */
   def materializeAndRelease(
       result: DataFrame, scaffolding: Dataset[_]*): DataFrame = {
+    lastMaterializedPlan = result.queryExecution.executedPlan.toString
     val out = result.localCheckpoint(eager = true)
     scaffolding.foreach(_.unpersist(blocking = false))
     out

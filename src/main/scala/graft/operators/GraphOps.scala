@@ -261,4 +261,64 @@ object GraphOps {
         (coalesce(col("n_triangles"), lit(0L)) * 2).as("coeff_num"),
         (col("deg") * (col("deg") - 1)).as("coeff_den"))
   }
+
+  /** Newman modularity of a node partition over an undirected simple
+    * graph — the standard "are these communities real" score for
+    * [[labelPropagation]] output (or any labeling):
+    *
+    *   Q = within/m - sum_c D_c^2 / (4 m^2)
+    *
+    * with m undirected edges, `within` the edges internal to a
+    * community, and D_c the total degree of community c. Q in
+    * [-0.5, 1]; random labelings score ~0, real community structure
+    * >0.3 typically.
+    *
+    * Exact accounting: edges canonicalize to distinct undirected pairs
+    * (self-loops dropped); the two counters and the degree sums are
+    * integer aggregations; D_c^2 accumulates in DECIMAL(38,0) (degree
+    * sums square past long at ~10^10 edges). The ONLY doubles are the
+    * final two divisions on exactly-represented integers — identical in
+    * any engine. Nodes absent from `labels` form singleton communities.
+    *
+    * Scale: one edge canonicalization (persist released after the two
+    * bounded aggregates — tier-1, operators/Caching.scala), two
+    * map-side-combined aggregations, and a labels join; the result is
+    * ONE row: (m, n_within, q_modularity).
+    *
+    * `edges`: (src, dst); `labels`: (id, label). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .persist()
+    // labels evaluate in three branches (both endpoint joins + the degree
+    // grouping); persist so a caller-supplied label PLAN (often derived
+    // from the edges themselves, e.g. labelPropagation output) computes
+    // once, not three times
+    val lab = labels.select(col("id"), col("label")).persist()
+    val la = lab.select(col("id").as("a"), col("label").as("__la"))
+    val lb = lab.select(col("id").as("b"), col("label").as("__lb"))
+    val counts = und
+      .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .agg(count(lit(1)).as("m"),
+        sum(when(coalesce(col("__la"), col("a").cast("string")) ===
+          coalesce(col("__lb"), col("b").cast("string")), 1L)
+          .otherwise(0L)).as("n_within"))
+    val degSq = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__deg"))
+      .join(lab, Seq("id"), "left")
+      .groupBy(coalesce(col("label"), col("id").cast("string")).as("__c"))
+      .agg(sum("__deg").cast(dec).as("__dc"))
+      .agg(sum(col("__dc") * col("__dc")).as("__dc2"))
+    val out = counts.crossJoin(degSq)
+      .select(col("m"), col("n_within"),
+        (col("n_within").cast("double") / col("m").cast("double") -
+          col("__dc2").cast("double") /
+            (lit(4.0) * col("m") * col("m"))).as("q_modularity"))
+    Caching.materializeAndRelease(out, und, lab)
+  }
 }

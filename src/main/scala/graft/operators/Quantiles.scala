@@ -65,33 +65,32 @@ object Quantiles {
     * integer arithmetic only, so any engine reproduces it bit-for-bit.
     *
     * Output: input columns + `bucket` (1-based). */
-  def globalNtile(
-      df: DataFrame, valueCol: String, tieBreak: String,
-      n: Int): DataFrame = {
-    require(n > 0, s"ntile buckets must be positive: $n")
-    // Range-partition on (value, tieBreak), sort within partitions, and
-    // read the partition-local position straight out of
-    // monotonically_increasing_id (partition id in the upper 31 bits,
-    // sequential row offset in the lower 33): unlike a
-    // `Window.partitionBy(__pid)` rank, this adds NO second full-data
-    // exchange — Catalyst can't see that range partitions already
-    // cluster __pid, so the window form re-shuffles everything by pid
-    // hash. Persisted so both the offsets branch and the output read one
-    // materialization of the (nondeterministic) ids. PLAN-OWNED CACHE
-    // (tier 2, see operators/Caching.scala): the returned corpus-sized
-    // plan re-reads this table, so the operator cannot unpersist it;
-    // lifetime belongs to the returned Dataset (ContextCleaner) or the
-    // caller's cache cleanup.
+  /** Two-phase exact global rank under a total `order`: range-partition +
+    * sort within partitions, read the partition-local position straight
+    * out of monotonically_increasing_id (partition id in the upper 31
+    * bits, sequential row offset in the lower 33) — unlike a
+    * `Window.partitionBy(__pid)` rank, this adds NO second full-data
+    * exchange (Catalyst can't see that range partitions already cluster
+    * __pid, so the window form re-shuffles everything by pid hash). The
+    * only unkeyed window runs over the partition-count-sized offsets
+    * table, never data rows. Persisted so both the offsets branch and
+    * the output read one materialization of the (nondeterministic) ids.
+    * PLAN-OWNED CACHE (tier 2, see operators/Caching.scala): the
+    * returned corpus-sized plan re-reads this table, so the operator
+    * cannot unpersist it; lifetime belongs to the returned Dataset
+    * (ContextCleaner) or the caller's cache cleanup.
+    *
+    * Output: input columns + `__grank` (1-based) + `__total`. */
+  private[operators] def globalRank(
+      df: DataFrame, order: Seq[Column]): DataFrame = {
     val sized = df
-      .repartitionByRange(col(valueCol), col(tieBreak))
-      .sortWithinPartitions(col(valueCol), col(tieBreak))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__lrk", (col("__mid") % (1L << 33)) + 1L)
       .drop("__mid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one row per range partition — the only unkeyed window is over the
-    // partition-count-sized frame, never the data
     val pidW = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sized.groupBy("__pid")
@@ -101,19 +100,30 @@ object Quantiles {
         Window.orderBy("__pid").rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .select("__pid", "__off", "__total")
-    // exact integer floor division of non-negative longs (Column./ is
-    // double division; a % b keeps this in pure integer arithmetic)
-    def idiv(a: Column, b: Column): Column =
-      ((a - a % b) / b).cast("long")
+    sized.join(broadcast(offsets), "__pid")
+      .withColumn("__grank", col("__lrk") + col("__off"))
+      .drop("__pid", "__off", "__lrk")
+  }
+
+  /** Exact integer floor division of non-negative longs (Column./ is
+    * double division; a % b keeps this in pure integer arithmetic). */
+  private[operators] def idiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  def globalNtile(
+      df: DataFrame, valueCol: String, tieBreak: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"ntile buckets must be positive: $n")
+    val ranked = globalRank(df, Seq(col(valueCol), col(tieBreak)))
     val q = idiv(col("__total"), lit(n.toLong))
     val r = col("__total") % n
-    val rank = col("__lrk") + col("__off")
+    val rank = col("__grank")
     val bucket = when(rank <= (q + 1) * r,
       idiv(rank - 1, q + 1) + 1)
       .otherwise(idiv(rank - 1 - (q + 1) * r, greatest(q, lit(1L))) + r + 1)
-    sized.join(broadcast(offsets), "__pid")
+    ranked
       .withColumn("bucket", bucket.cast("int"))
-      .drop("__pid", "__off", "__total", "__lrk")
+      .drop("__total", "__grank")
   }
 
   /** Reliability/calibration curve: bucket a score column into `n`

@@ -73,6 +73,75 @@ object SamplingOps {
         least(lit(1.0), col("__w") * col("__t") / col("n")).as("rate"))
   }
 
+  /** Budget-constrained mixture allocation ("water-filling"): spend a
+    * fixed token `budget` across sources in proportion to `weightCol`,
+    * capping each source at its availability and redistributing the
+    * surplus across the remaining sources — the allocation step of
+    * data-mixing recipes where target proportions meet finite corpora.
+    * ([[mixingRates]] answers the dual question: the LARGEST exact
+    * mixture with no budget; this answers: given a budget, how much of
+    * each source to take.)
+    *
+    * Exact, engine-reproducible semantics (no floats on any decision
+    * path): capped sources form a PREFIX of the availability/weight
+    * ascending order (the classic water-level result — removing a capped
+    * source only RAISES the level, so caps happen in ratio order), and
+    * the first source failing the exact DECIMAL(38,0) cross-product test
+    *   a_i * W_rem <= B_rem * w_i
+    * (its prefix's remaining budget B_rem and weight W_rem) cuts the
+    * prefix. Uncapped sources get floor(B* * w_i / W*). Flooring leaves
+    * < |uncapped| tokens unspent by design.
+    *
+    * Scale: every window and aggregate here runs over the BOUNDED
+    * per-source table (one row per source — model state, like centroids),
+    * never data rows; the ratio sort is the one tiny exchange.
+    * Precondition: available * totalWeight fits DECIMAL(38,0) — true for
+    * any real corpus (10^14 tokens x 10^4 weight parts = 10^18).
+    *
+    * Output: (source, available, weight, capped, allocated). */
+  def waterFillAllocation(counts: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val d = counts.select(col(sourceCol).as("source"),
+      col(availCol).cast(dec).as("__a"), col(weightCol).cast(dec).as("__w"))
+    // ratio order (ties by source): doubles only ORDER the bounded table;
+    // every capping decision below is exact decimal arithmetic
+    val byRatio = Seq(
+      col("__a").cast("double") / col("__w").cast("double"), col("source"))
+    val ord = Window.orderBy(byRatio: _*)
+    val prefix = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val zero = lit(0).cast(dec)
+    val flagged = d
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("__pa", coalesce(sum("__a").over(prefix), zero))
+      .withColumn("__pw", coalesce(sum("__w").over(prefix), zero))
+      .crossJoin(broadcast(d.agg(sum("__w").cast(dec).as("__tw"))))
+      .withColumn("__wouldCap",
+        col("__a") * (col("__tw") - col("__pw")) <=
+          (lit(budget).cast(dec) - col("__pa")) * col("__w"))
+    val cut = flagged.agg(
+      min(when(!col("__wouldCap"), col("__rk"))).as("__cut"))
+    val labeled = flagged.crossJoin(broadcast(cut))
+      .withColumn("capped",
+        col("__cut").isNull || col("__rk") < col("__cut"))
+    val rem = labeled.agg(
+      (lit(budget).cast(dec) -
+        coalesce(sum(when(col("capped"), col("__a"))), zero)).as("__bs"),
+      coalesce(sum(when(!col("capped"), col("__w"))), zero).as("__ws"))
+    labeled.crossJoin(broadcast(rem))
+      .withColumn("allocated",
+        when(col("capped"), col("__a"))
+          .otherwise(floor(col("__bs") * col("__w") / col("__ws"))
+            .cast(dec)))
+      .select(col("source"),
+        col("__a").cast("long").as("available"),
+        col("__w").cast("long").as("weight"),
+        col("capped"),
+        col("allocated").cast("long").as("allocated"))
+  }
+
   /** Down-sample `df` to the target domain mixture: [[mixingRates]] joined
     * back (broadcast — one row per stratum) and applied as the same
     * deterministic hash filter as [[stratifiedSample]]. Strata without a

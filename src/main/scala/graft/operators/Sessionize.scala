@@ -300,4 +300,30 @@ object Sessionize {
         (col("day") - col("cohort_day")).as("age_days"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Per-group inter-arrival profile: the millisecond gaps between each
+    * key's CONSECUTIVE events (ordered by time, ties broken by `idCol`),
+    * grouped by the LATER event's `groupCol` and summarized with exact
+    * disc percentiles — the latency/cadence fingerprint that feeds rate
+    * limiting, bot detection, and session-gap tuning (is 30 min actually
+    * past this population's p99 think time?).
+    *
+    * Scale: ONE keyed window (lag over the key partition — the
+    * [[sessionize]] exchange) produces the gaps; the summary reuses
+    * [[Quantiles.discPercentiles]]' distributed rank, so no buffering
+    * percentile aggregate ever holds a group in memory.
+    *
+    * Output per group: (groupCol, n, p50, p90, p99) — gap milliseconds,
+    * exact data values (disc semantics, engine-reproducible). */
+  def interArrivalStats(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, groupCol: String): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__ms"), col(idCol))
+    val gaps = events
+      .select(col(keyCol).as("__k"), col(groupCol),
+        expr(s"unix_millis($tsCol)").as("__ms"), col(idCol))
+      .withColumn("__gap", col("__ms") - lag("__ms", 1).over(w))
+      .filter(col("__gap").isNotNull)
+    Quantiles.discPercentiles(
+      gaps, groupCol, "__gap", idCol, Seq(0.5, 0.9, 0.99))
+  }
 }

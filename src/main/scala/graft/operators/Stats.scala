@@ -329,4 +329,34 @@ object Stats {
             / (col("n_docs").cast("double") * col("__s").cast("double")))
           .as("gini"))
   }
+
+  /** Winsorization audit: per group, the exact disc p1/p99 cut points of
+    * an integer `valueCol` (cents) and the clipping impact of clamping
+    * to [p1, p99] — the report a pipeline reviews before committing to
+    * outlier clipping, and the exact bookkeeping to prove the clamp did
+    * what it claimed (sum deltas in integer cents, never floats).
+    *
+    * Scale: [[Quantiles.discPercentiles]]' distributed rank for the cuts
+    * (no buffering percentile aggregate), the bounded per-group cut rows
+    * broadcast back onto the data, one map-side-combined aggregation.
+    *
+    * Output per group: (groupCol, n, lo_cut, hi_cut, n_low, n_high,
+    * sum_cents, sum_winsorized_cents). */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame = {
+    val cuts = Quantiles.discPercentiles(
+        df, groupCol, valueCol, tieBreak, Seq(0.01, 0.99))
+      .select(col(groupCol), col("p1").as("lo_cut"),
+        col("p99").as("hi_cut"))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .join(broadcast(cuts), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        max("lo_cut").as("lo_cut"), max("hi_cut").as("hi_cut"),
+        sum(when(col("__v") < col("lo_cut"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > col("hi_cut"), 1L).otherwise(0L)).as("n_high"),
+        sum(col("__v")).cast("long").as("sum_cents"),
+        sum(greatest(least(col("__v"), col("hi_cut")), col("lo_cut")))
+          .cast("long").as("sum_winsorized_cents"))
+  }
 }

@@ -43,4 +43,39 @@ object TimeSeriesOps {
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
       .select(col(groupCol), col(dayCol), col(valueCol), col("observed"))
   }
+
+  /** Recency-weighted trailing mean with DYADIC weights: over the last
+    * `window` points of each group's series (ordered by `dayCol`), the
+    * j-th most recent point weighs 2^(window-1-j) — half-weight per step
+    * back, the EMA decay shape made exactly windowable (a true EMA's
+    * infinite tail cannot be computed exactly in a frame; the dyadic
+    * window can, and is engine-bit-reproducible: integer numerator and
+    * denominator, ONE double division at the end).
+    *
+    * Cold starts (fewer than `window` trailing points) renormalize over
+    * the weights present, so early rows are unbiased means of what
+    * exists, never damped toward zero.
+    *
+    * Scale: `window` lag expressions over ONE keyed window exchange —
+    * per-row state is the constant frame, independent of series depth.
+    *
+    * Input must be unique on (group, day). Output: input columns +
+    * (num, den, smoothed). */
+  def dyadicTrailingMean(daily: DataFrame, groupCol: String,
+      dayCol: String, valueCol: String, window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 62,
+      s"window must be in [1, 62]: $window")
+    val w = Window.partitionBy(groupCol).orderBy(dayCol)
+    val terms = (0 until window).map { j =>
+      val wt = 1L << (window - 1 - j)
+      val v = if (j == 0) col(valueCol) else lag(valueCol, j).over(w)
+      (coalesce(v * wt, lit(0L)),
+        when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("num", terms.map(_._1).reduce(_ + _).cast("long"))
+      .withColumn("den", terms.map(_._2).reduce(_ + _).cast("long"))
+      .withColumn("smoothed",
+        col("num").cast("double") / col("den").cast("double"))
+  }
 }

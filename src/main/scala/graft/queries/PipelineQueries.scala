@@ -2063,7 +2063,74 @@ object PipelineQueries extends QuerySet {
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  $blank AS n_blank
            |FROM documents""".stripMargin
-      }.mkString("\nUNION ALL\n")))
+      }.mkString("\nUNION ALL\n"))),
+
+    // Budget-constrained mixture allocation (water-filling): spend half
+    // the corpus's char mass across sources proportionally to a weight,
+    // capping at availability and redistributing surplus. The oracle
+    // restates the exact closed form: capped sources are a prefix of the
+    // avail/weight order, cut at the first exact cross-product failure.
+    Query("q152_waterfill_mixture",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy("source")
+          .agg(sum("n_chars").as("available"))
+          .withColumn("weight",
+            pmod(expr("CAST(substr(source, 4, 10) AS INT)"), lit(4)) + 1)
+        // bounded 1-row aggregate (the budget scalar), not a data collect
+        val budget = docs.agg(sum("n_chars")).head.getLong(0) / 2
+        graft.operators.SamplingOps.waterFillAllocation(
+          counts, "source", "available", "weight", budget)
+      },
+      Some("""WITH counts AS (
+          SELECT source, CAST(sum(n_chars) AS HUGEINT) AS a,
+            CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS HUGEINT) AS w
+          FROM documents GROUP BY 1),
+        b AS (SELECT CAST(sum(a) // 2 AS HUGEINT) AS budget FROM counts),
+        ord AS (SELECT source, a, w,
+            row_number() OVER (
+              ORDER BY CAST(a AS DOUBLE)/CAST(w AS DOUBLE), source) AS rk,
+            coalesce(sum(a) OVER (
+              ORDER BY CAST(a AS DOUBLE)/CAST(w AS DOUBLE), source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa,
+            coalesce(sum(w) OVER (
+              ORDER BY CAST(a AS DOUBLE)/CAST(w AS DOUBLE), source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pw
+          FROM counts),
+        tot AS (SELECT sum(w) AS tw FROM counts),
+        flag AS (SELECT ord.*,
+            (a * (tw - pw) <= (budget - pa) * w) AS would_cap
+          FROM ord, tot, b),
+        cut AS (SELECT min(CASE WHEN NOT would_cap THEN rk END) AS cutrk
+          FROM flag),
+        lab AS (SELECT flag.*,
+            (cutrk IS NULL OR rk < cutrk) AS capped FROM flag, cut),
+        rem AS (SELECT
+            (SELECT budget FROM b)
+              - coalesce(sum(CASE WHEN capped THEN a END), 0) AS bs,
+            coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS ws
+          FROM lab)
+        SELECT source, CAST(a AS BIGINT) AS available,
+          CAST(w AS BIGINT) AS weight, capped,
+          CAST(CASE WHEN capped THEN a ELSE (bs * w) // ws END AS BIGINT)
+            AS allocated
+        FROM lab, rem""")),
+
+    // Size-balanced shard packing report: rank docs by char mass
+    // descending (two-phase global rank, no single-partition sort) and
+    // deal serpentine onto 8 shards; the report proves the pack is tight.
+    Query("q153_balanced_shards",
+      (s, dir) => graft.operators.ShardOps.shardReport(
+        t(s, dir, "documents"), "n_chars", "doc_id", nShards = 8),
+      Some("""WITH r AS (
+          SELECT n_chars,
+            row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS idx
+          FROM documents)
+        SELECT CAST(CASE WHEN (idx // 8) % 2 = 0 THEN idx % 8
+            ELSE 7 - (idx % 8) END AS INT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(n_chars) AS BIGINT) AS total_size
+        FROM r GROUP BY 1"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

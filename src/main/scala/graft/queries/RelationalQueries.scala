@@ -858,6 +858,102 @@ object RelationalQueries extends QuerySet {
            > 1.96 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                * CAST(conv_a + conv_b AS DOUBLE)
                * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)) AS significant
-        FROM agg"""))
+        FROM agg""")),
+
+    // Inter-arrival cadence profile: per event type, exact disc
+    // percentiles of the millisecond gaps between each user's consecutive
+    // events — one keyed lag window + the q86 distributed-rank summary.
+    Query("q155_interarrival",
+      (s, dir) => graft.operators.Sessionize.interArrivalStats(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type"),
+      Some("""WITH g AS (
+          SELECT event_type, event_id,
+            epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+          FROM events),
+        gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        r AS (SELECT event_type, gap,
+            row_number() OVER (
+              PARTITION BY event_type ORDER BY gap, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM gg)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+            THEN gap END) AS p50,
+          min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+            THEN gap END) AS p90,
+          min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+            THEN gap END) AS p99
+        FROM r GROUP BY event_type""")),
+
+    // Winsorization audit: exact disc p1/p99 cuts per type + the integer
+    // clamp bookkeeping — the clip-or-not report before outlier handling.
+    Query("q156_winsorize_audit",
+      (s, dir) => graft.operators.Stats.winsorizeReport(
+        t(s, dir, "events").select(col("event_type"),
+          cents(col("value")).as("cents"), col("event_id")),
+        "event_type", "cents", "event_id"),
+      Some("""WITH v AS (
+          SELECT event_type,
+            CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, event_id
+          FROM events),
+        r AS (SELECT event_type, cents,
+            row_number() OVER (
+              PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+        cuts AS (SELECT event_type,
+            min(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+              THEN cents END) AS lo_cut,
+            min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+              THEN cents END) AS hi_cut
+          FROM r GROUP BY 1)
+        SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+          max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+          CAST(sum(CASE WHEN cents < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_low,
+          CAST(sum(CASE WHEN cents > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_high,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          CAST(sum(greatest(least(cents, hi_cut), lo_cut)) AS BIGINT)
+            AS sum_winsorized_cents
+        FROM v JOIN cuts USING (event_type)
+        GROUP BY 1""")),
+
+    // Dyadic recency-weighted smoothing of per-type daily volumes — the
+    // exactly-windowable EMA shape (integer num/den, one double division).
+    Query("q157_dyadic_smooth",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeriesOps.dyadicTrailingMean(
+          daily, "event_type", "day", "n", window = 8)
+      },
+      Some {
+        val lags = (1 to 7).map(j =>
+          s"lag(n, $j) OVER (PARTITION BY event_type ORDER BY day) AS l$j")
+          .mkString(",\n            ")
+        val num = (1 to 7).map(j => s"coalesce(l$j * ${1L << (7 - j)}, 0)")
+          .mkString(" + ")
+        val den = (1 to 7).map(j =>
+          s"CASE WHEN l$j IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH daily AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, day, n,
+            $lags
+          FROM daily),
+        s AS (SELECT event_type, day, n,
+            CAST(n * 128 + $num AS BIGINT) AS num,
+            CAST(128 + $den AS BIGINT) AS den
+          FROM l)
+        SELECT event_type, day, n, num, den,
+          CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS smoothed
+        FROM s"""
+      })
   )
 }

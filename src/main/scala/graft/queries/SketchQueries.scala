@@ -1125,6 +1125,44 @@ object SketchQueries extends QuerySet {
           |${(1 to 4).map(lpaRound).mkString(",\n")}
           |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
           |FROM l4 GROUP BY 1
-          |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin))
+          |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin)),
+
+    // Newman modularity of a deterministic 16-bucket partition of the
+    // co-purchase graph — exact integer accounting (m, within,
+    // degree-sum squares in 128-bit), two engine-identical double
+    // divisions at the end. The partition is id%16 so the oracle can
+    // replay it exactly; the spec separately proves LPA labelings score
+    // high on planted communities.
+    Query("q154_modularity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = GraphOps.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey")
+        // label the parts straight off the BASE table (labeling items that
+        // never form an edge is harmless — modularity left-joins from the
+        // edges), so the label plan never replays the co-occurrence join
+        val labels = li.select(col("l_partkey").as("id")).distinct()
+          .withColumn("label", pmod(col("id"), lit(16L)))
+        GraphOps.modularity(edges, labels)
+      },
+      Some("""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM pairs),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(CASE WHEN a % 16 = b % 16 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_within
+          FROM und),
+        deg AS (SELECT id, CAST(count(*) AS HUGEINT) AS deg FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+          GROUP BY 1),
+        dc AS (SELECT id % 16 AS c, sum(deg) AS dcsum FROM deg GROUP BY 1),
+        dc2 AS (SELECT sum(dcsum * dcsum) AS sdc2 FROM dc)
+        SELECT m, n_within,
+          CAST(n_within AS DOUBLE) / CAST(m AS DOUBLE)
+            - CAST(sdc2 AS DOUBLE) / (4.0 * m * m) AS q_modularity
+        FROM cnt, dc2"""))
   )
 }

@@ -1296,6 +1296,85 @@ object Cli {
             .write.mode("overwrite").parquet(out + ".events")
         println(s"svLink: wrote $out")
 
+      // waterfill <counts.parquet> <out> -budget N [-source c] [-avail c]
+      //   [-weight c] — budget-constrained mixture allocation
+      case "waterfill" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SamplingOps.waterFillAllocation(
+            spark.read.parquet(in), fv("-source", "source"),
+            fv("-avail", "available"), fv("-weight", "weight"),
+            fv("-budget", sys.error("waterfill needs -budget N")).toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"waterfill: wrote $out")
+
+      // shards <in> <out> [-size c] [-tie c] [-n k] [-report] —
+      //   size-balanced serpentine shard assignment
+      case "shards" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        val df = spark.read.parquet(in)
+        val (size, tie, n) =
+          (fv("-size", "n_chars"), fv("-tie", "doc_id"), fv("-n", "8").toInt)
+        graft.operators.ShardOps.balancedShards(df, size, tie, n)
+          .write.mode("overwrite").parquet(out)
+        if (rest.contains("-report"))
+          graft.operators.ShardOps.shardReport(df, size, tie, n)
+            .write.mode("overwrite").parquet(out + ".report")
+        println(s"shards: wrote $out")
+
+      // modularity <edges.parquet> <labels.parquet> <out> — Newman
+      //   modularity of a labeled partition; edges (src,dst), labels
+      //   (id,label)
+      case "modularity" :: edgesP :: labelsP :: out :: Nil =>
+        graft.operators.GraphOps.modularity(
+            spark.read.parquet(edgesP), spark.read.parquet(labelsP))
+          .write.mode("overwrite").parquet(out)
+        println(s"modularity: wrote $out")
+
+      // interarrival <in> <out> [-key c] [-ts c] [-id c] [-group c] —
+      //   per-group consecutive-event gap percentiles
+      case "interarrival" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Sessionize.interArrivalStats(
+            spark.read.parquet(in), fv("-key", "user_id"), fv("-ts", "ts"),
+            fv("-id", "event_id"), fv("-group", "event_type"))
+          .write.mode("overwrite").parquet(out)
+        println(s"interarrival: wrote $out")
+
+      // winsorize <in> <out> [-group c] [-value c] [-tie c] —
+      //   p1/p99 winsorization audit
+      case "winsorize" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.winsorizeReport(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-value", "cents"), fv("-tie", "event_id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"winsorize: wrote $out")
+
+      // smooth <in> <out> [-group c] [-day c] [-value c] [-window k] —
+      //   dyadic recency-weighted trailing mean
+      case "smooth" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.TimeSeriesOps.dyadicTrailingMean(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-day", "day"), fv("-value", "n"), fv("-window", "8").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"smooth: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -1367,7 +1446,13 @@ object Cli {
           "\n  phrase <in.parquet> <out.parquet> -words \"w1 w2\" [-id c] [-text c]" +
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +
-          "\n  mmr <embeddings.parquet> <out.parquet> [-query id] [-k n] [-lambda x] [-cands n] [-id c] [-vec c]")
+          "\n  mmr <embeddings.parquet> <out.parquet> [-query id] [-k n] [-lambda x] [-cands n] [-id c] [-vec c]" +
+          "\n  waterfill <counts.parquet> <out.parquet> -budget N [-source c] [-avail c] [-weight c]" +
+          "\n  shards <in.parquet> <out.parquet> [-size c] [-tie c] [-n k] [-report]" +
+          "\n  modularity <edges.parquet> <labels.parquet> <out.parquet>" +
+          "\n  interarrival <in.parquet> <out.parquet> [-key c] [-ts c] [-id c] [-group c]" +
+          "\n  winsorize <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
+          "\n  smooth <in.parquet> <out.parquet> [-group c] [-day c] [-value c] [-window k]")
         sys.exit(2)
     }
   }

@@ -599,6 +599,42 @@ object ScaleProbe {
         .count()
     }
     spark.catalog.clearCache()
+    timed("balanced_shards_5m") {
+      // round 11: serpentine shard packing over 5M rows — the two-phase
+      // global rank (range exchange + broadcast offsets), then per-row
+      // integer arithmetic; report aggregates to 64 rows
+      val rows = spark.range(5000000L).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(100000L)).as("sz"))
+      graft.operators.ShardOps.shardReport(rows, "sz", "id", 64).count()
+    }
+    spark.catalog.clearCache()
+    timed("modularity_4m6") {
+      // round 11: modularity of a 16-bucket partition over the same
+      // 4.6M-directed-edge basket graph PageRank uses — one edge
+      // canonicalization + two map-side-combined aggregations; labels
+      // from the node-id range, never the edge join (see q154)
+      val labels = spark.range(30000L).select(col("id"),
+        pmod(col("id"), lit(16L)).as("label"))
+      graft.operators.GraphOps.modularity(bigEdges, labels).count()
+    }
+    spark.catalog.clearCache()
+    timed("interarrival_1m") {
+      // round 11: gap percentiles over 1M events with 10x-deep user
+      // histories — one keyed lag window + the distributed-rank summary
+      graft.operators.Sessionize.interArrivalStats(
+        ev, "user_id", "ts", "event_id", "event_type").count()
+    }
+    spark.catalog.clearCache()
+    timed("winsorize_5m") {
+      // round 11: p1/p99 clamp audit over 5M rows, 20 groups — the
+      // distributed-rank cuts broadcast back onto one combined agg
+      val rows = spark.range(5000000L).select(col("id"),
+        concat(lit("g"), pmod(col("id"), lit(20L)).cast("string")).as("g"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("cents"))
+      graft.operators.Stats.winsorizeReport(rows, "g", "cents", "id")
+        .count()
+    }
+    spark.catalog.clearCache()
     timed("calendar_fill_1m") {
       // round 11: q150 gap fill over the 10x time span (10x the calendar
       // rows per type) — sequence() explode on the bounded span table +
