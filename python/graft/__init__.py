@@ -1294,3 +1294,42 @@ def dyadic_trailing_mean(daily, group_col, day_col, value_col, window=8):
     return _wrap(s, _api(s).dyadicTrailingMean(daily._jdf, group_col,
                                                day_col, value_col,
                                                int(window)))
+
+
+def assortativity(edges):
+    """Degree assortativity over (src, dst) edges: one row
+    (m, r_assortativity); r is NULL on regular graphs."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).assortativity(edges._jdf))
+
+
+def first_touch_attribution(events, key_col="user_id",
+                            type_col="event_type", ts_col="ts",
+                            id_col="event_id", touch_type="view",
+                            conv_type="purchase", window_ms=86400000):
+    """First-touch attribution within a trailing ms window:
+    (key, id, conv_ms, first_touch_ms, gap_ms)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).firstTouchAttribution(
+        events._jdf, key_col, type_col, ts_col, id_col, touch_type,
+        conv_type, int(window_ms)))
+
+
+def merge_clusters(labels, new_pairs):
+    """Incremental connected-component maintenance: merge an existing
+    (id, cluster_id) labeling with new duplicate pairs."""
+    s = labels.sparkSession
+    return _wrap(s, _api(s).mergeClusters(labels._jdf, new_pairs._jdf))
+
+
+def psi_report(df, side_col, bucket_col):
+    """PSI drift report (side_col true = current slice):
+    (b, n_ref, n_cur, psi_q); total PSI = sum(psi_q)/1e7."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).psiReport(df._jdf, side_col, bucket_col))
+
+
+def psi_from_counts(ref, cur):
+    """PSI from pre-aggregated (b, n_ref) x (b, n_cur) count tables."""
+    s = ref.sparkSession
+    return _wrap(s, _api(s).psiFromCounts(ref._jdf, cur._jdf))

@@ -713,3 +713,41 @@ graft.dyadicTrailingMean <- function(daily, groupCol, dayCol, valueCol,
                                   groupCol, dayCol, valueCol,
                                   as.integer(window)))
 }
+
+#' Degree assortativity over (src, dst) edges: (m, r_assortativity).
+graft.assortativity <- function(edges) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "assortativity", edges@sdf))
+}
+
+#' First-touch attribution within a trailing ms window.
+graft.firstTouchAttribution <- function(events, keyCol = "user_id",
+                                        typeCol = "event_type",
+                                        tsCol = "ts", idCol = "event_id",
+                                        touchType = "view",
+                                        convType = "purchase",
+                                        windowMs = 86400000) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "firstTouchAttribution",
+                                  events@sdf, keyCol, typeCol, tsCol,
+                                  idCol, touchType, convType,
+                                  .jlong(windowMs)))
+}
+
+#' Incremental cluster merge: existing labels + new duplicate pairs.
+graft.mergeClusters <- function(labels, newPairs) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "mergeClusters", labels@sdf,
+                                  newPairs@sdf))
+}
+
+#' PSI drift report: (b, n_ref, n_cur, psi_q); total = sum(psi_q)/1e7.
+graft.psiReport <- function(df, sideCol, bucketCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "psiReport", df@sdf, sideCol,
+                                  bucketCol))
+}
+
+#' PSI from pre-aggregated (b, n_ref) x (b, n_cur) count tables.
+graft.psiFromCounts <- function(ref, cur) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "psiFromCounts", ref@sdf,
+                                  cur@sdf))
+}

@@ -975,4 +975,32 @@ object JavaApi {
       dayCol: String, valueCol: String, window: Int): DataFrame =
     graft.operators.TimeSeriesOps.dyadicTrailingMean(daily, groupCol,
       dayCol, valueCol, window)
+
+  /** Degree assortativity over (src, dst) edges: one row
+    * (m, r_assortativity) — NULL r on regular graphs. */
+  def assortativity(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.assortativity(edges)
+
+  /** First-touch attribution within a trailing ms window:
+    * (key, id, conv_ms, first_touch_ms, gap_ms). */
+  def firstTouchAttribution(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, idCol: String, touchType: String,
+      convType: String, windowMs: Long): DataFrame =
+    graft.operators.Sessionize.firstTouchAttribution(events, keyCol,
+      typeCol, tsCol, idCol, touchType, convType, windowMs)
+
+  /** Incremental connected-component maintenance: merge an existing
+    * (id, cluster_id) labeling with new duplicate pairs. */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    graft.operators.DedupOps.mergeClusters(labels, newPairs)
+
+  /** PSI drift report (sideCol true = current slice):
+    * (b, n_ref, n_cur, psi_q); total PSI = sum(psi_q)/1e7. */
+  def psiReport(df: DataFrame, sideCol: String,
+      bucketCol: String): DataFrame =
+    graft.operators.CorpusCompareOps.psiReport(df, sideCol, bucketCol)
+
+  /** PSI from pre-aggregated (b, n_ref) x (b, n_cur) count tables. */
+  def psiFromCounts(ref: DataFrame, cur: DataFrame): DataFrame =
+    graft.operators.CorpusCompareOps.psiFromCounts(ref, cur)
 }

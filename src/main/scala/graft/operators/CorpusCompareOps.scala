@@ -144,4 +144,55 @@ object CorpusCompareOps {
       .orderBy(col("chi2_q").desc, col("b"))
       .limit(k)
   }
+
+  /** Bucket counts for [[psiFromCounts]]: one map-side-combined count of
+    * `df` rows per `bucketCol` value, split by the boolean `sideCol`
+    * (false = reference, true = current). Counts add, so this also runs
+    * as a streaming complete-mode aggregation
+    * ([[graft.streaming.EventStreams.streamingPsiCounts]] keeps only the
+    * current side on the stream). */
+  def psiCounts(df: DataFrame, sideCol: String,
+      bucketCol: String): DataFrame =
+    df.groupBy(col(bucketCol).as("b"))
+      .agg(sum(when(!col(sideCol), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col(sideCol), 1L).otherwise(0L)).as("n_cur"))
+
+  /** Population Stability Index per bucket — the industry-standard
+    * distribution-drift score between a reference slice and a current
+    * slice: PSI = sum_i (p_i - q_i) ln(p_i / q_i), flagged at ~0.1
+    * (moderate) / 0.25 (major) drift. `ref`/`cur` carry (b, n_ref) /
+    * (b, n_cur); buckets are full-outer joined and +1-smoothed on BOTH
+    * sides over the union support, so ln stays finite with zero-count
+    * buckets and the report is deterministic. Per-bucket contribution is
+    * quantized at 1e7 after ONE fixed double chain (the [[TextOps
+    * .bm25Scores]] ln precedent), so DuckDB replays it bit-for-bit.
+    *
+    * Scale: everything downstream of the corpus count runs on the
+    * BOUNDED bucket grid. Output: (b, n_ref, n_cur, psi_q) — total PSI =
+    * sum(psi_q)/1e7. */
+  def psiFromCounts(ref: DataFrame, cur: DataFrame): DataFrame =
+    psiMath(ref.select(col("b"), col("n_ref"))
+      .join(cur.select(col("b"), col("n_cur")), Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+
+  /** PSI drift report from raw rows: [[psiCounts]] + the PSI math in one
+    * call (sideCol true = current slice); no self-join — the one count
+    * grid already carries both sides. */
+  def psiReport(df: DataFrame, sideCol: String,
+      bucketCol: String): DataFrame =
+    psiMath(psiCounts(df, sideCol, bucketCol))
+
+  private def psiMath(grid: DataFrame): DataFrame = {
+    val tot = grid.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"),
+      count(lit(1)).as("__nb"))
+    val p = (col("n_ref") + lit(1)).cast("double") /
+      (col("__tr") + col("__nb")).cast("double")
+    val q = (col("n_cur") + lit(1)).cast("double") /
+      (col("__tc") + col("__nb")).cast("double")
+    grid.crossJoin(broadcast(tot))
+      .select(col("b"), col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(1e7) + lit(0.5)).cast("long")
+          .as("psi_q"))
+  }
 }

@@ -831,6 +831,24 @@ object DedupOps {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental connected-component maintenance: merge an EXISTING
+    * labeling with newly-discovered duplicate pairs (e.g. an incoming
+    * batch probed against the signature index,
+    * [[minhashNearDuplicatesAgainst]]) WITHOUT replaying the historical
+    * pair join. A (id, cluster_id) label row IS an edge to the cluster's
+    * representative — [[clusterDuplicates]] guarantees cluster_id = min
+    * member id, i.e. the same id space — so merging is connected
+    * components over labels-as-edges + new pairs: cost scales with
+    * |labels| + |new pairs| + log-diameter rounds, never the historical
+    * candidate volume.
+    *
+    * Output: (id, cluster_id) for every id in `labels` or `newPairs`,
+    * with merged components re-labeled to the new global min. */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    clusterDuplicates(
+      labels.select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))))
+
   def ngramJaccard(
       docs: DataFrame,
       candidates: DataFrame,

@@ -321,4 +321,53 @@ object GraphOps {
             (lit(4.0) * col("m") * col("m"))).as("q_modularity"))
     Caching.materializeAndRelease(out, und, lab)
   }
+
+  /** Degree assortativity coefficient (Newman) of an undirected simple
+    * graph — do high-degree nodes attach to other high-degree nodes
+    * (r > 0, social graphs) or to leaves (r < 0, web/biology hubs)?
+    * The Pearson correlation of end-point degrees over edges:
+    *
+    *   r = (4 m Sjk - Ssum^2) / (2 m Ssq - Ssum^2)
+    *
+    * with, over the m canonical edges: Sjk = sum(da*db),
+    * Ssum = sum(da+db), Ssq = sum(da^2+db^2). Exact integer accounting in
+    * DECIMAL(38,0); the ONLY double is the final division of two
+    * exactly-computed 128-bit integers (engine-identical). NULL when the
+    * graph is degree-regular (zero variance).
+    *
+    * Scale: one canonical-edge distinct (persist released before return,
+    * tier 1) + the degree aggregation + two broadcastable degree joins +
+    * one combined sum — the [[triangleCounts]] prelude without the wedge
+    * join. Output: ONE row (m, r_assortativity). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val wd = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val da = col("da").cast(dec); val db = col("db").cast(dec)
+    val sums = wd.agg(
+      count(lit(1)).cast(dec).as("__m"),
+      sum(da * db).as("__sjk"),
+      sum(da + db).as("__ssum"),
+      sum(da * da + db * db).as("__ssq"))
+    val num = lit(4).cast(dec) * col("__m") * col("__sjk") -
+      col("__ssum") * col("__ssum")
+    val den = lit(2).cast(dec) * col("__m") * col("__ssq") -
+      col("__ssum") * col("__ssum")
+    val out = sums.select(
+      col("__m").cast("long").as("m"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .as("r_assortativity"))
+    Caching.materializeAndRelease(out, und)
+  }
 }

@@ -326,4 +326,34 @@ object Sessionize {
     Quantiles.discPercentiles(
       gaps, groupCol, "__gap", idCol, Seq(0.5, 0.9, 0.99))
   }
+
+  /** First-touch attribution: each conversion event gets the EARLIEST
+    * `touchType` event by the same key within the trailing `windowMs`
+    * (inclusive of the conversion instant) — the classic marketing
+    * question asofJoin's last-before semantics can't answer.
+    *
+    * The credit window is a value-based RANGE frame `[-windowMs, 0]` over
+    * the key's millisecond timeline — exact, tie-stable (the frame is
+    * value-defined, so same-ms rows agree in any engine), and ONE keyed
+    * window exchange regardless of history depth.
+    *
+    * Output: one row per conversion —
+    * (keyCol, idCol, conv_ms, first_touch_ms, gap_ms);
+    * first_touch_ms/gap_ms NULL when no touch fell in the window. */
+  def firstTouchAttribution(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, idCol: String, touchType: String,
+      convType: String, windowMs: Long): DataFrame = {
+    require(windowMs >= 0, s"windowMs must be non-negative: $windowMs")
+    val w = Window.partitionBy("__k").orderBy(col("__ms"))
+      .rangeBetween(-windowMs, 0)
+    events
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+        expr(s"unix_millis($tsCol)").as("__ms"), col(idCol))
+      .withColumn("__ft",
+        min(when(col("__t") === touchType, col("__ms"))).over(w))
+      .filter(col("__t") === convType)
+      .select(col("__k").as(keyCol), col(idCol),
+        col("__ms").as("conv_ms"), col("__ft").as("first_touch_ms"),
+        (col("__ms") - col("__ft")).as("gap_ms"))
+  }
 }

@@ -2130,7 +2130,40 @@ object PipelineQueries extends QuerySet {
             ELSE 7 - (idx % 8) END AS INT) AS shard,
           CAST(count(*) AS BIGINT) AS n_items,
           CAST(sum(n_chars) AS BIGINT) AS total_size
-        FROM r GROUP BY 1"""))
+        FROM r GROUP BY 1""")),
+
+    // Incremental cluster maintenance: the q42 star clustering as the
+    // EXISTING labels, the chain pairs as the new batch — mergeClusters
+    // runs CC over labels-as-edges + new pairs (never replaying the
+    // historical pair join) and must equal the from-scratch closure, so
+    // the oracle is exactly q42's recursive CTE over star UNION chain.
+    Query("q160_merge_clusters",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val star = c.filter(col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey").as("id_a"),
+            (col("c_custkey") - col("c_custkey") % 5).as("id_b"))
+        val chain = c.filter(col("c_custkey") % 50 < 8)
+          .select(col("c_custkey").as("id_a"),
+            (col("c_custkey") + 1).as("id_b"))
+        val existing = DedupOps.clusterDuplicates(star)
+        DedupOps.mergeClusters(existing, chain)
+          .select(col("id"), col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+          SELECT c_custkey AS id_a, c_custkey - c_custkey % 5 AS id_b
+          FROM customer WHERE c_custkey % 5 <> 0
+          UNION ALL
+          SELECT c_custkey, c_custkey + 1 FROM customer WHERE c_custkey % 50 < 8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+        SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

@@ -954,6 +954,58 @@ object RelationalQueries extends QuerySet {
         SELECT event_type, day, n, num, den,
           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS smoothed
         FROM s"""
-      })
+      }),
+
+    // First-touch attribution: each purchase credits the EARLIEST view by
+    // the same user within the trailing day — a value-based RANGE frame,
+    // so same-instant rows agree in any engine.
+    Query("q159_first_touch",
+      (s, dir) => graft.operators.Sessionize.firstTouchAttribution(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        touchType = "view", convType = "purchase", windowMs = 86400000L),
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+          FROM events),
+        w AS (SELECT user_id, event_type, ms, event_id,
+            min(CASE WHEN event_type = 'view' THEN ms END) OVER (
+              PARTITION BY user_id ORDER BY ms
+              RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS ft
+          FROM e)
+        SELECT user_id, event_id, ms AS conv_ms, ft AS first_touch_ms,
+          ms - ft AS gap_ms
+        FROM w WHERE event_type = 'purchase'""")),
+
+    // Population Stability Index: value-distribution drift between
+    // even-week (reference) and odd-week (current) events — +1-smoothed
+    // over the union support, per-bucket ln contribution quantized at 1e7
+    // (the BM25 ln precedent).
+    Query("q161_psi_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          ((expr("unix_millis(ts) div 604800000") % 2) === 1).as("is_cur"),
+          expr("CAST(floor(value*100 + 0.5) AS BIGINT) div 500").as("vb"))
+        graft.operators.CorpusCompareOps.psiReport(ev, "is_cur", "vb")
+      },
+      Some("""WITH e AS (
+          SELECT (epoch_ms(ts) // 604800000) % 2 = 1 AS is_cur,
+            CAST(floor(value*100 + 0.5) AS BIGINT) // 500 AS b
+          FROM events),
+        grid AS (SELECT b,
+            CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_ref,
+            CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_cur
+          FROM e GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+            CAST(sum(n_cur) AS BIGINT) AS tc,
+            CAST(count(*) AS BIGINT) AS nb FROM grid)
+        SELECT b, n_ref, n_cur,
+          CAST(floor(
+            (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)
+              - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE))
+            * ln(CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)
+                / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)))
+            * 1e7 + 0.5) AS BIGINT) AS psi_q
+        FROM grid, tot"""))
   )
 }

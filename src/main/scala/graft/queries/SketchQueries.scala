@@ -1163,6 +1163,35 @@ object SketchQueries extends QuerySet {
         SELECT m, n_within,
           CAST(n_within AS DOUBLE) / CAST(m AS DOUBLE)
             - CAST(sdc2 AS DOUBLE) / (4.0 * m * m) AS q_modularity
-        FROM cnt, dc2"""))
+        FROM cnt, dc2""")),
+
+    // Degree assortativity of the co-purchase graph — exact integer edge
+    // sums (128-bit), one double division; NULL on regular graphs.
+    Query("q158_assortativity",
+      (s, dir) => GraphOps.assortativity(
+        GraphOps.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+      Some("""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM pairs),
+        deg AS (SELECT id, CAST(count(*) AS HUGEINT) AS deg FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+          GROUP BY 1),
+        wd AS (SELECT da.deg AS da, db.deg AS db
+          FROM und JOIN deg da ON da.id = und.a
+                   JOIN deg db ON db.id = und.b),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+            sum(da * db) AS sjk, sum(da + db) AS ssum,
+            sum(da * da + db * db) AS ssq
+          FROM wd)
+        SELECT CAST(m AS BIGINT) AS m,
+          CASE WHEN (2*m*ssq - ssum*ssum) = 0 THEN NULL
+            ELSE CAST(4*m*sjk - ssum*ssum AS DOUBLE)
+                   / CAST(2*m*ssq - ssum*ssum AS DOUBLE) END
+            AS r_assortativity
+        FROM s"""))
   )
 }

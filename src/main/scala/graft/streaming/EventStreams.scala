@@ -538,4 +538,16 @@ object EventStreams {
   def streamingFkAudit(child: DataFrame, parent: DataFrame,
       childKey: String, parentKey: String): DataFrame =
     graft.operators.ProfileOps.fkAudit(child, parent, childKey, parentKey)
+
+  /** Streaming PSI drift monitor (count phase): per-bucket counts of the
+    * CURRENT stream as a complete-mode aggregation (counts add — one row
+    * of state per observed bucket forever). Fold each drained snapshot
+    * with the static reference through
+    * [[graft.operators.CorpusCompareOps.psiFromCounts]] for the live PSI
+    * report; drained over the same rows that equals the batch
+    * [[graft.operators.CorpusCompareOps.psiReport]] exactly
+    * (StreamingSpec). */
+  def streamingPsiCounts(cur: DataFrame, bucketCol: String): DataFrame =
+    cur.groupBy(col(bucketCol).as("b"))
+      .agg(count(lit(1)).as("n_cur"))
 }

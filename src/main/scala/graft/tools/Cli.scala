@@ -1375,6 +1375,49 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"smooth: wrote $out")
 
+      // assortativity <edges.parquet> <out> — degree assortativity of an
+      //   undirected graph; edges (src,dst)
+      case "assortativity" :: edgesP :: out :: Nil =>
+        graft.operators.GraphOps.assortativity(spark.read.parquet(edgesP))
+          .write.mode("overwrite").parquet(out)
+        println(s"assortativity: wrote $out")
+
+      // attribution <in> <out> [-key c] [-type c] [-ts c] [-id c]
+      //   [-touch t] [-conv t] [-window ms] — first-touch attribution
+      case "attribution" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Sessionize.firstTouchAttribution(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-type", "event_type"), fv("-ts", "ts"),
+            fv("-id", "event_id"), fv("-touch", "view"),
+            fv("-conv", "purchase"), fv("-window", "86400000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"attribution: wrote $out")
+
+      // psi <in> <out> [-side c] [-bucket c] — PSI distribution drift
+      //   (side boolean col: true = current slice)
+      case "psi" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.CorpusCompareOps.psiReport(
+            spark.read.parquet(in), fv("-side", "is_cur"),
+            fv("-bucket", "b"))
+          .write.mode("overwrite").parquet(out)
+        println(s"psi: wrote $out")
+
+      // mergecc <labels.parquet> <pairs.parquet> <out> — incremental
+      //   connected-component merge (labels (id,cluster_id) + new pairs)
+      case "mergecc" :: labelsP :: pairsP :: out :: Nil =>
+        graft.operators.DedupOps.mergeClusters(
+            spark.read.parquet(labelsP), spark.read.parquet(pairsP))
+          .write.mode("overwrite").parquet(out)
+        println(s"mergecc: wrote $out")
+
       case other =>
         System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}" +
           "\nCommands: transformAlignments transformFeatures transformFragments " +
@@ -1452,7 +1495,11 @@ object Cli {
           "\n  modularity <edges.parquet> <labels.parquet> <out.parquet>" +
           "\n  interarrival <in.parquet> <out.parquet> [-key c] [-ts c] [-id c] [-group c]" +
           "\n  winsorize <in.parquet> <out.parquet> [-group c] [-value c] [-tie c]" +
-          "\n  smooth <in.parquet> <out.parquet> [-group c] [-day c] [-value c] [-window k]")
+          "\n  smooth <in.parquet> <out.parquet> [-group c] [-day c] [-value c] [-window k]" +
+          "\n  assortativity <edges.parquet> <out.parquet>" +
+          "\n  attribution <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c] [-touch t] [-conv t] [-window ms]" +
+          "\n  mergecc <labels.parquet> <pairs.parquet> <out.parquet>" +
+          "\n  psi <in.parquet> <out.parquet> [-side c] [-bucket c]")
         sys.exit(2)
     }
   }

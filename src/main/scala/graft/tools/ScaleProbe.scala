@@ -618,6 +618,22 @@ object ScaleProbe {
       graft.operators.GraphOps.modularity(bigEdges, labels).count()
     }
     spark.catalog.clearCache()
+    timed("assortativity_4m6") {
+      // round 11: degree assortativity over the same basket graph — the
+      // triangleCounts prelude (canonical distinct + degree joins) with
+      // one combined 128-bit sum instead of the wedge join
+      graft.operators.GraphOps.assortativity(bigEdges).count()
+    }
+    spark.catalog.clearCache()
+    timed("first_touch_1m") {
+      // round 11: RANGE[-1d, 0] first-touch credit over 1M events with
+      // 10x-deep user timelines — one keyed window exchange; per-row
+      // frame cost is bounded by the window SPAN, not history depth
+      graft.operators.Sessionize.firstTouchAttribution(
+        ev, "user_id", "event_type", "ts", "event_id",
+        "view", "purchase", 86400000L).count()
+    }
+    spark.catalog.clearCache()
     timed("interarrival_1m") {
       // round 11: gap percentiles over 1M events with 10x-deep user
       // histories — one keyed lag window + the distributed-rank summary

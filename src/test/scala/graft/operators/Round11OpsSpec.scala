@@ -145,6 +145,91 @@ class Round11OpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // assortativity
+  // ------------------------------------------------------------------
+
+  test("assortativity: -1 on a star, NULL on a regular graph, matches " +
+      "naive Pearson on a random graph") {
+    import spark.implicits._
+    // P3 path = K1,2 star: perfectly disassortative
+    val star = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = GraphOps.assortativity(star).collect().head
+    assert(r1.getAs[Long]("m") == 2L)
+    assert(r1.getAs[Double]("r_assortativity") == -1.0)
+    // K3 is 2-regular: zero degree variance -> NULL
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphOps.assortativity(k3).collect().head.isNullAt(1))
+    // random graph vs naive symmetric Pearson over edge-degree pairs
+    val rnd = new Random(53)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap
+    val xs = und.flatMap(e => Seq(deg(e._1), deg(e._2)))
+    val ys = und.flatMap(e => Seq(deg(e._2), deg(e._1)))
+    val n = xs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum
+    val vy = ys.map(y => (y - my) * (y - my)).sum
+    val want = cov / math.sqrt(vx * vy)
+    val got = GraphOps.assortativity(edges.toDF("src", "dst"))
+      .collect().head.getAs[Double]("r_assortativity")
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+  }
+
+  // ------------------------------------------------------------------
+  // firstTouchAttribution
+  // ------------------------------------------------------------------
+
+  test("firstTouchAttribution: earliest touch within the trailing window, " +
+      "inclusive bounds, NULL when none") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 0L, 10L), (1L, "view", 5000L, 11L),
+      (1L, "purchase", 10000L, 12L), (1L, "purchase", 20000L, 13L),
+      (2L, "view", 7000L, 20L), (2L, "purchase", 7000L, 21L)
+    ).toDF("user_id", "event_type", "ms", "event_id")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_millis(ms)").as("ts"), col("event_id"))
+    val got = Sessionize.firstTouchAttribution(
+        ev, "user_id", "event_type", "ts", "event_id",
+        "view", "purchase", windowMs = 8000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("first_touch_ms")),
+          Option(r.getAs[Any]("gap_ms")))).toMap
+    // purchase@10s, window [2s,10s]: view@0 excluded, view@5s wins
+    assert(got(12L) == ((Some(5000L), Some(5000L))))
+    // purchase@20s, window [12s,20s]: no view
+    assert(got(13L) == ((None, None)))
+    // same-instant touch counts (inclusive upper bound)
+    assert(got(21L) == ((Some(7000L), Some(0L))))
+  }
+
+  // ------------------------------------------------------------------
+  // mergeClusters
+  // ------------------------------------------------------------------
+
+  test("mergeClusters: labels + new pairs == from-scratch clustering") {
+    import spark.implicits._
+    val rnd = new Random(59)
+    val star = (0 until 300).map(i =>
+      (i.toLong, (i - i % 5).toLong)).filter(p => p._1 != p._2)
+    val chain = (0 until 300).filter(_ % 50 < 8)
+      .map(i => (i.toLong, (i + 1).toLong))
+    val old = DedupOps.clusterDuplicates(star.toDF("id_a", "id_b"))
+    val merged = DedupOps.mergeClusters(old, chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = DedupOps.clusterDuplicates(
+        (star ++ chain).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == scratch)
+  }
+
+  // ------------------------------------------------------------------
   // interArrivalStats
   // ------------------------------------------------------------------
 
@@ -194,6 +279,37 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_winsorized_cents") ==
         vs.map(v => math.max(lo, math.min(hi, v))).sum)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // psiReport
+  // ------------------------------------------------------------------
+
+  test("psiReport: identical distributions score 0, shifted score high, " +
+      "zero-count buckets stay finite") {
+    import spark.implicits._
+    // identical ref/cur: every bucket p == q exactly -> psi_q == 0
+    val same = (0 until 400).map(i => (i % 2 == 1, (i / 2) % 5))
+    val r1 = CorpusCompareOps.psiReport(
+        same.toDF("is_cur", "b"), "is_cur", "b")
+      .collect()
+    assert(r1.length == 5 && r1.forall(_.getAs[Long]("psi_q") == 0L))
+    // disjoint supports: strong drift, finite everywhere (smoothing),
+    // every bucket contributes positively
+    val shifted = (0 until 200).map(i => (false, i % 3)) ++
+      (0 until 200).map(i => (true, 10 + i % 3))
+    val r2 = CorpusCompareOps.psiReport(
+        shifted.toDF("is_cur", "b"), "is_cur", "b")
+      .collect().map(r => r.getAs[Int]("b") -> r.getAs[Long]("psi_q")).toMap
+    assert(r2.size == 6)
+    assert(r2.values.forall(v => v > 0))
+    val total = r2.values.sum / 1e7
+    assert(total > 0.25, s"disjoint supports must flag major drift: $total")
+    // driver replay of the exact chain for bucket 0 (67 ref rows: i%3==0
+    // over 0..199; +1 smoothing, denominators total+nb = 206)
+    val p = (67.0 + 1) / 206.0; val q = 1.0 / 206.0
+    val want = math.floor((p - q) * math.log(p / q) * 1e7 + 0.5).toLong
+    assert(r2(0) == want)
   }
 
   // ------------------------------------------------------------------

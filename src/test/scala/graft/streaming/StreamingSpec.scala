@@ -558,6 +558,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI counts + static reference equal the batch PSI report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference = even-week events, current = odd-week events streaming in
+    val rows = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(((expr("unix_millis(ts) div 604800000") % 2) === 1)
+          .as("is_cur"),
+        expr("CAST(floor(value*100 + 0.5) AS BIGINT) div 500").as("vb"))
+      .as[(Boolean, Long)].collect().toSeq
+    val batch = graft.operators.CorpusCompareOps.psiReport(
+        rows.toDF("is_cur", "vb"), "is_cur", "vb")
+      .collect().map(r => r.getAs[Long]("b") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("psi_q"))).toMap
+    val refCounts = rows.filter(!_._1).map(_._2).toDF("vb")
+      .groupBy(col("vb").as("b")).agg(count(lit(1)).as("n_ref"))
+    val input = MemoryStream[Long]
+    val q = graft.streaming.EventStreams.streamingPsiCounts(
+        input.toDS().toDF("vb"), "vb")
+      .writeStream.format("memory").queryName("psicounts")
+      .outputMode("complete").start()
+    try {
+      val cur = rows.filter(_._1).map(_._2)
+      cur.grouped(math.max(1, cur.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.CorpusCompareOps.psiFromCounts(
+          refCounts, spark.table("psicounts"))
+        .collect().map(r => r.getAs[Long]("b") ->
+          (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+            r.getAs[Long]("psi_q"))).toMap
+      assert(got == batch, s"stream-batch PSI drift: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
     // end-to-end composition on the REAL documents fixture: streaming
     // exact dedup, then stateless quality gate + chunking — one continuous
