@@ -1333,3 +1333,19 @@ def psi_from_counts(ref, cur):
     """PSI from pre-aggregated (b, n_ref) x (b, n_cur) count tables."""
     s = ref.sparkSession
     return _wrap(s, _api(s).psiFromCounts(ref._jdf, cur._jdf))
+
+
+def capped_top_k(df, score_col, group_col, tie_break, k, per_group_cap):
+    """Global top-k under a per-group cap (diversity-quota selection)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).cappedTopK(df._jdf, score_col, group_col,
+                                       tie_break, int(k),
+                                       int(per_group_cap)))
+
+
+def mad_outliers(df, group_col, value_col, tie_break, k_permille=3500):
+    """MAD robust outlier flags (pure integer decision path):
+    input columns + (med, mad, is_out)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).madOutliers(df._jdf, group_col, value_col,
+                                        tie_break, int(k_permille)))

@@ -751,3 +751,20 @@ graft.psiFromCounts <- function(ref, cur) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "psiFromCounts", ref@sdf,
                                   cur@sdf))
 }
+
+#' Global top-k under a per-group cap (diversity-quota selection).
+graft.cappedTopK <- function(df, scoreCol, groupCol, tieBreak, k,
+                             perGroupCap) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "cappedTopK", df@sdf, scoreCol,
+                                  groupCol, tieBreak, as.integer(k),
+                                  as.integer(perGroupCap)))
+}
+
+#' MAD robust outlier flags: input columns + (med, mad, is_out).
+graft.madOutliers <- function(df, groupCol, valueCol, tieBreak,
+                              kPermille = 3500) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "madOutliers", df@sdf, groupCol,
+                                  valueCol, tieBreak, .jlong(kPermille)))
+}

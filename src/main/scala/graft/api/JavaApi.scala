@@ -1003,4 +1003,17 @@ object JavaApi {
   /** PSI from pre-aggregated (b, n_ref) x (b, n_cur) count tables. */
   def psiFromCounts(ref: DataFrame, cur: DataFrame): DataFrame =
     graft.operators.CorpusCompareOps.psiFromCounts(ref, cur)
+
+  /** Global top-k under a per-group cap (diversity-quota selection). */
+  def cappedTopK(df: DataFrame, scoreCol: String, groupCol: String,
+      tieBreak: String, k: Int, perGroupCap: Int): DataFrame =
+    graft.operators.SamplingOps.cappedTopK(df, scoreCol, groupCol,
+      tieBreak, k, perGroupCap)
+
+  /** MAD robust outlier flags (pure integer decision path):
+    * input columns + (med, mad, is_out). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String, kPermille: Long): DataFrame =
+    graft.operators.Stats.madOutliers(df, groupCol, valueCol, tieBreak,
+      kPermille)
 }

@@ -142,6 +142,28 @@ object SamplingOps {
         col("allocated").cast("long").as("allocated"))
   }
 
+  /** Global top-`k` by score under a per-group cap — "take the k best
+    * documents overall, but at most `perGroupCap` from any one source":
+    * the diversity-quota selection between plain global top-k (one source
+    * can sweep it) and per-group quotas (which over-admit weak groups).
+    *
+    * Scale: stage 1 is a keyed row_number cut at the cap — Spark pushes
+    * it below the shuffle as WindowGroupLimit, so each map task forwards
+    * at most `perGroupCap` rows per group it sees; stage 2 is a
+    * TakeOrdered over the <= cap x groups survivors, never a global
+    * sort. Fully order-determined by (score DESC, tieBreak). */
+  def cappedTopK(df: DataFrame, scoreCol: String, groupCol: String,
+      tieBreak: String, k: Int, perGroupCap: Int): DataFrame = {
+    require(k > 0 && perGroupCap > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(tieBreak))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= perGroupCap).drop("__r")
+      .orderBy(col(scoreCol).desc, col(tieBreak))
+      .limit(k)
+  }
+
   /** Down-sample `df` to the target domain mixture: [[mixingRates]] joined
     * back (broadcast — one row per stratum) and applied as the same
     * deterministic hash filter as [[stratifiedSample]]. Strata without a

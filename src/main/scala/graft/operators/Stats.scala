@@ -342,6 +342,37 @@ object Stats {
     *
     * Output per group: (groupCol, n, lo_cut, hi_cut, n_low, n_high,
     * sum_cents, sum_winsorized_cents). */
+  /** Robust outlier flags via MAD (median absolute deviation): per
+    * group, med = exact disc median of `valueCol` (integer cents), mad =
+    * exact disc median of |x - med|, and x flags when
+    * |x - med| * 1000 > kPermille * mad — e.g. kPermille = 3500 is the
+    * standard "3.5 MADs" rule (multiply by 1.4826 yourself if you want
+    * sigma-equivalents). UNLIKE [[zScoreOutliers]], a single wild value
+    * cannot drag the threshold (medians have a 50 % breakdown point),
+    * and the entire decision path is INTEGER arithmetic — no doubles
+    * anywhere. A zero-MAD group (majority at one value) flags every
+    * deviation, by construction.
+    *
+    * Scale: two [[Quantiles.discPercentiles]] distributed ranks (no
+    * buffering percentile agg), each summary broadcast back.
+    * Output: input columns + (med, mad, is_out). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String, kPermille: Long = 3500L): DataFrame = {
+    require(kPermille > 0)
+    val med = Quantiles.discPercentiles(
+        df, groupCol, valueCol, tieBreak, Seq(0.5))
+      .select(col(groupCol), col("p50").as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = Quantiles.discPercentiles(
+        withMed, groupCol, "__dev", tieBreak, Seq(0.5))
+      .select(col(groupCol), col("p50").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_out",
+        col("__dev") * 1000L > lit(kPermille) * col("mad"))
+      .drop("__dev")
+  }
+
   def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
       tieBreak: String): DataFrame = {
     val cuts = Quantiles.discPercentiles(

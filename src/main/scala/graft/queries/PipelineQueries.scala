@@ -2163,7 +2163,21 @@ object PipelineQueries extends QuerySet {
           UNION
           SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
         SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY id"""))
+        FROM reach GROUP BY id""")),
+
+    // Diversity-capped global selection: the 20 longest docs overall but
+    // at most 3 per source — per-group WindowGroupLimit cut, then a
+    // TakeOrdered over the bounded survivors.
+    Query("q162_capped_topk",
+      (s, dir) => graft.operators.SamplingOps.cappedTopK(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "n_chars", "source", "doc_id", k = 20, perGroupCap = 3),
+      Some("""WITH capped AS (
+          SELECT doc_id, source, n_chars FROM documents
+          QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3)
+        SELECT doc_id, source, n_chars FROM capped
+        ORDER BY n_chars DESC, doc_id LIMIT 20"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

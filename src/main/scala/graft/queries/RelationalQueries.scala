@@ -1006,6 +1006,41 @@ object RelationalQueries extends QuerySet {
             * ln(CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)
                 / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)))
             * 1e7 + 0.5) AS BIGINT) AS psi_q
-        FROM grid, tot"""))
+        FROM grid, tot""")),
+
+    // MAD robust outlier flags: exact disc medians twice (value, then
+    // |x - med|), pure integer decision path — the robust counterpart of
+    // the q113 z-test family, immune to threshold drag by wild values.
+    Query("q163_mad_outliers",
+      (s, dir) => graft.operators.Stats.madOutliers(
+        t(s, dir, "events").select(col("event_type"),
+          cents(col("value")).as("cents"), col("event_id")),
+        "event_type", "cents", "event_id", kPermille = 3500L),
+      Some("""WITH v AS (
+          SELECT event_type,
+            CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, event_id
+          FROM events),
+        r1 AS (SELECT event_type, cents, event_id,
+            row_number() OVER (
+              PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n FROM v),
+        med AS (SELECT event_type,
+            min(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+              THEN cents END) AS med
+          FROM r1 GROUP BY 1),
+        d AS (SELECT v.event_type, cents, event_id, med,
+            abs(cents - med) AS dev
+          FROM v JOIN med USING (event_type)),
+        r2 AS (SELECT event_type, dev,
+            row_number() OVER (
+              PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        mad AS (SELECT event_type,
+            min(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+              THEN dev END) AS mad
+          FROM r2 GROUP BY 1)
+        SELECT d.event_type, cents, event_id, d.med, mad.mad,
+          abs(cents - d.med) * 1000 > 3500 * mad.mad AS is_out
+        FROM d JOIN mad USING (event_type)"""))
   )
 }

@@ -1397,6 +1397,34 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"attribution: wrote $out")
 
+      // cappedTopK <in> <out> [-score c] [-group c] [-tie c] [-k n]
+      //   [-cap n] — global top-k under a per-group cap
+      case "cappedTopK" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.SamplingOps.cappedTopK(
+            spark.read.parquet(in), fv("-score", "n_chars"),
+            fv("-group", "source"), fv("-tie", "doc_id"),
+            fv("-k", "20").toInt, fv("-cap", "3").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"cappedTopK: wrote $out")
+
+      // madOutliers <in> <out> [-group c] [-value c] [-tie c] [-k permille]
+      //   — MAD robust outlier flags
+      case "madOutliers" :: in :: out :: rest =>
+        def fv(flag: String, dft: String): String = {
+          val i = rest.indexOf(flag)
+          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+        }
+        graft.operators.Stats.madOutliers(
+            spark.read.parquet(in), fv("-group", "event_type"),
+            fv("-value", "cents"), fv("-tie", "event_id"),
+            fv("-k", "3500").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"madOutliers: wrote $out")
+
       // psi <in> <out> [-side c] [-bucket c] — PSI distribution drift
       //   (side boolean col: true = current slice)
       case "psi" :: in :: out :: rest =>
@@ -1499,7 +1527,9 @@ object Cli {
           "\n  assortativity <edges.parquet> <out.parquet>" +
           "\n  attribution <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c] [-touch t] [-conv t] [-window ms]" +
           "\n  mergecc <labels.parquet> <pairs.parquet> <out.parquet>" +
-          "\n  psi <in.parquet> <out.parquet> [-side c] [-bucket c]")
+          "\n  psi <in.parquet> <out.parquet> [-side c] [-bucket c]" +
+          "\n  cappedTopK <in.parquet> <out.parquet> [-score c] [-group c] [-tie c] [-k n] [-cap n]" +
+          "\n  madOutliers <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-k permille]")
         sys.exit(2)
     }
   }

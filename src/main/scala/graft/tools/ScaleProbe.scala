@@ -93,6 +93,27 @@ object ScaleProbe {
     timed("region_join_inner") {
       RegionJoins.overlapJoin(lIv, rIv, "inner").count()
     }
+    // long-interval skew: structural-variant-scale right side (100 kb-1 Mb
+    // spans). At the 10 kb default each record explodes into ~10-100 bins;
+    // Auto derives a p95-length bin so replication stays ~2.
+    val svPath = s"$work/right_sv_sf1.parquet"
+    if (fresh(svPath)) spark.range(200000L).select(
+        concat(lit("chr"), (col("id") % 25).cast("string")).as("referenceName"),
+        (abs(col("id") * 2654435761L + 31L) % 100000000L).as("start"),
+        col("id"))
+      .select(col("referenceName"), col("start"),
+        (col("start") + 100000L + (col("id") * 40503L) % 900000L).as("end"),
+        col("id"))
+      .select("referenceName", "start", "end", "id")
+      .write.mode("overwrite").parquet(svPath)
+    val svIv = spark.read.parquet(svPath)
+    timed("region_join_sv_default_bin") {
+      RegionJoins.overlapJoin(lIv, svIv, "inner").count()
+    }
+    timed("region_join_sv_auto_bin") {
+      RegionJoins.overlapJoin(lIv, svIv, "inner",
+        binSize = RegionJoins.Auto).count()
+    }
     timed("minhash_neardup") {
       DedupOps.minhashNearDuplicates(docs, "doc_id", "text",
         numHashes = 128, shingleN = 3, bands = 32, threshold = 0.8).count()
