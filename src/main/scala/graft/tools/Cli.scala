@@ -1303,10 +1303,12 @@ object Cli {
           val i = rest.indexOf(flag)
           if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
         }
+        val budget = fv("-budget", "")
+        if (budget.isEmpty) sys.error("waterfill needs -budget N")
         graft.operators.SamplingOps.waterFillAllocation(
             spark.read.parquet(in), fv("-source", "source"),
             fv("-avail", "available"), fv("-weight", "weight"),
-            fv("-budget", sys.error("waterfill needs -budget N")).toLong)
+            budget.toLong)
           .write.mode("overwrite").parquet(out)
         println(s"waterfill: wrote $out")
 
