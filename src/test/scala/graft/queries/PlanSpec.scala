@@ -490,6 +490,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("Scan parquet").length <= 3, plan.take(600))
   }
 
+  test("q152 water-fill: every window/agg over the bounded source table") {
+    val plan = planOf("q152_waterfill_mixture")
+    // corpus work is ONE partial-aggregated count; the windows downstream
+    // run over per-source rows, so the single-partition Window is fine
+    assert(plan.contains("partial_"), "source counts must map-side combine")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "totals/cut/remainder must broadcast onto the bounded grid")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q153 balanced shards: two-phase rank, no single-partition data sort") {
+    val plan = planOf("q153_balanced_shards")
+    // the sort work is a range exchange; the only unkeyed window is the
+    // per-partition offsets table (the globalNtile recipe)
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"), plan.take(800))
+    assert(plan.contains("partial_"), "report must map-side combine")
+  }
+
+  test("q158 assortativity: broadcastable degree joins, partial sums") {
+    planOf("q158_assortativity")
+    val plan = graft.operators.Caching.lastMaterializedPlan
+    assert(plan.contains("partial_"), "edge sums must map-side combine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q162 capped top-k: WindowGroupLimit below, TakeOrdered above") {
+    val plan = planOf("q162_capped_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-group cap must push below the shuffle: " + plan.take(600))
+    assert(plan.contains("TakeOrdered"),
+      "global k must be TakeOrdered, never a full sort: " + plan.take(600))
+  }
+
+  test("q163 MAD outliers: keyed rank windows only, broadcast cut joins") {
+    val plan = planOf("q163_mad_outliers")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("event_type")),
+      "both disc-median ranks must be keyed by the group")
+    assert(plan.contains("BroadcastHashJoin"),
+      "median/mad summaries must broadcast back")
+  }
+
   test("q148 volume anomalies: keyed trailing frame only") {
     val plan = planOf("q148_volume_anomalies")
     assert(plan.linesIterator
