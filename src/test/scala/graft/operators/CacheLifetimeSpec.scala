@@ -55,6 +55,17 @@ class CacheLifetimeSpec extends SparkSpec {
       SkewOps.keySkewReport(docs, "k", k = 3).queryExecution.toRdd.count()
       Sessionize.rollingDistinctActives(events, "user_id", "ts", 7)
         .queryExecution.toRdd.count()
+      // round-11 tier-1 operators
+      val labels = docs.select(col("id"), col("k").as("label"))
+        .withColumnRenamed("id", "id")
+      GraphOps.modularity(edges,
+          labels.select(col("id"), col("label")))
+        .queryExecution.toRdd.count()
+      GraphOps.assortativity(edges).queryExecution.toRdd.count()
+      DedupOps.mergeClusters(
+          docs.select(col("id"), (col("id") - col("id") % 5).as("cluster_id")),
+          docs.limit(5).select(col("id").as("id_a"), (col("id") + 1).as("id_b")))
+        .queryExecution.toRdd.count()
     }
     for (_ <- 1 to 3) runOnce()
     // all results are out of scope: ContextCleaner must drain the
@@ -75,6 +86,9 @@ class CacheLifetimeSpec extends SparkSpec {
       Seq((i, i % 30 + 1), (i, (i + 7) % 30 + 1))).toDF("src", "dst")
     Quantiles.globalNtile(df, "v", "id", n = 4).queryExecution.toRdd.count()
     GraphOps.triangleCounts(edges).queryExecution.toRdd.count()
+    // round-11 tier-2: balancedShards reads globalRank's plan-owned cache
+    ShardOps.shardReport(df, "v", "id", nShards = 4)
+      .queryExecution.toRdd.count()
     cleanSlate()
     assert(persistedCount <= base,
       "tier-2 caches survived a standard session cleanup: " +
