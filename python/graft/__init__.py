@@ -1248,6 +1248,16 @@ def water_fill_allocation(counts, source_col, avail_col, weight_col,
         counts._jdf, source_col, avail_col, weight_col, int(budget)))
 
 
+def water_fill_allocation_fraction(counts, source_col, avail_col,
+                                   weight_col, budget_num, budget_den):
+    """Water-filling with budget = floor(sum(avail) * num / den) folded
+    into the plan (no driver-side sum)."""
+    s = counts.sparkSession
+    return _wrap(s, _api(s).waterFillAllocationFraction(
+        counts._jdf, source_col, avail_col, weight_col, int(budget_num),
+        int(budget_den)))
+
+
 def balanced_shards(df, size_col, tie_break, n_shards):
     """Deterministic size-balanced serpentine shard assignment: input
     columns + shard (0-based)."""

@@ -939,6 +939,14 @@ object JavaApi {
     graft.operators.SamplingOps.waterFillAllocation(counts, sourceCol,
       availCol, weightCol, budget)
 
+  /** Water-filling with budget = floor(sum(avail) * num / den) folded
+    * into the plan (no driver-side sum). */
+  def waterFillAllocationFraction(counts: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame =
+    graft.operators.SamplingOps.waterFillAllocation(counts, sourceCol,
+      availCol, weightCol, budgetNum, budgetDen)
+
   /** Deterministic size-balanced serpentine shard assignment:
     * input columns + shard (0-based). */
   def balancedShards(df: DataFrame, sizeCol: String, tieBreak: String,

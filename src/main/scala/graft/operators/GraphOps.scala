@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames.
@@ -278,7 +278,11 @@ object GraphOps {
     * integer aggregations; D_c^2 accumulates in DECIMAL(38,0) (degree
     * sums square past long at ~10^10 edges). The ONLY doubles are the
     * final two divisions on exactly-represented integers — identical in
-    * any engine. Nodes absent from `labels` form singleton communities.
+    * any engine. Nodes absent from `labels` form singleton communities
+    * under a reserved `__singleton_<id>` name so a missing label can
+    * never collide with a REAL label value — labelPropagation labels ARE
+    * node ids, so coalescing to the bare id would silently merge an
+    * unlabeled node X into the community labeled X.
     *
     * Scale: one edge canonicalization (persist released after the two
     * bounded aggregates — tier-1, operators/Caching.scala), two
@@ -301,17 +305,20 @@ object GraphOps {
     val lab = labels.select(col("id"), col("label")).persist()
     val la = lab.select(col("id").as("a"), col("label").as("__la"))
     val lb = lab.select(col("id").as("b"), col("label").as("__lb"))
+    def community(label: Column, id: Column): Column =
+      coalesce(label.cast("string"),
+        concat(lit("__singleton_"), id.cast("string")))
     val counts = und
       .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
       .agg(count(lit(1)).as("m"),
-        sum(when(coalesce(col("__la"), col("a").cast("string")) ===
-          coalesce(col("__lb"), col("b").cast("string")), 1L)
+        sum(when(community(col("__la"), col("a")) ===
+          community(col("__lb"), col("b")), 1L)
           .otherwise(0L)).as("n_within"))
     val degSq = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("__deg"))
       .join(lab, Seq("id"), "left")
-      .groupBy(coalesce(col("label"), col("id").cast("string")).as("__c"))
+      .groupBy(community(col("label"), col("id")).as("__c"))
       .agg(sum("__deg").cast(dec).as("__dc"))
       .agg(sum(col("__dc") * col("__dc")).as("__dc2"))
     val out = counts.crossJoin(degSq)

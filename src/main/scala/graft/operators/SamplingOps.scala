@@ -102,6 +102,40 @@ object SamplingOps {
   def waterFillAllocation(counts: DataFrame, sourceCol: String,
       availCol: String, weightCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
+    waterFillImpl(counts, sourceCol, availCol, weightCol,
+      d => d.sparkSession.range(1)
+        .select(lit(budget).cast("decimal(38,0)").as("__budget")))
+  }
+
+  /** [[waterFillAllocation]] with the budget expressed as an exact
+    * FRACTION of the total availability: budget =
+    * floor(sum(availCol) * budgetNum / budgetDen), folded INTO the plan —
+    * no driver-side sum, so a pipeline that spends "half the corpus"
+    * never pays an eager synchronization job before the allocation.
+    * The floor is computed remainder-exactly in DECIMAL(38,0)
+    * (q - pmod(q, den)) / den — no scale-6 decimal-division rounding on
+    * the decision path. */
+  def waterFillAllocation(counts: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be >= 0 with positive denominator: " +
+        s"$budgetNum/$budgetDen")
+    val dec = "decimal(38,0)"
+    waterFillImpl(counts, sourceCol, availCol, weightCol, d => {
+      val q = sum(col("__a")).cast(dec) * lit(budgetNum).cast(dec)
+      val den = lit(budgetDen).cast(dec)
+      d.agg(((q - pmod(q, den)) / den).cast(dec).as("__budget"))
+    })
+  }
+
+  /** Shared water-fill engine: `budgetOf` builds the ONE-row budget
+    * relation (column `__budget`, DECIMAL(38,0)) from the normalized
+    * per-source table — either a literal (Long overload) or an in-plan
+    * aggregate (fraction overload). */
+  private def waterFillImpl(counts: DataFrame, sourceCol: String,
+      availCol: String, weightCol: String,
+      budgetOf: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     val d = counts.select(col(sourceCol).as("source"),
@@ -118,16 +152,17 @@ object SamplingOps {
       .withColumn("__pa", coalesce(sum("__a").over(prefix), zero))
       .withColumn("__pw", coalesce(sum("__w").over(prefix), zero))
       .crossJoin(broadcast(d.agg(sum("__w").cast(dec).as("__tw"))))
+      .crossJoin(broadcast(budgetOf(d)))
       .withColumn("__wouldCap",
         col("__a") * (col("__tw") - col("__pw")) <=
-          (lit(budget).cast(dec) - col("__pa")) * col("__w"))
+          (col("__budget") - col("__pa")) * col("__w"))
     val cut = flagged.agg(
       min(when(!col("__wouldCap"), col("__rk"))).as("__cut"))
     val labeled = flagged.crossJoin(broadcast(cut))
       .withColumn("capped",
         col("__cut").isNull || col("__rk") < col("__cut"))
     val rem = labeled.agg(
-      (lit(budget).cast(dec) -
+      (max(col("__budget")) -
         coalesce(sum(when(col("capped"), col("__a"))), zero)).as("__bs"),
       coalesce(sum(when(!col("capped"), col("__w"))), zero).as("__ws"))
     labeled.crossJoin(broadcast(rem))

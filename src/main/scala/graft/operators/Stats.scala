@@ -330,18 +330,6 @@ object Stats {
           .as("gini"))
   }
 
-  /** Winsorization audit: per group, the exact disc p1/p99 cut points of
-    * an integer `valueCol` (cents) and the clipping impact of clamping
-    * to [p1, p99] — the report a pipeline reviews before committing to
-    * outlier clipping, and the exact bookkeeping to prove the clamp did
-    * what it claimed (sum deltas in integer cents, never floats).
-    *
-    * Scale: [[Quantiles.discPercentiles]]' distributed rank for the cuts
-    * (no buffering percentile aggregate), the bounded per-group cut rows
-    * broadcast back onto the data, one map-side-combined aggregation.
-    *
-    * Output per group: (groupCol, n, lo_cut, hi_cut, n_low, n_high,
-    * sum_cents, sum_winsorized_cents). */
   /** Robust outlier flags via MAD (median absolute deviation): per
     * group, med = exact disc median of `valueCol` (integer cents), mad =
     * exact disc median of |x - med|, and x flags when
@@ -373,6 +361,18 @@ object Stats {
       .drop("__dev")
   }
 
+  /** Winsorization audit: per group, the exact disc p1/p99 cut points of
+    * an integer `valueCol` (cents) and the clipping impact of clamping
+    * to [p1, p99] — the report a pipeline reviews before committing to
+    * outlier clipping, and the exact bookkeeping to prove the clamp did
+    * what it claimed (sum deltas in integer cents, never floats).
+    *
+    * Scale: [[Quantiles.discPercentiles]]' distributed rank for the cuts
+    * (no buffering percentile aggregate), the bounded per-group cut rows
+    * broadcast back onto the data, one map-side-combined aggregation.
+    *
+    * Output per group: (groupCol, n, lo_cut, hi_cut, n_low, n_high,
+    * sum_cents, sum_winsorized_cents). */
   def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
       tieBreak: String): DataFrame = {
     val cuts = Quantiles.discPercentiles(

@@ -66,16 +66,26 @@ object TimeSeriesOps {
     require(window >= 1 && window <= 62,
       s"window must be in [1, 62]: $window")
     val w = Window.partitionBy(groupCol).orderBy(dayCol)
+    // accumulate in DECIMAL(38,0): v * 2^(window-1) overflows long once
+    // window is large (at window=62 any value > 3 wraps). den always fits
+    // in long (< 2^window); num casts back to long for the stable output
+    // schema — an out-of-long-range numerator surfaces as NULL (with the
+    // exact `smoothed` computed pre-cast), never a silent wraparound.
+    val dec = "decimal(38,0)"
     val terms = (0 until window).map { j =>
       val wt = 1L << (window - 1 - j)
       val v = if (j == 0) col(valueCol) else lag(valueCol, j).over(w)
-      (coalesce(v * wt, lit(0L)),
+      (coalesce(v.cast(dec) * lit(wt).cast(dec), lit(0L).cast(dec)),
         when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
     }
+    val numDec = terms.map(_._1).reduce(_ + _)
+    val denL = terms.map(_._2).reduce(_ + _).cast("long")
     daily
-      .withColumn("num", terms.map(_._1).reduce(_ + _).cast("long"))
-      .withColumn("den", terms.map(_._2).reduce(_ + _).cast("long"))
+      .withColumn("den", denL)
       .withColumn("smoothed",
-        col("num").cast("double") / col("den").cast("double"))
+        numDec.cast("double") / col("den").cast("double"))
+      .withColumn("num", numDec.try_cast("long"))
+      .select(daily.columns.map(col) :+ col("num") :+ col("den") :+
+        col("smoothed"): _*)
   }
 }

@@ -69,10 +69,15 @@ object GenomicQueries extends QuerySet {
   val queries: Seq[Query] = Seq(
 
     // Inner interval-overlap join — binned rewrite vs naive theta-join
-    // oracle (shuffleRegionJoin, GenomicDataset.scala:1798).
+    // oracle (shuffleRegionJoin, GenomicDataset.scala:1798). binSize comes
+    // from tunedBinSize so the auto-tune path is exercised through the
+    // oracle gate every round (floor=100 matches the synthetic [0,10000)
+    // coordinate space; output is binSize-invariant by construction).
     Query("q16_region_join_inner",
       (s, dir) => RegionJoins.overlapPairs(
-        ivReads(s, dir), ivFeatures(s, dir), "id", "id", binSize = 100)
+        ivReads(s, dir), ivFeatures(s, dir), "id", "id",
+        binSize = RegionJoins.tunedBinSize(
+          ivReads(s, dir), ivFeatures(s, dir), floor = 100))
         .toDF("read_id", "feature_id"),
       Some(s"""WITH reads AS ($ivReadsSql), features AS ($ivFeaturesSql)
         SELECT a.id AS read_id, b.id AS feature_id
@@ -84,7 +89,9 @@ object GenomicQueries extends QuerySet {
     // the AndGroupByLeft family (GenomicDataset.scala:2272-2435).
     Query("q17_region_join_outer_counts",
       (s, dir) => RegionJoins.overlapCounts(
-          ivFeatures(s, dir), ivReads(s, dir), binSize = 100)
+          ivFeatures(s, dir), ivReads(s, dir),
+          binSize = RegionJoins.tunedBinSize(
+            ivFeatures(s, dir), ivReads(s, dir), floor = 100))
         .select(col("id").as("feature_id"), col("n_overlaps").as("n_reads")),
       Some(s"""WITH reads AS ($ivReadsSql), features AS ($ivFeaturesSql)
         SELECT b.id AS feature_id,
@@ -99,7 +106,9 @@ object GenomicQueries extends QuerySet {
     Query("q18_region_join_flanked",
       (s, dir) => RegionJoins.overlapJoin(
         ivTargets(s, dir), ivFeatures(s, dir), "inner",
-        binSize = 500, flank = 100)
+        binSize = RegionJoins.tunedBinSize(
+          ivTargets(s, dir), ivFeatures(s, dir), floor = 500),
+        flank = 100)
         .select(col("l_id").as("target_id"), col("r_id").as("feature_id")),
       Some(s"""WITH targets AS ($ivTargetsSql), features AS ($ivFeaturesSql)
         SELECT a.id AS target_id, b.id AS feature_id
@@ -139,7 +148,9 @@ object GenomicQueries extends QuerySet {
       (s, dir) => {
         val grouped = RegionJoins.overlapJoinGroupByLeft(
           ivTargets(s, dir), ivReads(s, dir), rightStructCols = Seq("id"),
-          outer = true, binSize = 100)
+          outer = true,
+          binSize = RegionJoins.tunedBinSize(
+            ivTargets(s, dir), ivReads(s, dir), floor = 100))
         grouped.select(col("id").as("target_id"),
           array_join(
             expr("transform(array_sort(transform(overlaps, o -> o.id)), x -> cast(x as string))"),
@@ -222,7 +233,9 @@ object GenomicQueries extends QuerySet {
     Query("q33_region_aggregate",
       (s, dir) => {
         val j = RegionJoins.overlapJoin(
-          ivTargets(s, dir), ivReads(s, dir), "inner", binSize = 100)
+          ivTargets(s, dir), ivReads(s, dir), "inner",
+          binSize = RegionJoins.tunedBinSize(
+            ivTargets(s, dir), ivReads(s, dir), floor = 100))
         j.groupBy(col("l_id").as("target_id"))
           .agg(count(lit(1)).as("n_reads"),
             min(col("r_start")).as("min_start"),

@@ -2077,10 +2077,11 @@ object PipelineQueries extends QuerySet {
           .agg(sum("n_chars").as("available"))
           .withColumn("weight",
             pmod(expr("CAST(substr(source, 4, 10) AS INT)"), lit(4)) + 1)
-        // bounded 1-row aggregate (the budget scalar), not a data collect
-        val budget = docs.agg(sum("n_chars")).head.getLong(0) / 2
+        // budget = floor(total/2) folded INTO the plan (fraction
+        // overload) — no eager driver-side sum before the allocation
         graft.operators.SamplingOps.waterFillAllocation(
-          counts, "source", "available", "weight", budget)
+          counts, "source", "available", "weight",
+          budgetNum = 1L, budgetDen = 2L)
       },
       Some("""WITH counts AS (
           SELECT source, CAST(sum(n_chars) AS HUGEINT) AS a,

@@ -76,6 +76,14 @@ object Cli {
     else gd.saveAsParquet(path)
   }
 
+  /** `-flag value` lookup over a command's trailing args: the value
+    * following `flag`, or `dft` when absent. Shared by every CLI arm
+    * (partially applied per-arm as `val fv = flagValue(rest) _`). */
+  private def flagValue(rest: Seq[String])(flag: String, dft: String): String = {
+    val i = rest.indexOf(flag)
+    if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
+  }
+
   private def loadReference(spark: SparkSession, path: String): ReferenceContigs =
     if (path.toLowerCase.endsWith(".2bit")) TwoBit.readFile(path)
     else ReferenceContigs.fromFasta(spark, path)
@@ -233,10 +241,7 @@ object Cli {
   private def transformVcfSide(spark: SparkSession, in: String, out: String,
       rest: Seq[String], genotypes: Boolean): Unit = {
     def has(f: String) = rest.contains(f)
-    def fv(f: String, dft: String): String = {
-      val i = rest.indexOf(f)
-      if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-    }
+    val fv = flagValue(rest) _
     require(!(has("-sort_on_save") && has("-sort_lexicographically_on_save")),
       "Cannot set both -sort_on_save and -sort_lexicographically_on_save.")
     val stringency = fv("-stringency", "STRICT")
@@ -592,10 +597,7 @@ object Cli {
       // text extraction (WebOps.htmlToText) as a column rewrite
       case "extractText" :: in :: out :: rest =>
         import org.apache.spark.sql.functions.col
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         spark.read.parquet(in)
           .withColumn(fv("-out", "text"),
             graft.operators.WebOps.htmlToText(col(fv("-html", "html"))))
@@ -605,10 +607,7 @@ object Cli {
       // urlDedup <in.parquet> <out.parquet> [-url c] [-id c] — one row per
       // canonical URL (smallest id wins) with the duplicate count
       case "urlDedup" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.WebOps.urlDedup(spark.read.parquet(in),
             fv("-url", "url"), fv("-id", "doc_id"))
           .write.mode("overwrite").parquet(out)
@@ -617,10 +616,7 @@ object Cli {
       // split <in.parquet> <out.parquet> [-key c] [-fractions train=0.9,val=0.05,test=0.05]
       // — deterministic hash split, adds a `split` column
       case "split" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val splits = fv("-fractions", "train=0.9,val=0.05,test=0.05")
           .split(",").toSeq.map { kv =>
             val Array(n, f) = kv.split("=", 2)
@@ -636,10 +632,7 @@ object Cli {
       //   [-salt s] — leak-safe split: MinHash near-dup clusters never
       //   cross a split boundary
       case "dedupSplit" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val id = fv("-id", "doc_id"); val text = fv("-text", "text")
         val splits = fv("-fractions", "train=0.9,val=0.05,test=0.05")
           .split(",").toSeq.map { kv =>
@@ -658,10 +651,7 @@ object Cli {
       // snapshotDelta <old> <new> <out> [-id c] [-text c] [-carry c,...]
       //   [-report] — incremental corpus diff; -report rolls up per carry col
       case "snapshotDelta" :: oldIn :: newIn :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val carry = fv("-carry", "").split(",").filter(_.nonEmpty).toSeq
         val delta = graft.operators.SnapshotOps.snapshotDelta(
           spark.read.parquet(oldIn), spark.read.parquet(newIn),
@@ -676,10 +666,7 @@ object Cli {
       // budgetSelect <in> <out> -budget N [-id c] [-score c] [-tokens c]
       //   — best-scored prefix under a global token budget
       case "budgetSelect" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.SamplingOps.budgetSelect(
             spark.read.parquet(in), fv("-id", "doc_id"),
             fv("-score", "score"), fv("-tokens", "tokens"),
@@ -690,10 +677,7 @@ object Cli {
       // calibrate <in> <out> [-strata c] [-id c] [-score c] [-keep f]
       //   — per-stratum percentile calibration + top-fraction selection
       case "calibrate" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.SamplingOps.calibratedSelect(
             spark.read.parquet(in), fv("-strata", "source"),
             fv("-id", "doc_id"), fv("-score", "score"),
@@ -704,10 +688,7 @@ object Cli {
       // nextEvents <in> <out> [-key c] [-type c] [-ts c] [-tie c]
       //   [-history n] — bounded-history next-event training examples
       case "nextEvents" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Sessionize.nextEventExamples(
             spark.read.parquet(in), fv("-key", "user_id"),
             fv("-type", "event_type"), fv("-ts", "ts"),
@@ -718,10 +699,7 @@ object Cli {
       // sourceNovelty <in> <out> [-text c] [-source c] — per-source
       //   novelty attribution after exact dedup
       case "sourceNovelty" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.CorpusCompareOps.sourceNovelty(
             spark.read.parquet(in), fv("-text", "text"),
             fv("-source", "source"))
@@ -731,10 +709,7 @@ object Cli {
       // sourceSim <in> <out> [-text c] [-source c] [-buckets n] —
       //   pairwise source cosine over hashed unigram vectors
       case "sourceSim" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.CorpusCompareOps.sourceSimilarity(
             spark.read.parquet(in), fv("-text", "text"),
             fv("-source", "source"), fv("-buckets", "4096").toInt)
@@ -744,10 +719,7 @@ object Cli {
       // chi2 <in> <out> [-label c] [-text c] [-buckets n] [-top k] —
       //   label-discriminative token buckets by exact chi-square
       case "chi2" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.CorpusCompareOps.chiSquareFeatures(
             spark.read.parquet(in), fv("-label", "source"),
             fv("-text", "text"), fv("-buckets", "4096").toInt,
@@ -758,10 +730,7 @@ object Cli {
       // actives <in> <out> [-key c] [-ts c] [-window d] — DAU + rolling
       //   exact distinct actives
       case "actives" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Sessionize.rollingDistinctActives(
             spark.read.parquet(in), fv("-key", "user_id"),
             fv("-ts", "ts"), fv("-window", "7").toInt)
@@ -771,10 +740,7 @@ object Cli {
       // anomalies <in> <out> [-group c] [-day c] [-n c] [-lookback d]
       //   [-minHistory n] [-k permille] — trailing-window volume z-test
       case "anomalies" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.volumeAnomalies(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-day", "day"), fv("-n", "n"),
@@ -785,10 +751,7 @@ object Cli {
 
       // retention <in> <out> [-key c] [-ts c] — cohort retention triangle
       case "retention" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Sessionize.retentionCohorts(
             spark.read.parquet(in), fv("-key", "user_id"), fv("-ts", "ts"))
           .write.mode("overwrite").parquet(out)
@@ -797,10 +760,7 @@ object Cli {
       // calfill <in> <out> [-group c] [-day c] [-value c] — calendar gap
       //   fill + forward fill on a keyed daily series
       case "calfill" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.TimeSeriesOps.calendarFill(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-day", "day"), fv("-value", "n"))
@@ -810,10 +770,7 @@ object Cli {
       // abtest <in> <out> [-group c] [-variant c] [-outcome c] — pooled
       //   two-proportion z-test per experiment group over unit rows
       case "abtest" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.abTestReport(
             spark.read.parquet(in), fv("-group", "grp"),
             fv("-variant", "variant_b"), fv("-outcome", "converted"))
@@ -823,10 +780,7 @@ object Cli {
       // profile <in> <out> [-cols a,b,c] — single-pass table profile
       //   (defaults to every column)
       case "profile" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val df = spark.read.parquet(in)
         val cols = {
           val c = fv("-cols", "").split(",").filter(_.nonEmpty).toSeq
@@ -839,10 +793,7 @@ object Cli {
       // fkAudit <child> <parent> <out> -childKey c -parentKey c —
       //   referential-integrity orphan audit
       case "fkAudit" :: childP :: parentP :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.ProfileOps.fkAudit(
             spark.read.parquet(childP), spark.read.parquet(parentP),
             fv("-childKey", "id"), fv("-parentKey", "id"))
@@ -851,10 +802,7 @@ object Cli {
 
       // pkAudit <in> <out> -cols a[,b] — primary-key uniqueness audit
       case "pkAudit" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val cols = fv("-cols", "").split(",").filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "pkAudit needs -cols a[,b]")
         graft.operators.ProfileOps.pkAudit(spark.read.parquet(in), cols)
@@ -863,10 +811,7 @@ object Cli {
 
       // calibration <in> <out> [-score c] [-outcome c] [-tie c] [-n k]
       case "calibration" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Quantiles.calibrationCurve(
             spark.read.parquet(in), fv("-score", "score"),
             fv("-outcome", "pos"), fv("-tie", "id"), fv("-n", "10").toInt)
@@ -875,10 +820,7 @@ object Cli {
 
       // kanon <in> <out> -cols a,b,c [-k n] — k-anonymity release audit
       case "kanon" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val cols = fv("-cols", "").split(",").filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "kanon needs -cols a,b,...")
         graft.operators.PrivacyOps.kAnonymityReport(
@@ -889,10 +831,7 @@ object Cli {
       // trend <in> <out> [-group c] [-x c] [-y c] — per-group exact
       //   least-squares slope/intercept
       case "trend" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.trendByGroup(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-x", "day"), fv("-y", "n"))
@@ -902,10 +841,7 @@ object Cli {
       // wilson <in> <out> [-group c] [-pass c] [-z x] — Wilson
       //   lower-bound pass-rate ranking
       case "wilson" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.wilsonRanking(
             spark.read.parquet(in), fv("-group", "source"),
             fv("-pass", "pass"), fv("-z", "1.96").toDouble)
@@ -915,10 +851,7 @@ object Cli {
       // rrf <a.parquet> <b.parquet> <out> [-id c] [-rank c] [-k n]
       //   [-top n] — reciprocal-rank fusion of two rankings
       case "rrf" :: a :: b :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.RankFusionOps.rrfFuse(
             spark.read.parquet(a), spark.read.parquet(b),
             fv("-id", "doc_id"), fv("-rank", "rank"),
@@ -929,10 +862,7 @@ object Cli {
       // gini <in> <out> [-group c] [-value c] [-tie c] — per-group Gini
       //   concentration
       case "gini" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.giniByGroup(
             spark.read.parquet(in), fv("-group", "source"),
             fv("-value", "tokens"), fv("-tie", "doc_id"))
@@ -942,10 +872,7 @@ object Cli {
       // ntile <in> <out> -by c [-tie c] [-n k] — exact global equal-depth
       //   binning (ANSI NTILE semantics) with a parallel range sort
       case "ntile" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Quantiles.globalNtile(
             spark.read.parquet(in), fv("-by", "tokens"),
             fv("-tie", "doc_id"), fv("-n", "10").toInt)
@@ -955,10 +882,7 @@ object Cli {
       // skewReport <in> -key c [-top k] — top-k heaviest keys with share
       //   and global totals, printed and (optionally) written
       case "skewReport" :: in :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val rep = graft.operators.SkewOps.keySkewReport(
           spark.read.parquet(in), fv("-key", "user_id"),
           fv("-top", "20").toInt)
@@ -969,10 +893,7 @@ object Cli {
       // boilerplate <in> <out> [-id c] [-text c] [-group c] [-minDocs n]
       //   — remove same-group template paragraphs (every occurrence)
       case "boilerplate" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.DedupOps.removeBoilerplate(
             spark.read.parquet(in), fv("-id", "doc_id"),
             fv("-text", "text"), fv("-group", "source"),
@@ -983,10 +904,7 @@ object Cli {
       // phrase <in> <out> -words "w1 w2 ..." [-id c] [-text c] —
       //   positional exact phrase search, (id, n_occurrences)
       case "phrase" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val words = fv("-words", "").split("\\s+").filter(_.nonEmpty).toSeq
         require(words.nonEmpty, "phrase requires -words \"w1 w2 ...\"")
         graft.operators.TextOps.phraseSearch(
@@ -998,10 +916,7 @@ object Cli {
       // mix <in.parquet> <out.parquet> [-strata c] [-key c] [-alpha a]
       //     [-target n] — temperature-scaled stratum mixture
       case "mix" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.SamplingOps.temperatureMix(
             spark.read.parquet(in), fv("-strata", "lang"),
             fv("-key", "doc_id"), fv("-alpha", "0.5").toDouble,
@@ -1013,10 +928,7 @@ object Cli {
       //   [-id c] [-text c] [-benchText c] [-n N] [-maxFrac f]
       //   — per-doc benchmark-overlap report
       case "decontaminate" :: in :: bench :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.TextOps.contaminationReport(
             spark.read.parquet(in), spark.read.parquet(bench),
             fv("-id", "doc_id"), fv("-text", "text"),
@@ -1028,10 +940,7 @@ object Cli {
       // lineDedup <in.parquet> <out.parquet> [-id c] [-text c] [-minDocs n]
       //   — cross-document boilerplate line removal (RefinedWeb-style)
       case "lineDedup" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.TextOps.globalLineDedup(
             spark.read.parquet(in), fv("-id", "doc_id"),
             fv("-text", "text"), fv("-minDocs", "2").toInt)
@@ -1041,10 +950,7 @@ object Cli {
       // chunk <in.parquet> <out.parquet> [-id c] [-text c] [-size n]
       //   [-stride n] — sliding-window character chunking
       case "chunk" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.TextOps.chunkDocuments(
             spark.read.parquet(in), fv("-id", "doc_id"),
             fv("-text", "text"), fv("-size", "2048").toInt,
@@ -1055,10 +961,7 @@ object Cli {
       // collocations <in.parquet> <out.parquet> [-text c] [-minCount n]
       //   [-k n] — top-k adjacent-bigram collocations by PMI
       case "collocations" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.TextOps.collocationsPmi(
             spark.read.parquet(in), fv("-text", "text"),
             fv("-minCount", "5").toLong, fv("-k", "100").toInt)
@@ -1068,10 +971,7 @@ object Cli {
       // transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c]
       //   [-tie c] — per-key Markov transition counts
       case "transitions" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Sessionize.eventTransitions(
             spark.read.parquet(in), fv("-key", "user_id"),
             fv("-type", "event_type"), fv("-ts", "ts"),
@@ -1082,10 +982,7 @@ object Cli {
       // percentiles <in.parquet> <out.parquet> [-group c] [-value c]
       //   [-tie c] [-ps 0.5,0.9,0.99] — exact grouped disc percentiles
       case "percentiles" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Quantiles.discPercentiles(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-value", "value"), fv("-tie", "event_id"),
@@ -1096,10 +993,7 @@ object Cli {
       // zorder <in.parquet> <out.parquet> -cols a,b [-files n] [-bits n]
       //   — Morton-curve clustered rewrite for multi-dim row-group pruning
       case "zorder" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.ZOrder.writeZOrdered(
           spark.read.parquet(in), out,
           fv("-cols", "").split(",").toSeq.filter(_.nonEmpty),
@@ -1109,10 +1003,7 @@ object Cli {
       // heavyHitters <in.parquet> <out.parquet> [-text c] [-depth n]
       //   [-width n] [-top n] — exact top tokens + count-min estimates
       case "heavyHitters" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.SketchOps.cmsHeavyHitters(
             spark.read.parquet(in), fv("-text", "text"),
             fv("-depth", "4").toInt, fv("-width", "1024").toInt,
@@ -1123,10 +1014,7 @@ object Cli {
       // hll <in.parquet> <out.parquet> [-text c] [-p n] — HyperLogLog
       //   distinct-count summary (integer-exact estimator)
       case "hll" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.SketchOps.hllSummary(
             spark.read.parquet(in), fv("-text", "text"), fv("-p", "10").toInt)
           .write.mode("overwrite").parquet(out)
@@ -1135,10 +1023,7 @@ object Cli {
       // sourceOverlap <in.parquet> <out.parquet> [-group c] [-text c]
       //   [-n shingleN] [-k n] — pairwise corpus overlap via bottom-k sketches
       case "sourceOverlap" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val k = fv("-k", "256").toInt
         graft.operators.SketchOps.sketchOverlap(
             graft.operators.SketchOps.bottomKSketch(
@@ -1150,10 +1035,7 @@ object Cli {
       // imageDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]
       //   — perceptual near-dup pairs over (media_id, payload) BMP rows
       case "imageDedup" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.MultimodalOps.imageNearDuplicates(
             spark.read.parquet(in),
             fv("-maxDist", "3").toInt, fv("-bands", "4").toInt)
@@ -1163,10 +1045,7 @@ object Cli {
       // audioDedup <media.parquet> <out.parquet> [-maxDist n] [-bands n]
       //   — near-dup pairs over (media_id, payload) WAV rows
       case "audioDedup" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.MultimodalOps.audioNearDuplicates(
             spark.read.parquet(in),
             fv("-maxDist", "3").toInt, fv("-bands", "4").toInt)
@@ -1188,10 +1067,7 @@ object Cli {
       // pagerank <edges.parquet> <out.parquet> [-iters n] [-top n]
       //   [-scale n] — fixed-point integer PageRank over (src, dst)
       case "pagerank" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val edges = spark.read.parquet(in)
         val iters = fv("-iters", "5").toInt
         val scale = fv("-scale", "1000000000").toLong
@@ -1205,10 +1081,7 @@ object Cli {
       //   deterministic label-propagation communities over (src, dst);
       //   -top writes the k largest communities instead of node labels
       case "lpa" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val edges = spark.read.parquet(in)
         val rounds = fv("-rounds", "4").toInt
         val top = fv("-top", "0").toInt
@@ -1222,10 +1095,7 @@ object Cli {
       //   [-id c] [-text c] [-buckets n] [-confusion] — train a
       //   multinomial NB router on one corpus, classify another
       case "nbRoute" :: in :: test :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val label = fv("-label", "lang"); val id = fv("-id", "doc_id")
         val text = fv("-text", "text"); val b = fv("-buckets", "4096").toInt
         val tr = spark.read.parquet(in)
@@ -1242,10 +1112,7 @@ object Cli {
       //   [-lambda x] [-cands n] [-id c] [-vec c] — MMR diversified
       //   top-k against the embedding of row `-query`
       case "mmr" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val id = fv("-id", "vec_id"); val vec = fv("-vec", "embedding")
         val qid = fv("-query", "0").toLong
         val emb = spark.read.parquet(in)
@@ -1263,10 +1130,7 @@ object Cli {
       case "bpe" :: in :: out :: rest =>
         // train a BPE tokenizer on a parquet corpus; writes the merge
         // table, and with -vocabStats also the top-k subword statistics
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val docs = spark.read.parquet(in)
         val text = fv("-text", "text")
         val merges = fv("-merges", "10").toInt
@@ -1296,29 +1160,36 @@ object Cli {
             .write.mode("overwrite").parquet(out + ".events")
         println(s"svLink: wrote $out")
 
-      // waterfill <counts.parquet> <out> -budget N [-source c] [-avail c]
-      //   [-weight c] — budget-constrained mixture allocation
+      // waterfill <counts.parquet> <out> (-budget N | -fraction NUM/DEN)
+      //   [-source c] [-avail c] [-weight c] — budget-constrained mixture
+      //   allocation; -fraction folds budget = floor(sum(avail)*NUM/DEN)
+      //   into the plan
       case "waterfill" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val budget = fv("-budget", "")
-        if (budget.isEmpty) sys.error("waterfill needs -budget N")
-        graft.operators.SamplingOps.waterFillAllocation(
-            spark.read.parquet(in), fv("-source", "source"),
-            fv("-avail", "available"), fv("-weight", "weight"),
-            budget.toLong)
-          .write.mode("overwrite").parquet(out)
+        val fraction = fv("-fraction", "")
+        if (budget.isEmpty && fraction.isEmpty)
+          sys.error("waterfill needs -budget N or -fraction NUM/DEN")
+        val df = spark.read.parquet(in)
+        val (src, av, wt) =
+          (fv("-source", "source"), fv("-avail", "available"),
+            fv("-weight", "weight"))
+        val alloc =
+          if (budget.nonEmpty)
+            graft.operators.SamplingOps.waterFillAllocation(
+              df, src, av, wt, budget.toLong)
+          else {
+            val Array(n, d) = fraction.split("/", 2)
+            graft.operators.SamplingOps.waterFillAllocation(
+              df, src, av, wt, n.toLong, d.toLong)
+          }
+        alloc.write.mode("overwrite").parquet(out)
         println(s"waterfill: wrote $out")
 
       // shards <in> <out> [-size c] [-tie c] [-n k] [-report] —
       //   size-balanced serpentine shard assignment
       case "shards" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         val df = spark.read.parquet(in)
         val (size, tie, n) =
           (fv("-size", "n_chars"), fv("-tie", "doc_id"), fv("-n", "8").toInt)
@@ -1341,10 +1212,7 @@ object Cli {
       // interarrival <in> <out> [-key c] [-ts c] [-id c] [-group c] —
       //   per-group consecutive-event gap percentiles
       case "interarrival" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Sessionize.interArrivalStats(
             spark.read.parquet(in), fv("-key", "user_id"), fv("-ts", "ts"),
             fv("-id", "event_id"), fv("-group", "event_type"))
@@ -1354,10 +1222,7 @@ object Cli {
       // winsorize <in> <out> [-group c] [-value c] [-tie c] —
       //   p1/p99 winsorization audit
       case "winsorize" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.winsorizeReport(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-value", "cents"), fv("-tie", "event_id"))
@@ -1367,10 +1232,7 @@ object Cli {
       // smooth <in> <out> [-group c] [-day c] [-value c] [-window k] —
       //   dyadic recency-weighted trailing mean
       case "smooth" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.TimeSeriesOps.dyadicTrailingMean(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-day", "day"), fv("-value", "n"), fv("-window", "8").toInt)
@@ -1387,10 +1249,7 @@ object Cli {
       // attribution <in> <out> [-key c] [-type c] [-ts c] [-id c]
       //   [-touch t] [-conv t] [-window ms] — first-touch attribution
       case "attribution" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Sessionize.firstTouchAttribution(
             spark.read.parquet(in), fv("-key", "user_id"),
             fv("-type", "event_type"), fv("-ts", "ts"),
@@ -1402,10 +1261,7 @@ object Cli {
       // cappedTopK <in> <out> [-score c] [-group c] [-tie c] [-k n]
       //   [-cap n] — global top-k under a per-group cap
       case "cappedTopK" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.SamplingOps.cappedTopK(
             spark.read.parquet(in), fv("-score", "n_chars"),
             fv("-group", "source"), fv("-tie", "doc_id"),
@@ -1416,10 +1272,7 @@ object Cli {
       // madOutliers <in> <out> [-group c] [-value c] [-tie c] [-k permille]
       //   — MAD robust outlier flags
       case "madOutliers" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.Stats.madOutliers(
             spark.read.parquet(in), fv("-group", "event_type"),
             fv("-value", "cents"), fv("-tie", "event_id"),
@@ -1430,10 +1283,7 @@ object Cli {
       // psi <in> <out> [-side c] [-bucket c] — PSI distribution drift
       //   (side boolean col: true = current slice)
       case "psi" :: in :: out :: rest =>
-        def fv(flag: String, dft: String): String = {
-          val i = rest.indexOf(flag)
-          if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
-        }
+        val fv = flagValue(rest) _
         graft.operators.CorpusCompareOps.psiReport(
             spark.read.parquet(in), fv("-side", "is_cur"),
             fv("-bucket", "b"))

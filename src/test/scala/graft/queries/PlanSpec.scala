@@ -657,4 +657,31 @@ class PlanSpec extends SparkSpec {
       "must not be a nested-loop join")
     assert(plan.contains("Join"), plan.take(400))
   }
+
+  test("catalog interval joins run on the TUNED bin width (auto-tune " +
+      "exercised through the oracle gate) and keep join-shaped plans") {
+    // the catalog's synthetic intervals are short (p95 length < floor), so
+    // tunedBinSize must resolve to exactly the floor — same plan as the
+    // previous literal constants, proving the flip is output-invariant
+    val li = Tables.load(spark, sf, "lineitem")
+    val reads = li.select(
+      (col("l_orderkey") % 4).cast("string").as("referenceName"),
+      ((col("l_partkey") * 7 + col("l_linenumber")) % 10000).as("start"),
+      (((col("l_partkey") * 7 + col("l_linenumber")) % 10000) + 1 +
+        (col("l_suppkey") % 50)).as("end"))
+    val feats = Tables.load(spark, sf, "part").select(
+      (col("p_partkey") % 4).cast("string").as("referenceName"),
+      ((col("p_partkey") * 13) % 10000).as("start"),
+      (((col("p_partkey") * 13) % 10000) + 1 + (col("p_size") % 80))
+        .as("end"))
+    assert(graft.operators.RegionJoins.tunedBinSize(reads, feats,
+      floor = 100) == 100L)
+    for (q <- Seq("q16_region_join_inner", "q17_region_join_outer_counts",
+        "q18_region_join_flanked", "q33_region_aggregate")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: " + plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: " + plan.take(400))
+    }
+  }
 }
