@@ -550,4 +550,58 @@ object EventStreams {
   def streamingPsiCounts(cur: DataFrame, bucketCol: String): DataFrame =
     cur.groupBy(col(bucketCol).as("b"))
       .agg(count(lit(1)).as("n_cur"))
+
+  /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
+    * phase): per-(group, day) event counts as a complete-mode
+    * aggregation — counts add, so the micro-batch partial agg IS the
+    * batch map-side combine and the state is one row per observed
+    * (group, day) forever. Spark forbids chaining the trailing-window
+    * z-test onto a streaming aggregation, so fold each drained snapshot
+    * through the batch operator for the live anomaly flags; drained over
+    * the same rows that equals the batch report exactly (StreamingSpec).
+    * `tsCol` must be a TIMESTAMP column (project `timestamp_millis` in
+    * front for epoch-long feeds). */
+  def streamingDailyCounts(events: DataFrame, groupCol: String,
+      tsCol: String = "ts"): DataFrame =
+    events
+      .groupBy(col(groupCol),
+        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  case class GapObs(
+      user_id: Long, event_id: Long, event_type: String, gap_ms: Long)
+
+  /** Streaming twin of [[graft.operators.Sessionize.interArrivalStats]]
+    * (gap phase): per-key last-seen state carried across micro-batches;
+    * every arriving event with a predecessor emits its millisecond gap,
+    * attributed to the LATER event's type (the batch contract). Ordered
+    * inside each batch by `(tsMillis, event_id)` — the batch window's
+    * total order — with the [[asofCarry]] cross-batch late-data contract
+    * (an event older than the carry scores against the carry; exactness
+    * under late data needs an upstream watermark sort). Fold the drained
+    * gaps through [[graft.operators.Quantiles.discPercentiles]] for the
+    * live cadence profile; drained over the same rows that equals the
+    * batch operator exactly (StreamingSpec). State per key: one
+    * (ts, id, type) record, nothing else. */
+  def gapCarry(events: Dataset[SeqEvent]): Dataset[GapObs] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, GapObs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[SeqEvent],
+         state: GroupState[LastSeen]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapObs]
+          batch.toSeq
+            .sortBy(e => (e.tsMillis, e.event_id))
+            .foreach { e =>
+              last.foreach(l => out += GapObs(
+                userId, e.event_id, e.event_type, e.tsMillis - l.tsMillis))
+              last = Some(LastSeen(e.tsMillis, e.event_id, e.event_type))
+            }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -858,4 +858,81 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("streaming daily counts + batch z-test equal the batch " +
+      "volumeAnomalies report when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val daily = ev
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    def report(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.volumeAnomalies(d, "event_type", "day", "n")
+        .collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+          (r.getAs[Long]("n"), r.getAs[Boolean]("anomalous")))
+        .toMap
+    val batch = report(daily)
+
+    val feed = ev
+      .select(col("event_type"), expr("unix_millis(ts)").as("ms"))
+      .as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.streamingDailyCounts(
+        input.toDS().toDF("event_type", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "event_type")
+      .writeStream.format("memory").queryName("dailycounts")
+      .outputMode("complete").start()
+    try {
+      feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = report(spark.table("dailycounts"))
+      assert(got == batch, s"stream-batch drift: " +
+        s"onlyStream=${(got.toSet -- batch.toSet).take(5)} " +
+        s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming gapCarry + batch disc percentiles equal the batch " +
+      "interArrivalStats profile when drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def profile(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99"))
+    val batch = graft.operators.Sessionize.interArrivalStats(
+        ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(profile).toMap
+
+    val feed = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("tsMillis"))
+      .as[EventStreams.SeqEvent]
+      .collect()
+      .sortBy(e => (e.tsMillis, e.event_id))
+    val input = MemoryStream[EventStreams.SeqEvent]
+    val q = EventStreams.gapCarry(input.toDS())
+      .writeStream.format("memory").queryName("gapcarry")
+      .outputMode("append").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { c =>
+        input.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.Quantiles.discPercentiles(
+          spark.table("gapcarry"), "event_type", "gap_ms", "event_id",
+          Seq(0.5, 0.9, 0.99))
+        .collect().map(profile).toMap
+      assert(got == batch, s"stream-batch drift: " +
+        s"onlyStream=${(got.toSet -- batch.toSet).take(5)} " +
+        s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
 }
