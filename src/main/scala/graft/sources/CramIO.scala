@@ -1548,6 +1548,96 @@ object CramIO {
     SliceHeader(refSeqId, start, span, n, counter, nBlocks, embeddedRefId)
   }
 
+  /** One embedded-reference block's coverage, indexed at driver scan:
+    * contig id + 1-based slice span + the absolute file offset of the
+    * block (bases are fetched lazily, never held on the driver). */
+  private[sources] case class EmbeddedSpan(
+      refSeqId: Int, start1: Long, span: Long, blockOff: Long)
+
+  /** Lazily-fetched embedded-reference bases for multi-container
+    * embedded-reference spans: a slice that is reference-compressed but
+    * carries NO embedded block of its own resolves its window against a
+    * covering span embedded by ANOTHER container of the same file.
+    *
+    * Scale: the driver ships only the (contig, span, offset) index; each
+    * EXECUTOR fetches a needed block once (seek + one block decompress)
+    * and caches it for the broadcast's lifetime — no genome-sized driver
+    * map, no fetch at all for files that never cross slice boundaries. */
+  private[sources] class HarvestedRefs(file: String, conf: HadoopConf,
+      spans: Array[EmbeddedSpan]) extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+    def nSpans: Int = spans.length
+    private def fetch(off: Long): Array[Byte] =
+      cache.computeIfAbsent(off, { o =>
+        val p = new Path(file)
+        val fin = p.getFileSystem(conf.value).open(p)
+        try { fin.seek(o); readBlock(fin).data } finally fin.close()
+      })
+    /** Bases for the 0-based window [start0, start0+len) on contig `ri`,
+      * if some embedded span covers it entirely. */
+    def bases(ri: Int, start0: Long, len: Int): Option[String] = {
+      var i = 0
+      while (i < spans.length) {
+        val s = spans(i)
+        if (s.refSeqId == ri && start0 >= s.start1 - 1 &&
+            start0 + len <= s.start1 - 1 + s.span) {
+          val b = fetch(s.blockOff)
+          val off = (start0 - (s.start1 - 1)).toInt
+          if (off + len <= b.length)
+            return Some(new String(b, off, len, "UTF-8"))
+        }
+        i += 1
+      }
+      None
+    }
+  }
+
+  /** Walk one data container's BODY indexing embedded-reference blocks:
+    * decompress only the tiny compression-header and slice-header blocks,
+    * seek past every payload. Stream is left positioned arbitrarily; the
+    * caller re-seeks. Malformed bodies abort the index for this container
+    * (the decode path will raise its own, better error). */
+  private def indexEmbeddedRefs(in: org.apache.hadoop.fs.FSDataInputStream,
+      bodyStart: Long, bodyLen: Int): Seq[EmbeddedSpan] = {
+    val out = Seq.newBuilder[EmbeddedSpan]
+    try {
+      in.seek(bodyStart)
+      val end = bodyStart + bodyLen
+      // compression header block: header only, skip payload
+      skipBlock(in)
+      while (in.getPos < end) {
+        val sh = readBlock(in) // slice header: small, must decompress
+        if (sh.contentType != 2) return out.result()
+        val slice = parseSliceHeader(sh.data)
+        var i = 0
+        while (i < slice.nBlocks) {
+          val blockOff = in.getPos
+          val (ct, cid) = skipBlock(in)
+          if (slice.embeddedRefId >= 0 && ct == 4 &&
+              cid == slice.embeddedRefId)
+            out += EmbeddedSpan(slice.refSeqId, slice.alignmentStart.toLong,
+              slice.alignmentSpan.toLong, blockOff)
+          i += 1
+        }
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => }
+    out.result()
+  }
+
+  /** Read a block's header and seek past its payload + CRC; returns
+    * (contentType, contentId). */
+  private def skipBlock(
+      in: org.apache.hadoop.fs.FSDataInputStream): (Int, Int) = {
+    in.read() // method
+    val contentType = in.read()
+    val contentId = readItf8(in)
+    val compSize = readItf8(in)
+    readItf8(in) // raw size
+    in.seek(in.getPos + compSize + 4)
+    (contentType, contentId)
+  }
+
   /** Decode a whole container body: compression header + one or MORE
     * slices (external writers emit multi-slice containers). When the
     * container header's record count is known, the decoded total is
@@ -1556,7 +1646,8 @@ object CramIO {
   private[sources] def decodeContainer(
       data: Array[Byte], refNames: Array[String],
       rgIds: Array[String], expectedRecords: Int = -1,
-      reference: Option[graft.core.ReferenceSource] = None): Seq[Alignment] = {
+      reference: Option[graft.core.ReferenceSource] = None,
+      harvested: Option[HarvestedRefs] = None): Seq[Alignment] = {
     val in = new ByteArrayInputStream(data)
     val chBlock = readBlock(in)
     require(chBlock.contentType == 1, "expected compression header block")
@@ -1578,7 +1669,7 @@ object CramIO {
         i += 1
       }
       out ++= decodeSlice(ch, slice, blocks.result(), core, refNames, rgIds,
-        reference)
+        reference, harvested)
       total += slice.nRecords
     }
     if (expectedRecords >= 0 && total != expectedRecords)
@@ -1592,38 +1683,41 @@ object CramIO {
       ch: CompressionHeader, slice: SliceHeader,
       blocks: Map[Int, Array[Byte]], core: Array[Byte],
       refNames: Array[String], rgIds: Array[String],
-      reference: Option[graft.core.ReferenceSource]): Seq[Alignment] = {
+      reference: Option[graft.core.ReferenceSource],
+      harvested: Option[HarvestedRefs] = None): Seq[Alignment] = {
     val r = new SeriesReader(blocks, ch, core)
 
     // reference bases provider (0-based absolute position on the contig):
-    // embedded-reference block first, then the supplied ReferenceSource
+    // the slice's OWN embedded block first, then the supplied
+    // ReferenceSource, then embedded spans harvested from OTHER containers
+    // of the same file (multi-container embedded-reference spans)
     val embeddedRef: Option[Array[Byte]] =
       if (slice.embeddedRefId >= 0) blocks.get(slice.embeddedRefId) else None
     def refBases(ri: Int, start0: Long, len: Int): String = {
       if (len <= 0) return ""
-      embeddedRef match {
-        case Some(eb) =>
-          val off = (start0 - (slice.alignmentStart - 1L)).toInt
-          if (off < 0 || off + len > eb.length)
-            throw new UnsupportedOperationException(
-              s"embedded reference window [$off,${off + len}) outside this " +
-                s"slice's span (${eb.length} bases from ${slice.alignmentStart}): " +
-                "an embedded reference block serves ONLY its own slice; " +
-                "multi-container embedded-reference spans are unsupported " +
-                "(COVERAGE.md §CRAM) - pass a ReferenceSource to CramIO.read")
-          new String(eb, off, len, "UTF-8")
-        case None => reference match {
-          case Some(src) =>
-            src.extract(ReferenceRegion(refNames(ri), start0, start0 + len))
-          case None => throw new UnsupportedOperationException(
-            "CRAM slice requires reference bases (RR=true) but carries no " +
-              "embedded reference block; if an EARLIER container embedded a " +
-              "reference, note that embedded blocks serve only their own " +
-              "slice (multi-container embedded-reference spans are " +
-              "unsupported, COVERAGE.md §CRAM) - pass a ReferenceSource " +
-              "to CramIO.read")
-        }
+      embeddedRef.foreach { eb =>
+        val off = (start0 - (slice.alignmentStart - 1L)).toInt
+        if (off >= 0 && off + len <= eb.length)
+          return new String(eb, off, len, "UTF-8")
+        // window outside this slice's own embedded span: fall through to
+        // the external / harvested providers below
       }
+      reference.foreach { src =>
+        return src.extract(ReferenceRegion(refNames(ri), start0, start0 + len))
+      }
+      harvested.foreach { h =>
+        h.bases(ri, start0, len).foreach(return _)
+      }
+      throw new UnsupportedOperationException(
+        s"CRAM slice requires reference bases (RR=true) for " +
+          s"[$start0,${start0 + len}) on ${refNames(ri)}, but no embedded " +
+          "reference block covers the window - not this slice's own" +
+          embeddedRef.fold("")(eb =>
+            s" (${eb.length} bases from ${slice.alignmentStart})") +
+          harvested.fold(", and the file embeds no other spans")(h =>
+            s", and none of the ${h.nSpans} spans harvested from the " +
+              "file's other containers") +
+          " - pass a ReferenceSource to CramIO.read")
     }
 
     var prevAp = slice.alignmentStart // AP-delta accumulator (1-based)
@@ -1972,9 +2066,18 @@ object CramIO {
     val rgIds = meta.readGroups.readGroups.map(_.id).toArray
 
     // scan container offsets (headers only); honor the header container's
-    // declared length (other writers may pad it with extra blocks)
+    // declared length (other writers may pad it with extra blocks).
+    // With no external reference, the same pass ALSO indexes every
+    // slice's embedded-reference block (offset only, never the bases) so
+    // reference-compressed slices WITHOUT their own embedded block can
+    // decode against a covering span embedded elsewhere in the file —
+    // multi-container embedded-reference spans. Indexing walks block
+    // HEADERS (seek past every payload), so the scan stays ~headers-only;
+    // spans index over ALL containers even under .crai pruning (the
+    // serving container may be pruned away).
     val fileLen = fs.getFileStatus(p).getLen
     val offsets = Seq.newBuilder[(Long, Int, Int)]
+    val spans = Seq.newBuilder[EmbeddedSpan]
     var pos = hdrBodyStart + hdrContainer.length
     var done = false
     while (!done && pos < fileLen) {
@@ -1985,6 +2088,8 @@ object CramIO {
           val bodyStart = in.getPos
           if (keepOffsets.forall(_.contains(headerStart)))
             offsets += ((bodyStart, hc.length, hc.nRecords))
+          if (reference.isEmpty)
+            spans ++= indexEmbeddedRefs(in, bodyStart, hc.length)
           pos = bodyStart + hc.length
         case Some(hc) =>
           pos = in.getPos + hc.length // header/EOF container: skip
@@ -1998,6 +2103,11 @@ object CramIO {
     val rgIdsB = spark.sparkContext.broadcast(rgIds)
     val confB = spark.sparkContext.broadcast(HadoopConf(spark))
     val referenceB = spark.sparkContext.broadcast(reference)
+    val harvestedB = spark.sparkContext.broadcast {
+      val sp = spans.result()
+      if (sp.isEmpty) None
+      else Some(new HarvestedRefs(path, HadoopConf(spark), sp.toArray))
+    }
     val file = path
     val rdd = spark.sparkContext
       .parallelize(containers, math.max(1, containers.length))
@@ -2010,7 +2120,7 @@ object CramIO {
           val buf = new Array[Byte](len)
           tin.readFully(buf)
           decodeContainer(buf, refNamesB.value, rgIdsB.value, nRecords,
-            referenceB.value)
+            referenceB.value, harvestedB.value)
         } finally tin.close()
       }
     GenomicDataset(spark.createDataset(rdd), meta)

@@ -508,8 +508,9 @@ class CramIOSpec extends SparkSpec {
     pos + len
   }
 
-  test("hostile: embedded reference cannot serve LATER containers - loud " +
-      "failure without a ReferenceSource, full recovery with one") {
+  test("multi-container embedded-reference spans: a container WITHOUT " +
+      "an embedded block decodes against another container's embedded " +
+      "reference, no external ReferenceSource needed") {
     val rnd = new scala.util.Random(223)
     val bases = "ACGT"
     val contig = Array.fill(9000)(bases(rnd.nextInt(4))).mkString
@@ -519,12 +520,12 @@ class CramIOSpec extends SparkSpec {
       rec(s"h$i", Some("chr1"), Some(start), Some("36M"),
         contig.substring(start.toInt, start.toInt + 36), "I" * 36)
     }
-    val readsA = (0 until 40).map(mk)
-    val readsB = (40 until 80).map(mk)
+    // A spans [0, 3236+36) WITH an embedded reference; B is a sub-range
+    // of that span, reference-compressed WITHOUT an embedded block — an
+    // external writer relying on A's embedded block to cover B's records
+    val readsA = (0 until 80).map(mk)
+    val readsB = (40 until 80).map(b => mk(b).copy(readName = Some(s"x$b")))
     val dir = tmpDir()
-    // file A embeds its slice reference; file B is reference-compressed
-    // WITHOUT an embedded block — an external writer relying on A's
-    // embedded reference to cover B's records (the documented non-goal)
     CramIO.write(GenomicDataset(spark.createDataset(readsA), meta),
       dir + "/a.cram", profile = Some(CramIO.WriteProfile(
         refBased = true, embedRef = true, reference = Some(ref))))
@@ -540,19 +541,57 @@ class CramIOSpec extends SparkSpec {
       b.slice(afterHeaderContainer(b), b.length - 38) ++ a.takeRight(38)
     val sp = dir + "/spliced.cram"
     java.nio.file.Files.write(java.nio.file.Paths.get(sp), spliced)
-    // no reference: must fail LOUDLY, naming the multi-container
-    // embedded-reference limitation and the fix
+    // NO reference passed: B's container harvests A's embedded span
+    val got = CramIO.read(spark, sp).ds.collect()
+    assert(got.length == 120)
+    val bySeq = got.map(r => r.readName.get -> r.sequence.get).toMap
+    (readsA ++ readsB).foreach(r =>
+      assert(bySeq(r.readName.get) == r.sequence.get))
+  }
+
+  test("hostile: reference window outside every harvested embedded span " +
+      "- loud failure naming the gap, full recovery with a " +
+      "ReferenceSource") {
+    val rnd = new scala.util.Random(227)
+    val bases = "ACGT"
+    val contig = Array.fill(9000)(bases(rnd.nextInt(4))).mkString
+    val ref = graft.core.ReferenceContigs(Map("chr1" -> contig))
+    def mk(name: String, i: Int) = {
+      val start = i * 40L
+      rec(name + i, Some("chr1"), Some(start), Some("36M"),
+        contig.substring(start.toInt, start.toInt + 36), "I" * 36)
+    }
+    // A embeds [0, ~1632); B's records live in [2000, 3236+36) — covered
+    // by NO embedded span in the file
+    val readsA = (0 until 40).map(i => mk("h", i))
+    val readsB = (50 until 80).map(i => mk("x", i))
+    val dir = tmpDir()
+    CramIO.write(GenomicDataset(spark.createDataset(readsA), meta),
+      dir + "/a.cram", profile = Some(CramIO.WriteProfile(
+        refBased = true, embedRef = true, reference = Some(ref))))
+    CramIO.write(GenomicDataset(spark.createDataset(readsB), meta),
+      dir + "/b.cram", profile = Some(CramIO.WriteProfile(
+        refBased = true, embedRef = false, reference = Some(ref))))
+    val a = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/a.cram"))
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/b.cram"))
+    val spliced = a.dropRight(38) ++
+      b.slice(afterHeaderContainer(b), b.length - 38) ++ a.takeRight(38)
+    val sp = dir + "/spliced.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(sp), spliced)
+    // no reference: must fail LOUDLY, naming the harvested spans that
+    // were tried and the fix
     val ex = intercept[org.apache.spark.SparkException] {
       CramIO.read(spark, sp).ds.collect()
     }
     val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
-    assert(msgs.contains("serve only their own slice") ||
-      msgs.contains("serves ONLY its own slice"))
-    assert(msgs.contains("ReferenceSource"))
+    assert(msgs.contains("harvested"), msgs.take(500))
+    assert(msgs.contains("ReferenceSource"), msgs.take(500))
     // with the reference: every record from BOTH writers decodes
     val got = CramIO.read(spark, sp, ref).ds.collect()
-    assert(got.length == 80)
+    assert(got.length == 70)
     val bySeq = got.map(r => r.readName.get -> r.sequence.get).toMap
     (readsA ++ readsB).foreach(r =>
       assert(bySeq(r.readName.get) == r.sequence.get))
