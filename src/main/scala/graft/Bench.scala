@@ -141,6 +141,51 @@ object Bench {
         if (fresh.min * 2 < fresh.sorted.apply(1)) stillSuspect += name
       }
     } else spark0.stop()
+    // Machine-contention guard (VERDICT r11 #1): the suspect machinery
+    // catches WITHIN-run instability, but a uniformly loaded machine
+    // inflates every pass equally and the committed record silently
+    // becomes useless as a regression base (round 11: the local record
+    // read 1.42x r10 on the 136 common queries while the driver's
+    // same-day run of the same queries was 0.99x flat). Local protocol:
+    // export SPARK_GRAFT_BENCH_BASELINE=<previous committed BENCH_LOCAL
+    // json>. Individually-regressed queries (>1.25x) get one
+    // fresh-context re-measure (the suspect recipe); if the common-query
+    // aggregate STILL exceeds 1.25x the baseline, the run fails (exit 2)
+    // — code didn't get uniformly slower, the machine did; re-record on
+    // a quiet box. The driver never sets the env var, so its record is
+    // unaffected.
+    var contendedRatio: Option[Double] = None
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").foreach { bp =>
+      val prev = {
+        val txt = {
+          val src = scala.io.Source.fromFile(bp)
+          try src.mkString finally src.close()
+        }
+        val body = txt.drop(txt.indexOf("\"queries\""))
+        """"(q[0-9][^"]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      val common = (results.keySet & prev.keySet).toSeq.sorted
+      def aggRatio: Double =
+        common.map(results).sum / math.max(common.map(prev).sum, 1e-9)
+      if (common.nonEmpty && aggRatio > 1.25) {
+        val regressed = common.filter(k => results(k) > prev(k) * 1.25)
+        System.err.println(
+          f"[bench] baseline guard: aggregate ${aggRatio}%.2fx vs $bp; " +
+            s"re-measuring ${regressed.size} regressed queries in fresh " +
+            "contexts")
+        regressed.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          val s = makeSession()
+          force(s, fn)
+          reclaim(s)
+          val fresh = (0 until 3).map(_ => timed(s, fn))
+          s.stop()
+          results(name) = math.min(results(name), fresh.min)
+        }
+        if (aggRatio > 1.25) contendedRatio = Some(aggRatio)
+      }
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
@@ -148,7 +193,8 @@ object Bench {
     val susp = stillSuspect.sorted.map(q).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val nCatalog = SparkEntry.queries.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"n_queries":${results.size},"n_catalog":$nCatalog,"sf":"$sfDir"}""")
+    val contended = contendedRatio.fold("")(r => s""","contended":$r""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"n_queries":${results.size},"n_catalog":$nCatalog$contended,"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     }
@@ -161,6 +207,14 @@ object Bench {
         s"[bench] GUARD: timed ${results.size} + failed ${errors.size} " +
           s"!= catalog $nCatalog — bench record is not shippable")
       sys.exit(1)
+    }
+    contendedRatio.foreach { r =>
+      System.err.println(
+        f"[bench] GUARD: common-query aggregate $r%.2fx the baseline " +
+          "record even after fresh-context re-measures — the machine is " +
+          "contended; this record is NOT a valid regression base. " +
+          "Re-record on a quiet box (load average near zero).")
+      sys.exit(2)
     }
   }
 }

@@ -684,6 +684,58 @@ object ScaleProbe {
       graft.operators.TimeSeriesOps.calendarFill(
         daily, "event_type", "day", "peak_cents").count()
     }
+    spark.catalog.clearCache()
+    timed("merge_clusters_inc") {
+      // round 12: q160 incremental CC maintenance — 500k existing labels
+      // (100k clusters of 5) + 500k new pairs (450k in-cluster echoes +
+      // 50k bridges joining adjacent clusters); cost = labels + pairs +
+      // log-diameter pointer-jumping rounds, never historical candidates
+      val labels = spark.range(500000L).select(col("id"),
+        (col("id") - pmod(col("id"), lit(5L))).as("cluster_id"))
+      val pairs = spark.range(450000L).select(col("id").as("id_a"),
+          (col("id") - pmod(col("id"), lit(5L))).as("id_b"))
+        .unionAll(spark.range(50000L).select((col("id") * 10L).as("id_a"),
+          (col("id") * 10L + 5L).as("id_b")))
+      graft.operators.DedupOps.mergeClusters(labels, pairs).count()
+    }
+    spark.catalog.clearCache()
+    timed("psi_report") {
+      // round 12: q161 PSI drift over the 10x events — one
+      // map-side-combined (side, bucket) count grid (bounded buckets),
+      // then pure arithmetic on the grid; scales with rows scanned once
+      graft.operators.CorpusCompareOps.psiReport(
+        ev.select(
+          ((expr("unix_millis(ts) div 604800000") % 2) === 1).as("is_cur"),
+          expr("CAST(floor(value*100 + 0.5) AS BIGINT) div 500").as("vb")),
+        "is_cur", "vb").count()
+    }
+    spark.catalog.clearCache()
+    timed("capped_topk_dominant") {
+      // round 12: q162 at 5M rows with ONE group owning 60% of the data —
+      // the cap must bind below the shuffle (WindowGroupLimit), so the
+      // dominant group forwards <= cap rows per map task, never 3M rows
+      // to one reducer
+      val rows = spark.range(5000000L).select(col("id"),
+        when(pmod(col("id"), lit(10L)) < 6, lit("g_dom"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(10L))))
+          .as("source"),
+        pmod(col("id") * 2654435761L, lit(10000000L)).as("score"))
+      graft.operators.SamplingOps.cappedTopK(
+        rows, "score", "source", "id", k = 10000, perGroupCap = 100).count()
+    }
+    spark.catalog.clearCache()
+    timed("mad_outliers_5m") {
+      // round 12: q163 at 5M rows x 20 groups — two distributed-rank
+      // disc medians (no buffering percentile agg) + broadcast joins of
+      // the 20-row summaries; decision path pure integer
+      val rows = spark.range(5000000L).select(col("id"),
+        concat(lit("g"), pmod(col("id"), lit(20L))).as("g"),
+        (pmod(col("id") * 48271L, lit(100000L)) +
+          when(pmod(col("id"), lit(997L)) === 0, lit(50000000L))
+            .otherwise(lit(0L))).as("cents"))
+      graft.operators.Stats.madOutliers(rows, "g", "cents", "id")
+        .filter(col("is_out")).count()
+    }
     spark.stop()
   }
 }
