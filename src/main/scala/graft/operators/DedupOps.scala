@@ -1166,4 +1166,48 @@ object DedupOps {
         sum(col("cnt") - 1).as("n_dup_chunks"),
         sum((col("cnt") - 1) * col("clen")).as("dup_chars"),
         sum(col("cnt") * col("clen")).as("total_chars"))
+
+  /** Horizon (recrawl) dedup: within each key's timeline (`tsCol` a
+    * TIMESTAMP, ties broken by `tieBreak`), a sighting is `fresh` when
+    * it arrives MORE than `horizonMs` after the previous sighting of the
+    * same key — otherwise it is a duplicate of the running epoch. This
+    * is the batch analog of Structured Streaming's
+    * `dropDuplicatesWithinWatermark` state expiry
+    * ([[graft.streaming.EventStreams.dedupDocuments]]): a key's dedup
+    * state stays alive while sightings keep arriving and expires after a
+    * quiet horizon.
+    *
+    * Semantics are CHAINED (each sighting refreshes the window): a
+    * timeline t0, t0+0.8h, t0+1.6h yields ONE fresh row (t0) — every
+    * later sighting is within the horizon of its predecessor — where
+    * first-anchor semantics would re-admit t0+1.6h. Chained is the
+    * windowable form (one lag + one running sum over the SAME keyed
+    * window, so one exchange total) and the right model for "is this
+    * page still being recrawled", the recrawl-dedup question.
+    *
+    * Output: input columns + `fresh` boolean + `epoch` (0-based index of
+    * the sighting's freshness run within its key). Exactly one fresh row
+    * per (key, epoch). */
+  def horizonDedup(df: DataFrame, keyCol: String, tsCol: String,
+      tieBreak: String, horizonMs: Long): DataFrame = {
+    require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
+    val ms = expr(s"unix_millis($tsCol)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
+    val run = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = ms - lag(ms, 1).over(w)
+    df.withColumn("fresh", gap.isNull || gap > lit(horizonMs))
+      .withColumn("epoch",
+        sum(when(col("fresh"), 1L).otherwise(0L)).over(run) - lit(1L))
+  }
+
+  /** [[horizonDedup]] keyed by normalized text fingerprint — the exact
+    * normalization the streaming twin applies (trim, collapse
+    * whitespace, lowercase, md5). Output adds the `fp` column. */
+  def horizonDedupText(docs: DataFrame, textCol: String, tsCol: String,
+      tieBreak: String, horizonMs: Long): DataFrame =
+    horizonDedup(
+      docs.withColumn("fp",
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")))),
+      "fp", tsCol, tieBreak, horizonMs)
 }

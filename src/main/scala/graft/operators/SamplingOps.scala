@@ -177,6 +177,27 @@ object SamplingOps {
         col("allocated").cast("long").as("allocated"))
   }
 
+  /** Deterministic fixed-size per-group sample: exactly `min(n, |group|)`
+    * rows per group, chosen by ranking on `md5(idCol)` (ties — md5
+    * collisions — broken by the id itself). Unlike rate-based
+    * [[hashSplit]]-style sampling, the output SIZE is exact per group;
+    * unlike `DataFrame.sample`, the choice is a pure function of the ids
+    * — stable across runs, retries, partitioning, and engines (md5 is
+    * standardized, so a SQL oracle replays the selection byte-for-byte).
+    *
+    * Scale: the per-group rank cut plans as WindowGroupLimit below the
+    * shuffle — each map task forwards at most `n` rows per group it
+    * sees, so a dominant group never floods one reducer. */
+  def hashSampleN(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n).drop("__r")
+  }
+
   /** Global top-`k` by score under a per-group cap — "take the k best
     * documents overall, but at most `perGroupCap` from any one source":
     * the diversity-quota selection between plain global top-k (one source

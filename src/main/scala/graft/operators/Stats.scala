@@ -330,6 +330,28 @@ object Stats {
           .as("gini"))
   }
 
+  /** Per-group percent-rank score normalization: each row's score maps
+    * to `(rank - 1) / (n - 1)` within its group — rank over `scoreCol`
+    * ascending with SQL RANK tie semantics (equal scores share a rank),
+    * so the result is ORDER-DETERMINISTIC with no tie-break column at
+    * all, and the division is int/int in IEEE double (engine-identical).
+    * Single-row groups map to 0.0. This is the standard cross-source
+    * score calibration step before mixing ranked corpora: raw quality /
+    * perplexity scores are incomparable across sources, their
+    * within-source percentiles are.
+    *
+    * Scale: ONE keyed window exchange (rank + count over the group);
+    * nothing else. Output: input columns + `pct_rank`. */
+  def percentRankNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+    val n = count(lit(1)).over(Window.partitionBy(groupCol))
+    df.withColumn("pct_rank",
+      when(n === 1L, lit(0.0)).otherwise(
+        (rank().over(w) - lit(1)).cast("double") /
+          (n - lit(1)).cast("double")))
+  }
+
   /** Robust outlier flags via MAD (median absolute deviation): per
     * group, med = exact disc median of `valueCol` (integer cents), mad =
     * exact disc median of |x - med|, and x flags when

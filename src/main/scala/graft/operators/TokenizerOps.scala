@@ -164,4 +164,45 @@ object TokenizerOps {
       .orderBy(desc("n_occurrences"), asc("token"))
       .limit(topK)
   }
+
+  /** Padding-waste audit for length-bucketed batching: given ascending
+    * bucket capacities (e.g. 128, 256, 512, 1024), each document goes to
+    * the SMALLEST capacity >= its length (longer documents overflow into
+    * the largest bucket, truncated to it), and the report states per
+    * bucket what fixed-shape batching costs — padded slots
+    * (capacity - len, for docs that fit) and truncated units
+    * (len - capacity, overflow docs only). This is the report a pipeline
+    * reads before choosing sequence-length buckets: total waste across a
+    * capacity grid is the padding-efficiency objective.
+    *
+    * Pure integer accounting; `waste_permille` is the one division
+    * (padded + truncated per 1000 capacity units), computed as exact
+    * integer permille.
+    *
+    * Scale: a per-row CASE over the bounded capacity list + ONE
+    * map-side-combined aggregation; output is one row per bucket.
+    * Output: (capacity, n_docs, sum_len, padded_units, truncated_units,
+    * waste_permille). */
+  def paddingWasteReport(docs: DataFrame, lenCol: String,
+      capacities: Seq[Long]): DataFrame = {
+    require(capacities.nonEmpty && capacities == capacities.sorted &&
+      capacities.distinct == capacities && capacities.head > 0,
+      s"capacities must be positive, ascending, distinct: $capacities")
+    val len = col(lenCol).cast("long")
+    val maxCap = capacities.last
+    val cap = capacities.init.reverse.foldLeft(lit(maxCap)) { (acc, c) =>
+      when(len <= c, lit(c)).otherwise(acc)
+    }
+    docs
+      .select(cap.as("capacity"), len.as("__len"))
+      .groupBy("capacity")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_len"),
+        sum(greatest(col("capacity") - col("__len"), lit(0L)))
+          .as("padded_units"),
+        sum(greatest(col("__len") - col("capacity"), lit(0L)))
+          .as("truncated_units"))
+      .withColumn("waste_permille", expr(
+        "(padded_units + truncated_units) * 1000L div (capacity * n_docs)"))
+  }
 }

@@ -2178,7 +2178,45 @@ object PipelineQueries extends QuerySet {
           QUALIFY row_number() OVER (
             PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3)
         SELECT doc_id, source, n_chars FROM capped
-        ORDER BY n_chars DESC, doc_id LIMIT 20"""))
+        ORDER BY n_chars DESC, doc_id LIMIT 20""")),
+
+    // Deterministic fixed-size per-group sample: exactly 50 docs per
+    // source chosen by md5(doc_id) rank — stable across runs/partitioning
+    // and byte-replayable by the oracle (md5 is standardized); the rank
+    // cut plans as WindowGroupLimit below the shuffle.
+    Query("q166_hash_sample_n",
+      (s, dir) => graft.operators.SamplingOps.hashSampleN(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", n = 50),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+          FROM documents) WHERE r <= 50""")),
+
+    // Padding-waste audit for length-bucketed batching: per capacity
+    // bucket (smallest of 500/1000/2000/4000 that fits; overflow
+    // truncates into the largest), exact integer padded/truncated units
+    // and the permille waste — one CASE + one map-side-combined agg.
+    Query("q167_padding_waste",
+      (s, dir) => graft.operators.TokenizerOps.paddingWasteReport(
+        t(s, dir, "documents"), "n_chars", Seq(500L, 1000L, 2000L, 4000L)),
+      Some("""WITH b AS (
+          SELECT CAST(CASE WHEN n_chars <= 500 THEN 500
+              WHEN n_chars <= 1000 THEN 1000
+              WHEN n_chars <= 2000 THEN 2000 ELSE 4000 END AS BIGINT)
+            AS capacity,
+            CAST(n_chars AS BIGINT) AS len
+          FROM documents)
+        SELECT capacity, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len) AS BIGINT) AS sum_len,
+          CAST(sum(greatest(capacity - len, 0)) AS BIGINT) AS padded_units,
+          CAST(sum(greatest(len - capacity, 0)) AS BIGINT)
+            AS truncated_units,
+          CAST((sum(greatest(capacity - len, 0))
+              + sum(greatest(len - capacity, 0))) * 1000
+            // (capacity * count(*)) AS BIGINT) AS waste_permille
+        FROM b GROUP BY 1"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

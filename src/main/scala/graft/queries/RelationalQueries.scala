@@ -1041,6 +1041,56 @@ object RelationalQueries extends QuerySet {
           FROM r2 GROUP BY 1)
         SELECT d.event_type, cents, event_id, d.med, mad.mad,
           abs(cents - d.med) * 1000 > 3500 * mad.mad AS is_out
-        FROM d JOIN mad USING (event_type)"""))
+        FROM d JOIN mad USING (event_type)""")),
+
+    // Percent-rank score normalization per group — RANK tie semantics
+    // (equal scores share a rank, no tie-break column needed), so the
+    // (rank-1)/(n-1) int/int double is order-deterministic in any engine.
+    Query("q164_percent_rank_norm",
+      (s, dir) => graft.operators.Stats.percentRankNormalize(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            cents(col("value")).as("cents")),
+        "event_type", "cents"),
+      Some("""WITH v AS (
+          SELECT event_id, event_type,
+            CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_id, event_type, cents,
+          CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0.0
+            ELSE CAST(rank() OVER (
+                  PARTITION BY event_type ORDER BY cents) - 1 AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)
+          END AS pct_rank
+        FROM v""")),
+
+    // Horizon (recrawl) dedup: a (type|user) page sighting is fresh only
+    // when >1h after its previous sighting — chained gaps, the batch twin
+    // of streaming dropDuplicatesWithinWatermark state expiry; one keyed
+    // window exchange computes both the lag test and the epoch cumsum.
+    Query("q165_horizon_dedup",
+      (s, dir) => graft.operators.DedupOps.horizonDedup(
+          t(s, dir, "events").select(
+            concat(col("event_type"), lit("|"),
+              col("user_id").cast("string")).as("page"),
+            col("ts"), col("event_id")),
+          "page", "ts", "event_id", horizonMs = 3600000L)
+        .select(col("page"), col("event_id"), col("fresh"), col("epoch")),
+      Some("""WITH e AS (
+          SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS page,
+            epoch_ms(ts) AS ms, event_id
+          FROM events),
+        g AS (SELECT page, event_id, ms,
+            ms - lag(ms) OVER (
+              PARTITION BY page ORDER BY ms, event_id) AS gap
+          FROM e),
+        f AS (SELECT page, event_id, ms,
+            (gap IS NULL OR gap > 3600000) AS fresh FROM g)
+        SELECT page, event_id, fresh,
+          CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) OVER (
+            PARTITION BY page ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS BIGINT) AS epoch
+        FROM f"""))
   )
 }
