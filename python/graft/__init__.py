@@ -1359,3 +1359,48 @@ def mad_outliers(df, group_col, value_col, tie_break, k_permille=3500):
     s = df.sparkSession
     return _wrap(s, _api(s).madOutliers(df._jdf, group_col, value_col,
                                         tie_break, int(k_permille)))
+
+
+def percent_rank_normalize(df, group_col, score_col):
+    """Per-group percent-rank score normalization: input columns +
+    pct_rank in [0, 1] ((rank-1)/(n-1), RANK tie semantics)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).percentRankNormalize(df._jdf, group_col,
+                                                 score_col))
+
+
+def horizon_dedup(df, key_col, ts_col, tie_break, horizon_ms):
+    """Horizon (recrawl) dedup by key — chained gap semantics, the batch
+    twin of streaming dropDuplicatesWithinWatermark state expiry: input
+    columns + (fresh, epoch)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).horizonDedup(df._jdf, key_col, ts_col,
+                                         tie_break, int(horizon_ms)))
+
+
+def horizon_dedup_text(docs, text_col, ts_col, tie_break, horizon_ms):
+    """Horizon dedup keyed by the normalized-text md5 fingerprint (same
+    normalization as the streaming dedup twin); adds the fp column."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).horizonDedupText(docs._jdf, text_col, ts_col,
+                                             tie_break, int(horizon_ms)))
+
+
+def hash_sample_n(df, group_col, id_col, n):
+    """Deterministic fixed-size per-group sample: exactly min(n, |group|)
+    rows per group by md5(id) rank — stable across runs/partitioning."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).hashSampleN(df._jdf, group_col, id_col,
+                                        int(n)))
+
+
+def padding_waste_report(docs, len_col, capacities):
+    """Padding-waste audit for length-bucketed batching: one row per
+    capacity bucket (capacity, n_docs, sum_len, padded_units,
+    truncated_units, waste_permille)."""
+    s = docs.sparkSession
+    gw = s.sparkContext._gateway
+    arr = gw.new_array(gw.jvm.long, len(capacities))
+    for i, c in enumerate(capacities):
+        arr[i] = int(c)
+    return _wrap(s, _api(s).paddingWasteReport(docs._jdf, len_col, arr))

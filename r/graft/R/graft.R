@@ -768,3 +768,23 @@ graft.madOutliers <- function(df, groupCol, valueCol, tieBreak,
   .gdf(SparkR::sparkR.callJStatic(.jvm, "madOutliers", df@sdf, groupCol,
                                   valueCol, tieBreak, .jlong(kPermille)))
 }
+
+#' Per-group percent-rank score normalization: input columns + pct_rank.
+graft.percentRankNormalize <- function(df, groupCol, scoreCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "percentRankNormalize", df@sdf,
+                                  groupCol, scoreCol))
+}
+
+#' Horizon (recrawl) dedup by key: input columns + (fresh, epoch).
+graft.horizonDedup <- function(df, keyCol, tsCol, tieBreak, horizonMs) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "horizonDedup", df@sdf, keyCol,
+                                  tsCol, tieBreak, .jlong(horizonMs)))
+}
+
+#' Deterministic fixed-size per-group sample (md5-rank selection).
+graft.hashSampleN <- function(df, groupCol, idCol, n) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hashSampleN", df@sdf, groupCol,
+                                  idCol, as.integer(n)))
+}

@@ -1024,4 +1024,34 @@ object JavaApi {
       tieBreak: String, kPermille: Long): DataFrame =
     graft.operators.Stats.madOutliers(df, groupCol, valueCol, tieBreak,
       kPermille)
+
+  /** Per-group percent-rank score normalization:
+    * input columns + pct_rank in [0, 1]. */
+  def percentRankNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame =
+    graft.operators.Stats.percentRankNormalize(df, groupCol, scoreCol)
+
+  /** Horizon (recrawl) dedup by key: input columns + (fresh, epoch). */
+  def horizonDedup(df: DataFrame, keyCol: String, tsCol: String,
+      tieBreak: String, horizonMs: Long): DataFrame =
+    graft.operators.DedupOps.horizonDedup(df, keyCol, tsCol, tieBreak,
+      horizonMs)
+
+  /** Horizon dedup keyed by normalized-text md5 fingerprint. */
+  def horizonDedupText(docs: DataFrame, textCol: String, tsCol: String,
+      tieBreak: String, horizonMs: Long): DataFrame =
+    graft.operators.DedupOps.horizonDedupText(docs, textCol, tsCol,
+      tieBreak, horizonMs)
+
+  /** Deterministic fixed-size per-group sample (md5-rank selection). */
+  def hashSampleN(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame =
+    graft.operators.SamplingOps.hashSampleN(df, groupCol, idCol, n)
+
+  /** Padding-waste audit for length-bucketed batching: one row per
+    * capacity bucket. */
+  def paddingWasteReport(docs: DataFrame, lenCol: String,
+      capacities: Array[Long]): DataFrame =
+    graft.operators.TokenizerOps.paddingWasteReport(docs, lenCol,
+      capacities.toSeq)
 }

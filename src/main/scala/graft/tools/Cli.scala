@@ -1200,6 +1200,55 @@ object Cli {
             .write.mode("overwrite").parquet(out + ".report")
         println(s"shards: wrote $out")
 
+      // pctRank <in> <out> [-group c] [-score c] — per-group percent-rank
+      //   score normalization (adds pct_rank)
+      case "pctRank" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.Stats.percentRankNormalize(
+            spark.read.parquet(in), fv("-group", "source"),
+            fv("-score", "score"))
+          .write.mode("overwrite").parquet(out)
+        println(s"pctRank: wrote $out")
+
+      // horizonDedup <in> <out> -horizon MS [-key c | -text c] [-ts c]
+      //   [-tie c] — chained-gap recrawl dedup (adds fresh, epoch)
+      case "horizonDedup" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val h = fv("-horizon", "")
+        if (h.isEmpty) sys.error("horizonDedup needs -horizon MS")
+        val df = spark.read.parquet(in)
+        val (ts, tie) = (fv("-ts", "ts"), fv("-tie", "event_id"))
+        val text = fv("-text", "")
+        val res =
+          if (text.nonEmpty)
+            graft.operators.DedupOps.horizonDedupText(
+              df, text, ts, tie, h.toLong)
+          else graft.operators.DedupOps.horizonDedup(
+            df, fv("-key", "key"), ts, tie, h.toLong)
+        res.write.mode("overwrite").parquet(out)
+        println(s"horizonDedup: wrote $out")
+
+      // hashSample <in> <out> [-group c] [-id c] [-n k] — deterministic
+      //   fixed-size per-group sample by md5(id) rank
+      case "hashSample" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.SamplingOps.hashSampleN(
+            spark.read.parquet(in), fv("-group", "source"),
+            fv("-id", "doc_id"), fv("-n", "100").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"hashSample: wrote $out")
+
+      // paddingWaste <in> <out> [-len c] [-caps 128,256,512] — padding
+      //   waste per length bucket
+      case "paddingWaste" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TokenizerOps.paddingWasteReport(
+            spark.read.parquet(in), fv("-len", "n_chars"),
+            fv("-caps", "512,1024,2048,4096").split(",").toSeq
+              .map(_.trim.toLong))
+          .write.mode("overwrite").parquet(out)
+        println(s"paddingWaste: wrote $out")
+
       // modularity <edges.parquet> <labels.parquet> <out> — Newman
       //   modularity of a labeled partition; edges (src,dst), labels
       //   (id,label)
@@ -1370,7 +1419,7 @@ object Cli {
           "\n  lpa <edges.parquet> <out.parquet> [-rounds n] [-top n]" +
           "\n  nbRoute <train.parquet> <test.parquet> <out.parquet> [-label c] [-id c] [-text c] [-buckets n] [-confusion]" +
           "\n  mmr <embeddings.parquet> <out.parquet> [-query id] [-k n] [-lambda x] [-cands n] [-id c] [-vec c]" +
-          "\n  waterfill <counts.parquet> <out.parquet> -budget N [-source c] [-avail c] [-weight c]" +
+          "\n  waterfill <counts.parquet> <out.parquet> (-budget N | -fraction NUM/DEN) [-source c] [-avail c] [-weight c]" +
           "\n  shards <in.parquet> <out.parquet> [-size c] [-tie c] [-n k] [-report]" +
           "\n  modularity <edges.parquet> <labels.parquet> <out.parquet>" +
           "\n  interarrival <in.parquet> <out.parquet> [-key c] [-ts c] [-id c] [-group c]" +
@@ -1381,7 +1430,11 @@ object Cli {
           "\n  mergecc <labels.parquet> <pairs.parquet> <out.parquet>" +
           "\n  psi <in.parquet> <out.parquet> [-side c] [-bucket c]" +
           "\n  cappedTopK <in.parquet> <out.parquet> [-score c] [-group c] [-tie c] [-k n] [-cap n]" +
-          "\n  madOutliers <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-k permille]")
+          "\n  madOutliers <in.parquet> <out.parquet> [-group c] [-value c] [-tie c] [-k permille]" +
+          "\n  pctRank <in.parquet> <out.parquet> [-group c] [-score c]" +
+          "\n  horizonDedup <in.parquet> <out.parquet> -horizon MS [-key c | -text c] [-ts c] [-tie c]" +
+          "\n  hashSample <in.parquet> <out.parquet> [-group c] [-id c] [-n k]" +
+          "\n  paddingWaste <in.parquet> <out.parquet> [-len c] [-caps 128,256,512]")
         sys.exit(2)
     }
   }

@@ -778,6 +778,49 @@ class CliSpec extends SparkSpec {
     assert(fl(7L) && !fl(6L))
   }
 
+  test("pctRank, horizonDedup, hashSample and paddingWaste commands") {
+    import spark.implicits._
+    val pIn = tmpDir() + "/pr_in.parquet"
+    Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+      .toDF("source", "id", "score").write.parquet(pIn)
+    val pOut = tmpDir() + "/pr_out.parquet"
+    Cli.run(spark, Seq("pctRank", pIn, pOut))
+    val pr = spark.read.parquet(pOut).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    assert(pr == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+
+    val hIn = tmpDir() + "/hd_in.parquet"
+    Seq(("k", 0L, 1L), ("k", 500L, 2L), ("k", 5000L, 3L))
+      .toDF("key", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .write.parquet(hIn)
+    val hOut = tmpDir() + "/hd_out.parquet"
+    Cli.run(spark, Seq("horizonDedup", hIn, hOut, "-horizon", "1000"))
+    val fr = spark.read.parquet(hOut).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("fresh"))
+      .toMap
+    assert(fr == Map(1L -> true, 2L -> false, 3L -> true))
+
+    val sIn = tmpDir() + "/hs_in.parquet"
+    (1L to 100L).map(i => (s"s${i % 2}", i)).toDF("source", "doc_id")
+      .write.parquet(sIn)
+    val sOut = tmpDir() + "/hs_out.parquet"
+    Cli.run(spark, Seq("hashSample", sIn, sOut, "-n", "10"))
+    val hs = spark.read.parquet(sOut).collect()
+    assert(hs.length == 20 && hs.map(_.getString(0)).distinct.length == 2)
+
+    val wIn = tmpDir() + "/pw_in.parquet"
+    Seq(100L, 600L, 9000L).toDF("n_chars").write.parquet(wIn)
+    val wOut = tmpDir() + "/pw_out.parquet"
+    Cli.run(spark, Seq("paddingWaste", wIn, wOut))
+    val pw = spark.read.parquet(wOut).collect()
+      .map(r => r.getAs[Long]("capacity") ->
+        (r.getAs[Long]("padded_units"), r.getAs[Long]("truncated_units")))
+      .toMap
+    assert(pw == Map(512L -> ((412L, 0L)), 1024L -> ((424L, 0L)),
+      4096L -> ((0L, 4904L))))
+  }
+
   test("zorder command rewrites clustered parquet") {
     import spark.implicits._
     val in = tmpDir() + "/zin.parquet"
