@@ -1404,3 +1404,103 @@ def padding_waste_report(docs, len_col, capacities):
     for i, c in enumerate(capacities):
         arr[i] = int(c)
     return _wrap(s, _api(s).paddingWasteReport(docs._jdf, len_col, arr))
+
+
+def neyman_allocation(df, stratum_col, value_col, budget):
+    """Neyman (optimal) stratified-sampling allocation — budget split
+    proportionally to N_h*sigma_h, exact integer largest-remainder:
+    (stratum, n_rows, weight_q, alloc)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).neymanAllocation(df._jdf, stratum_col,
+                                             value_col, int(budget)))
+
+
+def source_overlap_exact(docs, text_col, source_col):
+    """Exact pairwise cross-source duplication matrix over normalized-text
+    fingerprints: (src_a, src_b, n_a, n_b, n_shared, jaccard_permille),
+    zero-overlap pairs included."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).sourceOverlapExact(docs._jdf, text_col,
+                                               source_col))
+
+
+def oov_rate(docs, text_col, source_col, vocab, vocab_col):
+    """Occurrence-weighted out-of-vocabulary rate per source against a
+    supplied vocabulary DataFrame: (source, n_tokens, oov_tokens,
+    oov_permille)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).oovRate(docs._jdf, text_col, source_col,
+                                    vocab._jdf, vocab_col))
+
+
+def filter_waterfall(df, rules):
+    """Filter-impact waterfall over an ORDERED list of (name, sql_expr)
+    keep-rules: per rule (rule_order, rule, n_fail, n_first_fail,
+    n_surviving)."""
+    s = df.sparkSession
+    gw = s.sparkContext._gateway
+    names = gw.new_array(gw.jvm.java.lang.String, len(rules))
+    exprs = gw.new_array(gw.jvm.java.lang.String, len(rules))
+    for i, (n, e) in enumerate(rules):
+        names[i] = n
+        exprs[i] = e
+    return _wrap(s, _api(s).filterWaterfall(df._jdf, names, exprs))
+
+
+def hits(edges, iters=3):
+    """Integer HITS hub/authority scores over directed edges (src, dst):
+    (node, side 'hub'|'auth', score_q) — engine-replayable integer
+    renormalized iterations."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).hits(edges._jdf, int(iters)))
+
+
+def hits_top_k(edges, iters, k):
+    """Top-k hubs and top-k authorities of hits() with the deterministic
+    (score desc, node) tie-break."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).hitsTopK(edges._jdf, int(iters), int(k)))
+
+
+def rfm_scores(events, key_col, ts_col, value_col, tiers=5):
+    """RFM (recency/frequency/monetary) tier scoring per key: (key,
+    last_ts_ms, n_events, monetary_cents, r_score, f_score, m_score,
+    rfm)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).rfmScores(events._jdf, key_col, ts_col,
+                                      value_col, int(tiers)))
+
+
+def nearest_centroid_eval(corpus, label_col, id_col="vec_id",
+                          vec_col="embedding"):
+    """Nearest-centroid label confusion over an embedding table —
+    (label, predicted, n); off-diagonal mass = entangled/mislabeled."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).nearestCentroidEval(corpus._jdf, label_col,
+                                                id_col, vec_col))
+
+
+def burst_activity_report(events, key_col, ts_col, bucket_ms,
+                          burst_threshold):
+    """Fixed-bucket burst-activity (bot-likelihood) report:
+    (key, n_events, max_per_bucket, is_burst)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).burstActivityReport(events._jdf, key_col,
+                                                ts_col, int(bucket_ms),
+                                                int(burst_threshold)))
+
+
+def profile_drift(a, cols_a, b, cols_b):
+    """Snapshot-to-snapshot per-column profile drift: status
+    added/removed/common + exact null-rate permille and cardinality
+    deltas."""
+    s = a.sparkSession
+    gw = s.sparkContext._gateway
+
+    def _sarr(xs):
+        arr = gw.new_array(gw.jvm.java.lang.String, len(xs))
+        for i, x in enumerate(xs):
+            arr[i] = x
+        return arr
+    return _wrap(s, _api(s).profileDrift(a._jdf, _sarr(cols_a), b._jdf,
+                                         _sarr(cols_b)))

@@ -788,3 +788,59 @@ graft.hashSampleN <- function(df, groupCol, idCol, n) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "hashSampleN", df@sdf, groupCol,
                                   idCol, as.integer(n)))
 }
+
+#' Neyman optimal stratified-sampling allocation:
+#' (stratum, n_rows, weight_q, alloc).
+graft.neymanAllocation <- function(df, stratumCol, valueCol, budget) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "neymanAllocation", df@sdf,
+                                  stratumCol, valueCol, .jlong(budget)))
+}
+
+#' Exact pairwise cross-source duplication matrix.
+graft.sourceOverlapExact <- function(docs, textCol, sourceCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "sourceOverlapExact", docs@sdf,
+                                  textCol, sourceCol))
+}
+
+#' Occurrence-weighted OOV rate per source against a vocabulary frame.
+graft.oovRate <- function(docs, textCol, sourceCol, vocab, vocabCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "oovRate", docs@sdf, textCol,
+                                  sourceCol, vocab@sdf, vocabCol))
+}
+
+#' Integer HITS hub/authority scores over directed edges (src, dst).
+graft.hits <- function(edges, iters = 3L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hits", edges@sdf,
+                                  as.integer(iters)))
+}
+
+#' Top-k hubs and authorities of graft.hits.
+graft.hitsTopK <- function(edges, iters, k) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hitsTopK", edges@sdf,
+                                  as.integer(iters), as.integer(k)))
+}
+
+#' RFM (recency/frequency/monetary) tier scoring per key.
+graft.rfmScores <- function(events, keyCol, tsCol, valueCol, tiers = 5L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "rfmScores", events@sdf, keyCol,
+                                  tsCol, valueCol, as.integer(tiers)))
+}
+
+#' Nearest-centroid label confusion over an embedding table.
+graft.nearestCentroidEval <- function(corpus, labelCol, idCol = "vec_id",
+                                      vecCol = "embedding") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "nearestCentroidEval", corpus@sdf,
+                                  labelCol, idCol, vecCol))
+}
+
+#' Fixed-bucket burst-activity (bot-likelihood) report.
+graft.burstActivityReport <- function(events, keyCol, tsCol, bucketMs,
+                                      burstThreshold) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "burstActivityReport", events@sdf,
+                                  keyCol, tsCol, .jlong(bucketMs),
+                                  .jlong(burstThreshold)))
+}

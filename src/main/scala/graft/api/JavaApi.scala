@@ -1054,4 +1054,73 @@ object JavaApi {
       capacities: Array[Long]): DataFrame =
     graft.operators.TokenizerOps.paddingWasteReport(docs, lenCol,
       capacities.toSeq)
+
+  /** Neyman optimal stratified-sampling allocation:
+    * (stratum, n_rows, weight_q, alloc). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame =
+    graft.operators.SamplingOps.neymanAllocation(df, stratumCol, valueCol,
+      budget)
+
+  /** Exact pairwise cross-source duplication matrix:
+    * (src_a, src_b, n_a, n_b, n_shared, jaccard_permille). */
+  def sourceOverlapExact(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    graft.operators.CorpusCompareOps.sourceOverlapExact(docs, textCol,
+      sourceCol)
+
+  /** Occurrence-weighted out-of-vocabulary rate per source against a
+    * supplied vocabulary relation. */
+  def oovRate(docs: DataFrame, textCol: String, sourceCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame =
+    graft.operators.TokenizerOps.oovRate(docs, textCol, sourceCol, vocab,
+      vocabCol)
+
+  /** Filter-impact waterfall over ordered keep-rules given as parallel
+    * (name, SQL boolean expression) arrays: one row per rule with
+    * isolation failures, first-fail attribution, and survivors. */
+  def filterWaterfall(df: DataFrame, ruleNames: Array[String],
+      ruleExprs: Array[String]): DataFrame = {
+    require(ruleNames.length == ruleExprs.length,
+      s"${ruleNames.length} names vs ${ruleExprs.length} exprs")
+    graft.operators.ProfileOps.filterWaterfall(df,
+      ruleNames.toSeq.zip(ruleExprs.toSeq.map(
+        org.apache.spark.sql.functions.expr)))
+  }
+
+  /** Integer HITS hub/authority scores over directed edges (src, dst):
+    * (node, side 'hub'|'auth', score_q). */
+  def hits(edges: DataFrame, iters: Int): DataFrame =
+    graft.operators.GraphOps.hits(edges, iters)
+
+  /** Top-k hubs and authorities of [[hits]]. */
+  def hitsTopK(edges: DataFrame, iters: Int, k: Int): DataFrame =
+    graft.operators.GraphOps.hitsTopK(edges, iters, k)
+
+  /** RFM (recency/frequency/monetary) tier scoring per key:
+    * (key, last_ts_ms, n_events, monetary_cents, r_score, f_score,
+    * m_score, rfm). */
+  def rfmScores(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tiers: Int): DataFrame =
+    graft.operators.Sessionize.rfmScores(events, keyCol, tsCol, valueCol,
+      tiers)
+
+  /** Nearest-centroid label confusion over an embedding table:
+    * (label, predicted, n). */
+  def nearestCentroidEval(corpus: DataFrame, labelCol: String,
+      idCol: String, vecCol: String): DataFrame =
+    graft.operators.ClusteringOps.nearestCentroidEval(corpus, labelCol,
+      idCol, vecCol)
+
+  /** Fixed-bucket burst-activity (bot-likelihood) report:
+    * (key, n_events, max_per_bucket, is_burst). */
+  def burstActivityReport(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMs: Long, burstThreshold: Long): DataFrame =
+    graft.operators.Sessionize.burstActivityReport(events, keyCol, tsCol,
+      bucketMs, burstThreshold)
+
+  /** Snapshot-to-snapshot per-column profile drift report. */
+  def profileDrift(a: DataFrame, colsA: Array[String], b: DataFrame,
+      colsB: Array[String]): DataFrame =
+    graft.operators.ProfileOps.profileDrift(a, colsA.toSeq, b, colsB.toSeq)
 }

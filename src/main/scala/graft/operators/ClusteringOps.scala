@@ -348,4 +348,56 @@ object ClusteringOps {
     powerIteration(g, iters, vscale).zipWithIndex
       .map { case (v, d) => (d, v) }.toSeq.toDF("d", "axis_q")
   }
+
+  // --------------- nearest-centroid label audit ----------------------
+
+  /** Nearest-centroid confusion matrix — the cheap "are these labels
+    * separable in embedding space?" audit run before trusting a labeled
+    * embedding set (mislabeled or entangled classes show up as
+    * off-diagonal mass): fit one centroid per LABEL (per-dimension
+    * `floorDiv(sum, count)` over the quantized vectors — the
+    * [[kmeansFit]] update step with labels as fixed assignments), then
+    * classify every vector to its nearest centroid by exact Long squared
+    * L2 (ties -> smallest label, the [[kmeansFit]] tie rule).
+    *
+    * Output: (label, predicted, n) — long-format confusion counts;
+    * diagonal rows are the correctly-recovered mass.
+    *
+    * Scale: ONE map-side-combined (label, dim) moment aggregation (rows
+    * = |labels| x dim, bounded), centroids broadcast back, ONE narrow
+    * classify-and-count pass over the corpus — no shuffle wider than the
+    * |labels|^2 confusion grid; the persisted quantized projection is
+    * released via materializeAndRelease (tier 1). */
+  def nearestCentroidEval(
+      corpus: DataFrame,
+      labelCol: String,
+      id: String = "vec_id",
+      vec: String = "embedding",
+      scale: Long = DefaultScale): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = corpus
+      .select(col(labelCol).cast("long").as("label"),
+        quantize(col(vec), scale).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect() // bounded: |labels| x dim
+    val dims = cells.map(_.getInt(1)).max + 1
+    val labels = cells.map(_.getLong(0)).distinct.sorted
+    val idx = labels.zipWithIndex.toMap
+    val cents = Array.ofDim[Long](labels.length, dims)
+    cells.foreach { r =>
+      cents(idx(r.getLong(0)))(r.getInt(1)) =
+        Math.floorDiv(r.getLong(2), r.getLong(3))
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    val predLabel = udf { i: Int => labels(i) }
+    val out = q
+      .select(col("label"),
+        predLabel(assignUdf(bc)(col("qv"))).as("predicted"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+    Caching.materializeAndRelease(out, q)
+  }
 }

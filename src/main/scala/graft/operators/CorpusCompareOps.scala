@@ -60,6 +60,48 @@ object CorpusCompareOps {
           col("n_docs").cast("double")).as("novelty_rate"))
   }
 
+  /** Exact pairwise cross-source duplication matrix: for every source
+    * pair, how many distinct exact-duplicate fingerprints
+    * ([[TextOps.fingerprint]]) the two share, with the Jaccard overlap in
+    * integer permille. The EXACT complement of the bottom-k sketch
+    * overlap estimate (q94): run the sketch at corpus scale to find the
+    * suspicious pairs, then this on the candidates when the pair decision
+    * (drop a mirrored crawl, re-weight a source) needs the true number.
+    * Zero-overlap pairs are reported too — the grid is completed from
+    * the bounded per-source totals, so "these crawls are disjoint" is a
+    * visible answer, not a missing row.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_shared, jaccard_permille) for
+    * src_a < src_b; all counts over DISTINCT fingerprints, permille by
+    * integer division (engine-exact).
+    *
+    * Scale: one (source, fp) distinct (plan-owned cache — both the totals
+    * and the self-join read it), then a self-equi-join ON fp whose per-key
+    * fanout is bounded by |sources|^2 — never all-pairs over docs; the
+    * pair grid and the shared-count join are broadcasts over
+    * |sources|^2-row tables. Sources must be bounded (panel of crawls,
+    * not a per-domain explosion) — the same contract as
+    * [[sourceSimilarity]]. */
+  def sourceOverlapExact(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val pairs = docs.select(col(sourceCol).as("source"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = pairs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = pairs.select(col("source").as("src_a"), col("fp"))
+      .join(pairs.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    val grid = totals.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    grid.join(broadcast(shared), Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard_permille", expr(
+        "n_shared * 1000L div (n_a + n_b - n_shared)"))
+  }
+
   /** Pairwise source similarity: cosine between the sources' hashed
     * unigram count vectors (the cheap stand-in for "are these two crawls
     * the same distribution?" when weighting a mixture). Dot products and

@@ -290,6 +290,78 @@ object GraphOps {
     * ONE row: (m, n_within, q_modularity).
     *
     * `edges`: (src, dst); `labels`: (id, label). */
+  /** Integer HITS (Kleinberg 1999) over DIRECTED `edges(src, dst)` —
+    * hubs point at good authorities, authorities are pointed at by good
+    * hubs. The natural ranking for bipartite interaction graphs
+    * (customer -> product, page -> cited page) where PageRank's
+    * symmetric-teleport story fits poorly.
+    *
+    * Determinism: the classic algorithm L2-normalizes each half-step —
+    * a cross-engine FP trap. Here each half-step instead renormalizes to
+    * a fixed integer mass: `score = raw * 1e12 div sum(raw)` with the
+    * sums and products in DECIMAL(38,0) and the floor division
+    * remainder-exact — every iterate is an INTEGER vector, so any engine
+    * replaying the recurrence (the DuckDB oracle unrolls it as chained
+    * CTEs, the [[pageRank]] recipe) reproduces the scores bit-for-bit.
+    * Sum-normalization preserves HITS's ordering semantics (scores are
+    * scale-invariant) while staying closed over the integers. Fixed
+    * iteration count; `h_0 = 1e6` per hub. Edges are deduplicated
+    * internally; the graph must be non-empty.
+    *
+    * Output: (node, side 'hub'|'auth', score_q) — a bipartite node
+    * carries one row per role it plays.
+    *
+    * Scale (Pregel shape): per iteration ONE src-keyed join of the
+    * persisted co-partitioned edges to the hub vector + ONE dst-keyed
+    * join to the authority vector, each followed by a map-side-combined
+    * sum; the normalizer is a broadcast 1-row aggregate; vector lineage
+    * cut per half-step with localCheckpoint. Edges repartitioned by src
+    * once so the hub-side join never re-shuffles the edge table. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters > 0, s"iters must be positive: $iters")
+    val dec = "decimal(38,0)"
+    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(n, col("src")).persist()
+    val mass = lit(1000000000000L).cast(dec)
+    def renorm(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum("raw").as("__tot"))
+      val p = col("raw") * mass
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          ((p - pmod(p, col("__tot"))) / col("__tot"))
+            .cast(dec).cast("long").as("s"))
+        .localCheckpoint()
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("s", lit(1000000L)).localCheckpoint()
+    var a: DataFrame = h // replaced on the first iteration
+    for (_ <- 0 until iters) {
+      a = renorm(e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("s").cast(dec).as("raw")))
+      h = renorm(e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("s").cast(dec).as("raw")))
+    }
+    Caching.release(e)
+    a.select(col("node"), lit("auth").as("side"), col("s").as("score_q"))
+      .unionAll(
+        h.select(col("node"), lit("hub").as("side"), col("s").as("score_q")))
+  }
+
+  /** Top-`k` hubs and top-`k` authorities of [[hits]] with the
+    * deterministic (score desc, node asc) tie-break — a per-side
+    * row_number cut that plans as WindowGroupLimit (each map task
+    * forwards at most k rows per side), never a global sort. */
+  def hitsTopK(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("side")
+      .orderBy(col("score_q").desc, col("node"))
+    hits(edges, iters)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val und = edges

@@ -42,6 +42,47 @@ object ProfileOps {
       .select("p.*")
   }
 
+  /** Filter-impact waterfall for an ORDERED quality pipeline: for each
+    * named keep-predicate, how many rows fail it at all (`n_fail`, rule
+    * evaluated in isolation), how many are REMOVED BY it when the rules
+    * run in order (`n_first_fail` — the row passed every earlier rule;
+    * these sum to total minus survivors, giving each rule its marginal
+    * head-count), and how many rows survive the pipeline up to and
+    * including it (`n_surviving`, non-increasing). The report that
+    * answers "which filter is actually eating my corpus" before anyone
+    * re-tunes thresholds — isolation counts alone mislead when rules
+    * overlap. A NULL predicate value counts as a failure (unknown is not
+    * a pass), normalized identically on the oracle side.
+    *
+    * Output: one row per rule, in pipeline order:
+    * (rule_order, rule, n_fail, n_first_fail, n_surviving).
+    *
+    * Scale: ONE map-side-combined aggregation over the data computing
+    * 3 x |rules| conditional sums; the long-format explode runs on the
+    * single result row. No shuffle wider than |rules| scalars. */
+  def filterWaterfall(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1)}")
+    val pass = rules.map { case (_, p) => coalesce(p, lit(false)) }
+    val aggs = rules.indices.flatMap { i =>
+      val firstFail = pass.take(i).foldLeft(!pass(i))((a, p) => a && p)
+      val surviving = pass.take(i + 1).reduce(_ && _)
+      Seq(sum(when(!pass(i), 1L).otherwise(0L)).as(s"__f$i"),
+        sum(when(firstFail, 1L).otherwise(0L)).as(s"__ff$i"),
+        sum(when(surviving, 1L).otherwise(0L)).as(s"__s$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.indices.map { i =>
+      struct(lit(i + 1).as("rule_order"), lit(rules(i)._1).as("rule"),
+        coalesce(col(s"__f$i"), lit(0L)).as("n_fail"),
+        coalesce(col(s"__ff$i"), lit(0L)).as("n_first_fail"),
+        coalesce(col(s"__s$i"), lit(0L)).as("n_surviving"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select("__r.*")
+  }
+
   /** Referential-integrity audit: rows of `child` whose `childKey` has
     * no match in `parent.parentKey` (NULL child keys count as orphans —
     * they can never join). One row:
@@ -77,5 +118,44 @@ object ProfileOps {
           .as("n_dup_rows"))
       .withColumn("dup_rate",
         col("n_dup_rows").cast("double") / col("n_rows").cast("double"))
+  }
+
+  /** Snapshot-to-snapshot profile drift: [[profileColumns]] on both
+    * sides, full-outer-joined per column — the "did the upstream break
+    * the feed" gate a pipeline runs before promoting a new snapshot.
+    * `status` is 'added' / 'removed' / 'common'; for common columns the
+    * null-rate movement ships as an exact integer permille delta
+    * (per-side `n_nulls*1000 div n_rows`, then the difference — positive
+    * = the new snapshot is MORE null) and the cardinality movement as a
+    * signed count delta. Absent-side metrics are NULL, not zero — a
+    * removed column's "null rate" is not a number.
+    *
+    * Output: (col_name, status, n_rows_a, n_nulls_a, n_distinct_a,
+    * n_rows_b, n_nulls_b, n_distinct_b, null_delta_permille,
+    * distinct_delta).
+    *
+    * Scale: one single-scan Expand profile per snapshot (the
+    * [[profileColumns]] shape), then a join of two |cols|-row relations
+    * — nothing wider than the profiles themselves moves. */
+  def profileDrift(a: DataFrame, colsA: Seq[String],
+      b: DataFrame, colsB: Seq[String]): DataFrame = {
+    val pa = profileColumns(a, colsA).select(col("col_name"),
+      col("n_rows").as("n_rows_a"), col("n_nulls").as("n_nulls_a"),
+      col("n_distinct").as("n_distinct_a"))
+    val pb = profileColumns(b, colsB).select(col("col_name"),
+      col("n_rows").as("n_rows_b"), col("n_nulls").as("n_nulls_b"),
+      col("n_distinct").as("n_distinct_b"))
+    pa.join(pb, Seq("col_name"), "full_outer")
+      .withColumn("status",
+        when(col("n_rows_a").isNull, lit("added"))
+          .when(col("n_rows_b").isNull, lit("removed"))
+          .otherwise(lit("common")))
+      .withColumn("null_delta_permille",
+        expr("n_nulls_b * 1000L div n_rows_b") -
+          expr("n_nulls_a * 1000L div n_rows_a"))
+      .withColumn("distinct_delta", col("n_distinct_b") - col("n_distinct_a"))
+      .select("col_name", "status", "n_rows_a", "n_nulls_a",
+        "n_distinct_a", "n_rows_b", "n_nulls_b", "n_distinct_b",
+        "null_delta_permille", "distinct_delta")
   }
 }

@@ -177,6 +177,68 @@ object SamplingOps {
         col("allocated").cast("long").as("allocated"))
   }
 
+  /** Neyman (optimal) allocation for stratified sampling: split a row
+    * budget across strata proportionally to `N_h * sigma_h` — the
+    * allocation minimizing the variance of the stratified mean estimator
+    * (Neyman 1934). The textbook identity
+    * `N_h * sigma_h = sqrt(N_h * sum(x^2) - sum(x)^2)` makes the weight
+    * an exact integer square root: both moment sums are computed in
+    * DECIMAL(38,0) (never a float sum), the single sqrt of that exact
+    * integer is IEEE-correctly-rounded in every engine, and the weight is
+    * quantized at 1e6 so the apportionment below is pure integer
+    * arithmetic. Seats are dealt by largest-remainder (Hamilton): exact
+    * DECIMAL floor quotas `budget*wq div W`, the leftover seats to the
+    * largest remainders (ties → stratum name), and each stratum finally
+    * clamped at its population (a clamp frees no re-dealt seats — the
+    * unallocatable surplus is visible as `sum(alloc) < budget`, which a
+    * caller re-runs with the shrunk budget if it wants exhaustion). When
+    * every stratum is constant (all SS = 0) the weights degrade to plain
+    * proportional-to-size allocation.
+    *
+    * Output: (stratum, n_rows, weight_q, alloc).
+    *
+    * Scale: ONE map-side-combined moment aggregation over the data; every
+    * window/cross below it runs on the BOUNDED per-stratum table (the
+    * waterFill shape). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast(dec)
+    val s = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(v).as("__s1"), sum(v * v).as("__s2"))
+      .withColumn("__ss",
+        col("n_rows").cast(dec) * col("__s2") - col("__s1") * col("__s1"))
+      .withColumn("__wq",
+        floor(sqrt(col("__ss").cast("double")) * 1e6 + 0.5).cast(dec))
+    val tot = s.agg(sum("__wq").as("__W"), sum("n_rows").cast(dec).as("__N"))
+    // all-constant corpus: SS = 0 everywhere -> W = 0 -> proportional
+    val w = s.crossJoin(broadcast(tot))
+      .withColumn("__wq",
+        when(col("__W") > 0, col("__wq")).otherwise(col("n_rows").cast(dec)))
+      .withColumn("__W",
+        when(col("__W") > 0, col("__W")).otherwise(col("__N")))
+    val b = lit(budget).cast(dec)
+    val quota = w
+      .withColumn("__p", b * col("__wq"))
+      .withColumn("__base",
+        ((col("__p") - pmod(col("__p"), col("__W"))) / col("__W")).cast(dec))
+      .withColumn("__rem", pmod(col("__p"), col("__W")))
+    val leftover = quota.agg((b - sum(col("__base"))).as("__lo"))
+    quota.crossJoin(broadcast(leftover))
+      // bounded-table window: one row per stratum, never data rows
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("stratum"))))
+      .withColumn("__asg",
+        col("__base") + when(col("__rk") <= col("__lo"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_rows"),
+        col("__wq").cast("long").as("weight_q"),
+        least(col("__asg"), col("n_rows").cast(dec))
+          .cast("long").as("alloc"))
+  }
+
   /** Deterministic fixed-size per-group sample: exactly `min(n, |group|)`
     * rows per group, chosen by ranking on `md5(idCol)` (ties — md5
     * collisions — broken by the id itself). Unlike rate-based

@@ -340,6 +340,72 @@ object Sessionize {
     * Output: one row per conversion —
     * (keyCol, idCol, conv_ms, first_touch_ms, gap_ms);
     * first_touch_ms/gap_ms NULL when no touch fell in the window. */
+  /** Burst-activity (bot-likelihood) report: per key, the total event
+    * count and the MAXIMUM events inside any single fixed time bucket of
+    * `bucketMs` — the cheap rate heuristic every ingest pipeline runs to
+    * flag crawler/scripted traffic before it poisons engagement counts
+    * (humans don't emit 50 events in a minute; a fixed-bucket max is a
+    * deterministic, engine-replayable stand-in for a sliding-window
+    * rate). `is_burst` flags keys whose max bucket reaches
+    * `burstThreshold`.
+    *
+    * Output: (key, n_events, max_per_bucket, is_burst).
+    *
+    * Scale: two stacked map-side-combined aggregations — (key, bucket)
+    * counts then per-key max/sum — both keyed, no window, no shuffle
+    * wider than the distinct (key, bucket) projection. */
+  def burstActivityReport(events: DataFrame, keyCol: String,
+      tsCol: String, bucketMs: Long, burstThreshold: Long): DataFrame = {
+    require(bucketMs > 0 && burstThreshold > 0,
+      s"bucketMs and burstThreshold must be positive: " +
+        s"$bucketMs / $burstThreshold")
+    events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_millis($tsCol) div $bucketMs").as("__b"))
+      .groupBy("key", "__b").agg(count(lit(1)).as("__c"))
+      .groupBy("key")
+      .agg(sum("__c").as("n_events"), max("__c").as("max_per_bucket"))
+      .withColumn("is_burst", col("max_per_bucket") >= burstThreshold)
+  }
+
+  /** RFM (recency / frequency / monetary) tier scoring — the classic
+    * user-value segmentation: per key, the last-activity timestamp, event
+    * count, and exact money total (integer cents, never a float sum),
+    * each cut into `tiers` equal-depth tiers with
+    * [[Quantiles.globalNtile]] (exact ANSI ntile — parallel range rank,
+    * no global sort) so tier `tiers` is always the most-recent /
+    * most-frequent / highest-spend stratum. Orientation: every dimension
+    * ranks ASCENDING with the key as tie-break, so score semantics are
+    * deterministic and the oracle replays them with its own `ntile`.
+    * `rfm = r*100 + f*10 + m` is the usual segment label ("555" = best).
+    *
+    * Output: (key, last_ts_ms, n_events, monetary_cents,
+    * r_score, f_score, m_score, rfm).
+    *
+    * Scale: ONE map-side-combined per-key aggregation collapses the
+    * event volume to a row per key; the three ntile passes then
+    * range-exchange only that per-key table (the q132 shape — broadcast
+    * per-partition offsets, never a single-partition sort). */
+  def rfmScores(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tiers: Int = 5): DataFrame = {
+    require(tiers > 0, s"tiers must be positive: $tiers")
+    val perKey = events.groupBy(col(keyCol).as("key"))
+      .agg(max(unix_millis(col(tsCol))).as("last_ts_ms"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long"))
+          .as("monetary_cents"))
+    def tier(df: DataFrame, dim: String, as: String): DataFrame =
+      Quantiles.globalNtile(df, dim, "key", tiers)
+        .withColumnRenamed("bucket", as)
+    val scored = tier(tier(tier(perKey,
+      "last_ts_ms", "r_score"),
+      "n_events", "f_score"),
+      "monetary_cents", "m_score")
+    scored.withColumn("rfm",
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .cast("int"))
+  }
+
   def firstTouchAttribution(events: DataFrame, keyCol: String,
       typeCol: String, tsCol: String, idCol: String, touchType: String,
       convType: String, windowMs: Long): DataFrame = {

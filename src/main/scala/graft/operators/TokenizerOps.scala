@@ -205,4 +205,57 @@ object TokenizerOps {
       .withColumn("waste_permille", expr(
         "(padded_units + truncated_units) * 1000L div (capacity * n_docs)"))
   }
+
+  /** Out-of-vocabulary token rate of every source against a supplied
+    * vocabulary — the "how much of this domain does my tokenizer not
+    * know" audit run before mixing a source in. Tokens are the
+    * whitespace words of the lowercased text (the
+    * [[graft.operators.TextOps.tokenFrequencies]] convention); the rate
+    * weights by OCCURRENCES, not vocabulary size, so a single
+    * ultra-frequent unknown term shows up as the coverage problem it is.
+    * `vocab` is any one-column relation of known terms (a persisted
+    * tokenizer vocabulary, a [[graft.operators.TextOps.tokenFrequencies]]
+    * head, another source's distinct terms) — deduplicated internally.
+    *
+    * Output: (source, n_tokens, oov_tokens, oov_permille) — permille by
+    * integer division, engine-exact.
+    *
+    * Scale: tokens collapse to (source, term, count) via ONE map-side
+    * combined aggregation (key space |sources| x corpus vocab, never a
+    * row per occurrence past the combine); the membership check is a
+    * left join of that reduced table against the distinct vocab
+    * projection on term — both sides shrunk to vocabulary scale before
+    * any shuffle, and a real tokenizer vocab (<= a few 100k terms)
+    * broadcasts. */
+  def oovRate(docs: DataFrame, textCol: String, sourceCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame =
+    oovFromCounts(termCounts(docs, textCol, sourceCol), vocab, vocabCol)
+
+  /** The mergeable count phase of [[oovRate]]: (source, term, n) via one
+    * map-side-combined aggregation. Counts ADD, so this phase doubles as
+    * the streaming OOV monitor's state
+    * ([[graft.streaming.EventStreams.streamingTermCounts]]); fold any
+    * drained snapshot through [[oovFromCounts]] for the live report. */
+  def termCounts(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => t =!= "")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+
+  /** Finish [[oovRate]] from a [[termCounts]]-shaped relation
+    * (source, term, n). */
+  def oovFromCounts(counts: DataFrame, vocab: DataFrame,
+      vocabCol: String): DataFrame = {
+    val known = vocab.select(col(vocabCol).as("term")).distinct()
+      .withColumn("__known", lit(1))
+    counts.join(known, Seq("term"), "left")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("__known").isNull, col("n")).otherwise(0L))
+          .as("oov_tokens"))
+      .withColumn("oov_permille",
+        expr("oov_tokens * 1000L div n_tokens"))
+  }
 }

@@ -2216,7 +2216,246 @@ object PipelineQueries extends QuerySet {
           CAST((sum(greatest(capacity - len, 0))
               + sum(greatest(len - capacity, 0))) * 1000
             // (capacity * count(*)) AS BIGINT) AS waste_permille
-        FROM b GROUP BY 1"""))
+        FROM b GROUP BY 1""")),
+
+    // Neyman (optimal) stratified-sampling allocation: budget split
+    // proportionally to N_h*sigma_h = sqrt(N*sum(x^2) - sum(x)^2) — the
+    // moments exact in 128-bit, the one sqrt IEEE-identical, the
+    // apportionment pure integer largest-remainder.
+    Query("q168_neyman_allocation",
+      (s, dir) => graft.operators.SamplingOps.neymanAllocation(
+        t(s, dir, "documents"), "source", "n_chars", budget = 200L),
+      Some("""WITH s AS (
+          SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(n_chars) AS HUGEINT) AS s1,
+            CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+          FROM documents GROUP BY 1),
+        w0 AS (SELECT stratum, n_rows,
+            CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)) * 1e6
+              + 0.5) AS HUGEINT) AS wq
+          FROM s),
+        tot AS (SELECT sum(wq) AS tw, CAST(sum(n_rows) AS HUGEINT) AS tn
+          FROM w0),
+        w AS (SELECT stratum, n_rows,
+            CASE WHEN tw > 0 THEN wq ELSE CAST(n_rows AS HUGEINT) END AS wq,
+            CASE WHEN tw > 0 THEN tw ELSE tn END AS bigw
+          FROM w0 CROSS JOIN tot),
+        q AS (SELECT stratum, n_rows, wq,
+            (200 * wq) // bigw AS base, (200 * wq) % bigw AS rem
+          FROM w),
+        lo AS (SELECT 200 - sum(base) AS leftover FROM q),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+            AS rk FROM q)
+        SELECT stratum, n_rows, CAST(wq AS BIGINT) AS weight_q,
+          CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+            CAST(n_rows AS HUGEINT)) AS BIGINT) AS alloc
+        FROM r CROSS JOIN lo""")),
+
+    // Exact cross-source duplication matrix at word-3-gram granularity:
+    // the true pairwise shared-shingle counts + Jaccard permille the q94
+    // bottom-k sketch only estimates — run on the candidate pairs the
+    // sketch flags. Zero-overlap pairs appear too (grid completed from
+    // the bounded per-source totals).
+    Query("q169_source_overlap_exact",
+      (s, dir) => graft.operators.CorpusCompareOps.sourceOverlapExact(
+        t(s, dir, "documents").select(col("source"),
+          explode(graft.operators.DedupOps.shinglesCol(col("text"), 3))
+            .as("sg")),
+        "sg", "source"),
+      Some("""WITH toks AS (
+          SELECT source, list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          FROM documents),
+        sh AS (SELECT source, unnest(list_distinct(
+            CASE WHEN len(t)=0 THEN []
+              WHEN len(t)<3 THEN [array_to_string(t,' ')]
+              ELSE [t[i]||' '||t[i+1]||' '||t[i+2]
+                    for i in generate_series(1, len(t)-2)] END)) AS sg
+          FROM toks),
+        p AS MATERIALIZED (SELECT DISTINCT source,
+            md5(lower(regexp_replace(trim(sg), '\s+', ' ', 'g'))) AS fp
+          FROM sh),
+        t AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1),
+        shd AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT ta.source AS src_a, tb.source AS src_b,
+          ta.n AS n_a, tb.n AS n_b,
+          coalesce(shd.n_shared, 0) AS n_shared,
+          CAST(coalesce(shd.n_shared, 0) * 1000
+            // (ta.n + tb.n - coalesce(shd.n_shared, 0)) AS BIGINT)
+            AS jaccard_permille
+        FROM t ta JOIN t tb ON ta.source < tb.source
+        LEFT JOIN shd ON shd.src_a = ta.source
+          AND shd.src_b = tb.source""")),
+
+    // Out-of-vocabulary rate per source against a SIZE-LIMITED tokenizer
+    // vocabulary (the global top-20 tokens) — occurrence-weighted, so the
+    // permille is the fraction of token MASS a 20-entry vocab cannot
+    // cover in each source.
+    Query("q170_oov_rate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.TokenizerOps.oovRate(docs, "text", "source",
+          graft.operators.TextOps.tokenFrequencies(docs, "text", k = 20)
+            .select(col("token")),
+          "token")
+      },
+      Some("""WITH tk AS (
+          SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+            AS term
+          FROM documents),
+        v AS (SELECT term FROM (
+            SELECT term, count(*) AS c FROM tk GROUP BY 1
+            ORDER BY c DESC, term LIMIT 20)),
+        r AS (SELECT tk.source, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS oov_tokens
+          FROM tk LEFT JOIN v ON tk.term = v.term GROUP BY 1)
+        SELECT source, n_tokens, oov_tokens,
+          CAST(oov_tokens * 1000 // n_tokens AS BIGINT) AS oov_permille
+        FROM r""")),
+
+    // Filter-impact waterfall over an ordered quality pipeline:
+    // per-rule isolation failures, pipeline-order first-fail attribution
+    // (each rule's marginal head-count), and the surviving count after
+    // each stage — 3 x |rules| conditional sums in ONE scan.
+    Query("q171_filter_waterfall",
+      (s, dir) => graft.operators.ProfileOps.filterWaterfall(
+        t(s, dir, "documents"), Seq(
+          "min_len" -> (col("n_chars") >= 100),
+          "max_len" -> (col("n_chars") <= 400),
+          "english" -> (col("lang") === "en"))),
+      Some("""WITH f AS (SELECT
+            coalesce(n_chars >= 100, false) AS p1,
+            coalesce(n_chars <= 400, false) AS p2,
+            coalesce(lang = 'en', false) AS p3
+          FROM documents)
+        SELECT CAST(1 AS INT) AS rule_order, 'min_len' AS rule,
+          CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fail,
+          CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_first_fail,
+          CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_surviving
+        FROM f
+        UNION ALL
+        SELECT CAST(2 AS INT), 'max_len',
+          CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM f
+        UNION ALL
+        SELECT CAST(3 AS INT), 'english',
+          CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END)
+            AS BIGINT),
+          CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM f""")),
+
+    // Nearest-centroid label confusion: one centroid per label (the
+    // kmeans update step with labels as fixed assignments, exact
+    // floorDiv per dimension), every vector classified by exact
+    // quantized L2, ties to the smallest label — the "are these labels
+    // separable in embedding space" audit.
+    Query("q174_nearest_centroid_eval",
+      (s, dir) => graft.operators.ClusteringOps.nearestCentroidEval(
+        t(s, dir, "embeddings"), "label"),
+      Some("""WITH q AS MATERIALIZED (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        cells AS (
+          SELECT label, t.d,
+            CAST(floor(CAST(sum(qv[t.d + 1]) AS DOUBLE) / count(*))
+              AS BIGINT) AS v
+          FROM q CROSS JOIN range(64) t(d) GROUP BY label, t.d),
+        c AS (SELECT label AS clabel,
+            list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE))
+              AS cvd
+          FROM cells GROUP BY label),
+        qx AS (SELECT vec_id, label,
+            list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+        s AS (SELECT t.vec_id, t.label, c.clabel,
+            list_inner_product(t.qvd, t.qvd)
+              - 2 * list_inner_product(t.qvd, c.cvd)
+              + list_inner_product(c.cvd, c.cvd) AS dist
+          FROM qx t CROSS JOIN c),
+        a AS (SELECT vec_id, label, clabel AS predicted FROM (
+            SELECT vec_id, label, clabel, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist ASC, clabel ASC) AS rn
+            FROM s) WHERE rn = 1)
+        SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM a GROUP BY 1, 2""")),
+
+    // Burst-activity (bot-likelihood) report: per user, total events and
+    // the max events inside any single hour bucket; flag at >= 3 — two
+    // stacked keyed aggregations, no window.
+    Query("q175_burst_activity",
+      (s, dir) => graft.operators.Sessionize.burstActivityReport(
+        t(s, dir, "events"), "user_id", "ts",
+        bucketMs = 3600000L, burstThreshold = 3L),
+      Some("""WITH b AS (
+          SELECT user_id AS key, epoch_ms(ts) // 3600000 AS hb,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2)
+        SELECT key, CAST(sum(c) AS BIGINT) AS n_events,
+          CAST(max(c) AS BIGINT) AS max_per_bucket,
+          max(c) >= 3 AS is_burst
+        FROM b GROUP BY 1""")),
+
+    // Snapshot profile drift: documents vs a degraded next snapshot
+    // (every 7th lang nulled, source column dropped) — per column the
+    // exact null-rate permille delta, cardinality delta, and
+    // added/removed status.
+    Query("q176_profile_drift",
+      (s, dir) => {
+        val a = t(s, dir, "documents")
+        val b = a
+          .withColumn("lang",
+            when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+          .drop("source")
+        graft.operators.ProfileOps.profileDrift(
+          a, Seq("text", "lang", "source"), b, Seq("text", "lang"))
+      },
+      Some("""WITH b AS (
+          SELECT doc_id, text,
+            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+          FROM documents),
+        pa AS (
+          SELECT 'text' AS col_name, CAST(count(*) AS BIGINT) AS n_rows_a,
+            CAST(count(*) - count(text) AS BIGINT) AS n_nulls_a,
+            CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_a
+          FROM documents
+          UNION ALL
+          SELECT 'lang', count(*), count(*) - count(lang),
+            count(DISTINCT lang) FROM documents
+          UNION ALL
+          SELECT 'source', count(*), count(*) - count(source),
+            count(DISTINCT source) FROM documents),
+        pb AS (
+          SELECT 'text' AS col_name, CAST(count(*) AS BIGINT) AS n_rows_b,
+            CAST(count(*) - count(text) AS BIGINT) AS n_nulls_b,
+            CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_b
+          FROM b
+          UNION ALL
+          SELECT 'lang', count(*), count(*) - count(lang),
+            count(DISTINCT lang) FROM b)
+        SELECT col_name,
+          CASE WHEN n_rows_a IS NULL THEN 'added'
+            WHEN n_rows_b IS NULL THEN 'removed'
+            ELSE 'common' END AS status,
+          n_rows_a, n_nulls_a, n_distinct_a,
+          n_rows_b, n_nulls_b, n_distinct_b,
+          (n_nulls_b * 1000 // n_rows_b) - (n_nulls_a * 1000 // n_rows_a)
+            AS null_delta_permille,
+          n_distinct_b - n_distinct_a AS distinct_delta
+        FROM pa FULL OUTER JOIN pb USING (col_name)"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

@@ -1091,6 +1091,30 @@ object RelationalQueries extends QuerySet {
             PARTITION BY page ORDER BY ms, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
             AS BIGINT) AS epoch
-        FROM f"""))
+        FROM f""")),
+
+    // RFM user-value segmentation: exact per-user recency/frequency/spend,
+    // each quintiled with the exact ANSI globalNtile (ascending + key
+    // tie-break, so DuckDB's own ntile replays the tiers bit-for-bit);
+    // rfm = r*100 + f*10 + m, "555" = best segment.
+    Query("q173_rfm_scores",
+      (s, dir) => graft.operators.Sessionize.rfmScores(
+        t(s, dir, "events"), "user_id", "ts", "value", tiers = 5),
+      Some("""WITH pk AS (
+          SELECT user_id AS key, epoch_ms(max(ts)) AS last_ts_ms,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+              AS monetary_cents
+          FROM events GROUP BY 1),
+        sc AS (SELECT *,
+            ntile(5) OVER (ORDER BY last_ts_ms, key) AS r,
+            ntile(5) OVER (ORDER BY n_events, key) AS f,
+            ntile(5) OVER (ORDER BY monetary_cents, key) AS m
+          FROM pk)
+        SELECT key, last_ts_ms, n_events, monetary_cents,
+          CAST(r AS INT) AS r_score, CAST(f AS INT) AS f_score,
+          CAST(m AS INT) AS m_score,
+          CAST(r*100 + f*10 + m AS INT) AS rfm
+        FROM sc"""))
   )
 }

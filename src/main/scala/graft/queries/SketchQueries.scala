@@ -31,6 +31,25 @@ object SketchQueries extends QuerySet {
        |    CAST(150000000 + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS rank
        |  FROM nodes n LEFT JOIN m$i m ON n.node = m.node)""".stripMargin
 
+  /** One unrolled integer-HITS iteration (DuckDB): authority sums from
+    * the previous hub vector, renormalized to the fixed 1e12 mass by
+    * HUGEINT floor division, then the hub half-step from the fresh
+    * authority vector — mirrors GraphOps.hits's DECIMAL(38,0)
+    * remainder-exact recurrence bit-for-bit. */
+  private def hitsIter(i: Int): String =
+    s"""ar$i AS (SELECT e.dst AS node, CAST(sum(h.s) AS HUGEINT) AS raw
+       |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+       |at$i AS (SELECT sum(raw) AS tot FROM ar$i),
+       |a$i AS (SELECT node,
+       |  CAST(raw * 1000000000000 // tot AS BIGINT) AS s
+       |  FROM ar$i CROSS JOIN at$i),
+       |hr$i AS (SELECT e.src AS node, CAST(sum(a.s) AS HUGEINT) AS raw
+       |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+       |ht$i AS (SELECT sum(raw) AS tot FROM hr$i),
+       |h$i AS (SELECT node,
+       |  CAST(raw * 1000000000000 // tot AS BIGINT) AS s
+       |  FROM hr$i CROSS JOIN ht$i)""".stripMargin
+
   /** One unrolled deterministic-LPA round (DuckDB): neighbor-label
     * counts, then the (count DESC, label ASC) argmax per node — mirrors
     * GraphOps.labelPropagation value-for-value. */
@@ -1192,6 +1211,33 @@ object SketchQueries extends QuerySet {
             ELSE CAST(4*m*sjk - ssum*ssum AS DOUBLE)
                    / CAST(2*m*ssq - ssum*ssum AS DOUBLE) END
             AS r_assortativity
-        FROM s"""))
+        FROM s""")),
+
+    // HITS hubs/authorities on the DIRECTED customer -> purchased-part
+    // bipartite graph — integer sum-renormalized half-steps (every
+    // iterate an exact integer vector), so the oracle unrolls the
+    // recurrence as chained CTEs exactly like PageRank's; top-25 per
+    // side with the (score desc, node) tie-break.
+    Query("q172_hits_topk",
+      (s, dir) => GraphOps.hitsTopK(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst")),
+        iters = 3, k = 25),
+      Some(s"""WITH e AS MATERIALIZED (
+          |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |h0 AS (SELECT DISTINCT src AS node,
+          |  CAST(1000000 AS BIGINT) AS s FROM e),
+          |${(1 to 3).map(hitsIter).mkString(",\n")},
+          |allsides AS (
+          |  SELECT node, 'auth' AS side, s AS score_q FROM a3
+          |  UNION ALL SELECT node, 'hub', s FROM h3)
+          |SELECT node, side, score_q FROM allsides
+          |QUALIFY row_number() OVER (
+          |  PARTITION BY side ORDER BY score_q DESC, node) <= 25"""
+        .stripMargin))
   )
 }

@@ -551,6 +551,23 @@ object EventStreams {
     cur.groupBy(col(bucketCol).as("b"))
       .agg(count(lit(1)).as("n_cur"))
 
+  /** Streaming OOV monitor (count phase): per-(source, term) token
+    * counts of a document stream as a complete-mode aggregation — the
+    * exact streaming twin of
+    * [[graft.operators.TokenizerOps.termCounts]] (counts add; the
+    * micro-batch partial agg IS the batch map-side combine). Fold each
+    * drained snapshot with the static tokenizer vocabulary through
+    * [[graft.operators.TokenizerOps.oovFromCounts]] for the live
+    * coverage report; drained over the same rows it equals the batch
+    * [[graft.operators.TokenizerOps.oovRate]] exactly (StreamingSpec). */
+  def streamingTermCounts(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => t =!= "")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+
   /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
     * phase): per-(group, day) event counts as a complete-mode
     * aggregation — counts add, so the micro-batch partial agg IS the

@@ -1249,6 +1249,115 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"paddingWaste: wrote $out")
 
+      // neyman <in> <out> [-stratum c] [-value c] [-budget n] — Neyman
+      //   optimal stratified-sampling allocation
+      case "neyman" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.SamplingOps.neymanAllocation(
+            spark.read.parquet(in), fv("-stratum", "source"),
+            fv("-value", "n_chars"), fv("-budget", "1000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"neyman: wrote $out")
+
+      // sourceOverlapExact <in> <out> [-text c] [-source c] — exact
+      //   pairwise cross-source duplication matrix (the `sourceOverlap`
+      //   sketch's exact complement)
+      case "sourceOverlapExact" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.CorpusCompareOps.sourceOverlapExact(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-source", "source"))
+          .write.mode("overwrite").parquet(out)
+        println(s"sourceOverlapExact: wrote $out")
+
+      // oov <in> <vocab.parquet> <out> [-text c] [-source c] [-vocab c]
+      //   — occurrence-weighted OOV rate per source
+      case "oov" :: in :: vocabP :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TokenizerOps.oovRate(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-source", "source"), spark.read.parquet(vocabP),
+            fv("-vocab", "token"))
+          .write.mode("overwrite").parquet(out)
+        println(s"oov: wrote $out")
+
+      // waterfall <in> <out> -rules 'name:expr;name:expr' — ordered
+      //   filter-impact waterfall (exprs are SQL booleans)
+      case "waterfall" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val spec = fv("-rules", "")
+        if (spec.isEmpty) sys.error("waterfall needs -rules 'n:expr;…'")
+        val rules = spec.split(";").toSeq.map { r =>
+          val i = r.indexOf(':')
+          if (i < 1) sys.error(s"bad rule '$r' (want name:expr)")
+          r.take(i).trim -> org.apache.spark.sql.functions
+            .expr(r.drop(i + 1))
+        }
+        graft.operators.ProfileOps.filterWaterfall(
+            spark.read.parquet(in), rules)
+          .write.mode("overwrite").parquet(out)
+        println(s"waterfall: wrote $out")
+
+      // hits <edges.parquet> <out> [-iters n] [-k n] — integer HITS
+      //   hub/authority scores (top-k per side when -k is given)
+      case "hits" :: edgesP :: out :: rest =>
+        val fv = flagValue(rest) _
+        val e = spark.read.parquet(edgesP)
+        val iters = fv("-iters", "3").toInt
+        val k = fv("-k", "")
+        val res =
+          if (k.nonEmpty) graft.operators.GraphOps.hitsTopK(e, iters, k.toInt)
+          else graft.operators.GraphOps.hits(e, iters)
+        res.write.mode("overwrite").parquet(out)
+        println(s"hits: wrote $out")
+
+      // rfm <in> <out> [-key c] [-ts c] [-value c] [-tiers n] — RFM
+      //   user-value tier scoring
+      case "rfm" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.Sessionize.rfmScores(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-ts", "ts"), fv("-value", "value"),
+            fv("-tiers", "5").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"rfm: wrote $out")
+
+      // centroidEval <in> <out> [-label c] [-id c] [-vec c] — nearest-
+      //   centroid label confusion over an embedding table
+      case "centroidEval" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.ClusteringOps.nearestCentroidEval(
+            spark.read.parquet(in), fv("-label", "label"),
+            fv("-id", "vec_id"), fv("-vec", "embedding"))
+          .write.mode("overwrite").parquet(out)
+        println(s"centroidEval: wrote $out")
+
+      // burst <in> <out> [-key c] [-ts c] [-bucket ms] [-threshold n]
+      //   — fixed-bucket burst-activity (bot-likelihood) report
+      case "burst" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.Sessionize.burstActivityReport(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-ts", "ts"), fv("-bucket", "60000").toLong,
+            fv("-threshold", "30").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"burst: wrote $out")
+
+      // profileDrift <a.parquet> <b.parquet> <out> -colsA a,b -colsB a,c
+      //   — per-column snapshot drift report
+      case "profileDrift" :: aP :: bP :: out :: rest =>
+        val fv = flagValue(rest) _
+        def cols(flag: String): Seq[String] = {
+          val v = fv(flag, "")
+          if (v.isEmpty) sys.error(s"profileDrift needs $flag c1,c2,…")
+          v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        }
+        graft.operators.ProfileOps.profileDrift(
+            spark.read.parquet(aP), cols("-colsA"),
+            spark.read.parquet(bP), cols("-colsB"))
+          .write.mode("overwrite").parquet(out)
+        println(s"profileDrift: wrote $out")
+
       // modularity <edges.parquet> <labels.parquet> <out> — Newman
       //   modularity of a labeled partition; edges (src,dst), labels
       //   (id,label)
@@ -1434,7 +1543,16 @@ object Cli {
           "\n  pctRank <in.parquet> <out.parquet> [-group c] [-score c]" +
           "\n  horizonDedup <in.parquet> <out.parquet> -horizon MS [-key c | -text c] [-ts c] [-tie c]" +
           "\n  hashSample <in.parquet> <out.parquet> [-group c] [-id c] [-n k]" +
-          "\n  paddingWaste <in.parquet> <out.parquet> [-len c] [-caps 128,256,512]")
+          "\n  paddingWaste <in.parquet> <out.parquet> [-len c] [-caps 128,256,512]" +
+          "\n  neyman <in.parquet> <out.parquet> [-stratum c] [-value c] [-budget n]" +
+          "\n  sourceOverlapExact <in.parquet> <out.parquet> [-text c] [-source c]" +
+          "\n  oov <in.parquet> <vocab.parquet> <out.parquet> [-text c] [-source c] [-vocab c]" +
+          "\n  waterfall <in.parquet> <out.parquet> -rules 'name:expr;name:expr'" +
+          "\n  hits <edges.parquet> <out.parquet> [-iters n] [-k n]" +
+          "\n  rfm <in.parquet> <out.parquet> [-key c] [-ts c] [-value c] [-tiers n]" +
+          "\n  centroidEval <in.parquet> <out.parquet> [-label c] [-id c] [-vec c]" +
+          "\n  burst <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms] [-threshold n]" +
+          "\n  profileDrift <a.parquet> <b.parquet> <out.parquet> -colsA c1,c2 -colsB c1,c3")
         sys.exit(2)
     }
   }

@@ -736,6 +736,45 @@ object ScaleProbe {
       graft.operators.Stats.madOutliers(rows, "g", "cents", "id")
         .filter(col("is_out")).count()
     }
+    spark.catalog.clearCache()
+    timed("hits_5m_edges") {
+      // round 12: q172 integer HITS, 3 iterations over a ~5M-edge
+      // bipartite graph (1M hubs x 30k authorities) — per iteration one
+      // src-keyed + one dst-keyed join against the persisted edges, a
+      // broadcast 1-row normalizer, vector lineage cut per half-step
+      val inc = spark.range(5000000L).select(
+        (col("id") % 1000000L).as("src"),
+        ((col("id") * 2654435761L + col("id") % 97) % 30000L).as("dst"))
+      graft.operators.GraphOps.hits(inc, iters = 3).count()
+    }
+    spark.catalog.clearCache()
+    timed("rfm_5m_events") {
+      // round 12: q173 at 5M events / 200k users — the per-key agg
+      // collapses the event volume first; the three exact-ntile passes
+      // range-exchange only the 200k-row per-key table
+      val rows = spark.range(5000000L).select(
+        pmod(col("id") * 48271L, lit(200000L)).as("u"),
+        timestamp_millis(lit(1700000000000L) +
+          pmod(col("id") * 2654435761L, lit(86400000L * 90))).as("ts"),
+        (pmod(col("id"), lit(10000L)).cast("double") / 100.0).as("value"))
+      graft.operators.Sessionize.rfmScores(rows, "u", "ts", "value")
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("source_overlap_exact_50k") {
+      // round 12: q169 exact pair matrix over the 10x corpus at word-
+      // 3-gram granularity, 20 sources — the (source, fp) distinct is
+      // the volume path (one digest shuffle); the fp self-join fans out
+      // <= |sources|^2 per key; the replicated corpus is the worst case
+      // (every shingle lives in all 20 sources)
+      val grouped = docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 20).cast("string")))
+      graft.operators.CorpusCompareOps.sourceOverlapExact(
+        grouped.select(col("source"),
+          explode(graft.operators.DedupOps.shinglesCol(col("text"), 3))
+            .as("sg")),
+        "sg", "source").count()
+    }
     spark.stop()
   }
 }

@@ -66,6 +66,13 @@ class CacheLifetimeSpec extends SparkSpec {
           docs.select(col("id"), (col("id") - col("id") % 5).as("cluster_id")),
           docs.limit(5).select(col("id").as("id_a"), (col("id") + 1).as("id_b")))
         .queryExecution.toRdd.count()
+      // round-12 tier-1 operators
+      GraphOps.hits(edges, iters = 2).queryExecution.toRdd.count()
+      val emb = (1L to 20L).map(i =>
+        (i, (i % 3).toInt, Array((i % 5).toFloat, (i % 7).toFloat)))
+        .toDF("vec_id", "label", "embedding")
+      ClusteringOps.nearestCentroidEval(emb, "label")
+        .queryExecution.toRdd.count()
     }
     for (_ <- 1 to 3) runOnce()
     // all results are out of scope: ContextCleaner must drain the
@@ -88,6 +95,12 @@ class CacheLifetimeSpec extends SparkSpec {
     GraphOps.triangleCounts(edges).queryExecution.toRdd.count()
     // round-11 tier-2: balancedShards reads globalRank's plan-owned cache
     ShardOps.shardReport(df, "v", "id", nShards = 4)
+      .queryExecution.toRdd.count()
+    // round-12 tier-2: sourceOverlapExact's (source, fp) distinct is
+    // read by both the totals and the self-join of the returned plan
+    val docs2 = (1L to 40L).map(i => (s"s${i % 4}", s"t${i % 9}"))
+      .toDF("source", "text")
+    CorpusCompareOps.sourceOverlapExact(docs2, "text", "source")
       .queryExecution.toRdd.count()
     cleanSlate()
     assert(persistedCount <= base,

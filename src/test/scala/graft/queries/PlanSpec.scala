@@ -535,6 +535,54 @@ class PlanSpec extends SparkSpec {
       "median/mad summaries must broadcast back")
   }
 
+  test("q168 neyman: map-side-combined moments, no cartesian on data") {
+    val plan = planOf("q168_neyman_allocation")
+    assert(plan.contains("partial_"),
+      "the moment sums must map-side combine: " + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "budget/total scalars must broadcast, never cartesian")
+  }
+
+  test("q169 exact source overlap: fp equi-join + broadcast grid, " +
+      "never an all-pairs product") {
+    val plan = planOf("q169_source_overlap_exact")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the ONLY non-equi join is the bounded totals-grid cross (a
+    // broadcast nested loop over |sources|-row aggregates); the fp
+    // self-join must be an equi hash join (broadcast here at sf0.01,
+    // shuffled-on-fp at scale — either way keyed, never a product)
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") == 1, plan.take(800))
+    assert(plan.contains("HashJoin [fp") || plan.contains("[fp#"),
+      "fp self-join must be an equi join: " + plan.take(800))
+  }
+
+  test("q171 filter waterfall: one scan, one aggregation pass") {
+    val plan = planOf("q171_filter_waterfall")
+    assert(plan.sliding("Scan parquet".length).count(
+      _ == "Scan parquet") == 1,
+      "3x|rules| sums must share ONE documents scan: " + plan.take(600))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "a global agg needs no keyed exchange")
+  }
+
+  test("q172 HITS top-k: per-side WindowGroupLimit cut") {
+    val plan = planOf("q172_hits_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-side cut must push below the shuffle: " + plan.take(600))
+  }
+
+  test("q173 RFM: ntile offsets broadcast back, no single-partition " +
+      "data sort") {
+    val plan = planOf("q173_rfm_scores")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-partition rank offsets must broadcast: " + plan.take(600))
+    // the only unkeyed window sorts run over per-partition summary rows
+    // (the two-phase globalRank shape); the data-volume exchanges are
+    // the range partitionings of the three ntile passes
+    assert(plan.contains("rangepartitioning"), plan.take(600))
+  }
+
   test("q148 volume anomalies: keyed trailing frame only") {
     val plan = planOf("q148_volume_anomalies")
     assert(plan.linesIterator

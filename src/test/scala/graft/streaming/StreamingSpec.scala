@@ -594,6 +594,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming term counts + static vocab == batch oovRate") {
+    // q170's streaming twin: the (source, term) count phase is mergeable
+    // complete-mode state; folding any drained snapshot through
+    // oovFromCounts with the static tokenizer vocab reproduces the batch
+    // report exactly on the real documents fixture
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text"))
+    val vocab = graft.operators.TextOps
+      .tokenFrequencies(docs, "text", k = 20).select("token")
+    val batch = graft.operators.TokenizerOps
+      .oovRate(docs, "text", "source", vocab, "token")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+          r.getAs[Long]("oov_permille"))).toMap
+    val rows = docs.as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.EventStreams.streamingTermCounts(
+        input.toDS().toDF("source", "text"), "text", "source")
+      .writeStream.format("memory").queryName("oovcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.TokenizerOps
+        .oovFromCounts(spark.table("oovcounts"), vocab, "token")
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+            r.getAs[Long]("oov_permille"))).toMap
+      assert(got == batch, s"stream-batch OOV drift: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
     // end-to-end composition on the REAL documents fixture: streaming
     // exact dedup, then stateless quality gate + chunking — one continuous
