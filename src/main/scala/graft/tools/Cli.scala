@@ -84,6 +84,15 @@ object Cli {
     if (i >= 0 && i + 1 < rest.length) rest(i + 1) else dft
   }
 
+  /** Parquet read + timestamp normalization for the event-shaped
+    * commands: the driver testdata carries TIMESTAMP(NANOS) /
+    * TIMESTAMP(MICROS, NTZ) columns that read as LongType / NTZ in
+    * Spark 4 (see [[graft.core.Tables.normalizeTs]]); operators built on
+    * unix_millis/windows need plain TimestampType. */
+  private def readTs(spark: SparkSession, path: String,
+      tsCol: String): org.apache.spark.sql.DataFrame =
+    graft.core.Tables.normalizeTs(spark.read.parquet(path), tsCol)
+
   private def loadReference(spark: SparkSession, path: String): ReferenceContigs =
     if (path.toLowerCase.endsWith(".2bit")) TwoBit.readFile(path)
     else ReferenceContigs.fromFasta(spark, path)
@@ -690,7 +699,7 @@ object Cli {
       case "nextEvents" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.nextEventExamples(
-            spark.read.parquet(in), fv("-key", "user_id"),
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
             fv("-type", "event_type"), fv("-ts", "ts"),
             fv("-tie", "event_id"), fv("-history", "3").toInt)
           .write.mode("overwrite").parquet(out)
@@ -732,7 +741,7 @@ object Cli {
       case "actives" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.rollingDistinctActives(
-            spark.read.parquet(in), fv("-key", "user_id"),
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
             fv("-ts", "ts"), fv("-window", "7").toInt)
           .write.mode("overwrite").parquet(out)
         println(s"actives: wrote $out")
@@ -753,7 +762,8 @@ object Cli {
       case "retention" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.retentionCohorts(
-            spark.read.parquet(in), fv("-key", "user_id"), fv("-ts", "ts"))
+            readTs(spark, in, fv("-ts", "ts")),
+            fv("-key", "user_id"), fv("-ts", "ts"))
           .write.mode("overwrite").parquet(out)
         println(s"retention: wrote $out")
 
@@ -973,7 +983,7 @@ object Cli {
       case "transitions" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.eventTransitions(
-            spark.read.parquet(in), fv("-key", "user_id"),
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
             fv("-type", "event_type"), fv("-ts", "ts"),
             fv("-tie", "event_id"))
           .write.mode("overwrite").parquet(out)
@@ -1216,8 +1226,8 @@ object Cli {
         val fv = flagValue(rest) _
         val h = fv("-horizon", "")
         if (h.isEmpty) sys.error("horizonDedup needs -horizon MS")
-        val df = spark.read.parquet(in)
         val (ts, tie) = (fv("-ts", "ts"), fv("-tie", "event_id"))
+        val df = readTs(spark, in, ts)
         val text = fv("-text", "")
         val res =
           if (text.nonEmpty)
@@ -1316,7 +1326,7 @@ object Cli {
       case "rfm" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.rfmScores(
-            spark.read.parquet(in), fv("-key", "user_id"),
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
             fv("-ts", "ts"), fv("-value", "value"),
             fv("-tiers", "5").toInt)
           .write.mode("overwrite").parquet(out)
@@ -1337,7 +1347,7 @@ object Cli {
       case "burst" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.burstActivityReport(
-            spark.read.parquet(in), fv("-key", "user_id"),
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
             fv("-ts", "ts"), fv("-bucket", "60000").toLong,
             fv("-threshold", "30").toLong)
           .write.mode("overwrite").parquet(out)
@@ -1372,7 +1382,8 @@ object Cli {
       case "interarrival" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.interArrivalStats(
-            spark.read.parquet(in), fv("-key", "user_id"), fv("-ts", "ts"),
+            readTs(spark, in, fv("-ts", "ts")),
+            fv("-key", "user_id"), fv("-ts", "ts"),
             fv("-id", "event_id"), fv("-group", "event_type"))
           .write.mode("overwrite").parquet(out)
         println(s"interarrival: wrote $out")
@@ -1409,7 +1420,7 @@ object Cli {
       case "attribution" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.Sessionize.firstTouchAttribution(
-            spark.read.parquet(in), fv("-key", "user_id"),
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
             fv("-type", "event_type"), fv("-ts", "ts"),
             fv("-id", "event_id"), fv("-touch", "view"),
             fv("-conv", "purchase"), fv("-window", "86400000").toLong)
