@@ -356,15 +356,28 @@ object Sessionize {
     * wider than the distinct (key, bucket) projection. */
   def burstActivityReport(events: DataFrame, keyCol: String,
       tsCol: String, bucketMs: Long, burstThreshold: Long): DataFrame = {
-    require(bucketMs > 0 && burstThreshold > 0,
-      s"bucketMs and burstThreshold must be positive: " +
-        s"$bucketMs / $burstThreshold")
-    events
-      .select(col(keyCol).as("key"),
-        expr(s"unix_millis($tsCol) div $bucketMs").as("__b"))
-      .groupBy("key", "__b").agg(count(lit(1)).as("__c"))
+    require(bucketMs > 0,
+      s"bucketMs must be positive: $bucketMs")
+    burstFromBucketCounts(
+      events
+        .select(col(keyCol).as("key"),
+          expr(s"unix_millis($tsCol) div $bucketMs").as("bucket"))
+        .groupBy("key", "bucket").agg(count(lit(1)).as("n")),
+      burstThreshold)
+  }
+
+  /** Finish [[burstActivityReport]] from a (key, bucket, n) count
+    * relation — the shape
+    * [[graft.streaming.EventStreams.streamingBucketCounts]] maintains as
+    * mergeable complete-mode state, so the live monitor folds its
+    * drained snapshot through this for the same flags as batch. */
+  def burstFromBucketCounts(counts: DataFrame,
+      burstThreshold: Long): DataFrame = {
+    require(burstThreshold > 0,
+      s"burstThreshold must be positive: $burstThreshold")
+    counts
       .groupBy("key")
-      .agg(sum("__c").as("n_events"), max("__c").as("max_per_bucket"))
+      .agg(sum("n").as("n_events"), max("n").as("max_per_bucket"))
       .withColumn("is_burst", col("max_per_bucket") >= burstThreshold)
   }
 

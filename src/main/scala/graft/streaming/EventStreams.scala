@@ -568,6 +568,24 @@ object EventStreams {
           t => t =!= "")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("n"))
 
+  /** Streaming twin of
+    * [[graft.operators.Sessionize.burstActivityReport]] (count phase):
+    * per-(key, bucket) event counts as a complete-mode aggregation —
+    * counts add, so the micro-batch partial agg IS the batch map-side
+    * combine and state is one row per observed (key, bucket). Fold each
+    * drained snapshot through
+    * [[graft.operators.Sessionize.burstFromBucketCounts]] for the live
+    * bot flags; drained over the same rows it equals the batch report
+    * exactly (StreamingSpec). `tsCol` must be TIMESTAMP. */
+  def streamingBucketCounts(events: DataFrame, keyCol: String,
+      tsCol: String, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
+    events
+      .groupBy(col(keyCol).as("key"),
+        expr(s"unix_millis($tsCol) div $bucketMs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
     * phase): per-(group, day) event counts as a complete-mode
     * aggregation — counts add, so the micro-batch partial agg IS the

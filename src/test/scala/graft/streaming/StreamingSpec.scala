@@ -631,6 +631,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bucket counts + batch finisher == batch burst report") {
+    // q175's streaming twin on the real events fixture: the (key, bucket)
+    // count phase is mergeable complete-mode state; the batch finisher
+    // over any drained snapshot equals the batch report
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+    val batch = graft.operators.Sessionize.burstActivityReport(
+        events, "user_id", "ts", bucketMs = 3600000L, burstThreshold = 3L)
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("max_per_bucket"),
+          r.getAs[Boolean]("is_burst"))).toMap
+    val rows = events.select(col("user_id"), expr("unix_millis(ts)"))
+      .as[(Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStreams.streamingBucketCounts(
+        input.toDS().toDF("user_id", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "user_id", "ts", bucketMs = 3600000L)
+      .writeStream.format("memory").queryName("burstcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.Sessionize.burstFromBucketCounts(
+          spark.table("burstcounts"), burstThreshold = 3L)
+        .collect().map(r => r.getAs[Long]("key") ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("max_per_bucket"),
+            r.getAs[Boolean]("is_burst"))).toMap
+      assert(got == batch, s"stream-batch burst drift")
+    } finally q.stop()
+  }
+
   test("composed streaming intake pipeline (dedup -> quality -> chunk) matches batch") {
     // end-to-end composition on the REAL documents fixture: streaming
     // exact dedup, then stateless quality gate + chunking — one continuous
