@@ -75,6 +75,15 @@ object CorpusCompareOps {
     * src_a < src_b; all counts over DISTINCT fingerprints, permille by
     * integer division (engine-exact).
     *
+    * The fingerprint is fnv1a64 of the [[TextOps.fingerprint]]
+    * normalization (lowercase, whitespace collapsed) — a LONG, not an
+    * md5 hex string, so the distinct and the self-join shuffle 8-byte
+    * keys instead of 32-char strings (the "hash shingles to longs at
+    * shingle time" convention of the n-gram joins). 64-bit collisions
+    * only perturb COUNTS (never correctness of the pair grid): at 1e12
+    * distinct units expect ~30k collisions — a 1e-8 relative error on
+    * shared counts, irrelevant to a dedup decision.
+    *
     * Scale: one (source, fp) distinct (plan-owned cache — both the totals
     * and the self-join read it), then a self-equi-join ON fp whose per-key
     * fanout is bounded by |sources|^2 — never all-pairs over docs; the
@@ -85,7 +94,8 @@ object CorpusCompareOps {
   def sourceOverlapExact(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val pairs = docs.select(col(sourceCol).as("source"),
-      TextOps.fingerprint(col(textCol)).as("fp"))
+      graft.functions.GraftFunctions.fnv1a64(
+        lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = pairs.groupBy("source").agg(count(lit(1)).as("n"))

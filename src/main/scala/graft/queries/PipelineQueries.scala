@@ -2262,9 +2262,9 @@ object PipelineQueries extends QuerySet {
           explode(graft.operators.DedupOps.shinglesCol(col("text"), 3))
             .as("sg")),
         "sg", "source"),
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
           SELECT source, list_filter(
-            string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+            string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
           FROM documents),
         sh AS (SELECT source, unnest(list_distinct(
             CASE WHEN len(t)=0 THEN []
@@ -2272,8 +2272,11 @@ object PipelineQueries extends QuerySet {
               ELSE [t[i]||' '||t[i+1]||' '||t[i+2]
                     for i in generate_series(1, len(t)-2)] END)) AS sg
           FROM toks),
+        -- shingles are already whitespace-normalized lowercase, so the
+        -- operator's trim/collapse/lower is an identity here and the fnv
+        -- replay hashes sg directly
         p AS MATERIALIZED (SELECT DISTINCT source,
-            md5(lower(regexp_replace(trim(sg), '\s+', ' ', 'g'))) AS fp
+            ${HashOracleSql.fnv1a64("sg")} AS fp
           FROM sh),
         t AS (SELECT source, CAST(count(*) AS BIGINT) AS n
           FROM p GROUP BY 1),

@@ -766,8 +766,12 @@ object ScaleProbe {
       // 3-gram granularity, 20 sources — the (source, fp) distinct is
       // the volume path (one digest shuffle); the fp self-join fans out
       // <= |sources|^2 per key; the replicated corpus is the worst case
-      // (every shingle lives in all 20 sources)
-      val grouped = docs.withColumn("source",
+      // (every shingle lives in all 20 sources). The materialized probe
+      // corpus is ONE parquet file (a single scan task, which would
+      // serialize the shingle+hash map work and measure the file layout,
+      // not the operator) — repartition to the session parallelism
+      // first, as any real ingest layout would be.
+      val grouped = docs.repartition(64).withColumn("source",
         concat(lit("s"), (col("doc_id") % 20).cast("string")))
       graft.operators.CorpusCompareOps.sourceOverlapExact(
         grouped.select(col("source"),
