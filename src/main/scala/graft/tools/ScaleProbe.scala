@@ -67,7 +67,13 @@ object ScaleProbe {
     def fresh(p: String): Boolean =
       !new java.io.File(p, "_SUCCESS").exists()
     val docsPath = s"$work/documents_sf1.parquet"
-    if (fresh(docsPath)) docsBig.write.mode("overwrite").parquet(docsPath)
+    // write every synthesized input repartitioned to the session
+    // parallelism: a single-file layout reads as ONE scan task and
+    // serializes the map side of every probe (round 12 found the
+    // overlap probe measuring the file layout — 93s vs 18s — not the
+    // operator); any real ingest writes many files
+    if (fresh(docsPath))
+      docsBig.repartition(64).write.mode("overwrite").parquet(docsPath)
     val docs = spark.read.parquet(docsPath)
     println(s"""{"probe":"setup_docs","rows":${docs.count()}}""")
 
@@ -84,9 +90,9 @@ object ScaleProbe {
           col("id"))
     val lPath = s"$work/left_sf1.parquet"; val rPath = s"$work/right_sf1.parquet"
     if (fresh(lPath)) intervals(2000000L, 7L, 5000L)
-      .write.mode("overwrite").parquet(lPath)
+      .repartition(64).write.mode("overwrite").parquet(lPath)
     if (fresh(rPath)) intervals(500000L, 13L, 20000L)
-      .write.mode("overwrite").parquet(rPath)
+      .repartition(64).write.mode("overwrite").parquet(rPath)
     val lIv = spark.read.parquet(lPath); val rIv = spark.read.parquet(rPath)
 
     // ---- probes ----
@@ -105,7 +111,7 @@ object ScaleProbe {
         (col("start") + 100000L + (col("id") * 40503L) % 900000L).as("end"),
         col("id"))
       .select("referenceName", "start", "end", "id")
-      .write.mode("overwrite").parquet(svPath)
+      .repartition(64).write.mode("overwrite").parquet(svPath)
     val svIv = spark.read.parquet(svPath)
     timed("region_join_sv_default_bin") {
       RegionJoins.overlapJoin(lIv, svIv, "inner").count()
@@ -167,7 +173,7 @@ object ScaleProbe {
     if (fresh(embPath)) spark.range(10).crossJoin(emb01)
       .select((col("vec_id") + col("id") * nEmb01 * 2).as("vec_id"),
         nudge(col("embedding"), col("id").cast("int")).as("embedding"))
-      .write.mode("overwrite").parquet(embPath)
+      .repartition(64).write.mode("overwrite").parquet(embPath)
     val emb = spark.read.parquet(embPath)
 
     spark.catalog.clearCache()
@@ -210,7 +216,7 @@ object ScaleProbe {
         .select((col("event_id") + col("id") * nEv01 * 2).as("event_id"),
           expr(s"timestamp_millis(unix_millis(ts) + id * ${span}L)").as("ts"),
           col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").parquet(evPath)
+        .repartition(64).write.mode("overwrite").parquet(evPath)
     }
     val ev = spark.read.parquet(evPath)
     println(s"""{"probe":"setup_events","rows":${ev.count()}}""")
@@ -766,12 +772,10 @@ object ScaleProbe {
       // 3-gram granularity, 20 sources — the (source, fp) distinct is
       // the volume path (one digest shuffle); the fp self-join fans out
       // <= |sources|^2 per key; the replicated corpus is the worst case
-      // (every shingle lives in all 20 sources). The materialized probe
-      // corpus is ONE parquet file (a single scan task, which would
-      // serialize the shingle+hash map work and measure the file layout,
-      // not the operator) — repartition to the session parallelism
-      // first, as any real ingest layout would be.
-      val grouped = docs.repartition(64).withColumn("source",
+      // (every shingle lives in all 20 sources); the setup layout is
+      // partitioned, so the shingle map parallelizes like any real
+      // ingest.
+      val grouped = docs.withColumn("source",
         concat(lit("s"), (col("doc_id") % 20).cast("string")))
       graft.operators.CorpusCompareOps.sourceOverlapExact(
         grouped.select(col("source"),
