@@ -2258,9 +2258,15 @@ object PipelineQueries extends QuerySet {
     // the bounded per-source totals).
     Query("q169_source_overlap_exact",
       (s, dir) => graft.operators.CorpusCompareOps.sourceOverlapExact(
-        t(s, dir, "documents").select(col("source"),
-          explode(graft.operators.DedupOps.shinglesCol(col("text"), 3))
-            .as("sg")),
+        // single-file testdata reads as ONE scan task; spread the docs
+        // before the shingle explode so the (embarrassingly parallel)
+        // map side uses the session's cores — the round-12 probe-layout
+        // finding, applied to the catalog binding
+        t(s, dir, "documents").repartition(
+            s.sparkContext.defaultParallelism)
+          .select(col("source"),
+            explode(graft.operators.DedupOps.shinglesCol(col("text"), 3))
+              .as("sg")),
         "sg", "source"),
       Some(s"""WITH toks AS (
           SELECT source, list_filter(
