@@ -1471,13 +1471,13 @@ def rfm_scores(events, key_col, ts_col, value_col, tiers=5):
                                       value_col, int(tiers)))
 
 
-def nearest_centroid_eval(corpus, label_col, id_col="vec_id",
-                          vec_col="embedding"):
+def nearest_centroid_eval(corpus, label_col, vec_col="embedding"):
     """Nearest-centroid label confusion over an embedding table —
-    (label, predicted, n); off-diagonal mass = entangled/mislabeled."""
+    (label, predicted, n); off-diagonal mass = entangled/mislabeled.
+    Labels must be integral ids."""
     s = corpus.sparkSession
     return _wrap(s, _api(s).nearestCentroidEval(corpus._jdf, label_col,
-                                                id_col, vec_col))
+                                                vec_col))
 
 
 def burst_activity_report(events, key_col, ts_col, bucket_ms,

@@ -829,10 +829,10 @@ graft.rfmScores <- function(events, keyCol, tsCol, valueCol, tiers = 5L) {
 }
 
 #' Nearest-centroid label confusion over an embedding table.
-graft.nearestCentroidEval <- function(corpus, labelCol, idCol = "vec_id",
+graft.nearestCentroidEval <- function(corpus, labelCol,
                                       vecCol = "embedding") {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "nearestCentroidEval", corpus@sdf,
-                                  labelCol, idCol, vecCol))
+                                  labelCol, vecCol))
 }
 
 #' Fixed-bucket burst-activity (bot-likelihood) report.

@@ -1108,9 +1108,9 @@ object JavaApi {
   /** Nearest-centroid label confusion over an embedding table:
     * (label, predicted, n). */
   def nearestCentroidEval(corpus: DataFrame, labelCol: String,
-      idCol: String, vecCol: String): DataFrame =
+      vecCol: String): DataFrame =
     graft.operators.ClusteringOps.nearestCentroidEval(corpus, labelCol,
-      idCol, vecCol)
+      vecCol)
 
   /** Fixed-bucket burst-activity (bot-likelihood) report:
     * (key, n_events, max_per_bucket, is_burst). */

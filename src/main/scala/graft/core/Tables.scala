@@ -30,7 +30,7 @@ object Tables {
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema.fields.find(_.name == tsCol).map(_.dataType) match {
       case Some(LongType) =>
-        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
       case Some(TimestampNTZType) =>
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df

@@ -358,7 +358,10 @@ object ClusteringOps {
     * `floorDiv(sum, count)` over the quantized vectors — the
     * [[kmeansFit]] update step with labels as fixed assignments), then
     * classify every vector to its nearest centroid by exact Long squared
-    * L2 (ties -> smallest label, the [[kmeansFit]] tie rule).
+    * L2 (ties -> smallest label, the [[kmeansFit]] tie rule). The label
+    * column must be integral (categorical labels map to ids first —
+    * enforced loudly); null-labeled rows are excluded from both the
+    * centroids and the scored output.
     *
     * Output: (label, predicted, n) — long-format confusion counts;
     * diagonal rows are the correctly-recovered mass.
@@ -371,19 +374,32 @@ object ClusteringOps {
   def nearestCentroidEval(
       corpus: DataFrame,
       labelCol: String,
-      id: String = "vec_id",
       vec: String = "embedding",
       scale: Long = DefaultScale): DataFrame = {
     val spark = corpus.sparkSession
+    // fail loudly at plan time on a non-integral label column: a silent
+    // cast("long") would fold every unparseable label (e.g. "en") into
+    // ONE null group and crash later with an opaque driver NPE
+    val lt = corpus.schema(labelCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(lt),
+      s"nearestCentroidEval needs an integral label column; '$labelCol' " +
+        s"is $lt — map categorical labels to ids first")
     val q = corpus
       .select(col(labelCol).cast("long").as("label"),
         quantize(col(vec), scale).as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cells = q
+      .filter(col("label").isNotNull)
       .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
       .groupBy("label", "d")
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
       .collect() // bounded: |labels| x dim
+    require(cells.nonEmpty,
+      "nearestCentroidEval: no labeled vectors (empty corpus, all-null " +
+        "labels, or empty embeddings)")
     val dims = cells.map(_.getInt(1)).max + 1
     val labels = cells.map(_.getLong(0)).distinct.sorted
     val idx = labels.zipWithIndex.toMap
@@ -395,6 +411,7 @@ object ClusteringOps {
     val bc = spark.sparkContext.broadcast(cents)
     val predLabel = udf { i: Int => labels(i) }
     val out = q
+      .filter(col("label").isNotNull) // unlabeled rows can't be scored
       .select(col("label"),
         predLabel(assignUdf(bc)(col("qv"))).as("predicted"))
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))

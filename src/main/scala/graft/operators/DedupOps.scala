@@ -1191,7 +1191,7 @@ object DedupOps {
   def horizonDedup(df: DataFrame, keyCol: String, tsCol: String,
       tieBreak: String, horizonMs: Long): DataFrame = {
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
-    val ms = expr(s"unix_millis($tsCol)")
+    val ms = expr(s"unix_millis(`$tsCol`)")
     val w = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
     val run = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -262,34 +262,6 @@ object GraphOps {
         (col("deg") * (col("deg") - 1)).as("coeff_den"))
   }
 
-  /** Newman modularity of a node partition over an undirected simple
-    * graph — the standard "are these communities real" score for
-    * [[labelPropagation]] output (or any labeling):
-    *
-    *   Q = within/m - sum_c D_c^2 / (4 m^2)
-    *
-    * with m undirected edges, `within` the edges internal to a
-    * community, and D_c the total degree of community c. Q in
-    * [-0.5, 1]; random labelings score ~0, real community structure
-    * >0.3 typically.
-    *
-    * Exact accounting: edges canonicalize to distinct undirected pairs
-    * (self-loops dropped); the two counters and the degree sums are
-    * integer aggregations; D_c^2 accumulates in DECIMAL(38,0) (degree
-    * sums square past long at ~10^10 edges). The ONLY doubles are the
-    * final two divisions on exactly-represented integers — identical in
-    * any engine. Nodes absent from `labels` form singleton communities
-    * under a reserved `__singleton_<id>` name so a missing label can
-    * never collide with a REAL label value — labelPropagation labels ARE
-    * node ids, so coalescing to the bare id would silently merge an
-    * unlabeled node X into the community labeled X.
-    *
-    * Scale: one edge canonicalization (persist released after the two
-    * bounded aggregates — tier-1, operators/Caching.scala), two
-    * map-side-combined aggregations, and a labels join; the result is
-    * ONE row: (m, n_within, q_modularity).
-    *
-    * `edges`: (src, dst); `labels`: (id, label). */
   /** Integer HITS (Kleinberg 1999) over DIRECTED `edges(src, dst)` —
     * hubs point at good authorities, authorities are pointed at by good
     * hubs. The natural ranking for bipartite interaction graphs
@@ -362,6 +334,34 @@ object GraphOps {
       .filter(col("__r") <= k).drop("__r")
   }
 
+  /** Newman modularity of a node partition over an undirected simple
+    * graph — the standard "are these communities real" score for
+    * [[labelPropagation]] output (or any labeling):
+    *
+    *   Q = within/m - sum_c D_c^2 / (4 m^2)
+    *
+    * with m undirected edges, `within` the edges internal to a
+    * community, and D_c the total degree of community c. Q in
+    * [-0.5, 1]; random labelings score ~0, real community structure
+    * >0.3 typically.
+    *
+    * Exact accounting: edges canonicalize to distinct undirected pairs
+    * (self-loops dropped); the two counters and the degree sums are
+    * integer aggregations; D_c^2 accumulates in DECIMAL(38,0) (degree
+    * sums square past long at ~10^10 edges). The ONLY doubles are the
+    * final two divisions on exactly-represented integers — identical in
+    * any engine. Nodes absent from `labels` form singleton communities
+    * under a reserved `__singleton_<id>` name so a missing label can
+    * never collide with a REAL label value — labelPropagation labels ARE
+    * node ids, so coalescing to the bare id would silently merge an
+    * unlabeled node X into the community labeled X.
+    *
+    * Scale: one edge canonicalization (persist released after the two
+    * bounded aggregates — tier-1, operators/Caching.scala), two
+    * map-side-combined aggregations, and a labels join; the result is
+    * ONE row: (m, n_within, q_modularity).
+    *
+    * `edges`: (src, dst); `labels`: (id, label). */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val und = edges

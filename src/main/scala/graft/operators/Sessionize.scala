@@ -255,7 +255,7 @@ object Sessionize {
     require(windowDays > 0, s"windowDays must be positive: $windowDays")
     val pairs = events
       .select(col(keyCol).as("__k"),
-        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+        expr(s"unix_millis(`$tsCol`) div 86400000").as("day"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
@@ -292,7 +292,7 @@ object Sessionize {
       tsCol: String): DataFrame = {
     val pairs = events
       .select(col(keyCol).as("__k"),
-        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+        expr(s"unix_millis(`$tsCol`) div 86400000").as("day"))
       .distinct()
     val cohorts = pairs.groupBy("__k").agg(min("day").as("cohort_day"))
     pairs.join(cohorts, "__k")
@@ -320,26 +320,13 @@ object Sessionize {
     val w = Window.partitionBy("__k").orderBy(col("__ms"), col(idCol))
     val gaps = events
       .select(col(keyCol).as("__k"), col(groupCol),
-        expr(s"unix_millis($tsCol)").as("__ms"), col(idCol))
+        expr(s"unix_millis(`$tsCol`)").as("__ms"), col(idCol))
       .withColumn("__gap", col("__ms") - lag("__ms", 1).over(w))
       .filter(col("__gap").isNotNull)
     Quantiles.discPercentiles(
       gaps, groupCol, "__gap", idCol, Seq(0.5, 0.9, 0.99))
   }
 
-  /** First-touch attribution: each conversion event gets the EARLIEST
-    * `touchType` event by the same key within the trailing `windowMs`
-    * (inclusive of the conversion instant) — the classic marketing
-    * question asofJoin's last-before semantics can't answer.
-    *
-    * The credit window is a value-based RANGE frame `[-windowMs, 0]` over
-    * the key's millisecond timeline — exact, tie-stable (the frame is
-    * value-defined, so same-ms rows agree in any engine), and ONE keyed
-    * window exchange regardless of history depth.
-    *
-    * Output: one row per conversion —
-    * (keyCol, idCol, conv_ms, first_touch_ms, gap_ms);
-    * first_touch_ms/gap_ms NULL when no touch fell in the window. */
   /** Burst-activity (bot-likelihood) report: per key, the total event
     * count and the MAXIMUM events inside any single fixed time bucket of
     * `bucketMs` — the cheap rate heuristic every ingest pipeline runs to
@@ -355,15 +342,23 @@ object Sessionize {
     * counts then per-key max/sum — both keyed, no window, no shuffle
     * wider than the distinct (key, bucket) projection. */
   def burstActivityReport(events: DataFrame, keyCol: String,
-      tsCol: String, bucketMs: Long, burstThreshold: Long): DataFrame = {
-    require(bucketMs > 0,
-      s"bucketMs must be positive: $bucketMs")
-    burstFromBucketCounts(
-      events
-        .select(col(keyCol).as("key"),
-          expr(s"unix_millis($tsCol) div $bucketMs").as("bucket"))
-        .groupBy("key", "bucket").agg(count(lit(1)).as("n")),
+      tsCol: String, bucketMs: Long, burstThreshold: Long): DataFrame =
+    burstFromBucketCounts(bucketCounts(events, keyCol, tsCol, bucketMs),
       burstThreshold)
+
+  /** The mergeable (key, bucket, n) count phase of
+    * [[burstActivityReport]] — ONE map-side-combined aggregation. The
+    * same unresolved plan works on a streaming frame, which is exactly
+    * what [[graft.streaming.EventStreams.streamingBucketCounts]]
+    * delegates to (single definition — the tokenization lesson: twins
+    * that duplicate the phase body can silently diverge). */
+  def bucketCounts(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
+    events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_millis(`$tsCol`) div $bucketMs").as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
   }
 
   /** Finish [[burstActivityReport]] from a (key, bucket, n) count
@@ -419,6 +414,19 @@ object Sessionize {
         .cast("int"))
   }
 
+  /** First-touch attribution: each conversion event gets the EARLIEST
+    * `touchType` event by the same key within the trailing `windowMs`
+    * (inclusive of the conversion instant) — the classic marketing
+    * question asofJoin's last-before semantics can't answer.
+    *
+    * The credit window is a value-based RANGE frame `[-windowMs, 0]` over
+    * the key's millisecond timeline — exact, tie-stable (the frame is
+    * value-defined, so same-ms rows agree in any engine), and ONE keyed
+    * window exchange regardless of history depth.
+    *
+    * Output: one row per conversion —
+    * (keyCol, idCol, conv_ms, first_touch_ms, gap_ms);
+    * first_touch_ms/gap_ms NULL when no touch fell in the window. */
   def firstTouchAttribution(events: DataFrame, keyCol: String,
       typeCol: String, tsCol: String, idCol: String, touchType: String,
       convType: String, windowMs: Long): DataFrame = {
@@ -427,7 +435,7 @@ object Sessionize {
       .rangeBetween(-windowMs, 0)
     events
       .select(col(keyCol).as("__k"), col(typeCol).as("__t"),
-        expr(s"unix_millis($tsCol)").as("__ms"), col(idCol))
+        expr(s"unix_millis(`$tsCol`)").as("__ms"), col(idCol))
       .withColumn("__ft",
         min(when(col("__t") === touchType, col("__ms"))).over(w))
       .filter(col("__t") === convType)

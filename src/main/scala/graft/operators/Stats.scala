@@ -340,17 +340,16 @@ object Stats {
     * perplexity scores are incomparable across sources, their
     * within-source percentiles are.
     *
-    * Scale: ONE keyed window exchange (rank + count over the group);
-    * nothing else. Output: input columns + `pct_rank`. */
+    * Scale: ONE keyed window exchange; `percent_rank()` IS this exact
+    * definition — (rank-1)/(n-1) with 0.0 for single-row groups, and
+    * DuckDB's built-in matches — so the built-in window function is used
+    * directly (one window expression instead of a hand-rolled rank plus
+    * a second unordered count spec). Output: input columns +
+    * `pct_rank`. */
   def percentRankNormalize(df: DataFrame, groupCol: String,
-      scoreCol: String): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol))
-    val n = count(lit(1)).over(Window.partitionBy(groupCol))
-    df.withColumn("pct_rank",
-      when(n === 1L, lit(0.0)).otherwise(
-        (rank().over(w) - lit(1)).cast("double") /
-          (n - lit(1)).cast("double")))
-  }
+      scoreCol: String): DataFrame =
+    df.withColumn("pct_rank", percent_rank().over(
+      Window.partitionBy(groupCol).orderBy(col(scoreCol))))
 
   /** Robust outlier flags via MAD (median absolute deviation): per
     * group, med = exact disc median of `valueCol` (integer cents), mad =

@@ -562,11 +562,10 @@ object EventStreams {
     * [[graft.operators.TokenizerOps.oovRate]] exactly (StreamingSpec). */
   def streamingTermCounts(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame =
-    docs
-      .select(col(sourceCol).as("source"),
-        explode(filter(split(lower(col(textCol)), "\\s+"),
-          t => t =!= "")).as("term"))
-      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    // ONE definition of the count phase (the batch operator's) — a
+    // duplicated body here could silently diverge from the batch
+    // tokenization and break the drained == batch equivalence
+    graft.operators.TokenizerOps.termCounts(docs, textCol, sourceCol)
 
   /** Streaming twin of
     * [[graft.operators.Sessionize.burstActivityReport]] (count phase):
@@ -578,13 +577,9 @@ object EventStreams {
     * bot flags; drained over the same rows it equals the batch report
     * exactly (StreamingSpec). `tsCol` must be TIMESTAMP. */
   def streamingBucketCounts(events: DataFrame, keyCol: String,
-      tsCol: String, bucketMs: Long): DataFrame = {
-    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
-    events
-      .groupBy(col(keyCol).as("key"),
-        expr(s"unix_millis($tsCol) div $bucketMs").as("bucket"))
-      .agg(count(lit(1)).as("n"))
-  }
+      tsCol: String, bucketMs: Long): DataFrame =
+    graft.operators.Sessionize.bucketCounts(events, keyCol, tsCol,
+      bucketMs)
 
   /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
     * phase): per-(group, day) event counts as a complete-mode
@@ -600,7 +595,7 @@ object EventStreams {
       tsCol: String = "ts"): DataFrame =
     events
       .groupBy(col(groupCol),
-        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+        expr(s"unix_millis(`$tsCol`) div 86400000").as("day"))
       .agg(count(lit(1)).as("n"))
 
   case class GapObs(

@@ -1332,13 +1332,13 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"rfm: wrote $out")
 
-      // centroidEval <in> <out> [-label c] [-id c] [-vec c] — nearest-
-      //   centroid label confusion over an embedding table
+      // centroidEval <in> <out> [-label c] [-vec c] — nearest-centroid
+      //   label confusion over an embedding table (integral labels)
       case "centroidEval" :: in :: out :: rest =>
         val fv = flagValue(rest) _
         graft.operators.ClusteringOps.nearestCentroidEval(
             spark.read.parquet(in), fv("-label", "label"),
-            fv("-id", "vec_id"), fv("-vec", "embedding"))
+            fv("-vec", "embedding"))
           .write.mode("overwrite").parquet(out)
         println(s"centroidEval: wrote $out")
 
@@ -1561,7 +1561,7 @@ object Cli {
           "\n  waterfall <in.parquet> <out.parquet> -rules 'name:expr;name:expr'" +
           "\n  hits <edges.parquet> <out.parquet> [-iters n] [-k n]" +
           "\n  rfm <in.parquet> <out.parquet> [-key c] [-ts c] [-value c] [-tiers n]" +
-          "\n  centroidEval <in.parquet> <out.parquet> [-label c] [-id c] [-vec c]" +
+          "\n  centroidEval <in.parquet> <out.parquet> [-label c] [-vec c]" +
           "\n  burst <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms] [-threshold n]" +
           "\n  profileDrift <a.parquet> <b.parquet> <out.parquet> -colsA c1,c2 -colsB c1,c3")
         sys.exit(2)

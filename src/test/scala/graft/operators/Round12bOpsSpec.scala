@@ -257,6 +257,32 @@ class Round12bOpsSpec extends SparkSpec {
       s"equidistant points must take the smallest label: $t2")
   }
 
+  test("nearestCentroidEval: loud failures on string labels and empty " +
+      "corpora; null-labeled rows excluded from centroids and output") {
+    import spark.implicits._
+    val strLabels = Seq((1L, "en", Array(1.0f)), (2L, "de", Array(0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      ClusteringOps.nearestCentroidEval(strLabels, "label")
+    }
+    assert(e1.getMessage.contains("integral label"))
+    val empty = Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      ClusteringOps.nearestCentroidEval(empty, "label")
+    }
+    assert(e2.getMessage.contains("no labeled vectors"))
+    val withNulls = Seq(
+      (1L, java.lang.Integer.valueOf(0), Array(1.0f, 0.0f)),
+      (2L, java.lang.Integer.valueOf(1), Array(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[java.lang.Integer], Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = ClusteringOps.nearestCentroidEval(withNulls, "label")
+      .collect()
+    assert(got.map(_.getAs[Long]("n")).sum == 2L,
+      "the null-labeled row must not be scored")
+  }
+
   // ------------------------------------------------------------------
   // burstActivityReport
   // ------------------------------------------------------------------
