@@ -303,6 +303,23 @@ class Round12bOpsSpec extends SparkSpec {
     assert(got(2L) == (3L, 1L, false))
   }
 
+  test("ts column names needing backticks work through normalizeTs and " +
+      "the event operators (spliced names are quoted)") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 10000L), (2L, 950000L))
+      .toDF("u", "event ms") // space in the raw column
+      .withColumn("my ts", timestamp_millis(col("`event ms`")))
+      .drop("event ms")
+    val norm = graft.core.Tables.normalizeTs(df, "my ts")
+    assert(norm.schema("my ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = Sessionize.burstActivityReport(norm, "u", "my ts",
+        bucketMs = 60000L, burstThreshold = 2L)
+      .collect().map(r => r.getAs[Long]("key") ->
+        r.getAs[Long]("max_per_bucket")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
   // ------------------------------------------------------------------
   // profileDrift
   // ------------------------------------------------------------------
