@@ -1504,3 +1504,12 @@ def profile_drift(a, cols_a, b, cols_b):
         return arr
     return _wrap(s, _api(s).profileDrift(a._jdf, _sarr(cols_a), b._jdf,
                                          _sarr(cols_b)))
+
+
+def fd_violations(df, det_col, dep_col, k=20):
+    """Functional-dependency violation audit: top-k determinant values of
+    det_col mapped to >1 distinct dep_col value — (det, n_rows,
+    n_distinct_dep), worst-first."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).fdViolations(df._jdf, det_col, dep_col,
+                                         int(k)))

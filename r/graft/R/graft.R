@@ -844,3 +844,9 @@ graft.burstActivityReport <- function(events, keyCol, tsCol, bucketMs,
                                   keyCol, tsCol, .jlong(bucketMs),
                                   .jlong(burstThreshold)))
 }
+
+#' Functional-dependency violation audit (top-k multi-valued determinants).
+graft.fdViolations <- function(df, detCol, depCol, k = 20L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "fdViolations", df@sdf, detCol,
+                                  depCol, as.integer(k)))
+}

@@ -1119,6 +1119,12 @@ object JavaApi {
     graft.operators.Sessionize.burstActivityReport(events, keyCol, tsCol,
       bucketMs, burstThreshold)
 
+  /** Functional-dependency violation audit: top-k determinant values
+    * of detCol with >1 distinct depCol value. */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String,
+      k: Int): DataFrame =
+    graft.operators.ProfileOps.fdViolations(df, detCol, depCol, k)
+
   /** Snapshot-to-snapshot per-column profile drift report. */
   def profileDrift(a: DataFrame, colsA: Array[String], b: DataFrame,
       colsB: Array[String]): DataFrame =

@@ -120,6 +120,31 @@ object ProfileOps {
         col("n_dup_rows").cast("double") / col("n_rows").cast("double"))
   }
 
+  /** Functional-dependency violation audit: determinant values of
+    * `detCol` mapped to MORE than one distinct `depCol` value — the
+    * "should-be-a-key / should-be-derivable" check (deequ's uniqueness
+    * family) run before trusting a denormalized feed: if
+    * `l_partkey -> l_suppkey` was assumed and this returns rows, a join
+    * somewhere is fanning out. Top-`k` worst offenders by distinct-count,
+    * deterministic (n_distinct_dep DESC, det) order.
+    *
+    * Output: (det, n_rows, n_distinct_dep) — violating determinants only.
+    *
+    * Scale: one exact count-distinct aggregation keyed by the
+    * determinant (partial counts combine map-side; the distinct is the
+    * [[pkAudit]]-family price), then a TakeOrdered head — never a global
+    * sort. */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String,
+      k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.groupBy(col(detCol).as("det"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(depCol)).as("n_distinct_dep"))
+      .filter(col("n_distinct_dep") > 1)
+      .orderBy(col("n_distinct_dep").desc, col("det"))
+      .limit(k)
+  }
+
   /** Snapshot-to-snapshot profile drift: [[profileColumns]] on both
     * sides, full-outer-joined per column — the "did the upstream break
     * the feed" gate a pipeline runs before promoting a new snapshot.

@@ -2464,7 +2464,20 @@ object PipelineQueries extends QuerySet {
           (n_nulls_b * 1000 // n_rows_b) - (n_nulls_a * 1000 // n_rows_a)
             AS null_delta_permille,
           n_distinct_b - n_distinct_a AS distinct_delta
-        FROM pa FULL OUTER JOIN pb USING (col_name)"""))
+        FROM pa FULL OUTER JOIN pb USING (col_name)""")),
+
+    // Functional-dependency violation audit: parts supplied by more than
+    // one supplier under the (false) assumption l_partkey -> l_suppkey —
+    // one exact count-distinct agg keyed by the determinant, TakeOrdered
+    // head, deterministic (violations desc, det) order.
+    Query("q177_fd_violations",
+      (s, dir) => graft.operators.ProfileOps.fdViolations(
+        t(s, dir, "lineitem"), "l_partkey", "l_suppkey", k = 25),
+      Some("""SELECT l_partkey AS det, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_dep
+        FROM lineitem GROUP BY 1
+        HAVING count(DISTINCT l_suppkey) > 1
+        ORDER BY n_distinct_dep DESC, det LIMIT 25"""))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

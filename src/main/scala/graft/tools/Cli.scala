@@ -1353,6 +1353,17 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"burst: wrote $out")
 
+      // fd <in> <out> -det c -dep c [-k n] — functional-dependency
+      //   violation audit (determinants with >1 distinct dependent)
+      case "fd" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (det, dep) = (fv("-det", ""), fv("-dep", ""))
+        if (det.isEmpty || dep.isEmpty) sys.error("fd needs -det and -dep")
+        graft.operators.ProfileOps.fdViolations(
+            spark.read.parquet(in), det, dep, fv("-k", "20").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"fd: wrote $out")
+
       // profileDrift <a.parquet> <b.parquet> <out> -colsA a,b -colsB a,c
       //   — per-column snapshot drift report
       case "profileDrift" :: aP :: bP :: out :: rest =>
@@ -1563,7 +1574,8 @@ object Cli {
           "\n  rfm <in.parquet> <out.parquet> [-key c] [-ts c] [-value c] [-tiers n]" +
           "\n  centroidEval <in.parquet> <out.parquet> [-label c] [-vec c]" +
           "\n  burst <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms] [-threshold n]" +
-          "\n  profileDrift <a.parquet> <b.parquet> <out.parquet> -colsA c1,c2 -colsB c1,c3")
+          "\n  profileDrift <a.parquet> <b.parquet> <out.parquet> -colsA c1,c2 -colsB c1,c3" +
+          "\n  fd <in.parquet> <out.parquet> -det c -dep c [-k n]")
         sys.exit(2)
     }
   }

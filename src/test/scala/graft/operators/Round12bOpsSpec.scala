@@ -321,6 +321,21 @@ class Round12bOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // fdViolations
+  // ------------------------------------------------------------------
+
+  test("fdViolations: only multi-valued determinants, worst-first order") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L),
+      ("c", 1L), ("c", 2L), ("c", 3L), ("c", 3L)).toDF("det0", "dep0")
+    val got = ProfileOps.fdViolations(df, "det0", "dep0", k = 10)
+      .collect().map(r => (r.getAs[String]("det"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct_dep")))
+    assert(got.toSeq == Seq(("c", 4L, 3L), ("b", 2L, 2L)),
+      s"'a' holds the FD and must not appear: ${got.toSeq}")
+  }
+
+  // ------------------------------------------------------------------
   // profileDrift
   // ------------------------------------------------------------------
 
