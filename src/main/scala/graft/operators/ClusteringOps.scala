@@ -391,6 +391,20 @@ object ClusteringOps {
       .select(col(labelCol).cast("long").as("label"),
         quantize(col(vec), scale).as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // fail loudly on null/ragged embeddings BEFORE they skew the centroid
+    // moments or crash assignUdf with an opaque NPE/IndexOutOfBounds: one
+    // extra pass over the persisted projection, 1-row collect
+    val shape = q.filter(col("label").isNotNull)
+      .agg(sum(when(col("qv").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col("qv"))).as("mn"), max(size(col("qv"))).as("mx"))
+      .head()
+    require(shape.isNullAt(0) || shape.getLong(0) == 0L,
+      s"nearestCentroidEval: ${shape.getLong(0)} labeled rows have a " +
+        s"NULL '$vec' — drop or impute them first")
+    require(shape.isNullAt(1) || shape.getInt(1) == shape.getInt(2),
+      s"nearestCentroidEval: ragged '$vec' lengths (min " +
+        s"${shape.getInt(1)}, max ${shape.getInt(2)}) — embeddings must " +
+        "be fixed-length")
     val cells = q
       .filter(col("label").isNotNull)
       .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))

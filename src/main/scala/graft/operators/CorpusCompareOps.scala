@@ -73,7 +73,8 @@ object CorpusCompareOps {
     *
     * Output: (src_a, src_b, n_a, n_b, n_shared, jaccard_permille) for
     * src_a < src_b; all counts over DISTINCT fingerprints, permille by
-    * integer division (engine-exact).
+    * integer division (engine-exact). Rows with a NULL source are
+    * EXCLUDED up front (a null can never appear in the grid).
     *
     * The fingerprint is fnv1a64 of the [[TextOps.fingerprint]]
     * normalization (lowercase, whitespace collapsed) — a LONG, not an
@@ -93,7 +94,12 @@ object CorpusCompareOps {
     * [[sourceSimilarity]]. */
   def sourceOverlapExact(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
-    val pairs = docs.select(col(sourceCol).as("source"),
+    // NULL sources are excluded EXPLICITLY: a null would be hashed and
+    // shuffled but fail both src_a < src_b filters, vanishing from the
+    // grid — and "missing from the grid" must never be mistakable for
+    // "disjoint". Rows with a null source simply don't participate.
+    val nonNull = docs.filter(col(sourceCol).isNotNull)
+    val pairs = nonNull.select(col(sourceCol).as("source"),
       graft.functions.GraftFunctions.fnv1a64(
         lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
       .distinct()

@@ -1191,6 +1191,10 @@ object DedupOps {
   def horizonDedup(df: DataFrame, keyCol: String, tsCol: String,
       tieBreak: String, horizonMs: Long): DataFrame = {
     require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
+    require(!df.columns.contains("fresh") && !df.columns.contains("epoch"),
+      "horizonDedup writes 'fresh' and 'epoch' columns; input already " +
+        s"has one of them — rename it first (columns: " +
+        s"${df.columns.mkString(", ")})")
     val ms = expr(s"unix_millis(`$tsCol`)")
     val w = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
     val run = Window.partitionBy(col(keyCol)).orderBy(ms, col(tieBreak))
@@ -1205,9 +1209,13 @@ object DedupOps {
     * normalization the streaming twin applies (trim, collapse
     * whitespace, lowercase, md5). Output adds the `fp` column. */
   def horizonDedupText(docs: DataFrame, textCol: String, tsCol: String,
-      tieBreak: String, horizonMs: Long): DataFrame =
+      tieBreak: String, horizonMs: Long): DataFrame = {
+    require(!docs.columns.contains("fp"),
+      "horizonDedupText writes an 'fp' column; input already has one — " +
+        s"rename it first (columns: ${docs.columns.mkString(", ")})")
     horizonDedup(
       docs.withColumn("fp",
         md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")))),
       "fp", tsCol, tieBreak, horizonMs)
+  }
 }

@@ -340,16 +340,51 @@ object Stats {
     * perplexity scores are incomparable across sources, their
     * within-source percentiles are.
     *
-    * Scale: ONE keyed window exchange; `percent_rank()` IS this exact
-    * definition — (rank-1)/(n-1) with 0.0 for single-row groups, and
-    * DuckDB's built-in matches — so the built-in window function is used
-    * directly (one window expression instead of a hand-rolled rank plus
-    * a second unordered count spec). Output: input columns +
-    * `pct_rank`. */
+    * Scale: NOT the built-in `percent_rank().over(partitionBy(group))` —
+    * exact percent_rank needs a total order per group, and Spark executes
+    * that window as "hash-partition by group, sort each ENTIRE group in
+    * one task"; with a low-cardinality group key (q164's is event_type,
+    * ~5 values) one reducer sorts ~N/5 rows at 100 TB. Instead this is
+    * the [[Quantiles.globalRank]] two-phase distributed rank over
+    * `(group, score)` (range-partition + in-partition sort, fully
+    * parallel, no single-task group sort):
+    *
+    *   - `min(__grank)` per `(group, score)` is the 1-based start of each
+    *     tie run in the global `(group, score)` order — subtracting the
+    *     group's own `min(__grank)` gives exactly "rows in this group
+    *     with a strictly smaller score", i.e. `rank - 1` under RANK tie
+    *     semantics, independent of how the nondeterministic ids landed.
+    *   - the per-group `(min, count)` summary is one row per group,
+    *     broadcast back onto the (group, score) tie-run table, and the
+    *     result re-attaches to the data with a hash join keyed by
+    *     `(group, score)` — high-cardinality, AQE-splittable, never a
+    *     per-group sort.
+    *
+    * NULL scores order first (matching the built-in's NULLS FIRST
+    * ascending) and re-attach via a null-safe join. Output: input
+    * columns + `pct_rank`. */
   def percentRankNormalize(df: DataFrame, groupCol: String,
-      scoreCol: String): DataFrame =
-    df.withColumn("pct_rank", percent_rank().over(
-      Window.partitionBy(groupCol).orderBy(col(scoreCol))))
+      scoreCol: String): DataFrame = {
+    require(!df.columns.contains("pct_rank"),
+      s"percentRankNormalize writes a 'pct_rank' column; input already " +
+        s"has one — rename it first (columns: ${df.columns.mkString(", ")})")
+    val inCols = df.columns.toSeq
+    val ranked = Quantiles.globalRank(df, Seq(col(groupCol), col(scoreCol)))
+    val grp = ranked.groupBy(col(groupCol).as("__prg"))
+      .agg(min("__grank").as("__gmin"), count(lit(1)).as("__gn"))
+    val tieRuns = ranked
+      .groupBy(col(groupCol).as("__prg"), col(scoreCol).as("__prs"))
+      .agg(min(col("__grank")).as("__ts"))
+      .join(broadcast(grp), "__prg")
+      .select(col("__prg"), col("__prs"),
+        when(col("__gn") === 1L, lit(0.0)).otherwise(
+          (col("__ts") - col("__gmin")).cast("double")
+            / (col("__gn") - 1L).cast("double")).as("pct_rank"))
+    ranked.drop("__grank", "__total")
+      .join(tieRuns,
+        col(groupCol) <=> col("__prg") && col(scoreCol) <=> col("__prs"))
+      .select(inCols.map(col) :+ col("pct_rank"): _*)
+  }
 
   /** Robust outlier flags via MAD (median absolute deviation): per
     * group, med = exact disc median of `valueCol` (integer cents), mad =

@@ -193,7 +193,13 @@ object TokenizerOps {
     val cap = capacities.init.reverse.foldLeft(lit(maxCap)) { (acc, c) =>
       when(len <= c, lit(c)).otherwise(acc)
     }
+    // NULL lengths are excluded: every CASE branch of `cap` is null for a
+    // null length, which would fall through to the LARGEST capacity and
+    // inflate that bucket's n_docs (the waste_permille denominator) while
+    // adding nothing to sum_len/padded/truncated — silently breaking the
+    // exact-integer-accounting contract.
     docs
+      .filter(len.isNotNull)
       .select(cap.as("capacity"), len.as("__len"))
       .groupBy("capacity")
       .agg(count(lit(1)).as("n_docs"),

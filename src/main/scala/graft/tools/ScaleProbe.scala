@@ -783,6 +783,65 @@ object ScaleProbe {
             .as("sg")),
         "sg", "source").count()
     }
+    spark.catalog.clearCache()
+    timed("percent_rank_dominant_5m") {
+      // round 13: q164 at 5M rows with ONE group owning 60% — the exact
+      // shape the built-in percent_rank window dies on (hash-partition by
+      // group = one task sorts 3M rows). The two-phase plan range-
+      // exchanges (group, score) so the dominant group spreads across
+      // partitions; aggregate the output column so pruning can't skip it
+      val rows = spark.range(5000000L).select(col("id"),
+        when(pmod(col("id"), lit(10L)) < 6, lit("g_dom"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(10L))))
+          .as("g"),
+        pmod(col("id") * 2654435761L, lit(10000000L)).as("score"))
+      graft.operators.Stats.percentRankNormalize(rows, "g", "score")
+        .agg(sum(col("pct_rank"))).collect()
+        .head.getDouble(0).toLong
+    }
+    spark.catalog.clearCache()
+    timed("horizon_dedup_1m") {
+      // round 13: q165 over the 10x events with 10x-deep (type|user)
+      // timelines — ONE keyed window exchange computes both the lag gap
+      // test and the epoch cumsum; per-row frame state is constant, so
+      // deeper timelines widen tasks, never blow memory
+      graft.operators.DedupOps.horizonDedup(
+        ev.select(concat(col("event_type"), lit("|"),
+            col("user_id").cast("string")).as("page"),
+          col("ts"), col("event_id")),
+        "page", "ts", "event_id", horizonMs = 3600000L)
+        .agg(sum(when(col("fresh"), 1L).otherwise(0L))).collect()
+        .head.getLong(0)
+    }
+    spark.catalog.clearCache()
+    timed("nearest_centroid_eval_500k") {
+      // round 13: q174 over 500k 64-dim vectors, 10 labels — the moment
+      // aggregation collapses to |labels| x dim = 640 cells before the
+      // bounded collect; classify is one broadcast scan; the shape audit
+      // adds one extra pass over the persisted projection
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        (col("id") % 10).cast("int").as("label"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(col("id") * 31 + d * 7, lit(1000)) - 500) / 1000.0)
+            .cast("float")).as("embedding"))
+      graft.operators.ClusteringOps.nearestCentroidEval(
+        vecs, "label").count()
+    }
+    spark.catalog.clearCache()
+    timed("source_overlap_200_sources") {
+      // round 13: the q169 fp self-join at an ADVERSARIAL source count —
+      // 200 sources means the per-fingerprint fanout bound is 200^2 =
+      // 40k (vs 400 at the documented 20-source panel) and the grid is
+      // 19,900 pairs; confirms the |sources|^2 contract holds in
+      // practice, not just in the scaladoc
+      val grouped = docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 200).cast("string")))
+      graft.operators.CorpusCompareOps.sourceOverlapExact(
+        grouped.select(col("source"),
+          explode(graft.operators.DedupOps.shinglesCol(col("text"), 3))
+            .as("sg")),
+        "sg", "source").count()
+    }
     spark.stop()
   }
 }

@@ -535,6 +535,26 @@ class PlanSpec extends SparkSpec {
       "median/mad summaries must broadcast back")
   }
 
+  test("q164 percent-rank: two-phase distributed rank, never a " +
+      "per-group single-task sort") {
+    val plan = planOf("q164_percent_rank_norm")
+    // the sort work is a range exchange over (group, score) — fully
+    // parallel even when ONE group owns most rows
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"), plan.take(800))
+    // the built-in would be a Window partitioned by event_type alone
+    // (each ENTIRE group sorted by one task); the only window allowed is
+    // the per-partition offsets scan of the globalRank recipe
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")),
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(!plan.contains("percent_rank"),
+      "must not fall back to the single-reducer built-in")
+    // per-group (min, n) summary broadcasts back
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("q168 neyman: map-side-combined moments, no cartesian on data") {
     val plan = planOf("q168_neyman_allocation")
     assert(plan.contains("partial_"),
