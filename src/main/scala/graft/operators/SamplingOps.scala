@@ -73,6 +73,17 @@ object SamplingOps {
         least(lit(1.0), col("__w") * col("__t") / col("n")).as("rate"))
   }
 
+  /** Exact floor division of non-negative DECIMAL(38,0) columns:
+    * `(a - a % b) / b` keeps every step integer-exact. A bare `floor(a/b)`
+    * is NOT — Spark's decimal division rounds the quotient at scale 6, so
+    * a true quotient within 1e-6 below an integer rounds UP across the
+    * boundary before floor sees it. This is the one quota divider shared
+    * by the Hamilton-style apportionments ([[waterFillAllocation]]'s
+    * budget fraction and per-source shares, [[neymanAllocation]]'s floor
+    * quotas). */
+  private[operators] def decFloorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
   /** Budget-constrained mixture allocation ("water-filling"): spend a
     * fixed token `budget` across sources in proportion to `weightCol`,
     * capping each source at its availability and redistributing the
@@ -124,8 +135,7 @@ object SamplingOps {
     val dec = "decimal(38,0)"
     waterFillImpl(counts, sourceCol, availCol, weightCol, d => {
       val q = sum(col("__a")).cast(dec) * lit(budgetNum).cast(dec)
-      val den = lit(budgetDen).cast(dec)
-      d.agg(((q - pmod(q, den)) / den).cast(dec).as("__budget"))
+      d.agg(decFloorDiv(q, lit(budgetDen).cast(dec)).as("__budget"))
     })
   }
 
@@ -168,8 +178,7 @@ object SamplingOps {
     labeled.crossJoin(broadcast(rem))
       .withColumn("allocated",
         when(col("capped"), col("__a"))
-          .otherwise(floor(col("__bs") * col("__w") / col("__ws"))
-            .cast(dec)))
+          .otherwise(decFloorDiv(col("__bs") * col("__w"), col("__ws"))))
       .select(col("source"),
         col("__a").cast("long").as("available"),
         col("__w").cast("long").as("weight"),
@@ -223,8 +232,7 @@ object SamplingOps {
     val b = lit(budget).cast(dec)
     val quota = w
       .withColumn("__p", b * col("__wq"))
-      .withColumn("__base",
-        ((col("__p") - pmod(col("__p"), col("__W"))) / col("__W")).cast(dec))
+      .withColumn("__base", decFloorDiv(col("__p"), col("__W")))
       .withColumn("__rem", pmod(col("__p"), col("__W")))
     val leftover = quota.agg((b - sum(col("__base"))).as("__lo"))
     quota.crossJoin(broadcast(leftover))

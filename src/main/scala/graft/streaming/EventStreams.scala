@@ -613,6 +613,61 @@ object EventStreams {
     * live cadence profile; drained over the same rows that equals the
     * batch operator exactly (StreamingSpec). State per key: one
     * (ts, id, type) record, nothing else. */
+  case class KeyedSighting(key: String, tsMillis: Long, event_id: Long)
+  case class HorizonSt(lastMillis: Long, epoch: Long)
+  case class HorizonObs(
+      key: String, event_id: Long, fresh: Boolean, epoch: Long)
+
+  /** Streaming twin of [[graft.operators.DedupOps.horizonDedup]] with the
+    * batch operator's EXACT chained semantics: a sighting is fresh iff it
+    * arrives more than `horizonMs` after the PREVIOUS sighting of its key
+    * (each sighting refreshes the window), and `epoch` is the cumulative
+    * 0-based freshness-run index. Per-key state is one (lastMillis,
+    * epoch) pair — 16 bytes regardless of stream length.
+    *
+    * Why not `dropDuplicatesWithinWatermark`? The built-in is the right
+    * tool for plain streaming dedup (and [[dedupDocuments]] uses it), but
+    * its contract is different on exactly the axis horizonDedup cares
+    * about: it guarantees dedup only while earliest-to-latest duplicate
+    * distance stays under the delay (state expiry anchors at the FIRST
+    * sighting, not the previous one), eviction timing additionally
+    * depends on watermark progress, and it emits survivors only — no
+    * fresh/epoch labeling of the duplicates. A chained-gap recrawl
+    * timeline (t0, t0+0.8h, t0+1.6h at a 1 h horizon) is ONE epoch here
+    * and in the batch operator, but may re-admit t0+1.6h under the
+    * built-in once the watermark passes t0+1h. This carry is the exact
+    * form; StreamingSpec pins stream == batch on the driver events
+    * fixture.
+    *
+    * Same in-order micro-batch contract as [[asofCarry]]/[[gapCarry]]:
+    * rows fold in `(tsMillis, event_id)` order within each batch; a
+    * cross-batch late sighting scores against the carried state. */
+  def horizonCarry(events: Dataset[KeyedSighting],
+      horizonMs: Long): Dataset[HorizonObs] = {
+    require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HorizonSt, HorizonObs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[KeyedSighting],
+         state: GroupState[HorizonSt]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[HorizonObs]
+          batch.toSeq
+            .sortBy(e => (e.tsMillis, e.event_id))
+            .foreach { e =>
+              val fresh = st.forall(s => e.tsMillis - s.lastMillis > horizonMs)
+              val epoch = st.map(s => if (fresh) s.epoch + 1 else s.epoch)
+                .getOrElse(0L)
+              out += HorizonObs(key, e.event_id, fresh, epoch)
+              st = Some(HorizonSt(e.tsMillis, epoch))
+            }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def gapCarry(events: Dataset[SeqEvent]): Dataset[GapObs] = {
     import events.sparkSession.implicits._
     events

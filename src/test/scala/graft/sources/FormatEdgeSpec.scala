@@ -285,6 +285,66 @@ class FormatEdgeSpec extends SparkSpec {
     assert(vs2.map(key).toSet == vs1.map(key).toSet)
   }
 
+  test("hostile: spanning-deletion * alt splits like any alternate " +
+      "(the converter contract: only <NON_REF>/<*> are placeholders)") {
+    // VCF 4.3's bare * (overlapping deletion) is a REAL alternate — the
+    // reference converter special-cases only the <NON_REF> placeholder
+    // (VariantContextConverter.scala:370-440), so * must become its own
+    // split record with Number=A/R/G slicing at its allele index
+    val line = "chr1\t200\t.\tGCA\tG,*\t30\tPASS\tAC=3,1;AN=4;DP=20\t" +
+      "GT:AD:PL:DP\t1/2:12,5,3:50,20,10,40,15,35:20"
+    val vcs = VcfIO.parseLine(line, Seq("s1"))
+    assert(vcs.length == 2)
+    val delRec = vcs.find(_.variant.get.alternateAllele.contains("G")).get
+    val starRec = vcs.find(_.variant.get.alternateAllele.contains("*")).get
+    // Number=A INFO slices positionally; Number=1 passes through
+    assert(delRec.variant.get.annotation("AC") == "3")
+    assert(starRec.variant.get.annotation("AC") == "1")
+    assert(starRec.variant.get.annotation("AN") == "4")
+    // GT 1/2: each record sees ITS allele as ALT, the other as OTHER_ALT
+    assert(delRec.genotypes.head.alleles == Seq("ALT", "OTHER_ALT"))
+    assert(starRec.genotypes.head.alleles == Seq("OTHER_ALT", "ALT"))
+    // AD: ref depth + the record's own alt depth
+    assert(delRec.genotypes.head.alternateReadDepth.contains(5))
+    assert(starRec.genotypes.head.alternateReadDepth.contains(3))
+    assert(starRec.genotypes.head.referenceReadDepth.contains(12))
+    // diploid PL over 3 alleles (00,01,11,02,12,22): keep {REF, a}
+    assert(delRec.genotypes.head.genotypeLikelihoods ==
+      Seq(50.0, 20.0, 10.0)) // 00,01,11
+    assert(starRec.genotypes.head.genotypeLikelihoods ==
+      Seq(50.0, 40.0, 35.0)) // 00,02,22
+  }
+
+  test("hostile: mixed-ploidy samples in ONE record — haploid G-vector " +
+      "slicing and diploid half-calls agree with the converter") {
+    // sample s1 is haploid (chrX male convention): GT "2", PL has one
+    // entry PER ALLELE and Number=G attrs slice to {REF, a}; sample s2 is
+    // a diploid half-call ./1 — the missing allele is NO_CALL, the known
+    // allele classifies per record
+    val line = "chrX\t500\t.\tA\tC,T\t60\tPASS\tDP=33\t" +
+      "GT:PL:GP\t2:9,8,7:0.7,0.2,0.1\t./1:50,20,10,40,15,35:."
+    val vcs = VcfIO.parseLine(line, Seq("s1", "s2"))
+    assert(vcs.length == 2)
+    val cRec = vcs.find(_.variant.get.alternateAllele.contains("C")).get
+    val tRec = vcs.find(_.variant.get.alternateAllele.contains("T")).get
+    def g(vc: graft.model.VariantContext, s: String) =
+      vc.genotypes.find(_.sampleId.contains(s)).get
+    // haploid G vector = one entry per allele: keep {REF, a}
+    assert(g(cRec, "s1").genotypeLikelihoods == Seq(9.0, 8.0))
+    assert(g(tRec, "s1").genotypeLikelihoods == Seq(9.0, 7.0))
+    assert(g(cRec, "s1").attributes("GP") == "0.7,0.2")
+    assert(g(tRec, "s1").attributes("GP") == "0.7,0.1")
+    // haploid allele classification: "2" is OTHER_ALT for C, ALT for T
+    assert(g(cRec, "s1").alleles == Seq("OTHER_ALT"))
+    assert(g(tRec, "s1").alleles == Seq("ALT"))
+    // diploid half-call: NO_CALL survives, known allele classifies
+    assert(g(cRec, "s2").alleles == Seq("NO_CALL", "ALT"))
+    assert(g(tRec, "s2").alleles == Seq("NO_CALL", "OTHER_ALT"))
+    // diploid PL slices normally alongside the haploid sample
+    assert(g(cRec, "s2").genotypeLikelihoods == Seq(50.0, 20.0, 10.0))
+    assert(g(tRec, "s2").genotypeLikelihoods == Seq(50.0, 40.0, 35.0))
+  }
+
   test("failed FILTER with no named filters emits '.', not FAIL") {
     val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
       Some(Variant(referenceName = Some("chr1"), start = Some(99L),

@@ -1008,4 +1008,83 @@ class StreamingSpec extends SparkSpec {
         s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming horizonCarry matches batch horizonDedup on the driver " +
+      "events fixture") {
+    // the q165-verified batch operator is the oracle: same (type|user)
+    // page key, same 1h horizon, fed as three in-order micro-batches —
+    // fresh flags AND cumulative epoch indices must agree row-for-row
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(concat(col("event_type"), lit("|"),
+          col("user_id").cast("string")).as("page"),
+        col("ts"), col("event_id"))
+    val batch = graft.operators.DedupOps.horizonDedup(
+        ev, "page", "ts", "event_id", horizonMs = 3600000L)
+      .select("page", "event_id", "fresh", "epoch")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getLong(3)))
+      .toMap
+
+    val feed = ev
+      .select(col("page").as("key"), expr("unix_millis(ts)").as("tsMillis"),
+        col("event_id"))
+      .as[EventStreams.KeyedSighting]
+      .collect()
+      .sortBy(e => (e.tsMillis, e.event_id))
+    val input = MemoryStream[EventStreams.KeyedSighting]
+    val q = EventStreams.horizonCarry(input.toDS(), horizonMs = 3600000L)
+      .writeStream.format("memory").queryName("horizoncarry")
+      .outputMode("append").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { c =>
+        input.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("horizoncarry")
+        .as[EventStreams.HorizonObs]
+        .collect()
+        .map(o => (o.key, o.event_id) -> (o.fresh, o.epoch))
+        .toMap
+      assert(got.size == batch.size, s"${got.size} vs ${batch.size}")
+      assert(got == batch, s"stream-batch drift: " +
+        s"onlyStream=${(got.toSet -- batch.toSet).take(5)} " +
+        s"onlyBatch=${(batch.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
+
+  test("horizonCarry keeps a chained recrawl run in ONE epoch across " +
+      "micro-batches (the semantics dropDuplicatesWithinWatermark does " +
+      "not guarantee past the first-sighting delay)") {
+    // t0, t0+0.8h, t0+1.6h at a 1h horizon: each sighting is within the
+    // horizon of its PREDECESSOR, so chained semantics keep one epoch —
+    // even with the run split across micro-batches; t0+3h starts epoch 1
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    val input = MemoryStream[EventStreams.KeyedSighting]
+    val q = EventStreams.horizonCarry(input.toDS(), horizonMs = h)
+      .writeStream.format("memory").queryName("horizonchain")
+      .outputMode("append").start()
+    try {
+      input.addData(EventStreams.KeyedSighting("k", 0L, 1L))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.KeyedSighting("k", (0.8 * h).toLong, 2L),
+        EventStreams.KeyedSighting("k", (1.6 * h).toLong, 3L))
+      q.processAllAvailable()
+      input.addData(EventStreams.KeyedSighting("k", 3 * h + 1L, 4L))
+      q.processAllAvailable()
+      val got = spark.table("horizonchain")
+        .as[EventStreams.HorizonObs]
+        .collect().map(o => o.event_id -> (o.fresh, o.epoch)).toMap
+      assert(got(1L) == (true, 0L))
+      assert(got(2L) == (false, 0L))
+      assert(got(3L) == (false, 0L),
+        "chained: within horizon of the PREVIOUS sighting across batches")
+      assert(got(4L) == (true, 1L), "quiet horizon passed -> new epoch")
+    } finally q.stop()
+  }
 }
