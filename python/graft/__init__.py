@@ -1513,3 +1513,54 @@ def fd_violations(df, det_col, dep_col, k=20):
     s = df.sparkSession
     return _wrap(s, _api(s).fdViolations(df._jdf, det_col, dep_col,
                                          int(k)))
+
+
+def event_path_trigrams(events, key_col, type_col, ts_col, tie_break,
+                        k=20):
+    """Top-k consecutive event-type trigram paths — (t1, t2, t3,
+    n_paths), the funnel-discovery step up from the transition matrix."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).eventPathTrigrams(events._jdf, key_col,
+                                              type_col, ts_col, tie_break,
+                                              int(k)))
+
+
+def source_centroid_drift(corpus, group_col, vec_col="embedding"):
+    """Per-group embedding-centroid cosine vs the global centroid —
+    (group, n_vecs, cosine_to_global); low values flag distribution
+    shift."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).sourceCentroidDrift(corpus._jdf, group_col,
+                                                vec_col))
+
+
+def corpus_growth_curve(docs, text_col="text", day_col="day"):
+    """Corpus growth curve: per epoch (day, n_sightings, n_distinct,
+    n_new, cum_distinct) over exact-dedup fingerprints."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).corpusGrowthCurve(docs._jdf, text_col,
+                                              day_col))
+
+
+def link_domain_edges(docs, src_domain_col, html_col, id_col="doc_id"):
+    """Domain-level link graph from crawled HTML — (src_domain,
+    dst_domain, n_links, n_docs); absolute http(s) hrefs only."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).linkDomainEdges(docs._jdf, src_domain_col,
+                                            html_col, id_col))
+
+
+def top_linked_domains(edges, k=10):
+    """The k most-linked destination domains of a link graph."""
+    s = edges.sparkSession
+    return _wrap(s, _api(s).topLinkedDomains(edges._jdf, int(k)))
+
+
+def rendezvous_move_report(df, key_col, from_shards, to_shards):
+    """Rendezvous-shard resize audit: one row (n_keys, n_moved,
+    moved_permille) — only keys whose new shards win move (~(m-n)/m on
+    grow), unlike a pmod reshuffle."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).rendezvousMoveReport(df._jdf, key_col,
+                                                 int(from_shards),
+                                                 int(to_shards)))

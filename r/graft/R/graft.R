@@ -850,3 +850,45 @@ graft.fdViolations <- function(df, detCol, depCol, k = 20L) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "fdViolations", df@sdf, detCol,
                                   depCol, as.integer(k)))
 }
+
+#' Top-k consecutive event-type trigram paths.
+graft.eventPathTrigrams <- function(events, keyCol, typeCol, tsCol,
+                                    tieBreak, k = 20L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "eventPathTrigrams", events@sdf,
+                                  keyCol, typeCol, tsCol, tieBreak,
+                                  as.integer(k)))
+}
+
+#' Per-group embedding-centroid drift vs the global centroid.
+graft.sourceCentroidDrift <- function(corpus, groupCol,
+                                      vecCol = "embedding") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "sourceCentroidDrift", corpus@sdf,
+                                  groupCol, vecCol))
+}
+
+#' Corpus growth curve (new vs re-seen fingerprints per epoch).
+graft.corpusGrowthCurve <- function(docs, textCol = "text",
+                                    dayCol = "day") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "corpusGrowthCurve", docs@sdf,
+                                  textCol, dayCol))
+}
+
+#' Domain-level link graph from an HTML column.
+graft.linkDomainEdges <- function(docs, srcDomainCol, htmlCol,
+                                  idCol = "doc_id") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "linkDomainEdges", docs@sdf,
+                                  srcDomainCol, htmlCol, idCol))
+}
+
+#' The k most-linked destination domains of a link graph.
+graft.topLinkedDomains <- function(edges, k = 10L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "topLinkedDomains", edges@sdf,
+                                  as.integer(k)))
+}
+
+#' Rendezvous-shard resize audit (keys moved on n -> m reshard).
+graft.rendezvousMoveReport <- function(df, keyCol, fromShards, toShards) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "rendezvousMoveReport", df@sdf,
+                                  keyCol, as.integer(fromShards),
+                                  as.integer(toShards)))
+}

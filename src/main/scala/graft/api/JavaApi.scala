@@ -1129,4 +1129,41 @@ object JavaApi {
   def profileDrift(a: DataFrame, colsA: Array[String], b: DataFrame,
       colsB: Array[String]): DataFrame =
     graft.operators.ProfileOps.profileDrift(a, colsA.toSeq, b, colsB.toSeq)
+
+  /** Top-k consecutive event-type trigram paths: (t1, t2, t3, n_paths). */
+  def eventPathTrigrams(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieBreak: String, k: Int): DataFrame =
+    graft.operators.Sessionize.eventPathTrigrams(events, keyCol, typeCol,
+      tsCol, tieBreak, k)
+
+  /** Per-group embedding-centroid drift vs the global centroid:
+    * (groupCol, n_vecs, cosine_to_global). */
+  def sourceCentroidDrift(corpus: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    graft.operators.ClusteringOps.sourceCentroidDrift(corpus, groupCol,
+      vecCol)
+
+  /** Corpus growth curve per epoch:
+    * (day, n_sightings, n_distinct, n_new, cum_distinct). */
+  def corpusGrowthCurve(docs: DataFrame, textCol: String,
+      dayCol: String): DataFrame =
+    graft.operators.SnapshotOps.corpusGrowthCurve(docs, textCol, dayCol)
+
+  /** Domain-level link graph from an HTML column:
+    * (src_domain, dst_domain, n_links, n_docs). */
+  def linkDomainEdges(docs: DataFrame, srcDomainCol: String,
+      htmlCol: String, idCol: String): DataFrame =
+    graft.operators.WebOps.linkDomainEdges(docs, srcDomainCol, htmlCol,
+      idCol)
+
+  /** The k most-linked destination domains of a link graph. */
+  def topLinkedDomains(edges: DataFrame, k: Int): DataFrame =
+    graft.operators.WebOps.topLinkedDomains(edges, k)
+
+  /** Rendezvous-shard resize audit:
+    * one row (n_keys, n_moved, moved_permille). */
+  def rendezvousMoveReport(df: DataFrame, keyCol: String, fromShards: Int,
+      toShards: Int): DataFrame =
+    graft.operators.ShardOps.rendezvousMoveReport(df, keyCol, fromShards,
+      toShards)
 }

@@ -371,6 +371,69 @@ object ClusteringOps {
     * classify-and-count pass over the corpus — no shuffle wider than the
     * |labels|^2 confusion grid; the persisted quantized projection is
     * released via materializeAndRelease (tier 1). */
+  /** Per-group embedding-centroid drift vs the corpus: for every group
+    * (source, language, snapshot...) the cosine between ITS quantized
+    * centroid and the GLOBAL centroid — the embedding-space audit run
+    * before mixing a source in ("does this crawl live where the rest of
+    * the corpus lives?"). A cosine near 1 means the group is centered
+    * like the corpus; a low/negative cosine flags a distribution shift
+    * worth a [[nearestCentroidEval]]/PSI follow-up.
+    *
+    * Exactness: components quantize once ([[quantize]], round-half-up
+    * longs); per-(group, dim) sums and counts aggregate exactly; both
+    * centroids are `floorDiv(sum, count)` (the kmeans update rule) in
+    * pure in-plan integer arithmetic — `(s - pmod(s, n)) / n` IS
+    * Math.floorDiv for any-sign `s` — and each cosine is ONE double
+    * chain `dot / (sqrt(na) * sqrt(nb))` over exactly-converted integer
+    * sums (|c| <= scale, dot <= dims * scale^2 < 2^53 for 64-dim at the
+    * default scale). Zero-norm centroids define cosine 0.
+    *
+    * Output: (groupCol, n_vecs, cosine_to_global).
+    *
+    * Scale: ONE (group, dim) map-side-combined moment aggregation over
+    * the corpus (the nearestCentroidEval shape); the global centroid is
+    * re-aggregated FROM those bounded cells — the cells persist so the
+    * corpus is scanned ONCE (without it Catalyst plans a second full
+    * scan for the global branch), and the bounded result materializes
+    * via localCheckpoint with the cells released before returning
+    * (tier 1, operators/Caching.scala); everything downstream runs on
+    * |groups| x dim rows. No collect anywhere. */
+  def sourceCentroidDrift(
+      corpus: DataFrame,
+      groupCol: String,
+      vec: String = "embedding",
+      scale: Long = DefaultScale): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def floorDiv(s: Column, n: Column): Column =
+      ((s - pmod(s, n)) / n).cast(dec)
+    val cells = corpus
+      .select(col(groupCol).as("g"),
+        posexplode(quantize(col(vec), scale)).as(Seq("d", "v")))
+      .groupBy("g", "d")
+      .agg(sum(col("v").cast(dec)).cast(dec).as("s"),
+        count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = cells
+      .select(col("g"), col("d"), col("n"),
+        floorDiv(col("s"), col("n").cast(dec)).as("c"))
+    val global = cells.groupBy("d")
+      .agg(floorDiv(sum(col("s")).cast(dec), sum(col("n")).cast(dec))
+        .as("gc"))
+    val out = cents.join(broadcast(global), "d")
+      .groupBy("g")
+      .agg(max("n").as("n_vecs"),
+        sum(col("c") * col("gc")).cast(dec).as("__dot"),
+        sum(col("c") * col("c")).cast(dec).as("__na"),
+        sum(col("gc") * col("gc")).cast(dec).as("__nb"))
+      .select(col("g").as(groupCol), col("n_vecs"),
+        when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) *
+              sqrt(col("__nb").cast("double"))))
+          .as("cosine_to_global"))
+    Caching.materializeAndRelease(out, cells)
+  }
+
   def nearestCentroidEval(
       corpus: DataFrame,
       labelCol: String,

@@ -176,6 +176,37 @@ object Sessionize {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Top-`k` consecutive event-type TRIGRAMS across all keys' timelines —
+    * the path-discovery step up from [[eventTransitions]]' first-order
+    * matrix: "view→click→purchase happened 12k times" is the funnel
+    * candidate a pipeline then formalizes with [[funnelCounts]]. Per key,
+    * events order by `(tsCol, tieBreak)` (deterministic under equal
+    * timestamps); every run of three consecutive events contributes one
+    * `(t1, t2, t3)` observation; chains never cross keys. Output:
+    * `(t1, t2, t3, n_paths)` — the k most frequent, ties broken by the
+    * path ascending (fully order-deterministic).
+    *
+    * Scale: the SAME single keyed window exchange as eventTransitions
+    * (two `lead`s share one window spec — one exchange, one sort), a
+    * map-side-combined count over the |types|³-bounded path table, and a
+    * TakeOrdered head — never a global sort. */
+  def eventPathTrigrams(
+      events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieBreak: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(keyCol), col(typeCol).as("t1"),
+        col(tsCol), col(tieBreak))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(desc("n_paths"), asc("t1"), asc("t2"), asc("t3"))
+      .limit(k)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) validity intervals from an
     * event log: per key, ordered by (time, tieBreak), keep only the rows
     * where the tracked attribute CHANGES (null-safe; the first row always

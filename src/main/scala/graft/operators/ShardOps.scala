@@ -53,4 +53,68 @@ object ShardOps {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_items"),
         sum(col(sizeCol)).cast("long").as("total_size"))
+
+  /** Rendezvous (highest-random-weight) shard of a key: the shard s in
+    * [0, nShards) maximizing `splitmix64(fnv1a64(key) + s*GOLDEN)` —
+    * EXACTLY the MinHash permutation family (same s-from-0 convention:
+    * [[DedupOps.splitmix64]] folds one more GOLDEN in itself, which the
+    * HashOracleSql twin restates as (s+1))
+    * ([[DedupOps.minhashSignature]]), signed-Long comparison, ties
+    * (never observed, deterministic anyway) to the LARGEST shard id.
+    * The splitmix finisher is load-bearing, not styling: bare
+    * `fnv1a64(key + "#" + s)` differs across s only in its LAST char,
+    * and one FNV step moves a low-nibble change by only ~2^40 — the
+    * top comparison bits barely move, so the argmax degenerates to
+    * "whichever digit xors highest" and a grow-resize moved 51% of keys
+    * instead of the theoretical 20% (caught by the spec's distribution
+    * band). Unlike `pmod(hash, n)` assignment, a resize from n to m
+    * shards moves ONLY the keys whose new-shard hash wins — expected
+    * moved fraction (m-n)/m on grow instead of pmod's
+    * reshuffle-almost-everything.
+    *
+    * Scale: pure per-row arithmetic (ONE fnv + nShards splitmix steps),
+    * zero shuffle; nShards is a routing-table size (tens to a few
+    * thousand), never data-scale. */
+  def rendezvousShard(key: org.apache.spark.sql.Column,
+      nShards: Int): org.apache.spark.sql.Column = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val n = nShards
+    val f = udf { k: String =>
+      val base = DedupOps.fnv1a64(if (k == null) "" else k)
+      var best = 0
+      var bestH = Long.MinValue
+      var s = 0
+      while (s < n) {
+        val h = DedupOps.splitmix64(base + s * 0x9e3779b97f4a7c15L)
+        if (h >= bestH) { bestH = h; best = s }
+        s += 1
+      }
+      best
+    }
+    f(key.cast("string"))
+  }
+
+  /** Resize audit for rendezvous sharding: assign every DISTINCT key
+    * under `fromShards` and `toShards`, report one row —
+    * (n_keys, n_moved, moved_permille) — plus nothing else, so the
+    * operator is a cheap pre-flight before a shard-count change ("does
+    * this resize move the ~(m-n)/m of keys the theory promises, or did
+    * someone wire pmod in somewhere?"). Exact integer permille.
+    *
+    * Scale: one distinct on the key column (map-side combined), then
+    * per-row arithmetic (2 bounded hash scans per key) and ONE global
+    * aggregation — no join, no window. */
+  def rendezvousMoveReport(df: DataFrame, keyCol: String,
+      fromShards: Int, toShards: Int): DataFrame = {
+    require(fromShards > 0 && toShards > 0,
+      s"shard counts must be positive: $fromShards -> $toShards")
+    df.select(col(keyCol).as("__k")).distinct()
+      .select(rendezvousShard(col("__k"), fromShards).as("__from"),
+        rendezvousShard(col("__k"), toShards).as("__to"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__from") =!= col("__to"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_permille",
+        expr("n_moved * 1000 div n_keys"))
+  }
 }

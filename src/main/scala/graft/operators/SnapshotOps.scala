@@ -68,4 +68,47 @@ object SnapshotOps {
         count(when(col("status") === "deleted", 1)).as("n_deleted"),
         count(when(col("status") === "changed", 1)).as("n_changed"),
         count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
+
+  /** Corpus growth curve over a crawl timeline: per `dayCol` epoch, how
+    * many sightings arrived, how many DISTINCT contents they carried,
+    * how many contents were genuinely NEW (first sighting of their
+    * fingerprint anywhere in the timeline), and the running distinct
+    * total — the "is the crawl still finding new data or re-fetching the
+    * web it already has" curve every collection pipeline watches, and
+    * the capacity-planning input for dedup state (cum_distinct IS the
+    * fingerprint-store size at each epoch). Content identity is the
+    * exact-dedup key ([[TextOps.fingerprint]] normalization: trim,
+    * collapse whitespace, lowercase, md5).
+    *
+    * Output: (day, n_sightings, n_distinct, n_new, cum_distinct), one
+    * row per epoch present in the data; `sum(n_new)` = corpus-wide
+    * distinct fingerprints and `cum_distinct` of the last epoch equals
+    * it too.
+    *
+    * Scale: three keyed passes over the (day, fp) projection — a
+    * map-side-combined per-day count, a (day, fp) distinct for the
+    * per-day distinct counts, and a per-fp `min(day)` for first
+    * sightings (the volume-keyed exchange) — then a join + running sum
+    * on the BOUNDED per-day table (the only unkeyed window). Text never
+    * shuffles; every exchange carries (day, 16-byte fp). */
+  def corpusGrowthCurve(
+      docs: DataFrame, textCol: String, dayCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sight = docs.select(col(dayCol).cast("long").as("day"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val perDay = sight.groupBy("day")
+      .agg(count(lit(1)).as("n_sightings"))
+    val distinctPerDay = sight.distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_distinct"))
+    val newPerDay = sight.groupBy("__fp")
+      .agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    perDay
+      .join(distinctPerDay, Seq("day"))
+      .join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_distinct", sum("n_new").over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -270,4 +270,63 @@ object WebOps {
       .groupBy("url")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col("url"), col("n_dups"))
+
+  /** Raw `href` targets of an HTML column, in document order — one
+    * codegen'd `regexp_extract_all` (quoted href values, fragment cut at
+    * `#`), no UDF. Relative targets come out as-is; pair with
+    * [[linkDomainEdges]]' absolute-link filter or [[canonicalUrl]]. */
+  def hrefTargets(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)href\\s*=\\s*[\"']([^\"'#>]+)"), lit(1))
+
+  /** Host of an absolute http(s) URL (lower-cased, userinfo and port
+    * stripped); NULL for anything else — the registrable unit the link
+    * graph aggregates on. Pure regexp, codegen'd. */
+  def linkHost(url: Column): Column = {
+    val h = lower(regexp_extract(url,
+      "^(?i)https?://(?:[^/@?#]*@)?([^:/?#]+).*", 1))
+    when(h =!= "", h)
+  }
+
+  /** Domain-level link graph from crawled HTML: explode every absolute
+    * http(s) `href`, roll up to `(src_domain, dst_domain)` edges with
+    * link and linking-document counts. Self-links (src == dst) are kept —
+    * internal-link density is itself a useful crawl signal; filter them
+    * for a cross-domain graph. Relative and non-http targets are
+    * EXCLUDED by construction ([[linkHost]] yields NULL). This is the
+    * intake step that feeds the graph family (PageRank/HITS over domain
+    * edges — q93/q172) straight from raw crawl HTML.
+    *
+    * Output: (src_domain, dst_domain, n_links, n_docs).
+    *
+    * Scale: extraction is per-row codegen'd regexp (embarrassingly
+    * parallel — the WARC-intake shape); the explode carries only the
+    * short href strings, never the HTML; ONE aggregation keyed by
+    * (src, dst, doc) collapses per-doc repeats map-side, then the edge
+    * rollup runs on the bounded edge table. HTML never shuffles. */
+  def linkDomainEdges(docs: DataFrame, srcDomainCol: String,
+      htmlCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(srcDomainCol).as("src_domain"), col(idCol).as("__doc"),
+        explode(hrefTargets(col(htmlCol))).as("__url"))
+      .select(col("src_domain"), col("__doc"),
+        linkHost(col("__url")).as("dst_domain"))
+      .filter(col("dst_domain").isNotNull)
+      .groupBy("src_domain", "dst_domain", "__doc")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(sum("__n").as("n_links"), count(lit(1)).as("n_docs"))
+
+  /** The k most-linked destination domains of a [[linkDomainEdges]]
+    * graph: inbound links, linking documents, and distinct linking
+    * domains. TakeOrdered over the bounded edge table — never a global
+    * sort; ties break by domain ascending. */
+  def topLinkedDomains(edges: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    edges.groupBy("dst_domain")
+      .agg(sum("n_links").as("n_links"), sum("n_docs").as("n_docs"),
+        count(lit(1)).as("n_src_domains"))
+      .orderBy(desc("n_links"), asc("dst_domain"))
+      .limit(k)
+  }
 }

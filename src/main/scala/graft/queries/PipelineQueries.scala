@@ -2477,7 +2477,208 @@ object PipelineQueries extends QuerySet {
           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_dep
         FROM lineitem GROUP BY 1
         HAVING count(DISTINCT l_suppkey) > 1
-        ORDER BY n_distinct_dep DESC, det LIMIT 25"""))
+        ORDER BY n_distinct_dep DESC, det LIMIT 25""")),
+
+    // Top event-type trigram paths: one keyed window (two leads share
+    // the spec), map-side-combined path counts, TakeOrdered head.
+    Query("q178_event_path_trigrams",
+      (s, dir) => graft.operators.Sessionize.eventPathTrigrams(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        k = 20),
+      Some("""WITH e AS (
+          SELECT event_type AS t1,
+            lead(event_type, 1) OVER w AS t2,
+            lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+        FROM e WHERE t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20""")),
+
+    // Per-label embedding-centroid drift vs the global centroid:
+    // quantized integer centroids (kmeans floorDiv rule), cosine as one
+    // double chain over exactly-converted integer sums.
+    Query("q179_centroid_drift",
+      (s, dir) => graft.operators.ClusteringOps.sourceCentroidDrift(
+        t(s, dir, "embeddings"), "label"),
+      Some("""WITH q AS MATERIALIZED (
+          SELECT label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        cells AS (
+          SELECT label AS g, t.d, CAST(sum(qv[t.d + 1]) AS HUGEINT) AS s,
+            CAST(count(*) AS BIGINT) AS n
+          FROM q CROSS JOIN range(64) t(d) GROUP BY 1, 2),
+        cents AS (SELECT g, d, n,
+            CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM cells),
+        gcen AS (SELECT d,
+            CAST(floor(CAST(sum(s) AS DOUBLE) / sum(n)) AS BIGINT) AS gc
+          FROM cells GROUP BY 1),
+        agg AS (SELECT g, max(n) AS n_vecs,
+            CAST(sum(CAST(c AS HUGEINT) * gc) AS DOUBLE) AS dot,
+            CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS na,
+            CAST(sum(CAST(gc AS HUGEINT) * gc) AS DOUBLE) AS nb
+          FROM cents JOIN gcen USING (d) GROUP BY g)
+        SELECT g AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+          CASE WHEN na = 0 OR nb = 0 THEN 0.0
+            ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine_to_global
+        FROM agg""")),
+
+    // Corpus growth curve over a synthetic 30-day crawl timeline: new vs
+    // re-seen exact-dedup fingerprints per day, cumulative distinct.
+    Query("q180_corpus_growth",
+      (s, dir) => graft.operators.SnapshotOps.corpusGrowthCurve(
+        t(s, dir, "documents")
+          .withColumn("day", pmod(col("doc_id") * 48271L, lit(30L))),
+        "text", "day"),
+      Some("""WITH s AS (
+          SELECT ((doc_id * 48271) % 30 + 30) % 30 AS day,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sightings
+          FROM s GROUP BY 1),
+        dd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_distinct
+          FROM (SELECT DISTINCT day, fp FROM s) GROUP BY 1),
+        fs AS (SELECT fp, min(day) AS day FROM s GROUP BY 1),
+        nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+          FROM fs GROUP BY 1)
+        SELECT pd.day, n_sightings, n_distinct,
+          CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+          CAST(sum(coalesce(n_new, 0)) OVER (
+            ORDER BY pd.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_distinct
+        FROM pd JOIN dd USING (day) LEFT JOIN nw USING (day)""")),
+
+    // Domain-level link graph from synthesized crawl HTML: absolute
+    // http(s) hrefs only (the third link is relative or carries
+    // userinfo/port/fragment to exercise host extraction), rolled up to
+    // (src_domain, dst_domain) edges.
+    Query("q181_link_domain_edges",
+      (s, dir) => graft.operators.WebOps.linkDomainEdges(
+        t(s, dir, "documents").select(
+          concat(lit("src"), pmod(col("doc_id"), lit(5L)).cast("string"))
+            .as("dom"),
+          col("doc_id"),
+          concat(
+            lit("<a href=\"https://site"),
+            pmod(col("doc_id"), lit(7L)).cast("string"),
+            lit(".example.com/p"), col("doc_id").cast("string"),
+            lit("\">x</a>"),
+            when(pmod(col("doc_id"), lit(3L)) === 0,
+              concat(lit("<a href='http://user@Hub"),
+                pmod(col("doc_id"), lit(2L)).cast("string"),
+                lit(".example.com:8080/y#frag'>h</a>")))
+              .otherwise(lit("<a href=\"/rel\">r</a>"))).as("html")),
+        "dom", "html", "doc_id"),
+      Some("""WITH h AS (
+          SELECT 'src' || (doc_id % 5) AS src_domain, doc_id,
+            '<a href="https://site' || (doc_id % 7) || '.example.com/p'
+              || doc_id || '">x</a>' ||
+            CASE WHEN doc_id % 3 = 0
+              THEN '<a href=''http://user@Hub' || (doc_id % 2)
+                || '.example.com:8080/y#frag''>h</a>'
+              ELSE '<a href="/rel">r</a>' END AS html
+          FROM documents),
+        u AS (SELECT src_domain, doc_id,
+            unnest(regexp_extract_all(html,
+              '(?i)href\s*=\s*["'']([^"''#>]+)', 1)) AS url
+          FROM h),
+        d AS (SELECT src_domain, doc_id,
+            lower(regexp_extract(url,
+              '^(?i)https?://(?:[^/@?#]*@)?([^:/?#]+).*', 1)) AS dst
+          FROM u),
+        e AS (SELECT src_domain, dst AS dst_domain, doc_id,
+            CAST(count(*) AS BIGINT) AS n
+          FROM d WHERE dst IS NOT NULL AND dst <> '' GROUP BY 1, 2, 3)
+        SELECT src_domain, dst_domain, CAST(sum(n) AS BIGINT) AS n_links,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM e GROUP BY 1, 2""")),
+
+    // The k most-linked destination domains of the q181 graph —
+    // TakeOrdered over the bounded edge table.
+    Query("q182_top_linked_domains",
+      (s, dir) => graft.operators.WebOps.topLinkedDomains(
+        graft.operators.WebOps.linkDomainEdges(
+          t(s, dir, "documents").select(
+            concat(lit("src"), pmod(col("doc_id"), lit(5L)).cast("string"))
+              .as("dom"),
+            col("doc_id"),
+            concat(
+              lit("<a href=\"https://site"),
+              pmod(col("doc_id"), lit(7L)).cast("string"),
+              lit(".example.com/p"), col("doc_id").cast("string"),
+              lit("\">x</a>"),
+              when(pmod(col("doc_id"), lit(3L)) === 0,
+                concat(lit("<a href='http://user@Hub"),
+                  pmod(col("doc_id"), lit(2L)).cast("string"),
+                  lit(".example.com:8080/y#frag'>h</a>")))
+                .otherwise(lit("<a href=\"/rel\">r</a>"))).as("html")),
+          "dom", "html", "doc_id"),
+        k = 6),
+      Some("""WITH h AS (
+          SELECT 'src' || (doc_id % 5) AS src_domain, doc_id,
+            '<a href="https://site' || (doc_id % 7) || '.example.com/p'
+              || doc_id || '">x</a>' ||
+            CASE WHEN doc_id % 3 = 0
+              THEN '<a href=''http://user@Hub' || (doc_id % 2)
+                || '.example.com:8080/y#frag''>h</a>'
+              ELSE '<a href="/rel">r</a>' END AS html
+          FROM documents),
+        u AS (SELECT src_domain, doc_id,
+            unnest(regexp_extract_all(html,
+              '(?i)href\s*=\s*["'']([^"''#>]+)', 1)) AS url
+          FROM h),
+        d AS (SELECT src_domain, doc_id,
+            lower(regexp_extract(url,
+              '^(?i)https?://(?:[^/@?#]*@)?([^:/?#]+).*', 1)) AS dst
+          FROM u),
+        e AS (SELECT src_domain, dst AS dst_domain, doc_id,
+            CAST(count(*) AS BIGINT) AS n
+          FROM d WHERE dst IS NOT NULL AND dst <> '' GROUP BY 1, 2, 3),
+        g AS (SELECT src_domain, dst_domain,
+            CAST(sum(n) AS BIGINT) AS n_links,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM e GROUP BY 1, 2)
+        SELECT dst_domain, CAST(sum(n_links) AS BIGINT) AS n_links,
+          CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_src_domains
+        FROM g GROUP BY 1
+        ORDER BY n_links DESC, dst_domain LIMIT 6""")),
+
+    // Rendezvous-shard resize audit on the customer key space (8 -> 10
+    // shards): only keys whose new shards win move (~(m-n)/m), unlike a
+    // pmod reshuffle. Hash = splitmix64(fnv1a64(key) + s*GOLDEN) — the
+    // minhash permutation family; the SQL twin writes (s+1) because
+    // DedupOps.splitmix64 folds one GOLDEN in itself.
+    Query("q183_rendezvous_resize",
+      (s, dir) => graft.operators.ShardOps.rendezvousMoveReport(
+        t(s, dir, "customer"), "c_custkey", 8, 10),
+      Some(s"""WITH k AS (SELECT DISTINCT c_custkey FROM customer),
+          |hb AS (SELECT c_custkey,
+          |    ${HashOracleSql.fnv1a64("CAST(c_custkey AS VARCHAR)")} AS fh
+          |  FROM k),
+          |x0 AS (SELECT c_custkey, n.n AS n, t.s AS s,
+          |    ((fh::HUGEINT + ((t.s::HUGEINT + 1) * ${HashOracleSql.goldenU}::HUGEINT)
+          |       % 18446744073709551616::HUGEINT)
+          |     % 18446744073709551616::HUGEINT)::UBIGINT AS x
+          |  FROM hb CROSS JOIN (VALUES (8), (10)) n(n)
+          |  CROSS JOIN range(10) t(s) WHERE t.s < n.n),
+          |${HashOracleSql.splitmixCtes("x0", "c_custkey, n, s", "sm")},
+          |w AS (SELECT c_custkey, n, s, row_number() OVER (
+          |    PARTITION BY c_custkey, n ORDER BY h DESC, s DESC) AS rn
+          |  FROM sm),
+          |p AS (SELECT c_custkey,
+          |    max(CASE WHEN n = 8 THEN s END) AS f,
+          |    max(CASE WHEN n = 10 THEN s END) AS t
+          |  FROM w WHERE rn = 1 GROUP BY 1)
+          |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(sum(CASE WHEN f <> t THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_moved,
+          |  CAST(sum(CASE WHEN f <> t THEN 1 ELSE 0 END) * 1000
+          |    // count(*) AS BIGINT) AS moved_permille
+          |FROM p""".stripMargin))
   )
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared

@@ -1364,6 +1364,64 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"fd: wrote $out")
 
+      // trigrams <in> <out> [-key c] [-type c] [-ts c] [-id c] [-k n] —
+      //   top-k consecutive event-type trigram paths
+      case "trigrams" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.Sessionize.eventPathTrigrams(
+            readTs(spark, in, fv("-ts", "ts")), fv("-key", "user_id"),
+            fv("-type", "event_type"), fv("-ts", "ts"),
+            fv("-id", "event_id"), fv("-k", "20").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"trigrams: wrote $out")
+
+      // centroidDrift <in> <out> [-group c] [-vec c] — per-group
+      //   embedding-centroid cosine vs the global centroid
+      case "centroidDrift" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.ClusteringOps.sourceCentroidDrift(
+            spark.read.parquet(in), fv("-group", "label"),
+            fv("-vec", "embedding"))
+          .write.mode("overwrite").parquet(out)
+        println(s"centroidDrift: wrote $out")
+
+      // growth <in> <out> [-text c] [-day c] — corpus growth curve
+      //   (new vs re-seen fingerprints per epoch, cumulative distinct)
+      case "growth" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.SnapshotOps.corpusGrowthCurve(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-day", "day"))
+          .write.mode("overwrite").parquet(out)
+        println(s"growth: wrote $out")
+
+      // linkGraph <in> <out> [-src c] [-html c] [-id c] [-top k] —
+      //   domain-level link graph from crawled HTML (edges, or the
+      //   top-k most-linked destination domains with -top)
+      case "linkGraph" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val edges = graft.operators.WebOps.linkDomainEdges(
+          spark.read.parquet(in), fv("-src", "source"),
+          fv("-html", "html"), fv("-id", "doc_id"))
+        val res = fv("-top", "") match {
+          case "" => edges
+          case k => graft.operators.WebOps.topLinkedDomains(edges, k.toInt)
+        }
+        res.write.mode("overwrite").parquet(out)
+        println(s"linkGraph: wrote $out")
+
+      // rendezvous <in> <out> -from n -to m [-key c] — rendezvous-shard
+      //   resize audit (keys moved, exact integer permille)
+      case "rendezvous" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (f, tt) = (fv("-from", ""), fv("-to", ""))
+        if (f.isEmpty || tt.isEmpty) sys.error("rendezvous needs -from/-to")
+        graft.operators.ShardOps.rendezvousMoveReport(
+            spark.read.parquet(in), fv("-key", "doc_id"),
+            f.toInt, tt.toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"rendezvous: wrote $out")
+
       // profileDrift <a.parquet> <b.parquet> <out> -colsA a,b -colsB a,c
       //   — per-column snapshot drift report
       case "profileDrift" :: aP :: bP :: out :: rest =>
@@ -1575,7 +1633,12 @@ object Cli {
           "\n  centroidEval <in.parquet> <out.parquet> [-label c] [-vec c]" +
           "\n  burst <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms] [-threshold n]" +
           "\n  profileDrift <a.parquet> <b.parquet> <out.parquet> -colsA c1,c2 -colsB c1,c3" +
-          "\n  fd <in.parquet> <out.parquet> -det c -dep c [-k n]")
+          "\n  fd <in.parquet> <out.parquet> -det c -dep c [-k n]" +
+          "\n  trigrams <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c] [-k n]" +
+          "\n  centroidDrift <in.parquet> <out.parquet> [-group c] [-vec c]" +
+          "\n  growth <in.parquet> <out.parquet> [-text c] [-day c]" +
+          "\n  linkGraph <in.parquet> <out.parquet> [-src c] [-html c] [-id c] [-top k]" +
+          "\n  rendezvous <in.parquet> <out.parquet> -from n -to m [-key c]")
         sys.exit(2)
     }
   }

@@ -70,7 +70,10 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "profileColumns" -> 2, "fkAudit" -> 4, "pkAudit" -> 2,
       "calibrationCurve" -> 5, "rollingDistinctActives" -> 4,
       "volumeAnomalies" -> 7, "retentionCohorts" -> 3,
-      "calendarFill" -> 4, "abTestReport" -> 4)
+      "calendarFill" -> 4, "abTestReport" -> 4,
+      "eventPathTrigrams" -> 6, "sourceCentroidDrift" -> 3,
+      "corpusGrowthCurve" -> 3, "linkDomainEdges" -> 4,
+      "topLinkedDomains" -> 2, "rendezvousMoveReport" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }
