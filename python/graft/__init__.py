@@ -1564,3 +1564,48 @@ def rendezvous_move_report(df, key_col, from_shards, to_shards):
     return _wrap(s, _api(s).rendezvousMoveReport(df._jdf, key_col,
                                                  int(from_shards),
                                                  int(to_shards)))
+
+
+def ks_drift(df, side_col, value_col):
+    """Two-sample KS drift statistic between side=False (reference) and
+    side=True (current) over an integer value column: one row
+    (n_ref, n_cur, ks_at, ks_d)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).ksDrift(df._jdf, side_col, value_col))
+
+
+def mutual_information_report(df, col_a, col_b):
+    """Mutual information / NMI between two categorical columns: one row
+    (n, n_cells, mi_nats, h_a, h_b, nmi)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).mutualInformationReport(df._jdf, col_a, col_b))
+
+
+def cohen_kappa(df, col_a, col_b):
+    """Cohen's kappa inter-rater agreement between two label columns:
+    one row (n, n_agree, kappa)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).cohenKappa(df._jdf, col_a, col_b))
+
+
+def benford_audit(df, group_col, value_col):
+    """Benford first-digit audit of a positive integer column per group:
+    (group, n, n_skipped, d1..d9, chi2)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).benfordAudit(df._jdf, group_col, value_col))
+
+
+def simplified_silhouette(corpus, label_col="label", vec="embedding"):
+    """Simplified (centroid) silhouette per label:
+    (label, n_vecs, mean_silhouette)."""
+    s = corpus.sparkSession
+    return _wrap(s, _api(s).simplifiedSilhouette(corpus._jdf, label_col,
+                                                 vec))
+
+
+def cusum_changepoint(events, key_col, ts_col="ts", bucket_ms=86400000):
+    """CUSUM level-shift changepoint per key over bucketed volumes:
+    (key, n_buckets, total, cp_bucket, cusum_peak, cusum_permille)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).cusumChangepoint(events._jdf, key_col, ts_col,
+                                             int(bucket_ms)))

@@ -892,3 +892,42 @@ graft.rendezvousMoveReport <- function(df, keyCol, fromShards, toShards) {
                                   keyCol, as.integer(fromShards),
                                   as.integer(toShards)))
 }
+
+#' Two-sample KS drift statistic (reference = side FALSE).
+graft.ksDrift <- function(df, sideCol, valueCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "ksDrift", df@sdf, sideCol,
+                                  valueCol))
+}
+
+#' Mutual information / NMI between two categorical columns.
+graft.mutualInformationReport <- function(df, colA, colB) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "mutualInformationReport",
+                                  df@sdf, colA, colB))
+}
+
+#' Cohen's kappa inter-rater agreement between two label columns.
+graft.cohenKappa <- function(df, colA, colB) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "cohenKappa", df@sdf, colA, colB))
+}
+
+#' Benford first-digit audit per group.
+graft.benfordAudit <- function(df, groupCol, valueCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "benfordAudit", df@sdf, groupCol,
+                                  valueCol))
+}
+
+#' Simplified (centroid) silhouette per label.
+graft.simplifiedSilhouette <- function(corpus, labelCol = "label",
+                                       vec = "embedding") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "simplifiedSilhouette",
+                                  corpus@sdf, labelCol, vec))
+}
+
+#' CUSUM level-shift changepoint per key over bucketed volumes.
+graft.cusumChangepoint <- function(events, keyCol, tsCol = "ts",
+                                   bucketMs = 86400000) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "cusumChangepoint", events@sdf,
+                                  keyCol, tsCol, .jlong(bucketMs)))
+}

@@ -1166,4 +1166,40 @@ object JavaApi {
       toShards: Int): DataFrame =
     graft.operators.ShardOps.rendezvousMoveReport(df, keyCol, fromShards,
       toShards)
+
+  /** Two-sample KS drift statistic:
+    * one row (n_ref, n_cur, ks_at, ks_d). */
+  def ksDrift(df: DataFrame, sideCol: String, valueCol: String): DataFrame =
+    graft.operators.Stats.ksDrift(df, sideCol, valueCol)
+
+  /** Mutual information between two categorical columns:
+    * one row (n, n_cells, mi_nats, h_a, h_b, nmi). */
+  def mutualInformationReport(df: DataFrame, colA: String,
+      colB: String): DataFrame =
+    graft.operators.Stats.mutualInformationReport(df, colA, colB)
+
+  /** Cohen's kappa inter-rater agreement:
+    * one row (n, n_agree, kappa). */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame =
+    graft.operators.Stats.cohenKappa(df, colA, colB)
+
+  /** Benford first-digit audit per group:
+    * (groupCol, n, n_skipped, d1..d9, chi2). */
+  def benfordAudit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Stats.benfordAudit(df, groupCol, valueCol)
+
+  /** Simplified (centroid) silhouette per label:
+    * (label, n_vecs, mean_silhouette). */
+  def simplifiedSilhouette(corpus: DataFrame, labelCol: String,
+      vec: String): DataFrame =
+    graft.operators.ClusteringOps.simplifiedSilhouette(corpus, labelCol,
+      vec)
+
+  /** CUSUM level-shift changepoint per key over bucketed volumes:
+    * (key, n_buckets, total, cp_bucket, cusum_peak, cusum_permille). */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMs: Long): DataFrame =
+    graft.operators.Sessionize.cusumChangepoint(events, keyCol, tsCol,
+      bucketMs)
 }

@@ -440,34 +440,12 @@ object ClusteringOps {
       vec: String = "embedding",
       scale: Long = DefaultScale): DataFrame = {
     val spark = corpus.sparkSession
-    // fail loudly at plan time on a non-integral label column: a silent
-    // cast("long") would fold every unparseable label (e.g. "en") into
-    // ONE null group and crash later with an opaque driver NPE
-    val lt = corpus.schema(labelCol).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(lt),
-      s"nearestCentroidEval needs an integral label column; '$labelCol' " +
-        s"is $lt — map categorical labels to ids first")
+    requireIntegralLabel(corpus, labelCol, "nearestCentroidEval")
     val q = corpus
       .select(col(labelCol).cast("long").as("label"),
         quantize(col(vec), scale).as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // fail loudly on null/ragged embeddings BEFORE they skew the centroid
-    // moments or crash assignUdf with an opaque NPE/IndexOutOfBounds: one
-    // extra pass over the persisted projection, 1-row collect
-    val shape = q.filter(col("label").isNotNull)
-      .agg(sum(when(col("qv").isNull, 1L).otherwise(0L)).as("nulls"),
-        min(size(col("qv"))).as("mn"), max(size(col("qv"))).as("mx"))
-      .head()
-    require(shape.isNullAt(0) || shape.getLong(0) == 0L,
-      s"nearestCentroidEval: ${shape.getLong(0)} labeled rows have a " +
-        s"NULL '$vec' — drop or impute them first")
-    require(shape.isNullAt(1) || shape.getInt(1) == shape.getInt(2),
-      s"nearestCentroidEval: ragged '$vec' lengths (min " +
-        s"${shape.getInt(1)}, max ${shape.getInt(2)}) — embeddings must " +
-        "be fixed-length")
+    requireCleanVectors(q, vec, "nearestCentroidEval")
     val cells = q
       .filter(col("label").isNotNull)
       .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
@@ -492,6 +470,132 @@ object ClusteringOps {
       .select(col("label"),
         predLabel(assignUdf(bc)(col("qv"))).as("predicted"))
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+    Caching.materializeAndRelease(out, q)
+  }
+
+  /** Loud plan-time guard shared by the label-conditioned centroid
+    * operators: a non-integral label would silently cast("long") every
+    * unparseable value into ONE null group and crash later with an
+    * opaque driver NPE. */
+  private def requireIntegralLabel(corpus: DataFrame, labelCol: String,
+      op: String): Unit = {
+    val lt = corpus.schema(labelCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(lt),
+      s"$op needs an integral label column; '$labelCol' is $lt — map " +
+        "categorical labels to ids first")
+  }
+
+  /** Loud execution-time guard shared by the label-conditioned centroid
+    * operators: NULL or ragged embeddings would skew the centroid
+    * moments or crash the distance UDF with an opaque
+    * NPE/IndexOutOfBounds. One pass over the persisted projection,
+    * 1-row collect. */
+  private def requireCleanVectors(q: DataFrame, vec: String,
+      op: String): Unit = {
+    val shape = q.filter(col("label").isNotNull)
+      .agg(sum(when(col("qv").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col("qv"))).as("mn"), max(size(col("qv"))).as("mx"))
+      .head()
+    require(shape.isNullAt(0) || shape.getLong(0) == 0L,
+      s"$op: ${shape.getLong(0)} labeled rows have a NULL '$vec' — " +
+        "drop or impute them first")
+    require(shape.isNullAt(1) || shape.getInt(1) == shape.getInt(2),
+      s"$op: ragged '$vec' lengths (min ${shape.getInt(1)}, max " +
+        s"${shape.getInt(2)}) — embeddings must be fixed-length")
+  }
+
+  /** Simplified silhouette per label — the clustering-quality /
+    * label-coherence audit that doesn't need the O(n²) pairwise
+    * silhouette: each vector scores `s = (b − a) / max(a, b)` where `a`
+    * is its distance to its OWN label centroid and `b` the distance to
+    * the nearest OTHER label centroid (Hruschka's simplified silhouette
+    * — centroids stand in for the cluster means, so cost is one pass
+    * against |labels| broadcast centroids instead of all pairs). Mean s
+    * near 1 = tight, well-separated labels; near 0 = touching; negative
+    * = vectors sit closer to a foreign centroid than their own (label
+    * noise — the q174 confusion matrix says WHICH label they confuse).
+    *
+    * Determinism: centroids are the exact floorDiv(sum, n) quantized
+    * integers (the kmeans update rule); a and b are IEEE sqrt of exact
+    * Long squared distances; each s is ONE fixed double chain quantized
+    * at 1e7 and summed as exact integers, so the per-label mean
+    * `sum(s_q) / (n · 1e7)` is order-insensitive and engine-replayable.
+    * A vector equidistant from both centroids scores 0; a singleton
+    * label sits AT its own centroid (a = 0) and scores 1 — documented,
+    * standard for the centroid variant.
+    *
+    * Output per label: (label, n_vecs, mean_silhouette).
+    *
+    * Scale: the [[nearestCentroidEval]] shape — ONE (label, dim) moment
+    * aggregation, a BOUNDED |labels|×dim collect, then one broadcast
+    * classify pass with a map-side-combined per-label aggregation; the
+    * corpus is scanned twice (moments, scoring) and never shuffled wider
+    * than (label, dim) cells. */
+  def simplifiedSilhouette(
+      corpus: DataFrame,
+      labelCol: String,
+      vec: String = "embedding",
+      scale: Long = DefaultScale): DataFrame = {
+    val spark = corpus.sparkSession
+    requireIntegralLabel(corpus, labelCol, "simplifiedSilhouette")
+    val q = corpus
+      .select(col(labelCol).cast("long").as("label"),
+        quantize(col(vec), scale).as("qv"))
+      .filter(col("label").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    requireCleanVectors(q, vec, "simplifiedSilhouette")
+    val cells = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect() // bounded: |labels| x dim
+    val labels = cells.map(_.getLong(0)).distinct.sorted
+    require(labels.length >= 2,
+      s"simplifiedSilhouette needs >= 2 labels, got ${labels.length} — " +
+        "separation from 'the nearest other label' is undefined")
+    val dims = cells.map(_.getInt(1)).max + 1
+    val idx = labels.zipWithIndex.toMap
+    val cents = Array.ofDim[Long](labels.length, dims)
+    cells.foreach { r =>
+      cents(idx(r.getLong(0)))(r.getInt(1)) =
+        Math.floorDiv(r.getLong(2), r.getLong(3))
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    val bidx = spark.sparkContext.broadcast(idx)
+    val silQ = udf { (qv: Seq[Long], label: Long) =>
+      val cs = bc.value
+      val own = bidx.value(label)
+      var a = 0L
+      var b = Long.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var d = 0L
+        var i = 0
+        while (i < c.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+        if (ci == own) a = d else if (d < b) b = d
+        ci += 1
+      }
+      val s =
+        if (a == 0L && b == 0L) 0.0
+        else {
+          val sa = math.sqrt(a.toDouble)
+          val sb = math.sqrt(b.toDouble)
+          (sb - sa) / math.max(sa, sb)
+        }
+      math.floor(s * 1e7 + 0.5).toLong
+    }
+    val out = q
+      .select(col("label"), silQ(col("qv"), col("label")).as("__sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("__sq").as("__sum"))
+      .select(col("label"), col("n_vecs"),
+        (col("__sum").cast("double") /
+          (col("n_vecs").cast("double") * lit(1e7)))
+          .as("mean_silhouette"))
     Caching.materializeAndRelease(out, q)
   }
 }

@@ -85,6 +85,71 @@ object GraphOps {
       .orderBy(desc("rank_q"), asc("node"))
       .limit(k)
 
+  /** Personalized PageRank from a seed set — "expand from what I
+    * trust": random walks restart at the SEEDS instead of everywhere,
+    * so rank measures proximity to the seed set (seed-domain corpus
+    * expansion, related-item retrieval, trust propagation). Same
+    * integer Pregel as [[pageRank]] — ranks in fixed-point `scale`
+    * units, per iteration `rank(v) = [v ∈ S]·(3·scale/20) +
+    * 17·Σ_{u→v} (rank(u) div outdeg(u)) / 20` (15 % restart mass to
+    * EACH seed, 85 % flow; unnormalized, so ranks are comparable within
+    * a run) — every iterate is an exact integer vector any engine
+    * replays. Seeds not present in the edge set are ignored (they have
+    * no outgoing mass and receive none).
+    *
+    * Output: (node, rank_q).
+    *
+    * Scale shape (Pregel, the [[pageRank]] recipe): per iteration ONE
+    * src-keyed join on the co-partitioned persisted edge table + one
+    * map-side-combined dst sum; seed membership is a broadcast-joined
+    * flag on the bounded node table; per-round localCheckpoint cuts
+    * lineage; scaffolding released before returning (tier 1). */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(n, col("src")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val seedSet = seeds.select(col("node")).distinct()
+      .withColumn("__seed", lit(1))
+    val nodes = outdeg.select(col("src").as("node"))
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__seed"), lit(0)).as("__seed"))
+      .persist()
+    val teleport = (3L * scale) / 20L
+    var ranks = nodes
+      .select(col("node"),
+        when(col("__seed") === 1, lit(scale)).otherwise(lit(0L))
+          .as("rank"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("rank div deg").as("c"))
+      val msgs = e.join(contrib, "src")
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes
+        .join(msgs, nodes("node") === msgs("dst"), "left")
+        .select(col("node"),
+          (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L))
+            + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
+        .localCheckpoint()
+    }
+    Caching.release(e, outdeg, nodes)
+    ranks.select(col("node"), col("rank").as("rank_q"))
+  }
+
+  /** Top-`k` of [[personalizedPageRank]] with the deterministic
+    * (rank desc, node asc) tie-break. */
+  def personalizedPageRankTopK(edges: DataFrame, seeds: DataFrame,
+      iters: Int, k: Int, scale: Long = 1000000000L): DataFrame =
+    personalizedPageRank(edges, seeds, iters, scale)
+      .orderBy(desc("rank_q"), asc("node"))
+      .limit(k)
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007)
     * with a DETERMINISTIC update rule: label_0(v) = v; each round every
     * node adopts the most frequent label among its neighbors, ties broken

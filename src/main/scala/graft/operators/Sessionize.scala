@@ -474,4 +474,82 @@ object Sessionize {
         col("__ms").as("conv_ms"), col("__ft").as("first_touch_ms"),
         (col("__ms") - col("__ft")).as("gap_ms"))
   }
+
+  /** CUSUM changepoint detection over each key's bucketed event volume —
+    * the level-shift question the trailing-window z-test
+    * ([[graft.operators.Stats.volumeAnomalies]]) can't answer: a z-test
+    * flags one-bucket SPIKES, CUSUM finds the bucket where the mean
+    * permanently MOVED (a feed going half-dark, a bot fleet switching
+    * on). With per-key bucket counts c_1..c_m (bucket order) and total
+    * T = Σc, the scaled cumulative deviation at bucket i is
+    * `S_i = m·Σ_{j<=i} c_j − i·T` (the classic Σ(c_j − mean) cleared of
+    * the division by m, so every term is an exact integer in
+    * DECIMAL(38,0)); the changepoint estimate is the bucket maximizing
+    * |S_i| — the standard CUSUM argmax — with ties to the EARLIEST
+    * bucket, and `cusum_permille = 1000·|S|_max div (m·T)` is a pure
+    * integer division (the normalized 0..~250 "how decisive" score;
+    * a constant series scores 0). Keys with a single bucket or zero
+    * total report a NULL changepoint (no interior point to split at).
+    * S_m ≡ 0 by construction, so the argmax over i < m is taken by
+    * excluding the last bucket.
+    *
+    * Buckets are OBSERVED buckets: an entirely silent bucket is absent
+    * from the grid (compose with [[calendarFill]] first when silence
+    * itself is the signal).
+    *
+    * Output per key: (key, n_buckets, total, cp_bucket, cusum_peak,
+    * cusum_permille).
+    *
+    * Scale: the [[bucketCounts]] phase (ONE map-side-combined
+    * aggregation — shared verbatim with
+    * [[graft.streaming.EventStreams.streamingBucketCounts]], so the
+    * streaming monitor folds its drained snapshot through
+    * [[cusumFromBucketCounts]] for identical flags) collapses event
+    * volume to the (key, bucket) grid; the running sum and argmax are
+    * ONE keyed window over each key's BOUNDED bucket timeline (the
+    * volumeAnomalies shape — buckets per key are calendar-bounded, so
+    * no task ever sorts more than one key's timeline). */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMs: Long): DataFrame =
+    cusumFromBucketCounts(bucketCounts(events, keyCol, tsCol, bucketMs))
+
+  /** Finish [[cusumChangepoint]] from a (key, bucket, n) count relation
+    * — the shape [[graft.streaming.EventStreams.streamingBucketCounts]]
+    * maintains as mergeable complete-mode state. */
+  def cusumFromBucketCounts(counts: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val wRun = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = counts
+      .withColumn("__cum", sum("n").over(wRun).cast(dec))
+      .withColumn("__i", count(lit(1)).over(wRun).cast(dec))
+      .withColumn("__t", sum("n").over(wAll).cast(dec))
+      .withColumn("__m", count(lit(1)).over(wAll).cast(dec))
+      .withColumn("__s",
+        abs(col("__m") * col("__cum") - col("__i") * col("__t"))
+          .cast(dec))
+    scored
+      .groupBy("key")
+      .agg(max(col("__m")).as("__fm"), max(col("__t")).as("__ft"),
+        max(when(col("__i") < col("__m"),
+          struct(col("__s").as("s"), (-col("bucket")).as("negb"))))
+          .as("__mx"))
+      .select(col("key"),
+        col("__fm").cast("long").as("n_buckets"),
+        col("__ft").cast("long").as("total"),
+        when(col("__mx").isNull || col("__ft") === 0,
+          lit(null).cast("long"))
+          .otherwise(-col("__mx.negb")).as("cp_bucket"),
+        when(col("__mx").isNull || col("__ft") === 0,
+          lit(null).cast("long"))
+          .otherwise(col("__mx.s").cast("long")).as("cusum_peak"),
+        when(col("__mx").isNull || col("__ft") === 0,
+          lit(null).cast("long"))
+          .otherwise(Quantiles.idiv(
+            (col("__mx.s") * 1000).cast(dec),
+            (col("__fm") * col("__ft")).cast(dec)))
+          .as("cusum_permille"))
+  }
 }

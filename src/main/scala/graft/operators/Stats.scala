@@ -446,4 +446,330 @@ object Stats {
         sum(greatest(least(col("__v"), col("hi_cut")), col("lo_cut")))
           .cast("long").as("sum_winsorized_cents"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the rows where
+    * `sideCol` is false (reference) and true (current) over an INTEGER
+    * `valueCol` — the distribution-shape complement of the PSI report:
+    * PSI needs pre-chosen buckets and saturates, KS is bucket-free over
+    * the value grid and reads directly as "max CDF gap". The classic
+    * train-vs-test covariate-shift gate: quantize the score (cents,
+    * permille, floor-units), tag the two samples, and reject the split
+    * when D exceeds the tolerance.
+    *
+    * Exact integer core: at each distinct value v, `D(v) * nRef * nCur =
+    * |cumRef(v) * nCur - cumCur(v) * nRef|` — cumulative counts and the
+    * cross-products stay in DECIMAL(38,0) (counts can pass 1e12 at
+    * 100 TB, the product passes LONG), the final D is ONE double division
+    * of exact integers, and `ks_at` is the smallest value attaining the
+    * max, so every field is engine-replayable bit-for-bit. A side with
+    * zero rows yields NULL `ks_d` (documented, not a crash: the CDF of an
+    * empty sample is undefined).
+    *
+    * Output (one row): (n_ref, n_cur, ks_at, ks_d).
+    *
+    * Scale: ONE map-side-combined count collapses the data to the
+    * distinct-value grid; the running sums and the argmax run over that
+    * BOUNDED table only (the caller's quantization bounds it — same
+    * contract as [[CorpusCompareOps.psiCounts]] buckets and the
+    * corpus-growth day table), so the unkeyed windows never see data
+    * rows. NULL values and NULL sides are excluded from both samples. */
+  def ksDrift(df: DataFrame, sideCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grid = df
+      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(sideCol).as("__s"), col(valueCol).cast("long").as("__v"))
+      .groupBy("__v")
+      .agg(sum(when(col("__s"), 0L).otherwise(1L)).as("__nr"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__nc"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = grid
+      .withColumn("__cr", sum("__nr").over(w).cast(dec))
+      .withColumn("__cc", sum("__nc").over(w).cast(dec))
+      .withColumn("__tr", sum("__nr").over(wAll).cast(dec))
+      .withColumn("__tc", sum("__nc").over(wAll).cast(dec))
+      .withColumn("__d",
+        abs(col("__cr") * col("__tc") - col("__cc") * col("__tr"))
+          .cast(dec))
+    scored
+      .agg(max(struct(col("__d").as("d"), (-col("__v")).as("negv")))
+          .as("__mx"),
+        max("__tr").as("__fr"), max("__tc").as("__fc"))
+      .select(col("__fr").cast("long").as("n_ref"),
+        col("__fc").cast("long").as("n_cur"),
+        (-col("__mx.negv")).cast("long").as("ks_at"),
+        when(col("__fr") === 0 || col("__fc") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("__mx.d").cast("double") /
+            (col("__fr").cast("double") * col("__fc").cast("double")))
+          .as("ks_d"))
+  }
+
+  /** Mutual information (and normalized MI) between two categorical
+    * columns — the feature-relevance / redundancy audit: does knowing
+    * `colA` tell you anything about `colB`? MI = Σ_ab p(a,b) ·
+    * ln(p(a,b)·n / (p(a)·p(b)·n²))-style terms, all built from exact
+    * joint and marginal COUNTS.
+    *
+    * Engine-portability: each cell contributes `floor(c_ab ·
+    * ln((c_ab·n)/(r_a·c_b)) · 1e7 + 0.5)` — the ln argument is ONE double
+    * division of exact DECIMAL(38,0) integer products (c·n and r·c pass
+    * LONG at 100 TB), the contribution is quantized at 1e7 (the PSI /
+    * BM25 precedent) and summed as exact integers, so the sum is
+    * order-insensitive and any engine replays it bit-for-bit. Entropies
+    * H(A), H(B) use the same quantized chain over the marginal tables,
+    * and `nmi = mi / sqrt(h_a·h_b)` is one fixed double chain (NULL when
+    * either entropy is zero — a constant column carries no information
+    * to normalize by).
+    *
+    * Output (one row): (n, n_cells, mi_nats, h_a, h_b, nmi).
+    *
+    * Scale: ONE map-side-combined (a, b) count collapses the data; the
+    * marginals re-aggregate FROM the bounded cell grid (no second corpus
+    * scan) and broadcast back onto it. Contract: |A|·|B| cells bounded
+    * (categorical columns — language, source, segment), the same bound
+    * [[cohenKappa]] and chi-square carry. NULL categories participate as
+    * their own category (null-safe joins throughout). */
+  def mutualInformationReport(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // the bounded cell grid feeds FOUR consumers (joined rows, both
+    // marginals, totals) — persist it so the corpus is scanned once,
+    // released before returning (tier 1, operators/Caching.scala)
+    val cells = df.select(col(colA).as("__a"), col(colB).as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).cast(dec).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ra = cells.groupBy("__a").agg(sum("__c").cast(dec).as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum("__c").cast(dec).as("__cb"))
+    val tot = cells.agg(sum("__c").cast(dec).as("__n"),
+      count(lit(1)).as("__ncells"))
+    def qterm(c: Column, ln: Column): Column =
+      floor(c.cast("double") * ln * lit(1e7) + lit(0.5)).cast(dec)
+    val joined = cells
+      .join(broadcast(ra), cells("__a") <=> ra("__a")).drop(ra("__a"))
+      .join(broadcast(cb), cells("__b") <=> cb("__b")).drop(cb("__b"))
+      .crossJoin(broadcast(tot))
+    val miq = joined.agg(
+      sum(qterm(col("__c"),
+        log((col("__c") * col("__n")).cast("double") /
+          (col("__ra") * col("__cb")).cast("double")))).cast(dec)
+        .as("__miq"),
+      max("__n").as("__n"), max("__ncells").as("__ncells"))
+    // -Σ r ln(r/n) quantized per marginal row, summed exact; both
+    // 1-row entropy aggregates broadcast onto the 1-row MI aggregate
+    def entq(marg: DataFrame, cnt: String, as: String): DataFrame =
+      marg.crossJoin(broadcast(tot.select("__n")))
+        .agg(sum(qterm(col(cnt),
+          -log(col(cnt).cast("double") / col("__n").cast("double"))))
+          .cast(dec).as(as))
+    val ha = miq
+      .crossJoin(broadcast(entq(ra, "__ra", "__haq")))
+      .crossJoin(broadcast(entq(cb, "__cb", "__hbq")))
+    val nd = col("__n").cast("double") * lit(1e7)
+    val out = ha.select(col("__n").cast("long").as("n"),
+      col("__ncells").as("n_cells"),
+      (col("__miq").cast("double") / nd).as("mi_nats"),
+      (col("__haq").cast("double") / nd).as("h_a"),
+      (col("__hbq").cast("double") / nd).as("h_b"),
+      when(col("__haq") <= 0 || col("__hbq") <= 0,
+        lit(null).cast("double"))
+        .otherwise(col("__miq").cast("double") /
+          sqrt(col("__haq").cast("double") * col("__hbq").cast("double")))
+        .as("nmi"))
+    Caching.materializeAndRelease(out, cells)
+  }
+
+  /** Cohen's kappa inter-rater agreement between two label columns —
+    * the labeling-pipeline QA gate: raw percent agreement flatters
+    * imbalanced label sets (two raters who both answer "en" 95 % of the
+    * time agree 90 % by luck alone); kappa subtracts that chance
+    * agreement. With n rows, n_agree exact matches, and per-label
+    * marginals r_k (rater A) and c_k (rater B):
+    * `kappa = (n_agree·n − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)` — the
+    * standard (p_o − p_e)/(1 − p_e) cleared of divisions, so every term
+    * is an exact DECIMAL(38,0) integer and the result is ONE double
+    * division any engine replays bit-for-bit. Both-raters-constant on
+    * the same label makes the denominator zero → NULL (agreement is
+    * undefined when chance agreement is total). NULL labels participate
+    * as their own category (null-safe equality and joins).
+    *
+    * Output (one row): (n, n_agree, kappa).
+    *
+    * Scale: one map-side-combined pass for (n, n_agree), one count per
+    * marginal, and the pe cross-product joins the two BOUNDED marginal
+    * tables (|labels| rows — the categorical contract) null-safely. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(col(colA).as("__a"), col(colB).as("__b"))
+    val agg = base.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(when(col("__a") <=> col("__b"), 1L).otherwise(0L)).cast(dec)
+        .as("__agree"))
+    val ra = base.groupBy("__a").agg(count(lit(1)).cast(dec).as("__ra"))
+    val cb = base.groupBy("__b").agg(count(lit(1)).cast(dec).as("__cb"))
+    val pe = ra.join(broadcast(cb), ra("__a") <=> cb("__b"))
+      .agg(coalesce(sum((col("__ra") * col("__cb")).cast(dec)), lit(0))
+        .cast(dec).as("__pe"))
+    agg.crossJoin(broadcast(pe))
+      .select(col("__n").cast("long").as("n"),
+        col("__agree").cast("long").as("n_agree"),
+        when(col("__n") * col("__n") === col("__pe"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("__agree") * col("__n") - col("__pe")).cast("double") /
+              (col("__n") * col("__n") - col("__pe")).cast("double"))
+          .as("kappa"))
+  }
+
+  /** Benford first-digit audit of a positive integer `valueCol` (cents)
+    * per group — the cheap fabricated-data / corrupted-feed detector:
+    * naturally occurring multiplicative quantities lead with digit d at
+    * probability log10(1 + 1/d), and synthetic or truncated feeds
+    * don't. Reports the 9 observed digit counts and the chi-square
+    * statistic against the Benford expectation.
+    *
+    * Determinism: the leading digit comes from the decimal STRING form
+    * of the long (never `log10` — double log10 of exact powers of ten
+    * lands on 2.9999999999999996-style values and floors to the wrong
+    * digit); the chi-square is a FIXED 9-term chain, each term
+    * `(obs − n·p_d)²/(n·p_d)` quantized at 1e7 and summed as exact
+    * integers, with the p_d literals embedded once from this JVM and
+    * restated verbatim in the oracle SQL (libm log10 is not guaranteed
+    * correctly-rounded across engines, an embedded literal is).
+    * Rows with NULL, zero, or negative values are excluded from the
+    * digit distribution but counted in `n_skipped` — silently folding
+    * them into a digit bucket would skew the expectation.
+    *
+    * Output per group: (groupCol, n, n_skipped, d1..d9, chi2).
+    *
+    * Scale: ONE map-side-combined aggregation with 11 conditional
+    * counters; the per-row digit is a codegen'd substring, no UDF. */
+  def benfordAudit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val pos = col("__v").isNotNull && col("__v") > 0
+    // CaseWhen evaluates lazily per row — the cast must not see the '-'
+    // of a negative value (ANSI cast throws on it)
+    val digit = when(pos,
+      substring(col("__v").cast("string"), 1, 1).cast("int"))
+    val counts = (1 to 9).map(d =>
+      sum(when(digit === d, 1L).otherwise(0L)).as(s"d$d"))
+    val aggd = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .groupBy(groupCol)
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("n"),
+        (sum(when(pos, 0L).otherwise(1L)).as("n_skipped") +: counts): _*)
+    val chi2 = (1 to 9).map { d =>
+      val exp = col("n").cast("double") * lit(BenfordP(d - 1))
+      val diff = col(s"d$d").cast("double") - exp
+      floor(diff * diff / exp * lit(1e7) + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+    aggd.withColumn("chi2",
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(chi2.cast("double") / lit(1e7)))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, computed once here and embedded as
+    * literals in both the plan and the oracle SQL (see [[benfordAudit]]). */
+  val BenfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Exact per-group ROC AUC of `scoreCol` against a boolean `labelCol`
+    * — the score-quality eval every selection pipeline needs before
+    * trusting a quality/perplexity model as a filter: AUC is the
+    * probability a random positive outscores a random negative, computed
+    * by the Mann-Whitney rank identity with EXACT midrank tie handling
+    * (`AUC = (Σ_pos midrank − nPos(nPos+1)/2) / (nPos·nNeg)`).
+    *
+    * Exactness: ranks come from [[Quantiles.globalRank]]'s two-phase
+    * distributed rank over `(group, score)` (range exchange — fully
+    * parallel even when one group owns most rows, the percent-rank
+    * recipe); a (group, score) tie run starting at group-local rank r
+    * with c members has midrank `r + (c−1)/2`, so the DOUBLED positive
+    * midrank mass `Σ p·(2r + c − 1)` stays integral, every aggregate is
+    * DECIMAL(38,0), and the final value is ONE double division any
+    * engine replays bit-for-bit. A group with no positives or no
+    * negatives yields NULL (AUC undefined). Rows with NULL score or
+    * label are excluded — the reported n_pos/n_neg make the exclusion
+    * visible, never silent.
+    *
+    * Output per group: (groupCol, n_pos, n_neg, auc).
+    *
+    * Scale: the rank is a range exchange + per-partition offsets (no
+    * single-task group sort); tie runs and the per-group rank offset are
+    * keyed aggregations; the offset table (one row per group) broadcasts
+    * back. globalRank's materialization is a plan-owned cache (tier 2,
+    * operators/Caching.scala) — lifetime belongs to the returned
+    * Dataset, reclaimed by session cleanup or the ContextCleaner. */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val ranked = Quantiles.globalRank(base, Seq(col("__g"), col("__s")))
+    val gmin = ranked.groupBy("__g").agg(min("__grank").as("__gmin"))
+    val runs = ranked.groupBy("__g", "__s")
+      .agg(min("__grank").as("__rmin"), count(lit(1)).as("__c"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    runs.join(broadcast(gmin), "__g")
+      .select(col("__g"),
+        (col("__p").cast(dec) *
+          ((col("__rmin") - col("__gmin") + 1L) * 2L + col("__c") - 1L)
+            .cast(dec)).cast(dec).as("__spr2"),
+        col("__p"), (col("__c") - col("__p")).as("__q"))
+      .groupBy("__g")
+      .agg(sum("__spr2").cast(dec).as("__spr2"),
+        sum("__p").cast(dec).as("__np"), sum("__q").cast(dec).as("__nn"))
+      .select(col("__g").as(groupCol),
+        col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        when(col("__np") === 0 || col("__nn") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("__spr2") - col("__np") * (col("__np") + 1)).cast("double")
+              / (col("__np") * col("__nn") * 2).cast("double"))
+          .as("auc"))
+  }
+
+  /** Shannon entropy (nats) of `valueCol`'s distribution within each
+    * group — the behavioral-diversity fingerprint: a user whose events
+    * are 99 % one type is a script, a source whose token mix collapses
+    * to one template is boilerplate. Per group with value counts c and
+    * total n, `H = Σ (c/n) ln(n/c)`, each cell contribution
+    * `floor(c · ln(n/c) · 1e7 + 0.5)` (quantized-ln chain — the
+    * PSI/BM25/[[mutualInformationReport]] recipe: the ln argument is one
+    * double division of exact integers, terms sum exactly, order never
+    * matters) and the reported entropy is `sum / (n · 1e7)`. A
+    * single-value group is exactly 0. NULL values count as a category.
+    *
+    * Output per group: (groupCol, n, n_distinct, entropy_nats).
+    *
+    * Scale: ONE map-side-combined (group, value) count collapses the
+    * data; n arrives via a window keyed by the group over that grid
+    * (bounded per group by the value cardinality — no join, no second
+    * exchange wider than the grid); the final aggregate is keyed. Group
+    * cardinality is unbounded (per-user entropy at 100 TB is fine) —
+    * nothing here is per-group single-task beyond its own value grid. */
+  def entropyByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grid = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val n = sum("__c").over(Window.partitionBy("__g"))
+    grid
+      .withColumn("__n", n)
+      .select(col("__g"), col("__n"), col("__c"),
+        floor(col("__c").cast("double") *
+          log(col("__n").cast("double") / col("__c").cast("double")) *
+          lit(1e7) + lit(0.5)).cast(dec).as("__hq"))
+      .groupBy("__g")
+      .agg(max("__n").as("__fn"), count(lit(1)).as("n_distinct"),
+        sum("__hq").cast(dec).as("__sq"))
+      .select(col("__g").as(groupCol), col("__fn").as("n"),
+        col("n_distinct"),
+        (col("__sq").cast("double") /
+          (col("__fn").cast("double") * lit(1e7))).as("entropy_nats"))
+  }
 }

@@ -1113,4 +1113,47 @@ object TextOps {
         sum(col("term")).as("ent_sum_q"))
       .withColumn("ent_micro", expr("ent_sum_q div n_chars"))
   }
+
+  /** Flesch reading-ease score per document — the classic readability
+    * gate (Flesch 1948): `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`. Heuristics kept deterministic and
+    * engine-replayable: words are nonempty lowercase whitespace tokens;
+    * sentences are maximal `[.!?]+` runs; syllables per word are vowel
+    * GROUPS `[aeiouy]+` with a 1-per-word floor (the standard cheap
+    * estimator). `n_sentences` reports the raw run count; the score
+    * divides by `max(1, n_sentences)` so punctuation-free text still
+    * scores. Zero-word documents (empty or NULL text) report counts of
+    * 0 and a NULL score.
+    *
+    * Determinism: all three counts are exact integers from codegen'd
+    * regexp expressions (no UDF); the score is ONE fixed double chain of
+    * int/int IEEE divisions and literal coefficients — bit-identical in
+    * any engine.
+    *
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch).
+    *
+    * Scale: per-row narrow projection — embarrassingly parallel, no
+    * shuffle, no UDF. */
+  def fleschReadability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val txt = lower(coalesce(col(textCol), lit("")))
+    val words = filter(split(txt, "\\s+"), w => w =!= "")
+    docs.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        size(regexp_extract_all(txt, lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sentences"),
+        aggregate(
+          transform(words, w =>
+            greatest(lit(1L),
+              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+                .cast("long"))),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+                greatest(lit(1L), col("n_sentences")).cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double"))))
+  }
 }

@@ -88,4 +88,59 @@ object TimeSeriesOps {
       .select(daily.columns.map(col) :+ col("num") :+ col("den") :+
         col("smoothed"): _*)
   }
+
+  /** Lag-`lagK` autocorrelation of each key's bucketed event volume —
+    * the periodicity detector: human traffic autocorrelates strongly at
+    * the daily/weekly lag, scripted traffic at its cron interval, and a
+    * feed with NO volume memory (acf ≈ 0 at every lag) is usually
+    * synthetic. Pearson correlation of the (volume at t, volume at
+    * t − lagK) pairs, CALENDAR lag: pairs come from a keyed self-join of
+    * the bucket grid on `(key, bucket − lagK)`, so holes in the timeline
+    * never misalign the lag the way a row-offset `lag()` window would.
+    *
+    * Exactness: the five moment sums accumulate in DECIMAL(38,0) (count
+    * cross-products pass LONG at 100 TB), and
+    * `acf = (nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²) · √(nΣy² − (Σy)²))` is one
+    * fixed double chain over those exact integers (the
+    * [[Stats.correlationMatrix]] recipe). Keys with < 2 pairs or a
+    * zero-variance side report NULL.
+    *
+    * Output per key: (key, n_pairs, acf).
+    *
+    * Scale: the [[graft.operators.Sessionize.bucketCounts]] phase (ONE
+    * map-side-combined aggregation, shared verbatim with the streaming
+    * bucket-count state) collapses event volume to the (key, bucket)
+    * grid; the self-join and the moment aggregation are keyed over that
+    * bounded grid only. */
+  def autocorrByKey(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMs: Long, lagK: Int): DataFrame = {
+    require(lagK > 0, s"lag must be positive: $lagK")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val counts = graft.operators.Sessionize
+      .bucketCounts(events, keyCol, tsCol, bucketMs)
+    val x = counts.select(col("key"), col("bucket"), col("n").as("__x"))
+    val y = counts.select(col("key"),
+      (col("bucket") + lagK).as("bucket"), col("n").as("__y"))
+    x.join(y, Seq("key", "bucket"))
+      .groupBy("key")
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).cast(dec).as("__sx"),
+        sum(col("__y").cast(dec)).cast(dec).as("__sy"),
+        sum((col("__x") * col("__y")).cast(dec)).cast(dec).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).cast(dec).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).cast(dec).as("__syy"))
+      .select(col("key"), col("__n").cast("long").as("n_pairs"),
+        when(col("__n") < 2
+            || col("__n") * col("__sxx") === col("__sx") * col("__sx")
+            || col("__n") * col("__syy") === col("__sy") * col("__sy"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double") /
+              (sqrt((col("__n") * col("__sxx") -
+                col("__sx") * col("__sx")).cast("double")) *
+                sqrt((col("__n") * col("__syy") -
+                  col("__sy") * col("__sy")).cast("double"))))
+          .as("acf"))
+  }
 }

@@ -264,4 +264,35 @@ object TokenizerOps {
       .withColumn("oov_permille",
         expr("oov_tokens * 1000L div n_tokens"))
   }
+
+  /** Per-source lexical-richness profile: token mass, vocabulary size,
+    * hapax legomena (terms seen exactly once), type-token ratio, and
+    * hapax share — the cheap template/boilerplate detector (a source
+    * whose TTR collapses is stamped from a template; a healthy natural
+    * corpus keeps roughly half its vocabulary hapax, Zipf's tail). Both
+    * ratios are int/int IEEE divisions of exact counts.
+    *
+    * Tokenization is [[termCounts]] VERBATIM (one definition — the
+    * shared-phase rule), so these numbers are directly comparable with
+    * the q170 OOV report and the streaming term-count state.
+    *
+    * Output per source: (source, n_tokens, n_types, n_hapax, ttr,
+    * hapax_ratio).
+    *
+    * Scale: the (source, term) count is ONE map-side-combined shuffle;
+    * the profile is one keyed aggregation over that grid. Nothing
+    * buffers a vocabulary in memory. */
+  def hapaxStats(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    termCounts(docs, textCol, sourceCol)
+      .groupBy("source")
+      .agg(sum("n").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_ratio"))
 }

@@ -2678,8 +2678,389 @@ object PipelineQueries extends QuerySet {
           |    AS n_moved,
           |  CAST(sum(CASE WHEN f <> t THEN 1 ELSE 0 END) * 1000
           |    // count(*) AS BIGINT) AS moved_permille
-          |FROM p""".stripMargin))
+          |FROM p""".stripMargin)),
+
+    // Two-sample KS drift: do purchase events draw their value from the
+    // same distribution as everything else? Floor-unit buckets bound the
+    // CDF grid; exact integer cross-products, one double division.
+    Query("q184_ks_value_drift",
+      (s, dir) => graft.operators.Stats.ksDrift(
+        t(s, dir, "events").select(
+          (col("event_type") === "purchase").as("side"),
+          floor(col("value")).cast("long").as("vb")),
+        "side", "vb"),
+      Some("""WITH g AS (
+          SELECT CAST(floor(value) AS BIGINT) AS v,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS HUGEINT) AS nr,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS nc
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1),
+        c AS (SELECT v,
+            sum(nr) OVER (ORDER BY v) AS cr,
+            sum(nc) OVER (ORDER BY v) AS cc,
+            sum(nr) OVER () AS tr, sum(nc) OVER () AS tc
+          FROM g),
+        d AS (SELECT v, abs(cr * tc - cc * tr) AS dn, tr, tc FROM c),
+        m AS (SELECT max(dn) AS dmax FROM d)
+        SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+          CAST(max(tc) AS BIGINT) AS n_cur,
+          CAST(min(CASE WHEN dn = dmax THEN v END) AS BIGINT) AS ks_at,
+          CASE WHEN max(tr) = 0 OR max(tc) = 0 THEN NULL
+            ELSE CAST(max(dn) AS DOUBLE)
+              / (CAST(max(tr) AS DOUBLE) * CAST(max(tc) AS DOUBLE)) END
+            AS ks_d
+        FROM d CROSS JOIN m""")),
+
+    // Mutual information between language and source: does knowing the
+    // source predict the language? Quantized-ln chain over exact joint /
+    // marginal counts (the PSI/BM25 recipe).
+    Query("q185_mutual_information",
+      (s, dir) => graft.operators.Stats.mutualInformationReport(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH cells AS (
+          SELECT lang AS a, source AS b, CAST(count(*) AS HUGEINT) AS c
+          FROM documents GROUP BY 1, 2),
+        ra AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1),
+        cb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+        tot AS (SELECT sum(c) AS n, CAST(count(*) AS BIGINT) AS ncells
+          FROM cells),
+        mi AS (SELECT sum(CAST(floor(CAST(c AS DOUBLE)
+              * ln(CAST(c * n AS DOUBLE) / CAST(ra * cb AS DOUBLE))
+              * 1e7 + 0.5) AS HUGEINT)) AS miq
+          FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+        ha AS (SELECT sum(CAST(floor(CAST(ra AS DOUBLE)
+              * -ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1e7 + 0.5) AS HUGEINT)) AS haq FROM ra CROSS JOIN tot),
+        hb AS (SELECT sum(CAST(floor(CAST(cb AS DOUBLE)
+              * -ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1e7 + 0.5) AS HUGEINT)) AS hbq FROM cb CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n, ncells AS n_cells,
+          CAST(miq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) AS mi_nats,
+          CAST(haq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) AS h_a,
+          CAST(hbq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) AS h_b,
+          CASE WHEN haq <= 0 OR hbq <= 0 THEN NULL
+            ELSE CAST(miq AS DOUBLE)
+              / sqrt(CAST(haq AS DOUBLE) * CAST(hbq AS DOUBLE)) END
+            AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""")),
+
+    // Cohen's kappa between the recorded language and the n-gram
+    // language-id prediction — chance-corrected labeler agreement, all
+    // terms exact integers, one double division.
+    Query("q186_label_agreement",
+      (s, dir) => graft.operators.Stats.cohenKappa(
+        t(s, dir, "documents").select(col("lang"),
+          graft.operators.TextOps.langId(col("text")).as("pred_lang")),
+        "lang", "pred_lang"),
+      Some(s"""WITH p AS (
+          |  SELECT lang AS a, $langIdSql AS b FROM documents),
+          |agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0
+          |      END) AS HUGEINT) AS agree
+          |  FROM p),
+          |ra AS (SELECT a, CAST(count(*) AS HUGEINT) AS ra
+          |  FROM p GROUP BY 1),
+          |cb AS (SELECT b, CAST(count(*) AS HUGEINT) AS cb
+          |  FROM p GROUP BY 1),
+          |pe AS (SELECT COALESCE(sum(ra * cb), 0) AS pe
+          |  FROM ra JOIN cb ON ra.a IS NOT DISTINCT FROM cb.b)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+          |  CASE WHEN n * n = pe THEN NULL
+          |    ELSE CAST(agree * n - pe AS DOUBLE)
+          |      / CAST(n * n - pe AS DOUBLE) END AS kappa
+          |FROM agg CROSS JOIN pe""".stripMargin)),
+
+    // Benford first-digit audit of extended prices per return flag —
+    // string-derived leading digit (never log10), chi2 as a fixed 9-term
+    // quantized chain with the log10(1+1/d) literals embedded from the
+    // JVM on both sides.
+    Query("q187_benford",
+      (s, dir) => graft.operators.Stats.benfordAudit(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("cents")),
+        "l_returnflag", "cents"),
+      Some(benfordSql)),
+
+    // Simplified silhouette per embedding label — centroid-based
+    // cluster-coherence score, quantized at 1e7 and summed exactly.
+    Query("q188_silhouette",
+      (s, dir) => graft.operators.ClusteringOps.simplifiedSilhouette(
+        t(s, dir, "embeddings"), "label"),
+      Some("""WITH q AS MATERIALIZED (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        cells AS (
+          SELECT label, t.d,
+            CAST(floor(CAST(sum(qv[t.d + 1]) AS DOUBLE) / count(*))
+              AS BIGINT) AS v
+          FROM q CROSS JOIN range(64) t(d) GROUP BY label, t.d),
+        c AS (SELECT label AS clabel,
+            list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE))
+              AS cvd
+          FROM cells GROUP BY label),
+        qx AS (SELECT vec_id, label,
+            list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+        s AS (SELECT t.vec_id, t.label, c.clabel,
+            list_inner_product(t.qvd, t.qvd)
+              - 2 * list_inner_product(t.qvd, c.cvd)
+              + list_inner_product(c.cvd, c.cvd) AS dist
+          FROM qx t CROSS JOIN c),
+        ab AS (SELECT vec_id, label,
+            max(CASE WHEN clabel = label THEN dist END) AS a,
+            min(CASE WHEN clabel <> label THEN dist END) AS b
+          FROM s GROUP BY 1, 2),
+        sq AS (SELECT label,
+            CAST(floor((CASE WHEN a = 0 AND b = 0 THEN 0.0
+              ELSE (sqrt(b) - sqrt(a)) / greatest(sqrt(a), sqrt(b)) END)
+              * 1e7 + 0.5) AS HUGEINT) AS sq
+          FROM ab)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e7)
+            AS mean_silhouette
+        FROM sq GROUP BY 1""")),
+
+    // CUSUM changepoint over daily per-type volumes: where did each
+    // event type's mean rate permanently shift? Exact integer
+    // S_i = m*cum_i - i*T over the bounded per-key day timeline.
+    Query("q189_cusum_volume_shift",
+      (s, dir) => graft.operators.Sessionize.cusumChangepoint(
+        t(s, dir, "events"), "event_type", "ts", 86400000L),
+      Some("""WITH b AS (
+          SELECT event_type AS key, epoch_ms(ts) // 86400000 AS bucket,
+            CAST(count(*) AS HUGEINT) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT key, bucket,
+            sum(n) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+            CAST(row_number() OVER (PARTITION BY key ORDER BY bucket)
+              AS HUGEINT) AS i,
+            sum(n) OVER (PARTITION BY key) AS t,
+            CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) AS m
+          FROM b),
+        s AS (SELECT key, bucket, i, m, t,
+            abs(m * cum - i * t) AS sdev FROM w),
+        mx AS (SELECT key, max(m) AS m, max(t) AS t,
+            max(CASE WHEN i < m THEN sdev END) AS peak
+          FROM s GROUP BY 1),
+        cp AS (SELECT s.key,
+            min(CASE WHEN s.i < s.m AND s.sdev = mx.peak THEN s.bucket
+              END) AS cpb
+          FROM s JOIN mx ON s.key = mx.key GROUP BY 1)
+        SELECT mx.key, CAST(m AS BIGINT) AS n_buckets,
+          CAST(t AS BIGINT) AS total,
+          CASE WHEN peak IS NULL OR t = 0 THEN NULL
+            ELSE CAST(cpb AS BIGINT) END AS cp_bucket,
+          CASE WHEN peak IS NULL OR t = 0 THEN NULL
+            ELSE CAST(peak AS BIGINT) END AS cusum_peak,
+          CASE WHEN peak IS NULL OR t = 0 THEN NULL
+            ELSE CAST(peak * 1000 // (m * t) AS BIGINT) END
+            AS cusum_permille
+        FROM mx JOIN cp ON mx.key = cp.key""")),
+
+    // Per-source ROC AUC of document length against "is English" —
+    // Mann-Whitney rank identity with exact midrank ties via the
+    // two-phase distributed rank; one double division per group.
+    Query("q190_quality_auc",
+      (s, dir) => graft.operators.Stats.aucByGroup(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          (col("lang") === "en").as("is_en")),
+        "source", "n_chars", "is_en"),
+      Some("""WITH base AS (
+          SELECT source AS g, n_chars AS s, (lang = 'en') AS y
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        r AS (SELECT g, s, y,
+            rank() OVER (PARTITION BY g ORDER BY s) AS rmin,
+            count(*) OVER (PARTITION BY g, s) AS c
+          FROM base),
+        agg AS (SELECT g,
+            CAST(sum(CASE WHEN y THEN 2 * rmin + c - 1 ELSE 0 END)
+              AS HUGEINT) AS spr2,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS np,
+            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS HUGEINT) AS nn
+          FROM r GROUP BY 1)
+        SELECT g AS source, CAST(np AS BIGINT) AS n_pos,
+          CAST(nn AS BIGINT) AS n_neg,
+          CASE WHEN np = 0 OR nn = 0 THEN NULL
+            ELSE CAST(spr2 - np * (np + 1) AS DOUBLE)
+              / CAST(2 * np * nn AS DOUBLE) END AS auc
+        FROM agg""")),
+
+    // Flesch reading-ease per document: codegen'd regexp counts, one
+    // fixed double chain.
+    Query("q191_readability",
+      (s, dir) => graft.operators.TextOps.fleschReadability(
+        t(s, dir, "documents")),
+      Some("""WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(
+              lower(coalesce(text, '')), '\s+'), x -> x <> '') AS words,
+            len(regexp_extract_all(lower(coalesce(text, '')), '[.!?]+'))
+              AS n_sentences
+          FROM documents),
+        c AS (SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(n_sentences AS BIGINT) AS n_sentences,
+            CAST(coalesce(list_sum(list_transform(words,
+              x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))),
+              0) AS BIGINT) AS n_syllables
+          FROM w)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          CASE WHEN n_words = 0 THEN NULL
+            ELSE 206.835
+              - 1.015 * (CAST(n_words AS DOUBLE)
+                  / CAST(greatest(1, n_sentences) AS DOUBLE))
+              - 84.6 * (CAST(n_syllables AS DOUBLE)
+                  / CAST(n_words AS DOUBLE)) END AS flesch
+        FROM c""")),
+
+    // Weekly (lag-7) autocorrelation of daily per-type volumes:
+    // calendar-lag self-join of the bucket grid, exact DECIMAL moments,
+    // one double chain.
+    Query("q192_volume_autocorr",
+      (s, dir) => graft.operators.TimeSeriesOps.autocorrByKey(
+        t(s, dir, "events"), "event_type", "ts", 86400000L, lagK = 7),
+      Some("""WITH b AS (
+          SELECT event_type AS key, epoch_ms(ts) // 86400000 AS bucket,
+            CAST(count(*) AS HUGEINT) AS n
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT x.key, x.n AS xv, y.n AS yv
+          FROM b x JOIN b y
+            ON x.key = y.key AND x.bucket = y.bucket + 7),
+        a AS (SELECT key, CAST(count(*) AS HUGEINT) AS n,
+            sum(xv) AS sx, sum(yv) AS sy, sum(xv * yv) AS sxy,
+            sum(xv * xv) AS sxx, sum(yv * yv) AS syy
+          FROM p GROUP BY 1)
+        SELECT key, CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy
+            THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS acf
+        FROM a""")),
+
+    // Personalized PageRank on the co-purchase graph from the
+    // "every 50th part" seed set — integer Pregel, oracle = unrolled
+    // CTE recurrence (the q93 recipe with seed-conditional restart).
+    Query("q193_seeded_pagerank",
+      (s, dir) => {
+        val edges = graft.operators.GraphOps.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        val seeds = edges.select(col("src").as("node"))
+          .filter(pmod(col("node"), lit(50L)) === 0).distinct()
+        graft.operators.GraphOps.personalizedPageRankTopK(
+          edges, seeds, iters = 3, k = 50)
+      },
+      Some(s"""WITH pairs AS (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |nodes AS (SELECT DISTINCT src AS node FROM pairs),
+          |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |           FROM pairs GROUP BY src),
+          |r0 AS (SELECT node,
+          |  CAST(CASE WHEN node % 50 = 0 THEN 1000000000 ELSE 0 END
+          |    AS BIGINT) AS rank FROM nodes),
+          |${(1 to 3).map(pprIter).mkString(",\n")}
+          |SELECT node, rank AS rank_q FROM r3
+          |ORDER BY rank_q DESC, node LIMIT 50""".stripMargin)),
+
+    // Lexical-richness profile per source: hapax share and type-token
+    // ratio from the SHARED termCounts tokenization.
+    Query("q194_lexical_richness",
+      (s, dir) => graft.operators.TokenizerOps.hapaxStats(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH tk AS (
+          SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+            AS term
+          FROM documents),
+        g AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+          FROM tk GROUP BY 1, 2),
+        a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hapax
+          FROM g GROUP BY 1)
+        SELECT source, n_tokens, n_types, n_hapax,
+          CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+          CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+            AS hapax_ratio
+        FROM a""")),
+
+    // Per-user event-type entropy: the behavioral-diversity bot signal
+    // — quantized-ln chain over exact per-(user, type) counts.
+    Query("q195_user_entropy",
+      (s, dir) => graft.operators.Stats.entropyByGroup(
+        t(s, dir, "events"), "user_id", "event_type"),
+      Some("""WITH g AS (
+          SELECT user_id, event_type AS v, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        n AS (SELECT user_id, v, c,
+            sum(c) OVER (PARTITION BY user_id) AS n FROM g),
+        q AS (SELECT user_id, n,
+            CAST(floor(CAST(c AS DOUBLE)
+              * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+              * 1e7 + 0.5) AS HUGEINT) AS hq
+          FROM n)
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(hq) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1e7)
+            AS entropy_nats
+        FROM q GROUP BY 1"""))
   )
+
+  /** One unrolled personalized-PageRank iteration (DuckDB) — the q93
+    * prIter recipe with the restart mass conditional on the seed rule
+    * (node % 50 = 0), mirroring
+    * [[graft.operators.GraphOps.personalizedPageRank]]'s integer
+    * recurrence bit-for-bit. */
+  private def pprIter(i: Int): String =
+    s"""m$i AS (
+       |  SELECT p.dst AS node, sum(r.rank // d.deg) AS s
+       |  FROM pairs p JOIN r${i - 1} r ON p.src = r.node
+       |  JOIN outdeg d ON d.src = p.src
+       |  GROUP BY p.dst),
+       |r$i AS (
+       |  SELECT n.node,
+       |    CAST((CASE WHEN n.node % 50 = 0 THEN 150000000 ELSE 0 END)
+       |      + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN m$i m ON n.node = m.node)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Stats.benfordAudit]] on lineitem
+    * prices — the log10(1+1/d) literals are the JVM's
+    * [[graft.operators.Stats.BenfordP]] doubles, printed shortest-
+    * round-trip so DuckDB parses back the identical double. */
+  private def benfordSql: String = {
+    val bp = graft.operators.Stats.BenfordP
+    val digitCols = (1 to 9).map { d =>
+      s"""CAST(sum(CASE WHEN c > 0 AND substr(CAST(c AS VARCHAR), 1, 1)
+         | = '$d' THEN 1 ELSE 0 END) AS BIGINT) AS d$d""".stripMargin
+    }.mkString(",\n    ")
+    val chiTerms = (1 to 9).map { d =>
+      val p = bp(d - 1)
+      s"""CAST(floor((CAST(d$d AS DOUBLE) - CAST(n AS DOUBLE) * $p)
+         | * (CAST(d$d AS DOUBLE) - CAST(n AS DOUBLE) * $p)
+         | / (CAST(n AS DOUBLE) * $p) * 1e7 + 0.5) AS HUGEINT)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT l_returnflag AS g,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+       |  FROM lineitem),
+       |a AS (SELECT g,
+       |    CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN c IS NULL OR c <= 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_skipped,
+       |    $digitCols
+       |  FROM v GROUP BY 1)
+       |SELECT g AS l_returnflag, n, n_skipped,
+       |  d1, d2, d3, d4, d5, d6, d7, d8, d9,
+       |  CASE WHEN n = 0 THEN NULL
+       |    ELSE CAST($chiTerms AS DOUBLE) / 1e7 END AS chi2
+       |FROM a""".stripMargin
+  }
 
   /** One BM25 top-200 ranking CTE pair (`sc$tag`, `r$tag`) over shared
     * `toks`/`dl`/`stats` — the q63 scoring replayed per term set, ranked

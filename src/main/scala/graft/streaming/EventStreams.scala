@@ -574,8 +574,10 @@ object EventStreams {
     * combine and state is one row per observed (key, bucket). Fold each
     * drained snapshot through
     * [[graft.operators.Sessionize.burstFromBucketCounts]] for the live
-    * bot flags; drained over the same rows it equals the batch report
-    * exactly (StreamingSpec). `tsCol` must be TIMESTAMP. */
+    * bot flags or
+    * [[graft.operators.Sessionize.cusumFromBucketCounts]] for the live
+    * level-shift estimates; drained over the same rows each equals its
+    * batch report exactly (StreamingSpec). `tsCol` must be TIMESTAMP. */
   def streamingBucketCounts(events: DataFrame, keyCol: String,
       tsCol: String, bucketMs: Long): DataFrame =
     graft.operators.Sessionize.bucketCounts(events, keyCol, tsCol,

@@ -1422,6 +1422,68 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"rendezvous: wrote $out")
 
+      // ksDrift <in> <out> -side c -value c — two-sample KS statistic
+      //   between side=false (reference) and side=true (current)
+      case "ksDrift" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (sc, vc) = (fv("-side", ""), fv("-value", ""))
+        if (sc.isEmpty || vc.isEmpty) sys.error("ksDrift needs -side/-value")
+        graft.operators.Stats.ksDrift(spark.read.parquet(in), sc, vc)
+          .write.mode("overwrite").parquet(out)
+        println(s"ksDrift: wrote $out")
+
+      // mi <in> <out> -a colA -b colB — mutual information / NMI between
+      //   two categorical columns
+      case "mi" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (a, b) = (fv("-a", ""), fv("-b", ""))
+        if (a.isEmpty || b.isEmpty) sys.error("mi needs -a/-b")
+        graft.operators.Stats.mutualInformationReport(
+            spark.read.parquet(in), a, b)
+          .write.mode("overwrite").parquet(out)
+        println(s"mi: wrote $out")
+
+      // kappa <in> <out> -a colA -b colB — Cohen's kappa inter-rater
+      //   agreement between two label columns
+      case "kappa" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (a, b) = (fv("-a", ""), fv("-b", ""))
+        if (a.isEmpty || b.isEmpty) sys.error("kappa needs -a/-b")
+        graft.operators.Stats.cohenKappa(spark.read.parquet(in), a, b)
+          .write.mode("overwrite").parquet(out)
+        println(s"kappa: wrote $out")
+
+      // benford <in> <out> [-group c] -value c — first-digit Benford
+      //   audit with chi-square per group
+      case "benford" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val vc = fv("-value", "")
+        if (vc.isEmpty) sys.error("benford needs -value")
+        graft.operators.Stats.benfordAudit(
+            spark.read.parquet(in), fv("-group", "source"), vc)
+          .write.mode("overwrite").parquet(out)
+        println(s"benford: wrote $out")
+
+      // silhouette <in> <out> [-label c] [-vec c] — simplified
+      //   (centroid) silhouette per label
+      case "silhouette" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.ClusteringOps.simplifiedSilhouette(
+            spark.read.parquet(in), fv("-label", "label"),
+            fv("-vec", "embedding"))
+          .write.mode("overwrite").parquet(out)
+        println(s"silhouette: wrote $out")
+
+      // cusum <in> <out> [-key c] [-ts c] [-bucket ms] — CUSUM
+      //   level-shift changepoint per key over bucketed volumes
+      case "cusum" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.Sessionize.cusumChangepoint(
+            spark.read.parquet(in), fv("-key", "event_type"),
+            fv("-ts", "ts"), fv("-bucket", "86400000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"cusum: wrote $out")
+
       // profileDrift <a.parquet> <b.parquet> <out> -colsA a,b -colsB a,c
       //   — per-column snapshot drift report
       case "profileDrift" :: aP :: bP :: out :: rest =>
@@ -1638,7 +1700,13 @@ object Cli {
           "\n  centroidDrift <in.parquet> <out.parquet> [-group c] [-vec c]" +
           "\n  growth <in.parquet> <out.parquet> [-text c] [-day c]" +
           "\n  linkGraph <in.parquet> <out.parquet> [-src c] [-html c] [-id c] [-top k]" +
-          "\n  rendezvous <in.parquet> <out.parquet> -from n -to m [-key c]")
+          "\n  rendezvous <in.parquet> <out.parquet> -from n -to m [-key c]" +
+          "\n  ksDrift <in.parquet> <out.parquet> -side c -value c" +
+          "\n  mi <in.parquet> <out.parquet> -a colA -b colB" +
+          "\n  kappa <in.parquet> <out.parquet> -a colA -b colB" +
+          "\n  benford <in.parquet> <out.parquet> [-group c] -value c" +
+          "\n  silhouette <in.parquet> <out.parquet> [-label c] [-vec c]" +
+          "\n  cusum <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms]")
         sys.exit(2)
     }
   }

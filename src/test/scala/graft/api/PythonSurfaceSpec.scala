@@ -73,7 +73,10 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "calendarFill" -> 4, "abTestReport" -> 4,
       "eventPathTrigrams" -> 6, "sourceCentroidDrift" -> 3,
       "corpusGrowthCurve" -> 3, "linkDomainEdges" -> 4,
-      "topLinkedDomains" -> 2, "rendezvousMoveReport" -> 4)
+      "topLinkedDomains" -> 2, "rendezvousMoveReport" -> 4,
+      "ksDrift" -> 3, "mutualInformationReport" -> 3, "cohenKappa" -> 3,
+      "benfordAudit" -> 3, "simplifiedSilhouette" -> 3,
+      "cusumChangepoint" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -73,6 +73,11 @@ class CacheLifetimeSpec extends SparkSpec {
         .toDF("vec_id", "label", "embedding")
       ClusteringOps.nearestCentroidEval(emb, "label")
         .queryExecution.toRdd.count()
+      // round-13 tier-1 operators
+      Stats.mutualInformationReport(docs, "k", "id")
+        .queryExecution.toRdd.count()
+      ClusteringOps.simplifiedSilhouette(emb, "label")
+        .queryExecution.toRdd.count()
     }
     for (_ <- 1 to 3) runOnce()
     // all results are out of scope: ContextCleaner must drain the

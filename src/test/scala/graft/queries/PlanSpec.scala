@@ -752,4 +752,71 @@ class PlanSpec extends SparkSpec {
         s"$q: " + plan.take(400))
     }
   }
+
+  test("q184 KS drift: map-side grid collapse feeds the bounded-table " +
+      "windows — the value grid aggregates BEFORE any window") {
+    val plan = planOf("q184_ks_value_drift")
+    assert(plan.contains("partial_sum"),
+      "grid counts must map-side combine: " + plan.take(600))
+    // the unkeyed running-sum window must consume the aggregated grid,
+    // not data rows: in the printed tree (root first) the window appears
+    // ABOVE the grid aggregate
+    val w = plan.indexOf("Window")
+    val g = plan.indexOf("partial_sum")
+    assert(w >= 0 && g >= 0 && w < g,
+      "window must sit on the aggregated grid: " + plan.take(800))
+  }
+
+  test("q185 mutual information: marginals re-aggregate from the " +
+      "PERSISTED cell grid — one corpus scan, broadcast-only joins") {
+    planOf("q185_mutual_information") // runs; checkpoint hides the plan
+    val plan = graft.operators.Caching.lastMaterializedPlan
+    assert(!plan.contains("SortMergeJoin"),
+      "bounded marginal joins must broadcast: " + plan.take(800))
+    // every corpus read goes through the persisted grid: each printed
+    // "Scan parquet" is the INSIDE of an InMemoryRelation (the cache's
+    // own build plan), never a direct re-scan
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val cached = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans > 0 && scans == cached,
+      s"$scans parquet scans vs $cached cache reads — a direct corpus " +
+        "re-scan escaped the grid cache: " + plan.take(800))
+  }
+
+  test("q186 kappa: one corpus pass per aggregate family, bounded " +
+      "marginal join broadcasts") {
+    val plan = planOf("q186_label_agreement")
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
+  test("q187 benford: ONE map-side-combined aggregation, no join, no " +
+      "window, no UDF digit extraction") {
+    val plan = planOf("q187_benford")
+    assert(plan.contains("partial_sum"), plan.take(600))
+    assert(!plan.contains("Join"), "benford is a single agg: " +
+      plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "leading digit must be a codegen'd substring")
+  }
+
+  test("q188 silhouette: broadcast-variable classify — no join at all, " +
+      "two corpus passes only") {
+    val plan = planOf("q188_silhouette")
+    assert(!plan.contains("Join"),
+      "centroids travel as a broadcast variable, never a join: " +
+        plan.take(600))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
+  test("q189 cusum: every window is keyed — no unkeyed sort anywhere") {
+    val plan = planOf("q189_cusum_volume_shift")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("key")),
+      "cusum windows must partition by key: " + plan.take(800))
+    assert(plan.contains("partial_count"),
+      "bucket counts must map-side combine: " + plan.take(600))
+  }
 }

@@ -1087,4 +1087,43 @@ class StreamingSpec extends SparkSpec {
       assert(got(4L) == (true, 1L), "quiet horizon passed -> new epoch")
     } finally q.stop()
   }
+
+  test("streaming bucket counts + batch finisher == batch CUSUM " +
+      "changepoint report") {
+    // q189's streaming twin on the real events fixture: the same
+    // mergeable (key, bucket) count state that feeds the burst monitor
+    // folds through cusumFromBucketCounts for identical level-shift
+    // estimates
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("key") ->
+      (r.getAs[Long]("n_buckets"), r.getAs[Long]("total"),
+        if (r.isNullAt(3)) -1L else r.getAs[Long]("cp_bucket"),
+        if (r.isNullAt(4)) -1L else r.getAs[Long]("cusum_peak"),
+        if (r.isNullAt(5)) -1L else r.getAs[Long]("cusum_permille"))
+    val batch = graft.operators.Sessionize.cusumChangepoint(
+        events, "event_type", "ts", bucketMs = 86400000L)
+      .collect().map(key).toMap
+    val rows = events.select(col("event_type"), expr("unix_millis(ts)"))
+      .as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.EventStreams.streamingBucketCounts(
+        input.toDS().toDF("event_type", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "event_type", "ts", bucketMs = 86400000L)
+      .writeStream.format("memory").queryName("cusumcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.Sessionize.cusumFromBucketCounts(
+          spark.table("cusumcounts"))
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch CUSUM drift")
+    } finally q.stop()
+  }
 }
