@@ -1609,3 +1609,54 @@ def cusum_changepoint(events, key_col, ts_col="ts", bucket_ms=86400000):
     s = events.sparkSession
     return _wrap(s, _api(s).cusumChangepoint(events._jdf, key_col, ts_col,
                                              int(bucket_ms)))
+
+
+def auc_by_group(df, group_col, score_col, label_col):
+    """Per-group ROC AUC (Mann-Whitney rank identity, exact midrank
+    ties): (group, n_pos, n_neg, auc)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).aucByGroup(df._jdf, group_col, score_col,
+                                       label_col))
+
+
+def entropy_by_group(df, group_col, value_col):
+    """Shannon entropy (nats) of the value distribution within each
+    group: (group, n, n_distinct, entropy_nats)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).entropyByGroup(df._jdf, group_col, value_col))
+
+
+def flesch_readability(docs, id_col="doc_id", text_col="text"):
+    """Flesch reading-ease per document:
+    (id, n_words, n_sentences, n_syllables, flesch)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).fleschReadability(docs._jdf, id_col, text_col))
+
+
+def autocorr_by_key(events, key_col, ts_col="ts", bucket_ms=86400000,
+                    lag_k=7):
+    """Lag-k autocorrelation of bucketed volumes per key:
+    (key, n_pairs, acf)."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).autocorrByKey(events._jdf, key_col, ts_col,
+                                          int(bucket_ms), int(lag_k)))
+
+
+def personalized_pagerank(edges, seeds, iters=5, k=None):
+    """Personalized PageRank from a seed node set: (node, rank_q);
+    pass k for the deterministic top-k cut."""
+    s = edges.sparkSession
+    if k is None:
+        return _wrap(s, _api(s).personalizedPageRank(edges._jdf,
+                                                     seeds._jdf,
+                                                     int(iters)))
+    return _wrap(s, _api(s).personalizedPageRankTopK(edges._jdf,
+                                                     seeds._jdf,
+                                                     int(iters), int(k)))
+
+
+def hapax_stats(docs, text_col="text", source_col="source"):
+    """Lexical-richness profile per source:
+    (source, n_tokens, n_types, n_hapax, ttr, hapax_ratio)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).hapaxStats(docs._jdf, text_col, source_col))

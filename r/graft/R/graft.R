@@ -931,3 +931,46 @@ graft.cusumChangepoint <- function(events, keyCol, tsCol = "ts",
   .gdf(SparkR::sparkR.callJStatic(.jvm, "cusumChangepoint", events@sdf,
                                   keyCol, tsCol, .jlong(bucketMs)))
 }
+
+#' Per-group ROC AUC with exact midrank ties.
+graft.aucByGroup <- function(df, groupCol, scoreCol, labelCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "aucByGroup", df@sdf, groupCol,
+                                  scoreCol, labelCol))
+}
+
+#' Shannon entropy of the value distribution within each group.
+graft.entropyByGroup <- function(df, groupCol, valueCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "entropyByGroup", df@sdf,
+                                  groupCol, valueCol))
+}
+
+#' Flesch reading-ease per document.
+graft.fleschReadability <- function(docs, idCol = "doc_id",
+                                    textCol = "text") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "fleschReadability", docs@sdf,
+                                  idCol, textCol))
+}
+
+#' Lag-k autocorrelation of bucketed volumes per key.
+graft.autocorrByKey <- function(events, keyCol, tsCol = "ts",
+                                bucketMs = 86400000, lagK = 7L) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "autocorrByKey", events@sdf,
+                                  keyCol, tsCol, .jlong(bucketMs),
+                                  as.integer(lagK)))
+}
+
+#' Personalized PageRank from a seed node set.
+graft.personalizedPageRank <- function(edges, seeds, iters = 5L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "personalizedPageRank",
+                                  edges@sdf, seeds@sdf,
+                                  as.integer(iters)))
+}
+
+#' Lexical-richness profile (tokens/types/hapax/TTR) per source.
+graft.hapaxStats <- function(docs, textCol = "text",
+                             sourceCol = "source") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hapaxStats", docs@sdf, textCol,
+                                  sourceCol))
+}

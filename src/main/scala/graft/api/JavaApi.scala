@@ -1202,4 +1202,46 @@ object JavaApi {
       bucketMs: Long): DataFrame =
     graft.operators.Sessionize.cusumChangepoint(events, keyCol, tsCol,
       bucketMs)
+
+  /** Per-group ROC AUC with exact midrank ties:
+    * (group, n_pos, n_neg, auc). */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame =
+    graft.operators.Stats.aucByGroup(df, groupCol, scoreCol, labelCol)
+
+  /** Shannon entropy of a value distribution per group:
+    * (group, n, n_distinct, entropy_nats). */
+  def entropyByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Stats.entropyByGroup(df, groupCol, valueCol)
+
+  /** Flesch reading-ease per document:
+    * (id, n_words, n_sentences, n_syllables, flesch). */
+  def fleschReadability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.TextOps.fleschReadability(docs, idCol, textCol)
+
+  /** Lag-k autocorrelation of bucketed volumes per key:
+    * (key, n_pairs, acf). */
+  def autocorrByKey(events: DataFrame, keyCol: String, tsCol: String,
+      bucketMs: Long, lagK: Int): DataFrame =
+    graft.operators.TimeSeriesOps.autocorrByKey(events, keyCol, tsCol,
+      bucketMs, lagK)
+
+  /** Personalized PageRank from a seed node set: (node, rank_q). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame =
+    graft.operators.GraphOps.personalizedPageRank(edges, seeds, iters)
+
+  /** Top-k of personalized PageRank: (node, rank_q). */
+  def personalizedPageRankTopK(edges: DataFrame, seeds: DataFrame,
+      iters: Int, k: Int): DataFrame =
+    graft.operators.GraphOps.personalizedPageRankTopK(edges, seeds,
+      iters, k)
+
+  /** Lexical-richness profile per source:
+    * (source, n_tokens, n_types, n_hapax, ttr, hapax_ratio). */
+  def hapaxStats(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    graft.operators.TokenizerOps.hapaxStats(docs, textCol, sourceCol)
 }

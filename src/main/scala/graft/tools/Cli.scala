@@ -1474,6 +1474,76 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"silhouette: wrote $out")
 
+      // auc <in> <out> -group c -score c -label c — per-group ROC AUC
+      //   (Mann-Whitney rank identity, exact midrank ties)
+      case "auc" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, sc, lb) =
+          (fv("-group", ""), fv("-score", ""), fv("-label", ""))
+        if (g.isEmpty || sc.isEmpty || lb.isEmpty)
+          sys.error("auc needs -group/-score/-label")
+        graft.operators.Stats.aucByGroup(spark.read.parquet(in), g, sc, lb)
+          .write.mode("overwrite").parquet(out)
+        println(s"auc: wrote $out")
+
+      // entropy <in> <out> -group c -value c — Shannon entropy of the
+      //   value distribution within each group
+      case "entropy" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v) = (fv("-group", ""), fv("-value", ""))
+        if (g.isEmpty || v.isEmpty) sys.error("entropy needs -group/-value")
+        graft.operators.Stats.entropyByGroup(spark.read.parquet(in), g, v)
+          .write.mode("overwrite").parquet(out)
+        println(s"entropy: wrote $out")
+
+      // flesch <in> <out> [-id c] [-text c] — Flesch reading-ease score
+      case "flesch" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TextOps.fleschReadability(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-text", "text"))
+          .write.mode("overwrite").parquet(out)
+        println(s"flesch: wrote $out")
+
+      // acf <in> <out> [-key c] [-ts c] [-bucket ms] [-lag k] —
+      //   lag-k autocorrelation of bucketed volumes per key
+      case "acf" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TimeSeriesOps.autocorrByKey(
+            spark.read.parquet(in), fv("-key", "event_type"),
+            fv("-ts", "ts"), fv("-bucket", "86400000").toLong,
+            fv("-lag", "7").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"acf: wrote $out")
+
+      // ppr <edges.parquet> <seeds.parquet> <out> [-iters n] [-k n] —
+      //   personalized PageRank from a seed node set
+      case "ppr" :: in :: seedsP :: out :: rest =>
+        val fv = flagValue(rest) _
+        val edges = spark.read.parquet(in)
+        val seeds = spark.read.parquet(seedsP)
+        val iters = fv("-iters", "5").toInt
+        val res = fv("-k", "") match {
+          case "" =>
+            graft.operators.GraphOps.personalizedPageRank(edges, seeds,
+              iters)
+          case k =>
+            graft.operators.GraphOps.personalizedPageRankTopK(edges,
+              seeds, iters, k.toInt)
+        }
+        res.write.mode("overwrite").parquet(out)
+        println(s"ppr: wrote $out")
+
+      // hapax <in> <out> [-text c] [-source c] — lexical richness
+      //   (tokens/types/hapax/TTR) per source
+      case "hapax" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TokenizerOps.hapaxStats(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-source", "source"))
+          .write.mode("overwrite").parquet(out)
+        println(s"hapax: wrote $out")
+
       // cusum <in> <out> [-key c] [-ts c] [-bucket ms] — CUSUM
       //   level-shift changepoint per key over bucketed volumes
       case "cusum" :: in :: out :: rest =>
@@ -1706,7 +1776,13 @@ object Cli {
           "\n  kappa <in.parquet> <out.parquet> -a colA -b colB" +
           "\n  benford <in.parquet> <out.parquet> [-group c] -value c" +
           "\n  silhouette <in.parquet> <out.parquet> [-label c] [-vec c]" +
-          "\n  cusum <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms]")
+          "\n  cusum <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms]" +
+          "\n  auc <in.parquet> <out.parquet> -group c -score c -label c" +
+          "\n  entropy <in.parquet> <out.parquet> -group c -value c" +
+          "\n  flesch <in.parquet> <out.parquet> [-id c] [-text c]" +
+          "\n  acf <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms] [-lag k]" +
+          "\n  ppr <edges.parquet> <seeds.parquet> <out.parquet> [-iters n] [-k n]" +
+          "\n  hapax <in.parquet> <out.parquet> [-text c] [-source c]")
         sys.exit(2)
     }
   }

@@ -842,6 +842,62 @@ object ScaleProbe {
             .as("sg")),
         "sg", "source").count()
     }
+    spark.catalog.clearCache()
+    timed("auc_dominant_5m") {
+      // round 13: q190 at 5M rows with ONE group owning 60% — the same
+      // dominant-group shape as the percent-rank probe (AUC rides the
+      // identical two-phase rank); midrank ties forced by a 10k-value
+      // score space
+      val rows = spark.range(5000000L).select(col("id"),
+        when(pmod(col("id"), lit(10L)) < 6, lit("g_dom"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(10L))))
+          .as("g"),
+        pmod(col("id") * 2654435761L, lit(10000L)).as("score"),
+        (pmod(col("id") * 48271L, lit(7L)) < 3).as("y"))
+      graft.operators.Stats.aucByGroup(rows, "g", "score", "y")
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("ks_drift_5m") {
+      // round 13: q184 at 5M rows — the map-side grid collapse leaves a
+      // 10k-value CDF table for the unkeyed windows, however big the
+      // input
+      val rows = spark.range(5000000L).select(
+        (pmod(col("id"), lit(3L)) === 0).as("side"),
+        pmod(col("id") * 2654435761L, lit(10000L)).as("v"))
+      graft.operators.Stats.ksDrift(rows, "side", "v").count()
+    }
+    spark.catalog.clearCache()
+    timed("entropy_per_user_10x") {
+      // round 13: q195 per-user entropy over the 10x events — group
+      // cardinality is the user space, each group's value grid is the
+      // |event types| bound; both aggs map-side combine
+      graft.operators.Stats.entropyByGroup(ev, "user_id", "event_type")
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("silhouette_500k") {
+      // round 13: q188 over 500k 64-dim vectors, 10 labels — the
+      // nearestCentroidEval probe shape plus the per-row scoring UDF
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        (col("id") % 10).cast("int").as("label"),
+        transform(sequence(lit(0), lit(63)),
+          d => ((pmod(col("id") * 31 + d * 7, lit(1000)) - 500) / 1000.0)
+            .cast("float")).as("embedding"))
+      graft.operators.ClusteringOps.simplifiedSilhouette(vecs, "label")
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("cusum_deep_keys_10x") {
+      // round 13: q189 machinery at high key cardinality — hourly CUSUM
+      // per (type|user) over the 10x events: the (key, bucket) grid is
+      // the only exchange, each key's timeline is calendar-bounded
+      graft.operators.Sessionize.cusumChangepoint(
+        ev.select(concat(col("event_type"), lit("|"),
+            col("user_id").cast("string")).as("k"),
+          col("ts")),
+        "k", "ts", bucketMs = 3600000L).count()
+    }
     spark.stop()
   }
 }

@@ -76,7 +76,10 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "topLinkedDomains" -> 2, "rendezvousMoveReport" -> 4,
       "ksDrift" -> 3, "mutualInformationReport" -> 3, "cohenKappa" -> 3,
       "benfordAudit" -> 3, "simplifiedSilhouette" -> 3,
-      "cusumChangepoint" -> 4)
+      "cusumChangepoint" -> 4,
+      "aucByGroup" -> 4, "entropyByGroup" -> 3, "fleschReadability" -> 3,
+      "autocorrByKey" -> 5, "personalizedPageRank" -> 3,
+      "personalizedPageRankTopK" -> 4, "hapaxStats" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -819,4 +819,67 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       "bucket counts must map-side combine: " + plan.take(600))
   }
+
+  test("q190 AUC: two-phase range rank, offsets-only windows, " +
+      "broadcast group summaries — never a per-group sort") {
+    val plan = planOf("q190_quality_auc")
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"), plan.take(800))
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")),
+      "only the globalRank offsets window is allowed: " +
+        plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-group rank offsets must broadcast back")
+  }
+
+  test("q191 flesch: pure per-row projection — no exchange, no join, " +
+      "no window, no UDF") {
+    val plan = planOf("q191_readability")
+    assert(!plan.contains("Exchange"), "readability must not shuffle: " +
+      plan.take(600))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(400))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "counts must be native regexp expressions")
+  }
+
+  test("q192 autocorrelation: grid self-join is keyed, no window, " +
+      "map-side bucket counts") {
+    val plan = planOf("q192_volume_autocorr")
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "calendar lag must be an equi join: " + plan.take(600))
+    assert(plan.contains("partial_count"),
+      "bucket counts must map-side combine")
+  }
+
+  test("q193 personalized PageRank: top-k is TakeOrdered over the " +
+      "checkpointed ranks, never a full sort") {
+    val plan = planOf("q193_seeded_pagerank")
+    assert(plan.contains("TakeOrdered"), plan.take(600))
+  }
+
+  test("q194 hapax: one map-side-combined term shuffle, keyed profile " +
+      "agg, no window") {
+    val plan = planOf("q194_lexical_richness")
+    assert(plan.contains("partial_count"), plan.take(600))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      plan.take(400))
+  }
+
+  test("q195 entropy: grid totals via a group-keyed window, no join, " +
+      "no unkeyed sort") {
+    val plan = planOf("q195_user_entropy")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g")),
+      "entropy totals window must partition by the group: " +
+        plan.take(800))
+    assert(!plan.contains("Join"), plan.take(400))
+    assert(plan.contains("partial_count"),
+      "(group, value) counts must map-side combine")
+  }
 }
