@@ -1660,3 +1660,20 @@ def hapax_stats(docs, text_col="text", source_col="source"):
     (source, n_tokens, n_types, n_hapax, ttr, hapax_ratio)."""
     s = docs.sparkSession
     return _wrap(s, _api(s).hapaxStats(docs._jdf, text_col, source_col))
+
+
+def ranked_eval(df, query_col, rank_col, rel_col, k=10):
+    """Ranked-retrieval eval per query (P@k, MRR, NDCG@k with an
+    integer discount table): (query, n_rel, rel_at_k, p_at_k, mrr,
+    ndcg)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).rankedEval(df._jdf, query_col, rank_col,
+                                       rel_col, int(k)))
+
+
+def target_encode(df, cat_col, value_col, prior_weight=20):
+    """Smoothed target encoding of a categorical column:
+    (cat, n, sum_cents, encoded)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).targetEncode(df._jdf, cat_col, value_col,
+                                         int(prior_weight)))

@@ -974,3 +974,17 @@ graft.hapaxStats <- function(docs, textCol = "text",
   .gdf(SparkR::sparkR.callJStatic(.jvm, "hapaxStats", docs@sdf, textCol,
                                   sourceCol))
 }
+
+#' Ranked-retrieval eval per query (P@k, MRR, NDCG@k).
+graft.rankedEval <- function(df, queryCol, rankCol, relCol, k = 10L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "rankedEval", df@sdf, queryCol,
+                                  rankCol, relCol, as.integer(k)))
+}
+
+#' Smoothed target encoding of a categorical column.
+graft.targetEncode <- function(df, catCol, valueCol, priorWeight = 20) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "targetEncode", df@sdf, catCol,
+                                  valueCol, .jlong(priorWeight)))
+}

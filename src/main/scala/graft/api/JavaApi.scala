@@ -1244,4 +1244,17 @@ object JavaApi {
   def hapaxStats(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame =
     graft.operators.TokenizerOps.hapaxStats(docs, textCol, sourceCol)
+
+  /** Ranked-retrieval eval per query:
+    * (query, n_rel, rel_at_k, p_at_k, mrr, ndcg). */
+  def rankedEval(df: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame =
+    graft.operators.RankFusionOps.rankedEval(df, queryCol, rankCol,
+      relCol, k)
+
+  /** Smoothed target encoding of a categorical column:
+    * (cat, n, sum_cents, encoded). */
+  def targetEncode(df: DataFrame, catCol: String, valueCol: String,
+      priorWeight: Long): DataFrame =
+    graft.operators.Stats.targetEncode(df, catCol, valueCol, priorWeight)
 }

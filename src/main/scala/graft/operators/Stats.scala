@@ -752,6 +752,51 @@ object Stats {
     * exchange wider than the grid); the final aggregate is keyed. Group
     * cardinality is unbounded (per-user entropy at 100 TB is fine) —
     * nothing here is per-group single-task beyond its own value grid. */
+  /** Smoothed target encoding of a categorical column — the standard
+    * high-cardinality feature transform: each category maps to a
+    * shrunken mean of an integer `valueCol` (cents),
+    * `(Σ_c + m·μ) / (n_c + m)` with the global mean μ as the prior and
+    * `priorWeight` m as the pseudo-count, so rare categories pull
+    * toward the corpus mean instead of memorizing noise.
+    *
+    * Exactness: cleared of the fractional prior, the encoding is
+    * `(Σ_c·N + m·S) / ((n_c + m)·N)` with S/N the global sum/count —
+    * every product exact in DECIMAL(38,0) and the result ONE double
+    * division (engine-identical). The global (S, N) re-aggregates FROM
+    * the per-category grid (no second corpus scan) and broadcasts back.
+    * Empty input yields no rows (μ of nothing is undefined).
+    *
+    * Output per category: (catCol, n, sum_cents, encoded).
+    *
+    * Scale: ONE map-side-combined keyed aggregation + a broadcast 1-row
+    * global; category cardinality unbounded — which is why the category
+    * grid is a PLAN-OWNED persisted cache (tier 2,
+    * operators/Caching.scala): both the global re-aggregate and the
+    * returned category-sized plan read one materialization; lifetime
+    * belongs to the returned Dataset (ContextCleaner) or the caller's
+    * cache cleanup. */
+  def targetEncode(df: DataFrame, catCol: String, valueCol: String,
+      priorWeight: Long): DataFrame = {
+    require(priorWeight >= 0, s"priorWeight must be >= 0: $priorWeight")
+    val dec = DecimalType(38, 0)
+    val cats = df
+      .select(col(catCol).as("__c"), col(valueCol).cast("long").as("__v"))
+      .groupBy("__c")
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__v").cast(dec)).cast(dec).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val global = cats.agg(sum("__n").cast(dec).as("__gn"),
+      sum("__s").cast(dec).as("__gs"))
+    cats.crossJoin(broadcast(global))
+      .select(col("__c").as(catCol),
+        col("__n").cast("long").as("n"),
+        col("__s").cast("long").as("sum_cents"),
+        ((col("__s") * col("__gn") + lit(priorWeight) * col("__gs"))
+          .cast("double") /
+          ((col("__n") + priorWeight) * col("__gn")).cast("double"))
+          .as("encoded"))
+  }
+
   def entropyByGroup(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

@@ -3010,8 +3010,80 @@ object PipelineQueries extends QuerySet {
           CAST(count(*) AS BIGINT) AS n_distinct,
           CAST(sum(hq) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1e7)
             AS entropy_nats
-        FROM q GROUP BY 1"""))
+        FROM q GROUP BY 1""")),
+
+    // Ranked-retrieval eval: per source, rank docs by length and score
+    // the ranking against "is English" relevance — P@10 / MRR / NDCG@10
+    // with the quantized discount table embedded as literals on BOTH
+    // sides (no log in either engine).
+    Query("q196_ranked_eval",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        graft.operators.RankFusionOps.rankedEval(
+          t(s, dir, "documents").select(col("source"),
+            row_number().over(w).as("rnk"),
+            (col("lang") === "en").as("rel")),
+          "source", "rnk", "rel", k = 10)
+      },
+      Some(rankedEvalSql)),
+
+    // Smoothed target encoding of suppliers by line price: shrunken
+    // category means, every product exact in HUGEINT/DECIMAL, one
+    // double division.
+    Query("q197_target_encode",
+      (s, dir) => graft.operators.Stats.targetEncode(
+        t(s, dir, "lineitem").select(col("l_suppkey"),
+          cents(col("l_extendedprice")).as("cents")),
+        "l_suppkey", "cents", priorWeight = 20L),
+      Some("""WITH c AS (
+          SELECT l_suppkey AS cat, CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS s
+          FROM lineitem GROUP BY 1),
+        g AS (SELECT sum(n) AS gn, sum(s) AS gs FROM c)
+        SELECT cat AS l_suppkey, CAST(n AS BIGINT) AS n,
+          CAST(s AS BIGINT) AS sum_cents,
+          CAST(s * gn + 20 * gs AS DOUBLE)
+            / CAST((n + 20) * gn AS DOUBLE) AS encoded
+        FROM c CROSS JOIN g"""))
   )
+
+  /** DuckDB twin of [[graft.operators.RankFusionOps.rankedEval]] at
+    * k = 10 — the discount/IDCG integers are the JVM's
+    * [[graft.operators.RankFusionOps.dcgDiscounts]] values embedded as
+    * VALUES literals, so neither engine computes a logarithm. */
+  private def rankedEvalSql: String = {
+    val disc = graft.operators.RankFusionOps.dcgDiscounts(10)
+    val dVals = disc.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+    val iVals = disc.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (s0, j) => s"($j, $s0)" }.mkString(", ")
+    s"""WITH r AS (
+       |  SELECT source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rnk,
+       |    (lang = 'en') AS rel
+       |  FROM documents),
+       |d(rnk, disc) AS (VALUES $dVals),
+       |i(j, idcg) AS (VALUES $iVals),
+       |a AS (SELECT source,
+       |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |    CAST(sum(CASE WHEN rel AND r.rnk <= 10 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rel_at_k,
+       |    min(CASE WHEN rel THEN r.rnk END) AS fr,
+       |    CAST(sum(CASE WHEN rel AND r.rnk <= 10 THEN d.disc ELSE 0
+       |      END) AS BIGINT) AS dcg
+       |  FROM r LEFT JOIN d ON r.rnk = d.rnk GROUP BY 1)
+       |SELECT source, n_rel, rel_at_k,
+       |  CAST(rel_at_k AS DOUBLE) / 10.0 AS p_at_k,
+       |  CASE WHEN fr IS NULL THEN NULL
+       |    ELSE 1.0 / CAST(fr AS DOUBLE) END AS mrr,
+       |  CASE WHEN n_rel = 0 THEN NULL
+       |    ELSE CAST(dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END AS ndcg
+       |FROM a JOIN i ON least(n_rel, 10) = i.j""".stripMargin
+  }
 
   /** One unrolled personalized-PageRank iteration (DuckDB) — the q93
     * prIter recipe with the restart mass conditional on the seed rule

@@ -1534,6 +1534,31 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // rankedEval <in> <out> -query c -rank c -rel c [-k n] — P@k /
+      //   MRR / NDCG@k per query against boolean relevance
+      case "rankedEval" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (qc, rc, lc) =
+          (fv("-query", ""), fv("-rank", ""), fv("-rel", ""))
+        if (qc.isEmpty || rc.isEmpty || lc.isEmpty)
+          sys.error("rankedEval needs -query/-rank/-rel")
+        graft.operators.RankFusionOps.rankedEval(
+            spark.read.parquet(in), qc, rc, lc, fv("-k", "10").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"rankedEval: wrote $out")
+
+      // targetEncode <in> <out> -cat c -value c [-m n] — smoothed
+      //   target encoding (shrunken category means)
+      case "targetEncode" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (cc, vc) = (fv("-cat", ""), fv("-value", ""))
+        if (cc.isEmpty || vc.isEmpty)
+          sys.error("targetEncode needs -cat/-value")
+        graft.operators.Stats.targetEncode(
+            spark.read.parquet(in), cc, vc, fv("-m", "20").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"targetEncode: wrote $out")
+
       // hapax <in> <out> [-text c] [-source c] — lexical richness
       //   (tokens/types/hapax/TTR) per source
       case "hapax" :: in :: out :: rest =>
@@ -1782,7 +1807,9 @@ object Cli {
           "\n  flesch <in.parquet> <out.parquet> [-id c] [-text c]" +
           "\n  acf <in.parquet> <out.parquet> [-key c] [-ts c] [-bucket ms] [-lag k]" +
           "\n  ppr <edges.parquet> <seeds.parquet> <out.parquet> [-iters n] [-k n]" +
-          "\n  hapax <in.parquet> <out.parquet> [-text c] [-source c]")
+          "\n  hapax <in.parquet> <out.parquet> [-text c] [-source c]" +
+          "\n  rankedEval <in.parquet> <out.parquet> -query c -rank c -rel c [-k n]" +
+          "\n  targetEncode <in.parquet> <out.parquet> -cat c -value c [-m n]")
         sys.exit(2)
     }
   }

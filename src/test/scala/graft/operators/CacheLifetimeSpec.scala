@@ -107,6 +107,10 @@ class CacheLifetimeSpec extends SparkSpec {
       .toDF("source", "text")
     CorpusCompareOps.sourceOverlapExact(docs2, "text", "source")
       .queryExecution.toRdd.count()
+    // round-13 tier-2: targetEncode's category grid is read by both the
+    // global re-aggregate and the returned category-sized plan
+    Stats.targetEncode(df, "v", "id", priorWeight = 5L)
+      .queryExecution.toRdd.count()
     cleanSlate()
     assert(persistedCount <= base,
       "tier-2 caches survived a standard session cleanup: " +

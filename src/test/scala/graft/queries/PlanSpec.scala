@@ -870,6 +870,34 @@ class PlanSpec extends SparkSpec {
       plan.take(400))
   }
 
+  test("q196 ranked eval: discount and IDCG tables broadcast, counts " +
+      "map-side combine, the only window is the per-source ranking") {
+    val plan = planOf("q196_ranked_eval")
+    assert(plan.contains("BroadcastHashJoin"),
+      "discount/IDCG literal tables must broadcast: " + plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), plan.take(600))
+    assert(plan.contains("partial_"),
+      "per-query metrics must map-side combine")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("source")),
+      "only the catalog's own per-source row_number window is allowed: " +
+        plan.take(800))
+  }
+
+  test("q197 target encode: global prior re-aggregates from the " +
+      "PERSISTED category grid and broadcasts — one corpus scan") {
+    val plan = planOf("q197_target_encode")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val cached = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans > 0 && scans == cached,
+      s"$scans parquet scans vs $cached cache reads — a direct corpus " +
+        "re-scan escaped the grid cache: " + plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the 1-row global must broadcast onto the category grid")
+  }
+
   test("q195 entropy: grid totals via a group-keyed window, no join, " +
       "no unkeyed sort") {
     val plan = planOf("q195_user_entropy")
