@@ -1677,3 +1677,18 @@ def target_encode(df, cat_col, value_col, prior_weight=20):
     s = df.sparkSession
     return _wrap(s, _api(s).targetEncode(df._jdf, cat_col, value_col,
                                          int(prior_weight)))
+
+
+def json_key_profile(df, json_col):
+    """JSON key discovery over a semi-structured column: per key,
+    presence, cardinality, and a value-type census; malformed rows in
+    n_bad."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).jsonKeyProfile(df._jdf, json_col))
+
+
+def moments_by_group(df, group_col, value_col):
+    """Distribution-shape census per group:
+    (group, n, mean, variance, skewness, kurtosis)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).momentsByGroup(df._jdf, group_col, value_col))

@@ -988,3 +988,15 @@ graft.targetEncode <- function(df, catCol, valueCol, priorWeight = 20) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "targetEncode", df@sdf, catCol,
                                   valueCol, .jlong(priorWeight)))
 }
+
+#' JSON key discovery (presence / cardinality / type census) per key.
+graft.jsonKeyProfile <- function(df, jsonCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "jsonKeyProfile", df@sdf,
+                                  jsonCol))
+}
+
+#' Distribution-shape census (mean/variance/skew/kurtosis) per group.
+graft.momentsByGroup <- function(df, groupCol, valueCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "momentsByGroup", df@sdf,
+                                  groupCol, valueCol))
+}

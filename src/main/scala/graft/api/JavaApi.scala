@@ -1257,4 +1257,15 @@ object JavaApi {
   def targetEncode(df: DataFrame, catCol: String, valueCol: String,
       priorWeight: Long): DataFrame =
     graft.operators.Stats.targetEncode(df, catCol, valueCol, priorWeight)
+
+  /** JSON key discovery over a semi-structured column: (key, n_present,
+    * present_permille, n_distinct, type census..., n_rows, n_bad). */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame =
+    graft.operators.ProfileOps.jsonKeyProfile(df, jsonCol)
+
+  /** Distribution-shape census per group:
+    * (group, n, mean, variance, skewness, kurtosis). */
+  def momentsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Stats.momentsByGroup(df, groupCol, valueCol)
 }

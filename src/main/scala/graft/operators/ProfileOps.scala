@@ -183,4 +183,59 @@ object ProfileOps {
         "n_distinct_a", "n_rows_b", "n_nulls_b", "n_distinct_b",
         "null_delta_permille", "distinct_delta")
   }
+
+  /** Schema discovery over a semi-structured JSON column — the profile
+    * every pipeline needs before it trusts a `props`/`payload` field:
+    * which keys exist, how often, with what value types, and at what
+    * cardinality. Flat keys only (nested objects/arrays are counted as
+    * `n_nested`, not descended into — profile the extracted subcolumn
+    * next if one matters).
+    *
+    * Per top-level key: presence count, presence permille of all rows
+    * (exact integer division), distinct value count, and a type census
+    * of the value strings (`null` / `true|false` / JSON number / nested
+    * `{`/`[` / plain string). Malformed or NULL JSON rows are counted
+    * once in every output row's `n_bad` (they contribute no keys).
+    *
+    * Determinism: values come from `from_json(… map<string,string>)` —
+    * one native parse per row, no UDF; numbers/arrays re-serialize to
+    * their minified JSON form, so counts and distincts are
+    * engine-replayable against a JSON-native oracle.
+    *
+    * Output per key: (key, n_present, present_permille, n_distinct,
+    * n_null, n_bool, n_num, n_nested, n_str, n_rows, n_bad).
+    *
+    * Scale: one parse + explode pass, ONE map-side-combined aggregation
+    * keyed by the bounded key space, plus a 1-row (count, bad-count)
+    * aggregate broadcast onto the key rows. */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val parsed = df.select(
+      from_json(col(jsonCol),
+        org.apache.spark.sql.types.DataTypes.createMapType(
+          StringType, StringType)).as("__m"))
+    val tot = parsed.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("__m").isNull, 1L).otherwise(0L)).as("n_bad"))
+    val v = col("__v")
+    val isNum =
+      v.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+    val kv = parsed.filter(col("__m").isNotNull)
+      .select(explode(col("__m")).as(Seq("key", "__v")))
+    kv.groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("__v")).as("n_distinct"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(v.isin("true", "false"), 1L).otherwise(0L)).as("n_bool"),
+        sum(when(v.isNotNull && isNum, 1L).otherwise(0L)).as("n_num"),
+        sum(when(v.startsWith("{") || v.startsWith("["), 1L)
+          .otherwise(0L)).as("n_nested"),
+        sum(when(v.isNotNull && !v.isin("true", "false") && !isNum &&
+          !v.startsWith("{") && !v.startsWith("["), 1L).otherwise(0L))
+          .as("n_str"))
+      .crossJoin(broadcast(tot))
+      .withColumn("present_permille",
+        expr("n_present * 1000L div n_rows"))
+      .select("key", "n_present", "present_permille", "n_distinct",
+        "n_null", "n_bool", "n_num", "n_nested", "n_str", "n_rows",
+        "n_bad")
+  }
 }

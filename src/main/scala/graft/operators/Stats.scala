@@ -733,6 +733,54 @@ object Stats {
           .as("auc"))
   }
 
+  /** Distribution-shape profile of an integer `valueCol` (cents) per
+    * group: mean, population variance, skewness, and EXCESS kurtosis —
+    * the asymmetry/tail census a pipeline reads before choosing between
+    * z-score and MAD outlier rules (skew ≈ 0 and kurtosis ≈ 0 justify
+    * the z-test; heavy tails say use [[madOutliers]]).
+    *
+    * Exactness: the four raw power sums Σx..Σx⁴ accumulate in
+    * DECIMAL(38,0) (x⁴ at 1e6-cent values is 1e24 per row — x must stay
+    * within ±2^26 cents for the Σx⁴ of 1e12 rows to fit 38 digits,
+    * documented contract); the central moments and both shape ratios
+    * are ONE fixed double chain over those exact integers, so any
+    * engine replays them bit-for-bit. Groups with n < 2 or zero
+    * variance report NULL shape (undefined).
+    *
+    * Output per group: (groupCol, n, mean, variance, skewness,
+    * kurtosis).
+    *
+    * Scale: ONE map-side-combined keyed aggregation — nothing else. */
+  def momentsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col("__v").cast(dec)
+    val agg = df
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(dec).as("__s1"),
+        sum((x * x).cast(dec)).cast(dec).as("__s2"),
+        sum((x * x * x).cast(dec)).cast(dec).as("__s3"),
+        sum((x * x * x * x).cast(dec)).cast(dec).as("__s4"))
+    val nD = col("n").cast("double")
+    val mu = col("__s1").cast("double") / nD
+    val m2 = col("__s2").cast("double") / nD - mu * mu
+    val m3 = col("__s3").cast("double") / nD -
+      lit(3.0) * mu * (col("__s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("__s4").cast("double") / nD -
+      lit(4.0) * mu * (col("__s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("__s2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    agg.select(col(groupCol), col("n"),
+      mu.as("mean"), m2.as("variance"),
+      when(col("n") < 2 || m2 <= 0, lit(null).cast("double"))
+        .otherwise(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+      when(col("n") < 2 || m2 <= 0, lit(null).cast("double"))
+        .otherwise(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+  }
+
   /** Shannon entropy (nats) of `valueCol`'s distribution within each
     * group — the behavioral-diversity fingerprint: a user whose events
     * are 99 % one type is a script, a source whose token mix collapses

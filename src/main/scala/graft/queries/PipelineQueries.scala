@@ -3047,7 +3047,120 @@ object PipelineQueries extends QuerySet {
           CAST(s AS BIGINT) AS sum_cents,
           CAST(s * gn + 20 * gs AS DOUBLE)
             / CAST((n + 20) * gn AS DOUBLE) AS encoded
-        FROM c CROSS JOIN g"""))
+        FROM c CROSS JOIN g""")),
+
+    // JSON key discovery over a synthesized semi-structured props column
+    // (numbers, strings, floats, arrays, JSON nulls, and malformed rows
+    // — the third value class exercises every census branch): per key,
+    // presence, cardinality, and a value-type census.
+    Query("q198_json_key_profile",
+      (s, dir) => graft.operators.ProfileOps.jsonKeyProfile(
+        t(s, dir, "events").select(
+          when(pmod(col("event_id"), lit(17L)) === 0, lit("{oops"))
+            .otherwise(concat(
+              lit("{\"k\": "),
+              pmod(col("event_id"), lit(100L)).cast("string"),
+              when(pmod(col("event_id"), lit(3L)) === 0,
+                lit(", \"dev\": \"mobile\""))
+                .when(pmod(col("event_id"), lit(3L)) === 1,
+                  lit(", \"dev\": \"web\""))
+                .otherwise(lit("")),
+              when(pmod(col("event_id"), lit(7L)) === 0,
+                lit(", \"score\": 1.5")).otherwise(lit("")),
+              when(pmod(col("event_id"), lit(11L)) === 0,
+                lit(", \"tags\": [1, 2]")).otherwise(lit("")),
+              when(pmod(col("event_id"), lit(13L)) === 0,
+                lit(", \"extra\": null")).otherwise(lit("")),
+              lit("}"))).as("props")),
+        "props"),
+      Some("""WITH p AS (
+          SELECT CASE WHEN event_id % 17 = 0 THEN '{oops' ELSE
+            '{"k": ' || (event_id % 100) ||
+            CASE WHEN event_id % 3 = 0 THEN ', "dev": "mobile"'
+              WHEN event_id % 3 = 1 THEN ', "dev": "web"'
+              ELSE '' END ||
+            CASE WHEN event_id % 7 = 0 THEN ', "score": 1.5'
+              ELSE '' END ||
+            CASE WHEN event_id % 11 = 0 THEN ', "tags": [1, 2]'
+              ELSE '' END ||
+            CASE WHEN event_id % 13 = 0 THEN ', "extra": null'
+              ELSE '' END || '}' END AS props
+          FROM events),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_bad
+          FROM p),
+        kv0 AS (SELECT props, unnest(json_keys(props::JSON)) AS key
+          FROM p WHERE json_valid(props)),
+        kv AS (SELECT key,
+            CASE WHEN json_type(json_extract(props::JSON, '$.' || key))
+                = 'NULL' THEN NULL
+              WHEN json_type(json_extract(props::JSON, '$.' || key))
+                = 'VARCHAR'
+                THEN json_extract_string(props::JSON, '$.' || key)
+              ELSE CAST(json_extract(props::JSON, '$.' || key)
+                AS VARCHAR) END AS v
+          FROM kv0),
+        a AS (SELECT key,
+            CAST(count(*) AS BIGINT) AS n_present,
+            CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+            CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_null,
+            CAST(sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bool,
+            CAST(sum(CASE WHEN v IS NOT NULL AND regexp_matches(v,
+              '^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$') THEN 1 ELSE 0
+              END) AS BIGINT) AS n_num,
+            CAST(sum(CASE WHEN v LIKE '{%' OR v LIKE '[%' THEN 1 ELSE 0
+              END) AS BIGINT) AS n_nested,
+            CAST(sum(CASE WHEN v IS NOT NULL
+              AND v NOT IN ('true', 'false')
+              AND NOT regexp_matches(v,
+                '^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$')
+              AND v NOT LIKE '{%' AND v NOT LIKE '[%' THEN 1 ELSE 0
+              END) AS BIGINT) AS n_str
+          FROM kv GROUP BY 1)
+        SELECT key, n_present,
+          CAST(n_present * 1000 // n_rows AS BIGINT) AS present_permille,
+          n_distinct, n_null, n_bool, n_num, n_nested, n_str,
+          n_rows, n_bad
+        FROM a CROSS JOIN tot""")),
+
+    // Distribution-shape census of line prices per return flag: mean /
+    // variance / skewness / excess kurtosis from four exact HUGEINT
+    // power sums and one fixed double chain.
+    Query("q199_price_moments",
+      (s, dir) => graft.operators.Stats.momentsByGroup(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("cents")),
+        "l_returnflag", "cents"),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+          FROM lineitem),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS s1,
+            sum(CAST(x AS HUGEINT) * x) AS s2,
+            sum(CAST(x AS HUGEINT) * x * x) AS s3,
+            sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+          FROM v GROUP BY 1),
+        m AS (SELECT g, n,
+            CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+            CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+            CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+            CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM a),
+        c AS (SELECT g, n, mu,
+            r2 - mu * mu AS m2,
+            r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+            r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+              - 3.0 * mu * mu * mu * mu AS m4
+          FROM m)
+        SELECT g AS l_returnflag, n, mu AS mean, m2 AS variance,
+          CASE WHEN n < 2 OR m2 <= 0 THEN NULL
+            ELSE m3 / sqrt(m2 * m2 * m2) END AS skewness,
+          CASE WHEN n < 2 OR m2 <= 0 THEN NULL
+            ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis
+        FROM c"""))
   )
 
   /** DuckDB twin of [[graft.operators.RankFusionOps.rankedEval]] at

@@ -1534,6 +1534,27 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // jsonProfile <in> <out> -col c — JSON key discovery (presence /
+      //   cardinality / type census) over a semi-structured column
+      case "jsonProfile" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val jc = fv("-col", "")
+        if (jc.isEmpty) sys.error("jsonProfile needs -col")
+        graft.operators.ProfileOps.jsonKeyProfile(
+            spark.read.parquet(in), jc)
+          .write.mode("overwrite").parquet(out)
+        println(s"jsonProfile: wrote $out")
+
+      // moments <in> <out> -group c -value c — mean/variance/skew/
+      //   kurtosis census per group
+      case "moments" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v) = (fv("-group", ""), fv("-value", ""))
+        if (g.isEmpty || v.isEmpty) sys.error("moments needs -group/-value")
+        graft.operators.Stats.momentsByGroup(spark.read.parquet(in), g, v)
+          .write.mode("overwrite").parquet(out)
+        println(s"moments: wrote $out")
+
       // rankedEval <in> <out> -query c -rank c -rel c [-k n] — P@k /
       //   MRR / NDCG@k per query against boolean relevance
       case "rankedEval" :: in :: out :: rest =>
@@ -1809,7 +1830,9 @@ object Cli {
           "\n  ppr <edges.parquet> <seeds.parquet> <out.parquet> [-iters n] [-k n]" +
           "\n  hapax <in.parquet> <out.parquet> [-text c] [-source c]" +
           "\n  rankedEval <in.parquet> <out.parquet> -query c -rank c -rel c [-k n]" +
-          "\n  targetEncode <in.parquet> <out.parquet> -cat c -value c [-m n]")
+          "\n  targetEncode <in.parquet> <out.parquet> -cat c -value c [-m n]" +
+          "\n  jsonProfile <in.parquet> <out.parquet> -col c" +
+          "\n  moments <in.parquet> <out.parquet> -group c -value c")
         sys.exit(2)
     }
   }

@@ -80,7 +80,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "aucByGroup" -> 4, "entropyByGroup" -> 3, "fleschReadability" -> 3,
       "autocorrByKey" -> 5, "personalizedPageRank" -> 3,
       "personalizedPageRankTopK" -> 4, "hapaxStats" -> 3,
-      "rankedEval" -> 5, "targetEncode" -> 4)
+      "rankedEval" -> 5, "targetEncode" -> 4,
+      "jsonKeyProfile" -> 2, "momentsByGroup" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -898,6 +898,27 @@ class PlanSpec extends SparkSpec {
       "the 1-row global must broadcast onto the category grid")
   }
 
+  test("q198 json profile: native parse (no UDF), map-side key census, " +
+      "broadcast totals") {
+    val plan = planOf("q198_json_key_profile")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "from_json must be the native expression: " + plan.take(400))
+    assert(plan.contains("partial_"),
+      "per-key census must map-side combine")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the 1-row totals must broadcast onto the key rows")
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
+  test("q199 moments: ONE map-side-combined aggregation, no join, no " +
+      "window") {
+    val plan = planOf("q199_price_moments")
+    assert(plan.contains("partial_sum"), plan.take(600))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "moments is a single agg: " + plan.take(400))
+  }
+
   test("q195 entropy: grid totals via a group-keyed window, no join, " +
       "no unkeyed sort") {
     val plan = planOf("q195_user_entropy")
