@@ -1692,3 +1692,20 @@ def moments_by_group(df, group_col, value_col):
     (group, n, mean, variance, skewness, kurtosis)."""
     s = df.sparkSession
     return _wrap(s, _api(s).momentsByGroup(df._jdf, group_col, value_col))
+
+
+def robust_scale(df, group_col, value_col, tie_break):
+    """Robust (median/IQR) scaling within each group: input columns +
+    (med, iqr, robust_scaled)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).robustScale(df._jdf, group_col, value_col,
+                                        tie_break))
+
+
+def skip_gram_pairs(docs, id_col="doc_id", text_col="text", window=2,
+                    min_count=5):
+    """Skip-gram co-occurrence counts for embedding training:
+    (center, context, n_pairs)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).skipGramPairs(docs._jdf, id_col, text_col,
+                                          int(window), int(min_count)))

@@ -1000,3 +1000,20 @@ graft.momentsByGroup <- function(df, groupCol, valueCol) {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "momentsByGroup", df@sdf,
                                   groupCol, valueCol))
 }
+
+#' Robust (median/IQR) scaling within each group.
+graft.robustScale <- function(df, groupCol, valueCol, tieBreak) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "robustScale", df@sdf, groupCol,
+                                  valueCol, tieBreak))
+}
+
+#' Skip-gram co-occurrence counts (center, context, n_pairs).
+graft.skipGramPairs <- function(docs, idCol = "doc_id",
+                                textCol = "text", window = 2L,
+                                minCount = 5) {
+  .jlong <- function(x) SparkR::sparkR.callJStatic(
+    "java.lang.Long", "valueOf", format(x, scientific = FALSE))
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "skipGramPairs", docs@sdf,
+                                  idCol, textCol, as.integer(window),
+                                  .jlong(minCount)))
+}

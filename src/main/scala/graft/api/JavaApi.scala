@@ -1268,4 +1268,16 @@ object JavaApi {
   def momentsByGroup(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame =
     graft.operators.Stats.momentsByGroup(df, groupCol, valueCol)
+
+  /** Robust (median/IQR) scaling within each group:
+    * input columns + (med, iqr, robust_scaled). */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame =
+    graft.operators.Stats.robustScale(df, groupCol, valueCol, tieBreak)
+
+  /** Skip-gram co-occurrence counts: (center, context, n_pairs). */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long): DataFrame =
+    graft.operators.TextOps.skipGramPairs(docs, idCol, textCol, window,
+      minCount)
 }

@@ -474,14 +474,28 @@ object Stats {
     * corpus-growth day table), so the unkeyed windows never see data
     * rows. NULL values and NULL sides are excluded from both samples. */
   def ksDrift(df: DataFrame, sideCol: String,
-      valueCol: String): DataFrame = {
-    val dec = DecimalType(38, 0)
-    val grid = df
-      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+      valueCol: String): DataFrame =
+    ksFromCounts(ksCounts(df, sideCol, valueCol))
+
+  /** The mergeable (v, n_ref, n_cur) grid phase of [[ksDrift]] — ONE
+    * map-side-combined aggregation. The same unresolved plan works on a
+    * streaming frame (counts add, so micro-batch partials ARE the batch
+    * combine), which is what
+    * [[graft.streaming.EventStreams.streamingKsCounts]] delegates to —
+    * one definition, the shared-phase rule. */
+  def ksCounts(df: DataFrame, sideCol: String,
+      valueCol: String): DataFrame =
+    df.filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
       .select(col(sideCol).as("__s"), col(valueCol).cast("long").as("__v"))
       .groupBy("__v")
       .agg(sum(when(col("__s"), 0L).otherwise(1L)).as("__nr"),
         sum(when(col("__s"), 1L).otherwise(0L)).as("__nc"))
+
+  /** Finish [[ksDrift]] from a (v, n_ref, n_cur) grid — the shape
+    * [[ksCounts]] produces and the streaming monitor maintains as
+    * complete-mode state. */
+  def ksFromCounts(grid: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("__v")
@@ -731,6 +745,38 @@ object Stats {
             (col("__spr2") - col("__np") * (col("__np") + 1)).cast("double")
               / (col("__np") * col("__nn") * 2).cast("double"))
           .as("auc"))
+  }
+
+  /** Robust scaling of an integer `valueCol` (cents) within each group:
+    * `(x − median) / IQR` — the outlier-immune complement of z-score
+    * normalization (mean/σ move with every wild value; median and the
+    * p25/p75 cuts have bounded breakdown), the standard feature-scaling
+    * step before mixing heavy-tailed sources.
+    *
+    * Exactness: the three cut points are exact disc percentiles
+    * (actual data values via [[Quantiles.discPercentiles]]' distributed
+    * rank — no buffering aggregate, no interpolation), and the scaled
+    * value is ONE double division of exact integers — engine-identical.
+    * A zero-IQR group (over half the mass on one value) yields NULL
+    * scaled values rather than a division blow-up.
+    *
+    * Output: input columns + (med, iqr, robust_scaled).
+    *
+    * Scale: one keyed rank window per percentile pass (the q86 shape),
+    * the bounded per-group cut rows broadcast back onto the data. */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame = {
+    val cuts = Quantiles.discPercentiles(
+        df, groupCol, valueCol, tieBreak, Seq(0.25, 0.5, 0.75))
+      .select(col(groupCol), col("p25").as("__lo"),
+        col("p50").as("med"), col("p75").as("__hi"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("iqr", col("__hi") - col("__lo"))
+      .withColumn("robust_scaled",
+        when(col("iqr") === 0, lit(null).cast("double"))
+          .otherwise((col(valueCol) - col("med")).cast("double") /
+            col("iqr").cast("double")))
+      .drop("__lo", "__hi")
   }
 
   /** Distribution-shape profile of an integer `valueCol` (cents) per

@@ -1134,6 +1134,44 @@ object TextOps {
     *
     * Scale: per-row narrow projection — embarrassingly parallel, no
     * shuffle, no UDF. */
+  /** Skip-gram co-occurrence counts — the (center, context) pair table
+    * word2vec-family embedding training consumes: every ordered pair of
+    * tokens within `window` positions of each other in the same
+    * document, counted corpus-wide, thresholded at `minCount` (the
+    * standard noise floor). Symmetric by construction (each unordered
+    * co-occurrence yields both directions).
+    *
+    * Output: (center, context, n_pairs), n_pairs >= minCount.
+    *
+    * Scale: the naive formulation — equi-join tokens on the document
+    * and filter |Δpos| <= window — materializes L² pairs per document
+    * before filtering; instead each token EXPLODES into its 2·window
+    * context POSITIONS and joins back on (doc, position) equality, so
+    * the fanout is exactly 2·window per token, the join is a keyed
+    * hash/sort join, and the count is one map-side-combined
+    * aggregation. Tokenization: lowercase nonempty whitespace tokens
+    * (the [[qualityFeatures]]/termCounts convention). */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = docs.select(col(idCol).as("__d"),
+      posexplode(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= "")).as(Seq("__p", "__w")))
+    val offs = (-window to window).filter(_ != 0).map(o => lit(o))
+    val ctx = toks
+      .select(col("__d"), col("__w").as("center"), col("__p"),
+        explode(array(offs: _*)).as("__o"))
+      .select(col("__d"), col("center"),
+        (col("__p") + col("__o")).as("__cp"))
+    val right = toks.select(col("__d"), col("__p").as("__cp"),
+      col("__w").as("context"))
+    ctx.join(right, Seq("__d", "__cp"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   def fleschReadability(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val txt = lower(coalesce(col(textCol), lit("")))

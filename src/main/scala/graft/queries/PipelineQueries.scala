@@ -3160,7 +3160,59 @@ object PipelineQueries extends QuerySet {
             ELSE m3 / sqrt(m2 * m2 * m2) END AS skewness,
           CASE WHEN n < 2 OR m2 <= 0 THEN NULL
             ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis
-        FROM c"""))
+        FROM c""")),
+
+    // Robust (median/IQR) scaling of event values within each type:
+    // exact disc percentile cuts broadcast back, one double division.
+    Query("q200_robust_scale",
+      (s, dir) => graft.operators.Stats.robustScale(
+        t(s, dir, "events").select(col("event_type"), col("event_id"),
+          cents(col("value")).as("cents")),
+        "event_type", "cents", "event_id"),
+      Some("""WITH v AS (SELECT event_type, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        r AS (SELECT event_type, event_id, cents,
+            row_number() OVER (
+              PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+        c AS (SELECT event_type,
+            min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+              THEN cents END) AS lo,
+            min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+              THEN cents END) AS med,
+            min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+              THEN cents END) AS hi
+          FROM r GROUP BY 1)
+        SELECT v.event_type, v.event_id, v.cents, c.med,
+          c.hi - c.lo AS iqr,
+          CASE WHEN c.hi - c.lo = 0 THEN NULL
+            ELSE CAST(v.cents - c.med AS DOUBLE)
+              / CAST(c.hi - c.lo AS DOUBLE) END AS robust_scaled
+        FROM v JOIN c USING (event_type)""")),
+
+    // Skip-gram (center, context) co-occurrence counts at window 2 —
+    // the word2vec pair table; context-position explode keeps the
+    // fanout at exactly 2w per token (never L^2 per document).
+    Query("q201_skipgram_pairs",
+      (s, dir) => graft.operators.TextOps.skipGramPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 2, minCount = 5L),
+      Some("""WITH l AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x <> '') AS ws
+          FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS w,
+            unnest(range(1, len(ws) + 1)) AS p
+          FROM l),
+        d(o) AS (VALUES (-2), (-1), (1), (2)),
+        c AS (SELECT t.doc_id, t.w AS center, t.p + d.o AS cp
+          FROM t CROSS JOIN d),
+        j AS (SELECT c.center, t2.w AS context
+          FROM c JOIN t t2 ON t2.doc_id = c.doc_id AND t2.p = c.cp)
+        SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY 1, 2 HAVING count(*) >= 5"""))
   )
 
   /** DuckDB twin of [[graft.operators.RankFusionOps.rankedEval]] at

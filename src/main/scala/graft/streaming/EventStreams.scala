@@ -583,6 +583,19 @@ object EventStreams {
     graft.operators.Sessionize.bucketCounts(events, keyCol, tsCol,
       bucketMs)
 
+  /** Streaming twin of [[graft.operators.Stats.ksDrift]] (grid phase):
+    * the (value, n_ref, n_cur) CDF grid as a complete-mode aggregation —
+    * counts add, so the micro-batch partial agg IS the batch map-side
+    * combine and state is one row per distinct (quantized) value. Spark
+    * forbids chaining the running-sum windows onto a streaming
+    * aggregation, so fold each drained snapshot through
+    * [[graft.operators.Stats.ksFromCounts]] for the live drift
+    * statistic; drained over the same rows it equals the batch report
+    * exactly (StreamingSpec). */
+  def streamingKsCounts(events: DataFrame, sideCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Stats.ksCounts(events, sideCol, valueCol)
+
   /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
     * phase): per-(group, day) event counts as a complete-mode
     * aggregation — counts add, so the micro-batch partial agg IS the

@@ -1534,6 +1534,29 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // robustScale <in> <out> -group c -value c -tie c — median/IQR
+      //   scaling within each group
+      case "robustScale" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v, tb) =
+          (fv("-group", ""), fv("-value", ""), fv("-tie", ""))
+        if (g.isEmpty || v.isEmpty || tb.isEmpty)
+          sys.error("robustScale needs -group/-value/-tie")
+        graft.operators.Stats.robustScale(spark.read.parquet(in), g, v, tb)
+          .write.mode("overwrite").parquet(out)
+        println(s"robustScale: wrote $out")
+
+      // skipgram <in> <out> [-id c] [-text c] [-window n] [-min n] —
+      //   skip-gram (center, context) co-occurrence counts
+      case "skipgram" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TextOps.skipGramPairs(
+            spark.read.parquet(in), fv("-id", "doc_id"),
+            fv("-text", "text"), fv("-window", "2").toInt,
+            fv("-min", "5").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"skipgram: wrote $out")
+
       // jsonProfile <in> <out> -col c — JSON key discovery (presence /
       //   cardinality / type census) over a semi-structured column
       case "jsonProfile" :: in :: out :: rest =>
@@ -1832,7 +1855,9 @@ object Cli {
           "\n  rankedEval <in.parquet> <out.parquet> -query c -rank c -rel c [-k n]" +
           "\n  targetEncode <in.parquet> <out.parquet> -cat c -value c [-m n]" +
           "\n  jsonProfile <in.parquet> <out.parquet> -col c" +
-          "\n  moments <in.parquet> <out.parquet> -group c -value c")
+          "\n  moments <in.parquet> <out.parquet> -group c -value c" +
+          "\n  robustScale <in.parquet> <out.parquet> -group c -value c -tie c" +
+          "\n  skipgram <in.parquet> <out.parquet> [-id c] [-text c] [-window n] [-min n]")
         sys.exit(2)
     }
   }

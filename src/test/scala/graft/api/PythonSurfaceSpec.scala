@@ -81,7 +81,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "autocorrByKey" -> 5, "personalizedPageRank" -> 3,
       "personalizedPageRankTopK" -> 4, "hapaxStats" -> 3,
       "rankedEval" -> 5, "targetEncode" -> 4,
-      "jsonKeyProfile" -> 2, "momentsByGroup" -> 3)
+      "jsonKeyProfile" -> 2, "momentsByGroup" -> 3,
+      "robustScale" -> 4, "skipGramPairs" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -919,6 +919,29 @@ class PlanSpec extends SparkSpec {
       "moments is a single agg: " + plan.take(400))
   }
 
+  test("q200 robust scale: keyed rank windows only, cut rows broadcast " +
+      "back") {
+    val plan = planOf("q200_robust_scale")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("event_type")),
+      "percentile ranks must be keyed by the group: " + plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-group cuts must broadcast back")
+  }
+
+  test("q201 skip-gram: position-explode fanout joins as a keyed equi " +
+      "join — never a per-document cartesian") {
+    val plan = planOf("q201_skipgram_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be (doc, position) equi: " + plan.take(600))
+    assert(plan.contains("Generate"),
+      "context positions come from an explode")
+    assert(plan.contains("partial_count"),
+      "pair counts must map-side combine")
+  }
+
   test("q195 entropy: grid totals via a group-keyed window, no join, " +
       "no unkeyed sort") {
     val plan = planOf("q195_user_entropy")

@@ -1088,6 +1088,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KS grid + batch finisher == batch ksDrift report") {
+    // q184's streaming twin on the real events fixture: the (value,
+    // n_ref, n_cur) CDF grid is mergeable complete-mode state; the
+    // batch finisher over any drained snapshot equals the batch
+    // statistic bit-for-bit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select((col("event_type") === "purchase").as("side"),
+        floor(col("value")).cast("long").as("vb"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val batch = key(graft.operators.Stats.ksDrift(events, "side", "vb")
+      .head())
+    val rows = events.as[(Boolean, Long)].collect().toSeq
+    val input = MemoryStream[(Boolean, Long)]
+    val q = graft.streaming.EventStreams.streamingKsCounts(
+        input.toDS().toDF("side", "vb"), "side", "vb")
+      .writeStream.format("memory").queryName("kscounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = key(graft.operators.Stats.ksFromCounts(
+        spark.table("kscounts")).head())
+      assert(got == batch, s"stream-batch KS drift: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming bucket counts + batch finisher == batch CUSUM " +
       "changepoint report") {
     // q189's streaming twin on the real events fixture: the same
