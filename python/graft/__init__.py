@@ -1709,3 +1709,20 @@ def skip_gram_pairs(docs, id_col="doc_id", text_col="text", window=2,
     s = docs.sparkSession
     return _wrap(s, _api(s).skipGramPairs(docs._jdf, id_col, text_col,
                                           int(window), int(min_count)))
+
+
+def join_size_probe(a, key_a, b, key_b):
+    """Exact pre-join cardinality probe — join_rows and the worst key's
+    fanout WITHOUT materializing the join: one row (n_keys_a, n_keys_b,
+    n_keys_common, rows_a, rows_b, join_rows, max_key_rows)."""
+    s = a.sparkSession
+    return _wrap(s, _api(s).joinSizeProbe(a._jdf, key_a, b._jdf, key_b))
+
+
+def transition_latency(events, key_col, type_col, ts_col="ts",
+                       id_col="event_id"):
+    """Per-transition (prev->cur) latency percentiles:
+    (transition, n, p50, p90, p99) in milliseconds."""
+    s = events.sparkSession
+    return _wrap(s, _api(s).transitionLatency(events._jdf, key_col,
+                                              type_col, ts_col, id_col))

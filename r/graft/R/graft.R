@@ -1017,3 +1017,16 @@ graft.skipGramPairs <- function(docs, idCol = "doc_id",
                                   idCol, textCol, as.integer(window),
                                   .jlong(minCount)))
 }
+
+#' Exact pre-join cardinality probe (join_rows, worst-key fanout).
+graft.joinSizeProbe <- function(a, keyA, b, keyB) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "joinSizeProbe", a@sdf, keyA,
+                                  b@sdf, keyB))
+}
+
+#' Per-transition (prev->cur) latency percentiles.
+graft.transitionLatency <- function(events, keyCol, typeCol,
+                                    tsCol = "ts", idCol = "event_id") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "transitionLatency", events@sdf,
+                                  keyCol, typeCol, tsCol, idCol))
+}

@@ -1280,4 +1280,17 @@ object JavaApi {
       window: Int, minCount: Long): DataFrame =
     graft.operators.TextOps.skipGramPairs(docs, idCol, textCol, window,
       minCount)
+
+  /** Exact pre-join cardinality probe: one row (n_keys_a, n_keys_b,
+    * n_keys_common, rows_a, rows_b, join_rows, max_key_rows). */
+  def joinSizeProbe(a: DataFrame, keyA: String, b: DataFrame,
+      keyB: String): DataFrame =
+    graft.operators.SkewOps.joinSizeProbe(a, keyA, b, keyB)
+
+  /** Per-transition latency percentiles:
+    * (transition, n, p50, p90, p99). */
+  def transitionLatency(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame =
+    graft.operators.Sessionize.transitionLatency(events, keyCol, typeCol,
+      tsCol, idCol)
 }

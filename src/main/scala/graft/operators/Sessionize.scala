@@ -475,6 +475,36 @@ object Sessionize {
         (col("__ms") - col("__ft")).as("gap_ms"))
   }
 
+  /** Per-transition latency profile: for every consecutive event pair
+    * within a key's timeline, the millisecond gap grouped by the
+    * (previous type → current type) TRANSITION and summarized with
+    * exact disc percentiles — the funnel-latency generalization of
+    * [[interArrivalStats]]: not "how fast do users act" but "how fast
+    * do they move from cart to checkout specifically".
+    *
+    * Output per transition: (transition, n, p50, p90, p99) — gap
+    * milliseconds, actual data values (disc semantics), transition
+    * rendered as `prev->cur`.
+    *
+    * Scale: ONE keyed lag window (the [[sessionize]] exchange) produces
+    * gaps and previous types together; the summary reuses
+    * [[Quantiles.discPercentiles]]' distributed rank — no buffering
+    * percentile aggregate. Transition cardinality is |types|²-bounded. */
+  def transitionLatency(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__ms"), col(idCol))
+    val gaps = events
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+        expr(s"unix_millis(`$tsCol`)").as("__ms"), col(idCol))
+      .withColumn("__gap", col("__ms") - lag("__ms", 1).over(w))
+      .withColumn("__prev", lag("__t", 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .withColumn("transition",
+        concat(col("__prev"), lit("->"), col("__t")))
+    Quantiles.discPercentiles(
+      gaps, "transition", "__gap", idCol, Seq(0.5, 0.9, 0.99))
+  }
+
   /** CUSUM changepoint detection over each key's bucketed event volume —
     * the level-shift question the trailing-window z-test
     * ([[graft.operators.Stats.volumeAnomalies]]) can't answer: a z-test

@@ -86,4 +86,46 @@ object SkewOps {
           col("total_rows"), col("n_keys")),
       counts)
   }
+
+  /** EXACT pre-join cardinality probe — answer "how big would this join
+    * be?" WITHOUT materializing it: `|A ⋈ B| = Σ_k cntA(k)·cntB(k)`
+    * over the shared keys, so a fanout bomb (the q130 skew class) is a
+    * cheap count-table join instead of a cluster-filling surprise. Also
+    * reports the single worst key's output rows — the number that
+    * decides between a plain join, a salted join, and a redesign.
+    *
+    * Output (one row): (n_keys_a, n_keys_b, n_keys_common, rows_a,
+    * rows_b, join_rows, max_key_rows) — join_rows exact in
+    * DECIMAL(38,0) reported as a long (a probe that overflows LONG is
+    * itself the loudest possible answer, so the cast is intentional:
+    * Spark ANSI mode throws rather than wraps). NULL keys never join
+    * (SQL semantics) and are excluded from both count tables.
+    *
+    * Scale: one map-side-combined count per side (each collapses its
+    * input to the key space), an inner join of the two COUNT TABLES
+    * keyed by the join key, and 1-row aggregates broadcast together —
+    * the data rows themselves are never joined. */
+  def joinSizeProbe(a: DataFrame, keyA: String, b: DataFrame,
+      keyB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ca = a.filter(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("__k")).agg(count(lit(1)).as("__na"))
+    val cb = b.filter(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("__k")).agg(count(lit(1)).as("__nb"))
+    val sa = ca.agg(count(lit(1)).as("n_keys_a"),
+      sum("__na").cast("long").as("rows_a"))
+    val sb = cb.agg(count(lit(1)).as("n_keys_b"),
+      sum("__nb").cast("long").as("rows_b"))
+    val joined = ca.join(cb, "__k")
+      .agg(count(lit(1)).as("n_keys_common"),
+        coalesce(sum((col("__na") * col("__nb")).cast(dec)), lit(0))
+          .cast(dec).as("__jr"),
+        coalesce(max((col("__na") * col("__nb")).cast(dec)), lit(0))
+          .cast(dec).as("__mk"))
+    joined.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n_keys_a"), col("n_keys_b"), col("n_keys_common"),
+        col("rows_a"), col("rows_b"),
+        col("__jr").cast("long").as("join_rows"),
+        col("__mk").cast("long").as("max_key_rows"))
+  }
 }

@@ -3212,7 +3212,58 @@ object PipelineQueries extends QuerySet {
         j AS (SELECT c.center, t2.w AS context
           FROM c JOIN t t2 ON t2.doc_id = c.doc_id AND t2.p = c.cp)
         SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
-        FROM j GROUP BY 1, 2 HAVING count(*) >= 5"""))
+        FROM j GROUP BY 1, 2 HAVING count(*) >= 5""")),
+
+    // Exact pre-join cardinality probe of the lineitem self-join on
+    // l_partkey — the fanout-bomb diagnostic: count tables join, the
+    // data rows never do.
+    Query("q202_join_size_probe",
+      (s, dir) => graft.operators.SkewOps.joinSizeProbe(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "lineitem"), "l_partkey"),
+      Some("""WITH ca AS (SELECT l_partkey AS k,
+            CAST(count(*) AS HUGEINT) AS na
+          FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        sa AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(na) AS BIGINT) AS rows_s FROM ca),
+        j AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_common,
+            CAST(coalesce(sum(a.na * b.na), 0) AS BIGINT) AS join_rows,
+            CAST(coalesce(max(a.na * b.na), 0) AS BIGINT)
+              AS max_key_rows
+          FROM ca a JOIN ca b USING (k))
+        SELECT sa.n_keys AS n_keys_a, sa.n_keys AS n_keys_b,
+          j.n_keys_common, sa.rows_s AS rows_a, sa.rows_s AS rows_b,
+          j.join_rows, j.max_key_rows
+        FROM j CROSS JOIN sa""")),
+
+    // Per-transition latency percentiles over user timelines: ONE keyed
+    // lag window yields (prev->cur, gap); exact disc percentiles per
+    // transition via the q86 distributed rank.
+    Query("q203_transition_latency",
+      (s, dir) => graft.operators.Sessionize.transitionLatency(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+            event_id
+          FROM events),
+        g AS (SELECT lag(event_type, 1) OVER w AS prev,
+            event_type AS cur, ms - lag(ms, 1) OVER w AS gap, event_id
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        t AS (SELECT prev || '->' || cur AS transition, gap, event_id
+          FROM g WHERE gap IS NOT NULL),
+        r AS (SELECT transition, gap,
+            row_number() OVER (
+              PARTITION BY transition ORDER BY gap, event_id) AS rn,
+            count(*) OVER (PARTITION BY transition) AS n
+          FROM t)
+        SELECT transition, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+            THEN gap END) AS p50,
+          min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+            THEN gap END) AS p90,
+          min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+            THEN gap END) AS p99
+        FROM r GROUP BY transition"""))
   )
 
   /** DuckDB twin of [[graft.operators.RankFusionOps.rankedEval]] at

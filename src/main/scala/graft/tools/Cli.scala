@@ -1534,6 +1534,28 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // joinProbe <a.parquet> <b.parquet> <out> -keyA c -keyB c — exact
+      //   pre-join cardinality probe (join_rows, worst-key fanout)
+      case "joinProbe" :: aP :: bP :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (ka, kb) = (fv("-keyA", ""), fv("-keyB", ""))
+        if (ka.isEmpty || kb.isEmpty) sys.error("joinProbe needs -keyA/-keyB")
+        graft.operators.SkewOps.joinSizeProbe(
+            spark.read.parquet(aP), ka, spark.read.parquet(bP), kb)
+          .write.mode("overwrite").parquet(out)
+        println(s"joinProbe: wrote $out")
+
+      // transitions <in> <out> [-key c] [-type c] [-ts c] [-id c] —
+      //   per-transition latency percentiles
+      case "transitions" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.Sessionize.transitionLatency(
+            spark.read.parquet(in), fv("-key", "user_id"),
+            fv("-type", "event_type"), fv("-ts", "ts"),
+            fv("-id", "event_id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"transitions: wrote $out")
+
       // robustScale <in> <out> -group c -value c -tie c — median/IQR
       //   scaling within each group
       case "robustScale" :: in :: out :: rest =>
@@ -1857,7 +1879,9 @@ object Cli {
           "\n  jsonProfile <in.parquet> <out.parquet> -col c" +
           "\n  moments <in.parquet> <out.parquet> -group c -value c" +
           "\n  robustScale <in.parquet> <out.parquet> -group c -value c -tie c" +
-          "\n  skipgram <in.parquet> <out.parquet> [-id c] [-text c] [-window n] [-min n]")
+          "\n  skipgram <in.parquet> <out.parquet> [-id c] [-text c] [-window n] [-min n]" +
+          "\n  joinProbe <a.parquet> <b.parquet> <out.parquet> -keyA c -keyB c" +
+          "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c]")
         sys.exit(2)
     }
   }

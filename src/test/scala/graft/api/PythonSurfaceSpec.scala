@@ -82,7 +82,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "personalizedPageRankTopK" -> 4, "hapaxStats" -> 3,
       "rankedEval" -> 5, "targetEncode" -> 4,
       "jsonKeyProfile" -> 2, "momentsByGroup" -> 3,
-      "robustScale" -> 4, "skipGramPairs" -> 5)
+      "robustScale" -> 4, "skipGramPairs" -> 5,
+      "joinSizeProbe" -> 4, "transitionLatency" -> 5)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

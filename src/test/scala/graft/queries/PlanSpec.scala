@@ -942,6 +942,29 @@ class PlanSpec extends SparkSpec {
       "pair counts must map-side combine")
   }
 
+  test("q202 join probe: count tables join, the data rows never do — " +
+      "no window, broadcast summaries") {
+    val plan = planOf("q202_join_size_probe")
+    assert(plan.contains("partial_count"),
+      "per-side key counts must map-side combine: " + plan.take(600))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the 1-row side summaries must broadcast")
+  }
+
+  test("q203 transition latency: ONE keyed timeline window feeds " +
+      "transition-keyed rank windows") {
+    val plan = planOf("q203_transition_latency")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("__k") || l.contains("transition")),
+      "windows must key on the user timeline or the transition: " +
+        plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("q195 entropy: grid totals via a group-keyed window, no join, " +
       "no unkeyed sort") {
     val plan = planOf("q195_user_entropy")
