@@ -1726,3 +1726,18 @@ def transition_latency(events, key_col, type_col, ts_col="ts",
     s = events.sparkSession
     return _wrap(s, _api(s).transitionLatency(events._jdf, key_col,
                                               type_col, ts_col, id_col))
+
+
+def pii_census(docs, text_col="text", source_col="source"):
+    """Per-source PII risk census: (source, n_docs, n_docs_with_pii,
+    pii_permille, n_emails, n_ips, n_phones)."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).piiCensus(docs._jdf, text_col, source_col))
+
+
+def temporal_split_audit(df, split_col, ts_col, order):
+    """Temporal split leakage audit per consecutive boundary; order is
+    a list of split labels, earliest first."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).temporalSplitAudit(df._jdf, split_col,
+                                               ts_col, ",".join(order)))

@@ -1030,3 +1030,17 @@ graft.transitionLatency <- function(events, keyCol, typeCol,
   .gdf(SparkR::sparkR.callJStatic(.jvm, "transitionLatency", events@sdf,
                                   keyCol, typeCol, tsCol, idCol))
 }
+
+#' Per-source PII risk census.
+graft.piiCensus <- function(docs, textCol = "text",
+                            sourceCol = "source") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "piiCensus", docs@sdf, textCol,
+                                  sourceCol))
+}
+
+#' Temporal split leakage audit (order = labels, earliest first).
+graft.temporalSplitAudit <- function(df, splitCol, tsCol, order) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "temporalSplitAudit", df@sdf,
+                                  splitCol, tsCol,
+                                  paste(order, collapse = ",")))
+}

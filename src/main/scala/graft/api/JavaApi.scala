@@ -1293,4 +1293,17 @@ object JavaApi {
       typeCol: String, tsCol: String, idCol: String): DataFrame =
     graft.operators.Sessionize.transitionLatency(events, keyCol, typeCol,
       tsCol, idCol)
+
+  /** Per-source PII risk census: (source, n_docs, n_docs_with_pii,
+    * pii_permille, n_emails, n_ips, n_phones). */
+  def piiCensus(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    graft.operators.TextOps.piiCensus(docs, textCol, sourceCol)
+
+  /** Temporal split leakage audit per consecutive boundary. `order` is
+    * comma-separated, earliest split first. */
+  def temporalSplitAudit(df: DataFrame, splitCol: String, tsCol: String,
+      order: String): DataFrame =
+    graft.operators.SamplingOps.temporalSplitAudit(df, splitCol, tsCol,
+      order.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 }

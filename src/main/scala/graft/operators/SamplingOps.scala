@@ -748,4 +748,59 @@ object SamplingOps {
         ((col("__r") - 1).cast("double") <
           col("__n").cast("double") * keepFraction).as("selected"))
   }
+
+  /** Temporal train/val/test split audit — the time-leakage check every
+    * forecasting/eval split needs: with splits declared in TEMPORAL
+    * `order` (earliest first), every consecutive pair reports whether
+    * the boundary is clean (`from`'s last timestamp strictly before
+    * `to`'s first), how far the ranges overlap, and how many `to` rows
+    * sit at-or-before `from`'s last timestamp (the leaked examples a
+    * model could memorize). A same-instant tie counts as a leak — two
+    * events at one millisecond are not temporally separated.
+    *
+    * Fails loudly when the data's split labels differ from `order` in
+    * either direction (a typo'd label would otherwise silently audit
+    * nothing).
+    *
+    * Output per consecutive pair: (from_split, to_split, n_from, n_to,
+    * from_max_ms, to_min_ms, boundary_ok, overlap_ms, n_leaked).
+    *
+    * Scale: one map-side-combined per-split summary (bounded |splits|
+    * collect), then ONE conditional-aggregation pass counts every
+    * pair's leaks against the broadcast-literal thresholds; the result
+    * is assembled driver-side from those two bounded aggregates. */
+  def temporalSplitAudit(df: DataFrame, splitCol: String, tsCol: String,
+      order: Seq[String]): DataFrame = {
+    require(order.size >= 2,
+      s"temporalSplitAudit needs >= 2 ordered splits, got $order")
+    require(order.distinct.size == order.size,
+      s"duplicate split labels in order: $order")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(splitCol).as("__s"),
+      unix_millis(col(tsCol)).as("__ms"))
+    val sums = base.groupBy("__s")
+      .agg(count(lit(1)).as("n"), min("__ms").as("mn"),
+        max("__ms").as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    require(sums.keySet == order.toSet,
+      s"split labels in the data (${sums.keySet.toSeq.sorted.mkString(", ")}) " +
+        s"must match the declared order (${order.mkString(", ")})")
+    val pairs = order.zip(order.tail)
+    val leakCounters = pairs.zipWithIndex.map { case ((from, to), i) =>
+      sum(when(col("__s") === to && col("__ms") <= sums(from)._3, 1L)
+        .otherwise(0L)).as(s"__l$i")
+    }
+    val leaks = base.agg(leakCounters.head, leakCounters.tail: _*).head()
+    val rows = pairs.zipWithIndex.map { case ((from, to), i) =>
+      val (nf, _, fmx) = sums(from)
+      val (nt, tmn, _) = sums(to)
+      (from, to, nf, nt, fmx, tmn, fmx < tmn,
+        math.max(0L, fmx - tmn), leaks.getLong(i))
+    }
+    rows.toDF("from_split", "to_split", "n_from", "n_to", "from_max_ms",
+      "to_min_ms", "boundary_ok", "overlap_ms", "n_leaked")
+  }
 }

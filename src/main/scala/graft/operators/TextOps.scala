@@ -500,6 +500,35 @@ object TextOps {
       countToken(redacted, "<PHONE>").cast("long").as("n_phones"))
   }
 
+  /** Per-source PII risk census — the audit a corpus owner runs BEFORE
+    * deciding what to scrub: how many documents in each source carry
+    * emails / IPs / phone numbers, and how many hits of each class.
+    * [[piiCounts]] VERBATIM per row (one definition — the shared-phase
+    * rule: the census counts exactly what [[redactPii]] would redact),
+    * then ONE map-side-combined aggregation per source;
+    * `pii_permille` is an exact integer division.
+    *
+    * Output per source: (source, n_docs, n_docs_with_pii, pii_permille,
+    * n_emails, n_ips, n_phones). */
+  def piiCensus(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val p = piiCounts(col(textCol))
+    docs
+      .select(col(sourceCol).as("source"),
+        p.getField("n_emails").as("__e"),
+        p.getField("n_ips").as("__i"),
+        p.getField("n_phones").as("__p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__e") + col("__i") + col("__p") > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"),
+        sum("__e").as("n_emails"), sum("__i").as("n_ips"),
+        sum("__p").as("n_phones"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+        expr("n_docs_with_pii * 1000L div n_docs").as("pii_permille"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
+  }
+
   // ------------------ repetition / quality filters -------------------------
 
   /** Gopher-style repetition statistics (Rae et al. 2021 "Scaling Language

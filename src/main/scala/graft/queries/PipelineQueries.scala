@@ -3263,8 +3263,117 @@ object PipelineQueries extends QuerySet {
             THEN gap END) AS p90,
           min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
             THEN gap END) AS p99
-        FROM r GROUP BY transition"""))
+        FROM r GROUP BY transition""")),
+
+    // Per-segment PII risk census over the q47 synthesized contact text
+    // (every 4th customer is PII-free so the permille is non-trivial):
+    // docs-with-PII share and per-class hit totals.
+    Query("q204_pii_census",
+      (s, dir) => {
+        val phone = concat(
+          lit("25-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("c_custkey") % 997).cast("string"), 3, "0"),
+          lit("-"), lpad((col("c_custkey") % 9973).cast("string"), 4, "0"))
+        val text = when(col("c_custkey") % 4 === 0,
+          concat(col("c_mktsegment"), lit(" clean note")))
+          .otherwise(concat(col("c_mktsegment"), lit(" contact "),
+            col("c_name"), lit("@example.com ip 10.0.0."),
+            (col("c_custkey") % 256), lit(" phone "), phone))
+        graft.operators.TextOps.piiCensus(
+          t(s, dir, "customer")
+            .select(col("c_mktsegment").as("seg"), text.as("raw")),
+          "raw", "seg")
+      },
+      Some(piiCensusSql)),
+
+    // Temporal split audit over a leaky synthesized train/val/test
+    // assignment (60/20/20 time cut, but every 97th event is forced
+    // into train regardless — planted leakage): per boundary, clean
+    // flag, range overlap, leaked-row count.
+    Query("q205_temporal_split_audit",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val b = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+          max(unix_millis(col("ts"))).as("hi"))
+        val withSplit = ev.crossJoin(broadcast(b))
+          .withColumn("__ms", unix_millis(col("ts")))
+          .withColumn("split",
+            when(pmod(col("event_id"), lit(97L)) === 0, lit("train"))
+              .when(col("__ms") < expr("lo + (hi - lo) * 6 div 10"),
+                lit("train"))
+              .when(col("__ms") < expr("lo + (hi - lo) * 8 div 10"),
+                lit("val"))
+              .otherwise(lit("test")))
+        graft.operators.SamplingOps.temporalSplitAudit(
+          withSplit, "split", "ts", Seq("train", "val", "test"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+        b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        s AS (SELECT ms, CASE WHEN event_id % 97 = 0 THEN 'train'
+            WHEN ms < lo + (hi - lo) * 6 // 10 THEN 'train'
+            WHEN ms < lo + (hi - lo) * 8 // 10 THEN 'val'
+            ELSE 'test' END AS sp
+          FROM e CROSS JOIN b),
+        g AS (SELECT sp, CAST(count(*) AS BIGINT) AS n, min(ms) AS mn,
+            max(ms) AS mx
+          FROM s GROUP BY 1),
+        l AS (SELECT
+            CAST(sum(CASE WHEN s.sp = 'val' AND s.ms <=
+              (SELECT mx FROM g WHERE sp = 'train') THEN 1 ELSE 0 END)
+              AS BIGINT) AS l0,
+            CAST(sum(CASE WHEN s.sp = 'test' AND s.ms <=
+              (SELECT mx FROM g WHERE sp = 'val') THEN 1 ELSE 0 END)
+              AS BIGINT) AS l1
+          FROM s)
+        SELECT 'train' AS from_split, 'val' AS to_split, t.n AS n_from,
+          v.n AS n_to, t.mx AS from_max_ms, v.mn AS to_min_ms,
+          t.mx < v.mn AS boundary_ok,
+          CAST(greatest(0, t.mx - v.mn) AS BIGINT) AS overlap_ms,
+          l.l0 AS n_leaked
+        FROM (SELECT * FROM g WHERE sp = 'train') t,
+          (SELECT * FROM g WHERE sp = 'val') v, l
+        UNION ALL
+        SELECT 'val', 'test', v.n, x.n, v.mx, x.mn, v.mx < x.mn,
+          CAST(greatest(0, v.mx - x.mn) AS BIGINT), l.l1
+        FROM (SELECT * FROM g WHERE sp = 'val') v,
+          (SELECT * FROM g WHERE sp = 'test') x, l"""))
   )
+
+  /** DuckDB twin of the q204 PII census — the q47 redaction recipe
+    * (patterns pass through backslash-verbatim) grouped by segment. */
+  private def piiCensusSql: String = {
+    val redact = TextOps.piiPatterns.foldLeft("raw") {
+      case (e, (pat, repl)) =>
+        val p = pat.replace("'", "''")
+        s"regexp_replace($e, '$p', '$repl', 'g')"
+    }
+    def cnt(tok: String) =
+      s"CAST((length(redacted) - length(replace(redacted, '$tok', '')))" +
+        s" / ${tok.length} AS BIGINT)"
+    s"""WITH raws AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || ' clean note'
+       |    ELSE c_mktsegment || ' contact ' || c_name
+       |      || '@example.com ip 10.0.0.' || (c_custkey % 256)
+       |      || ' phone 25-'
+       |      || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-'
+       |      || lpad((c_custkey % 997)::VARCHAR, 3, '0') || '-'
+       |      || lpad((c_custkey % 9973)::VARCHAR, 4, '0') END AS raw
+       |  FROM customer),
+       |red AS (SELECT seg, $redact AS redacted FROM raws),
+       |c AS (SELECT seg, ${cnt("<EMAIL>")} AS e, ${cnt("<IP>")} AS i,
+       |    ${cnt("<PHONE>")} AS p
+       |  FROM red)
+       |SELECT seg AS source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_with_pii,
+       |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) * 1000
+       |    // count(*) AS BIGINT) AS pii_permille,
+       |  CAST(sum(e) AS BIGINT) AS n_emails,
+       |  CAST(sum(i) AS BIGINT) AS n_ips,
+       |  CAST(sum(p) AS BIGINT) AS n_phones
+       |FROM c GROUP BY seg""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.operators.RankFusionOps.rankedEval]] at
     * k = 10 — the discount/IDCG integers are the JVM's

@@ -1534,6 +1534,30 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // piiCensus <in> <out> [-text c] [-source c] — per-source PII
+      //   risk census (docs-with-PII share, hits per class)
+      case "piiCensus" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TextOps.piiCensus(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-source", "source"))
+          .write.mode("overwrite").parquet(out)
+        println(s"piiCensus: wrote $out")
+
+      // splitAudit <in> <out> -split c -ts c -order a,b,c — temporal
+      //   split leakage audit per consecutive boundary
+      case "splitAudit" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (sc, tc, ord) =
+          (fv("-split", ""), fv("-ts", ""), fv("-order", ""))
+        if (sc.isEmpty || tc.isEmpty || ord.isEmpty)
+          sys.error("splitAudit needs -split/-ts/-order")
+        graft.operators.SamplingOps.temporalSplitAudit(
+            spark.read.parquet(in), sc, tc,
+            ord.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .write.mode("overwrite").parquet(out)
+        println(s"splitAudit: wrote $out")
+
       // joinProbe <a.parquet> <b.parquet> <out> -keyA c -keyB c — exact
       //   pre-join cardinality probe (join_rows, worst-key fanout)
       case "joinProbe" :: aP :: bP :: out :: rest =>
@@ -1881,7 +1905,9 @@ object Cli {
           "\n  robustScale <in.parquet> <out.parquet> -group c -value c -tie c" +
           "\n  skipgram <in.parquet> <out.parquet> [-id c] [-text c] [-window n] [-min n]" +
           "\n  joinProbe <a.parquet> <b.parquet> <out.parquet> -keyA c -keyB c" +
-          "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c]")
+          "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c]" +
+          "\n  piiCensus <in.parquet> <out.parquet> [-text c] [-source c]" +
+          "\n  splitAudit <in.parquet> <out.parquet> -split c -ts c -order a,b,c")
         sys.exit(2)
     }
   }

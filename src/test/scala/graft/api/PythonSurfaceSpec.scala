@@ -83,7 +83,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "rankedEval" -> 5, "targetEncode" -> 4,
       "jsonKeyProfile" -> 2, "momentsByGroup" -> 3,
       "robustScale" -> 4, "skipGramPairs" -> 5,
-      "joinSizeProbe" -> 4, "transitionLatency" -> 5)
+      "joinSizeProbe" -> 4, "transitionLatency" -> 5,
+      "piiCensus" -> 3, "temporalSplitAudit" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }
