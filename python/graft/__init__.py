@@ -1741,3 +1741,19 @@ def temporal_split_audit(df, split_col, ts_col, order):
     s = df.sparkSession
     return _wrap(s, _api(s).temporalSplitAudit(df._jdf, split_col,
                                                ts_col, ",".join(order)))
+
+
+def numeric_profile(df, cols):
+    """Single-scan numeric profile of integer (cents) columns:
+    (col_name, n_rows, n_nulls, min_v, max_v, sum_v, mean_v,
+    variance_v) — mean/variance as exact integer floors."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).numericProfile(df._jdf, ",".join(cols)))
+
+
+def column_drift(a, b, cols, buckets=64):
+    """Per-column value-distribution drift (PSI over fnv1a64 hash
+    buckets) between two snapshots: (col_name, n_ref, n_cur, psi)."""
+    s = a.sparkSession
+    return _wrap(s, _api(s).columnDrift(a._jdf, b._jdf, ",".join(cols),
+                                        int(buckets)))

@@ -1044,3 +1044,16 @@ graft.temporalSplitAudit <- function(df, splitCol, tsCol, order) {
                                   splitCol, tsCol,
                                   paste(order, collapse = ",")))
 }
+
+#' Single-scan numeric profile of integer columns.
+graft.numericProfile <- function(df, cols) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "numericProfile", df@sdf,
+                                  paste(cols, collapse = ",")))
+}
+
+#' Per-column value-distribution drift (PSI over hash buckets).
+graft.columnDrift <- function(a, b, cols, buckets = 64L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "columnDrift", a@sdf, b@sdf,
+                                  paste(cols, collapse = ","),
+                                  as.integer(buckets)))
+}

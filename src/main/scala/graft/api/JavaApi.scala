@@ -1306,4 +1306,18 @@ object JavaApi {
       order: String): DataFrame =
     graft.operators.SamplingOps.temporalSplitAudit(df, splitCol, tsCol,
       order.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** Single-scan numeric profile of integer columns (comma-separated):
+    * (col_name, n_rows, n_nulls, min_v, max_v, sum_v, mean_v,
+    * variance_v). */
+  def numericProfile(df: DataFrame, cols: String): DataFrame =
+    graft.operators.ProfileOps.numericProfile(df,
+      cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** Per-column value-distribution drift between snapshots
+    * (comma-separated columns): (col_name, n_ref, n_cur, psi). */
+  def columnDrift(a: DataFrame, b: DataFrame, cols: String,
+      buckets: Int): DataFrame =
+    graft.operators.ProfileOps.columnDrift(a, b,
+      cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty), buckets)
 }

@@ -184,6 +184,113 @@ object ProfileOps {
         "null_delta_permille", "distinct_delta")
   }
 
+  /** Single-scan numeric profile of integer (cents) columns: per
+    * column, null count, min/max, exact sum, and mean/variance as EXACT
+    * integer floors from DECIMAL(38,0) power sums — the numeric
+    * companion of [[profileColumns]] (which censuses
+    * nulls/cardinality/blankness but says nothing about magnitudes).
+    * Integer floors, not doubles, because the power sums pass 2^53 at
+    * scale and a non-correctly-rounded big-integer→double cast (DuckDB's
+    * HUGEINT path measurably is one) would make a float chain
+    * engine-DEPENDENT in its last ulp; `floor((c·Σx² − (Σx)²) / c²)` is
+    * pure integer arithmetic any engine replays — and a cents-scale
+    * variance loses nothing to the floor. An all-null column reports
+    * NULL stats.
+    *
+    * Output per column: (col_name, n_rows, n_nulls, min_v, max_v,
+    * sum_v, mean_v, variance_v).
+    *
+    * Scale: ONE aggregation pass computes 5·|cols| scalars (map-side
+    * combined); the long-format explode runs on the single result row. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("long")
+      Seq(count(col(c)).as(s"__c_$c"),
+        min(x).as(s"__mn_$c"), max(x).as(s"__mx_$c"),
+        sum(x.cast(dec)).cast(dec).as(s"__s1_$c"),
+        sum((x.cast(dec) * x).cast(dec)).cast(dec).as(s"__s2_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    def idiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    row.select(explode(array(cols.map { c =>
+        val cnt = col(s"__c_$c").cast(dec)
+        val s1 = col(s"__s1_$c")
+        val s2 = col(s"__s2_$c")
+        struct(
+          lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__c_$c")).as("n_nulls"),
+          col(s"__mn_$c").as("min_v"),
+          col(s"__mx_$c").as("max_v"),
+          s1.cast("long").as("sum_v"),
+          when(col(s"__c_$c") === 0, lit(null).cast("long"))
+            .otherwise(idiv(s1, cnt)).as("mean_v"),
+          when(col(s"__c_$c") === 0, lit(null).cast("long"))
+            .otherwise(idiv((cnt * s2 - s1 * s1).cast(dec),
+              (cnt * cnt).cast(dec))).as("variance_v"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Per-column value-distribution drift between two snapshots — the
+    * content complement of [[profileDrift]] (which sees nulls and
+    * cardinality but not WHICH values shifted): each column's values
+    * hash into `buckets` fnv1a64 buckets (power of two, so the bucket
+    * is the hash's low bits — identical under signed and unsigned
+    * views, hence replayable by an unsigned-arithmetic oracle; NULL is
+    * its own bucket), and the per-column PSI over the bucket grids is
+    * the [[CorpusCompareOps.psiReport]] quantized-ln chain. Values are
+    * hashed via their STRING form — use string/integer columns (or
+    * pre-cast) so the rendering is engine-neutral.
+    *
+    * Output per column: (col_name, n_ref, n_cur, psi).
+    *
+    * Scale: one explode-to-(col, bucket) count per side (map-side
+    * combined, grid bounded by |cols|·(buckets+1)), a full-outer grid
+    * join, per-column totals via a window keyed on the bounded grid. */
+  def columnDrift(a: DataFrame, b: DataFrame, cols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "columnDrift needs at least one column")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two (signed/unsigned low bits agree" +
+        s"), got $buckets")
+    def grid(df: DataFrame, as: String): DataFrame = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          when(col(c).isNull, lit(-1L))
+            .otherwise(pmod(
+              graft.functions.GraftFunctions.fnv1a64(col(c).cast("string")),
+              lit(buckets.toLong))).as("bucket"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as(as))
+    val g = grid(a, "n_ref").join(grid(b, "n_cur"),
+        Seq("col_name", "bucket"), "full_outer")
+      .select(col("col_name"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
+    val p = (col("n_ref") + lit(1)).cast("double") /
+      (col("__tr") + col("__nb")).cast("double")
+    val q = (col("n_cur") + lit(1)).cast("double") /
+      (col("__tc") + col("__nb")).cast("double")
+    g.withColumn("__tr", sum("n_ref").over(w))
+      .withColumn("__tc", sum("n_cur").over(w))
+      .withColumn("__nb", count(lit(1)).over(w))
+      .select(col("col_name"), col("__tr"), col("__tc"),
+        floor((p - q) * log(p / q) * lit(1e7) + lit(0.5)).cast("long")
+          .as("__pq"))
+      .groupBy("col_name")
+      .agg(max("__tr").as("n_ref"), max("__tc").as("n_cur"),
+        sum("__pq").as("__s"))
+      .select(col("col_name"), col("n_ref"), col("n_cur"),
+        (col("__s").cast("double") / lit(1e7)).as("psi"))
+  }
+
   /** Schema discovery over a semi-structured JSON column — the profile
     * every pipeline needs before it trusts a `props`/`payload` field:
     * which keys exist, how often, with what value types, and at what

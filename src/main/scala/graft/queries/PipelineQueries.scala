@@ -3336,8 +3336,105 @@ object PipelineQueries extends QuerySet {
         SELECT 'val', 'test', v.n, x.n, v.mx, x.mn, v.mx < x.mn,
           CAST(greatest(0, v.mx - x.mn) AS BIGINT), l.l1
         FROM (SELECT * FROM g WHERE sp = 'val') v,
-          (SELECT * FROM g WHERE sp = 'test') x, l"""))
+          (SELECT * FROM g WHERE sp = 'test') x, l""")),
+
+    // Single-scan numeric profile of lineitem money/quantity columns:
+    // nulls, min/max, exact sums, mean/variance from DECIMAL power sums.
+    Query("q206_numeric_profile",
+      (s, dir) => graft.operators.ProfileOps.numericProfile(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("quantity"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          tenthCents(col("l_tax")).as("tax_tenths")),
+        Seq("quantity", "price_cents", "tax_tenths")),
+      Some(numericProfileSql)),
+
+    // Per-column value drift between documents and a degraded snapshot
+    // (every 5th lang rewritten): fnv1a64 low-bit buckets, PSI per
+    // column — lang drifts, source stays ~0.
+    Query("q207_column_drift",
+      (s, dir) => {
+        val a = t(s, dir, "documents")
+        val b = a.withColumn("lang",
+          when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")))
+        graft.operators.ProfileOps.columnDrift(
+          a, b, Seq("lang", "source"), buckets = 64)
+      },
+      Some(columnDriftSql))
   )
+
+  /** DuckDB twin of [[graft.operators.ProfileOps.numericProfile]] on the
+    * three lineitem money/quantity columns — one moment CTE per column,
+    * the identical fixed double chain. */
+  private def numericProfileSql: String = {
+    val colsDef = Seq(
+      "quantity" -> "CAST(l_quantity AS BIGINT)",
+      "price_cents" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+      "tax_tenths" -> "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)")
+    val ctes = colsDef.map { case (n, _) =>
+      s"""m_$n AS (SELECT count(*) AS nr, count($n) AS c,
+         |    min($n) AS mn, max($n) AS mx,
+         |    sum(CAST($n AS HUGEINT)) AS s1,
+         |    sum(CAST($n AS HUGEINT) * $n) AS s2
+         |  FROM v)""".stripMargin
+    }.mkString(",\n")
+    val selects = colsDef.map { case (n, _) =>
+      s"""SELECT '$n' AS col_name, CAST(nr AS BIGINT) AS n_rows,
+         |  CAST(nr - c AS BIGINT) AS n_nulls, mn AS min_v, mx AS max_v,
+         |  CAST(s1 AS BIGINT) AS sum_v,
+         |  CASE WHEN c = 0 THEN NULL
+         |    ELSE CAST(s1 // c::HUGEINT AS BIGINT) END AS mean_v,
+         |  CASE WHEN c = 0 THEN NULL
+         |    ELSE CAST((c::HUGEINT * s2 - s1 * s1)
+         |      // (c::HUGEINT * c::HUGEINT) AS BIGINT) END AS variance_v
+         |FROM m_$n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val proj = colsDef.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    s"""WITH v AS (SELECT
+       |    $proj
+       |  FROM lineitem),
+       |$ctes
+       |$selects""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.ProfileOps.columnDrift]] on the
+    * (lang, source) snapshot pair — fnv1a64 low-6-bit buckets (64
+    * divides 2^64, so unsigned mod == Spark's signed pmod) and the PSI
+    * quantized-ln chain per column. */
+  private def columnDriftSql: String = {
+    def side(table: String, cnt: String): String =
+      Seq("lang", "source").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(${HashOracleSql.fnv1a64(c)} % 64 AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS $cnt
+           |FROM $table GROUP BY 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH bsrc AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+       |    source
+       |  FROM documents),
+       |ga AS (${side("documents", "n_ref")}),
+       |gb AS (${side("bsrc", "n_cur")}),
+       |g AS (SELECT col_name, bucket,
+       |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+       |  FROM ga FULL OUTER JOIN gb USING (col_name, bucket)),
+       |t AS (SELECT col_name, n_ref, n_cur,
+       |    sum(n_ref) OVER (PARTITION BY col_name) AS tr,
+       |    sum(n_cur) OVER (PARTITION BY col_name) AS tc,
+       |    count(*) OVER (PARTITION BY col_name) AS nb
+       |  FROM g),
+       |q AS (SELECT col_name, tr, tc,
+       |    CAST(floor((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)
+       |        - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE))
+       |      * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE))
+       |        / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)))
+       |      * 1e7 + 0.5) AS BIGINT) AS pq
+       |  FROM t)
+       |SELECT col_name, CAST(max(tr) AS BIGINT) AS n_ref,
+       |  CAST(max(tc) AS BIGINT) AS n_cur,
+       |  CAST(sum(pq) AS DOUBLE) / 1e7 AS psi
+       |FROM q GROUP BY 1""".stripMargin
+  }
 
   /** DuckDB twin of the q204 PII census — the q47 redaction recipe
     * (patterns pass through backslash-verbatim) grouped by segment. */

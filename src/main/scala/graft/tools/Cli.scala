@@ -1534,6 +1534,31 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // numProfile <in> <out> -cols a,b,c — single-scan numeric profile
+      //   (nulls, min/max, exact sum, integer-floor mean/variance)
+      case "numProfile" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val cs = fv("-cols", "")
+        if (cs.isEmpty) sys.error("numProfile needs -cols")
+        graft.operators.ProfileOps.numericProfile(
+            spark.read.parquet(in),
+            cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .write.mode("overwrite").parquet(out)
+        println(s"numProfile: wrote $out")
+
+      // columnDrift <a.parquet> <b.parquet> <out> -cols a,b [-buckets n]
+      //   — per-column value-distribution drift (PSI over hash buckets)
+      case "columnDrift" :: aP :: bP :: out :: rest =>
+        val fv = flagValue(rest) _
+        val cs = fv("-cols", "")
+        if (cs.isEmpty) sys.error("columnDrift needs -cols")
+        graft.operators.ProfileOps.columnDrift(
+            spark.read.parquet(aP), spark.read.parquet(bP),
+            cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+            fv("-buckets", "64").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"columnDrift: wrote $out")
+
       // piiCensus <in> <out> [-text c] [-source c] — per-source PII
       //   risk census (docs-with-PII share, hits per class)
       case "piiCensus" :: in :: out :: rest =>
@@ -1907,7 +1932,9 @@ object Cli {
           "\n  joinProbe <a.parquet> <b.parquet> <out.parquet> -keyA c -keyB c" +
           "\n  transitions <in.parquet> <out.parquet> [-key c] [-type c] [-ts c] [-id c]" +
           "\n  piiCensus <in.parquet> <out.parquet> [-text c] [-source c]" +
-          "\n  splitAudit <in.parquet> <out.parquet> -split c -ts c -order a,b,c")
+          "\n  splitAudit <in.parquet> <out.parquet> -split c -ts c -order a,b,c" +
+          "\n  numProfile <in.parquet> <out.parquet> -cols a,b,c" +
+          "\n  columnDrift <a.parquet> <b.parquet> <out.parquet> -cols a,b [-buckets n]")
         sys.exit(2)
     }
   }

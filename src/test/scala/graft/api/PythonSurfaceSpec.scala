@@ -84,7 +84,8 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "jsonKeyProfile" -> 2, "momentsByGroup" -> 3,
       "robustScale" -> 4, "skipGramPairs" -> 5,
       "joinSizeProbe" -> 4, "transitionLatency" -> 5,
-      "piiCensus" -> 3, "temporalSplitAudit" -> 4)
+      "piiCensus" -> 3, "temporalSplitAudit" -> 4,
+      "numericProfile" -> 2, "columnDrift" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -965,6 +965,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("q206 numeric profile: ONE aggregation pass, the explode runs " +
+      "on the single result row — no join, no window") {
+    val plan = planOf("q206_numeric_profile")
+    assert(plan.contains("partial_"), plan.take(600))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "profile is a single agg + explode: " + plan.take(400))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "one corpus scan")
+  }
+
+  test("q207 column drift: codegen'd fnv buckets (no UDF), grid-keyed " +
+      "windows only, map-side counts") {
+    val plan = planOf("q207_column_drift")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "fnv1a64 must be the codegen'd expression: " + plan.take(400))
+    assert(plan.contains("partial_count"),
+      "bucket counts must map-side combine")
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("col_name")),
+      "totals windows must key on the bounded grid's column name: " +
+        plan.take(800))
+  }
+
   test("q195 entropy: grid totals via a group-keyed window, no join, " +
       "no unkeyed sort") {
     val plan = planOf("q195_user_entropy")
