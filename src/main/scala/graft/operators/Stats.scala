@@ -892,10 +892,24 @@ object Stats {
   }
 
   def entropyByGroup(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val dec = DecimalType(38, 0)
-    val grid = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      valueCol: String): DataFrame =
+    entropyFromCounts(categoryCounts(df, groupCol, valueCol), groupCol)
+
+  /** The mergeable (group, value, count) grid phase of
+    * [[entropyByGroup]] — ONE map-side-combined aggregation whose
+    * unresolved plan also works on a streaming frame
+    * ([[graft.streaming.EventStreams.streamingCategoryCounts]]
+    * delegates here; one definition, the shared-phase rule). */
+  def categoryCounts(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+
+  /** Finish [[entropyByGroup]] from a (__g, __v, __c) grid — the shape
+    * [[categoryCounts]] produces and the streaming monitor maintains as
+    * complete-mode state. */
+  def entropyFromCounts(grid: DataFrame, groupCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
     val n = sum("__c").over(Window.partitionBy("__g"))
     grid
       .withColumn("__n", n)

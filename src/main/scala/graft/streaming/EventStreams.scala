@@ -596,6 +596,18 @@ object EventStreams {
       valueCol: String): DataFrame =
     graft.operators.Stats.ksCounts(events, sideCol, valueCol)
 
+  /** Streaming twin of [[graft.operators.Stats.entropyByGroup]] (grid
+    * phase): per-(group, value) counts as complete-mode state — counts
+    * add, so the micro-batch partial agg IS the batch combine. Spark
+    * forbids chaining the totals window onto a streaming aggregation,
+    * so fold each drained snapshot through
+    * [[graft.operators.Stats.entropyFromCounts]] for the live
+    * behavioral-diversity scores; drained over the same rows it equals
+    * the batch report exactly (StreamingSpec). */
+  def streamingCategoryCounts(events: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Stats.categoryCounts(events, groupCol, valueCol)
+
   /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
     * phase): per-(group, day) event counts as a complete-mode
     * aggregation — counts add, so the micro-batch partial agg IS the

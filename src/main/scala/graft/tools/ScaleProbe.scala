@@ -888,6 +888,29 @@ object ScaleProbe {
         .count()
     }
     spark.catalog.clearCache()
+    timed("skipgram_10x_docs") {
+      // round 13: q201 at 10x documents — the context-position explode
+      // pays exactly 2w x tokens; the join is (doc, position) equi, so
+      // wall-clock tracks token volume, never doc-length^2
+      graft.operators.TextOps.skipGramPairs(
+        docs, "doc_id", "text", window = 2, minCount = 5L).count()
+    }
+    spark.catalog.clearCache()
+    timed("column_drift_10x_docs") {
+      // round 13: q207 over the 10x corpus — per-row fnv bucket hash,
+      // two map-side-combined grid counts, windows only on the
+      // |cols| x 65 grid
+      val a = docs.withColumn("lang",
+        concat(lit("l"), pmod(col("doc_id"), lit(7L)).cast("string")))
+      val b = a.withColumn("lang",
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("zz"))
+          .otherwise(col("lang")))
+      graft.operators.ProfileOps.columnDrift(
+        a.select(col("lang"), col("text")),
+        b.select(col("lang"), col("text")),
+        Seq("lang", "text")).count()
+    }
+    spark.catalog.clearCache()
     timed("cusum_deep_keys_10x") {
       // round 13: q189 machinery at high key cardinality — hourly CUSUM
       // per (type|user) over the 10x events: the (key, bucket) grid is

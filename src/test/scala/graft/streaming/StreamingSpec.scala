@@ -1120,6 +1120,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming category counts + batch finisher == batch per-user " +
+      "entropy report") {
+    // q195's streaming twin on the real events fixture: the (group,
+    // value) grid is mergeable complete-mode state; the batch finisher
+    // over any drained snapshot equals the batch scores bit-for-bit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))
+    val batch = graft.operators.Stats.entropyByGroup(
+        events, "user_id", "event_type")
+      .collect().map(key).toMap
+    val rows = events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.streamingCategoryCounts(
+        input.toDS().toDF("user_id", "event_type"),
+        "user_id", "event_type")
+      .writeStream.format("memory").queryName("entcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.Stats.entropyFromCounts(
+          spark.table("entcounts"), "user_id")
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch entropy drift")
+    } finally q.stop()
+  }
+
   test("streaming bucket counts + batch finisher == batch CUSUM " +
       "changepoint report") {
     // q189's streaming twin on the real events fixture: the same
