@@ -1757,3 +1757,11 @@ def column_drift(a, b, cols, buckets=64):
     s = a.sparkSession
     return _wrap(s, _api(s).columnDrift(a._jdf, b._jdf, ",".join(cols),
                                         int(buckets)))
+
+
+def vocab_coverage(docs, text_col="text", ks=(1000, 10000, 50000)):
+    """Vocabulary coverage curve: token-mass share of the top-k types
+    at each ascending k — the tokenizer vocab-sizing report."""
+    s = docs.sparkSession
+    return _wrap(s, _api(s).vocabCoverage(docs._jdf, text_col,
+                                          ",".join(str(k) for k in ks)))

@@ -1057,3 +1057,10 @@ graft.columnDrift <- function(a, b, cols, buckets = 64L) {
                                   paste(cols, collapse = ","),
                                   as.integer(buckets)))
 }
+
+#' Vocabulary coverage curve at ascending k values.
+graft.vocabCoverage <- function(docs, textCol = "text",
+                                ks = c(1000L, 10000L, 50000L)) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "vocabCoverage", docs@sdf,
+                                  textCol, paste(ks, collapse = ",")))
+}

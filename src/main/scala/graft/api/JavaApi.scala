@@ -1320,4 +1320,11 @@ object JavaApi {
       buckets: Int): DataFrame =
     graft.operators.ProfileOps.columnDrift(a, b,
       cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty), buckets)
+
+  /** Vocabulary coverage curve at comma-separated ascending k values:
+    * (k, n_types, covered_tokens, total_tokens, coverage_permille). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: String): DataFrame =
+    graft.operators.TokenizerOps.vocabCoverage(docs, textCol,
+      ks.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
 }

@@ -265,6 +265,53 @@ object TokenizerOps {
         expr("oov_tokens * 1000L div n_tokens"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing question: what
+    * fraction of the corpus token MASS do the top-k types cover, for
+    * each requested k? A 32k vocab that covers 995 permille means the
+    * OOV/byte-fallback path handles 0.5 % of tokens; the curve says
+    * where the knee is before committing to a vocab size.
+    *
+    * Exactness: types rank by (count desc, term) via
+    * [[Quantiles.globalRank]]'s two-phase distributed rank (no
+    * single-partition sort of the vocabulary, which at web scale is
+    * hundreds of millions of types); each coverage value is one
+    * conditional integer sum and an exact integer permille.
+    * Tokenization is [[termCounts]]' (the shared-phase rule).
+    *
+    * Output per k (ascending): (k, n_types, covered_tokens,
+    * total_tokens, coverage_permille).
+    *
+    * Scale: one map-side-combined term count, the range-exchange rank
+    * over the (term, n) table, ONE aggregation with |ks| conditional
+    * sums, and a |ks|-row explode of the single result row. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0) && ks == ks.sorted,
+      s"ks must be positive and ascending: $ks")
+    val tc = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= "")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ranked = Quantiles.globalRank(tc,
+      Seq(col("n").desc, col("term")))
+    val aggs = ks.map(k =>
+      coalesce(sum(when(col("__grank") <= k.toLong, col("n"))), lit(0L))
+        .as(s"__k$k"))
+    val row = ranked.agg(
+      coalesce(sum("n"), lit(0L)).as("__tot"),
+      (count(lit(1)).as("__types") +: aggs): _*)
+    row.select(explode(array(ks.map { k =>
+        struct(lit(k.toLong).as("k"),
+          col("__types").as("n_types"),
+          col(s"__k$k").as("covered_tokens"),
+          col("__tot").as("total_tokens"),
+          when(col("__tot") === 0, lit(null).cast("long"))
+            .otherwise(expr(s"__k$k * 1000L div __tot"))
+            .as("coverage_permille"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Per-source lexical-richness profile: token mass, vocabulary size,
     * hapax legomena (terms seen exactly once), type-token ratio, and
     * hapax share — the cheap template/boilerplate detector (a source

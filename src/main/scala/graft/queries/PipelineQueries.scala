@@ -3349,6 +3349,39 @@ object PipelineQueries extends QuerySet {
         Seq("quantity", "price_cents", "tax_tenths")),
       Some(numericProfileSql)),
 
+    // Vocabulary coverage curve: token-mass share of the top-k types at
+    // four vocab sizes — distributed (count desc, term) rank, one
+    // conditional-sum agg.
+    Query("q208_vocab_coverage",
+      (s, dir) => graft.operators.TokenizerOps.vocabCoverage(
+        t(s, dir, "documents"), "text", Seq(10, 100, 1000, 5000)),
+      Some("""WITH tk AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+            AS term
+          FROM documents),
+        tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+          FROM tk GROUP BY 1),
+        r AS (SELECT n,
+            row_number() OVER (ORDER BY n DESC, term) AS rk FROM tc),
+        t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+            CAST(count(*) AS BIGINT) AS n_types FROM tc),
+        c AS (
+          SELECT 10 AS k, CAST(coalesce((SELECT sum(n) FROM r
+            WHERE rk <= 10), 0) AS BIGINT) AS cov
+          UNION ALL SELECT 100, CAST(coalesce((SELECT sum(n) FROM r
+            WHERE rk <= 100), 0) AS BIGINT)
+          UNION ALL SELECT 1000, CAST(coalesce((SELECT sum(n) FROM r
+            WHERE rk <= 1000), 0) AS BIGINT)
+          UNION ALL SELECT 5000, CAST(coalesce((SELECT sum(n) FROM r
+            WHERE rk <= 5000), 0) AS BIGINT))
+        SELECT CAST(k AS BIGINT) AS k, n_types, cov AS covered_tokens,
+          total AS total_tokens,
+          CASE WHEN total = 0 THEN NULL
+            ELSE CAST(cov * 1000 // total AS BIGINT) END
+            AS coverage_permille
+        FROM c CROSS JOIN t""")),
+
     // Per-column value drift between documents and a degraded snapshot
     // (every 5th lang rewritten): fnv1a64 low-bit buckets, PSI per
     // column — lang drifts, source stays ~0.

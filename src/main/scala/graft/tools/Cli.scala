@@ -1534,6 +1534,17 @@ object Cli {
         res.write.mode("overwrite").parquet(out)
         println(s"ppr: wrote $out")
 
+      // vocabCoverage <in> <out> [-text c] [-ks 1000,10000] — top-k
+      //   type coverage of the corpus token mass
+      case "vocabCoverage" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TokenizerOps.vocabCoverage(
+            spark.read.parquet(in), fv("-text", "text"),
+            fv("-ks", "1000,10000,50000").split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty).map(_.toInt))
+          .write.mode("overwrite").parquet(out)
+        println(s"vocabCoverage: wrote $out")
+
       // numProfile <in> <out> -cols a,b,c — single-scan numeric profile
       //   (nulls, min/max, exact sum, integer-floor mean/variance)
       case "numProfile" :: in :: out :: rest =>
@@ -1934,7 +1945,8 @@ object Cli {
           "\n  piiCensus <in.parquet> <out.parquet> [-text c] [-source c]" +
           "\n  splitAudit <in.parquet> <out.parquet> -split c -ts c -order a,b,c" +
           "\n  numProfile <in.parquet> <out.parquet> -cols a,b,c" +
-          "\n  columnDrift <a.parquet> <b.parquet> <out.parquet> -cols a,b [-buckets n]")
+          "\n  columnDrift <a.parquet> <b.parquet> <out.parquet> -cols a,b [-buckets n]" +
+          "\n  vocabCoverage <in.parquet> <out.parquet> [-text c] [-ks 1000,10000]")
         sys.exit(2)
     }
   }

@@ -989,6 +989,20 @@ class PlanSpec extends SparkSpec {
         plan.take(800))
   }
 
+  test("q208 vocab coverage: distributed rank over the type table — " +
+      "range exchange, offsets-only windows") {
+    val plan = planOf("q208_vocab_coverage")
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"),
+      "type ranking must be the two-phase range rank: " + plan.take(800))
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")),
+      "only the globalRank offsets window is allowed: " + plan.take(800))
+    assert(plan.contains("partial_count"),
+      "term counts must map-side combine")
+  }
+
   test("q195 entropy: grid totals via a group-keyed window, no join, " +
       "no unkeyed sort") {
     val plan = planOf("q195_user_entropy")
