@@ -38,7 +38,23 @@ object Bqsr {
   private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
     Encoders.product[Alignment]
 
-  private val MinQuality = 6 // reference skips very-low-quality bases
+  /** Residue inclusion floor: the reference keeps bases with quality
+    * char > '!' (Phred >= 1, BaseQualityRecalibration.scala:222), not its
+    * pass-2 minAcceptableAsciiPhred of 5 — the GATK golden table
+    * (bqsr1-ref.observed) contains ReportedQ 4 and 5 rows. */
+  private val MinQuality = 1
+
+  /** Read-level inclusion (reference shouldIncludeRead,
+    * BaseQualityRecalibration.scala:128-134): the canonical read only —
+    * mapped primary, not a duplicate, mapQ defined and > 0, CIGAR
+    * defined, passed vendor checks. Unset primary/duplicate/vendor flags
+    * on synthetic reads default to the canonical state. */
+  private[algorithms] def includeRead(r: Alignment): Boolean =
+    r.readMapped.getOrElse(false) &&
+      r.primaryAlignment.getOrElse(true) &&
+      !r.duplicateRead.getOrElse(false) &&
+      r.mappingQuality.exists(_ > 0) &&
+      !r.failedVendorQualityChecks.getOrElse(false)
 
   private def complement(c: Char): Char = Character.toUpperCase(c) match {
     case 'A' => 'T'
@@ -53,15 +69,20 @@ object Bqsr {
     * reverse complement of what the sequencer read, so the sequenced-order
     * pair at stored index i is (complement(seq(i+1)), complement(seq(i))).
     * The 5'-most sequenced base (stored index 0 on +, last index on -) has
-    * no previous base -> "NN". */
-  private[algorithms] def dinucAt(seq: String, i: Int, negativeStrand: Boolean): String =
+    * no previous base -> "NN", and a pair containing an 'N' collapses to
+    * "NN" too (DinucCovariate.scala:66-74 — GATK CSV compatibility). */
+  private[algorithms] def dinucAt(seq: String, i: Int, negativeStrand: Boolean): String = {
+    var d0 = 'N'; var d1 = 'N'
     if (negativeStrand) {
-      if (i == seq.length - 1) "NN"
-      else s"${complement(seq.charAt(i + 1))}${complement(seq.charAt(i))}"
-    } else {
-      if (i == 0) "NN"
-      else s"${Character.toUpperCase(seq.charAt(i - 1))}${Character.toUpperCase(seq.charAt(i))}"
+      if (i < seq.length - 1) {
+        d0 = complement(seq.charAt(i + 1)); d1 = complement(seq.charAt(i))
+      }
+    } else if (i > 0) {
+      d0 = Character.toUpperCase(seq.charAt(i - 1))
+      d1 = Character.toUpperCase(seq.charAt(i))
     }
+    if (d0 == 'N' || d1 == 'N') "NN" else s"$d0$d1"
+  }
 
   /** Sequencer cycle of stored index i (CycleCovariate semantics): first-
     * of-fragment reads get positive 1-based cycles counted from the 5'
@@ -80,7 +101,7 @@ object Bqsr {
     val seq = r.sequence.getOrElse("")
     val quals = r.qualityScores.getOrElse("")
     val md = r.mismatchingPositions
-    if (!r.readMapped.getOrElse(false) || seq.isEmpty || quals.isEmpty ||
+    if (!includeRead(r) || seq.isEmpty || quals.isEmpty ||
       md.isEmpty || r.cigar.isEmpty) return Iterator.empty
 
     // reference-space mismatch offsets from the MD tag
@@ -107,10 +128,17 @@ object Bqsr {
           while (k < e.length) {
             val q = quals.charAt(readPos) - 33
             val refPos = start + refOff
-            if (q >= MinQuality && !isKnownSite(refName, refPos)) {
+            if (q >= MinQuality && seq.charAt(readPos) != 'N' &&
+              !isKnownSite(refName, refPos)) {
               val cycle = cycleAt(readPos, seq.length, neg, second)
               val dinuc = dinucAt(seq, readPos, neg)
-              val mismatch = mismatchOffsets.contains(mdOff)
+              // X is a mismatch by declaration, = a match; only M
+              // consults the MD tag (BaseQualityRecalibration.scala:223)
+              val mismatch = e.op match {
+                case 'X' => true
+                case '=' => false
+                case _   => mismatchOffsets.contains(mdOff)
+              }
               out += Observation(rg, q, cycle, dinuc, 1L,
                 if (mismatch) 1L else 0L)
             }
@@ -165,7 +193,7 @@ object Bqsr {
         val md = r.mismatchingPositions
         if (seq.length >= MaxPackedLen) {
           overflow ++= observeRead(r, fn)
-        } else if (r.readMapped.getOrElse(false) && seq.nonEmpty && quals.nonEmpty &&
+        } else if (includeRead(r) && seq.nonEmpty && quals.nonEmpty &&
           md.nonEmpty && r.cigar.nonEmpty) {
           // increasing reference-space offsets -> pointer walk, no Set
           val mmOff = GenomicFunctions.mdMismatchOffsets(md.get).toArray
@@ -186,7 +214,8 @@ object Bqsr {
                 var k = 0
                 while (k < e.length) {
                   val q = quals.charAt(readPos) - 33
-                  if (q >= MinQuality && !fn(refName, start + refOff)) {
+                  if (q >= MinQuality && seq.charAt(readPos) != 'N' &&
+                    !fn(refName, start + refOff)) {
                     val cycle = cycleAt(readPos, len, neg, second)
                     // dinuc chars exactly as dinucAt computes them
                     var d0 = 'N'; var d1 = 'N'
@@ -199,8 +228,13 @@ object Bqsr {
                       d0 = Character.toUpperCase(seq.charAt(readPos - 1))
                       d1 = Character.toUpperCase(seq.charAt(readPos))
                     }
+                    if (d0 == 'N' || d1 == 'N') { d0 = 'N'; d1 = 'N' }
                     while (mi < mmOff.length && mmOff(mi) < mdOff) mi += 1
-                    val mm = mi < mmOff.length && mmOff(mi) == mdOff
+                    val mm = e.op match {
+                      case 'X' => true
+                      case '=' => false
+                      case _   => mi < mmOff.length && mmOff(mi) == mdOff
+                    }
                     val cell = acc.getOrElseUpdate(
                       packKey(q, cycle, d0, d1), new Array[Long](2))
                     cell(0) += 1L

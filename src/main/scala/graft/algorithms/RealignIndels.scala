@@ -301,7 +301,11 @@ object RealignIndels {
             originalStart = r.start,
             end = Some(newStart + Cigar.referenceLength(newCigar)),
             cigar = Some(newCigar),
-            originalCigar = r.cigar)
+            originalCigar = r.cigar,
+            // realigned reads get +10 mapping quality (reference
+            // RealignIndels.scala:389, matching GATK IndelRealigner's
+            // bump in artificial.realigned.sam)
+            mappingQuality = r.mappingQuality.map(_ + 10))
         case _ => r
       }
     }

@@ -324,7 +324,7 @@ object GenomicQueries extends QuerySet {
                       translate(base, 'ACGT', 'TGCA') END AS dinuc,
             CASE WHEN i = mmoff THEN 1 ELSE 0 END AS mm
           FROM reads, generate_series(0, 35) AS t(i)
-          WHERE q >= 6)
+          WHERE q >= 1)
         SELECT rg AS readGroupId, CAST(q AS BIGINT) AS reportedQuality,
           CAST(cycle AS BIGINT) AS cycle, dinuc,
           CAST(count(*) AS BIGINT) AS observations,
@@ -419,7 +419,7 @@ object GenomicQueries extends QuerySet {
       cigar.as("cigar"),
       nullS.as("originalCigar"),
       nullI.as("basesTrimmedFromStart"), nullI.as("basesTrimmedFromEnd"),
-      nullI.as("mappingQuality"),
+      lit(60).as("mappingQuality"),
       lit(false).as("readPaired"), nullB.as("properPair"),
       lit(true).as("readMapped"), nullB.as("mateMapped"),
       inFragment.as("readInFragment"),

@@ -434,9 +434,42 @@ object VcfIO {
         .map { case (k, vv) => if (vv == "true") k else s"$k=$vv" }
         .mkString(";"))
     val bySample = vc.genotypes.flatMap(g => g.sampleId.map(_ -> g)).toMap
-    val anyPl = vc.genotypes.exists(_.genotypeLikelihoods.nonEmpty)
-    val anyPs = vc.genotypes.exists(_.phaseSetId.nonEmpty)
-    val fmt = "GT:GQ:DP" + (if (anyPl) ":PL" else "") + (if (anyPs) ":PS" else "")
+    // FORMAT is the union of fields any genotype at this site carries, in
+    // a fixed canonical order, followed by untyped attributes sorted by
+    // key — every field the reader maps (parseLine:185-221) round-trips.
+    val gs = vc.genotypes
+    def anyOf(p: Genotype => Boolean) = gs.exists(p)
+    val typed = Seq(
+      "GQ" -> anyOf(_.genotypeQuality.nonEmpty),
+      "DP" -> anyOf(_.readDepth.nonEmpty),
+      "MIN_DP" -> anyOf(_.minReadDepth.nonEmpty),
+      "AD" -> anyOf(g =>
+        g.referenceReadDepth.nonEmpty || g.alternateReadDepth.nonEmpty),
+      "SB" -> anyOf(_.strandBiasComponents.nonEmpty),
+      "PL" -> anyOf(_.genotypeLikelihoods.nonEmpty),
+      "PS" -> anyOf(_.phaseSetId.nonEmpty),
+      "PQ" -> anyOf(_.phaseQuality.nonEmpty)
+    ).collect { case (k, true) => k }
+    val attrKeys = gs.flatMap(_.attributes.keys).distinct.sorted
+    val fmt = ("GT" +: (typed ++ attrKeys)).mkString(":")
+    def cell(g: Genotype, k: String): String = k match {
+      case "GQ" => g.genotypeQuality.map(_.toString).getOrElse(".")
+      case "DP" => g.readDepth.map(_.toString).getOrElse(".")
+      case "MIN_DP" => g.minReadDepth.map(_.toString).getOrElse(".")
+      case "AD" =>
+        if (g.referenceReadDepth.isEmpty && g.alternateReadDepth.isEmpty) "."
+        else s"${g.referenceReadDepth.map(_.toString).getOrElse(".")}," +
+          g.alternateReadDepth.map(_.toString).getOrElse(".")
+      case "SB" =>
+        if (g.strandBiasComponents.isEmpty) "."
+        else g.strandBiasComponents.mkString(",")
+      case "PL" =>
+        if (g.genotypeLikelihoods.isEmpty) "."
+        else g.genotypeLikelihoods.map(fmtDouble).mkString(",")
+      case "PS" => g.phaseSetId.map(_.toString).getOrElse(".")
+      case "PQ" => g.phaseQuality.map(_.toString).getOrElse(".")
+      case a => g.attributes.getOrElse(a, ".")
+    }
     val gts = samples.map { s =>
       bySample.get(s).map { g =>
         val gtSep = if (g.phased.getOrElse(false)) "|" else "/"
@@ -446,14 +479,7 @@ object VcfIO {
           case "NO_CALL" => "."
           case _ => "2"
         }.mkString(gtSep)
-        (Seq(gt,
-          g.genotypeQuality.map(_.toString).getOrElse("."),
-          g.readDepth.map(_.toString).getOrElse(".")) ++
-          (if (anyPl) Seq(
-            if (g.genotypeLikelihoods.isEmpty) "."
-            else g.genotypeLikelihoods.map(d => fmtDouble(d)).mkString(",")) else Nil) ++
-          (if (anyPs) Seq(g.phaseSetId.map(_.toString).getOrElse(".")) else Nil))
-          .mkString(":")
+        (gt +: (typed ++ attrKeys).map(cell(g, _))).mkString(":")
       }.getOrElse("./.")
     }
     if (samples.isEmpty) base.mkString("\t")

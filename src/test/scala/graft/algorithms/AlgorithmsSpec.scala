@@ -50,6 +50,7 @@ class BqsrSpec extends SparkSpec {
       start = Some(start), end = Some(start + seq.length),
       cigar = Some(s"${seq.length}M"), sequence = Some(seq),
       qualityScores = Some(quals), readMapped = Some(true),
+      mappingQuality = Some(60),
       readNegativeStrand = Some(false), readGroupId = Some(rg),
       mismatchingPositions = Some(md))
 
@@ -130,6 +131,7 @@ class BqsrSpec extends SparkSpec {
         start = Some(rnd.nextInt(5000).toLong),
         cigar = Some(cigar), sequence = Some(seq), qualityScores = Some(quals),
         readMapped = Some(i % 11 != 0),
+        mappingQuality = Some(60),
         readNegativeStrand = Some(i % 2 == 0),
         readPaired = Some(true), readInFragment = Some(i % 3 % 2),
         readGroupId = Some("rg" + (i % 3)),
@@ -157,6 +159,7 @@ class BqsrSpec extends SparkSpec {
       referenceName = Some("chr1"), start = Some(10L),
       cigar = Some(s"${len}M"), sequence = Some(seq.take(len)),
       qualityScores = Some("I" * len), readMapped = Some(true),
+      mappingQuality = Some(60),
       readNegativeStrand = Some(false), readPaired = Some(false),
       readGroupId = Some("rgL"), mismatchingPositions = Some(len.toString))
     val short = read("s1", 100L, "ACGTACGTAC", "IIIIIIIIII", "10")
