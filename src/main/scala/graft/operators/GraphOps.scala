@@ -94,8 +94,12 @@ object GraphOps {
     * 17·Σ_{u→v} (rank(u) div outdeg(u)) / 20` (15 % restart mass to
     * EACH seed, 85 % flow; unnormalized, so ranks are comparable within
     * a run) — every iterate is an exact integer vector any engine
-    * replays. Seeds not present in the edge set are ignored (they have
-    * no outgoing mass and receive none).
+    * replays. The node universe is src ∪ dst, so a seed that appears
+    * only as a destination (possible for general directed edges) keeps
+    * its restart mass and appears in the output — it simply contributes
+    * no outgoing flow, like any dangling node. Only seeds absent from
+    * the edge set entirely are ignored. (On a symmetric graph such as
+    * [[coOccurrenceEdges]] the dst union is a no-op.)
     *
     * Output: (node, rank_q).
     *
@@ -114,7 +118,8 @@ object GraphOps {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val seedSet = seeds.select(col("node")).distinct()
       .withColumn("__seed", lit(1))
-    val nodes = outdeg.select(col("src").as("node"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(seedSet), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("__seed"), lit(0)).as("__seed"))

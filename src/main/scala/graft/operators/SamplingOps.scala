@@ -777,14 +777,23 @@ object SamplingOps {
       s"duplicate split labels in order: $order")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(splitCol).as("__s"),
+    // splitCol is cast to string up front (int-labeled splits audit
+    // against string `order` labels instead of ClassCastException-ing
+    // at the collect), and an all-NULL-timestamp split fails with the
+    // operator's own message, not an unboxing NPE
+    val base = df.select(col(splitCol).cast("string").as("__s"),
       unix_millis(col(tsCol)).as("__ms"))
     val sums = base.groupBy("__s")
       .agg(count(lit(1)).as("n"), min("__ms").as("mn"),
         max("__ms").as("mx"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3))).toMap
+      .map { r =>
+        val s = r.getString(0)
+        require(!r.isNullAt(2) && !r.isNullAt(3),
+          s"split '$s' has no non-null $tsCol values — cannot audit " +
+            "temporal boundaries against it")
+        s -> (r.getLong(1), r.getLong(2), r.getLong(3))
+      }.toMap
     require(sums.keySet == order.toSet,
       s"split labels in the data (${sums.keySet.toSeq.sorted.mkString(", ")}) " +
         s"must match the declared order (${order.mkString(", ")})")

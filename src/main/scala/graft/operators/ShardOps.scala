@@ -75,22 +75,29 @@ object ShardOps {
     * Scale: pure per-row arithmetic (ONE fnv + nShards splitmix steps),
     * zero shuffle; nShards is a routing-table size (tens to a few
     * thousand), never data-scale. */
+  /** The per-key argmax, factored out so the ScalaCheck monotone-
+    * consistency property can drive it directly (the HRW invariant:
+    * growing n→m moves ONLY keys whose argmax under m lands in the new
+    * shards [n, m) — an argmax over a superset that stays below n was
+    * already the argmax over the subset). */
+  private[operators] def rendezvousShardOf(k: String, n: Int): Int = {
+    val base = DedupOps.fnv1a64(if (k == null) "" else k)
+    var best = 0
+    var bestH = Long.MinValue
+    var s = 0
+    while (s < n) {
+      val h = DedupOps.splitmix64(base + s * 0x9e3779b97f4a7c15L)
+      if (h >= bestH) { bestH = h; best = s }
+      s += 1
+    }
+    best
+  }
+
   def rendezvousShard(key: org.apache.spark.sql.Column,
       nShards: Int): org.apache.spark.sql.Column = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val n = nShards
-    val f = udf { k: String =>
-      val base = DedupOps.fnv1a64(if (k == null) "" else k)
-      var best = 0
-      var bestH = Long.MinValue
-      var s = 0
-      while (s < n) {
-        val h = DedupOps.splitmix64(base + s * 0x9e3779b97f4a7c15L)
-        if (h >= bestH) { bestH = h; best = s }
-        s += 1
-      }
-      best
-    }
+    val f = udf { k: String => rendezvousShardOf(k, n) }
     f(key.cast("string"))
   }
 

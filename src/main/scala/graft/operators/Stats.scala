@@ -493,14 +493,32 @@ object Stats {
 
   /** Finish [[ksDrift]] from a (v, n_ref, n_cur) grid — the shape
     * [[ksCounts]] produces and the streaming monitor maintains as
-    * complete-mode state. */
-  def ksFromCounts(grid: DataFrame): DataFrame = {
+    * complete-mode state.
+    *
+    * The caller-quantizes contract is SELF-DEFENDING: the running sums
+    * ride unkeyed windows, which are only sane on a bounded grid, so a
+    * plan-side guard fails the query loudly (before the single-task
+    * sort sees the oversized grid) when the distinct-value count
+    * exceeds `maxGridRows` — an unquantized high-cardinality double
+    * column fails fast instead of silently single-task-sorting the
+    * data. 2^20 distinct values is far above any sane quantization and
+    * still sorts in well under a second. */
+  def ksFromCounts(grid: DataFrame,
+      maxGridRows: Long = 1L << 20): DataFrame = {
     val dec = DecimalType(38, 0)
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val scored = grid
+    val gcnt = grid.agg(count(lit(1)).as("__gn"))
+    val guarded = grid.crossJoin(broadcast(gcnt))
+      .filter(assert_true(col("__gn") <= lit(maxGridRows),
+        format_string("ksFromCounts grid has %s distinct values" +
+          " (max %s) — quantize the value column before ksDrift" +
+          " (caller-quantizes contract)",
+          col("__gn"), lit(maxGridRows))).isNull)
+      .drop("__gn")
+    val scored = guarded
       .withColumn("__cr", sum("__nr").over(w).cast(dec))
       .withColumn("__cc", sum("__nc").over(w).cast(dec))
       .withColumn("__tr", sum("__nr").over(wAll).cast(dec))
@@ -545,17 +563,28 @@ object Stats {
     * marginals re-aggregate FROM the bounded cell grid (no second corpus
     * scan) and broadcast back onto it. Contract: |A|·|B| cells bounded
     * (categorical columns — language, source, segment), the same bound
-    * [[cohenKappa]] and chi-square carry. NULL categories participate as
-    * their own category (null-safe joins throughout). */
+    * [[cohenKappa]] and chi-square carry — and SELF-DEFENDING: a
+    * plan-side guard fails the query loudly when the joint grid exceeds
+    * `maxCells` (the guard sits between the persisted grid and the
+    * marginal broadcasts, so an unbounded pair of columns dies with
+    * this message instead of an executor/driver OOM). NULL categories
+    * participate as their own category (null-safe joins throughout). */
   def mutualInformationReport(df: DataFrame, colA: String,
-      colB: String): DataFrame = {
+      colB: String, maxCells: Long = 1L << 20): DataFrame = {
     val dec = DecimalType(38, 0)
     // the bounded cell grid feeds FOUR consumers (joined rows, both
     // marginals, totals) — persist it so the corpus is scanned once,
     // released before returning (tier 1, operators/Caching.scala)
-    val cells = df.select(col(colA).as("__a"), col(colB).as("__b"))
+    val cells0 = df.select(col(colA).as("__a"), col(colB).as("__b"))
       .groupBy("__a", "__b").agg(count(lit(1)).cast(dec).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ncells0 = cells0.agg(count(lit(1)).as("__gn"))
+    val cells = cells0.crossJoin(broadcast(ncells0))
+      .filter(assert_true(col("__gn") <= lit(maxCells),
+        format_string("mutualInformationReport joint grid has %s cells" +
+          " (max %s) — both columns must be categorical (the |A|*|B|" +
+          " bounded contract)", col("__gn"), lit(maxCells))).isNull)
+      .drop("__gn")
     val ra = cells.groupBy("__a").agg(sum("__c").cast(dec).as("__ra"))
     val cb = cells.groupBy("__b").agg(sum("__c").cast(dec).as("__cb"))
     val tot = cells.agg(sum("__c").cast(dec).as("__n"),
@@ -593,7 +622,7 @@ object Stats {
         .otherwise(col("__miq").cast("double") /
           sqrt(col("__haq").cast("double") * col("__hbq").cast("double")))
         .as("nmi"))
-    Caching.materializeAndRelease(out, cells)
+    Caching.materializeAndRelease(out, cells0)
   }
 
   /** Cohen's kappa inter-rater agreement between two label columns —
@@ -614,15 +643,26 @@ object Stats {
     *
     * Scale: one map-side-combined pass for (n, n_agree), one count per
     * marginal, and the pe cross-product joins the two BOUNDED marginal
-    * tables (|labels| rows — the categorical contract) null-safely. */
-  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    * tables (|labels| rows — the categorical contract, SELF-DEFENDING:
+    * the broadcast marginal carries a plan-side guard that fails the
+    * query loudly past `maxLabels` instead of OOMing the driver on an
+    * unbounded label column) null-safely. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String,
+      maxLabels: Long = 1L << 20): DataFrame = {
     val dec = DecimalType(38, 0)
     val base = df.select(col(colA).as("__a"), col(colB).as("__b"))
     val agg = base.agg(count(lit(1)).cast(dec).as("__n"),
       sum(when(col("__a") <=> col("__b"), 1L).otherwise(0L)).cast(dec)
         .as("__agree"))
     val ra = base.groupBy("__a").agg(count(lit(1)).cast(dec).as("__ra"))
-    val cb = base.groupBy("__b").agg(count(lit(1)).cast(dec).as("__cb"))
+    val cb0 = base.groupBy("__b").agg(count(lit(1)).cast(dec).as("__cb"))
+    val cbN = cb0.agg(count(lit(1)).as("__gn"))
+    val cb = cb0.crossJoin(broadcast(cbN))
+      .filter(assert_true(col("__gn") <= lit(maxLabels),
+        format_string("cohenKappa has %s distinct rater-B labels" +
+          " (max %s) — label columns must be categorical (the bounded" +
+          " marginal contract)", col("__gn"), lit(maxLabels))).isNull)
+      .drop("__gn")
     val pe = ra.join(broadcast(cb), ra("__a") <=> cb("__b"))
       .agg(coalesce(sum((col("__ra") * col("__cb")).cast(dec)), lit(0))
         .cast(dec).as("__pe"))
@@ -788,10 +828,14 @@ object Stats {
     * Exactness: the four raw power sums Σx..Σx⁴ accumulate in
     * DECIMAL(38,0) (x⁴ at 1e6-cent values is 1e24 per row — x must stay
     * within ±2^26 cents for the Σx⁴ of 1e12 rows to fit 38 digits,
-    * documented contract); the central moments and both shape ratios
-    * are ONE fixed double chain over those exact integers, so any
-    * engine replays them bit-for-bit. Groups with n < 2 or zero
-    * variance report NULL shape (undefined).
+    * documented contract); each sum enters double-land through
+    * [[limbDouble]] — DuckDB's CAST(HUGEINT AS DOUBLE) is measurably
+    * not correctly rounded past 2^53, so a direct cast would let the
+    * central-moment subtractions amplify a last-ulp engine difference —
+    * and the central moments and both shape ratios are then ONE fixed
+    * double chain over engine-identical inputs, so any engine replays
+    * them bit-for-bit BY CONSTRUCTION, not by luck of the values.
+    * Groups with n < 2 or zero variance report NULL shape (undefined).
     *
     * Output per group: (groupCol, n, mean, variance, skewness,
     * kurtosis).
@@ -810,14 +854,13 @@ object Stats {
         sum((x * x * x).cast(dec)).cast(dec).as("__s3"),
         sum((x * x * x * x).cast(dec)).cast(dec).as("__s4"))
     val nD = col("n").cast("double")
-    val mu = col("__s1").cast("double") / nD
-    val m2 = col("__s2").cast("double") / nD - mu * mu
-    val m3 = col("__s3").cast("double") / nD -
-      lit(3.0) * mu * (col("__s2").cast("double") / nD) +
-      lit(2.0) * mu * mu * mu
-    val m4 = col("__s4").cast("double") / nD -
-      lit(4.0) * mu * (col("__s3").cast("double") / nD) +
-      lit(6.0) * mu * mu * (col("__s2").cast("double") / nD) -
+    val mu = limbDouble(col("__s1")) / nD
+    val r2 = limbDouble(col("__s2")) / nD
+    val r3 = limbDouble(col("__s3")) / nD
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = limbDouble(col("__s4")) / nD -
+      lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
       lit(3.0) * mu * mu * mu * mu
     agg.select(col(groupCol), col("n"),
       mu.as("mean"), m2.as("variance"),
@@ -825,6 +868,37 @@ object Stats {
         .otherwise(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
       when(col("n") < 2 || m2 <= 0, lit(null).cast("double"))
         .otherwise(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+  }
+
+  /** Engine-identical double view of an exact DECIMAL(38,0) integer.
+    *
+    * A direct wide-integer→double cast is the one step two engines may
+    * disagree on: DuckDB's CAST(HUGEINT AS DOUBLE) is measurably NOT
+    * correctly rounded past 2^53 (e.g. 22240711483861231690 →
+    * ...1230e19; correct is ...1234e19) while Spark's Decimal cast is.
+    * So: split |s| into three limbs below 2^53 with exact integer
+    * floor/mod (identical integer results in Spark decimal math and
+    * DuckDB HUGEINT `//`/`%` — operands kept non-negative, where the
+    * two engines' division semantics agree), cast each limb exactly,
+    * and recombine in one FIXED left-associated double expression.
+    * The result can differ from the correctly-rounded cast by 1 ulp
+    * (double rounding), but every engine computes the identical bits.
+    * Oracle twin (same limbs, same order):
+    * {{{
+    * (CAST(ABS(s)//P//P AS DOUBLE) * 1.2676506002282294e30
+    *  + CAST(ABS(s)//P % P AS DOUBLE) * 1.125899906842624e15
+    *  + CAST(ABS(s) % P AS DOUBLE)) * sign  -- P = 2^50
+    * }}} */
+  private[operators] def limbDouble(s: Column): Column = {
+    val dec = DecimalType(38, 0)
+    val p = lit(1125899906842624L) // 2^50
+    def idiv(a: Column): Column = ((a - pmod(a, p)) / p).cast(dec)
+    val m = abs(s).cast(dec)
+    val h = idiv(m) // < 2^78, needs one more split
+    val d = (idiv(h).cast("double") * lit(1.2676506002282294e30) + // 2^100
+      pmod(h, p).cast("double") * lit(1.125899906842624e15) + // 2^50
+      pmod(m, p).cast("double"))
+    when(s < 0, -d).otherwise(d)
   }
 
   /** Shannon entropy (nats) of `valueCol`'s distribution within each

@@ -3143,12 +3143,38 @@ object PipelineQueries extends QuerySet {
             sum(CAST(x AS HUGEINT) * x * x) AS s3,
             sum(CAST(x AS HUGEINT) * x * x * x) AS s4
           FROM v GROUP BY 1),
-        m AS (SELECT g, n,
-            CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-            CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
-            CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
-            CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        lmb AS (SELECT g, n,
+            (CAST(ABS(s1) // 1125899906842624 // 1125899906842624
+                AS DOUBLE) * 1.2676506002282294e30
+              + CAST(ABS(s1) // 1125899906842624 % 1125899906842624
+                AS DOUBLE) * 1.125899906842624e15
+              + CAST(ABS(s1) % 1125899906842624 AS DOUBLE))
+              * (CASE WHEN s1 < 0 THEN -1.0 ELSE 1.0 END) AS d1,
+            (CAST(ABS(s2) // 1125899906842624 // 1125899906842624
+                AS DOUBLE) * 1.2676506002282294e30
+              + CAST(ABS(s2) // 1125899906842624 % 1125899906842624
+                AS DOUBLE) * 1.125899906842624e15
+              + CAST(ABS(s2) % 1125899906842624 AS DOUBLE))
+              * (CASE WHEN s2 < 0 THEN -1.0 ELSE 1.0 END) AS d2,
+            (CAST(ABS(s3) // 1125899906842624 // 1125899906842624
+                AS DOUBLE) * 1.2676506002282294e30
+              + CAST(ABS(s3) // 1125899906842624 % 1125899906842624
+                AS DOUBLE) * 1.125899906842624e15
+              + CAST(ABS(s3) % 1125899906842624 AS DOUBLE))
+              * (CASE WHEN s3 < 0 THEN -1.0 ELSE 1.0 END) AS d3,
+            (CAST(ABS(s4) // 1125899906842624 // 1125899906842624
+                AS DOUBLE) * 1.2676506002282294e30
+              + CAST(ABS(s4) // 1125899906842624 % 1125899906842624
+                AS DOUBLE) * 1.125899906842624e15
+              + CAST(ABS(s4) % 1125899906842624 AS DOUBLE))
+              * (CASE WHEN s4 < 0 THEN -1.0 ELSE 1.0 END) AS d4
           FROM a),
+        m AS (SELECT g, n,
+            d1 / CAST(n AS DOUBLE) AS mu,
+            d2 / CAST(n AS DOUBLE) AS r2,
+            d3 / CAST(n AS DOUBLE) AS r3,
+            d4 / CAST(n AS DOUBLE) AS r4
+          FROM lmb),
         c AS (SELECT g, n, mu,
             r2 - mu * mu AS m2,
             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
@@ -3383,13 +3409,16 @@ object PipelineQueries extends QuerySet {
         FROM c CROSS JOIN t""")),
 
     // Per-column value drift between documents and a degraded snapshot
-    // (every 5th lang rewritten): fnv1a64 low-bit buckets, PSI per
-    // column — lang drifts, source stays ~0.
+    // (every 5th lang rewritten, every 7th dropped to NULL — so the
+    // NULL-is-its-own-bucket contract is exercised against the oracle):
+    // fnv1a64 low-bit buckets, PSI per column — lang drifts, source ~0.
     Query("q207_column_drift",
       (s, dir) => {
         val a = t(s, dir, "documents")
         val b = a.withColumn("lang",
-          when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")))
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0, lit("xx"))
+            .otherwise(col("lang")))
         graft.operators.ProfileOps.columnDrift(
           a, b, Seq("lang", "source"), buckets = 64)
       },
@@ -3437,13 +3466,19 @@ object PipelineQueries extends QuerySet {
   private def columnDriftSql: String = {
     def side(table: String, cnt: String): String =
       Seq("lang", "source").map { c =>
+        // COALESCE to -1: NULL values are their own bucket on the Spark
+        // side, and a NULL bucket key would never match itself through
+        // FULL OUTER JOIN ... USING — the ref/cur null counts would land
+        // in two separate grid rows with different nb and PSI terms
         s"""SELECT '$c' AS col_name,
-           |  CAST(${HashOracleSql.fnv1a64(c)} % 64 AS BIGINT) AS bucket,
+           |  COALESCE(CAST(${HashOracleSql.fnv1a64(c)} % 64 AS BIGINT),
+           |    -1) AS bucket,
            |  CAST(count(*) AS BIGINT) AS $cnt
            |FROM $table GROUP BY 2""".stripMargin
       }.mkString("\nUNION ALL\n")
     s"""WITH bsrc AS (SELECT doc_id,
-       |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+       |    CASE WHEN doc_id % 7 = 0 THEN NULL
+       |      WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
        |    source
        |  FROM documents),
        |ga AS (${side("documents", "n_ref")}),

@@ -911,6 +911,24 @@ object ScaleProbe {
         Seq("lang", "text")).count()
     }
     spark.catalog.clearCache()
+    timed("json_key_profile_10x") {
+      // round 14 (VERDICT r13 missing #6): q198's shape at the 10x event
+      // count — the bounded key/type grid was always safe; the moving
+      // part is the per-row native from_json parse, measured here
+      val js = ev.select(
+        when(pmod(col("event_id"), lit(17L)) === 0, lit("{oops"))
+          .otherwise(concat(
+            lit("{\"k\": "),
+            pmod(col("event_id"), lit(100L)).cast("string"),
+            when(pmod(col("event_id"), lit(3L)) === 0,
+              lit(", \"dev\": \"mobile\", \"tags\": [1, 2]"))
+              .when(pmod(col("event_id"), lit(3L)) === 1,
+                lit(", \"dev\": \"web\", \"geo\": {\"c\": \"US\"}"))
+              .otherwise(lit(", \"flag\": true, \"note\": null")),
+            lit("}"))).as("props"))
+      graft.operators.ProfileOps.jsonKeyProfile(js, "props").count()
+    }
+    spark.catalog.clearCache()
     timed("cusum_deep_keys_10x") {
       // round 13: q189 machinery at high key cardinality — hourly CUSUM
       // per (type|user) over the 10x events: the (key, bucket) grid is

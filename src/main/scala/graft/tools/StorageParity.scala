@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GenomicDataset
+import graft.model.Alignment
+import graft.sources.{BamIO, CramIO, SamIO}
+
+/** Storage-parity audit (VERDICT r13 missing #3 / BASELINE.md rows
+  * 7-10): the reference publishes Parquet ~20 % smaller than BAM and
+  * CRAM ~43 % smaller than BAM on real reads
+  * (docs/benchmarks/storage.rst:15-31); this main writes the SAME reads
+  * through our three alignment sinks with default codecs and prints the
+  * measured ratios, so a pathological sink encoding is caught before it
+  * ships a 100 TB lake.
+  *
+  * Corpus: the reference repo's checked-in REAL reads
+  * (NA12878.sam + bqsr1.sam — genuine Illumina sequence/quality/tag
+  * statistics, which is what CRAM/Parquet compression lives on),
+  * replicated `reps`× with shifted starts and suffixed names so record
+  * count amortizes fixed container/header overheads. Replication keeps
+  * per-record statistics identical to the real data; it can flatter
+  * column codecs slightly (repeated values), which is why the 1×
+  * numbers are printed too.
+  *
+  * Usage: runMain graft.tools.StorageParity [reps] [workDir]
+  */
+object StorageParity {
+
+  private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
+    Encoders.product[Alignment]
+
+  private def sizeOf(p: String): Long = {
+    val f = new java.io.File(p)
+    if (f.isFile) f.length
+    else if (f.isDirectory)
+      f.listFiles.filterNot(_.getName.startsWith("_"))
+        .filterNot(_.getName.startsWith(".")).map(_.length).sum
+    else 0L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(50)
+    val work = args.lift(1).getOrElse("/tmp/graft-storage-parity")
+    val res = "/root/reference/adam-core/src/test/resources"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-storage-parity")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val na = SamIO.read(spark, s"$res/NA12878.sam")
+    val bq = SamIO.read(spark, s"$res/bqsr1.sam")
+    val meta = na.meta // NA12878's dictionary covers both (GRCh37 names)
+    val base = na.ds.union(bq.ds).collect().toSeq
+
+    def corpus(k: Int): Dataset[Alignment] = {
+      val rows = (0 until k).flatMap { r =>
+        base.map { a =>
+          if (r == 0) a
+          else a.copy(
+            readName = a.readName.map(n => s"$n.$r"),
+            start = a.start.map(_ + r * 1000L),
+            end = a.end.map(_ + r * 1000L),
+            mateAlignmentStart = a.mateAlignmentStart.map(_ + r * 1000L))
+        }
+      }
+      spark.createDataset(rows).coalesce(1)
+    }
+
+    def audit(tag: String, k: Int): Unit = {
+      val ds = corpus(k)
+      val gd = GenomicDataset(ds, meta)
+      val bam = s"$work/$tag.bam"
+      val cram = s"$work/$tag.cram"
+      val parquet = s"$work/$tag.parquet"
+      BamIO.write(gd, bam, asSingleFile = true)
+      CramIO.write(gd, cram)
+      gd.saveAsParquet(parquet)
+      val (b, c, p) = (sizeOf(bam), sizeOf(cram), sizeOf(parquet))
+      println(f"""{"corpus":"$tag","reads":${base.size * k},""" +
+        f""""bam_bytes":$b,"cram_bytes":$c,"parquet_bytes":$p,""" +
+        f""""cram_vs_bam":${c.toDouble / b}%.3f,""" +
+        f""""parquet_vs_bam":${p.toDouble / b}%.3f}""")
+    }
+
+    audit("real_1x", 1)
+    audit(s"real_${reps}x", reps)
+    spark.stop()
+  }
+}

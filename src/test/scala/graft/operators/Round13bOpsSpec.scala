@@ -46,6 +46,46 @@ class Round13bOpsSpec extends SparkSpec {
     assert(got.getDouble(3) == 0.0)
   }
 
+  test("ksDrift: an unquantized high-cardinality column fails LOUDLY " +
+      "(caller-quantizes contract is self-defending)") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i % 2 == 0, i))
+    // same data passes with a generous bound ...
+    val ok = Stats.ksFromCounts(
+      Stats.ksCounts(rows.toDF("side", "v"), "side", "v")).head()
+    assert(ok.getLong(0) + ok.getLong(1) == 300L)
+    // ... and dies with the contract message past maxGridRows
+    val e = intercept[Exception] {
+      Stats.ksFromCounts(
+        Stats.ksCounts(rows.toDF("side", "v"), "side", "v"),
+        maxGridRows = 100L).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("quantize")),
+      s"expected the loud contract message, got: ${msgs(e)}")
+  }
+
+  test("mutualInformationReport / cohenKappa: unbounded category " +
+      "columns fail LOUDLY (bounded-grid contract is self-defending)") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (s"a$i", s"b${i % 3}"))
+    val eMi = intercept[Exception] {
+      Stats.mutualInformationReport(rows.toDF("a", "b"), "a", "b",
+        maxCells = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(eMi).exists(m => m != null && m.contains("categorical")))
+    // the guard sits on rater B (the broadcast marginal) — pass the
+    // 400-distinct column as colB
+    val eK = intercept[Exception] {
+      Stats.cohenKappa(rows.toDF("b", "a"), "a", "b",
+        maxLabels = 100L).collect()
+    }
+    assert(msgs(eK).exists(m => m != null && m.contains("categorical")))
+  }
+
   // ------------------------------------------------------------------
   // mutualInformationReport
   // ------------------------------------------------------------------

@@ -218,6 +218,21 @@ class Round13cOpsSpec extends SparkSpec {
       "rank must be lowest at the far end of the path")
   }
 
+  test("personalizedPageRank: a dst-only seed keeps its restart mass " +
+      "and appears in the output (general directed edges)") {
+    import spark.implicits._
+    // directed 1->2, 1->3: node 3 never appears as src
+    val got = GraphOps.personalizedPageRank(
+        Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"),
+        Seq(3L).toDF("node"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"universe must be src∪dst: $got")
+    // 3 holds exactly the teleport mass (no inflow: 1 has rank 0), and
+    // is a dangling node (contributes nothing onward)
+    assert(got(3L) == 3L * 1000000000L / 20L, s"got $got")
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
   // ------------------------------------------------------------------
   // hapaxStats
   // ------------------------------------------------------------------

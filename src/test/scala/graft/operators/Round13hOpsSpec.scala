@@ -72,4 +72,26 @@ class Round13hOpsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains(">= 2"))
   }
+
+  test("temporalSplitAudit: int-labeled splits audit against string " +
+      "order labels; an all-NULL-timestamp split fails with the " +
+      "operator's message, not an unboxing NPE") {
+    import spark.implicits._
+    // integer split labels: the base projection casts to string
+    val intLabeled = Seq((0, 0L), (0, 10000L), (1, 20000L), (1, 30000L))
+      .toDF("split", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val got = SamplingOps.temporalSplitAudit(intLabeled, "split", "ts",
+        Seq("0", "1")).collect()
+    assert(got.length == 1 && got.head.getBoolean(6))
+    // a split whose timestamps are all NULL: loud, descriptive
+    val nullTs = Seq((Some("train"), Some(0L)), (Some("val"), None))
+      .toDF("split", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val e = intercept[IllegalArgumentException] {
+      SamplingOps.temporalSplitAudit(nullTs, "split", "ts",
+        Seq("train", "val"))
+    }
+    assert(e.getMessage.contains("no non-null"), e.getMessage)
+  }
 }
