@@ -160,9 +160,16 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
   /** Parquet save + metadata sidecars (GD:324-353, 3775-3830). The
     * sortedness contract persists with the data (the reference's
     * `_partitionMap.avro` role, GD:3832-3877): a sorted save reloads as
-    * sorted, so downstream sorts are elided. */
-  def saveAsParquet(path: String): Unit = {
-    toDF.write.mode("overwrite").parquet(path)
+    * sorted, so downstream sorts are elided.
+    *
+    * Default codec is GZIP — the reference's own saveAsParquet default
+    * (ADAMContext CompressionCodecName.GZIP), and the setting behind its
+    * published "Parquet 20 % smaller than BAM" claim. Measured on the
+    * real NA12878+bqsr1 reads (tools/StorageParity): gzip 0.70x BAM vs
+    * Spark's snappy default at 1.16x BAM — at 100 TB the write-side CPU
+    * is well spent. Pass "snappy"/"zstd" to override. */
+  def saveAsParquet(path: String, codec: String = "gzip"): Unit = {
+    toDF.write.mode("overwrite").option("compression", codec).parquet(path)
     Sidecars.write(spark, path, meta)
     if (sorted) Sidecars.writeSortedFlag(spark, path)
   }
@@ -180,12 +187,13 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
     *  - sortWithinPartitions on start: parquet row-group min/max stats
     *    become tight, so start-range scans prune row groups inside each
     *    bin file, not just whole partitions. */
-  def saveAsPartitionedParquet(path: String, binSize: Long = 1000000L): Unit = {
+  def saveAsPartitionedParquet(path: String, binSize: Long = 1000000L,
+      codec: String = "gzip"): Unit = {
     toDF
       .withColumn("positionBin", floor(col("start") / binSize))
       .repartition(col("referenceName"), col("positionBin"))
       .sortWithinPartitions(col("referenceName"), col("positionBin"), col("start"))
-      .write.mode("overwrite")
+      .write.mode("overwrite").option("compression", codec)
       .partitionBy("referenceName", "positionBin")
       .parquet(path)
     Sidecars.write(spark, path, meta)

@@ -56,7 +56,25 @@ object StorageParity {
     val meta = na.meta // NA12878's dictionary covers both (GRCh37 names)
     val base = na.ds.union(bq.ds).collect().toSeq
 
+    // replicas are PERTURBED (~2 % base substitutions, quality string
+    // rotated) so no two records are byte-identical — exact duplicates
+    // would flatter Parquet's dictionary/RLE encodings far beyond what
+    // real reads allow, while per-record statistics stay those of the
+    // real data
     def corpus(k: Int): Dataset[Alignment] = {
+      val bases = "ACGT"
+      def perturbSeq(s: String, r: Int): String = {
+        val sb = new StringBuilder(s)
+        var i = (r * 31) % 47
+        while (i < sb.length) {
+          sb.setCharAt(i, bases(((sb.charAt(i) + r + i) & 0x7fff) % 4))
+          i += 47
+        }
+        sb.toString
+      }
+      def rotate(s: String, r: Int): String =
+        if (s.isEmpty) s
+        else { val o = r % s.length; s.substring(o) + s.substring(0, o) }
       val rows = (0 until k).flatMap { r =>
         base.map { a =>
           if (r == 0) a
@@ -64,7 +82,9 @@ object StorageParity {
             readName = a.readName.map(n => s"$n.$r"),
             start = a.start.map(_ + r * 1000L),
             end = a.end.map(_ + r * 1000L),
-            mateAlignmentStart = a.mateAlignmentStart.map(_ + r * 1000L))
+            mateAlignmentStart = a.mateAlignmentStart.map(_ + r * 1000L),
+            sequence = a.sequence.map(perturbSeq(_, r)),
+            qualityScores = a.qualityScores.map(rotate(_, r)))
         }
       }
       spark.createDataset(rows).coalesce(1)
@@ -78,12 +98,25 @@ object StorageParity {
       val parquet = s"$work/$tag.parquet"
       BamIO.write(gd, bam, asSingleFile = true)
       CramIO.write(gd, cram)
-      gd.saveAsParquet(parquet)
+      gd.saveAsParquet(parquet) // session default codec (snappy)
+      // the reference's published 20%-smaller-than-BAM number was
+      // measured with ADAM's DEFAULT parquet codec, which is GZIP
+      // (ADAMContext saveAsParquet compressCodec default) — measure
+      // both, plus zstd (the modern lake default)
+      ds.write.mode("overwrite").option("compression", "gzip")
+        .parquet(s"$work/$tag.gzip.parquet")
+      ds.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$work/$tag.zstd.parquet")
       val (b, c, p) = (sizeOf(bam), sizeOf(cram), sizeOf(parquet))
+      val pg = sizeOf(s"$work/$tag.gzip.parquet")
+      val pz = sizeOf(s"$work/$tag.zstd.parquet")
       println(f"""{"corpus":"$tag","reads":${base.size * k},""" +
         f""""bam_bytes":$b,"cram_bytes":$c,"parquet_bytes":$p,""" +
+        f""""parquet_gzip_bytes":$pg,"parquet_zstd_bytes":$pz,""" +
         f""""cram_vs_bam":${c.toDouble / b}%.3f,""" +
-        f""""parquet_vs_bam":${p.toDouble / b}%.3f}""")
+        f""""parquet_vs_bam":${p.toDouble / b}%.3f,""" +
+        f""""parquet_gzip_vs_bam":${pg.toDouble / b}%.3f,""" +
+        f""""parquet_zstd_vs_bam":${pz.toDouble / b}%.3f}""")
     }
 
     audit("real_1x", 1)
