@@ -1765,3 +1765,72 @@ def vocab_coverage(docs, text_col="text", ks=(1000, 10000, 50000)):
     s = docs.sparkSession
     return _wrap(s, _api(s).vocabCoverage(docs._jdf, text_col,
                                           ",".join(str(k) for k in ks)))
+
+
+def tstv_ratio(variants, group_col, ref_col="referenceAllele",
+               alt_col="alternateAllele"):
+    """Transition/transversion census per group (SNVs only):
+    (group, n_snv, n_ts, n_tv, tstv)."""
+    s = variants.sparkSession
+    return _wrap(s, _api(s).tstvRatio(variants._jdf, group_col, ref_col,
+                                      alt_col))
+
+
+def hardy_weinberg(genotypes, site_col, gt_class_col):
+    """Hardy-Weinberg chi-square per site from 0/1/2 genotype classes:
+    (site, n, n_hom_ref, n_het, n_hom_alt, maf, chi2)."""
+    s = genotypes.sparkSession
+    return _wrap(s, _api(s).hardyWeinberg(genotypes._jdf, site_col,
+                                          gt_class_col))
+
+
+def genotype_concordance(a, b, keys, class_col):
+    """Genotype-concordance confusion grid between two callsets:
+    (class_a, class_b, n); classes missing on a side count MISSING."""
+    s = a.sparkSession
+    return _wrap(s, _api(s).genotypeConcordance(a._jdf, b._jdf,
+                                                ",".join(keys), class_col))
+
+
+def allele_frequency_spectrum(variants, ac_col, an_col, bins=20):
+    """Allele-frequency spectrum histogram: (bin, n_sites)."""
+    s = variants.sparkSession
+    return _wrap(s, _api(s).alleleFrequencySpectrum(variants._jdf, ac_col,
+                                                    an_col, int(bins)))
+
+
+def coverage_uniformity(coverage):
+    """Coverage-evenness census per contig: (referenceName, bases,
+    mean_depth, within_band_permille)."""
+    s = coverage.sparkSession
+    return _wrap(s, _api(s).coverageUniformity(coverage._jdf))
+
+
+def mendelian_violations(trios, father_col, mother_col, child_col):
+    """Mendelian-consistency grid over trio genotype classes:
+    (father_gt, mother_gt, child_gt, violation, n)."""
+    s = trios.sparkSession
+    return _wrap(s, _api(s).mendelianViolations(trios._jdf, father_col,
+                                                mother_col, child_col))
+
+
+def fleiss_kappa(df, item_col, label_col):
+    """Fleiss' kappa for N raters per item (one row per rating):
+    (n_items, n_raters, n_categories, p_bar, p_e, kappa)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).fleissKappa(df._jdf, item_col, label_col))
+
+
+def bootstrap_ci(df, group_col, value_col, id_col, b=32):
+    """Deterministic Poisson-bootstrap CI of the per-group mean:
+    (group, n, mean, boot_lo, boot_hi, n_boot)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).bootstrapCi(df._jdf, group_col, value_col,
+                                        id_col, int(b)))
+
+
+def seasonal_profile(df, key_col, ts_col="ts"):
+    """Weekly (dow, hour) seasonality profile per key:
+    (key, dow, hour, n, key_total, slot_total, ratio_permille)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).seasonalProfile(df._jdf, key_col, ts_col))

@@ -1064,3 +1064,64 @@ graft.vocabCoverage <- function(docs, textCol = "text",
   .gdf(SparkR::sparkR.callJStatic(.jvm, "vocabCoverage", docs@sdf,
                                   textCol, paste(ks, collapse = ",")))
 }
+
+#' Transition/transversion census per group (SNVs only).
+graft.tstvRatio <- function(variants, groupCol,
+                            refCol = "referenceAllele",
+                            altCol = "alternateAllele") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "tstvRatio", variants@sdf,
+                                  groupCol, refCol, altCol))
+}
+
+#' Hardy-Weinberg chi-square per site from 0/1/2 genotype classes.
+graft.hardyWeinberg <- function(genotypes, siteCol, gtClassCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "hardyWeinberg", genotypes@sdf,
+                                  siteCol, gtClassCol))
+}
+
+#' Genotype-concordance confusion grid between two callsets.
+graft.genotypeConcordance <- function(a, b, keys, classCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "genotypeConcordance", a@sdf,
+                                  b@sdf, paste(keys, collapse = ","),
+                                  classCol))
+}
+
+#' Allele-frequency spectrum histogram.
+graft.alleleFrequencySpectrum <- function(variants, acCol, anCol,
+                                          bins = 20L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "alleleFrequencySpectrum",
+                                  variants@sdf, acCol, anCol,
+                                  as.integer(bins)))
+}
+
+#' Coverage-evenness census per contig.
+graft.coverageUniformity <- function(coverage) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "coverageUniformity",
+                                  coverage@sdf))
+}
+
+#' Mendelian-consistency grid over trio genotype classes.
+graft.mendelianViolations <- function(trios, fatherCol, motherCol,
+                                      childCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "mendelianViolations",
+                                  trios@sdf, fatherCol, motherCol,
+                                  childCol))
+}
+
+#' Fleiss' kappa for N raters per item (one row per rating).
+graft.fleissKappa <- function(df, itemCol, labelCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "fleissKappa", df@sdf, itemCol,
+                                  labelCol))
+}
+
+#' Deterministic Poisson-bootstrap CI of the per-group mean.
+graft.bootstrapCi <- function(df, groupCol, valueCol, idCol, b = 32L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "bootstrapCi", df@sdf, groupCol,
+                                  valueCol, idCol, as.integer(b)))
+}
+
+#' Weekly (dow, hour) seasonality profile per key.
+graft.seasonalProfile <- function(df, keyCol, tsCol = "ts") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "seasonalProfile", df@sdf,
+                                  keyCol, tsCol))
+}

@@ -1327,4 +1327,62 @@ object JavaApi {
       ks: String): DataFrame =
     graft.operators.TokenizerOps.vocabCoverage(docs, textCol,
       ks.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
+
+  /** Transition/transversion census per group (SNVs only):
+    * (group, n_snv, n_ts, n_tv, tstv). */
+  def tstvRatio(variants: DataFrame, groupCol: String, refCol: String,
+      altCol: String): DataFrame =
+    graft.operators.VariantQc.tstvRatio(variants, groupCol, refCol,
+      altCol)
+
+  /** Hardy-Weinberg chi-square per site from 0/1/2 genotype classes:
+    * (site, n, n_hom_ref, n_het, n_hom_alt, maf, chi2). */
+  def hardyWeinberg(genotypes: DataFrame, siteCol: String,
+      gtClassCol: String): DataFrame =
+    graft.operators.VariantQc.hardyWeinberg(genotypes, siteCol,
+      gtClassCol)
+
+  /** Genotype-concordance confusion grid between two callsets, keys
+    * comma-separated: (class_a, class_b, n). */
+  def genotypeConcordance(a: DataFrame, b: DataFrame, keys: String,
+      classCol: String): DataFrame =
+    graft.operators.VariantQc.genotypeConcordance(a, b,
+      keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty), classCol)
+
+  /** Allele-frequency spectrum histogram: (bin, n_sites). */
+  def alleleFrequencySpectrum(variants: DataFrame, acCol: String,
+      anCol: String, bins: Int): DataFrame =
+    graft.operators.VariantQc.alleleFrequencySpectrum(variants, acCol,
+      anCol, bins)
+
+  /** Coverage-uniformity census per contig: (referenceName, bases,
+    * mean_depth, within_band_permille). */
+  def coverageUniformity(coverage: DataFrame): DataFrame =
+    graft.operators.VariantQc.coverageUniformity(coverage)
+
+  /** Mendelian-consistency grid over trio genotype classes:
+    * (father_gt, mother_gt, child_gt, violation, n). */
+  def mendelianViolations(trios: DataFrame, fatherCol: String,
+      motherCol: String, childCol: String): DataFrame =
+    graft.operators.VariantQc.mendelianViolations(trios, fatherCol,
+      motherCol, childCol)
+
+  /** Fleiss' kappa for N raters per item (one row per rating):
+    * (n_items, n_raters, n_categories, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame =
+    graft.operators.Stats.fleissKappa(df, itemCol, labelCol)
+
+  /** Deterministic Poisson-bootstrap CI of the per-group mean:
+    * (group, n, mean, boot_lo, boot_hi, n_boot). */
+  def bootstrapCi(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, b: Int): DataFrame =
+    graft.operators.SamplingOps.bootstrapCi(df, groupCol, valueCol,
+      idCol, b)
+
+  /** Weekly (dow, hour) seasonality profile per key:
+    * (key, dow, hour, n, key_total, slot_total, ratio_permille). */
+  def seasonalProfile(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    graft.operators.TimeSeriesOps.seasonalProfile(df, keyCol, tsCol)
 }

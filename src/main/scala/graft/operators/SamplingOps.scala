@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions
 
 /** Deterministic sampling / domain-mixing operators for training-data
@@ -29,6 +30,100 @@ object SamplingOps {
     (shiftrightunsigned(
       GraftFunctions.fnv1a64(concat(key.cast("string"), lit(":" + salt))), 11)
       .cast("double") / lit(9007199254740992.0)) // 2^53
+
+  /** Poisson(1) CDF thresholds (cdf_k = Σ_{j<=k} e⁻¹/j!, k = 0..7) —
+    * computed ONCE in the JVM and embedded as the same shortest-
+    * round-trip double literals in the DuckDB oracle (the
+    * Benford/dcgDiscounts no-transcendental-in-either-engine recipe).
+    * Drives the deterministic bootstrap weights in [[bootstrapCi]]:
+    * weight = #{thresholds below u}, capped at 8. */
+  val poissonCdf: Array[Double] = {
+    val out = new Array[Double](8)
+    var p = math.exp(-1.0)
+    var c = p
+    out(0) = c
+    var k = 1
+    while (k < 8) { p /= k; c += p; out(k) = c; k += 1 }
+    out
+  }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean of an
+    * integer `valueCol` (cents) — distribution-free uncertainty for any
+    * census number this engine reports ("the mean quality score moved
+    * 0.3: is that real?"). The classic resample-with-replacement is
+    * undistributable; the Poisson bootstrap is its standard
+    * shuffle-free equivalent: resample `b` assigns every row an
+    * independent Poisson(1) weight, here DETERMINISTIC — the weight is
+    * the inverse-CDF of [[uniformHash]](id#b, salt) against the
+    * [[poissonCdf]] literal thresholds — so any engine replays every
+    * resample bit-for-bit.
+    *
+    * The interval is the [loPermille, hiPermille] disc percentile
+    * (rank = ceil(p·n_boot)) of the `b` resample means, ties broken by
+    * replicate index; empty resamples (possible only for tiny groups)
+    * are excluded and visible via n_boot. Resample means are ONE
+    * [[Stats.limbDouble]] division each (exact integer Σw·x and Σw).
+    *
+    * Output per group: (groupCol, n, mean, boot_lo, boot_hi, n_boot).
+    *
+    * Scale: the b-fold explode collapses IMMEDIATELY into the
+    * (group, replicate) grid by a map-side-combined aggregation — the
+    * shuffle is grid-sized (|groups|·(b+1)), never b× the data; the
+    * original mean rides the same scan as replicate −1 (weight 1), so
+    * the corpus is read ONCE; percentile selection is keyed windows
+    * over the bounded per-group replicate set. */
+  def bootstrapCi(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, b: Int = 32, loPermille: Int = 50,
+      hiPermille: Int = 950, salt: String = "boot"): DataFrame = {
+    require(b >= 2 && b <= 1024, s"b must be in [2, 1024]: $b")
+    require(loPermille >= 0 && hiPermille <= 1000 &&
+      loPermille <= hiPermille,
+      s"bad permille band: [$loPermille, $hiPermille]")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val u = uniformHash(concat(col("__id"), lit("#"),
+      col("__b").cast("string")), salt)
+    // weight = #{cdf thresholds <= u} via a fixed comparison chain; the
+    // original pass rides as replicate -1 with weight 1
+    val w = when(col("__b") === -1, lit(1))
+      .otherwise(poissonCdf.foldLeft(lit(0)) { (acc, t) =>
+        acc + when(u >= t, 1).otherwise(0)
+      })
+    val grid = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        col(idCol).cast("string").as("__id"))
+      .withColumn("__b", explode(array((-1 until b).map(lit(_)): _*)))
+      .withColumn("__w", w)
+      .groupBy("__g", "__b")
+      .agg(sum(col("__w").cast(dec)).cast(dec).as("__n"),
+        sum((col("__w").cast(dec) * col("__v")).cast(dec)).cast(dec)
+          .as("__s"))
+      .filter(col("__n") > 0)
+      .withColumn("__mean",
+        Stats.limbDouble(col("__s")) / Stats.limbDouble(col("__n")))
+    val boots = grid.filter(col("__b") >= 0)
+    val wAll = Window.partitionBy("__g")
+    val wOrd = Window.partitionBy("__g").orderBy(col("__mean"), col("__b"))
+    val ranked = boots
+      .withColumn("__nb", count(lit(1)).over(wAll))
+      .withColumn("__r", row_number().over(wOrd))
+      .withColumn("__lo",
+        expr(s"cast(($loPermille * __nb + 999) div 1000 as int)"))
+      .withColumn("__hi",
+        expr(s"cast(($hiPermille * __nb + 999) div 1000 as int)"))
+      .groupBy("__g")
+      .agg(max(when(col("__r") === greatest(col("__lo"), lit(1)),
+          col("__mean"))).as("boot_lo"),
+        max(when(col("__r") === greatest(col("__hi"), lit(1)),
+          col("__mean"))).as("boot_hi"),
+        max("__nb").as("n_boot"))
+    grid.filter(col("__b") === -1)
+      .select(col("__g"), col("__n").cast("long").as("n"),
+        col("__mean").as("mean"))
+      .join(ranked, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("boot_lo"), col("boot_hi"),
+        coalesce(col("n_boot"), lit(0L)).as("n_boot"))
+  }
 
   /** Per-stratum deterministic Bernoulli sample: keep a row iff its hash
     * uniform is below the stratum's rate. Strata absent from `rates` use

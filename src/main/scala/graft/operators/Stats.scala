@@ -677,6 +677,73 @@ object Stats {
           .as("kappa"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for N raters per item
+    * (the multi-annotator generalization of [[cohenKappa]]; the
+    * labeling-pool QA gate when every item is rated by the same number
+    * of annotators). Input: one row per rating (itemCol, labelCol).
+    *
+    * With N items, n ratings per item, c_ij per-(item, label) counts,
+    * T_j label totals, S2 = ΣΣ c_ij²:
+    * `kappa = ((S2 − Nn)·Nn − ΣT_j²·(n−1)) /
+    *          ((n−1)·((Nn)² − ΣT_j²))`
+    * — the textbook (P̄−P̄e)/(1−P̄e) cleared of divisions, every term an
+    * exact DECIMAL(38,0) integer; numerator and denominator enter
+    * double-land through [[limbDouble]] (they exceed 2^53 at any real
+    * pool size) and the result is ONE division. P̄e = 1 (all raters
+    * constant on one label) → NULL. NULL labels are their own category.
+    *
+    * Fleiss requires a CONSTANT rating count per item — enforced with a
+    * loud plan-side guard, not silently averaged over ragged items.
+    *
+    * Output (one row): (n_items, n_raters, n_categories, p_bar, p_e,
+    * kappa).
+    *
+    * Scale: ONE (item, label) map-side-combined grid collapses the
+    * ratings; everything else re-aggregates FROM the grid (item stats
+    * keyed by item, label totals keyed by label, then 1-row aggregates
+    * broadcast together). Item cardinality unbounded. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grid = df.select(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .groupBy("__i", "__l").agg(count(lit(1)).cast(dec).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = grid.groupBy("__i")
+      .agg(sum("__c").cast(dec).as("__r"),
+        sum((col("__c") * col("__c")).cast(dec)).cast(dec).as("__s2i"))
+    val itemAgg = items.agg(
+      count(lit(1)).cast(dec).as("__N"),
+      min("__r").cast(dec).as("__rmin"),
+      max("__r").cast(dec).as("__rmax"),
+      sum("__s2i").cast(dec).as("__S2"))
+    val labelAgg = grid.groupBy("__l")
+      .agg(sum("__c").cast(dec).as("__t"))
+      .agg(count(lit(1)).as("__k"),
+        sum((col("__t") * col("__t")).cast(dec)).cast(dec).as("__T2"))
+    val joined = itemAgg.crossJoin(broadcast(labelAgg))
+      .filter(assert_true(col("__rmin") === col("__rmax"),
+        format_string("fleissKappa requires a constant rating count per" +
+          " item, got min %s != max %s — filter to a complete annotation" +
+          " round first", col("__rmin"), col("__rmax"))).isNull)
+    val n = col("__rmax")
+    val nn = (col("__N") * n).cast(dec)
+    val num = ((col("__S2") - nn) * nn -
+      col("__T2") * (n - 1).cast(dec)).cast(dec)
+    val den = ((n - 1).cast(dec) * (nn * nn - col("__T2"))).cast(dec)
+    val out = joined.select(
+      col("__N").cast("long").as("n_items"),
+      n.cast("long").as("n_raters"),
+      col("__k").as("n_categories"),
+      when(n <= 1, lit(null).cast("double"))
+        .otherwise(limbDouble((col("__S2") - nn).cast(dec)) /
+          limbDouble((nn * (n - 1).cast(dec)).cast(dec))).as("p_bar"),
+      (limbDouble(col("__T2")) / limbDouble((nn * nn).cast(dec)))
+        .as("p_e"),
+      when(den === 0 || n <= 1, lit(null).cast("double"))
+        .otherwise(limbDouble(num) / limbDouble(den)).as("kappa"))
+    Caching.materializeAndRelease(out, grid)
+  }
+
   /** Benford first-digit audit of a positive integer `valueCol` (cents)
     * per group — the cheap fabricated-data / corrupted-feed detector:
     * naturally occurring multiplicative quantities lead with digit d at

@@ -11,6 +11,57 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  /** Weekly seasonality profile per key — "is this key's traffic shape
+    * the corpus's shape?": event counts on the (day-of-week, hour) grid
+    * with the expected count under independence (key volume × global
+    * slot share) and the exact ratio in permille. A bot hammering at
+    * 03:00 Sundays reads ratio ≫ 1000 in slots where the corpus sleeps;
+    * a key whose permille profile tracks 1000 everywhere has no
+    * seasonality of its own.
+    *
+    * `ratio_permille = n·grand_total·1000 div (key_total·slot_total)` —
+    * every term an exact integer count, the division a single integer
+    * floor (engine-identical; slot_total > 0 by construction since the
+    * slot appears in the grid). Day-of-week and hour come from epoch-
+    * millis INTEGER arithmetic (UTC; epoch day 0 was a Thursday, so
+    * dow = (days + 4) mod 7 with 0 = Sunday) — never from calendar
+    * functions, whose timezone/DST rules differ across engines.
+    *
+    * Output per (key, dow, hour): (keyCol, dow, hour, n, key_total,
+    * slot_total, ratio_permille).
+    *
+    * Scale: ONE map-side-combined (key, dow, hour) count collapses the
+    * data (grid ≤ |keys|·168); key totals ride a key-window and slot
+    * totals a slot-window over that bounded grid; the grand total is a
+    * broadcast 1-row re-aggregate. Key cardinality unbounded. */
+  def seasonalProfile(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val grid = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"), unix_millis(col(tsCol)).as("__ms"))
+      .select(col("__k"),
+        expr("cast((__ms div 86400000 + 4) % 7 as int)").as("dow"),
+        expr("cast((__ms div 3600000) % 24 as int)").as("hour"))
+      .groupBy("__k", "dow", "hour")
+      .agg(count(lit(1)).cast(dec).as("__n"))
+    val grand = grid.agg(sum("__n").cast(dec).as("__grand"))
+    grid
+      .withColumn("__kt",
+        sum("__n").over(Window.partitionBy("__k")).cast(dec))
+      .withColumn("__st",
+        sum("__n").over(Window.partitionBy("dow", "hour")).cast(dec))
+      .crossJoin(broadcast(grand))
+      .select(col("__k").as(keyCol), col("dow"), col("hour"),
+        col("__n").cast("long").as("n"),
+        col("__kt").cast("long").as("key_total"),
+        col("__st").cast("long").as("slot_total"),
+        ((col("__n") * col("__grand") * 1000 -
+          pmod(col("__n") * col("__grand") * 1000,
+            col("__kt") * col("__st"))) /
+          (col("__kt") * col("__st"))).cast("long").as("ratio_permille"))
+  }
+
   /** Per-group calendar gap fill + last-observation-carried-forward: for
     * every group, every integer day in `[min(day), max(day)]` of THAT
     * group gets a row; days absent from the input carry the most recent

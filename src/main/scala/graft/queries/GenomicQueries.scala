@@ -386,7 +386,185 @@ object GenomicQueries extends QuerySet {
         SELECT ref AS referenceName, CAST(min(s) AS BIGINT) AS "start",
           CAST(max(e) AS BIGINT) AS "end",
           ref || ':' || CAST(min(s) AS VARCHAR) AS targetId
-        FROM grp GROUP BY ref, g"""))
+        FROM grp GROUP BY ref, g""")),
+
+    // ---- round-14 variant-QC censuses (operators/VariantQc.scala) ----
+
+    // Ts/Tv census per brand: SNV classification + transition split on
+    // synthesized ref/alt alleles (every 11th row a non-SNV indel).
+    Query("q209_tstv_ratio",
+      (s, dir) => graft.operators.VariantQc.tstvRatio(
+        t(s, dir, "part").select(
+          col("p_brand"),
+          when(col("p_partkey") % 11 === 0, lit("AT"))
+            .otherwise(expr(
+              "substr('ACGT', cast(p_partkey % 4 as int) + 1, 1)"))
+            .as("referenceAllele"),
+          expr("substr('ACGT', cast((p_partkey % 4 + p_partkey % 3 + 1)" +
+            " % 4 as int) + 1, 1)").as("alternateAllele")),
+        "p_brand"),
+      Some("""WITH v AS (SELECT p_brand,
+            CASE WHEN p_partkey % 11 = 0 THEN 'AT'
+              ELSE substr('ACGT', CAST(p_partkey % 4 AS INT) + 1, 1)
+              END AS r,
+            substr('ACGT',
+              CAST((p_partkey % 4 + p_partkey % 3 + 1) % 4 AS INT) + 1,
+              1) AS a
+          FROM part),
+        c AS (SELECT p_brand,
+            CASE WHEN length(r) = 1 AND r <> a THEN 1 ELSE 0 END AS snv,
+            CASE WHEN (r IN ('A','G') AND a IN ('A','G'))
+              OR (r IN ('C','T') AND a IN ('C','T'))
+              THEN 1 ELSE 0 END AS ts
+          FROM v)
+        SELECT p_brand, CAST(sum(snv) AS BIGINT) AS n_snv,
+          CAST(sum(CASE WHEN snv = 1 AND ts = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ts,
+          CAST(sum(CASE WHEN snv = 1 AND ts = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tv,
+          CASE WHEN sum(CASE WHEN snv = 1 AND ts = 0 THEN 1 ELSE 0 END)
+              = 0 THEN NULL
+            ELSE CAST(sum(CASE WHEN snv = 1 AND ts = 1 THEN 1 ELSE 0
+                END) AS DOUBLE)
+              / CAST(sum(CASE WHEN snv = 1 AND ts = 0 THEN 1 ELSE 0
+                END) AS DOUBLE) END AS tstv
+        FROM c GROUP BY 1""")),
+
+    // Hardy-Weinberg chi-square per site (nation = site, genotype class
+    // from custkey arithmetic): exact closed-form integers, limb-cast
+    // double division on both sides.
+    Query("q210_hardy_weinberg",
+      (s, dir) => graft.operators.VariantQc.hardyWeinberg(
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("long").as("site"),
+          when((col("c_custkey") * 7) % 10 < 4, lit(0))
+            .when((col("c_custkey") * 7) % 10 < 8, lit(1))
+            .otherwise(lit(2)).as("gt")),
+        "site", "gt"),
+      Some(s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS site,
+          |    CASE WHEN (c_custkey * 7) % 10 < 4 THEN 0
+          |      WHEN (c_custkey * 7) % 10 < 8 THEN 1 ELSE 2 END AS gt
+          |  FROM customer),
+          |a AS (SELECT site, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+          |      AS ha,
+          |    CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+          |      AS hh,
+          |    CAST(sum(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+          |      AS hc
+          |  FROM g GROUP BY 1),
+          |d AS (SELECT site, n, ha, hh, hc,
+          |    2 * ha + hh AS ra, 2 * hc + hh AS aa,
+          |    4 * ha * hc - hh * hh AS dev
+          |  FROM a)
+          |SELECT site, n, CAST(ha AS BIGINT) AS n_hom_ref,
+          |  CAST(hh AS BIGINT) AS n_het, CAST(hc AS BIGINT) AS n_hom_alt,
+          |  CASE WHEN n = 0 THEN NULL
+          |    ELSE CAST(least(ra, aa) AS DOUBLE)
+          |      / CAST(2 * CAST(n AS HUGEINT) AS DOUBLE) END AS maf,
+          |  CASE WHEN ra = 0 OR aa = 0 THEN NULL
+          |    ELSE ${limbSql("CAST(n AS HUGEINT) * dev * dev")}
+          |      / ${limbSql("ra * ra * aa * aa")} END AS chi2
+          |FROM d""".stripMargin)),
+
+    // Genotype-concordance confusion grid between a callset and a
+    // perturbed twin (every 13th call flipped to HET, every 17th/19th
+    // missing on one side) — the GIAB-benchmarking join shape.
+    Query("q211_genotype_concordance",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 < 2, lit("HOM_REF"))
+            .when(col("o_orderkey") % 5 < 4, lit("HET"))
+            .otherwise(lit("HOM_ALT")).as("cls"))
+        val a = base.filter(col("o_orderkey") % 19 =!= 0)
+        val b = base.filter(col("o_orderkey") % 17 =!= 0)
+          .withColumn("cls",
+            when(col("o_orderkey") % 13 === 0, lit("HET"))
+              .otherwise(col("cls")))
+        graft.operators.VariantQc.genotypeConcordance(
+          a, b, Seq("o_orderkey"), "cls")
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 5 < 2 THEN 'HOM_REF'
+              WHEN o_orderkey % 5 < 4 THEN 'HET'
+              ELSE 'HOM_ALT' END AS cls
+          FROM orders),
+        a AS (SELECT o_orderkey, cls FROM base WHERE o_orderkey % 19 <> 0),
+        b AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 13 = 0 THEN 'HET' ELSE cls END AS cls
+          FROM base WHERE o_orderkey % 17 <> 0)
+        SELECT coalesce(a.cls, 'MISSING') AS class_a,
+          coalesce(b.cls, 'MISSING') AS class_b,
+          CAST(count(*) AS BIGINT) AS n
+        FROM a FULL OUTER JOIN b USING (o_orderkey)
+        GROUP BY 1, 2""")),
+
+    // Allele-frequency spectrum: 20 equal-width bins of AC/AN with the
+    // ac = an edge clamped into the last bin and AN <= 0 rows excluded.
+    Query("q212_af_spectrum",
+      (s, dir) => graft.operators.VariantQc.alleleFrequencySpectrum(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("ac"),
+          when(col("l_partkey") % 97 === 0, lit(0L))
+            .otherwise(lit(40L) + (col("l_orderkey") % 3) * 10L)
+            .as("an")),
+        "ac", "an", bins = 20),
+      Some("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS ac,
+            CASE WHEN l_partkey % 97 = 0 THEN 0
+              ELSE 40 + (l_orderkey % 3) * 10 END AS an
+          FROM lineitem)
+        SELECT least((ac * 20) // an, 19) AS bin,
+          CAST(count(*) AS BIGINT) AS n_sites
+        FROM v WHERE an > 0 AND ac >= 0
+        GROUP BY 1""")),
+
+    // Coverage uniformity per contig: integer-floor mean depth and the
+    // permille of bases within +-50% of it — two map-side scans, the
+    // bounded per-contig means broadcast back (never a 25-task window).
+    Query("q213_coverage_uniformity",
+      (s, dir) => graft.operators.VariantQc.coverageUniformity(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag").as("referenceName"),
+          col("l_partkey").cast("long").as("start"),
+          (col("l_partkey") + 1 + col("l_linenumber") % 5)
+            .cast("long").as("end"),
+          col("l_quantity").cast("long").as("count"))),
+      Some("""WITH cov AS (SELECT l_returnflag AS ref,
+            CAST(1 + l_linenumber % 5 AS HUGEINT) AS len,
+            CAST(l_quantity AS HUGEINT) AS cnt
+          FROM lineitem),
+        m AS (SELECT ref, CAST(sum(len) AS BIGINT) AS bases,
+            CAST(sum(len * cnt) // sum(len) AS BIGINT) AS mean_depth
+          FROM cov GROUP BY 1),
+        j AS (SELECT cov.ref, m.bases, m.mean_depth,
+            CASE WHEN cnt * 2 >= mean_depth AND cnt * 2 <= mean_depth * 3
+              THEN len ELSE 0 END AS inb
+          FROM cov JOIN m ON cov.ref = m.ref)
+        SELECT ref AS referenceName, bases, mean_depth,
+          CAST(sum(inb) * 1000 // bases AS BIGINT)
+            AS within_band_permille
+        FROM j GROUP BY 1, 2, 3""")),
+
+    // Mendelian-consistency grid over synthesized trios: bounded 27-row
+    // (father, mother, child) census with the biallelic violation flag.
+    Query("q214_mendelian_grid",
+      (s, dir) => graft.operators.VariantQc.mendelianViolations(
+        t(s, dir, "customer").select(
+          (col("c_custkey") % 3).cast("int").as("f"),
+          expr("cast((c_custkey div 3) % 3 as int)").as("m"),
+          expr("cast((c_custkey div 9) % 3 as int)").as("c")),
+        "f", "m", "c"),
+      Some("""WITH t AS (SELECT CAST(c_custkey % 3 AS INT) AS f,
+            CAST((c_custkey // 3) % 3 AS INT) AS m,
+            CAST((c_custkey // 9) % 3 AS INT) AS c
+          FROM customer)
+        SELECT f AS father_gt, m AS mother_gt, c AS child_gt,
+          NOT ((c = 0 AND m <= 1 AND f <= 1)
+            OR (c = 2 AND m >= 1 AND f >= 1)
+            OR (c = 1 AND ((m <= 1 AND f >= 1) OR (m >= 1 AND f <= 1))))
+            AS violation,
+          CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2, 3, 4"""))
   )
 
   /** Alignment rows synthesized from lineitem for the read-algorithm

@@ -3422,8 +3422,129 @@ object PipelineQueries extends QuerySet {
         graft.operators.ProfileOps.columnDrift(
           a, b, Seq("lang", "source"), buckets = 64)
       },
-      Some(columnDriftSql))
+      Some(columnDriftSql)),
+
+    // ---- round-14 batch B: multi-rater QA / bootstrap / seasonality --
+
+    // Fleiss' kappa over 3 synthetic raters per order (mostly agreeing,
+    // every-7th deviation): exact integer chain, limb-cast divisions.
+    Query("q215_fleiss_kappa",
+      (s, dir) => graft.operators.Stats.fleissKappa(
+        t(s, dir, "orders")
+          .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+          .select(col("o_orderkey").as("item"),
+            ((col("o_orderkey") % 3 +
+              when((col("o_orderkey") + col("r")) % 7 === 0, 1)
+                .otherwise(0)) % 3).as("label")),
+        "item", "label"),
+      Some(s"""WITH ratings AS (SELECT o_orderkey AS item,
+          |    (o_orderkey % 3 + CASE WHEN (o_orderkey + r) % 7 = 0
+          |      THEN 1 ELSE 0 END) % 3 AS label
+          |  FROM orders, generate_series(0, 2) AS t(r)),
+          |grid AS (SELECT item, label, CAST(count(*) AS HUGEINT) AS c
+          |  FROM ratings GROUP BY 1, 2),
+          |items AS (SELECT item, sum(c) AS r, sum(c * c) AS s2i
+          |  FROM grid GROUP BY 1),
+          |ia AS (SELECT CAST(count(*) AS HUGEINT) AS n_i, min(r) AS rmn,
+          |    max(r) AS n, sum(s2i) AS s2
+          |  FROM items),
+          |la AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(t * t) AS t2
+          |  FROM (SELECT label, sum(c) AS t FROM grid GROUP BY 1)),
+          |j AS (SELECT * FROM ia CROSS JOIN la)
+          |SELECT CAST(n_i AS BIGINT) AS n_items,
+          |  CAST(n AS BIGINT) AS n_raters, k AS n_categories,
+          |  CASE WHEN n <= 1 THEN NULL
+          |    ELSE ${limbSql("s2 - n_i * n")}
+          |      / ${limbSql("n_i * n * (n - 1)")} END AS p_bar,
+          |  ${limbSql("t2")} / ${limbSql("n_i * n * n_i * n")} AS p_e,
+          |  CASE WHEN n <= 1
+          |      OR (n - 1) * (n_i * n * n_i * n - t2) = 0 THEN NULL
+          |    ELSE ${limbSql("(s2 - n_i * n) * n_i * n - t2 * (n - 1)")}
+          |      / ${limbSql("(n - 1) * (n_i * n * n_i * n - t2)")}
+          |    END AS kappa
+          |FROM j""".stripMargin)),
+
+    // Deterministic Poisson-bootstrap CI of the mean event value per
+    // type: 16 hash-replayable resamples, disc 5%/95% of the resample
+    // means; the original mean rides the same scan as replicate -1.
+    Query("q216_bootstrap_ci",
+      (s, dir) => graft.operators.SamplingOps.bootstrapCi(
+        graft.core.Tables.normalizeTs(t(s, dir, "events"), "ts")
+          .select(col("event_type"), col("event_id"),
+            cents(col("value")).as("cents")),
+        "event_type", "cents", "event_id", b = 16),
+      Some(bootstrapCiSql(b = 16, lo = 50, hi = 950, salt = "boot"))),
+
+    // Weekly seasonality profile per event type: (dow, hour) grid with
+    // exact expected-vs-actual ratio permille under independence.
+    Query("q217_seasonal_profile",
+      (s, dir) => graft.operators.TimeSeriesOps.seasonalProfile(
+        graft.core.Tables.normalizeTs(t(s, dir, "events"), "ts"),
+        "event_type", "ts"),
+      Some("""WITH g AS (SELECT event_type,
+            CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS INT) AS dow,
+            CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hour,
+            CAST(count(*) AS HUGEINT) AS n
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2, 3),
+        w AS (SELECT event_type, dow, hour, n,
+            sum(n) OVER (PARTITION BY event_type) AS kt,
+            sum(n) OVER (PARTITION BY dow, hour) AS st
+          FROM g),
+        t AS (SELECT CAST(sum(n) AS HUGEINT) AS grand FROM g)
+        SELECT event_type, dow, hour, CAST(n AS BIGINT) AS n,
+          CAST(kt AS BIGINT) AS key_total,
+          CAST(st AS BIGINT) AS slot_total,
+          CAST(n * grand * 1000 // (kt * st) AS BIGINT)
+            AS ratio_permille
+        FROM w CROSS JOIN t"""))
   )
+
+  /** DuckDB twin of [[graft.operators.SamplingOps.bootstrapCi]] on the
+    * (event_type, cents, event_id) projection: the same uniformHash
+    * replicate weights against the SAME JVM-computed Poisson CDF double
+    * literals, limb-cast resample means, disc-percentile selection. */
+  private def bootstrapCiSql(b: Int, lo: Int, hi: Int,
+      salt: String): String = {
+    val cdf = graft.operators.SamplingOps.poissonCdf
+    val wExpr = cdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT event_type AS g, event_id AS id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+       |  FROM events),
+       |e AS (SELECT g, id, x, r AS b
+       |  FROM v, generate_series(-1, ${b - 1}) AS t(r)),
+       |uu AS (SELECT g, b, x,
+       |    ${HashOracleSql.uniformSql(
+            "CAST(id AS VARCHAR) || '#' || CAST(b AS VARCHAR)", salt)}
+       |      AS u
+       |  FROM e),
+       |ww AS (SELECT g, b, x,
+       |    CASE WHEN b = -1 THEN 1 ELSE $wExpr END AS w
+       |  FROM uu),
+       |grid AS (SELECT g, b, CAST(sum(w) AS HUGEINT) AS n,
+       |    sum(CAST(w AS HUGEINT) * x) AS s
+       |  FROM ww GROUP BY 1, 2
+       |  HAVING sum(w) > 0),
+       |means AS (SELECT g, b, n,
+       |    ${limbSql("s")} / ${limbSql("n")} AS mean
+       |  FROM grid),
+       |boots AS (SELECT g, b, mean,
+       |    row_number() OVER (PARTITION BY g ORDER BY mean, b) AS r,
+       |    count(*) OVER (PARTITION BY g) AS nb
+       |  FROM means WHERE b >= 0),
+       |sel AS (SELECT g,
+       |    max(CASE WHEN r = greatest(($lo * nb + 999) // 1000, 1)
+       |      THEN mean END) AS boot_lo,
+       |    max(CASE WHEN r = greatest(($hi * nb + 999) // 1000, 1)
+       |      THEN mean END) AS boot_hi,
+       |    CAST(max(nb) AS BIGINT) AS n_boot
+       |  FROM boots GROUP BY 1)
+       |SELECT m.g AS event_type, CAST(m.n AS BIGINT) AS n, m.mean,
+       |  sel.boot_lo, sel.boot_hi, coalesce(sel.n_boot, 0) AS n_boot
+       |FROM means m LEFT JOIN sel ON m.g = sel.g
+       |WHERE m.b = -1""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.operators.ProfileOps.numericProfile]] on the
     * three lineitem money/quantity columns — one moment CTE per column,

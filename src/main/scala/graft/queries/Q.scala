@@ -38,4 +38,20 @@ trait QuerySet {
   /** Same at 4 decimal digits (for discounted prices). */
   protected def tenthCents(c: Column): Column =
     floor(c * 10000 + 0.5).cast("long")
+
+  /** DuckDB twin of [[graft.operators.Stats.limbDouble]]: the
+    * engine-identical double view of a wide exact-integer SQL
+    * expression. NEVER `CAST(hugeint AS DOUBLE)` past 2^53 — DuckDB's
+    * cast is not correctly rounded there (measured, q199/q206); this
+    * splits |e| into three sub-2^53 limbs with exact integer `//`/`%`
+    * (operands non-negative, where the engines' division semantics
+    * agree), casts each limb exactly, and recombines in the same fixed
+    * left-associated double expression the Spark side uses. */
+  protected def limbSql(e: String): String =
+    s"(CAST(ABS($e) // 1125899906842624 // 1125899906842624 AS DOUBLE)" +
+      s" * 1.2676506002282294e30" +
+      s" + CAST(ABS($e) // 1125899906842624 % 1125899906842624 AS DOUBLE)" +
+      s" * 1.125899906842624e15" +
+      s" + CAST(ABS($e) % 1125899906842624 AS DOUBLE))" +
+      s" * (CASE WHEN ($e) < 0 THEN -1.0 ELSE 1.0 END)"
 }

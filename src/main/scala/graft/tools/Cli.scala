@@ -1545,6 +1545,106 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"vocabCoverage: wrote $out")
 
+      // tstv <in> <out> -group c [-ref c] [-alt c] — transition/
+      //   transversion census per group (SNVs only)
+      case "tstv" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val g = fv("-group", "")
+        if (g.isEmpty) sys.error("tstv needs -group")
+        graft.operators.VariantQc.tstvRatio(spark.read.parquet(in), g,
+            fv("-ref", "referenceAllele"), fv("-alt", "alternateAllele"))
+          .write.mode("overwrite").parquet(out)
+        println(s"tstv: wrote $out")
+
+      // hwe <in> <out> -site c -gt c — Hardy-Weinberg chi-square per
+      //   site from genotype classes (0/1/2)
+      case "hwe" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (sc, gc) = (fv("-site", ""), fv("-gt", ""))
+        if (sc.isEmpty || gc.isEmpty) sys.error("hwe needs -site/-gt")
+        graft.operators.VariantQc.hardyWeinberg(
+            spark.read.parquet(in), sc, gc)
+          .write.mode("overwrite").parquet(out)
+        println(s"hwe: wrote $out")
+
+      // concordance <a> <b> <out> -keys k1,k2 -class c — genotype
+      //   confusion grid between two callsets
+      case "concordance" :: a :: b :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (ks, cc) = (fv("-keys", ""), fv("-class", ""))
+        if (ks.isEmpty || cc.isEmpty)
+          sys.error("concordance needs -keys/-class")
+        graft.operators.VariantQc.genotypeConcordance(
+            spark.read.parquet(a), spark.read.parquet(b),
+            ks.split(",").toSeq.map(_.trim).filter(_.nonEmpty), cc)
+          .write.mode("overwrite").parquet(out)
+        println(s"concordance: wrote $out")
+
+      // afSpectrum <in> <out> -ac c -an c [-bins n] — allele-frequency
+      //   spectrum histogram
+      case "afSpectrum" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (ac, an) = (fv("-ac", ""), fv("-an", ""))
+        if (ac.isEmpty || an.isEmpty) sys.error("afSpectrum needs -ac/-an")
+        graft.operators.VariantQc.alleleFrequencySpectrum(
+            spark.read.parquet(in), ac, an, fv("-bins", "20").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"afSpectrum: wrote $out")
+
+      // covUniformity <in> <out> — coverage-evenness census per contig
+      //   over (referenceName, start, end, count) intervals
+      case "covUniformity" :: in :: out :: rest =>
+        graft.operators.VariantQc.coverageUniformity(
+            spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"covUniformity: wrote $out")
+
+      // fleiss <in> <out> -item c -label c — Fleiss' kappa over
+      //   constant-rater-count items
+      case "fleiss" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (ic, lc) = (fv("-item", ""), fv("-label", ""))
+        if (ic.isEmpty || lc.isEmpty) sys.error("fleiss needs -item/-label")
+        graft.operators.Stats.fleissKappa(spark.read.parquet(in), ic, lc)
+          .write.mode("overwrite").parquet(out)
+        println(s"fleiss: wrote $out")
+
+      // bootstrapCi <in> <out> -group c -value c -id c [-b n] [-lo n]
+      //   [-hi n] — deterministic Poisson-bootstrap mean CI per group
+      case "bootstrapCi" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v, id) = (fv("-group", ""), fv("-value", ""), fv("-id", ""))
+        if (g.isEmpty || v.isEmpty || id.isEmpty)
+          sys.error("bootstrapCi needs -group/-value/-id")
+        graft.operators.SamplingOps.bootstrapCi(spark.read.parquet(in),
+            g, v, id, fv("-b", "32").toInt, fv("-lo", "50").toInt,
+            fv("-hi", "950").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"bootstrapCi: wrote $out")
+
+      // seasonal <in> <out> [-key c] [-ts c] — weekly (dow, hour)
+      //   seasonality profile per key
+      case "seasonal" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.TimeSeriesOps.seasonalProfile(
+            readTs(spark, in, fv("-ts", "ts")),
+            fv("-key", "event_type"), fv("-ts", "ts"))
+          .write.mode("overwrite").parquet(out)
+        println(s"seasonal: wrote $out")
+
+      // mendel <in> <out> -father c -mother c -child c — Mendelian-
+      //   consistency grid over trio genotype classes
+      case "mendel" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (fc, mc, cc) =
+          (fv("-father", ""), fv("-mother", ""), fv("-child", ""))
+        if (fc.isEmpty || mc.isEmpty || cc.isEmpty)
+          sys.error("mendel needs -father/-mother/-child")
+        graft.operators.VariantQc.mendelianViolations(
+            spark.read.parquet(in), fc, mc, cc)
+          .write.mode("overwrite").parquet(out)
+        println(s"mendel: wrote $out")
+
       // numProfile <in> <out> -cols a,b,c — single-scan numeric profile
       //   (nulls, min/max, exact sum, integer-floor mean/variance)
       case "numProfile" :: in :: out :: rest =>
@@ -1946,7 +2046,16 @@ object Cli {
           "\n  splitAudit <in.parquet> <out.parquet> -split c -ts c -order a,b,c" +
           "\n  numProfile <in.parquet> <out.parquet> -cols a,b,c" +
           "\n  columnDrift <a.parquet> <b.parquet> <out.parquet> -cols a,b [-buckets n]" +
-          "\n  vocabCoverage <in.parquet> <out.parquet> [-text c] [-ks 1000,10000]")
+          "\n  vocabCoverage <in.parquet> <out.parquet> [-text c] [-ks 1000,10000]" +
+          "\n  tstv <in.parquet> <out.parquet> -group c [-ref c] [-alt c]" +
+          "\n  hwe <in.parquet> <out.parquet> -site c -gt c" +
+          "\n  concordance <a.parquet> <b.parquet> <out.parquet> -keys k1,k2 -class c" +
+          "\n  afSpectrum <in.parquet> <out.parquet> -ac c -an c [-bins n]" +
+          "\n  covUniformity <in.parquet> <out.parquet>" +
+          "\n  mendel <in.parquet> <out.parquet> -father c -mother c -child c" +
+          "\n  fleiss <in.parquet> <out.parquet> -item c -label c" +
+          "\n  bootstrapCi <in.parquet> <out.parquet> -group c -value c -id c [-b n]" +
+          "\n  seasonal <in.parquet> <out.parquet> [-key c] [-ts c]")
         sys.exit(2)
     }
   }

@@ -85,7 +85,11 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "robustScale" -> 4, "skipGramPairs" -> 5,
       "joinSizeProbe" -> 4, "transitionLatency" -> 5,
       "piiCensus" -> 3, "temporalSplitAudit" -> 4,
-      "numericProfile" -> 2, "columnDrift" -> 4, "vocabCoverage" -> 3)
+      "numericProfile" -> 2, "columnDrift" -> 4, "vocabCoverage" -> 3,
+      "tstvRatio" -> 4, "hardyWeinberg" -> 3,
+      "genotypeConcordance" -> 4, "alleleFrequencySpectrum" -> 4,
+      "coverageUniformity" -> 1, "mendelianViolations" -> 4,
+      "fleissKappa" -> 3, "bootstrapCi" -> 5, "seasonalProfile" -> 3)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -1015,4 +1015,91 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       "(group, value) counts must map-side combine")
   }
+
+  test("q209 tstv: ONE map-side-combined aggregation, per-row codegen " +
+      "classification — no join, no window, no UDF") {
+    val plan = planOf("q209_tstv_ratio")
+    assert(plan.contains("partial_sum"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(600))
+  }
+
+  test("q210 HWE: ONE keyed aggregation, the chi-square chain is pure " +
+      "projection over it") {
+    val plan = planOf("q210_hardy_weinberg")
+    assert(plan.contains("partial_sum"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(600))
+  }
+
+  test("q211 concordance: one keyed shuffle join, bounded-grid count " +
+      "map-side combines") {
+    val plan = planOf("q211_genotype_concordance")
+    assert(plan.contains("Join"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("partial_count"),
+      "grid count must map-side combine: " + plan.take(600))
+  }
+
+  test("q212 AF spectrum: per-row integer binning + ONE bounded-grid " +
+      "count — no join, no window") {
+    val plan = planOf("q212_af_spectrum")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(600))
+  }
+
+  test("q213 coverage uniformity: bounded per-contig means BROADCAST " +
+      "back — no window over the data, no shuffle join") {
+    val plan = planOf("q213_coverage_uniformity")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      plan.take(600))
+  }
+
+  test("q214 mendelian: per-row boolean logic + ONE bounded-grid " +
+      "count — no join, no window") {
+    val plan = planOf("q214_mendelian_grid")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(600))
+  }
+
+  test("q215 fleiss: everything re-aggregates from the (item, label) " +
+      "grid; only broadcast joins") {
+    planOf("q215_fleiss_kappa") // runs; checkpoint hides the plan
+    val plan = graft.operators.Caching.lastMaterializedPlan
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    // the q185 recipe: every corpus read goes through the persisted grid
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val cached = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans > 0 && scans == cached,
+      s"$scans parquet scans vs $cached cache reads — a direct corpus " +
+        "re-scan escaped the grid cache: " + plan.take(800))
+  }
+
+  test("q216 bootstrap: the replicate explode collapses into a " +
+      "map-side-combined (group, b) grid; windows keyed by group") {
+    val plan = planOf("q216_bootstrap_ci")
+    assert(plan.contains("partial_sum"),
+      "the grid agg must map-side combine: " + plan.take(600))
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g")),
+      "percentile selection windows must be keyed: " + plan.take(800))
+  }
+
+  test("q217 seasonal: grid-keyed windows only, grand total is a " +
+      "broadcast 1-row aggregate") {
+    val plan = planOf("q217_seasonal_profile")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("__k") || l.contains("dow")),
+      "windows must be keyed by key or slot: " + plan.take(800))
+  }
 }
