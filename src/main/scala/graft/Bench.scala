@@ -160,7 +160,10 @@ object Bench {
         try src.mkString finally src.close()
       }
       val body = txt.drop(txt.indexOf("\"queries\""))
-      """"(q[0-9][^"]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+      // tolerate whitespace around the colon: committed records may be
+      // pretty-printed (round 14 found the r13 record in that form, which
+      // silently disarmed the guard — common set parsed empty)
+      """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
     var contendedRatio: Option[Double] = None

@@ -29,6 +29,12 @@ object StorageParity {
 
   private implicit val alignEnc: org.apache.spark.sql.Encoder[Alignment] =
     Encoders.product[Alignment]
+  private implicit val featEnc
+      : org.apache.spark.sql.Encoder[graft.model.Feature] =
+    Encoders.product[graft.model.Feature]
+  private implicit val genoEnc
+      : org.apache.spark.sql.Encoder[graft.model.Genotype] =
+    Encoders.product[graft.model.Genotype]
 
   private def sizeOf(p: String): Long = {
     val f = new java.io.File(p)
@@ -121,6 +127,48 @@ object StorageParity {
 
     audit("real_1x", 1)
     audit(s"real_${reps}x", reps)
+
+    // features + variants (SURVEY §6 / storage.rst:33-69): GFF3 claimed
+    // ~20 % smaller as Parquet, BED coverage ~45 % smaller, gzip VCF
+    // ~10 % SMALLER than genotype Parquet — measured on the reference's
+    // real fixtures through our own sources
+    def gz(bytes: Array[Byte]): Long = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bytes); g.close(); bos.size().toLong
+    }
+    def fileBytes(p: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def featAudit(tag: String, src: String,
+        load: String => org.apache.spark.sql.Dataset[graft.model.Feature])
+        : Unit = {
+      val gd = graft.core.GenomicDataset(load(src).coalesce(1),
+        graft.model.GenomicMetadata.empty)
+      val pq = s"$work/$tag.parquet"
+      gd.saveAsParquet(pq)
+      val raw = fileBytes(src)
+      println(f"""{"corpus":"$tag","text_bytes":${raw.length},""" +
+        f""""text_gz_bytes":${gz(raw)},"parquet_bytes":${sizeOf(pq)},""" +
+        f""""parquet_vs_text":${sizeOf(pq).toDouble / raw.length}%.3f,""" +
+        f""""parquet_vs_text_gz":${sizeOf(pq).toDouble / gz(raw)}%.3f}""")
+    }
+    featAudit("gff3_dvl1", s"$res/dvl1.200.gff3",
+      p => graft.sources.FeatureIO.readGff3(spark, p))
+    featAudit("bed_dvl1", s"$res/dvl1.200.bed",
+      p => graft.sources.FeatureIO.readBed(spark, p))
+
+    val vcfSrc = s"$res/NA12878.chr22.tiny.freebayes.vcf"
+    val b = graft.sources.VcfIO.read(spark, vcfSrc)
+    val gpq = s"$work/genotypes.parquet"
+    b.contexts.flatMap(_.genotypes)(
+        org.apache.spark.sql.Encoders.product[graft.model.Genotype])
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").parquet(gpq)
+    val vraw = fileBytes(vcfSrc)
+    println(f"""{"corpus":"vcf_na12878","vcf_bytes":${vraw.length},""" +
+      f""""vcf_gz_bytes":${gz(vraw)},""" +
+      f""""genotype_parquet_bytes":${sizeOf(gpq)},""" +
+      f""""vcf_gz_vs_parquet":${gz(vraw).toDouble / sizeOf(gpq)}%.3f}""")
     spark.stop()
   }
 }
