@@ -2,6 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Per-query timings out of a committed bench record's JSON text.
+    * Tolerates whitespace around the colon: committed records may be
+    * pretty-printed — round 14 found the r13 record in that form, which
+    * silently DISARMED the baseline guard (the common query set parsed
+    * empty); BenchParseSpec pins both layouts now. */
+  private[graft] def parseQueryTimings(txt: String): Map[String, Double] = {
+    val body = txt.drop(txt.indexOf("\"queries\""))
+    """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   // JSON string escape (same contract as Verify.q)
   private def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -159,12 +170,7 @@ object Bench {
         val src = scala.io.Source.fromFile(path)
         try src.mkString finally src.close()
       }
-      val body = txt.drop(txt.indexOf("\"queries\""))
-      // tolerate whitespace around the colon: committed records may be
-      // pretty-printed (round 14 found the r13 record in that form, which
-      // silently disarmed the guard — common set parsed empty)
-      """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      Bench.parseQueryTimings(txt)
     }
     var contendedRatio: Option[Double] = None
     sys.env.get("SPARK_GRAFT_BENCH_BASELINE").foreach { bp =>
