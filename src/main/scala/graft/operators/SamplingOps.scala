@@ -64,6 +64,13 @@ object SamplingOps {
     * are excluded and visible via n_boot. Resample means are ONE
     * [[Stats.limbDouble]] division each (exact integer Σw·x and Σw).
     *
+    * Rows with a NULL `idCol` or NULL `valueCol` are excluded UP FRONT
+    * — a NULL id cannot be deterministically resampled (its hash is
+    * NULL → weight 0 in every replicate), so keeping it only in the
+    * original mean would report a CI around a different population
+    * than the point estimate. Exclusion keeps both sides honest; `n`
+    * counts what both actually saw.
+    *
     * Output per group: (groupCol, n, mean, boot_lo, boot_hi, n_boot).
     *
     * Scale: the b-fold explode collapses IMMEDIATELY into the
@@ -89,6 +96,7 @@ object SamplingOps {
         acc + when(u >= t, 1).otherwise(0)
       })
     val grid = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
         col(idCol).cast("string").as("__id"))
       .withColumn("__b", explode(array((-1 until b).map(lit(_)): _*)))

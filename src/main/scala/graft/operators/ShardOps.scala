@@ -54,6 +54,24 @@ object ShardOps {
       .agg(count(lit(1)).as("n_items"),
         sum(col(sizeCol)).cast("long").as("total_size"))
 
+  /** The per-key argmax of [[rendezvousShard]], factored out so the
+    * ScalaCheck monotone-consistency property can drive it directly
+    * (the HRW invariant: growing n→m moves ONLY keys whose argmax under
+    * m lands in the new shards [n, m) — an argmax over a superset that
+    * stays below n was already the argmax over the subset). */
+  private[operators] def rendezvousShardOf(k: String, n: Int): Int = {
+    val base = DedupOps.fnv1a64(if (k == null) "" else k)
+    var best = 0
+    var bestH = Long.MinValue
+    var s = 0
+    while (s < n) {
+      val h = DedupOps.splitmix64(base + s * 0x9e3779b97f4a7c15L)
+      if (h >= bestH) { bestH = h; best = s }
+      s += 1
+    }
+    best
+  }
+
   /** Rendezvous (highest-random-weight) shard of a key: the shard s in
     * [0, nShards) maximizing `splitmix64(fnv1a64(key) + s*GOLDEN)` —
     * EXACTLY the MinHash permutation family (same s-from-0 convention:
@@ -75,24 +93,6 @@ object ShardOps {
     * Scale: pure per-row arithmetic (ONE fnv + nShards splitmix steps),
     * zero shuffle; nShards is a routing-table size (tens to a few
     * thousand), never data-scale. */
-  /** The per-key argmax, factored out so the ScalaCheck monotone-
-    * consistency property can drive it directly (the HRW invariant:
-    * growing n→m moves ONLY keys whose argmax under m lands in the new
-    * shards [n, m) — an argmax over a superset that stays below n was
-    * already the argmax over the subset). */
-  private[operators] def rendezvousShardOf(k: String, n: Int): Int = {
-    val base = DedupOps.fnv1a64(if (k == null) "" else k)
-    var best = 0
-    var bestH = Long.MinValue
-    var s = 0
-    while (s < n) {
-      val h = DedupOps.splitmix64(base + s * 0x9e3779b97f4a7c15L)
-      if (h >= bestH) { bestH = h; best = s }
-      s += 1
-    }
-    best
-  }
-
   def rendezvousShard(key: org.apache.spark.sql.Column,
       nShards: Int): org.apache.spark.sql.Column = {
     require(nShards > 0, s"nShards must be positive: $nShards")

@@ -503,13 +503,20 @@ object Stats {
     * column fails fast instead of silently single-task-sorting the
     * data. 2^20 distinct values is far above any sane quantization and
     * still sorts in well under a second. */
-  def ksFromCounts(grid: DataFrame,
+  def ksFromCounts(grid0: DataFrame,
       maxGridRows: Long = 1L << 20): DataFrame = {
     val dec = DecimalType(38, 0)
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the grid feeds the guard count AND the running-sum windows — a
+    // caller passing an unpersisted aggregation (the ksCounts shape)
+    // would otherwise scan the corpus twice, so persist it around the
+    // guard; the 1-row result releases it before returning (tier 1,
+    // operators/Caching.scala — the mutualInformationReport pattern)
+    val grid = grid0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gcnt = grid.agg(count(lit(1)).as("__gn"))
     val guarded = grid.crossJoin(broadcast(gcnt))
       .filter(assert_true(col("__gn") <= lit(maxGridRows),
@@ -526,7 +533,7 @@ object Stats {
       .withColumn("__d",
         abs(col("__cr") * col("__tc") - col("__cc") * col("__tr"))
           .cast(dec))
-    scored
+    val out = scored
       .agg(max(struct(col("__d").as("d"), (-col("__v")).as("negv")))
           .as("__mx"),
         max("__tr").as("__fr"), max("__tc").as("__fc"))
@@ -538,6 +545,7 @@ object Stats {
           .otherwise(col("__mx.d").cast("double") /
             (col("__fr").cast("double") * col("__fc").cast("double")))
           .as("ks_d"))
+    Caching.materializeAndRelease(out, grid)
   }
 
   /** Mutual information (and normalized MI) between two categorical

@@ -25,7 +25,10 @@ object TimeSeriesOps {
     * slot appears in the grid). Day-of-week and hour come from epoch-
     * millis INTEGER arithmetic (UTC; epoch day 0 was a Thursday, so
     * dow = (days + 4) mod 7 with 0 = Sunday) — never from calendar
-    * functions, whose timezone/DST rules differ across engines.
+    * functions, whose timezone/DST rules differ across engines. The
+    * day/hour divisions FLOOR (pmod-based, like ratio_permille), so
+    * pre-1970 timestamps (negative epoch-millis) land in the correct
+    * slot instead of the truncate-toward-zero off-by-one.
     *
     * Output per (key, dow, hour): (keyCol, dow, hour, n, key_total,
     * slot_total, ratio_permille).
@@ -41,8 +44,10 @@ object TimeSeriesOps {
       .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"), unix_millis(col(tsCol)).as("__ms"))
       .select(col("__k"),
-        expr("cast((__ms div 86400000 + 4) % 7 as int)").as("dow"),
-        expr("cast((__ms div 3600000) % 24 as int)").as("hour"))
+        expr("cast(pmod((__ms - pmod(__ms, 86400000)) div 86400000 + 4," +
+          " 7) as int)").as("dow"),
+        expr("cast(pmod((__ms - pmod(__ms, 3600000)) div 3600000, 24)" +
+          " as int)").as("hour"))
       .groupBy("__k", "dow", "hour")
       .agg(count(lit(1)).cast(dec).as("__n"))
     val grand = grid.agg(sum("__n").cast(dec).as("__grand"))

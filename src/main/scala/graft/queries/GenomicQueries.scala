@@ -412,7 +412,9 @@ object GenomicQueries extends QuerySet {
               1) AS a
           FROM part),
         c AS (SELECT p_brand,
-            CASE WHEN length(r) = 1 AND r <> a THEN 1 ELSE 0 END AS snv,
+            CASE WHEN length(r) = 1 AND length(a) = 1 AND r <> a
+              AND r IN ('A','C','G','T') AND a IN ('A','C','G','T')
+              THEN 1 ELSE 0 END AS snv,
             CASE WHEN (r IN ('A','G') AND a IN ('A','G'))
               OR (r IN ('C','T') AND a IN ('C','T'))
               THEN 1 ELSE 0 END AS ts

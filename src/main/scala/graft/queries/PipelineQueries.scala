@@ -3482,8 +3482,10 @@ object PipelineQueries extends QuerySet {
         graft.core.Tables.normalizeTs(t(s, dir, "events"), "ts"),
         "event_type", "ts"),
       Some("""WITH g AS (SELECT event_type,
-            CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS INT) AS dow,
-            CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hour,
+            CAST((((epoch_ms(ts) // 86400000 + 4) % 7) + 7) % 7 AS INT)
+              AS dow,
+            CAST((((epoch_ms(ts) // 3600000) % 24) + 24) % 24 AS INT)
+              AS hour,
             CAST(count(*) AS HUGEINT) AS n
           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
           GROUP BY 1, 2, 3),
@@ -3511,7 +3513,8 @@ object PipelineQueries extends QuerySet {
       .mkString(" + ")
     s"""WITH v AS (SELECT event_type AS g, event_id AS id,
        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
-       |  FROM events),
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
        |e AS (SELECT g, id, x, r AS b
        |  FROM v, generate_series(-1, ${b - 1}) AS t(r)),
        |uu AS (SELECT g, b, x,

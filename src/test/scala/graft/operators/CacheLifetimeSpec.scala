@@ -78,6 +78,10 @@ class CacheLifetimeSpec extends SparkSpec {
         .queryExecution.toRdd.count()
       ClusteringOps.simplifiedSilhouette(emb, "label")
         .queryExecution.toRdd.count()
+      // round-15 tier-1 operators
+      Stats.ksDrift(docs.select((col("id") % 2 === 0).as("side"),
+          col("k").as("v")), "side", "v")
+        .queryExecution.toRdd.count()
     }
     for (_ <- 1 to 3) runOnce()
     // all results are out of scope: ContextCleaner must drain the

@@ -114,4 +114,37 @@ class Round14bOpsSpec extends SparkSpec {
     assert(got(("k2", 4, 0)) == ((1L, 2L, 3L, 833L)))
     assert(got(("k2", 0, 5)) == ((1L, 2L, 2L, 1250L)))
   }
+
+  test("seasonalProfile: pre-1970 timestamps floor into the correct " +
+      "slot (ADVICE r14 — div truncation would land them a day late)") {
+    import spark.implicits._
+    // ms = -1 is Wed 1969-12-31 23:59:59.999 UTC -> dow 3, hour 23;
+    // truncate-toward-zero would read day 0 / hour 0 -> Thu 00 (wrong).
+    // ms = -86400000 is Wed 1969-12-31 00:00 UTC -> dow 3, hour 0.
+    val rows = Seq(("k", -1L), ("k", -86400000L), ("k", 0L))
+    val got = TimeSeriesOps.seasonalProfile(
+        rows.toDF("k", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "k", "ts")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == Map((3, 23) -> 1L, (3, 0) -> 1L, (4, 0) -> 1L),
+      got.toString)
+  }
+
+  test("bootstrapCi: NULL ids and NULL values are excluded from the " +
+      "mean AND the resamples (ADVICE r14 — populations must agree)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g", Some("a"), Some(10L)),
+      ("g", Some("b"), Some(20L)),
+      ("g", None, Some(100000L)), // null id: no deterministic resample
+      ("g", Some("c"), None)) // null value: contributes nothing
+    val got = SamplingOps.bootstrapCi(
+        rows.toDF("g", "id", "v"), "g", "v", "id", b = 8).head()
+    assert(got.getLong(1) == 2L, s"n: $got")
+    assert(got.getDouble(2) == 15.0, s"mean: $got")
+    // every resample mean is a mean of a sub-multiset of {10, 20}
+    assert(got.getDouble(3) >= 10.0 && got.getDouble(4) <= 20.0, got)
+  }
 }
