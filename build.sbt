@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // SCALE.md "in-catalog session inflation" (r14): after ~200 distinct
+  // plans the default 240 MB code cache is half-full of dead generated
+  // classes and the JIT's flush/deopt churn puts ~1.4x scatter on the
+  // most codegen-heavy queries (q98/q119). Headroom retires that noise
+  // source for long-lived sessions (bench, tests, production drivers).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

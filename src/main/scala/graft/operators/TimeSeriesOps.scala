@@ -38,9 +38,18 @@ object TimeSeriesOps {
     * totals a slot-window over that bounded grid; the grand total is a
     * broadcast 1-row re-aggregate. Key cardinality unbounded. */
   def seasonalProfile(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    seasonalFromCounts(seasonalSlotCounts(df, keyCol, tsCol), keyCol)
+
+  /** The mergeable (key, dow, hour, __n) grid phase of
+    * [[seasonalProfile]] — ONE map-side-combined count; counts add, so
+    * the same plan runs as a complete-mode streaming aggregation
+    * ([[graft.streaming.EventStreams.streamingSeasonalSlotCounts]]
+    * delegates here — one definition, the shared-phase rule). */
+  def seasonalSlotCounts(df: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val grid = df
+    df
       .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"), unix_millis(col(tsCol)).as("__ms"))
       .select(col("__k"),
@@ -50,6 +59,14 @@ object TimeSeriesOps {
           " as int)").as("hour"))
       .groupBy("__k", "dow", "hour")
       .agg(count(lit(1)).cast(dec).as("__n"))
+  }
+
+  /** Finish [[seasonalProfile]] from a (__k, dow, hour, __n) grid —
+    * key/slot totals as keyed windows and the grand total as a
+    * broadcast 1-row re-aggregate, all over the bounded
+    * (|keys|·168) grid. */
+  def seasonalFromCounts(grid: DataFrame, keyCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val grand = grid.agg(sum("__n").cast(dec).as("__grand"))
     grid
       .withColumn("__kt",

@@ -32,6 +32,18 @@ object VariantQc {
     * classification is per-row codegen'd CASE logic, no UDF. */
   def tstvRatio(variants: DataFrame, groupCol: String,
       refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele"): DataFrame =
+    tstvFromCounts(tstvCounts(variants, groupCol, refCol, altCol),
+      groupCol)
+
+  /** The mergeable (group, class, count) grid phase of [[tstvRatio]] —
+    * class ∈ ts/tv/other, ONE map-side-combined aggregation. Counts
+    * add, so the same unresolved plan runs as a complete-mode streaming
+    * aggregation (micro-batch partials ARE the batch combine), which is
+    * what [[graft.streaming.EventStreams.streamingTstvCounts]] delegates
+    * to — one definition, the shared-phase rule. */
+  def tstvCounts(variants: DataFrame, groupCol: String,
+      refCol: String = "referenceAllele",
       altCol: String = "alternateAllele"): DataFrame = {
     val r = upper(col(refCol))
     val a = upper(col(altCol))
@@ -40,16 +52,32 @@ object VariantQc {
     val isTs = (r.isin("A", "G") && a.isin("A", "G")) ||
       (r.isin("C", "T") && a.isin("C", "T"))
     variants
-      .groupBy(groupCol)
+      .select(col(groupCol).as("__g"),
+        when(!isSnv, "other").when(isTs, "ts").otherwise("tv")
+          .as("__cls"))
+      .groupBy("__g", "__cls")
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Finish [[tstvRatio]] from a (__g, __cls, __c) grid — the shape
+    * [[tstvCounts]] produces and a streaming monitor maintains as
+    * complete-mode state. The pivot is a keyed aggregation over the
+    * bounded (|groups|·3) grid. */
+  def tstvFromCounts(grid: DataFrame, groupCol: String): DataFrame =
+    grid
+      .groupBy("__g")
       .agg(
-        sum(when(isSnv, 1L).otherwise(0L)).as("n_snv"),
-        sum(when(isSnv && isTs, 1L).otherwise(0L)).as("n_ts"),
-        sum(when(isSnv && !isTs, 1L).otherwise(0L)).as("n_tv"))
-      .select(col(groupCol), col("n_snv"), col("n_ts"), col("n_tv"),
+        sum(when(col("__cls") =!= "other", col("__c")).otherwise(0L))
+          .as("n_snv"),
+        sum(when(col("__cls") === "ts", col("__c")).otherwise(0L))
+          .as("n_ts"),
+        sum(when(col("__cls") === "tv", col("__c")).otherwise(0L))
+          .as("n_tv"))
+      .select(col("__g").as(groupCol), col("n_snv"), col("n_ts"),
+        col("n_tv"),
         when(col("n_tv") === 0, lit(null).cast("double"))
           .otherwise(col("n_ts").cast("double") /
             col("n_tv").cast("double")).as("tstv"))
-  }
 
   /** Hardy-Weinberg equilibrium chi-square per site from biallelic
     * genotype classes (`gtClass` = alt-allele count 0/1/2) — the
@@ -139,7 +167,16 @@ object VariantQc {
     * Scale: per-row integer arithmetic + ONE map-side-combined count of
     * the bounded bin grid. */
   def alleleFrequencySpectrum(variants: DataFrame, acCol: String,
-      anCol: String, bins: Int = 20): DataFrame = {
+      anCol: String, bins: Int = 20): DataFrame =
+    afsFromCounts(afsCounts(variants, acCol, anCol, bins))
+
+  /** The mergeable (bin, __c) grid phase of
+    * [[alleleFrequencySpectrum]] — counts add, so the same plan runs as
+    * a complete-mode streaming aggregation
+    * ([[graft.streaming.EventStreams.streamingAfsCounts]] delegates
+    * here — one definition, the shared-phase rule). */
+  def afsCounts(variants: DataFrame, acCol: String, anCol: String,
+      bins: Int = 20): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
     val ac = col(acCol).cast("long")
     val an = col(anCol).cast("long")
@@ -149,8 +186,13 @@ object VariantQc {
         expr(s"(cast($acCol as bigint) * $bins) div " +
           s"cast($anCol as bigint)"),
         lit(bins - 1L)).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n_sites"))
+      .groupBy("bin").agg(count(lit(1)).as("__c"))
   }
+
+  /** Finish [[alleleFrequencySpectrum]] from a (bin, __c) grid — one
+    * merging aggregation over the bounded (≤ bins) grid. */
+  def afsFromCounts(grid: DataFrame): DataFrame =
+    grid.groupBy("bin").agg(sum("__c").as("n_sites"))
 
   /** Coverage-uniformity census per contig from (referenceName, start,
     * end, count) coverage intervals — the evenness check behind "is 30x
@@ -200,6 +242,16 @@ object VariantQc {
     * Scale: per-row boolean logic + ONE map-side-combined count of the
     * bounded grid. */
   def mendelianViolations(trios: DataFrame, fatherCol: String,
+      motherCol: String, childCol: String): DataFrame =
+    mendelianFromCounts(
+      mendelianCounts(trios, fatherCol, motherCol, childCol))
+
+  /** The mergeable census grid phase of [[mendelianViolations]] —
+    * counts add, so the same plan runs as a complete-mode streaming
+    * aggregation
+    * ([[graft.streaming.EventStreams.streamingMendelianCounts]]
+    * delegates here — one definition, the shared-phase rule). */
+  def mendelianCounts(trios: DataFrame, fatherCol: String,
       motherCol: String, childCol: String): DataFrame = {
     val f = col(fatherCol).cast("int")
     val m = col(motherCol).cast("int")
@@ -215,6 +267,292 @@ object VariantQc {
       .select(f.as("father_gt"), m.as("mother_gt"), c.as("child_gt"),
         (!ok).as("violation"))
       .groupBy("father_gt", "mother_gt", "child_gt", "violation")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Finish [[mendelianViolations]] from the census grid — one merging
+    * aggregation over the bounded 27-row grid. */
+  def mendelianFromCounts(grid: DataFrame): DataFrame =
+    grid
+      .groupBy("father_gt", "mother_gt", "child_gt", "violation")
+      .agg(sum("__c").as("n"))
+
+  /** Pairwise KING-robust kinship over a bounded sample cohort — the
+    * relatedness QC (sample swaps, unexpected duplicates, cryptic
+    * relatedness) every cohort callset runs before association work.
+    * Per sample pair (i, j) over their shared biallelic sites, with
+    * N_Aa,Aa = both-heterozygous sites, N_AA,aa = opposite-homozygous
+    * sites, and N_Aa,i / N_Aa,j each sample's heterozygous count on the
+    * shared sites, the between-family estimator of Manichaikul et al.
+    * 2010 (KING) is
+    * `kinship = (N_Aa,Aa − 2·N_AA,aa) / (N_Aa,i + N_Aa,j)` —
+    * 0.5 for identical samples, ~0.25 parent-offspring, ~0 unrelated.
+    * All four terms are exact integer counts (< 2^53 at any genome
+    * scale — sites per pair bound them) and the estimate is ONE double
+    * division, NULL when neither sample is ever heterozygous.
+    *
+    * Input: one row per (site, sample) with `gtCol` = alt-allele count
+    * 0/1/2; rows with NULL or out-of-range gt are excluded. (site,
+    * sample) must be unique — aggregate first.
+    *
+    * Output per pair (sample_i < sample_j lexicographically):
+    * (sample_i, sample_j, n_shared, n_both_het, n_opp_hom, n_het_i,
+    * n_het_j, kinship).
+    *
+    * Scale: the site self-join replicates each site's genotypes
+    * S·(S−1)/2-fold — the irreducible pairwise cost — so the operator
+    * carries a SELF-DEFENDING bounded-cohort guard (`maxSamples`,
+    * default 1000 → ≤ ~500k pair keys): an unbounded biobank cohort
+    * fails loudly instead of quietly exploding the join. Within the
+    * bound, everything is keyed shuffles: the join keys on site
+    * (samples-per-site fan-out is the cohort bound, not data volume)
+    * and the census is ONE map-side-combined aggregation on the
+    * bounded pair grid. */
+  def kingKinship(genotypes: DataFrame, sampleCol: String,
+      siteCol: String, gtCol: String,
+      maxSamples: Long = 1000L): DataFrame = {
+    val g0 = genotypes
+      .filter(col(sampleCol).isNotNull && col(siteCol).isNotNull &&
+        col(gtCol).isNotNull && col(gtCol).cast("int").between(0, 2))
+      .select(col(siteCol).as("__site"),
+        col(sampleCol).cast("string").as("__s"),
+        col(gtCol).cast("int").as("__gt"))
+    val scnt = g0.agg(countDistinct("__s").as("__sn"))
+    val g = g0.crossJoin(broadcast(scnt))
+      .filter(assert_true(col("__sn") <= lit(maxSamples),
+        format_string("kingKinship cohort has %s samples (max %s) —" +
+          " the pairwise join is quadratic in cohort size" +
+          " (bounded-cohort contract)",
+          col("__sn"), lit(maxSamples))).isNull)
+      .drop("__sn")
+    val a = g.select(col("__site"), col("__s").as("sample_i"),
+      col("__gt").as("__gi"))
+    val b = g.select(col("__site"), col("__s").as("sample_j"),
+      col("__gt").as("__gj"))
+    a.join(b, Seq("__site"))
+      .filter(col("sample_i") < col("sample_j"))
+      .groupBy("sample_i", "sample_j")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("__gi") === 1 && col("__gj") === 1, 1L)
+          .otherwise(0L)).as("n_both_het"),
+        sum(when(abs(col("__gi") - col("__gj")) === 2, 1L)
+          .otherwise(0L)).as("n_opp_hom"),
+        sum(when(col("__gi") === 1, 1L).otherwise(0L)).as("n_het_i"),
+        sum(when(col("__gj") === 1, 1L).otherwise(0L)).as("n_het_j"))
+      .select(col("sample_i"), col("sample_j"), col("n_shared"),
+        col("n_both_het"), col("n_opp_hom"), col("n_het_i"),
+        col("n_het_j"),
+        when(col("n_het_i") + col("n_het_j") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_both_het") - lit(2L) * col("n_opp_hom"))
+              .cast("double") /
+              (col("n_het_i") + col("n_het_j")).cast("double"))
+          .as("kinship"))
+  }
+
+  /** Per-sample inbreeding/consanguinity coefficient F — the
+    * heterozygosity QC (F ≫ 0 flags consanguinity or genotyping loss
+    * of heterozygosity; F ≪ 0 flags contamination): F = 1 −
+    * observed_het / expected_het, where the expectation per called
+    * site is 2p(1−p) from the cohort allele frequency at that site.
+    *
+    * Engine-parity: each site contributes the exact integer
+    * `q = (2·ac·(an−ac)·1e7) div (an·an)` (all non-negative DECIMAL
+    * terms, ONE integer floor — both engines agree), the per-sample
+    * expectation is the exact integer sum of q over the sample's
+    * called sites, and F is one fixed double chain through
+    * [[Stats.limbDouble]] (the sums exceed 2^53 at population scale).
+    *
+    * Output per sample: (sampleCol, n_called, n_het, exp_het, f) — f
+    * NULL when the expected heterozygosity is zero (all monomorphic).
+    *
+    * Scale: one keyed site aggregation (AF), one keyed join of the
+    * genotypes back onto the bounded per-site row (shuffle on site —
+    * data never broadcasts), one keyed sample aggregation. No windows,
+    * no quadratic term — unlike [[kingKinship]] this is linear and
+    * cohort-unbounded. */
+  def inbreedingF(genotypes: DataFrame, sampleCol: String,
+      siteCol: String, gtCol: String): DataFrame = {
+    val g = genotypes
+      .filter(col(sampleCol).isNotNull && col(siteCol).isNotNull &&
+        col(gtCol).isNotNull && col(gtCol).cast("int").between(0, 2))
+      .select(col(siteCol).as("__site"),
+        col(sampleCol).cast("string").as("__s"),
+        col(gtCol).cast("int").as("__gt"))
+    val tenM = lit(10000000L).cast(dec)
+    val num = (lit(2L).cast(dec) * col("__ac") *
+      (col("__an") - col("__ac"))).cast(dec) * tenM
+    val den = (col("__an") * col("__an")).cast(dec)
+    val sites = g.groupBy("__site")
+      .agg(sum(col("__gt").cast(dec)).cast(dec).as("__ac"),
+        (count(lit(1)) * 2).cast(dec).as("__an"))
+      .select(col("__site"),
+        ((num - pmod(num, den)) / den).cast(dec).as("__eq"))
+    g.join(sites, Seq("__site"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("n_called"),
+        sum(when(col("__gt") === 1, 1L).otherwise(0L)).as("n_het"),
+        sum(col("__eq")).cast(dec).as("__ehetq"))
+      .select(col("__s").as(sampleCol), col("n_called"), col("n_het"),
+        (Stats.limbDouble(col("__ehetq")) / lit(1e7)).as("exp_het"),
+        when(col("__ehetq") <= 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            Stats.limbDouble((col("n_het").cast(dec) * tenM).cast(dec)) /
+              Stats.limbDouble(col("__ehetq"))).as("f"))
+  }
+
+  /** Full SNV substitution-type census — bcftools-stats' ST table: the
+    * 12-cell (ref > alt) grid with each class's share of all SNVs in
+    * permille (exact integer division). Ts/Tv collapses this grid to
+    * two numbers; the full grid localizes WHICH substitution class an
+    * artifact inflates (oxidative damage reads G>T, deamination C>T).
+    *
+    * Output per class: (ref_allele, alt_allele, n, permille).
+    *
+    * Scale: ONE map-side-combined count of the bounded 12-row grid;
+    * the total is a broadcast 1-row re-aggregate of that grid. */
+  def substitutionMatrix(variants: DataFrame,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele"): DataFrame =
+    substitutionFromCounts(
+      substitutionCounts(variants, refCol, altCol))
+
+  /** The mergeable (ref, alt, count) grid phase of
+    * [[substitutionMatrix]] — counts add, so the same plan runs as a
+    * complete-mode streaming aggregation
+    * ([[graft.streaming.EventStreams.streamingSubstitutionCounts]]
+    * delegates here — one definition, the shared-phase rule). */
+  def substitutionCounts(variants: DataFrame,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele"): DataFrame = {
+    val r = upper(col(refCol))
+    val a = upper(col(altCol))
+    val isSnv = length(r) === 1 && length(a) === 1 && r =!= a &&
+      r.isin("A", "C", "G", "T") && a.isin("A", "C", "G", "T")
+    variants
+      .filter(isSnv)
+      .select(r.as("ref_allele"), a.as("alt_allele"))
+      .groupBy("ref_allele", "alt_allele")
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Finish [[substitutionMatrix]] from the (ref, alt, __c) grid — a
+    * merging aggregation plus the broadcast grid total for the exact
+    * permille share. */
+  def substitutionFromCounts(grid: DataFrame): DataFrame = {
+    val merged = grid.groupBy("ref_allele", "alt_allele")
+      .agg(sum("__c").as("n"))
+    val tot = merged.agg(sum("n").as("__t"))
+    merged.crossJoin(broadcast(tot))
+      .select(col("ref_allele"), col("alt_allele"), col("n"),
+        expr("n * 1000 div __t").as("permille"))
+  }
+
+  /** Indel length spectrum — the insertion/deletion size histogram
+    * (bcftools-stats IDD): for simple indels (both alleles non-empty
+    * ACGT strings of different lengths), `dlen = len(alt) − len(ref)`
+    * clamped to ±`maxAbsLen` (the tails pool into the edge bins, so
+    * the grid stays bounded whatever a structural caller emits).
+    * Deletions are negative. A spike at a specific |dlen| flags a
+    * caller or alignment artifact; real spectra decay geometrically
+    * with the 3n-periodic coding-region wobble.
+    *
+    * Output per length: (dlen, n_indels).
+    *
+    * Scale: per-row codegen'd classification + ONE map-side-combined
+    * count of the bounded (≤ 2·maxAbsLen+1) grid. */
+  def indelLengthSpectrum(variants: DataFrame,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele",
+      maxAbsLen: Int = 20): DataFrame =
+    indelFromCounts(indelCounts(variants, refCol, altCol, maxAbsLen))
+
+  /** The mergeable (dlen, count) grid phase of
+    * [[indelLengthSpectrum]] — counts add, so the same plan runs as a
+    * complete-mode streaming aggregation
+    * ([[graft.streaming.EventStreams.streamingIndelCounts]] delegates
+    * here — one definition, the shared-phase rule). */
+  def indelCounts(variants: DataFrame,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele",
+      maxAbsLen: Int = 20): DataFrame = {
+    require(maxAbsLen > 0, s"maxAbsLen must be positive: $maxAbsLen")
+    val r = upper(col(refCol))
+    val a = upper(col(altCol))
+    val isIndel = r.rlike("^[ACGT]+$") && a.rlike("^[ACGT]+$") &&
+      length(r) =!= length(a)
+    variants
+      .filter(isIndel)
+      .select(greatest(least(length(a) - length(r), lit(maxAbsLen)),
+        lit(-maxAbsLen)).cast("int").as("dlen"))
+      .groupBy("dlen")
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Finish [[indelLengthSpectrum]] from the (dlen, __c) grid — one
+    * merging aggregation over the bounded grid. */
+  def indelFromCounts(grid: DataFrame): DataFrame =
+    grid.groupBy("dlen").agg(sum("__c").as("n_indels"))
+
+  /** Per-sample call-rate / genotype-class census — the missingness QC
+    * that flags failed samples before they poison downstream statistics
+    * (a sample called at 60 % of sites biases every cohort AF it
+    * touches). NULL `gtCol` rows are the site-was-not-called state;
+    * 0/1/2 classify as hom-ref/het/hom-alt; anything else is 'other'
+    * (caller-specific codes), counted as called but surfaced.
+    *
+    * Output per sample: (sampleCol, n_total, n_called, n_het,
+    * n_hom_ref, n_hom_alt, n_other, call_rate_permille,
+    * het_permille) — het share of CALLED sites, NULL when none.
+    *
+    * Scale: per-row classification + ONE map-side-combined count of
+    * the (sample, class) grid; the pivot re-aggregates the grid.
+    * Sample cardinality unbounded. */
+  def callRate(genotypes: DataFrame, sampleCol: String,
+      gtCol: String): DataFrame =
+    callRateFromCounts(callRateCounts(genotypes, sampleCol, gtCol),
+      sampleCol)
+
+  /** The mergeable (sample, class, count) grid phase of [[callRate]] —
+    * counts add, so the same plan runs as a complete-mode streaming
+    * aggregation
+    * ([[graft.streaming.EventStreams.streamingCallRateCounts]]
+    * delegates here — one definition, the shared-phase rule). */
+  def callRateCounts(genotypes: DataFrame, sampleCol: String,
+      gtCol: String): DataFrame = {
+    val gt = col(gtCol).cast("int")
+    genotypes
+      .filter(col(sampleCol).isNotNull)
+      .select(col(sampleCol).as("__s"),
+        when(gt.isNull, "missing")
+          .when(gt === 0, "hom_ref")
+          .when(gt === 1, "het")
+          .when(gt === 2, "hom_alt")
+          .otherwise("other").as("__cls"))
+      .groupBy("__s", "__cls")
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Finish [[callRate]] from the (__s, __cls, __c) grid — one keyed
+    * pivot aggregation over the bounded (|samples|·5) grid. */
+  def callRateFromCounts(grid: DataFrame,
+      sampleCol: String): DataFrame = {
+    def cnt(cls: String) =
+      sum(when(col("__cls") === cls, col("__c")).otherwise(0L))
+    grid
+      .groupBy("__s")
+      .agg(sum("__c").as("n_total"),
+        sum(when(col("__cls") =!= "missing", col("__c")).otherwise(0L))
+          .as("n_called"),
+        cnt("het").as("n_het"), cnt("hom_ref").as("n_hom_ref"),
+        cnt("hom_alt").as("n_hom_alt"), cnt("other").as("n_other"))
+      .select(col("__s").as(sampleCol), col("n_total"), col("n_called"),
+        col("n_het"), col("n_hom_ref"), col("n_hom_alt"),
+        col("n_other"),
+        expr("n_called * 1000 div n_total").as("call_rate_permille"),
+        when(col("n_called") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_het * 1000 div n_called"))
+          .as("het_permille"))
   }
 }

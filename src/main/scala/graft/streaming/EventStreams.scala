@@ -608,6 +608,54 @@ object EventStreams {
       valueCol: String): DataFrame =
     graft.operators.Stats.categoryCounts(events, groupCol, valueCol)
 
+  /** Streaming twin of [[graft.operators.VariantQc.tstvRatio]] (grid
+    * phase): the (group, ts/tv/other, count) census as complete-mode
+    * state — counts add, so the micro-batch partial agg IS the batch
+    * combine. Fold each drained snapshot through
+    * [[graft.operators.VariantQc.tstvFromCounts]] for the live Ts/Tv
+    * monitor; drained over the same rows it equals the batch report
+    * exactly (StreamingSpec). */
+  def streamingTstvCounts(variants: DataFrame, groupCol: String,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele"): DataFrame =
+    graft.operators.VariantQc.tstvCounts(variants, groupCol, refCol,
+      altCol)
+
+  /** Streaming twin of
+    * [[graft.operators.VariantQc.alleleFrequencySpectrum]] (grid
+    * phase): per-bin site counts as complete-mode state. Fold each
+    * drained snapshot through
+    * [[graft.operators.VariantQc.afsFromCounts]]; drained over the same
+    * rows it equals the batch spectrum exactly (StreamingSpec). */
+  def streamingAfsCounts(variants: DataFrame, acCol: String,
+      anCol: String, bins: Int = 20): DataFrame =
+    graft.operators.VariantQc.afsCounts(variants, acCol, anCol, bins)
+
+  /** Streaming twin of
+    * [[graft.operators.VariantQc.mendelianViolations]] (grid phase):
+    * the bounded 27-row trio census as complete-mode state. Fold each
+    * drained snapshot through
+    * [[graft.operators.VariantQc.mendelianFromCounts]]; drained over
+    * the same rows it equals the batch census exactly (StreamingSpec). */
+  def streamingMendelianCounts(trios: DataFrame, fatherCol: String,
+      motherCol: String, childCol: String): DataFrame =
+    graft.operators.VariantQc.mendelianCounts(trios, fatherCol,
+      motherCol, childCol)
+
+  /** Streaming twin of
+    * [[graft.operators.TimeSeriesOps.seasonalProfile]] (grid phase):
+    * the (key, dow, hour) slot census as complete-mode state — counts
+    * add, so the micro-batch partial agg IS the batch combine. Spark
+    * forbids chaining the key/slot-total windows onto a streaming
+    * aggregation, so fold each drained snapshot through
+    * [[graft.operators.TimeSeriesOps.seasonalFromCounts]] for the live
+    * seasonality monitor; drained over the same rows it equals the
+    * batch profile exactly (StreamingSpec). `tsCol` must be TIMESTAMP. */
+  def streamingSeasonalSlotCounts(events: DataFrame, keyCol: String,
+      tsCol: String = "ts"): DataFrame =
+    graft.operators.TimeSeriesOps.seasonalSlotCounts(events, keyCol,
+      tsCol)
+
   /** Streaming twin of [[graft.operators.Stats.volumeAnomalies]] (count
     * phase): per-(group, day) event counts as a complete-mode
     * aggregation — counts add, so the micro-batch partial agg IS the

@@ -1192,4 +1192,153 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, "stream-batch CUSUM drift")
     } finally q.stop()
   }
+
+  test("streaming tstv counts + batch finisher == batch Ts/Tv census") {
+    // q209's streaming twin on the q209 projection of the real part
+    // fixture: the (group, ts/tv/other) census is mergeable
+    // complete-mode state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val variants = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_brand"),
+        when(col("p_partkey") % 11 === 0, lit("AT"))
+          .otherwise(expr(
+            "substr('ACGT', cast(p_partkey % 4 as int) + 1, 1)"))
+          .as("r"),
+        expr("substr('ACGT', cast((p_partkey % 4 + p_partkey % 3 + 1)" +
+          " % 4 as int) + 1, 1)").as("a"))
+    def key(row: org.apache.spark.sql.Row) = row.getString(0) ->
+      (row.getLong(1), row.getLong(2), row.getLong(3),
+        if (row.isNullAt(4)) Double.NaN else row.getDouble(4))
+    val batch = graft.operators.VariantQc
+      .tstvRatio(variants, "p_brand", "r", "a")
+      .collect().map(key).toMap
+    val rows = variants.as[(String, String, String)].collect().toSeq
+    val input = MemoryStream[(String, String, String)]
+    val q = graft.streaming.EventStreams.streamingTstvCounts(
+        input.toDS().toDF("p_brand", "r", "a"), "p_brand", "r", "a")
+      .writeStream.format("memory").queryName("tstvcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.VariantQc
+        .tstvFromCounts(spark.table("tstvcounts"), "p_brand")
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch Ts/Tv drift")
+    } finally q.stop()
+  }
+
+  test("streaming AFS counts + batch finisher == batch allele-" +
+      "frequency spectrum") {
+    // q212's streaming twin on the q212 projection of the real
+    // lineitem fixture: per-bin site counts merge across micro-batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val variants = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_quantity").cast("long").as("ac"),
+        when(col("l_partkey") % 97 === 0, lit(0L))
+          .otherwise(lit(40L) + (col("l_orderkey") % 3) * 10L)
+          .as("an"))
+    def key(row: org.apache.spark.sql.Row) =
+      row.getLong(0) -> row.getLong(1)
+    val batch = graft.operators.VariantQc
+      .alleleFrequencySpectrum(variants, "ac", "an")
+      .collect().map(key).toMap
+    val rows = variants.as[(Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStreams.streamingAfsCounts(
+        input.toDS().toDF("ac", "an"), "ac", "an")
+      .writeStream.format("memory").queryName("afscounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.VariantQc
+        .afsFromCounts(spark.table("afscounts"))
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch AFS drift")
+    } finally q.stop()
+  }
+
+  test("streaming mendelian counts + batch finisher == batch trio " +
+      "census") {
+    // q214's streaming twin on the q214 projection of the real
+    // customer fixture: the bounded 27-row census merges across
+    // micro-batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trios = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "customer")
+      .select((col("c_custkey") % 3).cast("int").as("f"),
+        expr("cast((c_custkey div 3) % 3 as int)").as("m"),
+        expr("cast((c_custkey div 9) % 3 as int)").as("c"))
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getInt(0), row.getInt(1), row.getInt(2),
+        row.getBoolean(3)) -> row.getLong(4)
+    val batch = graft.operators.VariantQc
+      .mendelianViolations(trios, "f", "m", "c")
+      .collect().map(key).toMap
+    val rows = trios.as[(Int, Int, Int)].collect().toSeq
+    val input = MemoryStream[(Int, Int, Int)]
+    val q = graft.streaming.EventStreams.streamingMendelianCounts(
+        input.toDS().toDF("f", "m", "c"), "f", "m", "c")
+      .writeStream.format("memory").queryName("mendelcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.VariantQc
+        .mendelianFromCounts(spark.table("mendelcounts"))
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch mendelian drift")
+    } finally q.stop()
+  }
+
+  test("streaming seasonal slot counts + batch finisher == batch " +
+      "weekly seasonality profile") {
+    // q217's streaming twin on the real events fixture: the
+    // (key, dow, hour) slot census is mergeable complete-mode state;
+    // the windowed finisher over any drained snapshot equals the batch
+    // profile bit-for-bit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getString(0), row.getInt(1), row.getInt(2)) ->
+        (row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    val batch = graft.operators.TimeSeriesOps
+      .seasonalProfile(events, "event_type", "ts")
+      .collect().map(key).toMap
+    val rows = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_millis(ts)"))
+      .as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.EventStreams.streamingSeasonalSlotCounts(
+        input.toDS().toDF("event_type", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        "event_type", "ts")
+      .writeStream.format("memory").queryName("seasonalcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.TimeSeriesOps
+        .seasonalFromCounts(spark.table("seasonalcounts"), "event_type")
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch seasonality drift")
+    } finally q.stop()
+  }
 }
