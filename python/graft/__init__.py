@@ -1834,3 +1834,67 @@ def seasonal_profile(df, key_col, ts_col="ts"):
     (key, dow, hour, n, key_total, slot_total, ratio_permille)."""
     s = df.sparkSession
     return _wrap(s, _api(s).seasonalProfile(df._jdf, key_col, ts_col))
+
+
+def king_kinship(genotypes, sample_col, site_col, gt_col,
+                 max_samples=1000):
+    """Pairwise KING-robust kinship over a bounded cohort: (sample_i,
+    sample_j, n_shared, n_both_het, n_opp_hom, n_het_i, n_het_j,
+    kinship)."""
+    s = genotypes.sparkSession
+    return _wrap(s, _api(s).kingKinship(genotypes._jdf, sample_col,
+                                        site_col, gt_col,
+                                        int(max_samples)))
+
+
+def inbreeding_f(genotypes, sample_col, site_col, gt_col):
+    """Per-sample inbreeding coefficient F vs cohort allele
+    frequencies: (sample, n_called, n_het, exp_het, f)."""
+    s = genotypes.sparkSession
+    return _wrap(s, _api(s).inbreedingF(genotypes._jdf, sample_col,
+                                        site_col, gt_col))
+
+
+def substitution_matrix(variants, ref_col="referenceAllele",
+                        alt_col="alternateAllele"):
+    """12-class SNV substitution census: (ref_allele, alt_allele, n,
+    permille)."""
+    s = variants.sparkSession
+    return _wrap(s, _api(s).substitutionMatrix(variants._jdf, ref_col,
+                                               alt_col))
+
+
+def indel_length_spectrum(variants, ref_col="referenceAllele",
+                          alt_col="alternateAllele", max_abs_len=20):
+    """Indel length spectrum with edge-bin clamping:
+    (dlen, n_indels)."""
+    s = variants.sparkSession
+    return _wrap(s, _api(s).indelLengthSpectrum(variants._jdf, ref_col,
+                                                alt_col,
+                                                int(max_abs_len)))
+
+
+def call_rate(genotypes, sample_col, gt_col):
+    """Per-sample call-rate / genotype-class census: (sample, n_total,
+    n_called, n_het, n_hom_ref, n_hom_alt, n_other,
+    call_rate_permille, het_permille)."""
+    s = genotypes.sparkSession
+    return _wrap(s, _api(s).callRate(genotypes._jdf, sample_col, gt_col))
+
+
+def conformal_coverage(cal, eval_df, score_col, alpha_permille=100):
+    """Split-conformal calibration audit: (n_cal, threshold, n_eval,
+    n_covered, coverage_permille)."""
+    s = cal.sparkSession
+    return _wrap(s, _api(s).conformalCoverage(cal._jdf, eval_df._jdf,
+                                              score_col,
+                                              int(alpha_permille)))
+
+
+def confident_learning_grid(df, given_col, pred_col, conf_permille_col):
+    """Confident-learning label-noise census: (given_label, pred_label,
+    n, n_confident)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).confidentLearningGrid(df._jdf, given_col,
+                                                  pred_col,
+                                                  conf_permille_col))

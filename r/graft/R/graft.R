@@ -1125,3 +1125,56 @@ graft.seasonalProfile <- function(df, keyCol, tsCol = "ts") {
   .gdf(SparkR::sparkR.callJStatic(.jvm, "seasonalProfile", df@sdf,
                                   keyCol, tsCol))
 }
+
+#' Pairwise KING-robust kinship over a bounded cohort.
+graft.kingKinship <- function(genotypes, sampleCol, siteCol, gtCol,
+                              maxSamples = 1000) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "kingKinship", genotypes@sdf,
+                                  sampleCol, siteCol, gtCol,
+                                  as.numeric(maxSamples)))
+}
+
+#' Per-sample inbreeding coefficient F vs cohort allele frequencies.
+graft.inbreedingF <- function(genotypes, sampleCol, siteCol, gtCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "inbreedingF", genotypes@sdf,
+                                  sampleCol, siteCol, gtCol))
+}
+
+#' 12-class SNV substitution census with permille shares.
+graft.substitutionMatrix <- function(variants,
+                                     refCol = "referenceAllele",
+                                     altCol = "alternateAllele") {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "substitutionMatrix",
+                                  variants@sdf, refCol, altCol))
+}
+
+#' Indel length spectrum with edge-bin clamping.
+graft.indelLengthSpectrum <- function(variants,
+                                      refCol = "referenceAllele",
+                                      altCol = "alternateAllele",
+                                      maxAbsLen = 20L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "indelLengthSpectrum",
+                                  variants@sdf, refCol, altCol,
+                                  as.integer(maxAbsLen)))
+}
+
+#' Per-sample call-rate / genotype-class census.
+graft.callRate <- function(genotypes, sampleCol, gtCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "callRate", genotypes@sdf,
+                                  sampleCol, gtCol))
+}
+
+#' Split-conformal calibration audit (threshold + achieved coverage).
+graft.conformalCoverage <- function(cal, evalDf, scoreCol,
+                                    alphaPermille = 100L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "conformalCoverage", cal@sdf,
+                                  evalDf@sdf, scoreCol,
+                                  as.integer(alphaPermille)))
+}
+
+#' Confident-learning label-noise census.
+graft.confidentLearningGrid <- function(df, givenCol, predCol,
+                                        confPermilleCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "confidentLearningGrid", df@sdf,
+                                  givenCol, predCol, confPermilleCol))
+}

@@ -196,6 +196,61 @@ object RealignIndels {
       seq.substring(altStartRead, altEndRead)))
   }
 
+  /** Rebuild the MD tag and NM count of a realigned read against the
+    * target's reference window. GATK's IndelRealigner RECOMPUTES NM and
+    * DROPS the (now stale) MD on every read it moves
+    * (artificial.realigned.sam: NM updated, MD absent on read2/read4);
+    * a pre-realignment MD describes an alignment that no longer exists,
+    * so carrying it forward is worse than either choice. We go one
+    * further and recompute BOTH from the window already in hand.
+    * Returns None when the window doesn't cover the read (caller then
+    * clears the stale tags instead). */
+  private[algorithms] def mdNm(seq: String, newStart: Long,
+      cigar: String, refWindow: String,
+      windowStart: Long): Option[(String, Int)] = {
+    var rpos = (newStart - windowStart).toInt
+    if (rpos < 0 || seq == null || seq.isEmpty) return None
+    var spos = 0
+    var nm = 0
+    var matchRun = 0
+    val md = new StringBuilder
+    Cigar.parse(cigar).foreach { e =>
+      e.op match {
+        case 'M' | '=' | 'X' =>
+          var k = 0
+          while (k < e.length) {
+            if (rpos >= refWindow.length || spos >= seq.length) return None
+            val rb = refWindow.charAt(rpos)
+            if (Character.toUpperCase(rb) ==
+              Character.toUpperCase(seq.charAt(spos))) matchRun += 1
+            else {
+              md.append(matchRun).append(rb)
+              matchRun = 0
+              nm += 1
+            }
+            rpos += 1; spos += 1; k += 1
+          }
+        case 'D' =>
+          if (rpos + e.length > refWindow.length) return None
+          md.append(matchRun).append('^')
+            .append(refWindow.substring(rpos, rpos + e.length))
+          matchRun = 0
+          nm += e.length
+          rpos += e.length
+        case 'I' =>
+          nm += e.length
+          spos += e.length
+        case 'S' =>
+          spos += e.length
+        case 'N' =>
+          rpos += e.length
+        case _ => return None // H/P don't appear in rebuilt cigars
+      }
+    }
+    md.append(matchRun)
+    Some((md.toString, nm))
+  }
+
   def realignTargetGroup(
       reads: Seq[Alignment],
       target: ReferenceRegion,
@@ -296,12 +351,24 @@ object RealignIndels {
                 else s"${before + refLen}M${ins}S"
               }
             }
+          // the moved alignment invalidates the carried MD/NM — rebuild
+          // both against the window (GATK recomputes NM, drops MD)
+          val rebuilt = mdNm(r.sequence.getOrElse(""), newStart,
+            newCigar, refWindow, windowStart)
+          val newAttrs = rebuilt match {
+            case Some((md, nm)) =>
+              val base = r.attributes + ("NM" -> s"i:$nm")
+              if (base.contains("MD")) base + ("MD" -> s"Z:$md") else base
+            case None => r.attributes - "NM" - "MD"
+          }
           r.copy(
             start = Some(newStart),
             originalStart = r.start,
             end = Some(newStart + Cigar.referenceLength(newCigar)),
             cigar = Some(newCigar),
             originalCigar = r.cigar,
+            mismatchingPositions = rebuilt.map(_._1),
+            attributes = newAttrs,
             // realigned reads get +10 mapping quality (reference
             // RealignIndels.scala:389, matching GATK IndelRealigner's
             // bump in artificial.realigned.sam)

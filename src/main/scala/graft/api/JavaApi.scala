@@ -1385,4 +1385,53 @@ object JavaApi {
   def seasonalProfile(df: DataFrame, keyCol: String,
       tsCol: String): DataFrame =
     graft.operators.TimeSeriesOps.seasonalProfile(df, keyCol, tsCol)
+
+  /** Pairwise KING-robust kinship over a bounded cohort: (sample_i,
+    * sample_j, n_shared, n_both_het, n_opp_hom, n_het_i, n_het_j,
+    * kinship). */
+  def kingKinship(genotypes: DataFrame, sampleCol: String,
+      siteCol: String, gtCol: String, maxSamples: Long): DataFrame =
+    graft.operators.VariantQc.kingKinship(genotypes, sampleCol, siteCol,
+      gtCol, maxSamples)
+
+  /** Per-sample inbreeding coefficient F vs cohort allele frequencies:
+    * (sample, n_called, n_het, exp_het, f). */
+  def inbreedingF(genotypes: DataFrame, sampleCol: String,
+      siteCol: String, gtCol: String): DataFrame =
+    graft.operators.VariantQc.inbreedingF(genotypes, sampleCol, siteCol,
+      gtCol)
+
+  /** 12-class SNV substitution census: (ref_allele, alt_allele, n,
+    * permille). */
+  def substitutionMatrix(variants: DataFrame, refCol: String,
+      altCol: String): DataFrame =
+    graft.operators.VariantQc.substitutionMatrix(variants, refCol,
+      altCol)
+
+  /** Indel length spectrum with edge-bin clamping: (dlen, n_indels). */
+  def indelLengthSpectrum(variants: DataFrame, refCol: String,
+      altCol: String, maxAbsLen: Int): DataFrame =
+    graft.operators.VariantQc.indelLengthSpectrum(variants, refCol,
+      altCol, maxAbsLen)
+
+  /** Per-sample call-rate / genotype-class census: (sample, n_total,
+    * n_called, n_het, n_hom_ref, n_hom_alt, n_other,
+    * call_rate_permille, het_permille). */
+  def callRate(genotypes: DataFrame, sampleCol: String,
+      gtCol: String): DataFrame =
+    graft.operators.VariantQc.callRate(genotypes, sampleCol, gtCol)
+
+  /** Split-conformal calibration audit: (n_cal, threshold, n_eval,
+    * n_covered, coverage_permille). */
+  def conformalCoverage(cal: DataFrame, eval: DataFrame,
+      scoreCol: String, alphaPermille: Int): DataFrame =
+    graft.operators.LabelQaOps.conformalCoverage(cal, eval, scoreCol,
+      alphaPermille)
+
+  /** Confident-learning label-noise census: (given_label, pred_label,
+    * n, n_confident). */
+  def confidentLearningGrid(df: DataFrame, givenCol: String,
+      predCol: String, confPermilleCol: String): DataFrame =
+    graft.operators.LabelQaOps.confidentLearningGrid(df, givenCol,
+      predCol, confPermilleCol)
 }

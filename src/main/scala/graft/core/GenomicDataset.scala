@@ -167,7 +167,12 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
     * published "Parquet 20 % smaller than BAM" claim. Measured on the
     * real NA12878+bqsr1 reads (tools/StorageParity): gzip 0.70x BAM vs
     * Spark's snappy default at 1.16x BAM — at 100 TB the write-side CPU
-    * is well spent. Pass "snappy"/"zstd" to override. */
+    * is well spent. Round-15 throughput audit (SCALE.md "Parquet codec
+    * decision"): gzip stays the default (smaller than zstd on the
+    * non-replicated 1x real corpus, and like-for-like with the
+    * reference's published parity row); zstd is the measured opt-in for
+    * codec-bound ingest (2.2x write / 3.2x read throughput vs gzip).
+    * Pass "snappy"/"zstd" to override. */
   def saveAsParquet(path: String, codec: String = "gzip"): Unit = {
     toDF.write.mode("overwrite").option("compression", codec).parquet(path)
     Sidecars.write(spark, path, meta)

@@ -159,6 +159,11 @@ case class Genotype(
     referenceReadDepth: Option[Int] = None,
     alternateReadDepth: Option[Int] = None,
     genotypeLikelihoods: Seq[Double] = Seq.empty,
+    // which FORMAT key genotypeLikelihoods came from: Some(true) = PL
+    // (phred-scaled), Some(false) = GL (log10 floats). The writer emits
+    // the SAME key back — emitting GL floats under PL would hand a
+    // spec-violating file to any downstream tool (r15 byte audit).
+    likelihoodsPhred: Option[Boolean] = None,
     strandBiasComponents: Seq[Int] = Seq.empty,
     splitFromMultiAllelic: Option[Boolean] = None,
     phaseSetId: Option[Int] = None,

@@ -566,7 +566,176 @@ object GenomicQueries extends QuerySet {
             OR (c = 1 AND ((m <= 1 AND f >= 1) OR (m >= 1 AND f <= 1))))
             AS violation,
           CAST(count(*) AS BIGINT) AS n
-        FROM t GROUP BY 1, 2, 3, 4"""))
+        FROM t GROUP BY 1, 2, 3, 4""")),
+
+    // KING-robust pairwise kinship over a 7-sample cohort synthesized
+    // from lineitem ((orderkey, linenumber) is the PK, so (site,
+    // sample) is unique by construction): exact integer pair census,
+    // one double division.
+    Query("q218_king_kinship",
+      (s, dir) => graft.operators.VariantQc.kingKinship(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("site"),
+          concat(lit("s"), col("l_linenumber").cast("string"))
+            .as("sample_id"),
+          ((col("l_partkey") + col("l_linenumber")) % 3).cast("int")
+            .as("gt")),
+        "sample_id", "site", "gt"),
+      Some("""WITH g AS (SELECT l_orderkey AS site,
+            's' || CAST(l_linenumber AS VARCHAR) AS s,
+            CAST((l_partkey + l_linenumber) % 3 AS INT) AS gt
+          FROM lineitem)
+        SELECT a.s AS sample_i, b.s AS sample_j,
+          CAST(count(*) AS BIGINT) AS n_shared,
+          CAST(sum(CASE WHEN a.gt = 1 AND b.gt = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both_het,
+          CAST(sum(CASE WHEN abs(a.gt - b.gt) = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_opp_hom,
+          CAST(sum(CASE WHEN a.gt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_het_i,
+          CAST(sum(CASE WHEN b.gt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_het_j,
+          CASE WHEN sum(CASE WHEN a.gt = 1 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.gt = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(sum(CASE WHEN a.gt = 1 AND b.gt = 1
+                THEN 1 ELSE 0 END)
+                - 2 * sum(CASE WHEN abs(a.gt - b.gt) = 2
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CASE WHEN a.gt = 1 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN b.gt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            END AS kinship
+        FROM g a JOIN g b ON a.site = b.site AND a.s < b.s
+        GROUP BY 1, 2""")),
+
+    // Per-sample inbreeding coefficient F on the same synthesized
+    // cohort: per-site expected-het quantized at 1e7 with exact
+    // integer floors, limb-cast final divisions on both sides.
+    Query("q219_inbreeding_f",
+      (s, dir) => graft.operators.VariantQc.inbreedingF(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("site"),
+          concat(lit("s"), col("l_linenumber").cast("string"))
+            .as("sample_id"),
+          ((col("l_partkey") + col("l_linenumber")) % 3).cast("int")
+            .as("gt")),
+        "sample_id", "site", "gt"),
+      Some(s"""WITH g AS (SELECT l_orderkey AS site,
+           |    's' || CAST(l_linenumber AS VARCHAR) AS s,
+           |    CAST((l_partkey + l_linenumber) % 3 AS INT) AS gt
+           |  FROM lineitem),
+           |sites AS (SELECT site, CAST(sum(gt) AS HUGEINT) AS ac,
+           |    CAST(2 * count(*) AS HUGEINT) AS an
+           |  FROM g GROUP BY 1),
+           |sq AS (SELECT site,
+           |    (2 * ac * (an - ac) * 10000000) // (an * an) AS eq
+           |  FROM sites),
+           |per AS (SELECT s, CAST(count(*) AS BIGINT) AS n_called,
+           |    CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_het,
+           |    CAST(sum(eq) AS HUGEINT) AS ehetq
+           |  FROM g JOIN sq USING (site) GROUP BY 1)
+           |SELECT s AS sample_id, n_called, n_het,
+           |  ${limbSql("ehetq")} / 1e7 AS exp_het,
+           |  CASE WHEN ehetq <= 0 THEN NULL
+           |    ELSE 1.0 - ${limbSql("CAST(n_het AS HUGEINT) * 10000000")}
+           |      / ${limbSql("ehetq")} END AS f
+           |FROM per""".stripMargin)),
+
+    // Full 12-class SNV substitution census with exact permille shares
+    // — the q209 allele synthesis, classed by (ref > alt) instead of
+    // collapsed to Ts/Tv.
+    Query("q220_substitution_matrix",
+      (s, dir) => graft.operators.VariantQc.substitutionMatrix(
+        t(s, dir, "part").select(
+          when(col("p_partkey") % 11 === 0, lit("AT"))
+            .otherwise(expr(
+              "substr('ACGT', cast(p_partkey % 4 as int) + 1, 1)"))
+            .as("referenceAllele"),
+          expr("substr('ACGT', cast((p_partkey % 4 + p_partkey % 3 + 1)" +
+            " % 4 as int) + 1, 1)").as("alternateAllele"))),
+      Some("""WITH v AS (SELECT
+            CASE WHEN p_partkey % 11 = 0 THEN 'AT'
+              ELSE substr('ACGT', CAST(p_partkey % 4 AS INT) + 1, 1)
+              END AS r,
+            substr('ACGT',
+              CAST((p_partkey % 4 + p_partkey % 3 + 1) % 4 AS INT) + 1,
+              1) AS a
+          FROM part),
+        c AS (SELECT upper(r) AS ref_allele, upper(a) AS alt_allele
+          FROM v
+          WHERE length(r) = 1 AND length(a) = 1 AND r <> a
+            AND r IN ('A','C','G','T') AND a IN ('A','C','G','T')),
+        m AS (SELECT ref_allele, alt_allele,
+            CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM m)
+        SELECT ref_allele, alt_allele, n, n * 1000 // tt AS permille
+        FROM m CROSS JOIN t""")),
+
+    // Indel length spectrum over synthesized variable-length alleles
+    // (1 in 13 carries an N ref — excluded by the ACGT contract);
+    // maxAbsLen = 4 exercises the edge-bin clamp.
+    Query("q221_indel_spectrum",
+      (s, dir) => graft.operators.VariantQc.indelLengthSpectrum(
+        t(s, dir, "part").select(
+          when(col("p_partkey") % 13 === 0, lit("N"))
+            .otherwise(expr("substr('ACGTACGTACGT', 1," +
+              " 1 + cast(p_partkey % 6 as int))"))
+            .as("referenceAllele"),
+          expr("substr('ACGTACGTACGT', 2," +
+            " 1 + cast(p_partkey % 4 as int))").as("alternateAllele")),
+        maxAbsLen = 4),
+      Some("""WITH v AS (SELECT
+            CASE WHEN p_partkey % 13 = 0 THEN 'N'
+              ELSE substr('ACGTACGTACGT', 1,
+                1 + CAST(p_partkey % 6 AS INT)) END AS r,
+            substr('ACGTACGTACGT', 2,
+              1 + CAST(p_partkey % 4 AS INT)) AS a
+          FROM part)
+        SELECT CAST(greatest(least(length(a) - length(r), 4), -4)
+            AS INT) AS dlen,
+          CAST(count(*) AS BIGINT) AS n_indels
+        FROM v
+        WHERE regexp_matches(r, '^[ACGT]+$')
+          AND regexp_matches(a, '^[ACGT]+$')
+          AND length(r) <> length(a)
+        GROUP BY 1""")),
+
+    // Per-sample call-rate / genotype-class census with NULL-gt
+    // missingness (1 in 13) and out-of-range codes (gt = 3 -> 'other').
+    Query("q222_call_rate",
+      (s, dir) => graft.operators.VariantQc.callRate(
+        t(s, dir, "customer").select(
+          concat(lit("s"), (col("c_custkey") % 10).cast("string"))
+            .as("sample_id"),
+          when(col("c_custkey") % 13 === 0, lit(null).cast("int"))
+            .otherwise((col("c_custkey") % 4).cast("int")).as("gt")),
+        "sample_id", "gt"),
+      Some("""WITH g AS (SELECT
+            's' || CAST(c_custkey % 10 AS VARCHAR) AS s,
+            CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE CAST(c_custkey % 4 AS INT) END AS gt
+          FROM customer)
+        SELECT s AS sample_id, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN gt IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_called,
+          CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_het,
+          CAST(sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hom_ref,
+          CAST(sum(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hom_alt,
+          CAST(sum(CASE WHEN gt IS NOT NULL AND gt NOT IN (0, 1, 2)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+          CAST(sum(CASE WHEN gt IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS call_rate_permille,
+          CAST(CASE
+            WHEN sum(CASE WHEN gt IS NOT NULL THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) * 1000
+              // sum(CASE WHEN gt IS NOT NULL THEN 1 ELSE 0 END)
+            END AS BIGINT) AS het_permille
+        FROM g GROUP BY 1"""))
   )
 
   /** Alignment rows synthesized from lineitem for the read-algorithm

@@ -3499,7 +3499,71 @@ object PipelineQueries extends QuerySet {
           CAST(st AS BIGINT) AS slot_total,
           CAST(n * grand * 1000 // (kt * st) AS BIGINT)
             AS ratio_permille
-        FROM w CROSS JOIN t"""))
+        FROM w CROSS JOIN t""")),
+
+    // Split-conformal calibration audit at 10% miscoverage: threshold
+    // from a 20% hash-split calibration frame (exact finite-sample
+    // rank), achieved coverage on the rest — integer cents scores.
+    Query("q223_conformal_coverage",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), cents(col("value")).as("score"))
+        graft.operators.LabelQaOps.conformalCoverage(
+          e.filter(col("event_id") % 5 === 0),
+          e.filter(col("event_id") % 5 =!= 0),
+          "score", alphaPermille = 100)
+      },
+      Some("""WITH cal AS (SELECT
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+          FROM events WHERE event_id % 5 = 0 AND value IS NOT NULL),
+        cg AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+          FROM cal GROUP BY 1),
+        cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+            AS cum, CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM cg),
+        thr AS (SELECT min(v) AS threshold, max(n) AS n_cal
+          FROM cum
+          WHERE cum >= least(((n + 1) * 900 + 999) // 1000, n)),
+        ev AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+          FROM events WHERE event_id % 5 <> 0 AND value IS NOT NULL),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(sum(CASE WHEN v <= threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+          FROM ev CROSS JOIN thr)
+        SELECT coalesce(n_cal, 0) AS n_cal, threshold,
+          coalesce(n_eval, 0) AS n_eval,
+          coalesce(n_covered, 0) AS n_covered,
+          CAST(CASE WHEN coalesce(n_eval, 0) = 0 THEN NULL
+            ELSE n_covered * 1000 // n_eval END AS BIGINT)
+            AS coverage_permille
+        FROM thr CROSS JOIN ec""")),
+
+    // Confident-learning label-noise census over synthesized
+    // (given, predicted, confidence) labels: per-class mean-confidence
+    // thresholds via exact integer cross-multiply, bounded 25-cell grid.
+    Query("q224_confident_learning",
+      (s, dir) => graft.operators.LabelQaOps.confidentLearningGrid(
+        t(s, dir, "orders").select(
+          concat(lit("P"), ((col("o_orderkey") + col("o_custkey")) % 5)
+            .cast("string")).as("given"),
+          concat(lit("P"), (col("o_orderkey") % 5).cast("string"))
+            .as("pred"),
+          ((col("o_orderkey") * 37) % 1000).cast("long").as("conf")),
+        "given", "pred", "conf"),
+      Some("""WITH r AS (SELECT
+            'P' || CAST((o_orderkey + o_custkey) % 5 AS VARCHAR) AS g,
+            'P' || CAST(o_orderkey % 5 AS VARCHAR) AS p,
+            CAST((o_orderkey * 37) % 1000 AS BIGINT) AS conf
+          FROM orders),
+        t AS (SELECT g AS tg, CAST(count(*) AS HUGEINT) AS tn,
+            CAST(sum(conf) AS HUGEINT) AS ts
+          FROM r GROUP BY 1)
+        SELECT g AS given_label, p AS pred_label,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN CAST(conf AS HUGEINT) * tn >= ts
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_confident
+        FROM r LEFT JOIN t ON r.p = t.tg
+        GROUP BY 1, 2"""))
   )
 
   /** DuckDB twin of [[graft.operators.SamplingOps.bootstrapCi]] on the

@@ -218,6 +218,10 @@ object VcfIO {
                 .flatMap(_.split(",").filter(_ != ".").map(_.toDouble))
               if (isMulti) slicePl(full, alleleIdx.length, altIdx) else full
             },
+            likelihoodsPhred =
+              if (kv.contains("PL")) Some(true)
+              else if (kv.contains("GL")) Some(false)
+              else None,
             attributes = restAttrs))
         }
       }
@@ -409,7 +413,26 @@ object VcfIO {
   // ------------------------------- write -----------------------------------
 
   private def fmtDouble(d: Double): String =
-    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+    else {
+      // C-style %.6g — what freebayes/bcftools print (6 significant
+      // digits, trailing zeros stripped, e-XX exponent) — adopted ONLY
+      // when it round-trips to the same double; otherwise the exact
+      // Double.toString wins (formatting must never lose precision).
+      // This makes the r15 byte audit read QUAL back byte-identically.
+      val raw =
+        String.format(java.util.Locale.ROOT, "%.6g", Double.box(d))
+      val (m, e) = raw.indexOf('e') match {
+        case -1 => (raw, "")
+        case i => (raw.substring(0, i), raw.substring(i))
+      }
+      val m2 =
+        if (m.contains('.'))
+          m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else m
+      val g = m2 + e
+      if (g.nonEmpty && g.toDouble == d) g else d.toString
+    }
 
   /** Serialize one VariantContext (one site, pre-grouped genotypes) to a
     * VCF line (saveAsVcf, VariantContextDataset.scala:356-466). */
@@ -446,7 +469,13 @@ object VcfIO {
       "AD" -> anyOf(g =>
         g.referenceReadDepth.nonEmpty || g.alternateReadDepth.nonEmpty),
       "SB" -> anyOf(_.strandBiasComponents.nonEmpty),
-      "PL" -> anyOf(_.genotypeLikelihoods.nonEmpty),
+      // likelihoods go back under the key they came from: GL only when
+      // every likelihood-carrying genotype is GL-sourced (log10 floats
+      // under PL would violate the spec's phred-int contract)
+      (if (gs.exists(_.genotypeLikelihoods.nonEmpty) &&
+        gs.filter(_.genotypeLikelihoods.nonEmpty)
+          .forall(_.likelihoodsPhred.contains(false))) "GL" else "PL")
+        -> anyOf(_.genotypeLikelihoods.nonEmpty),
       "PS" -> anyOf(_.phaseSetId.nonEmpty),
       "PQ" -> anyOf(_.phaseQuality.nonEmpty)
     ).collect { case (k, true) => k }
@@ -463,7 +492,7 @@ object VcfIO {
       case "SB" =>
         if (g.strandBiasComponents.isEmpty) "."
         else g.strandBiasComponents.mkString(",")
-      case "PL" =>
+      case "PL" | "GL" =>
         if (g.genotypeLikelihoods.isEmpty) "."
         else g.genotypeLikelihoods.map(fmtDouble).mkString(",")
       case "PS" => g.phaseSetId.map(_.toString).getOrElse(".")

@@ -643,6 +643,43 @@ object EventStreams {
       motherCol, childCol)
 
   /** Streaming twin of
+    * [[graft.operators.VariantQc.substitutionMatrix]] (grid phase):
+    * the bounded 12-cell (ref > alt) census as complete-mode state.
+    * Fold each drained snapshot through
+    * [[graft.operators.VariantQc.substitutionFromCounts]]; drained
+    * over the same rows it equals the batch census exactly
+    * (StreamingSpec). */
+  def streamingSubstitutionCounts(variants: DataFrame,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele"): DataFrame =
+    graft.operators.VariantQc.substitutionCounts(variants, refCol,
+      altCol)
+
+  /** Streaming twin of
+    * [[graft.operators.VariantQc.indelLengthSpectrum]] (grid phase):
+    * the bounded (≤ 2·maxAbsLen+1)-row length census as complete-mode
+    * state. Fold each drained snapshot through
+    * [[graft.operators.VariantQc.indelFromCounts]]; drained over the
+    * same rows it equals the batch spectrum exactly (StreamingSpec). */
+  def streamingIndelCounts(variants: DataFrame,
+      refCol: String = "referenceAllele",
+      altCol: String = "alternateAllele",
+      maxAbsLen: Int = 20): DataFrame =
+    graft.operators.VariantQc.indelCounts(variants, refCol, altCol,
+      maxAbsLen)
+
+  /** Streaming twin of [[graft.operators.VariantQc.callRate]] (grid
+    * phase): the (sample, class) census as complete-mode state. Fold
+    * each drained snapshot through
+    * [[graft.operators.VariantQc.callRateFromCounts]]; drained over
+    * the same rows it equals the batch census exactly
+    * (StreamingSpec). */
+  def streamingCallRateCounts(genotypes: DataFrame, sampleCol: String,
+      gtCol: String): DataFrame =
+    graft.operators.VariantQc.callRateCounts(genotypes, sampleCol,
+      gtCol)
+
+  /** Streaming twin of
     * [[graft.operators.TimeSeriesOps.seasonalProfile]] (grid phase):
     * the (key, dow, hour) slot census as complete-mode state — counts
     * add, so the micro-batch partial agg IS the batch combine. Spark

@@ -1645,6 +1645,88 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"mendel: wrote $out")
 
+      // kinship <in> <out> -sample c -site c -gt c [-maxSamples n] —
+      //   pairwise KING-robust kinship over a bounded cohort
+      case "kinship" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (sm, st, gt) =
+          (fv("-sample", ""), fv("-site", ""), fv("-gt", ""))
+        if (sm.isEmpty || st.isEmpty || gt.isEmpty)
+          sys.error("kinship needs -sample/-site/-gt")
+        graft.operators.VariantQc.kingKinship(spark.read.parquet(in),
+            sm, st, gt, fv("-maxSamples", "1000").toLong)
+          .write.mode("overwrite").parquet(out)
+        println(s"kinship: wrote $out")
+
+      // inbreeding <in> <out> -sample c -site c -gt c — per-sample
+      //   inbreeding coefficient F vs cohort allele frequencies
+      case "inbreeding" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (sm, st, gt) =
+          (fv("-sample", ""), fv("-site", ""), fv("-gt", ""))
+        if (sm.isEmpty || st.isEmpty || gt.isEmpty)
+          sys.error("inbreeding needs -sample/-site/-gt")
+        graft.operators.VariantQc.inbreedingF(spark.read.parquet(in),
+            sm, st, gt)
+          .write.mode("overwrite").parquet(out)
+        println(s"inbreeding: wrote $out")
+
+      // subMatrix <in> <out> [-ref c] [-alt c] — 12-class SNV
+      //   substitution census with permille shares
+      case "subMatrix" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.VariantQc.substitutionMatrix(
+            spark.read.parquet(in), fv("-ref", "referenceAllele"),
+            fv("-alt", "alternateAllele"))
+          .write.mode("overwrite").parquet(out)
+        println(s"subMatrix: wrote $out")
+
+      // indelSpectrum <in> <out> [-ref c] [-alt c] [-maxLen n] — indel
+      //   length histogram with edge-bin clamping
+      case "indelSpectrum" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        graft.operators.VariantQc.indelLengthSpectrum(
+            spark.read.parquet(in), fv("-ref", "referenceAllele"),
+            fv("-alt", "alternateAllele"), fv("-maxLen", "20").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"indelSpectrum: wrote $out")
+
+      // callRate <in> <out> -sample c -gt c — per-sample call-rate /
+      //   genotype-class census (NULL gt = missing)
+      case "callRate" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (sm, gt) = (fv("-sample", ""), fv("-gt", ""))
+        if (sm.isEmpty || gt.isEmpty)
+          sys.error("callRate needs -sample/-gt")
+        graft.operators.VariantQc.callRate(spark.read.parquet(in), sm, gt)
+          .write.mode("overwrite").parquet(out)
+        println(s"callRate: wrote $out")
+
+      // conformal <cal> <eval> <out> -score c [-alpha permille] —
+      //   split-conformal threshold + achieved coverage
+      case "conformal" :: calP :: evalP :: out :: rest =>
+        val fv = flagValue(rest) _
+        val sc = fv("-score", "")
+        if (sc.isEmpty) sys.error("conformal needs -score")
+        graft.operators.LabelQaOps.conformalCoverage(
+            spark.read.parquet(calP), spark.read.parquet(evalP), sc,
+            fv("-alpha", "100").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"conformal: wrote $out")
+
+      // confidentLearning <in> <out> -given c -pred c -conf c —
+      //   confident-learning label-noise census
+      case "confidentLearning" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, p, c) =
+          (fv("-given", ""), fv("-pred", ""), fv("-conf", ""))
+        if (g.isEmpty || p.isEmpty || c.isEmpty)
+          sys.error("confidentLearning needs -given/-pred/-conf")
+        graft.operators.LabelQaOps.confidentLearningGrid(
+            spark.read.parquet(in), g, p, c)
+          .write.mode("overwrite").parquet(out)
+        println(s"confidentLearning: wrote $out")
+
       // numProfile <in> <out> -cols a,b,c — single-scan numeric profile
       //   (nulls, min/max, exact sum, integer-floor mean/variance)
       case "numProfile" :: in :: out :: rest =>

@@ -89,7 +89,11 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "tstvRatio" -> 4, "hardyWeinberg" -> 3,
       "genotypeConcordance" -> 4, "alleleFrequencySpectrum" -> 4,
       "coverageUniformity" -> 1, "mendelianViolations" -> 4,
-      "fleissKappa" -> 3, "bootstrapCi" -> 5, "seasonalProfile" -> 3)
+      "fleissKappa" -> 3, "bootstrapCi" -> 5, "seasonalProfile" -> 3,
+      "kingKinship" -> 5, "inbreedingF" -> 4,
+      "substitutionMatrix" -> 3, "indelLengthSpectrum" -> 4,
+      "callRate" -> 3, "conformalCoverage" -> 4,
+      "confidentLearningGrid" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

@@ -755,16 +755,17 @@ class PlanSpec extends SparkSpec {
 
   test("q184 KS drift: map-side grid collapse feeds the bounded-table " +
       "windows — the value grid aggregates BEFORE any window") {
-    val plan = planOf("q184_ks_value_drift")
-    assert(plan.contains("partial_sum"),
-      "grid counts must map-side combine: " + plan.take(600))
-    // the unkeyed running-sum window must consume the aggregated grid,
-    // not data rows: in the printed tree (root first) the window appears
-    // ABOVE the grid aggregate
+    // r15: ksFromCounts persists the grid and checkpoints its 1-row
+    // result (tier 1), so read the executed PRE-checkpoint plan
+    planOf("q184_ks_value_drift")
+    val plan = graft.operators.Caching.lastMaterializedPlan
+    // the unkeyed running-sum window must consume the CACHED aggregated
+    // grid, not data rows: the window's input is an InMemoryTableScan
     val w = plan.indexOf("Window")
-    val g = plan.indexOf("partial_sum")
+    val g = plan.indexOf("InMemoryTableScan")
     assert(w >= 0 && g >= 0 && w < g,
-      "window must sit on the aggregated grid: " + plan.take(800))
+      "window must sit on the persisted aggregated grid: " +
+        plan.take(800))
   }
 
   test("q185 mutual information: marginals re-aggregate from the " +
@@ -1101,5 +1102,70 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("windowspecdefinition"))
       .forall(l => l.contains("__k") || l.contains("dow")),
       "windows must be keyed by key or slot: " + plan.take(800))
+  }
+
+  test("q218 kinship: keyed site self-join (never cartesian), pair " +
+      "census map-side combines, no window") {
+    val plan = planOf("q218_king_kinship")
+    assert(plan.contains("Join"), plan.take(400))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      plan.take(800))
+    assert(plan.contains("partial_count"),
+      "pair census must map-side combine: " + plan.take(600))
+  }
+
+  test("q219 inbreeding: keyed site aggregation joins back keyed, " +
+      "no window, final chain pure projection") {
+    val plan = planOf("q219_inbreeding_f")
+    assert(plan.contains("Join"), plan.take(400))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      plan.take(800))
+    assert(plan.contains("partial_sum"), plan.take(600))
+  }
+
+  test("q220 substitution: bounded-grid count + broadcast total — " +
+      "no window, no shuffle join") {
+    val plan = planOf("q220_substitution_matrix")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      plan.take(600))
+  }
+
+  test("q221 indel spectrum: per-row classification + ONE bounded-grid " +
+      "count — no join, no window") {
+    val plan = planOf("q221_indel_spectrum")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(600))
+  }
+
+  test("q222 call rate: (sample, class) grid map-side combines, pivot " +
+      "re-aggregates the grid — no join, no window") {
+    val plan = planOf("q222_call_rate")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(600))
+  }
+
+  test("q223 conformal: both sides re-read their PERSISTED score " +
+      "grids, no shuffle join, windows only over the bounded grid") {
+    planOf("q223_conformal_coverage") // checkpoint hides the plan
+    val plan = graft.operators.Caching.lastMaterializedPlan
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("InMemoryTableScan"),
+      "score grids must come from the persisted cache: " + plan.take(800))
+  }
+
+  test("q224 confident learning: per-class thresholds BROADCAST back, " +
+      "bounded-grid census map-side combines — no shuffle join, " +
+      "no window") {
+    val plan = planOf("q224_confident_learning")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      plan.take(600))
+    assert(plan.contains("partial_count"), plan.take(600))
   }
 }

@@ -1303,6 +1303,120 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming substitution counts + batch finisher == batch SNV " +
+      "substitution matrix") {
+    // q220's streaming twin on the q220 projection of the real part
+    // fixture
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val variants = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "part")
+      .select(
+        when(col("p_partkey") % 11 === 0, lit("AT"))
+          .otherwise(expr(
+            "substr('ACGT', cast(p_partkey % 4 as int) + 1, 1)"))
+          .as("r"),
+        expr("substr('ACGT', cast((p_partkey % 4 + p_partkey % 3 + 1)" +
+          " % 4 as int) + 1, 1)").as("a"))
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getString(0), row.getString(1)) ->
+        (row.getLong(2), row.getLong(3))
+    val batch = graft.operators.VariantQc
+      .substitutionMatrix(variants, "r", "a")
+      .collect().map(key).toMap
+    val rows = variants.as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.EventStreams.streamingSubstitutionCounts(
+        input.toDS().toDF("r", "a"), "r", "a")
+      .writeStream.format("memory").queryName("subcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.VariantQc
+        .substitutionFromCounts(spark.table("subcounts"))
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch substitution drift")
+    } finally q.stop()
+  }
+
+  test("streaming indel counts + batch finisher == batch indel " +
+      "length spectrum") {
+    // q221's streaming twin on the q221 projection of the real part
+    // fixture
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val variants = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "part")
+      .select(
+        when(col("p_partkey") % 13 === 0, lit("N"))
+          .otherwise(expr("substr('ACGTACGTACGT', 1," +
+            " 1 + cast(p_partkey % 6 as int))")).as("r"),
+        expr("substr('ACGTACGTACGT', 2," +
+          " 1 + cast(p_partkey % 4 as int))").as("a"))
+    def key(row: org.apache.spark.sql.Row) =
+      row.getInt(0) -> row.getLong(1)
+    val batch = graft.operators.VariantQc
+      .indelLengthSpectrum(variants, "r", "a", maxAbsLen = 4)
+      .collect().map(key).toMap
+    val rows = variants.as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.EventStreams.streamingIndelCounts(
+        input.toDS().toDF("r", "a"), "r", "a", maxAbsLen = 4)
+      .writeStream.format("memory").queryName("indelcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.VariantQc
+        .indelFromCounts(spark.table("indelcounts"))
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch indel drift")
+    } finally q.stop()
+  }
+
+  test("streaming call-rate counts + batch finisher == batch " +
+      "per-sample call-rate census") {
+    // q222's streaming twin on the q222 projection of the real
+    // customer fixture (NULL gt = missing)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val genotypes = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "customer")
+      .select(
+        concat(lit("s"), (col("c_custkey") % 10).cast("string"))
+          .as("sample_id"),
+        when(col("c_custkey") % 13 === 0, lit(null).cast("int"))
+          .otherwise((col("c_custkey") % 4).cast("int")).as("gt"))
+    def key(row: org.apache.spark.sql.Row) = row.getString(0) ->
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getLong(5), row.getLong(6), row.getLong(7),
+        if (row.isNullAt(8)) -1L else row.getLong(8))
+    val batch = graft.operators.VariantQc
+      .callRate(genotypes, "sample_id", "gt")
+      .collect().map(key).toMap
+    val rows = genotypes.as[(String, Option[Int])].collect().toSeq
+    val input = MemoryStream[(String, Option[Int])]
+    val q = graft.streaming.EventStreams.streamingCallRateCounts(
+        input.toDS().toDF("sample_id", "gt"), "sample_id", "gt")
+      .writeStream.format("memory").queryName("callratecounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.VariantQc
+        .callRateFromCounts(spark.table("callratecounts"), "sample_id")
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch call-rate drift")
+    } finally q.stop()
+  }
+
   test("streaming seasonal slot counts + batch finisher == batch " +
       "weekly seasonality profile") {
     // q217's streaming twin on the real events fixture: the
