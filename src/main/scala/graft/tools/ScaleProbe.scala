@@ -984,6 +984,22 @@ object ScaleProbe {
         callset(0L), callset(2000000L), Seq("site", "sample"), "cls")
         .count()
     }
+    spark.catalog.clearCache()
+    timed("king_kinship_5m_gts_100_samples") {
+      // round 15: the quadratic pairwise operator at its contract
+      // scale — 100 samples x 50k sites = 5M genotypes; the site join
+      // fans out 100x99/2 pair rows per site (247M pair comparisons)
+      // but the census collapses map-side to the bounded 4,950-pair
+      // grid; wall-clock tracks sites x samples^2, the documented
+      // bounded-cohort price
+      val rows = spark.range(5000000L).select(
+        (col("id") % 50000L).as("site"),
+        concat(lit("s"), (col("id") / 50000L).cast("long").cast("string"))
+          .as("sample_id"),
+        pmod(col("id") * 2654435761L, lit(3L)).cast("int").as("gt"))
+      graft.operators.VariantQc.kingKinship(rows, "sample_id", "site",
+        "gt", maxSamples = 128L).count()
+    }
     spark.stop()
   }
 }
