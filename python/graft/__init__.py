@@ -1898,3 +1898,36 @@ def confident_learning_grid(df, given_col, pred_col, conf_permille_col):
     return _wrap(s, _api(s).confidentLearningGrid(df._jdf, given_col,
                                                   pred_col,
                                                   conf_permille_col))
+
+
+def calibration_bins(df, conf_permille_col, correct_col, bins=10):
+    """ECE/reliability report over stated confidence: (bin, n,
+    conf_permille, acc_permille, gap_permille, ece_permille)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).calibrationBins(df._jdf, conf_permille_col,
+                                            correct_col, int(bins)))
+
+
+def trimmed_mean_by_group(df, group_col, value_col, tie_break,
+                          lo_permille=50, hi_permille=950):
+    """Per-group trimmed mean: (group, n, n_kept, trimmed_mean)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).trimmedMeanByGroup(df._jdf, group_col,
+                                               value_col, tie_break,
+                                               int(lo_permille),
+                                               int(hi_permille)))
+
+
+def atkinson_index(df, group_col, value_col):
+    """Per-group Atkinson (eps=2) inequality index: (group, n,
+    atkinson)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).atkinsonIndex(df._jdf, group_col, value_col))
+
+
+def mad_by_group(df, group_col, value_col, tie_break):
+    """Per-group median + median absolute deviation: (group, n, median,
+    mad)."""
+    s = df.sparkSession
+    return _wrap(s, _api(s).madByGroup(df._jdf, group_col, value_col,
+                                       tie_break))

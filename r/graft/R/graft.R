@@ -1178,3 +1178,33 @@ graft.confidentLearningGrid <- function(df, givenCol, predCol,
   .gdf(SparkR::sparkR.callJStatic(.jvm, "confidentLearningGrid", df@sdf,
                                   givenCol, predCol, confPermilleCol))
 }
+
+#' ECE/reliability report over stated confidence permille.
+graft.calibrationBins <- function(df, confPermilleCol, correctCol,
+                                  bins = 10L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "calibrationBins", df@sdf,
+                                  confPermilleCol, correctCol,
+                                  as.integer(bins)))
+}
+
+#' Per-group trimmed mean (permille trim band).
+graft.trimmedMeanByGroup <- function(df, groupCol, valueCol, tieBreak,
+                                     loPermille = 50L,
+                                     hiPermille = 950L) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "trimmedMeanByGroup", df@sdf,
+                                  groupCol, valueCol, tieBreak,
+                                  as.integer(loPermille),
+                                  as.integer(hiPermille)))
+}
+
+#' Per-group Atkinson (eps=2) inequality index.
+graft.atkinsonIndex <- function(df, groupCol, valueCol) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "atkinsonIndex", df@sdf,
+                                  groupCol, valueCol))
+}
+
+#' Per-group median and median absolute deviation.
+graft.madByGroup <- function(df, groupCol, valueCol, tieBreak) {
+  .gdf(SparkR::sparkR.callJStatic(.jvm, "madByGroup", df@sdf, groupCol,
+                                  valueCol, tieBreak))
+}

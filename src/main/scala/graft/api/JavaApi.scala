@@ -1434,4 +1434,30 @@ object JavaApi {
       predCol: String, confPermilleCol: String): DataFrame =
     graft.operators.LabelQaOps.confidentLearningGrid(df, givenCol,
       predCol, confPermilleCol)
+
+  /** ECE/reliability report over stated confidence: (bin, n,
+    * conf_permille, acc_permille, gap_permille, ece_permille). */
+  def calibrationBins(df: DataFrame, confPermilleCol: String,
+      correctCol: String, bins: Int): DataFrame =
+    graft.operators.LabelQaOps.calibrationBins(df, confPermilleCol,
+      correctCol, bins)
+
+  /** Per-group trimmed mean: (group, n, n_kept, trimmed_mean). */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, tieBreak: String, loPermille: Int,
+      hiPermille: Int): DataFrame =
+    graft.operators.Stats.trimmedMeanByGroup(df, groupCol, valueCol,
+      tieBreak, loPermille, hiPermille)
+
+  /** Per-group Atkinson (eps=2) inequality index: (group, n,
+    * atkinson). */
+  def atkinsonIndex(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Stats.atkinsonIndex(df, groupCol, valueCol)
+
+  /** Per-group median + median absolute deviation: (group, n, median,
+    * mad). */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame =
+    graft.operators.Stats.madByGroup(df, groupCol, valueCol, tieBreak)
 }

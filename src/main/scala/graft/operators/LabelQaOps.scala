@@ -92,6 +92,66 @@ object LabelQaOps {
     Caching.materializeAndRelease(out, cg, eg)
   }
 
+  /** Expected-calibration-error report — the reliability audit over a
+    * model's STATED confidence (the complement of
+    * [[Quantiles.calibrationCurve]], which tiers by score QUANTILE):
+    * fixed-width confidence bins over `confPermilleCol` (integer
+    * permille in [0, 1000]), each bin reporting its exact mean stated
+    * confidence, its exact observed accuracy, and the |gap|; every row
+    * also carries the one-number ECE = Σ_b n_b·|acc_b − conf_b| div n
+    * (all integer-floor divisions — engine-identical). An honest model
+    * reads gap ≈ 0 everywhere; overconfidence shows as acc < conf in
+    * the top bins.
+    *
+    * Output per bin: (bin, n, conf_permille, acc_permille,
+    * gap_permille, ece_permille).
+    *
+    * Scale: ONE map-side-combined census of the bounded `bins` grid
+    * (sums add, so the grid phase doubles as complete-mode streaming
+    * state — [[graft.streaming.EventStreams.streamingCalibrationCounts]]
+    * delegates to it); the ECE total is a broadcast 1-row re-aggregate
+    * of the grid. */
+  def calibrationBins(df: DataFrame, confPermilleCol: String,
+      correctCol: String, bins: Int = 10): DataFrame =
+    calibrationFromCounts(
+      calibrationCounts(df, confPermilleCol, correctCol, bins))
+
+  /** The mergeable (bin, n, sum_conf, n_correct) grid phase of
+    * [[calibrationBins]] — one definition, the shared-phase rule. */
+  def calibrationCounts(df: DataFrame, confPermilleCol: String,
+      correctCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val conf = col(confPermilleCol).cast("long")
+    df.filter(conf.isNotNull && conf >= 0 && conf <= 1000 &&
+        col(correctCol).isNotNull)
+      .select(least(expr(s"cast($confPermilleCol as bigint) * $bins" +
+          " div 1000"), lit(bins - 1L)).cast("int").as("bin"),
+        conf.as("__conf"),
+        col(correctCol).cast("boolean").as("__ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("__n"),
+        sum("__conf").as("__sc"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("__nc"))
+  }
+
+  /** Finish [[calibrationBins]] from the grid: merge, exact per-bin
+    * rates, broadcast ECE total. */
+  def calibrationFromCounts(grid: DataFrame): DataFrame = {
+    val merged = grid.groupBy("bin")
+      .agg(sum("__n").as("n"), sum("__sc").as("__sc"),
+        sum("__nc").as("__nc"))
+      .select(col("bin"), col("n"),
+        expr("__sc div n").as("conf_permille"),
+        expr("__nc * 1000 div n").as("acc_permille"))
+      .withColumn("gap_permille",
+        abs(col("acc_permille") - col("conf_permille")))
+    val tot = merged
+      .agg(sum(col("n") * col("gap_permille")).as("__g"),
+        sum("n").as("__t"))
+      .select(expr("__g div __t").cast("long").as("ece_permille"))
+    merged.crossJoin(broadcast(tot))
+  }
+
   /** Confident-learning label-noise census (Northcutt et al. 2021's
     * counting core): with each row carrying its GIVEN label, the
     * model's PREDICTED label, and the model's confidence in that

@@ -1074,4 +1074,126 @@ object Stats {
         (col("__sq").cast("double") /
           (col("__fn").cast("double") * lit(1e7))).as("entropy_nats"))
   }
+
+  /** Per-group trimmed mean — the outlier-robust location estimate a
+    * pipeline reports when a handful of pathological rows (a 2 GB
+    * document, a negative price) would drag the plain mean: drop
+    * exactly `floor(lo·n/1000)` smallest and `floor((1000−hi)·n/1000)`
+    * largest values (by (value, tieBreak) total order), then the exact
+    * mean of what remains — integer sum, ONE [[limbDouble]] division.
+    *
+    * Output per group: (groupCol, n, n_kept, trimmed_mean) —
+    * trimmed_mean NULL when nothing survives the trim.
+    *
+    * Scale: ONE keyed rank window (each group sorts in parallel across
+    * the cluster — never a global sort) + ONE keyed aggregation. */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, tieBreak: String, loPermille: Int = 50,
+      hiPermille: Int = 950): DataFrame = {
+    require(loPermille >= 0 && hiPermille <= 1000 &&
+      loPermille <= hiPermille,
+      s"bad trim band: [$loPermille, $hiPermille]")
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("__g").orderBy(col("__v"), col("__t"))
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long")
+        .as("__v"), col(tieBreak).as("__t"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("__g")))
+    val kept = col("__rn") > expr(s"$loPermille * __n div 1000") &&
+      col("__rn") <= col("__n") -
+        expr(s"${1000 - hiPermille} * __n div 1000")
+    ranked.groupBy("__g")
+      .agg(max("__n").cast("long").as("n"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("__v").cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast(dec).as("__s"))
+      .select(col("__g").as(groupCol), col("n"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("double"))
+          .otherwise(limbDouble(col("__s")) /
+            limbDouble(col("n_kept").cast(dec))).as("trimmed_mean"))
+  }
+
+  /** Per-group Atkinson inequality index (ε = 2) — the inequality
+    * audit of a value column (token counts per source, bytes per
+    * shard): A₂ = 1 − harmonic_mean / arithmetic_mean over positive
+    * values — 0 for a perfectly even distribution, → 1 as the mass
+    * concentrates. Chosen over Theil/ln-based indices deliberately:
+    * a per-row transcendental CANNOT be made engine-identical (JVM
+    * Math.log and DuckDB ln disagree by 1 ulp on real arguments —
+    * measured, r15), while the harmonic form needs only a reciprocal,
+    * which quantizes exactly.
+    *
+    * Engine-parity BY CONSTRUCTION: each row contributes the exact
+    * integer `q = 10^12 div x` (the quantized reciprocal — the
+    * operator's DEFINITION, so both engines floor identically);
+    * with n rows and S = Σx, the index is the fixed double chain
+    * `1 − (n·10^12 / Σq) · (n / S)` — two [[limbDouble]] divisions
+    * and one multiply, bit-identical across engines. NULL and
+    * non-positive values are excluded.
+    *
+    * Output per group: (groupCol, n, atkinson).
+    *
+    * Scale: ONE map-side-combined keyed aggregation — no join, no
+    * window; group cardinality unbounded. */
+  def atkinsonIndex(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tera = lit(1000000000000L)
+    df
+      .filter(col(valueCol).isNotNull && col(valueCol).cast("long") > 0)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).cast(dec).as("__s"),
+        sum(expr("1000000000000 div __v").cast(dec)).cast(dec)
+          .as("__q"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        (lit(1.0) -
+          (limbDouble((col("__n").cast(dec) * tera).cast(dec)) /
+            limbDouble(col("__q"))) *
+          (limbDouble(col("__n").cast(dec)) / limbDouble(col("__s"))))
+          .as("atkinson"))
+  }
+
+  /** Per-group median and MAD (median absolute deviation) — the robust
+    * location/scale pair (the robust-scaling complement: MAD survives
+    * the heavy tails that wreck a standard deviation). Disc medians at
+    * rank `(n+1) div 2` of the (value, tieBreak) order, then of the
+    * absolute deviations — every step exact integer arithmetic.
+    *
+    * Output per group: (groupCol, n, median, mad).
+    *
+    * Scale: two keyed rank windows (parallel per group) and one keyed
+    * join of the rows back onto their group's 1-row median — never a
+    * global sort or broadcast of data. */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String): DataFrame = {
+    val rows = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"), col(tieBreak).as("__t"))
+    val w1 = Window.partitionBy("__g").orderBy(col("__v"), col("__t"))
+    val med = rows
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+      .groupBy("__g")
+      .agg(max("__n").cast("long").as("n"),
+        min(when(col("__rn") === expr("(__n + 1) div 2"), col("__v")))
+          .as("median"))
+    val w2 = Window.partitionBy("__g")
+      .orderBy(col("__d"), col("__v"), col("__t"))
+    rows.join(med, Seq("__g"))
+      .withColumn("__d", abs(col("__v") - col("median")))
+      .withColumn("__rn", row_number().over(w2))
+      .groupBy("__g")
+      .agg(max("n").as("n"), max("median").as("median"),
+        min(when(col("__rn") === expr("(n + 1) div 2"), col("__d")))
+          .as("mad"))
+      .select(col("__g").as(groupCol), col("n"), col("median"),
+        col("mad"))
+  }
 }

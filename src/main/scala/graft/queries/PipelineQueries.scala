@@ -3563,7 +3563,125 @@ object PipelineQueries extends QuerySet {
           CAST(sum(CASE WHEN CAST(conf AS HUGEINT) * tn >= ts
             THEN 1 ELSE 0 END) AS BIGINT) AS n_confident
         FROM r LEFT JOIN t ON r.p = t.tg
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // Expected-calibration-error report over synthesized stated
+    // confidences: fixed-width bins, exact per-bin conf/acc permille,
+    // broadcast ECE total.
+    Query("q225_calibration_bins",
+      (s, dir) => graft.operators.LabelQaOps.calibrationBins(
+        t(s, dir, "events").select(
+          ((col("event_id") * 37) % 1001).cast("long").as("conf"),
+          (((col("event_id") * 13) % 1000) <
+            ((col("event_id") * 37) % 1001)).as("ok")),
+        "conf", "ok", bins = 10),
+      Some("""WITH r AS (SELECT
+            CAST((event_id * 37) % 1001 AS BIGINT) AS conf,
+            ((event_id * 13) % 1000) < ((event_id * 37) % 1001) AS ok
+          FROM events),
+        g AS (SELECT CAST(least(conf * 10 // 1000, 9) AS INT) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(conf) AS BIGINT) AS sc,
+            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          FROM r GROUP BY 1),
+        m AS (SELECT bin, n,
+            CAST(sc // n AS BIGINT) AS conf_permille,
+            CAST(nc * 1000 // n AS BIGINT) AS acc_permille,
+            CAST(abs(nc * 1000 // n - sc // n) AS BIGINT)
+              AS gap_permille
+          FROM g),
+        t AS (SELECT CAST(sum(n * gap_permille) // sum(n) AS BIGINT)
+            AS ece_permille
+          FROM m)
+        SELECT bin, n, conf_permille, acc_permille, gap_permille,
+          ece_permille
+        FROM m CROSS JOIN t""")),
+
+    // Per-flag 10/90-trimmed mean of extended price (cents): keyed
+    // rank window, exact integer trim cuts, one limb division.
+    Query("q226_trimmed_mean",
+      (s, dir) => graft.operators.Stats.trimmedMeanByGroup(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("cents"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("tie")),
+        "l_returnflag", "cents", "tie",
+        loPermille = 100, hiPermille = 900),
+      Some(s"""WITH r AS (SELECT l_returnflag AS g,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+           |    l_orderkey * 8 + l_linenumber AS t
+           |  FROM lineitem),
+           |w AS (SELECT g, v,
+           |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+           |    count(*) OVER (PARTITION BY g) AS n
+           |  FROM r),
+           |k AS (SELECT g, n, v,
+           |    (rn > 100 * n // 1000 AND rn <= n - 100 * n // 1000)
+           |      AS kept
+           |  FROM w),
+           |a AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_kept,
+           |    CAST(sum(CASE WHEN kept THEN v ELSE 0 END) AS HUGEINT)
+           |      AS s
+           |  FROM k GROUP BY 1)
+           |SELECT g AS l_returnflag, n, n_kept,
+           |  CASE WHEN n_kept = 0 THEN NULL
+           |    ELSE ${limbSql("s")}
+           |      / ${limbSql("CAST(n_kept AS HUGEINT)")} END
+           |    AS trimmed_mean
+           |FROM a""".stripMargin)),
+
+    // Atkinson (eps=2) inequality index of order value (cents) per
+    // priority: quantized integer reciprocals, exact sums, limb-cast
+    // fixed double chain — no transcendental in either engine.
+    Query("q227_atkinson_index",
+      (s, dir) => graft.operators.Stats.atkinsonIndex(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents")),
+        "o_orderpriority", "cents"),
+      Some(s"""WITH r AS (SELECT o_orderpriority AS g,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+           |  FROM orders
+           |  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+           |a AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(v) AS HUGEINT) AS s,
+           |    CAST(sum(1000000000000 // v) AS HUGEINT) AS q
+           |  FROM r GROUP BY 1)
+           |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           |  1.0 - (${limbSql("n * 1000000000000")} / ${limbSql("q")})
+           |    * (${limbSql("n")} / ${limbSql("s")}) AS atkinson
+           |FROM a""".stripMargin)),
+
+    // Per-status median + MAD of extended price (cents): two keyed
+    // rank windows, disc ranks at (n+1) div 2, exact integers.
+    Query("q228_median_mad",
+      (s, dir) => graft.operators.Stats.madByGroup(
+        t(s, dir, "lineitem").select(col("l_linestatus"),
+          cents(col("l_extendedprice")).as("cents"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("tie")),
+        "l_linestatus", "cents", "tie"),
+      Some("""WITH r AS (SELECT l_linestatus AS g,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+            l_orderkey * 8 + l_linenumber AS t
+          FROM lineitem),
+        w1 AS (SELECT g, v, t,
+            row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+            count(*) OVER (PARTITION BY g) AS n
+          FROM r),
+        med AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+            min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median
+          FROM w1 GROUP BY 1),
+        d AS (SELECT r.g, med.n, med.median, abs(r.v - med.median) AS dv,
+            r.v, r.t
+          FROM r JOIN med ON r.g = med.g),
+        w2 AS (SELECT g, n, median, dv,
+            row_number() OVER (PARTITION BY g ORDER BY dv, v, t) AS rn
+          FROM d)
+        SELECT g AS l_linestatus, CAST(max(n) AS BIGINT) AS n,
+          CAST(max(median) AS BIGINT) AS median,
+          CAST(min(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS BIGINT)
+            AS mad
+        FROM w2 GROUP BY 1"""))
   )
 
   /** DuckDB twin of [[graft.operators.SamplingOps.bootstrapCi]] on the

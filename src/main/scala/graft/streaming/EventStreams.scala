@@ -679,6 +679,18 @@ object EventStreams {
     graft.operators.VariantQc.callRateCounts(genotypes, sampleCol,
       gtCol)
 
+  /** Streaming twin of [[graft.operators.LabelQaOps.calibrationBins]]
+    * (grid phase): per-bin (n, Σconf, n_correct) sums as complete-mode
+    * state — sums add, so the micro-batch partial agg IS the batch
+    * combine. Fold each drained snapshot through
+    * [[graft.operators.LabelQaOps.calibrationFromCounts]] for the live
+    * reliability/ECE monitor; drained over the same rows it equals the
+    * batch report exactly (StreamingSpec). */
+  def streamingCalibrationCounts(df: DataFrame, confPermilleCol: String,
+      correctCol: String, bins: Int = 10): DataFrame =
+    graft.operators.LabelQaOps.calibrationCounts(df, confPermilleCol,
+      correctCol, bins)
+
   /** Streaming twin of
     * [[graft.operators.TimeSeriesOps.seasonalProfile]] (grid phase):
     * the (key, dow, hour) slot census as complete-mode state — counts

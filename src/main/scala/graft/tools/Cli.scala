@@ -1714,6 +1714,53 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"conformal: wrote $out")
 
+      // calibrationBins <in> <out> -conf c -correct c [-bins n] —
+      //   reliability/ECE report over stated confidence permille
+      case "calibrationBins" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (cc, ok) = (fv("-conf", ""), fv("-correct", ""))
+        if (cc.isEmpty || ok.isEmpty)
+          sys.error("calibrationBins needs -conf/-correct")
+        graft.operators.LabelQaOps.calibrationBins(
+            spark.read.parquet(in), cc, ok, fv("-bins", "10").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"calibrationBins: wrote $out")
+
+      // trimmedMean <in> <out> -group c -value c -tie c [-lo n] [-hi n]
+      //   — per-group trimmed mean (permille trim band)
+      case "trimmedMean" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v, tb) =
+          (fv("-group", ""), fv("-value", ""), fv("-tie", ""))
+        if (g.isEmpty || v.isEmpty || tb.isEmpty)
+          sys.error("trimmedMean needs -group/-value/-tie")
+        graft.operators.Stats.trimmedMeanByGroup(spark.read.parquet(in),
+            g, v, tb, fv("-lo", "50").toInt, fv("-hi", "950").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"trimmedMean: wrote $out")
+
+      // atkinson <in> <out> -group c -value c — Atkinson (eps=2)
+      //   inequality index per group
+      case "atkinson" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v) = (fv("-group", ""), fv("-value", ""))
+        if (g.isEmpty || v.isEmpty) sys.error("atkinson needs -group/-value")
+        graft.operators.Stats.atkinsonIndex(spark.read.parquet(in), g, v)
+          .write.mode("overwrite").parquet(out)
+        println(s"atkinson: wrote $out")
+
+      // mad <in> <out> -group c -value c -tie c — per-group median and
+      //   median absolute deviation
+      case "mad" :: in :: out :: rest =>
+        val fv = flagValue(rest) _
+        val (g, v, tb) =
+          (fv("-group", ""), fv("-value", ""), fv("-tie", ""))
+        if (g.isEmpty || v.isEmpty || tb.isEmpty)
+          sys.error("mad needs -group/-value/-tie")
+        graft.operators.Stats.madByGroup(spark.read.parquet(in), g, v, tb)
+          .write.mode("overwrite").parquet(out)
+        println(s"mad: wrote $out")
+
       // confidentLearning <in> <out> -given c -pred c -conf c —
       //   confident-learning label-noise census
       case "confidentLearning" :: in :: out :: rest =>

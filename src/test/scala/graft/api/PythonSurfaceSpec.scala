@@ -93,7 +93,9 @@ class PythonSurfaceSpec extends AnyFunSuite {
       "kingKinship" -> 5, "inbreedingF" -> 4,
       "substitutionMatrix" -> 3, "indelLengthSpectrum" -> 4,
       "callRate" -> 3, "conformalCoverage" -> 4,
-      "confidentLearningGrid" -> 4)
+      "confidentLearningGrid" -> 4, "calibrationBins" -> 4,
+      "trimmedMeanByGroup" -> 6, "atkinsonIndex" -> 3,
+      "madByGroup" -> 4)
     called.foreach { e =>
       assert(surface.contains(e), s"JavaApi missing py4j-called method $e")
     }

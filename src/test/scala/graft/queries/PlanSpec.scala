@@ -1168,4 +1168,43 @@ class PlanSpec extends SparkSpec {
       plan.take(600))
     assert(plan.contains("partial_count"), plan.take(600))
   }
+
+  test("q225 calibration bins: bounded-grid census map-side combines, " +
+      "ECE total broadcasts — no shuffle join, no window") {
+    val plan = planOf("q225_calibration_bins")
+    assert(plan.contains("partial_count"), plan.take(400))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      plan.take(600))
+  }
+
+  test("q226 trimmed mean: ONE group-keyed rank window + ONE keyed " +
+      "aggregation — no join, no unkeyed window") {
+    val plan = planOf("q226_trimmed_mean")
+    assert(!plan.contains("Join"), plan.take(600))
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g")),
+      "rank windows must be keyed by group: " + plan.take(800))
+  }
+
+  test("q227 atkinson: ONE map-side-combined aggregation, the index " +
+      "chain is pure projection — no join, no window, no log") {
+    val plan = planOf("q227_atkinson_index")
+    assert(plan.contains("partial_count") ||
+      plan.contains("partial_sum"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.toLowerCase.contains("log("), plan.take(600))
+  }
+
+  test("q228 median/MAD: two group-keyed rank windows, the median " +
+      "joins back keyed — never a global sort") {
+    val plan = planOf("q228_median_mad")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g")),
+      "rank windows must be keyed by group: " + plan.take(800))
+  }
 }

@@ -1417,6 +1417,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming calibration counts + batch finisher == batch ECE " +
+      "report") {
+    // q225's streaming twin on the q225 projection of the real events
+    // fixture: the per-bin (n, sum_conf, n_correct) sums are mergeable
+    // complete-mode state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val labeled = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select(((col("event_id") * 37) % 1001).cast("long").as("conf"),
+        (((col("event_id") * 13) % 1000) <
+          ((col("event_id") * 37) % 1001)).as("ok"))
+    def key(row: org.apache.spark.sql.Row) = row.getInt(0) ->
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getLong(5))
+    val batch = graft.operators.LabelQaOps
+      .calibrationBins(labeled, "conf", "ok")
+      .collect().map(key).toMap
+    val rows = labeled.as[(Long, Boolean)].collect().toSeq
+    val input = MemoryStream[(Long, Boolean)]
+    val q = graft.streaming.EventStreams.streamingCalibrationCounts(
+        input.toDS().toDF("conf", "ok"), "conf", "ok")
+      .writeStream.format("memory").queryName("calibcounts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.LabelQaOps
+        .calibrationFromCounts(spark.table("calibcounts"))
+        .collect().map(key).toMap
+      assert(got == batch, "stream-batch calibration drift")
+    } finally q.stop()
+  }
+
   test("streaming seasonal slot counts + batch finisher == batch " +
       "weekly seasonality profile") {
     // q217's streaming twin on the real events fixture: the
