@@ -1000,6 +1000,27 @@ object ScaleProbe {
       graft.operators.VariantQc.kingKinship(rows, "sample_id", "site",
         "gt", maxSamples = 128L).count()
     }
+    spark.catalog.clearCache()
+    timed("trimmed_mean_5m_dominant_group") {
+      // round 15: the per-group rank-window contract under the worst
+      // shape — ONE group holding all 5M rows, so its sort runs in one
+      // task (the discPercentiles disc-selection contract; the
+      // globalNtile two-phase rank is the escalation path if a single
+      // group outgrows a task)
+      val rows = spark.range(5000000L).select(lit("g").as("g"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("v"),
+        col("id").as("t"))
+      graft.operators.Stats.trimmedMeanByGroup(rows, "g", "v", "t")
+        .count()
+    }
+    spark.catalog.clearCache()
+    timed("median_mad_5m_dominant_group") {
+      // round 15: same contract, two rank passes + keyed median join
+      val rows = spark.range(5000000L).select(lit("g").as("g"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("v"),
+        col("id").as("t"))
+      graft.operators.Stats.madByGroup(rows, "g", "v", "t").count()
+    }
     spark.stop()
   }
 }
