@@ -355,10 +355,16 @@ object RealignIndels {
           // both against the window (GATK recomputes NM, drops MD)
           val rebuilt = mdNm(r.sequence.getOrElse(""), newStart,
             newCigar, refWindow, windowStart)
+          // MD is only re-emitted when the read already carried one
+          // (GATK drops MD it didn't have); keep the model field in
+          // lockstep with the attribute map so a SAM/BAM write/read
+          // round-trip (which persists tags from attributes only)
+          // reproduces mismatchingPositions exactly.
+          val emitMd = r.attributes.contains("MD")
           val newAttrs = rebuilt match {
             case Some((md, nm)) =>
               val base = r.attributes + ("NM" -> s"i:$nm")
-              if (base.contains("MD")) base + ("MD" -> s"Z:$md") else base
+              if (emitMd) base + ("MD" -> s"Z:$md") else base
             case None => r.attributes - "NM" - "MD"
           }
           r.copy(
@@ -367,7 +373,8 @@ object RealignIndels {
             end = Some(newStart + Cigar.referenceLength(newCigar)),
             cigar = Some(newCigar),
             originalCigar = r.cigar,
-            mismatchingPositions = rebuilt.map(_._1),
+            mismatchingPositions =
+              if (emitMd) rebuilt.map(_._1) else None,
             attributes = newAttrs,
             // realigned reads get +10 mapping quality (reference
             // RealignIndels.scala:389, matching GATK IndelRealigner's

@@ -208,11 +208,24 @@ case class GenomicDataset[T](ds: Dataset[T], meta: GenomicMetadata,
 
 object GenomicDataset {
 
+  /** Backfill top-level columns the encoder expects but the file lacks
+    * with typed NULLs — schema evolution guard: parquet written before a
+    * record type gained an optional field (e.g. Genotype.likelihoodsPhred,
+    * round 15) stays loadable instead of failing `.as[T]` resolution. */
+  private def backfillMissing(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val present = df.columns.toSet
+    target.fields.filterNot(f => present.contains(f.name)).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+  }
+
   /** Generic parquet load with sidecar metadata restore (loadParquet,
     * ADAMContext.scala:1814-1857 — pushdown/projection free via Catalyst). */
   def loadParquet[T](spark: SparkSession, path: String)(implicit e: Encoder[T]): GenomicDataset[T] = {
     val meta = Sidecars.read(spark, path)
-    GenomicDataset(spark.read.parquet(path).as[T], meta,
+    GenomicDataset(
+      backfillMissing(spark.read.parquet(path), e.schema).as[T], meta,
       sorted = Sidecars.readSortedFlag(spark, path))
   }
 
@@ -231,7 +244,8 @@ object GenomicDataset {
       if (regions.isEmpty) df
       else df.filter(regions.map(binnedRegionFilter(_, binSize, lookback))
         .reduceLeft(_ || _))
-    GenomicDataset(pruned.drop("positionBin").as[T], meta)
+    GenomicDataset(
+      backfillMissing(pruned.drop("positionBin"), e.schema).as[T], meta)
   }
 
   /** Partition-pruning region predicate for the partitioned layout: bin

@@ -51,10 +51,13 @@ object VariantQc {
       r.isin("A", "C", "G", "T") && a.isin("A", "C", "G", "T")
     val isTs = (r.isin("A", "G") && a.isin("A", "G")) ||
       (r.isin("C", "T") && a.isin("C", "T"))
+    // NULL ref/alt makes isSnv evaluate to SQL NULL, which would skip
+    // BOTH when() branches and fall through to "tv" — classify such
+    // rows as "other" explicitly (a null allele is never an SNV).
     variants
       .select(col(groupCol).as("__g"),
-        when(!isSnv, "other").when(isTs, "ts").otherwise("tv")
-          .as("__cls"))
+        when(isSnv.isNull || !isSnv, "other").when(isTs, "ts")
+          .otherwise("tv").as("__cls"))
       .groupBy("__g", "__cls")
       .agg(count(lit(1)).as("__c"))
   }
@@ -311,12 +314,17 @@ object VariantQc {
   def kingKinship(genotypes: DataFrame, sampleCol: String,
       siteCol: String, gtCol: String,
       maxSamples: Long = 1000L): DataFrame = {
+    // the projected frame feeds the cohort census AND both self-join
+    // sides — three full input scans if unpersisted; persist it around
+    // the guard and release via the bounded pair-grid result (tier 1,
+    // operators/Caching.scala — the ksFromCounts pattern)
     val g0 = genotypes
       .filter(col(sampleCol).isNotNull && col(siteCol).isNotNull &&
         col(gtCol).isNotNull && col(gtCol).cast("int").between(0, 2))
       .select(col(siteCol).as("__site"),
         col(sampleCol).cast("string").as("__s"),
         col(gtCol).cast("int").as("__gt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scnt = g0.agg(countDistinct("__s").as("__sn"))
     val g = g0.crossJoin(broadcast(scnt))
       .filter(assert_true(col("__sn") <= lit(maxSamples),
@@ -329,7 +337,7 @@ object VariantQc {
       col("__gt").as("__gi"))
     val b = g.select(col("__site"), col("__s").as("sample_j"),
       col("__gt").as("__gj"))
-    a.join(b, Seq("__site"))
+    val out = a.join(b, Seq("__site"))
       .filter(col("sample_i") < col("sample_j"))
       .groupBy("sample_i", "sample_j")
       .agg(count(lit(1)).as("n_shared"),
@@ -349,6 +357,7 @@ object VariantQc {
               .cast("double") /
               (col("n_het_i") + col("n_het_j")).cast("double"))
           .as("kinship"))
+    Caching.materializeAndRelease(out, g0)
   }
 
   /** Per-sample inbreeding/consanguinity coefficient F — the

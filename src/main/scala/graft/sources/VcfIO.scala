@@ -492,7 +492,16 @@ object VcfIO {
       case "SB" =>
         if (g.strandBiasComponents.isEmpty) "."
         else g.strandBiasComponents.mkString(",")
-      case "PL" | "GL" =>
+      case "PL" =>
+        // mixed-source site: the emitted key is PL, so GL-sourced log10
+        // floats must be converted to phred ints (PL = round(−10·GL)) —
+        // never emit floats under PL (spec phred-int contract)
+        if (g.genotypeLikelihoods.isEmpty) "."
+        else if (g.likelihoodsPhred.contains(false))
+          g.genotypeLikelihoods
+            .map(v => math.round(-10.0 * v).toString).mkString(",")
+        else g.genotypeLikelihoods.map(fmtDouble).mkString(",")
+      case "GL" =>
         if (g.genotypeLikelihoods.isEmpty) "."
         else g.genotypeLikelihoods.map(fmtDouble).mkString(",")
       case "PS" => g.phaseSetId.map(_.toString).getOrElse(".")

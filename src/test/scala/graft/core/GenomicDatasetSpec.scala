@@ -38,6 +38,32 @@ class GenomicDatasetSpec extends SparkSpec {
     assert(loaded.meta.processingSteps.map(_.id) == Seq("step1"))
   }
 
+  test("loadParquet backfills columns added after the file was written " +
+      "(schema evolution: pre-r15 genotype parquet lacks likelihoodsPhred)") {
+    implicit val gtEnc: org.apache.spark.sql.Encoder[Genotype] =
+      Encoders.product[Genotype]
+    val gts = Seq(
+      Genotype(referenceName = Some("chr1"), start = Some(10L),
+        end = Some(11L), sampleId = Some("s1"),
+        genotypeLikelihoods = Seq(0.0, -1.2, -3.4),
+        likelihoodsPhred = Some(false)),
+      Genotype(referenceName = Some("chr1"), start = Some(20L),
+        end = Some(21L), sampleId = Some("s2")))
+    val gd = GenomicDataset(spark.createDataset(gts), meta)
+    val path = tmpDir() + "/gt_old.parquet"
+    gd.saveAsParquet(path)
+    // simulate a file written before the field existed
+    val oldPath = tmpDir() + "/gt_pre_r15.parquet"
+    spark.read.parquet(path).drop("likelihoodsPhred")
+      .write.parquet(oldPath)
+    val loaded = GenomicDataset.loadParquet[Genotype](spark, oldPath)
+    val rows = loaded.ds.collect().sortBy(_.start)
+    assert(rows.length == 2)
+    assert(rows.forall(_.likelihoodsPhred.isEmpty),
+      "missing column must backfill as None")
+    assert(rows.head.genotypeLikelihoods == Seq(0.0, -1.2, -3.4))
+  }
+
   test("partitioned parquet: layout + flag + pruned region load") {
     val gd = GenomicDataset(spark.createDataset(features(30)), meta)
     val path = tmpDir() + "/part.parquet"

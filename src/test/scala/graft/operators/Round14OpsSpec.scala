@@ -19,6 +19,8 @@ class Round14OpsSpec extends SparkSpec {
       ("g1", "N", "A"), // non-ACGT ref: not an SNV
       ("g2", "G", "A"), // ts
       ("g2", "T", "G"), // tv
+      ("g2", null, "A"), // NULL ref: not an SNV (r15 advice: must not
+      ("g2", "G", null), // fall through to "tv" via three-valued logic)
       ("g3", "t", "c")) // lowercase ts only — tv = 0
     val got = VariantQc.tstvRatio(
         rows.toDF("g", "referenceAllele", "alternateAllele"), "g")

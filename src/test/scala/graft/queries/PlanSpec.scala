@@ -1106,7 +1106,8 @@ class PlanSpec extends SparkSpec {
 
   test("q218 kinship: keyed site self-join (never cartesian), pair " +
       "census map-side combines, no window") {
-    val plan = planOf("q218_king_kinship")
+    planOf("q218_king_kinship") // checkpoint hides the executed plan
+    val plan = graft.operators.Caching.lastMaterializedPlan
     assert(plan.contains("Join"), plan.take(400))
     assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
       plan.take(800))

@@ -345,6 +345,41 @@ class FormatEdgeSpec extends SparkSpec {
     assert(g(tRec, "s2").genotypeLikelihoods == Seq(50.0, 40.0, 35.0))
   }
 
+  test("mixed GL/PL sources at one site: PL is emitted and GL-sourced " +
+      "log10 floats convert to phred ints (never floats under PL)") {
+    val variant = Variant(referenceName = Some("chr1"), start = Some(99L),
+      end = Some(100L), referenceAllele = Some("A"),
+      alternateAllele = Some("T"))
+    val gPl = Genotype(referenceName = Some("chr1"), start = Some(99L),
+      end = Some(100L), sampleId = Some("s1"),
+      alleles = Seq("REF", "ALT"),
+      genotypeLikelihoods = Seq(40.0, 0.0, 55.0),
+      likelihoodsPhred = Some(true))
+    val gGl = Genotype(referenceName = Some("chr1"), start = Some(99L),
+      end = Some(100L), sampleId = Some("s2"),
+      alleles = Seq("REF", "ALT"),
+      genotypeLikelihoods = Seq(-4.0, 0.0, -5.55),
+      likelihoodsPhred = Some(false))
+    val line = VcfIO.toVcfLine(
+      VariantContext(Some("chr1"), Some(99L), Some(100L), Some(variant),
+        Seq(gPl, gGl)), Seq("s1", "s2")).split("\t")
+    val fmt = line(8).split(":")
+    assert(fmt.contains("PL") && !fmt.contains("GL"),
+      "mixed-source site must emit the strictest key (PL)")
+    val pl = fmt.indexOf("PL")
+    assert(line(9).split(":")(pl) == "40,0,55",
+      "PL-sourced values pass through unchanged")
+    assert(line(10).split(":")(pl) == "40,0,56",
+      "GL-sourced values must convert via round(-10*GL)")
+    // all-GL site still round-trips under GL with floats intact
+    val allGl = VcfIO.toVcfLine(
+      VariantContext(Some("chr1"), Some(99L), Some(100L), Some(variant),
+        Seq(gGl)), Seq("s2")).split("\t")
+    assert(allGl(8).split(":").contains("GL"))
+    assert(allGl(9).split(":")(allGl(8).split(":").indexOf("GL")) ==
+      "-4,0,-5.55")
+  }
+
   test("failed FILTER with no named filters emits '.', not FAIL") {
     val vc = VariantContext(Some("chr1"), Some(99L), Some(100L),
       Some(Variant(referenceName = Some("chr1"), start = Some(99L),
