@@ -23,6 +23,14 @@ object ScaleProbe {
 
   private var only: Seq[String] = Nil
 
+  /** Honest full-compute force (the Bench convention): count() lets
+    * Catalyst prune every unreferenced projection — round 16 found the
+    * r15 trimmed-mean probe rows were measuring a COUNT-PRUNED plan
+    * (the decimal trim sums optimized away). toRdd materializes the
+    * query's own output columns, so every operator pays its real cost. */
+  private def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   private def timed(name: String)(body: => Long): Unit = {
     if (only.nonEmpty && !only.exists(name.contains)) return
     val t0 = System.nanoTime()
@@ -1007,19 +1015,111 @@ object ScaleProbe {
       // task (the discPercentiles disc-selection contract; the
       // globalNtile two-phase rank is the escalation path if a single
       // group outgrows a task)
-      val rows = spark.range(5000000L).select(lit("g").as("g"),
+      // ONE dominant group, through a non-foldable expression: a
+      // literal group key would constant-fold the equi-joins away
+      // (cartesian) — a probe artifact no real column has
+      val rows = spark.range(5000000L).select(
+        when(pmod(col("id"), lit(1L)) === 0L, "g").otherwise("x")
+          .as("g"),
         pmod(col("id") * 2654435761L, lit(1000000L)).as("v"),
         col("id").as("t"))
-      graft.operators.Stats.trimmedMeanByGroup(rows, "g", "v", "t")
-        .count()
+      force(graft.operators.Stats.trimmedMeanByGroup(rows, "g", "v",
+        "t"))
     }
     spark.catalog.clearCache()
     timed("median_mad_5m_dominant_group") {
       // round 15: same contract, two rank passes + keyed median join
-      val rows = spark.range(5000000L).select(lit("g").as("g"),
+      // ONE dominant group, through a non-foldable expression: a
+      // literal group key would constant-fold the equi-joins away
+      // (cartesian) — a probe artifact no real column has
+      val rows = spark.range(5000000L).select(
+        when(pmod(col("id"), lit(1L)) === 0L, "g").otherwise("x")
+          .as("g"),
         pmod(col("id") * 2654435761L, lit(1000000L)).as("v"),
         col("id").as("t"))
-      graft.operators.Stats.madByGroup(rows, "g", "v", "t").count()
+      force(graft.operators.Stats.madByGroup(rows, "g", "v", "t"))
+    }
+    spark.catalog.clearCache()
+    timed("trimmed_mean_5m_escalated") {
+      // round 16: the SAME 5M dominant group forced through the
+      // two-phase distributed rank (escalateGroupRows below the group
+      // size) — proves the auto-escalation path bounds task time: the
+      // range exchange spreads the group across partitions, offsets
+      // broadcast. Compare against trimmed_mean_5m_dominant_group
+      // (single-task window sort).
+      // ONE dominant group, through a non-foldable expression: a
+      // literal group key would constant-fold the equi-joins away
+      // (cartesian) — a probe artifact no real column has
+      val rows = spark.range(5000000L).select(
+        when(pmod(col("id"), lit(1L)) === 0L, "g").otherwise("x")
+          .as("g"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("v"),
+        col("id").as("t"))
+      force(graft.operators.Stats.trimmedMeanByGroup(rows, "g", "v",
+        "t", escalateGroupRows = 500000L))
+    }
+    spark.catalog.clearCache()
+    timed("median_mad_5m_escalated") {
+      // round 16: both MAD rank passes through the escalated two-phase
+      // path on the 5M dominant group
+      // ONE dominant group, through a non-foldable expression: a
+      // literal group key would constant-fold the equi-joins away
+      // (cartesian) — a probe artifact no real column has
+      val rows = spark.range(5000000L).select(
+        when(pmod(col("id"), lit(1L)) === 0L, "g").otherwise("x")
+          .as("g"),
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("v"),
+        col("id").as("t"))
+      force(graft.operators.Stats.madByGroup(rows, "g", "v", "t",
+        escalateGroupRows = 500000L))
+    }
+    spark.catalog.clearCache()
+    timed("conformal_coverage_5m_cal") {
+      // round 16 (VERDICT r15 missing #2): 5M calibration rows + 5M
+      // eval rows, scores quantized to 100k distinct values — the rank
+      // runs over the PERSISTED bounded score grid (<= 100k rows), not
+      // the 5M raw rows; the corpus contributes only map-side-combined
+      // counts
+      val cal = spark.range(5000000L).select(
+        pmod(col("id") * 2654435761L, lit(100000L)).as("score"))
+      val ev = spark.range(5000000L).select(
+        pmod(col("id") * 40503L + 7L, lit(100000L)).as("score"))
+      force(graft.operators.LabelQaOps.conformalCoverage(cal, ev,
+        "score", alphaPermille = 100))
+    }
+    spark.catalog.clearCache()
+    timed("inbreeding_f_5m_dominant_contig") {
+      // round 16 (VERDICT r15 missing #2): 5M genotype rows where ONE
+      // contig-like hot site holds 20% of all rows — the AF join-back
+      // keys on site, so the hot site's rows hash to ONE reducer side
+      // but the join is still row-parallel (no window, no sort); the
+      // per-sample census map-side combines
+      val rows = spark.range(5000000L).select(
+        when(col("id") % 5L === 0L, lit(0L))
+          .otherwise(pmod(col("id") * 2654435761L, lit(500000L)))
+          .as("site"),
+        concat(lit("s"), pmod(col("id"), lit(1000L)).cast("string"))
+          .as("sample_id"),
+        pmod(col("id") * 48271L, lit(3L)).cast("int").as("gt"))
+      force(graft.operators.VariantQc.inbreedingF(rows, "sample_id",
+        "site", "gt"))
+    }
+    spark.catalog.clearCache()
+    timed("confident_learning_5m_hot_cell") {
+      // round 16 (VERDICT r15 missing #2): 5M labeled rows where ONE
+      // (given, predicted) cell holds 30% of the mass — thresholds are
+      // a bounded per-class grid joined back BROADCAST, the cell census
+      // map-side combines; no skew amplification
+      val rows = spark.range(5000000L).select(
+        when(col("id") % 10L < 3L, lit("hot"))
+          .otherwise(concat(lit("c"), pmod(col("id"), lit(40L))
+            .cast("string"))).as("given"),
+        when(col("id") % 10L < 3L, lit("hot"))
+          .otherwise(concat(lit("c"), pmod(col("id") * 7L, lit(40L))
+            .cast("string"))).as("pred"),
+        pmod(col("id") * 2654435761L, lit(1001L)).as("conf"))
+      force(graft.operators.LabelQaOps.confidentLearningGrid(rows,
+        "given", "pred", "conf"))
     }
     spark.stop()
   }

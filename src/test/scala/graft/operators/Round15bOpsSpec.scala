@@ -41,6 +41,29 @@ class Round15bOpsSpec extends SparkSpec {
     assert(empty.getLong(2) == 0L && empty.isNullAt(3), empty.toString)
   }
 
+  test("rankWithinGroups escalation: the two-phase distributed rank " +
+      "produces EXACTLY the window path's results (r16: dominant-group " +
+      "auto-escalation), mixed small+big groups route independently") {
+    import spark.implicits._
+    // "big" has 5000 rows (spans many of the 32 shuffle partitions when
+    // range-partitioned), "tiny" has 7 — with escalateGroupRows = 100
+    // one group escalates and the other stays on the window path
+    val rows = ((1L to 5000L).map(v => ("big", (v * 2654435761L) %
+      100000L, v)) ++ (1L to 7L).map(v => ("tiny", v * 3L, v)))
+      .toDF("g", "v", "t")
+    val windowed = Stats.trimmedMeanByGroup(rows, "g", "v", "t",
+      loPermille = 100, hiPermille = 900)
+    val escalated = Stats.trimmedMeanByGroup(rows, "g", "v", "t",
+      loPermille = 100, hiPermille = 900, escalateGroupRows = 100L)
+    assert(escalated.collect().toSet == windowed.collect().toSet,
+      "escalated trim must be bit-identical to the window path")
+    val windowedMad = Stats.madByGroup(rows, "g", "v", "t")
+    val escalatedMad = Stats.madByGroup(rows, "g", "v", "t",
+      escalateGroupRows = 100L)
+    assert(escalatedMad.collect().toSet == windowedMad.collect().toSet,
+      "escalated MAD must be bit-identical to the window path")
+  }
+
   test("atkinsonIndex: even distribution = exactly 0, hand chain for " +
       "[1,3], non-positive values excluded") {
     import spark.implicits._

@@ -1180,10 +1180,13 @@ class PlanSpec extends SparkSpec {
       plan.take(600))
   }
 
-  test("q226 trimmed mean: ONE group-keyed rank window + ONE keyed " +
-      "aggregation — no join, no unkeyed window") {
+  test("q226 trimmed mean: adaptive rank routing — no dominant group " +
+      "at this SF, so the plan IS the plain keyed window (no union, no " +
+      "join, no checkpoint); escalation pinned by Round15bOpsSpec + " +
+      "ScaleProbe") {
     val plan = planOf("q226_trimmed_mean")
-    assert(!plan.contains("Join"), plan.take(600))
+    assert(!plan.contains("Join") && !plan.contains("Union"),
+      plan.take(600))
     assert(plan.linesIterator
       .filter(_.contains("windowspecdefinition"))
       .forall(_.contains("__g")),
@@ -1199,10 +1202,13 @@ class PlanSpec extends SparkSpec {
       !plan.toLowerCase.contains("log("), plan.take(600))
   }
 
-  test("q228 median/MAD: two group-keyed rank windows, the median " +
-      "joins back keyed — never a global sort") {
+  test("q228 median/MAD: adaptive rank routing — no dominant group at " +
+      "this SF, so both ranks are plain keyed windows (no union), the " +
+      "median joins back keyed — never a global sort or cartesian") {
     val plan = planOf("q228_median_mad")
-    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Union"),
+      plan.take(600))
+    assert(plan.contains("Join"), "median must join back: " + plan.take(600))
     assert(plan.linesIterator
       .filter(_.contains("windowspecdefinition"))
       .forall(_.contains("__g")),
