@@ -131,7 +131,7 @@ object RealignIndels {
 
   /** Quality-weighted mismatch score of `seq` placed at `offset` within
     * `hap` (lower is better; the reference's sumMismatchQuality). */
-  private def mismatchScore(seq: String, quals: String, hap: String, offset: Int): Long = {
+  private[graft] def mismatchScore(seq: String, quals: String, hap: String, offset: Int): Long = {
     if (offset < 0 || offset + seq.length > hap.length) return Long.MaxValue
     var s = 0L
     var i = 0
@@ -145,7 +145,7 @@ object RealignIndels {
   }
 
   /** Best placement of a read in a haplotype near its original offset. */
-  private def bestOffset(seq: String, quals: String, hap: String,
+  private[graft] def bestOffset(seq: String, quals: String, hap: String,
       around: Int, slack: Int): (Int, Long) = {
     var best = Long.MaxValue; var bi = around
     var d = -slack
@@ -279,7 +279,46 @@ object RealignIndels {
       mismatchScore(r.sequence.getOrElse(""), r.qualityScores.getOrElse(""),
         hap, off)
     }
-    val origTotal = reads.map(readScore(_, refWindow, 0L)).filter(_ != Long.MaxValue).sum
+    // baseline = the read's ORIGINAL GAPPED alignment score (walk the
+    // stored CIGAR; indels consume but never mismatch) — the reference
+    // scores originals the same way (sumMismatchQuality via
+    // mdTag.getReference(withGaps), RealignIndels.scala:685-693).
+    // Scoring the original UNGAPPED (the r15 behavior) double-counted a
+    // read whose own alignment already carried the consensus indel,
+    // which is exactly why we moved artificial.sam's read1/3/5 where
+    // GATK (and the reference) leave them: their gapped originals TIE
+    // the consensus placement at 400 and a tie is not an improvement.
+    def gappedOrigScore(r: Alignment): Long = {
+      val seq = r.sequence.getOrElse("")
+      val quals = r.qualityScores.getOrElse("")
+      val cig = r.cigar.getOrElse("")
+      if (seq.isEmpty || cig.isEmpty) return readScore(r, refWindow, 0L)
+      var refPos = (r.start.getOrElse(0L) - windowStart).toInt
+      var readPos = 0
+      var s = 0L
+      Cigar.parse(cig).foreach { e =>
+        e.op match {
+          case 'M' | '=' | 'X' =>
+            var k = 0
+            while (k < e.length) {
+              val rp = refPos + k; val qp = readPos + k
+              if (rp < 0 || rp >= refWindow.length || qp >= seq.length)
+                return readScore(r, refWindow, 0L)
+              if (Character.toUpperCase(seq.charAt(qp)) !=
+                Character.toUpperCase(refWindow.charAt(rp)))
+                s += (if (qp < quals.length) quals.charAt(qp) - 33 else 30)
+              k += 1
+            }
+            refPos += e.length; readPos += e.length
+          case 'D' | 'N' => refPos += e.length
+          case 'I' | 'S' => readPos += e.length
+          case _ =>
+        }
+      }
+      s
+    }
+    val origScores = reads.map(gappedOrigScore)
+    val origTotal = origScores.filter(_ != Long.MaxValue).sum
 
     // try each consensus haplotype
     val scored = consensuses.map { c =>
@@ -317,7 +356,7 @@ object RealignIndels {
       val r = reads(idx)
       placements.get(idx) match {
         case Some((off, sc)) if sc != Long.MaxValue &&
-          sc < readScore(r, refWindow, 0L) =>
+          sc < origScores(idx) =>
           val hapStart = windowStart + off // position in haplotype coords
           val readLen = r.sequence.map(_.length).getOrElse(0)
           // rebuild start/cigar in reference coords around the consensus

@@ -164,6 +164,12 @@ case class Genotype(
     // the SAME key back — emitting GL floats under PL would hand a
     // spec-violating file to any downstream tool (r15 byte audit).
     likelihoodsPhred: Option[Boolean] = None,
+    // original per-record FORMAT key order (r16): VCF writers differ in
+    // key order (freebayes: GT:DP:AD:RO:QR:AO:QA:GL) and keys are
+    // self-describing, so order is the ONE thing a canonical writer
+    // loses. The writer re-emits this order when it matches the key set
+    // it would write, making round-trips byte-exact.
+    formatOrder: Seq[String] = Seq.empty,
     strandBiasComponents: Seq[Int] = Seq.empty,
     splitFromMultiAllelic: Option[Boolean] = None,
     phaseSetId: Option[Int] = None,

@@ -56,15 +56,30 @@ object ClassifierOps {
     * Ties break label-ascending. Docs with zero tokens score on priors
     * alone. */
   def nbClassify(docs: DataFrame, model: DataFrame, idCol: String,
-      textCol: String, buckets: Int, alpha: Double = 1.0): DataFrame = {
+      textCol: String, buckets: Int, alpha: Double = 1.0): DataFrame =
+    // PLAN-OWNED CACHES (tier 2, operators/Caching.scala): the returned
+    // per-doc plan re-reads the persisted model grid and per-doc bucket
+    // table; [[nbConfusion]]'s bounded output releases them instead.
+    nbClassifyImpl(docs, model, idCol, textCol, buckets, alpha)._1
+
+  private def nbClassifyImpl(docs: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, buckets: Int, alpha: Double)
+      : (DataFrame, Seq[DataFrame]) = {
     require(buckets > 0 && alpha > 0)
     val ab = alpha * buckets
     val q7 = (x: org.apache.spark.sql.Column) =>
       floor(log(x) * 1e7 + 0.5).cast("long")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    val prior = model.filter(col("b") === -1L)
+    // the trained model feeds priors, totals, per-label constants AND
+    // the per-bucket grid — when it is an unpersisted corpus aggregation
+    // (the nbConfusion shape) every reference would re-explode the train
+    // corpus (the q184 double-scan class, CatalogPlanSweepSpec r16
+    // detector). The grid is bounded (labels x (buckets+1)) — persist.
+    val m = model.persist(lvl)
+    val prior = m.filter(col("b") === -1L)
       .select(col("label"), col("c").as("nd"))
-    val tot = model.filter(col("b") >= 0L)
+    val tot = m.filter(col("b") >= 0L)
       .groupBy("label").agg(sum("c").as("tot"))
     // per-label constants: zero-count quantum and prior quantum
     val lab = prior
@@ -75,16 +90,19 @@ object ClassifierOps {
         q7(lit(alpha) / (col("tot") + lit(ab))).as("q0"),
         q7(col("nd").cast("double") / col("nn")).as("prior_q"))
     // per-(bucket, label) EXCESS over the zero-count quantum
-    val modelQ = model.filter(col("b") >= 0L)
+    val modelQ = m.filter(col("b") >= 0L)
       .join(tot, "label")
       .select(col("b"), col("label"),
         (q7((col("c") + lit(alpha)) / (col("tot") + lit(ab))) -
           q7(lit(alpha) / (col("tot") + lit(ab)))).as("dq"))
 
+    // per-doc bucket counts feed BOTH the delta join and the size sum —
+    // persist so the test corpus is exploded once, not twice
     val dt = docs
       .select(col(idCol), explode(toks(textCol)).as("tok"))
       .select(col(idCol), bucketOf(col("tok"), buckets).as("b"))
       .groupBy(idCol, "b").agg(count(lit(1)).as("k"))
+      .persist(lvl)
     val delta = dt.join(broadcast(modelQ), "b")
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("k") * col("dq")).as("dsum"))
@@ -96,12 +114,13 @@ object ClassifierOps {
       .join(delta, Seq(idCol, "label"), "left").na.fill(0L, Seq("dsum"))
       .select(col(idCol), col("label"),
         (col("prior_q") + col("t") * col("q0") + col("dsum")).as("score_q"))
-    scored
+    val out = scored
       .groupBy(idCol)
       .agg(min(struct((-col("score_q")).as("neg"), col("label"),
         col("score_q").as("sq"))).as("best"))
       .select(col(idCol), col("best.label").as("pred_label"),
         col("best.sq").as("score_q"))
+    (out, Seq(m, dt))
   }
 
   /** Train-on-one-slice / classify-another confusion report:
@@ -111,9 +130,13 @@ object ClassifierOps {
       labelCol: String, textCol: String, buckets: Int,
       alpha: Double = 1.0): DataFrame = {
     val model = nbTrain(train, labelCol, textCol, buckets)
-    nbClassify(test, model, idCol, textCol, buckets, alpha)
+    val (pred, caches) =
+      nbClassifyImpl(test, model, idCol, textCol, buckets, alpha)
+    val out = pred
       .join(test.select(col(idCol), col(labelCol).as("true_label")), idCol)
       .groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n_docs"))
+    // bounded labels x labels grid: release the classifier caches here
+    Caching.materializeAndRelease(out, caches: _*)
   }
 }

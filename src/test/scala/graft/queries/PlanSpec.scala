@@ -491,10 +491,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q152 water-fill: every window/agg over the bounded source table") {
-    val plan = planOf("q152_waterfill_mixture")
-    // corpus work is ONE partial-aggregated count; the windows downstream
-    // run over per-source rows, so the single-partition Window is fine
-    assert(plan.contains("partial_"), "source counts must map-side combine")
+    planOf("q152_waterfill_mixture") // checkpoint hides the executed plan
+    val plan = graft.operators.Caching.lastMaterializedPlan
+    // corpus work is ONE partial-aggregated count (r16: the grid is
+    // PERSISTED, so the six decision branches read the cache instead of
+    // re-aggregating the corpus — the double-scan detector's first fix);
+    // the windows downstream run over per-source rows, so the
+    // single-partition Window is fine
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("partial_"), "grid must be cached or map-side combined")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"),
       "totals/cut/remainder must broadcast onto the bounded grid")
@@ -688,7 +693,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q118 NB: broadcast model join, partial counts, bounded crosses") {
-    val plan = planOf("q118_nb_language_confusion")
+    planOf("q118_nb_language_confusion") // checkpoint hides the plan
+    val plan = graft.operators.Caching.lastMaterializedPlan
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(plan.contains("BroadcastHashJoin"),
       "model-scoring join must broadcast the labels x buckets model")
