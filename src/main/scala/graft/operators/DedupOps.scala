@@ -807,11 +807,17 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "dst2").hint("shuffle_hash"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
+      // stepped feeds BOTH sides of the pointer-jump self-join below,
+      // keyed differently (nl vs jid) — without a materialization the
+      // whole stepped subtree (edge join + neighbor-min aggregation +
+      // label join) executes TWICE per round (r16; the q184 double-scan
+      // class). Checkpoint it once per round.
       val stepped = labels
         .join(neighborMin.hint("shuffle_hash"),
           labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
+        .localCheckpoint(true)
       // pointer jumping: label <- label(label). Labels are always member
       // ids of the same component, so the jump stays within the component
       // while collapsing chains logarithmically (rounds ~ log diameter

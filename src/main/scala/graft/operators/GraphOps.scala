@@ -23,17 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Session shuffle parallelism — the partition count for the keyed
+    * dedup exchanges below (scale-adaptive: tracks the session conf the
+    * bench/driver sets per core count; AQE still coalesces downstream). */
+  private def incidencePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Undirected co-occurrence edges from an (order, item) incidence list:
     * both directions of every distinct item pair sharing an order. The
-    * classic market-basket graph; self-pairs excluded. */
+    * classic market-basket graph; self-pairs excluded.
+    *
+    * Shape (r16, measured 2.8x faster than the previous self-join +
+    * distinct at sf0.1): ONE exchange groups the incidence narrow rows
+    * per key (`collect_list` — bounded by basket size, never corpus
+    * size), pairs explode map-side, and the dedup aggregation runs on a
+    * src-keyed exchange — `HashPartitioning(src)` satisfies the
+    * (src, dst) clustered distribution, so dedup + a src-partitioned
+    * output cost one shuffle where the old plan paid a join + a
+    * (src, dst) exchange, and every consumer that next keys by node
+    * (outdeg/degree aggregations, Pregel joins) starts from friendly
+    * partitioning. Per-task volume is bounded by the max node degree —
+    * the same bound every consumer's own groupBy(src) already carries. */
   def coOccurrenceEdges(
       incidence: DataFrame, keyCol: String, itemCol: String): DataFrame = {
-    val a = incidence.select(col(keyCol).as("k"), col(itemCol).as("src"))
-    val b = incidence.select(col(keyCol).as("k"), col(itemCol).as("dst"))
-    a.join(b, "k")
+    val n = incidence.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
+    incidence
+      .groupBy(col(keyCol).as("k"))
+      .agg(collect_list(col(itemCol)).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .select("src", "dst")
-      .distinct()
+      .repartition(n, col("src"))
+      .dropDuplicates("src", "dst")
   }
 
   /** Integer PageRank over directed `edges(src, dst)`.
@@ -53,26 +75,29 @@ object GraphOps {
     val spark = edges.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst")).repartition(n, col("src")).persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val nodes = outdeg.select(col("src").as("node")).persist()
+    // (node, deg) — the node table WITH the outdegree fused in (r16): the
+    // rank state carries deg through every iteration, so the old
+    // per-iteration ranks ⋈ outdeg join (one node-table join per round)
+    // disappears; contrib is a pure projection of the rank state.
+    val ndeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")).persist()
     val teleport = (3L * scale) / 20L
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var ranks = ndeg.withColumn("rank", lit(scale)).localCheckpoint()
     for (_ <- 0 until iters) {
       val contrib = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("rank div deg").as("c"))
+        .select(col("node").as("src"), expr("rank div deg").as("c"))
       val msgs = e.join(contrib, "src")
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = nodes
-        .join(msgs, nodes("node") === msgs("dst"), "left")
-        .select(col("node"),
+      ranks = ndeg
+        .join(msgs, ndeg("node") === msgs("dst"), "left")
+        .select(col("node"), col("deg"),
           (lit(teleport) + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
         .localCheckpoint()
     }
     // final ranks is checkpoint-backed (lineage cut): the scaffolding
     // caches are no longer referenced — release before returning (tier 1,
     // see operators/Caching.scala)
-    Caching.release(e, outdeg, nodes)
+    Caching.release(e, ndeg)
     ranks.select(col("node"), col("rank").as("rank_q"))
   }
 
@@ -115,35 +140,43 @@ object GraphOps {
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst"))
       .repartition(n, col("src")).persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val seedSet = seeds.select(col("node")).distinct()
       .withColumn("__seed", lit(1))
+    // (node, __seed, deg) — deg fused into the node table (r16, the
+    // [[pageRank]] recipe): the rank state carries deg, so the old
+    // per-iteration ranks ⋈ outdeg join disappears. deg is NULL for
+    // dst-only (dangling) nodes; their contrib rows never match an edge
+    // src in the message join — exactly the rows the old inner join
+    // against outdeg dropped.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(seedSet), Seq("node"), "left")
+      .join(outdeg.select(col("src").as("node"), col("deg")),
+        Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("__seed"), lit(0)).as("__seed"))
+        coalesce(col("__seed"), lit(0)).as("__seed"), col("deg"))
       .persist()
     val teleport = (3L * scale) / 20L
     var ranks = nodes
-      .select(col("node"),
+      .select(col("node"), col("__seed"), col("deg"),
         when(col("__seed") === 1, lit(scale)).otherwise(lit(0L))
           .as("rank"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val contrib = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("rank div deg").as("c"))
+        .filter(col("deg").isNotNull)
+        .select(col("node").as("src"), expr("rank div deg").as("c"))
       val msgs = e.join(contrib, "src")
         .groupBy("dst").agg(sum("c").as("s"))
       ranks = nodes
         .join(msgs, nodes("node") === msgs("dst"), "left")
-        .select(col("node"),
+        .select(col("node"), col("__seed"), col("deg"),
           (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L))
             + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
         .localCheckpoint()
     }
-    Caching.release(e, outdeg, nodes)
+    Caching.release(e, nodes)
     ranks.select(col("node"), col("rank").as("rank_q"))
   }
 
@@ -180,9 +213,12 @@ object GraphOps {
     val spark = edges.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ed = edges.select(col("src"), col("dst"))
+    // dedup on the dst-keyed exchange (HashPartitioning(dst) satisfies
+    // the (src, dst) clustered distribution): one shuffle where
+    // distinct + repartition paid two (r16)
     val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(n, col("dst")).persist()
+      .repartition(n, col("dst")).dropDuplicates("src", "dst")
+      .persist()
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
     for (_ <- 0 until rounds) {
@@ -257,14 +293,23 @@ object GraphOps {
   }
 
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).distinct()
+    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // src-keyed dedup (one exchange, r16): the degree histogram and every
+    // peel round immediately re-aggregate by src, so the checkpointed
+    // edge table starts on the partitioning they need
+    var e = edges.select(col("src"), col("dst"))
+      .repartition(n, col("src")).dropDuplicates("src", "dst")
       .localCheckpoint()
     val k = medianFromHistogram(
       degreeHistogram(e).collect().map(r => (r.getLong(0), r.getLong(1))))
     for (_ <- 0 until rounds) {
+      // keep is read by BOTH endpoint semi-joins; checkpoint the bounded
+      // node list so the degree aggregation over e runs once per round,
+      // not once per join branch (r16 — the q184 double-scan class)
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("n"))
+        .localCheckpoint()
       e = e
         .join(keep.select(col("n").as("src")), "src")
         .join(keep.select(col("n").as("dst")), "dst")
@@ -299,7 +344,12 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+      // dedup on an a-keyed exchange (r16): HashPartitioning(a) satisfies
+      // the (a, b) clustered distribution, so canonicalization costs one
+      // shuffle (not an (a, b) exchange) and the endpoint-degree join on
+      // `a` starts co-partitioned
+      .repartition(incidencePartitions(edges), col("a"))
+      .dropDuplicates("a", "b")
       .persist()
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
@@ -310,9 +360,17 @@ object GraphOps {
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // cached pre-partitioned AND pre-sorted on the wedge key (r16):
+    // the wedge self-join reads this table on BOTH sides keyed by s —
+    // InMemoryRelation preserves the child's partitioning/ordering, so
+    // the join plans with zero exchanges and zero per-side sorts
+    // (previously: two exchanges + two sorts of the oriented edges).
+    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val o = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("d"))
+      .repartition(n, col("s"))
+      .sortWithinPartitions("s", "d")
       .persist()
     val wedges = o.as("e1")
       .join(o.as("e2"), col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))
@@ -363,16 +421,28 @@ object GraphOps {
     require(iters > 0, s"iters must be positive: $iters")
     val dec = "decimal(38,0)"
     val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(n, col("src")).persist()
+    // dedup directly on the src-keyed exchange (r16: HashPartitioning(src)
+    // satisfies the (src, dst) clustered distribution) — one shuffle
+    // where distinct + repartition paid two. A/B-measured alternatives
+    // kept OUT deliberately: (a) a second dst-partitioned edge copy
+    // (saves the per-iteration dst re-shuffle but costs an extra cache
+    // materialization — net slower at 3 iterations, 3.9 s vs 3.5 s
+    // sf0.1); (b) checkpointing the raw vector inside renorm (the
+    // normalizer subquery does NOT re-execute the raw subtree —
+    // ReuseExchange dedupes it — so the checkpoint was pure added cost,
+    // +1.2 s over 6 half-steps).
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(n, col("src")).dropDuplicates("src", "dst").persist()
     val mass = lit(1000000000000L).cast(dec)
     def renorm(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum("raw").as("__tot"))
-      val p = col("raw") * mass
+      // exact floor division of non-negative decimals: IntegralDivide
+      // (`div`) yields the same integer as the old (p - pmod(p,tot))/tot
+      // chain with one decimal op instead of three
       raw.crossJoin(broadcast(tot))
-        .select(col("node"),
-          ((p - pmod(p, col("__tot"))) / col("__tot"))
-            .cast(dec).cast("long").as("s"))
+        .select(col("node"), (col("raw") * mass).cast(dec).as("__p"),
+          col("__tot"))
+        .select(col("node"), expr("__p div __tot").cast("long").as("s"))
         .localCheckpoint()
     }
     var h = e.select(col("src").as("node")).distinct()
@@ -438,7 +508,12 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+      // dedup on an a-keyed exchange (r16): HashPartitioning(a) satisfies
+      // the (a, b) clustered distribution, so canonicalization costs one
+      // shuffle (not an (a, b) exchange) and the endpoint-degree join on
+      // `a` starts co-partitioned
+      .repartition(incidencePartitions(edges), col("a"))
+      .dropDuplicates("a", "b")
       .persist()
     // labels evaluate in three branches (both endpoint joins + the degree
     // grouping); persist so a caller-supplied label PLAN (often derived
@@ -494,7 +569,12 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+      // dedup on an a-keyed exchange (r16): HashPartitioning(a) satisfies
+      // the (a, b) clustered distribution, so canonicalization costs one
+      // shuffle (not an (a, b) exchange) and the endpoint-degree join on
+      // `a` starts co-partitioned
+      .repartition(incidencePartitions(edges), col("a"))
+      .dropDuplicates("a", "b")
       .persist()
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GraphOpsSpec extends SparkSpec {
 
@@ -71,6 +72,24 @@ class GraphOpsSpec extends SparkSpec {
       (10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L), (11L, 12L), (12L, 11L),
       (10L, 13L), (13L, 10L))
     assert(got === expected)
+  }
+
+  test("coOccurrenceEdges equals the naive self-join formulation (r16 rewrite)") {
+    import spark.implicits._
+    // random-ish incidence with duplicate (basket, item) rows, singleton
+    // baskets and items shared across baskets
+    val inc = (0L until 200L).flatMap { i =>
+      val basket = i % 37
+      Seq((basket, i % 11), (basket, (i * 7 + 3) % 11), (basket, i % 11))
+    }.toDF("basket", "item")
+    val got = GraphOps.coOccurrenceEdges(inc, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = inc.select(col("basket").as("k"), col("item").as("src"))
+    val b = inc.select(col("basket").as("k"), col("item").as("dst"))
+    val naive = a.join(b, "k").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
   }
 
   test("triangleCounts equals brute force on a random-ish graph") {
