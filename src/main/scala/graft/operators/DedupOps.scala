@@ -404,18 +404,52 @@ object DedupOps {
     val n = numHashes
     val sn = shingleN
     val f = udf { text: String =>
-      val sh = shingles(if (text == null) "" else text, sn)
+      // r16 constant-factor rework, same values bit-for-bit:
+      // - fnv1a64 of each shingle is computed by streaming the token
+      //   chars with ' ' separators — no per-shingle string is built
+      //   (the old path allocated every "tok1 tok2 tok3" via mkString)
+      // - duplicate shingles are skipped before the n-permutation loop
+      //   (min over a multiset == min over its set), saving n splitmix64
+      //   rounds per repeat
+      val toks = (if (text == null) "" else text).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
       val sig = Array.fill(n)(Long.MaxValue)
-      var i = 0
-      while (i < sh.length) {
-        val base = fnv1a64(sh(i))
+      val prime = 0x100000001b3L
+      def fnvTokens(start: Int, count: Int): Long = {
+        var h = 0xcbf29ce484222325L
+        var w = 0
+        while (w < count) {
+          if (w > 0) { h ^= ' '; h *= prime }
+          val s = toks(start + w)
+          var i = 0
+          while (i < s.length) { h ^= s.charAt(i); h *= prime; i += 1 }
+          w += 1
+        }
+        h
+      }
+      def mix(base: Long): Unit = {
         var j = 0
+        var x = base
         while (j < n) {
-          val h = splitmix64(base + j * 0x9e3779b97f4a7c15L)
+          val h = splitmix64(x)
           if (h < sig(j)) sig(j) = h
           j += 1
+          x += 0x9e3779b97f4a7c15L
         }
-        i += 1
+      }
+      if (toks.nonEmpty) {
+        if (toks.length < sn) mix(fnvTokens(0, toks.length))
+        else {
+          val seen = new java.util.HashSet[java.lang.Long](
+            math.min(toks.length * 2, 1 << 16))
+          var i = 0
+          val last = toks.length - sn
+          while (i <= last) {
+            val base = fnvTokens(i, sn)
+            if (seen.add(base)) mix(base)
+            i += 1
+          }
+        }
       }
       sig
     }

@@ -159,7 +159,8 @@ object MultimodalOps {
     val spark = media.sparkSession
     implicit val enc: org.apache.spark.sql.Encoder[ImageStatsRow] =
       Encoders.product[ImageStatsRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -183,7 +184,8 @@ object MultimodalOps {
     require(windowSamples > 0)
     implicit val enc: org.apache.spark.sql.Encoder[AudioStatsRow] =
       Encoders.product[AudioStatsRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -266,7 +268,8 @@ object MultimodalOps {
   def videoStats(media: DataFrame): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[VideoStatsRow] =
       Encoders.product[VideoStatsRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -300,7 +303,8 @@ object MultimodalOps {
     require(windowSamples > 0 && hopSamples > 0)
     implicit val enc: org.apache.spark.sql.Encoder[AudioFeatureRow] =
       Encoders.product[AudioFeatureRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         // per-partition codec init happens here, once per batch
         rows.flatMap { r =>
@@ -373,7 +377,8 @@ object MultimodalOps {
   def imageDHash(media: DataFrame): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[DHashRow] =
       Encoders.product[DHashRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val img = graft.sources.Bmp.decode(r.getAs[Array[Byte]](1))
@@ -480,7 +485,8 @@ object MultimodalOps {
   def audioFingerprint(media: DataFrame, windows: Int = 65): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[AudioFpRow] =
       Encoders.product[AudioFpRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val audio = graft.sources.Wav.decode(r.getAs[Array[Byte]](1))
@@ -507,7 +513,8 @@ object MultimodalOps {
   def videoDHash(media: DataFrame): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[VideoDHashRow] =
       Encoders.product[VideoDHashRow]
-    media.select("media_id", "payload")
+    Parallelism.fanOut(media.select("media_id", "payload"),
+      col("media_id")) // r16: a 1-split scan decoded on one core
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val v = graft.sources.Avi.decode(r.getAs[Array[Byte]](1))

@@ -414,8 +414,11 @@ object SketchQueries extends QuerySet {
     // flips bits.
     Query("q95_image_dhash",
       (s, dir) => MultimodalOps.imageDHash(
-        t(s, dir, "documents").select(col("doc_id").as("media_id"),
-          dhashMediaUdf(col("doc_id")).as("payload"))),
+        // fanOut before the payload UDF — see q101 (r16)
+        graft.operators.Parallelism.fanOut(
+          t(s, dir, "documents").select(col("doc_id").as("media_id")),
+          col("media_id"))
+          .withColumn("payload", dhashMediaUdf(col("media_id")))),
       Some(s"""WITH $dhashCtes
           |SELECT media_id, dhash FROM dh""".stripMargin)),
 
@@ -426,8 +429,11 @@ object SketchQueries extends QuerySet {
     // pairs, so banding recall is proven, not assumed.
     Query("q96_image_neardup",
       (s, dir) => MultimodalOps.imageNearDuplicates(
-        t(s, dir, "documents").select(col("doc_id").as("media_id"),
-          dhashMediaUdf(col("doc_id")).as("payload")),
+        // fanOut before the payload UDF — see q101 (r16)
+        graft.operators.Parallelism.fanOut(
+          t(s, dir, "documents").select(col("doc_id").as("media_id")),
+          col("media_id"))
+          .withColumn("payload", dhashMediaUdf(col("media_id"))),
         maxDist = 3, bands = 4),
       Some(s"""WITH $dhashCtes
           |SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -493,9 +499,12 @@ object SketchQueries extends QuerySet {
             (((eid * 37 + i * 11) % 4096 - 2048) * vol).toInt)
           graft.sources.Wav.encode(16000, smp)
         }
+        // fanOut before the payload UDF — see q101 (r16)
         MultimodalOps.audioNearDuplicates(
-          t(s, dir, "documents").select(col("doc_id").as("media_id"),
-            wavUdf(col("doc_id")).as("payload")),
+          graft.operators.Parallelism.fanOut(
+            t(s, dir, "documents").select(col("doc_id").as("media_id")),
+            col("media_id"))
+            .withColumn("payload", wavUdf(col("media_id"))),
           maxDist = 3, bands = 4)
       },
       Some("""WITH ids AS (SELECT doc_id,
@@ -539,9 +548,14 @@ object SketchQueries extends QuerySet {
               ((eid * 13 + f * 7 + i * 3) % 250 + shift).toInt))
           graft.sources.Avi.encode(16, 12, 40000, frames)
         }
+        // fan the 1-split documents scan out BEFORE the payload UDF so
+        // encode + decode parallelize (r16; a small parquet scans as one
+        // partition and the whole media stage ran on one core)
         MultimodalOps.videoNearDuplicates(
-          t(s, dir, "documents").select(col("doc_id").as("media_id"),
-            aviUdf(col("doc_id")).as("payload")),
+          graft.operators.Parallelism.fanOut(
+            t(s, dir, "documents").select(col("doc_id").as("media_id")),
+            col("media_id"))
+            .withColumn("payload", aviUdf(col("media_id"))),
           maxDist = 3, bands = 4)
       },
       Some("""WITH ids AS (SELECT doc_id,

@@ -31,6 +31,116 @@ object ProfTmp {
       .select(col("l_orderkey"), col("l_partkey"))
 
     what match {
+      case "boot" =>
+        val ev = graft.core.Tables.normalizeTs(
+          graft.core.Tables.load(spark, dir, "events"), "ts")
+          .select(col("event_type"), col("event_id"),
+            (floor(col("value") * 100 + 0.5)).cast("long").as("cents"))
+        for (rep <- 1 to 3) {
+          println(s"--- rep $rep")
+          t("events-scan")(noop(ev))
+          val exploded = ev
+            .filter(col("event_id").isNotNull && col("cents").isNotNull)
+            .select(col("event_type").as("__g"), col("cents").as("__v"),
+              col("event_id").cast("string").as("__id"))
+            .withColumn("__b", explode(array((-1 until 16).map(lit(_)): _*)))
+          t("explode-only")(noop(exploded))
+          val u = graft.operators.SamplingOps.uniformHash(
+            concat(col("__id"), lit("#"), col("__b").cast("string")), "boot")
+          t("explode+hash")(noop(exploded.withColumn("__u", u)))
+          val w = when(col("__b") === -1, lit(1))
+            .otherwise(graft.operators.SamplingOps.poissonCdf.foldLeft(lit(0)) {
+              (acc, th) => acc + when(u >= th, 1).otherwise(0)
+            })
+          t("explode+weight")(noop(exploded.withColumn("__w", w)))
+          val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+          val grid = exploded.withColumn("__w", w)
+            .groupBy("__g", "__b")
+            .agg(sum(col("__w").cast(dec)).cast(dec).as("__n"),
+              sum((col("__w").cast(dec) * col("__v")).cast(dec)).cast(dec)
+                .as("__s"))
+          t("grid")(noop(grid))
+          // explicit-CSE variant: u materialized once as a column
+          val wcse = when(col("__b") === -1, lit(1))
+            .otherwise(graft.operators.SamplingOps.poissonCdf.foldLeft(lit(0)) {
+              (acc, th) => acc + when(col("__u") >= th, 1).otherwise(0)
+            })
+          val gridCse = exploded.withColumn("__u", u).withColumn("__w", wcse)
+            .groupBy("__g", "__b")
+            .agg(sum(col("__w").cast(dec)).cast(dec).as("__n"),
+              sum((col("__w").cast(dec) * col("__v")).cast(dec)).cast(dec)
+                .as("__s"))
+          t("grid-cse")(noop(gridCse))
+          // long-sum variant (values identical when no overflow)
+          val gridLong = exploded.withColumn("__u", u).withColumn("__w", wcse)
+            .groupBy("__g", "__b")
+            .agg(sum(col("__w")).as("__n"),
+              sum(col("__w").cast("long") * col("__v")).as("__s"))
+          t("grid-long")(noop(gridLong))
+          t("full-q216")(noop(graft.operators.SamplingOps.bootstrapCi(
+            ev, "event_type", "cents", "event_id", b = 16)))
+        }
+      case "mad" =>
+        val in = li.sparkSession.read
+          .parquet(s"$dir/lineitem.parquet")
+          .select(col("l_linestatus"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+              .as("cents"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"))
+        for (rep <- 1 to 3) {
+          println(s"--- rep $rep")
+          t("census-only") {
+            val base = in.filter(col("cents").isNotNull)
+              .select(col("l_linestatus").as("__g"),
+                col("cents").cast("long").as("__v"), col("tie").as("__t"))
+            val bg = base.groupBy("__g").agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 100000000L)
+            println(s"  bigEmpty=${bg.isEmpty}")
+          }
+          t("full-q228")(noop(graft.operators.Stats.madByGroup(
+            in, "l_linestatus", "cents", "tie")))
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false))
+          spark.catalog.clearCache()
+        }
+      case "sig" =>
+        import graft.operators.DedupOps.{fnv1a64, shingles, splitmix64}
+        val docs = graft.core.Tables.load(spark, dir, "documents")
+        val oldSig = {
+          val n = 64; val sn = 3
+          val f = udf { text: String =>
+            val sh = shingles(if (text == null) "" else text, sn)
+            val sig = Array.fill(n)(Long.MaxValue)
+            var i = 0
+            while (i < sh.length) {
+              val base = fnv1a64(sh(i))
+              var j = 0
+              while (j < n) {
+                val h = splitmix64(base + j * 0x9e3779b97f4a7c15L)
+                if (h < sig(j)) sig(j) = h
+                j += 1
+              }
+              i += 1
+            }
+            sig
+          }
+          f
+        }
+        val newSig = graft.operators.DedupOps.minhashSignature(64, 3)
+        val fanned = graft.operators.Parallelism.fanOut(
+          docs.select(col("doc_id"), col("text")), col("doc_id"))
+        for (rep <- 1 to 3) {
+          println(s"--- rep $rep")
+          t("old-sig")(noop(fanned.select(col("doc_id"),
+            oldSig(col("text")).as("sig"))))
+          t("new-sig")(noop(fanned.select(col("doc_id"),
+            newSig(col("text")).as("sig"))))
+        }
+        // equality audit
+        val mismatch = fanned.select(col("doc_id"),
+          oldSig(col("text")).as("a"), newSig(col("text")).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        println(s"MISMATCH $mismatch")
       case "cc" =>
         val c = graft.core.Tables.load(spark, dir, "customer")
           .select(col("c_custkey"))

@@ -37,6 +37,44 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashSignature equals the reference per-shingle loop (r16 rework)") {
+    // r16 rewrote the UDF (char-streamed FNV, duplicate-shingle skip);
+    // pin it against the direct shingles->fnv->splitmix formulation on
+    // edge cases: repeated shingles, < n tokens, empty, odd whitespace
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",          // every shingle repeats
+      "x y z x y z x y z",        // repeats with period 3
+      "one two", "one", "", "   ",
+      "Tabs\tand\nnewlines   collapse  here",
+      "MIXED Case TOKENS mixed case tokens")
+    val n = 16
+    val sn = 3
+    def reference(text: String): Seq[Long] = {
+      val sh = DedupOps.shingles(if (text == null) "" else text, sn)
+      val sig = Array.fill(n)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = DedupOps.fnv1a64(s)
+        var j = 0
+        while (j < n) {
+          val h = DedupOps.splitmix64(base + j * 0x9e3779b97f4a7c15L)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      sig.toSeq
+    }
+    import spark.implicits._
+    val sig = DedupOps.minhashSignature(n, sn)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), sig(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === reference(t), s"text: '$t'")
+    }
+  }
+
   test("langId picks dominant stopword language") {
     import spark.implicits._
     val df = Seq(
