@@ -28,7 +28,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def makeSession(): SparkSession = {
-      val s = SparkSession.builder()
+      // engine session tuning (r17, VERDICT r16 #1) — ONE shared knob set
+      // with Verify/BenchOne so the oracle gate runs the same plans the
+      // bench times; env-overridable, defaults A/B-measured. The timing
+      // methodology below is unchanged.
+      val s = graft.core.SessionTuning(SparkSession.builder())
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -246,6 +250,14 @@ object Bench {
     val nCatalog = SparkEntry.queries.size
     val contended = contendedRatio.fold("")(r => s""","contended":$r""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$susp,"n_queries":${results.size},"n_catalog":$nCatalog$contended$drift,"sf":"$sfDir"}""")
+    // Driver-record contract (VERDICT r16 #1/next-round #2): the full
+    // per-query line above is ~12 KB at 228 queries, which overflows the
+    // driver's 2000-char stdout tail — BENCH_r14/r15/r16 all recorded
+    // `parsed: null` and PERF had no machine-readable totals for three
+    // rounds. Print a compact (<1500-byte) summary line LAST so the tail
+    // always ends with a parseable record. Methodology and the full line
+    // are unchanged; local records keep committing the full per-query map.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_catalog":$nCatalog,"n_errors":${errors.size},"n_suspect":${stillSuspect.size}$contended,"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     }

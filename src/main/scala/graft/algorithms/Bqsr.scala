@@ -112,6 +112,18 @@ object Bqsr {
     val second = r.readInFragment.exists(_ != 0)
     val rg = r.readGroupId.getOrElse("")
 
+    walkObserve(seq, quals, mismatchOffsets, r.cigar.get, refName, start,
+      neg, second, rg, isKnownSite)
+  }
+
+  /** The reference observeRead walk over already-extracted narrow fields —
+    * shared by [[observeRead]] and [[observationDF]]'s overflow path so the
+    * packed fast path and the long-read path cannot diverge. Callers have
+    * already applied [[includeRead]] + non-empty gates. */
+  private def walkObserve(
+      seq: String, quals: String, mismatchOffsets: Set[Long], cigar: String,
+      refName: String, start: Long, neg: Boolean, second: Boolean,
+      rg: String, isKnownSite: (String, Long) => Boolean): Iterator[Observation] = {
     // walk CIGAR: map read offset -> reference offset for M/=/X bases.
     // refOff is genomic (advances through N skips, for the known-site
     // mask); mdOff is MD-tag space (M/=/X and D only — the MD tag does
@@ -121,7 +133,7 @@ object Bqsr {
     var readPos = 0
     var refOff = 0L
     var mdOff = 0L
-    graft.model.Cigar.parse(r.cigar.get).foreach { e =>
+    graft.model.Cigar.parse(cigar).foreach { e =>
       e.op match {
         case 'M' | '=' | 'X' =>
           var k = 0
@@ -153,6 +165,19 @@ object Bqsr {
     out.result()
   }
 
+  /** Narrow kernel input row for [[observationDF]] — the 9 fields the
+    * covariate walk actually reads, of [[Alignment]]'s 34 (guide §2.3
+    * project-before-opaque-ops / §1.2 per-task work): deserializing the
+    * full Alignment costs ~30 Option allocations + a map column per row
+    * and defeats column pruning at the scan. */
+  // public: the encoder's generated SafeProjection instantiates it
+  case class ObsIn(
+      seq: String, quals: String, md: String, cigar: String,
+      ref: String, start: Long, neg: Boolean, second: Boolean, rg: String)
+
+  private implicit val obsInEnc: org.apache.spark.sql.Encoder[ObsIn] =
+    Encoders.product[ObsIn]
+
   /** Packs (quality, cycle, dinuc chars) into one primitive key:
     * q in bits 0-7, cycle+2^19 in bits 8-27 (reads up to ~512 kb), the two
     * UTF-16 dinuc chars in bits 28-59. Reads with length >= [[MaxPackedLen]]
@@ -181,34 +206,57 @@ object Bqsr {
       reads: Dataset[Alignment],
       isKnownSite: (String, Long) => Boolean): org.apache.spark.sql.DataFrame = {
     val fn = isKnownSite
-    reads.mapPartitions { it =>
+    // Inclusion gate + 9-field projection DECLARATIVELY before the kernel
+    // (guide §2.3 / §1.2): the predicates are includeRead + the non-empty
+    // gates verbatim (mappingQuality > 0 is NULL for a NULL quality —
+    // exists(_ > 0) semantics), in codegen and prunable at the scan; the
+    // kernel then deserializes 9 narrow fields instead of all 34.
+    val narrow = reads.toDF()
+      .filter(
+        coalesce(col("readMapped"), lit(false)) &&
+          coalesce(col("primaryAlignment"), lit(true)) &&
+          !coalesce(col("duplicateRead"), lit(false)) &&
+          col("mappingQuality") > 0 &&
+          !coalesce(col("failedVendorQualityChecks"), lit(false)) &&
+          length(col("sequence")) > 0 && length(col("qualityScores")) > 0 &&
+          col("mismatchingPositions").isNotNull && col("cigar").isNotNull)
+      .select(
+        col("sequence").as("seq"), col("qualityScores").as("quals"),
+        col("mismatchingPositions").as("md"), col("cigar"),
+        coalesce(col("referenceName"), lit("")).as("ref"),
+        coalesce(col("start"), lit(0L)).as("start"),
+        coalesce(col("readNegativeStrand"), lit(false)).as("neg"),
+        (coalesce(col("readInFragment"), lit(0)) =!= 0).as("second"),
+        coalesce(col("readGroupId"), lit("")).as("rg"))
+      .as[ObsIn]
+    narrow.mapPartitions { it =>
       val byRg = new java.util.HashMap[String, scala.collection.mutable.LongMap[Array[Long]]]()
       // reads too long for the packed covariate key (ultra-long nanopore)
       // take the reference observeRead walk — identical semantics, no
       // silent key corruption; downstream groupBy merges both paths
       val overflow = scala.collection.mutable.ArrayBuffer.empty[Observation]
       it.foreach { r =>
-        val seq = r.sequence.getOrElse("")
-        val quals = r.qualityScores.getOrElse("")
-        val md = r.mismatchingPositions
+        val seq = r.seq
+        val quals = r.quals
         if (seq.length >= MaxPackedLen) {
-          overflow ++= observeRead(r, fn)
-        } else if (includeRead(r) && seq.nonEmpty && quals.nonEmpty &&
-          md.nonEmpty && r.cigar.nonEmpty) {
+          overflow ++= walkObserve(seq, quals,
+            GenomicFunctions.mdMismatchOffsets(r.md).toSet, r.cigar,
+            r.ref, r.start, r.neg, r.second, r.rg, fn)
+        } else {
           // increasing reference-space offsets -> pointer walk, no Set
-          val mmOff = GenomicFunctions.mdMismatchOffsets(md.get).toArray
+          val mmOff = GenomicFunctions.mdMismatchOffsets(r.md).toArray
           var mi = 0
-          val refName = r.referenceName.getOrElse("")
-          val start = r.start.getOrElse(0L)
-          val neg = r.readNegativeStrand.getOrElse(false)
-          val second = r.readInFragment.exists(_ != 0)
-          val acc = byRg.computeIfAbsent(r.readGroupId.getOrElse(""),
+          val refName = r.ref
+          val start = r.start
+          val neg = r.neg
+          val second = r.second
+          val acc = byRg.computeIfAbsent(r.rg,
             _ => new scala.collection.mutable.LongMap[Array[Long]]())
           val len = seq.length
           var readPos = 0
           var refOff = 0L
           var mdOff = 0L
-          graft.model.Cigar.parse(r.cigar.get).foreach { e =>
+          graft.model.Cigar.parse(r.cigar).foreach { e =>
             e.op match {
               case 'M' | '=' | 'X' =>
                 var k = 0

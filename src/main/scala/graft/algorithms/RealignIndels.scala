@@ -38,16 +38,16 @@ object RealignIndels {
 
   /** Genomic positions of MD-tag mismatches (walks the CIGAR so D advances
     * both spaces but N advances only the genome — MD excludes skips). */
-  private def mismatchPositions(r: Alignment): Iterator[(String, Long)] = {
-    val md = r.mismatchingPositions
-    if (md.isEmpty || r.cigar.isEmpty) return Iterator.empty
+  private def mismatchPositions(
+      ref: String, start: Long, cigar: String,
+      md: Option[String]): Iterator[(String, Long)] = {
+    if (md.isEmpty) return Iterator.empty
     val offsets = graft.functions.GenomicFunctions.mdMismatchOffsets(md.get).toSet
     if (offsets.isEmpty) return Iterator.empty
-    val ref = r.referenceName.getOrElse("")
     val out = Iterator.newBuilder[(String, Long)]
-    var refPos = r.start.getOrElse(0L)
+    var refPos = start
     var mdOff = 0L
-    Cigar.parse(r.cigar.get).foreach { e =>
+    Cigar.parse(cigar).foreach { e =>
       e.op match {
         case 'M' | '=' | 'X' =>
           var k = 0L
@@ -69,12 +69,22 @@ object RealignIndels {
     * Output columns: referenceName, start, end, targetId. */
   def findTargets(reads: Dataset[Alignment], maxTargetGap: Long = 100L): DataFrame = {
     import reads.sparkSession.implicits._
-    val spans = reads.flatMap { r =>
-      if (!r.readMapped.getOrElse(false) || r.cigar.isEmpty) Iterator.empty
-      else {
-        val ref = r.referenceName.getOrElse("")
-        var refPos = r.start.getOrElse(0L)
-        Cigar.parse(r.cigar.get).iterator.flatMap { e =>
+    // Narrow the kernel input to the 4 fields the span walk reads (guide
+    // §2.3 project-before-opaque-ops / §1.2 per-task work): flatMap over
+    // the full Alignment encoder deserializes all 34 fields (~30 Option
+    // allocations + a map column) per row and blocks column pruning at
+    // the scan; the mapped-read gate is declarative (codegen) and
+    // identical to the old in-kernel check.
+    val spans = reads.toDF()
+      .filter(coalesce(col("readMapped"), lit(false)) &&
+        col("cigar").isNotNull)
+      .select(coalesce(col("referenceName"), lit("")).as("_1"),
+        coalesce(col("start"), lit(0L)).as("_2"),
+        col("cigar").as("_3"), col("mismatchingPositions").as("_4"))
+      .as[(String, Long, String, Option[String])]
+      .flatMap { case (ref, start, cigarStr, md) =>
+        var refPos = start
+        Cigar.parse(cigarStr).iterator.flatMap { e =>
           e.op match {
             case 'M' | '=' | 'X' => refPos += e.length; Iterator.empty
             case 'D' | 'N' =>
@@ -84,9 +94,9 @@ object RealignIndels {
               Iterator((ref, refPos, refPos + 1))
             case _ => Iterator.empty
           }
-        } ++ mismatchPositions(r).map { case (n, p) => (n, p, p + 1) }
-      }
-    }.toDF("referenceName", "start", "end").distinct()
+        } ++ mismatchPositions(ref, start, cigarStr, md)
+          .map { case (n, p) => (n, p, p + 1) }
+      }.toDF("referenceName", "start", "end").distinct()
 
     // merge spans within gap: gaps-and-islands over a per-contig window
     val w = Window.partitionBy("referenceName").orderBy("start", "end")

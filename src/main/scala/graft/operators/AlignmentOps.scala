@@ -219,7 +219,17 @@ object AlignmentOps {
     // through the window, and no Alignment objects materialize. Semantics
     // are pinned to the typed keyOf by the fragment-path agreement spec
     // and the q40 oracle.
-    val scoreU = udf((q: String) => q.iterator.map(_ - 33).filter(_ >= 15).sum)
+    // while-loop body (r17, guide §1.2 per-task work): the iterator chain
+    // allocated an iterator + two closures per row; same values
+    val scoreU = udf((q: String) => {
+      var s = 0; var i = 0
+      while (i < q.length) {
+        val v = q.charAt(i) - 33
+        if (v >= 15) s += v
+        i += 1
+      }
+      s
+    })
     val fpU = udf((start: Long, end: Long, cigar: String, neg: Boolean) =>
       Cigar.fivePrimePosition(start, end, cigar, neg))
     val libU = udf((rg: String) => libOfB.value.getOrElse(rg, rg))

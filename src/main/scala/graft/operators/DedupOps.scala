@@ -827,10 +827,9 @@ object DedupOps {
     // computed in the same aggregation that discovers the vertex set, so
     // star-shaped components (the common near-dup shape) are already done
     // before the loop runs once.
-    var labels = edges
+    var labels = Caching.cutLineage(edges
       .groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("label"))
-      .localCheckpoint(true)
+      .agg(least(min(col("dst")), col("src")).as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -846,23 +845,26 @@ object DedupOps {
       // whole stepped subtree (edge join + neighbor-min aggregation +
       // label join) executes TWICE per round (r16; the q184 double-scan
       // class). Checkpoint it once per round.
-      val stepped = labels
+      val stepped = Caching.cutLineage(labels
         .join(neighborMin.hint("shuffle_hash"),
           labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl")))
+      // the previous round's label checkpoint is fully consumed once
+      // stepped materializes (eager) — free its blocks instead of letting
+      // up to maxIterations rounds of them accumulate (ADVICE r16)
+      Caching.freeSuperseded(labels)
       // pointer jumping: label <- label(label). Labels are always member
       // ids of the same component, so the jump stays within the component
       // while collapsing chains logarithmically (rounds ~ log diameter
       // instead of diameter)
-      val jumped = stepped
+      val jumped = Caching.cutLineage(stepped
         .join(stepped.select(col("id").as("jid"), col("nl").as("jl"))
           .hint("shuffle_hash"),
           col("nl") === col("jid"), "left")
         .select(col("id"), col("label"),
-          coalesce(col("jl"), col("nl")).as("newLabel"))
-        .localCheckpoint(true)
+          coalesce(col("jl"), col("nl")).as("newLabel")))
+      Caching.freeSuperseded(stepped)
       converged = jumped.filter(col("newLabel") < col("label")).isEmpty
       labels = jumped.select(col("id"), col("newLabel").as("label"))
       iter += 1
@@ -968,15 +970,26 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("id"), explode(col("sh")).as("tok"))
     val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("__df"))
-    // rarest-first rank within each doc; deterministic tie on the hash
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("__df"), col("tok"))
+    // Rarest-first prefix per doc WITHOUT the per-doc window (r17, VERDICT
+    // r16 #5): the old shape ranked EVERY (id, tok) row with a window
+    // (exchange + full sort of the exploded corpus) and joined sets back
+    // for the doc size, only to keep the floor((1-t)*n)+1 rarest rows.
+    // One hash aggregation now collects each doc's (df, tok) pairs
+    // (bounded by the doc's distinct-shingle count — the same per-doc
+    // bound the window's partition carried), a per-row array_sort orders
+    // them ((df, tok) struct order = the window's (df asc, tok asc)), and
+    // the explode emits ONLY the prefix. size(__dts) = the old __n (ex
+    // explodes sets.sh verbatim and dfreq matches every token), so the
+    // prefix length expression is unchanged. Plan: the Window + its sort
+    // + the sets-size join are gone; one exchange replaces three ops.
+    val plen = floor((lit(1.0) - threshold) * size(col("__dts")))
+      .cast("int") + 1
     val prefix = ex.join(dfreq, "tok")
-      .withColumn("__rk", row_number().over(w))
-      .join(sets.select(col("id"), size(col("sh")).as("__n")), "id")
-      .filter(col("__rk") <=
-        floor((lit(1.0) - threshold) * col("__n")).cast("int") + 1)
-      .select(col("id").as("__pa"), col("tok"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("__df"), col("tok"))).as("__dts"))
+      .select(col("id").as("__pa"),
+        explode(slice(array_sort(col("__dts")), lit(1), plen)).as("__dt"))
+      .select(col("__pa"), col("__dt.tok").as("tok"))
     val cand = prefix
       .join(ex.select(col("id").as("__pb"), col("tok")), "tok")
       .filter(col("__pa") =!= col("__pb"))

@@ -43,11 +43,22 @@ object GraphOps {
     * (src, dst) exchange, and every consumer that next keys by node
     * (outdeg/degree aggregations, Pregel joins) starts from friendly
     * partitioning. Per-task volume is bounded by the max node degree —
-    * the same bound every consumer's own groupBy(src) already carries. */
+    * the same bound every consumer's own groupBy(src) already carries.
+    *
+    * SKEW BOUNDS (documented assumption, ADVICE r16): (1) `collect_list`
+    * holds ONE basket per aggregation buffer and the explode fans out
+    * K² pairs from that one row — fine for market-basket keys (bounded
+    * basket size) but a heavy-hitter key with millions of items would
+    * concentrate K² work in one task; cap or pre-split such keys before
+    * calling. (2) `dropDuplicates` on HashPartitioning(src) puts a
+    * celebrity node's whole pair fan-in into one aggregation task (AQE
+    * skew-split does not apply to aggregates) — the same per-node-degree
+    * bound every downstream groupBy(src) carries, so it adds no new
+    * asymptotic class; tools/ScaleProbe's `cooc-hot` probe measures a
+    * synthetic hot node 100x the uniform degree against this shape. */
   def coOccurrenceEdges(
       incidence: DataFrame, keyCol: String, itemCol: String): DataFrame = {
-    val n = incidence.sparkSession
-      .conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(incidence)
     incidence
       .groupBy(col(keyCol).as("k"))
       .agg(collect_list(col(itemCol)).as("items"))
@@ -72,8 +83,7 @@ object GraphOps {
     * dropped. Output: (node, rank_q). */
   def pageRank(
       edges: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
-    val spark = edges.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(edges)
     val e = edges.select(col("src"), col("dst")).repartition(n, col("src")).persist()
     // (node, deg) — the node table WITH the outdegree fused in (r16): the
     // rank state carries deg through every iteration, so the old
@@ -82,17 +92,21 @@ object GraphOps {
     val ndeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")).persist()
     val teleport = (3L * scale) / 20L
-    var ranks = ndeg.withColumn("rank", lit(scale)).localCheckpoint()
+    var ranks = Caching.cutLineage(ndeg.withColumn("rank", lit(scale)))
     for (_ <- 0 until iters) {
       val contrib = ranks
         .select(col("node").as("src"), expr("rank div deg").as("c"))
       val msgs = e.join(contrib, "src")
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = ndeg
+      val next = Caching.cutLineage(ndeg
         .join(msgs, ndeg("node") === msgs("dst"), "left")
         .select(col("node"), col("deg"),
-          (lit(teleport) + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
-        .localCheckpoint()
+          (lit(teleport) + expr("17 * coalesce(s, 0L) div 20")).as("rank")))
+      // previous round's checkpoint blocks are dead once `next` is
+      // materialized (eager) — free them now instead of letting them
+      // accumulate across rounds (ADVICE r16)
+      Caching.freeSuperseded(ranks)
+      ranks = next
     }
     // final ranks is checkpoint-backed (lineage cut): the scaffolding
     // caches are no longer referenced — release before returning (tier 1,
@@ -136,8 +150,7 @@ object GraphOps {
   def personalizedPageRank(
       edges: DataFrame, seeds: DataFrame, iters: Int = 5,
       scale: Long = 1000000000L): DataFrame = {
-    val spark = edges.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(edges)
     val e = edges.select(col("src"), col("dst"))
       .repartition(n, col("src")).persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -158,23 +171,23 @@ object GraphOps {
         coalesce(col("__seed"), lit(0)).as("__seed"), col("deg"))
       .persist()
     val teleport = (3L * scale) / 20L
-    var ranks = nodes
+    var ranks = Caching.cutLineage(nodes
       .select(col("node"), col("__seed"), col("deg"),
         when(col("__seed") === 1, lit(scale)).otherwise(lit(0L))
-          .as("rank"))
-      .localCheckpoint()
+          .as("rank")))
     for (_ <- 0 until iters) {
       val contrib = ranks
         .filter(col("deg").isNotNull)
         .select(col("node").as("src"), expr("rank div deg").as("c"))
       val msgs = e.join(contrib, "src")
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = nodes
+      val next = Caching.cutLineage(nodes
         .join(msgs, nodes("node") === msgs("dst"), "left")
         .select(col("node"), col("__seed"), col("deg"),
           (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L))
-            + expr("17 * coalesce(s, 0L) div 20")).as("rank"))
-        .localCheckpoint()
+            + expr("17 * coalesce(s, 0L) div 20")).as("rank")))
+      Caching.freeSuperseded(ranks)
+      ranks = next
     }
     Caching.release(e, nodes)
     ranks.select(col("node"), col("rank").as("rank_q"))
@@ -210,8 +223,7 @@ object GraphOps {
     * input (e.g. [[coOccurrenceEdges]]) the dedup makes this a no-op.
     * Output: (node, lbl). */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    val spark = edges.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(edges)
     val ed = edges.select(col("src"), col("dst"))
     // dedup on the dst-keyed exchange (HashPartitioning(dst) satisfies
     // the (src, dst) clustered distribution): one shuffle where
@@ -220,16 +232,23 @@ object GraphOps {
       .repartition(n, col("dst")).dropDuplicates("src", "dst")
       .persist()
     val nodes = e.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    var labels = Caching.cutLineage(nodes.withColumn("lbl", col("node")))
     for (_ <- 0 until rounds) {
+      // one src-keyed exchange carries BOTH aggregations (r17):
+      // HashPartitioning(src) satisfies the (src, lbl) clustered
+      // distribution of the count, and the argmax then reuses the same
+      // partitioning — previously the count shuffled on (src, lbl) and
+      // the argmax re-shuffled its output on src (two exchanges/round)
       val counts = e
         .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .repartition(n, col("src"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-      labels = counts
+      val next = Caching.cutLineage(counts
         .groupBy(col("src").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("best"))
-        .select(col("node"), col("best.l").as("lbl"))
-        .localCheckpoint()
+        .select(col("node"), col("best.l").as("lbl")))
+      Caching.freeSuperseded(labels)
+      labels = next
     }
     // labels (even at rounds = 0) is checkpoint-backed: release the edge
     // cache before returning (tier 1, see operators/Caching.scala)
@@ -293,28 +312,31 @@ object GraphOps {
   }
 
   def kCoreByMedianDegree(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(edges)
     // src-keyed dedup (one exchange, r16): the degree histogram and every
     // peel round immediately re-aggregate by src, so the checkpointed
     // edge table starts on the partitioning they need
-    var e = edges.select(col("src"), col("dst"))
-      .repartition(n, col("src")).dropDuplicates("src", "dst")
-      .localCheckpoint()
+    var e = Caching.cutLineage(edges.select(col("src"), col("dst"))
+      .repartition(n, col("src")).dropDuplicates("src", "dst"))
     val k = medianFromHistogram(
       degreeHistogram(e).collect().map(r => (r.getLong(0), r.getLong(1))))
     for (_ <- 0 until rounds) {
       // keep is read by BOTH endpoint semi-joins; checkpoint the bounded
       // node list so the degree aggregation over e runs once per round,
       // not once per join branch (r16 — the q184 double-scan class)
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = Caching.cutLineage(e.groupBy("src")
+        .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .select(col("src").as("n"))
-        .localCheckpoint()
-      e = e
+        .select(col("src").as("n")))
+      val next = Caching.cutLineage(e
         .join(keep.select(col("n").as("src")), "src")
         .join(keep.select(col("n").as("dst")), "dst")
-        .select("src", "dst")
-        .localCheckpoint()
+        .select("src", "dst"))
+      // this round's peel is materialized: the previous edge table and the
+      // keep list are dead — free their blocks now (ADVICE r16)
+      Caching.freeSuperseded(keep)
+      Caching.freeSuperseded(e)
+      e = next
     }
     e.groupBy("src").agg(count(lit(1)).as("deg_residual"))
       .select(col("src").as("node"), col("deg_residual"),
@@ -365,7 +387,7 @@ object GraphOps {
     // InMemoryRelation preserves the child's partitioning/ordering, so
     // the join plans with zero exchanges and zero per-side sorts
     // (previously: two exchanges + two sorts of the oriented edges).
-    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(edges)
     val o = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("d"))
@@ -420,7 +442,7 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters > 0, s"iters must be positive: $iters")
     val dec = "decimal(38,0)"
-    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = incidencePartitions(edges)
     // dedup directly on the src-keyed exchange (r16: HashPartitioning(src)
     // satisfies the (src, dst) clustered distribution) — one shuffle
     // where distinct + repartition paid two. A/B-measured alternatives
@@ -439,20 +461,26 @@ object GraphOps {
       // exact floor division of non-negative decimals: IntegralDivide
       // (`div`) yields the same integer as the old (p - pmod(p,tot))/tot
       // chain with one decimal op instead of three
-      raw.crossJoin(broadcast(tot))
+      Caching.cutLineage(raw.crossJoin(broadcast(tot))
         .select(col("node"), (col("raw") * mass).cast(dec).as("__p"),
           col("__tot"))
-        .select(col("node"), expr("__p div __tot").cast("long").as("s"))
-        .localCheckpoint()
+        .select(col("node"), expr("__p div __tot").cast("long").as("s")))
     }
-    var h = e.select(col("src").as("node")).distinct()
-      .withColumn("s", lit(1000000L)).localCheckpoint()
+    var h = Caching.cutLineage(e.select(col("src").as("node")).distinct()
+      .withColumn("s", lit(1000000L)))
     var a: DataFrame = h // replaced on the first iteration
     for (_ <- 0 until iters) {
+      val oldA = a; val oldH = h
       a = renorm(e.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("s").cast(dec).as("raw")))
       h = renorm(e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum("s").cast(dec).as("raw")))
+      // both half-steps of this iteration are materialized (renorm cuts
+      // eagerly): the previous iteration's vectors are dead — free their
+      // blocks (ADVICE r16). freeSuperseded is idempotent, so the
+      // first-iteration aliasing (a eq h) is harmless.
+      Caching.freeSuperseded(oldA)
+      Caching.freeSuperseded(oldH)
     }
     Caching.release(e)
     a.select(col("node"), lit("auth").as("side"), col("s").as("score_q"))

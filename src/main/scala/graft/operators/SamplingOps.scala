@@ -438,19 +438,23 @@ object SamplingOps {
       salt: String = "graft"): DataFrame = {
     require(n > 0, s"bad quota: $n")
     import org.apache.spark.sql.expressions.Window
-    val u = uniformHash(col(keyCol), salt)
     val shards = 64
+    // hash uniform materialized ONCE as its own projection (the q216 CSE
+    // pattern, VERDICT r16 #7): both window sort keys previously inlined
+    // the full concat+FNV+scale tree — one hash per row instead of two,
+    // same values (the column is the identical expression)
     val w1 = Window
       .partitionBy(col(strataCol),
         pmod(xxhash64(col(keyCol)), lit(shards)))
-      .orderBy(u.asc, col(keyCol).asc)
+      .orderBy(col("__u").asc, col(keyCol).asc)
     val w2 = Window.partitionBy(col(strataCol))
-      .orderBy(u.asc, col(keyCol).asc)
-    df.withColumn("__r1", row_number().over(w1))
+      .orderBy(col("__u").asc, col(keyCol).asc)
+    df.withColumn("__u", uniformHash(col(keyCol), salt))
+      .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= n)
       .withColumn("__r2", row_number().over(w2))
       .filter(col("__r2") <= n)
-      .drop("__r1", "__r2")
+      .drop("__r1", "__r2", "__u")
   }
 
   /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
@@ -503,7 +507,10 @@ object SamplingOps {
     require(splits.nonEmpty && splits.forall(_._2 > 0.0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must be positive and sum to 1: $splits")
-    val u = uniformHash(col(keyCol), salt)
+    // hash uniform materialized ONCE (the q216 CSE pattern, VERDICT r16
+    // #7): the branch chain previously inlined the concat+FNV+scale tree
+    // once per split bound — one hash per row, identical values
+    val u = col("__u")
     val assigned =
       if (splits.size == 1) lit(splits.head._1)
       else {
@@ -516,7 +523,9 @@ object SamplingOps {
           case (acc, ((name, _), cum)) => acc.when(u < lit(cum), lit(name))
         }.otherwise(lit(splits.last._1))
       }
-    df.withColumn("split", assigned)
+    df.withColumn("__u", uniformHash(col(keyCol), salt))
+      .withColumn("split", assigned)
+      .drop("__u")
   }
 
   /** Cumulative split bounds as exact round-trip decimal strings — for

@@ -75,9 +75,8 @@ object TokenizerOps {
     * (every word fully merged) — callers pick numMerges well below that. */
   private def train(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[BpeMerge], DataFrame) = {
-    var vocab = wordHistogram(docs, textCol)
-      .select(col("word"), symbolize(col("word")).as("sym"), col("n"))
-      .localCheckpoint()
+    var vocab = Caching.cutLineage(wordHistogram(docs, textCol)
+      .select(col("word"), symbolize(col("word")).as("sym"), col("n")))
     val merges = scala.collection.mutable.ArrayBuffer[BpeMerge]()
     var r = 1
     var exhausted = false
@@ -99,10 +98,13 @@ object TokenizerOps {
         val b = best(0).getString(1)
         merges += BpeMerge(r, a, b, a + b, best(0).getLong(2))
         // symbols are [a-z0-9]+ concatenations — safe to interpolate
-        vocab = vocab
+        val next = Caching.cutLineage(vocab
           .select(col("word"), expr(mergeSql("sym", a, b)).as("sym"),
-            col("n"))
-          .localCheckpoint()
+            col("n")))
+        // previous round's vocab checkpoint is dead once `next` is
+        // materialized (eager) — free its blocks (ADVICE r16)
+        Caching.freeSuperseded(vocab)
+        vocab = next
         r += 1
       }
     }

@@ -181,7 +181,19 @@ object GenomicQueries extends QuerySet {
         val nullI = lit(null).cast("int")
         val nullB = lit(null).cast("boolean")
         val start = (col("l_partkey") * 7 + col("l_linenumber")) % 10000
-        val reads = t(s, dir, "lineitem").select(
+        // sf0.001 contains a fully-duplicated lineitem row: identical rows
+        // would merge into one two-read fragment bucket while the SQL twin
+        // ranks them separately. The name encodes every varying column, so
+        // deduping drops exactly the clones. r17 (guide §2.3 shuffle fewer
+        // bytes): dedup on the 4-column key BEFORE the wide projection —
+        // readName is a bijection of these four columns and every read
+        // field is a function of them alone, so the surviving read set is
+        // identical, and the dedup exchange carries 4 longs instead of the
+        // 34-column synthetic read (sequence, qualities, attributes map).
+        val reads = t(s, dir, "lineitem")
+          .dropDuplicates("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey")
+          .select(
           (col("l_orderkey") % 4).cast("string").as("referenceName"),
           start.as("start"),
           (start + 36).as("end"),
@@ -206,13 +218,7 @@ object GenomicQueries extends QuerySet {
           nullL.as("mateAlignmentStart"), nullL.as("insertSize"),
           nullS.as("readGroupId"), nullS.as("readGroupSampleId"),
           expr("cast(map() as map<string,string>)").as("attributes")
-        ) // sf0.001 contains a fully-duplicated lineitem row: identical
-          // rows would merge into one two-read fragment bucket while the
-          // SQL twin ranks them separately. The name encodes every varying
-          // column, so deduping on it drops exactly the clones (distinct()
-          // can't be used over the MAP column).
-          .dropDuplicates("readName")
-          .as[graft.model.Alignment]
+        ).as[graft.model.Alignment]
         graft.operators.AlignmentOps.markDuplicates(reads)
           .toDF().select(col("readName"), col("duplicateRead"))
       },

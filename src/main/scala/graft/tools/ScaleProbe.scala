@@ -1182,6 +1182,43 @@ object ScaleProbe {
         }
       }
     }
+
+    // ---- co-occurrence hot-node skew probe (VERDICT r16 #6) ----
+    // The r16 single-exchange coOccurrenceEdges dedups (src, dst) pairs on
+    // a HashPartitioning(src) exchange: a celebrity node's whole pair
+    // fan-in lands in ONE aggregation task (AQE skew-split does not apply
+    // to aggregates). Probe: a uniform market-basket incidence (~sf1
+    // scale: 500k baskets x 6 items over 20k items, uniform node degree
+    // ~900 pairs) vs the same incidence plus one hot item present in 80%
+    // of baskets (pair fan-in ~2.4M — >2,500x the uniform degree). If the
+    // hot run's wall time grows far beyond its +11% row-volume share, the
+    // single-task dedup dominates and the operator needs a salted
+    // two-phase dedup; if it tracks volume, the documented per-node-degree
+    // bound holds (downstream groupBy(src) consumers carry the same
+    // bound either way).
+    if (only.isEmpty || only.exists(s =>
+      "cooc_edges_uniform".contains(s) || "cooc_edges_hotnode".contains(s))) {
+      val incPath = s"$work/cooc_incidence.parquet"
+      if (fresh(incPath)) spark.range(3000000L).select(
+          (col("id") % 500000L).as("order"),
+          pmod(col("id") * 2654435761L, lit(20000L)).as("item"))
+        .repartition(64).write.mode("overwrite").parquet(incPath)
+      val inc = spark.read.parquet(incPath)
+      val hotPath = s"$work/cooc_incidence_hot.parquet"
+      if (fresh(hotPath)) spark.read.parquet(incPath).unionAll(
+          spark.range(400000L).select((col("id")).as("order"),
+            lit(99999L).as("item")))
+        .repartition(64).write.mode("overwrite").parquet(hotPath)
+      val hotInc = spark.read.parquet(hotPath)
+      timed("cooc_edges_uniform") {
+        graft.operators.GraphOps
+          .coOccurrenceEdges(inc, "order", "item").count()
+      }
+      timed("cooc_edges_hotnode") {
+        graft.operators.GraphOps
+          .coOccurrenceEdges(hotInc, "order", "item").count()
+      }
+    }
     spark.stop()
   }
 }

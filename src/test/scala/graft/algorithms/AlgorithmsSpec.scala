@@ -137,13 +137,31 @@ class BqsrSpec extends SparkSpec {
         readGroupId = Some("rg" + (i % 3)),
         mismatchingPositions = Some(md))
     }
-    val ds = spark.createDataset(reads)
+    // exclusion-shaped variants (r17: the includeRead + non-empty gates
+    // moved out of the kernel into a declarative filter — pin every
+    // exclusion reason against the reference observeRead, which still
+    // applies them in-kernel)
+    val base = reads.head
+    val excluded = Seq(
+      base.copy(readName = Some("x1"), mappingQuality = None),
+      base.copy(readName = Some("x2"), mappingQuality = Some(0)),
+      base.copy(readName = Some("x3"), duplicateRead = Some(true)),
+      base.copy(readName = Some("x4"), failedVendorQualityChecks = Some(true)),
+      base.copy(readName = Some("x5"), primaryAlignment = Some(false)),
+      base.copy(readName = Some("x6"), sequence = None),
+      base.copy(readName = Some("x7"), sequence = Some("")),
+      base.copy(readName = Some("x8"), qualityScores = None),
+      base.copy(readName = Some("x9"), qualityScores = Some("")),
+      base.copy(readName = Some("x10"), mismatchingPositions = None),
+      base.copy(readName = Some("x11"), cigar = None),
+      base.copy(readName = Some("x12"), readMapped = None))
+    val ds = spark.createDataset(reads ++ excluded)
     val mask = Bqsr.SnpMask(Seq(("chr0", 100L), ("chr1", 200L)))
     val fn = (ref: String, pos: Long) => mask.contains(ref, pos)
     val fast = Bqsr.observationDF(ds, fn).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)) ->
         (r.getLong(4), r.getLong(5))).toMap
-    val slow = ds.collect().toSeq.flatMap(r => Bqsr.observeRead(r, fn))
+    val slow = (reads ++ excluded).flatMap(r => Bqsr.observeRead(r, fn))
       .groupBy(o => (o.readGroupId, o.reportedQuality, o.cycle, o.dinuc))
       .view.mapValues(os =>
         (os.map(_.observations).sum, os.map(_.mismatches).sum)).toMap
@@ -269,7 +287,12 @@ class RealignIndelsSpec extends SparkSpec {
     val reads = spark.createDataset(Seq(
       read("a", 10L, "ACGTACGTAC", "4M2D6M"),   // D at [14,16)
       read("b", 12L, "ACGTACGTAC", "3M2D7M"),   // D at [15,17)
-      read("c", 300L, "ACGTACGTAC", "5M1I5M"))) // I at 305 (approx 1-wide)
+      read("c", 300L, "ACGTACGTAC", "5M1I5M"),  // I at 305 (approx 1-wide)
+      // excluded inputs (r17: the mapped+cigar gate moved out of the
+      // kernel into a declarative filter — pin each exclusion reason):
+      read("x1", 500L, "ACGTACGTAC", "4M2D6M").copy(readMapped = Some(false)),
+      read("x2", 510L, "ACGTACGTAC", "4M2D6M").copy(readMapped = None),
+      read("x3", 520L, "ACGTACGTAC", "4M2D6M").copy(cigar = None)))
     val ts = RealignIndels.findTargets(reads, maxTargetGap = 50L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(ts.length == 2)
