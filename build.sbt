@@ -32,6 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // classes and the JIT's flush/deopt churn puts ~1.4x scatter on the
   // most codegen-heavy queries (q98/q119). Headroom retires that noise
   // source for long-lived sessions (bench, tests, production drivers).
-  "-XX:ReservedCodeCacheSize=512m",
+  // r17 (VERDICT r16 #8): env-overridable for the SessionInflation
+  // code-cache matrix — SPARK_GRAFT_CODECACHE=1g re-runs the bench/tools
+  // with a larger cache; 512m stays the measured default.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
   "-XX:+UseCodeCacheFlushing",
 )

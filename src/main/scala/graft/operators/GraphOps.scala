@@ -84,6 +84,10 @@ object GraphOps {
   def pageRank(
       edges: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
     val n = incidencePartitions(edges)
+    // persist, not checkpoint (r17 A/B): the per-iteration e ⋈ contrib
+    // join broadcasts the node-sized contrib side at runtime, so the
+    // cached edge table is never re-shuffled — an eager checkpoint only
+    // added its own materialization jobs (q93 3.3 → 5.3 s, reverted).
     val e = edges.select(col("src"), col("dst")).repartition(n, col("src")).persist()
     // (node, deg) — the node table WITH the outdegree fused in (r16): the
     // rank state carries deg through every iteration, so the old
@@ -382,18 +386,23 @@ object GraphOps {
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    // cached pre-partitioned AND pre-sorted on the wedge key (r16):
-    // the wedge self-join reads this table on BOTH sides keyed by s —
-    // InMemoryRelation preserves the child's partitioning/ordering, so
-    // the join plans with zero exchanges and zero per-side sorts
-    // (previously: two exchanges + two sorts of the oriented edges).
+    // materialized pre-partitioned AND pre-sorted on the wedge key: the
+    // wedge self-join reads this table on BOTH sides keyed by s. r16
+    // persisted it, but under AQE an InMemoryRelation's partitioning is
+    // NOT visible at planning time (the cached child is an
+    // AdaptiveSparkPlan), so the declared plan re-exchanged and re-sorted
+    // BOTH join sides (r17 plan audit). localCheckpoint instead records
+    // the executed plan's partitioning/ordering in its LogicalRDD —
+    // statically, AQE or not — so the self-join plans with zero exchanges
+    // and zero per-side sorts; storage cost is the same blocks the cache
+    // held.
     val n = incidencePartitions(edges)
     val o = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("d"))
       .repartition(n, col("s"))
       .sortWithinPartitions("s", "d")
-      .persist()
+      .localCheckpoint()
     val wedges = o.as("e1")
       .join(o.as("e2"), col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))
       .select(col("e1.s").as("u"), col("e1.d").as("v"), col("e2.d").as("w"))

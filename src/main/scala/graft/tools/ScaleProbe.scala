@@ -1199,9 +1199,11 @@ object ScaleProbe {
     if (only.isEmpty || only.exists(s =>
       "cooc_edges_uniform".contains(s) || "cooc_edges_hotnode".contains(s))) {
       val incPath = s"$work/cooc_incidence.parquet"
+      // item = hash(id): a LINEAR map would collapse every basket to one
+      // item (basket stride 500000 is a multiple of the 20000-item space)
       if (fresh(incPath)) spark.range(3000000L).select(
           (col("id") % 500000L).as("order"),
-          pmod(col("id") * 2654435761L, lit(20000L)).as("item"))
+          pmod(xxhash64(col("id")), lit(20000L)).as("item"))
         .repartition(64).write.mode("overwrite").parquet(incPath)
       val inc = spark.read.parquet(incPath)
       val hotPath = s"$work/cooc_incidence_hot.parquet"

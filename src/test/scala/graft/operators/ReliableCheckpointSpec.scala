@@ -60,6 +60,21 @@ class ReliableCheckpointSpec extends SparkSpec {
     assert(reliable === local)
   }
 
+  test("freeSuperseded releases per-round checkpoint blocks") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.size
+    GraphOps.pageRank(graphEdges, iters = 8).count()
+    // 8 rounds checkpointed 9 rank tables; every superseded one must have
+    // been freed as its successor materialized (ADVICE r16) — only the
+    // final checkpoint (plus nothing else: e/ndeg are released on return)
+    // may remain registered. A silent no-op in freeSuperseded would leave
+    // all 9.
+    val live = sc.getPersistentRDDs.size - before
+    assert(live <= 2, s"expected <=2 live blocks after pageRank, got $live")
+  }
+
   test("kCoreByMedianDegree: reliable path matches local path") {
     val local = GraphOps.kCoreByMedianDegree(graphEdges, rounds = 2)
       .orderBy("node").collect().toSeq.map(_.toString)
