@@ -386,23 +386,26 @@ object GraphOps {
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    // materialized pre-partitioned AND pre-sorted on the wedge key: the
-    // wedge self-join reads this table on BOTH sides keyed by s. r16
-    // persisted it, but under AQE an InMemoryRelation's partitioning is
-    // NOT visible at planning time (the cached child is an
-    // AdaptiveSparkPlan), so the declared plan re-exchanged and re-sorted
-    // BOTH join sides (r17 plan audit). localCheckpoint instead records
-    // the executed plan's partitioning/ordering in its LogicalRDD —
-    // statically, AQE or not — so the self-join plans with zero exchanges
-    // and zero per-side sorts; storage cost is the same blocks the cache
-    // held.
+    // cached pre-partitioned AND pre-sorted on the wedge key (r16):
+    // the wedge self-join reads this table on BOTH sides keyed by s.
+    // r17 A/B NOTE — an eager localCheckpoint here (which records the
+    // executed partitioning statically and removes the wedge join's two
+    // declared exchanges+sorts) was measured and REVERTED: checkpointing
+    // o eagerly also MATERIALIZES the und cache, whose statistics then
+    // report actual size (>10 MB) instead of the pre-materialization
+    // estimate — the closing wedges ⋈ und join loses its static
+    // broadcast and plans a sort-merge join that shuffles EVERY wedge by
+    // (v, w). Net: isolated min 6.7 → 5.4 s but in-catalog 5.1 → 6.7 s
+    // (the wedge-join saving is smaller than the lost broadcast). The
+    // persist shape keeps the broadcast; at scales where und outgrows
+    // broadcast anyway, SMJ is what both shapes degrade to.
     val n = incidencePartitions(edges)
     val o = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("d"))
       .repartition(n, col("s"))
       .sortWithinPartitions("s", "d")
-      .localCheckpoint()
+      .persist()
     val wedges = o.as("e1")
       .join(o.as("e2"), col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))
       .select(col("e1.s").as("u"), col("e1.d").as("v"), col("e2.d").as("w"))
